@@ -1,0 +1,58 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+Mirrors the reference's ``database.table`` namespace model
+(reference ``src/Interpreters/StorageID.h``): tables are fixed-schema,
+columnar, named — here Parquet-backed DataFrames + temp views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain parquet scan — keeps Catalyst pushdown/pruning available.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet files; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long
+    nanoseconds and is converted here to a µs timestamp (integer div —
+    double math would lose precision above 2^53 ns). The conf is set
+    here (runtime-settable) so it also holds on sessions we didn't
+    build — e.g. the driver harness's own SparkSession.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the semantics the engine is defined under even on a session we
+    # didn't build: UTC (oracle comparability), ANSI off (ClickHouse is
+    # overflow-lenient; Spark 4 defaults ANSI on).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES
+            if os.path.exists(table_path(sf_dir, t))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for the SQL path)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,448 @@
+"""Registry mapping ClickHouse function names → PySpark expressions.
+
+The reference parser canonicalizes every operator and special syntax into
+named function calls (operator tables
+``src/Parsers/ExpressionListParsers.cpp:26-93``; rewrites §2.10 of
+SURVEY.md). The reference itself ships no function *bodies* (its
+``src/Functions/`` holds only the IFunction interface), so the semantic
+contract is the public ClickHouse dialect; every implementation here is a
+thin wrapper over ``pyspark.sql.functions`` — JVM-side, codegen-friendly,
+no Python UDFs in this module.
+
+Usage::
+
+    from clickhouse_from_scratch_spark.functions import ch
+    df.select(ch("toStartOfMonth", F.col("o_orderdate")))
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, Callable[..., Column]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def _alias(name: str, fn: Callable[..., Column]) -> None:
+    REGISTRY[name] = fn
+
+
+def ch(name: str, *args) -> Column:
+    """Evaluate ClickHouse function ``name`` over Column/literal args."""
+    try:
+        fn = REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"ClickHouse function not implemented: {name}") from None
+    return fn(*args)
+
+
+def has_function(name: str) -> bool:
+    return name in REGISTRY
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# --- arithmetic (ExpressionListParsers.cpp:26-48) -------------------------
+_alias("plus", lambda a, b: _c(a) + _c(b))
+_alias("minus", lambda a, b: _c(a) - _c(b))
+_alias("multiply", lambda a, b: _c(a) * _c(b))
+_alias("divide", lambda a, b: _c(a) / _c(b))
+_alias("modulo", lambda a, b: _c(a) % _c(b))
+_alias("intDiv", lambda a, b: F.floor(_c(a) / _c(b)).cast("long"))
+_alias("intDivOrZero", lambda a, b: F.when(_c(b) != 0, F.floor(_c(a) / _c(b)).cast("long")).otherwise(F.lit(0)))
+_alias("negate", lambda a: -_c(a))
+_alias("abs", F.abs)
+_alias("sign", F.signum)
+
+# --- comparison (:50-59) --------------------------------------------------
+_alias("equals", lambda a, b: _c(a) == _c(b))
+_alias("notEquals", lambda a, b: _c(a) != _c(b))
+_alias("less", lambda a, b: _c(a) < _c(b))
+_alias("greater", lambda a, b: _c(a) > _c(b))
+_alias("lessOrEquals", lambda a, b: _c(a) <= _c(b))
+_alias("greaterOrEquals", lambda a, b: _c(a) >= _c(b))
+_alias("least", F.least)
+_alias("greatest", F.greatest)
+
+# --- boolean (:77-81) -----------------------------------------------------
+_alias("and", lambda *cs: _fold(lambda x, y: x & y, cs))
+_alias("or", lambda *cs: _fold(lambda x, y: x | y, cs))
+_alias("not", lambda a: ~_c(a))
+_alias("xor", lambda a, b: _c(a).cast("boolean") != _c(b).cast("boolean"))
+
+
+def _fold(op, cols):
+    cols = [_c(c) for c in cols]
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out
+
+
+# --- conditional (ParserCase.cpp, ternary rewrite) ------------------------
+_alias("if", lambda c, a, b: F.when(_c(c), _c(a)).otherwise(_c(b)))
+
+
+@register("multiIf")
+def _multi_if(*args) -> Column:
+    """multiIf(c1, v1, c2, v2, ..., else) — CASE WHEN chain."""
+    *pairs, default = args
+    out = F.when(_c(pairs[0]), _c(pairs[1]))
+    for i in range(2, len(pairs), 2):
+        out = out.when(_c(pairs[i]), _c(pairs[i + 1]))
+    return out.otherwise(_c(default))
+
+
+_alias("caseWithExpression",
+       lambda expr, *rest: _case_with_expr(expr, rest))
+
+
+def _case_with_expr(expr, rest):
+    *pairs, default = rest
+    out = F.when(_c(expr) == _c(pairs[0]), _c(pairs[1]))
+    for i in range(2, len(pairs), 2):
+        out = out.when(_c(expr) == _c(pairs[i]), _c(pairs[i + 1]))
+    return out.otherwise(_c(default))
+
+
+# --- null handling (ExpressionListParsers.cpp:767-800) --------------------
+_alias("isNull", lambda a: _c(a).isNull())
+_alias("isNotNull", lambda a: _c(a).isNotNull())
+_alias("coalesce", F.coalesce)
+_alias("ifNull", lambda a, b: F.coalesce(_c(a), _c(b)))
+_alias("nullIf", lambda a, b: F.when(_c(a) == _c(b), F.lit(None)).otherwise(_c(a)))
+_alias("assumeNotNull", lambda a: _c(a))
+_alias("toNullable", lambda a: _c(a))
+
+# --- strings --------------------------------------------------------------
+_alias("length", F.length)
+_alias("lengthUTF8", lambda a: F.length(_c(a)))
+_alias("char_length", F.length)
+_alias("empty", lambda a: F.length(_c(a)) == 0)
+_alias("notEmpty", lambda a: F.length(_c(a)) > 0)
+_alias("lower", F.lower)
+_alias("upper", F.upper)
+_alias("lowerUTF8", F.lower)
+_alias("upperUTF8", F.upper)
+_alias("reverse", F.reverse)
+_alias("concat", F.concat)
+_alias("concatWithSeparator", lambda sep, *cs: F.concat_ws(sep, *cs))
+_alias("substring", lambda s, p, l=None: F.substring(_c(s), p, l) if l is not None else _c(s).substr(_c(p), F.length(_c(s))))
+_alias("substringUTF8", REGISTRY["substring"])
+_alias("left", lambda s, n: F.substring(_c(s), 1, n))
+_alias("right", lambda s, n: F.substring(_c(s), -n, n))
+_alias("trimBoth", F.trim)
+_alias("trimLeft", F.ltrim)
+_alias("trimRight", F.rtrim)
+_alias("trim", F.trim)
+_alias("position", lambda hay, needle: F.locate(needle, _c(hay)) if isinstance(needle, str) else F.expr("0"))
+_alias("positionCaseInsensitive", lambda hay, needle: F.locate(needle.lower(), F.lower(_c(hay))))
+_alias("like", lambda s, p: _c(s).like(p))
+_alias("notLike", lambda s, p: ~_c(s).like(p))
+_alias("ilike", lambda s, p: _c(s).ilike(p))
+_alias("notILike", lambda s, p: ~_c(s).ilike(p))
+_alias("match", lambda s, p: _c(s).rlike(p))
+_alias("replaceOne", lambda s, a, b: F.regexp_replace(_c(s), _regex_quote(a), b))  # first occurrence only differs; CH replaceOne replaces first
+_alias("replaceAll", lambda s, a, b: F.replace(_c(s), _c(a), _c(b)))
+_alias("replaceRegexpOne", lambda s, p, r: F.regexp_replace(_c(s), p, r))
+_alias("replaceRegexpAll", lambda s, p, r: F.regexp_replace(_c(s), p, r))
+_alias("splitByChar", lambda sep, s: F.split(_c(s), _regex_quote(sep)))
+_alias("splitByString", lambda sep, s: F.split(_c(s), _regex_quote(sep)))
+_alias("splitByRegexp", lambda p, s: F.split(_c(s), p))
+_alias("startsWith", lambda s, p: _c(s).startswith(p))
+_alias("endsWith", lambda s, p: _c(s).endswith(p))
+_alias("repeat", lambda s, n: F.repeat(_c(s), n))
+_alias("leftPad", lambda s, n, p=" ": F.lpad(_c(s), n, p))
+_alias("rightPad", lambda s, n, p=" ": F.rpad(_c(s), n, p))
+_alias("extract", lambda s, p: F.regexp_extract(_c(s), p, 1))
+_alias("extractAll", lambda s, p: F.regexp_extract_all(_c(s), F.lit(p), F.lit(1)))
+_alias("format", lambda fmt, *args: F.format_string(fmt.replace("{}", "%s"), *args))
+_alias("toValidUTF8", lambda s: _c(s))
+_alias("tokens", lambda s: F.split(_c(s), r"\s+"))
+_alias("regexpQuoteMeta", lambda s: _c(s))  # parse-time helper; identity for literals handled upstream
+
+
+def _regex_quote(s: str) -> str:
+    import re
+    return re.escape(s) if isinstance(s, str) else s
+
+
+# character n-grams, JVM-side: index sequence + transform/substr
+_alias("ngrams", lambda s, n: F.transform(
+    F.sequence(F.lit(1), F.greatest(F.length(_c(s)) - (n - 1), F.lit(0))),
+    lambda i: _c(s).substr(i, F.lit(n))))
+
+# --- hashing (CH cityHash64/sipHash64 → deterministic 64-bit analogues) ---
+_alias("cityHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+_alias("sipHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+_alias("xxHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+_alias("halfMD5", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+_alias("MD5", lambda c: F.md5(_c(c)))
+_alias("SHA256", lambda c: F.sha2(_c(c), 256))
+_alias("crc32", lambda c: F.crc32(_c(c)))
+_alias("javaHash", lambda c: F.hash(_c(c)))
+
+# --- math -----------------------------------------------------------------
+for _name, _fn in [
+    ("exp", F.exp), ("log", F.log), ("ln", F.log), ("log2", F.log2),
+    ("log10", F.log10), ("sqrt", F.sqrt), ("cbrt", F.cbrt), ("sin", F.sin),
+    ("cos", F.cos), ("tan", F.tan), ("asin", F.asin), ("acos", F.acos),
+    ("atan", F.atan), ("sinh", F.sinh), ("cosh", F.cosh), ("tanh", F.tanh),
+    ("exp2", lambda c: F.pow(F.lit(2.0), _c(c))),
+    ("exp10", lambda c: F.pow(F.lit(10.0), _c(c))),
+    ("e", lambda: F.lit(2.718281828459045)), ("pi", lambda: F.lit(3.141592653589793)),
+    ("pow", lambda a, b: F.pow(_c(a), _c(b))), ("power", lambda a, b: F.pow(_c(a), _c(b))),
+    ("floor", F.floor), ("ceil", F.ceil), ("ceiling", F.ceil),
+]:
+    _alias(_name, _fn)
+_alias("trunc", lambda c, n=0: ((F.floor(_c(c) * (10 ** n)) / (10 ** n))
+                                if n else F.floor(_c(c)).cast("double")))
+_alias("truncate", REGISTRY["trunc"])
+_alias("round", lambda c, n=0: F.round(_c(c), n))
+_alias("roundBankers", lambda c, n=0: F.bround(_c(c), n))
+
+# --- type conversion (§1.2 type-mapping table) ----------------------------
+_alias("toString", lambda c: _c(c).cast("string"))
+_alias("toInt8", lambda c: _c(c).cast("tinyint"))
+_alias("toInt16", lambda c: _c(c).cast("smallint"))
+_alias("toInt32", lambda c: _c(c).cast("int"))
+_alias("toInt64", lambda c: _c(c).cast("long"))
+# UInt64 → LongType: documented modulo-2^64 fidelity policy (SURVEY §1.2)
+_alias("toUInt8", lambda c: _c(c).cast("smallint"))
+_alias("toUInt16", lambda c: _c(c).cast("int"))
+_alias("toUInt32", lambda c: _c(c).cast("long"))
+_alias("toUInt64", lambda c: _c(c).cast("long"))
+_alias("toInt128", lambda c: _c(c).cast("decimal(38,0)"))
+_alias("toInt256", lambda c: _c(c).cast("decimal(38,0)"))
+_alias("toFloat32", lambda c: _c(c).cast("float"))
+_alias("toFloat64", lambda c: _c(c).cast("double"))
+_alias("toDecimal32", lambda c, s: _c(c).cast(f"decimal(9,{s})"))
+_alias("toDecimal64", lambda c, s: _c(c).cast(f"decimal(18,{s})"))
+_alias("toDecimal128", lambda c, s: _c(c).cast(f"decimal(38,{s})"))
+_alias("toDate", lambda c: _c(c).cast("date"))
+_alias("toDate32", lambda c: _c(c).cast("date"))
+_alias("toDateTime", lambda c: _c(c).cast("timestamp"))
+_alias("toDateTime64", lambda c, p=3: _c(c).cast("timestamp"))
+_alias("toUUID", lambda c: _c(c).cast("string"))
+_alias("toIntervalSecond", lambda n: F.expr(f"interval {n} second"))
+_alias("toIntervalMinute", lambda n: F.expr(f"interval {n} minute"))
+_alias("toIntervalHour", lambda n: F.expr(f"interval {n} hour"))
+_alias("toIntervalDay", lambda n: F.expr(f"interval {n} day"))
+_alias("toIntervalWeek", lambda n: F.expr(f"interval {7*int(n)} day"))
+_alias("toIntervalMonth", lambda n: F.expr(f"interval {n} month"))
+_alias("toIntervalQuarter", lambda n: F.expr(f"interval {3*int(n)} month"))
+_alias("toIntervalYear", lambda n: F.expr(f"interval {n} year"))
+_alias("CAST", lambda c, t: _c(c).cast(_spark_type(t)))
+_alias("reinterpretAsInt64", lambda c: _c(c).cast("long"))
+_alias("toTypeName", lambda c: F.lit("dynamic"))
+
+
+def _spark_type(t: str) -> str:
+    """Map a ClickHouse type name (string form) to a Spark SQL type string."""
+    from .typemap import ch_type_to_spark
+    return ch_type_to_spark(t)
+
+
+# --- date/time (ExpressionElementParsers EXTRACT + to* family) ------------
+_alias("toYear", F.year)
+_alias("toMonth", F.month)
+_alias("toDayOfMonth", F.dayofmonth)
+_alias("toDayOfWeek", lambda c: F.when(F.dayofweek(_c(c)) == 1, 7).otherwise(F.dayofweek(_c(c)) - 1))  # CH: Mon=1..Sun=7
+_alias("toDayOfYear", F.dayofyear)
+_alias("toHour", F.hour)
+_alias("toMinute", F.minute)
+_alias("toSecond", F.second)
+_alias("toQuarter", F.quarter)
+_alias("toWeek", F.weekofyear)
+_alias("toISOWeek", F.weekofyear)
+_alias("toUnixTimestamp", lambda c: F.unix_timestamp(_c(c)))
+_alias("fromUnixTimestamp", lambda c: F.from_unixtime(_c(c)).cast("timestamp"))
+_alias("toStartOfYear", lambda c: F.date_trunc("year", _c(c)).cast("date"))
+_alias("toStartOfQuarter", lambda c: F.date_trunc("quarter", _c(c)).cast("date"))
+_alias("toStartOfMonth", lambda c: F.date_trunc("month", _c(c)).cast("date"))
+_alias("toStartOfWeek", lambda c: F.date_trunc("week", _c(c)).cast("date"))
+_alias("toStartOfDay", lambda c: F.date_trunc("day", _c(c)))
+_alias("toStartOfHour", lambda c: F.date_trunc("hour", _c(c)))
+_alias("toStartOfMinute", lambda c: F.date_trunc("minute", _c(c)))
+_alias("toStartOfFifteenMinutes", lambda c: F.timestamp_seconds((F.unix_timestamp(_c(c)) / 900).cast("long") * 900))
+_alias("toStartOfInterval", lambda c, iv: F.window(_c(c), iv).start)
+_alias("toLastDayOfMonth", F.last_day)
+_alias("today", F.current_date)
+_alias("now", F.current_timestamp)
+_alias("yesterday", lambda: F.date_sub(F.current_date(), 1))
+_alias("toYYYYMM", lambda c: (F.year(_c(c)) * 100 + F.month(_c(c))))
+_alias("toYYYYMMDD", lambda c: (F.year(_c(c)) * 10000 + F.month(_c(c)) * 100 + F.dayofmonth(_c(c))))
+_alias("dateAdd", lambda unit, n, d: _c(d) + F.expr(f"interval {n} {unit}"))
+_alias("dateSub", lambda unit, n, d: _c(d) - F.expr(f"interval {n} {unit}"))
+_alias("timestampAdd", REGISTRY["dateAdd"])
+_alias("timestampSub", REGISTRY["dateSub"])
+_alias("addDays", lambda d, n: F.date_add(_c(d), n))
+_alias("subtractDays", lambda d, n: F.date_sub(_c(d), n))
+_alias("addHours", lambda d, n: _c(d) + F.expr(f"interval {n} hour"))
+_alias("addMonths", lambda d, n: F.add_months(_c(d), n))
+_alias("addYears", lambda d, n: F.add_months(_c(d), 12 * n))
+_alias("dateDiff", lambda unit, a, b: _date_diff(unit, a, b))
+_alias("age", lambda unit, a, b: _date_diff(unit, a, b))
+_alias("dateName", lambda part, d: F.date_format(_c(d), {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(part, "yyyy")))
+_alias("formatDateTime", lambda d, fmt: F.date_format(_c(d), _strftime_to_java(fmt)))
+_alias("toTimeZone", lambda c, tz: F.from_utc_timestamp(_c(c), tz))
+_alias("makeDate", lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)))
+_alias("tumble", lambda ts, iv: F.window(_c(ts), iv))
+_alias("hop", lambda ts, slide, size: F.window(_c(ts), size, slide))
+_alias("tumbleStart", lambda ts, iv: F.window(_c(ts), iv).start)
+_alias("tumbleEnd", lambda ts, iv: F.window(_c(ts), iv).end)
+
+
+def _date_diff(unit: str, a, b) -> Column:
+    a, b = _c(a), _c(b)
+    u = unit.strip("'\"").lower()
+    if u in ("day", "dd", "d"):
+        return F.datediff(b.cast("date"), a.cast("date")).cast("long")
+    if u in ("hour", "hh"):
+        return ((F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600).cast("long")
+    if u in ("minute", "mi"):
+        return ((F.unix_timestamp(b) - F.unix_timestamp(a)) / 60).cast("long")
+    if u in ("second", "ss"):
+        return (F.unix_timestamp(b) - F.unix_timestamp(a)).cast("long")
+    if u in ("month", "mm"):
+        return F.floor(F.months_between(b, a)).cast("long")
+    if u in ("quarter", "qq"):
+        return F.floor(F.months_between(b, a) / 3).cast("long")
+    if u in ("week", "wk"):
+        return F.floor(F.datediff(b.cast("date"), a.cast("date")) / 7).cast("long")
+    if u in ("year", "yyyy", "yy"):
+        return (F.year(b) - F.year(a)).cast("long")
+    raise ValueError(f"dateDiff unit: {unit}")
+
+
+def _strftime_to_java(fmt: str) -> str:
+    table = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+             "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss"}
+    for k, v in table.items():
+        fmt = fmt.replace(k, v)
+    return fmt
+
+
+# --- arrays (public CH array function family) -----------------------------
+_alias("array", F.array)
+_alias("arrayElement", lambda a, i: F.element_at(_c(a), i))
+_alias("has", lambda a, v: F.array_contains(_c(a), v))
+_alias("hasAll", lambda a, b: F.forall(_c(b), lambda x: F.array_contains(_c(a), x)))
+_alias("hasAny", lambda a, b: F.arrays_overlap(_c(a), _c(b)))
+_alias("indexOf", lambda a, v: F.array_position(_c(a), v))
+_alias("arrayConcat", F.concat)
+_alias("arraySlice", lambda a, off, ln=None: F.slice(_c(a), off, ln) if ln is not None else F.slice(_c(a), off, F.size(_c(a))))
+_alias("arrayPushBack", lambda a, v: F.concat(_c(a), F.array(_c(v))))
+_alias("arrayPushFront", lambda a, v: F.concat(F.array(_c(v)), _c(a)))
+_alias("arrayPopBack", lambda a: F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0))))
+_alias("arrayPopFront", lambda a: F.slice(_c(a), 2, F.greatest(F.size(_c(a)) - 1, F.lit(0))))
+_alias("arrayLength", F.size)
+_alias("arrayDistinct", F.array_distinct)
+_alias("arraySort", F.array_sort)
+_alias("arrayReverse", F.reverse)
+_alias("arrayReverseSort", lambda a: F.reverse(F.array_sort(_c(a))))
+_alias("arrayJoin", F.explode)          # row-replicating form handled by ARRAY JOIN op
+_alias("arrayMap", lambda f, a: F.transform(_c(a), f))
+_alias("arrayFilter", lambda f, a: F.filter(_c(a), f))
+_alias("arrayExists", lambda f, a: F.exists(_c(a), f))
+_alias("arrayAll", lambda f, a: F.forall(_c(a), f))
+_alias("arrayCount", lambda f, a: F.size(F.filter(_c(a), f)))
+_alias("arraySum", lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+_alias("arrayAvg", lambda a: REGISTRY["arraySum"](a) / F.size(_c(a)))
+_alias("arrayMin", F.array_min)
+_alias("arrayMax", F.array_max)
+_alias("arrayUniq", lambda a: F.size(F.array_distinct(_c(a))))
+_alias("arrayCompact", F.array_distinct)
+_alias("arrayFlatten", F.flatten)
+_alias("arrayZip", F.arrays_zip)
+_alias("arrayStringConcat", lambda a, sep="": F.array_join(_c(a), sep))
+_alias("arrayIntersect", F.array_intersect)
+_alias("arrayEnumerate", lambda a: F.sequence(F.lit(1), F.size(_c(a))))
+_alias("range", lambda *args: F.sequence(F.lit(0), _c(args[0]) - 1) if len(args) == 1 else F.sequence(_c(args[0]), _c(args[1]) - 1))
+_alias("emptyArrayInt64", lambda: F.array().cast("array<long>"))
+_alias("emptyArrayString", lambda: F.array().cast("array<string>"))
+_alias("arrayReduce", lambda name, a: {"sum": REGISTRY["arraySum"], "min": F.array_min, "max": F.array_max}[name](a))
+
+# --- tuples / maps --------------------------------------------------------
+_alias("tuple", F.struct)
+_alias("tupleElement", lambda t, i: _c(t)[f"col{i}"] if isinstance(i, int) else _c(t)[i])
+_alias("map", F.create_map)
+_alias("mapKeys", F.map_keys)
+_alias("mapValues", F.map_values)
+_alias("mapContains", lambda m, k: F.map_contains_key(_c(m), k))
+
+# --- JSON (documents/events props columns) --------------------------------
+_alias("JSONExtractString", lambda j, k: F.get_json_object(_c(j), f"$.{k}"))
+_alias("JSONExtractInt", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("long"))
+_alias("JSONExtractFloat", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("double"))
+_alias("JSONExtractBool", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("boolean"))
+_alias("JSONHas", lambda j, k: F.get_json_object(_c(j), f"$.{k}").isNotNull())
+_alias("JSONExtractRaw", lambda j, k: F.get_json_object(_c(j), f"$.{k}"))
+_alias("visitParamExtractString", REGISTRY["JSONExtractString"])
+_alias("isValidJSON", lambda j: F.from_json(_c(j), "map<string,string>").isNotNull())
+
+# --- IP / UUID / encoding -------------------------------------------------
+_alias("IPv4NumToString", lambda n: F.concat_ws(
+    ".", (F.shiftright(_c(n), 24) % 256).cast("string"),
+    (F.shiftright(_c(n), 16) % 256).cast("string"),
+    (F.shiftright(_c(n), 8) % 256).cast("string"),
+    (_c(n) % 256).cast("string")))
+_alias("IPv4StringToNum", lambda s: (
+    F.split(_c(s), r"\.")[0].cast("long") * 16777216
+    + F.split(_c(s), r"\.")[1].cast("long") * 65536
+    + F.split(_c(s), r"\.")[2].cast("long") * 256
+    + F.split(_c(s), r"\.")[3].cast("long")))
+_alias("hex", F.hex)
+_alias("unhex", F.unhex)
+_alias("base64Encode", F.base64)
+_alias("base64Decode", lambda c: F.unbase64(_c(c)).cast("string"))
+_alias("generateUUIDv4", lambda: F.expr("uuid()"))
+_alias("bitAnd", lambda a, b: _c(a).bitwiseAND(_c(b)))
+_alias("bitOr", lambda a, b: _c(a).bitwiseOR(_c(b)))
+_alias("bitXor", lambda a, b: _c(a).bitwiseXOR(_c(b)))
+_alias("bitNot", lambda a: ~_c(a).cast("long") if not isinstance(a, Column) else F.expr("~0"))
+REGISTRY["bitNot"] = lambda a: _c(a).cast("long").bitwiseXOR(F.lit(-1))
+_alias("bitShiftLeft", lambda a, n: F.shiftleft(_c(a), n))
+_alias("bitShiftRight", lambda a, n: F.shiftright(_c(a), n))
+_alias("bitTest", lambda a, n: (F.shiftright(_c(a), n) % 2).cast("int"))
+
+# --- misc scalar ----------------------------------------------------------
+_alias("rand", lambda: (F.rand() * (1 << 32)).cast("long"))
+_alias("rand64", lambda: (F.rand() * (1 << 62)).cast("long"))
+_alias("randConstant", lambda: F.lit(0))
+_alias("hostName", lambda: F.lit("localhost"))
+_alias("version", lambda: F.lit("24.0-spark"))
+_alias("currentDatabase", lambda: F.lit("default"))
+_alias("sleep", lambda s: F.lit(0))
+_alias("ignore", lambda *cs: F.lit(0))
+_alias("materialize", lambda c: _c(c))
+_alias("identity", lambda c: _c(c))
+_alias("isFinite", lambda c: ~(F.isnan(_c(c)) | (_c(c) == float("inf")) | (_c(c) == float("-inf"))))
+_alias("isInfinite", lambda c: (_c(c) == float("inf")) | (_c(c) == float("-inf")))
+_alias("isNaN", lambda c: F.isnan(_c(c)))
+_alias("bar", lambda c, lo, hi, width=80: F.repeat(F.lit("█"), F.round((_c(c) - lo) / (hi - lo) * width).cast("int")))
+_alias("transform", lambda c, frm, to, dflt: _transform_map(c, frm, to, dflt))
+
+
+def _transform_map(c, frm, to, dflt) -> Column:
+    out = F.when(_c(c) == frm[0], to[0])
+    for f_, t_ in zip(frm[1:], to[1:]):
+        out = out.when(_c(c) == f_, t_)
+    return out.otherwise(_c(dflt))
+
+
+# --- aggregates (names; combinators -If/-Distinct in aggregates.py) -------
+from . import aggregates as _aggs  # noqa: E402  (registers agg names)
+
+_aggs.register_into(REGISTRY)

@@ -1,0 +1,90 @@
+"""ClickHouse join strictness/semantics Spark lacks natively.
+
+Reference grammar (``src/Parsers/ASTTablesInSelectQuery.h:10-96``):
+``[GLOBAL] [ANY|ALL|ASOF|SEMI|ANTI] [INNER|LEFT|RIGHT|FULL|CROSS] JOIN``.
+Spark covers ALL/SEMI/ANTI/outer natively; this module adds:
+
+- ANY strictness (``ASTTablesInSelectQuery.h:79-80``): at most one
+  right-side match per left row.
+- ``join_use_nulls=0`` default (``src/Core/Settings.h:224``): non-matched
+  outer-join cells are filled with the column type's *default value*
+  (0, '', empty array), not NULL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def any_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+             how: str = "left",
+             right_order: Sequence[Column] | None = None) -> DataFrame:
+    """ANY-strictness join: dedupe the right side to one row per join key,
+    then run a standard join.
+
+    Deduping *before* the join keeps multiplicity correct and shrinks the
+    shuffled build side — at 100 TB the dedup is a map-side-combine-friendly
+    aggregation, and the joined side often becomes broadcastable after it.
+    ``right_order`` pins which right row wins (CH ANY is "any one match";
+    we make it deterministic).
+    """
+    order = list(right_order) if right_order else [F.col(c) for c in right.columns]
+    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
+    deduped = (right.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn"))
+    return left.join(deduped, on=list(on), how=how)
+
+
+_DEFAULTS: dict[type, object] = {
+    T.StringType: "",
+    T.BooleanType: False,
+    T.DateType: "1970-01-01",
+}
+
+
+def _type_default(dt: T.DataType) -> Column:
+    """ClickHouse type default: 0 for numerics, '' for String, epoch for
+    Date/DateTime, [] for Array (reference behavior of non-Nullable types)."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType)):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.DecimalType):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, T.StringType):
+        return F.lit("")
+    if isinstance(dt, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dt, T.DateType):
+        return F.to_date(F.lit("1970-01-01"))
+    if isinstance(dt, T.TimestampType):
+        return F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    if isinstance(dt, T.ArrayType):
+        return F.array().cast(dt)
+    return F.lit(None).cast(dt)
+
+
+def join_with_defaults(left: DataFrame, right: DataFrame, on: Sequence[str],
+                       how: str = "left") -> DataFrame:
+    """Outer join with ``join_use_nulls = 0`` semantics: NULLs produced by
+    non-matching rows are replaced by the column type's default value.
+
+    Pure post-join projection (coalesce) — adds no shuffle beyond the join.
+    """
+    joined = left.join(right, on=list(on), how=how)
+    fill_side = right if how in ("left", "full") else left
+    own = set(on)
+    proj = []
+    fill_cols = {f.name: f.dataType for f in fill_side.schema.fields
+                 if f.name not in own}
+    for name in joined.columns:
+        if name in fill_cols:
+            proj.append(F.coalesce(F.col(name),
+                                   _type_default(fill_cols[name])).alias(name))
+        else:
+            proj.append(F.col(name))
+    return joined.select(*proj)

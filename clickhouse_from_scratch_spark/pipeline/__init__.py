@@ -1,0 +1,29 @@
+"""Large-scale training-data pipeline operators (beyond the reference).
+
+Designed shuffle-conscious for 100 TB: no driver-side collects, candidate
+generation via LSH banding (bounded fan-out) instead of all-pairs,
+map-side-combinable aggregations, broadcast for small query sets.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    simhash_near_dups,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk
+from .text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_candidates",
+    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "brute_force_topk", "lsh_bucketed_topk",
+    "doc_fingerprint", "language_id", "quality_score", "token_count",
+]

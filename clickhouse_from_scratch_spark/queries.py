@@ -1,0 +1,1011 @@
+"""Query catalog: one entry per implemented SURVEY.md §2 construct.
+
+Each ``@query(name, oracle=...)`` registers a (spark, sf_dir) -> DataFrame
+callable plus (where SQL-expressible) a DuckDB oracle that must hash-match.
+
+Float-determinism policy (oracle comparison is a value hash):
+- Sums are accumulated in DECIMAL (exact, order-independent) then cast to
+  double: identical bits in Spark and DuckDB regardless of partitioning.
+- Averages = decimal-sum cast double / count (single IEEE division).
+- Per-row double products are deterministic (same IEEE ops both engines).
+- Cosine similarities are rounded to 4 digits *before* ranking so top-k
+  membership is stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import ch
+from .operators import (
+    any_join, array_join, asof_join, distinct_on, final, limit_by,
+    limit_with_ties, sample_by_key, with_fill, with_totals,
+)
+from .pipeline import (
+    brute_force_topk, lsh_bucketed_topk, minhash_lsh_candidates,
+    ngram_jaccard_pairs, simhash_near_dups,
+)
+from .pipeline.multimodal import attach_binary_payload, decode_image_batch
+from .pipeline.text import (
+    LANG_MARKERS, doc_fingerprint, language_id, quality_score,
+    token_count, token_count_bpe,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent exact sum → double (see module docstring)."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    return dsum(col, scale) / F.count(col)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped core (scan → filter → agg → join → sort → limit)
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    """TPC-H Q1 shape — the reference's M1 slice (SURVEY.md §7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                   dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                   dsum(disc, 6).alias("sum_disc_price"),
+                   dsum(charge, 6).alias("sum_charge"),
+                   davg(F.col("l_quantity")).alias("avg_qty"),
+                   davg(F.col("l_extendedprice")).alias("avg_price"),
+                   davg(F.col("l_discount")).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+@query("q3_shipping_priority", oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    """Join + agg + top-k; the dims side broadcasts (customer filter)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1997-01-01").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(dsum(disc, 6).alias("revenue"))
+              .select("l_orderkey", "revenue",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10))
+
+
+@query("q5_local_supplier", oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+""")
+def q5(spark, sf_dir):
+    """Six-way join; all dimension sides broadcast, one fact shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(supp),
+                    (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey")))
+              .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+              .groupBy("n_name")
+              .agg(dsum(disc, 6).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Join kinds (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query("join_left_outer", oracle="""
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""")
+def join_left(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    return (nat.join(supp, supp.s_nationkey == nat.n_nationkey, "left")
+               .groupBy("n_nationkey", "n_name")
+               .agg(F.count("s_suppkey").alias("n_suppliers")))
+
+
+@query("join_full_outer", oracle="""
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c.nk, s.nk) AS nk, n_cust, n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def join_full(spark, sf_dir):
+    cust = (_t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n_cust")))
+    supp = (_t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (cust.join(supp, "nk", "full")
+                .select(F.col("nk"), "n_cust", "n_supp"))
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""")
+def join_semi(spark, sf_dir):
+    """LEFT SEMI — the lowering of IN/EXISTS subqueries (§2.3)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+                .select("c_custkey", "c_name"))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_name"))
+
+
+@query("join_cross", oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def join_cross(spark, sf_dir):
+    return (_t(spark, sf_dir, "region").crossJoin(_t(spark, sf_dir, "nation"))
+            .select("r_name", "n_name"))
+
+
+@query("join_any_left", oracle="""
+SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+FROM orders LEFT JOIN (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_quantity) AS rn
+    FROM lineitem) WHERE rn = 1
+) ON l_orderkey = o_orderkey
+""")
+def join_any(spark, sf_dir):
+    """ANY LEFT JOIN — at most one right match (ASTTablesInSelectQuery.h:79).
+
+    (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+    deterministic ANY pick tie-breaks on quantity too."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity")
+    return any_join(orders, li, on=["o_orderkey"],
+                    right_order=[F.col("l_linenumber"), F.col("l_quantity")])
+
+
+@query("join_asof", oracle="""
+SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+ON p.user_id = s.user_id AND p.ts >= s.ts
+""")
+def join_asof_q(spark, sf_dir):
+    """ASOF JOIN: latest signup at-or-before each purchase, per user."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id")
+    signups = ev.filter(F.col("event_type") == "signup") \
+                .select("user_id", "ts",
+                        F.col("event_id").alias("signup_event_id"))
+    out = asof_join(purchases, signups, on=["user_id"],
+                    left_time="ts", right_time="ts")
+    return out.select("event_id", "user_id", "signup_event_id")
+
+
+# ---------------------------------------------------------------------------
+# ARRAY JOIN (§2.4) + text tokens
+# ---------------------------------------------------------------------------
+
+@query("array_join_words", oracle="""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents)
+SELECT word, COUNT(*) AS cnt FROM words
+WHERE length(word) > 4
+GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+""")
+def array_join_words(spark, sf_dir):
+    """ARRAY JOIN arr — explode() lowering (ASTTablesInSelectQuery.h:126)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda w: w != "")
+    exploded = array_join(docs.select(words.alias("words")), {"word": "words"})
+    return (exploded.filter(F.length("word") > 4)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("word")).limit(20))
+
+
+@query("left_array_join", oracle="""
+SELECT d.doc_id, w.word
+FROM documents d LEFT JOIN (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> length(x) > 8)) AS word
+  FROM documents) w ON d.doc_id = w.doc_id
+""")
+def left_array_join_q(spark, sf_dir):
+    """LEFT ARRAY JOIN — explode_outer keeps empty-array rows."""
+    docs = _t(spark, sf_dir, "documents")
+    long_words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                          lambda w: F.length(w) > 8)
+    out = array_join(docs.select("doc_id", long_words.alias("lw")),
+                     {"word": "lw"}, left=True)
+    return out.select("doc_id", "word")
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT / LIMIT BY / WITH TIES (§2.5, §2.7)
+# ---------------------------------------------------------------------------
+
+@query("distinct_rows", oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def distinct_rows(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query("distinct_on_latest_order", oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1
+""")
+def distinct_on_q(spark, sf_dir):
+    """DISTINCT ON → LIMIT 1 BY rewrite (ParserSelectQuery.cpp:363-372)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = distinct_on(orders, ["o_custkey"],
+                      [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+    return out.select("o_custkey", "o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+
+
+@query("limit_by_priority", oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn <= 2
+""")
+def limit_by_q(spark, sf_dir):
+    """LIMIT 2 BY o_orderpriority (ParserSelectQuery.cpp:281-299)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = limit_by(orders, ["o_orderpriority"],
+                   [F.col("o_totalprice").desc(), F.col("o_orderkey")], n=2)
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@query("limit_with_ties", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+QUALIFY RANK() OVER (ORDER BY l_quantity) <= 20
+""")
+def with_ties_q(spark, sf_dir):
+    """LIMIT 20 WITH TIES (ParserSelectQuery.cpp:261-276)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = limit_with_ties(li, [F.col("l_quantity")], n=20)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY modifiers (§2.5): ROLLUP / CUBE / TOTALS
+# ---------------------------------------------------------------------------
+
+@query("rollup_agg", oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_agg(spark, sf_dir):
+    return (_t(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(F.col("o_totalprice")).alias("total")))
+
+
+@query("cube_agg", oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_agg(spark, sf_dir):
+    return (_t(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(F.col("l_quantity")).alias("sum_qty")))
+
+
+@query("with_totals", oracle="""
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY GROUPING SETS ((event_type), ())
+""")
+def with_totals_q(spark, sf_dir):
+    """GROUP BY ... WITH TOTALS (ASTSelectQuery.h:82)."""
+    ev = _t(spark, sf_dir, "events")
+    return with_totals(
+        ev, ["event_type"],
+        ["COUNT(*) AS cnt",
+         "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value"])
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY WITH FILL (§2.6)
+# ---------------------------------------------------------------------------
+
+@query("with_fill_daily", oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day),
+     counts AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, COALESCE(c.cnt, 0) AS cnt
+FROM days d LEFT JOIN counts c ON d.day = c.day
+""")
+def with_fill_q(spark, sf_dir):
+    """ORDER BY day WITH FILL FROM ... TO ... STEP 1 day."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    filled = with_fill(daily, "day",
+                       F.lit("2024-01-01").cast("date"),
+                       F.lit("2024-01-31").cast("date"),
+                       F.expr("interval 1 day"),
+                       fill_defaults={"cnt": 0})
+    return filled.select(F.date_format("day", "yyyy-MM-dd").alias("day"), "cnt")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.6)
+# ---------------------------------------------------------------------------
+
+@query("window_running_sum", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+""")
+def window_running_sum(spark, sf_dir):
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w)
+                     .cast("double").alias("running_total")))
+
+
+@query("window_rank_lag", oracle="""
+SELECT event_id, user_id,
+       RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events
+""")
+def window_rank_lag(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (_t(spark, sf_dir, "events")
+            .select("event_id", "user_id",
+                    F.rank().over(w).cast("long").alias("rk"),
+                    F.lag("value").over(w).alias("prev_value")))
+
+
+@query("window_topk_per_group", oracle="""
+SELECT p_brand, p_partkey, p_retailprice
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+        ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+WHERE rn <= 3
+""")
+def window_topk(spark, sf_dir):
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (_t(spark, sf_dir, "part")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("p_brand", "p_partkey", "p_retailprice"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8)
+# ---------------------------------------------------------------------------
+
+@query("setop_union_distinct", oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query("setop_intersect", oracle="""
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query("setop_except", oracle="""
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # EXCEPT = set difference (distinct semantics)
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: IN / scalar / quantified (§2.3)
+# ---------------------------------------------------------------------------
+
+@query("in_subquery", oracle="""
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""")
+def in_subquery(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    building = (_t(spark, sf_dir, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    return (orders.join(F.broadcast(building),
+                        orders.o_custkey == building.c_custkey, "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum(F.col("o_totalprice")).alias("total")))
+
+
+@query("scalar_subquery", oracle="""
+SELECT COUNT(*) AS n_above FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+  FROM orders)
+""")
+def scalar_subquery(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg(F.col("o_totalprice")).alias("__avg"))
+    return (orders.crossJoin(F.broadcast(avg_df))
+            .filter(F.col("o_totalprice") > F.col("__avg"))
+            .agg(F.count(F.lit(1)).alias("n_above")))
+
+
+@query("quantified_any", oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_acctbal > (SELECT MIN(c_acctbal) FROM customer)
+""")
+def quantified_any(spark, sf_dir):
+    """`> ANY (subquery)` → `> min(subquery)` rewrite
+    (ExpressionListParsers.cpp:201-285)."""
+    supp = _t(spark, sf_dir, "supplier")
+    min_df = _t(spark, sf_dir, "customer").agg(F.min("c_acctbal").alias("__m"))
+    return (supp.crossJoin(F.broadcast(min_df))
+            .filter(F.col("s_acctbal") > F.col("__m"))
+            .select("s_suppkey", "s_name"))
+
+
+@query("cte_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+           AS total_rev
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+""")
+def cte_query(spark, sf_dir):
+    """WITH ... AS (subquery) CTE (ParserWithElement.cpp); TPC-H Q15 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (li.groupBy("l_suppkey").agg(dsum(disc, 6).alias("total_rev")))
+    max_rev = revenue.agg(F.max("total_rev").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (supp.join(revenue, supp.s_suppkey == revenue.l_suppkey)
+                .crossJoin(F.broadcast(max_rev))
+                .filter(F.col("total_rev") == F.col("__mx"))
+                .select("s_suppkey", "s_name", "total_rev"))
+
+
+# ---------------------------------------------------------------------------
+# FINAL / SAMPLE / PREWHERE (§2.2, §2.3)
+# ---------------------------------------------------------------------------
+
+@query("final_latest_event", oracle="""
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""")
+def final_q(spark, sf_dir):
+    """FROM events FINAL — ReplacingMergeTree collapse by (user_id, ts)."""
+    ev = _t(spark, sf_dir, "events")
+    out = final(ev, key=["user_id"], version="ts")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+@query("sample_key_mod", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_orderkey % 10 = 0
+""")
+def sample_mod(spark, sf_dir):
+    """SAMPLE semantics: deterministic key-range sampling (oracle-portable
+    modulo form; the hash form is ``sample_hash`` below)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.pmod(F.col("l_orderkey"), F.lit(10)) == 0)
+    return li.agg(F.count(F.lit(1)).alias("n_rows"),
+                  dsum(F.col("l_quantity")).alias("sum_qty"))
+
+
+@query("sample_hash")  # no oracle: xxhash64 domain is Spark-specific
+def sample_hash(spark, sf_dir):
+    """SAMPLE 0.1 on the sampling key — deterministic hash-range filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = sample_by_key(li, "l_orderkey", 0.1)
+    return out.agg(F.count(F.lit(1)).alias("n_rows"),
+                   dsum(F.col("l_quantity")).alias("sum_qty"))
+
+
+@query("prewhere_filter", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05
+""")
+def prewhere_q(spark, sf_dir):
+    """PREWHERE p WHERE q ≡ WHERE p AND q (ParserSelectQuery.cpp:166-171);
+    parquet min/max pushdown subsumes the I/O-ordering intent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_quantity") < 10)          # PREWHERE
+              .filter(F.col("l_discount") > 0.05)        # WHERE
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   dsum(F.col("l_extendedprice")).alias("sum_price")))
+
+
+# ---------------------------------------------------------------------------
+# Aggregate combinators & parametric aggregates (§2.5, §2.10)
+# ---------------------------------------------------------------------------
+
+@query("conditional_agg", oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(27,4)))
+                     FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+         AS purchase_value,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+FROM events GROUP BY user_id
+""")
+def conditional_agg(spark, sf_dir):
+    """-If combinator: countIf/sumIf = FILTER(WHERE) rewrite
+    (ExpressionElementParsers.cpp:878-892)."""
+    ev = _t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return (ev.groupBy("user_id")
+            .agg(ch("countIf", is_p).alias("n_purchases"),
+                 F.coalesce(
+                     F.sum(F.when(is_p, F.col("value")).cast("decimal(27,4)")),
+                     F.lit(0).cast("decimal(27,4)"))
+                  .cast("double").alias("purchase_value"),
+                 ch("countIf", F.col("event_type") == "error").alias("n_errors")))
+
+
+@query("agg_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+         AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_distinct(spark, sf_dir):
+    """-Distinct combinator (agg(DISTINCT x) → aggDistinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                 F.sum_distinct(F.col("l_quantity").cast("decimal(27,4)"))
+                  .cast("double").alias("sum_distinct_qty")))
+
+
+@query("quantiles", oracle="""
+SELECT o_orderstatus,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+       ROUND(MIN(o_totalprice), 4) AS min_price,
+       ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders GROUP BY o_orderstatus
+""")
+def quantiles(spark, sf_dir):
+    """Parametric aggregates quantile(0.5)(x) (ExpressionElementParsers
+    :766-876) → exact interpolated percentile."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+                 F.round(F.min("o_totalprice"), 4).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 4).alias("max_price")))
+
+
+@query("argmax_argmin", oracle="""
+SELECT o_orderstatus,
+       MAX_BY(o_orderkey, o_totalprice) AS top_order,
+       MIN_BY(o_orderkey, o_totalprice) AS bottom_order
+FROM orders GROUP BY o_orderstatus
+""")
+def argmax_argmin(spark, sf_dir):
+    """CH argMax/argMin → max_by/min_by (o_totalprice has no exact ties
+    in the synthetic data, so the pick is deterministic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(ch("argMax", F.col("o_orderkey"), F.col("o_totalprice")).alias("top_order"),
+                 ch("argMin", F.col("o_orderkey"), F.col("o_totalprice")).alias("bottom_order")))
+
+
+@query("uniq_approx")  # no oracle: HLL sketches differ across engines
+def uniq_approx(spark, sf_dir):
+    """CH uniq() → approx_count_distinct (HLL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(ch("uniq", F.col("l_partkey")).alias("approx_parts"),
+                  ch("uniqExact", F.col("l_partkey")).alias("exact_parts"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (§2.10): strings, dates, JSON, CASE
+# ---------------------------------------------------------------------------
+
+@query("string_funcs", oracle="""
+SELECT c_custkey,
+       UPPER(substr(c_name, 1, 8)) AS pfx,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       c_mktsegment || '-' || c_name AS tag,
+       replace(lower(c_name), 'customer', 'cust') AS shortname
+FROM customer
+""")
+def string_funcs(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        ch("upper", ch("substring", F.col("c_name"), 1, 8)).alias("pfx"),
+        ch("length", F.col("c_name")).cast("long").alias("name_len"),
+        ch("concat", F.col("c_mktsegment"), F.lit("-"), F.col("c_name")).alias("tag"),
+        ch("replaceAll", ch("lower", F.col("c_name")), "customer", "cust").alias("shortname"))
+
+
+@query("date_funcs", oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       COUNT(*) AS cnt,
+       CAST(MAX(EXTRACT(month FROM o_orderdate)) AS BIGINT) AS max_month
+FROM orders GROUP BY 1, 2
+""")
+def date_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy(
+                ch("toYear", F.col("o_orderdate")).cast("long").alias("y"),
+                ch("toQuarter", F.col("o_orderdate")).cast("long").alias("q"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.max(ch("toMonth", F.col("o_orderdate"))).cast("long").alias("max_month")))
+
+
+@query("json_extract", oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""")
+def json_extract(spark, sf_dir):
+    """JSONExtract* family over the events.props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    k = ch("JSONExtractInt", F.col("props"), "k")
+    return (ev.groupBy((k % 10).alias("k_mod"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(F.col("value")).alias("sum_value")))
+
+
+@query("multi_if_bands", oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def multi_if_bands(spark, sf_dir):
+    """multiIf / CASE chain (ParserCase.cpp:11-106)."""
+    orders = _t(spark, sf_dir, "orders")
+    band = ch("multiIf",
+              F.col("o_totalprice") < 50000, F.lit("low"),
+              F.col("o_totalprice") < 200000, F.lit("mid"),
+              F.lit("high"))
+    return orders.groupBy(band.alias("band")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series: bucketing + sessionization (§2.9 batch analogues)
+# ---------------------------------------------------------------------------
+
+@query("time_bucket_hourly", oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def time_bucket_hourly(spark, sf_dir):
+    """tumble(ts, 1h) batch analogue — same groupBy(window) the WINDOW
+    VIEW runs under Structured Streaming (streaming/window_view.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(F.col("value")).alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                    "event_type", "cnt", "sum_value"))
+
+
+@query("sessionization", oracle="""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+""")
+def sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap session counts via lag + cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(prev.isNull(), 1).when(
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000, 1
+    ).otherwise(0)
+    return (ev.select("user_id", new_session.alias("new_session"))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions")))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: dedup / similarity / text / multimodal (SURVEY §7 M6)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle="""
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (md5 here for oracle
+    portability; pipeline.exact_dedup uses xxhash64 for narrow shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.col("text")).alias("fp"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: MinHash permutations
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+
+
+@query("dedup_ngram_jaccard")  # no SQL oracle (pairs via LSH)
+def dedup_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard ≥ 0.5 on LSH candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_simhash")  # no SQL oracle (64-bit simhash)
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup groups (identical 64-bit signature)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs)
+
+
+@query("embedding_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""")
+def embedding_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 10 query vectors (ranking on
+    rounded similarity so float noise can't flip the cut)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding")))
+    out = brute_force_topk(emb, queries, k=5, round_digits=4)
+    return out.select("query_id", "vec_id", "cos_sim")
+
+
+@query("embedding_ann_lsh")  # no SQL oracle: LSH recall is approximate
+def embedding_ann(spark, sf_dir):
+    """Random-hyperplane LSH bucketed ANN (scale path: bucket then probe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = lsh_bucketed_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query("text_quality", oracle="""
+WITH toks AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS tokens
+  FROM documents)
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       CAST((
+         (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(tokens) >= 10 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN n > 0 AND CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+               AS DOUBLE) / n <= 0.2 THEN 1.0
+               WHEN n = 0 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(list_filter(tokens,
+               x -> x IN ('the','and','of','to','in'))) >= 1
+               THEN 1.0 ELSE 0.0 END)) / 4.0 AS DOUBLE) AS quality
+FROM toks
+""")
+def text_quality(spark, sf_dir):
+    """Quality scoring + token counting (C4-style filters, JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"))
+
+
+@query("lang_id", oracle=None)  # oracle built dynamically below
+def lang_id(spark, sf_dir):
+    """Language-ID heuristic: argmax of marker-word hits per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       language_id(F.col("text")).alias("pred_lang"))
+
+
+def _lang_id_oracle() -> str:
+    score = {lang: ("len(list_filter(tokens, x -> x IN ({})))".format(
+        ", ".join(f"'{w}'" for w in words)))
+        for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST({})".format(", ".join(score[lang] for lang in langs))
+    cases = " ".join(
+        f"WHEN {score[lang]} = {greatest} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS tokens
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN {greatest} = 0 THEN 'und' {cases} ELSE 'und' END AS pred_lang
+FROM toks
+"""
+
+
+ORACLES["lang_id"] = _lang_id_oracle()
+
+
+@query("token_count_bpe", oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe
+FROM documents
+""")
+def token_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer counting (GPT-2-style pre-split regex)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_bpe(F.col("text")).cast("long").alias("n_bpe"))
+
+
+@query("doc_fingerprint", oracle="""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""")
+def fingerprint(spark, sf_dir):
+    """Whitespace-normalized content fingerprint (md5, oracle-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@query("multimodal_decode", oracle="""
+SELECT doc_id, 'image/png' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+       md5(text) AS checksum
+FROM documents
+""")
+def multimodal_q(spark, sf_dir):
+    """Binary-column plumbing: attach payload + metadata, Arrow-batched
+    decode via mapInPandas (decode itself is a deterministic stub)."""
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image_batch(attach_binary_payload(docs))

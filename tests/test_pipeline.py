@@ -1,0 +1,115 @@
+"""Tests for the training-data pipeline operators (dedup/similarity/
+text/multimodal)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from clickhouse_from_scratch_spark.pipeline import (
+    brute_force_topk, exact_dedup, lsh_bucketed_topk,
+    minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from clickhouse_from_scratch_spark.pipeline.multimodal import (
+    attach_binary_payload, decode_image_batch, frame_sample,
+)
+
+
+def _docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = [
+        (0, base),
+        (1, base),                                    # exact dup of 0
+        (2, base.replace("tonight", "today")),        # near dup of 0
+        (3, "completely different text about spark sql engines and "
+            "columnar execution pipelines for analytics workloads"),
+        (4, "yet another unrelated document mentioning embeddings "
+            "vectors similarity search and large language models"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    groups = {r.doc_id: r.dup_count for r in out.collect()}
+    assert groups[0] == 2          # docs 0,1 collapse; keeper is min id
+    assert out.count() == 4
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sigs1 = minhash_signatures(_docs(spark)).select("doc_id", "signature").collect()
+    sigs2 = minhash_signatures(_docs(spark)).select("doc_id", "signature").collect()
+    assert all(len(r.signature) == 64 for r in sigs1)
+    assert sorted(map(str, sigs1)) == sorted(map(str, sigs2))  # deterministic
+    by_id = {r.doc_id: r.signature for r in sigs1}
+    assert by_id[0] == by_id[1]    # identical docs → identical signatures
+    # near-dup shares most minima; unrelated shares almost none
+    same_near = sum(a == b for a, b in zip(by_id[0], by_id[2]))
+    same_far = sum(a == b for a, b in zip(by_id[0], by_id[3]))
+    assert same_near > 32 > same_far
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_candidates(_docs(spark)).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
+    assert out[(0, 1)] == 1.0                      # exact dup
+    assert 0.5 < out[(0, 2)] < 1.0                 # near dup
+
+
+def test_simhash_identical_for_dups(spark):
+    sigs = {r.doc_id: r.simhash
+            for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def _emb(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    vecs[1] = vecs[0] * 2.0          # same direction as 0 → cosine 1.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    emb = _emb(spark)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = brute_force_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert out[0].vec_id == 1                       # scaled copy ranks first
+    assert math.isclose(out[0].cos_sim, 1.0, abs_tol=1e-6)
+    assert all(out[i].cos_sim >= out[i + 1].cos_sim for i in range(2))
+
+
+def test_lsh_bucketed_same_bucket_for_parallel_vectors(spark):
+    emb = _emb(spark)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = lsh_bucketed_topk(emb, q, k=3, dim=8).collect()
+    # vec 1 is exactly parallel to the query → identical LSH signature,
+    # so it must be in the probed bucket and rank first
+    assert out and out[0].vec_id == 1
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")],
+                                 "doc_id long, text string")
+    decoded = decode_image_batch(attach_binary_payload(docs))
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert rows[1].n_bytes == 11 and rows[1].media_type == "image/png"
+    assert rows[1].width == 11 % 640 + 1
+    assert rows[2].checksum != rows[1].checksum
+    # deterministic frame-sampling is a pure filter
+    assert frame_sample(decoded, every_n=1).count() == 2
