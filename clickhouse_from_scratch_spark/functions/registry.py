@@ -76,10 +76,18 @@ _alias("least", F.least)
 _alias("greatest", F.greatest)
 
 # --- boolean (:77-81) -----------------------------------------------------
-_alias("and", lambda *cs: _fold(lambda x, y: x & y, cs))
-_alias("or", lambda *cs: _fold(lambda x, y: x | y, cs))
-_alias("not", lambda a: ~_c(a))
-_alias("xor", lambda a, b: _c(a).cast("boolean") != _c(b).cast("boolean"))
+# CH condition semantics: any numeric is a valid condition (nonzero=true);
+# cast to boolean covers both (no-op on booleans, numeric→bool otherwise)
+
+
+def _b(x) -> Column:
+    return _c(x).cast("boolean")
+
+
+_alias("and", lambda *cs: _fold(lambda x, y: x & y, [_b(c) for c in cs]))
+_alias("or", lambda *cs: _fold(lambda x, y: x | y, [_b(c) for c in cs]))
+_alias("not", lambda a: ~_b(a))
+_alias("xor", lambda a, b: _b(a) != _b(b))
 
 
 def _fold(op, cols):
@@ -91,16 +99,16 @@ def _fold(op, cols):
 
 
 # --- conditional (ParserCase.cpp, ternary rewrite) ------------------------
-_alias("if", lambda c, a, b: F.when(_c(c), _c(a)).otherwise(_c(b)))
+_alias("if", lambda c, a, b: F.when(_b(c), _c(a)).otherwise(_c(b)))
 
 
 @register("multiIf")
 def _multi_if(*args) -> Column:
     """multiIf(c1, v1, c2, v2, ..., else) — CASE WHEN chain."""
     *pairs, default = args
-    out = F.when(_c(pairs[0]), _c(pairs[1]))
+    out = F.when(_b(pairs[0]), _c(pairs[1]))
     for i in range(2, len(pairs), 2):
-        out = out.when(_c(pairs[i]), _c(pairs[i + 1]))
+        out = out.when(_b(pairs[i]), _c(pairs[i + 1]))
     return out.otherwise(_c(default))
 
 

@@ -1,0 +1,188 @@
+"""AST node definitions — dataclass mirror of the reference's AST layer.
+
+The SELECT clause set mirrors ``ASTSelectQuery.h:19-36``; expressions are
+canonicalized the way the reference's parser does it: every operator and
+special form becomes a named function call (``ExpressionListParsers.cpp``
+operator tables), so the plan builder only handles a handful of node
+kinds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    pass
+
+
+# --- expressions ----------------------------------------------------------
+
+@dataclass
+class Literal(Node):
+    value: object            # int | float | str | bool | None
+
+
+@dataclass
+class Identifier(Node):
+    parts: list[str]         # a.b.c → ["a","b","c"]
+
+    @property
+    def name(self) -> str:
+        return ".".join(self.parts)
+
+
+@dataclass
+class Star(Node):
+    table: str | None = None   # t.* → "t"
+
+
+@dataclass
+class FuncCall(Node):
+    """Canonical function call. Operators arrive here renamed to the CH
+    canonical names (plus/and/equals/like/...)."""
+    name: str
+    args: list[Node]
+    params: list[Node] = field(default_factory=list)   # f(p)(args)
+    distinct: bool = False                             # f(DISTINCT x)
+    filter_where: Node | None = None                   # f(x) FILTER(WHERE p)
+    window: WindowSpec | None = None                   # f(x) OVER (...)
+
+
+@dataclass
+class Lambda(Node):
+    params: list[str]
+    body: Node
+
+
+@dataclass
+class Cast(Node):
+    expr: Node
+    type_name: str
+
+
+@dataclass
+class ArrayLiteral(Node):
+    items: list[Node]
+
+
+@dataclass
+class TupleLiteral(Node):
+    items: list[Node]
+
+
+@dataclass
+class IntervalExpr(Node):
+    value: Node
+    unit: str                # SECOND/MINUTE/.../YEAR
+
+
+@dataclass
+class Alias(Node):
+    expr: Node
+    alias: str
+
+
+@dataclass
+class Subquery(Node):
+    query: "SelectQuery | UnionQuery"
+
+
+@dataclass
+class WindowSpec(Node):
+    partition_by: list[Node] = field(default_factory=list)
+    order_by: list["OrderItem"] = field(default_factory=list)
+    frame: tuple[str, str, str] | None = None   # (ROWS|RANGE, start, end)
+
+
+# --- clauses --------------------------------------------------------------
+
+@dataclass
+class OrderItem(Node):
+    expr: Node
+    desc: bool = False
+    nulls_first: bool | None = None
+    with_fill: bool = False
+    fill_from: Node | None = None
+    fill_to: Node | None = None
+    fill_step: Node | None = None
+
+
+@dataclass
+class TableRef(Node):
+    database: str | None
+    table: str
+    alias: str | None = None
+    final: bool = False
+    sample: tuple[float, float] | None = None   # (fraction, offset)
+
+
+@dataclass
+class SubqueryRef(Node):
+    query: "SelectQuery | UnionQuery"
+    alias: str | None = None
+
+
+@dataclass
+class TableFunction(Node):
+    name: str
+    args: list[Node]
+    alias: str | None = None
+
+
+@dataclass
+class Join(Node):
+    left: Node
+    right: Node
+    kind: str = "inner"          # inner/left/right/full/cross
+    strictness: str = "all"      # all/any/asof/semi/anti
+    using: list[str] | None = None
+    on: Node | None = None
+    is_global: bool = False
+
+
+@dataclass
+class ArrayJoinClause(Node):
+    exprs: list[Node]            # Alias-wrapped array expressions
+    left: bool = False
+
+
+@dataclass
+class GroupBy(Node):
+    exprs: list[Node]
+    mode: str = "plain"          # plain/rollup/cube/grouping_sets
+    grouping_sets: list[list[Node]] | None = None
+    with_totals: bool = False
+
+
+@dataclass
+class LimitBy(Node):
+    n: int
+    offset: int
+    exprs: list[Node]
+
+
+@dataclass
+class SelectQuery(Node):
+    ctes: list[tuple[str, "SelectQuery | UnionQuery | Node"]] = field(default_factory=list)
+    distinct: bool = False
+    distinct_on: list[Node] | None = None
+    select: list[Node] = field(default_factory=list)
+    from_: Node | None = None
+    array_join: ArrayJoinClause | None = None
+    prewhere: Node | None = None
+    where: Node | None = None
+    group_by: GroupBy | None = None
+    having: Node | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit_by: LimitBy | None = None
+    limit: int | None = None
+    offset: int | None = None
+    with_ties: bool = False
+    settings: dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
+class UnionQuery(Node):
+    selects: list[SelectQuery | "UnionQuery"]
+    modes: list[str] = field(default_factory=list)   # between selects: all/distinct/intersect/except

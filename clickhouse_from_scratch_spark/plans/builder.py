@@ -1,0 +1,854 @@
+"""Plan builder: lower the dialect AST onto DataFrame operations.
+
+This is the stage the reference never built (its ``executeQuery`` stops at
+an AST dump — ``src/Interpreters/executeQuery.cpp:442-468``); the lowering
+targets Spark so Catalyst supplies analysis/optimization:
+
+- expressions   → ``Column`` trees via the function registry (§2.10)
+- joins         → native Spark joins; ANY/ASOF via operators/*
+- GROUP BY      → groupBy/rollup/cube (+ TOTALS as a grouping-sets union)
+- ORDER/LIMIT   → orderBy/limit; LIMIT BY / WITH TIES / WITH FILL via
+                  operators/*
+- CH alias visibility (aliases usable in WHERE/GROUP BY/HAVING) → alias
+  inlining before evaluation (SURVEY §4.2)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import REGISTRY, ch
+from ..functions.aggregates import AGGREGATES
+from ..functions.typemap import ch_type_to_spark
+from ..operators import (
+    any_join, array_join, asof_join, final, limit_by, limit_with_ties,
+    sample_by_key, with_fill,
+)
+from .ast_nodes import (
+    Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
+    Identifier, IntervalExpr, Join, Lambda, LimitBy, Literal, OrderItem,
+    SelectQuery, Star, Subquery, SubqueryRef, TableFunction, TableRef,
+    TupleLiteral, UnionQuery, WindowSpec,
+)
+
+_AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
+    "count", "countIf", "countDistinct"}
+
+_WINDOW_FNS = {
+    "row_number": lambda: F.row_number(),
+    "rank": lambda: F.rank(),
+    "dense_rank": lambda: F.dense_rank(),
+    "percent_rank": lambda: F.percent_rank(),
+    "ntile": lambda n: F.ntile(n),
+    "cume_dist": lambda: F.cume_dist(),
+}
+_WINDOW_VALUE_FNS = {"lag": F.lag, "lead": F.lead,
+                     "first_value": lambda c: F.first(c, ignorenulls=False),
+                     "last_value": lambda c: F.last(c, ignorenulls=False),
+                     "lagInFrame": F.lag, "leadInFrame": F.lead}
+
+
+class BuildError(ValueError):
+    pass
+
+
+@dataclass
+class Context:
+    spark: SparkSession
+    tables: dict[str, DataFrame]
+    aliases: dict[str, object] = field(default_factory=dict)   # name → AST
+    lambda_params: dict[str, Column] = field(default_factory=dict)
+    columns: set[str] = field(default_factory=set)
+    agg_slots: dict[str, Column] | None = None   # filled during agg planning
+    key_slots: dict[str, str] | None = None      # ast-repr → column name
+    engines: dict[str, dict] = field(default_factory=dict)  # FINAL metadata
+
+    def child(self) -> "Context":
+        return Context(self.spark, dict(self.tables), dict(self.aliases),
+                       engines=self.engines)
+
+
+def build(spark: SparkSession, q: SelectQuery | UnionQuery,
+          tables: dict[str, DataFrame],
+          engines: dict[str, dict] | None = None) -> DataFrame:
+    ctx = Context(spark, dict(tables), engines=engines or {})
+    return _build_query(q, ctx)
+
+
+def _build_query(q, ctx: Context) -> DataFrame:
+    if isinstance(q, UnionQuery):
+        out = _build_query(q.selects[0], ctx)
+        for mode, sel in zip(q.modes, q.selects[1:]):
+            nxt = _build_query(sel, ctx)
+            if mode == "all":
+                out = out.unionByName(nxt)
+            elif mode == "distinct":
+                out = out.unionByName(nxt).distinct()
+            elif mode == "intersect":
+                out = out.intersect(nxt)
+            elif mode == "except":
+                out = out.subtract(nxt)
+        return out
+    return _build_select(q, ctx)
+
+
+# --- SELECT pipeline --------------------------------------------------------
+
+def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
+    ctx = ctx.child()
+    # WITH elements: subqueries become visible tables, scalar exprs become
+    # aliases usable anywhere (CH scalar-WITH visibility)
+    for name, node in q.ctes:
+        if isinstance(node, (SelectQuery, UnionQuery)):
+            ctx.tables[name] = _build_query(node, ctx)
+        else:
+            ctx.aliases[name] = node
+
+    # FROM
+    if q.from_ is None:
+        df = ctx.spark.range(1).select(F.lit(1).alias("dummy"))
+    else:
+        df = _build_from(q.from_, ctx)
+    ctx.columns = set(df.columns)
+
+    # select-list aliases join the alias map (visible in WHERE/GROUP/HAVING)
+    for item in q.select:
+        if isinstance(item, Alias):
+            ctx.aliases.setdefault(item.alias, item.expr)
+
+    if q.array_join is not None:
+        df = _apply_array_join(df, q.array_join, ctx)
+        ctx.columns = set(df.columns)
+
+    for pred in (q.prewhere, q.where):
+        if pred is not None:
+            df = _apply_where(df, pred, ctx)
+
+    has_agg = (q.group_by is not None
+               or any(_contains_agg(it) for it in q.select)
+               or (q.having is not None and _contains_agg(q.having)))
+    final_names: list[str] | None = None
+    if has_agg:
+        df = _apply_aggregate(df, q, ctx)
+    else:
+        if q.having is not None:
+            raise BuildError("HAVING without aggregation")
+        # project select items but keep source columns visible so ORDER BY
+        # / LIMIT BY may reference them (CH allows ordering by non-selected
+        # columns); they are dropped after ordering
+        df, final_names = _apply_projection_keep(df, q.select, ctx)
+
+    if q.distinct:
+        if final_names is not None:
+            df = df.select(*final_names)
+            final_names = None
+        df = df.distinct()
+
+    order_cols = [_order_col(df, it, ctx) for it in q.order_by]
+    fill_items = [it for it in q.order_by if it.with_fill]
+    if q.limit_by is not None:
+        keys = [_post_expr(e, df, ctx) for e in q.limit_by.exprs]
+        order = order_cols or [F.col(c) for c in df.columns]
+        df = limit_by(df, keys, order, q.limit_by.n, q.limit_by.offset)
+    if order_cols:
+        if q.with_ties and q.limit is not None:
+            df = limit_with_ties(df, order_cols, q.limit)
+            df = df.orderBy(*order_cols)
+            q = _clone_limits(q)
+        else:
+            df = df.orderBy(*order_cols)
+    if final_names is not None:
+        df = df.select(*final_names)
+    if fill_items:
+        it = fill_items[0]
+        if it.fill_from is None or it.fill_to is None:
+            raise BuildError("WITH FILL requires FROM and TO bounds (v1; "
+                             "CH's min/max inference not implemented)")
+        name = _fill_col_name(it, df)
+        df = with_fill(df, name, _post_expr(it.fill_from, df, ctx),
+                       _post_expr(it.fill_to, df, ctx),
+                       _post_expr(it.fill_step, df, ctx)
+                       if it.fill_step is not None else F.expr("interval 1 day"))
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def _clone_limits(q: SelectQuery) -> SelectQuery:
+    import copy
+    q2 = copy.copy(q)
+    q2.limit = None
+    q2.offset = None
+    return q2
+
+
+def _fill_col_name(it: OrderItem, df: DataFrame) -> str:
+    e = it.expr
+    if isinstance(e, Identifier):
+        return e.name
+    raise BuildError("WITH FILL requires a plain column in ORDER BY")
+
+
+# --- FROM -------------------------------------------------------------------
+
+def _build_from(node, ctx: Context) -> DataFrame:
+    if isinstance(node, TableRef):
+        name = node.table if node.database is None else f"{node.database}.{node.table}"
+        if node.table not in ctx.tables:
+            raise BuildError(f"unknown table: {name}")
+        df = ctx.tables[node.table]
+        if node.final:
+            meta = ctx.engines.get(node.table)
+            if not meta:
+                raise BuildError(
+                    f"FINAL on {name} needs engine metadata (ORDER BY key + "
+                    f"version column); pass engines={{...}}")
+            df = final(df, key=meta["order_by"], version=meta["version"])
+        if node.sample:
+            frac, off = node.sample
+            key = ctx.engines.get(node.table, {}).get("sample_by",
+                                                      df.columns[0])
+            df = sample_by_key(df, key, frac, off)
+        if node.alias:
+            df = df.alias(node.alias)
+            ctx.tables.setdefault(node.alias, df)
+        return df
+    if isinstance(node, SubqueryRef):
+        df = _build_query(node.query, ctx)
+        if node.alias:
+            df = df.alias(node.alias)
+            ctx.tables.setdefault(node.alias, df)
+        return df
+    if isinstance(node, TableFunction):
+        return _table_function(node, ctx)
+    if isinstance(node, Join):
+        return _build_join(node, ctx)
+    raise BuildError(f"unsupported FROM node: {type(node).__name__}")
+
+
+def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
+    name = node.name.lower()
+    if name == "numbers":
+        # numbers(N) / numbers(start, N) → spark.range (ref table function)
+        args = [a.value for a in node.args]
+        if len(args) == 1:
+            return ctx.spark.range(args[0]).withColumnRenamed("id", "number")
+        return (ctx.spark.range(args[0], args[0] + args[1])
+                .withColumnRenamed("id", "number"))
+    if name == "view":
+        return _build_query(node.args[0].query, ctx)
+    if name in ("file", "url"):
+        from ..sources import read_format
+        path = node.args[0].value
+        fmt = node.args[1].value if len(node.args) > 1 else "Parquet"
+        return read_format(ctx.spark, fmt, path)
+    raise BuildError(f"unsupported table function: {node.name}")
+
+
+def _build_join(node: Join, ctx: Context) -> DataFrame:
+    left = _build_from(node.left, ctx)
+    right = _build_from(node.right, ctx)
+    if node.is_global:
+        right = F.broadcast(right)
+
+    if node.kind == "cross":
+        return left.crossJoin(right)
+
+    if node.strictness == "asof":
+        if not node.on:
+            raise BuildError("ASOF JOIN requires ON")
+        eq, ineq = _split_asof_on(node.on)
+        lcol, rcol, direction = ineq
+        return asof_join(left, right,
+                         on=eq, left_time=lcol, right_time=rcol,
+                         direction=direction)
+
+    on = None
+    if node.using is not None:
+        on = list(node.using)
+    elif node.on is not None:
+        on = _eval(node.on, ctx.child(), df=None, two_sided=(left, right))
+
+    how = {"inner": "inner", "left": "left", "right": "right",
+           "full": "full"}[node.kind]
+    if node.strictness == "semi":
+        how = "left_semi" if node.kind != "right" else "right_semi"
+    elif node.strictness == "anti":
+        how = "left_anti" if node.kind != "right" else "right_anti"
+    elif node.strictness == "any":
+        if not isinstance(on, list):
+            raise BuildError("ANY JOIN requires USING")
+        return any_join(left, right, on=on, how=how)
+    return left.join(right, on=on, how=how)
+
+
+def _split_asof_on(on_node) -> tuple[list[str], tuple[str, str, str]]:
+    """Split ASOF ON into equi-keys + the one inequality (CH rule: the
+    final inequality condition drives the as-of match)."""
+    conjuncts: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        else:
+            conjuncts.append(n)
+
+    flat(on_node)
+    eq: list[str] = []
+    ineq = None
+    for c in conjuncts:
+        if not isinstance(c, FuncCall):
+            raise BuildError("ASOF ON must be conjunction of comparisons")
+        lname = c.args[0].parts[-1] if isinstance(c.args[0], Identifier) else None
+        rname = c.args[1].parts[-1] if isinstance(c.args[1], Identifier) else None
+        if c.name == "equals":
+            if lname != rname:
+                raise BuildError("ASOF equi-keys must reference same-named "
+                                 "columns (USING semantics)")
+            eq.append(lname)
+        elif c.name in ("greaterOrEquals", "greater"):
+            ineq = (lname, rname, "backward")
+        elif c.name in ("lessOrEquals", "less"):
+            ineq = (lname, rname, "forward")
+    if ineq is None:
+        raise BuildError("ASOF JOIN needs an inequality condition")
+    return eq, ineq
+
+
+def _apply_array_join(df: DataFrame, aj: ArrayJoinClause,
+                      ctx: Context) -> DataFrame:
+    arrays: dict[str, Column] = {}
+    for e in aj.exprs:
+        if isinstance(e, Alias):
+            arrays[e.alias] = _eval(e.expr, ctx, df)
+        elif isinstance(e, Identifier):
+            arrays[e.name] = F.col(e.name)
+            df = df.withColumnRenamed(e.name, f"__aj_{e.name}")
+            arrays[e.name] = F.col(f"__aj_{e.name}")
+        else:
+            raise BuildError("ARRAY JOIN expression needs an alias")
+    out = array_join(df, arrays, left=aj.left)
+    return out.drop(*[c for c in out.columns if c.startswith("__aj_")])
+
+
+# --- WHERE ------------------------------------------------------------------
+
+def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
+    """WHERE with IN/EXISTS-subquery support: top-level conjuncts that are
+    (not)in-subquery become semi/anti joins; the rest evaluate as Columns."""
+    conjuncts: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        else:
+            conjuncts.append(n)
+
+    flat(pred)
+    plain: list[Column] = []
+    for c in conjuncts:
+        if (isinstance(c, FuncCall) and c.name in ("in", "globalIn", "notIn",
+                                                   "globalNotIn")
+                and len(c.args) == 2 and isinstance(c.args[1], Subquery)):
+            sub = _build_query(c.args[1].query, ctx)
+            key = _eval(c.args[0], ctx, df)
+            subcol = sub.columns[0]
+            how = "left_anti" if "not" in c.name.lower() else "left_semi"
+            if c.name.startswith("global"):
+                sub = F.broadcast(sub)
+            df = df.join(sub, key == F.col(subcol), how)
+        elif (isinstance(c, FuncCall) and c.name == "exists"
+              and isinstance(c.args[0], Subquery)):
+            n = _build_query(c.args[0].query, ctx).limit(1).count()
+            plain.append(F.lit(n > 0))
+        else:
+            plain.append(_eval(c, ctx, df))
+    for p in plain:
+        df = df.filter(p)
+    return df
+
+
+# --- aggregation ------------------------------------------------------------
+
+def _contains_agg(node) -> bool:
+    if isinstance(node, Alias):
+        return _contains_agg(node.expr)
+    if isinstance(node, FuncCall):
+        if node.name in _AGG_NAMES and node.window is None:
+            return True
+        return any(_contains_agg(a) for a in node.args)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return any(_contains_agg(a) for a in node.items)
+    if isinstance(node, Cast):
+        return _contains_agg(node.expr)
+    return False
+
+
+def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
+    gb = q.group_by or GroupBy([], mode="plain")
+    # 1. project group keys as stable columns
+    key_slots: dict[str, str] = {}
+    key_cols: list[Column] = []
+    for i, kexpr in enumerate(gb.exprs):
+        kname = f"__k{i}"
+        kinl = _inline(kexpr, ctx)
+        # register both raw and alias-inlined shapes: select items arrive
+        # inlined, GROUP BY may reference either form
+        key_slots[_ast_key(kexpr)] = kname
+        key_slots[_ast_key(kinl)] = kname
+        key_cols.append(_eval(kinl, ctx, df).alias(kname))
+    pre = df.select("*", *key_cols) if key_cols else df
+
+    # 2. collect aggregate sub-expressions from SELECT + HAVING + ORDER BY
+    agg_slots: dict[str, Column] = {}
+
+    def collect(node):
+        if isinstance(node, Alias):
+            collect(node.expr)
+            return
+        if isinstance(node, FuncCall):
+            if node.name in _AGG_NAMES and node.window is None:
+                slot = f"__agg{len(agg_slots)}"
+                key = _ast_key(node)
+                if key not in _slot_keys:
+                    _slot_keys[key] = slot
+                    agg_slots[slot] = _agg_column(node, ctx, df)
+                return
+            for a in node.args:
+                collect(a)
+        elif isinstance(node, (ArrayLiteral, TupleLiteral)):
+            for a in node.items:
+                collect(a)
+        elif isinstance(node, Cast):
+            collect(node.expr)
+
+    _slot_keys: dict[str, str] = {}
+    for item in q.select:
+        collect(_inline(item, ctx))
+    if q.having is not None:
+        collect(_inline(q.having, ctx))
+    for it in q.order_by:
+        collect(_inline(it.expr, ctx))
+
+    agg_cols = [c.alias(slot) for slot, c in agg_slots.items()]
+    if not agg_cols:
+        agg_cols = [F.count(F.lit(1)).alias("__agg_dummy")]
+
+    knames = list(key_slots.values())
+    if gb.mode == "rollup":
+        grouped = pre.rollup(*knames)
+    elif gb.mode == "cube":
+        grouped = pre.cube(*knames)
+    elif gb.mode == "grouping_sets":
+        grouped = None
+    else:
+        grouped = pre.groupBy(*knames)
+
+    if gb.mode == "grouping_sets":
+        parts = []
+        for s in gb.grouping_sets or []:
+            present = {_ast_key(e) for e in s}
+            sel_keys = [F.col(n).alias(n) if _ast_key(e_) in present
+                        else F.lit(None).alias(n)
+                        for e_, n in zip(gb.exprs, knames)]
+            g = (pre.groupBy(*[n for e_, n in zip(gb.exprs, knames)
+                               if _ast_key(e_) in present])
+                 .agg(*agg_cols))
+            missing = [F.lit(None).cast(pre.schema[n].dataType).alias(n)
+                       for e_, n in zip(gb.exprs, knames)
+                       if _ast_key(e_) not in present]
+            g = g.select(*[F.col(n) for e_, n in zip(gb.exprs, knames)
+                           if _ast_key(e_) in present], *missing,
+                         *[F.col(s_) for s_ in agg_slots])
+            parts.append(g.select(*knames, *agg_slots))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    else:
+        out = grouped.agg(*agg_cols)
+
+    if gb.with_totals and gb.mode == "plain":
+        tot = pre.agg(*agg_cols)
+        for e_, n in zip(gb.exprs, knames):
+            tot = tot.withColumn(n, F.lit(None).cast(pre.schema[n].dataType))
+        out = out.unionByName(tot.select(*knames, *agg_slots))
+
+    # 3. evaluate outer SELECT expressions over the aggregated frame
+    ctx.key_slots = key_slots          # ast-repr → __k* column
+    ctx.agg_slots = dict(_slot_keys)   # ast-repr → __agg* column
+
+    if q.having is not None:
+        out = out.filter(_eval_post(_inline(q.having, ctx), out, ctx))
+
+    proj = []
+    for item in q.select:
+        node = _inline(item, ctx)
+        if isinstance(node, Star):
+            proj.extend(F.col(c) for c in out.columns
+                        if not c.startswith("__"))
+            continue
+        name = node.alias if isinstance(node, Alias) else _auto_name(node)
+        expr = node.expr if isinstance(node, Alias) else node
+        proj.append(_eval_post(expr, out, ctx).alias(name))
+    return out.select(*proj) if proj else out
+
+
+def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
+    """Lower one aggregate call: -If/-Distinct combinators, FILTER(WHERE),
+    parametric form."""
+    name = node.name
+    if name == "count" and any(isinstance(a, Star) for a in node.args):
+        node = FuncCall("count", [], node.params, node.distinct,
+                        node.filter_where)
+    args = [_eval(_inline(a, ctx), ctx, df) for a in node.args]
+    params = [a.value if isinstance(a, Literal) else _eval(a, ctx, df)
+              for a in node.params]
+    cond = None
+    if node.filter_where is not None:
+        cond = _eval(_inline(node.filter_where, ctx), ctx, df)
+    if node.distinct:
+        if name == "count":
+            return F.count_distinct(*args)
+        if name == "sum":
+            return F.sum_distinct(*args)
+        name = name + "Distinct" if name + "Distinct" in REGISTRY else name
+    if cond is not None:
+        if name + "If" in REGISTRY:
+            return ch(name + "If", *args, cond) if args else ch("countIf", cond)
+        raise BuildError(f"FILTER not supported for {name}")
+    if name.endswith("If") and name in REGISTRY:
+        return ch(name, *args)
+    if name in ("quantile", "quantileExact", "quantileTDigest") and params:
+        return ch(name, params[0], *args)
+    if name == "quantiles" and params:
+        return ch(name, params, *args)
+    if name in ("topK", "histogram") and params:
+        return ch(name, int(params[0]), *args)
+    if name == "count" and not args:
+        return F.count(F.lit(1))
+    if name in REGISTRY:
+        return ch(name, *args)
+    raise BuildError(f"unknown aggregate: {name}")
+
+
+def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
+    """Evaluate an expression after aggregation: aggregates and group keys
+    are already materialized as __agg*/__k* columns."""
+    key = _ast_key(node)
+    if ctx.agg_slots and key in ctx.agg_slots:
+        return F.col(ctx.agg_slots[key])
+    if ctx.key_slots and key in ctx.key_slots:
+        return F.col(ctx.key_slots[key])
+    if isinstance(node, Alias):
+        return _eval_post(node.expr, out, ctx)
+    if isinstance(node, FuncCall):
+        if node.name in _AGG_NAMES:
+            raise BuildError(f"aggregate {node.name} not collected")
+        cols = [_eval_post(a, out, ctx) for a in node.args]
+        return _call_fn(node, cols, ctx, out)
+    if isinstance(node, Identifier):
+        return _post_identifier(node, out, ctx)
+    return _eval(node, ctx, out)
+
+
+def _post_identifier(node: Identifier, out: DataFrame, ctx: Context) -> Column:
+    if node.name in out.columns:
+        return F.col(node.name)
+    if node.parts[-1] in out.columns:
+        return F.col(node.parts[-1])
+    if node.name in ctx.aliases:
+        return _eval_post(_inline(node, ctx), out, ctx)
+    raise BuildError(f"unknown column after aggregation: {node.name}")
+
+
+def _post_expr(node, df: DataFrame, ctx: Context) -> Column:
+    if node is None:
+        return None
+    if ctx.agg_slots or ctx.key_slots:
+        return _eval_post(_inline(node, ctx), df, ctx)
+    return _eval(_inline(node, ctx), ctx, df)
+
+
+# --- projection (non-aggregate) ----------------------------------------------
+
+def _apply_projection(df: DataFrame, items, ctx: Context) -> DataFrame:
+    df, names = _apply_projection_keep(df, items, ctx)
+    return df.select(*names)
+
+
+def _apply_projection_keep(df: DataFrame, items,
+                           ctx: Context) -> tuple[DataFrame, list[str]]:
+    """Evaluate the select list but keep non-shadowed source columns in the
+    frame (for ORDER BY / LIMIT BY on unselected columns); returns the
+    frame plus the final output column names."""
+    proj: list[Column] = []
+    names: list[str] = []
+    for item in items:
+        if isinstance(item, Star):
+            cols = ([c for c in df.columns if c.split(".")[0] == item.table]
+                    if item.table else df.columns)
+            if item.table and not cols:
+                proj.append(F.col(f"{item.table}.*"))
+                names.append(f"{item.table}.*")
+                continue
+            proj.extend(F.col(c) for c in cols)
+            names.extend(cols)
+            continue
+        node = _inline(item, ctx)
+        name = node.alias if isinstance(node, Alias) else _auto_name(node)
+        expr = node.expr if isinstance(node, Alias) else node
+        proj.append(_eval(expr, ctx, df).alias(name))
+        names.append(name)
+    keep = [c for c in df.columns if c not in names]
+    return df.select(*proj, *keep), names
+
+
+def _order_col(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
+    c = _post_expr(it.expr, df, ctx)
+    if isinstance(it.expr, Identifier) and it.expr.name in df.columns:
+        c = F.col(it.expr.name)
+    if it.desc:
+        return (c.desc_nulls_first() if it.nulls_first
+                else c.desc_nulls_last() if it.nulls_first is False
+                else c.desc())
+    return (c.asc_nulls_first() if it.nulls_first
+            else c.asc_nulls_last() if it.nulls_first is False
+            else c.asc())
+
+
+# --- expression evaluation ---------------------------------------------------
+
+def _inline(node, ctx: Context):
+    """CH alias visibility: substitute select-list/WITH aliases into the
+    expression unless the name is a real column."""
+    if isinstance(node, Identifier):
+        nm = node.name
+        if nm not in ctx.columns and nm in ctx.aliases:
+            return _inline(ctx.aliases[nm], ctx)
+        return node
+    if isinstance(node, Alias):
+        return Alias(_inline(node.expr, ctx), node.alias)
+    if isinstance(node, FuncCall):
+        return FuncCall(node.name, [_inline(a, ctx) for a in node.args],
+                        node.params, node.distinct,
+                        _inline(node.filter_where, ctx)
+                        if node.filter_where else None, node.window)
+    if isinstance(node, Cast):
+        return Cast(_inline(node.expr, ctx), node.type_name)
+    if isinstance(node, ArrayLiteral):
+        return ArrayLiteral([_inline(a, ctx) for a in node.items])
+    if isinstance(node, TupleLiteral):
+        return TupleLiteral([_inline(a, ctx) for a in node.items])
+    return node
+
+
+def _eval(node, ctx: Context, df: DataFrame | None,
+          two_sided: tuple[DataFrame, DataFrame] | None = None) -> Column:
+    if isinstance(node, Literal):
+        return F.lit(node.value)
+    if isinstance(node, Identifier):
+        if node.name in ctx.lambda_params:
+            return ctx.lambda_params[node.name]
+        if len(node.parts) == 2 and two_sided is not None:
+            return F.col(node.name)
+        if (df is not None and node.name not in ctx.columns
+                and node.name in ctx.aliases):
+            return _eval(_inline(node, ctx), ctx, df)
+        return F.col(node.name)
+    if isinstance(node, Alias):
+        return _eval(node.expr, ctx, df).alias(node.alias)
+    if isinstance(node, Cast):
+        return _eval(node.expr, ctx, df).cast(ch_type_to_spark(node.type_name))
+    if isinstance(node, ArrayLiteral):
+        return F.array(*[_eval(a, ctx, df) for a in node.items])
+    if isinstance(node, TupleLiteral):
+        return F.struct(*[_eval(a, ctx, df) for a in node.items])
+    if isinstance(node, IntervalExpr):
+        v = node.value
+        if isinstance(v, Literal):
+            return F.expr(f"interval {v.value} {node.unit.lower()}")
+        raise BuildError("non-literal INTERVAL")
+    if isinstance(node, Subquery):
+        # scalar subquery: computed once, injected as a literal
+        sub = _build_query(node.query, ctx)
+        rows = sub.limit(2).collect()
+        if len(rows) != 1 or len(rows[0]) != 1:
+            raise BuildError("scalar subquery must return 1 row × 1 column")
+        return F.lit(rows[0][0])
+    if isinstance(node, FuncCall):
+        cols = [_eval(a, ctx, df) if not isinstance(a, Lambda) else a
+                for a in node.args]
+        return _call_fn(node, cols, ctx, df)
+    if isinstance(node, Star):
+        return F.count(F.lit(1))
+    raise BuildError(f"cannot evaluate node: {type(node).__name__}")
+
+
+def _call_fn(node: FuncCall, cols: list, ctx: Context,
+             df: DataFrame | None) -> Column:
+    name = node.name
+    # window functions
+    if node.window is not None:
+        return _window_call(node, cols, ctx, df)
+    # IN with literal tuple/array
+    if name in ("in", "notIn", "globalIn", "globalNotIn"):
+        target, rhs_node = node.args
+        lhs = cols[0]
+        if isinstance(rhs_node, (TupleLiteral, ArrayLiteral)):
+            vals = [a.value for a in rhs_node.items]
+            col = lhs.isin(vals)
+        elif isinstance(rhs_node, Subquery):
+            sub = _build_query(rhs_node.query, ctx)
+            vals = [r[0] for r in sub.collect()]
+            col = lhs.isin(vals)
+        else:
+            col = lhs.isin([cols[1]])
+        return ~col if "not" in name.lower() else col
+    if name in ("plus", "minus") and len(node.args) == 2 and isinstance(
+            node.args[1], IntervalExpr):
+        iv = node.args[1]
+        if isinstance(iv.value, Literal):
+            expr = F.expr(f"interval {iv.value.value} {iv.unit.lower()}")
+            return cols[0] + expr if name == "plus" else cols[0] - expr
+    # HOF with lambda args: bind lambda params
+    if any(isinstance(a, Lambda) for a in node.args):
+        return _hof_call(node, ctx, df)
+    if name in ("trimBothChars", "trimLeftChars", "trimRightChars"):
+        target, chars = cols
+        cl = node.args[1].value if isinstance(node.args[1], Literal) else ""
+        import re as _re
+        pat = _re.escape(cl)
+        if name != "trimRightChars":
+            target = F.regexp_replace(target, f"^[{pat}]*", "")
+        if name != "trimLeftChars":
+            target = F.regexp_replace(target, f"[{pat}]*$", "")
+        return target
+    # literal-arg passthrough for registry fns wanting python values
+    if name in REGISTRY:
+        py_args = []
+        for a, c in zip(node.args, cols):
+            if isinstance(a, Literal) and _wants_literal(name):
+                py_args.append(a.value)
+            else:
+                py_args.append(c)
+        return REGISTRY[name](*py_args)
+    raise BuildError(f"unknown function: {name}")
+
+
+_LITERAL_ARG_FNS = {
+    "like", "notLike", "ilike", "notILike", "match", "splitByChar",
+    "splitByString", "splitByRegexp", "position", "extract", "extractAll",
+    "replaceOne", "replaceAll", "replaceRegexpOne", "replaceRegexpAll",
+    "startsWith", "endsWith", "substring", "left", "right", "repeat",
+    "round", "roundBankers", "trunc", "JSONExtractString", "JSONExtractInt",
+    "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
+    "dateDiff", "dateAdd", "dateSub", "timestampAdd", "timestampSub",
+    "dateName", "formatDateTime", "toTimeZone", "toDecimal32", "toDecimal64",
+    "toDecimal128", "toDateTime64", "arrayElement", "arraySlice", "ngrams",
+    "leftPad", "rightPad", "tupleElement", "indexOf", "has", "bitShiftLeft",
+    "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
+    "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
+    "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
+}
+
+
+def _wants_literal(name: str) -> bool:
+    return name in _LITERAL_ARG_FNS
+
+
+def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
+    """Higher-order function with lambda argument(s):
+    arrayMap(x -> e, a) etc."""
+    lam = next(a for a in node.args if isinstance(a, Lambda))
+    arrays = [_eval(a, ctx, df) for a in node.args if not isinstance(a, Lambda)]
+
+    def _body(*args: Column) -> Column:
+        inner = Context(ctx.spark, ctx.tables, ctx.aliases,
+                        dict(ctx.lambda_params), ctx.columns,
+                        engines=ctx.engines)
+        for p, c in zip(lam.params, args):
+            inner.lambda_params[p] = c
+        return _eval(lam.body, inner, df)
+
+    # PySpark inspects the callable's positional arity — give it an exact
+    # signature, not *args
+    if len(lam.params) == 1:
+        fn = lambda a: _body(a)                    # noqa: E731
+    elif len(lam.params) == 2:
+        fn = lambda a, b: _body(a, b)              # noqa: E731
+    else:
+        fn = lambda a, b, c: _body(a, b, c)        # noqa: E731
+
+    name = node.name
+    if name in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll",
+                "arrayCount"):
+        target = {"arrayMap": F.transform, "arrayFilter": F.filter,
+                  "arrayExists": F.exists, "arrayAll": F.forall}.get(name)
+        if name == "arrayCount":
+            return F.size(F.filter(arrays[0], fn))
+        return target(arrays[0], fn)
+    if name == "arraySort":
+        return F.array_sort(F.transform(arrays[0], fn))
+    raise BuildError(f"unsupported HOF: {name}")
+
+
+def _window_call(node: FuncCall, cols: list, ctx: Context,
+                 df: DataFrame | None) -> Column:
+    spec = node.window
+    w = Window.partitionBy(*[_eval(p, ctx, df) for p in spec.partition_by])
+    if spec.order_by:
+        w = w.orderBy(*[_order_col(df, it, ctx) for it in spec.order_by])
+    if spec.frame:
+        mode, start, end = spec.frame
+        lo = _bound(start)
+        hi = _bound(end)
+        w = w.rowsBetween(lo, hi) if mode == "ROWS" else w.rangeBetween(lo, hi)
+    name = node.name
+    if name in _WINDOW_FNS:
+        args = [a.value for a in node.args if isinstance(a, Literal)]
+        return _WINDOW_FNS[name](*args).over(w)
+    if name in _WINDOW_VALUE_FNS:
+        extra = [a.value for a in node.args[1:] if isinstance(a, Literal)]
+        return _WINDOW_VALUE_FNS[name](cols[0], *extra).over(w)
+    if name in _AGG_NAMES:
+        inner = FuncCall(node.name, node.args, node.params, node.distinct)
+        return _agg_column(inner, ctx, df).over(w)
+    raise BuildError(f"unknown window function: {name}")
+
+
+def _bound(text: str) -> int:
+    if text == "UNBOUNDED PRECEDING":
+        return Window.unboundedPreceding
+    if text == "UNBOUNDED FOLLOWING":
+        return Window.unboundedFollowing
+    if text == "CURRENT ROW":
+        return Window.currentRow
+    n, kind = text.split()
+    return -int(n) if kind == "PRECEDING" else int(n)
+
+
+# --- misc -------------------------------------------------------------------
+
+def _ast_key(node) -> str:
+    if isinstance(node, Alias):
+        return _ast_key(node.expr)
+    return repr(node)
+
+
+def _auto_name(node) -> str:
+    if isinstance(node, Identifier):
+        return node.parts[-1]
+    if isinstance(node, FuncCall):
+        return node.name
+    if isinstance(node, Cast):
+        return _auto_name(node.expr)
+    if isinstance(node, Literal):
+        return str(node.value)
+    return "expr"

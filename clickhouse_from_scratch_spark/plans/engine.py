@@ -1,0 +1,31 @@
+"""Engine facade: execute ClickHouse-dialect SQL against registered tables.
+
+The lifecycle (SURVEY.md §3 "our lifecycle"): SQL string → Lexer → Parser
+(CH grammar) → AST → plan builder → DataFrame → Catalyst → execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .builder import build
+from .parser import parse as _parse
+
+
+def parse(sql: str):
+    """SQL text → dialect AST (the reference's full live surface)."""
+    return _parse(sql)
+
+
+def execute_sql(spark: SparkSession, sql: str,
+                tables: dict[str, DataFrame],
+                engines: dict[str, dict] | None = None) -> DataFrame:
+    """Run a ClickHouse-dialect query over the given tables.
+
+    ``engines`` carries per-table MergeTree-style metadata the DDL layer
+    would normally record: ``{"events": {"order_by": ["user_id"],
+    "version": "ts", "sample_by": "user_id"}}`` — needed by FINAL and
+    SAMPLE.
+    """
+    ast = _parse(sql)
+    return build(spark, ast, tables, engines=engines)

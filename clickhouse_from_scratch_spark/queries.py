@@ -996,6 +996,77 @@ def fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
+# ---------------------------------------------------------------------------
+# ClickHouse-dialect SQL frontend end-to-end (plans/: lexer→AST→DataFrame)
+# ---------------------------------------------------------------------------
+
+def _sql(spark: SparkSession, sf_dir: str, text: str,
+         engines: dict | None = None) -> DataFrame:
+    from .catalog import load_all
+    from .plans import execute_sql
+    return execute_sql(spark, text, load_all(spark, sf_dir), engines=engines)
+
+
+@query("sql_q1_frontend", oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def sql_q1(spark, sf_dir):
+    """Flagship query through the full SQL path: CH dialect text → lexer →
+    AST → plan builder → Catalyst (SURVEY §3 target lifecycle)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count() AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= toDate('1998-09-02')
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+@query("sql_limit_by", oracle="""
+SELECT o_orderpriority, o_orderkey FROM
+(SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn <= 2
+""")
+def sql_limit_by(spark, sf_dir):
+    """LIMIT n BY through the dialect parser."""
+    return _sql(spark, sf_dir,
+                "SELECT o_orderpriority, o_orderkey FROM orders "
+                "ORDER BY o_totalprice DESC, o_orderkey "
+                "LIMIT 2 BY o_orderpriority")
+
+
+@query("sql_final_sample", oracle="""
+SELECT user_id, event_id FROM
+(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""")
+def sql_final(spark, sf_dir):
+    """FROM events FINAL through the dialect parser + engine metadata."""
+    return _sql(spark, sf_dir, "SELECT user_id, event_id FROM events FINAL",
+                engines={"events": {"order_by": ["user_id"], "version": "ts"}})
+
+
+@query("sql_array_join", oracle="""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, COUNT(*) AS n FROM words GROUP BY word
+ORDER BY n DESC, word LIMIT 10
+""")
+def sql_array_join(spark, sf_dir):
+    """ARRAY JOIN through the dialect parser."""
+    return _sql(spark, sf_dir,
+                "SELECT word, count() AS n FROM documents "
+                "ARRAY JOIN splitByChar(' ', text) AS word "
+                "GROUP BY word ORDER BY n DESC, word LIMIT 10")
+
+
 @query("multimodal_decode", oracle="""
 SELECT doc_id, 'image/png' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,358 @@
+"""ClickHouse-dialect SQL frontend: parse + execute vs DuckDB oracle.
+
+Each case is (CH SQL for our engine, ANSI SQL for DuckDB) — identical
+result contract, compared order-insensitively like the driver gate.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from clickhouse_from_scratch_spark.catalog import load_all
+from clickhouse_from_scratch_spark.plans import ParseError, execute_sql, parse
+from tools.check_oracle import compare
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_all(spark, sf_dir)
+
+
+CASES = [
+    # (name, clickhouse_sql, duckdb_sql_or_None_for_same)
+    ("scan_filter_project",
+     "SELECT o_orderkey, o_totalprice FROM orders "
+     "WHERE o_totalprice > 100000 AND o_orderstatus = 'F'",
+     None),
+    ("q1_shape",
+     "SELECT l_returnflag, l_linestatus, "
+     "  round(sum(l_quantity), 4) AS sum_qty, count() AS cnt "
+     "FROM lineitem WHERE l_shipdate <= toDate('1998-09-02') "
+     "GROUP BY l_returnflag, l_linestatus",
+     "SELECT l_returnflag, l_linestatus, "
+     "  round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt "
+     "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' "
+     "GROUP BY l_returnflag, l_linestatus"),
+    ("expr_arith",
+     "SELECT o_orderkey, round(o_totalprice * 2 + 1 - 0.5, 4) AS v "
+     "FROM orders WHERE o_orderkey < 100",
+     None),
+    ("between_rewrite",
+     "SELECT count() AS n FROM orders "
+     "WHERE o_totalprice BETWEEN 50000 AND 100000",
+     "SELECT count(*) AS n FROM orders "
+     "WHERE o_totalprice BETWEEN 50000 AND 100000"),
+    ("in_literal",
+     "SELECT count() AS n FROM orders "
+     "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+     "SELECT count(*) AS n FROM orders "
+     "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+    ("not_in",
+     "SELECT count() AS n FROM orders WHERE o_orderstatus NOT IN ('F')",
+     "SELECT count(*) AS n FROM orders WHERE o_orderstatus NOT IN ('F')"),
+    ("like_ilike",
+     "SELECT count() AS n FROM customer "
+     "WHERE c_name LIKE '%1%' AND c_mktsegment ILIKE 'build%'",
+     "SELECT count(*) AS n FROM customer "
+     "WHERE c_name LIKE '%1%' AND c_mktsegment ILIKE 'build%'"),
+    ("case_when",
+     "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+     "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS band, "
+     "count() AS n FROM orders GROUP BY band",
+     "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+     "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS band, "
+     "count(*) AS n FROM orders GROUP BY band"),
+    ("ternary",
+     "SELECT o_totalprice > 100000 ? 'big' : 'small' AS sz, count() AS n "
+     "FROM orders GROUP BY sz",
+     "SELECT CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END "
+     "AS sz, count(*) AS n FROM orders GROUP BY sz"),
+    ("join_on",
+     "SELECT n_name, r_name FROM nation "
+     "JOIN region ON n_regionkey = r_regionkey",
+     None),
+    ("join_using",
+     "SELECT count() AS n FROM orders "
+     "JOIN customer USING (c_custkey)" if False else
+     "SELECT n_name, count() AS n FROM customer "
+     "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+     "SELECT n_name, count(*) AS n FROM customer "
+     "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    ("left_join",
+     "SELECT n_nationkey, count(s_suppkey) AS ns FROM nation "
+     "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey",
+     "SELECT n_nationkey, count(s_suppkey) AS ns FROM nation "
+     "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey"),
+    ("cross_join",
+     "SELECT r_name, n_name FROM region CROSS JOIN nation",
+     None),
+    ("comma_join",
+     "SELECT count() AS n FROM region, nation "
+     "WHERE n_regionkey = r_regionkey",
+     "SELECT count(*) AS n FROM region, nation "
+     "WHERE n_regionkey = r_regionkey"),
+    ("semi_join",
+     "SELECT c_custkey FROM customer SEMI LEFT JOIN orders "
+     "ON c_custkey = o_custkey" if False else
+     "SELECT c_custkey FROM customer "
+     "WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+     "SELECT c_custkey FROM customer "
+     "WHERE c_custkey IN (SELECT o_custkey FROM orders)"),
+    ("anti_join_via_not_in",
+     "SELECT count() AS n FROM customer "
+     "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+     "SELECT count(*) AS n FROM customer "
+     "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    ("subquery_from",
+     "SELECT round(sum(t), 4) AS a FROM "
+     "(SELECT o_custkey, max(o_totalprice) AS t FROM orders "
+     "GROUP BY o_custkey)",
+     "SELECT round(sum(t), 4) AS a FROM "
+     "(SELECT o_custkey, max(o_totalprice) AS t FROM orders "
+     "GROUP BY o_custkey) sub"),
+    ("cte",
+     "WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000) "
+     "SELECT o_orderstatus, count() AS n FROM big GROUP BY o_orderstatus",
+     "WITH big AS (SELECT * FROM orders WHERE o_totalprice > 150000) "
+     "SELECT o_orderstatus, count(*) AS n FROM big GROUP BY o_orderstatus"),
+    ("scalar_with_alias",
+     "WITH 100000 AS threshold "
+     "SELECT count() AS n FROM orders WHERE o_totalprice > threshold",
+     "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000"),
+    ("rollup",
+     "SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
+     "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+     "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+     "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+    ("cube_with_syntax",
+     "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
+     "GROUP BY l_returnflag, l_linestatus WITH CUBE",
+     "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+     "GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    ("with_totals",
+     "SELECT event_type, count() AS n FROM events "
+     "GROUP BY event_type WITH TOTALS",
+     "SELECT event_type, count(*) AS n FROM events "
+     "GROUP BY GROUPING SETS ((event_type), ())"),
+    ("grouping_sets",
+     "SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
+     "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
+     "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+     "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"),
+    ("having",
+     "SELECT c_nationkey, count() AS n FROM customer "
+     "GROUP BY c_nationkey HAVING count() > 5",
+     "SELECT c_nationkey, count(*) AS n FROM customer "
+     "GROUP BY c_nationkey HAVING count(*) > 5"),
+    ("order_limit_offset",
+     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+     "LIMIT 5 OFFSET 3",
+     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+     "LIMIT 5 OFFSET 3"),
+    ("order_by_unselected",
+     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 3",
+     "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 3"),
+    ("limit_by",
+     "SELECT o_orderpriority, o_orderkey FROM orders "
+     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_orderpriority",
+     "SELECT o_orderpriority, o_orderkey FROM "
+     "(SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+     " ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+     "WHERE rn <= 2"),
+    ("distinct",
+     "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+     None),
+    ("distinct_on",
+     "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey FROM orders "
+     "ORDER BY o_orderdate DESC, o_orderkey DESC",
+     "SELECT o_custkey, o_orderkey FROM "
+     "(SELECT *, row_number() OVER (PARTITION BY o_custkey "
+     " ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+     "WHERE rn = 1"),
+    ("with_ties",
+     "SELECT l_quantity FROM lineitem ORDER BY l_quantity LIMIT 20 WITH TIES",
+     "SELECT l_quantity FROM lineitem "
+     "QUALIFY rank() OVER (ORDER BY l_quantity) <= 20"),
+    ("union_all",
+     "SELECT c_nationkey AS nk FROM customer UNION ALL "
+     "SELECT s_nationkey AS nk FROM supplier",
+     None),
+    ("union_distinct",
+     "SELECT c_nationkey AS nk FROM customer UNION DISTINCT "
+     "SELECT s_nationkey AS nk FROM supplier",
+     "SELECT c_nationkey AS nk FROM customer UNION "
+     "SELECT s_nationkey AS nk FROM supplier"),
+    ("intersect",
+     "SELECT c_nationkey AS nk FROM customer INTERSECT "
+     "SELECT s_nationkey AS nk FROM supplier",
+     None),
+    ("except",
+     "SELECT c_nationkey AS nk FROM customer EXCEPT "
+     "SELECT s_nationkey AS nk FROM supplier",
+     None),
+    ("window_rank",
+     "SELECT event_id, rank() OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS rk FROM events",
+     "SELECT event_id, CAST(rank() OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS INT) AS rk FROM events"),
+    ("window_running",
+     "SELECT o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY "
+     "o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND CURRENT ROW), 2) AS rt FROM orders",
+     "SELECT o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY "
+     "o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND CURRENT ROW), 2) AS rt FROM orders"),
+    ("window_lag",
+     "SELECT event_id, lag(value) OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS pv FROM events",
+     "SELECT event_id, lag(value) OVER (PARTITION BY user_id "
+     "ORDER BY ts, event_id) AS pv FROM events"),
+    ("agg_filter",
+     "SELECT user_id, count() FILTER (WHERE event_type = 'purchase') AS np "
+     "FROM events GROUP BY user_id",
+     "SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') AS np "
+     "FROM events GROUP BY user_id"),
+    ("agg_distinct_kw",
+     "SELECT count(DISTINCT l_suppkey) AS u FROM lineitem",
+     "SELECT count(DISTINCT l_suppkey) AS u FROM lineitem"),
+    ("parametric_quantile",
+     "SELECT round(quantile(0.5)(o_totalprice), 4) AS med FROM orders",
+     "SELECT round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) "
+     "AS med FROM orders"),
+    ("argmax",
+     "SELECT argMax(o_orderkey, o_totalprice) AS k FROM orders",
+     "SELECT max_by(o_orderkey, o_totalprice) AS k FROM orders"),
+    ("alias_in_where",
+     "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM orders "
+     "WHERE discounted > 150000",
+     "SELECT o_orderkey, o_totalprice * 0.9 AS discounted FROM orders "
+     "WHERE o_totalprice * 0.9 > 150000"),
+    ("alias_in_group_by",
+     "SELECT toYear(o_orderdate) AS y, count() AS n FROM orders GROUP BY y",
+     "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, count(*) "
+     "AS n FROM orders GROUP BY 1"),
+    ("string_fns",
+     "SELECT c_custkey, upper(substring(c_name, 1, 8)) AS pfx, "
+     "concat(c_mktsegment, '-', c_name) AS tag FROM customer",
+     "SELECT c_custkey, upper(substr(c_name, 1, 8)) AS pfx, "
+     "c_mktsegment || '-' || c_name AS tag FROM customer"),
+    ("date_fns",
+     "SELECT toYear(o_orderdate) AS y, toMonth(o_orderdate) AS m, count() "
+     "AS n FROM orders GROUP BY y, m",
+     "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, "
+     "CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m, count(*) AS n "
+     "FROM orders GROUP BY 1, 2"),
+    ("extract_syntax",
+     "SELECT EXTRACT(YEAR FROM o_orderdate) AS y, count() AS n "
+     "FROM orders GROUP BY y",
+     "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y, count(*) "
+     "AS n FROM orders GROUP BY 1"),
+    ("cast_forms",
+     "SELECT CAST(o_orderkey AS String) AS s, o_orderkey::Float64 AS f "
+     "FROM orders WHERE o_orderkey < 10",
+     "SELECT CAST(o_orderkey AS VARCHAR) AS s, "
+     "CAST(o_orderkey AS DOUBLE) AS f FROM orders WHERE o_orderkey < 10"),
+    ("json_fn",
+     "SELECT JSONExtractInt(props, 'k') % 10 AS km, count() AS n "
+     "FROM events GROUP BY km",
+     "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS km, "
+     "count(*) AS n FROM events GROUP BY 1"),
+    ("array_literal_hof",
+     "SELECT arrayMap(x -> x * 2, [1, 2, 3]) AS doubled",
+     "SELECT [2, 4, 6] AS doubled"),
+    ("array_join_clause",
+     "SELECT word, count() AS n FROM documents "
+     "ARRAY JOIN splitByChar(' ', text) AS word "
+     "GROUP BY word ORDER BY n DESC, word LIMIT 10",
+     "SELECT word, count(*) AS n FROM (SELECT unnest(string_split(text, "
+     "' ')) AS word FROM documents) GROUP BY word "
+     "ORDER BY n DESC, word LIMIT 10"),
+    ("prewhere",
+     "SELECT count() AS n FROM lineitem PREWHERE l_quantity < 10 "
+     "WHERE l_discount > 0.05",
+     "SELECT count(*) AS n FROM lineitem "
+     "WHERE l_quantity < 10 AND l_discount > 0.05"),
+    ("scalar_subquery",
+     "SELECT count() AS n FROM orders "
+     "WHERE o_totalprice > (SELECT round(avg(o_totalprice), 6) FROM orders)",
+     "SELECT count(*) AS n FROM orders "
+     "WHERE o_totalprice > (SELECT round(avg(o_totalprice), 6) FROM orders)"),
+    ("numbers_tf",
+     "SELECT number, number * 2 AS d FROM numbers(10)",
+     "SELECT CAST(range AS BIGINT) AS number, CAST(range * 2 AS BIGINT) "
+     "AS d FROM range(10)"),
+    ("intdiv_mod",
+     "SELECT intDiv(o_orderkey, 7) AS d, o_orderkey % 7 AS m FROM orders "
+     "WHERE o_orderkey < 50",
+     "SELECT CAST(o_orderkey // 7 AS BIGINT) AS d, o_orderkey % 7 AS m "
+     "FROM orders WHERE o_orderkey < 50"),
+    ("is_null",
+     "SELECT count() AS n FROM events WHERE props IS NOT NULL",
+     "SELECT count(*) AS n FROM events WHERE props IS NOT NULL"),
+    ("tuple_access",
+     "SELECT (1, 'a').1 AS first",
+     "SELECT 1 AS first"),
+    ("array_index",
+     "SELECT [10, 20, 30][2] AS second",
+     "SELECT 20 AS second"),
+]
+
+
+@pytest.mark.parametrize("name,ch_sql,duck_sql",
+                         CASES, ids=[c[0] for c in CASES])
+def test_sql_case(spark, tables, duck, name, ch_sql, duck_sql):
+    got = execute_sql(spark, ch_sql, tables).toPandas()
+    want = duck.execute(duck_sql or ch_sql).fetchdf()
+    problems = compare(name, got, want)
+    assert not problems, f"{name}: {problems}\nspark:\n{got.head()}\nduck:\n{want.head()}"
+
+
+def test_final_with_engine_metadata(spark, tables, duck):
+    got = execute_sql(
+        spark,
+        "SELECT user_id, event_id FROM events FINAL",
+        tables,
+        engines={"events": {"order_by": ["user_id"], "version": "ts"}},
+    ).toPandas()
+    want = duck.execute(
+        "SELECT user_id, event_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM events) WHERE rn = 1").fetchdf()
+    assert not compare("final", got, want)
+
+
+def test_sample_deterministic(spark, tables):
+    sql = "SELECT count() AS n FROM lineitem SAMPLE 0.1"
+    a = execute_sql(spark, sql, tables,
+                    engines={"lineitem": {"sample_by": "l_orderkey"}}).collect()
+    b = execute_sql(spark, sql, tables,
+                    engines={"lineitem": {"sample_by": "l_orderkey"}}).collect()
+    assert a == b and 0 < a[0].n
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse("SELECT FROM WHERE")
+    with pytest.raises(ParseError):
+        parse("SELECT 1 FROM t JOIN u")     # JOIN without ON/USING
+    with pytest.raises(ParseError):
+        parse("SELECT 1 extra_garbage ,")
+
+
+def test_parse_shapes():
+    q = parse("SELECT a FROM t FINAL SAMPLE 0.1 WHERE b > 1 "
+              "GROUP BY a WITH TOTALS ORDER BY a DESC NULLS FIRST "
+              "LIMIT 5 SETTINGS max_threads = 4")
+    assert q.settings == {"max_threads": 4}
+    assert q.group_by.with_totals
+    assert q.order_by[0].desc and q.order_by[0].nulls_first
+    assert q.from_.final and q.from_.sample == (0.1, 0.0)
+    q2 = parse("SELECT f(1)(x) OVER (PARTITION BY a ORDER BY b "
+               "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    fc = q2.select[0]
+    assert fc.params and fc.window.frame == ("ROWS", "1 PRECEDING",
+                                             "CURRENT ROW")
