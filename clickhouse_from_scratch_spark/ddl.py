@@ -1,0 +1,476 @@
+"""ChSession: the catalog + statement executor (SURVEY §2.12).
+
+The reference parses DDL/INSERT/SHOW/... into ASTs and stops; this layer
+executes them on Spark:
+
+- ``CREATE TABLE ... ENGINE=MergeTree ORDER BY k PARTITION BY p`` →
+  parquet-backed table under the warehouse dir; ORDER BY becomes
+  sortWithinPartitions on write (clustering for scan pushdown), PARTITION
+  BY becomes parquet partition directories (partition pruning), SAMPLE BY
+  / TTL / CODEC are recorded as table properties. Engine registry:
+  MergeTree family + Log → parquet, Memory → cached in-session DataFrame.
+- ``INSERT`` appends (VALUES or SELECT source).
+- ``OPTIMIZE ... DEDUPLICATE`` rewrites the table via dropDuplicates;
+  FINAL applies the Replacing-collapse before rewrite.
+- SHOW/DESCRIBE/EXISTS/USE/SET/EXPLAIN answer from the catalog.
+
+All query execution flows through plans.execute_sql, so FINAL/SAMPLE in
+queries automatically see each table's engine metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.typemap import ch_type_to_spark
+from .operators import final as final_op
+from .plans.builder import build
+from .plans.statements import (
+    CheckStmt, CreateDatabase, CreateTable, CreateView, DescribeStmt,
+    DropStmt, ExistsStmt, ExplainStmt, InsertStmt, OptimizeStmt,
+    RenameTable, SetStmt, ShowStmt, TruncateStmt, UseStmt, parse_statement,
+)
+from .plans.ast_nodes import SelectQuery, UnionQuery
+
+_MERGE_TREE_FAMILY = {
+    "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
+    "AggregatingMergeTree", "CollapsingMergeTree", "ReplicatedMergeTree",
+    "Log", "TinyLog", "StripeLog",
+}
+
+
+@dataclass
+class TableMeta:
+    name: str
+    database: str
+    columns: list[tuple[str, str]]            # (name, CH type)
+    engine: str = "MergeTree"
+    order_by: list[str] = field(default_factory=list)
+    partition_by: str | None = None           # plain column name or None
+    sample_by: str | None = None
+    ttl: str | None = None
+    settings: dict = field(default_factory=dict)
+    path: str | None = None                   # parquet dir (None = Memory)
+    memory_df: DataFrame | None = None
+    is_view: bool = False
+    view_query: object | None = None
+
+    def spark_schema(self) -> str:
+        return ", ".join(f"`{n}` {ch_type_to_spark(t)}"
+                         for n, t in self.columns)
+
+
+class ChSession:
+    """A ClickHouse-flavored session over Spark: databases, tables,
+    settings, and the statement dispatch loop."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse or os.path.join(
+            os.getcwd(), ".chspark_warehouse")
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.databases: dict[str, dict[str, TableMeta]] = {"default": {}}
+        self.current_db = "default"
+        self.settings: dict[str, object] = {}
+
+    # --- public API -------------------------------------------------------
+
+    def execute(self, sql: str):
+        """Run one statement. SELECT → DataFrame; DDL/admin → DataFrame
+        describing the effect (mirrors clickhouse-client output shape)."""
+        node = parse_statement(sql)
+        if isinstance(node, (SelectQuery, UnionQuery)):
+            return build(self.spark, node, self._tables(), self._engines())
+        handler = {
+            CreateDatabase: self._create_database,
+            CreateTable: self._create_table,
+            CreateView: self._create_view,
+            DropStmt: self._drop,
+            RenameTable: self._rename,
+            InsertStmt: self._insert,
+            ShowStmt: self._show,
+            DescribeStmt: self._describe,
+            ExistsStmt: self._exists,
+            UseStmt: self._use,
+            SetStmt: self._set,
+            ExplainStmt: self._explain,
+            OptimizeStmt: self._optimize,
+            TruncateStmt: self._truncate,
+            CheckStmt: self._check,
+        }[type(node)]
+        return handler(node)
+
+    def register_external(self, name: str, df: DataFrame,
+                          order_by: list[str] | None = None,
+                          version: str | None = None,
+                          sample_by: str | None = None) -> None:
+        """Expose an existing DataFrame (e.g. testdata parquet) as a table."""
+        meta = TableMeta(name, self.current_db,
+                         [(f.name, _spark_to_ch(f.dataType.simpleString()))
+                          for f in df.schema.fields],
+                         engine="External", memory_df=df,
+                         order_by=order_by or [], sample_by=sample_by)
+        if version:
+            meta.settings["version"] = version
+        self._db()[name] = meta
+
+    # --- helpers ----------------------------------------------------------
+
+    def _db(self, name: str | None = None) -> dict[str, TableMeta]:
+        db = name or self.current_db
+        if db not in self.databases:
+            raise ValueError(f"unknown database: {db}")
+        return self.databases[db]
+
+    def _resolve(self, database: str | None, table: str) -> TableMeta:
+        meta = self._db(database).get(table)
+        if meta is None:
+            raise ValueError(f"unknown table: {database or self.current_db}"
+                             f".{table}")
+        return meta
+
+    def _tables(self) -> dict[str, DataFrame]:
+        out = {}
+        for name, meta in self._db().items():
+            out[name] = self._read(meta)
+        return out
+
+    def _engines(self) -> dict[str, dict]:
+        out = {}
+        for name, meta in self._db().items():
+            info: dict = {}
+            if meta.order_by:
+                info["order_by"] = meta.order_by
+                info["version"] = meta.settings.get(
+                    "version", meta.order_by[-1])
+            if meta.sample_by:
+                info["sample_by"] = meta.sample_by
+            if info:
+                out[name] = info
+        return out
+
+    def _read(self, meta: TableMeta) -> DataFrame:
+        if meta.is_view:
+            return build(self.spark, meta.view_query, self._tables_except(
+                meta.name), self._engines())
+        if meta.memory_df is not None:
+            return meta.memory_df
+        if meta.path and os.path.exists(meta.path):
+            df = self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
+            return df
+        return self.spark.createDataFrame([], meta.spark_schema())
+
+    def _tables_except(self, skip: str) -> dict[str, DataFrame]:
+        return {n: self._read(m) for n, m in self._db().items() if n != skip}
+
+    # --- DDL --------------------------------------------------------------
+
+    def _create_database(self, node: CreateDatabase):
+        if node.name in self.databases:
+            if node.if_not_exists:
+                return self._ok()
+            raise ValueError(f"database exists: {node.name}")
+        self.databases[node.name] = {}
+        return self._ok()
+
+    def _create_table(self, node: CreateTable):
+        db = node.database or self.current_db
+        if node.table in self._db(db):
+            if node.if_not_exists:
+                return self._ok()
+            if not node.or_replace:
+                raise ValueError(f"table exists: {db}.{node.table}")
+        if node.engine not in _MERGE_TREE_FAMILY and node.engine not in (
+                "Memory", "External"):
+            raise ValueError(f"unknown engine: {node.engine} (registry: "
+                             f"{sorted(_MERGE_TREE_FAMILY)} + Memory)")
+        part_col = _partition_column(node)
+        meta = TableMeta(
+            node.table, db,
+            [(c.name, c.type_name) for c in node.columns],
+            engine=node.engine, order_by=list(node.order_by),
+            partition_by=part_col, sample_by=node.sample_by,
+            ttl=node.ttl, settings=dict(node.settings))
+        source: DataFrame | None = None
+        if node.as_select is not None:
+            source = build(self.spark, node.as_select, self._tables(),
+                           self._engines())
+            if not meta.columns:
+                meta.columns = [(f.name,
+                                 _spark_to_ch(f.dataType.simpleString()))
+                                for f in source.schema.fields]
+        elif node.as_table is not None:
+            src_meta = self._resolve(None, node.as_table)
+            meta.columns = list(src_meta.columns)
+        if not meta.columns:
+            raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+        if node.engine == "Memory" or node.temporary:
+            meta.memory_df = (source if source is not None else
+                              self.spark.createDataFrame(
+                                  [], meta.spark_schema()))
+        else:
+            meta.path = os.path.join(self.warehouse, db, node.table)
+            if os.path.exists(meta.path):
+                shutil.rmtree(meta.path)
+            if source is not None:
+                self._write(meta, source, mode="overwrite")
+        self._db(db)[node.table] = meta
+        return self._ok()
+
+    def _create_view(self, node: CreateView):
+        db = node.database or self.current_db
+        if node.name in self._db(db) and node.if_not_exists:
+            return self._ok()
+        if node.materialized:
+            # materialized view: eager snapshot table (POPULATE semantics);
+            # continuous refresh belongs to the streaming layer (§2.9)
+            df = build(self.spark, node.query, self._tables(), self._engines())
+            meta = TableMeta(node.name, db,
+                             [(f.name, _spark_to_ch(f.dataType.simpleString()))
+                              for f in df.schema.fields],
+                             engine="MergeTree",
+                             path=os.path.join(self.warehouse, db, node.name))
+            self._write(meta, df, mode="overwrite")
+        else:
+            meta = TableMeta(node.name, db, [], engine="View", is_view=True,
+                             view_query=node.query)
+        self._db(db)[node.name] = meta
+        return self._ok()
+
+    def _drop(self, node: DropStmt):
+        if node.kind == "DATABASE":
+            if node.name not in self.databases:
+                if node.if_exists:
+                    return self._ok()
+                raise ValueError(f"unknown database: {node.name}")
+            for meta in self.databases[node.name].values():
+                if meta.path and os.path.exists(meta.path):
+                    shutil.rmtree(meta.path)
+            del self.databases[node.name]
+            if self.current_db == node.name:
+                self.current_db = "default"
+            return self._ok()
+        db = node.database or self.current_db
+        meta = self._db(db).get(node.name)
+        if meta is None:
+            if node.if_exists:
+                return self._ok()
+            raise ValueError(f"unknown table: {db}.{node.name}")
+        if meta.path and os.path.exists(meta.path):
+            shutil.rmtree(meta.path)
+        del self._db(db)[node.name]
+        return self._ok()
+
+    def _rename(self, node: RenameTable):
+        for a, b in node.renames:
+            meta = self._resolve(None, a)
+            del self._db()[a]
+            meta.name = b
+            self._db()[b] = meta
+        return self._ok()
+
+    def _truncate(self, node: TruncateStmt):
+        meta = self._resolve(node.database, node.table)
+        if meta.memory_df is not None:
+            meta.memory_df = self.spark.createDataFrame(
+                [], meta.spark_schema())
+        elif meta.path and os.path.exists(meta.path):
+            shutil.rmtree(meta.path)
+        return self._ok()
+
+    # --- INSERT / OPTIMIZE ------------------------------------------------
+
+    def _insert(self, node: InsertStmt):
+        meta = self._resolve(node.database, node.table)
+        cols = node.columns or [n for n, _ in meta.columns]
+        if node.values is not None:
+            types = dict(meta.columns)
+            schema = ", ".join(f"`{c}` {ch_type_to_spark(types[c])}"
+                               for c in cols)
+            source = self.spark.createDataFrame(
+                [tuple(_literal_py(v) for v in row) for row in node.values],
+                schema)
+        else:
+            source = build(self.spark, node.select, self._tables(),
+                           self._engines())
+            source = source.toDF(*cols)
+        # missing columns get CH type defaults (non-nullable semantics)
+        for cname, ctype in meta.columns:
+            if cname not in source.columns:
+                source = source.withColumn(
+                    cname, F.lit(_type_default_py(ctype)).cast(
+                        ch_type_to_spark(ctype)))
+        source = source.select(*[F.col(n).cast(ch_type_to_spark(t)).alias(n)
+                                 for n, t in meta.columns])
+        if meta.memory_df is not None:
+            meta.memory_df = meta.memory_df.unionByName(source)
+        else:
+            self._write(meta, source, mode="append")
+        return self._ok()
+
+    def _optimize(self, node: OptimizeStmt):
+        meta = self._resolve(node.database, node.table)
+        df = self._read(meta)
+        if node.final and meta.order_by:
+            version = meta.settings.get("version", meta.order_by[-1])
+            df = final_op(df, key=meta.order_by, version=version)
+        if node.deduplicate:
+            df = (df.dropDuplicates(node.dedup_by) if node.dedup_by
+                  else df.dropDuplicates())
+        materialized = df.cache()
+        materialized.count()
+        if meta.memory_df is not None:
+            meta.memory_df = materialized
+        else:
+            self._write(meta, materialized, mode="overwrite")
+        return self._ok()
+
+    def _write(self, meta: TableMeta, df: DataFrame, mode: str) -> None:
+        writer = df
+        if meta.order_by:
+            # MergeTree ORDER BY → cluster files by sorting key so parquet
+            # min/max stats prune scans (the reference's primary-index role)
+            writer = writer.sortWithinPartitions(*meta.order_by)
+        w = writer.write.mode(mode)
+        if meta.partition_by:
+            w = w.partitionBy(meta.partition_by)
+        w.parquet(meta.path)
+
+    # --- SHOW / DESCRIBE / admin -----------------------------------------
+
+    def _show(self, node: ShowStmt):
+        if node.what == "DATABASES":
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self.databases)], "name string")
+        if node.what == "CREATE_TABLE":
+            meta = self._resolve(node.database, node.target)
+            return self.spark.createDataFrame(
+                [(self._format_create(meta),)], "statement string")
+        names = sorted(self._db(node.database))
+        if node.like:
+            pat = re.compile(
+                "^" + re.escape(node.like).replace("%", ".*").replace("_", ".")
+                + "$", re.IGNORECASE)
+            names = [n for n in names
+                     if bool(pat.match(n)) != node.not_like]
+        return self.spark.createDataFrame([(n,) for n in names] or
+                                          [], "name string")
+
+    def _format_create(self, meta: TableMeta) -> str:
+        cols = ", ".join(f"`{n}` {t}" for n, t in meta.columns)
+        parts = [f"CREATE TABLE {meta.database}.{meta.name} ({cols}) "
+                 f"ENGINE = {meta.engine}"]
+        if meta.order_by:
+            parts.append(f"ORDER BY ({', '.join(meta.order_by)})")
+        if meta.partition_by:
+            parts.append(f"PARTITION BY {meta.partition_by}")
+        if meta.sample_by:
+            parts.append(f"SAMPLE BY {meta.sample_by}")
+        if meta.ttl:
+            parts.append(f"TTL {meta.ttl}")
+        return " ".join(parts)
+
+    def _describe(self, node: DescribeStmt):
+        meta = self._resolve(node.database, node.table)
+        return self.spark.createDataFrame(
+            [(n, t) for n, t in meta.columns], "name string, type string")
+
+    def _exists(self, node: ExistsStmt):
+        ok = node.table in self._db(node.database)
+        return self.spark.createDataFrame([(int(ok),)], "result int")
+
+    def _use(self, node: UseStmt):
+        if node.database not in self.databases:
+            raise ValueError(f"unknown database: {node.database}")
+        self.current_db = node.database
+        return self._ok()
+
+    def _set(self, node: SetStmt):
+        self.settings.update(node.settings)
+        return self._ok()
+
+    def _explain(self, node: ExplainStmt):
+        if node.kind == "AST":
+            text = repr(node.query)
+        else:
+            df = build(self.spark, node.query, self._tables(),
+                       self._engines())
+            mode = {"PLAN": "extended", "PIPELINE": "formatted",
+                    "SYNTAX": "simple", "ESTIMATE": "cost"}[node.kind]
+            try:
+                jvm = self.spark._jvm
+                jmode = jvm.org.apache.spark.sql.execution.ExplainMode \
+                    .fromString(mode)
+                text = df._jdf.queryExecution().explainString(jmode)
+            except Exception:
+                text = df._jdf.queryExecution().toString()
+        return self.spark.createDataFrame(
+            [(line,) for line in text.split("\n")], "explain string")
+
+    def _check(self, node: CheckStmt):
+        meta = self._resolve(node.database, node.table)
+        n = self._read(meta).count()       # full read-validate pass
+        return self.spark.createDataFrame([(1, n)],
+                                          "result int, rows bigint")
+
+    def _ok(self):
+        return self.spark.createDataFrame([(0,)], "ok int")
+
+
+def _partition_column(node: CreateTable) -> str | None:
+    from .plans.ast_nodes import Identifier
+    if node.partition_by is None:
+        return None
+    if isinstance(node.partition_by, Identifier):
+        return node.partition_by.name
+    raise ValueError("PARTITION BY supports plain columns in v1 "
+                     "(materialize the expression as a column)")
+
+
+def _literal_py(node):
+    from .plans.ast_nodes import ArrayLiteral, FuncCall, Literal, TupleLiteral
+    if isinstance(node, Literal):
+        return node.value
+    if isinstance(node, ArrayLiteral):
+        return [_literal_py(i) for i in node.items]
+    if isinstance(node, TupleLiteral):
+        return tuple(_literal_py(i) for i in node.items)
+    if isinstance(node, FuncCall) and node.name == "negate":
+        return -_literal_py(node.args[0])
+    if isinstance(node, FuncCall) and node.name in ("toDate", "toDateTime"):
+        return _literal_py(node.args[0])
+    raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _type_default_py(ch_type: str):
+    spark_t = ch_type_to_spark(ch_type)
+    if spark_t in ("tinyint", "smallint", "int", "long", "float", "double") \
+            or spark_t.startswith("decimal"):
+        return 0
+    if spark_t == "string":
+        return ""
+    if spark_t == "boolean":
+        return False
+    return None
+
+
+def _spark_to_ch(simple: str) -> str:
+    table = {"bigint": "Int64", "int": "Int32", "smallint": "Int16",
+             "tinyint": "Int8", "double": "Float64", "float": "Float32",
+             "string": "String", "date": "Date", "timestamp": "DateTime",
+             "boolean": "Bool", "binary": "String"}
+    if simple in table:
+        return table[simple]
+    m = re.match(r"array<(.+)>$", simple)
+    if m:
+        return f"Array({_spark_to_ch(m.group(1))})"
+    m = re.match(r"decimal\((\d+),(\d+)\)$", simple)
+    if m:
+        return f"Decimal({m.group(1)},{m.group(2)})"
+    return "String"

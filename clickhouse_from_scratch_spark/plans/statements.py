@@ -1,0 +1,476 @@
+"""Statement-level grammar: DDL / INSERT / SHOW / admin verbs.
+
+Mirrors the reference's top-level dispatch (``ParserQuery.cpp:51-67`` and
+``ParserQueryWithOutput.cpp:56-75``): SELECT(+UNION), INSERT, CREATE,
+DROP, RENAME, SHOW, DESCRIBE, EXISTS, USE, SET, EXPLAIN, OPTIMIZE,
+TRUNCATE, CHECK. DDL details follow ``ParserCreateQuery.cpp``
+(column list :100-283, storage clause ENGINE/ORDER BY/PARTITION BY/
+SAMPLE BY/TTL/SETTINGS :332-449).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .ast_nodes import Node, SelectQuery, UnionQuery
+from .lexer import T
+from .parser import ParseError, Parser
+
+
+@dataclass
+class ColumnDef(Node):
+    name: str
+    type_name: str
+    default: Node | None = None
+    default_kind: str | None = None    # DEFAULT | MATERIALIZED | ALIAS
+    comment: str | None = None
+    codec: str | None = None
+
+
+@dataclass
+class CreateTable(Node):
+    database: str | None
+    table: str
+    columns: list[ColumnDef]
+    engine: str = "MergeTree"
+    order_by: list[str] = field(default_factory=list)
+    partition_by: Node | None = None
+    primary_key: list[str] = field(default_factory=list)
+    sample_by: str | None = None
+    ttl: str | None = None
+    settings: dict = field(default_factory=dict)
+    if_not_exists: bool = False
+    or_replace: bool = False
+    temporary: bool = False
+    as_select: SelectQuery | UnionQuery | None = None
+    as_table: str | None = None
+
+
+@dataclass
+class CreateDatabase(Node):
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateView(Node):
+    database: str | None
+    name: str
+    query: SelectQuery | UnionQuery
+    materialized: bool = False
+    populate: bool = False
+    to_table: str | None = None
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class DropStmt(Node):
+    kind: str                      # TABLE | DATABASE | VIEW
+    database: str | None
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class RenameTable(Node):
+    renames: list[tuple[str, str]]
+
+
+@dataclass
+class InsertStmt(Node):
+    database: str | None
+    table: str
+    columns: list[str] | None
+    values: list[list[Node]] | None = None      # VALUES form
+    select: SelectQuery | UnionQuery | None = None
+
+
+@dataclass
+class ShowStmt(Node):
+    what: str                      # TABLES | DATABASES | CREATE_TABLE
+    database: str | None = None
+    like: str | None = None
+    not_like: bool = False
+    target: str | None = None      # SHOW CREATE TABLE target
+
+
+@dataclass
+class DescribeStmt(Node):
+    database: str | None
+    table: str
+
+
+@dataclass
+class ExistsStmt(Node):
+    database: str | None
+    table: str
+
+
+@dataclass
+class UseStmt(Node):
+    database: str
+
+
+@dataclass
+class SetStmt(Node):
+    settings: dict
+
+
+@dataclass
+class ExplainStmt(Node):
+    kind: str                      # AST | SYNTAX | PLAN | PIPELINE
+    query: SelectQuery | UnionQuery
+
+
+@dataclass
+class OptimizeStmt(Node):
+    database: str | None
+    table: str
+    final: bool = False
+    deduplicate: bool = False
+    dedup_by: list[str] | None = None
+
+
+@dataclass
+class TruncateStmt(Node):
+    database: str | None
+    table: str
+
+
+@dataclass
+class CheckStmt(Node):
+    database: str | None
+    table: str
+
+
+def parse_statement(sql: str) -> Node:
+    return StatementParser(sql).parse_statement()
+
+
+class StatementParser(Parser):
+    def parse_statement(self) -> Node:
+        node = self._dispatch()
+        if not isinstance(node, (SelectQuery, UnionQuery)):
+            self.accept_op(";")
+            if self.tok.kind != T.EOF:
+                raise ParseError(f"trailing input at {self.tok.pos}: "
+                                 f"{self.tok.text!r}")
+        return node
+
+    def _dispatch(self) -> Node:
+        t = self.tok
+        if t.is_kw("SELECT", "WITH"):
+            return self.parse_query()
+        if t.is_kw("CREATE", "ATTACH"):
+            return self._create()
+        if t.is_kw("DROP", "DETACH"):
+            return self._drop()
+        if t.is_kw("RENAME"):
+            return self._rename()
+        if t.is_kw("INSERT"):
+            return self._insert()
+        if t.is_kw("SHOW"):
+            return self._show()
+        if t.is_kw("DESCRIBE", "DESC"):
+            return self._describe()
+        if t.is_kw("EXISTS"):
+            return self._exists()
+        if t.is_kw("USE"):
+            self.advance()
+            return UseStmt(self.advance().text)
+        if t.is_kw("SET"):
+            return self._set()
+        if t.is_kw("EXPLAIN"):
+            return self._explain()
+        if t.is_kw("OPTIMIZE"):
+            return self._optimize()
+        if t.is_kw("TRUNCATE"):
+            self.advance()
+            self.accept_kw("TABLE")
+            db, name = self._qualified_name()
+            return TruncateStmt(db, name)
+        if t.is_kw("CHECK"):
+            self.advance()
+            self.expect_kw("TABLE")
+            db, name = self._qualified_name()
+            return CheckStmt(db, name)
+        if t.is_op("("):
+            return self.parse_query()
+        raise ParseError(f"unknown statement start: {t.text!r}")
+
+    def _qualified_name(self) -> tuple[str | None, str]:
+        a = self.advance().text
+        if self.accept_op("."):
+            return a, self.advance().text
+        return None, a
+
+    # --- CREATE ----------------------------------------------------------
+
+    def _create(self):
+        self.advance()                       # CREATE/ATTACH
+        or_replace = bool(self.accept_kws("OR", "REPLACE"))
+        temporary = bool(self.accept_kw("TEMPORARY"))
+        if self.accept_kw("DATABASE"):
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            return CreateDatabase(self.advance().text, ine)
+        materialized = bool(self.accept_kw("MATERIALIZED"))
+        if self.accept_kw("VIEW"):
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            db, name = self._qualified_name()
+            to_table = None
+            if self.accept_kw("TO"):
+                _, to_table = self._qualified_name()
+            populate = bool(self.accept_kw("POPULATE"))
+            self.expect_kw("AS")
+            q = self._union()
+            return CreateView(db, name, q, materialized, populate,
+                              to_table, ine, or_replace)
+        self.expect_kw("TABLE")
+        ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+        db, name = self._qualified_name()
+        ct = CreateTable(db, name, [], if_not_exists=ine,
+                         or_replace=or_replace, temporary=temporary)
+        if self.accept_op("("):
+            ct.columns = self._column_defs()
+            self.expect_op(")")
+        self._storage_clause(ct)
+        if self.accept_kw("AS"):
+            if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
+                ct.as_select = self._union()
+            else:
+                _, ct.as_table = self._qualified_name()
+        return ct
+
+    def _column_defs(self) -> list[ColumnDef]:
+        cols: list[ColumnDef] = []
+        while True:
+            if self.tok.is_kw("INDEX", "CONSTRAINT", "PROJECTION"):
+                # secondary indexes/constraints/projections: parse & skip
+                # (reference grammar ParserCreateQuery.h:103-212; engine
+                # relies on parquet stats instead)
+                self._skip_to_comma_or_close()
+            else:
+                name = self.advance().text
+                type_name = None
+                if not self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                    type_name = self._type_name()
+                cd = ColumnDef(name, type_name or "String")
+                if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                    cd.default_kind = self.advance().text.upper()
+                    cd.default = self._expr()
+                self.accept_kws("NOT", "NULL") or self.accept_kw("NULL")
+                if self.accept_kw("COMMENT"):
+                    cd.comment = self.advance().text
+                if self.accept_kw("CODEC"):
+                    depth = 0
+                    parts = []
+                    self.expect_op("(")
+                    depth = 1
+                    while depth:
+                        tk = self.advance()
+                        if tk.is_op("("):
+                            depth += 1
+                        elif tk.is_op(")"):
+                            depth -= 1
+                            if not depth:
+                                break
+                        parts.append(tk.text)
+                    cd.codec = "".join(parts)
+                if self.accept_kw("TTL"):
+                    self._expr()
+                cols.append(cd)
+            if not self.accept_op(","):
+                return cols
+
+    def _skip_to_comma_or_close(self) -> None:
+        depth = 0
+        while True:
+            t = self.tok
+            if t.is_op("(") :
+                depth += 1
+            elif t.is_op(")"):
+                if depth == 0:
+                    return
+                depth -= 1
+            elif t.is_op(",") and depth == 0:
+                return
+            elif t.kind == T.EOF:
+                raise ParseError("unterminated column list")
+            self.advance()
+
+    def _storage_clause(self, ct: CreateTable) -> None:
+        if self.accept_kw("ENGINE"):
+            self.accept_op("=")
+            ct.engine = self.advance().text
+            if self.accept_op("("):
+                depth = 1
+                while depth:
+                    tk = self.advance()
+                    if tk.is_op("("):
+                        depth += 1
+                    elif tk.is_op(")"):
+                        depth -= 1
+        while True:
+            if self.accept_kws("ORDER", "BY"):
+                ct.order_by = self._key_list()
+            elif self.accept_kws("PARTITION", "BY"):
+                ct.partition_by = self._expr()
+            elif self.accept_kws("PRIMARY", "KEY"):
+                ct.primary_key = self._key_list()
+            elif self.accept_kws("SAMPLE", "BY"):
+                ct.sample_by = self.advance().text
+            elif self.accept_kw("TTL"):
+                parts = []
+                while not (self.tok.kind == T.EOF
+                           or self.tok.is_kw("SETTINGS", "AS", "ORDER",
+                                             "PARTITION", "PRIMARY", "SAMPLE")):
+                    parts.append(self.advance().text)
+                ct.ttl = " ".join(parts)
+            elif self.accept_kw("SETTINGS"):
+                while True:
+                    k = self.advance().text
+                    self.expect_op("=")
+                    ct.settings[k] = self._literal_value()
+                    if not self.accept_op(","):
+                        break
+            else:
+                return
+
+    def _key_list(self) -> list[str]:
+        if self.accept_op("("):
+            if self.accept_op(")"):    # ORDER BY tuple() = unordered
+                return []
+            out = [self.advance().text]
+            while self.accept_op(","):
+                out.append(self.advance().text)
+            self.expect_op(")")
+            return out
+        return [self.advance().text]
+
+    # --- DROP / RENAME ----------------------------------------------------
+
+    def _drop(self):
+        self.advance()
+        kind = "TABLE"
+        if self.accept_kw("DATABASE"):
+            kind = "DATABASE"
+        elif self.accept_kw("VIEW"):
+            kind = "VIEW"
+        else:
+            self.accept_kw("TEMPORARY")
+            self.expect_kw("TABLE")
+        ie = bool(self.accept_kws("IF", "EXISTS"))
+        db, name = self._qualified_name()
+        self.accept_kw("PERMANENTLY")
+        self.accept_kw("SYNC")
+        return DropStmt(kind, db, name, ie)
+
+    def _rename(self):
+        self.advance()
+        self.expect_kw("TABLE")
+        renames = []
+        while True:
+            _, a = self._qualified_name()
+            self.expect_kw("TO")
+            _, b = self._qualified_name()
+            renames.append((a, b))
+            if not self.accept_op(","):
+                break
+        return RenameTable(renames)
+
+    # --- INSERT -----------------------------------------------------------
+
+    def _insert(self):
+        self.advance()
+        self.expect_kw("INTO")
+        self.accept_kw("TABLE")
+        db, name = self._qualified_name()
+        cols = None
+        if self.tok.is_op("(") and not self.peek().is_kw("SELECT", "WITH"):
+            self.advance()
+            cols = [self.advance().text]
+            while self.accept_op(","):
+                cols.append(self.advance().text)
+            self.expect_op(")")
+        if self.accept_kw("VALUES"):
+            rows = []
+            while self.accept_op("("):
+                rows.append(self._expr_list())
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+            return InsertStmt(db, name, cols, values=rows)
+        if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
+            return InsertStmt(db, name, cols, select=self._union())
+        raise ParseError("INSERT requires VALUES or SELECT")
+
+    # --- SHOW / DESCRIBE / EXISTS ----------------------------------------
+
+    def _show(self):
+        self.advance()
+        self.accept_kw("TEMPORARY")
+        if self.accept_kw("DATABASES"):
+            return ShowStmt("DATABASES")
+        if self.accept_kw("CREATE"):
+            self.accept_kw("TABLE") or self.accept_kw("VIEW")
+            db, name = self._qualified_name()
+            return ShowStmt("CREATE_TABLE", database=db, target=name)
+        self.expect_kw("TABLES")
+        st = ShowStmt("TABLES")
+        if self.accept_kw("FROM") or self.accept_kw("IN"):
+            st.database = self.advance().text
+        if self.accept_kws("NOT", "LIKE"):
+            st.not_like = True
+            st.like = self.advance().text
+        elif self.accept_kw("LIKE") or self.accept_kw("ILIKE"):
+            st.like = self.advance().text
+        return st
+
+    def _describe(self):
+        self.advance()
+        self.accept_kw("TABLE")
+        db, name = self._qualified_name()
+        return DescribeStmt(db, name)
+
+    def _exists(self):
+        self.advance()
+        self.accept_kw("TABLE")
+        db, name = self._qualified_name()
+        return ExistsStmt(db, name)
+
+    def _set(self):
+        self.advance()
+        settings = {}
+        while True:
+            k = self.advance().text
+            self.expect_op("=")
+            settings[k] = self._literal_value()
+            if not self.accept_op(","):
+                break
+        return SetStmt(settings)
+
+    def _explain(self):
+        self.advance()
+        kind = "PLAN"
+        for k in ("AST", "SYNTAX", "PLAN", "PIPELINE", "ESTIMATE"):
+            if self.accept_kw(k):
+                kind = k
+                break
+        return ExplainStmt(kind, self._union())
+
+    def _optimize(self):
+        self.advance()
+        self.expect_kw("TABLE")
+        db, name = self._qualified_name()
+        st = OptimizeStmt(db, name)
+        if self.accept_kw("PARTITION"):
+            self._expr()
+        st.final = bool(self.accept_kw("FINAL"))
+        if self.accept_kw("DEDUPLICATE"):
+            st.deduplicate = True
+            if self.accept_kw("BY"):
+                st.dedup_by = [self.advance().text]
+                while self.accept_op(","):
+                    st.dedup_by.append(self.advance().text)
+        return st
