@@ -1,0 +1,91 @@
+"""Plan-quality guards: the physical plans we rely on at 100 TB.
+
+These assert the *shape* of the plan, not results: filter pushdown into
+the parquet scan, column pruning, broadcast joins for dimension tables,
+and no Python row-at-a-time UDFs in the hot paths. A regression here is
+a 100×-at-scale problem even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_from_scratch_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1].split("]", 1)[0]
+    # column pruning: unused lineitem columns must not be read
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    # exactly one shuffle (the groupBy); partial agg happens map-side
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # the filtered customer dim must broadcast, not shuffle
+    assert "BroadcastExchange" in plan
+    # segment filter pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_fact_streams_through_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    # all five dimension joins must be broadcast: the fact table
+    # (lineitem) streams once with no join shuffle
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof")
+    # union+window lowering: no O(n*m) range join, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    # everything except the explicitly-Arrow multimodal path must stay
+    # JVM-side (whole-stage codegen'd)
+    for name in ["q1_pricing_summary", "join_asof", "dedup_minhash_lsh",
+                 "text_quality", "embedding_cosine_topk", "sessionization"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_multimodal_uses_arrow_not_pickle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_decode")
+    # mapInPandas → ArrowEvalPython / MapInPandas, never row-pickling
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sql_frontend_pushdown(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_all
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    df = execute_sql(
+        spark,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000",
+        load_all(spark, sf_dir))
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # predicates written in CH dialect still reach the parquet scan
+    assert "GreaterThan(o_totalprice,100000" in plan
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_orderdate" not in read_schema    # pruned
