@@ -32,9 +32,10 @@ from .functions.typemap import ch_type_to_spark
 from .operators import final as final_op
 from .plans.builder import build
 from .plans.statements import (
-    CheckStmt, CreateDatabase, CreateTable, CreateView, DescribeStmt,
-    DropStmt, ExistsStmt, ExplainStmt, InsertStmt, OptimizeStmt,
-    RenameTable, SetStmt, ShowStmt, TruncateStmt, UseStmt, parse_statement,
+    CheckStmt, CreateDatabase, CreateLiveView, CreateTable, CreateView,
+    CreateWindowView, DescribeStmt, DropStmt, ExistsStmt, ExplainStmt,
+    InsertStmt, OptimizeStmt, OutputClause, RenameTable, SetStmt, ShowStmt,
+    TruncateStmt, UseStmt, WatchStmt, parse_statement,
 )
 from .plans.ast_nodes import SelectQuery, UnionQuery
 
@@ -85,9 +86,14 @@ class ChSession:
         """Run one statement. SELECT → DataFrame; DDL/admin → DataFrame
         describing the effect (mirrors clickhouse-client output shape)."""
         node = parse_statement(sql)
+        if isinstance(node, OutputClause):
+            return self._output(node)
         if isinstance(node, (SelectQuery, UnionQuery)):
             return build(self.spark, node, self._tables(), self._engines())
         handler = {
+            CreateLiveView: self._create_live_view,
+            CreateWindowView: self._create_window_view,
+            WatchStmt: self._watch,
             CreateDatabase: self._create_database,
             CreateTable: self._create_table,
             CreateView: self._create_view,
@@ -291,8 +297,14 @@ class ChSession:
         cols = node.columns or [n for n, _ in meta.columns]
         if node.values is not None:
             types = dict(meta.columns)
-            schema = ", ".join(f"`{c}` {ch_type_to_spark(types[c])}"
-                               for c in cols)
+
+            def ingest_type(ch_t: str) -> str:
+                # date/time literals arrive as strings; the final
+                # projection casts them to the declared type
+                spark_t = ch_type_to_spark(ch_t)
+                return "string" if spark_t in ("timestamp", "date") else spark_t
+
+            schema = ", ".join(f"`{c}` {ingest_type(types[c])}" for c in cols)
             source = self.spark.createDataFrame(
                 [tuple(_literal_py(v) for v in row) for row in node.values],
                 schema)
@@ -412,6 +424,82 @@ class ChSession:
                 text = df._jdf.queryExecution().toString()
         return self.spark.createDataFrame(
             [(line,) for line in text.split("\n")], "explain string")
+
+    # --- streaming surface (§2.9): LIVE VIEW / WINDOW VIEW / WATCH --------
+
+    def _create_live_view(self, node: CreateLiveView):
+        """LIVE VIEW = continuously-updated result. In the batch catalog a
+        WATCH re-evaluates the stored query over current table state
+        (always-fresh semantics); the true push-based form runs through
+        streaming.LiveView on a readStream source."""
+        if node.name in self._db() and node.if_not_exists:
+            return self._ok()
+        meta = TableMeta(node.name, self.current_db, [], engine="LiveView",
+                         is_view=True, view_query=node.query)
+        meta.settings["refresh_sec"] = node.refresh_sec
+        meta.settings["_version"] = 0
+        self._db()[node.name] = meta
+        return self._ok()
+
+    def _create_window_view(self, node: CreateWindowView):
+        """WINDOW VIEW: stored windowed aggregation (tumble/hop in the
+        query compile to ``F.window``); WATCH evaluates it, TO tbl routes
+        each evaluation into the target table (the batch analogue of
+        ``writeStream.toTable``; streaming.WindowView is the live form)."""
+        if node.name in self._db() and node.if_not_exists:
+            return self._ok()
+        meta = TableMeta(node.name, self.current_db, [], engine="WindowView",
+                         is_view=True, view_query=node.query)
+        meta.settings.update({"to_table": node.to_table,
+                              "watermark": node.watermark,
+                              "allowed_lateness": node.allowed_lateness,
+                              "_version": 0})
+        self._db()[node.name] = meta
+        return self._ok()
+
+    def _watch(self, node: WatchStmt):
+        meta = self._resolve(None, node.name)
+        if meta.engine not in ("LiveView", "WindowView", "View"):
+            raise ValueError(f"WATCH target is not a view: {node.name}")
+        meta.settings["_version"] = meta.settings.get("_version", 0) + 1
+        if node.events:
+            return self.spark.createDataFrame(
+                [(meta.settings["_version"],)], "version bigint")
+        df = self._read(meta)
+        to_table = meta.settings.get("to_table")
+        if to_table:
+            target = self._resolve(None, to_table)
+            snapshot = df
+            if target.memory_df is not None:
+                target.memory_df = snapshot
+            else:
+                self._write(target, snapshot, mode="overwrite")
+        if node.limit is not None:
+            df = df.limit(node.limit)
+        return df
+
+    def _output(self, node: OutputClause):
+        """INTO OUTFILE 'f' [COMPRESSION 'm'] [FORMAT fmt] suffix."""
+        inner = node.query
+        if not isinstance(inner, (SelectQuery, UnionQuery)):
+            raise ValueError("INTO OUTFILE/FORMAT applies to queries")
+        df = build(self.spark, inner, self._tables(), self._engines())
+        if node.outfile:
+            from .sources import write_format
+            write_format(df, node.format or "Parquet", node.outfile,
+                         compression=node.compression)
+            return self._ok()
+        if node.format in ("Pretty", "PrettyCompact", "PrettySpace"):
+            from .sources.formats import to_pretty
+            return self.spark.createDataFrame(
+                [(line,) for line in to_pretty(df).split("\n")],
+                "output string")
+        if node.format in ("TabSeparated", "TSV"):
+            from .sources.formats import to_tab_separated
+            return self.spark.createDataFrame(
+                [(line,) for line in to_tab_separated(df).split("\n")],
+                "output string")
+        return df
 
     def _check(self, node: CheckStmt):
         meta = self._resolve(node.database, node.table)

@@ -65,6 +65,47 @@ class CreateView(Node):
 
 
 @dataclass
+class CreateLiveView(Node):
+    """CREATE LIVE VIEW lv [WITH PERIODIC REFRESH n] AS SELECT
+    (reference ParserCreateQuery.cpp:666-817)."""
+    name: str
+    query: SelectQuery | UnionQuery
+    refresh_sec: int | None = None
+    timeout_sec: int | None = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateWindowView(Node):
+    """CREATE WINDOW VIEW wv [TO tbl] [WATERMARK=...] [ALLOWED_LATENESS=...]
+    AS SELECT ... GROUP BY tumble/hop(...) (ParserCreateQuery.cpp:819-965)."""
+    name: str
+    query: SelectQuery | UnionQuery
+    to_table: str | None = None
+    watermark: str | None = None          # None=STRICTLY_ASCENDING, else interval text
+    allowed_lateness: str | None = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class WatchStmt(Node):
+    """WATCH lv [EVENTS] [LIMIT n] (ParserWatchQuery.cpp)."""
+    name: str
+    events: bool = False
+    limit: int | None = None
+
+
+@dataclass
+class OutputClause(Node):
+    """INTO OUTFILE 'f' [COMPRESSION 'm'] / FORMAT name wrapper around a
+    query (ParserQueryWithOutput.cpp:83-130)."""
+    query: Node
+    outfile: str | None = None
+    compression: str | None = None
+    format: str | None = None
+
+
+@dataclass
 class DropStmt(Node):
     kind: str                      # TABLE | DATABASE | VIEW
     database: str | None
@@ -151,17 +192,34 @@ def parse_statement(sql: str) -> Node:
 class StatementParser(Parser):
     def parse_statement(self) -> Node:
         node = self._dispatch()
-        if not isinstance(node, (SelectQuery, UnionQuery)):
-            self.accept_op(";")
-            if self.tok.kind != T.EOF:
-                raise ParseError(f"trailing input at {self.tok.pos}: "
-                                 f"{self.tok.text!r}")
+        # INTO OUTFILE / FORMAT suffix (query-with-output wrapper)
+        outfile = compression = fmt = None
+        if self.accept_kws("INTO", "OUTFILE"):
+            outfile = self.advance().text
+            if self.accept_kw("COMPRESSION"):
+                compression = self.advance().text
+        if self.accept_kw("FORMAT"):
+            fmt = self.advance().text
+        self.accept_op(";")
+        if self.tok.kind != T.EOF:
+            raise ParseError(f"trailing input at {self.tok.pos}: "
+                             f"{self.tok.text!r}")
+        if outfile or fmt:
+            return OutputClause(node, outfile, compression, fmt)
         return node
 
     def _dispatch(self) -> Node:
         t = self.tok
         if t.is_kw("SELECT", "WITH"):
-            return self.parse_query()
+            return self._union()
+        if t.is_kw("WATCH"):
+            self.advance()
+            name = self.advance().text
+            events = bool(self.accept_kw("EVENTS"))
+            limit = None
+            if self.accept_kw("LIMIT"):
+                limit = int(self.advance().text)
+            return WatchStmt(name, events, limit)
         if t.is_kw("CREATE", "ATTACH"):
             return self._create()
         if t.is_kw("DROP", "DETACH"):
@@ -199,6 +257,13 @@ class StatementParser(Parser):
             return self.parse_query()
         raise ParseError(f"unknown statement start: {t.text!r}")
 
+    def _interval_text(self) -> str:
+        """Parse ``INTERVAL n UNIT`` into Spark's '<n> <unit>' delay text."""
+        self.expect_kw("INTERVAL")
+        n = self.advance().text
+        unit = self.advance().text.lower().rstrip("s")
+        return f"{n} {unit}s"
+
     def _qualified_name(self) -> tuple[str | None, str]:
         a = self.advance().text
         if self.accept_op("."):
@@ -214,6 +279,37 @@ class StatementParser(Parser):
         if self.accept_kw("DATABASE"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             return CreateDatabase(self.advance().text, ine)
+        if self.accept_kws("LIVE", "VIEW"):
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            _, name = self._qualified_name()
+            lv = CreateLiveView(name, None, if_not_exists=ine)
+            while self.accept_kw("WITH"):
+                if self.accept_kw("TIMEOUT"):
+                    lv.timeout_sec = int(self.advance().text)
+                elif self.accept_kws("PERIODIC", "REFRESH"):
+                    lv.refresh_sec = int(self.advance().text)
+            self.expect_kw("AS")
+            lv.query = self._union()
+            return lv
+        if self.accept_kws("WINDOW", "VIEW"):
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            _, name = self._qualified_name()
+            wv = CreateWindowView(name, None, if_not_exists=ine)
+            if self.accept_kw("TO"):
+                _, wv.to_table = self._qualified_name()
+            if self.accept_kw("WATERMARK"):
+                self.expect_op("=")
+                if self.accept_kw("STRICTLY_ASCENDING") \
+                        or self.accept_kw("ASCENDING"):
+                    wv.watermark = "0 seconds"
+                else:
+                    wv.watermark = self._interval_text()
+            if self.accept_kw("ALLOWED_LATENESS"):
+                self.expect_op("=")
+                wv.allowed_lateness = self._interval_text()
+            self.expect_kw("AS")
+            wv.query = self._union()
+            return wv
         materialized = bool(self.accept_kw("MATERIALIZED"))
         if self.accept_kw("VIEW"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
