@@ -299,10 +299,14 @@ class ChSession:
             types = dict(meta.columns)
 
             def ingest_type(ch_t: str) -> str:
-                # date/time literals arrive as strings; the final
-                # projection casts them to the declared type
+                # date/time literals arrive as strings and decimals as
+                # floats; the final projection casts to the declared type
                 spark_t = ch_type_to_spark(ch_t)
-                return "string" if spark_t in ("timestamp", "date") else spark_t
+                if spark_t in ("timestamp", "date"):
+                    return "string"
+                if spark_t.startswith("decimal"):
+                    return "double"
+                return spark_t
 
             schema = ", ".join(f"`{c}` {ingest_type(types[c])}" for c in cols)
             source = self.spark.createDataFrame(
@@ -533,6 +537,13 @@ def _literal_py(node):
         return -_literal_py(node.args[0])
     if isinstance(node, FuncCall) and node.name in ("toDate", "toDateTime"):
         return _literal_py(node.args[0])
+    if isinstance(node, FuncCall) and node.name == "array":
+        return [_literal_py(i) for i in node.args]
+    if isinstance(node, FuncCall) and node.name == "tuple":
+        return tuple(_literal_py(i) for i in node.args)
+    if isinstance(node, FuncCall) and node.name == "map":
+        items = [_literal_py(i) for i in node.args]
+        return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
 
 

@@ -383,8 +383,10 @@ _alias("emptyArrayString", lambda: F.array().cast("array<string>"))
 _alias("arrayReduce", lambda name, a: {"sum": REGISTRY["arraySum"], "min": F.array_min, "max": F.array_max}[name](a))
 
 # --- tuples / maps --------------------------------------------------------
-_alias("tuple", F.struct)
-_alias("tupleElement", lambda t, i: _c(t)[f"col{i}"] if isinstance(i, int) else _c(t)[i])
+_alias("tuple", lambda *cs: F.struct(*[_c(c).alias(f"_{i+1}")
+                                       for i, c in enumerate(cs)]))
+# positional access uses the _N field names of the CH Tuple type mapping
+_alias("tupleElement", lambda t, i: _c(t)[f"_{i}"] if isinstance(i, int) else _c(t)[i])
 _alias("map", F.create_map)
 _alias("mapKeys", F.map_keys)
 _alias("mapValues", F.map_values)
@@ -448,6 +450,155 @@ def _transform_map(c, frm, to, dflt) -> Column:
     for f_, t_ in zip(frm[1:], to[1:]):
         out = out.when(_c(c) == f_, t_)
     return out.otherwise(_c(dflt))
+
+
+# --- URL functions (public CH URL family → parse_url/regexp) --------------
+_alias("protocol", lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
+_alias("domain", lambda u: F.parse_url(_c(u), F.lit("HOST")))
+_alias("domainWithoutWWW", lambda u: F.regexp_replace(
+    F.parse_url(_c(u), F.lit("HOST")), r"^www\.", ""))
+_alias("topLevelDomain", lambda u: F.regexp_extract(
+    F.parse_url(_c(u), F.lit("HOST")), r"\.([^.]+)$", 1))
+_alias("path", lambda u: F.parse_url(_c(u), F.lit("PATH")))
+_alias("pathFull", lambda u: F.concat(
+    F.parse_url(_c(u), F.lit("PATH")),
+    F.coalesce(F.concat(F.lit("?"), F.parse_url(_c(u), F.lit("QUERY"))),
+               F.lit(""))))
+_alias("queryString", lambda u: F.coalesce(
+    F.parse_url(_c(u), F.lit("QUERY")), F.lit("")))
+_alias("fragment", lambda u: F.coalesce(
+    F.parse_url(_c(u), F.lit("REF")), F.lit("")))
+_alias("extractURLParameter",
+       lambda u, p: F.coalesce(F.parse_url(_c(u), F.lit("QUERY"), F.lit(p)),
+                               F.lit("")))
+_alias("cutQueryString", lambda u: F.split(_c(u), r"\?")[0])
+_alias("cutFragment", lambda u: F.split(_c(u), r"#")[0])
+_alias("encodeURLComponent", lambda u: F.url_encode(_c(u)))
+_alias("decodeURLComponent", lambda u: F.url_decode(_c(u)))
+
+# --- more array functions -------------------------------------------------
+_alias("arrayDifference", lambda a: F.zip_with(
+    _c(a), F.concat(F.slice(_c(a), 1, 1), F.slice(_c(a), 1,
+                                                  F.greatest(F.size(_c(a)) - 1, F.lit(0)))),
+    lambda x, y: x - y))
+_alias("arrayCumSum", lambda a: _array_cumsum(_c(a)))
+
+
+def _array_cumsum(a: Column) -> Column:
+    idx = F.sequence(F.lit(1), F.size(a))
+    return F.transform(idx, lambda i: F.aggregate(
+        F.slice(a, 1, i), F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+
+
+_alias("arrayResize", lambda a, n, fill=0: F.concat(
+    F.slice(_c(a), 1, n),
+    F.array_repeat(F.lit(fill), F.greatest(F.lit(n) - F.size(_c(a)), F.lit(0)))))
+_alias("arrayWithConstant", lambda n, v: F.array_repeat(_c(v), n))
+_alias("arrayFirst", lambda f, a: F.element_at(F.filter(_c(a), f), 1))
+_alias("arrayLast", lambda f, a: F.element_at(F.filter(_c(a), f), -1))
+_alias("arrayFirstIndex", lambda f, a: F.coalesce(
+    F.array_position(_c(a), F.element_at(F.filter(_c(a), f), 1)), F.lit(0)))
+_alias("countEqual", lambda a, v: F.size(F.filter(_c(a), lambda x: x == v)))
+_alias("mapFromArrays", lambda k, v: F.map_from_arrays(_c(k), _c(v)))
+_alias("arrayShuffle", lambda a: F.shuffle(_c(a)))
+
+# --- more date/time -------------------------------------------------------
+_alias("date_trunc", lambda unit, c: F.date_trunc(unit, _c(c)))
+_alias("dateTrunc", REGISTRY["date_trunc"])
+_alias("toStartOfFiveMinutes", lambda c: F.timestamp_seconds(
+    (F.unix_timestamp(_c(c)) / 300).cast("long") * 300))
+_alias("toStartOfTenMinutes", lambda c: F.timestamp_seconds(
+    (F.unix_timestamp(_c(c)) / 600).cast("long") * 600))
+_alias("timeSlot", lambda c: F.timestamp_seconds(
+    (F.unix_timestamp(_c(c)) / 1800).cast("long") * 1800))
+_alias("toYYYYMMDDhhmmss", lambda c: F.date_format(_c(c), "yyyyMMddHHmmss")
+       .cast("long"))
+_alias("toRelativeDayNum", lambda c: F.datediff(
+    _c(c).cast("date"), F.to_date(F.lit("1970-01-01"))))
+_alias("toRelativeHourNum", lambda c: (F.unix_timestamp(_c(c)) / 3600)
+       .cast("long"))
+_alias("fromUnixTimestamp64Milli", lambda c: F.timestamp_millis(_c(c)))
+_alias("fromUnixTimestamp64Micro", lambda c: F.timestamp_micros(_c(c)))
+_alias("toUnixTimestamp64Milli", lambda c: F.unix_millis(_c(c)))
+_alias("toUnixTimestamp64Micro", lambda c: F.unix_micros(_c(c)))
+_alias("now64", lambda p=3: F.current_timestamp())
+_alias("monthName", lambda c: F.date_format(_c(c), "MMMM"))
+_alias("toMonday", lambda c: F.date_trunc("week", _c(c)).cast("date"))
+
+# --- more string functions ------------------------------------------------
+_alias("ascii", F.ascii)
+_alias("char", lambda *cs: F.concat(*[F.char(_c(c)) for c in cs]))
+_alias("initcap", F.initcap)
+_alias("normalizeQuery", lambda s: F.regexp_replace(_c(s), r"\s+", " "))
+_alias("countSubstrings", lambda s, sub: (
+    (F.length(_c(s)) - F.length(F.replace(_c(s), _c(sub), F.lit(""))))
+    / F.length(_c(sub))).cast("long"))
+_alias("countMatches", lambda s, pat: F.size(
+    F.regexp_extract_all(_c(s), F.lit(pat), F.lit(0))))
+_alias("isAlphaNumeric", lambda s: _c(s).rlike(r"^[A-Za-z0-9]+$"))
+_alias("toStringCutToZero", lambda s: F.split(_c(s), "\x00")[0])
+_alias("appendTrailingCharIfAbsent", lambda s, c: F.when(
+    _c(s).endswith(c), _c(s)).otherwise(F.concat(_c(s), F.lit(c))))
+_alias("formatReadableSize", lambda n: _readable_size(_c(n)))
+
+
+def _readable_size(n: Column) -> Column:
+    return (F.when(n >= 1 << 30, F.concat(F.round(n / (1 << 30), 2)
+                                          .cast("string"), F.lit(" GiB")))
+            .when(n >= 1 << 20, F.concat(F.round(n / (1 << 20), 2)
+                                         .cast("string"), F.lit(" MiB")))
+            .when(n >= 1 << 10, F.concat(F.round(n / (1 << 10), 2)
+                                         .cast("string"), F.lit(" KiB")))
+            .otherwise(F.concat(n.cast("long").cast("string"),
+                                F.lit(" B"))))
+
+
+# --- more math ------------------------------------------------------------
+_alias("gcd", lambda a, b: _gcd_col(_c(a), _c(b)))
+_alias("lcm", lambda a, b: (_c(a) * _c(b) / _gcd_col(_c(a), _c(b)))
+       .cast("long"))
+
+
+def _gcd_col(a: Column, b: Column) -> Column:
+    # Euclid via F.aggregate over a 92-step sequence: the accumulator is
+    # iterated at RUNTIME, so the expression tree stays linear. (A Python
+    # loop building when(...) chains doubles the tree per step — 2^40
+    # nodes — which stalls analysis.) 92 steps bounds worst-case
+    # Fibonacci-pair inputs for 64-bit longs.
+    pair = F.struct(F.abs(a).cast("long").alias("x"),
+                    F.abs(b).cast("long").alias("y"))
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(92)), pair,
+        lambda acc, _: F.struct(
+            F.when(acc["y"] == 0, acc["x"]).otherwise(acc["y"]).alias("x"),
+            F.when(acc["y"] == 0, F.lit(0).cast("long"))
+             .otherwise(F.pmod(acc["x"], acc["y"])).alias("y")))
+    return res["x"]
+
+
+_alias("log1p", lambda c: F.log1p(_c(c)))
+_alias("expm1", lambda c: F.expm1(_c(c)))
+_alias("degrees", F.degrees)
+_alias("radians", F.radians)
+_alias("factorial", F.factorial)
+_alias("bitCount", F.bit_count)
+_alias("byteSize", lambda c: F.octet_length(_c(c).cast("string")))
+_alias("intExp2", lambda c: F.pow(F.lit(2.0), _c(c)).cast("long"))
+_alias("intExp10", lambda c: F.pow(F.lit(10.0), _c(c)).cast("long"))
+
+# --- geo (CH geo family; haversine great-circle) --------------------------
+_alias("greatCircleDistance", lambda lon1, lat1, lon2, lat2:
+       _haversine(_c(lon1), _c(lat1), _c(lon2), _c(lat2)))
+_alias("geoDistance", REGISTRY["greatCircleDistance"])
+
+
+def _haversine(lon1, lat1, lon2, lat2) -> Column:
+    r = 6372797.560856  # CH uses this Earth radius in meters
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (F.sin(dlat) ** 2
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) ** 2)
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
 
 
 # --- aggregates (names; combinators -If/-Distinct in aggregates.py) -------

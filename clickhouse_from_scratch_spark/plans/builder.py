@@ -669,7 +669,10 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     if isinstance(node, ArrayLiteral):
         return F.array(*[_eval(a, ctx, df) for a in node.items])
     if isinstance(node, TupleLiteral):
-        return F.struct(*[_eval(a, ctx, df) for a in node.items])
+        # field names _1.._n match the CH Tuple → struct type mapping, so
+        # tupleElement / ``t.1`` access works on literals and columns alike
+        return F.struct(*[_eval(a, ctx, df).alias(f"_{i+1}")
+                          for i, a in enumerate(node.items)])
     if isinstance(node, IntervalExpr):
         v = node.value
         if isinstance(v, Literal):
@@ -691,12 +694,33 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     raise BuildError(f"cannot evaluate node: {type(node).__name__}")
 
 
+_POLYMORPHIC = {"length": ("arrayLength", "length"),
+                "empty": (None, "empty"),
+                "notEmpty": (None, "notEmpty"),
+                "reverse": ("arrayReverse", "reverse")}
+
+
 def _call_fn(node: FuncCall, cols: list, ctx: Context,
              df: DataFrame | None) -> Column:
     name = node.name
     # window functions
     if node.window is not None:
         return _window_call(node, cols, ctx, df)
+    # CH length/empty/reverse are polymorphic over strings AND arrays —
+    # dispatch on the argument's resolved type (schema-only, no job)
+    if name in _POLYMORPHIC and len(cols) == 1 and df is not None:
+        try:
+            dt = df.select(cols[0]).schema[0].dataType.simpleString()
+        except Exception:
+            dt = ""
+        if dt.startswith(("array", "map")):
+            arr_name, _ = _POLYMORPHIC[name]
+            if arr_name:
+                return REGISTRY[arr_name](cols[0])
+            if name == "empty":
+                return F.size(cols[0]) == 0
+            if name == "notEmpty":
+                return F.size(cols[0]) > 0
     # IN with literal tuple/array
     if name in ("in", "notIn", "globalIn", "globalNotIn"):
         target, rhs_node = node.args
