@@ -262,6 +262,22 @@ def _spark_type(t: str) -> str:
     return ch_type_to_spark(t)
 
 
+# -OrZero / -OrNull cast variants: CH's lenient parse-conversions.
+# Spark's non-ANSI cast already yields NULL on failure → OrNull is the
+# cast itself, OrZero coalesces the type default over it.
+for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
+                      ("toInt32", "int"), ("toInt64", "long"),
+                      ("toUInt8", "smallint"), ("toUInt16", "int"),
+                      ("toUInt32", "long"), ("toUInt64", "long"),
+                      ("toFloat32", "float"), ("toFloat64", "double"),
+                      ("toDate", "date"), ("toDateTime", "timestamp")]:
+    _alias(_base + "OrNull", lambda c, t=_sql_t: _c(c).cast(t))
+    _alias(_base + "OrZero",
+           lambda c, t=_sql_t: F.coalesce(
+               _c(c).cast(t),
+               (F.lit("1970-01-01").cast(t) if t in ("date", "timestamp")
+                else F.lit(0).cast(t))))
+
 # --- date/time (ExpressionElementParsers EXTRACT + to* family) ------------
 _alias("toYear", F.year)
 _alias("toMonth", F.month)

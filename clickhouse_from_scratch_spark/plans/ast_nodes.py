@@ -34,7 +34,16 @@ class Identifier(Node):
 
 @dataclass
 class Star(Node):
-    table: str | None = None   # t.* → "t"
+    """``*`` / ``t.*`` with ClickHouse column-set modifiers
+    (ExpressionElementParsers.cpp:1774-2015): COLUMNS('re'),
+    * EXCEPT (...), * REPLACE (expr AS col), * APPLY (fn)."""
+    table: str | None = None            # t.* → "t"
+    columns_regex: str | None = None    # COLUMNS('re')
+    columns_list: list[str] | None = None   # COLUMNS(a, b)
+    except_: list[str] | None = None    # * EXCEPT (a, b)
+    except_regex: str | None = None     # * EXCEPT ('re')
+    replace: list[tuple["Node", str]] | None = None  # * REPLACE (e AS c)
+    apply: list["Node"] | None = None   # * APPLY (f) — FuncCall/Lambda/name
 
 
 @dataclass

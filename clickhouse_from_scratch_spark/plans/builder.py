@@ -61,7 +61,7 @@ class Context:
     tables: dict[str, DataFrame]
     aliases: dict[str, object] = field(default_factory=dict)   # name → AST
     lambda_params: dict[str, Column] = field(default_factory=dict)
-    columns: set[str] = field(default_factory=set)
+    columns: list[str] = field(default_factory=list)
     agg_slots: dict[str, Column] | None = None   # filled during agg planning
     key_slots: dict[str, str] | None = None      # ast-repr → column name
     engines: dict[str, dict] = field(default_factory=dict)  # FINAL metadata
@@ -112,7 +112,11 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         df = ctx.spark.range(1).select(F.lit(1).alias("dummy"))
     else:
         df = _build_from(q.from_, ctx)
-    ctx.columns = set(df.columns)
+    ctx.columns = list(df.columns)
+
+    # expand column-set stars (COLUMNS / EXCEPT / REPLACE / APPLY) into
+    # concrete select items so aggregation/projection logic is uniform
+    q = _expand_stars(q, ctx)
 
     # select-list aliases join the alias map (visible in WHERE/GROUP/HAVING)
     for item in q.select:
@@ -121,7 +125,7 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
 
     if q.array_join is not None:
         df = _apply_array_join(df, q.array_join, ctx)
-        ctx.columns = set(df.columns)
+        ctx.columns = list(df.columns)
 
     for pred in (q.prewhere, q.where):
         if pred is not None:
@@ -192,6 +196,76 @@ def _fill_col_name(it: OrderItem, df: DataFrame) -> str:
     if isinstance(e, Identifier):
         return e.name
     raise BuildError("WITH FILL requires a plain column in ORDER BY")
+
+
+def _expand_stars(q: SelectQuery, ctx: Context) -> SelectQuery:
+    """Expand Star nodes carrying COLUMNS/EXCEPT/REPLACE/APPLY modifiers
+    (ExpressionElementParsers.cpp:1774-2015) against the FROM columns."""
+    import copy
+    import re as _re
+
+    if not any(isinstance(it, Star) and _star_has_mods(it) for it in q.select):
+        return q
+    out: list = []
+    for item in q.select:
+        if not (isinstance(item, Star) and _star_has_mods(item)):
+            out.append(item)
+            continue
+        if item.table:
+            raise BuildError("t.* with column-set modifiers not supported")
+        cols = list(ctx.columns)        # source order preserved
+        if item.columns_regex:
+            rx = _re.compile(item.columns_regex)
+            cols = [c for c in cols if rx.search(c)]
+        elif item.columns_list:
+            cols = [c for c in item.columns_list]
+        if item.except_:
+            cols = [c for c in cols if c not in set(item.except_)]
+        if item.except_regex:
+            rx = _re.compile(item.except_regex)
+            cols = [c for c in cols if not rx.search(c)]
+        replace = dict()
+        for e, name in (item.replace or []):
+            replace[name] = e
+        for c in cols:
+            node: object = replace.get(c, Identifier([c]))
+            name = c
+            for f in (item.apply or []):
+                node, name = _apply_fn(f, node, name)
+            out.append(Alias(node, name) if not isinstance(node, Identifier)
+                       or name != c else node)
+    q2 = copy.copy(q)
+    q2.select = out
+    return q2
+
+
+def _star_has_mods(s: Star) -> bool:
+    return any([s.columns_regex, s.columns_list, s.except_, s.except_regex,
+                s.replace, s.apply])
+
+
+def _apply_fn(f, node, name: str):
+    """APPLY(f): wrap node in f; APPLY(x -> expr): substitute."""
+    if isinstance(f, Identifier):
+        return FuncCall(f.name, [node]), f"{f.name}({name})"
+    if isinstance(f, FuncCall):
+        return FuncCall(f.name, [node, *f.args]), f"{f.name}({name})"
+    if isinstance(f, Lambda):
+        return _subst(f.body, f.params[0], node), f"lambda({name})"
+    raise BuildError(f"APPLY expects a function or lambda, got {f}")
+
+
+def _subst(node, param: str, repl):
+    if isinstance(node, Identifier) and node.name == param:
+        return repl
+    if isinstance(node, FuncCall):
+        return FuncCall(node.name, [_subst(a, param, repl) for a in node.args],
+                        node.params, node.distinct)
+    if isinstance(node, Cast):
+        return Cast(_subst(node.expr, param, repl), node.type_name)
+    if isinstance(node, ArrayLiteral):
+        return ArrayLiteral([_subst(a, param, repl) for a in node.items])
+    return node
 
 
 # --- FROM -------------------------------------------------------------------

@@ -430,15 +430,64 @@ class Parser:
     def _select_item(self):
         if self.tok.is_op("*"):
             self.advance()
-            return Star()
+            return self._star_modifiers(Star())
+        # COLUMNS('regex') / COLUMNS(a, b) column matcher
+        if self.tok.is_kw("COLUMNS") and self.peek().is_op("("):
+            self.advance()
+            self.advance()
+            star = Star()
+            if self.tok.kind == T.STRING:
+                star.columns_regex = self.advance().text
+            else:
+                star.columns_list = [self.advance().text]
+                while self.accept_op(","):
+                    star.columns_list.append(self.advance().text)
+            self.expect_op(")")
+            return self._star_modifiers(star)
         # t.* form
         if (self.tok.kind == T.IDENT and self.peek().is_op(".")
                 and self.peek(2).is_op("*")):
             t = self.advance().text
             self.advance()
             self.advance()
-            return Star(table=t)
+            return self._star_modifiers(Star(table=t))
         return self._aliased_expr()
+
+    def _star_modifiers(self, star: Star) -> Star:
+        """* EXCEPT [STRICT] (cols|'re') / REPLACE (e AS c) / APPLY (f)
+        — chainable (ExpressionElementParsers.cpp:1819-2015)."""
+        while True:
+            if self.accept_kw("EXCEPT"):
+                self.accept_kw("STRICT")
+                paren = self.accept_op("(")
+                if self.tok.kind == T.STRING:
+                    star.except_regex = self.advance().text
+                else:
+                    star.except_ = [self.advance().text]
+                    while self.accept_op(","):
+                        star.except_.append(self.advance().text)
+                if paren:
+                    self.expect_op(")")
+            elif self.accept_kw("REPLACE"):
+                self.accept_kw("STRICT")
+                paren = self.accept_op("(")
+                star.replace = []
+                while True:
+                    e = self._expr()
+                    self.expect_kw("AS")
+                    star.replace.append((e, self.advance().text))
+                    if not self.accept_op(","):
+                        break
+                if paren:
+                    self.expect_op(")")
+            elif self.accept_kw("APPLY"):
+                paren = self.accept_op("(")
+                star.apply = star.apply or []
+                star.apply.append(self._expr())
+                if paren:
+                    self.expect_op(")")
+            else:
+                return star
 
     def _aliased_expr(self):
         e = self._expr()

@@ -299,6 +299,27 @@ CASES = [
     ("array_index",
      "SELECT [10, 20, 30][2] AS second",
      "SELECT 20 AS second"),
+    ("star_except",
+     "SELECT * EXCEPT (r_regionkey) FROM region",
+     "SELECT r_name FROM region"),
+    ("star_except_regex",
+     "SELECT * EXCEPT ('_name$') FROM region",
+     "SELECT r_regionkey FROM region"),
+    ("star_replace",
+     "SELECT * REPLACE (upper(r_name) AS r_name) FROM region",
+     "SELECT r_regionkey, upper(r_name) AS r_name FROM region"),
+    ("columns_regex",
+     "SELECT COLUMNS('^l_q') FROM lineitem",
+     "SELECT l_quantity FROM lineitem"),
+    ("columns_apply_agg",
+     "SELECT round(COLUMNS('acctbal') APPLY (sum), 4) FROM customer"
+     if False else
+     "SELECT COLUMNS(c_acctbal) APPLY (max) FROM customer",
+     'SELECT max(c_acctbal) AS "max(c_acctbal)" FROM customer'),
+    ("cast_or_null",
+     "SELECT toInt32OrNull('42') AS a, toInt32OrNull('xx') AS b, "
+     "toInt64OrZero('nope') AS c",
+     "SELECT 42 AS a, CAST(NULL AS INT) AS b, CAST(0 AS BIGINT) AS c"),
 ]
 
 
