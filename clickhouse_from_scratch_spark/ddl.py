@@ -32,10 +32,11 @@ from .functions.typemap import ch_type_to_spark
 from .operators import final as final_op
 from .plans.builder import build
 from .plans.statements import (
-    CheckStmt, CreateDatabase, CreateLiveView, CreateTable, CreateView,
-    CreateWindowView, DescribeStmt, DropStmt, ExistsStmt, ExplainStmt,
-    InsertStmt, OptimizeStmt, OutputClause, RenameTable, SetStmt, ShowStmt,
-    TruncateStmt, UseStmt, WatchStmt, parse_statement,
+    BackupStmt, CheckStmt, CreateDatabase, CreateLiveView, CreateTable,
+    CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt,
+    ExplainStmt, InsertStmt, KillStmt, OptimizeStmt, OutputClause,
+    RenameTable, SetStmt, ShowStmt, SystemStmt, TruncateStmt, UseStmt,
+    WatchStmt, parse_statement,
 )
 from .plans.ast_nodes import SelectQuery, UnionQuery
 
@@ -94,6 +95,9 @@ class ChSession:
             CreateLiveView: self._create_live_view,
             CreateWindowView: self._create_window_view,
             WatchStmt: self._watch,
+            SystemStmt: self._system,
+            KillStmt: self._kill,
+            BackupStmt: self._backup,
             CreateDatabase: self._create_database,
             CreateTable: self._create_table,
             CreateView: self._create_view,
@@ -294,6 +298,18 @@ class ChSession:
 
     def _insert(self, node: InsertStmt):
         meta = self._resolve(node.database, node.table)
+        if node.watch_view is not None:
+            # INSERT INTO t WATCH lv (ParserInsertQuery.cpp:165-172):
+            # pipe the live view's current state into the table
+            lv = self._resolve(None, node.watch_view)
+            source = self._read(lv)
+            if meta.memory_df is not None:
+                meta.memory_df = meta.memory_df.unionByName(
+                    source, allowMissingColumns=False) \
+                    if meta.memory_df.columns == source.columns else source
+            else:
+                self._write(meta, source, mode="append")
+            return self._ok()
         cols = node.columns or [n for n, _ in meta.columns]
         if node.values is not None:
             types = dict(meta.columns)
@@ -510,6 +526,47 @@ class ChSession:
         n = self._read(meta).count()       # full read-validate pass
         return self.spark.createDataFrame([(1, n)],
                                           "result int, rows bigint")
+
+    # --- admin verbs ------------------------------------------------------
+
+    _SYSTEM_SUPPORTED = ("DROP MARK CACHE", "DROP UNCOMPRESSED CACHE",
+                         "FLUSH LOGS", "RELOAD CONFIG", "STOP MERGES",
+                         "START MERGES")
+
+    def _system(self, node: SystemStmt):
+        """SYSTEM verbs (ASTSystemQuery.h:16-68): cache drops map to
+        Spark's catalog cache; the rest are honest no-ops (merges/config
+        belong to Spark's own runtime)."""
+        if node.verb.startswith("DROP") and "CACHE" in node.verb:
+            self.spark.catalog.clearCache()
+            return self._ok()
+        status = ("ok" if any(node.verb.startswith(v)
+                              for v in self._SYSTEM_SUPPORTED)
+                  else "noop (not applicable on Spark)")
+        return self.spark.createDataFrame([(node.verb, status)],
+                                          "verb string, status string")
+
+    def _kill(self, node: KillStmt):
+        """KILL QUERY — cancels active Spark job groups (best-effort)."""
+        self.spark.sparkContext.cancelAllJobs()
+        return self._ok()
+
+    def _backup(self, node: BackupStmt):
+        """BACKUP/RESTORE TABLE ... TO Disk('path') → parquet snapshot."""
+        if node.kind == "BACKUP":
+            meta = self._resolve(node.database, node.table)
+            self._read(meta).write.mode("overwrite").parquet(node.path)
+            return self._ok()
+        df = self.spark.read.parquet(node.path)
+        db = node.database or self.current_db
+        meta = TableMeta(node.table, db,
+                         [(f.name, _spark_to_ch(f.dataType.simpleString()))
+                          for f in df.schema.fields],
+                         engine="MergeTree",
+                         path=os.path.join(self.warehouse, db, node.table))
+        self._write(meta, df, mode="overwrite")
+        self._db(db)[node.table] = meta
+        return self._ok()
 
     def _ok(self):
         return self.spark.createDataFrame([(0,)], "ok int")

@@ -760,6 +760,13 @@ def _eval(node, ctx: Context, df: DataFrame | None,
             raise BuildError("scalar subquery must return 1 row × 1 column")
         return F.lit(rows[0][0])
     if isinstance(node, FuncCall):
+        if node.name == "__subqueryReduce":
+            return _call_fn(node, [], ctx, df)
+        if (node.name in ("in", "notIn", "globalIn", "globalNotIn")
+                and len(node.args) == 2 and isinstance(node.args[1], Subquery)):
+            # the Subquery rhs must not scalar-evaluate (it is a value set)
+            return _call_fn(node, [_eval(node.args[0], ctx, df), None],
+                            ctx, df)
         cols = [_eval(a, ctx, df) if not isinstance(a, Lambda) else a
                 for a in node.args]
         return _call_fn(node, cols, ctx, df)
@@ -780,6 +787,14 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
     # window functions
     if node.window is not None:
         return _window_call(node, cols, ctx, df)
+    # quantified-comparison marker: reduce the subquery's first column
+    # with min/max and inject the scalar (ANY/ALL rewrite §2.3)
+    if name == "__subqueryReduce":
+        sub = _build_query(node.args[0].query, ctx)
+        fn = node.args[1].value
+        first = sub.columns[0]
+        row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
+        return F.lit(row[0][0])
     # CH length/empty/reverse are polymorphic over strings AND arrays —
     # dispatch on the argument's resolved type (schema-only, no job)
     if name in _POLYMORPHIC and len(cols) == 1 and df is not None:

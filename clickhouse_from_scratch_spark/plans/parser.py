@@ -593,9 +593,38 @@ class Parser:
                "<=": "lessOrEquals", ">=": "greaterOrEquals"}
         if self.tok.kind == T.OP and self.tok.text in ops:
             op = self.advance().text
+            # quantified comparison: op ANY/ALL (subquery) — parse-time
+            # rewrite to IN / NOT IN / min / max scalar subqueries
+            # (ExpressionListParsers.cpp:201-285)
+            if self.tok.is_kw("ANY", "ALL") and self.peek().is_op("("):
+                quant = self.advance().text.upper()
+                self.expect_op("(")
+                sub = self._union()
+                self.expect_op(")")
+                return self._quantified(ops[op], quant, left, sub)
             right = self._concat()
             return FuncCall(ops[op], [left, right])
         return left
+
+    def _quantified(self, op: str, quant: str, left, sub):
+        subq = Subquery(sub)
+        if op == "equals" and quant == "ANY":
+            return FuncCall("in", [left, subq])
+        if op == "notEquals" and quant == "ALL":
+            return FuncCall("notIn", [left, subq])
+        # ordering comparisons reduce to min/max of the subquery column
+        reduce_fn = {
+            ("greater", "ANY"): "min", ("greaterOrEquals", "ANY"): "min",
+            ("less", "ANY"): "max", ("lessOrEquals", "ANY"): "max",
+            ("greater", "ALL"): "max", ("greaterOrEquals", "ALL"): "max",
+            ("less", "ALL"): "min", ("lessOrEquals", "ALL"): "min",
+        }.get((op, quant))
+        if reduce_fn is None:
+            raise ParseError(f"unsupported quantified comparison {op} {quant}")
+        # marker call the builder lowers to agg(first-column) scalar
+        return FuncCall(op, [left, FuncCall("__subqueryReduce",
+                                            [Subquery(sub),
+                                             Literal(reduce_fn)])])
 
     def _in_rhs(self):
         if self.accept_op("("):

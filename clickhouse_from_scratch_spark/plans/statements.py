@@ -125,6 +125,27 @@ class InsertStmt(Node):
     columns: list[str] | None
     values: list[list[Node]] | None = None      # VALUES form
     select: SelectQuery | UnionQuery | None = None
+    watch_view: str | None = None               # INSERT INTO t WATCH lv
+
+
+@dataclass
+class SystemStmt(Node):
+    """SYSTEM <verb ...> (ASTSystemQuery.h:16-68) — admin no-ops with
+    honest reporting."""
+    verb: str
+
+
+@dataclass
+class KillStmt(Node):
+    where: str
+
+
+@dataclass
+class BackupStmt(Node):
+    kind: str            # BACKUP | RESTORE
+    database: str | None
+    table: str
+    path: str
 
 
 @dataclass
@@ -253,6 +274,38 @@ class StatementParser(Parser):
             self.expect_kw("TABLE")
             db, name = self._qualified_name()
             return CheckStmt(db, name)
+        if t.is_kw("SYSTEM"):
+            self.advance()
+            parts = []
+            while self.tok.kind != T.EOF and not self.tok.is_op(";"):
+                parts.append(self.advance().text)
+            return SystemStmt(" ".join(parts).upper())
+        if t.is_kw("KILL"):
+            self.advance()
+            self.expect_kw("QUERY")
+            self.expect_kw("WHERE")
+            parts = []
+            while self.tok.kind != T.EOF and not self.tok.is_op(";") \
+                    and not self.tok.is_kw("SYNC", "ASYNC", "TEST"):
+                parts.append(self.advance().text)
+            self.accept_kw("SYNC") or self.accept_kw("ASYNC") \
+                or self.accept_kw("TEST")
+            return KillStmt(" ".join(parts))
+        if t.is_kw("BACKUP", "RESTORE"):
+            kind = self.advance().text.upper()
+            self.expect_kw("TABLE")
+            db, name = self._qualified_name()
+            if not (self.accept_kw("TO") or self.accept_kw("FROM")):
+                raise ParseError(f"{kind} requires TO/FROM at {self.tok.pos}")
+            # Disk('path') or plain 'path'
+            if self.tok.is_kw("DISK", "FILE") and self.peek().is_op("("):
+                self.advance()
+                self.advance()
+                path = self.advance().text
+                self.expect_op(")")
+            else:
+                path = self.advance().text
+            return BackupStmt(kind, db, name, path)
         if t.is_op("("):
             return self.parse_query()
         raise ParseError(f"unknown statement start: {t.text!r}")
@@ -489,6 +542,8 @@ class StatementParser(Parser):
             while self.accept_op(","):
                 cols.append(self.advance().text)
             self.expect_op(")")
+        if self.accept_kw("WATCH"):
+            return InsertStmt(db, name, cols, watch_view=self.advance().text)
         if self.accept_kw("VALUES"):
             rows = []
             while self.accept_op("("):
