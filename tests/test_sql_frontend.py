@@ -332,6 +332,28 @@ def test_sql_case(spark, tables, duck, name, ch_sql, duck_sql):
     assert not problems, f"{name}: {problems}\nspark:\n{got.head()}\nduck:\n{want.head()}"
 
 
+def test_join_strictness_sql(spark, tables, duck):
+    semi = execute_sql(spark, "SELECT c_custkey FROM customer SEMI LEFT "
+                       "JOIN orders ON c_custkey = o_custkey", tables)
+    want = duck.execute("SELECT count(*) FROM customer WHERE c_custkey IN "
+                        "(SELECT o_custkey FROM orders)").fetchone()[0]
+    assert semi.count() == want
+    anti = execute_sql(spark, "SELECT c_custkey FROM customer ANTI LEFT "
+                       "JOIN orders ON c_custkey = o_custkey", tables)
+    n_cust = tables["customer"].count()
+    assert anti.count() == n_cust - want
+
+
+def test_any_join_using_sql(spark, tables):
+    li = tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey")
+    t2 = dict(tables)
+    t2["li2"] = li
+    out = execute_sql(spark, "SELECT o_orderkey, l_linenumber FROM orders "
+                      "ANY LEFT JOIN li2 USING (o_orderkey)", t2)
+    # ANY strictness: left multiplicity preserved exactly
+    assert out.count() == tables["orders"].count()
+
+
 def test_final_with_engine_metadata(spark, tables, duck):
     got = execute_sql(
         spark,
