@@ -55,7 +55,7 @@ class FuncCall(Node):
     params: list[Node] = field(default_factory=list)   # f(p)(args)
     distinct: bool = False                             # f(DISTINCT x)
     filter_where: Node | None = None                   # f(x) FILTER(WHERE p)
-    window: WindowSpec | None = None                   # f(x) OVER (...)
+    window: "WindowSpec | str | None" = None           # OVER (...) | OVER name
 
 
 @dataclass
@@ -183,6 +183,7 @@ class SelectQuery(Node):
     where: Node | None = None
     group_by: GroupBy | None = None
     having: Node | None = None
+    windows: dict[str, WindowSpec] = field(default_factory=dict)
     order_by: list[OrderItem] = field(default_factory=list)
     limit_by: LimitBy | None = None
     limit: int | None = None

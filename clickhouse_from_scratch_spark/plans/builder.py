@@ -65,6 +65,7 @@ class Context:
     agg_slots: dict[str, Column] | None = None   # filled during agg planning
     key_slots: dict[str, str] | None = None      # ast-repr → column name
     engines: dict[str, dict] = field(default_factory=dict)  # FINAL metadata
+    windows: dict[str, "WindowSpec"] = field(default_factory=dict)  # WINDOW w AS
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
@@ -99,6 +100,7 @@ def _build_query(q, ctx: Context) -> DataFrame:
 
 def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     ctx = ctx.child()
+    ctx.windows = dict(q.windows)
     # WITH elements: subqueries become visible tables, scalar exprs become
     # aliases usable anywhere (CH scalar-WITH visibility)
     for name, node in q.ctes:
@@ -915,6 +917,10 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
 def _window_call(node: FuncCall, cols: list, ctx: Context,
                  df: DataFrame | None) -> Column:
     spec = node.window
+    if isinstance(spec, str):           # OVER w → look up WINDOW clause
+        if spec not in ctx.windows:
+            raise BuildError(f"unknown named window: {spec}")
+        spec = ctx.windows[spec]
     w = Window.partitionBy(*[_eval(p, ctx, df) for p in spec.partition_by])
     if spec.order_by:
         w = w.orderBy(*[_order_col(df, it, ctx) for it in spec.order_by])

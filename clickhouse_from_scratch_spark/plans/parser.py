@@ -35,7 +35,7 @@ _CLAUSE_KW = {
     "OFFSET", "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "INTO", "FORMAT",
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "USING",
     "ASOF", "SEMI", "ANTI", "ANY", "ALL", "GLOBAL", "ARRAY", "WITH", "BY",
-    "ASC", "DESC", "NULLS", "THEN", "ELSE", "WHEN", "END", "AS",
+    "ASC", "DESC", "NULLS", "THEN", "ELSE", "WHEN", "END", "AS", "WINDOW",
 }
 
 
@@ -190,6 +190,14 @@ class Parser:
                 q.group_by.with_totals = True
         if self.accept_kw("HAVING"):
             q.having = self._expr()
+        # WINDOW w AS (spec), ...  (named windows, ParserSelectQuery WINDOW)
+        if self.accept_kw("WINDOW"):
+            while True:
+                wname = self.advance().text
+                self.expect_kw("AS")
+                q.windows[wname] = self._window_spec()
+                if not self.accept_op(","):
+                    break
         if self.accept_kws("ORDER", "BY"):
             q.order_by = [self._order_item()]
             while self.accept_op(","):
@@ -840,7 +848,10 @@ class Parser:
             fc.filter_where = self._expr()
             self.expect_op(")")
         if self.accept_kw("OVER"):
-            fc.window = self._window_spec()
+            if self.tok.is_op("("):
+                fc.window = self._window_spec()
+            else:                       # OVER w → named window (WINDOW clause)
+                fc.window = self.advance().text
         return fc
 
     def _window_spec(self) -> WindowSpec:

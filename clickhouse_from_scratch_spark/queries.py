@@ -1042,6 +1042,31 @@ def sql_limit_by(spark, sf_dir):
                 "LIMIT 2 BY o_orderpriority")
 
 
+@query("sql_named_window", oracle="""
+SELECT o_orderkey, rnk, run_price FROM (
+  SELECT o_orderkey,
+         RANK() OVER w AS rnk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS run_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) ORDER BY o_orderkey LIMIT 500
+""")
+def sql_named_window(spark, sf_dir):
+    """Named WINDOW clause: WINDOW w AS (...) referenced via OVER w
+    (ParserSelectQuery window clause; reference window tests)."""
+    return _sql(spark, sf_dir, """
+        SELECT o_orderkey, rnk, run_price FROM (
+          SELECT o_orderkey,
+                 rank() OVER w AS rnk,
+                 toFloat64(sum(CAST(o_totalprice AS Decimal(18,2))) OVER w)
+                   AS run_price
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) ORDER BY o_orderkey LIMIT 500
+    """)
+
+
 @query("sql_final_sample", oracle="""
 SELECT user_id, event_id FROM
 (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

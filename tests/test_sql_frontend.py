@@ -354,6 +354,24 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_named_window_clause(spark, tables, duck):
+    got = execute_sql(spark, """
+        SELECT o_orderkey, rank() OVER w AS rnk,
+               count() OVER w AS cnt
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey
+    """, tables).toPandas()
+    want = duck.execute("""
+        SELECT o_orderkey, RANK() OVER w AS rnk, COUNT(*) OVER w AS cnt
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey
+    """).df()
+    assert got["rnk"].tolist() == want["rnk"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+
+
 def test_final_with_engine_metadata(spark, tables, duck):
     got = execute_sql(
         spark,
