@@ -13,7 +13,12 @@ from .dedup import (
     simhash_signatures,
     simhash_near_dups,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk
+from .similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    train_centroids,
+)
 from .text import (
     doc_fingerprint,
     language_id,
@@ -24,6 +29,6 @@ from .text import (
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_candidates",
     "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
-    "brute_force_topk", "lsh_bucketed_topk",
+    "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "train_centroids",
     "doc_fingerprint", "language_id", "quality_score", "token_count",
 ]

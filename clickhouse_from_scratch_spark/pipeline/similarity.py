@@ -6,6 +6,12 @@
 - ``lsh_bucketed_topk``: random-hyperplane LSH (sign of projection onto
   fixed seeded hyperplanes) buckets the corpus; each query probes only
   its bucket. Trades recall for a candidate set ~corpus/2^bits.
+- ``ivf_topk``: IVF coarse quantizer — k-means centroids trained on a
+  deterministic hash-sample of the corpus (driver-side Lloyd on numpy),
+  corpus partitioned by nearest-centroid cell, queries probe their
+  ``nprobe`` nearest cells. At 100 TB the cell assignment is one scan
+  (write the corpus bucketed by ``__cell`` for reuse) and each query
+  touches ~nprobe/n_centroids of the data.
 """
 
 from __future__ import annotations
@@ -69,6 +75,80 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
                .otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(F.shiftleft(bit, i))
     return sig
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                                  * (x.cast("double") - y.cast("double"))),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def train_centroids(corpus: DataFrame, n_centroids: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_n: int = 2048, iters: int = 8) -> list[list[float]]:
+    """Deterministic k-means: hash-sample up to ``sample_n`` vectors
+    (unbiased, scan-only — works the same at 100 TB), then Lloyd
+    iterations driver-side in numpy. Centroid training is always done on
+    a bounded sample, so collect() here is the scale-correct design, not
+    a shortcut."""
+    total = corpus.count()
+    mod = max(1, total // sample_n)
+    sample = (corpus.filter(F.pmod(F.abs(F.hash(F.col(id_col))), mod) == 0)
+              .select(id_col, vec_col).orderBy(id_col)
+              .limit(sample_n).collect())
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    n_centroids = min(n_centroids, len(X))
+    C = X[:n_centroids].copy()                 # deterministic init
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid indices (JVM-side: one struct
+    per centroid, array_sort by distance, slice)."""
+    entries = [F.struct(_l2sq(vec, F.array(*[F.lit(v) for v in c])).alias("d"),
+                        F.lit(i).alias("i"))
+               for i, c in enumerate(centroids)]
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["i"])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_centroids: int = 16,
+             nprobe: int = 4, centroids: list[list[float]] | None = None,
+             round_digits: int | None = None) -> DataFrame:
+    """IVF approximate top-k: assign corpus rows to their nearest-centroid
+    cell, probe each query's ``nprobe`` nearest cells only.
+
+    Pass precomputed ``centroids`` to skip training (e.g. a persisted
+    index). Candidate set is ~nprobe/n_centroids of the corpus; at scale
+    pick n_centroids ≈ sqrt(corpus) and persist the cell assignment
+    bucketed by cell so repeated query batches skip the assignment scan.
+    """
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
+    c = corpus.withColumn(
+        "__cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1))
+    q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+         .withColumn("__cell", F.explode(
+             _nearest_cells(F.col("__qvec"), centroids, nprobe))))
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (c.join(F.broadcast(q), "__cell")
+               .filter(F.col(id_col) != F.col(query_id_col))
+               .select(query_id_col, id_col, sim.alias("cos_sim")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

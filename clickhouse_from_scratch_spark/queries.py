@@ -914,6 +914,18 @@ def embedding_ann(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query("embedding_ann_ivf")  # no SQL oracle: IVF recall is approximate
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: k-means cells + nprobe probing
+    (pipeline/similarity.py ivf_topk; scale path for 100 TB corpora)."""
+    from .pipeline import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 @query("text_quality", oracle="""
 WITH toks AS (
   SELECT doc_id, text, length(text) AS n,

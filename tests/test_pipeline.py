@@ -103,6 +103,31 @@ def test_lsh_bucketed_same_bucket_for_parallel_vectors(spark):
     assert out and out[0].vec_id == 1
 
 
+def test_ivf_topk_finds_parallel_vector(spark):
+    from clickhouse_from_scratch_spark.pipeline import ivf_topk, train_centroids
+    emb = _emb(spark)
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, q, k=3, n_centroids=4, nprobe=4).collect()
+    # nprobe == n_centroids → exhaustive: must match brute force exactly
+    brute = brute_force_topk(emb, q, k=3).collect()
+    assert [r.vec_id for r in out] == [r.vec_id for r in brute]
+    assert out[0].vec_id == 1
+
+
+def test_ivf_centroids_deterministic_and_reusable(spark):
+    from clickhouse_from_scratch_spark.pipeline import ivf_topk, train_centroids
+    emb = _emb(spark)
+    c1 = train_centroids(emb, n_centroids=4)
+    c2 = train_centroids(emb, n_centroids=4)
+    assert c1 == c2                       # fixed hash-sample + Lloyd init
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, q, k=3, centroids=c1, nprobe=2).collect()
+    assert 0 < len(out) <= 3
+    assert all(r.query_id == 0 and r.vec_id != 0 for r in out)
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "abc")],
                                  "doc_id long, text string")
