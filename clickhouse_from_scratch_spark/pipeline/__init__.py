@@ -12,6 +12,8 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
     simhash_near_dups,
+    simhash_hamming_pairs,
+    simhash_near_dups_hamming,
 )
 from .similarity import (
     brute_force_topk,
@@ -29,6 +31,7 @@ from .text import (
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_candidates",
     "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "simhash_hamming_pairs", "simhash_near_dups_hamming",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "train_centroids",
     "doc_fingerprint", "language_id", "quality_score", "token_count",
 ]

@@ -233,6 +233,64 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
+                          id_col: str = "doc_id",
+                          sig_col: str = "simhash",
+                          max_bucket_size: int = 10000) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(sig_a, sig_b) <= k.
+
+    Pigeonhole banding: split 64 bits into k+1 chunks — any pair within
+    hamming k agrees exactly on at least one chunk, so grouping by
+    (chunk_idx, chunk_value) finds every true pair without an all-pairs
+    join. Candidates are generated inside buckets (one shuffle, bounded
+    by ``max_bucket_size``), then verified exactly with
+    bit_count(xor) <= k. Same shuffle shape as MinHash-LSH banding —
+    the only strategy that survives 100 TB.
+    """
+    bands = k + 1
+    base, extra = divmod(64, bands)
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    starts = [sum(widths[:i]) for i in range(bands)]
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(sig_col), starts[i])
+             .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("val"))
+        for i in range(bands)])
+    banded = (sigs.select(id_col, F.explode(chunks).alias("bk"))
+              .select(id_col, F.col("bk.band").alias("band"),
+                      F.col("bk.val").alias("val")))
+    buckets = (banded.groupBy("band", "val")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter((F.size("ids") > 1)
+                       & (F.size("ids") <= max_bucket_size)))
+    ids = F.col("ids")
+    n = F.size(ids)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.slice(ids, i + 1, n),
+            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
+                               y.alias("id_b")))))
+    cands = (buckets.select(F.explode(pair_structs).alias("p"))
+             .select(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
+             .distinct())
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sb"))
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= k))
+
+
+def simhash_near_dups_hamming(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Near-dup doc pairs within SimHash hamming distance k (banded)."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    return simhash_hamming_pairs(sigs, k, id_col)
+
+
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Docs sharing an identical SimHash (strong near-dup signal).

@@ -880,6 +880,15 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash_near_dups(docs)
 
 
+@query("dedup_simhash_hamming")  # no SQL oracle (64-bit simhash)
+def dedup_simhash_hamming_q(spark, sf_dir):
+    """SimHash pairs within hamming distance 3 via pigeonhole banding
+    (k+1 chunks; exact bit_count(xor) verify — pipeline/dedup.py)."""
+    from .pipeline import simhash_near_dups_hamming
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups_hamming(docs, k=3).orderBy("id_a", "id_b")
+
+
 @query("embedding_cosine_topk", oracle="""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
            FROM embeddings WHERE vec_id < 10),

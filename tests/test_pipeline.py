@@ -103,6 +103,30 @@ def test_lsh_bucketed_same_bucket_for_parallel_vectors(spark):
     assert out and out[0].vec_id == 1
 
 
+def test_simhash_hamming_banding(spark):
+    from clickhouse_from_scratch_spark.pipeline import simhash_hamming_pairs
+    base = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        (1, base),
+        (2, base ^ 0b101),              # hamming 2 → pair with 1
+        (3, base ^ ((1 << 5) | (1 << 20) | (1 << 40) | (1 << 60))),  # ham 4
+        (4, -1),                        # sign bit set: far from everything
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(sigs, k=3).collect()}
+    assert got == {(1, 2): 2}           # ham-4 and ham-32 pairs excluded
+
+
+def test_simhash_hamming_on_docs(spark):
+    from clickhouse_from_scratch_spark.pipeline import simhash_near_dups_hamming
+    docs = _docs(spark)
+    pairs = {(r.id_a, r.id_b) for r in
+             simhash_near_dups_hamming(docs, k=10).collect()}
+    assert (0, 1) in pairs              # identical docs: hamming 0
+    assert all(a < b for a, b in pairs)
+
+
 def test_ivf_topk_finds_parallel_vector(spark):
     from clickhouse_from_scratch_spark.pipeline import ivf_topk, train_centroids
     emb = _emb(spark)
