@@ -415,6 +415,111 @@ def _apply_array_join(df: DataFrame, aj: ArrayJoinClause,
 
 # --- WHERE ------------------------------------------------------------------
 
+def _collect_ident_names(node, out: set) -> None:
+    if isinstance(node, Identifier):
+        out.add(node.parts[-1])
+    elif isinstance(node, (Alias, Cast)):
+        _collect_ident_names(node.expr, out)
+    elif isinstance(node, FuncCall):
+        for a in node.args:
+            if not isinstance(a, (Subquery, Lambda)):
+                _collect_ident_names(a, out)
+    elif isinstance(node, (ArrayLiteral, TupleLiteral)):
+        for a in node.items:
+            _collect_ident_names(a, out)
+
+
+def _rewrite_corr(node, inner_cols: set):
+    """Rewrite a correlated predicate: identifiers resolving to inner
+    (subquery) columns get the __sub_ prefix; inner wins on ambiguity
+    (CH inner-first scoping). Outer refs drop their qualifier."""
+    if isinstance(node, Identifier):
+        last = node.parts[-1]
+        if last in inner_cols:
+            return Identifier(["__sub_" + last])
+        return Identifier([last])
+    if isinstance(node, Alias):
+        return Alias(_rewrite_corr(node.expr, inner_cols), node.alias)
+    if isinstance(node, Cast):
+        return Cast(_rewrite_corr(node.expr, inner_cols), node.type_name)
+    if isinstance(node, FuncCall):
+        return FuncCall(node.name,
+                        [_rewrite_corr(a, inner_cols) for a in node.args],
+                        node.params, node.distinct, node.filter_where,
+                        node.window)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return type(node)([_rewrite_corr(a, inner_cols) for a in node.items])
+    return node
+
+
+def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
+                 in_key: Column | None = None,
+                 anti: bool = False) -> DataFrame | None:
+    """Correlated EXISTS / IN (SELECT ...) → left_semi / left_anti join.
+
+    The subquery's WHERE conjuncts are split: those referencing only
+    inner columns filter the inner side; those referencing outer columns
+    become join conditions (inner identifiers renamed __sub_* so the
+    join condition resolves unambiguously). Spark then plans an ordinary
+    hash semi-join — broadcastable, AQE-eligible — instead of a per-row
+    re-execution. Returns None if the pattern is not decorrelatable
+    (caller falls back to the uncorrelated paths)."""
+    if not isinstance(sub_ast, SelectQuery):
+        return None
+    if (sub_ast.group_by or sub_ast.having or sub_ast.ctes
+            or sub_ast.prewhere or sub_ast.distinct or sub_ast.limit_by):
+        return None
+    if in_key is not None and (sub_ast.limit is not None or sub_ast.order_by):
+        return None
+    from dataclasses import replace
+    inner_sel = replace(sub_ast, select=[Star()], where=None, order_by=[],
+                        limit=None, offset=None, windows={}, settings={})
+    inner_df = _build_select(inner_sel, ctx)
+    inner_cols = set(inner_df.columns)
+    outer_cols = set(df.columns)
+    conjs: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        elif n is not None:
+            conjs.append(n)
+
+    flat(sub_ast.where)
+    uncorr, corr = [], []
+    for c in conjs:
+        names: set = set()
+        _collect_ident_names(c, names)
+        if any(n not in outer_cols and n not in inner_cols
+               and n not in ctx.aliases for n in names):
+            return None
+        if any(n in outer_cols and n not in inner_cols for n in names):
+            corr.append(c)
+        else:
+            uncorr.append(c)
+    if not corr:
+        return None                      # uncorrelated: existing paths
+    for c in uncorr:
+        inner_df = inner_df.filter(_eval(c, ctx, inner_df))
+    if in_key is not None:
+        item = sub_ast.select[0]
+        if isinstance(item, Alias):
+            item = item.expr
+        inner_df = inner_df.withColumn("__in_val",
+                                       _eval(item, ctx, inner_df))
+        inner_cols.add("__in_val")
+    renamed = inner_df.select(*[F.col(c).alias("__sub_" + c)
+                                for c in inner_df.columns])
+    conds = [_eval(_rewrite_corr(c, inner_cols), ctx, df) for c in corr]
+    if in_key is not None:
+        conds.append(in_key == F.col("__sub___in_val"))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return df.join(renamed, cond, "left_anti" if anti else "left_semi")
+
+
 def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
     """WHERE with IN/EXISTS-subquery support: top-level conjuncts that are
     (not)in-subquery become semi/anti joins; the rest evaluate as Columns."""
@@ -430,11 +535,21 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
     flat(pred)
     plain: list[Column] = []
     for c in conjuncts:
+        neg_exists = False
+        if (isinstance(c, FuncCall) and c.name == "not" and len(c.args) == 1
+                and isinstance(c.args[0], FuncCall)
+                and c.args[0].name == "exists"):
+            c, neg_exists = c.args[0], True
         if (isinstance(c, FuncCall) and c.name in ("in", "globalIn", "notIn",
                                                    "globalNotIn")
                 and len(c.args) == 2 and isinstance(c.args[1], Subquery)):
-            sub = _build_query(c.args[1].query, ctx)
             key = _eval(c.args[0], ctx, df)
+            dec = _decorrelate(df, c.args[1].query, ctx, in_key=key,
+                               anti="not" in c.name.lower())
+            if dec is not None:
+                df = dec
+                continue
+            sub = _build_query(c.args[1].query, ctx)
             subcol = sub.columns[0]
             how = "left_anti" if "not" in c.name.lower() else "left_semi"
             if c.name.startswith("global"):
@@ -442,9 +557,15 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             df = df.join(sub, key == F.col(subcol), how)
         elif (isinstance(c, FuncCall) and c.name == "exists"
               and isinstance(c.args[0], Subquery)):
+            dec = _decorrelate(df, c.args[0].query, ctx, anti=neg_exists)
+            if dec is not None:
+                df = dec
+                continue
             n = _build_query(c.args[0].query, ctx).limit(1).count()
-            plain.append(F.lit(n > 0))
+            plain.append(F.lit(n == 0 if neg_exists else n > 0))
         else:
+            if neg_exists:              # restore the NOT wrapper
+                c = FuncCall("not", [c])
             plain.append(_eval(c, ctx, df))
     for p in plain:
         df = df.filter(p)

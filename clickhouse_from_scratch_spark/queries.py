@@ -1088,6 +1088,23 @@ def sql_named_window(spark, sf_dir):
     """)
 
 
+@query("sql_correlated_exists", oracle="""
+SELECT c_custkey, c_name FROM customer WHERE EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+   AND o_totalprice > 300000)
+""")
+def sql_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS decorrelated to a hash left-semi join
+    (builder._decorrelate): outer-referencing conjuncts become join
+    conditions — no per-row subquery re-execution, AQE/broadcast
+    eligible at scale."""
+    return _sql(spark, sf_dir, """
+        SELECT c_custkey, c_name FROM customer WHERE EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_totalprice > 300000)
+    """)
+
+
 @query("sql_final_sample", oracle="""
 SELECT user_id, event_id FROM
 (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -354,6 +354,32 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_correlated_exists(spark, tables, duck):
+    sql = ("SELECT c_custkey FROM customer WHERE EXISTS "
+           "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+           "AND o_totalprice > 300000)")
+    got = sorted(r[0] for r in execute_sql(spark, sql, tables).collect())
+    want = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_correlated_not_exists(spark, tables, duck):
+    sql = ("SELECT c_custkey FROM customer WHERE NOT EXISTS "
+           "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+           "AND o_totalprice > 300000)")
+    got = sorted(r[0] for r in execute_sql(spark, sql, tables).collect())
+    want = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_correlated_in(spark, tables, duck):
+    sql = ("SELECT o_orderkey FROM orders WHERE o_orderkey IN "
+           "(SELECT l_orderkey FROM lineitem WHERE l_shipdate > o_orderdate)")
+    got = sorted(r[0] for r in execute_sql(spark, sql, tables).collect())
+    want = sorted(r[0] for r in duck.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_named_window_clause(spark, tables, duck):
     got = execute_sql(spark, """
         SELECT o_orderkey, rank() OVER w AS rnk,
