@@ -54,7 +54,8 @@ class TableMeta:
     columns: list[tuple[str, str]]            # (name, CH type)
     engine: str = "MergeTree"
     order_by: list[str] = field(default_factory=list)
-    partition_by: str | None = None           # plain column name or None
+    partition_by: str | None = None           # column name (or display text)
+    partition_expr: object | None = None      # AST when PARTITION BY is an expr
     sample_by: str | None = None
     ttl: str | None = None
     settings: dict = field(default_factory=dict)
@@ -173,6 +174,10 @@ class ChSession:
             return meta.memory_df
         if meta.path and os.path.exists(meta.path):
             df = self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
+            declared = [n for n, _ in meta.columns]
+            if set(df.columns) - set(declared):
+                # hidden physical partition column (__part) stays physical
+                df = df.select(*declared)
             return df
         return self.spark.createDataFrame([], meta.spark_schema())
 
@@ -200,12 +205,13 @@ class ChSession:
                 "Memory", "External"):
             raise ValueError(f"unknown engine: {node.engine} (registry: "
                              f"{sorted(_MERGE_TREE_FAMILY)} + Memory)")
-        part_col = _partition_column(node)
+        part_col, part_expr = _partition_column(node)
         meta = TableMeta(
             node.table, db,
             [(c.name, c.type_name) for c in node.columns],
             engine=node.engine, order_by=list(node.order_by),
-            partition_by=part_col, sample_by=node.sample_by,
+            partition_by=part_col, partition_expr=part_expr,
+            sample_by=node.sample_by,
             ttl=node.ttl, settings=dict(node.settings))
         source: DataFrame | None = None
         if node.as_select is not None:
@@ -369,9 +375,29 @@ class ChSession:
             # MergeTree ORDER BY → cluster files by sorting key so parquet
             # min/max stats prune scans (the reference's primary-index role)
             writer = writer.sortWithinPartitions(*meta.order_by)
+        from .plans.ast_nodes import Identifier, TupleLiteral
+        part_col = meta.partition_by
+        if (isinstance(meta.partition_expr, TupleLiteral)
+                and all(isinstance(i, Identifier)
+                        for i in meta.partition_expr.items)):
+            # PARTITION BY (a, b): multi-column directory layout
+            w = writer.write.mode(mode)
+            w = w.partitionBy(*[i.name for i in meta.partition_expr.items])
+            w.parquet(meta.path)
+            return
+        if meta.partition_expr is not None:
+            # PARTITION BY <expr>: materialize as a hidden column for the
+            # directory layout; reads use the declared schema, which
+            # excludes it, so it stays purely physical (pruning still
+            # applies via the directory structure).
+            from .plans.builder import Context as _BCtx, _eval as _beval
+            part_col = "__part"
+            writer = writer.withColumn(
+                part_col, _beval(meta.partition_expr,
+                                 _BCtx(self.spark, {}), writer))
         w = writer.write.mode(mode)
-        if meta.partition_by:
-            w = w.partitionBy(meta.partition_by)
+        if part_col:
+            w = w.partitionBy(part_col)
         w.parquet(meta.path)
 
     # --- SHOW / DESCRIBE / admin -----------------------------------------
@@ -572,14 +598,29 @@ class ChSession:
         return self.spark.createDataFrame([(0,)], "ok int")
 
 
-def _partition_column(node: CreateTable) -> str | None:
+def _partition_column(node: CreateTable) -> tuple[str | None, object | None]:
+    """(display text, expr AST or None). Plain columns partition directly;
+    expressions are materialized as a hidden __part column at write."""
     from .plans.ast_nodes import Identifier
     if node.partition_by is None:
-        return None
+        return None, None
     if isinstance(node.partition_by, Identifier):
-        return node.partition_by.name
-    raise ValueError("PARTITION BY supports plain columns in v1 "
-                     "(materialize the expression as a column)")
+        return node.partition_by.name, None
+    return _render_expr(node.partition_by), node.partition_by
+
+
+def _render_expr(node) -> str:
+    from .plans.ast_nodes import (FuncCall, Identifier, Literal,
+                                  TupleLiteral)
+    if isinstance(node, Identifier):
+        return node.name
+    if isinstance(node, Literal):
+        return repr(node.value)
+    if isinstance(node, FuncCall):
+        return f"{node.name}({', '.join(_render_expr(a) for a in node.args)})"
+    if isinstance(node, TupleLiteral):
+        return f"({', '.join(_render_expr(a) for a in node.items)})"
+    return "<expr>"
 
 
 def _literal_py(node):

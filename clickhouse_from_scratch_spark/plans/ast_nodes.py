@@ -111,6 +111,7 @@ class OrderItem(Node):
     expr: Node
     desc: bool = False
     nulls_first: bool | None = None
+    collate: str | None = None
     with_fill: bool = False
     fill_from: Node | None = None
     fill_to: Node | None = None

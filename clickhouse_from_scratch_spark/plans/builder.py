@@ -170,14 +170,29 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         df = df.select(*final_names)
     if fill_items:
         it = fill_items[0]
-        if it.fill_from is None or it.fill_to is None:
-            raise BuildError("WITH FILL requires FROM and TO bounds (v1; "
-                             "CH's min/max inference not implemented)")
         name = _fill_col_name(it, df)
-        df = with_fill(df, name, _post_expr(it.fill_from, df, ctx),
-                       _post_expr(it.fill_to, df, ctx),
-                       _post_expr(it.fill_step, df, ctx)
-                       if it.fill_step is not None else F.expr("interval 1 day"))
+        start = (_post_expr(it.fill_from, df, ctx)
+                 if it.fill_from is not None else None)
+        stop = (_post_expr(it.fill_to, df, ctx)
+                if it.fill_to is not None else None)
+        if start is None or stop is None:
+            # CH infers missing bounds from the data's min/max: one extra
+            # column-pruned agg job (same work the reference does)
+            lo, hi = df.agg(F.min(name), F.max(name)).collect()[0]
+            if lo is None:              # empty input: nothing to fill
+                start = stop = None
+            else:
+                start = start if start is not None else F.lit(lo)
+                stop = stop if stop is not None else F.lit(hi)
+        if it.fill_step is not None:
+            step = _post_expr(it.fill_step, df, ctx)
+        else:
+            dtype = df.schema[name].dataType.simpleString()
+            step = (F.expr("interval 1 day")
+                    if dtype in ("date", "timestamp", "timestamp_ntz")
+                    else F.lit(1))
+        if start is not None:
+            df = with_fill(df, name, start, stop, step)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
@@ -811,6 +826,9 @@ def _order_col(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
     c = _post_expr(it.expr, df, ctx)
     if isinstance(it.expr, Identifier) and it.expr.name in df.columns:
         c = F.col(it.expr.name)
+    if it.collate:
+        # CH COLLATE 'locale' → Spark 4 ICU collation on the sort key
+        c = F.collate(c.cast("string"), it.collate.replace("-", "_"))
     if it.desc:
         return (c.desc_nulls_first() if it.nulls_first
                 else c.desc_nulls_last() if it.nulls_first is False

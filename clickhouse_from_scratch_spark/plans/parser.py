@@ -301,6 +301,8 @@ class Parser:
             item.desc = True
         else:
             self.accept_kw("ASC") or self.accept_kw("ASCENDING")
+        if self.accept_kw("COLLATE"):
+            item.collate = self.advance().text     # 'locale' string literal
         if self.accept_kw("NULLS"):
             if self.accept_kw("FIRST"):
                 item.nulls_first = True

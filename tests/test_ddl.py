@@ -47,6 +47,33 @@ def test_partitioned_table(sess, tmp_path):
     assert {r.d: r.s for r in got} == {"a": 4, "b": 2}
 
 
+def test_partition_by_expression(sess, tmp_path):
+    import os
+    sess.execute("CREATE TABLE pe (d Date, v Int64) ENGINE = MergeTree "
+                 "ORDER BY v PARTITION BY toYYYYMM(d)")
+    sess.execute("INSERT INTO pe VALUES ('2024-01-15', 1), "
+                 "('2024-01-20', 2), ('2024-02-01', 3)")
+    path = os.path.join(str(tmp_path / "wh"), "default", "pe")
+    assert os.path.isdir(os.path.join(path, "__part=202401"))
+    got = sess.execute("SELECT count() AS n FROM pe").collect()
+    assert got[0].n == 3
+    # hidden partition column does not leak into SELECT *
+    assert [f for f in sess.execute("SELECT * FROM pe").columns] == ["d", "v"]
+    show = sess.execute("SHOW CREATE TABLE pe").collect()[0][0]
+    assert "PARTITION BY toYYYYMM(d)" in show
+
+
+def test_partition_by_tuple(sess, tmp_path):
+    import os
+    sess.execute("CREATE TABLE p2 (a String, b String, v Int64) "
+                 "ENGINE = MergeTree ORDER BY v PARTITION BY (a, b)")
+    sess.execute("INSERT INTO p2 VALUES ('x', 'y', 1), ('x', 'z', 2)")
+    path = os.path.join(str(tmp_path / "wh"), "default", "p2")
+    assert os.path.isdir(os.path.join(path, "a=x", "b=y"))
+    got = {(r.a, r.b): r.v for r in sess.execute("SELECT * FROM p2").collect()}
+    assert got == {("x", "y"): 1, ("x", "z"): 2}
+
+
 def test_views(sess):
     sess.execute("CREATE TABLE base (x Int64) ENGINE = Memory")
     sess.execute("INSERT INTO base VALUES (1), (2), (3), (4)")

@@ -354,6 +354,24 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_order_by_collate(spark, tables):
+    df = spark.createDataFrame(
+        [("banana",), ("Apple",), ("apple",), ("cherry",)], "w string")
+    out = [r.w for r in execute_sql(
+        spark, "SELECT w FROM t ORDER BY w COLLATE 'en'", {"t": df}).collect()]
+    # ICU 'en': case-insensitive primary strength groups apple/Apple together
+    assert out[0].lower() == "apple" and out[1].lower() == "apple"
+    assert out[2:] == ["banana", "cherry"]
+
+
+def test_with_fill_infers_bounds(spark, tables):
+    df = spark.createDataFrame([(1, 10), (4, 40), (6, 60)], "x int, v int")
+    out = execute_sql(spark, "SELECT x, v FROM t ORDER BY x WITH FILL",
+                      {"t": df}).collect()
+    assert [r.x for r in out] == [1, 2, 3, 4, 5, 6]   # min..max step 1
+    assert [r.v for r in out if r.x == 4] == [40]
+
+
 def test_correlated_exists(spark, tables, duck):
     sql = ("SELECT c_custkey FROM customer WHERE EXISTS "
            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
