@@ -841,6 +841,40 @@ def sessionization(spark, sf_dir):
             .agg(F.sum("new_session").cast("long").alias("n_sessions")))
 
 
+@query("session_window_agg", oracle="""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts)) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def session_window_agg(spark, sf_dir):
+    """Gap-based session windows in batch via F.session_window — the same
+    operator SessionView runs under Structured Streaming
+    (streaming/session_view.py). Oracle: gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.date_format("w.start",
+                                  "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+                    F.date_format("w.end",
+                                  "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+                    "n_events"))
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: dedup / similarity / text / multimodal (SURVEY §7 M6)
 # ---------------------------------------------------------------------------

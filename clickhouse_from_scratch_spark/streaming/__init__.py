@@ -2,5 +2,7 @@
 
 from .window_view import WindowView, hop, tumble
 from .live_view import LiveView
+from .session_view import SessionView, session_window, stateful_sessionize
 
-__all__ = ["WindowView", "LiveView", "tumble", "hop"]
+__all__ = ["WindowView", "LiveView", "tumble", "hop",
+           "SessionView", "session_window", "stateful_sessionize"]

@@ -7,7 +7,9 @@ import time
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from clickhouse_from_scratch_spark.streaming import LiveView, WindowView, hop, tumble
+from clickhouse_from_scratch_spark.streaming import (
+    LiveView, SessionView, WindowView, hop, stateful_sessionize, tumble,
+)
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -82,3 +84,52 @@ def test_live_view_watch(spark, tmp_path):
         assert lv.watch_events() >= 0           # version heartbeat
     finally:
         lv.stop()
+
+
+def test_session_view_batch_semantics(spark):
+    # session_window works in batch too: two sessions split by a 40-min gap
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:50:00"), (2, "2024-01-01 00:00:00")]
+    df = (spark.createDataFrame(rows, "user_id long, ts string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    out = (df.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                      "user_id")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select("user_id", F.col("w.start").alias("s"), "n").collect())
+    per_user = sorted((r.user_id, r.n) for r in out)
+    assert per_user == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_session_view_streaming(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    sv = SessionView("sv_test", "ts", "90 seconds", keys=["user_id"],
+                     aggs=[F.count(F.lit(1)).alias("n")],
+                     watermark="0 seconds")
+    q = sv.start(stream, output_mode="append")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sv_test")
+        # events per user are 3 min apart > 90s gap → one session per event
+        assert set(out.columns) == {"user_id", "n", "session_start",
+                                    "session_end"}
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    # per-user events are 3 minutes apart; gap 100s closes a session after
+    # every event except each user's last (which stays open in state)
+    out = stateful_sessionize(stream, gap_seconds=100)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("sess_state_test").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_state_test").collect()
+        assert all(r.n_events == 1 for r in rows)
+        assert len(rows) == 27                  # 30 events - 3 open sessions
+        span = {(r.session_end.timestamp() - r.session_start.timestamp())
+                for r in rows}
+        assert span == {100.0}                  # end = last + gap
+    finally:
+        q.stop()
