@@ -136,7 +136,8 @@ def _minhash_jvm_expr(num_hashes: int) -> Column:
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, shingle_n: int = 3,
-                           max_bucket_size: int = 10000) -> DataFrame:
+                           max_bucket_size: int = 10000,
+                           use_arrow: bool = True) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     Signature split into ``bands`` bands of r = K/bands rows; docs sharing
@@ -151,7 +152,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     """
     r = num_hashes // bands
     sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
-                              num_hashes, shingle_n)
+                              num_hashes, shingle_n, use_arrow=use_arrow)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = (sigs.select(
         F.col(id_col),
