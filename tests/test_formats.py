@@ -78,3 +78,39 @@ def test_declared_format_inventory():
                 "TabSeparated", "TSV", "TabSeparatedWithNames",
                 "JSONEachRow", "LineAsString", "RawBLOB", "Null"]:
         assert fmt in FORMATS
+
+
+def test_native_arrow_ipc_roundtrip(spark):
+    from clickhouse_from_scratch_spark.sources import from_native, to_native
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    blob = to_native(df)
+    assert blob[:6] != b""            # non-empty IPC stream
+    back = from_native(spark, blob)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_row_binary_roundtrip(spark):
+    from datetime import date, datetime
+    from clickhouse_from_scratch_spark.sources import (
+        from_row_binary, to_row_binary)
+    schema = ("i64 bigint, i32 int, i16 smallint, i8 tinyint, f64 double, "
+              "f32 float, b boolean, s string, d date, ts timestamp")
+    rows = [(2**40, -7, 300, -5, 1.25, 0.5, True, "héllo",
+             date(2024, 2, 29), datetime(2024, 1, 1, 12, 30, 0)),
+            (-1, 0, -1, 127, -2.5, 2.0, False, "",
+             date(1970, 1, 2), datetime(1970, 1, 1, 0, 0, 1))]
+    df = spark.createDataFrame(rows, schema)
+    blob = to_row_binary(df)
+    back = from_row_binary(spark, blob, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
+
+
+def test_row_binary_uleb128_long_string(spark):
+    from clickhouse_from_scratch_spark.sources import (
+        from_row_binary, to_row_binary)
+    long_s = "x" * 300                 # length needs 2 ULEB128 bytes
+    df = spark.createDataFrame([(long_s,)], "s string")
+    back = from_row_binary(spark, to_row_binary(df), "s string")
+    assert back.collect()[0].s == long_s
