@@ -84,14 +84,16 @@ class ChSession:
 
     # --- public API -------------------------------------------------------
 
-    def execute(self, sql: str):
+    def execute(self, sql: str, params: dict[str, object] | None = None):
         """Run one statement. SELECT → DataFrame; DDL/admin → DataFrame
-        describing the effect (mirrors clickhouse-client output shape)."""
+        describing the effect (mirrors clickhouse-client output shape).
+        ``params`` binds {name:Type} query parameters."""
         node = parse_statement(sql)
         if isinstance(node, OutputClause):
             return self._output(node)
         if isinstance(node, (SelectQuery, UnionQuery)):
-            return build(self.spark, node, self._tables(), self._engines())
+            return build(self.spark, node, self._tables(), self._engines(),
+                         params=params)
         handler = {
             CreateLiveView: self._create_live_view,
             CreateWindowView: self._create_window_view,

@@ -87,6 +87,13 @@ class IntervalExpr(Node):
 
 
 @dataclass
+class QueryParameter(Node):
+    """``{name:Type}`` substitution — bound at build time from params."""
+    name: str
+    type_name: str
+
+
+@dataclass
 class Alias(Node):
     expr: Node
     alias: str

@@ -30,8 +30,8 @@ from ..operators import (
 from .ast_nodes import (
     Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
     Identifier, IntervalExpr, Join, Lambda, LimitBy, Literal, OrderItem,
-    SelectQuery, Star, Subquery, SubqueryRef, TableFunction, TableRef,
-    TupleLiteral, UnionQuery, WindowSpec,
+    QueryParameter, SelectQuery, Star, Subquery, SubqueryRef, TableFunction,
+    TableRef, TupleLiteral, UnionQuery, WindowSpec,
 )
 
 _AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
@@ -66,16 +66,19 @@ class Context:
     key_slots: dict[str, str] | None = None      # ast-repr → column name
     engines: dict[str, dict] = field(default_factory=dict)  # FINAL metadata
     windows: dict[str, "WindowSpec"] = field(default_factory=dict)  # WINDOW w AS
+    params: dict[str, object] = field(default_factory=dict)  # {name:Type} binds
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
-                       engines=self.engines)
+                       engines=self.engines, params=self.params)
 
 
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           tables: dict[str, DataFrame],
-          engines: dict[str, dict] | None = None) -> DataFrame:
-    ctx = Context(spark, dict(tables), engines=engines or {})
+          engines: dict[str, dict] | None = None,
+          params: dict[str, object] | None = None) -> DataFrame:
+    ctx = Context(spark, dict(tables), engines=engines or {},
+                  params=params or {})
     return _build_query(q, ctx)
 
 
@@ -877,6 +880,12 @@ def _eval(node, ctx: Context, df: DataFrame | None,
                 and node.name in ctx.aliases):
             return _eval(_inline(node, ctx), ctx, df)
         return F.col(node.name)
+    if isinstance(node, QueryParameter):
+        if node.name not in ctx.params:
+            raise BuildError(f"unbound query parameter: {{{node.name}:"
+                             f"{node.type_name}}}")
+        return (F.lit(ctx.params[node.name])
+                .cast(ch_type_to_spark(node.type_name)))
     if isinstance(node, Alias):
         return _eval(node.expr, ctx, df).alias(node.alias)
     if isinstance(node, Cast):

@@ -19,13 +19,15 @@ def parse(sql: str):
 
 def execute_sql(spark: SparkSession, sql: str,
                 tables: dict[str, DataFrame],
-                engines: dict[str, dict] | None = None) -> DataFrame:
+                engines: dict[str, dict] | None = None,
+                params: dict[str, object] | None = None) -> DataFrame:
     """Run a ClickHouse-dialect query over the given tables.
 
     ``engines`` carries per-table MergeTree-style metadata the DDL layer
     would normally record: ``{"events": {"order_by": ["user_id"],
     "version": "ts", "sample_by": "user_id"}}`` — needed by FINAL and
-    SAMPLE.
+    SAMPLE. ``params`` binds ``{name:Type}`` query parameters
+    (clickhouse-client --param_name analogue).
     """
     ast = _parse(sql)
-    return build(spark, ast, tables, engines=engines)
+    return build(spark, ast, tables, engines=engines, params=params)

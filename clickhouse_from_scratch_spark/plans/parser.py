@@ -22,7 +22,7 @@ from .ast_nodes import (
     Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
     Identifier, IntervalExpr, Join, Lambda, LimitBy, Literal, OrderItem,
     SelectQuery, Star, Subquery, SubqueryRef, TableFunction, TableRef,
-    TupleLiteral, UnionQuery, WindowSpec,
+    QueryParameter, TupleLiteral, UnionQuery, WindowSpec,
 )
 from .lexer import T, Token, tokenize
 
@@ -764,6 +764,14 @@ class Parser:
         if tok.is_op("*"):
             self.advance()
             return Star()
+        if tok.is_op("{"):
+            # query parameter {name:Type} (ParserSubstitution :2068-2112)
+            self.advance()
+            pname = self.advance().text
+            self.expect_op(":")
+            ptype = self._type_name()
+            self.expect_op("}")
+            return QueryParameter(pname, ptype)
         if tok.kind != T.IDENT:
             raise ParseError(f"unexpected token {tok.text!r} at {tok.pos}")
         upper = tok.text.upper()

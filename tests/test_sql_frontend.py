@@ -354,6 +354,24 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_query_parameters(spark, tables):
+    out = execute_sql(
+        spark,
+        "SELECT count() AS n FROM orders "
+        "WHERE o_orderpriority = {prio:String} "
+        "AND o_totalprice > {minp:Float64}",
+        tables, params={"prio": "1-URGENT", "minp": 100000.0})
+    manual = execute_sql(
+        spark,
+        "SELECT count() AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000.0",
+        tables)
+    assert out.collect()[0].n == manual.collect()[0].n > 0
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unbound query parameter"):
+        execute_sql(spark, "SELECT {x:UInt32} AS v", tables).collect()
+
+
 def test_order_by_collate(spark, tables):
     df = spark.createDataFrame(
         [("banana",), ("Apple",), ("apple",), ("cherry",)], "w string")
