@@ -89,3 +89,28 @@ def test_sql_frontend_pushdown(spark, sf_dir):
     assert "GreaterThan(o_totalprice,100000" in plan
     read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
     assert "o_orderdate" not in read_schema    # pruned
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_correlated_exists")
+    # decorrelation must yield one hash semi-join, never a per-row
+    # re-execution or nested-loop shape
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the subquery's own predicate is pushed into the orders scan
+    assert "GreaterThan(o_totalprice,300000" in plan
+
+
+def test_session_window_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "session_window_agg")
+    assert "BatchEvalPython" not in plan
+    # one shuffle for the sessionization (plus optional AQE reads)
+    assert "Exchange" in plan
+
+
+def test_ivf_probes_broadcast_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_ann_ivf")
+    # the (small) probe set must broadcast; the corpus must stream
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
