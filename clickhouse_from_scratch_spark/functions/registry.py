@@ -617,6 +617,19 @@ def _haversine(lon1, lat1, lon2, lat2) -> Column:
     return F.lit(2 * r) * F.asin(F.sqrt(a))
 
 
+# --- text-pipeline scalars (pipeline/text.py; beyond-reference M6) --------
+# registered under CH-style camelCase so they work in the SQL dialect
+from ..pipeline import text as _text  # noqa: E402
+from ..pipeline.similarity import cosine as _cosine  # noqa: E402
+
+_alias("tokenCount", lambda t: _text.token_count(_c(t)))
+_alias("tokenCountBPE", lambda t: _text.token_count_bpe(_c(t)))
+_alias("languageId", lambda t: _text.language_id(_c(t)))
+_alias("qualityScore", lambda t: _text.quality_score(_c(t)))
+_alias("docFingerprint", lambda t: _text.doc_fingerprint(_c(t)))
+_alias("cosineSimilarity", lambda a, b: _cosine(_c(a), _c(b)))
+
+
 # --- aggregates (names; combinators -If/-Distinct in aggregates.py) -------
 from . import aggregates as _aggs  # noqa: E402  (registers agg names)
 

@@ -341,7 +341,52 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         path = node.args[0].value
         fmt = node.args[1].value if len(node.args) > 1 else "Parquet"
         return read_format(ctx.spark, fmt, path)
+    if name in _PIPELINE_TFS:
+        return _pipeline_table_function(name, node, ctx)
     raise BuildError(f"unsupported table function: {node.name}")
+
+
+# dialect-level table functions over the beyond-reference pipeline ops
+# (SURVEY §7 M6: "both a table function in the dialect and a Python API")
+_PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
+                 "ngramjaccard", "anncosinetopk"}
+
+
+def _pipeline_table_function(name: str, node: TableFunction,
+                             ctx: Context) -> DataFrame:
+    from .. import pipeline as P
+
+    def tbl(i: int) -> DataFrame:
+        a = node.args[i]
+        if isinstance(a, Identifier) and a.name in ctx.tables:
+            return ctx.tables[a.name]
+        if isinstance(a, Subquery):
+            return _build_query(a.query, ctx)
+        if (isinstance(a, FuncCall) and a.name == "view"
+                and isinstance(a.args[0], Subquery)):
+            return _build_query(a.args[0].query, ctx)
+        raise BuildError(f"{node.name}: argument {i} must be a table "
+                         f"name or view(...)")
+
+    def lit(i: int, default=None):
+        if len(node.args) > i and isinstance(node.args[i], Literal):
+            return node.args[i].value
+        return default
+
+    if name == "dedupexact":
+        return P.exact_dedup(tbl(0))
+    if name == "dedupminhash":
+        return P.minhash_lsh_candidates(tbl(0))
+    if name == "dedupsimhash":
+        k = lit(1, 0)
+        if k:
+            return P.simhash_near_dups_hamming(tbl(0), k=int(k))
+        return P.simhash_near_dups(tbl(0))
+    if name == "ngramjaccard":
+        return P.ngram_jaccard_pairs(tbl(0), threshold=float(lit(1, 0.6)))
+    # annCosineTopK(corpus, view(SELECT vec_id AS query_id, embedding ...), k)
+    return P.brute_force_topk(tbl(0), tbl(1), k=int(lit(2, 5)),
+                              round_digits=4)
 
 
 def _build_join(node: Join, ctx: Context) -> DataFrame:

@@ -354,6 +354,50 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_text_pipeline_scalar_functions_sql(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog in the yard"),
+         (2, "der hund und die katze und der vogel nicht da")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in execute_sql(spark, """
+        SELECT doc_id, languageId(text) AS lang, tokenCount(text) AS n,
+               qualityScore(text) AS q, docFingerprint(text) AS fp
+        FROM t""", {"t": df}).collect()}
+    assert out[1].lang == "en" and out[2].lang == "de"
+    assert out[1].n == 11 and len(out[1].fp) == 32
+    assert 0.0 <= out[1].q <= 1.0
+
+
+def test_pipeline_table_functions_sql(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "totally different words here")],
+        "doc_id long, text string")
+    n = execute_sql(spark, "SELECT count() AS n FROM dedupExact(t)",
+                    {"t": docs}).collect()[0].n
+    assert n == 2                        # docs 0,1 collapse
+    pairs = execute_sql(
+        spark, "SELECT id_a, id_b FROM dedupSimHash(t, 3)",
+        {"t": docs}).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_ann_table_function_sql(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(10, 8).astype("float64")
+    vecs[1] = vecs[0] * 3.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    out = execute_sql(spark, """
+        SELECT query_id, vec_id, cos_sim
+        FROM annCosineTopK(t, view(
+            SELECT vec_id AS query_id, embedding FROM t WHERE vec_id = 0), 3)
+    """, {"t": emb}).collect()
+    assert len(out) == 3 and out[0].vec_id == 1
+
+
 def test_query_parameters(spark, tables):
     out = execute_sql(
         spark,
