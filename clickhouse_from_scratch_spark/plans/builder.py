@@ -87,10 +87,16 @@ def _build_query(q, ctx: Context) -> DataFrame:
         out = _build_query(q.selects[0], ctx)
         for mode, sel in zip(q.modes, q.selects[1:]):
             nxt = _build_query(sel, ctx)
+            if len(nxt.columns) != len(out.columns):
+                raise BuildError("UNION branches have different column "
+                                 "counts")
+            # CH set ops are positional; result names come from the first
+            # SELECT (SelectUnionMode semantics)
+            nxt = nxt.toDF(*out.columns)
             if mode == "all":
-                out = out.unionByName(nxt)
+                out = out.union(nxt)
             elif mode == "distinct":
-                out = out.unionByName(nxt).distinct()
+                out = out.union(nxt).distinct()
             elif mode == "intersect":
                 out = out.intersect(nxt)
             elif mode == "except":
@@ -336,6 +342,13 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
                 .withColumnRenamed("id", "number"))
     if name == "view":
         return _build_query(node.args[0].query, ctx)
+    if name == "one":
+        # system.one analogue: single row, dummy UInt8 = 0
+        return ctx.spark.range(1).select(
+            F.lit(0).cast("tinyint").alias("dummy"))
+    if name in ("zeros", "zeros_mt"):
+        return ctx.spark.range(node.args[0].value).select(
+            F.lit(0).cast("tinyint").alias("zero"))
     if name in ("file", "url"):
         from ..sources import read_format
         path = node.args[0].value

@@ -354,6 +354,26 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_system_table_functions(spark):
+    assert execute_sql(spark, "SELECT dummy FROM one()", {}).collect()[0] \
+        .dummy == 0
+    assert execute_sql(spark, "SELECT count() AS n FROM zeros(7)",
+                       {}).collect()[0].n == 7
+
+
+def test_union_is_positional(spark, tables, duck):
+    # CH set ops are positional; names come from the first SELECT
+    out = execute_sql(spark, "SELECT 1 AS a UNION ALL SELECT 2 AS b", {})
+    assert out.columns == ["a"]
+    assert sorted(r.a for r in out.collect()) == [1, 2]
+    sql = ("SELECT c_custkey AS k FROM customer UNION DISTINCT "
+           "SELECT o_custkey FROM orders")
+    got = execute_sql(spark, sql, tables).count()
+    want = duck.execute("SELECT count(*) FROM (SELECT c_custkey FROM customer"
+                        " UNION SELECT o_custkey FROM orders)").fetchone()[0]
+    assert got == want
+
+
 def test_text_pipeline_scalar_functions_sql(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox and the lazy dog in the yard"),
