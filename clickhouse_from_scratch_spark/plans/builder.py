@@ -618,6 +618,20 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             c, neg_exists = c.args[0], True
         if (isinstance(c, FuncCall) and c.name in ("in", "globalIn", "notIn",
                                                    "globalNotIn")
+                and len(c.args) == 2 and isinstance(c.args[1], Identifier)
+                and c.args[1].name in ctx.tables
+                and c.args[1].name not in (df.columns if df is not None
+                                           else [])):
+            # x IN table → membership in the table's first column
+            sub = ctx.tables[c.args[1].name]
+            key = _eval(c.args[0], ctx, df)
+            how = "left_anti" if "not" in c.name.lower() else "left_semi"
+            side = sub.select(F.col(sub.columns[0]).alias("__in_set"))
+            if c.name.startswith("global"):
+                side = F.broadcast(side)
+            df = df.join(side, key == F.col("__in_set"), how)
+        elif (isinstance(c, FuncCall) and c.name in ("in", "globalIn",
+                                                     "notIn", "globalNotIn")
                 and len(c.args) == 2 and isinstance(c.args[1], Subquery)):
             key = _eval(c.args[0], ctx, df)
             dec = _decorrelate(df, c.args[1].query, ctx, in_key=key,

@@ -354,6 +354,26 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_in_table_membership(spark, tables, duck):
+    t2 = dict(tables)
+    t2["big_cust"] = execute_sql(
+        spark, "SELECT c_custkey FROM customer WHERE c_acctbal > 9000",
+        tables)
+    got = execute_sql(
+        spark, "SELECT count() AS n FROM orders WHERE o_custkey IN big_cust",
+        t2).collect()[0].n
+    want = duck.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"
+    ).fetchone()[0]
+    assert got == want > 0
+    got_not = execute_sql(
+        spark,
+        "SELECT count() AS n FROM orders WHERE o_custkey NOT IN big_cust",
+        t2).collect()[0].n
+    assert got + got_not == tables["orders"].count()
+
+
 def test_system_table_functions(spark):
     assert execute_sql(spark, "SELECT dummy FROM one()", {}).collect()[0] \
         .dummy == 0
