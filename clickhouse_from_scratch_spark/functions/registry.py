@@ -57,10 +57,23 @@ def _c(x) -> Column:
 _alias("plus", lambda a, b: _c(a) + _c(b))
 _alias("minus", lambda a, b: _c(a) - _c(b))
 _alias("multiply", lambda a, b: _c(a) * _c(b))
-_alias("divide", lambda a, b: _c(a) / _c(b))
-_alias("modulo", lambda a, b: _c(a) % _c(b))
-_alias("intDiv", lambda a, b: F.floor(_c(a) / _c(b)).cast("long"))
-_alias("intDivOrZero", lambda a, b: F.when(_c(b) != 0, F.floor(_c(a) / _c(b)).cast("long")).otherwise(F.lit(0)))
+def _ch_divide(a, b) -> Column:
+    """CH ``/`` is always Float64: ints divide to double, and /0 gives
+    IEEE ±inf / nan (never an ANSI error — try_divide guards Spark 4's
+    ANSI-on default sessions)."""
+    ad, bd = _c(a).cast("double"), _c(b).cast("double")
+    return (F.when(bd != 0, F.try_divide(ad, bd))
+             .when(ad > 0, F.lit(float("inf")))
+             .when(ad < 0, F.lit(float("-inf")))
+             .otherwise(F.lit(float("nan"))))
+
+
+_alias("divide", _ch_divide)
+_alias("modulo", lambda a, b: _c(a) % _c(b))   # C-style sign, like CH
+# CH intDiv truncates toward zero (not floor): intDiv(-7,2) = -3
+_alias("intDiv", lambda a, b: F.call_function("div", _c(a), _c(b)))
+_alias("intDivOrZero", lambda a, b: F.coalesce(
+    F.when(_c(b) != 0, F.call_function("div", _c(a), _c(b))), F.lit(0)))
 _alias("negate", lambda a: -_c(a))
 _alias("abs", F.abs)
 _alias("sign", F.signum)
