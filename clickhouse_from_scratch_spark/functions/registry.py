@@ -373,7 +373,11 @@ def _strftime_to_java(fmt: str) -> str:
 
 # --- arrays (public CH array function family) -----------------------------
 _alias("array", F.array)
-_alias("arrayElement", lambda a, i: F.element_at(_c(a), i))
+# CH a[n]: 1-based, negative from end, out-of-bounds → default value.
+# try_element_at gives null OOB (documented deviation: null, not 0/'' —
+# the element type is unknown at expression-build time) and never raises
+# under ANSI sessions.
+_alias("arrayElement", lambda a, i: F.try_element_at(_c(a), _c(i)))
 _alias("has", lambda a, v: F.array_contains(_c(a), v))
 _alias("hasAll", lambda a, b: F.forall(_c(b), lambda x: F.array_contains(_c(a), x)))
 _alias("hasAny", lambda a, b: F.arrays_overlap(_c(a), _c(b)))
