@@ -276,18 +276,19 @@ def _spark_type(t: str) -> str:
 
 
 # -OrZero / -OrNull cast variants: CH's lenient parse-conversions.
-# Spark's non-ANSI cast already yields NULL on failure → OrNull is the
-# cast itself, OrZero coalesces the type default over it.
+# try_cast yields NULL on failure on BOTH ANSI-on and ANSI-off sessions
+# (a plain cast would raise under Spark 4's ANSI-on default) → OrNull is
+# try_cast itself, OrZero coalesces the type default over it.
 for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
                       ("toInt32", "int"), ("toInt64", "long"),
                       ("toUInt8", "smallint"), ("toUInt16", "int"),
                       ("toUInt32", "long"), ("toUInt64", "long"),
                       ("toFloat32", "float"), ("toFloat64", "double"),
                       ("toDate", "date"), ("toDateTime", "timestamp")]:
-    _alias(_base + "OrNull", lambda c, t=_sql_t: _c(c).cast(t))
+    _alias(_base + "OrNull", lambda c, t=_sql_t: _c(c).try_cast(t))
     _alias(_base + "OrZero",
            lambda c, t=_sql_t: F.coalesce(
-               _c(c).cast(t),
+               _c(c).try_cast(t),
                (F.lit("1970-01-01").cast(t) if t in ("date", "timestamp")
                 else F.lit(0).cast(t))))
 
