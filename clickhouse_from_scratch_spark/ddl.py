@@ -152,7 +152,34 @@ class ChSession:
         out = {}
         for name, meta in self._db().items():
             out[name] = self._read(meta)
+        out.update(self._system_tables())
         return out
+
+    def _system_tables(self) -> dict[str, DataFrame]:
+        """Catalog-backed system.* tables (db-qualified keys so they never
+        shadow user tables; builder resolves system.one/numbers/functions
+        itself)."""
+        trows, crows = [], []
+        for db in sorted(self.databases):
+            for name, meta in sorted(self._db(db).items()):
+                trows.append((db, name, meta.engine,
+                              ", ".join(meta.order_by),
+                              meta.partition_by or ""))
+                for pos, (cn, ct) in enumerate(meta.columns, 1):
+                    crows.append((db, name, cn, ct, pos))
+        return {
+            "system.tables": self.spark.createDataFrame(
+                trows or [], "database string, name string, engine string,"
+                " sorting_key string, partition_key string"),
+            "system.columns": self.spark.createDataFrame(
+                crows or [], "database string, table string, name string,"
+                " type string, position int"),
+            "system.databases": self.spark.createDataFrame(
+                [(d,) for d in sorted(self.databases)], "name string"),
+            "system.settings": self.spark.createDataFrame(
+                [(k, str(v)) for k, v in sorted(self.settings.items())]
+                or [], "name string, value string"),
+        }
 
     def _engines(self) -> dict[str, dict]:
         out = {}

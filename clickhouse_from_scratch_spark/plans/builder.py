@@ -299,9 +299,14 @@ def _subst(node, param: str, repl):
 def _build_from(node, ctx: Context) -> DataFrame:
     if isinstance(node, TableRef):
         name = node.table if node.database is None else f"{node.database}.{node.table}"
-        if node.table not in ctx.tables:
+        if name in ctx.tables:               # db-qualified entry wins
+            df = ctx.tables[name]
+        elif node.table in ctx.tables:
+            df = ctx.tables[node.table]
+        elif node.database == "system":
+            df = _system_table(node.table, ctx)
+        else:
             raise BuildError(f"unknown table: {name}")
-        df = ctx.tables[node.table]
         if node.final:
             meta = ctx.engines.get(node.table)
             if not meta:
@@ -329,6 +334,24 @@ def _build_from(node, ctx: Context) -> DataFrame:
     if isinstance(node, Join):
         return _build_join(node, ctx)
     raise BuildError(f"unsupported FROM node: {type(node).__name__}")
+
+
+def _system_table(table: str, ctx: Context) -> DataFrame:
+    """system.* virtual tables available on any session (the catalog's
+    ChSession layers richer ones — tables/columns/databases — on top by
+    injecting db-qualified entries into the table map)."""
+    if table == "one":
+        return ctx.spark.range(1).select(
+            F.lit(0).cast("tinyint").alias("dummy"))
+    if table == "numbers":
+        # CH system.numbers is unbounded; locally a 2^20 slice (compose
+        # with LIMIT; use numbers(N) for an exact count)
+        return ctx.spark.range(1 << 20).withColumnRenamed("id", "number")
+    if table == "functions":
+        from ..functions import REGISTRY
+        return ctx.spark.createDataFrame(
+            [(n,) for n in sorted(REGISTRY)], "name string")
+    raise BuildError(f"unknown table: system.{table}")
 
 
 def _table_function(node: TableFunction, ctx: Context) -> DataFrame:

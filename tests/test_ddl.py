@@ -47,6 +47,28 @@ def test_partitioned_table(sess, tmp_path):
     assert {r.d: r.s for r in got} == {"a": 4, "b": 2}
 
 
+def test_system_tables(sess):
+    sess.execute("CREATE TABLE st (a Int64, b String) ENGINE = MergeTree "
+                 "ORDER BY a")
+    sess.execute("SET max_threads = 4")
+    tabs = {(r.database, r.name): r.engine for r in
+            sess.execute("SELECT * FROM system.tables").collect()}
+    assert tabs[("default", "st")] == "MergeTree"
+    cols = {r.name: (r.type, r.position) for r in sess.execute(
+        "SELECT * FROM system.columns WHERE table = 'st'").collect()}
+    assert cols == {"a": ("Int64", 1), "b": ("String", 2)}
+    dbs = [r.name for r in
+           sess.execute("SELECT name FROM system.databases").collect()]
+    assert "default" in dbs and "system" not in dbs
+    st = {r.name: r.value for r in
+          sess.execute("SELECT * FROM system.settings").collect()}
+    assert st["max_threads"] == "4"
+    assert sess.execute(
+        "SELECT count() AS n FROM system.numbers LIMIT 5").collect()[0].n \
+        == (1 << 20)   # count over the bounded local slice
+    assert sess.execute("SELECT dummy FROM system.one").collect()[0].dummy == 0
+
+
 def test_partition_by_expression(sess, tmp_path):
     import os
     sess.execute("CREATE TABLE pe (d Date, v Int64) ENGINE = MergeTree "
