@@ -703,6 +703,12 @@ def _contains_agg(node) -> bool:
 
 def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
     gb = q.group_by or GroupBy([], mode="plain")
+    if gb.mode == "all":
+        # GROUP BY ALL: every SELECT expression without an aggregate
+        gb = GroupBy([(it.expr if isinstance(it, Alias) else it)
+                      for it in q.select
+                      if not isinstance(it, Star) and not _contains_agg(it)],
+                     mode="plain", with_totals=gb.with_totals)
     # 1. project group keys as stable columns
     key_slots: dict[str, str] = {}
     key_cols: list[Column] = []

@@ -267,6 +267,13 @@ class Parser:
                     self.accept_kw("ONLY")
 
     def _group_by(self) -> GroupBy:
+        # GROUP BY ALL → every non-aggregate SELECT expression (expanded
+        # by the builder, which knows the select list)
+        if (self.tok.is_kw("ALL")
+                and (self.peek().is_kw(*_CLAUSE_KW) or self.peek().is_op(")")
+                     or self.peek().kind == T.EOF)):
+            self.advance()
+            return GroupBy([], mode="all")
         if self.accept_kw("ROLLUP"):
             self.expect_op("(")
             g = GroupBy(self._expr_list(), mode="rollup")

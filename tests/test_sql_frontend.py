@@ -354,6 +354,16 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_group_by_all(spark, tables, duck):
+    sql = ("SELECT o_orderpriority AS p, o_orderstatus AS s, "
+           "count() AS n FROM orders GROUP BY ALL")
+    got = sorted(tuple(r) for r in execute_sql(spark, sql, tables).collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        "SELECT o_orderpriority, o_orderstatus, count(*) FROM orders "
+        "GROUP BY ALL").fetchall())
+    assert got == want
+
+
 def test_in_table_membership(spark, tables, duck):
     t2 = dict(tables)
     t2["big_cust"] = execute_sql(
