@@ -189,9 +189,36 @@ def from_row_binary(spark: SparkSession, data: bytes,
     return spark.createDataFrame(rows, st)
 
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
 def to_pretty(df: DataFrame, n: int = 20) -> str:
-    """PrettyCompact console renderer (output-only format family)."""
-    return df._show_string(n, 0, False)  # same renderer .show() uses
+    """PrettyCompact console renderer: ClickHouse's box-drawing grid.
+
+    ┌─a─┬─b──────┐
+    │ 1 │ hello  │
+    └───┴────────┘
+
+    Numbers right-aligned, everything else left-aligned, NULL rendered
+    as ᴺᵁᴸᴸ — matching clickhouse-client's default output format.
+    """
+    rows = df.limit(n).collect()
+    names = df.columns
+    is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
+              or f.dataType.simpleString().startswith("decimal")
+              for f in df.schema.fields]
+    cells = [["ᴺᵁᴸᴸ" if v is None else str(v) for v in r] for r in rows]
+    widths = [max(len(names[i]), *( [len(r[i]) for r in cells] or [0] ))
+              for i in range(len(names))]
+    head = "┌─" + "─┬─".join(
+        names[i] + "─" * (widths[i] - len(names[i]))
+        for i in range(len(names))) + "─┐"
+    body = ["│ " + " │ ".join(
+        (r[i].rjust(widths[i]) if is_num[i] else r[i].ljust(widths[i]))
+        for i in range(len(names))) + " │" for r in cells]
+    foot = "└─" + "─┴─".join("─" * widths[i]
+                             for i in range(len(names))) + "─┘"
+    return "\n".join([head, *body, foot])
 
 
 def to_tab_separated(df: DataFrame, n: int = 10000) -> str:

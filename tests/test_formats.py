@@ -57,7 +57,12 @@ def test_format_null_discards(sample):
 
 def test_pretty_and_tsv_renderers(sample):
     pretty = to_pretty(sample.orderBy("id"))
-    assert "id" in pretty and "+" in pretty and "1.5" in pretty
+    lines = pretty.split("\n")
+    # CH PrettyCompact box grid: ┌─id─┬─…─┐ / │ … │ / └───┴───┘
+    assert lines[0].startswith("┌─id─") and lines[0].endswith("─┐")
+    assert lines[-1].startswith("└─") and lines[-1].endswith("─┘")
+    assert "│ 1.5" in pretty or "1.5 │" in pretty
+    assert "ᴺᵁᴸᴸ" in pretty              # sample has a NULL score cell
     tsv = to_tab_separated(sample.orderBy("id"))
     lines = tsv.split("\n")
     assert lines[0] == "1\ta\t1.5"
