@@ -93,7 +93,7 @@ class ChSession:
             return self._output(node)
         if isinstance(node, (SelectQuery, UnionQuery)):
             return build(self.spark, node, self._tables(), self._engines(),
-                         params=params)
+                         params=params, settings=self.settings)
         handler = {
             CreateLiveView: self._create_live_view,
             CreateWindowView: self._create_window_view,

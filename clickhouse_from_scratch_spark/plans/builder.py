@@ -67,18 +67,21 @@ class Context:
     engines: dict[str, dict] = field(default_factory=dict)  # FINAL metadata
     windows: dict[str, "WindowSpec"] = field(default_factory=dict)  # WINDOW w AS
     params: dict[str, object] = field(default_factory=dict)  # {name:Type} binds
+    settings: dict[str, object] = field(default_factory=dict)  # SET k=v
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
-                       engines=self.engines, params=self.params)
+                       engines=self.engines, params=self.params,
+                       settings=self.settings)
 
 
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           tables: dict[str, DataFrame],
           engines: dict[str, dict] | None = None,
-          params: dict[str, object] | None = None) -> DataFrame:
+          params: dict[str, object] | None = None,
+          settings: dict[str, object] | None = None) -> DataFrame:
     ctx = Context(spark, dict(tables), engines=engines or {},
-                  params=params or {})
+                  params=params or {}, settings=settings or {})
     return _build_query(q, ctx)
 
 
@@ -1035,6 +1038,10 @@ _POLYMORPHIC = {"length": ("arrayLength", "length"),
 def _call_fn(node: FuncCall, cols: list, ctx: Context,
              df: DataFrame | None) -> Column:
     name = node.name
+    if name == "getSetting":             # getSetting('k') / @@k
+        if not (node.args and isinstance(node.args[0], Literal)):
+            raise BuildError("getSetting requires a literal name")
+        return F.lit(ctx.settings.get(node.args[0].value))
     # window functions
     if node.window is not None:
         return _window_call(node, cols, ctx, df)

@@ -20,7 +20,8 @@ def parse(sql: str):
 def execute_sql(spark: SparkSession, sql: str,
                 tables: dict[str, DataFrame],
                 engines: dict[str, dict] | None = None,
-                params: dict[str, object] | None = None) -> DataFrame:
+                params: dict[str, object] | None = None,
+                settings: dict[str, object] | None = None) -> DataFrame:
     """Run a ClickHouse-dialect query over the given tables.
 
     ``engines`` carries per-table MergeTree-style metadata the DDL layer
@@ -30,4 +31,5 @@ def execute_sql(spark: SparkSession, sql: str,
     (clickhouse-client --param_name analogue).
     """
     ast = _parse(sql)
-    return build(spark, ast, tables, engines=engines, params=params)
+    return build(spark, ast, tables, engines=engines, params=params,
+                 settings=settings)

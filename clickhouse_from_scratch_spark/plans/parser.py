@@ -771,6 +771,12 @@ class Parser:
         if tok.is_op("*"):
             self.advance()
             return Star()
+        if tok.is_op("@") and self.peek().is_op("@"):
+            # MySQL-style @@var → getSetting('var') (ParserSubstitution
+            # companion :2114-2158)
+            self.advance()
+            self.advance()
+            return FuncCall("getSetting", [Literal(self.advance().text)])
         if tok.is_op("{"):
             # query parameter {name:Type} (ParserSubstitution :2068-2112)
             self.advance()

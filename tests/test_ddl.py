@@ -47,6 +47,14 @@ def test_partitioned_table(sess, tmp_path):
     assert {r.d: r.s for r in got} == {"a": 4, "b": 2}
 
 
+def test_session_variables(sess):
+    sess.execute("SET max_memory_usage = 1000000")
+    r = sess.execute("SELECT @@max_memory_usage AS m, "
+                     "getSetting('max_memory_usage') AS g, "
+                     "@@does_not_exist AS missing").collect()[0]
+    assert r.m == 1000000 and r.g == 1000000 and r.missing is None
+
+
 def test_system_tables(sess):
     sess.execute("CREATE TABLE st (a Int64, b String) ENGINE = MergeTree "
                  "ORDER BY a")
