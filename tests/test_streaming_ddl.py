@@ -84,7 +84,7 @@ def test_format_pretty(sess):
              sess.execute("SELECT etype FROM ev FORMAT PrettyCompact")
              .collect()]
     text = "\n".join(lines)
-    assert "etype" in text and "click" in text and "+" in text
+    assert "etype" in text and "click" in text and "┌" in text
 
 
 def test_format_tsv(sess):
