@@ -68,23 +68,63 @@ def _type_default(dt: T.DataType) -> Column:
     return F.lit(None).cast(dt)
 
 
-def join_with_defaults(left: DataFrame, right: DataFrame, on: Sequence[str],
-                       how: str = "left") -> DataFrame:
-    """Outer join with ``join_use_nulls = 0`` semantics: NULLs produced by
-    non-matching rows are replaced by the column type's default value.
+def join_with_defaults(left: DataFrame, right: DataFrame,
+                       on: Sequence[str] | None = None,
+                       how: str = "left",
+                       condition: Column | None = None) -> DataFrame:
+    """Outer join with ``join_use_nulls = 0`` semantics: cells produced by
+    *non-matching* rows are filled with the column type's default value.
 
-    Pure post-join projection (coalesce) — adds no shuffle beyond the join.
+    A boolean marker column per filled side distinguishes "no match" from a
+    genuine NULL carried by a matched row (which ClickHouse preserves) —
+    plain ``coalesce`` would clobber the latter. Pure post-join projection;
+    adds no shuffle beyond the join itself.
+
+    ``on`` (USING-style name list) merges key columns as Spark does;
+    ``condition`` (ON-style Column) keeps both sides' columns and fills the
+    non-matched side's keys too, matching ClickHouse ON semantics.
     """
-    joined = left.join(right, on=list(on), how=how)
-    fill_side = right if how in ("left", "full") else left
-    own = set(on)
+    fill_right = how in ("left", "full", "outer", "full_outer")
+    fill_left = how in ("right", "full", "outer", "full_outer")
+    lm, rm = "__l_present", "__r_present"
+    left2 = left.withColumn(lm, F.lit(True)) if fill_left else left
+    right2 = right.withColumn(rm, F.lit(True)) if fill_right else right
+
+    if condition is not None:
+        joined = left2.join(right2, condition, how)
+        proj: list[Column] = []
+        for f in left.schema.fields:
+            col = left2[f.name]
+            if fill_left:
+                col = F.when(left2[lm].isNull(), _type_default(f.dataType)) \
+                       .otherwise(col)
+            proj.append(col.alias(f.name))
+        for f in right.schema.fields:
+            col = right2[f.name]
+            if fill_right:
+                col = F.when(right2[rm].isNull(), _type_default(f.dataType)) \
+                       .otherwise(col)
+            proj.append(col.alias(f.name))
+        return joined.select(*proj)
+
+    keys = list(on or [])
+    joined = left2.join(right2, on=keys, how=how)
+    ltypes = {f.name: f.dataType for f in left.schema.fields
+              if f.name not in keys}
+    rtypes = {f.name: f.dataType for f in right.schema.fields
+              if f.name not in keys}
     proj = []
-    fill_cols = {f.name: f.dataType for f in fill_side.schema.fields
-                 if f.name not in own}
     for name in joined.columns:
-        if name in fill_cols:
-            proj.append(F.coalesce(F.col(name),
-                                   _type_default(fill_cols[name])).alias(name))
+        if name in (lm, rm):
+            continue
+        if fill_right and name in rtypes:
+            proj.append(F.when(F.col(rm).isNull(),
+                               _type_default(rtypes[name]))
+                        .otherwise(F.col(name)).alias(name))
+        elif fill_left and name in ltypes:
+            proj.append(F.when(F.col(lm).isNull(),
+                               _type_default(ltypes[name]))
+                        .otherwise(F.col(name)).alias(name))
         else:
             proj.append(F.col(name))
     return joined.select(*proj)

@@ -24,8 +24,8 @@ from ..functions import REGISTRY, ch
 from ..functions.aggregates import AGGREGATES
 from ..functions.typemap import ch_type_to_spark
 from ..operators import (
-    any_join, array_join, asof_join, final, limit_by, limit_with_ties,
-    sample_by_key, with_fill,
+    any_join, array_join, asof_join, final, join_with_defaults, limit_by,
+    limit_with_ties, sample_by_key, with_fill,
 )
 from .ast_nodes import (
     Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
@@ -113,6 +113,9 @@ def _build_query(q, ctx: Context) -> DataFrame:
 def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     ctx = ctx.child()
     ctx.windows = dict(q.windows)
+    if q.settings:
+        # query-level SETTINGS suffix overrides session SET values
+        ctx.settings = {**ctx.settings, **q.settings}
     # WITH elements: subqueries become visible tables, scalar exprs become
     # aliases usable anywhere (CH scalar-WITH visibility)
     for name, node in q.ctes:
@@ -446,23 +449,91 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
                          on=eq, left_time=lcol, right_time=rcol,
                          direction=direction)
 
+    how = {"inner": "inner", "left": "left", "right": "right",
+           "full": "full"}[node.kind]
+
+    if node.strictness == "any" and node.kind in ("inner", "left", "right",
+                                                  "full"):
+        # ANY strictness: at most one match from the non-driving side.
+        # ANY LEFT/INNER dedupe the right side per key; ANY RIGHT the left
+        # (CH ASTTablesInSelectQuery.h:79-80). Works for both USING and
+        # equi-ON (keys extracted from the ON conjunction).
+        if node.using is not None:
+            lkeys = rkeys = list(node.using)
+        elif node.on is not None:
+            pairs = _split_equi_pairs(node.on, left, right)
+            lkeys = [p[0] for p in pairs]
+            rkeys = [p[1] for p in pairs]
+        else:
+            raise BuildError("ANY JOIN requires USING or ON")
+        if node.kind == "right":
+            left = _dedupe_one_per_key(left, lkeys)
+        else:
+            right = _dedupe_one_per_key(right, rkeys)
+
     on = None
     if node.using is not None:
         on = list(node.using)
     elif node.on is not None:
         on = _eval(node.on, ctx.child(), df=None, two_sided=(left, right))
 
-    how = {"inner": "inner", "left": "left", "right": "right",
-           "full": "full"}[node.kind]
     if node.strictness == "semi":
         how = "left_semi" if node.kind != "right" else "right_semi"
     elif node.strictness == "anti":
         how = "left_anti" if node.kind != "right" else "right_anti"
-    elif node.strictness == "any":
-        if not isinstance(on, list):
-            raise BuildError("ANY JOIN requires USING")
-        return any_join(left, right, on=on, how=how)
+
+    use_nulls = str(ctx.settings.get("join_use_nulls", 0)).lower() \
+        in ("1", "true")
+    if node.kind in ("left", "right", "full") and not use_nulls \
+            and node.strictness in ("all", "any", None, ""):
+        # join_use_nulls=0 (the CH default, Settings.h:224): non-matched
+        # outer-join cells get the column type's default, not NULL
+        if isinstance(on, list):
+            return join_with_defaults(left, right, on=on, how=how)
+        return join_with_defaults(left, right, how=how, condition=on)
     return left.join(right, on=on, how=how)
+
+
+def _dedupe_one_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One deterministic row per join key (ANY strictness). Map-side
+    combine-friendly window; shrinks the shuffled side before the join."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]) \
+              .orderBy(*[F.col(c) for c in df.columns])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _split_equi_pairs(on_node, left: DataFrame,
+                      right: DataFrame) -> list[tuple[str, str]]:
+    """Extract (left_col, right_col) pairs from an equality-conjunction ON
+    clause, resolving sides by column membership (qualifier-last-part)."""
+    conjuncts: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        else:
+            conjuncts.append(n)
+
+    flat(on_node)
+    pairs: list[tuple[str, str]] = []
+    for c in conjuncts:
+        if not (isinstance(c, FuncCall) and c.name == "equals"
+                and len(c.args) == 2
+                and isinstance(c.args[0], Identifier)
+                and isinstance(c.args[1], Identifier)):
+            raise BuildError("ANY JOIN ON must be a conjunction of column "
+                             "equalities")
+        a = c.args[0].parts[-1]
+        b = c.args[1].parts[-1]
+        if a in left.columns and b in right.columns:
+            pairs.append((a, b))
+        elif b in left.columns and a in right.columns:
+            pairs.append((b, a))
+        else:
+            raise BuildError(f"cannot resolve ON sides for {a} = {b}")
+    return pairs
 
 
 def _split_asof_on(on_node) -> tuple[list[str], tuple[str, str, str]]:

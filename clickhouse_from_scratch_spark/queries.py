@@ -1164,6 +1164,49 @@ def sql_array_join(spark, sf_dir):
                 "GROUP BY word ORDER BY n DESC, word LIMIT 10")
 
 
+@query("sql_join_defaults", oracle="""
+SELECT n_nationkey, n_name,
+       COALESCE(s_suppkey, 0) AS s_suppkey,
+       COALESCE(s_name, '') AS s_name,
+       COALESCE(s_acctbal, 0.0) AS s_acctbal
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+""")
+def sql_join_defaults(spark, sf_dir):
+    """join_use_nulls=0 (the CH default, reference src/Core/Settings.h): a
+    LEFT JOIN fills non-matched right cells with the column type's default
+    (0 / '' / 0.0), not NULL. Marker-based fill preserves genuine NULLs in
+    matched rows (operators/joins.py:join_with_defaults)."""
+    return _sql(spark, sf_dir, """
+        SELECT n_nationkey, n_name, s_suppkey, s_name, s_acctbal
+        FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    """)
+
+
+@query("sql_any_on", oracle="""
+SELECT o_orderkey,
+       COALESCE(l_linenumber, 0) AS l_linenumber,
+       COALESCE(l_quantity, 0.0) AS l_quantity
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+    FROM lineitem) t WHERE rn = 1
+) li ON o_orderkey = l_orderkey
+""")
+def sql_any_on(spark, sf_dir):
+    """ANY LEFT JOIN with an ON clause (not USING): equi-keys are extracted
+    from the ON conjunction, the right side deduped to one deterministic
+    row per key before the join (builder._split_equi_pairs). Non-matched
+    orders get type defaults per join_use_nulls=0."""
+    return _sql(spark, sf_dir, """
+        SELECT o_orderkey, l_linenumber, l_quantity
+        FROM orders ANY LEFT JOIN
+          (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) AS li
+          ON o_orderkey = l_orderkey
+    """)
+
+
 @query("multimodal_decode", oracle="""
 SELECT doc_id, 'image/png' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

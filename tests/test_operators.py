@@ -83,6 +83,30 @@ def test_join_with_defaults_fills_type_defaults(spark):
     assert row[1].n == 5 and row[1].s == "x"
 
 
+def test_join_with_defaults_preserves_matched_nulls(spark):
+    # a genuine NULL carried by a MATCHED right row must stay NULL
+    # (plain coalesce would clobber it); only non-matched cells are filled
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, None, None)], "k int, n int, s string")
+    out = join_with_defaults(left, right, on=["k"], how="left")
+    row = {r.k: r for r in out.collect()}
+    assert row[1].n is None and row[1].s is None       # matched, real NULL
+    assert row[2].n == 0 and row[2].s == ""            # non-matched, default
+
+
+def test_join_with_defaults_condition_right_and_full(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "lk int, lv string")
+    right = spark.createDataFrame([(2, 20.0), (3, 30.0)], "rk int, rv double")
+    cond = F.col("lk") == F.col("rk")
+    out = join_with_defaults(left, right, how="right", condition=cond)
+    got = sorted((r.lk, r.lv, r.rk, r.rv) for r in out.collect())
+    # non-matched right row 3: left cells get defaults (0, '')
+    assert got == [(0, "", 3, 30.0), (2, "b", 2, 20.0)]
+    out = join_with_defaults(left, right, how="full", condition=cond)
+    got = sorted((r.lk, r.lv, r.rk, r.rv) for r in out.collect())
+    assert got == [(0, "", 3, 30.0), (1, "a", 0, 0.0), (2, "b", 2, 20.0)]
+
+
 def test_with_fill_generates_gap_rows(spark):
     df = spark.createDataFrame([(1, 10), (4, 40)], "x int, v int")
     out = with_fill(df, "x", F.lit(1), F.lit(5), F.lit(1),

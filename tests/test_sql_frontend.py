@@ -83,8 +83,16 @@ CASES = [
      "SELECT n_name, count(*) AS n FROM customer "
      "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     ("left_join",
+     # join_use_nulls=0 default: non-matched s_suppkey is 0, not NULL, so
+     # count(s_suppkey) counts it -> model with count(*) in DuckDB
      "SELECT n_nationkey, count(s_suppkey) AS ns FROM nation "
      "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey",
+     "SELECT n_nationkey, count(*) AS ns FROM nation "
+     "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey"),
+    ("left_join_use_nulls",
+     "SELECT n_nationkey, count(s_suppkey) AS ns FROM nation "
+     "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey "
+     "SETTINGS join_use_nulls = 1",
      "SELECT n_nationkey, count(s_suppkey) AS ns FROM nation "
      "LEFT JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_nationkey"),
     ("cross_join",
@@ -352,6 +360,36 @@ def test_any_join_using_sql(spark, tables):
                       "ANY LEFT JOIN li2 USING (o_orderkey)", t2)
     # ANY strictness: left multiplicity preserved exactly
     assert out.count() == tables["orders"].count()
+
+
+def test_any_join_on_sql(spark, tables):
+    # CH accepts ANY LEFT JOIN ... ON a = b (differently-named keys);
+    # keys are extracted from the ON conjunction and the right side deduped
+    out = execute_sql(spark, "SELECT o_orderkey, l_linenumber FROM orders "
+                      "ANY LEFT JOIN lineitem ON o_orderkey = l_orderkey",
+                      tables)
+    assert out.count() == tables["orders"].count()
+
+
+def test_sql_outer_join_default_fill_matrix(spark):
+    from clickhouse_from_scratch_spark.plans import execute_sql as run
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "lk int, lv string")
+    right = spark.createDataFrame([(2, 20.0), (3, 30.0)], "rk int, rv double")
+    t = {"l": left, "r": right}
+    # default join_use_nulls=0: defaults
+    got = sorted(tuple(r) for r in run(
+        spark, "SELECT lk, lv, rk, rv FROM l LEFT JOIN r ON lk = rk",
+        t).collect())
+    assert got == [(1, "a", 0, 0.0), (2, "b", 2, 20.0)]
+    got = sorted(tuple(r) for r in run(
+        spark, "SELECT lk, lv, rk, rv FROM l FULL JOIN r ON lk = rk",
+        t).collect())
+    assert got == [(0, "", 3, 30.0), (1, "a", 0, 0.0), (2, "b", 2, 20.0)]
+    # SETTINGS join_use_nulls=1: Spark/SQL-standard NULLs
+    got = sorted(tuple(r) for r in run(
+        spark, "SELECT lk, lv, rk, rv FROM l LEFT JOIN r ON lk = rk "
+        "SETTINGS join_use_nulls = 1", t).collect())
+    assert got == [(1, "a", None, None), (2, "b", 2, 20.0)]
 
 
 def test_group_by_all(spark, tables, duck):
