@@ -148,6 +148,19 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         if pred is not None:
             df = _apply_where(df, pred, ctx)
 
+    if any(_contains_in_subquery(it) for it in q.select):
+        # SELECT-list IN-subqueries: lower to marker joins before
+        # projection/aggregation so membership stays distributed
+        import copy
+        q = copy.copy(q)
+        drops: list[str] = []
+        new_select = []
+        for item in q.select:
+            df, item = _lower_in_subqueries(df, item, ctx, drops)
+            new_select.append(item)
+        q.select = new_select
+        ctx.columns = list(df.columns)
+
     has_agg = (q.group_by is not None
                or any(_contains_agg(it) for it in q.select)
                or (q.having is not None and _contains_agg(q.having)))
@@ -693,6 +706,75 @@ def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
     return df.join(renamed, cond, "left_anti" if anti else "left_semi")
 
 
+_IN_NAMES = ("in", "globalIn", "notIn", "globalNotIn")
+
+
+def _contains_in_subquery(node) -> bool:
+    if isinstance(node, FuncCall):
+        if (node.name in _IN_NAMES and len(node.args) == 2
+                and isinstance(node.args[1], Subquery)):
+            return True
+        return any(_contains_in_subquery(a) for a in node.args
+                   if not isinstance(a, (Lambda, Subquery)))
+    if isinstance(node, (Alias, Cast)):
+        return _contains_in_subquery(node.expr)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return any(_contains_in_subquery(a) for a in node.items)
+    return False
+
+
+def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
+                         drops: list[str]):
+    """Expression-position ``x IN (SELECT …)`` → marker left join.
+
+    The subquery's first column is deduplicated, tagged with a TRUE marker,
+    and left-joined on the key; the IN node is replaced by
+    ``isNotNull(marker)`` (``isNull`` for NOT IN). This keeps the set
+    membership fully distributed — no driver-side collect — and matches CH
+    ``transform_null_in=0`` semantics (NULL keys never match → 0).
+    Returns the (possibly joined) df and the rewritten AST node; marker
+    column names are appended to ``drops`` for post-filter cleanup."""
+    if isinstance(node, FuncCall):
+        if (node.name in _IN_NAMES and len(node.args) == 2
+                and isinstance(node.args[1], Subquery)
+                and not _contains_in_subquery(node.args[0])):
+            try:
+                sub = _build_query(node.args[1].query, ctx.child())
+            except Exception:
+                sub = None          # correlated / unresolvable: fallback
+            if sub is not None:
+                i = len(drops)
+                marker, val = f"__in_m{i}", f"__in_v{i}"
+                side = (sub.select(F.col(sub.columns[0]).alias(val))
+                           .distinct().withColumn(marker, F.lit(True)))
+                if node.name.startswith("global"):
+                    side = F.broadcast(side)
+                key = _eval(node.args[0], ctx, df)
+                df = df.join(side, key == F.col(val), "left").drop(val)
+                drops.append(marker)
+                fn = "isNull" if "not" in node.name.lower() else "isNotNull"
+                return df, FuncCall(fn, [Identifier([marker])])
+        new_args, changed = [], False
+        for a in node.args:
+            if isinstance(a, (Lambda, Subquery)):
+                new_args.append(a)
+                continue
+            df, na = _lower_in_subqueries(df, a, ctx, drops)
+            changed = changed or na is not a
+            new_args.append(na)
+        if changed:
+            node = FuncCall(node.name, new_args, node.params, node.distinct,
+                            node.filter_where, node.window)
+        return df, node
+    if isinstance(node, Alias):
+        df, e = _lower_in_subqueries(df, node.expr, ctx, drops)
+        return df, (Alias(e, node.alias) if e is not node.expr else node)
+    if isinstance(node, Cast):
+        df, e = _lower_in_subqueries(df, node.expr, ctx, drops)
+        return df, (Cast(e, node.type_name) if e is not node.expr else node)
+    return df, node
+
+
 def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
     """WHERE with IN/EXISTS-subquery support: top-level conjuncts that are
     (not)in-subquery become semi/anti joins; the rest evaluate as Columns."""
@@ -707,6 +789,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
 
     flat(pred)
     plain: list[Column] = []
+    in_drops: list[str] = []
     for c in conjuncts:
         neg_exists = False
         if (isinstance(c, FuncCall) and c.name == "not" and len(c.args) == 1
@@ -753,9 +836,15 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
         else:
             if neg_exists:              # restore the NOT wrapper
                 c = FuncCall("not", [c])
+            if _contains_in_subquery(c):
+                # IN-subquery under OR/NOT/etc: marker-join lowering keeps
+                # it distributed instead of collecting to the driver
+                df, c = _lower_in_subqueries(df, c, ctx, in_drops)
             plain.append(_eval(c, ctx, df))
     for p in plain:
         df = df.filter(p)
+    if in_drops:
+        df = df.drop(*in_drops)
     return df
 
 
@@ -1147,9 +1236,19 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             vals = [a.value for a in rhs_node.items]
             col = lhs.isin(vals)
         elif isinstance(rhs_node, Subquery):
+            # last-resort path: IN-subquery in a position the marker-join
+            # lowering (_lower_in_subqueries) could not reach, e.g. inside
+            # HAVING or a lambda body. Bounded collect with a hard guard —
+            # never an unbounded driver materialization.
             sub = _build_query(rhs_node.query, ctx)
-            vals = [r[0] for r in sub.collect()]
-            col = lhs.isin(vals)
+            cap = 100_000
+            rows = sub.limit(cap + 1).collect()
+            if len(rows) > cap:
+                raise BuildError(
+                    "IN-subquery in this position would materialize more "
+                    f"than {cap} rows on the driver; rewrite as a WHERE "
+                    "conjunct or join")
+            col = lhs.isin([r[0] for r in rows])
         else:
             col = lhs.isin([cols[1]])
         return ~col if "not" in name.lower() else col

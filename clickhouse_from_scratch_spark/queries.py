@@ -1164,6 +1164,24 @@ def sql_array_join(spark, sf_dir):
                 "GROUP BY word ORDER BY n DESC, word LIMIT 10")
 
 
+@query("sql_in_expr_or", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+   OR c_acctbal > 9900
+""")
+def sql_in_expr_or(spark, sf_dir):
+    """IN-subquery in *expression position* (under OR): lowered to a
+    distributed marker left join (builder._lower_in_subqueries), not a
+    driver-side collect — the 100 TB-safe shape for set membership that
+    can't become a semi join."""
+    return _sql(spark, sf_dir, """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+           OR c_acctbal > 9900
+    """)
+
+
 @query("sql_join_defaults", oracle="""
 SELECT n_nationkey, n_name,
        COALESCE(s_suppkey, 0) AS s_suppkey,

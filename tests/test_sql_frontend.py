@@ -362,6 +362,44 @@ def test_any_join_using_sql(spark, tables):
     assert out.count() == tables["orders"].count()
 
 
+def test_in_subquery_expression_position(spark, tables, duck):
+    # under OR — cannot become a semi join; marker-join lowering applies
+    got = execute_sql(spark, "SELECT count() AS n FROM customer "
+                      "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+                      "WHERE o_totalprice > 400000) OR c_acctbal > 9900",
+                      tables).collect()[0].n
+    want = duck.execute(
+        "SELECT count(*) FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+        "OR c_acctbal > 9900").fetchone()[0]
+    assert got == want
+
+
+def test_in_subquery_select_list(spark, tables, duck):
+    got = {(r.c_custkey, bool(r.has_order)) for r in execute_sql(
+        spark, "SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM "
+        "orders) AS has_order FROM customer", tables).collect()}
+    want = {(k, bool(v)) for k, v in duck.execute(
+        "SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders) "
+        "FROM customer").fetchall()}
+    assert got == want
+
+
+def test_in_subquery_expression_no_driver_collect(spark, tables,
+                                                  monkeypatch):
+    # plan construction must not materialize the subquery on the driver
+    from pyspark.sql import DataFrame as _DF
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect during plan build")
+
+    monkeypatch.setattr(_DF, "collect", boom)
+    df = execute_sql(spark, "SELECT c_custkey FROM customer "
+                     "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+                     "OR c_acctbal > 9900", tables)
+    assert df is not None
+
+
 def test_any_join_on_sql(spark, tables):
     # CH accepts ANY LEFT JOIN ... ON a = b (differently-named keys);
     # keys are extracted from the ON conjunction and the right side deduped
