@@ -150,6 +150,11 @@ class ChSession:
 
     def _tables(self) -> dict[str, DataFrame]:
         out = {}
+        # db-qualified keys for EVERY database so FROM otherdb.t resolves
+        # to the right table even when the current db has a same-named one
+        for db in self.databases:
+            for name, meta in self._db(db).items():
+                out[f"{db}.{name}"] = self._read(meta)
         for name, meta in self._db().items():
             out[name] = self._read(meta)
         out.update(self._system_tables())
@@ -158,7 +163,8 @@ class ChSession:
     def _system_tables(self) -> dict[str, DataFrame]:
         """Catalog-backed system.* tables (db-qualified keys so they never
         shadow user tables; builder resolves system.one/numbers/functions
-        itself)."""
+        itself). Cached on a catalog fingerprint — createDataFrame per
+        statement is measurable driver overhead."""
         trows, crows = [], []
         for db in sorted(self.databases):
             for name, meta in sorted(self._db(db).items()):
@@ -167,7 +173,11 @@ class ChSession:
                               meta.partition_by or ""))
                 for pos, (cn, ct) in enumerate(meta.columns, 1):
                     crows.append((db, name, cn, ct, pos))
-        return {
+        fp = (tuple(trows), tuple(crows), tuple(sorted(
+            (k, str(v)) for k, v in self.settings.items())))
+        if getattr(self, "_sys_fp", None) == fp:
+            return self._sys_cache
+        self._sys_fp, self._sys_cache = fp, {
             "system.tables": self.spark.createDataFrame(
                 trows or [], "database string, name string, engine string,"
                 " sorting_key string, partition_key string"),
@@ -180,25 +190,29 @@ class ChSession:
                 [(k, str(v)) for k, v in sorted(self.settings.items())]
                 or [], "name string, value string"),
         }
+        return self._sys_cache
 
     def _engines(self) -> dict[str, dict]:
         out = {}
-        for name, meta in self._db().items():
-            info: dict = {}
-            if meta.order_by:
-                info["order_by"] = meta.order_by
-                info["version"] = meta.settings.get(
-                    "version", meta.order_by[-1])
-            if meta.sample_by:
-                info["sample_by"] = meta.sample_by
-            if info:
-                out[name] = info
+        for db in self.databases:
+            for name, meta in self._db(db).items():
+                info: dict = {}
+                if meta.order_by:
+                    info["order_by"] = meta.order_by
+                    info["version"] = meta.settings.get(
+                        "version", meta.order_by[-1])
+                if meta.sample_by:
+                    info["sample_by"] = meta.sample_by
+                if info:
+                    out[f"{db}.{name}"] = info
+                    if db == self.current_db:
+                        out[name] = info
         return out
 
     def _read(self, meta: TableMeta) -> DataFrame:
         if meta.is_view:
             return build(self.spark, meta.view_query, self._tables_except(
-                meta.name), self._engines())
+                meta.name, meta.database), self._engines())
         if meta.memory_df is not None:
             return meta.memory_df
         if meta.path and os.path.exists(meta.path):
@@ -210,8 +224,10 @@ class ChSession:
             return df
         return self.spark.createDataFrame([], meta.spark_schema())
 
-    def _tables_except(self, skip: str) -> dict[str, DataFrame]:
-        return {n: self._read(m) for n, m in self._db().items() if n != skip}
+    def _tables_except(self, skip: str,
+                       db: str | None = None) -> dict[str, DataFrame]:
+        return {n: self._read(m)
+                for n, m in self._db(db).items() if n != skip}
 
     # --- DDL --------------------------------------------------------------
 

@@ -319,15 +319,19 @@ def _build_from(node, ctx: Context) -> DataFrame:
     if isinstance(node, TableRef):
         name = node.table if node.database is None else f"{node.database}.{node.table}"
         if name in ctx.tables:               # db-qualified entry wins
-            df = ctx.tables[name]
-        elif node.table in ctx.tables:
-            df = ctx.tables[node.table]
+            df, rkey = ctx.tables[name], name
+        elif node.database is None and node.table in ctx.tables:
+            df, rkey = ctx.tables[node.table], node.table
         elif node.database == "system":
-            df = _system_table(node.table, ctx)
+            df, rkey = _system_table(node.table, ctx), name
         else:
+            # an explicit db qualifier never falls back to a same-named
+            # table in another db — that silently returns wrong data
             raise BuildError(f"unknown table: {name}")
+        # engine metadata is looked up under the SAME key the table resolved
+        # by, so FROM db.t FINAL never picks a shadowing table's ORDER BY
         if node.final:
-            meta = ctx.engines.get(node.table)
+            meta = ctx.engines.get(rkey)
             if not meta:
                 raise BuildError(
                     f"FINAL on {name} needs engine metadata (ORDER BY key + "
@@ -335,8 +339,8 @@ def _build_from(node, ctx: Context) -> DataFrame:
             df = final(df, key=meta["order_by"], version=meta["version"])
         if node.sample:
             frac, off = node.sample
-            key = ctx.engines.get(node.table, {}).get("sample_by",
-                                                      df.columns[0])
+            key = ctx.engines.get(rkey, {}).get("sample_by",
+                                                df.columns[0])
             df = sample_by_key(df, key, frac, off)
         if node.alias:
             df = df.alias(node.alias)

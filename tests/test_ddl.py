@@ -152,6 +152,37 @@ def test_databases_and_use(sess):
                          sess.execute("SHOW DATABASES").collect()]
 
 
+def test_cross_db_qualified_select(sess):
+    """FROM otherdb.t must hit otherdb even when the current db shadows
+    the name (ADVICE r1: unqualified fallback returned wrong data)."""
+    sess.execute("CREATE DATABASE db2")
+    sess.execute("CREATE TABLE t (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO t VALUES (1)")
+    sess.execute("USE db2")
+    sess.execute("CREATE TABLE t (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO t VALUES (100), (200)")
+    sess.execute("USE default")
+    assert sess.execute("SELECT sum(x) AS s FROM t").collect()[0].s == 1
+    assert sess.execute("SELECT sum(x) AS s FROM db2.t").collect()[0].s == 300
+    with pytest.raises(Exception):
+        sess.execute("SELECT * FROM db3.t")
+
+
+def test_cross_db_qualified_final(sess):
+    """FROM db.t FINAL uses db.t's OWN engine metadata, not a shadow's."""
+    sess.execute("CREATE DATABASE db2")
+    sess.execute("CREATE TABLE r (k Int64, v Int64, ver Int64) "
+                 "ENGINE = Memory")   # no ORDER BY: FINAL here would error
+    sess.execute("USE db2")
+    sess.execute("CREATE TABLE r (k Int64, v Int64, ver Int64) "
+                 "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+    sess.execute("INSERT INTO r VALUES (1, 10, 1), (1, 20, 2), (2, 5, 1)")
+    sess.execute("USE default")
+    got = {r.k: r.v for r in
+           sess.execute("SELECT k, v FROM db2.r FINAL").collect()}
+    assert got == {1: 20, 2: 5}
+
+
 def test_drop_rename_truncate(sess):
     sess.execute("CREATE TABLE a (x Int64) ENGINE = Memory")
     sess.execute("INSERT INTO a VALUES (1)")
