@@ -575,7 +575,13 @@ class ChSession:
         if not isinstance(inner, (SelectQuery, UnionQuery)):
             raise ValueError("INTO OUTFILE/FORMAT applies to queries")
         df = build(self.spark, inner, self._tables(), self._engines())
+        from .sources.formats import TEXT_RENDERERS
         if node.outfile:
+            if node.format in TEXT_RENDERERS:
+                # console/interchange formats render driver-side
+                with open(node.outfile, "w", encoding="utf-8") as fh:
+                    fh.write(TEXT_RENDERERS[node.format](df))
+                return self._ok()
             from .sources import write_format
             write_format(df, node.format or "Parquet", node.outfile,
                          compression=node.compression)
@@ -589,6 +595,11 @@ class ChSession:
             from .sources.formats import to_tab_separated
             return self.spark.createDataFrame(
                 [(line,) for line in to_tab_separated(df).split("\n")],
+                "output string")
+        if node.format in TEXT_RENDERERS:
+            return self.spark.createDataFrame(
+                [(line,) for line in
+                 TEXT_RENDERERS[node.format](df).split("\n")],
                 "output string")
         return df
 

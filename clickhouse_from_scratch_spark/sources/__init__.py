@@ -2,13 +2,27 @@
 
 from .formats import (
     FORMATS,
+    TEXT_RENDERERS,
     from_native,
     from_row_binary,
     read_format,
+    read_regexp,
+    to_json,
+    to_json_compact,
+    to_json_each_row,
+    to_markdown,
     to_native,
     to_row_binary,
+    to_template,
+    to_tskv,
+    to_values,
+    to_vertical,
+    to_xml,
     write_format,
 )
 
-__all__ = ["FORMATS", "read_format", "write_format",
-           "to_native", "from_native", "to_row_binary", "from_row_binary"]
+__all__ = ["FORMATS", "TEXT_RENDERERS", "read_format", "write_format",
+           "to_native", "from_native", "to_row_binary", "from_row_binary",
+           "to_values", "to_vertical", "to_tskv", "to_markdown", "to_xml",
+           "to_json", "to_json_compact", "to_json_each_row", "to_template",
+           "read_regexp"]

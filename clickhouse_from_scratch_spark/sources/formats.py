@@ -202,19 +202,33 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
     Numbers right-aligned, everything else left-aligned, NULL rendered
     as ᴺᵁᴸᴸ — matching clickhouse-client's default output format.
     """
+    import unicodedata
+
+    def disp_w(s: str) -> int:
+        # wide/fullwidth chars occupy two terminal cells
+        return sum(2 if unicodedata.east_asian_width(c) in "WF" else 1
+                   for c in s)
+
     rows = df.limit(n).collect()
     names = df.columns
     is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
               or f.dataType.simpleString().startswith("decimal")
               for f in df.schema.fields]
     cells = [["ᴺᵁᴸᴸ" if v is None else str(v) for v in r] for r in rows]
-    widths = [max(len(names[i]), *( [len(r[i]) for r in cells] or [0] ))
+    widths = [max(disp_w(names[i]),
+                  *([disp_w(r[i]) for r in cells] or [0]))
               for i in range(len(names))]
+
+    def pad(s: str, w: int, right: bool, fill: str = " ") -> str:
+        gap = fill * (w - disp_w(s))
+        return gap + s if right else s + gap
+
+    # clickhouse-client right-aligns header names of numeric columns
     head = "┌─" + "─┬─".join(
-        names[i] + "─" * (widths[i] - len(names[i]))
+        pad(names[i], widths[i], is_num[i], "─")
         for i in range(len(names))) + "─┐"
     body = ["│ " + " │ ".join(
-        (r[i].rjust(widths[i]) if is_num[i] else r[i].ljust(widths[i]))
+        pad(r[i], widths[i], is_num[i])
         for i in range(len(names))) + " │" for r in cells]
     foot = "└─" + "─┴─".join("─" * widths[i]
                              for i in range(len(names))) + "─┘"
@@ -226,3 +240,285 @@ def to_tab_separated(df: DataFrame, n: int = 10000) -> str:
     rows = df.limit(n).collect()
     return "\n".join("\t".join("" if v is None else str(v) for v in row)
                      for row in rows)
+
+
+# --- ClickHouse text formats (registerFormats.cpp:10-77 tail) --------------
+# These are console/interchange renderers: inherently driver-side (they
+# produce ONE ordered text document). Large exports should use the
+# distributed writers above (CSV/TSV/Parquet/ORC); these cap at `n` rows.
+
+_CH_TYPE = {"bigint": "Int64", "int": "Int32", "smallint": "Int16",
+            "tinyint": "Int8", "double": "Float64", "float": "Float32",
+            "string": "String", "date": "Date", "timestamp": "DateTime",
+            "timestamp_ntz": "DateTime", "boolean": "Bool",
+            "binary": "String"}
+
+
+def _ch_type(simple: str) -> str:
+    if simple in _CH_TYPE:
+        return _CH_TYPE[simple]
+    if simple.startswith("array<") and simple.endswith(">"):
+        return f"Array({_ch_type(simple[6:-1])})"
+    if simple.startswith("decimal"):
+        return "Decimal" + simple[7:]
+    return "String"
+
+
+def _tsv_escape(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _quote(v) -> str:
+    """CH single-quoted string literal with backslash escaping."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _values_cell(v, simple: str) -> str:
+    if v is None:
+        return "NULL"
+    if simple == "boolean":
+        return "true" if v else "false"
+    if simple in _NUMERIC_TYPES or simple.startswith("decimal"):
+        return str(v)
+    if simple.startswith("array<"):
+        inner = simple[6:-1]
+        return "[" + ",".join(_values_cell(x, inner) for x in v) + "]"
+    return _quote(v)
+
+
+def to_values(df: DataFrame, n: int = 10000) -> str:
+    """``Values`` output: ``(1,'a'),(2,'b')`` — the same syntax INSERT
+    accepts, strings single-quoted with backslash escapes, NULL bare."""
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    return ",".join(
+        "(" + ",".join(_values_cell(v, t) for v, t in zip(row, simples)) + ")"
+        for row in df.limit(n).collect())
+
+
+def to_vertical(df: DataFrame, n: int = 10000) -> str:
+    """``Vertical`` output: one ``Row N:`` block per row, a ─ rule under
+    the header, column names padded so values align — clickhouse-client's
+    ``\\G`` format."""
+    names = df.columns
+    pad = max((len(c) for c in names), default=0) + 1   # name + ':'
+    blocks = []
+    for i, row in enumerate(df.limit(n).collect(), 1):
+        head = f"Row {i}:"
+        lines = [head, "─" * len(head)]
+        lines += [f"{name + ':':<{pad + 1}}"
+                  f"{'ᴺᵁᴸᴸ' if v is None else v}"
+                  for name, v in zip(names, row)]
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
+
+
+def to_tskv(df: DataFrame, n: int = 10000) -> str:
+    """``TSKV``: ``name=value`` pairs tab-separated, TSV escaping, NULL
+    as ``\\N``."""
+    names = [_tsv_escape(c).replace("=", "\\=") for c in df.columns]
+    null = "\\N"
+    return "\n".join(
+        "\t".join(k + "=" + (null if v is None else _tsv_escape(str(v)))
+                  for k, v in zip(names, row))
+        for row in df.limit(n).collect())
+
+
+def to_markdown(df: DataFrame, n: int = 10000) -> str:
+    """``Markdown`` output: header row, alignment rule (numbers right),
+    pipe-escaped cells."""
+    is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
+              or f.dataType.simpleString().startswith("decimal")
+              for f in df.schema.fields]
+    esc = lambda s: s.replace("|", "\\|")  # noqa: E731
+    out = ["| " + " | ".join(esc(c) for c in df.columns) + " |",
+           "|" + "|".join("---:" if num else ":---" for num in is_num) + "|"]
+    out += ["| " + " | ".join(
+        "ᴺᵁᴸᴸ" if v is None else esc(str(v)) for v in row) + " |"
+        for row in df.limit(n).collect()]
+    return "\n".join(out)
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("'", "&apos;")
+            .replace('"', "&quot;"))
+
+
+def to_xml(df: DataFrame, n: int = 10000) -> str:
+    """``XML`` document output: meta (name+CH type), data rows, rows
+    count — the reference's declared XML layout."""
+    rows = df.limit(n).collect()
+    out = ["<?xml version='1.0' encoding='UTF-8' ?>", "<result>",
+           "\t<meta>", "\t\t<columns>"]
+    for f in df.schema.fields:
+        out += ["\t\t\t<column>",
+                f"\t\t\t\t<name>{_xml_escape(f.name)}</name>",
+                f"\t\t\t\t<type>{_ch_type(f.dataType.simpleString())}</type>",
+                "\t\t\t</column>"]
+    out += ["\t\t</columns>", "\t</meta>", "\t<data>"]
+    for row in rows:
+        out.append("\t\t<row>")
+        for name, v in zip(df.columns, row):
+            tag = _xml_escape(name)
+            out.append(f"\t\t\t<{tag}>"
+                       f"{'' if v is None else _xml_escape(str(v))}"
+                       f"</{tag}>")
+        out.append("\t\t</row>")
+    out += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>"]
+    return "\n".join(out)
+
+
+_BIG_INT = {"bigint"}
+
+
+def _json_cell(v, simple: str):
+    import math
+    if v is None:
+        return None
+    if simple in _BIG_INT:
+        # CH quotes (U)Int64 in JSON by default
+        # (output_format_json_quote_64bit_integers = 1)
+        return str(v)
+    if simple in _NUMERIC_TYPES:
+        if isinstance(v, float) and not math.isfinite(v):
+            return str(v)                   # CH renders inf/nan as strings
+        return v
+    if simple == "boolean":
+        return v
+    if simple.startswith("array<"):
+        inner = simple[6:-1]
+        return [_json_cell(x, inner) for x in v]
+    return str(v)
+
+
+def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
+    import json
+    rows = df.limit(n).collect()
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    meta = [{"name": f.name, "type": _ch_type(s)}
+            for f, s in zip(df.schema.fields, simples)]
+    if compact:
+        data = [[_json_cell(v, s) for v, s in zip(row, simples)]
+                for row in rows]
+    else:
+        data = [{c: _json_cell(v, s)
+                 for c, v, s in zip(df.columns, row, simples)}
+                for row in rows]
+    return json.dumps({"meta": meta, "data": data, "rows": len(rows)},
+                      ensure_ascii=False, indent="\t")
+
+
+def to_json(df: DataFrame, n: int = 10000) -> str:
+    """``JSON`` document output: {meta, data: [objects], rows}."""
+    return _json_doc(df, n, compact=False)
+
+
+def to_json_compact(df: DataFrame, n: int = 10000) -> str:
+    """``JSONCompact``: like JSON but data rows are arrays."""
+    return _json_doc(df, n, compact=True)
+
+
+def to_json_each_row(df: DataFrame, n: int = 10000) -> str:
+    """``JSONEachRow`` as a string: one JSON object per line."""
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    return "\n".join(
+        json.dumps({c: _json_cell(v, s)
+                    for c, v, s in zip(df.columns, row, simples)},
+                   ensure_ascii=False)
+        for row in df.limit(n).collect())
+
+
+_TPL_RE = None
+
+
+def to_template(df: DataFrame, row_format: str,
+                row_between_delimiter: str = "\n",
+                resultset_format: str | None = None,
+                n: int = 10000) -> str:
+    """``Template`` output: ``${col:Escaping}`` placeholders per row.
+
+    Escapings: Raw (as-is), Escaped (TSV), Quoted (CH literal), CSV
+    (RFC double-quote), JSON, XML. ``resultset_format`` may reference
+    ``${data}`` plus ``${rows:...}``."""
+    import json
+    import re as _re
+
+    global _TPL_RE
+    if _TPL_RE is None:
+        _TPL_RE = _re.compile(r"\$\{(\w+)(?::(\w+))?\}")
+    simples = dict(zip(df.columns, (f.dataType.simpleString()
+                                    for f in df.schema.fields)))
+
+    def render(v, simple, esc):
+        if esc == "Quoted":
+            return _values_cell(v, simple)
+        s = "" if v is None else str(v)
+        if esc == "Escaped":
+            return _tsv_escape(s)
+        if esc == "CSV":
+            return '"' + s.replace('"', '""') + '"'
+        if esc == "JSON":
+            return json.dumps(_json_cell(v, simple), ensure_ascii=False)
+        if esc == "XML":
+            return _xml_escape(s)
+        return s                                           # Raw
+
+    rows = df.limit(n).collect()
+
+    def row_text(row):
+        d = dict(zip(df.columns, row))
+
+        def sub(m):
+            name, esc = m.group(1), m.group(2) or "Raw"
+            if name not in d:
+                raise ValueError(f"Template: unknown column {name}")
+            return render(d[name], simples[name], esc)
+        return _TPL_RE.sub(sub, row_format)
+
+    data = row_between_delimiter.join(row_text(r) for r in rows)
+    if resultset_format is None:
+        return data
+    return (resultset_format.replace("${data}", data)
+            .replace("${rows}", str(len(rows))))
+
+
+def read_regexp(spark: SparkSession, path: str, regexp: str,
+                schema: str, skip_unmatched: bool = False) -> DataFrame:
+    """``Regexp`` input format: each line parsed by a regexp whose
+    capture groups map positionally onto the schema columns. Stays
+    JVM-side (spark.read.text + regexp_extract) — scales to any input
+    size, unlike a driver-side line loop."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    lines = spark.read.text(path)
+    matched = lines.where(F.col("value").rlike(regexp))
+    if not skip_unmatched:
+        # CH throws on unmatched rows unless
+        # format_regexp_skip_unmatched=1; mirror with a cheap count check
+        total = lines.count()
+        ok = matched.count()
+        if ok != total:
+            raise ValueError(
+                f"Regexp: {total - ok} rows did not match (set "
+                f"skip_unmatched=True to drop them)")
+    cols = [F.regexp_extract("value", regexp, i + 1)
+            .cast(f.dataType).alias(f.name)
+            for i, f in enumerate(st.fields)]
+    return matched.select(*cols)
+
+
+# FORMAT-name → driver-side string renderer (used by the FORMAT suffix
+# and INTO OUTFILE for these text formats)
+TEXT_RENDERERS = {
+    "Values": to_values,
+    "Vertical": to_vertical,
+    "TSKV": to_tskv,
+    "Markdown": to_markdown,
+    "XML": to_xml,
+    "JSON": to_json,
+    "JSONCompact": to_json_compact,
+}

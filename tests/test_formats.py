@@ -119,3 +119,135 @@ def test_row_binary_uleb128_long_string(spark):
     df = spark.createDataFrame([(long_s,)], "s string")
     back = from_row_binary(spark, to_row_binary(df), "s string")
     assert back.collect()[0].s == long_s
+
+
+def test_values_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_values
+    df = spark.createDataFrame(
+        [(1, "it's", 1.5), (2, "a\\b", None)], "id long, s string, v double")
+    assert to_values(df.orderBy("id")) == \
+        "(1,'it\\'s',1.5),(2,'a\\\\b',NULL)"
+
+
+def test_values_bool_array(spark):
+    from clickhouse_from_scratch_spark.sources import to_values
+    df = spark.createDataFrame([(True, [1, 2], ["x"])],
+                               "b boolean, a array<int>, s array<string>")
+    assert to_values(df) == "(true,[1,2],['x'])"
+
+
+def test_vertical_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_vertical
+    df = spark.createDataFrame([(1, "hello"), (2, None)],
+                               "id long, name string")
+    out = to_vertical(df.orderBy("id"))
+    blocks = out.split("\n\n")
+    assert blocks[0].split("\n") == [
+        "Row 1:", "──────", "id:   1", "name: hello"]
+    assert blocks[1].split("\n") == [
+        "Row 2:", "──────", "id:   2", "name: ᴺᵁᴸᴸ"]
+
+
+def test_tskv_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_tskv
+    df = spark.createDataFrame([(1, "a\tb"), (2, None)],
+                               "id long, s string")
+    lines = to_tskv(df.orderBy("id")).split("\n")
+    assert lines[0] == "id=1\ts=a\\tb"
+    assert lines[1] == "id=2\ts=\\N"
+
+
+def test_markdown_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_markdown
+    df = spark.createDataFrame([(1, "a|b")], "id long, s string")
+    lines = to_markdown(df).split("\n")
+    assert lines[0] == "| id | s |"
+    assert lines[1] == "|---:|:---|"      # numeric right, string left
+    assert lines[2] == "| 1 | a\\|b |"
+
+
+def test_xml_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_xml
+    df = spark.createDataFrame([(1, "<x&y>")], "id long, s string")
+    out = to_xml(df)
+    assert out.startswith("<?xml version='1.0' encoding='UTF-8' ?>")
+    assert "<name>id</name>" in out and "<type>Int64</type>" in out
+    assert "<s>&lt;x&amp;y&gt;</s>" in out
+    assert "<rows>1</rows>" in out
+
+
+def test_json_document_forms(spark):
+    import json
+    from clickhouse_from_scratch_spark.sources import (
+        to_json, to_json_compact, to_json_each_row)
+    df = spark.createDataFrame([(2**40, "a", 1.5, None)],
+                               "id long, s string, v double, z string")
+    doc = json.loads(to_json(df))
+    assert doc["meta"] == [{"name": "id", "type": "Int64"},
+                           {"name": "s", "type": "String"},
+                           {"name": "v", "type": "Float64"},
+                           {"name": "z", "type": "String"}]
+    # CH quotes 64-bit ints in JSON by default
+    assert doc["data"] == [{"id": str(2**40), "s": "a", "v": 1.5, "z": None}]
+    assert doc["rows"] == 1
+    compact = json.loads(to_json_compact(df))
+    assert compact["data"] == [[str(2**40), "a", 1.5, None]]
+    line = json.loads(to_json_each_row(df))
+    assert line["id"] == str(2**40) and line["v"] == 1.5
+
+
+def test_template_renderer(spark):
+    from clickhouse_from_scratch_spark.sources import to_template
+    df = spark.createDataFrame([(1, "it's"), (2, "b")], "id long, s string")
+    out = to_template(df.orderBy("id"), "${id:Escaped} -> ${s:Quoted}",
+                      row_between_delimiter="; ")
+    assert out == "1 -> 'it\\'s'; 2 -> 'b'"
+    wrapped = to_template(df.orderBy("id"), "${id:Raw}",
+                          resultset_format="rows=${rows} data=[${data}]",
+                          row_between_delimiter=",")
+    assert wrapped == "rows=2 data=[1,2]"
+
+
+def test_regexp_input(spark, tmp_path):
+    from clickhouse_from_scratch_spark.sources import read_regexp
+    p = str(tmp_path / "log.txt")
+    with open(p, "w") as f:
+        f.write("id=1 name=alpha\nid=2 name=beta\nbogus line\n")
+    df = read_regexp(spark, p, r"^id=(\d+) name=(\w+)$",
+                     "id int, name string", skip_unmatched=True)
+    assert sorted(map(tuple, df.collect())) == [(1, "alpha"), (2, "beta")]
+    with pytest.raises(ValueError, match="did not match"):
+        read_regexp(spark, p, r"^id=(\d+) name=(\w+)$", "id int, name string")
+
+
+def test_format_suffix_dispatch(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE t (id Int64, s String) ENGINE = Memory")
+    sess.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    out = "\n".join(r.output for r in sess.execute(
+        "SELECT * FROM t ORDER BY id FORMAT Vertical").collect())
+    assert out.startswith("Row 1:")
+    vals = "\n".join(r.output for r in sess.execute(
+        "SELECT * FROM t ORDER BY id FORMAT Values").collect())
+    assert vals == "(1,'a'),(2,'b')"
+    dest = str(tmp_path / "out.json")
+    sess.execute(f"SELECT * FROM t ORDER BY id INTO OUTFILE '{dest}' "
+                 "FORMAT JSON")
+    import json
+    with open(dest) as f:
+        doc = json.load(f)
+    assert doc["rows"] == 2
+
+
+def test_pretty_numeric_header_and_wide_chars(spark):
+    df = spark.createDataFrame([(100, "日本"), (2, "ab")],
+                               "total long, s string")
+    lines = to_pretty(df.orderBy("total")).split("\n")
+    # numeric header right-aligned inside the dashes; string left-aligned
+    assert lines[0] == "┌─total─┬─s────┐"
+    # 日本 occupies 4 display cells — grid stays aligned
+    assert all(len(line) == len(lines[0]) or "日本" in line
+               for line in lines)
+    assert lines[1] == "│     2 │ ab   │"
+    assert lines[2] == "│   100 │ 日本 │"
