@@ -1202,10 +1202,17 @@ _POLYMORPHIC = {"length": ("arrayLength", "length"),
 def _call_fn(node: FuncCall, cols: list, ctx: Context,
              df: DataFrame | None) -> Column:
     name = node.name
-    if name == "getSetting":             # getSetting('k') / @@k
+    if name in ("getSetting", "getSettingOrDefault"):  # + @@k sugar
         if not (node.args and isinstance(node.args[0], Literal)):
             raise BuildError("getSetting requires a literal name")
-        return F.lit(ctx.settings.get(node.args[0].value))
+        key = node.args[0].value
+        if key not in ctx.settings:
+            if name == "getSettingOrDefault" and len(node.args) > 1:
+                return cols[1]
+            # CH raises UNKNOWN_SETTING rather than returning NULL
+            raise BuildError(f"unknown setting: {key} "
+                             f"(SET it or use getSettingOrDefault)")
+        return F.lit(ctx.settings[key])
     # window functions
     if node.window is not None:
         return _window_call(node, cols, ctx, df)

@@ -50,9 +50,18 @@ def test_partitioned_table(sess, tmp_path):
 def test_session_variables(sess):
     sess.execute("SET max_memory_usage = 1000000")
     r = sess.execute("SELECT @@max_memory_usage AS m, "
-                     "getSetting('max_memory_usage') AS g, "
-                     "@@does_not_exist AS missing").collect()[0]
-    assert r.m == 1000000 and r.g == 1000000 and r.missing is None
+                     "getSetting('max_memory_usage') AS g").collect()[0]
+    assert r.m == 1000000 and r.g == 1000000
+    # CH raises UNKNOWN_SETTING, not NULL
+    with pytest.raises(Exception, match="unknown setting"):
+        sess.execute("SELECT @@does_not_exist")
+    r = sess.execute("SELECT getSettingOrDefault('does_not_exist', 42) "
+                     "AS d").collect()[0]
+    assert r.d == 42
+    # query-level SETTINGS suffix overrides the session value
+    r = sess.execute("SELECT getSetting('max_memory_usage') AS g "
+                     "SETTINGS max_memory_usage = 7").collect()[0]
+    assert r.g == 7
 
 
 def test_system_tables(sess):
