@@ -25,9 +25,26 @@ def with_fill(df: DataFrame, fill_col: str,
     ``step``. Works for numeric (lit ints) and date/timestamp
     (``F.expr("interval 1 day")`` step) domains — mirrors `sequence()` rules.
     """
-    spine = (df.sparkSession.range(1)
-               .select(F.explode(F.sequence(start, stop, step)).alias(fill_col)))
-    out = spine.join(df, on=fill_col, how="left")
+    return with_fill_multi(df, [(fill_col, start, stop, step)],
+                           fill_defaults)
+
+
+def with_fill_multi(df: DataFrame,
+                    items: list[tuple[str, Column, Column, Column]],
+                    fill_defaults: dict[str, object] | None = None
+                    ) -> DataFrame:
+    """Multi-column WITH FILL: one spine per fill column, cross-joined
+    into a grid (CH's FillingTransform emits every combination of the
+    fill domains), then one left join against the data on all fill
+    columns. Each spine is tiny (the column's domain, not the data), so
+    the grid broadcasts; the data side joins in a single pass."""
+    spark = df.sparkSession
+    spine = spark.range(1).select()
+    for name, start, stop, step in items:
+        spine = spine.crossJoin(
+            spark.range(1).select(
+                F.explode(F.sequence(start, stop, step)).alias(name)))
+    out = spine.join(df, on=[name for name, *_ in items], how="left")
     if fill_defaults:
         out = out.fillna(fill_defaults)
-    return out.orderBy(fill_col)
+    return out.orderBy(*[name for name, *_ in items])

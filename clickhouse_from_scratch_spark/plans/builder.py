@@ -25,7 +25,7 @@ from ..functions.aggregates import AGGREGATES
 from ..functions.typemap import ch_type_to_spark
 from ..operators import (
     any_join, array_join, asof_join, final, join_with_defaults, limit_by,
-    limit_with_ties, sample_by_key, with_fill,
+    limit_with_ties, sample_by_key, with_fill, with_fill_multi,
 )
 from .ast_nodes import (
     Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
@@ -197,30 +197,40 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     if final_names is not None:
         df = df.select(*final_names)
     if fill_items:
-        it = fill_items[0]
-        name = _fill_col_name(it, df)
-        start = (_post_expr(it.fill_from, df, ctx)
-                 if it.fill_from is not None else None)
-        stop = (_post_expr(it.fill_to, df, ctx)
-                if it.fill_to is not None else None)
-        if start is None or stop is None:
-            # CH infers missing bounds from the data's min/max: one extra
-            # column-pruned agg job (same work the reference does)
-            lo, hi = df.agg(F.min(name), F.max(name)).collect()[0]
-            if lo is None:              # empty input: nothing to fill
-                start = stop = None
-            else:
+        names = [_fill_col_name(it, df) for it in fill_items]
+        # CH infers missing bounds from the data's min/max; ONE extra
+        # column-pruned agg job covers every fill column
+        need_bounds = [n for it, n in zip(fill_items, names)
+                       if it.fill_from is None or it.fill_to is None]
+        inferred: dict[str, tuple] = {}
+        if need_bounds:
+            row = df.agg(*[f(n) for n in need_bounds
+                           for f in (F.min, F.max)]).collect()[0]
+            inferred = {n: (row[2 * i], row[2 * i + 1])
+                        for i, n in enumerate(need_bounds)}
+        specs = []
+        for it, name in zip(fill_items, names):
+            start = (_post_expr(it.fill_from, df, ctx)
+                     if it.fill_from is not None else None)
+            stop = (_post_expr(it.fill_to, df, ctx)
+                    if it.fill_to is not None else None)
+            if start is None or stop is None:
+                lo, hi = inferred[name]
+                if lo is None:          # empty input: nothing to fill
+                    specs = []
+                    break
                 start = start if start is not None else F.lit(lo)
                 stop = stop if stop is not None else F.lit(hi)
-        if it.fill_step is not None:
-            step = _post_expr(it.fill_step, df, ctx)
-        else:
-            dtype = df.schema[name].dataType.simpleString()
-            step = (F.expr("interval 1 day")
-                    if dtype in ("date", "timestamp", "timestamp_ntz")
-                    else F.lit(1))
-        if start is not None:
-            df = with_fill(df, name, start, stop, step)
+            if it.fill_step is not None:
+                step = _post_expr(it.fill_step, df, ctx)
+            else:
+                dtype = df.schema[name].dataType.simpleString()
+                step = (F.expr("interval 1 day")
+                        if dtype in ("date", "timestamp", "timestamp_ntz")
+                        else F.lit(1))
+            specs.append((name, start, stop, step))
+        if specs:
+            df = with_fill_multi(df, specs)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:

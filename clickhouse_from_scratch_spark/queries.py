@@ -404,6 +404,45 @@ def with_totals_q(spark, sf_dir):
 # ORDER BY WITH FILL (§2.6)
 # ---------------------------------------------------------------------------
 
+@query("with_fill_multi", oracle="""
+WITH ms AS (SELECT unnest(generate_series(1, 3)) AS m),
+     ps AS (SELECT unnest(generate_series(1, 5)) AS p),
+     agg AS (
+       SELECT EXTRACT(month FROM o_orderdate) AS m,
+              CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
+              COUNT(*) AS cnt
+       FROM orders
+       WHERE o_orderdate >= DATE '1995-01-01'
+         AND o_orderdate < DATE '1995-04-01'
+         AND substring(o_orderpriority, 1, 1) <= '3'
+       GROUP BY 1, 2)
+SELECT CAST(ms.m AS BIGINT) AS m, CAST(ps.p AS BIGINT) AS p,
+       CAST(COALESCE(agg.cnt, 0) AS BIGINT) AS cnt
+FROM ms CROSS JOIN ps
+LEFT JOIN agg ON agg.m = ms.m AND agg.p = ps.p
+ORDER BY m, p
+""")
+def with_fill_multi_q(spark, sf_dir):
+    """Multiple ORDER BY ... WITH FILL columns: the per-column spines
+    cross-join into a grid (operators/with_fill.py:with_fill_multi),
+    then one left join against the data — spine is tiny, broadcast."""
+    return _sql(spark, sf_dir, """
+        SELECT toInt64(m) AS m, toInt64(p) AS p,
+               toInt64(coalesce(cnt, 0)) AS cnt
+        FROM (
+          SELECT toMonth(o_orderdate) AS m,
+                 toInt64(substring(o_orderpriority, 1, 1)) AS p,
+                 count() AS cnt
+          FROM orders
+          WHERE o_orderdate >= toDate('1995-01-01')
+            AND o_orderdate < toDate('1995-04-01')
+            AND substring(o_orderpriority, 1, 1) <= '3'
+          GROUP BY m, p
+          ORDER BY m WITH FILL FROM 1 TO 3, p WITH FILL FROM 1 TO 5
+        ) ORDER BY m, p
+    """)
+
+
 @query("with_fill_daily", oracle="""
 WITH days AS (
   SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',

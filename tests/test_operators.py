@@ -115,6 +115,29 @@ def test_with_fill_generates_gap_rows(spark):
     assert got == [(1, 10), (2, 0), (3, 0), (4, 40), (5, 0)]
 
 
+def test_with_fill_multi_grid(spark):
+    from clickhouse_from_scratch_spark.operators import with_fill_multi
+    df = spark.createDataFrame([(1, 1, 11), (2, 3, 23)], "a int, b int, v int")
+    out = with_fill_multi(df, [("a", F.lit(1), F.lit(2), F.lit(1)),
+                               ("b", F.lit(1), F.lit(3), F.lit(1))],
+                          fill_defaults={"v": 0})
+    got = [(r.a, r.b, r.v) for r in out.collect()]
+    assert got == [(1, 1, 11), (1, 2, 0), (1, 3, 0),
+                   (2, 1, 0), (2, 2, 0), (2, 3, 23)]
+
+
+def test_with_fill_multi_sql(spark):
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    df = spark.createDataFrame([(1, 1, 11), (2, 3, 23)], "a int, b int, v int")
+    out = execute_sql(spark, """
+        SELECT a, b, coalesce(v, 0) AS v FROM (
+          SELECT a, b, v FROM t
+          ORDER BY a WITH FILL FROM 1 TO 2, b WITH FILL FROM 1 TO 3)
+    """, {"t": df})
+    got = [(r.a, r.b, r.v) for r in out.collect()]
+    assert len(got) == 6 and (1, 2, 0) in got and (2, 3, 23) in got
+
+
 def test_with_totals_appends_global_row(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
     out = with_totals(df, ["k"], ["SUM(v) AS sv"])
