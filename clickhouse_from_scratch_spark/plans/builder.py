@@ -161,6 +161,10 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         q.select = new_select
         ctx.columns = list(df.columns)
 
+    if any(_contains_groups_frame(it, ctx) for it in q.select):
+        q, df = _lower_groups_frames(q, df, ctx)
+        ctx.columns = list(df.columns)
+
     has_agg = (q.group_by is not None
                or any(_contains_agg(it) for it in q.select)
                or (q.having is not None and _contains_agg(q.having)))
@@ -735,6 +739,82 @@ def _contains_in_subquery(node) -> bool:
     if isinstance(node, (ArrayLiteral, TupleLiteral)):
         return any(_contains_in_subquery(a) for a in node.items)
     return False
+
+
+def _groups_spec(node: FuncCall, ctx: Context) -> "WindowSpec | None":
+    spec = node.window
+    if isinstance(spec, str):
+        spec = ctx.windows.get(spec)
+    if (spec is not None and spec.frame is not None
+            and spec.frame[0] == "GROUPS"):
+        return spec
+    return None
+
+
+def _contains_groups_frame(node, ctx: Context) -> bool:
+    if isinstance(node, FuncCall):
+        if _groups_spec(node, ctx) is not None:
+            return True
+        return any(_contains_groups_frame(a, ctx) for a in node.args
+                   if not isinstance(a, (Lambda, Subquery)))
+    if isinstance(node, (Alias, Cast)):
+        return _contains_groups_frame(node.expr, ctx)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return any(_contains_groups_frame(a, ctx) for a in node.items)
+    return False
+
+
+def _lower_groups_frames(q: SelectQuery, df: DataFrame, ctx: Context):
+    """GROUPS frame mode → rank-based RANGE rewrite.
+
+    Spark has no GROUPS frames (the reference's grammar carries them —
+    ``src/Parsers/ExpressionElementParsers.cpp`` frame parsers). Peer
+    groups are consecutive under the window's ORDER BY and
+    ``dense_rank()`` numbers them 1,2,3,…, so ``GROUPS BETWEEN n
+    PRECEDING AND m FOLLOWING`` is exactly ``RANGE BETWEEN n PRECEDING
+    AND m FOLLOWING`` over that rank: a helper rank column is
+    materialized per distinct GROUPS window and the frame is rewritten
+    in place. One extra window pass, no shuffle beyond the window's own
+    partitioning."""
+    import copy
+
+    q = copy.copy(q)
+    q.select = copy.deepcopy(q.select)
+    state: dict[str, str] = {}          # window-spec repr → helper column
+
+    def rewrite(node, dfbox):
+        if isinstance(node, FuncCall):
+            spec = _groups_spec(node, ctx)
+            if spec is not None:
+                key = repr((spec.partition_by, spec.order_by))
+                helper = state.get(key)
+                if helper is None:
+                    helper = f"__groups_rank_{len(state)}"
+                    w0 = Window.partitionBy(
+                        *[_eval(p, ctx, dfbox[0]) for p in spec.partition_by])
+                    w0 = w0.orderBy(*[_order_col(dfbox[0], it, ctx)
+                                      for it in spec.order_by])
+                    dfbox[0] = dfbox[0].withColumn(
+                        helper, F.dense_rank().over(w0))
+                    state[key] = helper
+                _, start, end = spec.frame
+                node.window = WindowSpec(
+                    partition_by=list(spec.partition_by),
+                    order_by=[OrderItem(Identifier([helper]))],
+                    frame=("RANGE", start, end))
+            for a in node.args:
+                if not isinstance(a, (Lambda, Subquery)):
+                    rewrite(a, dfbox)
+        elif isinstance(node, (Alias, Cast)):
+            rewrite(node.expr, dfbox)
+        elif isinstance(node, (ArrayLiteral, TupleLiteral)):
+            for a in node.items:
+                rewrite(a, dfbox)
+
+    dfbox = [df]
+    for item in q.select:
+        rewrite(item, dfbox)
+    return q, dfbox[0]
 
 
 def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
@@ -1373,6 +1453,10 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
         w = w.orderBy(*[_order_col(df, it, ctx) for it in spec.order_by])
     if spec.frame:
         mode, start, end = spec.frame
+        if mode == "GROUPS":
+            # should have been rewritten by _lower_groups_frames
+            raise BuildError("GROUPS frame is only supported in the "
+                             "SELECT list of a non-aggregating query")
         lo = _bound(start)
         hi = _bound(end)
         w = w.rowsBetween(lo, hi) if mode == "ROWS" else w.rangeBetween(lo, hi)

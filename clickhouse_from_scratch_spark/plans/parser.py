@@ -886,7 +886,7 @@ class Parser:
             spec.order_by = [self._order_item()]
             while self.accept_op(","):
                 spec.order_by.append(self._order_item())
-        for mode in ("ROWS", "RANGE"):
+        for mode in ("ROWS", "RANGE", "GROUPS"):
             if self.accept_kw(mode):
                 if self.accept_kw("BETWEEN"):
                     start = self._frame_bound()

@@ -649,3 +649,43 @@ def test_parse_shapes():
     fc = q2.select[0]
     assert fc.params and fc.window.frame == ("ROWS", "1 PRECEDING",
                                              "CURRENT ROW")
+
+
+def test_groups_window_frame(spark):
+    """GROUPS frame via the dense_rank RANGE rewrite — hand-computed
+    golden (Spark has no GROUPS mode; no DuckDB oracle needed)."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40), (3, 50), (3, 60), (5, 70)],
+        "v int, x int")
+    out = execute_sql(spark, """
+        SELECT v, x,
+               sum(x) OVER (ORDER BY v
+                            GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s,
+               sum(x) OVER (ORDER BY v GROUPS CURRENT ROW) AS cur
+        FROM t ORDER BY v, x
+    """, {"t": df})
+    rows = [(r.v, r.x, r.s, r.cur) for r in out.collect()]
+    assert rows == [
+        (1, 10, 30, 30), (1, 20, 30, 30),          # own group only
+        (2, 30, 60, 30),                            # groups {1},{2}
+        (3, 40, 180, 150), (3, 50, 180, 150), (3, 60, 180, 150),
+        (5, 70, 220, 70),                           # groups {3},{5}
+    ]
+    # helper rank column must not leak into the output
+    assert out.columns == ["v", "x", "s", "cur"]
+
+
+def test_groups_frame_partitioned(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 2), ("a", 2, 4), ("b", 1, 8), ("b", 3, 16)],
+        "k string, v int, x int")
+    out = execute_sql(spark, """
+        SELECT k, v, x,
+               sum(x) OVER (PARTITION BY k ORDER BY v
+                            GROUPS BETWEEN UNBOUNDED PRECEDING
+                            AND 0 FOLLOWING) AS s
+        FROM t ORDER BY k, v, x
+    """, {"t": df})
+    rows = [(r.k, r.v, r.x, r.s) for r in out.collect()]
+    assert rows == [("a", 1, 1, 3), ("a", 1, 2, 3), ("a", 2, 4, 7),
+                    ("b", 1, 8, 8), ("b", 3, 16, 24)]
