@@ -873,7 +873,8 @@ def sessionization(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_session = F.when(prev.isNull(), 1).when(
-        F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000, 1
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(prev.cast("timestamp")) > 1_800_000_000, 1
     ).otherwise(0)
     return (ev.select("user_id", new_session.alias("new_session"))
             .groupBy("user_id")
