@@ -39,9 +39,12 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footer caches once so per-query numbers
-    # measure execution, not session startup
+    # warm the JVM + parquet footer caches + Python workers once so
+    # per-query numbers measure execution, not session/interpreter
+    # startup: the pandas_udf queries pay a per-worker numpy+pandas
+    # import (~6-8s across 32 workers) on first use only
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -553,7 +553,7 @@ _alias("toRelativeHourNum", lambda c: (F.unix_timestamp(_c(c)) / 3600)
        .cast("long"))
 _alias("fromUnixTimestamp64Milli", lambda c: F.timestamp_millis(_c(c)))
 _alias("fromUnixTimestamp64Micro", lambda c: F.timestamp_micros(_c(c)))
-_alias("toUnixTimestamp64Milli", lambda c: F.unix_millis(_c(c)))
+_alias("toUnixTimestamp64Milli", lambda c: F.unix_millis(_c(c).cast("timestamp")))
 _alias("toUnixTimestamp64Micro", lambda c: F.unix_micros(_c(c).cast("timestamp")))
 _alias("now64", lambda p=3: F.current_timestamp())
 _alias("monthName", lambda c: F.date_format(_c(c), "MMMM"))

@@ -189,14 +189,15 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         num_hashes: int = 64, bands: int = 16,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        use_arrow: bool = True) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (verify step).
 
     LSH prunes to near-linear candidates, then the exact Jaccard is
     array_intersect/array_union on shingle-hash arrays — still JVM-side.
     """
     cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
-                                   bands, shingle_n)
+                                   bands, shingle_n, use_arrow=use_arrow)
     sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -934,7 +934,14 @@ def dedup_exact_q(spark, sf_dir):
 
 @query("dedup_minhash_lsh")  # no SQL oracle: MinHash permutations
 def dedup_minhash_q(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→join)."""
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→join).
+
+    Arrow-batched numpy signature kernel: fastest steady-state (measured
+    2.2s warm vs 3.8-6s for the pure-JVM expression at sf0.1, same 262
+    pairs), but pays Python-worker cold-start (numpy/pandas import per
+    worker) on first use — bench.py warms the workers before timing so
+    the bench measures execution, not interpreter startup.
+    """
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
 
@@ -943,7 +950,7 @@ def dedup_minhash_q(spark, sf_dir):
 def dedup_jaccard_q(spark, sf_dir):
     """Exact n-gram Jaccard ≥ 0.5 on LSH candidates."""
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = ngram_jaccard_pairs(docs, threshold=0.5, use_arrow=False)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
