@@ -68,6 +68,10 @@ class Context:
     windows: dict[str, "WindowSpec"] = field(default_factory=dict)  # WINDOW w AS
     params: dict[str, object] = field(default_factory=dict)  # {name:Type} binds
     settings: dict[str, object] = field(default_factory=dict)  # SET k=v
+    # row bound a LIMIT clause proves for the current SELECT's scan; lets
+    # system.numbers (unbounded in CH) materialize exactly LIMIT+OFFSET
+    # rows instead of truncating silently. None = no safe bound.
+    numbers_bound: int | None = None
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
@@ -123,6 +127,19 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             ctx.tables[name] = _build_query(node, ctx)
         else:
             ctx.aliases[name] = node
+
+    # A LIMIT bounds the system.numbers scan to LIMIT+OFFSET rows, but
+    # only when no clause between the scan and the LIMIT drops rows —
+    # with a WHERE, CH streams the infinite table until the LIMIT is
+    # satisfied, and that scan size is unknowable up front (we refuse
+    # instead). For aggregates/windows/ORDER BY, real CH never
+    # terminates at all; bounding the scan (≡ numbers(LIMIT+OFFSET)) is
+    # the only terminating reading, and is documented as a deviation.
+    ctx.numbers_bound = None
+    if (q.limit is not None and q.where is None and q.prewhere is None
+            and q.having is None and not q.distinct
+            and q.limit_by is None and q.array_join is None):
+        ctx.numbers_bound = q.limit + (q.offset or 0)
 
     # FROM
     if q.from_ is None:
@@ -380,10 +397,20 @@ def _system_table(table: str, ctx: Context) -> DataFrame:
     if table == "one":
         return ctx.spark.range(1).select(
             F.lit(0).cast("tinyint").alias("dummy"))
-    if table == "numbers":
-        # CH system.numbers is unbounded; locally a 2^20 slice (compose
-        # with LIMIT; use numbers(N) for an exact count)
-        return ctx.spark.range(1 << 20).withColumnRenamed("id", "number")
+    if table in ("numbers", "numbers_mt"):
+        # CH system.numbers is an unbounded stream (StorageSystemNumbers);
+        # a query over it terminates only when a LIMIT bounds the scan.
+        # Materialize exactly LIMIT+OFFSET rows when the enclosing SELECT
+        # proves that bound; otherwise refuse rather than silently
+        # truncate (a wrong count() is worse than an error).
+        if ctx.numbers_bound is None:
+            raise BuildError(
+                f"system.{table} is unbounded; add a LIMIT directly to "
+                f"this SELECT (with no row-dropping WHERE/GROUP BY/"
+                f"DISTINCT before it) or use the numbers(N) table "
+                f"function for an exact row count")
+        return (ctx.spark.range(ctx.numbers_bound)
+                .withColumnRenamed("id", "number"))
     if table == "functions":
         from ..functions import REGISTRY
         return ctx.spark.createDataFrame(

@@ -80,9 +80,20 @@ def test_system_tables(sess):
     st = {r.name: r.value for r in
           sess.execute("SELECT * FROM system.settings").collect()}
     assert st["max_threads"] == "4"
+    # LIMIT bounds the system.numbers scan exactly (no silent slice)
     assert sess.execute(
-        "SELECT count() AS n FROM system.numbers LIMIT 5").collect()[0].n \
-        == (1 << 20)   # count over the bounded local slice
+        "SELECT count() AS n FROM system.numbers LIMIT 5").collect()[0].n == 5
+    got = sess.execute(
+        "SELECT number FROM system.numbers LIMIT 2 OFFSET 3").collect()
+    assert [r.number for r in got] == [3, 4]
+    import pytest
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError, match="unbounded"):
+        sess.execute("SELECT number FROM system.numbers")
+    with pytest.raises(BuildError, match="unbounded"):
+        # a WHERE makes the needed scan size unknowable — refuse
+        sess.execute("SELECT number FROM system.numbers "
+                     "WHERE number % 2 = 0 LIMIT 5")
     assert sess.execute("SELECT dummy FROM system.one").collect()[0].dummy == 0
 
 
