@@ -203,6 +203,10 @@ class ChSession:
                         "version", meta.order_by[-1])
                 if meta.sample_by:
                     info["sample_by"] = meta.sample_by
+                if meta.columns:
+                    # declared CH types feed the numeric-promotion layer
+                    # (unsigned-ness is invisible in the Spark schema)
+                    info["columns"] = dict(meta.columns)
                 if info:
                     out[f"{db}.{name}"] = info
                     if db == self.current_db:

@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from ..functions import REGISTRY, ch
 from ..functions.aggregates import AGGREGATES
-from ..functions.typemap import ch_type_to_spark
+from ..functions.typemap import (
+    CH_NUMERIC, arithmetic_result_type, ch_literal_type, ch_type_to_spark,
+    least_supertype, negate_result_type, spark_type_to_ch_numeric,
+    NoCommonTypeError,
+)
 from ..operators import (
     any_join, array_join, asof_join, final, join_with_defaults, limit_by,
     limit_with_ties, sample_by_key, with_fill, with_fill_multi,
@@ -72,6 +76,10 @@ class Context:
     # system.numbers (unbounded in CH) materialize exactly LIMIT+OFFSET
     # rows instead of truncating silently. None = no safe bound.
     numbers_bound: int | None = None
+    # column name → declared CH type, from DDL engine metadata; lets the
+    # numeric-promotion layer see true unsigned types that Spark's signed
+    # schema can't represent (UInt8 is stored as smallint)
+    ch_types: dict[str, str] = field(default_factory=dict)
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
@@ -361,9 +369,16 @@ def _build_from(node, ctx: Context) -> DataFrame:
             raise BuildError(f"unknown table: {name}")
         # engine metadata is looked up under the SAME key the table resolved
         # by, so FROM db.t FINAL never picks a shadowing table's ORDER BY
+        for cname, ctype in ctx.engines.get(rkey, {}).get("columns",
+                                                          {}).items():
+            # ambiguous across joined tables → drop to schema inference
+            if ctx.ch_types.get(cname, ctype) != ctype:
+                ctx.ch_types[cname] = ""
+            else:
+                ctx.ch_types[cname] = ctype
         if node.final:
             meta = ctx.engines.get(rkey)
-            if not meta:
+            if not meta or "order_by" not in meta:
                 raise BuildError(
                     f"FINAL on {name} needs engine metadata (ORDER BY key + "
                     f"version column); pass engines={{...}}")
@@ -1386,6 +1401,45 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if isinstance(iv.value, Literal):
             expr = F.expr(f"interval {iv.value.value} {iv.unit.lower()}")
             return cols[0] + expr if name == "plus" else cols[0] - expr
+    # CH numeric promotion (NumberTraits): the result of int arithmetic is
+    # one size class wider than the operands (Int8+Int8 = Int16,
+    # UInt8+Int8 = Int16, Int32*Int32 = Int64), unlike Spark which keeps
+    # the wider operand type and can overflow. Cast operands to the CH
+    # result type up front so the op itself cannot overflow.
+    if name in ("plus", "minus", "multiply", "intDiv",
+                "modulo") and len(node.args) == 2:
+        ta = _infer_ch_type(node.args[0], ctx, df)
+        tb = _infer_ch_type(node.args[1], ctx, df)
+        if ta is not None and tb is not None:
+            rt = arithmetic_result_type(name, ta, tb)
+            if rt is not None:
+                spark_t = ch_type_to_spark(rt)
+                if name in ("plus", "minus", "multiply"):
+                    a, b = cols[0].cast(spark_t), cols[1].cast(spark_t)
+                    return (a + b if name == "plus"
+                            else a - b if name == "minus" else a * b)
+                # intDiv / modulo: CH computes at operand width then
+                # narrows the result type (ResultOfIntegerDivision /
+                # ResultOfModulo)
+                return REGISTRY[name](cols[0], cols[1]).cast(spark_t)
+    # getLeastSupertype for conditional branches: CH unifies if/multiIf
+    # value types by bit-width maximization (signed ∪ unsigned of one
+    # width → next wider signed), not Spark's coercion rules
+    if name in ("if", "multiIf") and len(node.args) >= 3:
+        if name == "if":
+            val_idx = [1, 2]
+        else:
+            val_idx = list(range(1, len(node.args) - 1, 2)) + \
+                [len(node.args) - 1]
+        branch_ts = [_infer_ch_type(node.args[i], ctx, df) for i in val_idx]
+        if all(t is not None for t in branch_ts):
+            try:
+                spark_t = ch_type_to_spark(least_supertype(branch_ts))
+                cols = list(cols)
+                for i in val_idx:
+                    cols[i] = cols[i].cast(spark_t)
+            except NoCommonTypeError:
+                pass    # fall back to Spark coercion
     # HOF with lambda args: bind lambda params
     if any(isinstance(a, Lambda) for a in node.args):
         return _hof_call(node, ctx, df)
@@ -1430,6 +1484,67 @@ _LITERAL_ARG_FNS = {
 
 def _wants_literal(name: str) -> bool:
     return name in _LITERAL_ARG_FNS
+
+
+def _infer_ch_type(node, ctx: Context, df: DataFrame | None,
+                   _seen: frozenset = frozenset()) -> str | None:
+    """Best-effort CH numeric type of an expression (None = unknown).
+
+    Sources, in priority order: literal typing (the reference's
+    FieldToDataType — smallest fitting type, non-negative → unsigned),
+    declared DDL column types (the only place true unsigned-ness
+    survives; Spark stores UInt8 as smallint), the Spark schema's
+    signed view, to<Type> conversions, and recursion through arithmetic
+    via NumberTraits. Anything non-numeric or unresolvable → None, and
+    the caller leaves Spark's own coercion alone.
+    """
+    if isinstance(node, Alias):
+        return _infer_ch_type(node.expr, ctx, df, _seen)
+    if isinstance(node, Literal):
+        return ch_literal_type(node.value)
+    if isinstance(node, Cast):
+        t = node.type_name.strip()
+        if t.lower().startswith("nullable(") and t.endswith(")"):
+            t = t[9:-1].strip()
+        for k in CH_NUMERIC:
+            if k.lower() == t.lower():
+                return k
+        return None
+    if isinstance(node, Identifier):
+        name = node.name
+        if name in ctx.lambda_params:
+            return None
+        declared = ctx.ch_types.get(name,
+                                    ctx.ch_types.get(node.parts[-1]))
+        if declared is not None:
+            # "" marks a name ambiguous across joined tables
+            return declared if declared in CH_NUMERIC else None
+        if name in ctx.aliases and name not in _seen:
+            return _infer_ch_type(ctx.aliases[name], ctx, df,
+                                  _seen | {name})
+        if df is not None:
+            try:
+                dt = df.schema[node.parts[-1]].dataType.simpleString()
+            except Exception:
+                return None
+            return spark_type_to_ch_numeric(dt)
+        return None
+    if isinstance(node, FuncCall):
+        nm = node.name
+        base = nm[:-6] if nm.endswith("OrZero") else (
+            nm[:-6] if nm.endswith("OrNull") else nm)
+        if base.startswith("to") and base[2:] in CH_NUMERIC:
+            return base[2:]
+        if nm in ("plus", "minus", "multiply", "divide", "intDiv",
+                  "modulo") and len(node.args) == 2:
+            ta = _infer_ch_type(node.args[0], ctx, df, _seen)
+            tb = _infer_ch_type(node.args[1], ctx, df, _seen)
+            if ta is not None and tb is not None:
+                return arithmetic_result_type(nm, ta, tb)
+        if nm == "negate" and len(node.args) == 1:
+            ta = _infer_ch_type(node.args[0], ctx, df, _seen)
+            return negate_result_type(ta) if ta is not None else None
+    return None
 
 
 def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:

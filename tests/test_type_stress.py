@@ -176,3 +176,91 @@ def test_t_asof(sess, spark):
         "ON trades.sym = quotes.sym AND trades.t >= quotes.t")
     got = {(r.sym, r.t): r.px for r in out.collect()}
     assert got == {("A", 10): 1.0, ("A", 20): 3.0, ("B", 15): None}
+
+
+# --- CH numeric promotion (getLeastSupertype + NumberTraits) ---------------
+
+def _one(sess, expr):
+    row = sess.execute(f"SELECT {expr} AS v FROM t_promo LIMIT 1")
+    return row.schema["v"].dataType.simpleString(), row.collect()[0].v
+
+
+@pytest.fixture()
+def promo_sess(sess):
+    sess.execute("CREATE TABLE t_promo (i8 Int8, i16 Int16, i32 Int32, "
+                 "i64 Int64, u8 UInt8, u16 UInt16, u32 UInt32, "
+                 "f32 Float32) ENGINE = Memory")
+    sess.execute("INSERT INTO t_promo VALUES "
+                 "(127, 32767, 2147483647, 9223372036854775807, "
+                 "255, 65535, 4294967295, 1.5)")
+    return sess
+
+
+def test_arithmetic_widens_one_size_class(promo_sess):
+    # NumberTraits::ResultOfAdditionMultiplication — no overflow at the
+    # operands' width (Spark's native tinyint+tinyint would wrap/raise)
+    assert _one(promo_sess, "i8 + i8") == ("smallint", 254)
+    assert _one(promo_sess, "u8 + i8") == ("smallint", 382)      # → Int16
+    assert _one(promo_sess, "i16 * i16") == ("int", 32767 * 32767)
+    assert _one(promo_sess, "i32 + i32") == ("bigint", 2 * 2147483647)
+    assert _one(promo_sess, "u8 + u8") == ("int", 510)           # → UInt16
+    # 64-bit does not auto-widen (nextSize caps at 8 bytes)
+    t, _ = _one(promo_sess, "i64 + 0")
+    assert t == "bigint"
+
+
+def test_minus_is_always_signed(promo_sess):
+    # ResultOfSubtraction: signed even for unsigned operands
+    assert _one(promo_sess, "u8 - 300") == ("int", -45)          # → Int32
+
+
+def test_literal_typing(promo_sess):
+    # FieldToDataType: 1 is UInt8, 300 is UInt16, -1 is Int8
+    assert _one(promo_sess, "i8 + 1") == ("smallint", 128)       # Int8+UInt8
+    assert _one(promo_sess, "i8 + 300") == ("int", 427)          # +UInt16
+    assert _one(promo_sess, "u8 * 2") == ("int", 510)            # UInt8*UInt8
+    assert _one(promo_sess, "i8 - 1") == ("smallint", 126)
+
+
+def test_intdiv_modulo_result_types(promo_sess):
+    # ResultOfIntegerDivision: dividend's width; ResultOfModulo: divisor's
+    # width, one wider for a signed dividend
+    assert _one(promo_sess, "intDiv(i32, u8)") == ("int", 8421504)
+    assert _one(promo_sess, "intDiv(u8, u8)") == ("smallint", 1)  # UInt8
+    t, v = _one(promo_sess, "(0 - 199) % u8")
+    assert v == -199 and t == "smallint"    # Int16 holds the negative rem
+
+
+def test_float_contagion(promo_sess):
+    # any float → Float64 result (nextSize(max size) = 8 bytes)
+    t, v = _one(promo_sess, "f32 + u8")
+    assert t == "double" and v == 256.5
+    t, _ = _one(promo_sess, "f32 * f32")
+    assert t == "double"
+
+
+def test_if_least_supertype(promo_sess):
+    # getLeastSupertype: Int8 ∪ UInt8 = Int16, Int32 ∪ UInt32 = Int64
+    assert _one(promo_sess, "if(1 = 1, i8, u8)") == ("smallint", 127)
+    assert _one(promo_sess, "if(1 = 0, i32, u32)") == ("bigint", 4294967295)
+    assert _one(promo_sess, "multiIf(1 = 0, i8, 1 = 1, u16, i8)") \
+        == ("int", 65535)
+
+
+def test_least_supertype_unit():
+    from clickhouse_from_scratch_spark.functions.typemap import (
+        NoCommonTypeError, least_supertype)
+    assert least_supertype(["Int8", "UInt8"]) == "Int16"
+    assert least_supertype(["Int32", "UInt32"]) == "Int64"
+    assert least_supertype(["UInt8", "UInt16"]) == "UInt16"
+    assert least_supertype(["Int8", "Int8"]) == "Int8"
+    assert least_supertype(["Int16", "Float32"]) == "Float32"
+    assert least_supertype(["Int32", "Float32"]) == "Float64"
+    assert least_supertype(["String", "String"]) == "String"
+    with pytest.raises(NoCommonTypeError):
+        least_supertype(["Int64", "UInt64"])   # no signed 65-bit type
+    with pytest.raises(NoCommonTypeError):
+        # 64 integer bits don't fit any float mantissa (24/53)
+        least_supertype(["UInt64", "Float32"])
+    with pytest.raises(NoCommonTypeError):
+        least_supertype(["String", "Int8"])
