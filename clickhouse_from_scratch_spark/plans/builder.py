@@ -173,15 +173,23 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         if pred is not None:
             df = _apply_where(df, pred, ctx)
 
-    if any(_contains_in_subquery(it) for it in q.select):
-        # SELECT-list IN-subqueries: lower to marker joins before
-        # projection/aggregation so membership stays distributed
+    if any(_contains_expr_subquery(it) for it in q.select):
+        # SELECT-list subqueries (IN / EXISTS / correlated scalar): lower
+        # to marker or groupBy+left joins before projection/aggregation
+        # so membership and per-key scalars stay distributed. In an
+        # aggregating outer query only the IN rewrite applies (a fresh
+        # join column can't appear ungrouped).
         import copy
+        outer_has_agg = (q.group_by is not None
+                         or any(_contains_agg(it) for it in q.select)
+                         or (q.having is not None
+                             and _contains_agg(q.having)))
         q = copy.copy(q)
         drops: list[str] = []
         new_select = []
         for item in q.select:
-            df, item = _lower_in_subqueries(df, item, ctx, drops)
+            df, item = _lower_in_subqueries(df, item, ctx, drops,
+                                            scalar_ok=not outer_has_agg)
             new_select.append(item)
         q.select = new_select
         ctx.columns = list(df.columns)
@@ -783,6 +791,25 @@ def _contains_in_subquery(node) -> bool:
     return False
 
 
+def _contains_expr_subquery(node) -> bool:
+    """Any expression-position subquery the marker/scalar lowering can
+    reach: IN (SELECT …), EXISTS(…), or a bare scalar (SELECT …)."""
+    if isinstance(node, Subquery):
+        return True
+    if isinstance(node, FuncCall):
+        if node.name == "__subqueryReduce":
+            return False
+        if any(isinstance(a, Subquery) for a in node.args):
+            return True
+        return any(_contains_expr_subquery(a) for a in node.args
+                   if not isinstance(a, Lambda))
+    if isinstance(node, (Alias, Cast)):
+        return _contains_expr_subquery(node.expr)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return any(_contains_expr_subquery(a) for a in node.items)
+    return False
+
+
 def _groups_spec(node: FuncCall, ctx: Context) -> "WindowSpec | None":
     spec = node.window
     if isinstance(spec, str):
@@ -860,17 +887,43 @@ def _lower_groups_frames(q: SelectQuery, df: DataFrame, ctx: Context):
 
 
 def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
-                         drops: list[str]):
-    """Expression-position ``x IN (SELECT …)`` → marker left join.
+                         drops: list[str], scalar_ok: bool = True):
+    """Expression-position subqueries → distributed joins.
 
-    The subquery's first column is deduplicated, tagged with a TRUE marker,
-    and left-joined on the key; the IN node is replaced by
-    ``isNotNull(marker)`` (``isNull`` for NOT IN). This keeps the set
-    membership fully distributed — no driver-side collect — and matches CH
-    ``transform_null_in=0`` semantics (NULL keys never match → 0).
-    Returns the (possibly joined) df and the rewritten AST node; marker
-    column names are appended to ``drops`` for post-filter cleanup."""
+    Three shapes, all lowered to hash joins instead of per-row
+    re-execution or driver-side collects:
+
+    - ``x IN (SELECT …)`` (uncorrelated): the subquery's first column is
+      deduplicated, tagged with a TRUE marker, and left-joined on the
+      key; the IN node becomes ``isNotNull(marker)`` (``isNull`` for
+      NOT IN) — CH ``transform_null_in=0`` semantics.
+    - ``x IN (SELECT … WHERE inner.k = outer.k)`` and
+      ``EXISTS(SELECT … WHERE inner.k = outer.k)`` (correlated,
+      including under OR/NOT): marker left join on the distinct
+      correlation-key tuples (``_exists_marker_join``).
+    - ``(SELECT agg(x) … WHERE inner.k = outer.k)`` correlated scalar:
+      groupBy-on-correlation-key + left join (``_scalar_corr_join``).
+
+    ``scalar_ok=False`` disables the EXISTS/scalar rewrites in contexts
+    where a fresh join column can't be referenced (select list of an
+    aggregating query). Returns the (possibly joined) df and the
+    rewritten AST node; helper column names are appended to ``drops``."""
+    if isinstance(node, Subquery) and scalar_ok:
+        res = _scalar_corr_join(df, node.query, ctx, drops)
+        if res is not None:
+            df, val = res
+            return df, Identifier([val])
+        return df, node             # uncorrelated: bounded collect path
     if isinstance(node, FuncCall):
+        if (node.name == "exists" and len(node.args) == 1
+                and isinstance(node.args[0], Subquery) and scalar_ok):
+            res = _exists_marker_join(df, node.args[0].query, ctx, drops)
+            if res is not None:
+                df, marker = res
+                return df, FuncCall("isNotNull", [Identifier([marker])])
+            # uncorrelated EXISTS in expression position: a constant
+            n = _build_query(node.args[0].query, ctx).limit(1).count()
+            return df, Literal(n > 0)
         if (node.name in _IN_NAMES and len(node.args) == 2
                 and isinstance(node.args[1], Subquery)
                 and not _contains_in_subquery(node.args[0])):
@@ -878,6 +931,7 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                 sub = _build_query(node.args[1].query, ctx.child())
             except Exception:
                 sub = None          # correlated / unresolvable: fallback
+            is_not = "not" in node.name.lower()
             if sub is not None:
                 i = len(drops)
                 marker, val = f"__in_m{i}", f"__in_v{i}"
@@ -888,14 +942,24 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                 key = _eval(node.args[0], ctx, df)
                 df = df.join(side, key == F.col(val), "left").drop(val)
                 drops.append(marker)
-                fn = "isNull" if "not" in node.name.lower() else "isNotNull"
+                fn = "isNull" if is_not else "isNotNull"
+                return df, FuncCall(fn, [Identifier([marker])])
+            res = _exists_marker_join(
+                df, node.args[1].query, ctx, drops,
+                in_key_node=node.args[0],
+                broadcast_side=node.name.startswith("global"))
+            if res is not None:
+                df, marker = res
+                fn = "isNull" if is_not else "isNotNull"
                 return df, FuncCall(fn, [Identifier([marker])])
         new_args, changed = [], False
         for a in node.args:
-            if isinstance(a, (Lambda, Subquery)):
+            # __subqueryReduce consumes its Subquery arg itself
+            if isinstance(a, Lambda) or (isinstance(a, Subquery)
+                                         and node.name == "__subqueryReduce"):
                 new_args.append(a)
                 continue
-            df, na = _lower_in_subqueries(df, a, ctx, drops)
+            df, na = _lower_in_subqueries(df, a, ctx, drops, scalar_ok)
             changed = changed or na is not a
             new_args.append(na)
         if changed:
@@ -903,12 +967,161 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                             node.filter_where, node.window)
         return df, node
     if isinstance(node, Alias):
-        df, e = _lower_in_subqueries(df, node.expr, ctx, drops)
+        df, e = _lower_in_subqueries(df, node.expr, ctx, drops, scalar_ok)
         return df, (Alias(e, node.alias) if e is not node.expr else node)
     if isinstance(node, Cast):
-        df, e = _lower_in_subqueries(df, node.expr, ctx, drops)
+        df, e = _lower_in_subqueries(df, node.expr, ctx, drops, scalar_ok)
         return df, (Cast(e, node.type_name) if e is not node.expr else node)
     return df, node
+
+
+def _split_equi_correlation(sub_ast, ctx: Context, df: DataFrame):
+    """Split a correlated subquery into (inner_df, [(outer_expr_ast,
+    inner_expr_ast), ...]) equality pairs.
+
+    Conjuncts of the subquery's WHERE referencing only inner columns
+    filter the inner side; outer-referencing conjuncts must be
+    ``outer_expr = inner_expr`` equalities — the form a distributed hash
+    join can consume without row fan-out (the reference evaluates the
+    subquery per outer row instead: correlated expressions are plain
+    expressions in ``ExpressionListParsers.cpp:201-285``). Returns None
+    when the shape doesn't decorrelate (non-equi correlation, GROUP BY
+    inside, set-returning modifiers)."""
+    if not isinstance(sub_ast, SelectQuery):
+        return None
+    if (sub_ast.group_by or sub_ast.having or sub_ast.ctes
+            or sub_ast.prewhere or sub_ast.distinct or sub_ast.limit_by
+            or sub_ast.limit is not None or sub_ast.order_by):
+        return None
+    from dataclasses import replace
+    inner_sel = replace(sub_ast, select=[Star()], where=None, order_by=[],
+                        limit=None, offset=None, windows={}, settings={})
+    inner_df = _build_select(inner_sel, ctx)
+    inner_cols = set(inner_df.columns)
+    outer_cols = set(df.columns)
+    conjs: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        elif n is not None:
+            conjs.append(n)
+
+    flat(sub_ast.where)
+    pairs: list[tuple] = []
+    uncorr: list = []
+    for c in conjs:
+        names: set = set()
+        _collect_ident_names(c, names)
+        if any(n not in outer_cols and n not in inner_cols
+               and n not in ctx.aliases for n in names):
+            return None
+        if not any(n in outer_cols and n not in inner_cols for n in names):
+            uncorr.append(c)
+            continue
+        if not (isinstance(c, FuncCall) and c.name == "equals"
+                and len(c.args) == 2):
+            return None
+        sides = []
+        for a in c.args:
+            nn: set = set()
+            _collect_ident_names(a, nn)
+            if nn and all(n in inner_cols for n in nn):
+                sides.append("inner")
+            elif nn and all(n in outer_cols or n in ctx.aliases
+                            for n in nn):
+                sides.append("outer")
+            else:
+                return None
+        if sides == ["outer", "inner"]:
+            pairs.append((c.args[0], c.args[1]))
+        elif sides == ["inner", "outer"]:
+            pairs.append((c.args[1], c.args[0]))
+        else:
+            return None
+    if not pairs:
+        return None                      # uncorrelated: existing paths
+    for c in uncorr:
+        inner_df = inner_df.filter(_eval(c, ctx, inner_df))
+    return inner_df, pairs
+
+
+def _exists_marker_join(df: DataFrame, sub_ast, ctx: Context,
+                        drops: list[str], in_key_node=None,
+                        broadcast_side: bool = False):
+    """Correlated EXISTS / IN in expression position → marker left join.
+
+    The inner side is reduced to the distinct correlation-key tuples and
+    tagged TRUE, so the left join matches at most one row per outer row
+    (no fan-out) and the EXISTS/IN truth value is ``marker IS NOT NULL``.
+    One shuffle on the equi keys — the same 100 TB shape as the semi-join
+    lowering, but usable under OR/NOT where a semi join can't filter.
+    Returns (df, marker_name) or None."""
+    split = _split_equi_correlation(sub_ast, ctx, df)
+    if split is None:
+        return None
+    inner_df, pairs = split
+    if in_key_node is not None:
+        item = sub_ast.select[0]
+        if isinstance(item, Alias):
+            item = item.expr
+        pairs = pairs + [(in_key_node, item)]
+    i = len(drops)
+    marker = f"__ex_m{i}"
+    keys = [f"__ex_k{i}_{j}" for j in range(len(pairs))]
+    side = (inner_df.select(*[_eval(p[1], ctx, inner_df).alias(k)
+                              for p, k in zip(pairs, keys)])
+            .distinct().withColumn(marker, F.lit(True)))
+    if broadcast_side:
+        side = F.broadcast(side)
+    cond = None
+    for p, k in zip(pairs, keys):
+        c = _eval(p[0], ctx, df) == F.col(k)
+        cond = c if cond is None else cond & c
+    df = df.join(side, cond, "left").drop(*keys)
+    drops.append(marker)
+    return df, marker
+
+
+def _scalar_corr_join(df: DataFrame, sub_ast, ctx: Context,
+                      drops: list[str]):
+    """Correlated scalar subquery ``(SELECT agg(x) FROM t WHERE t.k =
+    outer.k)`` → groupBy-on-correlation-key + left join.
+
+    The subquery aggregates once per distinct correlation key (one
+    shuffle, map-side combine) and the outer side hash-joins the result —
+    never a per-outer-row re-execution. Empty groups yield NULL like
+    standard SQL; count-family aggregates coalesce to 0. Returns
+    (df, value_column_name) or None when not decorrelatable (the
+    uncorrelated case falls through to the bounded collect path)."""
+    if not (isinstance(sub_ast, SelectQuery) and len(sub_ast.select) == 1):
+        return None
+    expr = sub_ast.select[0]
+    if isinstance(expr, Alias):
+        expr = expr.expr
+    if not (isinstance(expr, FuncCall) and expr.name in _AGG_NAMES):
+        return None
+    split = _split_equi_correlation(sub_ast, ctx, df)
+    if split is None:
+        return None
+    inner_df, pairs = split
+    i = len(drops)
+    val = f"__sc_v{i}"
+    keys = [f"__sc_k{i}_{j}" for j in range(len(pairs))]
+    grouped = (inner_df
+               .groupBy(*[_eval(p[1], ctx, inner_df).alias(k)
+                          for p, k in zip(pairs, keys)])
+               .agg(_agg_column(expr, ctx, inner_df).alias(val)))
+    cond = None
+    for p, k in zip(pairs, keys):
+        c = _eval(p[0], ctx, df) == F.col(k)
+        cond = c if cond is None else cond & c
+    df = df.join(grouped, cond, "left").drop(*keys)
+    if expr.name in ("count", "countIf", "countDistinct", "uniqExact"):
+        df = df.withColumn(val, F.coalesce(F.col(val), F.lit(0)))
+    drops.append(val)
+    return df, val
 
 
 def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
@@ -972,9 +1185,10 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
         else:
             if neg_exists:              # restore the NOT wrapper
                 c = FuncCall("not", [c])
-            if _contains_in_subquery(c):
-                # IN-subquery under OR/NOT/etc: marker-join lowering keeps
-                # it distributed instead of collecting to the driver
+            if _contains_expr_subquery(c):
+                # IN/EXISTS/scalar subquery under OR/NOT/comparisons:
+                # marker- and groupBy-join lowering keeps it distributed
+                # instead of collecting to the driver
                 df, c = _lower_in_subqueries(df, c, ctx, in_drops)
             plain.append(_eval(c, ctx, df))
     for p in plain:

@@ -1186,6 +1186,50 @@ def sql_correlated_exists(spark, sf_dir):
     """)
 
 
+@query("sql_correlated_scalar", oracle="""
+SELECT c_custkey,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+         AS n_orders,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+         AS max_price
+FROM customer ORDER BY c_custkey
+""")
+def sql_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subqueries in the SELECT list, decorrelated to
+    groupBy-on-correlation-key + left hash join (builder._scalar_corr_join):
+    the subquery aggregates once per distinct key — one shuffle with
+    map-side combine — instead of re-executing per outer row. count()
+    over an empty group coalesces to 0, max() stays NULL (SQL standard,
+    DuckDB-verified)."""
+    return _sql(spark, sf_dir, """
+        SELECT c_custkey,
+               (SELECT count() FROM orders WHERE o_custkey = c_custkey)
+                 AS n_orders,
+               (SELECT max(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_price
+        FROM customer ORDER BY c_custkey
+    """)
+
+
+@query("sql_exists_or", oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_acctbal < 0 OR EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+   AND o_totalprice > 400000)
+""")
+def sql_exists_or(spark, sf_dir):
+    """Correlated EXISTS under OR — a semi join can't filter here, so
+    the lowering is a marker left join on the distinct correlation keys
+    (builder._exists_marker_join): dedup guarantees no fan-out, one
+    equi-key shuffle, broadcastable at scale."""
+    return _sql(spark, sf_dir, """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_acctbal < 0 OR EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_totalprice > 400000)
+    """)
+
+
 @query("sql_final_sample", oracle="""
 SELECT user_id, event_id FROM
 (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -114,3 +114,21 @@ def test_ivf_probes_broadcast_queries(spark, sf_dir):
     # the (small) probe set must broadcast; the corpus must stream
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_correlated_scalar_is_group_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_correlated_scalar")
+    # groupBy-on-correlation-key + left hash join: partial aggregation
+    # map-side, one equi join per scalar, no nested-loop re-execution
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_under_or_is_marker_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_exists_or")
+    # marker left join on distinct correlation keys: a hash join, with
+    # the subquery predicate pushed into the orders scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThan(o_totalprice,400000" in plan

@@ -689,3 +689,67 @@ def test_groups_frame_partitioned(spark):
     rows = [(r.k, r.v, r.x, r.s) for r in out.collect()]
     assert rows == [("a", 1, 1, 3), ("a", 1, 2, 3), ("a", 2, 4, 7),
                     ("b", 1, 8, 8), ("b", 3, 16, 24)]
+
+
+# --- correlated subqueries in expression position ---------------------------
+
+def _corr_fixture(spark):
+    cust = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, "c", 0.0)],
+        "ck int, name string, bal double")
+    orders = spark.createDataFrame(
+        [(1, 100.0), (1, 200.0), (3, 50.0)], "ock int, price double")
+    return {"customer": cust, "orders": orders}
+
+
+def test_correlated_scalar_in_select(spark):
+    out = execute_sql(spark, """
+        SELECT ck,
+               (SELECT count() FROM orders WHERE ock = ck) AS n,
+               (SELECT sum(price) FROM orders WHERE ock = ck) AS total
+        FROM customer ORDER BY ck
+    """, _corr_fixture(spark))
+    rows = [(r.ck, r.n, r.total) for r in out.collect()]
+    # count over empty group is 0 (CH/SQL), sum stays NULL
+    assert rows == [(1, 2, 300.0), (2, 0, None), (3, 1, 50.0)]
+    assert out.columns == ["ck", "n", "total"]
+
+
+def test_correlated_scalar_in_where(spark):
+    out = execute_sql(spark, """
+        SELECT ck FROM customer
+        WHERE bal < (SELECT sum(price) FROM orders WHERE ock = ck)
+        ORDER BY ck
+    """, _corr_fixture(spark))
+    assert [r.ck for r in out.collect()] == [1, 3]
+
+
+def test_correlated_exists_under_or(spark):
+    out = execute_sql(spark, """
+        SELECT ck FROM customer
+        WHERE bal < 0 OR EXISTS(
+          SELECT 1 FROM orders WHERE ock = ck AND price > 150)
+        ORDER BY ck
+    """, _corr_fixture(spark))
+    assert [r.ck for r in out.collect()] == [1, 2]
+
+
+def test_correlated_not_exists_under_or(spark):
+    out = execute_sql(spark, """
+        SELECT ck FROM customer
+        WHERE bal > 5 OR NOT EXISTS(
+          SELECT 1 FROM orders WHERE ock = ck)
+        ORDER BY ck
+    """, _corr_fixture(spark))
+    assert [r.ck for r in out.collect()] == [1, 2]
+
+
+def test_correlated_in_under_or(spark):
+    out = execute_sql(spark, """
+        SELECT ck FROM customer
+        WHERE ck IN (SELECT ock FROM orders
+                     WHERE ock = ck AND price > 150)
+           OR bal < 0
+        ORDER BY ck
+    """, _corr_fixture(spark))
+    assert [r.ck for r in out.collect()] == [1, 2]
