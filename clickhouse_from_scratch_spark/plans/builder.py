@@ -1314,7 +1314,22 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
     ctx.agg_slots = dict(_slot_keys)   # ast-repr → __agg* column
 
     if q.having is not None:
-        out = out.filter(_eval_post(_inline(q.having, ctx), out, ctx))
+        hv = _inline(q.having, ctx)
+        if _contains_expr_subquery(hv):
+            # HAVING with IN/EXISTS/scalar subqueries: aggregates and
+            # group keys are already materialized as __agg*/__k* columns,
+            # so substitute slot references into the AST and reuse the
+            # distributed marker-join lowering against the aggregated
+            # frame — no driver-side collect (CH evaluates HAVING as a
+            # plain filter over the aggregated block).
+            hdrops: list[str] = []
+            out, hv = _lower_in_subqueries(out, _slotify(hv, ctx), ctx,
+                                           hdrops)
+            out = out.filter(_eval_post(hv, out, ctx))
+            if hdrops:
+                out = out.drop(*hdrops)
+        else:
+            out = out.filter(_eval_post(hv, out, ctx))
 
     proj = []
     for item in q.select:
@@ -1365,6 +1380,35 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     if name in REGISTRY:
         return ch(name, *args)
     raise BuildError(f"unknown aggregate: {name}")
+
+
+def _slotify(node, ctx: Context):
+    """Rewrite a post-aggregation AST so aggregate calls and group-key
+    expressions become Identifier references to their materialized
+    __agg*/__k* slot columns.  The rewritten tree contains only plain
+    column references plus any expression-position subqueries, which lets
+    _lower_in_subqueries run against the aggregated frame (HAVING
+    position).  Subquery and Lambda nodes are left untouched — their
+    bodies resolve in their own scope."""
+    key = _ast_key(node)
+    if ctx.agg_slots and key in ctx.agg_slots:
+        return Identifier([ctx.agg_slots[key]])
+    if ctx.key_slots and key in ctx.key_slots:
+        return Identifier([ctx.key_slots[key]])
+    if isinstance(node, Alias):
+        e = _slotify(node.expr, ctx)
+        return Alias(e, node.alias) if e is not node.expr else node
+    if isinstance(node, Cast):
+        e = _slotify(node.expr, ctx)
+        return Cast(e, node.type_name) if e is not node.expr else node
+    if isinstance(node, FuncCall):
+        new_args = [a if isinstance(a, (Subquery, Lambda))
+                    else _slotify(a, ctx) for a in node.args]
+        if all(na is a for na, a in zip(new_args, node.args)):
+            return node
+        return FuncCall(node.name, new_args, node.params, node.distinct,
+                        node.filter_where, node.window)
+    return node
 
 
 def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
@@ -1593,10 +1637,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             vals = [a.value for a in rhs_node.items]
             col = lhs.isin(vals)
         elif isinstance(rhs_node, Subquery):
-            # last-resort path: IN-subquery in a position the marker-join
-            # lowering (_lower_in_subqueries) could not reach, e.g. inside
-            # HAVING or a lambda body. Bounded collect with a hard guard —
-            # never an unbounded driver materialization.
+            # last-resort path: IN-subquery inside a lambda body — the
+            # only position the marker-join lowering cannot reach (a join
+            # column cannot be referenced from a HOF lambda). Bounded
+            # collect with a hard guard — never an unbounded driver
+            # materialization. HAVING/WHERE/SELECT positions never get
+            # here: they are lowered to joins in _lower_in_subqueries.
             sub = _build_query(rhs_node.query, ctx)
             cap = 100_000
             rows = sub.limit(cap + 1).collect()

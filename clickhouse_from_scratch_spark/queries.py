@@ -1211,6 +1211,31 @@ def sql_correlated_scalar(spark, sf_dir):
     """)
 
 
+@query("sql_in_having", oracle="""
+SELECT l_orderkey, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_orderkey
+HAVING l_orderkey IN (SELECT o_orderkey FROM orders
+                      WHERE o_orderpriority = '1-URGENT')
+   AND sum(l_quantity) > 50
+ORDER BY l_orderkey
+""")
+def sql_in_having(spark, sf_dir):
+    """IN-subquery in HAVING position, lowered distributed: aggregates
+    and group keys are slotified to their materialized columns and the
+    IN becomes a marker left join against the aggregated frame
+    (builder._slotify + _lower_in_subqueries) — the former 100k-row
+    driver collect never runs. One extra equi-key join, broadcast
+    eligible, no driver materialization at 100 TB."""
+    return _sql(spark, sf_dir, """
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+           AND sum(l_quantity) > 50
+        ORDER BY l_orderkey
+    """)
+
+
 @query("sql_exists_or", oracle="""
 SELECT c_custkey, c_name FROM customer
 WHERE c_acctbal < 0 OR EXISTS

@@ -586,6 +586,46 @@ def test_correlated_in(spark, tables, duck):
     assert got == want and len(got) > 0
 
 
+def test_in_subquery_in_having(spark, tables, duck):
+    """HAVING-position IN lowers to a marker join on the aggregated
+    frame (builder._slotify), not a driver collect."""
+    ch = ("SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+          "GROUP BY l_orderkey HAVING l_orderkey IN "
+          "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+          " AND sum(l_quantity) > 50")
+    ansi = ch.replace("sum(l_quantity) >", "sum(l_quantity) >")
+    df = execute_sql(spark, ch, tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan            # marker join, not isin-literal filter
+    got = sorted((r[0], float(r[1])) for r in df.collect())
+    want = sorted((r[0], float(r[1])) for r in duck.execute(ansi).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_not_in_subquery_in_having(spark, tables, duck):
+    sql = ("SELECT o_custkey, count(*) AS cnt FROM orders "
+           "GROUP BY o_custkey HAVING o_custkey NOT IN "
+           "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')")
+    ch = sql.replace("count(*)", "count()")
+    got = sorted((r[0], r[1])
+                 for r in execute_sql(spark, ch, tables).collect())
+    want = sorted((r[0], r[1]) for r in duck.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_agg_keyed_in_having(spark, tables, duck):
+    """The IN key itself is an aggregate (sum(...) IN (SELECT ...)):
+    exercises the __agg* slot substitution path."""
+    sql = ("SELECT l_orderkey, count(*) AS cnt FROM lineitem "
+           "GROUP BY l_orderkey HAVING count(*) IN "
+           "(SELECT count(*) FROM region)")
+    ch = sql.replace("count(*)", "count()")
+    got = sorted((r[0], r[1])
+                 for r in execute_sql(spark, ch, tables).collect())
+    want = sorted((r[0], r[1]) for r in duck.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_named_window_clause(spark, tables, duck):
     got = execute_sql(spark, """
         SELECT o_orderkey, rank() OVER w AS rnk,
