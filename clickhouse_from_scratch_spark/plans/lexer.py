@@ -71,6 +71,20 @@ def tokenize(sql: str) -> list[Token]:
             kind = T.STRING if c == "'" else T.IDENT
             toks.append(Token(kind, s, i))
             continue
+        if c == "$":
+            # heredoc $tag$raw text$tag$ (reference Lexer.cpp:359-379,
+            # Lexer.h:37): the opening tag runs to the next '$'; the body
+            # is raw — no escape processing — and ends at the first
+            # occurrence of the identical closing tag.
+            k = sql.find("$", i + 1)
+            if k >= 0:
+                tag = sql[i:k + 1]
+                end = sql.find(tag, k + 1)
+                if end >= 0:
+                    toks.append(Token(T.STRING, sql[k + 1:end], i))
+                    i = end + len(tag)
+                    continue
+            raise LexError(f"unterminated heredoc starting at {i}")
         if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
             s, i = _number(sql, i)
             toks.append(Token(T.NUMBER, s, i))

@@ -586,6 +586,31 @@ def test_correlated_in(spark, tables, duck):
     assert got == want and len(got) > 0
 
 
+def test_heredoc_literal(spark):
+    """$tag$…$tag$ heredoc strings (reference Lexer.cpp:359-379): raw
+    body — embedded quotes, backslashes, newlines, even other $-tags —
+    no escape processing."""
+    from clickhouse_from_scratch_spark.plans.lexer import tokenize, T
+    toks = tokenize("SELECT $doc$it's \\n \"raw\"\nline2$doc$")
+    assert toks[1].kind == T.STRING
+    assert toks[1].text == "it's \\n \"raw\"\nline2"
+    # empty tag form $$…$$
+    toks = tokenize("SELECT $$a'b$c$$")
+    assert toks[1].text == "a'b$c"
+
+    out = execute_sql(
+        spark, "SELECT $tag$O'Reilly\n\\t$tag$ AS s, length($$x$$) AS n",
+        {}).collect()
+    assert out[0].s == "O'Reilly\n\\t" and out[0].n == 1
+
+
+def test_heredoc_unterminated(spark):
+    from clickhouse_from_scratch_spark.plans.lexer import tokenize, LexError
+    import pytest as _pt
+    with _pt.raises(LexError):
+        tokenize("SELECT $doc$never closed")
+
+
 def test_in_subquery_in_having(spark, tables, duck):
     """HAVING-position IN lowers to a marker join on the aggregated
     frame (builder._slotify), not a driver collect."""
