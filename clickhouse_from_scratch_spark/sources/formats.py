@@ -22,7 +22,11 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     "Parquet": ("parquet", {}, {}),
     "ORC": ("orc", {}, {}),
     "Avro": ("avro", {}, {}),
-    "Arrow": ("parquet", {}, {}),  # Arrow IPC ≈ columnar interchange; parquet stands in locally
+    # Arrow = IPC random-access file, ArrowStream = IPC stream
+    # (registerFormats.cpp:31-34 declares both; real IPC here, shared
+    # with the Native analogue below)
+    "Arrow": ("arrow-ipc-file", {}, {}),
+    "ArrowStream": ("arrow-ipc-stream", {}, {}),
     "CSV": ("csv", {"header": "false"}, {"header": "false"}),
     "CSVWithNames": ("csv", {"header": "true"}, {"header": "true"}),
     "TabSeparated": ("csv", {"sep": "\t", "header": "false"},
@@ -46,6 +50,15 @@ def read_format(spark: SparkSession, fmt: str, path: str,
                 schema: str | None = None, **extra) -> DataFrame:
     """``INSERT ... FROM INFILE 'path' FORMAT fmt`` read path."""
     name, ropts, _ = FORMATS[fmt]
+    if name.startswith("arrow-ipc"):
+        import pyarrow as pa
+
+        with open(path, "rb") as fh:
+            if name == "arrow-ipc-file":
+                table = pa.ipc.open_file(fh).read_all()
+            else:
+                table = pa.ipc.open_stream(fh).read_all()
+        return spark.createDataFrame(table)
     reader = spark.read.format(name).options(**{**ropts, **extra})
     if schema:
         reader = reader.schema(schema)
@@ -59,6 +72,29 @@ def write_format(df: DataFrame, fmt: str, path: str,
     name, _, wopts = FORMATS[fmt]
     if name == "noop":  # FORMAT Null — execute, discard rows
         df.write.format("noop").mode("overwrite").save()
+        return
+    if name.startswith("arrow-ipc"):
+        # INTO OUTFILE is a single client-side file in CH too
+        # (ClientBase writes the whole result locally), so a driver-side
+        # df.toArrow() matches semantics; for distributed Arrow output
+        # at scale use FORMAT Parquet instead. IPC body compression is
+        # buffer-level (lz4/zstd only, per the Arrow spec).
+        import pyarrow as pa
+
+        opts = None
+        if compression:
+            codec = {"lz4": "lz4", "zstd": "zstd"}.get(compression.lower())
+            if codec is None:
+                raise ValueError(
+                    f"Arrow IPC supports lz4/zstd compression, "
+                    f"not {compression!r}")
+            opts = pa.ipc.IpcWriteOptions(compression=codec)
+        table = df.toArrow()
+        new = (pa.ipc.new_file if name == "arrow-ipc-file"
+               else pa.ipc.new_stream)
+        with open(path, "wb") as fh, \
+                new(fh, table.schema, options=opts) as w:
+            w.write_table(table)
         return
     opts = dict(wopts)
     if compression:

@@ -85,6 +85,41 @@ def test_declared_format_inventory():
         assert fmt in FORMATS
 
 
+def test_format_arrow_ipc_file_roundtrip(spark, tmp_path):
+    """FORMAT Arrow writes a real Arrow IPC random-access file (no more
+    parquet stand-in) — readable by plain pyarrow and by read_format."""
+    import pyarrow as pa
+    from clickhouse_from_scratch_spark.sources import (
+        read_format, write_format)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double")
+    p = str(tmp_path / "out.arrow")
+    write_format(df, "Arrow", p)
+    table = pa.ipc.open_file(p).read_all()     # valid IPC file
+    assert table.num_rows == 2 and table.column_names == ["id", "s", "v"]
+    back = read_format(spark, "Arrow", p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_format_arrow_stream_roundtrip(spark, tmp_path):
+    import pyarrow as pa
+    from clickhouse_from_scratch_spark.sources import (
+        read_format, write_format)
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)],
+                               "id long, s string")
+    p = str(tmp_path / "out.arrows")
+    write_format(df, "ArrowStream", p, compression="zstd")
+    with open(p, "rb") as fh:
+        table = pa.ipc.open_stream(fh).read_all()
+    assert table.num_rows == 100
+    back = read_format(spark, "ArrowStream", p)
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+    with pytest.raises(ValueError, match="lz4/zstd"):
+        write_format(df, "Arrow", p, compression="gzip")
+
+
 def test_native_arrow_ipc_roundtrip(spark):
     from clickhouse_from_scratch_spark.sources import from_native, to_native
     df = spark.createDataFrame(
