@@ -936,14 +936,17 @@ def dedup_exact_q(spark, sf_dir):
 def dedup_minhash_q(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→join).
 
-    Arrow-batched numpy signature kernel: fastest steady-state (measured
-    2.2s warm vs 3.8-6s for the pure-JVM expression at sf0.1, same 262
-    pairs), but pays Python-worker cold-start (numpy/pandas import per
-    worker) on first use — bench.py warms the workers before timing so
-    the bench measures execution, not interpreter startup.
+    Uses the pure-JVM expression kernel (use_arrow=False): steady
+    3.2-3.5s at sf0.1 vs the Arrow numpy kernel's 1.8-9s spread (worker
+    cold-start + Arrow batch variance), same 262 pairs. The Arrow path
+    remains available via minhash_lsh_candidates(use_arrow=True) and
+    wins at real scale where the per-worker import cost amortizes over
+    far more batches; at bench scale it is noise that masks true
+    regressions.
     """
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs).orderBy("id_a", "id_b")
+    return (minhash_lsh_candidates(docs, use_arrow=False)
+            .orderBy("id_a", "id_b"))
 
 
 @query("dedup_ngram_jaccard")  # no SQL oracle (pairs via LSH)
