@@ -226,7 +226,11 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         df = limit_by(df, keys, order, q.limit_by.n, q.limit_by.offset)
     if order_cols:
         if q.with_ties and q.limit is not None:
-            df = limit_with_ties(df, order_cols, q.limit)
+            bare = [_order_bare(df, it, ctx) for it in q.order_by]
+            df = limit_with_ties(
+                df, bare, q.limit,
+                descending=[bool(it.desc) for it in q.order_by],
+                nulls_first=[it.nulls_first for it in q.order_by])
             df = df.orderBy(*order_cols)
             q = _clone_limits(q)
         else:
@@ -1483,13 +1487,20 @@ def _apply_projection_keep(df: DataFrame, items,
     return df.select(*proj, *keep), names
 
 
-def _order_col(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
+def _order_bare(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
+    """The ORDER BY item's expression without sort direction (the
+    with-ties lowering needs it both as a sort key and in a filter)."""
     c = _post_expr(it.expr, df, ctx)
     if isinstance(it.expr, Identifier) and it.expr.name in df.columns:
         c = F.col(it.expr.name)
     if it.collate:
         # CH COLLATE 'locale' → Spark 4 ICU collation on the sort key
         c = F.collate(c.cast("string"), it.collate.replace("-", "_"))
+    return c
+
+
+def _order_col(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
+    c = _order_bare(df, it, ctx)
     if it.desc:
         return (c.desc_nulls_first() if it.nulls_first
                 else c.desc_nulls_last() if it.nulls_first is False
