@@ -1626,8 +1626,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
     # CH length/empty/reverse are polymorphic over strings AND arrays —
-    # dispatch on the argument's resolved type (schema-only, no job)
-    if name in _POLYMORPHIC and len(cols) == 1 and df is not None:
+    # dispatch on the argument's resolved type (schema-only, no job).
+    # Skip the probe when the arg references a lambda parameter: those
+    # columns only resolve inside their HOF, so df.select would raise
+    # (and log an analyzer error JVM-side) on every lambda-body call.
+    if (name in _POLYMORPHIC and len(cols) == 1 and df is not None
+            and not _refs_lambda_param(node.args[0], ctx)):
         try:
             dt = df.select(cols[0]).schema[0].dataType.simpleString()
         except Exception:
@@ -1816,6 +1820,25 @@ def _infer_ch_type(node, ctx: Context, df: DataFrame | None,
             ta = _infer_ch_type(node.args[0], ctx, df, _seen)
             return negate_result_type(ta) if ta is not None else None
     return None
+
+
+def _refs_lambda_param(n, ctx: Context) -> bool:
+    """True when the expression references a name bound as a lambda
+    parameter in the current scope — such columns resolve only inside
+    their HOF, never against the frame."""
+    if not ctx.lambda_params:
+        return False
+    if isinstance(n, Identifier):
+        return (n.name in ctx.lambda_params
+                or n.parts[0] in ctx.lambda_params)
+    if isinstance(n, FuncCall):
+        return any(_refs_lambda_param(a, ctx) for a in n.args
+                   if not isinstance(a, (Lambda, Subquery)))
+    if isinstance(n, (Alias, Cast)):
+        return _refs_lambda_param(n.expr, ctx)
+    if isinstance(n, (ArrayLiteral, TupleLiteral)):
+        return any(_refs_lambda_param(a, ctx) for a in n.items)
+    return False
 
 
 def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:

@@ -1214,6 +1214,86 @@ def sql_correlated_scalar(spark, sf_dir):
     """)
 
 
+@query("sql_groups_frame", oracle="""
+SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS grp_sum
+FROM (SELECT *, dense_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate) AS dr FROM orders)
+ORDER BY o_orderkey LIMIT 1000
+""")
+def sql_groups_frame(spark, sf_dir):
+    """GROUPS window frame (builder's dense_rank→RANGE rewrite). DuckDB
+    has no GROUPS mode, so the oracle states the same semantics
+    explicitly as dense_rank + RANGE — an independent formulation, not
+    a copy of our lowering's output."""
+    return _sql(spark, sf_dir, """
+        SELECT o_custkey, o_orderkey,
+               toFloat64(sum(CAST(o_totalprice AS Decimal(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW)) AS grp_sum
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """)
+
+
+@query("sql_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag, l_linestatus
+""")
+def sql_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: per-set groupBy unioned with NULL-typed missing
+    keys (SURVEY §2.5) — each set is its own map-side-combined shuffle,
+    no row replication."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus, count() AS cnt FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@query("sql_group_by_all", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+""")
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL — every non-aggregate SELECT expression becomes a
+    key (ParserSelectQuery GROUP BY ALL)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag, l_linestatus, count() AS cnt FROM lineitem
+        GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@query("sql_hof_lambda", oracle="""
+SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
+         w -> CAST(length(w) AS BIGINT)), x -> x > 3) AS lens
+FROM documents ORDER BY doc_id LIMIT 200
+""")
+def sql_hof_lambda(spark, sf_dir):
+    """Nested higher-order functions with lambdas: arrayMap/arrayFilter
+    → Spark transform/filter, fully JVM-side (no Python UDF)."""
+    return _sql(spark, sf_dir, """
+        SELECT doc_id, arrayFilter(x -> x > 3,
+                 arrayMap(w -> toInt64(length(w)),
+                          splitByChar(' ', text))) AS lens
+        FROM documents ORDER BY doc_id LIMIT 200
+    """)
+
+
+@query("sql_star_modifiers", oracle="""
+SELECT r_regionkey + 100 AS r_regionkey FROM region ORDER BY r_regionkey
+""")
+def sql_star_modifiers(spark, sf_dir):
+    """* EXCEPT (...) REPLACE (...) column matchers
+    (ParserTablesInSelectQuery asterisk transformers, SURVEY §2.3)."""
+    return _sql(spark, sf_dir, """
+        SELECT * EXCEPT (r_name) REPLACE (r_regionkey + 100 AS r_regionkey)
+        FROM region ORDER BY r_regionkey
+    """)
+
+
 @query("sql_in_having", oracle="""
 SELECT l_orderkey, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY l_orderkey
