@@ -917,7 +917,29 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
         if res is not None:
             df, val = res
             return df, Identifier([val])
-        return df, node             # uncorrelated: bounded collect path
+        # uncorrelated scalar: defer to execution via a broadcast
+        # single-row cross join — no job launches at plan-build time,
+        # and the 1-row contract is enforced lazily with raise_error
+        # (the reference's interpreter would evaluate the subquery
+        # before the outer query the same way)
+        try:
+            sub = _build_query(node.query, ctx.child())
+        except Exception:
+            return df, node         # unresolvable here: collect fallback
+        if len(sub.columns) != 1:
+            raise BuildError("scalar subquery must return 1 row × 1 column")
+        val = f"__sc{len(drops)}"
+        agg = sub.limit(2).agg(
+            F.count(F.lit(1)).alias("__sc_cnt"),
+            F.first(sub.columns[0]).alias("__sc_v"))
+        side = agg.select(
+            F.when(F.col("__sc_cnt") == 1, F.col("__sc_v"))
+             .otherwise(F.raise_error(F.lit(
+                 "scalar subquery must return 1 row × 1 column")))
+             .alias(val))
+        df = df.crossJoin(F.broadcast(side))
+        drops.append(val)
+        return df, Identifier([val])
     if isinstance(node, FuncCall):
         if (node.name == "exists" and len(node.args) == 1
                 and isinstance(node.args[0], Subquery) and scalar_ok):
