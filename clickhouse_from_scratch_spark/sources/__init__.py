@@ -3,6 +3,7 @@
 from .formats import (
     FORMATS,
     TEXT_RENDERERS,
+    from_msgpack,
     from_native,
     from_row_binary,
     read_format,
@@ -11,6 +12,7 @@ from .formats import (
     to_json_compact,
     to_json_each_row,
     to_markdown,
+    to_msgpack,
     to_native,
     to_row_binary,
     to_template,
@@ -23,6 +25,7 @@ from .formats import (
 
 __all__ = ["FORMATS", "TEXT_RENDERERS", "read_format", "write_format",
            "to_native", "from_native", "to_row_binary", "from_row_binary",
+           "to_msgpack", "from_msgpack",
            "to_values", "to_vertical", "to_tskv", "to_markdown", "to_xml",
            "to_json", "to_json_compact", "to_json_each_row", "to_template",
            "read_regexp"]

@@ -225,6 +225,171 @@ def from_row_binary(spark: SparkSession, data: bytes,
     return spark.createDataFrame(rows, st)
 
 
+# --- MsgPackEachRow ---------------------------------------------------------
+# MessagePack wire encoding per the public spec (msgpack.org); the
+# reference declares the format (registerFormats.cpp:41-42, registration
+# commented out at :114-115). Like CH MsgPackEachRow, each row is its
+# fields' values serialized back-to-back (no per-row array header) —
+# the schema drives decoding. Date ≙ uint days since epoch, DateTime ≙
+# uint unix seconds, matching the RowBinary choices above.
+
+def _mp_int(v: int) -> bytes:
+    import struct
+
+    if 0 <= v <= 0x7F:
+        return bytes([v])                       # positive fixint
+    if -32 <= v < 0:
+        return struct.pack("b", v)              # negative fixint
+    if v >= 0:
+        for fmt, code, hi in (("B", 0xCC, 1 << 8), ("H", 0xCD, 1 << 16),
+                              ("I", 0xCE, 1 << 32), ("Q", 0xCF, 1 << 64)):
+            if v < hi:
+                return bytes([code]) + struct.pack(">" + fmt, v)
+    for fmt, code, lo in (("b", 0xD0, -(1 << 7)), ("h", 0xD1, -(1 << 15)),
+                          ("i", 0xD2, -(1 << 31)), ("q", 0xD3, -(1 << 63))):
+        if v >= lo:
+            return bytes([code]) + struct.pack(">" + fmt, v)
+    raise ValueError(f"int out of MessagePack range: {v}")
+
+
+def _mp_value(v, t: str) -> bytes:
+    import struct
+    from datetime import date, timezone
+
+    if v is None:
+        return b"\xc0"
+    if t == "boolean":
+        return b"\xc3" if v else b"\xc2"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return _mp_int(int(v))
+    if t == "float":
+        return b"\xca" + struct.pack(">f", v)
+    if t == "double":
+        return b"\xcb" + struct.pack(">d", v)
+    if t == "string":
+        raw = v.encode("utf-8")
+        n = len(raw)
+        if n <= 31:
+            return bytes([0xA0 | n]) + raw
+        if n < 1 << 8:
+            return b"\xd9" + bytes([n]) + raw
+        if n < 1 << 16:
+            return b"\xda" + struct.pack(">H", n) + raw
+        return b"\xdb" + struct.pack(">I", n) + raw
+    if t == "binary":
+        n = len(v)
+        if n < 1 << 8:
+            return b"\xc4" + bytes([n]) + bytes(v)
+        if n < 1 << 16:
+            return b"\xc5" + struct.pack(">H", n) + bytes(v)
+        return b"\xc6" + struct.pack(">I", n) + bytes(v)
+    if t == "date":
+        return _mp_int((v - date(1970, 1, 1)).days)
+    if t.startswith("timestamp"):
+        ts = v.replace(tzinfo=timezone.utc) if v.tzinfo is None else v
+        return _mp_int(int(ts.timestamp()))
+    if t.startswith("array<"):
+        elem = t[6:-1]
+        n = len(v)
+        if n <= 15:
+            head = bytes([0x90 | n])
+        elif n < 1 << 16:
+            head = b"\xdc" + struct.pack(">H", n)
+        else:
+            head = b"\xdd" + struct.pack(">I", n)
+        return head + b"".join(_mp_value(e, elem) for e in v)
+    raise ValueError(f"MsgPack: unsupported type {t}")
+
+
+def to_msgpack(df: DataFrame, n: int = 100000) -> bytes:
+    """CH ``MsgPackEachRow`` output: rows of MessagePack values."""
+    buf = bytearray()
+    for row in df.limit(n).collect():
+        for field, v in zip(df.schema.fields, row):
+            buf += _mp_value(v, field.dataType.simpleString())
+    return bytes(buf)
+
+
+def _mp_decode(data: bytes, pos: int):
+    """Decode one MessagePack value → (python value, new pos)."""
+    import struct
+
+    b = data[pos]
+    pos += 1
+    if b <= 0x7F:
+        return b, pos
+    if b >= 0xE0:
+        return b - 256, pos
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if 0x90 <= b <= 0x9F:
+        out = []
+        for _ in range(b & 0x0F):
+            v, pos = _mp_decode(data, pos)
+            out.append(v)
+        return out, pos
+    simple = {0xC0: None, 0xC2: False, 0xC3: True}
+    if b in simple:
+        return simple[b], pos
+    fixed = {0xCA: (">f", 4), 0xCB: (">d", 8), 0xCC: (">B", 1),
+             0xCD: (">H", 2), 0xCE: (">I", 4), 0xCF: (">Q", 8),
+             0xD0: (">b", 1), 0xD1: (">h", 2), 0xD2: (">i", 4),
+             0xD3: (">q", 8)}
+    if b in fixed:
+        fmt, size = fixed[b]
+        (v,) = struct.unpack_from(fmt, data, pos)
+        return v, pos + size
+    if b in (0xD9, 0xDA, 0xDB, 0xC4, 0xC5, 0xC6):
+        size = {0xD9: 1, 0xC4: 1, 0xDA: 2, 0xC5: 2, 0xDB: 4, 0xC6: 4}[b]
+        n = int.from_bytes(data[pos:pos + size], "big")
+        pos += size
+        raw = data[pos:pos + n]
+        pos += n
+        return (raw.decode("utf-8") if b in (0xD9, 0xDA, 0xDB)
+                else bytes(raw)), pos
+    if b in (0xDC, 0xDD):
+        size = 2 if b == 0xDC else 4
+        n = int.from_bytes(data[pos:pos + size], "big")
+        pos += size
+        out = []
+        for _ in range(n):
+            v, pos = _mp_decode(data, pos)
+            out.append(v)
+        return out, pos
+    raise ValueError(f"MsgPack: unsupported marker 0x{b:02x}")
+
+
+def from_msgpack(spark: SparkSession, data: bytes, schema: str) -> DataFrame:
+    """Decode MsgPackEachRow bytes back into a DataFrame given a DDL
+    schema (the value stream is self-describing; the schema maps uint
+    days/seconds back to Date/DateTime and fixes column names)."""
+    from datetime import date, datetime, timedelta, timezone
+
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    rows, pos = [], 0
+    while pos < len(data):
+        row = []
+        for field in st.fields:
+            t = field.dataType.simpleString()
+            v, pos = _mp_decode(data, pos)
+            if v is not None:
+                if t == "date":
+                    v = date(1970, 1, 1) + timedelta(days=v)
+                elif t.startswith("timestamp"):
+                    v = (datetime.fromtimestamp(v, tz=timezone.utc)
+                         .replace(tzinfo=None))
+                elif t == "boolean":
+                    v = bool(v)
+                elif t in ("float", "double"):
+                    v = float(v)
+            row.append(v)
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, st)
+
+
 _NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 

@@ -85,6 +85,45 @@ def test_declared_format_inventory():
         assert fmt in FORMATS
 
 
+def test_msgpack_each_row_roundtrip(spark):
+    """MsgPackEachRow (registerFormats.cpp:41-42): spec-conformant
+    MessagePack values back-to-back per row, schema-driven decode."""
+    from datetime import date, datetime
+    from clickhouse_from_scratch_spark.sources import (
+        from_msgpack, to_msgpack)
+    schema = ("i64 bigint, i8 tinyint, f64 double, f32 float, b boolean, "
+              "s string, d date, ts timestamp, arr array<bigint>")
+    rows = [
+        (2**40, -5, 1.25, 0.5, True, "héllo", date(2024, 2, 29),
+         datetime(2024, 1, 1, 12, 30, 0), [1, 2, 3]),
+        # fixint boundaries, negative fixint, empty string/array
+        (127, -32, -2.5, 2.0, False, "", date(1970, 1, 2),
+         datetime(1970, 1, 1, 0, 0, 1), []),
+        (-1, 0, 0.0, 0.0, False, "x" * 300, date(2000, 1, 1),
+         datetime(2030, 6, 15, 23, 59, 59), list(range(20))),
+        (None, None, None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    blob = to_msgpack(df)
+    back = from_msgpack(spark, blob, schema)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect()), key=str) == \
+        sorted(map(tuple, df.collect()), key=str)
+
+
+def test_msgpack_wire_bytes():
+    """Spot-check marker bytes against the public MessagePack spec."""
+    from clickhouse_from_scratch_spark.sources.formats import _mp_value
+    assert _mp_value(5, "bigint") == b"\x05"            # positive fixint
+    assert _mp_value(-1, "bigint") == b"\xff"           # negative fixint
+    assert _mp_value(200, "bigint") == b"\xcc\xc8"      # uint8
+    assert _mp_value(-200, "bigint") == b"\xd1\xff\x38"  # int16
+    assert _mp_value("ab", "string") == b"\xa2ab"       # fixstr
+    assert _mp_value(None, "string") == b"\xc0"         # nil
+    assert _mp_value(True, "boolean") == b"\xc3"
+    assert _mp_value([1], "array<bigint>") == b"\x91\x01"  # fixarray
+
+
 def test_format_arrow_ipc_file_roundtrip(spark, tmp_path):
     """FORMAT Arrow writes a real Arrow IPC random-access file (no more
     parquet stand-in) — readable by plain pyarrow and by read_format."""
