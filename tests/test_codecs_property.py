@@ -1,0 +1,95 @@
+"""Property-based round-trip tests for the hand-rolled wire codecs
+(MsgPackEachRow, RowBinary ULEB128) — pure driver-side, no Spark.
+
+Hypothesis hunts the byte-level edge cases example tests miss: fixint
+boundaries, width-selection cutovers, multi-byte UTF-8 at length
+thresholds, deeply varied arrays.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from clickhouse_from_scratch_spark.sources.formats import (
+    _mp_decode, _mp_value, _read_uleb128, _uleb128)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1))
+def test_msgpack_int_roundtrip(v):
+    blob = _mp_value(v, "bigint")
+    out, pos = _mp_decode(blob, 0)
+    assert out == v and pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=300))
+def test_msgpack_str_roundtrip(s):
+    blob = _mp_value(s, "string")
+    out, pos = _mp_decode(blob, 0)
+    assert out == s and pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_msgpack_bin_roundtrip(b):
+    blob = _mp_value(b, "binary")
+    out, pos = _mp_decode(blob, 0)
+    assert out == b and pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-(1 << 63),
+                                      max_value=(1 << 63) - 1)),
+                max_size=40))
+def test_msgpack_array_roundtrip(arr):
+    blob = _mp_value(arr, "array<bigint>")
+    out, pos = _mp_decode(blob, 0)
+    assert out == arr and pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, width=64))
+def test_msgpack_double_roundtrip(f):
+    blob = _mp_value(f, "double")
+    out, pos = _mp_decode(blob, 0)
+    assert out == f and pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=10))
+def test_uleb128_stream_roundtrip(vals):
+    blob = b"".join(_uleb128(v) for v in vals)
+    pos, out = 0, []
+    for _ in vals:
+        v, pos = _read_uleb128(blob, pos)
+        out.append(v)
+    assert out == vals and pos == len(blob)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    st.text(alphabet=st.characters(codec="utf-8"), max_size=40),
+    st.booleans()), max_size=15))
+def test_msgpack_row_stream_roundtrip(rows):
+    """Concatenated heterogeneous rows decode back in order — the
+    actual MsgPackEachRow framing (no row delimiters)."""
+    types = ("int", "string", "boolean")
+    blob = b"".join(_mp_value(v, t) for row in rows
+                    for v, t in zip(row, types))
+    pos, out = 0, []
+    for _ in rows:
+        row = []
+        for t in types:
+            v, pos = _mp_decode(blob, pos)
+            row.append(bool(v) if t == "boolean" else v)
+        out.append(tuple(row))
+    assert out == rows and pos == len(blob)

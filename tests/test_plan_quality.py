@@ -132,3 +132,39 @@ def test_exists_under_or_is_marker_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "GreaterThan(o_totalprice,400000" in plan
+
+
+def test_in_having_is_marker_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_in_having")
+    # HAVING-position IN must be a hash join against the aggregated
+    # frame — never an isin() over driver-collected values (which would
+    # appear as a giant In(...) filter list, and cap at 100k rows)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the priority filter pushes into the orders scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_with_ties_prunes_before_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_with_ties")
+    # the threshold predicate must push into the parquet scan: the
+    # single-partition rank window sees ~n rows + ties, never the table
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "LessThan(l_quantity" in pushed
+    # Spark's partial per-partition rank limit kicks in before the
+    # single-partition exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_scalar_subquery_defers_to_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scalar_subquery")
+    # uncorrelated scalar: single-row broadcast join, no build-time eval
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_groups_frame_shares_helper_rank(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_groups_frame")
+    # dense_rank helper + RANGE frame: exactly the windows we planned,
+    # no Python evaluation
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") >= 1
