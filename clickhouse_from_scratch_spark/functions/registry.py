@@ -464,6 +464,7 @@ _alias("bitTest", lambda a, n: (F.shiftright(_c(a), n) % 2).cast("int"))
 # --- misc scalar ----------------------------------------------------------
 _alias("rand", lambda: (F.rand() * (1 << 32)).cast("long"))
 _alias("rand64", lambda: (F.rand() * (1 << 62)).cast("long"))
+_alias("randCanonical", lambda: F.rand())        # uniform [0, 1)
 _alias("randConstant", lambda: F.lit(0))
 _alias("hostName", lambda: F.lit("localhost"))
 _alias("version", lambda: F.lit("24.0-spark"))

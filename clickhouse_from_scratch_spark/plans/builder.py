@@ -468,6 +468,21 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         path = node.args[0].value
         fmt = node.args[1].value if len(node.args) > 1 else "Parquet"
         return read_format(ctx.spark, fmt, path)
+    if name == "generaterandom":
+        # generateRandom('schema', [seed], [max_str_len], [max_arr_len]):
+        # unbounded in CH — bounded here by the enclosing LIMIT exactly
+        # like system.numbers, deterministic for a given seed
+        from ..sources.generate import generate_random
+        if ctx.numbers_bound is None:
+            raise BuildError(
+                "generateRandom is unbounded; add a LIMIT directly to "
+                "this SELECT (no row-dropping clause before it)")
+        args = [a.value for a in node.args]
+        return generate_random(
+            ctx.spark, args[0], ctx.numbers_bound,
+            seed=int(args[1]) if len(args) > 1 else 42,
+            max_str=int(args[2]) if len(args) > 2 else 10,
+            max_arr=int(args[3]) if len(args) > 3 else 10)
     if name in _PIPELINE_TFS:
         return _pipeline_table_function(name, node, ctx)
     raise BuildError(f"unsupported table function: {node.name}")

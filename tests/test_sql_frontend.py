@@ -818,3 +818,26 @@ def test_correlated_in_under_or(spark):
         ORDER BY ck
     """, _corr_fixture(spark))
     assert [r.ck for r in out.collect()] == [1, 2]
+
+
+def test_generate_random_table_function(spark):
+    """generateRandom('schema', seed, ...): deterministic, schema-typed,
+    LIMIT-bounded like system.numbers; unsigned domains respected."""
+    sql = ("SELECT * FROM generateRandom("
+           "'a Int64, b String, c Array(UInt8), d Nullable(Int32)', 7, 8, 5) "
+           "LIMIT 20")
+    df = execute_sql(spark, sql, {})
+    rows = df.collect()
+    assert len(rows) == 20
+    assert df.schema.simpleString() == (
+        "struct<a:bigint,b:string,c:array<smallint>,d:int>")
+    assert rows == execute_sql(spark, sql, {}).collect()   # same seed
+    other = execute_sql(spark, sql.replace(", 7,", ", 8,"), {}).collect()
+    assert rows != other                                   # seed matters
+    for r in rows:
+        assert all(0 <= e <= 255 for e in r.c)             # UInt8 domain
+        assert 1 <= len(r.b) <= 8
+    from clickhouse_from_scratch_spark.plans import ParseError
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError, match="LIMIT"):
+        execute_sql(spark, "SELECT * FROM generateRandom('a Int8')", {})
