@@ -1322,33 +1322,22 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
         grouped = pre.groupBy(*knames)
 
     if gb.mode == "grouping_sets":
-        parts = []
-        for s in gb.grouping_sets or []:
-            present = {_ast_key(e) for e in s}
-            sel_keys = [F.col(n).alias(n) if _ast_key(e_) in present
-                        else F.lit(None).alias(n)
-                        for e_, n in zip(gb.exprs, knames)]
-            g = (pre.groupBy(*[n for e_, n in zip(gb.exprs, knames)
-                               if _ast_key(e_) in present])
-                 .agg(*agg_cols))
-            missing = [F.lit(None).cast(pre.schema[n].dataType).alias(n)
-                       for e_, n in zip(gb.exprs, knames)
-                       if _ast_key(e_) not in present]
-            g = g.select(*[F.col(n) for e_, n in zip(gb.exprs, knames)
-                           if _ast_key(e_) in present], *missing,
-                         *[F.col(s_) for s_ in agg_slots])
-            parts.append(g.select(*knames, *agg_slots))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        # ONE scan + Expand + one shuffle for every set (Spark 4
+        # groupingSets), instead of a groupBy-per-set union — at scale
+        # N sets would otherwise re-read the input N times
+        sets = [[n for e_, n in zip(gb.exprs, knames)
+                 if _ast_key(e_) in {_ast_key(e) for e in s}]
+                for s in (gb.grouping_sets or [])]
+        out = (pre.groupingSets(sets, *knames).agg(*agg_cols)
+               .select(*knames, *agg_slots))
     else:
         out = grouped.agg(*agg_cols)
 
     if gb.with_totals and gb.mode == "plain":
-        tot = pre.agg(*agg_cols)
-        for e_, n in zip(gb.exprs, knames):
-            tot = tot.withColumn(n, F.lit(None).cast(pre.schema[n].dataType))
-        out = out.unionByName(tot.select(*knames, *agg_slots))
+        # WITH TOTALS ≡ GROUPING SETS ((keys), ()): totals come out of
+        # the same Expand pass — no second scan of the input
+        out = (pre.groupingSets([list(knames), []], *knames)
+               .agg(*agg_cols).select(*knames, *agg_slots))
 
     # 3. evaluate outer SELECT expressions over the aggregated frame
     ctx.key_slots = key_slots          # ast-repr → __k* column
