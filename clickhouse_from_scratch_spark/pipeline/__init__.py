@@ -6,6 +6,8 @@ map-side-combinable aggregations, broadcast for small query sets.
 """
 
 from .dedup import (
+    connected_components,
+    dedup_keep_canonical,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -32,6 +34,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_candidates",
     "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
     "simhash_hamming_pairs", "simhash_near_dups_hamming",
+    "connected_components", "dedup_keep_canonical",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "train_centroids",
     "doc_fingerprint", "language_id", "quality_score", "token_count",
 ]

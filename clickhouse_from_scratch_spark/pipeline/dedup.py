@@ -305,3 +305,76 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.min(id_col).alias("keep_id"))
                 .filter(F.col("n_docs") > 1))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         a_col: str = "id_a",
+                         b_col: str = "id_b") -> DataFrame:
+    """Group candidate pairs into duplicate clusters: (id, component).
+
+    The step after LSH/SimHash banding in a real dedup pipeline —
+    near-dup similarity is not transitive, so pairs must be closed into
+    components before one representative per cluster can be kept.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    does (1) one hop — every node takes the min label over itself and
+    its neighbors (hash join on the edge key) — and (2) path
+    compression — every node re-reads its label's label (self join on
+    the label). Compression doubles the propagation distance per round,
+    so convergence is O(log diameter) joins (the pointer-doubling idea
+    behind the "large-star/small-star" MapReduce CC family), and
+    ``max_iter=20`` covers ~2^20-long chains. The loop exits via a
+    cheap changed-row check; at the bound we raise rather than return
+    wrong groups.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    # localCheckpoint after every round: iterative self-joins otherwise
+    # stack each round's plan inside the next (analysis blows up
+    # exponentially even with persist, which caches data but not
+    # lineage). On a real cluster with flaky executors, swap for
+    # spark.sparkContext.setCheckpointDir + .checkpoint() — same shape.
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # (1) one-hop: for each dst, min label among its neighbors
+        nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+               .groupBy("dst").agg(F.min("comp").alias("nbr_comp"))
+               .withColumnRenamed("dst", "id"))
+        hop = (labels.join(nbr, "id", "left")
+               .select("id", F.least("comp", "nbr_comp").alias("comp")))
+        # (2) pointer jumping: comp <- label(comp), halving path lengths
+        parents = hop.select(F.col("id").alias("__pid"),
+                             F.col("comp").alias("__pcomp"))
+        new_labels = (hop.join(parents, hop["comp"] == parents["__pid"],
+                               "left")
+                      .select("id", F.least(F.col("comp"),
+                                            F.coalesce("__pcomp", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.withColumnRenamed("comp", "old")
+                   .join(new_labels, "id")
+                   .filter(F.col("old") != F.col("comp")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter too large — raise max_iter)")
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop every document in a near-dup cluster except its min-id
+    representative: docs -> docs without non-canonical members.
+
+    One CC pass plus an anti join — the standard tail of an LSH dedup
+    pipeline (candidates -> verify -> group -> keep one)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("comp")) \
+                  .select(F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

@@ -957,6 +957,36 @@ def dedup_jaccard_q(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query("dedup_cc_keep", oracle="""
+SELECT doc_id FROM (SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY lang, source) AS keep
+       FROM documents)
+WHERE doc_id = keep ORDER BY doc_id
+""")
+def dedup_cc_keep_q(spark, sf_dir):
+    """Connected-components dedup tail: candidate pairs → transitive
+    clusters → keep the min-id representative per cluster.
+
+    Edges here chain each doc to the NEXT doc_id of its (lang, source)
+    group — a path graph, deliberately NOT transitive — so the oracle
+    (min per group) matches only if connected_components actually closes
+    chains. Pointer-jumping propagation: O(log diameter) join rounds,
+    localCheckpoint-truncated lineage (pipeline/dedup.py)."""
+    from pyspark.sql import Window
+
+    from .pipeline import dedup_keep_canonical
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pairs = (docs.select("doc_id", "lang", "source")
+             .withColumn("__nxt", F.lead("doc_id").over(w))
+             .filter(F.col("__nxt").isNotNull())
+             .select(F.col("doc_id").alias("id_a"),
+                     F.col("__nxt").alias("id_b")))
+    return (dedup_keep_canonical(docs, pairs)
+            .select("doc_id").orderBy("doc_id"))
+
+
 @query("dedup_simhash")  # no SQL oracle (64-bit simhash)
 def dedup_simhash_q(spark, sf_dir):
     """SimHash near-dup groups (identical 64-bit signature)."""

@@ -162,3 +162,34 @@ def test_multimodal_plumbing(spark):
     assert rows[2].checksum != rows[1].checksum
     # deterministic frame-sampling is a pure filter
     assert frame_sample(decoded, every_n=1).count() == 2
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Chain of 60 nodes (forces pointer jumping — one-hop propagation
+    alone would need 60 rounds), a triangle, and an isolated pair."""
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        connected_components)
+    chain = [(i, i + 1) for i in range(100, 160)]          # one component
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pair = [(7, 9)]
+    pairs = spark.createDataFrame(chain + tri + pair,
+                                  "id_a long, id_b long")
+    comps = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert {comps[i] for i in range(100, 161)} == {100}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[7] == comps[9] == 7
+    # three distinct components
+    assert len(set(comps.values())) == 3
+
+
+def test_dedup_keep_canonical(spark):
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        dedup_keep_canonical)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string")
+    # {0,1,2} cluster via chain, {5,6} cluster; 3,4,7,8,9 singletons
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)],
+                                  "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 7, 8, 9]
