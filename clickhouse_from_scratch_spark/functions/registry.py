@@ -653,3 +653,28 @@ _alias("cosineSimilarity", lambda a, b: _cosine(_c(a), _c(b)))
 from . import aggregates as _aggs  # noqa: E402  (registers agg names)
 
 _aggs.register_into(REGISTRY)
+
+
+# --- SQL-standard case-insensitive aliases --------------------------------
+# ClickHouse accepts these regardless of case (its FunctionFactory
+# registers them case-insensitive); the canonical map also lets the
+# builder normalize before literal-arg dispatch.
+CANONICAL: dict[str, str] = {}
+for _aliases, _target in [
+    (("DATEDIFF", "DATE_DIFF", "dateDiff", "timestampDiff",
+      "TIMESTAMPDIFF", "timestamp_diff"), "dateDiff"),
+    (("DATEADD", "DATE_ADD", "dateAdd", "TIMESTAMPADD"), "dateAdd"),
+    (("DATESUB", "DATE_SUB", "dateSub", "TIMESTAMPSUB"), "dateSub"),
+    (("LTRIM", "ltrim"), "trimLeft"),
+    (("RTRIM", "rtrim"), "trimRight"),
+    (("LCASE", "lcase"), "lower"),
+    (("UCASE", "ucase"), "upper"),
+    (("SUBSTR", "substr", "MID", "mid"), "substring"),
+    (("POSITION",), "position"),
+    (("REPLACE", "replace"), "replaceAll"),
+    (("LOCATE", "locate"), "position"),
+]:
+    for _a in _aliases:
+        if _a != _target:
+            CANONICAL[_a] = _target
+            REGISTRY.setdefault(_a, REGISTRY[_target])

@@ -1628,7 +1628,9 @@ _POLYMORPHIC = {"length": ("arrayLength", "length"),
 
 def _call_fn(node: FuncCall, cols: list, ctx: Context,
              df: DataFrame | None) -> Column:
-    name = node.name
+    from ..functions.registry import CANONICAL
+
+    name = CANONICAL.get(node.name, node.name)
     if name in ("getSetting", "getSettingOrDefault"):  # + @@k sugar
         if not (node.args and isinstance(node.args[0], Literal)):
             raise BuildError("getSetting requires a literal name")
@@ -1757,9 +1759,15 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
     # literal-arg passthrough for registry fns wanting python values
     if name in REGISTRY:
         py_args = []
-        for a, c in zip(node.args, cols):
+        for i, (a, c) in enumerate(zip(node.args, cols)):
             if isinstance(a, Literal) and _wants_literal(name):
                 py_args.append(a.value)
+            elif (i == 0 and name in _UNIT_ARG_FNS
+                    and isinstance(a, Identifier) and len(a.parts) == 1
+                    and a.name.lower() in _INTERVAL_UNITS):
+                # dateAdd(DAY, 5, d): the unit is an interval keyword,
+                # not a column (ExpressionListParsers.cpp:566-651)
+                py_args.append(a.name.lower())
             else:
                 py_args.append(c)
         return REGISTRY[name](*py_args)
@@ -1781,6 +1789,13 @@ _LITERAL_ARG_FNS = {
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
 }
+
+
+_UNIT_ARG_FNS = {"dateDiff", "dateAdd", "dateSub", "timestampAdd",
+                 "timestampSub", "dateName", "toStartOfInterval"}
+_INTERVAL_UNITS = {"year", "quarter", "month", "week", "day", "hour",
+                   "minute", "second", "millisecond", "microsecond",
+                   "nanosecond"}
 
 
 def _wants_literal(name: str) -> bool:

@@ -999,7 +999,10 @@ class Parser:
     def _position(self):
         self.advance()
         self.expect_op("(")
-        a = self._expr()
+        # needle parses below IN precedence so `POSITION(n IN hay)`
+        # (ExpressionElementParsers.cpp:537-564) keeps IN as the
+        # separator instead of the set-membership operator
+        a = self._concat()
         if self.accept_kw("IN"):
             hay = self._expr()
             self.expect_op(")")

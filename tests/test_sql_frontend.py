@@ -841,3 +841,22 @@ def test_generate_random_table_function(spark):
     from clickhouse_from_scratch_spark.plans.builder import BuildError
     with pytest.raises(BuildError, match="LIMIT"):
         execute_sql(spark, "SELECT * FROM generateRandom('a Int8')", {})
+
+
+def test_sql_standard_aliases_and_unit_keywords(spark):
+    """Case-insensitive SQL-standard aliases (LTRIM/DATEDIFF/SUBSTR/…)
+    and bare interval-unit keywords in date arithmetic
+    (ExpressionListParsers.cpp:566-651)."""
+    r = execute_sql(spark, """
+        SELECT LTRIM('  hi') AS a, RTRIM('hi  ') AS b,
+               POSITION('c' IN 'abcdef') AS p,
+               DATEDIFF(day, toDate('2024-01-01'), toDate('2024-02-01')) AS d1,
+               dateAdd(DAY, 5, toDate('2024-01-01')) AS d2,
+               DATESUB(MONTH, 1, toDate('2024-03-15')) AS d3,
+               SUBSTR('hello', 2, 3) AS s, LCASE('ABC') AS lc,
+               REPLACE('aXbXc', 'X', '-') AS rp
+    """, {}).collect()[0]
+    assert (r.a, r.b, r.p) == ("hi", "hi", 3)
+    assert r.d1 == 31
+    assert str(r.d2) == "2024-01-06" and str(r.d3) == "2024-02-15"
+    assert (r.s, r.lc, r.rp) == ("ell", "abc", "a-b-c")
