@@ -1454,6 +1454,11 @@ def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
     if isinstance(node, FuncCall):
         if node.name in _AGG_NAMES:
             raise BuildError(f"aggregate {node.name} not collected")
+        if any(isinstance(a, Lambda) for a in node.args):
+            # HOF over an aggregate result (arraySort(x->x, groupArray(y))):
+            # substitute the materialized slots, then use the normal
+            # lambda-binding path
+            return _eval(_slotify(node, ctx), ctx, out)
         cols = [_eval_post(a, out, ctx) for a in node.args]
         return _call_fn(node, cols, ctx, out)
     if isinstance(node, Identifier):
@@ -1507,6 +1512,24 @@ def _apply_projection_keep(df: DataFrame, items,
         node = _inline(item, ctx)
         name = node.alias if isinstance(node, Alias) else _auto_name(node)
         expr = node.expr if isinstance(node, Alias) else node
+        if isinstance(expr, FuncCall) and expr.name == "untuple":
+            # untuple(t) expands the tuple's elements into separate
+            # output columns (tuple literals carry fields _1.._n; named
+            # tuples keep their names). With an alias the outputs are
+            # alias_field — CH writes `alias.field`, but dotted names
+            # fight Spark's resolver (documented deviation).
+            from pyspark.sql.types import StructType
+
+            c = _eval(expr.args[0], ctx, df)
+            dt = df.select(c.alias("__ut")).schema[0].dataType
+            if not isinstance(dt, StructType):
+                raise BuildError("untuple expects a Tuple argument")
+            alias = node.alias if isinstance(node, Alias) else None
+            for fld in dt.fields:
+                out_name = f"{alias}_{fld.name}" if alias else fld.name
+                proj.append(c.getField(fld.name).alias(out_name))
+                names.append(out_name)
+            continue
         proj.append(_eval(expr, ctx, df).alias(name))
         names.append(name)
     keep = [c for c in df.columns if c not in names]
@@ -1788,6 +1811,7 @@ _LITERAL_ARG_FNS = {
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
+    "arrayReduce",
 }
 
 

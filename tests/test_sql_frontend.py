@@ -860,3 +860,20 @@ def test_sql_standard_aliases_and_unit_keywords(spark):
     assert r.d1 == 31
     assert str(r.d2) == "2024-01-06" and str(r.d3) == "2024-02-15"
     assert (r.s, r.lc, r.rp) == ("ell", "abc", "a-b-c")
+
+
+def test_untuple_and_hof_over_aggregate(spark):
+    out = execute_sql(spark, "SELECT untuple((10, 'z')) AS u, 5 AS k", {})
+    assert out.columns == ["u__1", "u__2", "k"]
+    assert tuple(out.collect()[0]) == (10, "z", 5)
+    out = execute_sql(spark, "SELECT untuple((1, 'a'))", {})
+    assert out.columns == ["_1", "_2"]
+    # HOF whose array argument is an aggregate result
+    r = execute_sql(spark, """
+        SELECT arraySort(x -> x, groupUniqArray(v)) AS a
+        FROM (SELECT arrayJoin([3, 1, 3, 2]) AS v)
+    """, {}).collect()[0]
+    assert r.a == [1, 2, 3]
+    r = execute_sql(spark, "SELECT arrayReduce('sum', [1,2,3]) AS s",
+                    {}).collect()[0]
+    assert r.s == 6
