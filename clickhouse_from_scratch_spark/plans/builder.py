@@ -39,7 +39,7 @@ from .ast_nodes import (
 )
 
 _AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
-    "count", "countIf", "countDistinct"}
+    "count", "countIf", "countDistinct", "sumMap", "minMap", "maxMap"}
 
 _WINDOW_FNS = {
     "row_number": lambda: F.row_number(),
@@ -1407,9 +1407,37 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         return ch(name, int(params[0]), *args)
     if name == "count" and not args:
         return F.count(F.lit(1))
+    if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
+        return _map_agg(name, args[0], args[1], df)
     if name in REGISTRY:
         return ch(name, *args)
     raise BuildError(f"unknown aggregate: {name}")
+
+
+def _map_agg(name: str, keys: Column, vals: Column,
+             df: DataFrame) -> Column:
+    """sumMap/minMap/maxMap(keys, values): per-key reduction across the
+    group, returned as CH's tuple(sorted keys array, values array).
+
+    JVM-side shape: one map per row (map_from_arrays), collect_list per
+    group, then a map_zip_with fold — group-local memory is O(distinct
+    keys in group), no extra shuffle beyond the aggregation itself."""
+    per_row = F.map_from_arrays(keys, vals)
+    map_t = df.select(per_row.alias("__m")).schema[0].dataType.simpleString()
+    op = {"sumMap": lambda a, b: a + b, "minMap": F.least,
+          "maxMap": F.greatest}[name]
+    merged = F.aggregate(
+        F.collect_list(per_row),
+        F.lit(None).cast(map_t),
+        lambda acc, m: F.when(acc.isNull(), m).otherwise(
+            F.map_zip_with(acc, m,
+                           lambda _, a, b: F.when(a.isNull(), b)
+                                            .when(b.isNull(), a)
+                                            .otherwise(op(a, b)))))
+    ks = F.array_sort(F.map_keys(merged))
+    return F.struct(ks.alias("_1"),
+                    F.transform(ks, lambda k: F.element_at(merged, k))
+                    .alias("_2"))
 
 
 def _slotify(node, ctx: Context):

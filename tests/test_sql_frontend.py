@@ -877,3 +877,21 @@ def test_untuple_and_hof_over_aggregate(spark):
     r = execute_sql(spark, "SELECT arrayReduce('sum', [1,2,3]) AS s",
                     {}).collect()[0]
     assert r.s == 6
+
+
+def test_summap_minmap_maxmap(spark):
+    """sumMap/minMap/maxMap: per-key reduction across the group,
+    returned as tuple(sorted keys, values) like CH."""
+    df = spark.createDataFrame(
+        [("a", [1, 2], [10.0, 20.0]), ("a", [2, 3], [5.0, 7.0]),
+         ("b", [1], [1.0])],
+        "g string, k array<int>, v array<double>")
+    out = {r.g: r for r in execute_sql(spark, """
+        SELECT g, sumMap(k, v) AS sm, minMap(k, v) AS nm,
+               maxMap(k, v) AS xm
+        FROM t GROUP BY g
+    """, {"t": df}).collect()}
+    assert out["a"].sm == ([1, 2, 3], [10.0, 25.0, 7.0])
+    assert out["a"].nm == ([1, 2, 3], [10.0, 5.0, 7.0])
+    assert out["a"].xm == ([1, 2, 3], [10.0, 20.0, 7.0])
+    assert out["b"].sm == ([1], [1.0])
