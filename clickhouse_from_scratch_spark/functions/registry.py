@@ -477,14 +477,64 @@ _alias("isFinite", lambda c: ~(F.isnan(_c(c)) | (_c(c) == float("inf")) | (_c(c)
 _alias("isInfinite", lambda c: (_c(c) == float("inf")) | (_c(c) == float("-inf")))
 _alias("isNaN", lambda c: F.isnan(_c(c)))
 _alias("bar", lambda c, lo, hi, width=80: F.repeat(F.lit("█"), F.round((_c(c) - lo) / (hi - lo) * width).cast("int")))
-_alias("transform", lambda c, frm, to, dflt: _transform_map(c, frm, to, dflt))
+_alias("transform",
+       lambda c, frm, to, dflt=None: _transform_map(c, frm, to, dflt))
 
 
 def _transform_map(c, frm, to, dflt) -> Column:
-    out = F.when(_c(c) == frm[0], to[0])
-    for f_, t_ in zip(frm[1:], to[1:]):
-        out = out.when(_c(c) == f_, t_)
-    return out.otherwise(_c(dflt))
+    """CH transform(x, from, to[, default]): value mapping. Literal
+    arrays become a when-chain (codegen-friendly); column arrays go
+    through map_from_arrays + element_at. 3-arg form keeps x unmatched."""
+    fallback = _c(c) if dflt is None else _c(dflt)
+    if isinstance(frm, list) and isinstance(to, list):
+        out = F.when(_c(c) == frm[0], _c(to[0]))
+        for f_, t_ in zip(frm[1:], to[1:]):
+            out = out.when(_c(c) == f_, _c(t_))
+        return out.otherwise(fallback)
+    return F.coalesce(F.element_at(F.map_from_arrays(_c(frm), _c(to)),
+                                   _c(c)), fallback)
+
+
+_CH_CAST = {"Int8": "tinyint", "Int16": "smallint", "Int32": "int",
+            "Int64": "bigint", "UInt8": "smallint", "UInt16": "int",
+            "UInt32": "long", "UInt64": "long", "Float32": "float",
+            "Float64": "double", "String": "string", "Bool": "boolean",
+            "Date": "date", "DateTime": "timestamp"}
+
+
+def _json_extract(j, *rest) -> Column:
+    """Generic JSONExtract(json, key..., 'Type') — path keys then a CH
+    type name last (public CH signature)."""
+    *keys, typ = rest
+    path = "$." + ".".join(str(k) for k in keys) if keys else "$"
+    return F.get_json_object(_c(j), path).cast(_CH_CAST.get(typ, "string"))
+
+
+_alias("JSONExtract", _json_extract)
+
+_BEST_EFFORT_FMTS = ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+                     "yyyy-MM-dd", "yyyy/MM/dd HH:mm:ss", "dd-MM-yyyy",
+                     "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy", "yyyyMMddHHmmss",
+                     "yyyyMMdd"]
+
+
+def _parse_best_effort(s) -> Column:
+    c = _c(s)
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        *[F.try_to_timestamp(c, F.lit(f)) for f in _BEST_EFFORT_FMTS],
+        # bare unix seconds
+        F.when(c.rlike("^[0-9]{9,10}$"),
+               F.timestamp_seconds(c.cast("long"))))
+
+
+_alias("parseDateTimeBestEffort", _parse_best_effort)
+_alias("parseDateTimeBestEffortOrNull", _parse_best_effort)
+_alias("parseDateTimeBestEffortOrZero", lambda s: F.coalesce(
+    _parse_best_effort(s), F.timestamp_seconds(F.lit(0))))
+# FixedString(N): truncate/pad with zero bytes, CH's storage contract
+_alias("toFixedString", lambda s, n: F.rpad(F.substring(_c(s), 1, n),
+                                            n, "\x00"))
 
 
 # --- URL functions (public CH URL family → parse_url/regexp) --------------

@@ -1813,6 +1813,10 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         for i, (a, c) in enumerate(zip(node.args, cols)):
             if isinstance(a, Literal) and _wants_literal(name):
                 py_args.append(a.value)
+            elif (isinstance(a, ArrayLiteral) and _wants_literal(name)
+                    and all(isinstance(x, Literal) for x in a.items)):
+                # transform(x, [1,2], ['a','b'], d) wants python lists
+                py_args.append([x.value for x in a.items])
             elif (i == 0 and name in _UNIT_ARG_FNS
                     and isinstance(a, Identifier) and len(a.parts) == 1
                     and a.name.lower() in _INTERVAL_UNITS):
@@ -1839,7 +1843,7 @@ _LITERAL_ARG_FNS = {
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
-    "arrayReduce",
+    "arrayReduce", "transform", "JSONExtract", "toFixedString",
 }
 
 
@@ -1967,6 +1971,10 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
         return target(arrays[0], fn)
     if name == "arraySort":
         return F.array_sort(F.transform(arrays[0], fn))
+    # registry HOFs (arrayFirst/arrayLast/arrayFirstIndex/…) take the
+    # bound callable as their first argument
+    if name in REGISTRY:
+        return REGISTRY[name](fn, *arrays)
     raise BuildError(f"unsupported HOF: {name}")
 
 

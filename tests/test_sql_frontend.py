@@ -895,3 +895,21 @@ def test_summap_minmap_maxmap(spark):
     assert out["a"].nm == ([1, 2, 3], [10.0, 5.0, 7.0])
     assert out["a"].xm == ([1, 2, 3], [10.0, 20.0, 7.0])
     assert out["b"].sm == ([1], [1.0])
+
+
+def test_transform_array_hofs_json_extract(spark):
+    r = execute_sql(spark, """
+        SELECT arrayFirst(x -> x > 1, [1,2,3]) AS af,
+               arrayFirstIndex(x -> x > 1, [1,2,3]) AS ai,
+               arrayLast(x -> x < 3, [1,2,3]) AS al,
+               transform(2, [1,2,3], ['a','b','c'], '?') AS tr,
+               transform(9, [1], ['x'], '?') AS trmiss,
+               transform(7, [1], [100]) AS trkeep,
+               JSONExtract('{"a": 7}', 'a', 'Int64') AS je,
+               length(toFixedString('ab', 4)) AS fx,
+               parseDateTimeBestEffort('15/01/2024') AS pd
+    """, {}).collect()[0]
+    assert (r.af, r.ai, r.al) == (2, 2, 2)
+    assert (r.tr, r.trmiss, r.trkeep) == ("b", "?", 7)
+    assert r.je == 7 and r.fx == 4
+    assert str(r.pd).startswith("2024-01-15")
