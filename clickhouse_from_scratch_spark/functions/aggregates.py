@@ -72,7 +72,48 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "histogram": lambda bins, x: F.histogram_numeric(_c(x), F.lit(bins)),
     "boundingRatio": lambda x, y: (F.max(_c(y)) - F.min(_c(y))) / (F.max(_c(x)) - F.min(_c(x))),
     "deltaSum": lambda x: F.max(_c(x)) - F.min(_c(x)),
+    # CH skewPop/kurtPop are the raw population moments: Spark's
+    # skewness is g1 (= CH skewPop); Spark kurtosis is EXCESS kurtosis,
+    # CH kurtPop is m4/m2^2, hence the +3
+    "skewPop": lambda x: F.skewness(_c(x)),
+    "kurtPop": lambda x: F.kurtosis(_c(x)) + F.lit(3.0),
+    "avgWeighted": lambda x, w: (F.sum(_c(x) * _c(w)) / F.sum(_c(w))),
+    "anyHeavy": lambda x: F.mode(_c(x)),       # most-frequent approximation
+    "entropy": lambda x: _entropy(_c(x)),
 }
+
+
+def _entropy(x: Column) -> Column:
+    """Shannon entropy (log2) of the value distribution:
+    H = log2(n) - (Σ c·log2 c)/n over per-value counts c.
+
+    Single aggregate expression: sort the group's values, fold runs of
+    equal values accumulating Σ c·ln c — executor-side, O(group) work,
+    no second shuffle."""
+    lst = F.array_sort(F.collect_list(x.cast("string")))
+    n = F.size(lst)
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0.0).alias("acc"))
+    ln = F.log  # natural log
+
+    def step(st, v):
+        same = st.prev.eqNullSafe(v)
+        flushed = F.when(same | (st.run == 0), st.acc).otherwise(
+            st.acc + st.run.cast("double") * ln(st.run.cast("double")))
+        return F.struct(v.alias("prev"),
+                        F.when(same, st.run + 1).otherwise(F.lit(1))
+                        .alias("run"),
+                        flushed.alias("acc"))
+
+    def finish(st):
+        total = F.when(st.run > 0, st.acc + st.run.cast("double")
+                       * ln(st.run.cast("double"))).otherwise(st.acc)
+        nd = n.cast("double")
+        return F.when(n <= 1, F.lit(0.0)).otherwise(
+            (ln(nd) - total / nd) / ln(F.lit(2.0)))
+
+    return F.aggregate(lst, init, step, finish)
 
 # -If combinator for every base aggregate (sumIf, countIf, avgIf, ...)
 _IF_BASES = ["sum", "count", "avg", "min", "max", "any", "uniq", "uniqExact",

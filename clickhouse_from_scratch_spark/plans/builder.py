@@ -52,7 +52,8 @@ _WINDOW_FNS = {
 _WINDOW_VALUE_FNS = {"lag": F.lag, "lead": F.lead,
                      "first_value": lambda c: F.first(c, ignorenulls=False),
                      "last_value": lambda c: F.last(c, ignorenulls=False),
-                     "lagInFrame": F.lag, "leadInFrame": F.lead}
+                     "lagInFrame": F.lag, "leadInFrame": F.lead,
+                     "nth_value": F.nth_value, "nthValue": F.nth_value}
 
 
 class BuildError(ValueError):

@@ -913,3 +913,25 @@ def test_transform_array_hofs_json_extract(spark):
     assert (r.tr, r.trmiss, r.trkeep) == ("b", "?", 7)
     assert r.je == 7 and r.fx == 4
     assert str(r.pd).startswith("2024-01-15")
+
+
+def test_statistical_aggregates_and_nth_value(spark):
+    r = execute_sql(spark, """
+        SELECT round(entropy(a), 4) AS e_uni,
+               round(entropy(b), 4) AS e_skew,
+               avgWeighted(x, w) AS aw,
+               anyHeavy(a) AS ah,
+               round(kurtPop(x), 2) AS kp
+        FROM (SELECT arrayJoin([1, 1, 2, 2]) AS a,
+                     arrayJoin([1, 1, 1, 2]) AS b,
+                     arrayJoin([1.0, 2.0, 3.0, 4.0]) AS x, 1.0 AS w)
+    """, {}).collect()[0]
+    assert r.e_uni == 1.0            # two equally likely values -> 1 bit
+    assert r.e_skew == 0.8113        # -(.75 log2 .75 + .25 log2 .25)
+    assert r.aw == 2.5
+    assert r.kp > 0                  # CH kurtPop = m4/m2^2 (not excess)
+    out = execute_sql(spark, """
+        SELECT x, nth_value(x, 2) OVER w AS n2
+        FROM (SELECT arrayJoin([10, 20, 30]) AS x) WINDOW w AS (ORDER BY x)
+    """, {}).collect()
+    assert [r.n2 for r in out] == [None, 20, 20]
