@@ -39,6 +39,7 @@ from .plans.statements import (
     WatchStmt, parse_statement,
 )
 from .plans.ast_nodes import SelectQuery, UnionQuery
+from .plans.statements import CreateFunction
 
 _MERGE_TREE_FAMILY = {
     "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
@@ -81,6 +82,7 @@ class ChSession:
         self.databases: dict[str, dict[str, TableMeta]] = {"default": {}}
         self.current_db = "default"
         self.settings: dict[str, object] = {}
+        self.udfs: dict[str, object] = {}      # CREATE FUNCTION lambdas
 
     # --- public API -------------------------------------------------------
 
@@ -93,8 +95,10 @@ class ChSession:
             return self._output(node)
         if isinstance(node, (SelectQuery, UnionQuery)):
             return build(self.spark, node, self._tables(), self._engines(),
-                         params=params, settings=self.settings)
+                         params=params, settings=self.settings,
+                         udfs=self.udfs)
         handler = {
+            CreateFunction: self._create_function,
             CreateLiveView: self._create_live_view,
             CreateWindowView: self._create_window_view,
             WatchStmt: self._watch,
@@ -308,7 +312,20 @@ class ChSession:
         self._db(db)[node.name] = meta
         return self._ok()
 
+    def _create_function(self, node: CreateFunction):
+        if node.name in self.udfs and not node.or_replace:
+            if node.if_not_exists:
+                return self._ok()
+            raise ValueError(f"function {node.name} already exists")
+        self.udfs[node.name] = node.fn
+        return self._ok()
+
     def _drop(self, node: DropStmt):
+        if node.kind == "FUNCTION":
+            if node.name not in self.udfs and not node.if_exists:
+                raise ValueError(f"unknown function: {node.name}")
+            self.udfs.pop(node.name, None)
+            return self._ok()
         if node.kind == "DATABASE":
             if node.name not in self.databases:
                 if node.if_exists:

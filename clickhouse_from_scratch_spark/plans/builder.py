@@ -81,20 +81,24 @@ class Context:
     # numeric-promotion layer see true unsigned types that Spark's signed
     # schema can't represent (UInt8 is stored as smallint)
     ch_types: dict[str, str] = field(default_factory=dict)
+    # SQL lambda UDFs: name → Lambda AST (CREATE FUNCTION)
+    udfs: dict[str, object] = field(default_factory=dict)
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
                        engines=self.engines, params=self.params,
-                       settings=self.settings)
+                       settings=self.settings, udfs=self.udfs)
 
 
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           tables: dict[str, DataFrame],
           engines: dict[str, dict] | None = None,
           params: dict[str, object] | None = None,
-          settings: dict[str, object] | None = None) -> DataFrame:
+          settings: dict[str, object] | None = None,
+          udfs: dict[str, object] | None = None) -> DataFrame:
     ctx = Context(spark, dict(tables), engines=engines or {},
-                  params=params or {}, settings=settings or {})
+                  params=params or {}, settings=settings or {},
+                  udfs=udfs or {})
     return _build_query(q, ctx)
 
 
@@ -1827,7 +1831,47 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             else:
                 py_args.append(c)
         return REGISTRY[name](*py_args)
+    if ctx.udfs and node.name in ctx.udfs:
+        # CREATE FUNCTION SQL lambda: substitute call args into the
+        # body AST and evaluate — pure macro expansion, so the UDF
+        # stays JVM-side whole-stage-codegen like any hand-written
+        # expression (never a Python UDF)
+        lam = ctx.udfs[node.name]
+        if isinstance(lam, Lambda):
+            if len(lam.params) != len(node.args):
+                raise BuildError(
+                    f"function {node.name} expects {len(lam.params)} "
+                    f"arguments, got {len(node.args)}")
+            return _eval(_substitute(
+                lam.body, dict(zip(lam.params, node.args))), ctx, df)
+        if node.args:
+            raise BuildError(f"function {node.name} takes no arguments")
+        return _eval(lam, ctx, df)
     raise BuildError(f"unknown function: {name}")
+
+
+def _substitute(n, mapping: dict):
+    """Replace parameter identifiers with argument ASTs (UDF macro
+    expansion); inner lambdas shadow same-named parameters."""
+    if isinstance(n, Identifier) and len(n.parts) == 1 and n.name in mapping:
+        return mapping[n.name]
+    if isinstance(n, Lambda):
+        inner = {k: v for k, v in mapping.items() if k not in n.params}
+        return Lambda(n.params, _substitute(n.body, inner)) if inner else n
+    if isinstance(n, FuncCall):
+        return FuncCall(n.name,
+                        [a if isinstance(a, Subquery)
+                         else _substitute(a, mapping) for a in n.args],
+                        n.params, n.distinct, n.filter_where, n.window)
+    if isinstance(n, Alias):
+        return Alias(_substitute(n.expr, mapping), n.alias)
+    if isinstance(n, Cast):
+        return Cast(_substitute(n.expr, mapping), n.type_name)
+    if isinstance(n, ArrayLiteral):
+        return ArrayLiteral([_substitute(a, mapping) for a in n.items])
+    if isinstance(n, TupleLiteral):
+        return TupleLiteral([_substitute(a, mapping) for a in n.items])
+    return n
 
 
 _LITERAL_ARG_FNS = {

@@ -106,6 +106,18 @@ class OutputClause(Node):
 
 
 @dataclass
+class CreateFunction(Node):
+    """CREATE FUNCTION name AS (x, y) -> expr — SQL lambda UDF
+    (reference declares the AST, ASTCreateFunctionQuery.h:11-28; the
+    parser hookup is commented out at ParserQuery.cpp:43 like the
+    format registrations; semantics per public CH docs)."""
+    name: str
+    fn: object                     # Lambda (or 0-arg expression) AST
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class DropStmt(Node):
     kind: str                      # TABLE | DATABASE | VIEW
     database: str | None
@@ -332,6 +344,11 @@ class StatementParser(Parser):
         if self.accept_kw("DATABASE"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             return CreateDatabase(self.advance().text, ine)
+        if self.accept_kw("FUNCTION"):
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            name = self.advance().text
+            self.expect_kw("AS")
+            return CreateFunction(name, self._expr(), or_replace, ine)
         if self.accept_kws("LIVE", "VIEW"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             _, name = self._qualified_name()
@@ -504,6 +521,9 @@ class StatementParser(Parser):
         kind = "TABLE"
         if self.accept_kw("DATABASE"):
             kind = "DATABASE"
+        elif self.accept_kw("FUNCTION"):
+            ie = bool(self.accept_kws("IF", "EXISTS"))
+            return DropStmt("FUNCTION", None, self.advance().text, ie)
         elif self.accept_kw("VIEW"):
             kind = "VIEW"
         else:

@@ -299,3 +299,32 @@ def test_column_features_parse(sess):
         "TTL id SETTINGS index_granularity = 8192")
     desc = sess.execute("DESCRIBE f").collect()
     assert len(desc) == 3
+
+
+def test_create_function_sql_lambda(spark, tmp_path):
+    """CREATE FUNCTION name AS (args) -> expr: macro-expanded SQL UDFs
+    (reference declares the AST at ASTCreateFunctionQuery.h; parser
+    hookup commented out at ParserQuery.cpp:43 — semantics per public
+    CH docs). Pure expression substitution: stays JVM-side."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE FUNCTION linear AS (x, k, b) -> k*x + b")
+    s.execute("CREATE FUNCTION shout AS v -> upper(concat(v, '!'))")
+    r = s.execute("SELECT linear(10, 2, 1) AS v, shout('hi') AS t") \
+         .collect()[0]
+    assert (r.v, r.t) == (21, "HI!")
+    # UDFs compose
+    s.execute("CREATE FUNCTION twice AS x -> linear(x, 2, 0)")
+    assert s.execute("SELECT twice(21) AS v").collect()[0].v == 42
+    # OR REPLACE rebinds; IF NOT EXISTS is a no-op on conflict
+    s.execute("CREATE OR REPLACE FUNCTION shout AS v -> lower(v)")
+    s.execute("CREATE FUNCTION IF NOT EXISTS shout AS v -> v")
+    assert s.execute("SELECT shout('HI') AS t").collect()[0].t == "hi"
+    with pytest.raises(ValueError, match="already exists"):
+        s.execute("CREATE FUNCTION shout AS v -> v")
+    with pytest.raises(ValueError, match="expects 3 arguments"):
+        s.execute("SELECT linear(1)").collect()
+    s.execute("DROP FUNCTION shout")
+    with pytest.raises(Exception, match="unknown function"):
+        s.execute("SELECT shout('x')").collect()
+    s.execute("DROP FUNCTION IF EXISTS shout")    # idempotent
