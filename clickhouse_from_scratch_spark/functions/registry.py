@@ -537,6 +537,30 @@ _alias("toFixedString", lambda s, n: F.rpad(F.substring(_c(s), 1, n),
                                             n, "\x00"))
 
 
+def _accurate_cast(c, t) -> Column:
+    from .typemap import ch_type_to_spark
+
+    return _c(c).cast(ch_type_to_spark(t))
+
+
+def _accurate_cast_or_null(c, t) -> Column:
+    from .typemap import ch_type_to_spark
+
+    return _c(c).cast("string").try_cast(ch_type_to_spark(t))
+
+
+_alias("accurateCast", _accurate_cast)
+_alias("accurateCastOrNull", _accurate_cast_or_null)
+_alias("formatReadableQuantity", lambda c: F.when(
+    _c(c) >= 1e9, F.concat(F.format_number(_c(c) / 1e9, 2),
+                           F.lit(" billion")))
+    .when(_c(c) >= 1e6, F.concat(F.format_number(_c(c) / 1e6, 2),
+                                 F.lit(" million")))
+    .when(_c(c) >= 1e3, F.concat(F.format_number(_c(c) / 1e3, 2),
+                                 F.lit(" thousand")))
+    .otherwise(F.format_number(_c(c).cast("double"), 2)))
+
+
 # --- URL functions (public CH URL family → parse_url/regexp) --------------
 _alias("protocol", lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
 _alias("domain", lambda u: F.parse_url(_c(u), F.lit("HOST")))

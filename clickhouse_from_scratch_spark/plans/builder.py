@@ -1709,6 +1709,19 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         first = sub.columns[0]
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
+    if name == "toTypeName" and len(node.args) == 1:
+        # CH type introspection: literal typing first (FieldToDataType —
+        # toTypeName(1) = 'UInt8'), then the resolved Spark dtype mapped
+        # back to its CH name
+        t = _infer_ch_type(node.args[0], ctx, df)
+        if t is None and df is not None \
+                and not _refs_lambda_param(node.args[0], ctx):
+            try:
+                dt = df.select(cols[0]).schema[0].dataType.simpleString()
+                t = _spark_to_ch_name(dt)
+            except Exception:
+                t = None
+        return F.lit(t or "Dynamic")
     # CH length/empty/reverse are polymorphic over strings AND arrays —
     # dispatch on the argument's resolved type (schema-only, no job).
     # Skip the probe when the arg references a lambda parameter: those
@@ -1889,6 +1902,7 @@ _LITERAL_ARG_FNS = {
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
+    "accurateCast", "accurateCastOrNull",
 }
 
 
@@ -1962,6 +1976,26 @@ def _infer_ch_type(node, ctx: Context, df: DataFrame | None,
             ta = _infer_ch_type(node.args[0], ctx, df, _seen)
             return negate_result_type(ta) if ta is not None else None
     return None
+
+
+_SPARK_TO_CH_NAME = {
+    "bigint": "Int64", "int": "Int32", "smallint": "Int16",
+    "tinyint": "Int8", "double": "Float64", "float": "Float32",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime", "boolean": "Bool", "binary": "String",
+}
+
+
+def _spark_to_ch_name(dt: str) -> str:
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"Array({_spark_to_ch_name(dt[6:-1])})"
+    if dt.startswith("decimal"):
+        return "Decimal" + dt[7:]
+    if dt.startswith("struct<"):
+        return "Tuple(...)"
+    if dt.startswith("map<"):
+        return "Map(...)"
+    return _SPARK_TO_CH_NAME.get(dt, dt)
 
 
 def _refs_lambda_param(n, ctx: Context) -> bool:

@@ -935,3 +935,20 @@ def test_statistical_aggregates_and_nth_value(spark):
         FROM (SELECT arrayJoin([10, 20, 30]) AS x) WINDOW w AS (ORDER BY x)
     """, {}).collect()
     assert [r.n2 for r in out] == [None, 20, 20]
+
+
+def test_totypename_and_accurate_cast(spark, tables):
+    r = execute_sql(spark, """
+        SELECT toTypeName(1) AS a, toTypeName(-5) AS b,
+               toTypeName(1.5) AS c, toTypeName('x') AS d,
+               toTypeName([1,2]) AS e,
+               accurateCast(1, 'Int64') AS f,
+               accurateCastOrNull('zz', 'Int64') AS g,
+               accurateCastOrNull('7', 'Int64') AS h
+    """, {}).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == ("UInt8", "Int8", "Float64", "String")
+    assert r.e == "Array(Int32)"
+    assert (r.f, r.g, r.h) == (1, None, 7)
+    col = execute_sql(spark, "SELECT toTypeName(o_orderkey) AS t "
+                             "FROM orders LIMIT 1", tables).collect()[0]
+    assert col.t == "Int64"
