@@ -1244,6 +1244,34 @@ def sql_correlated_scalar(spark, sf_dir):
     """)
 
 
+@query("sql_udf_macro", oracle="""
+SELECT o_orderkey,
+       round(o_totalprice * 1.1, 4) AS taxed,
+       upper(o_orderpriority) AS pri
+FROM orders ORDER BY o_orderkey LIMIT 500
+""")
+def sql_udf_macro(spark, sf_dir):
+    """CREATE FUNCTION SQL lambda UDFs through a full session: macro
+    expansion into JVM expressions (ddl.ChSession + builder._substitute),
+    composing one UDF inside another."""
+    from .catalog import load_all
+    from .ddl import ChSession, TableMeta
+
+    s = ChSession(spark)
+    for name, df in load_all(spark, sf_dir).items():
+        s.databases["default"][name] = TableMeta(
+            name=name, database="default",
+            columns=[(f.name, f.dataType.simpleString())
+                     for f in df.schema.fields], memory_df=df)
+    s.execute("CREATE FUNCTION with_tax AS (p, rate) -> p * (1 + rate)")
+    s.execute("CREATE FUNCTION std_tax AS p -> with_tax(p, 0.1)")
+    return s.execute("""
+        SELECT o_orderkey, round(std_tax(o_totalprice), 4) AS taxed,
+               upper(o_orderpriority) AS pri
+        FROM orders ORDER BY o_orderkey LIMIT 500
+    """)
+
+
 @query("sql_groups_frame", oracle="""
 SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY dr
