@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_time: str, right_time: str,
               direction: str = "backward",
-              suffix: str = "_asof") -> DataFrame:
-    """Left as-of join.
+              suffix: str = "_asof", how: str = "left") -> DataFrame:
+    """As-of join (``how='left'`` keeps unmatched left rows with NULL
+    payload; ``how='inner'`` drops them — CH's bare ``ASOF JOIN``).
 
     direction='backward': latest right with right_time <= left_time
     (ClickHouse ``ASOF JOIN ... ON l.t >= r.t``).
@@ -73,7 +74,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.last(out_name(c), ignorenulls=True).over(w).alias(f"__f_{c}")
           for c in payload],
     )
-    result = (filled.filter(F.col("__side") == 1)
+    matched = filled.filter(F.col("__side") == 1)
+    if how == "inner":
+        # a real match always fills the right_time payload (non-null by
+        # construction); unmatched left rows keep it NULL
+        matched = matched.filter(F.col(f"__f_{right_time}").isNotNull())
+    result = (matched
                     .select(*[F.col(k) for k in keys],
                             F.col("__t").alias(left_time),
                             *[F.col(c) for c in lcols],

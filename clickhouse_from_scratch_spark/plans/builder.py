@@ -546,13 +546,26 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
         return left.crossJoin(right)
 
     if node.strictness == "asof":
+        if node.using:
+            # ASOF USING (k1, .., t): the LAST column is the inequality
+            # key with <= semantics, the rest are equi-keys (public CH
+            # ASOF USING contract)
+            if len(node.using) < 2:
+                raise BuildError("ASOF USING needs at least 2 columns "
+                                 "(equi keys + the asof column)")
+            *eq, t = node.using
+            # latest right row with right.t <= left.t; bare ASOF JOIN is
+            # inner (unmatched left rows dropped), ASOF LEFT keeps them
+            return asof_join(left, right, on=list(eq),
+                             left_time=t, right_time=t,
+                             direction="backward", how=node.kind)
         if not node.on:
-            raise BuildError("ASOF JOIN requires ON")
+            raise BuildError("ASOF JOIN requires ON or USING")
         eq, ineq = _split_asof_on(node.on)
         lcol, rcol, direction = ineq
         return asof_join(left, right,
                          on=eq, left_time=lcol, right_time=rcol,
-                         direction=direction)
+                         direction=direction, how=node.kind)
 
     how = {"inner": "inner", "left": "left", "right": "right",
            "full": "full"}[node.kind]

@@ -952,3 +952,26 @@ def test_totypename_and_accurate_cast(spark, tables):
     col = execute_sql(spark, "SELECT toTypeName(o_orderkey) AS t "
                              "FROM orders LIMIT 1", tables).collect()[0]
     assert col.t == "Int64"
+
+
+def test_asof_join_using_and_inner_kind(spark, duck):
+    """ASOF USING (k.., t): last column is the inequality key; bare
+    ASOF JOIN is inner (unmatched left rows dropped), ASOF LEFT keeps
+    them (public CH semantics; strictness token
+    ASTTablesInSelectQuery.h:82)."""
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 10)],
+                                 "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (2, 50, "c")], "k int, t int, v string")
+    tabs = {"l": left, "r": right}
+    inner = execute_sql(spark, "SELECT k, t, v FROM l ASOF JOIN r "
+                               "USING (k, t) ORDER BY k, t", tabs).collect()
+    assert [tuple(r) for r in inner] == [(1, 10, "a"), (1, 25, "b")]
+    lft = execute_sql(spark, "SELECT k, t, v FROM l ASOF LEFT JOIN r "
+                             "USING (k, t) ORDER BY k, t", tabs).collect()
+    assert [tuple(r) for r in lft] == [(1, 10, "a"), (1, 25, "b"),
+                                       (2, 10, None)]
+    on_inner = execute_sql(spark, "SELECT k, t, v FROM l ASOF JOIN r "
+                                  "ON l.k = r.k AND l.t >= r.t "
+                                  "ORDER BY k, t", tabs).collect()
+    assert [tuple(r) for r in on_inner] == [(1, 10, "a"), (1, 25, "b")]
