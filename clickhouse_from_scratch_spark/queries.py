@@ -1244,6 +1244,29 @@ def sql_correlated_scalar(spark, sf_dir):
     """)
 
 
+@query("sql_asof_using", oracle="""
+SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+""")
+def sql_asof_using(spark, sf_dir):
+    """ASOF LEFT JOIN ... USING (k, t) through the SQL frontend: the
+    last USING column is the inequality key (builder lowers to the
+    union+window asof operator — one equi-key shuffle)."""
+    return _sql(spark, sf_dir, """
+        SELECT event_id, user_id, signup_event_id FROM
+          (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+          (SELECT user_id, ts, event_id AS signup_event_id FROM events
+           WHERE event_type = 'signup') s
+        USING (user_id, ts)
+        ORDER BY event_id
+    """)
+
+
 @query("sql_udf_macro", oracle="""
 SELECT o_orderkey,
        round(o_totalprice * 1.1, 4) AS taxed,
