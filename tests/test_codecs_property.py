@@ -93,3 +93,43 @@ def test_msgpack_row_stream_roundtrip(rows):
             row.append(bool(v) if t == "boolean" else v)
         out.append(tuple(row))
     assert out == rows and pos == len(blob)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+def test_protobuf_varint_twos_complement_roundtrip(v):
+    from clickhouse_from_scratch_spark.sources.protobuf import (
+        _read_varint, _varint, _zz_dec, _zz_enc)
+    raw = _varint(v)
+    out, pos = _read_varint(raw, 0)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    assert out == v and pos == len(raw)
+    assert _zz_dec(_zz_enc(v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+    st.text(alphabet=st.characters(codec="utf-8"), max_size=30),
+    st.lists(st.integers(min_value=0, max_value=1 << 30), max_size=8)),
+    min_size=1, max_size=8))
+def test_protobuf_message_stream_roundtrip(rows):
+    from clickhouse_from_scratch_spark.sources.protobuf import (
+        _dec_message, _read_varint, _row_bytes, _varint,
+        parse_proto_schema)
+    fields = parse_proto_schema(
+        "int64 a = 1; string b = 2; repeated uint64 c = 3;")
+    blob = b"".join(_varint(len(m)) + m for m in
+                    (_row_bytes(fields, r) for r in rows))
+    pos, out = 0, []
+    while pos < len(blob):
+        ln, pos = _read_varint(blob, pos)
+        d = _dec_message(fields, blob[pos:pos + ln])
+        pos += ln
+        out.append((d["a"], d["b"], d["c"]))
+    got = [(a if a is not None else 0, b if b is not None else "", c)
+           for a, b, c in out]
+    # proto3 zero-values: 0 / "" / [] encode as absent and decode as such
+    want = [(a, b, c) for a, b, c in rows]
+    assert [(a, b, c) for a, b, c in got] == want
