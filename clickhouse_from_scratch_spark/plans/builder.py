@@ -153,6 +153,15 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             and q.having is None and not q.distinct
             and q.limit_by is None and q.array_join is None):
         ctx.numbers_bound = q.limit + (q.offset or 0)
+    elif q.where is not None or q.prewhere is not None:
+        # WHERE number < N (a conjunct) also proves a finite scan: CH
+        # streams the infinite table but the predicate caps which rows
+        # can ever pass, so materializing exactly N rows is exact. The
+        # filter itself still applies afterwards.
+        wb = [b for pred in (q.where, q.prewhere) if pred is not None
+              for b in [_numbers_where_bound(pred)] if b is not None]
+        if wb:
+            ctx.numbers_bound = min(wb)
 
     # FROM
     if q.from_ is None:
@@ -420,6 +429,41 @@ def _build_from(node, ctx: Context) -> DataFrame:
     if isinstance(node, Join):
         return _build_join(node, ctx)
     raise BuildError(f"unsupported FROM node: {type(node).__name__}")
+
+
+def _numbers_where_bound(pred) -> int | None:
+    """Smallest exclusive upper bound a WHERE conjunction proves for the
+    `number` column (number < N / <= N / = N, either operand order);
+    None when no conjunct bounds it."""
+    conjs: list = []
+
+    def flat(n):
+        if isinstance(n, FuncCall) and n.name == "and":
+            for a in n.args:
+                flat(a)
+        else:
+            conjs.append(n)
+
+    flat(pred)
+    bounds: list[int] = []
+    for c in conjs:
+        if not (isinstance(c, FuncCall) and len(c.args) == 2):
+            continue
+        a, b = c.args
+        name = c.name
+        if isinstance(b, Identifier) and isinstance(a, Literal):
+            a, b = b, a
+            name = {"less": "greater", "greater": "less",
+                    "lessOrEquals": "greaterOrEquals",
+                    "greaterOrEquals": "lessOrEquals"}.get(name, name)
+        if not (isinstance(a, Identifier) and a.name == "number"
+                and isinstance(b, Literal) and isinstance(b.value, int)):
+            continue
+        if name == "less":
+            bounds.append(b.value)
+        elif name in ("lessOrEquals", "equals"):
+            bounds.append(b.value + 1)
+    return min(bounds) if bounds else None
 
 
 def _system_table(table: str, ctx: Context) -> DataFrame:

@@ -975,3 +975,22 @@ def test_asof_join_using_and_inner_kind(spark, duck):
                                   "ON l.k = r.k AND l.t >= r.t "
                                   "ORDER BY k, t", tabs).collect()
     assert [tuple(r) for r in on_inner] == [(1, 10, "a"), (1, 25, "b")]
+
+
+def test_system_numbers_where_bound(spark):
+    """WHERE number < N proves a finite scan: exact results without a
+    LIMIT; unbounded predicates still refuse."""
+    got = execute_sql(spark, "SELECT count() AS n FROM system.numbers "
+                             "WHERE number < 100", {}).collect()[0]
+    assert got.n == 100
+    got = execute_sql(spark, "SELECT count() AS n FROM system.numbers "
+                             "WHERE number <= 100 AND number % 2 = 0",
+                      {}).collect()[0]
+    assert got.n == 51
+    got = execute_sql(spark, "SELECT sum(number) AS s FROM system.numbers "
+                             "WHERE 10 > number", {}).collect()[0]
+    assert got.s == 45
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError, match="unbounded"):
+        execute_sql(spark, "SELECT count() FROM system.numbers "
+                           "WHERE number > 5", {})
