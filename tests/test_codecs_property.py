@@ -133,3 +133,27 @@ def test_protobuf_message_stream_roundtrip(rows):
     # proto3 zero-values: 0 / "" / [] encode as absent and decode as such
     want = [(a, b, c) for a, b, c in rows]
     assert [(a, b, c) for a, b, c in got] == want
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(max_size=200))
+def test_lexer_totality(s):
+    """tokenize() either succeeds or raises LexError — never crashes."""
+    from clickhouse_from_scratch_spark.plans.lexer import LexError, tokenize
+    try:
+        tokenize(s)
+    except LexError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=" ()[]',.*+-<>=SELECTFROMWHEREinandor0123456789x",
+               max_size=120))
+def test_parser_totality(s):
+    """parse() raises only ParseError/LexError on malformed input."""
+    from clickhouse_from_scratch_spark.plans import ParseError, parse
+    from clickhouse_from_scratch_spark.plans.lexer import LexError
+    try:
+        parse(s)
+    except (ParseError, LexError):
+        pass
