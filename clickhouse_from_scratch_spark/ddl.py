@@ -397,12 +397,52 @@ class ChSession:
                 return spark_t
 
             schema = ", ".join(f"`{c}` {ingest_type(types[c])}" for c in cols)
-            source = self.spark.createDataFrame(
-                [tuple(_literal_py(v) for v in row) for row in node.values],
-                schema)
+            try:
+                source = self.spark.createDataFrame(
+                    [tuple(_literal_py(v) for v in row)
+                     for row in node.values], schema)
+            except ValueError:
+                # VALUES with expressions (CH evaluates them): lower each
+                # row to a FROM-less SELECT and union — stays JVM-side
+                from .plans.ast_nodes import Alias as _Alias
+                from .plans.ast_nodes import SelectQuery as _SQ
+                from .plans.ast_nodes import UnionQuery as _UQ
+                sels = [_SQ(select=[_Alias(v, c)
+                                    for v, c in zip(row, cols)])
+                        for row in node.values]
+                ast = (sels[0] if len(sels) == 1
+                       else _UQ(sels, ["all"] * (len(sels) - 1)))
+                source = build(self.spark, ast, self._tables(),
+                               self._engines(), settings=self.settings,
+                               udfs=self.udfs)
+        elif node.infile is not None or node.format_data is not None:
+            from .sources import read_format
+
+            types = dict(meta.columns)
+            fmt = node.format or "Parquet"
+            text_schema = ", ".join(
+                f"`{c}` {ch_type_to_spark(types[c])}" for c in cols)
+            needs_schema = fmt not in ("Parquet", "ORC", "Avro", "Arrow",
+                                       "ArrowStream")
+            path = node.infile
+            if path is None:               # inline FORMAT data
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(
+                        "w", suffix=".rows", delete=False,
+                        encoding="utf-8") as fh:
+                    fh.write(node.format_data)
+                    path = fh.name
+            source = read_format(self.spark, fmt, path,
+                                 schema=text_schema if needs_schema
+                                 else None)
+            source = (source.select(*cols)
+                      if set(cols) <= set(source.columns)
+                      else source.toDF(*cols))
         else:
             source = build(self.spark, node.select, self._tables(),
-                           self._engines())
+                           self._engines(), settings=self.settings,
+                           udfs=self.udfs)
             source = source.toDF(*cols)
         # missing columns get CH type defaults (non-nullable semantics)
         for cname, ctype in meta.columns:

@@ -228,7 +228,7 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
 
     if q.distinct:
         if final_names is not None:
-            df = df.select(*final_names)
+            df = df.select(*[_name_col(n) for n in final_names])
             final_names = None
         df = df.distinct()
 
@@ -250,7 +250,7 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         else:
             df = df.orderBy(*order_cols)
     if final_names is not None:
-        df = df.select(*final_names)
+        df = df.select(*[_name_col(n) for n in final_names])
     if fill_items:
         names = [_fill_col_name(it, df) for it in fill_items]
         # CH infers missing bounds from the data's min/max; ONE extra
@@ -1624,6 +1624,13 @@ def _apply_projection_keep(df: DataFrame, items,
         names.append(name)
     keep = [c for c in df.columns if c not in names]
     return df.select(*proj, *keep), names
+
+
+def _name_col(n: str) -> Column:
+    """Column reference by exact name: backtick-quoted so names Spark's
+    parser would treat as structure (a float-literal auto-name like
+    `2.5`) resolve as one column, never field access."""
+    return F.col(n) if "`" in n else F.col(f"`{n}`")
 
 
 def _order_bare(df: DataFrame, it: OrderItem, ctx: Context) -> Column:

@@ -138,6 +138,9 @@ class InsertStmt(Node):
     values: list[list[Node]] | None = None      # VALUES form
     select: SelectQuery | UnionQuery | None = None
     watch_view: str | None = None               # INSERT INTO t WATCH lv
+    infile: str | None = None                   # FROM INFILE 'path'
+    format: str | None = None                   # FORMAT name
+    format_data: str | None = None              # inline rows after FORMAT
 
 
 @dataclass
@@ -564,6 +567,16 @@ class StatementParser(Parser):
             self.expect_op(")")
         if self.accept_kw("WATCH"):
             return InsertStmt(db, name, cols, watch_view=self.advance().text)
+        if self.accept_kws("FROM", "INFILE"):
+            # INSERT ... FROM INFILE 'path' [COMPRESSION 'm'] FORMAT fmt
+            # (ParserInsertQuery infile branch)
+            path = self.advance().text
+            if self.accept_kw("COMPRESSION"):
+                self.advance()
+            fmt = None
+            if self.accept_kw("FORMAT"):
+                fmt = self.advance().text
+            return InsertStmt(db, name, cols, infile=path, format=fmt)
         if self.accept_kw("VALUES"):
             rows = []
             while self.accept_op("("):
@@ -574,7 +587,22 @@ class StatementParser(Parser):
             return InsertStmt(db, name, cols, values=rows)
         if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
             return InsertStmt(db, name, cols, select=self._union())
-        raise ParseError("INSERT requires VALUES or SELECT")
+        if self.tok.is_kw("FORMAT"):
+            # INSERT ... FORMAT fmt <raw rows>: everything after the
+            # format name is data, not SQL (clickhouse-client splits it
+            # the same way). Data must still lex (balanced quotes) —
+            # fine for the row formats this path serves.
+            self.advance()
+            fmt_tok = self.tok
+            self.advance()
+            data = self.sql[fmt_tok.pos + len(fmt_tok.text):]
+            if data[:1] in ("\n", " "):
+                data = data[1:]
+            self.i = len(self.toks) - 1        # consume through EOF
+            return InsertStmt(db, name, cols, format=fmt_tok.text,
+                              format_data=data)
+        raise ParseError("INSERT requires VALUES, SELECT, FROM INFILE, "
+                         "or FORMAT data")
 
     # --- SHOW / DESCRIBE / EXISTS ----------------------------------------
 

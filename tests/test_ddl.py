@@ -328,3 +328,36 @@ def test_create_function_sql_lambda(spark, tmp_path):
     with pytest.raises(Exception, match="unknown function"):
         s.execute("SELECT shout('x')").collect()
     s.execute("DROP FUNCTION IF EXISTS shout")    # idempotent
+
+
+def test_insert_expressions_inline_format_and_infile(spark, tmp_path):
+    """INSERT VALUES with expressions (CH evaluates them), inline
+    FORMAT JSONEachRow/CSV data, and FROM INFILE round-trip
+    (ParserInsertQuery surface)."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE t (a Int64, b String, c Float64) "
+              "ENGINE = Memory")
+    s.execute("INSERT INTO t VALUES (1+1, upper('x'), 1/4)")
+    s.execute("INSERT INTO t SELECT 9, 'z', 2.5")
+    s.execute('INSERT INTO t FORMAT JSONEachRow '
+              '{"a": 7, "b": "j", "c": 0.5}\n{"a": 8, "b": "k", "c": 1.5}')
+    s.execute('INSERT INTO t FORMAT CSV 11,"k",1.5')
+    rows = sorted(tuple(r) for r in s.execute("SELECT * FROM t").collect())
+    assert rows == [(2, "X", 0.25), (7, "j", 0.5), (8, "k", 1.5),
+                    (9, "z", 2.5), (11, "k", 1.5)]
+    out = str(tmp_path / "out.csv")
+    s.execute(f"SELECT a, b, c FROM t INTO OUTFILE '{out}' "
+              f"FORMAT CSVWithNames")
+    s.execute("CREATE TABLE t2 (a Int64, b String, c Float64) "
+              "ENGINE = Memory")
+    s.execute(f"INSERT INTO t2 FROM INFILE '{out}' FORMAT CSVWithNames")
+    assert s.execute("SELECT count() AS n FROM t2").collect()[0].n == 5
+
+
+def test_select_bare_literal_columns(spark):
+    """Auto-named float-literal columns (`2.5`) must not be parsed as
+    struct field access in the final projection."""
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    r = execute_sql(spark, "SELECT 9, 'z', 2.5", {}).collect()[0]
+    assert tuple(r) == (9, "z", 2.5)
