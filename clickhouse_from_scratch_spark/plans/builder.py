@@ -517,6 +517,26 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         path = node.args[0].value
         fmt = node.args[1].value if len(node.args) > 1 else "Parquet"
         return read_format(ctx.spark, fmt, path)
+    if name == "merge":
+        # merge('db', 'tables_regexp') / merge('tables_regexp'): union
+        # of every table whose name matches (public CH table function).
+        # Schemas must align by name; Catalyst prunes/pushes into each
+        # branch independently.
+        import re as _re
+
+        args = [a.value for a in node.args]
+        pat = _re.compile(args[-1])
+        db_prefix = f"{args[0]}." if len(args) > 1 else ""
+        matches = sorted(
+            t for t in ctx.tables
+            if (t.startswith(db_prefix) if db_prefix else "." not in t)
+            and pat.fullmatch(t[len(db_prefix):]))
+        if not matches:
+            raise BuildError(f"merge: no tables match {args[-1]!r}")
+        out = ctx.tables[matches[0]]
+        for t in matches[1:]:
+            out = out.unionByName(ctx.tables[t])
+        return out
     if name == "generaterandom":
         # generateRandom('schema', [seed], [max_str_len], [max_arr_len]):
         # unbounded in CH — bounded here by the enclosing LIMIT exactly

@@ -994,3 +994,16 @@ def test_system_numbers_where_bound(spark):
     with pytest.raises(BuildError, match="unbounded"):
         execute_sql(spark, "SELECT count() FROM system.numbers "
                            "WHERE number > 5", {})
+
+
+def test_merge_table_function(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "x int")
+    tabs = {"log_2023": a, "log_2024": b,
+            "other": spark.createDataFrame([(9,)], "y int")}
+    r = execute_sql(spark, "SELECT sum(x) AS s, count() AS n "
+                           "FROM merge('log_.*')", tabs).collect()[0]
+    assert (r.s, r.n) == (3, 2)
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError, match="no tables match"):
+        execute_sql(spark, "SELECT * FROM merge('nope.*')", tabs)
