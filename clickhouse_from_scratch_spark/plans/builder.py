@@ -1705,7 +1705,16 @@ def _inline(node, ctx: Context):
 def _eval(node, ctx: Context, df: DataFrame | None,
           two_sided: tuple[DataFrame, DataFrame] | None = None) -> Column:
     if isinstance(node, Literal):
-        return F.lit(node.value)
+        v = node.value
+        if isinstance(v, int) and not isinstance(v, bool) \
+                and not -(1 << 63) <= v < (1 << 63):
+            if v < (1 << 64):
+                # UInt64 literal beyond Int64: LongType keeps the 64-bit
+                # pattern (§1.2 policy: UInt64 → Long, modulo 2^64)
+                return F.lit(v - (1 << 64))
+            # Int128/256 class → Decimal(38,0) best-effort
+            return F.lit(str(v)).cast("decimal(38,0)")
+        return F.lit(v)
     if isinstance(node, Identifier):
         if node.name in ctx.lambda_params:
             return ctx.lambda_params[node.name]

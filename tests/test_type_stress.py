@@ -264,3 +264,15 @@ def test_least_supertype_unit():
         least_supertype(["UInt64", "Float32"])
     with pytest.raises(NoCommonTypeError):
         least_supertype(["String", "Int8"])
+
+
+def test_uint64_and_int128_literals(spark):
+    """UInt64 literals beyond Int64 keep the 64-bit pattern in LongType
+    (documented modulo-2^64 policy); wider literals land in
+    Decimal(38,0)."""
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    r = execute_sql(spark, "SELECT 18446744073709551615 AS u64max, "
+                           "99999999999999999999999999 AS big",
+                    {}).collect()[0]
+    assert r.u64max == -1                 # 0xFFFF..FF as signed long
+    assert int(r.big) == 99999999999999999999999999
