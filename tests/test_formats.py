@@ -371,3 +371,21 @@ def test_protobuf_single_and_unknown_field_skip(spark):
     # decoding with a schema missing field 2 skips it per spec
     back2 = from_protobuf(spark, blob, "int64 id = 1;", single=True)
     assert [tuple(r) for r in back2.collect()] == [(5,)]
+
+
+def test_file_table_function_all_formats(spark, tmp_path):
+    """file('path', fmt) reads through the same registry — including
+    the Arrow IPC reader."""
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    pq, csv = str(tmp_path / "pq"), str(tmp_path / "csv")
+    arrow = str(tmp_path / "t.arrow")
+    write_format(df, "Parquet", pq)
+    write_format(df, "CSVWithNames", csv)
+    write_format(df, "Arrow", arrow)
+    assert execute_sql(spark, f"SELECT count() AS n FROM file('{pq}', "
+                              f"'Parquet')", {}).collect()[0].n == 2
+    assert execute_sql(spark, f"SELECT count() AS n FROM file('{csv}', "
+                              f"'CSVWithNames')", {}).collect()[0].n == 2
+    assert execute_sql(spark, f"SELECT sum(id) AS s FROM file('{arrow}', "
+                              f"'Arrow')", {}).collect()[0].s == 3
