@@ -19,8 +19,10 @@ from .dedup import (
 )
 from .similarity import (
     brute_force_topk,
+    cosine_near_dup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_near_dup_pairs,
     train_centroids,
 )
 from .text import (
@@ -36,5 +38,6 @@ __all__ = [
     "simhash_hamming_pairs", "simhash_near_dups_hamming",
     "connected_components", "dedup_keep_canonical",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "train_centroids",
+    "cosine_near_dup_pairs", "lsh_near_dup_pairs",
     "doc_fingerprint", "language_id", "quality_score", "token_count",
 ]

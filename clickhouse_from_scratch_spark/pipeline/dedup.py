@@ -55,6 +55,29 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def pairs_from_buckets(buckets: DataFrame,
+                       ids_col: str = "ids") -> DataFrame:
+    """Distinct (id_a < id_b) pairs from bucketed id-arrays.
+
+    Shared tail of every banding strategy (MinHash-LSH, SimHash
+    pigeonhole, hyperplane-LSH): pair generation happens *inside* each
+    bucket with array combinatorics, so no second self-join / shuffle of
+    the corpus is needed — only the bucket rows explode.
+    """
+    ids = F.col(ids_col)
+    n = F.size(ids)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.slice(ids, i + 1, n),
+            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
+                               y.alias("id_b")))))
+    return (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"),
+                    F.col("p.id_b").alias("id_b"))
+            .distinct())
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per exact text content (hash-groupBy).
@@ -172,18 +195,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
                .filter((F.size("ids") > 1)
                        & (F.size("ids") <= max_bucket_size)))
-    ids = F.col("ids")
-    n = F.size(ids)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.transform(
-            F.slice(ids, i + 1, n),
-            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
-                               y.alias("id_b")))))
-    return (buckets.select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"),
-                    F.col("p.id_b").alias("id_b"))
-            .distinct())
+    return pairs_from_buckets(buckets)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -266,18 +278,7 @@ def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
                .filter((F.size("ids") > 1)
                        & (F.size("ids") <= max_bucket_size)))
-    ids = F.col("ids")
-    n = F.size(ids)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.transform(
-            F.slice(ids, i + 1, n),
-            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
-                               y.alias("id_b")))))
-    cands = (buckets.select(F.explode(pair_structs).alias("p"))
-             .select(F.col("p.id_a").alias("id_a"),
-                     F.col("p.id_b").alias("id_b"))
-             .distinct())
+    cands = pairs_from_buckets(buckets)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sb"))
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))

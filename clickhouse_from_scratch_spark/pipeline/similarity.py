@@ -151,6 +151,86 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("__rn") <= k).drop("__rn"))
 
 
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          round_digits: int = 4) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs:
+    all (id_a < id_b) with cosine(a, b) >= threshold.
+
+    This is the O(n²) verify/oracle path (the similarity is computed
+    JVM-side in double; one side of the pair join is broadcast, so the
+    corpus streams through once per broadcast block). The 100 TB path is
+    ``lsh_near_dup_pairs``, which bands the corpus with random-hyperplane
+    signatures and runs this exact cosine only on in-bucket candidates.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .filter(sim >= threshold)
+            .select("id_a", "id_b",
+                    F.round(sim, round_digits).alias("cos_sim")))
+
+
+def _band_values(vec: Column, planes: list[list[float]],
+                 bands: int, bits_per_band: int) -> Column:
+    """Array of ``bands`` band keys; band j = the sign bits of the
+    projections onto planes[j*bpb:(j+1)*bpb], packed into a long."""
+    vals = []
+    for j in range(bands):
+        sig = F.lit(0).cast("long")
+        for i in range(bits_per_band):
+            plane = planes[j * bits_per_band + i]
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bit = F.when(_dot(vec, lit_plane) > 0,
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            sig = sig.bitwiseOR(F.shiftleft(bit, i))
+        vals.append(sig)
+    return F.array(*vals)
+
+
+def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       bands: int = 8, bits_per_band: int = 8,
+                       dim: int = 64, max_bucket_size: int = 10000,
+                       round_digits: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup via banded random-hyperplane LSH.
+
+    Each row gets ``bands`` band keys (``bits_per_band`` hyperplane sign
+    bits each); rows sharing any band key are candidates; candidates are
+    verified with the exact JVM-side cosine >= threshold. Recall per true
+    pair at angle θ is 1-(1-(1-θ/π)^bpb)^bands — tune bands up / bpb down
+    for lower thresholds.
+
+    Shape at scale: ONE signature pass (per-row, no shuffle), ONE
+    (band, key) shuffle with in-bucket pair generation
+    (``pairs_from_buckets``), then a candidate-only verify join — the
+    same all-pairs-avoiding banding as MinHash-LSH; survives 100 TB where
+    ``cosine_near_dup_pairs`` cannot.
+    """
+    from .dedup import pairs_from_buckets
+
+    planes = _hyperplanes(dim, bands * bits_per_band)
+    banded = (df.select(
+        F.col(id_col),
+        F.posexplode(_band_values(F.col(vec_col), planes,
+                                  bands, bits_per_band))
+         .alias("band", "val")))
+    buckets = (banded.groupBy("band", "val")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter((F.size("ids") > 1)
+                       & (F.size("ids") <= max_bucket_size)))
+    cands = pairs_from_buckets(buckets)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .filter(sim >= threshold)
+            .select("id_a", "id_b",
+                    F.round(sim, round_digits).alias("cos_sim")))
+
+
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       query_id_col: str = "query_id", bits: int = 8,

@@ -560,7 +560,8 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
 # dialect-level table functions over the beyond-reference pipeline ops
 # (SURVEY §7 M6: "both a table function in the dialect and a Python API")
 _PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
-                 "ngramjaccard", "anncosinetopk"}
+                 "ngramjaccard", "anncosinetopk", "dedupembeddingcosine",
+                 "dedupembeddinglsh"}
 
 
 def _pipeline_table_function(name: str, node: TableFunction,
@@ -595,6 +596,13 @@ def _pipeline_table_function(name: str, node: TableFunction,
         return P.simhash_near_dups(tbl(0))
     if name == "ngramjaccard":
         return P.ngram_jaccard_pairs(tbl(0), threshold=float(lit(1, 0.6)))
+    # dedupEmbeddingCosine(corpus [, threshold]) — exact all-pairs
+    if name == "dedupembeddingcosine":
+        return P.cosine_near_dup_pairs(tbl(0), threshold=float(lit(1, 0.9)))
+    # dedupEmbeddingLSH(corpus [, threshold [, dim]]) — banded LSH
+    if name == "dedupembeddinglsh":
+        return P.lsh_near_dup_pairs(tbl(0), threshold=float(lit(1, 0.9)),
+                                    dim=int(lit(2, 64)))
     # annCosineTopK(corpus, view(SELECT vec_id AS query_id, embedding ...), k)
     return P.brute_force_topk(tbl(0), tbl(1), k=int(lit(2, 5)),
                               round_digits=4)

@@ -26,7 +26,8 @@ from .operators import (
     limit_with_ties, sample_by_key, with_fill, with_totals,
 )
 from .pipeline import (
-    brute_force_topk, lsh_bucketed_topk, minhash_lsh_candidates,
+    brute_force_topk, cosine_near_dup_pairs, lsh_bucketed_topk,
+    lsh_near_dup_pairs, minhash_lsh_candidates,
     ngram_jaccard_pairs, simhash_near_dups,
 )
 from .pipeline.multimodal import attach_binary_payload, decode_image_batch
@@ -1025,6 +1026,37 @@ def embedding_topk(spark, sf_dir):
                        F.col("embedding")))
     out = brute_force_topk(emb, queries, k=5, round_digits=4)
     return out.select("query_id", "vec_id", "cos_sim")
+
+
+@query("dedup_embedding_cosine", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.35
+""")
+def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding-cosine near-dup: exact all-pairs threshold filter
+    (pipeline/similarity.py cosine_near_dup_pairs; the oracle-able
+    baseline — the 100 TB path is dedup_embedding_lsh below). Threshold
+    0.35 fits the synthetic embeddings (max pair sim ~0.51); real
+    near-dup pipelines run 0.9+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35)
+
+
+@query("dedup_embedding_lsh")  # no SQL oracle: LSH recall is approximate
+def dedup_embedding_lsh_q(spark, sf_dir):
+    """Embedding-cosine near-dup at scale: banded random-hyperplane LSH
+    candidates + exact cosine verify (pipeline/similarity.py
+    lsh_near_dup_pairs). bands=16 × 4 bits tuned for the 0.35 threshold;
+    every returned pair is exact-verified >= threshold (subset of
+    dedup_embedding_cosine by construction — pinned in test_pipeline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (lsh_near_dup_pairs(emb, threshold=0.35, bands=16,
+                               bits_per_band=4)
+            .orderBy("id_a", "id_b"))
 
 
 @query("embedding_ann_lsh")  # no SQL oracle: LSH recall is approximate

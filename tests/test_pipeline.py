@@ -193,3 +193,35 @@ def test_dedup_keep_canonical(spark):
     kept = sorted(r.doc_id for r in
                   dedup_keep_canonical(docs, pairs).collect())
     assert kept == [0, 3, 4, 5, 7, 8, 9]
+
+
+def test_cosine_near_dup_exact_pairs(spark):
+    from clickhouse_from_scratch_spark.pipeline import cosine_near_dup_pairs
+    emb = _emb(spark)
+    out = cosine_near_dup_pairs(emb, threshold=0.99)
+    rows = out.collect()
+    # vec 1 = 2 * vec 0 is the only cosine-1.0 pair in the fixture
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    assert math.isclose(rows[0].cos_sim, 1.0, abs_tol=1e-4)
+    # ordering invariant: id_a < id_b always
+    low = cosine_near_dup_pairs(emb, threshold=-1.0)
+    assert low.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    assert low.count() == 20 * 19 // 2
+
+
+def test_lsh_near_dup_subset_of_exact_and_verified(spark):
+    from clickhouse_from_scratch_spark.pipeline import (
+        cosine_near_dup_pairs, lsh_near_dup_pairs,
+    )
+    emb = _emb(spark)
+    thr = 0.5
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_pairs(emb, threshold=thr).collect()}
+    approx = lsh_near_dup_pairs(emb, threshold=thr, bands=16,
+                                bits_per_band=2, dim=8).collect()
+    got = {(r.id_a, r.id_b) for r in approx}
+    # every returned pair is exact-verified >= threshold -> subset of exact
+    assert got <= exact
+    assert all(r.cos_sim >= thr for r in approx)
+    # the parallel pair (identical signature in every band) must be found
+    assert (0, 1) in got

@@ -524,6 +524,24 @@ def test_ann_table_function_sql(spark):
     assert len(out) == 3 and out[0].vec_id == 1
 
 
+def test_embedding_near_dup_table_functions_sql(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(10, 8).astype("float64")
+    vecs[1] = vecs[0] * 3.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    exact = execute_sql(
+        spark, "SELECT id_a, id_b FROM dedupEmbeddingCosine(t, 0.99)",
+        {"t": emb}).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(0, 1)}
+    approx = execute_sql(
+        spark, "SELECT id_a, id_b FROM dedupEmbeddingLSH(t, 0.99, 8)",
+        {"t": emb}).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in approx}
+
+
 def test_query_parameters(spark, tables):
     out = execute_sql(
         spark,
