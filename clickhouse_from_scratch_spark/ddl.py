@@ -32,7 +32,8 @@ from .functions.typemap import ch_type_to_spark
 from .operators import final as final_op
 from .plans.builder import build
 from .plans.statements import (
-    BackupStmt, CheckStmt, CreateDatabase, CreateLiveView, CreateTable,
+    AlterStmt, BackupStmt, CheckStmt, CreateDatabase, CreateLiveView,
+    CreateTable,
     CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt,
     ExplainStmt, InsertStmt, KillStmt, OptimizeStmt, OutputClause,
     RenameTable, SetStmt, ShowStmt, SystemStmt, TruncateStmt, UseStmt,
@@ -110,6 +111,7 @@ class ChSession:
             CreateView: self._create_view,
             DropStmt: self._drop,
             RenameTable: self._rename,
+            AlterStmt: self._alter,
             InsertStmt: self._insert,
             ShowStmt: self._show,
             DescribeStmt: self._describe,
@@ -356,6 +358,137 @@ class ChSession:
             meta.name = b
             self._db()[b] = meta
         return self._ok()
+
+    def _alter(self, node: AlterStmt):
+        """ALTER TABLE: column DDL + UPDATE/DELETE mutations.
+
+        Beyond-reference surface (the reference's ALTER dispatch is
+        commented out, ``ParserQuery.cpp:38-47``); semantics follow public
+        ClickHouse docs. Data-changing commands rewrite the table through
+        the normal write path (ORDER BY clustering / PARTITION BY layout
+        preserved) — the Spark analogue of a CH mutation, which also
+        rewrites parts. Mutation expressions all read PRE-mutation values
+        (one select against the original frame, like CH)."""
+        from .plans.builder import Context as _BCtx
+        from .plans.builder import _eval as _beval
+
+        meta = self._resolve(node.database, node.table)
+        if meta.is_view:
+            raise ValueError(f"cannot ALTER view {meta.name}")
+        ctx = _BCtx(self.spark, {})
+        df = self._read(meta)
+        changed = False
+        for act in node.actions:
+            names = [n for n, _ in meta.columns]
+            if act.kind == "ADD_COLUMN":
+                cd = act.column
+                if cd.name in names:
+                    if act.if_not_exists:
+                        continue
+                    raise ValueError(f"column exists: {cd.name}")
+                spark_t = ch_type_to_spark(cd.type_name)
+                if cd.default is not None:
+                    val = _beval(cd.default, ctx, df).cast(spark_t)
+                else:
+                    val = F.lit(_type_default_py(cd.type_name)).cast(spark_t)
+                if act.after and act.after not in names:
+                    raise ValueError(f"AFTER column not found: {act.after}")
+                df = df.withColumn(cd.name, val)
+                pos = (0 if act.first
+                       else names.index(act.after) + 1 if act.after
+                       else len(names))
+                meta.columns.insert(pos, (cd.name, cd.type_name))
+                df = df.select(*[n for n, _ in meta.columns])
+                changed = True
+            elif act.kind == "DROP_COLUMN":
+                if act.name not in names:
+                    if act.if_exists:
+                        continue
+                    raise ValueError(f"unknown column: {act.name}")
+                meta.columns = [c for c in meta.columns if c[0] != act.name]
+                df = df.drop(act.name)
+                changed = True
+            elif act.kind == "RENAME_COLUMN":
+                if act.name not in names:
+                    if act.if_exists:
+                        continue
+                    raise ValueError(f"unknown column: {act.name}")
+                df = df.withColumnRenamed(act.name, act.new_name)
+                meta.columns = [(act.new_name if n == act.name else n, t)
+                                for n, t in meta.columns]
+                meta.order_by = [act.new_name if c == act.name else c
+                                 for c in meta.order_by]
+                if meta.sample_by == act.name:
+                    meta.sample_by = act.new_name
+                if meta.partition_by == act.name:
+                    meta.partition_by = act.new_name
+                changed = True
+            elif act.kind == "MODIFY_COLUMN":
+                cd = act.column
+                if cd.name not in names:
+                    if act.if_exists:
+                        continue
+                    raise ValueError(f"unknown column: {cd.name}")
+                if cd.type_name:
+                    df = df.withColumn(
+                        cd.name,
+                        F.col(cd.name).cast(ch_type_to_spark(cd.type_name)))
+                    meta.columns = [(n, cd.type_name if n == cd.name else t)
+                                    for n, t in meta.columns]
+                    changed = True
+            elif act.kind == "COMMENT_COLUMN":
+                meta.settings[f"comment:{act.name}"] = act.text
+            elif act.kind == "UPDATE":
+                pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
+                                  F.lit(False))
+                types = dict(meta.columns)
+                updates = {}
+                for cname, e in act.assignments:
+                    if cname not in types:
+                        raise ValueError(f"unknown column: {cname}")
+                    newv = _beval(e, ctx, df).cast(
+                        ch_type_to_spark(types[cname]))
+                    updates[cname] = (F.when(pred, newv)
+                                      .otherwise(F.col(cname)).alias(cname))
+                df = df.select(*[updates.get(n, F.col(n))
+                                 for n, _ in meta.columns])
+                changed = True
+            elif act.kind == "DELETE":
+                pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
+                                  F.lit(False))
+                df = df.filter(~pred)
+                changed = True
+            elif act.kind == "ADD_INDEX":
+                # parquet min/max stats play the secondary-index role;
+                # record for SHOW CREATE fidelity
+                meta.settings.setdefault("indexes", []).append(act.text)
+            elif act.kind == "DROP_INDEX":
+                meta.settings["indexes"] = [
+                    i for i in meta.settings.get("indexes", [])
+                    if not i.split()[:1] == [act.name]]
+            elif act.kind == "MODIFY_TTL":
+                meta.ttl = act.text
+        if changed:
+            self._rewrite(meta, df)
+        return self._ok()
+
+    def _rewrite(self, meta: TableMeta, df: DataFrame) -> None:
+        """Replace a table's contents (ALTER rewrite path): Memory tables
+        swap the cached frame (lineage truncated so repeated ALTERs don't
+        stack plans); parquet tables write to a sibling dir then swap, so
+        the lazy self-read never overwrites its own input."""
+        if meta.path is None:
+            meta.memory_df = df.localCheckpoint(eager=True)
+            return
+        old, tmp = meta.path, meta.path + ".alter"
+        try:
+            meta.path = tmp
+            self._write(meta, df, "overwrite")
+        finally:
+            meta.path = old
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(tmp, old)
 
     def _truncate(self, node: TruncateStmt):
         meta = self._resolve(node.database, node.table)

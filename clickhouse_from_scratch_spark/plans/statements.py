@@ -126,6 +126,33 @@ class DropStmt(Node):
 
 
 @dataclass
+class AlterAction(Node):
+    """One ALTER TABLE command (public ClickHouse ALTER grammar; the
+    reference comments the whole ALTER branch out of its dispatch —
+    ``ParserQuery.cpp:38-47`` — so this is beyond-reference surface)."""
+    kind: str                  # ADD_COLUMN | DROP_COLUMN | RENAME_COLUMN |
+    #                            MODIFY_COLUMN | COMMENT_COLUMN | UPDATE |
+    #                            DELETE | ADD_INDEX | DROP_INDEX | MODIFY_TTL
+    column: ColumnDef | None = None
+    name: str | None = None
+    new_name: str | None = None
+    after: str | None = None
+    first: bool = False
+    if_exists: bool = False
+    if_not_exists: bool = False
+    assignments: list | None = None      # [(col, expr)] for UPDATE
+    where: Node | None = None            # UPDATE / DELETE predicate
+    text: str | None = None              # COMMENT text / INDEX / TTL spec
+
+
+@dataclass
+class AlterStmt(Node):
+    database: str | None
+    table: str
+    actions: list[AlterAction] = field(default_factory=list)
+
+
+@dataclass
 class RenameTable(Node):
     renames: list[tuple[str, str]]
 
@@ -262,6 +289,8 @@ class StatementParser(Parser):
             return self._drop()
         if t.is_kw("RENAME"):
             return self._rename()
+        if t.is_kw("ALTER"):
+            return self._alter()
         if t.is_kw("INSERT"):
             return self._insert()
         if t.is_kw("SHOW"):
@@ -550,6 +579,96 @@ class StatementParser(Parser):
             if not self.accept_op(","):
                 break
         return RenameTable(renames)
+
+    def _alter(self):
+        """ALTER TABLE [db.]t <command> [, <command>]* (public ClickHouse
+        ALTER grammar: column DDL + UPDATE/DELETE mutations)."""
+        self.advance()
+        self.expect_kw("TABLE")
+        db, table = self._qualified_name()
+        actions: list[AlterAction] = []
+        while True:
+            actions.append(self._alter_action())
+            if not self.accept_op(","):
+                break
+        return AlterStmt(db, table, actions)
+
+    def _alter_action(self) -> AlterAction:
+        if self.accept_kw("ADD"):
+            if self.accept_kw("INDEX"):
+                parts = []
+                while (self.tok.kind != T.EOF and not self.tok.is_op(",")
+                       and not self.tok.is_op(";")):
+                    parts.append(self.advance().text)
+                return AlterAction("ADD_INDEX", text=" ".join(parts))
+            self.expect_kw("COLUMN")
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            name = self.advance().text
+            type_name = None
+            if not self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS",
+                                  "AFTER", "FIRST"):
+                type_name = self._type_name()
+            cd = ColumnDef(name, type_name or "String")
+            if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                cd.default_kind = self.advance().text.upper()
+                cd.default = self._expr()
+            first = bool(self.accept_kw("FIRST"))
+            after = self.advance().text if self.accept_kw("AFTER") else None
+            return AlterAction("ADD_COLUMN", column=cd, after=after,
+                               first=first, if_not_exists=ine)
+        if self.accept_kw("DROP"):
+            if self.accept_kw("INDEX"):
+                return AlterAction("DROP_INDEX", name=self.advance().text)
+            self.expect_kw("COLUMN")
+            ie = bool(self.accept_kws("IF", "EXISTS"))
+            return AlterAction("DROP_COLUMN", name=self.advance().text,
+                               if_exists=ie)
+        if self.accept_kw("RENAME"):
+            self.expect_kw("COLUMN")
+            ie = bool(self.accept_kws("IF", "EXISTS"))
+            old = self.advance().text
+            self.expect_kw("TO")
+            return AlterAction("RENAME_COLUMN", name=old,
+                               new_name=self.advance().text, if_exists=ie)
+        if self.accept_kw("MODIFY"):
+            if self.accept_kw("TTL"):
+                parts = []
+                while (self.tok.kind != T.EOF and not self.tok.is_op(",")
+                       and not self.tok.is_op(";")):
+                    parts.append(self.advance().text)
+                return AlterAction("MODIFY_TTL", text=" ".join(parts))
+            self.expect_kw("COLUMN")
+            ie = bool(self.accept_kws("IF", "EXISTS"))
+            name = self.advance().text
+            type_name = None
+            if not self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                type_name = self._type_name()
+            cd = ColumnDef(name, type_name or "")
+            if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                cd.default_kind = self.advance().text.upper()
+                cd.default = self._expr()
+            return AlterAction("MODIFY_COLUMN", column=cd, if_exists=ie)
+        if self.accept_kw("COMMENT"):
+            self.expect_kw("COLUMN")
+            name = self.advance().text
+            return AlterAction("COMMENT_COLUMN", name=name,
+                               text=self.advance().text)
+        if self.accept_kw("UPDATE"):
+            assignments = []
+            while True:
+                col = self.advance().text
+                self.expect_op("=")
+                assignments.append((col, self._expr()))
+                if self.accept_kw("WHERE"):
+                    break
+                self.expect_op(",")
+            return AlterAction("UPDATE", assignments=assignments,
+                               where=self._expr())
+        if self.accept_kw("DELETE"):
+            self.expect_kw("WHERE")
+            return AlterAction("DELETE", where=self._expr())
+        raise ParseError(f"unsupported ALTER command at {self.tok.pos}: "
+                         f"{self.tok.text!r}")
 
     # --- INSERT -----------------------------------------------------------
 

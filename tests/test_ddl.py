@@ -361,3 +361,58 @@ def test_select_bare_literal_columns(spark):
     from clickhouse_from_scratch_spark.plans import execute_sql
     r = execute_sql(spark, "SELECT 9, 'z', 2.5", {}).collect()[0]
     assert tuple(r) == (9, "z", 2.5)
+
+
+def test_alter_column_ddl(sess):
+    sess.execute("CREATE TABLE at (id UInt32, name String) "
+                 "ENGINE = MergeTree ORDER BY id")
+    sess.execute("INSERT INTO at VALUES (1, 'a'), (2, 'b')")
+    sess.execute("ALTER TABLE at ADD COLUMN score Float64 DEFAULT 1.5, "
+                 "ADD COLUMN tag String AFTER name")
+    rows = {r.id: (r.name, r.tag, r.score)
+            for r in sess.execute("SELECT * FROM at").collect()}
+    # tag sits between name and score; defaults fill existing rows
+    assert rows == {1: ("a", "", 1.5), 2: ("b", "", 1.5)}
+    cols = [r[0] for r in sess.execute("DESCRIBE at").collect()]
+    assert cols == ["id", "name", "tag", "score"]
+    sess.execute("ALTER TABLE at RENAME COLUMN tag TO label")
+    sess.execute("ALTER TABLE at MODIFY COLUMN score UInt32")
+    out = sess.execute("SELECT label, score FROM at WHERE id = 1").collect()
+    assert out[0].label == "" and out[0].score == 1
+    sess.execute("ALTER TABLE at DROP COLUMN label")
+    assert [r[0] for r in sess.execute("DESCRIBE at").collect()] \
+        == ["id", "name", "score"]
+    # IF [NOT] EXISTS guards
+    sess.execute("ALTER TABLE at ADD COLUMN IF NOT EXISTS score Float64")
+    sess.execute("ALTER TABLE at DROP COLUMN IF EXISTS missing")
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE at DROP COLUMN missing")
+
+
+def test_alter_update_delete_mutations(sess):
+    sess.execute("CREATE TABLE mt (id UInt32, v Int64, w Int64) "
+                 "ENGINE = MergeTree ORDER BY id")
+    sess.execute("INSERT INTO mt VALUES (1, 10, 1), (2, 20, 2), (3, 30, 3)")
+    # all assignments read PRE-mutation values: v/w swap, not chain
+    sess.execute("ALTER TABLE mt UPDATE v = w, w = v WHERE id <= 2")
+    rows = {r.id: (r.v, r.w) for r in sess.execute("SELECT * FROM mt").collect()}
+    assert rows == {1: (1, 10), 2: (2, 20), 3: (30, 3)}
+    sess.execute("ALTER TABLE mt DELETE WHERE v >= 30")
+    assert sorted(r.id for r in sess.execute("SELECT id FROM mt").collect()) \
+        == [1, 2]
+
+
+def test_alter_memory_table_and_metadata_cmds(sess):
+    sess.execute("CREATE TABLE mem (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO mem VALUES (1), (2), (3)")
+    sess.execute("ALTER TABLE mem UPDATE x = x * 100 WHERE x > 1")
+    assert sorted(r.x for r in sess.execute("SELECT x FROM mem").collect()) \
+        == [1, 200, 300]
+    sess.execute("ALTER TABLE mem COMMENT COLUMN x 'the value', "
+                 "ADD INDEX ix x TYPE minmax GRANULARITY 1, "
+                 "MODIFY TTL x + INTERVAL 30 DAY")
+    meta = sess.databases["default"]["mem"]
+    assert meta.settings["comment:x"] == "the value"
+    assert meta.settings["indexes"] and meta.ttl
+    sess.execute("ALTER TABLE mem DROP INDEX ix")
+    assert meta.settings["indexes"] == []
