@@ -32,8 +32,8 @@ from .functions.typemap import ch_type_to_spark
 from .operators import final as final_op
 from .plans.builder import build
 from .plans.statements import (
-    AlterStmt, BackupStmt, CheckStmt, CreateDatabase, CreateLiveView,
-    CreateTable,
+    AlterStmt, BackupStmt, CheckStmt, CreateDatabase, CreateDictionary,
+    CreateLiveView, CreateTable,
     CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt,
     ExplainStmt, InsertStmt, KillStmt, OptimizeStmt, OutputClause,
     RenameTable, SetStmt, ShowStmt, SystemStmt, TruncateStmt, UseStmt,
@@ -71,6 +71,38 @@ class TableMeta:
                          for n, t in self.columns)
 
 
+@dataclass
+class DictMeta:
+    """One CREATE DICTIONARY: a RAM-bounded point-lookup table over a
+    source table (public ClickHouse external-dictionary semantics; the
+    reference comments dictionary DDL out, ``ParserCreateQuery.cpp:
+    2282-2296``). Loaded lazily on first dictGet and cached until
+    SYSTEM RELOAD DICTIONARY — CH's LIFETIME refresh analogue."""
+    name: str
+    database: str
+    key: str
+    key_type: str
+    attrs: dict[str, tuple[str, object]]   # attr → (CH type, DEFAULT value)
+    source_table: str
+    source_db: str | None
+    layout: str = "HASHED"
+    lifetime: str | None = None
+    session: object = None
+    cache: dict | None = None              # attr → {key: value}
+
+    def maps(self) -> dict[str, dict]:
+        if self.cache is None:
+            self.cache = self.session._load_dictionary(self)
+        return self.cache
+
+    def attr_ch_type(self, attr: str) -> str:
+        return self.attrs[attr][0]
+
+    def attr_default(self, attr: str):
+        t, dflt = self.attrs[attr]
+        return dflt if dflt is not None else _type_default_py(t)
+
+
 class ChSession:
     """A ClickHouse-flavored session over Spark: databases, tables,
     settings, and the statement dispatch loop."""
@@ -84,6 +116,7 @@ class ChSession:
         self.current_db = "default"
         self.settings: dict[str, object] = {}
         self.udfs: dict[str, object] = {}      # CREATE FUNCTION lambdas
+        self.dictionaries: dict[str, DictMeta] = {}
 
     # --- public API -------------------------------------------------------
 
@@ -97,8 +130,9 @@ class ChSession:
         if isinstance(node, (SelectQuery, UnionQuery)):
             return build(self.spark, node, self._tables(), self._engines(),
                          params=params, settings=self.settings,
-                         udfs=self.udfs)
+                         udfs=self.udfs, dictionaries=self.dictionaries)
         handler = {
+            CreateDictionary: self._create_dictionary,
             CreateFunction: self._create_function,
             CreateLiveView: self._create_live_view,
             CreateWindowView: self._create_window_view,
@@ -314,6 +348,62 @@ class ChSession:
         self._db(db)[node.name] = meta
         return self._ok()
 
+    def _create_dictionary(self, node: CreateDictionary):
+        if node.name in self.dictionaries and not node.or_replace:
+            if node.if_not_exists:
+                return self._ok()
+            raise ValueError(f"dictionary exists: {node.name}")
+        if not node.primary_key:
+            raise ValueError("CREATE DICTIONARY requires PRIMARY KEY")
+        if len(node.primary_key) > 1:
+            raise ValueError("composite dictionary keys not supported")
+        if not node.source_table:
+            raise ValueError("CREATE DICTIONARY requires "
+                             "SOURCE(...(TABLE 'name'))")
+        key = node.primary_key[0]
+        types = {c.name: c.type_name for c in node.columns}
+        if key not in types:
+            raise ValueError(f"PRIMARY KEY column not declared: {key}")
+        attrs = {}
+        for c in node.columns:
+            if c.name == key:
+                continue
+            dflt = _literal_py(c.default) if c.default is not None else None
+            attrs[c.name] = (c.type_name, dflt)
+        self.dictionaries[node.name] = DictMeta(
+            node.name, node.database or self.current_db, key, types[key],
+            attrs, node.source_table, node.source_db, node.layout,
+            node.lifetime, session=self)
+        return self._ok()
+
+    def _load_dictionary(self, d: DictMeta) -> dict[str, dict]:
+        """Materialize attr → {key: value} maps from the source table.
+
+        Dictionaries are RAM-resident point-lookup tables by contract
+        (every CH layout loads into memory), so a bounded collect IS the
+        scale-correct design; the cap turns a misuse into an actionable
+        error instead of an OOM."""
+        src = self._resolve(d.source_db, d.source_table)
+        df = self._read(src).select(d.key, *d.attrs)
+        cap = int(self.settings.get("max_dictionary_rows", 5_000_000))
+        rows = df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"dictionary {d.name} source exceeds {cap} rows — use a "
+                f"JOIN for dimension tables this large (or raise the "
+                f"max_dictionary_rows setting)")
+        numeric_key = not d.key_type.lower().startswith(
+            ("string", "uuid", "fixedstring"))
+        out: dict[str, dict] = {a: {} for a in d.attrs}
+        for r in rows:
+            k = r[0]
+            if k is None:
+                continue
+            k = int(k) if numeric_key else str(k)
+            for i, a in enumerate(d.attrs):
+                out[a][k] = r[i + 1]
+        return out
+
     def _create_function(self, node: CreateFunction):
         if node.name in self.udfs and not node.or_replace:
             if node.if_not_exists:
@@ -323,6 +413,11 @@ class ChSession:
         return self._ok()
 
     def _drop(self, node: DropStmt):
+        if node.kind == "DICTIONARY":
+            if node.name not in self.dictionaries and not node.if_exists:
+                raise ValueError(f"unknown dictionary: {node.name}")
+            self.dictionaries.pop(node.name, None)
+            return self._ok()
         if node.kind == "FUNCTION":
             if node.name not in self.udfs and not node.if_exists:
                 raise ValueError(f"unknown function: {node.name}")
@@ -645,6 +740,10 @@ class ChSession:
         if node.what == "DATABASES":
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases)], "name string")
+        if node.what == "DICTIONARIES":
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.dictionaries)] or [],
+                "name string")
         if node.what == "CREATE_TABLE":
             meta = self._resolve(node.database, node.target)
             return self.spark.createDataFrame(
@@ -815,6 +914,18 @@ class ChSession:
         belong to Spark's own runtime)."""
         if node.verb.startswith("DROP") and "CACHE" in node.verb:
             self.spark.catalog.clearCache()
+            return self._ok()
+        if node.verb.startswith("RELOAD DICTIONAR"):
+            # RELOAD DICTIONARY <name> / RELOAD DICTIONARIES: drop the
+            # cached maps so the next dictGet re-reads the source
+            parts = node.verb.split()
+            targets = (parts[2:] if len(parts) > 2
+                       else list(self.dictionaries))
+            for t in targets:
+                # verb text is upper-cased; match case-insensitively
+                for name, dm in self.dictionaries.items():
+                    if name.upper() == t.upper():
+                        dm.cache = None
             return self._ok()
         status = ("ok" if any(node.verb.startswith(v)
                               for v in self._SYSTEM_SUPPORTED)

@@ -83,11 +83,15 @@ class Context:
     ch_types: dict[str, str] = field(default_factory=dict)
     # SQL lambda UDFs: name → Lambda AST (CREATE FUNCTION)
     udfs: dict[str, object] = field(default_factory=dict)
+    # CREATE DICTIONARY lookups: name → provider with .maps()/.key_type/
+    # .attr_ch_type()/.attr_default() (duck-typed; lives in ddl.DictMeta)
+    dictionaries: dict[str, object] = field(default_factory=dict)
 
     def child(self) -> "Context":
         return Context(self.spark, dict(self.tables), dict(self.aliases),
                        engines=self.engines, params=self.params,
-                       settings=self.settings, udfs=self.udfs)
+                       settings=self.settings, udfs=self.udfs,
+                       dictionaries=self.dictionaries)
 
 
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
@@ -95,10 +99,11 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           engines: dict[str, dict] | None = None,
           params: dict[str, object] | None = None,
           settings: dict[str, object] | None = None,
-          udfs: dict[str, object] | None = None) -> DataFrame:
+          udfs: dict[str, object] | None = None,
+          dictionaries: dict[str, object] | None = None) -> DataFrame:
     ctx = Context(spark, dict(tables), engines=engines or {},
                   params=params or {}, settings=settings or {},
-                  udfs=udfs or {})
+                  udfs=udfs or {}, dictionaries=dictionaries or {})
     return _build_query(q, ctx)
 
 
@@ -1783,6 +1788,89 @@ _POLYMORPHIC = {"length": ("arrayLength", "length"),
                 "reverse": ("arrayReverse", "reverse")}
 
 
+# map-literal lookups stay in codegen up to this many entries; larger
+# dictionaries switch to an Arrow-batched pandas_udf closure (the dict
+# ships to workers once per task — the broadcast-hash-lookup shape)
+_DICT_MAP_LITERAL_MAX = 2000
+
+# dictGetString/UInt32/... typed-variant suffixes → CH result type
+_DICT_TYPED_SUFFIXES = (
+    "String", "UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16",
+    "Int32", "Int64", "Float32", "Float64", "Date", "DateTime", "UUID",
+)
+
+
+def _dict_lookup(d: dict, key: Column, out_spark_t: str,
+                 key_cast: str) -> Column:
+    """Point lookup of ``key`` in python dict ``d``.
+
+    Small dicts inline as a create_map literal (pure JVM, codegen);
+    large ones use a vectorized pandas Series.map over the closure dict —
+    never a row-at-a-time Python UDF. Missing keys → NULL (callers wrap
+    with the CH default)."""
+    key = key.cast(key_cast)
+    if not d:
+        return F.lit(None).cast(out_spark_t)
+    if len(d) <= _DICT_MAP_LITERAL_MAX:
+        pairs: list[Column] = []
+        for k, v in d.items():
+            pairs.append(F.lit(k).cast(key_cast))
+            pairs.append(F.lit(v).cast(out_spark_t))
+        return F.element_at(F.create_map(*pairs), key)
+    import pandas as pd
+
+    def look(s):
+        return s.map(d)
+
+    look.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(look, out_spark_t)(key)
+
+
+def _dict_fn(name: str, node: FuncCall, cols: list, ctx: Context) -> Column:
+    """dictGet / dictGet<Type> / dictGetOrDefault / dictGetOrNull /
+    dictHas over CREATE DICTIONARY lookups (public ClickHouse external-
+    dictionary functions; dictionary DDL is commented out of the
+    reference — ``ParserCreateQuery.cpp:2282-2296``)."""
+    if not (node.args and isinstance(node.args[0], Literal)):
+        raise BuildError(f"{name} requires a literal dictionary name")
+    dname = node.args[0].value
+    prov = ctx.dictionaries.get(dname)
+    if prov is None:
+        raise BuildError(f"unknown dictionary: {dname}")
+    numeric_key = not prov.key_type.lower().startswith(
+        ("string", "uuid", "fixedstring"))
+    key_cast = "bigint" if numeric_key else "string"
+    maps = prov.maps()
+    if name == "dictHas":
+        has = {k: 1 for k in (next(iter(maps.values())) if maps else {})}
+        got = _dict_lookup(has, cols[1], "int", key_cast)
+        return F.coalesce(got, F.lit(0))
+    # dictGet family: (dict, attr, key [, default])
+    suffix = name[len("dictGet"):]
+    or_default = suffix.endswith("OrDefault")
+    if or_default:
+        suffix = suffix[:-len("OrDefault")]
+    or_null = suffix == "OrNull"
+    if or_null:
+        suffix = ""
+    if suffix and suffix not in _DICT_TYPED_SUFFIXES:
+        raise BuildError(f"unsupported dictionary function: {name}")
+    if not isinstance(node.args[1], Literal):
+        raise BuildError(f"{name} requires a literal attribute name")
+    attr = node.args[1].value
+    if attr not in maps:
+        raise BuildError(f"dictionary {dname} has no attribute: {attr}")
+    ch_t = suffix or prov.attr_ch_type(attr)
+    out_t = ch_type_to_spark(ch_t)
+    got = _dict_lookup(maps[attr], cols[2], out_t, key_cast)
+    if or_null:
+        return got
+    if or_default:
+        return F.coalesce(got, cols[3].cast(out_t))
+    dflt = prov.attr_default(attr)
+    return F.coalesce(got, F.lit(dflt).cast(out_t))
+
+
 def _call_fn(node: FuncCall, cols: list, ctx: Context,
              df: DataFrame | None) -> Column:
     from ..functions.registry import CANONICAL
@@ -1799,6 +1887,8 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             raise BuildError(f"unknown setting: {key} "
                              f"(SET it or use getSettingOrDefault)")
         return F.lit(ctx.settings[key])
+    if name == "dictHas" or name.startswith("dictGet"):
+        return _dict_fn(name, node, cols, ctx)
     # window functions
     if node.window is not None:
         return _window_call(node, cols, ctx, df)

@@ -21,7 +21,8 @@ def execute_sql(spark: SparkSession, sql: str,
                 tables: dict[str, DataFrame],
                 engines: dict[str, dict] | None = None,
                 params: dict[str, object] | None = None,
-                settings: dict[str, object] | None = None) -> DataFrame:
+                settings: dict[str, object] | None = None,
+                dictionaries: dict[str, object] | None = None) -> DataFrame:
     """Run a ClickHouse-dialect query over the given tables.
 
     ``engines`` carries per-table MergeTree-style metadata the DDL layer
@@ -32,4 +33,4 @@ def execute_sql(spark: SparkSession, sql: str,
     """
     ast = _parse(sql)
     return build(spark, ast, tables, engines=engines, params=params,
-                 settings=settings)
+                 settings=settings, dictionaries=dictionaries)

@@ -126,6 +126,24 @@ class DropStmt(Node):
 
 
 @dataclass
+class CreateDictionary(Node):
+    """CREATE DICTIONARY (public ClickHouse grammar; the reference
+    comments dictionary DDL out — ``ParserCreateQuery.cpp:2282-2296``).
+    A dictionary is a RAM-bounded lookup table over a source table,
+    queried point-wise via dictGet*/dictHas."""
+    database: str | None
+    name: str
+    columns: list[ColumnDef] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    source_table: str | None = None
+    source_db: str | None = None
+    layout: str = "HASHED"
+    lifetime: str | None = None
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
 class AlterAction(Node):
     """One ALTER TABLE command (public ClickHouse ALTER grammar; the
     reference comments the whole ALTER branch out of its dispatch —
@@ -381,6 +399,8 @@ class StatementParser(Parser):
             name = self.advance().text
             self.expect_kw("AS")
             return CreateFunction(name, self._expr(), or_replace, ine)
+        if self.accept_kw("DICTIONARY"):
+            return self._create_dictionary(or_replace)
         if self.accept_kws("LIVE", "VIEW"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             _, name = self._qualified_name()
@@ -439,6 +459,51 @@ class StatementParser(Parser):
             else:
                 _, ct.as_table = self._qualified_name()
         return ct
+
+    def _create_dictionary(self, or_replace: bool) -> CreateDictionary:
+        ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+        db, name = self._qualified_name()
+        cd = CreateDictionary(db, name, if_not_exists=ine,
+                              or_replace=or_replace)
+        if self.accept_op("("):
+            cd.columns = self._column_defs()
+            self.expect_op(")")
+        while self.tok.kind != T.EOF and not self.tok.is_op(";"):
+            if self.accept_kws("PRIMARY", "KEY"):
+                cd.primary_key.append(self.advance().text)
+                while self.accept_op(","):
+                    cd.primary_key.append(self.advance().text)
+            elif self.accept_kw("SOURCE"):
+                self.expect_op("(")
+                self.advance()                    # source kind (CLICKHOUSE…)
+                self.expect_op("(")
+                while not self.tok.is_op(")"):
+                    kw = self.advance().text.upper()
+                    if kw == "TABLE":
+                        cd.source_table = self.advance().text
+                    elif kw == "DB":
+                        cd.source_db = self.advance().text
+                    # other params (HOST/PORT/USER/…): accepted, ignored
+                self.expect_op(")")
+                self.expect_op(")")
+            elif self.accept_kw("LAYOUT"):
+                self.expect_op("(")
+                cd.layout = self.advance().text.upper()
+                if self.accept_op("("):
+                    while not self.accept_op(")"):
+                        self.advance()
+                self.expect_op(")")
+            elif self.accept_kw("LIFETIME"):
+                self.expect_op("(")
+                parts = []
+                while not self.tok.is_op(")"):
+                    parts.append(self.advance().text)
+                self.expect_op(")")
+                cd.lifetime = " ".join(parts)
+            else:
+                raise ParseError(f"unexpected token in CREATE DICTIONARY "
+                                 f"at {self.tok.pos}: {self.tok.text!r}")
+        return cd
 
     def _column_defs(self) -> list[ColumnDef]:
         cols: list[ColumnDef] = []
@@ -558,6 +623,8 @@ class StatementParser(Parser):
             return DropStmt("FUNCTION", None, self.advance().text, ie)
         elif self.accept_kw("VIEW"):
             kind = "VIEW"
+        elif self.accept_kw("DICTIONARY"):
+            kind = "DICTIONARY"
         else:
             self.accept_kw("TEMPORARY")
             self.expect_kw("TABLE")
@@ -730,6 +797,8 @@ class StatementParser(Parser):
         self.accept_kw("TEMPORARY")
         if self.accept_kw("DATABASES"):
             return ShowStmt("DATABASES")
+        if self.accept_kw("DICTIONARIES"):
+            return ShowStmt("DICTIONARIES")
         if self.accept_kw("CREATE"):
             self.accept_kw("TABLE") or self.accept_kw("VIEW")
             db, name = self._qualified_name()

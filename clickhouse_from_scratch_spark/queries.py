@@ -1327,6 +1327,43 @@ def sql_udf_macro(spark, sf_dir):
     """)
 
 
+@query("sql_dict_get", oracle="""
+SELECT s.s_suppkey AS s_suppkey,
+       COALESCE(n.n_name, '?') AS nat,
+       CASE WHEN n.n_nationkey IS NULL THEN 0 ELSE 1 END AS has_nat
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s_suppkey
+""")
+def sql_dict_get(spark, sf_dir):
+    """CREATE DICTIONARY + dictGet/dictHas point lookups through a full
+    session (ddl.DictMeta, builder._dict_fn). The dictionary loads the
+    nation table once into a RAM map (bounded by contract — every CH
+    layout is memory-resident) and each dictGet is a map lookup, the
+    broadcast-hash analogue of the LEFT JOIN the oracle states."""
+    from .catalog import load_all
+    from .ddl import ChSession, TableMeta
+
+    s = ChSession(spark)
+    for name, df in load_all(spark, sf_dir).items():
+        s.databases["default"][name] = TableMeta(
+            name=name, database="default",
+            columns=[(f.name, f.dataType.simpleString())
+                     for f in df.schema.fields], memory_df=df)
+    s.execute("""
+        CREATE DICTIONARY nat_dict (
+            n_nationkey UInt64, n_name String DEFAULT '?')
+        PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation'))
+        LAYOUT(FLAT()) LIFETIME(300)
+    """)
+    return s.execute("""
+        SELECT s_suppkey,
+               dictGet('nat_dict', 'n_name', s_nationkey) AS nat,
+               dictHas('nat_dict', s_nationkey) AS has_nat
+        FROM supplier ORDER BY s_suppkey
+    """)
+
+
 @query("sql_groups_frame", oracle="""
 SELECT o_custkey, o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY dr

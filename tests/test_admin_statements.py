@@ -38,7 +38,9 @@ def test_system_verbs(sess):
     assert sess.execute("SYSTEM DROP MARK CACHE").collect()[0].ok == 0
     row = sess.execute("SYSTEM STOP MERGES").collect()[0]
     assert row.status == "ok"
-    row2 = sess.execute("SYSTEM RELOAD DICTIONARIES").collect()[0]
+    # RELOAD DICTIONARIES is a real verb now (drops dictGet caches)
+    assert sess.execute("SYSTEM RELOAD DICTIONARIES").collect()[0].ok == 0
+    row2 = sess.execute("SYSTEM SHUTDOWN DISTRIBUTED SENDS").collect()[0]
     assert "noop" in row2.status      # honest no-op reporting
 
 

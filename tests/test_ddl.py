@@ -416,3 +416,66 @@ def test_alter_memory_table_and_metadata_cmds(sess):
     assert meta.settings["indexes"] and meta.ttl
     sess.execute("ALTER TABLE mem DROP INDEX ix")
     assert meta.settings["indexes"] == []
+
+
+def test_create_dictionary_and_dictget(sess):
+    sess.execute("CREATE TABLE dim (id UInt64, name String, pop UInt32) "
+                 "ENGINE = Memory")
+    sess.execute("INSERT INTO dim VALUES (1, 'fr', 67), (2, 'de', 83), "
+                 "(3, 'it', 59)")
+    sess.execute("""
+        CREATE DICTIONARY country_dict (
+            id UInt64,
+            name String DEFAULT '?',
+            pop UInt32
+        ) PRIMARY KEY id
+        SOURCE(CLICKHOUSE(TABLE 'dim'))
+        LAYOUT(HASHED())
+        LIFETIME(MIN 0 MAX 300)
+    """)
+    assert [r.name for r in sess.execute("SHOW DICTIONARIES").collect()] \
+        == ["country_dict"]
+    sess.execute("CREATE TABLE facts (cid UInt64, v Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO facts VALUES (1, 10), (2, 20), (9, 90)")
+    rows = sess.execute(
+        "SELECT cid, dictGet('country_dict', 'name', cid) AS nm, "
+        "dictGetOrDefault('country_dict', 'pop', cid, 0) AS p, "
+        "dictHas('country_dict', cid) AS h, "
+        "dictGetOrNull('country_dict', 'name', cid) AS n2 "
+        "FROM facts ORDER BY cid").collect()
+    assert [(r.cid, r.nm, r.p, r.h, r.n2) for r in rows] == [
+        (1, "fr", 67, 1, "fr"), (2, "de", 83, 1, "de"),
+        (9, "?", 0, 0, None)]          # miss → declared DEFAULT '?'
+    # typed variant casts the result
+    out = sess.execute(
+        "SELECT dictGetString('country_dict', 'name', 3) AS s").collect()
+    assert out[0].s == "it"
+    # reload picks up source changes
+    sess.execute("INSERT INTO dim VALUES (9, 'es', 47)")
+    assert sess.execute("SELECT dictGet('country_dict', 'name', 9) AS s"
+                        ).collect()[0].s == "?"          # cached miss
+    sess.execute("SYSTEM RELOAD DICTIONARY country_dict")
+    assert sess.execute("SELECT dictGet('country_dict', 'name', 9) AS s"
+                        ).collect()[0].s == "es"
+    sess.execute("DROP DICTIONARY country_dict")
+    assert sess.execute("SHOW DICTIONARIES").count() == 0
+    with pytest.raises(Exception):
+        sess.execute("SELECT dictGet('country_dict', 'name', 1)")
+
+
+def test_large_dictionary_uses_arrow_path(sess, spark):
+    # >2000 entries switches dictGet from create_map literal to the
+    # Arrow-batched Series.map closure; results must be identical
+    from pyspark.sql import functions as F
+    src = spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") * 2).alias("dbl"))
+    sess.register_external("big", src)
+    sess.databases["default"]["big"].columns = [("id", "UInt64"),
+                                                ("dbl", "Int64")]
+    sess.execute("CREATE DICTIONARY bigd (id UInt64, dbl Int64) "
+                 "PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'big')) "
+                 "LAYOUT(HASHED()) LIFETIME(0)")
+    out = sess.execute(
+        "SELECT sum(dictGet('bigd', 'dbl', number)) AS s "
+        "FROM numbers(2999)").collect()
+    assert out[0].s == 2999 * 2998  # sum of 2*i for i < 2999
