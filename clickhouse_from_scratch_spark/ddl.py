@@ -213,7 +213,10 @@ class ChSession:
                               meta.partition_by or ""))
                 for pos, (cn, ct) in enumerate(meta.columns, 1):
                     crows.append((db, name, cn, ct, pos))
-        fp = (tuple(trows), tuple(crows), tuple(sorted(
+        drows = [(d.database, d.name, d.layout, d.key, d.source_table,
+                  d.cache is not None)
+                 for d in self.dictionaries.values()]
+        fp = (tuple(trows), tuple(crows), tuple(drows), tuple(sorted(
             (k, str(v)) for k, v in self.settings.items())))
         if getattr(self, "_sys_fp", None) == fp:
             return self._sys_cache
@@ -229,6 +232,10 @@ class ChSession:
             "system.settings": self.spark.createDataFrame(
                 [(k, str(v)) for k, v in sorted(self.settings.items())]
                 or [], "name string, value string"),
+            "system.dictionaries": self.spark.createDataFrame(
+                sorted(drows) or [], "database string, name string,"
+                " layout string, key string, source string,"
+                " loaded boolean"),
         }
         return self._sys_cache
 

@@ -1327,6 +1327,28 @@ def sql_udf_macro(spark, sf_dir):
     """)
 
 
+@query("sql_numeric_promotion", oracle="""
+SELECT l_orderkey,
+       CAST(l_linenumber - 1 AS SMALLINT) AS p16,
+       CAST(l_linenumber * 300 AS BIGINT) AS p64,
+       CAST(l_linenumber + 0.5 AS DOUBLE) AS pf
+FROM lineitem WHERE l_orderkey < 100
+""")
+def sql_numeric_promotion(spark, sf_dir):
+    """ClickHouse numeric promotion (getLeastSupertype + NumberTraits,
+    functions/typemap.py): UInt8+Int8 -> Int16, UInt32*Int16 -> Int64,
+    int+Float64 -> Float64. The oracle states the expected CH result
+    types with explicit CASTs (DuckDB's own coercion differs), so the
+    hash compare pins both values and widths."""
+    return _sql(spark, sf_dir, """
+        SELECT l_orderkey,
+               toUInt8(l_linenumber) + toInt8(-1) AS p16,
+               toUInt32(l_linenumber) * toInt16(300) AS p64,
+               toInt32(l_linenumber) + 0.5 AS pf
+        FROM lineitem WHERE l_orderkey < 100
+    """)
+
+
 @query("sql_dict_get", oracle="""
 SELECT s.s_suppkey AS s_suppkey,
        COALESCE(n.n_name, '?') AS nat,

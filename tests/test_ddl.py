@@ -479,3 +479,16 @@ def test_large_dictionary_uses_arrow_path(sess, spark):
         "SELECT sum(dictGet('bigd', 'dbl', number)) AS s "
         "FROM numbers(2999)").collect()
     assert out[0].s == 2999 * 2998  # sum of 2*i for i < 2999
+
+
+def test_system_dictionaries_table(sess):
+    sess.execute("CREATE TABLE sd (k UInt64, v String) ENGINE = Memory")
+    sess.execute("INSERT INTO sd VALUES (1, 'x')")
+    sess.execute("CREATE DICTIONARY d1 (k UInt64, v String) PRIMARY KEY k "
+                 "SOURCE(CLICKHOUSE(TABLE 'sd')) LAYOUT(FLAT()) LIFETIME(0)")
+    row = sess.execute("SELECT * FROM system.dictionaries").collect()[0]
+    assert (row.name, row.layout, row.key, row.source, row.loaded) == \
+        ("d1", "FLAT", "k", "sd", False)
+    sess.execute("SELECT dictGet('d1', 'v', 1)").collect()
+    assert sess.execute("SELECT loaded FROM system.dictionaries"
+                        ).collect()[0].loaded is True
