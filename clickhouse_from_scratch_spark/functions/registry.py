@@ -580,7 +580,8 @@ _alias("fragment", lambda u: F.coalesce(
 _alias("extractURLParameter",
        lambda u, p: F.coalesce(F.parse_url(_c(u), F.lit("QUERY"), F.lit(p)),
                                F.lit("")))
-_alias("cutQueryString", lambda u: F.split(_c(u), r"\?")[0])
+# cutQueryString keeps the fragment (CH has cutQueryStringAndFragment
+# for both) — defined in the URL-tail section below
 _alias("cutFragment", lambda u: F.split(_c(u), r"#")[0])
 _alias("encodeURLComponent", lambda u: F.url_encode(_c(u)))
 _alias("decodeURLComponent", lambda u: F.url_decode(_c(u)))
@@ -732,6 +733,301 @@ _aggs.register_into(REGISTRY)
 # --- SQL-standard case-insensitive aliases --------------------------------
 # ClickHouse accepts these regardless of case (its FunctionFactory
 # registers them case-insensitive); the canonical map also lets the
+# --- round-3 breadth batch: arrays / URL / JSON / maps / hash / text ------
+
+def _rotate_left(a, n) -> Column:
+    a, n = _c(a), _c(n)
+    k = F.pmod(n, F.greatest(F.size(a), F.lit(1)))
+    return F.when(F.size(a) <= 1, a).otherwise(
+        F.concat(F.slice(a, k + 1, F.size(a) - k), F.slice(a, 1, k)))
+
+
+_alias("arrayRotateLeft", _rotate_left)
+_alias("arrayRotateRight",
+       lambda a, n: _rotate_left(a, F.size(_c(a)) - F.pmod(
+           _c(n), F.greatest(F.size(_c(a)), F.lit(1)))))
+
+
+@register("arrayFill")
+def _array_fill(f, a):
+    """arrayFill(cond, arr): elements where cond is false take the value
+    of the nearest preceding element where cond held (scan left→right).
+    ``F.slice(a, 1, 0)`` seeds an empty array of the right element type."""
+    a = _c(a)
+    return F.aggregate(
+        a, F.slice(a, 1, 0),
+        lambda acc, x: F.concat(acc, F.array(
+            F.when(f(x) | (F.size(acc) == 0), x)
+             .otherwise(F.element_at(acc, -1)))))
+
+
+_alias("arrayReverseFill",
+       lambda f, a: F.reverse(_array_fill(f, F.reverse(_c(a)))))
+
+
+@register("arraySplit")
+def _array_split(f, *arrays):
+    """arraySplit(lambda, arr[, arr2…]): cut into groups, starting a new
+    group at every index where the lambda is true (index 1 always starts
+    the first group). Lambda args are the zipped per-index elements."""
+    a = _c(arrays[0])
+    els = [_c(x) for x in arrays]
+
+    def cond(i: Column) -> Column:
+        return f(*[F.element_at(x, i) for x in els])
+
+    init = F.array(F.slice(a, 1, 0))           # [[]] with the right type
+    stepped = F.aggregate(
+        F.sequence(F.lit(1), F.size(a)), init,
+        lambda acc, i: F.when(cond(i) & (i > 1), F.concat(
+            acc, F.array(F.array(F.element_at(a, i)))))
+        .otherwise(F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat(F.element_at(acc, -1),
+                             F.array(F.element_at(a, i)))))))
+    return F.when(F.size(a) == 0, F.slice(init, 1, 0)).otherwise(stepped)
+
+
+@register("mapFilter")
+def _map_filter(f, m):
+    return F.map_filter(_c(m), f)
+
+
+@register("mapApply")
+def _map_apply(f, m):
+    return F.map_from_entries(
+        F.transform(F.map_entries(_c(m)),
+                    lambda e: f(e["key"], e["value"])))
+
+
+def _map_merge(op):
+    def fn(*maps):
+        out = _c(maps[0])
+        for m in maps[1:]:
+            out = F.map_zip_with(out, _c(m),
+                                 lambda k, v1, v2: op(F.coalesce(v1, F.lit(0)),
+                                                      F.coalesce(v2, F.lit(0))))
+        return out
+    return fn
+
+
+_alias("mapAdd", _map_merge(lambda a, b: a + b))
+_alias("mapSubtract", _map_merge(lambda a, b: a - b))
+_alias("mapUpdate", lambda m1, m2: F.map_zip_with(
+    _c(m1), _c(m2), lambda k, v1, v2: F.coalesce(v2, v1)))
+
+# URL tail: firstSignificantSubdomain heuristic per public CH docs — if
+# the second-to-last label is com/net/org/co, the significant label is
+# third-from-last (news.example.co.uk → example), else second-from-last.
+_SECOND_LEVEL = ("com", "net", "org", "co")
+
+
+def _domain_parts(url) -> Column:
+    return F.split(REGISTRY["domain"](url), r"\.")
+
+
+def _sig_start(parts: Column) -> Column:
+    n = F.size(parts)
+    return F.when((n >= 3) & F.element_at(parts, n - 1).isin(*_SECOND_LEVEL),
+                  n - 2).otherwise(F.greatest(n - 1, F.lit(1)))
+
+
+_alias("firstSignificantSubdomain",
+       lambda u: F.element_at(_domain_parts(u), _sig_start(_domain_parts(u))))
+_alias("cutToFirstSignificantSubdomain",
+       lambda u: F.array_join(F.slice(
+           _domain_parts(u), _sig_start(_domain_parts(u)),
+           F.size(_domain_parts(u))), "."))
+_alias("topLevelDomain",
+       lambda u: F.element_at(_domain_parts(u), F.size(_domain_parts(u))))
+_alias("cutQueryString",
+       lambda u: F.regexp_replace(_c(u), r"\?[^#]*", ""))
+_alias("cutFragment", lambda u: F.regexp_replace(_c(u), r"#.*", ""))
+_alias("cutQueryStringAndFragment",
+       lambda u: F.regexp_replace(_c(u), r"[?#].*", ""))
+
+_alias("alphaTokens", lambda s: F.filter(
+    F.split(_c(s), "[^A-Za-z]+"), lambda x: x != ""))
+_alias("bin", lambda c: F.bin(_c(c)))
+
+
+def _reinterpret_le(n_bytes: int):
+    """reinterpretAsUInt*: little-endian integer from the leading bytes
+    of a string (byte values via codepoints — exact for ASCII/latin1
+    content; CH strings are raw bytes, Spark strings UTF-8)."""
+    def fn(c) -> Column:
+        c = _c(c)
+        top = F.least(F.length(c), F.lit(n_bytes))
+        return F.aggregate(
+            F.sequence(top, F.lit(1), F.lit(-1)), F.lit(0).cast("long"),
+            lambda acc, i: acc * 256 + F.ascii(F.substr(c, i, F.lit(1))))
+    return fn
+
+
+for _nb, _sfx in [(1, "8"), (2, "16"), (4, "32"), (8, "64")]:
+    _alias(f"reinterpretAsUInt{_sfx}", _reinterpret_le(_nb))
+    _alias(f"reinterpretAsInt{_sfx}", _reinterpret_le(_nb))
+
+# 64-bit hash stand-ins: deterministic xxhash64 analogues (same policy as
+# cityHash64/sipHash64 above — CH-exact bit parity is a non-goal)
+for _h64 in ("murmurHash2_64", "murmurHash3_64", "farmHash64",
+             "farmFingerprint64", "wyHash64", "metroHash64"):
+    _alias(_h64, lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
+for _h32 in ("murmurHash2_32", "murmurHash3_32", "javaHash", "hiveHash"):
+    _alias(_h32, lambda *cs: F.hash(*[_c(c) for c in cs]).cast("long"))
+_alias("sipHash128", lambda *cs: F.unhex(F.md5(F.concat_ws(
+    "\x00", *[_c(c).cast("string") for c in cs]))))
+
+
+def _json_type(c) -> Column:
+    t = F.trim(_c(c))
+    f = F.substring(t, 1, 1)
+    return (F.when(f == "{", "Object").when(f == "[", "Array")
+            .when(f == '"', "String").when(t.isin("true", "false"), "Bool")
+            .when(t == "null", "Null")
+            .when(t.rlike(r"[.eE]"), "Double").otherwise("Int64"))
+
+
+_alias("JSONType", _json_type)
+_alias("JSONExtractArrayRaw", lambda c: F.from_json(_c(c), "array<string>"))
+_alias("JSONExtractKeys",
+       lambda c: F.map_keys(F.from_json(_c(c), "map<string,string>")))
+
+
+@register("JSONExtractKeysAndValues")
+def _json_kv(c, ch_type="String"):
+    from .typemap import ch_type_to_spark
+    vt = ch_type_to_spark(str(ch_type).strip("'\""))
+    return F.map_entries(F.from_json(_c(c), f"map<string,{vt}>"))
+
+
+for _sj, _tj in [("simpleJSONExtractInt", "JSONExtractInt"),
+                 ("simpleJSONExtractFloat", "JSONExtractFloat"),
+                 ("simpleJSONExtractBool", "JSONExtractBool"),
+                 ("simpleJSONExtractString", "JSONExtractString"),
+                 ("simpleJSONExtractRaw", "JSONExtractRaw"),
+                 ("simpleJSONHas", "JSONHas")]:
+    _alias(_sj, REGISTRY[_tj])
+
+_alias("randomString", lambda n: F.substring(
+    F.sha2(F.rand().cast("string"), 256), 1, int(n)))
+_alias("toModifiedJulianDay", lambda c: F.datediff(
+    F.to_date(_c(c)), F.lit("1858-11-17").cast("date")).cast("long"))
+_alias("fromModifiedJulianDay", lambda c: F.date_add(
+    F.lit("1858-11-17").cast("date"), _c(c).cast("int")))
+
+
+_alias("multiSearchAny", lambda h, ns: F.exists(
+    _c(ns), lambda n: _c(h).contains(n)).cast("int"))
+_alias("multiSearchAnyCaseInsensitive", lambda h, ns: F.exists(
+    F.transform(_c(ns), F.lower),
+    lambda n: F.lower(_c(h)).contains(n)).cast("int"))
+_alias("multiSearchFirstIndex", lambda h, ns: F.coalesce(
+    F.element_at(F.filter(F.zip_with(
+        _c(ns), F.sequence(F.lit(1), F.size(_c(ns))),
+        lambda n, i: F.when(_c(h).contains(n), i).otherwise(0)),
+        lambda x: x > 0), 1), F.lit(0)))
+_alias("multiSearchAllPositions", lambda h, ns: F.transform(
+    _c(ns), lambda n: F.instr(_c(h), n)))
+_alias("multiSearchFirstPosition", lambda h, ns: F.coalesce(
+    F.array_min(F.filter(F.transform(_c(ns), lambda n: F.instr(_c(h), n)),
+                         lambda p: p > 0)), F.lit(0)))
+
+_alias("editDistance", lambda a, b: F.levenshtein(_c(a), _c(b)).cast("long"))
+_alias("levenshteinDistance", REGISTRY["editDistance"])
+_alias("byteHammingDistance", lambda a, b: F.aggregate(
+    F.zip_with(F.split(_c(a), ""), F.split(_c(b), ""),
+               lambda x, y: F.when(x.eqNullSafe(y), 0).otherwise(1)),
+    F.lit(0).cast("long"), lambda acc, v: acc + v))
+_alias("soundex", lambda c: F.soundex(_c(c)))
+
+
+def _readable_delta(c) -> Column:
+    s = _c(c).cast("long")
+    segs = []
+    d = F.floor(s / 86400)
+    h = F.floor((s % 86400) / 3600)
+    m = F.floor((s % 3600) / 60)
+    sec = s % 60
+    for v, unit in [(d, "day"), (h, "hour"), (m, "minute"), (sec, "second")]:
+        segs.append(F.when(v > 0, F.concat(
+            v.cast("string"), F.lit(" " + unit),
+            F.when(v == 1, F.lit("")).otherwise(F.lit("s")))))
+    joined = F.array_join(F.array(*segs), ", ")   # nulls skipped
+    return F.when(joined == "", "0 seconds").otherwise(joined)
+
+
+_alias("formatReadableTimeDelta", _readable_delta)
+_alias("space", lambda n: F.repeat(F.lit(" "), int(n)))
+
+_XML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ('"', "&quot;"), ("'", "&apos;")]
+
+
+def _encode_xml(c) -> Column:
+    out = _c(c)
+    for raw, esc in _XML_ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def _decode_xml(c) -> Column:
+    out = _c(c)
+    for raw, esc in reversed(_XML_ESCAPES):
+        out = F.replace(out, F.lit(esc), F.lit(raw))
+    return out
+
+
+_alias("encodeXMLComponent", _encode_xml)
+_alias("decodeXMLComponent", _decode_xml)
+
+
+def _pandas_str_udf(py_fn):
+    """Arrow-batched string→string kernel (Series.map, never per-row
+    Python UDF) for transforms with no JVM equivalent."""
+    import pandas as pd
+
+    def f(s):
+        return s.map(lambda x: py_fn(x) if x is not None else None)
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, "string")
+
+
+def _py_punycode_enc(x: str) -> str:
+    return x.encode("punycode").decode("ascii")
+
+
+def _py_punycode_dec(x: str) -> str:
+    return x.encode("ascii").decode("punycode")
+
+
+def _py_idna_enc(x: str) -> str:
+    return ".".join(p.encode("idna").decode("ascii")
+                    for p in x.split(".") if p)
+
+
+def _py_idna_dec(x: str) -> str:
+    return ".".join(p.encode("ascii").decode("idna")
+                    for p in x.split(".") if p)
+
+
+_alias("punycodeEncode", lambda c: _pandas_str_udf(_py_punycode_enc)(_c(c)))
+_alias("punycodeDecode", lambda c: _pandas_str_udf(_py_punycode_dec)(_c(c)))
+_alias("idnaEncode", lambda c: _pandas_str_udf(_py_idna_enc)(_c(c)))
+_alias("idnaDecode", lambda c: _pandas_str_udf(_py_idna_dec)(_c(c)))
+
+for _form in ("NFC", "NFD", "NFKC", "NFKD"):
+    def _mk_norm(form):
+        import unicodedata
+
+        def enc(x: str) -> str:
+            return unicodedata.normalize(form, x)
+        return enc
+    _alias(f"normalizeUTF8{_form}",
+           lambda c, _f=_form: _pandas_str_udf(_mk_norm(_f))(_c(c)))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

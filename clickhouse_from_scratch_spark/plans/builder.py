@@ -2093,12 +2093,16 @@ _LITERAL_ARG_FNS = {
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
-    "accurateCast", "accurateCastOrNull",
+    "accurateCast", "accurateCastOrNull", "age", "positionCaseInsensitive",
+    "JSONExtractKeysAndValues", "simpleJSONExtractInt",
+    "simpleJSONExtractFloat", "simpleJSONExtractBool",
+    "simpleJSONExtractString", "simpleJSONExtractRaw", "simpleJSONHas",
+    "randomString", "space",
 }
 
 
 _UNIT_ARG_FNS = {"dateDiff", "dateAdd", "dateSub", "timestampAdd",
-                 "timestampSub", "dateName", "toStartOfInterval"}
+                 "timestampSub", "dateName", "toStartOfInterval", "age"}
 _INTERVAL_UNITS = {"year", "quarter", "month", "week", "day", "hour",
                    "minute", "second", "millisecond", "microsecond",
                    "nanosecond"}

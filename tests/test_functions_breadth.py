@@ -1,0 +1,97 @@
+"""Round-3 breadth batch: array/map HOFs, URL tail, JSON introspection,
+reinterpret, multiSearch, distance/phonetic, XML/punycode/normalize.
+All JVM-side except punycode/idna/normalizeUTF8 (Arrow Series.map)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_from_scratch_spark.plans import execute_sql
+
+CASES = [
+    ("arrayRotateLeft([1,2,3],1)", [2, 3, 1]),
+    ("arrayRotateRight([1,2,3],1)", [3, 1, 2]),
+    ("arrayRotateLeft([1,2,3],4)", [2, 3, 1]),          # wraps
+    ("arrayFill(x -> x > 0, [1,0,0,2,0])", [1, 1, 1, 2, 2]),
+    ("arrayFill(x -> x > 0, [0,0,1])", [0, 0, 1]),      # no predecessor
+    ("arrayReverseFill(x -> x > 0, [0,1,0,2])", [1, 1, 2, 2]),
+    ("arraySplit((x,y) -> y = 1, [1,2,3,4,5], [1,0,0,1,0])",
+     [[1, 2, 3], [4, 5]]),
+    ("arraySplit(x -> x < 0, [])", []),
+    ("cutToFirstSignificantSubdomain('https://news.example.co.uk/path')",
+     "example.co.uk"),
+    ("firstSignificantSubdomain('https://news.example.co.uk/p')",
+     "example"),
+    ("firstSignificantSubdomain('https://www.example.com/p')", "example"),
+    ("topLevelDomain('https://a.b.org/x')", "org"),
+    ("cutQueryString('https://e.com/a?q=1#f')", "https://e.com/a#f"),
+    ("cutFragment('https://e.com/a?q=1#f')", "https://e.com/a?q=1"),
+    ("cutQueryStringAndFragment('https://e.com/a?q=1#f')",
+     "https://e.com/a"),
+    ("alphaTokens('ab12cd')", ["ab", "cd"]),
+    ("bin(5)", "101"),
+    ("reinterpretAsUInt16('ab')", 98 * 256 + 97),       # little-endian
+    ("reinterpretAsUInt32('abcd')",
+     100 * 16777216 + 99 * 65536 + 98 * 256 + 97),
+    ("JSONType('{\"a\":1}')", "Object"),
+    ("JSONType('[1]')", "Array"),
+    ("JSONType('3.5')", "Double"),
+    ("JSONType('42')", "Int64"),
+    ("JSONExtractArrayRaw('[1,2,3]')", ["1", "2", "3"]),
+    ("simpleJSONExtractInt('{\"a\":5}','a')", 5),
+    ("toModifiedJulianDay('2024-01-01')", 60310),
+    ("multiSearchAny('hello world', ['world','x'])", 1),
+    ("multiSearchAny('hello', ['xyz'])", 0),
+    ("multiSearchFirstIndex('ab cd', ['cd','ab'])", 1),
+    ("multiSearchFirstPosition('ab cd', ['cd','zz'])", 4),
+    ("multiSearchAllPositions('ab cd', ['ab','cd','zz'])", [1, 4, 0]),
+    ("editDistance('kitten','sitting')", 3),
+    ("soundex('Robert')", "R163"),
+    ("formatReadableTimeDelta(3700)", "1 hour, 1 minute, 40 seconds"),
+    ("formatReadableTimeDelta(90061)", "1 day, 1 hour, 1 minute, 1 second"),
+    ("formatReadableTimeDelta(0)", "0 seconds"),
+    ("space(3)", "   "),
+    ("encodeXMLComponent('<a&b>')", "&lt;a&amp;b&gt;"),
+    ("decodeXMLComponent('&lt;a&amp;b&gt;')", "<a&b>"),
+    ("punycodeEncode('münchen')", "mnchen-3ya"),
+    ("punycodeDecode('mnchen-3ya')", "münchen"),
+    ("idnaEncode('münchen.de')", "xn--mnchen-3ya.de"),
+    ("idnaDecode('xn--mnchen-3ya.de')", "münchen.de"),
+    ("normalizeUTF8NFC('abc')", "abc"),
+    ("age('month', toDate('2024-01-15'), toDate('2024-03-20'))", 2),
+    ("positionCaseInsensitive('AbC','b')", 2),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES,
+                         ids=[c[0][:40] for c in CASES])
+def test_breadth_scalar(spark, expr, expected):
+    got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
+    if isinstance(expected, list):
+        assert list(got or []) == expected
+    else:
+        assert got == expected
+
+
+def test_breadth_maps(spark):
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r", {}).collect()[0].r
+    assert dict(run("mapFilter((k,v) -> v > 1, map('a',1,'b',2))")) == \
+        {"b": 2}
+    assert dict(run("mapAdd(map('a',1), map('a',2,'b',3))")) == \
+        {"a": 3, "b": 3}
+    assert dict(run("mapSubtract(map('a',5), map('a',2))")) == {"a": 3}
+    assert dict(run("mapUpdate(map('a',1,'b',2), map('b',9))")) == \
+        {"a": 1, "b": 9}
+    kv = run("JSONExtractKeysAndValues('{\"a\":1,\"b\":2}', 'Int64')")
+    assert [(e.key, e.value) for e in kv] == [("a", 1), ("b", 2)]
+
+
+def test_breadth_hash_stand_ins(spark):
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r", {}).collect()[0].r
+    # deterministic, non-null, 64-bit range
+    assert run("murmurHash2_64('x')") == run("murmurHash2_64('x')")
+    assert run("farmHash64('x')") != run("farmHash64('y')")
+    assert len(run("sipHash128('x')")) == 16      # 128-bit binary
+    assert len(run("randomString(5)")) == 5

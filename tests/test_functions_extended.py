@@ -23,8 +23,9 @@ def _one(spark, col):
     ("queryString", lambda: (F.lit(URL),), "x=1&y=2"),
     ("fragment", lambda: (F.lit(URL),), "frag"),
     ("extractURLParameter", lambda: (F.lit(URL), "y"), "2"),
+    # CH keeps the fragment (cutQueryStringAndFragment drops both)
     ("cutQueryString", lambda: (F.lit(URL),),
-     "https://www.example.com/path/page"),
+     "https://www.example.com/path/page#frag"),
     ("arrayCumSum", lambda: (F.array(F.lit(1), F.lit(2), F.lit(3)),),
      [1.0, 3.0, 6.0]),
     ("arrayWithConstant", lambda: (3, F.lit("x")), ["x", "x", "x"]),
