@@ -83,6 +83,141 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
 }
 
 
+def _moving_fold(x, avg: bool = False) -> Column:
+    """groupArrayMovingSum/Avg: prefix sums over the collected values.
+    Collection order is Spark's task order (CH uses insertion order —
+    both are deterministic only under an outer ORDER BY)."""
+    lst = F.collect_list(_c(x).cast("double"))
+    sums = F.aggregate(
+        lst, F.struct(F.slice(lst, 1, 0).alias("arr"),
+                      F.lit(0.0).alias("tot")),
+        lambda st, v: F.struct(
+            F.concat(st.arr, F.array(st.tot + v)).alias("arr"),
+            (st.tot + v).alias("tot")),
+        lambda st: st.arr)
+    if not avg:
+        return sums
+    return F.zip_with(sums, F.sequence(F.lit(1), F.size(sums)),
+                      lambda s, i: s / i.cast("double"))
+
+
+def _delta_sum_ts(x, t) -> Column:
+    """deltaSumTimestamp(value, ts): sum of positive consecutive deltas
+    in timestamp order — the order-deterministic form of deltaSum."""
+    pairs = F.array_sort(F.collect_list(
+        F.struct(_c(t).alias("t"), _c(x).cast("double").alias("v"))))
+    return F.aggregate(
+        pairs,
+        F.struct(F.lit(None).cast("double").alias("prev"),
+                 F.lit(0.0).alias("acc")),
+        lambda st, p: F.struct(
+            p.v.alias("prev"),
+            (st.acc + F.when(st.prev.isNotNull() & (p.v > st.prev),
+                             p.v - st.prev).otherwise(0.0)).alias("acc")),
+        lambda st: st.acc)
+
+
+def _top_k_weighted(k: int, x, w) -> Column:
+    """topKWeighted(k)(x, w): k values with the largest summed weights.
+    One map per row, fold-merged group-locally (no extra shuffle)."""
+    per_row = F.map_from_arrays(F.array(_c(x)),
+                                F.array(_c(w).cast("double")))
+    lst = F.collect_list(per_row)
+    merged = F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        lambda acc, m: F.map_zip_with(
+            acc, m, lambda _, a, b: F.coalesce(a, F.lit(0.0))
+            + F.coalesce(b, F.lit(0.0))))
+    ranked = F.array_sort(F.transform(
+        F.map_entries(merged),
+        lambda e: F.struct((-e["value"]).alias("nw"), e["key"].alias("k"))))
+    return F.slice(F.transform(ranked, lambda s: s["k"]), 1, k)
+
+
+def _interval_length_sum(s, e) -> Column:
+    """intervalLengthSum(start, end): length of the union of intervals
+    (sweep over start-sorted intervals, merging overlaps)."""
+    iv = F.array_sort(F.collect_list(
+        F.struct(_c(s).cast("double").alias("s"),
+                 _c(e).cast("double").alias("e"))))
+    return F.aggregate(
+        iv,
+        F.struct(F.lit(None).cast("double").alias("hi"),
+                 F.lit(0.0).alias("acc")),
+        lambda st, p: F.struct(
+            F.greatest(F.coalesce(st.hi, p.s), p.e).alias("hi"),
+            (st.acc + F.greatest(
+                p.e - F.greatest(F.coalesce(st.hi, p.s), p.s),
+                F.lit(0.0))).alias("acc")),
+        lambda st: st.acc)
+
+
+def _max_intersections(s, e) -> Column:
+    """maxIntersections(start, end): max number of [s, e) intervals
+    covering any point — +1/-1 event sweep; ends sort before starts at
+    equal points (struct order: point asc, then delta asc)."""
+    events = F.array_sort(F.concat(
+        F.collect_list(F.struct(_c(s).cast("double").alias("p"),
+                                F.lit(1).alias("d"))),
+        F.collect_list(F.struct(_c(e).cast("double").alias("p"),
+                                F.lit(-1).alias("d")))))
+    return F.aggregate(
+        events,
+        F.struct(F.lit(0).cast("long").alias("cur"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda st, ev: F.struct(
+            (st.cur + ev.d).alias("cur"),
+            F.greatest(st.best, st.cur + ev.d).alias("best")),
+        lambda st: st.best)
+
+
+def _simple_linreg(x, y) -> Column:
+    k = F.covar_pop(_c(x), _c(y)) / F.var_pop(_c(x))
+    return F.struct(k.alias("k"),
+                    (F.avg(_c(y)) - k * F.avg(_c(x))).alias("b"))
+
+
+def _ema_time(halflife: float, v, t) -> Column:
+    """exponentialMovingAverage(halflife)(value, time): time-decayed
+    mean Σ v·2^(-(tmax-t)/h) / Σ 2^(-(tmax-t)/h). The 2^(-tmax/h)
+    factor cancels, so it reduces to one pass of two sums — no sort."""
+    w = F.pow(F.lit(2.0), _c(t).cast("double") / F.lit(float(halflife)))
+    return F.sum(_c(v).cast("double") * w) / F.sum(w)
+
+
+AGGREGATES.update({
+    "groupArrayMovingSum": lambda x: _moving_fold(x),
+    "groupArrayMovingAvg": lambda x: _moving_fold(x, avg=True),
+    "deltaSumTimestamp": _delta_sum_ts,
+    "quantileTiming": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
+    "quantileDeterministic":
+        lambda q, x, det=None: F.percentile(_c(x), F.lit(q)),
+    "quantileBFloat16": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
+    "quantilesExact": lambda qs, x: F.percentile(
+        _c(x), F.array(*[F.lit(q) for q in qs])),
+    "quantilesTDigest": lambda qs, x: F.percentile_approx(
+        _c(x), F.array(*[F.lit(q) for q in qs])),
+    "quantilesTiming": lambda qs, x: F.percentile_approx(
+        _c(x), F.array(*[F.lit(q) for q in qs])),
+    "medianExact": lambda x: F.percentile(_c(x), F.lit(0.5)),
+    "medianTDigest": lambda x: F.percentile_approx(_c(x), F.lit(0.5)),
+    "topKWeighted": _top_k_weighted,
+    "first_value": lambda x: F.first(_c(x), ignorenulls=True),
+    "last_value": lambda x: F.last(_c(x), ignorenulls=True),
+    "uniqTheta": lambda x: F.approx_count_distinct(_c(x)),
+    "groupArraySample": lambda n, x: F.slice(F.collect_list(_c(x)), 1, n),
+    "groupArrayLast": lambda n, x: F.reverse(F.slice(
+        F.reverse(F.collect_list(_c(x))), 1, n)),
+    "sumCount": lambda x: F.struct(F.sum(_c(x)).alias("_1"),
+                                   F.count(_c(x)).alias("_2")),
+    "simpleLinearRegression": _simple_linreg,
+    "intervalLengthSum": _interval_length_sum,
+    "maxIntersections": _max_intersections,
+    "exponentialMovingAverage": _ema_time,
+})
+
+
 def _entropy(x: Column) -> Column:
     """Shannon entropy (log2) of the value distribution:
     H = log2(n) - (Σ c·log2 c)/n over per-value counts c.

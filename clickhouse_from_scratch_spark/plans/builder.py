@@ -1494,23 +1494,30 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         raise BuildError(f"FILTER not supported for {name}")
     if name.endswith("If") and name in REGISTRY:
         return ch(name, *args)
-    if name in ("quantile", "quantileExact", "quantileTDigest") and params:
-        return ch(name, params[0], *args)
-    if name == "quantiles" and params:
+    if name.startswith("quantiles") and params:
         return ch(name, params, *args)
-    if name in ("topK", "histogram") and params:
+    if (name.startswith("quantile") or name.startswith("median")) and params:
+        return ch(name, params[0], *args)
+    if name in ("topK", "histogram", "groupArraySample", "groupArrayLast",
+                "topKWeighted") and params:
         return ch(name, int(params[0]), *args)
+    if name == "exponentialMovingAverage" and params:
+        return ch(name, float(params[0]), *args)
     if name == "count" and not args:
         return F.count(F.lit(1))
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         return _map_agg(name, args[0], args[1], df)
+    if name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
+        # map-argument form: merge per-row maps, return a map
+        return _map_agg(name, F.map_keys(args[0]), F.map_values(args[0]),
+                        df, as_map=True)
     if name in REGISTRY:
         return ch(name, *args)
     raise BuildError(f"unknown aggregate: {name}")
 
 
 def _map_agg(name: str, keys: Column, vals: Column,
-             df: DataFrame) -> Column:
+             df: DataFrame, as_map: bool = False) -> Column:
     """sumMap/minMap/maxMap(keys, values): per-key reduction across the
     group, returned as CH's tuple(sorted keys array, values array).
 
@@ -1529,6 +1536,8 @@ def _map_agg(name: str, keys: Column, vals: Column,
                            lambda _, a, b: F.when(a.isNull(), b)
                                             .when(b.isNull(), a)
                                             .otherwise(op(a, b)))))
+    if as_map:
+        return merged
     ks = F.array_sort(F.map_keys(merged))
     return F.struct(ks.alias("_1"),
                     F.transform(ks, lambda k: F.element_at(merged, k))

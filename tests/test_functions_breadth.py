@@ -95,3 +95,37 @@ def test_breadth_hash_stand_ins(spark):
     assert run("farmHash64('x')") != run("farmHash64('y')")
     assert len(run("sipHash128('x')")) == 16      # 128-bit binary
     assert len(run("randomString(5)")) == 5
+
+
+def test_breadth_aggregates(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, 1.0, "a", 10), (1, 2.0, "b", 20),
+         (2, 5.0, "c", 30), (2, 7.0, "a", 40)],
+        "k long, v double, s string, ts long")}
+
+    def run(agg):
+        rows = execute_sql(
+            spark, f"SELECT k, {agg} AS r FROM t GROUP BY k ORDER BY k",
+            t).collect()
+        return [r.r for r in rows]
+
+    assert run("groupArrayMovingSum(v)") == [[1.0, 3.0], [5.0, 12.0]]
+    assert run("groupArrayMovingAvg(v)") == [[1.0, 1.5], [5.0, 6.0]]
+    assert run("deltaSumTimestamp(v, ts)") == [1.0, 2.0]
+    assert run("medianExact(v)") == [1.5, 6.0]
+    assert run("quantilesExact(0.25, 0.75)(v)") == [[1.25, 1.75],
+                                                    [5.5, 6.5]]
+    assert run("topKWeighted(1)(s, v)") == [["b"], ["a"]]
+    assert run("groupArrayLast(1)(v)") == [[2.0], [7.0]]
+    assert [tuple(r) for r in run("sumCount(v)")] == [(3.0, 2), (12.0, 2)]
+    # y = 0.1*ts exactly for k=1 -> slope 0.1, intercept 0
+    slope, intercept = run("simpleLinearRegression(ts, v)")[0]
+    assert abs(slope - 0.1) < 1e-9 and abs(intercept) < 1e-9
+    # [1, 2.5] U [2, 3.5] -> 2.5 ; [5, 6.5] U [7, 8.5] -> 3.0
+    assert run("intervalLengthSum(v, v + 1.5)") == [2.5, 3.0]
+    # [1,4) and [2,5) overlap -> 2
+    assert run("maxIntersections(v, v + 3)") == [2, 2]
+    assert [dict(m) for m in run("sumMap(map(s, k))")] == [
+        {"a": 1, "b": 1}, {"a": 2, "c": 2}]
+    ema = run("exponentialMovingAverage(10)(v, ts)")
+    assert all(isinstance(x, float) for x in ema)
