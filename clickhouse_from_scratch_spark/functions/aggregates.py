@@ -250,6 +250,104 @@ def _entropy(x: Column) -> Column:
 
     return F.aggregate(lst, init, step, finish)
 
+# --- generic combinator resolution (public CH combinator mechanics) -------
+#
+# Any aggregate name can be suffixed: sumIf, sumArray, sumArrayIf,
+# avgForEach, countOrNull, anyState, … Resolution peels suffixes right to
+# left until it reaches a base aggregate, composing wrappers.
+
+def _array_combinator(base_name: str, arr) -> Column:
+    """-Array: aggregate over every ELEMENT of the array arguments
+    (sumArray([1,2]) over 2 rows = sum of 4 numbers). One flatten over
+    the group's collected arrays, then a JVM array reduction."""
+    from .registry import REGISTRY as R
+    flat = F.flatten(F.collect_list(_c(arr)))
+    reducers = {
+        "sum": lambda: R["arraySum"](flat),
+        "count": lambda: F.size(flat).cast("long"),
+        "avg": lambda: R["arrayAvg"](flat),
+        "min": lambda: F.array_min(flat),
+        "max": lambda: F.array_max(flat),
+        "any": lambda: F.element_at(flat, 1),
+        "uniq": lambda: F.size(F.array_distinct(flat)).cast("long"),
+        "uniqExact": lambda: F.size(F.array_distinct(flat)).cast("long"),
+        "groupArray": lambda: flat,            # groupArrayArray = concat
+        "groupUniqArray": lambda: F.array_distinct(flat),
+    }
+    if base_name not in reducers:
+        raise ValueError(f"-Array combinator unsupported for {base_name}")
+    return reducers[base_name]()
+
+
+def _foreach_combinator(base_name: str, arr) -> Column:
+    """-ForEach: position-wise aggregation across array rows
+    (sumForEach over [1,2] and [3,4] = [4, 6])."""
+    arr = _c(arr)
+    if base_name == "count":
+        arr = F.transform(arr, lambda x: F.when(x.isNotNull(), 1)
+                          .otherwise(0).cast("long"))
+        base_name = "sum"
+    if base_name == "avg":
+        return F.zip_with(_foreach_combinator("sum", arr),
+                          _foreach_combinator("count", arr),
+                          lambda s, n: s / n)
+    ops = {"sum": lambda a, b: F.coalesce(a, F.lit(0)) +
+           F.coalesce(b, F.lit(0)),
+           "min": lambda a, b: F.least(a, b),
+           "max": lambda a, b: F.greatest(a, b)}
+    if base_name not in ops:
+        raise ValueError(f"-ForEach combinator unsupported for {base_name}")
+    lst = F.collect_list(arr)
+    rest = F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0)))
+    return F.aggregate(rest, F.element_at(lst, 1),
+                       lambda acc, m: F.zip_with(acc, m, ops[base_name]))
+
+
+def _combine(base, base_name: str, sfx: str):
+    if sfx == "If":
+        def _ifed(*a):
+            cond = _c(a[-1])
+            vals = a[:-1]
+            if not vals:                        # countIf(cond)
+                return base(F.when(cond, F.lit(1)))
+            return base(*[F.when(cond, _c(x)) for x in vals])
+        return _ifed
+    if sfx == "OrNull":
+        # NULL on an empty set (Spark sums already do; counts return 0)
+        return lambda *a: F.when(F.count(F.lit(1)) > 0, base(*a))
+    if sfx == "OrDefault":
+        return lambda *a: F.coalesce(base(*a), F.lit(0))
+    if sfx in ("State", "SimpleState", "Merge", "MergeState"):
+        # No AggregateFunction state type: Spark owns partial-aggregate
+        # state, so -State/-Merge collapse to finalized values (documented
+        # divergence; AggregatingMergeTree round-trips are out of scope)
+        return base
+    if sfx == "Array":
+        return lambda arr: _array_combinator(base_name, arr)
+    if sfx == "ForEach":
+        return lambda arr: _foreach_combinator(base_name, arr)
+    raise AssertionError(sfx)
+
+
+_COMBINATOR_SUFFIXES = ("OrNull", "OrDefault", "SimpleState", "MergeState",
+                        "State", "Merge", "Array", "ForEach", "If")
+
+
+def resolve_aggregate(name: str) -> Callable[..., Column] | None:
+    """Base aggregate or combinator chain → callable; None if ``name``
+    is not an aggregate (callers then treat it as a scalar)."""
+    if name in AGGREGATES:
+        return AGGREGATES[name]
+    for sfx in _COMBINATOR_SUFFIXES:
+        if name.endswith(sfx) and len(name) > len(sfx):
+            base_name = name[:-len(sfx)]
+            base = resolve_aggregate(base_name)
+            if base is None:
+                continue
+            return _combine(base, base_name, sfx)
+    return None
+
+
 # -If combinator for every base aggregate (sumIf, countIf, avgIf, ...)
 _IF_BASES = ["sum", "count", "avg", "min", "max", "any", "uniq", "uniqExact",
              "argMin", "argMax"]

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import REGISTRY, ch
-from ..functions.aggregates import AGGREGATES
+from ..functions.aggregates import AGGREGATES, resolve_aggregate
 from ..functions.typemap import (
     CH_NUMERIC, arithmetic_result_type, ch_literal_type, ch_type_to_spark,
     least_supertype, negate_result_type, spark_type_to_ch_numeric,
@@ -40,6 +40,16 @@ from .ast_nodes import (
 
 _AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
     "count", "countIf", "countDistinct", "sumMap", "minMap", "maxMap"}
+
+
+def _is_agg_name(name: str) -> bool:
+    """Aggregate detection incl. combinator chains (sumArrayIf,
+    countResample, anyState, ...) via aggregates.resolve_aggregate."""
+    if name in _AGG_NAMES:
+        return True
+    if name.endswith("Resample"):
+        return resolve_aggregate(name[: -len("Resample")]) is not None
+    return resolve_aggregate(name) is not None
 
 _WINDOW_FNS = {
     "row_number": lambda: F.row_number(),
@@ -1236,7 +1246,7 @@ def _scalar_corr_join(df: DataFrame, sub_ast, ctx: Context,
     expr = sub_ast.select[0]
     if isinstance(expr, Alias):
         expr = expr.expr
-    if not (isinstance(expr, FuncCall) and expr.name in _AGG_NAMES):
+    if not (isinstance(expr, FuncCall) and _is_agg_name(expr.name)):
         return None
     split = _split_equi_correlation(sub_ast, ctx, df)
     if split is None:
@@ -1340,7 +1350,7 @@ def _contains_agg(node) -> bool:
     if isinstance(node, Alias):
         return _contains_agg(node.expr)
     if isinstance(node, FuncCall):
-        if node.name in _AGG_NAMES and node.window is None:
+        if _is_agg_name(node.name) and node.window is None:
             return True
         return any(_contains_agg(a) for a in node.args)
     if isinstance(node, (ArrayLiteral, TupleLiteral)):
@@ -1379,7 +1389,7 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
             collect(node.expr)
             return
         if isinstance(node, FuncCall):
-            if node.name in _AGG_NAMES and node.window is None:
+            if _is_agg_name(node.name) and node.window is None:
                 slot = f"__agg{len(agg_slots)}"
                 key = _ast_key(node)
                 if key not in _slot_keys:
@@ -1513,6 +1523,25 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
                         df, as_map=True)
     if name in REGISTRY:
         return ch(name, *args)
+    if name.endswith("Resample") and params and len(params) >= 3:
+        # -Resample(start, end, step)(args..., key): one aggregate per
+        # bucket, expanded statically (params are literals) — stays a
+        # single pass with map-side combine per bucket
+        base = resolve_aggregate(name[: -len("Resample")])
+        if base is not None:
+            start, end, step = (int(params[0]), int(params[1]),
+                                int(params[2]))
+            key, vals = args[-1], args[:-1]
+            buckets = []
+            for lo in range(start, end, step):
+                cond = (key >= F.lit(lo)) & (key < F.lit(lo + step))
+                buckets.append(
+                    base(*[F.when(cond, v) for v in vals]) if vals
+                    else base(F.when(cond, F.lit(1))))
+            return F.array(*buckets)
+    combined = resolve_aggregate(name)
+    if combined is not None:
+        return combined(*args)
     raise BuildError(f"unknown aggregate: {name}")
 
 
@@ -1584,7 +1613,7 @@ def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
     if isinstance(node, Alias):
         return _eval_post(node.expr, out, ctx)
     if isinstance(node, FuncCall):
-        if node.name in _AGG_NAMES:
+        if _is_agg_name(node.name):
             raise BuildError(f"aggregate {node.name} not collected")
         if any(isinstance(a, Lambda) for a in node.args):
             # HOF over an aggregate result (arraySort(x->x, groupArray(y))):
@@ -2287,7 +2316,7 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
     if name in _WINDOW_VALUE_FNS:
         extra = [a.value for a in node.args[1:] if isinstance(a, Literal)]
         return _WINDOW_VALUE_FNS[name](cols[0], *extra).over(w)
-    if name in _AGG_NAMES:
+    if _is_agg_name(name):
         inner = FuncCall(node.name, node.args, node.params, node.distinct)
         return _agg_column(inner, ctx, df).over(w)
     raise BuildError(f"unknown window function: {name}")

@@ -129,3 +129,36 @@ def test_breadth_aggregates(spark):
         {"a": 1, "b": 1}, {"a": 2, "c": 2}]
     ema = run("exponentialMovingAverage(10)(v, ts)")
     assert all(isinstance(x, float) for x in ema)
+
+
+def test_aggregate_combinators(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0), (2, 7.0)], "k long, v double")}
+
+    def run(agg):
+        rows = execute_sql(
+            spark, f"SELECT k, {agg} AS r FROM t GROUP BY k ORDER BY k",
+            t).collect()
+        return [r.r for r in rows]
+
+    # -Array: aggregate over elements of all the group's arrays
+    assert run("sumArray([v, v])") == [6.0, 24.0]
+    assert run("countArray([v])") == [2, 2]
+    assert run("minArray([v])") == [1.0, 5.0]
+    assert run("groupArrayArray([v])") == [[1.0, 2.0], [5.0, 7.0]]
+    # -ForEach: position-wise
+    assert run("sumForEach([v, v + 1])") == [[3.0, 5.0], [12.0, 14.0]]
+    assert run("minForEach([v, v * 2])") == [[1.0, 2.0], [5.0, 10.0]]
+    assert run("countForEach([v])") == [[2], [2]]
+    # stacked: -Array then -If
+    assert run("sumArrayIf([v], k = 1)") == [3.0, 0.0]
+    # -Resample(start, end, step)(args..., key)
+    assert run("countResample(1, 3, 1)(k)") == [[2, 0], [0, 2]]
+    assert run("sumResample(1, 3, 1)(v, k)") == [[3.0, None], [None, 12.0]]
+    # -State/-Merge collapse to finalized values (documented divergence)
+    assert run("sumState(v)") == [3.0, 12.0]
+    assert run("sumMerge(v)") == [3.0, 12.0]
+    # -OrNull / -OrDefault
+    assert run("countOrNull()") == [2, 2]
+    assert run("avgOrNullIf(v, k = 9)") == [None, None]
+    assert run("sumOrDefault(v)") == [3.0, 12.0]
