@@ -848,6 +848,8 @@ _alias("cutQueryStringAndFragment",
 
 _alias("alphaTokens", lambda s: F.filter(
     F.split(_c(s), "[^A-Za-z]+"), lambda x: x != ""))
+_alias("toDecimalString", lambda x, n: F.regexp_replace(
+    F.format_number(_c(x).cast("double"), int(n)), ",", ""))
 _alias("bin", lambda c: F.bin(_c(c)))
 
 

@@ -134,8 +134,12 @@ def _build_query(q, ctx: Context) -> DataFrame:
                 out = out.union(nxt).distinct()
             elif mode == "intersect":
                 out = out.intersect(nxt)
+            elif mode == "intersect_all":
+                out = out.intersectAll(nxt)
             elif mode == "except":
                 out = out.subtract(nxt)
+            elif mode == "except_all":
+                out = out.exceptAll(nxt)
         return out
     return _build_select(q, ctx)
 
@@ -567,6 +571,42 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
             seed=int(args[1]) if len(args) > 1 else 42,
             max_str=int(args[2]) if len(args) > 2 else 10,
             max_arr=int(args[3]) if len(args) > 3 else 10)
+    if name == "values":
+        # values('a Int32, b String', (1,'x'), (2,'y')) — inline rows
+        from ..functions.typemap import ch_type_to_spark
+        from ..sources.generate import _split_cols
+        if not (node.args and isinstance(node.args[0], Literal)):
+            raise BuildError("values() requires a literal schema string")
+        cols = _split_cols(node.args[0].value)
+        spark_schema = ", ".join(f"`{n}` {ch_type_to_spark(t)}"
+                                 for n, t in cols)
+        rows = []
+        for a in node.args[1:]:
+            if isinstance(a, TupleLiteral):
+                vals = []
+                for item in a.items:
+                    if not isinstance(item, Literal):
+                        raise BuildError("values() rows must be literals")
+                    vals.append(item.value)
+                rows.append(tuple(vals))
+            elif isinstance(a, Literal):
+                rows.append((a.value,))
+            else:
+                raise BuildError("values() rows must be literals")
+        return ctx.spark.createDataFrame(rows, spark_schema)
+    if name == "format":
+        # format(FormatName, 'data') — inline data in any input format;
+        # same temp-file + format-registry path as INSERT ... FORMAT
+        import tempfile
+
+        from ..sources import read_format
+        fmt = (node.args[0].name if isinstance(node.args[0], Identifier)
+               else str(node.args[0].value))
+        data = node.args[1].value
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".data", delete=False) as fh:
+            fh.write(data)
+        return read_format(ctx.spark, fmt, fh.name)
     if name in _PIPELINE_TFS:
         return _pipeline_table_function(name, node, ctx)
     raise BuildError(f"unsupported table function: {node.name}")
@@ -2135,7 +2175,7 @@ _LITERAL_ARG_FNS = {
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",
     "simpleJSONExtractFloat", "simpleJSONExtractBool",
     "simpleJSONExtractString", "simpleJSONExtractRaw", "simpleJSONHas",
-    "randomString", "space",
+    "randomString", "space", "toDecimalString",
 }
 
 
@@ -2283,6 +2323,10 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
         return target(arrays[0], fn)
     if name == "arraySort":
         return F.array_sort(F.transform(arrays[0], fn))
+    if name == "arrayFold":
+        # arrayFold(λ(acc, x), arr, init) — CH arg order; F.aggregate
+        # takes (arr, init, merge)
+        return F.aggregate(arrays[0], arrays[1], fn)
     # registry HOFs (arrayFirst/arrayLast/arrayFirstIndex/…) take the
     # bound callable as their first argument
     if name in REGISTRY:

@@ -120,11 +120,17 @@ class Parser:
                     self.accept_kw("ALL")
                     modes.append("all")
             elif self.accept_kw("INTERSECT"):
-                self.accept_kw("DISTINCT")
-                modes.append("intersect")
+                if self.accept_kw("ALL"):
+                    modes.append("intersect_all")
+                else:
+                    self.accept_kw("DISTINCT")
+                    modes.append("intersect")
             elif self.accept_kw("EXCEPT"):
-                self.accept_kw("DISTINCT")
-                modes.append("except")
+                if self.accept_kw("ALL"):
+                    modes.append("except_all")
+                else:
+                    self.accept_kw("DISTINCT")
+                    modes.append("except")
             else:
                 break
             selects.append(self._select_or_paren())

@@ -1025,3 +1025,34 @@ def test_merge_table_function(spark):
     from clickhouse_from_scratch_spark.plans.builder import BuildError
     with pytest.raises(BuildError, match="no tables match"):
         execute_sql(spark, "SELECT * FROM merge('nope.*')", tabs)
+
+
+def test_values_and_format_table_functions(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT * FROM values('a Int32, b String', (1,'x'), (2,'y')) "
+        "ORDER BY a", {}).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+    rows = execute_sql(
+        spark,
+        "SELECT a + 1 AS n FROM format(JSONEachRow, "
+        "'{\"a\": 1}\n{\"a\": 2}') ORDER BY n", {}).collect()
+    assert [r.n for r in rows] == [2, 3]
+
+
+def test_set_op_all_modifiers(spark):
+    out = execute_sql(
+        spark, "SELECT 1 AS x UNION ALL SELECT 1 EXCEPT ALL SELECT 1",
+        {}).collect()
+    assert [r.x for r in out] == [1]       # multiset difference keeps one
+    out = execute_sql(
+        spark, "SELECT 2 AS x INTERSECT ALL SELECT 2 AS x", {}).collect()
+    assert [r.x for r in out] == [2]
+
+
+def test_array_fold_hof(spark):
+    r = execute_sql(
+        spark,
+        "SELECT arrayFold((acc, x) -> acc + x, [1,2,3], toInt64(10)) AS r",
+        {}).collect()[0].r
+    assert r == 16
