@@ -256,12 +256,9 @@ def _entropy(x: Column) -> Column:
 # avgForEach, countOrNull, anyState, … Resolution peels suffixes right to
 # left until it reaches a base aggregate, composing wrappers.
 
-def _array_combinator(base_name: str, arr) -> Column:
-    """-Array: aggregate over every ELEMENT of the array arguments
-    (sumArray([1,2]) over 2 rows = sum of 4 numbers). One flatten over
-    the group's collected arrays, then a JVM array reduction."""
+def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
+    """Apply aggregate ``base_name`` to the elements of one array."""
     from .registry import REGISTRY as R
-    flat = F.flatten(F.collect_list(_c(arr)))
     reducers = {
         "sum": lambda: R["arraySum"](flat),
         "count": lambda: F.size(flat).cast("long"),
@@ -275,8 +272,24 @@ def _array_combinator(base_name: str, arr) -> Column:
         "groupUniqArray": lambda: F.array_distinct(flat),
     }
     if base_name not in reducers:
-        raise ValueError(f"-Array combinator unsupported for {base_name}")
+        raise ValueError(f"-{sfx} combinator unsupported for {base_name}")
     return reducers[base_name]()
+
+
+def _array_combinator(base_name: str, arr) -> Column:
+    """-Array: aggregate over every ELEMENT of the array arguments
+    (sumArray([1,2]) over 2 rows = sum of 4 numbers). One flatten over
+    the group's collected arrays, then a JVM array reduction."""
+    return _reduce_flat(base_name,
+                        F.flatten(F.collect_list(_c(arr))), "Array")
+
+
+def _distinct_combinator(base_name: str, x) -> Column:
+    """-Distinct: aggregate over the group's distinct values (natively
+    implemented bases — sumDistinct, countDistinct — resolve first and
+    never reach this)."""
+    return _reduce_flat(base_name,
+                        F.array_distinct(F.collect_list(_c(x))), "Distinct")
 
 
 def _foreach_combinator(base_name: str, arr) -> Column:
@@ -326,11 +339,14 @@ def _combine(base, base_name: str, sfx: str):
         return lambda arr: _array_combinator(base_name, arr)
     if sfx == "ForEach":
         return lambda arr: _foreach_combinator(base_name, arr)
+    if sfx == "Distinct":
+        return lambda x: _distinct_combinator(base_name, x)
     raise AssertionError(sfx)
 
 
 _COMBINATOR_SUFFIXES = ("OrNull", "OrDefault", "SimpleState", "MergeState",
-                        "State", "Merge", "Array", "ForEach", "If")
+                        "State", "Merge", "Array", "ForEach", "If",
+                        "Distinct")
 
 
 def resolve_aggregate(name: str) -> Callable[..., Column] | None:

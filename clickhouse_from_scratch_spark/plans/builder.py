@@ -668,6 +668,15 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
     right = _build_from(node.right, ctx)
     if node.is_global:
         right = F.broadcast(right)
+    else:
+        # join_algorithm setting (Settings.h:333) → Catalyst join hints;
+        # 'auto'/'direct' leave the strategy to Catalyst + AQE
+        algo = str(ctx.settings.get("join_algorithm", "")) \
+            .strip("'\"").lower()
+        if algo in ("hash", "parallel_hash", "grace_hash"):
+            right = right.hint("SHUFFLE_HASH")
+        elif algo in ("partial_merge", "full_sorting_merge"):
+            right = right.hint("MERGE")
 
     if node.kind == "cross":
         return left.crossJoin(right)

@@ -162,3 +162,26 @@ def test_aggregate_combinators(spark):
     assert run("countOrNull()") == [2, 2]
     assert run("avgOrNullIf(v, k = 9)") == [None, None]
     assert run("sumOrDefault(v)") == [3.0, 12.0]
+
+
+def test_distinct_combinator(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, s string")}
+    rows = execute_sql(
+        spark, "SELECT k, groupArrayDistinct(s) AS g FROM t "
+        "GROUP BY k ORDER BY k", t).collect()
+    assert sorted(rows[0].g) == ["a", "b"] and rows[1].g == ["c"]
+
+
+def test_join_algorithm_setting_maps_to_hints(spark):
+    t = {"a": spark.createDataFrame([(1, "x")], "k long, v string"),
+         "b": spark.createDataFrame([(1, "y")], "k long, w string")}
+    sql = "SELECT v, w FROM a JOIN b USING (k) SETTINGS join_algorithm = {}"
+    smj = execute_sql(spark, sql.format("'full_sorting_merge'"), t)
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan() \
+        .toString()
+    shj = execute_sql(spark, sql.format("'hash'"), t)
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan() \
+        .toString()
+    # values still correct under both strategies
+    assert smj.collect() == shj.collect()
