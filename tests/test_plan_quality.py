@@ -168,3 +168,23 @@ def test_groups_frame_shares_helper_rank(spark, sf_dir):
     # no Python evaluation
     assert "BatchEvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_embedding_lsh_near_dup_avoids_all_pairs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    # banding, never a corpus×corpus product: no cartesian/BNLJ anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # signature computation is pure JVM (no Python workers)
+    assert "BatchEvalPython" not in plan
+
+
+def test_dict_get_is_map_lookup_not_join(spark, sf_dir):
+    from clickhouse_from_scratch_spark.queries import QUERIES
+    df = QUERIES["sql_dict_get"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the nation dictionary inlines as a map literal: the supplier scan
+    # is the ONLY table in the plan — no join of any kind
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
