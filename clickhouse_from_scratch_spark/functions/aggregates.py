@@ -250,6 +250,67 @@ def _entropy(x: Column) -> Column:
 
     return F.aggregate(lst, init, step, finish)
 
+def _retention(*conds) -> Column:
+    """retention(cond1, …, condN): array of 0/1 — r[0] = cond1 held on
+    some row; r[i] = cond1 held somewhere AND cond_{i+1} held somewhere
+    (public CH semantics: each later condition is only counted together
+    with the first)."""
+    firsts = [F.max(F.when(_c(c), 1).otherwise(0)) for c in conds]
+    head = firsts[0]
+    return F.array(head.cast("int"),
+                   *[(head * f).cast("int") for f in firsts[1:]])
+
+
+def _window_funnel(window, ts, *conds) -> Column:
+    """windowFunnel(window)(ts, cond1, …, condK): longest prefix of the
+    condition chain completed in timestamp order with the whole chain
+    inside ``window`` of its cond1 event.
+
+    Greedy fold over the group's time-sorted events: level k's slot
+    holds the chain-start time of some chain that has reached k; a
+    cond_k event promotes level k-1's chain when it is still inside the
+    window; cond1 refreshes the start (latest start = most feasible).
+    One collect + sort per group, no extra shuffle."""
+    k = len(conds)
+    ev = F.array_sort(F.collect_list(F.struct(
+        _c(ts).cast("double").alias("t"),
+        F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
+         .alias("cs"))))
+    init = F.array_repeat(F.lit(None).cast("double"), k)
+
+    def step(state: Column, e: Column) -> Column:
+        slots = []
+        for lvl in range(k - 1, 0, -1):
+            prev = F.element_at(state, lvl)
+            fired = (F.element_at(e["cs"], lvl + 1) == 1) \
+                & prev.isNotNull() \
+                & (e["t"] - prev <= F.lit(float(window)))
+            slots.append((lvl + 1,
+                          F.when(fired, prev)
+                          .otherwise(F.element_at(state, lvl + 1))))
+        start1 = F.when(F.element_at(e["cs"], 1) == 1, e["t"]) \
+            .otherwise(F.element_at(state, 1))
+        out = {1: start1, **{i: c for i, c in slots}}
+        return F.array(*[out[i] for i in range(1, k + 1)])
+
+    final = F.aggregate(ev, init, step)
+    reached = F.filter(
+        F.zip_with(final, F.sequence(F.lit(1), F.lit(k)),
+                   lambda s, i: F.when(s.isNotNull(), i).otherwise(0)),
+        lambda x: x > 0)
+    return F.coalesce(F.array_max(reached), F.lit(0)).cast("int")
+
+
+AGGREGATES.update({
+    "retention": _retention,
+    "windowFunnel": _window_funnel,
+    "uniqUpTo": lambda n, x: F.least(F.count_distinct(_c(x)),
+                                     F.lit(int(n) + 1)),
+    "groupArraySorted": lambda n, x: F.slice(
+        F.array_sort(F.collect_list(_c(x))), 1, int(n)),
+})
+
+
 # --- generic combinator resolution (public CH combinator mechanics) -------
 #
 # Any aggregate name can be suffixed: sumIf, sumArray, sumArrayIf,

@@ -1558,9 +1558,9 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     if (name.startswith("quantile") or name.startswith("median")) and params:
         return ch(name, params[0], *args)
     if name in ("topK", "histogram", "groupArraySample", "groupArrayLast",
-                "topKWeighted") and params:
+                "topKWeighted", "uniqUpTo", "groupArraySorted") and params:
         return ch(name, int(params[0]), *args)
-    if name == "exponentialMovingAverage" and params:
+    if name in ("exponentialMovingAverage", "windowFunnel") and params:
         return ch(name, float(params[0]), *args)
     if name == "count" and not args:
         return F.count(F.lit(1))

@@ -1327,6 +1327,47 @@ def sql_udf_macro(spark, sf_dir):
     """)
 
 
+@query("sql_retention", oracle="""
+SELECT user_id,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS INTEGER) AS r1,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS INTEGER) AS r2,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS INTEGER) AS r3
+FROM events GROUP BY user_id
+""")
+def sql_retention(spark, sf_dir):
+    """retention() aggregate (functions/aggregates.py _retention): each
+    later condition only counts together with the first. Oracle states
+    the same max-product semantics column-wise."""
+    return _sql(spark, sf_dir, """
+        SELECT user_id,
+               r[1] AS r1, r[2] AS r2, r[3] AS r3
+        FROM (SELECT user_id,
+                     retention(event_type = 'view', event_type = 'click',
+                               event_type = 'purchase') AS r
+              FROM events GROUP BY user_id)
+    """)
+
+
+@query("funnel_window")  # no SQL oracle: greedy chain fold (pytest goldens)
+def funnel_window_q(spark, sf_dir):
+    """windowFunnel(1 day)(ts, view->click->purchase) over events —
+    longest in-order prefix per user inside the window
+    (functions/aggregates.py _window_funnel, hand-computed goldens in
+    test_functions_breadth)."""
+    return _sql(spark, sf_dir, """
+        SELECT user_id,
+               windowFunnel(86400)(toUnixTimestamp(ts),
+                   event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') AS levels
+        FROM events GROUP BY user_id ORDER BY user_id
+    """)
+
+
 @query("sql_numeric_promotion", oracle="""
 SELECT l_orderkey,
        CAST(l_linenumber - 1 AS SMALLINT) AS p16,

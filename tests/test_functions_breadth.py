@@ -185,3 +185,27 @@ def test_join_algorithm_setting_maps_to_hints(spark):
         .toString()
     # values still correct under both strategies
     assert smj.collect() == shj.collect()
+
+
+def test_funnel_and_retention_aggregates(spark):
+    # user 1 completes view->cart->buy inside the 100s window; user 2's
+    # cart arrives too late; user 3 buys before ever viewing
+    rows = [(1, 10, "view"), (1, 50, "cart"), (1, 90, "buy"),
+            (2, 10, "view"), (2, 500, "cart"),
+            (3, 10, "buy"), (3, 20, "view")]
+    t = {"ev": spark.createDataFrame(rows, "uid long, ts long, e string")}
+
+    def run(agg):
+        r = execute_sql(
+            spark, f"SELECT uid, {agg} AS r FROM ev GROUP BY uid "
+            "ORDER BY uid", t).collect()
+        return [x.r for x in r]
+
+    assert run("windowFunnel(100)(ts, e = 'view', e = 'cart', "
+               "e = 'buy')") == [3, 1, 1]
+    # retention: later conditions only count together with the first
+    assert run("retention(e = 'view', e = 'cart', e = 'buy')") == \
+        [[1, 1, 1], [1, 1, 0], [1, 0, 1]]
+    assert run("uniqUpTo(1)(e)") == [2, 2, 2]
+    assert run("groupArraySorted(2)(e)") == \
+        [["buy", "cart"], ["cart", "view"], ["buy", "view"]]
