@@ -133,3 +133,31 @@ def test_stateful_sessionize(spark, tmp_path):
         assert span == {100.0}                  # end = last + gap
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from clickhouse_from_scratch_spark.streaming import (
+        streaming_exact_dedup, streaming_minhash_signatures,
+    )
+    rows = [(0, "2024-01-01 00:00:00", "same text"),
+            (1, "2024-01-01 00:01:00", "same text"),      # dup within wm
+            (2, "2024-01-01 00:02:00", "other text")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "dedup_src")
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string").parquet(path)
+    out = streaming_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT text FROM dedup_out").collect()
+        assert sorted(r.text for r in got) == ["other text", "same text"]
+    finally:
+        q.stop()
+    # stateless per-row signatures run on the same stream unchanged
+    sigs = streaming_minhash_signatures(stream)
+    assert sigs.isStreaming and "signature" in sigs.columns
