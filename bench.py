@@ -45,6 +45,7 @@ def main() -> None:
     # import (~6-8s across 32 workers) on first use only
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
     QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    QUERIES["embedding_cosine_topk"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
