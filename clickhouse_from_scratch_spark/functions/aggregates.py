@@ -301,9 +301,72 @@ def _window_funnel(window, ts, *conds) -> Column:
     return F.coalesce(F.array_max(reached), F.lit(0)).cast("int")
 
 
+def _parse_seq_pattern(pattern: str) -> list[tuple[int, bool]]:
+    """'(?1).*(?2)(?3)' → [(1, False), (2, False), (3, True)] where the
+    bool means STRICTLY adjacent to the previous step (no '.*' between).
+    Time-constraint steps ``(?t<=N)`` are not supported (documented)."""
+    import re as _re
+    pattern = str(pattern).strip("'\"")
+    steps: list[tuple[int, bool]] = []
+    pos, strict = 0, False
+    while pos < len(pattern):
+        m = _re.match(r"\(\?(\d+)\)", pattern[pos:])
+        if m:
+            steps.append((int(m.group(1)), strict and bool(steps)))
+            strict = True
+            pos += m.end()
+            continue
+        if pattern[pos:pos + 2] == ".*":
+            strict = False
+            pos += 2
+            continue
+        raise ValueError(
+            f"sequenceMatch: unsupported pattern element at {pos} in "
+            f"{pattern!r} (supported: '(?N)' steps and '.*' gaps)")
+    return steps
+
+
+def _sequence_fold(pattern, ts, conds, count: bool) -> Column:
+    """sequenceMatch/sequenceCount('(?1).*(?2)…')(ts, cond1, …):
+    does the condition chain occur in chronological order (resp. how
+    many non-overlapping times)? One collect + sort per group, then a
+    pointer-advancing fold; strict steps require the very next event."""
+    steps = _parse_seq_pattern(pattern)
+    ev = F.array_sort(F.collect_list(F.struct(
+        _c(ts).cast("double").alias("t"),
+        F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
+         .alias("cs"))))
+    init = F.struct(F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"))
+
+    def step_fn(st: Column, e: Column) -> Column:
+        nxt = st["i"]
+        for idx, (cond_no, strict) in enumerate(steps):
+            fired = F.element_at(e["cs"], cond_no) == 1
+            if strict:
+                # must match while at exactly this position, else reset
+                nxt = F.when((st["i"] == idx) & fired, idx + 1) \
+                    .otherwise(F.when(st["i"] == idx, 0).otherwise(nxt))
+            else:
+                nxt = F.when((st["i"] == idx) & fired, idx + 1) \
+                    .otherwise(nxt)
+        done = nxt >= len(steps)
+        return F.struct(F.when(done, 0).otherwise(nxt).alias("i"),
+                        (st["n"] + F.when(done, 1).otherwise(0))
+                        .alias("n"))
+
+    final = F.aggregate(ev, init, step_fn)
+    if count:
+        return final["n"]
+    return (final["n"] > 0).cast("int")
+
+
 AGGREGATES.update({
     "retention": _retention,
     "windowFunnel": _window_funnel,
+    "sequenceMatch": lambda pat, ts, *conds: _sequence_fold(
+        pat, ts, conds, count=False),
+    "sequenceCount": lambda pat, ts, *conds: _sequence_fold(
+        pat, ts, conds, count=True),
     "uniqUpTo": lambda n, x: F.least(F.count_distinct(_c(x)),
                                      F.lit(int(n) + 1)),
     "groupArraySorted": lambda n, x: F.slice(

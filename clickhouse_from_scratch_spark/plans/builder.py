@@ -1562,6 +1562,8 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         return ch(name, int(params[0]), *args)
     if name in ("exponentialMovingAverage", "windowFunnel") and params:
         return ch(name, float(params[0]), *args)
+    if name in ("sequenceMatch", "sequenceCount") and params:
+        return ch(name, str(params[0]), *args)
     if name == "count" and not args:
         return F.count(F.lit(1))
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:

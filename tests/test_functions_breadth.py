@@ -257,3 +257,24 @@ def test_map_sort_and_series(spark):
     assert list(run("mapSort(map('b',1,'a',2))").keys()) == ["a", "b"]
     assert dict(run("mapPopulateSeries(map(1,10,3,30))")) == \
         {1: 10, 2: 0, 3: 30}
+
+
+def test_sequence_match_and_count(spark):
+    rows = [(1, 10, "a"), (1, 20, "b"), (1, 30, "a"), (1, 40, "b"),
+            (2, 10, "b"), (2, 20, "a"),
+            (3, 10, "a"), (3, 20, "c"), (3, 30, "b")]
+    t = {"ev": spark.createDataFrame(rows, "uid long, ts long, e string")}
+
+    def run(agg):
+        r = execute_sql(
+            spark, f"SELECT uid, {agg} AS r FROM ev GROUP BY uid "
+            "ORDER BY uid", t).collect()
+        return [x.r for x in r]
+
+    assert run("sequenceMatch('(?1).*(?2)')(ts, e = 'a', e = 'b')") == \
+        [1, 0, 1]
+    assert run("sequenceCount('(?1).*(?2)')(ts, e = 'a', e = 'b')") == \
+        [2, 0, 1]
+    # strict adjacency: user 3 has 'c' between a and b
+    assert run("sequenceMatch('(?1)(?2)')(ts, e = 'a', e = 'b')") == \
+        [1, 0, 0]
