@@ -751,6 +751,21 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.dictionaries)] or [],
                 "name string")
+        if node.what == "CREATE_DICTIONARY":
+            d = self.dictionaries.get(node.target)
+            if d is None:
+                raise ValueError(f"unknown dictionary: {node.target}")
+            cols = ", ".join(
+                [f"`{d.key}` {d.key_type}"]
+                + [f"`{a}` {t}" + (f" DEFAULT {dflt!r}"
+                                   if dflt is not None else "")
+                   for a, (t, dflt) in d.attrs.items()])
+            stmt = (f"CREATE DICTIONARY {d.database}.{d.name} ({cols}) "
+                    f"PRIMARY KEY {d.key} "
+                    f"SOURCE(CLICKHOUSE(TABLE '{d.source_table}')) "
+                    f"LAYOUT({d.layout}())"
+                    + (f" LIFETIME({d.lifetime})" if d.lifetime else ""))
+            return self.spark.createDataFrame([(stmt,)], "statement string")
         if node.what == "CREATE_TABLE":
             meta = self._resolve(node.database, node.target)
             return self.spark.createDataFrame(

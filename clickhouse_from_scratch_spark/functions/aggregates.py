@@ -200,6 +200,18 @@ AGGREGATES.update({
         _c(x), F.array(*[F.lit(q) for q in qs])),
     "quantilesTiming": lambda qs, x: F.percentile_approx(
         _c(x), F.array(*[F.lit(q) for q in qs])),
+    # weighted quantiles: Spark percentile takes a frequency column
+    "quantileExactWeighted": lambda q, x, w: F.percentile(
+        _c(x), F.lit(q), _c(w).cast("long")),
+    "quantileTimingWeighted": lambda q, x, w: F.percentile(
+        _c(x), F.lit(q), _c(w).cast("long")),
+    # exact lower/upper-bound selection (no interpolation)
+    "quantileExactLow": lambda q, x: F.element_at(
+        F.array_sort(F.collect_list(_c(x))),
+        (F.floor(F.lit(q) * (F.count(_c(x)) - 1)) + 1).cast("int")),
+    "quantileExactHigh": lambda q, x: F.element_at(
+        F.array_sort(F.collect_list(_c(x))),
+        (F.ceil(F.lit(q) * (F.count(_c(x)) - 1)) + 1).cast("int")),
     "medianExact": lambda x: F.percentile(_c(x), F.lit(0.5)),
     "medianTDigest": lambda x: F.percentile_approx(_c(x), F.lit(0.5)),
     "topKWeighted": _top_k_weighted,

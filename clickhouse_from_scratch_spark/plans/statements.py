@@ -456,6 +456,12 @@ class StatementParser(Parser):
         if self.accept_kw("AS"):
             if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
                 ct.as_select = self._union()
+            elif self.peek().is_op("("):
+                # AS table_function(...) → SELECT * FROM tf(...)
+                from .ast_nodes import SelectQuery as _SQ
+                from .ast_nodes import Star as _Star
+                ct.as_select = _SQ(select=[_Star()],
+                                   from_=self._table_factor())
             else:
                 _, ct.as_table = self._qualified_name()
         return ct
@@ -800,6 +806,10 @@ class StatementParser(Parser):
         if self.accept_kw("DICTIONARIES"):
             return ShowStmt("DICTIONARIES")
         if self.accept_kw("CREATE"):
+            if self.accept_kw("DICTIONARY"):
+                db, name = self._qualified_name()
+                return ShowStmt("CREATE_DICTIONARY", database=db,
+                                target=name)
             self.accept_kw("TABLE") or self.accept_kw("VIEW")
             db, name = self._qualified_name()
             return ShowStmt("CREATE_TABLE", database=db, target=name)

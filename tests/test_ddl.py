@@ -492,3 +492,26 @@ def test_system_dictionaries_table(sess):
     sess.execute("SELECT dictGet('d1', 'v', 1)").collect()
     assert sess.execute("SELECT loaded FROM system.dictionaries"
                         ).collect()[0].loaded is True
+
+
+def test_create_table_as_table_function(sess):
+    # CREATE ... AS table_function(...) materializes the function's rows
+    sess.execute("CREATE TABLE nums ENGINE = Memory AS numbers(5)")
+    assert sess.execute("SELECT count() AS n FROM nums").collect()[0].n == 5
+    # while AS other_table copies schema only (CH semantics)
+    sess.execute("CREATE TABLE src2 (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO src2 VALUES (7)")
+    sess.execute("CREATE TABLE empty_copy ENGINE = Memory AS src2")
+    assert sess.execute("SELECT count() AS n FROM empty_copy"
+                        ).collect()[0].n == 0
+
+
+def test_show_create_dictionary(sess):
+    sess.execute("CREATE TABLE dsrc (k UInt64, v String) ENGINE = Memory")
+    sess.execute("CREATE DICTIONARY dd (k UInt64, v String DEFAULT '?') "
+                 "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dsrc')) "
+                 "LAYOUT(FLAT()) LIFETIME(MIN 0 MAX 300)")
+    stmt = sess.execute("SHOW CREATE DICTIONARY dd").collect()[0].statement
+    assert stmt.startswith("CREATE DICTIONARY default.dd")
+    assert "PRIMARY KEY k" in stmt and "LAYOUT(FLAT())" in stmt
+    assert "DEFAULT '?'" in stmt

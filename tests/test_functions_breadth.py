@@ -278,3 +278,16 @@ def test_sequence_match_and_count(spark):
     # strict adjacency: user 3 has 'c' between a and b
     assert run("sequenceMatch('(?1)(?2)')(ts, e = 'a', e = 'b')") == \
         [1, 0, 0]
+
+
+def test_weighted_and_bound_quantiles(spark):
+    t = {"t": spark.createDataFrame([(1.0, 1), (2.0, 1), (3.0, 8)],
+                                    "v double, w long")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r FROM t", t).collect()[0].r
+    # weight 8 on v=3 pulls the weighted median to 3
+    assert run("quantileExactWeighted(0.5)(v, w)") == 3.0
+    assert run("quantileExactLow(0.5)(v)") == 2.0
+    assert run("quantileExactHigh(0.5)(v)") == 2.0
+    assert run("quantileExactHigh(0.75)(v)") == 3.0
