@@ -105,7 +105,8 @@ def _delta_sum_ts(x, t) -> Column:
     """deltaSumTimestamp(value, ts): sum of positive consecutive deltas
     in timestamp order — the order-deterministic form of deltaSum."""
     pairs = F.array_sort(F.collect_list(
-        F.struct(_c(t).alias("t"), _c(x).cast("double").alias("v"))))
+        F.struct(_c(t).alias("t"),  # ordering only
+                 _c(x).cast("double").alias("v"))))
     return F.aggregate(
         pairs,
         F.struct(F.lit(None).cast("double").alias("prev"),
@@ -284,8 +285,10 @@ def _window_funnel(window, ts, *conds) -> Column:
     window; cond1 refreshes the start (latest start = most feasible).
     One collect + sort per group, no extra shuffle."""
     k = len(conds)
+    # timestamp→double goes via a timestamp cast so TIMESTAMP_NTZ works;
+    # numeric inputs round-trip seconds unchanged
     ev = F.array_sort(F.collect_list(F.struct(
-        _c(ts).cast("double").alias("t"),
+        _c(ts).cast("timestamp").cast("double").alias("t"),
         F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
          .alias("cs"))))
     init = F.array_repeat(F.lit(None).cast("double"), k)
@@ -345,7 +348,7 @@ def _sequence_fold(pattern, ts, conds, count: bool) -> Column:
     pointer-advancing fold; strict steps require the very next event."""
     steps = _parse_seq_pattern(pattern)
     ev = F.array_sort(F.collect_list(F.struct(
-        _c(ts).cast("double").alias("t"),
+        _c(ts).alias("t"),          # ordering only — any orderable type
         F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
          .alias("cs"))))
     init = F.struct(F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"))

@@ -1353,6 +1353,26 @@ def sql_retention(spark, sf_dir):
     """)
 
 
+@query("sql_sequence_match", oracle="""
+SELECT user_id,
+       CAST(CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 < MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+            THEN 1 ELSE 0 END AS INTEGER) AS m
+FROM events GROUP BY user_id
+""")
+def sql_sequence_match(spark, sf_dir):
+    """sequenceMatch('(?1).*(?2)') — a view event chronologically before
+    a purchase event. For the two-step any-gap pattern this is exactly
+    'earliest view < latest purchase', which the oracle states
+    independently of the fold implementation."""
+    return _sql(spark, sf_dir, """
+        SELECT user_id,
+               sequenceMatch('(?1).*(?2)')(ts, event_type = 'view',
+                                           event_type = 'purchase') AS m
+        FROM events GROUP BY user_id
+    """)
+
+
 @query("funnel_window")  # no SQL oracle: greedy chain fold (pytest goldens)
 def funnel_window_q(spark, sf_dir):
     """windowFunnel(1 day)(ts, view->click->purchase) over events —
