@@ -1162,6 +1162,117 @@ _alias("uptime", lambda: F.lit(int(_time_mod.time()) - _SESSION_START)
        .cast("long"))
 
 
+# --- date/time tail -------------------------------------------------------
+_alias("toStartOfSecond", lambda c: F.date_trunc("second", _c(c)))
+_alias("addWeeks", lambda d, n: F.date_add(_c(d), 7 * int(n)))
+_alias("subtractWeeks", lambda d, n: F.date_sub(_c(d), 7 * int(n)))
+_alias("addQuarters", lambda d, n: F.add_months(_c(d), 3 * int(n)))
+_alias("subtractQuarters", lambda d, n: F.add_months(_c(d), -3 * int(n)))
+_alias("subtractHours", lambda d, n: _c(d) - F.expr(f"interval {n} hour"))
+_alias("subtractMonths", lambda d, n: F.add_months(_c(d), -int(n)))
+_alias("subtractYears", lambda d, n: F.add_months(_c(d), -12 * int(n)))
+_alias("toDaysSinceYearZero", lambda c: (F.datediff(
+    F.to_date(_c(c)), F.lit("1970-01-01").cast("date"))
+    + F.lit(719528)).cast("long"))
+# CH toTime: same time-of-day on the fixed date 1970-01-02
+_alias("toTime", lambda c: F.to_timestamp(F.concat(
+    F.lit("1970-01-02 "), F.date_format(_c(c), "HH:mm:ss"))))
+
+
+def _iso_dow(c: Column) -> Column:
+    return (F.pmod(F.dayofweek(c) + 5, 7) + 1)
+
+
+_alias("toISOYear", lambda c: F.year(
+    F.date_add(F.to_date(_c(c)), 4 - _iso_dow(F.to_date(_c(c)))))
+    .cast("int"))
+_alias("toYearWeek", lambda c, *m: (F.year(_c(c)) * 100
+                                    + F.weekofyear(_c(c))).cast("int"))
+_alias("nowInBlock", lambda: F.now() if hasattr(F, "now")
+       else F.current_timestamp())
+
+
+# --- regex group extraction (literal pattern → static group count) --------
+def _group_count(pattern: str) -> int:
+    import re as _re
+    return _re.compile(pattern).groups
+
+
+@register("extractGroups")
+def _extract_groups(s, pattern):
+    n = _group_count(pattern)
+    return F.array(*[F.regexp_extract(_c(s), pattern, i + 1)
+                     for i in range(n)])
+
+
+@register("extractAllGroups")
+def _extract_all_groups(s, pattern):
+    """Array of per-match group arrays: zip the per-group match lists."""
+    n = _group_count(pattern)
+    per_group = [F.regexp_extract_all(_c(s), F.lit(pattern), i + 1)
+                 for i in range(n)]
+    acc = F.transform(per_group[0], lambda x: F.array(x))
+    for g in per_group[1:]:
+        acc = F.zip_with(acc, g, lambda xs, y: F.concat(xs, F.array(y)))
+    return acc
+
+
+# --- char-ngram similarity + token/subsequence search ---------------------
+def _char_ngrams(s: Column, n: int = 4) -> Column:
+    lower = F.lower(s)
+    m = F.greatest(F.length(lower) - (n - 1), F.lit(0))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.substr(lower, i, F.lit(n))))
+
+
+def _ngram_distance(a, b) -> Column:
+    ga, gb = _char_ngrams(_c(a)), _char_ngrams(_c(b))
+    union = F.size(F.array_union(ga, gb))
+    inter = F.size(F.array_intersect(ga, gb))
+    return F.when(union == 0, F.lit(0.0)) \
+        .otherwise(1.0 - inter / union.cast("double"))
+
+
+_alias("ngramDistance", _ngram_distance)
+_alias("ngramDistanceCaseInsensitive", _ngram_distance)  # grams lowered
+_alias("ngramSearch", lambda hay, needle: F.when(
+    F.size(_char_ngrams(_c(needle))) == 0, F.lit(0.0)).otherwise(
+    F.size(F.array_intersect(_char_ngrams(_c(hay)),
+                             _char_ngrams(_c(needle))))
+    / F.size(_char_ngrams(_c(needle))).cast("double")))
+_alias("hasSubsequence", lambda h, n: (F.aggregate(
+    F.split(_c(h), ""), F.lit(0),
+    lambda acc, ch: F.when((acc < F.length(_c(n)))
+                           & (F.substr(_c(n), acc + 1, F.lit(1)) == ch),
+                           acc + 1).otherwise(acc))
+    >= F.length(_c(n))).cast("int"))
+_alias("hasToken", lambda h, t: F.array_contains(
+    F.split(_c(h), "[^A-Za-z0-9_]+"), _c(t)).cast("int"))
+_alias("startsWithUTF8", lambda s, p: _c(s).startswith(_c(p)))
+_alias("endsWithUTF8", lambda s, p: _c(s).endswith(_c(p)))
+_alias("translate", lambda s, frm, to: F.translate(_c(s), frm, to))
+_alias("splitByNonAlpha", lambda s: F.filter(
+    F.split(_c(s), "[^A-Za-z0-9]+"), lambda x: x != ""))
+_alias("splitByWhitespace", lambda s: F.filter(
+    F.split(_c(s), r"\s+"), lambda x: x != ""))
+_alias("substringIndex", lambda s, d, n: F.substring_index(_c(s), d, n))
+_alias("reverseUTF8", lambda s: F.reverse(_c(s)))
+_alias("instr", lambda h, n: F.instr(_c(h), n))
+_alias("isValidUTF8", lambda s: (F.is_valid_utf8(_c(s))
+                                 if hasattr(F, "is_valid_utf8")
+                                 else _c(s).isNotNull()).cast("int"))
+# detectLanguage: the pipeline's n-gram language-ID heuristic
+_alias("detectLanguage", lambda s: __import__(
+    "clickhouse_from_scratch_spark.pipeline.text",
+    fromlist=["language_id"]).language_id(_c(s)))
+_alias("detectCharset", lambda s: F.lit("UTF-8"))
+# extractKeyValuePairs(s[, kv_delim[, pair_delim]]) → map
+_alias("extractKeyValuePairs", lambda s, kv=":", pd=",": F.str_to_map(
+    _c(s), F.lit(pd), F.lit(kv)))
+_alias("str_to_map", lambda s, pd=",", kv=":": F.str_to_map(
+    _c(s), F.lit(pd), F.lit(kv)))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

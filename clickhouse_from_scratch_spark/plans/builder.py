@@ -2189,7 +2189,11 @@ _LITERAL_ARG_FNS = {
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",
     "simpleJSONExtractFloat", "simpleJSONExtractBool",
     "simpleJSONExtractString", "simpleJSONExtractRaw", "simpleJSONHas",
-    "randomString", "space", "toDecimalString",
+    "randomString", "space", "toDecimalString", "dateTrunc", "date_trunc",
+    "extractGroups", "extractAllGroups", "addWeeks", "subtractWeeks",
+    "addQuarters", "subtractQuarters", "subtractHours", "subtractMonths",
+    "subtractYears", "translate", "substringIndex", "hasToken",
+    "extractKeyValuePairs", "str_to_map", "instr",
 }
 
 

@@ -291,3 +291,48 @@ def test_weighted_and_bound_quantiles(spark):
     assert run("quantileExactLow(0.5)(v)") == 2.0
     assert run("quantileExactHigh(0.5)(v)") == 2.0
     assert run("quantileExactHigh(0.75)(v)") == 3.0
+
+
+TEXT_DATE_CASES = [
+    ("toISOYear(toDate('2024-01-01'))", 2024),
+    ("toISOYear(toDate('2023-01-01'))", 2022),   # Sunday -> ISO wk 52/2022
+    ("toDaysSinceYearZero(toDate('1970-01-01'))", 719528),
+    ("toYearWeek(toDate('2024-03-15'))", 202411),
+    ("extractGroups('a=1', '(\\\\w+)=(\\\\d+)')", ["a", "1"]),
+    ("round(ngramDistance('hello', 'hello'), 4)", 0.0),
+    ("ngramSearch('hello world', 'hello')", 1.0),
+    ("hasSubsequence('hello', 'hlo')", 1),
+    ("hasSubsequence('hello', 'xyz')", 0),
+    ("hasToken('a b c', 'b')", 1),
+    ("hasToken('abc', 'b')", 0),
+    ("translate('abc', 'ab', 'xy')", "xyc"),
+    ("splitByNonAlpha('a1b c')", ["a1b", "c"]),
+    ("splitByWhitespace('a  b')", ["a", "b"]),
+    ("substringIndex('a.b.c', '.', 2)", "a.b"),
+    ("reverseUTF8('ab')", "ba"),
+    ("instr('hello', 'll')", 3),
+    ("isValidUTF8('abc')", 1),
+    ("detectLanguage('the quick brown fox and the lazy dog')", "en"),
+    ("startsWithUTF8('héllo', 'hé')", True),
+]
+
+
+@pytest.mark.parametrize("expr,expected", TEXT_DATE_CASES,
+                         ids=[c[0][:40] for c in TEXT_DATE_CASES])
+def test_text_date_tail(spark, expr, expected):
+    got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
+    if isinstance(expected, list):
+        assert list(got or []) == expected
+    elif isinstance(expected, float):
+        assert abs(got - expected) < 1e-9
+    else:
+        assert got == expected
+
+
+def test_extract_all_groups_and_kv(spark):
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r", {}).collect()[0].r
+    got = run("extractAllGroups('a=1, b=22', '(\\\\w+)=(\\\\d+)')")
+    assert [list(g) for g in got] == [["a", "1"], ["b", "22"]]
+    assert dict(run("extractKeyValuePairs('a:1,b:2')")) == \
+        {"a": "1", "b": "2"}
