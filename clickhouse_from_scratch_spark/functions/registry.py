@@ -291,6 +291,10 @@ for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
                _c(c).try_cast(t),
                (F.lit("1970-01-01").cast(t) if t in ("date", "timestamp")
                 else F.lit(0).cast(t))))
+    _alias(_base + "OrDefault",
+           lambda c, d=None, t=_sql_t: F.coalesce(
+               _c(c).try_cast(t),
+               (_c(d) if d is not None else F.lit(None)).cast(t)))
 
 # --- date/time (ExpressionElementParsers EXTRACT + to* family) ------------
 _alias("toYear", F.year)
@@ -513,9 +517,9 @@ def _json_extract(j, *rest) -> Column:
 _alias("JSONExtract", _json_extract)
 
 _BEST_EFFORT_FMTS = ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
-                     "yyyy-MM-dd", "yyyy/MM/dd HH:mm:ss", "dd-MM-yyyy",
-                     "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy", "yyyyMMddHHmmss",
-                     "yyyyMMdd"]
+                     "yyyy-MM-dd", "yyyy/MM/dd HH:mm:ss", "yyyy/MM/dd",
+                     "dd-MM-yyyy", "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy",
+                     "yyyyMMddHHmmss", "yyyyMMdd"]
 
 
 def _parse_best_effort(s) -> Column:
@@ -543,10 +547,28 @@ def _accurate_cast(c, t) -> Column:
     return _c(c).cast(ch_type_to_spark(t))
 
 
+# CH integer ranges accurateCast must respect (Spark stores UInt8 as
+# smallint etc., so the Spark cast alone would admit out-of-range values)
+_CH_INT_RANGES = {
+    "uint8": (0, 255), "uint16": (0, 65535),
+    "uint32": (0, 4294967295), "uint64": (0, 18446744073709551615),
+    "int8": (-128, 127), "int16": (-32768, 32767),
+    "int32": (-2147483648, 2147483647),
+    "int64": (-9223372036854775808, 9223372036854775807),
+}
+
+
 def _accurate_cast_or_null(c, t) -> Column:
     from .typemap import ch_type_to_spark
 
-    return _c(c).cast("string").try_cast(ch_type_to_spark(t))
+    val = _c(c).cast("string").try_cast(ch_type_to_spark(t))
+    rng = _CH_INT_RANGES.get(str(t).strip("'\"").lower())
+    if rng:
+        big = _c(c).cast("string").try_cast("decimal(38,0)")
+        val = F.when(
+            (big >= F.lit(str(rng[0])).cast("decimal(38,0)"))
+            & (big <= F.lit(str(rng[1])).cast("decimal(38,0)")), val)
+    return val
 
 
 _alias("accurateCast", _accurate_cast)
@@ -1162,6 +1184,56 @@ _alias("uptime", lambda: F.lit(int(_time_mod.time()) - _SESSION_START)
        .cast("long"))
 
 
+# --- conversion tail ------------------------------------------------------
+_alias("parseDateTime32BestEffort",
+       lambda c, *a: REGISTRY["parseDateTimeBestEffort"](c))
+_alias("parseDateTime", lambda c, fmt, *a: F.to_timestamp(
+    _c(c), _strftime_to_java(fmt)))
+_alias("parseDateTimeOrNull", lambda c, fmt, *a: F.try_to_timestamp(
+    _c(c), F.lit(_strftime_to_java(fmt))))
+_alias("parseDateTimeInJodaSyntax", lambda c, fmt, *a: F.to_timestamp(
+    _c(c), fmt))
+_alias("formatDateTimeInJodaSyntax",
+       lambda d, fmt, *a: F.date_format(_c(d), fmt))
+_alias("fromUnixTimestampInJodaSyntax", lambda x, fmt, *a: F.date_format(
+    F.timestamp_seconds(_c(x)), fmt))
+_alias("toUnixTimestamp64Nano", lambda c: F.unix_micros(
+    _c(c).cast("timestamp")) * 1000)
+# Twitter snowflake: ms-precision timestamp in bits 22+ (public layout)
+_SNOWFLAKE_EPOCH = 1288834974657
+_alias("snowflakeToDateTime", lambda c, *a: F.timestamp_millis(
+    F.shiftrightunsigned(_c(c).cast("long"), 22) + F.lit(_SNOWFLAKE_EPOCH)))
+_alias("dateTimeToSnowflake", lambda c: F.shiftleft(
+    F.unix_millis(_c(c).cast("timestamp")) - F.lit(_SNOWFLAKE_EPOCH), 22))
+_alias("accurateCastOrDefault", lambda c, t, d=None: F.coalesce(
+    REGISTRY["accurateCastOrNull"](c, t),
+    _c(d) if d is not None else F.lit(None)))
+_UUID_RE = (r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+_alias("toUUIDOrNull", lambda c: F.when(_c(c).rlike(_UUID_RE), _c(c)))
+_alias("toUUIDOrZero", lambda c: F.coalesce(
+    F.when(_c(c).rlike(_UUID_RE), _c(c)),
+    F.lit("00000000-0000-0000-0000-000000000000")))
+_alias("UUIDStringToNum", lambda c, *a: F.unhex(
+    F.regexp_replace(_c(c), "-", "")))
+_alias("UUIDNumToString", lambda c, *a: F.concat_ws(
+    "-", F.substring(F.hex(_c(c)), 1, 8), F.substring(F.hex(_c(c)), 9, 4),
+    F.substring(F.hex(_c(c)), 13, 4), F.substring(F.hex(_c(c)), 17, 4),
+    F.substring(F.hex(_c(c)), 21, 12)))
+_alias("generateUUIDv7", lambda: F.expr("uuid()"))
+_alias("serverUUID", lambda: F.lit(
+    "00000000-0000-4000-8000-000000000001"))   # fixed single-server id
+_alias("makeDateTime", lambda y, mo, d, h=0, mi=0, s=0, *a:
+       F.make_timestamp(_c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)))
+_alias("makeDate32", lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)))
+_alias("YYYYMMDDToDate", lambda c: F.to_date(
+    _c(c).cast("long").cast("string"), "yyyyMMdd"))
+_alias("YYYYMMDDToDate32", lambda c: F.to_date(
+    _c(c).cast("long").cast("string"), "yyyyMMdd"))
+_alias("YYYYMMDDhhmmssToDateTime", lambda c, *a: F.to_timestamp(
+    _c(c).cast("long").cast("string"), "yyyyMMddHHmmss"))
+
+
 # --- date/time tail -------------------------------------------------------
 _alias("toStartOfSecond", lambda c: F.date_trunc("second", _c(c)))
 _alias("addWeeks", lambda d, n: F.date_add(_c(d), 7 * int(n)))
@@ -1218,28 +1290,36 @@ def _extract_all_groups(s, pattern):
 
 
 # --- char-ngram similarity + token/subsequence search ---------------------
-def _char_ngrams(s: Column, n: int = 4) -> Column:
-    lower = F.lower(s)
-    m = F.greatest(F.length(lower) - (n - 1), F.lit(0))
+def _char_ngrams(s: Column, n: int = 4, ci: bool = False) -> Column:
+    s = F.lower(s) if ci else s
+    m = F.greatest(F.length(s) - (n - 1), F.lit(0))
     return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.substr(lower, i, F.lit(n))))
+        F.sequence(F.lit(1), m), lambda i: F.substr(s, i, F.lit(n))))
 
 
-def _ngram_distance(a, b) -> Column:
-    ga, gb = _char_ngrams(_c(a)), _char_ngrams(_c(b))
-    union = F.size(F.array_union(ga, gb))
-    inter = F.size(F.array_intersect(ga, gb))
-    return F.when(union == 0, F.lit(0.0)) \
-        .otherwise(1.0 - inter / union.cast("double"))
+def _ngram_distance(ci: bool):
+    def fn(a, b) -> Column:
+        ga, gb = _char_ngrams(_c(a), ci=ci), _char_ngrams(_c(b), ci=ci)
+        union = F.size(F.array_union(ga, gb))
+        inter = F.size(F.array_intersect(ga, gb))
+        return F.when(union == 0, F.lit(0.0)) \
+            .otherwise(1.0 - inter / union.cast("double"))
+    return fn
 
 
-_alias("ngramDistance", _ngram_distance)
-_alias("ngramDistanceCaseInsensitive", _ngram_distance)  # grams lowered
-_alias("ngramSearch", lambda hay, needle: F.when(
-    F.size(_char_ngrams(_c(needle))) == 0, F.lit(0.0)).otherwise(
-    F.size(F.array_intersect(_char_ngrams(_c(hay)),
-                             _char_ngrams(_c(needle))))
-    / F.size(_char_ngrams(_c(needle))).cast("double")))
+def _ngram_search(ci: bool):
+    def fn(hay, needle) -> Column:
+        gn = _char_ngrams(_c(needle), ci=ci)
+        return F.when(F.size(gn) == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_intersect(_char_ngrams(_c(hay), ci=ci), gn))
+            / F.size(gn).cast("double"))
+    return fn
+
+
+_alias("ngramDistance", _ngram_distance(ci=False))
+_alias("ngramDistanceCaseInsensitive", _ngram_distance(ci=True))
+_alias("ngramSearch", _ngram_search(ci=False))
+_alias("ngramSearchCaseInsensitive", _ngram_search(ci=True))
 _alias("hasSubsequence", lambda h, n: (F.aggregate(
     F.split(_c(h), ""), F.lit(0),
     lambda acc, ch: F.when((acc < F.length(_c(n)))

@@ -2193,7 +2193,10 @@ _LITERAL_ARG_FNS = {
     "extractGroups", "extractAllGroups", "addWeeks", "subtractWeeks",
     "addQuarters", "subtractQuarters", "subtractHours", "subtractMonths",
     "subtractYears", "translate", "substringIndex", "hasToken",
-    "extractKeyValuePairs", "str_to_map", "instr",
+    "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
+    "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
+    "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
+    "accurateCastOrDefault",
 }
 
 

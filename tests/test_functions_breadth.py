@@ -336,3 +336,35 @@ def test_extract_all_groups_and_kv(spark):
     assert [list(g) for g in got] == [["a", "1"], ["b", "22"]]
     assert dict(run("extractKeyValuePairs('a:1,b:2')")) == \
         {"a": "1", "b": "2"}
+
+
+CONVERSION_CASES = [
+    ("parseDateTime('2024-03-15', '%Y-%m-%d') IS NOT NULL", True),
+    ("parseDateTime32BestEffort('2024/03/15') IS NOT NULL", True),
+    ("toUnixTimestamp64Nano(toDateTime('1970-01-01 00:00:01'))",
+     1000000000),
+    ("toYYYYMMDD(snowflakeToDateTime(dateTimeToSnowflake("
+     "toDateTime('2024-01-01 00:00:00'))))", 20240101),
+    ("toUInt8OrDefault('bad', 7)", 7),
+    ("toUInt8OrDefault('5', 7)", 5),
+    ("accurateCastOrDefault(300, 'UInt8', 0)", 0),   # out of UInt8 range
+    ("accurateCastOrNull(-1, 'UInt8')", None),
+    ("accurateCastOrNull(255, 'UInt8')", 255),
+    ("toUUIDOrNull('bad')", None),
+    ("toUUIDOrNull('61f0c404-5cb3-11e7-907b-a6006ad3dba0')",
+     "61f0c404-5cb3-11e7-907b-a6006ad3dba0"),
+    ("formatDateTimeInJodaSyntax(toDateTime('2024-03-15 10:00:00'), "
+     "'yyyy-MM-dd')", "2024-03-15"),
+    ("toYYYYMMDD(makeDateTime(2024, 3, 15, 10, 0, 0))", 20240315),
+    ("YYYYMMDDToDate(20240315) IS NOT NULL", True),
+    ("hex(UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0'))",
+     "61F0C4045CB311E7907BA6006AD3DBA0"),
+    ("length(generateUUIDv7())", 36),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CONVERSION_CASES,
+                         ids=[c[0][:40] for c in CONVERSION_CASES])
+def test_conversion_tail(spark, expr, expected):
+    got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
+    assert got == expected
