@@ -38,6 +38,7 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     "JSONEachRow": ("json", {}, {}),
     "JSONCompactEachRow": ("json", {}, {}),
     "LineAsString": ("text", {}, {}),
+    "JSONAsString": ("json-as-string", {}, {}),
     "RawBLOB": ("binaryFile", {}, {}),
     "Null": ("noop", {}, {}),
 }
@@ -50,6 +51,8 @@ def read_format(spark: SparkSession, fmt: str, path: str,
                 schema: str | None = None, **extra) -> DataFrame:
     """``INSERT ... FROM INFILE 'path' FORMAT fmt`` read path."""
     name, ropts, _ = FORMATS[fmt]
+    if name == "json-as-string":
+        return read_json_as_string(spark, path)
     if name.startswith("arrow-ipc"):
         import pyarrow as pa
 
@@ -714,6 +717,56 @@ def read_regexp(spark: SparkSession, path: str, regexp: str,
 
 # FORMAT-name → driver-side string renderer (used by the FORMAT suffix
 # and INTO OUTFILE for these text formats)
+def to_json_each_row_with_progress(df: DataFrame, n: int = 10000) -> str:
+    """``JSONEachRowWithProgress``: each row wrapped as {"row": {...}},
+    followed by one final {"progress": {...}} event (CH streams interim
+    progress; a completed local result has exactly the final one)."""
+    import json
+    rows = df.limit(n).collect()
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    out = [json.dumps(
+        {"row": {c: _json_cell(v, s)
+                 for c, v, s in zip(df.columns, row, simples)}},
+        ensure_ascii=False) for row in rows]
+    out.append(json.dumps({"progress": {
+        "read_rows": str(len(rows)), "read_bytes": "0",
+        "total_rows_to_read": str(len(rows))}}))
+    return "\n".join(out) + "\n"
+
+
+def read_json_as_string(spark: SparkSession, path: str) -> DataFrame:
+    """``JSONAsString`` input: each top-level JSON object becomes ONE row
+    with a single ``json`` String column (raw text, not parsed) —
+    multi-line objects are re-assembled by brace balance outside string
+    literals."""
+    lines = spark.read.format("text").load(path)
+
+    def reassemble(part):
+        buf, depth, in_str, esc = [], 0, False, False
+        for r in part:
+            line = r.value
+            buf.append(line)
+            for ch in line:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = not in_str
+                elif not in_str and ch == "{":
+                    depth += 1
+                elif not in_str and ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        doc = "\n".join(buf).strip()
+                        if doc:
+                            yield (doc,)
+                        buf = []
+    # per-partition reassembly: objects must not span files/partitions
+    # (same constraint CH's parallel parsing has for this format)
+    return lines.rdd.mapPartitions(reassemble).toDF(["json"])
+
+
 TEXT_RENDERERS = {
     "Values": to_values,
     "Vertical": to_vertical,
@@ -722,4 +775,5 @@ TEXT_RENDERERS = {
     "XML": to_xml,
     "JSON": to_json,
     "JSONCompact": to_json_compact,
+    "JSONEachRowWithProgress": to_json_each_row_with_progress,
 }

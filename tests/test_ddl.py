@@ -515,3 +515,20 @@ def test_show_create_dictionary(sess):
     assert stmt.startswith("CREATE DICTIONARY default.dd")
     assert "PRIMARY KEY k" in stmt and "LAYOUT(FLAT())" in stmt
     assert "DEFAULT '?'" in stmt
+
+
+def test_alter_mutation_on_partitioned_table(sess, tmp_path):
+    import os
+    sess.execute("CREATE TABLE part_mut (d String, v Int64) "
+                 "ENGINE = MergeTree ORDER BY v PARTITION BY d")
+    sess.execute("INSERT INTO part_mut VALUES ('a', 1), ('b', 2), ('a', 3)")
+    sess.execute("ALTER TABLE part_mut UPDATE v = v * 10 WHERE d = 'a'")
+    got = {(r.d, r.v) for r in
+           sess.execute("SELECT d, v FROM part_mut").collect()}
+    assert got == {("a", 10), ("b", 2), ("a", 30)}
+    # partition directory layout survives the rewrite
+    path = os.path.join(str(tmp_path / "wh"), "default", "part_mut")
+    assert os.path.isdir(os.path.join(path, "d=a"))
+    sess.execute("ALTER TABLE part_mut DELETE WHERE d = 'b'")
+    assert sess.execute("SELECT count() AS n FROM part_mut"
+                        ).collect()[0].n == 2

@@ -389,3 +389,30 @@ def test_file_table_function_all_formats(spark, tmp_path):
                               f"'CSVWithNames')", {}).collect()[0].n == 2
     assert execute_sql(spark, f"SELECT sum(id) AS s FROM file('{arrow}', "
                               f"'Arrow')", {}).collect()[0].s == 3
+
+
+def test_json_as_string_input(spark, tmp_path):
+    from clickhouse_from_scratch_spark.sources import read_format
+    p = tmp_path / "objs.json"
+    p.write_text('{"a": 1, "s": "x{y}"}\n'
+                 '{\n  "a": 2,\n  "nested": {"b": 3}\n}\n')
+    out = read_format(spark, "JSONAsString", str(p)).collect()
+    docs = {r.json for r in out}
+    assert len(docs) == 2
+    assert '{"a": 1, "s": "x{y}"}' in docs             # braces in strings ok
+    assert any('"b": 3' in d and d.startswith("{") for d in docs)
+
+
+def test_json_each_row_with_progress_output(spark):
+    import json
+    from clickhouse_from_scratch_spark.sources.formats import (
+        to_json_each_row_with_progress,
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, s string")
+    lines = to_json_each_row_with_progress(df).strip().split("\n")
+    rows = [json.loads(ln) for ln in lines]
+    assert [r["row"] for r in rows[:-1]] == [{"x": "1", "s": "a"},
+                                             {"x": "2", "s": "b"}] or \
+           [r["row"] for r in rows[:-1]] == [{"x": 1, "s": "a"},
+                                             {"x": 2, "s": "b"}]
+    assert rows[-1]["progress"]["read_rows"] == "2"
