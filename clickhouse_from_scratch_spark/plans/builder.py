@@ -1551,8 +1551,14 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         if name + "If" in REGISTRY:
             return ch(name + "If", *args, cond) if args else ch("countIf", cond)
         raise BuildError(f"FILTER not supported for {name}")
-    if name.endswith("If") and name in REGISTRY:
+    if name.endswith("If") and name in REGISTRY and not params:
         return ch(name, *args)
+    if name.endswith("If") and len(name) > 2 and params:
+        # parametric + -If combo (topKIf(2)(x, cond)): peel the If here
+        # so the parametric dispatch below sees the base name
+        cond_col = args[-1]
+        args = [F.when(cond_col, a) for a in args[:-1]]
+        name = name[:-2]
     if name.startswith("quantiles") and params:
         return ch(name, params, *args)
     if (name.startswith("quantile") or name.startswith("median")) and params:
@@ -2029,8 +2035,23 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         target, rhs_node = node.args
         lhs = cols[0]
         if isinstance(rhs_node, (TupleLiteral, ArrayLiteral)):
-            vals = [a.value for a in rhs_node.items]
-            col = lhs.isin(vals)
+            if (isinstance(node.args[0], TupleLiteral)
+                    and all(isinstance(it, TupleLiteral)
+                            for it in rhs_node.items)):
+                # (a, b) IN ((1, 2), (3, 4)) → OR of per-row equality
+                # conjunctions (pushdown-friendly, no struct literals)
+                lhs_cols = [_eval(it, ctx, df)
+                            for it in node.args[0].items]
+                disj = F.lit(False)
+                for row in rhs_node.items:
+                    conj = F.lit(True)
+                    for lc, lit_item in zip(lhs_cols, row.items):
+                        conj = conj & (lc == _eval(lit_item, ctx, df))
+                    disj = disj | conj
+                col = disj
+            else:
+                vals = [a.value for a in rhs_node.items]
+                col = lhs.isin(vals)
         elif isinstance(rhs_node, Subquery):
             # last-resort path: IN-subquery inside a lambda body — the
             # only position the marker-join lowering cannot reach (a join

@@ -1056,3 +1056,28 @@ def test_array_fold_hof(spark):
         "SELECT arrayFold((acc, x) -> acc + x, [1,2,3], toInt64(10)) AS r",
         {}).collect()[0].r
     assert r == 16
+
+
+def test_tuple_in_literal_list(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")}
+    assert execute_sql(
+        spark, "SELECT count() AS n FROM t "
+        "WHERE (k, v) IN ((1, 10.0), (3, 30.0))", t).collect()[0].n == 2
+    assert execute_sql(
+        spark, "SELECT count() AS n FROM t "
+        "WHERE (k, v) NOT IN ((1, 10.0))", t).collect()[0].n == 2
+    assert execute_sql(
+        spark, "SELECT count() AS n FROM t "
+        "WHERE (k, v) IN ((1, 99.0))", t).collect()[0].n == 0
+
+
+def test_parametric_if_combo(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (5, 50.0)], "k long, v double")}
+    assert list(execute_sql(
+        spark, "SELECT topKIf(2)(k, v > 10) AS r FROM t",
+        t).collect()[0].r) == [2, 3]
+    assert execute_sql(
+        spark, "SELECT quantileIf(0.5)(v, k > 1) AS r FROM t",
+        t).collect()[0].r == 30.0
