@@ -1353,6 +1353,33 @@ _alias("str_to_map", lambda s, pd=",", kv=":": F.str_to_map(
     _c(s), F.lit(pd), F.lit(kv)))
 
 
+# --- block-order functions (deprecated in CH in favor of window fns) -----
+# CH evaluates these in block-processing order, which is only defined
+# under an outer ORDER BY; here they run over a global row-order window
+# (single-partition — same caveat CH documents, use window fns at scale).
+
+def _global_order():
+    from pyspark.sql import Window as _W
+    return _W.orderBy(F.monotonically_increasing_id())
+
+
+_alias("runningDifference", lambda c: F.coalesce(
+    _c(c) - F.lag(_c(c), 1).over(_global_order()), F.lit(0)))
+_alias("runningDifferenceStartingWithFirstValue", lambda c: F.coalesce(
+    _c(c) - F.lag(_c(c), 1).over(_global_order()), _c(c)))
+_alias("neighbor", lambda c, o, d=None:
+       (F.lead(_c(c), int(o), d) if int(o) >= 0
+        else F.lag(_c(c), -int(o), d)).over(_global_order()))
+_alias("rowNumberInAllBlocks",
+       lambda: F.row_number().over(_global_order()) - 1)
+_alias("rowNumberInBlock",
+       lambda: F.row_number().over(_global_order()) - 1)
+_alias("blockNumber", lambda: F.spark_partition_id().cast("long"))
+_alias("blockSize", lambda: F.count(F.lit(1)).over(
+    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    .partitionBy(F.spark_partition_id())))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

@@ -2217,7 +2217,7 @@ _LITERAL_ARG_FNS = {
     "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
-    "accurateCastOrDefault",
+    "accurateCastOrDefault", "neighbor",
 }
 
 

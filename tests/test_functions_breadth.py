@@ -368,3 +368,19 @@ CONVERSION_CASES = [
 def test_conversion_tail(spark, expr, expected):
     got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
     assert got == expected
+
+
+def test_block_order_functions(spark):
+    t = {"t": spark.createDataFrame(
+        [(i, float(i * i)) for i in range(1, 5)], "k long, v double")}
+
+    def run(sql):
+        return [r[0] for r in execute_sql(spark, sql, t).collect()]
+
+    assert run("SELECT runningDifference(v) AS d FROM "
+               "(SELECT v FROM t ORDER BY k)") == [0.0, 3.0, 5.0, 7.0]
+    assert run("SELECT neighbor(k, 1) AS n FROM "
+               "(SELECT k FROM t ORDER BY k)") == [2, 3, 4, None]
+    assert run("SELECT neighbor(k, -1, 0) AS n FROM "
+               "(SELECT k FROM t ORDER BY k)") == [0, 1, 2, 3]
+    assert run("SELECT rowNumberInAllBlocks() AS r FROM t") == [0, 1, 2, 3]
