@@ -248,6 +248,11 @@ class ChSession:
                     info["order_by"] = meta.order_by
                     info["version"] = meta.settings.get(
                         "version", meta.order_by[-1])
+                    info["engine"] = meta.engine
+                    if meta.settings.get("sign"):
+                        info["sign"] = meta.settings["sign"]
+                    if meta.settings.get("sum_cols"):
+                        info["sum_cols"] = meta.settings["sum_cols"]
                 if meta.sample_by:
                     info["sample_by"] = meta.sample_by
                 if meta.columns:
@@ -309,6 +314,14 @@ class ChSession:
             partition_by=part_col, partition_expr=part_expr,
             sample_by=node.sample_by,
             ttl=node.ttl, settings=dict(node.settings))
+        # engine parameters: ReplacingMergeTree(ver) /
+        # CollapsingMergeTree(sign) / SummingMergeTree([cols…])
+        if node.engine == "ReplacingMergeTree" and node.engine_args:
+            meta.settings["version"] = node.engine_args[0]
+        elif node.engine == "CollapsingMergeTree" and node.engine_args:
+            meta.settings["sign"] = node.engine_args[0]
+        elif node.engine == "SummingMergeTree" and node.engine_args:
+            meta.settings["sum_cols"] = list(node.engine_args)
         source: DataFrame | None = None
         if node.as_select is not None:
             source = build(self.spark, node.as_select, self._tables(),
@@ -697,8 +710,12 @@ class ChSession:
         meta = self._resolve(node.database, node.table)
         df = self._read(meta)
         if node.final and meta.order_by:
+            from .operators.final import final_for_engine
             version = meta.settings.get("version", meta.order_by[-1])
-            df = final_op(df, key=meta.order_by, version=version)
+            df = final_for_engine(df, key=meta.order_by, version=version,
+                                  engine=meta.engine,
+                                  sign=meta.settings.get("sign"),
+                                  sum_cols=meta.settings.get("sum_cols"))
         if node.deduplicate:
             df = (df.dropDuplicates(node.dedup_by) if node.dedup_by
                   else df.dropDuplicates())

@@ -17,6 +17,64 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal")
+
+
+def final_summing(df: DataFrame, key: Sequence[str],
+                  sum_cols: Sequence[str] | None = None) -> DataFrame:
+    """SummingMergeTree FINAL: one row per sorting key with the summable
+    columns summed (the declared engine columns, else every numeric
+    non-key column) and any value kept for the rest — one hash
+    aggregation, map-side combine applies."""
+    aggs = []
+    for f in df.schema.fields:
+        if f.name in key:
+            continue
+        t = f.dataType.simpleString()
+        summed = (f.name in sum_cols if sum_cols
+                  else t.startswith(_NUMERIC_PREFIXES))
+        aggs.append((F.sum(f.name) if summed
+                     else F.first(f.name, ignorenulls=True)).alias(f.name))
+    return df.groupBy(*[F.col(k) for k in key]).agg(*aggs) \
+             .select(*df.columns)
+
+
+def final_collapsing(df: DataFrame, key: Sequence[str],
+                     sign: str) -> DataFrame:
+    """CollapsingMergeTree FINAL: +1/-1 rows cancel pairwise per key;
+    a non-zero balance keeps one row of the surviving sign.
+
+    CH keeps the LAST-inserted survivor, but columnar storage clustered
+    on the sorting key does not preserve insertion order (CH has the
+    same ambiguity across unmerged parts) — the winner here is the
+    deterministic max over the remaining columns, the same tie-break
+    ``final()`` uses."""
+    keycols = [F.col(k) for k in key]
+    bal = Window.partitionBy(*keycols)
+    rest = [F.col(c).desc() for c in df.columns
+            if c not in key and c != sign]
+    w = Window.partitionBy(*keycols).orderBy(*(rest or [F.lit(1)]))
+    want = F.when(F.col("__bal") > 0, 1).otherwise(-1)
+    return (df.withColumn("__bal", F.sum(sign).over(bal))
+            .filter((F.col("__bal") != 0) & (F.col(sign) == want))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__bal", "__rn"))
+
+
+def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
+                     engine: str = "", sign: str | None = None,
+                     sum_cols: Sequence[str] | None = None) -> DataFrame:
+    """Engine-aware FINAL dispatch: Summing sums, Collapsing cancels,
+    everything else (Replacing & friends) keeps the latest version."""
+    if engine == "SummingMergeTree":
+        return final_summing(df, key, sum_cols)
+    if engine == "CollapsingMergeTree" and sign:
+        return final_collapsing(df, key, sign)
+    return final(df, key, version)
+
+
 def final(df: DataFrame, key: Sequence[str], version: str | Column,
           keep: str = "max") -> DataFrame:
     """Keep one row per ``key``: greatest (or least) ``version``.

@@ -427,7 +427,12 @@ def _build_from(node, ctx: Context) -> DataFrame:
                 raise BuildError(
                     f"FINAL on {name} needs engine metadata (ORDER BY key + "
                     f"version column); pass engines={{...}}")
-            df = final(df, key=meta["order_by"], version=meta["version"])
+            from ..operators.final import final_for_engine
+            df = final_for_engine(df, key=meta["order_by"],
+                                  version=meta["version"],
+                                  engine=meta.get("engine", ""),
+                                  sign=meta.get("sign"),
+                                  sum_cols=meta.get("sum_cols"))
         if node.sample:
             frac, off = node.sample
             key = ctx.engines.get(rkey, {}).get("sample_by",

@@ -33,6 +33,7 @@ class CreateTable(Node):
     table: str
     columns: list[ColumnDef]
     engine: str = "MergeTree"
+    engine_args: list[str] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     partition_by: Node | None = None
     primary_key: list[str] = field(default_factory=list)
@@ -573,6 +574,8 @@ class StatementParser(Parser):
             self.accept_op("=")
             ct.engine = self.advance().text
             if self.accept_op("("):
+                # engine parameters: ReplacingMergeTree(ver),
+                # CollapsingMergeTree(sign), SummingMergeTree([cols…])
                 depth = 1
                 while depth:
                     tk = self.advance()
@@ -580,6 +583,8 @@ class StatementParser(Parser):
                         depth += 1
                     elif tk.is_op(")"):
                         depth -= 1
+                    elif depth == 1 and tk.kind == T.IDENT:
+                        ct.engine_args.append(tk.text)
         while True:
             if self.accept_kws("ORDER", "BY"):
                 ct.order_by = self._key_list()

@@ -532,3 +532,35 @@ def test_alter_mutation_on_partitioned_table(sess, tmp_path):
     sess.execute("ALTER TABLE part_mut DELETE WHERE d = 'b'")
     assert sess.execute("SELECT count() AS n FROM part_mut"
                         ).collect()[0].n == 2
+
+
+def test_summing_merge_tree_final(sess):
+    sess.execute("CREATE TABLE sums (k UInt32, v Int64, note String) "
+                 "ENGINE = SummingMergeTree ORDER BY k")
+    sess.execute("INSERT INTO sums VALUES (1, 10, 'a'), (1, 5, 'b'), "
+                 "(2, 7, 'c')")
+    rows = {(r.k): (r.v, r.note) for r in
+            sess.execute("SELECT k, v, note FROM sums FINAL").collect()}
+    assert rows[1][0] == 15 and rows[2] == (7, "c")   # v summed per key
+    # OPTIMIZE FINAL materializes the same collapse
+    sess.execute("OPTIMIZE TABLE sums FINAL")
+    assert sess.execute("SELECT count() AS n FROM sums").collect()[0].n == 2
+
+
+def test_collapsing_merge_tree_final(sess):
+    sess.execute("CREATE TABLE col (k UInt32, v Int64, sign Int8) "
+                 "ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    sess.execute("INSERT INTO col VALUES (1, 10, 1), (1, 10, -1), "
+                 "(1, 20, 1), (2, 5, 1), (3, 9, 1), (3, 9, -1)")
+    rows = {r.k: r.v for r in
+            sess.execute("SELECT k, v FROM col FINAL").collect()}
+    # key 1: pair cancels, latest +1 (v=20) survives; key 3 vanishes
+    assert rows == {1: 20, 2: 5}
+
+
+def test_replacing_merge_tree_version_arg(sess):
+    sess.execute("CREATE TABLE rep (k UInt32, ver UInt64, v String) "
+                 "ENGINE = ReplacingMergeTree(ver) ORDER BY k")
+    sess.execute("INSERT INTO rep VALUES (1, 2, 'new'), (1, 1, 'old')")
+    out = sess.execute("SELECT v FROM rep FINAL").collect()
+    assert [r.v for r in out] == ["new"]              # max ver wins
