@@ -44,7 +44,8 @@ from .plans.statements import CreateFunction
 
 _MERGE_TREE_FAMILY = {
     "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
-    "AggregatingMergeTree", "CollapsingMergeTree", "ReplicatedMergeTree",
+    "AggregatingMergeTree", "CollapsingMergeTree",
+    "VersionedCollapsingMergeTree", "ReplicatedMergeTree",
     "Log", "TinyLog", "StripeLog",
 }
 
@@ -320,6 +321,10 @@ class ChSession:
             meta.settings["version"] = node.engine_args[0]
         elif node.engine == "CollapsingMergeTree" and node.engine_args:
             meta.settings["sign"] = node.engine_args[0]
+        elif (node.engine == "VersionedCollapsingMergeTree"
+              and len(node.engine_args) >= 2):
+            meta.settings["sign"] = node.engine_args[0]
+            meta.settings["version"] = node.engine_args[1]
         elif node.engine == "SummingMergeTree" and node.engine_args:
             meta.settings["sum_cols"] = list(node.engine_args)
         source: DataFrame | None = None

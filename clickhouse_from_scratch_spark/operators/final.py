@@ -63,6 +63,21 @@ def final_collapsing(df: DataFrame, key: Sequence[str],
             .drop("__bal", "__rn"))
 
 
+def final_versioned_collapsing(df: DataFrame, key: Sequence[str],
+                               sign: str, version: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL: rows cancel by sign within
+    each (key, version); the surviving state row with the greatest
+    version remains."""
+    keycols = [F.col(k) for k in key]
+    balw = Window.partitionBy(*keycols, F.col(version))
+    w = Window.partitionBy(*keycols).orderBy(F.col(version).desc())
+    return (df.withColumn("__bal", F.sum(sign).over(balw))
+            .filter((F.col("__bal") > 0) & (F.col(sign) == 1))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__bal", "__rn"))
+
+
 def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
                      engine: str = "", sign: str | None = None,
                      sum_cols: Sequence[str] | None = None) -> DataFrame:
@@ -72,6 +87,8 @@ def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
         return final_summing(df, key, sum_cols)
     if engine == "CollapsingMergeTree" and sign:
         return final_collapsing(df, key, sign)
+    if engine == "VersionedCollapsingMergeTree" and sign:
+        return final_versioned_collapsing(df, key, sign, version)
     return final(df, key, version)
 
 

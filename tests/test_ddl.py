@@ -564,3 +564,15 @@ def test_replacing_merge_tree_version_arg(sess):
     sess.execute("INSERT INTO rep VALUES (1, 2, 'new'), (1, 1, 'old')")
     out = sess.execute("SELECT v FROM rep FINAL").collect()
     assert [r.v for r in out] == ["new"]              # max ver wins
+
+
+def test_versioned_collapsing_merge_tree_final(sess):
+    sess.execute("CREATE TABLE vc (k UInt32, v String, sign Int8, "
+                 "ver UInt64) ENGINE = VersionedCollapsingMergeTree"
+                 "(sign, ver) ORDER BY k")
+    sess.execute("INSERT INTO vc VALUES "
+                 "(1, 'v1', 1, 1), (1, 'v1', -1, 1), (1, 'v2', 1, 2), "
+                 "(2, 'x', 1, 5)")
+    rows = {r.k: r.v for r in
+            sess.execute("SELECT k, v FROM vc FINAL").collect()}
+    assert rows == {1: "v2", 2: "x"}      # ver=1 pair cancels, max ver wins
