@@ -1674,6 +1674,10 @@ def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
         return F.col(ctx.key_slots[key])
     if isinstance(node, Alias):
         return _eval_post(node.expr, out, ctx)
+    if isinstance(node, Cast):
+        # CAST over an aggregate (round(CAST(avg(x) AS Float64), 3)):
+        # substitute the materialized slot, then the normal cast path
+        return _eval(_slotify(node, ctx), ctx, out)
     if isinstance(node, FuncCall):
         if _is_agg_name(node.name):
             raise BuildError(f"aggregate {node.name} not collected")

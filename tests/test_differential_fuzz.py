@@ -1,0 +1,99 @@
+"""Seeded differential fuzz: random expressions in the shared
+CH/ANSI-SQL dialect intersection, executed by our engine AND DuckDB on
+the same parquet, compared order-insensitively.
+
+The grammar sticks to constructs with identical semantics in both
+engines (+, -, *, comparisons, AND/OR, round, abs, least/greatest,
+CASE) so any mismatch is an engine bug, not a dialect difference.
+Integer division, modulo on negatives, and float formatting are
+deliberately excluded — their cross-engine semantics differ.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from clickhouse_from_scratch_spark.catalog import load_all
+from clickhouse_from_scratch_spark.plans import execute_sql
+from tools.check_oracle import compare
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_linenumber"]
+
+
+def _expr(rnd: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rnd.random() < 0.4:
+        return rnd.choice(NUM_COLS + [str(rnd.randint(1, 50)),
+                                      f"{rnd.uniform(0.5, 9.5):.2f}"])
+    kind = rnd.randrange(4)
+    a, b = _expr(rnd, depth + 1), _expr(rnd, depth + 1)
+    if kind == 0:
+        return f"({a} {rnd.choice(['+', '-', '*'])} {b})"
+    if kind == 1:
+        return f"{rnd.choice(['least', 'greatest'])}({a}, {b})"
+    if kind == 2:
+        return f"abs({a})"
+    return (f"(CASE WHEN {a} > {b} THEN {a} ELSE {b} END)")
+
+
+def _pred(rnd: random.Random) -> str:
+    cmp1 = (f"{_expr(rnd, 1)} {rnd.choice(['<', '<=', '>', '>=', '='])} "
+            f"{_expr(rnd, 1)}")
+    cmp2 = (f"{rnd.choice(NUM_COLS)} "
+            f"{rnd.choice(['<', '>'])} {rnd.randint(1, 40)}")
+    return f"({cmp1} {rnd.choice(['AND', 'OR'])} {cmp2})"
+
+
+def _cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(20260814)
+    out = []
+    for i in range(n):
+        e = _expr(rnd)
+        p = _pred(rnd)
+        sql = (f"SELECT l_orderkey, l_linenumber, "
+               f"round(CAST({e} AS DOUBLE), 4) AS v "
+               f"FROM lineitem WHERE {p}")
+        out.append((f"fuzz{i:02d}", sql))
+    return out
+
+
+CASES = _cases(30)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS "
+            f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    return con
+
+
+def _agg_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(99)
+    out = []
+    for i in range(n):
+        e = _expr(rnd)
+        agg = rnd.choice(["sum", "avg", "min", "max", "count"])
+        key = rnd.choice(["l_returnflag", "l_linestatus", "l_linenumber",
+                          "(l_linenumber % 3)"])
+        body = f"{agg}(CAST({e} AS DOUBLE))" if agg != "count" else "count(*)"
+        sql = (f"SELECT {key} AS k, round(CAST({body} AS DOUBLE), 3) AS v "
+               f"FROM lineitem WHERE {_pred(rnd)} GROUP BY k")
+        out.append((f"aggfuzz{i:02d}", sql))
+    return out
+
+
+AGG_CASES = _agg_cases(20)
+
+
+@pytest.mark.parametrize("name,sql", CASES + AGG_CASES,
+                         ids=[c[0] for c in CASES + AGG_CASES])
+def test_differential(spark, sf_dir, duck, name, sql):
+    tables = load_all(spark, sf_dir)
+    ch_sql = sql.replace("count(*)", "count()")
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(sql).df()
+    problems = compare(name, ours, theirs)
+    assert not problems, problems
