@@ -87,13 +87,99 @@ def _agg_cases(n: int) -> list[tuple[str, str]]:
 
 AGG_CASES = _agg_cases(20)
 
+STR_COLS = ["l_returnflag", "l_linestatus"]
 
-@pytest.mark.parametrize("name,sql", CASES + AGG_CASES,
-                         ids=[c[0] for c in CASES + AGG_CASES])
+
+def _str_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(7)
+    out = []
+    for i in range(n):
+        c = rnd.choice(STR_COLS)
+        e = rnd.choice([
+            f"upper({c})", f"lower({c})", f"length({c})",
+            f"substring({c}, 1, {rnd.randint(1, 4)})",
+            f"concat({c}, '-', {rnd.choice(STR_COLS)})",
+            f"trim({c})", f"reverse({c})",
+            f"replace({c}, 'A', 'z')",
+        ])
+        sql = (f"SELECT l_orderkey, l_linenumber, {e} AS v FROM lineitem "
+               f"WHERE {_pred(rnd)}")
+        out.append((f"strfuzz{i:02d}", sql))
+    return out
+
+
+def _window_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(31)
+    out = []
+    for i in range(n):
+        fn = rnd.choice([
+            "sum(CAST(l_quantity AS DOUBLE))",
+            "avg(CAST(l_extendedprice AS DOUBLE))",
+            "count(*)", "min(l_discount)", "row_number()", "rank()",
+        ])
+        part = rnd.choice(["l_returnflag", "l_linestatus",
+                           "l_returnflag, l_linestatus"])
+        frame = ("" if fn in ("row_number()", "rank()") else
+                 rnd.choice(["", " ROWS BETWEEN 2 PRECEDING AND "
+                             "CURRENT ROW",
+                             " ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                             "CURRENT ROW"]))
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        # — order by enough columns that any remaining ties are
+        # full-row-identical, else running frames are legitimately
+        # nondeterministic across engines
+        order = ("l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+                 "l_quantity, l_extendedprice")
+        sql = (f"SELECT l_orderkey, l_linenumber, "
+               f"round(CAST({fn} OVER (PARTITION BY {part} "
+               f"ORDER BY {order}{frame}) "
+               f"AS DOUBLE), 3) AS v "
+               f"FROM lineitem WHERE l_orderkey < 1000")
+        out.append((f"winfuzz{i:02d}", sql))
+    return out
+
+
+STR_CASES = _str_cases(12)
+WIN_CASES = _window_cases(12)
+
+
+ALL_CASES = CASES + AGG_CASES + STR_CASES + WIN_CASES
+
+
+def _tolerant_compare(ours, theirs) -> list[str]:
+    """Order-insensitive compare with float tolerance: exact rounding at
+    a .0005 boundary can flip the last displayed digit between engines
+    (double representation noise), which is not a semantic difference."""
+    import numpy as np
+    from tools.check_oracle import normalize
+    problems = []
+    if len(ours) != len(theirs):
+        return [f"rowcount {len(ours)} vs {len(theirs)}"]
+    if sorted(ours.columns) != sorted(theirs.columns):
+        return [f"columns {sorted(ours.columns)} vs "
+                f"{sorted(theirs.columns)}"]
+    o, t = normalize(ours), normalize(theirs)
+    for c in o.columns:
+        if o[c].dtype.kind == "f" or t[c].dtype.kind == "f":
+            a = o[c].astype(float).fillna(-1e18).to_numpy()
+            b = t[c].astype(float).fillna(-1e18).to_numpy()
+            if not np.allclose(a, b, atol=2e-3, rtol=1e-9):
+                problems.append(f"col {c}: max diff "
+                                f"{np.abs(a - b).max()}")
+        else:
+            av = o[c].fillna("").astype(str)
+            bv = t[c].fillna("").astype(str)
+            if not (av == bv).all():
+                problems.append(f"col {c}: value mismatch")
+    return problems
+
+
+@pytest.mark.parametrize("name,sql", ALL_CASES,
+                         ids=[c[0] for c in ALL_CASES])
 def test_differential(spark, sf_dir, duck, name, sql):
     tables = load_all(spark, sf_dir)
     ch_sql = sql.replace("count(*)", "count()")
     ours = execute_sql(spark, ch_sql, tables).toPandas()
     theirs = duck.sql(sql).df()
-    problems = compare(name, ours, theirs)
+    problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
