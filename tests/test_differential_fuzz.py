@@ -65,8 +65,9 @@ CASES = _cases(30)
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    con.sql(f"CREATE VIEW lineitem AS "
-            f"SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    for tbl in ("lineitem", "orders"):
+        con.sql(f"CREATE VIEW {tbl} AS "
+                f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
     return con
 
 
@@ -143,7 +144,31 @@ STR_CASES = _str_cases(12)
 WIN_CASES = _window_cases(12)
 
 
-ALL_CASES = CASES + AGG_CASES + STR_CASES + WIN_CASES
+def _join_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(55)
+    out = []
+    for i in range(n):
+        kind = rnd.choice(["JOIN", "LEFT JOIN", "INNER JOIN"])
+        key = rnd.choice(["o_orderpriority", "o_orderstatus"])
+        agg = rnd.choice([
+            "count(*)",
+            "round(CAST(sum(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 3)",
+            "round(CAST(min(o_totalprice) AS DOUBLE), 3)",
+            "round(CAST(max(l_extendedprice) AS DOUBLE), 3)",
+        ])
+        cut = rnd.randint(50_000, 250_000)
+        sql = (f"SELECT {key} AS k, {agg} AS v "
+               f"FROM orders {kind} lineitem "
+               f"ON l_orderkey = o_orderkey "
+               f"WHERE o_totalprice < {cut} GROUP BY k")
+        out.append((f"joinfuzz{i:02d}", sql))
+    return out
+
+
+JOIN_CASES = _join_cases(10)
+
+
+ALL_CASES = CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
