@@ -1327,6 +1327,34 @@ def sql_udf_macro(spark, sf_dir):
     """)
 
 
+@query("sql_final_summing", oracle="""
+SELECT l_orderkey AS k,
+       ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS qty
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY l_orderkey ORDER BY k
+""")
+def sql_final_summing(spark, sf_dir):
+    """SummingMergeTree FINAL (operators/final.py final_summing): one
+    row per sorting key with summable columns summed — the oracle
+    states the same collapse as a plain GROUP BY SUM."""
+    from .catalog import load_all
+    from .ddl import ChSession, TableMeta
+
+    s = ChSession(spark)
+    for name, df in load_all(spark, sf_dir).items():
+        s.databases["default"][name] = TableMeta(
+            name=name, database="default",
+            columns=[(f.name, f.dataType.simpleString())
+                     for f in df.schema.fields], memory_df=df)
+    s.execute("CREATE TABLE sum_t (k UInt64, qty Float64) "
+              "ENGINE = SummingMergeTree ORDER BY k")
+    s.execute("INSERT INTO sum_t SELECT l_orderkey AS k, "
+              "CAST(l_quantity AS Float64) AS qty FROM lineitem "
+              "WHERE l_orderkey < 500")
+    return s.execute(
+        "SELECT k, round(qty, 4) AS qty FROM sum_t FINAL ORDER BY k")
+
+
 @query("sql_retention", oracle="""
 SELECT user_id,
        CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
