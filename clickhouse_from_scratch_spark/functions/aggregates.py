@@ -375,6 +375,28 @@ def _sequence_fold(pattern, ts, conds, count: bool) -> Column:
     return (final["n"] > 0).cast("int")
 
 
+def _bitmap_fold(op):
+    """Fold per-row bitmap arrays group-locally (intersect/union)."""
+    def fn(b):
+        lst = F.collect_list(_c(b))
+        return F.array_sort(F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda acc, m: op(acc, m)))
+    return fn
+
+
+AGGREGATES.update({
+    # bitmaps ≙ sorted-distinct arrays (see registry bitmap family)
+    "groupBitmap": lambda x: F.count_distinct(_c(x)),
+    "groupBitmapState": lambda x: F.array_sort(F.collect_set(_c(x))),
+    "groupBitmapAnd": _bitmap_fold(F.array_intersect),
+    "groupBitmapOr": _bitmap_fold(F.array_union),
+    "groupBitmapAndState": _bitmap_fold(F.array_intersect),
+    "groupBitmapOrState": _bitmap_fold(F.array_union),
+})
+
+
 AGGREGATES.update({
     "retention": _retention,
     "windowFunnel": _window_funnel,

@@ -1380,6 +1380,49 @@ _alias("blockSize", lambda: F.count(F.lit(1)).over(
     .partitionBy(F.spark_partition_id())))
 
 
+# --- bitmap family --------------------------------------------------------
+# CH bitmaps are roaring-bitmap sets of UInt32/64; the open-ecosystem
+# analogue here is a sorted-distinct array<long> — every bitmap* function
+# is then a JVM array-set operation. Cardinalities are identical; only
+# the in-memory encoding differs (Spark has no roaring type to expose).
+
+def _bm(c) -> Column:
+    return F.array_sort(F.array_distinct(_c(c)))
+
+
+_alias("bitmapBuild", _bm)
+_alias("bitmapToArray", lambda b: _c(b))
+_alias("bitmapCardinality", lambda b: F.size(_c(b)).cast("long"))
+_alias("bitmapAnd", lambda a, b: F.array_sort(
+    F.array_intersect(_c(a), _c(b))))
+_alias("bitmapOr", lambda a, b: F.array_sort(F.array_union(_c(a), _c(b))))
+_alias("bitmapXor", lambda a, b: F.array_sort(F.array_union(
+    F.array_except(_c(a), _c(b)), F.array_except(_c(b), _c(a)))))
+_alias("bitmapAndnot", lambda a, b: F.array_sort(
+    F.array_except(_c(a), _c(b))))
+_alias("bitmapContains", lambda b, v: F.array_contains(_c(b), _c(v))
+       .cast("int"))
+_alias("bitmapHasAll", lambda a, b: (F.size(F.array_except(_c(b), _c(a)))
+                                     == 0).cast("int"))
+_alias("bitmapHasAny", lambda a, b: (F.size(F.array_intersect(_c(a),
+                                                              _c(b)))
+                                     > 0).cast("int"))
+_alias("bitmapAndCardinality", lambda a, b: F.size(
+    F.array_intersect(_c(a), _c(b))).cast("long"))
+_alias("bitmapOrCardinality", lambda a, b: F.size(
+    F.array_union(_c(a), _c(b))).cast("long"))
+_alias("bitmapXorCardinality", lambda a, b: (F.size(F.array_union(
+    _c(a), _c(b))) - F.size(F.array_intersect(_c(a), _c(b))))
+    .cast("long"))
+_alias("bitmapAndnotCardinality", lambda a, b: F.size(
+    F.array_except(_c(a), _c(b))).cast("long"))
+_alias("bitmapMin", lambda b: F.array_min(_c(b)))
+_alias("bitmapMax", lambda b: F.array_max(_c(b)))
+_alias("bitmapSubsetInRange", lambda b, lo, hi: F.filter(
+    _c(b), lambda x: (x >= _c(lo)) & (x < _c(hi))))
+_alias("subBitmap", lambda b, off, n: F.slice(_c(b), _c(off) + 1, _c(n)))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

@@ -384,3 +384,52 @@ def test_block_order_functions(spark):
     assert run("SELECT neighbor(k, -1, 0) AS n FROM "
                "(SELECT k FROM t ORDER BY k)") == [0, 1, 2, 3]
     assert run("SELECT rowNumberInAllBlocks() AS r FROM t") == [0, 1, 2, 3]
+
+
+BITMAP_CASES = [
+    ("bitmapToArray(bitmapBuild([3,1,2,2]))", [1, 2, 3]),
+    ("bitmapCardinality(bitmapBuild([1,2,2]))", 2),
+    ("bitmapAnd(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))", [2, 3]),
+    ("bitmapOr(bitmapBuild([1,2]), bitmapBuild([2,4]))", [1, 2, 4]),
+    ("bitmapXor(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))", [1, 4]),
+    ("bitmapAndnot(bitmapBuild([1,2,3]), bitmapBuild([2]))", [1, 3]),
+    ("bitmapContains(bitmapBuild([1,2]), 2)", 1),
+    ("bitmapHasAll(bitmapBuild([1,2,3]), bitmapBuild([1,3]))", 1),
+    ("bitmapHasAny(bitmapBuild([1,2]), bitmapBuild([9]))", 0),
+    ("bitmapAndCardinality(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))",
+     2),
+    ("bitmapXorCardinality(bitmapBuild([1,2,3]), bitmapBuild([2,3,4]))",
+     2),
+    ("bitmapMin(bitmapBuild([5,1]))", 1),
+    ("bitmapSubsetInRange(bitmapBuild([1,5,9]), 2, 9)", [5]),
+    ("subBitmap(bitmapBuild([1,2,3,4]), 1, 2)", [2, 3]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", BITMAP_CASES,
+                         ids=[c[0][:40] for c in BITMAP_CASES])
+def test_bitmap_scalars(spark, expr, expected):
+    got = execute_sql(spark, f"SELECT {expr} AS r", {}).collect()[0].r
+    if isinstance(expected, list):
+        assert list(got or []) == expected
+    else:
+        assert got == expected
+
+
+def test_bitmap_aggregates(spark):
+    t = {"t": spark.createDataFrame([(1, 1), (1, 2), (1, 2), (2, 5)],
+                                    "k long, v long")}
+    r = execute_sql(
+        spark, "SELECT k, groupBitmap(v) AS c, "
+        "bitmapToArray(groupBitmapState(v)) AS a FROM t "
+        "GROUP BY k ORDER BY k", t).collect()
+    assert [(x.k, x.c, list(x.a)) for x in r] == [(1, 2, [1, 2]),
+                                                  (2, 1, [5])]
+    t2 = {"t": spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [2, 3, 4]), (2, [7])],
+        "k long, b array<long>")}
+    r2 = execute_sql(
+        spark, "SELECT k, groupBitmapAnd(b) AS i, groupBitmapOr(b) AS u "
+        "FROM t GROUP BY k ORDER BY k", t2).collect()
+    assert [(x.k, list(x.i), list(x.u)) for x in r2] == \
+        [(1, [2, 3], [1, 2, 3, 4]), (2, [7], [7])]
