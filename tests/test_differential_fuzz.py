@@ -167,8 +167,62 @@ def _join_cases(n: int) -> list[tuple[str, str]]:
 
 JOIN_CASES = _join_cases(10)
 
+# date functions differ in NAME between dialects — generate (CH, DuckDB)
+# expression PAIRS with identical semantics
+_DATE_PAIRS = [
+    ("toYear(l_shipdate)",
+     "EXTRACT(YEAR FROM CAST(l_shipdate AS DATE))"),
+    ("toMonth(l_shipdate)",
+     "EXTRACT(MONTH FROM CAST(l_shipdate AS DATE))"),
+    ("toDayOfMonth(l_shipdate)",
+     "EXTRACT(DAY FROM CAST(l_shipdate AS DATE))"),
+    ("toQuarter(l_shipdate)",
+     "EXTRACT(QUARTER FROM CAST(l_shipdate AS DATE))"),
+    ("toDayOfYear(l_shipdate)",
+     "EXTRACT(DOY FROM CAST(l_shipdate AS DATE))"),
+    ("toYYYYMM(l_shipdate)",
+     "EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) * 100 + "
+     "EXTRACT(MONTH FROM CAST(l_shipdate AS DATE))"),
+    ("dateDiff('day', toDate('1995-01-01'), l_shipdate)",
+     "datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))"),
+    ("toString(toStartOfMonth(l_shipdate))",
+     "strftime(date_trunc('month', CAST(l_shipdate AS DATE)), "
+     "'%Y-%m-%d')"),
+]
 
-ALL_CASES = CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
+
+def _date_cases() -> list[tuple[str, str, str]]:
+    out = []
+    for i, (ch_e, dd_e) in enumerate(_DATE_PAIRS):
+        ch = (f"SELECT l_orderkey, l_linenumber, {ch_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 2000")
+        dd = (f"SELECT l_orderkey, l_linenumber, {dd_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 2000")
+        out.append((f"datefuzz{i:02d}", ch, dd))
+    return out
+
+
+def _having_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(77)
+    out = []
+    for i in range(n):
+        key = rnd.choice(["l_returnflag", "l_linenumber",
+                          "(l_linenumber % 4)"])
+        thresh = rnd.randint(2, 500)
+        sql = (f"SELECT {key} AS k, count(*) AS n, "
+               f"count(DISTINCT l_quantity) AS d FROM lineitem "
+               f"WHERE {_pred(rnd)} GROUP BY k "
+               f"HAVING count(*) > {thresh}")
+        out.append((f"havfuzz{i:02d}", sql))
+    return out
+
+
+HAV_CASES = _having_cases(8)
+DATE_CASES = _date_cases()
+
+
+ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
+             + HAV_CASES)
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
@@ -206,5 +260,15 @@ def test_differential(spark, sf_dir, duck, name, sql):
     ch_sql = sql.replace("count(*)", "count()")
     ours = execute_sql(spark, ch_sql, tables).toPandas()
     theirs = duck.sql(sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", DATE_CASES,
+                         ids=[c[0] for c in DATE_CASES])
+def test_differential_dates(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
