@@ -1423,6 +1423,104 @@ _alias("bitmapSubsetInRange", lambda b, lo, hi: F.filter(
 _alias("subBitmap", lambda b, off, n: F.slice(_c(b), _c(off) + 1, _c(n)))
 
 
+# --- math tail -------------------------------------------------------------
+_alias("sigmoid", lambda x: 1.0 / (1.0 + F.exp(-_c(x))))
+_alias("logit", lambda x: F.log(_c(x) / (1.0 - _c(x))))
+_alias("asinh", lambda x: F.asinh(_c(x)))
+_alias("acosh", lambda x: F.acosh(_c(x)))
+_alias("atanh", lambda x: F.atanh(_c(x)))
+_alias("atan2", lambda y, x: F.atan2(_c(y), _c(x)))
+_alias("hypot", lambda a, b: F.hypot(_c(a), _c(b)))
+_alias("max2", lambda a, b: F.greatest(_c(a), _c(b)).cast("double"))
+_alias("min2", lambda a, b: F.least(_c(a), _c(b)).cast("double"))
+_alias("clamp", lambda x, lo, hi: F.least(F.greatest(_c(x), _c(lo)),
+                                          _c(hi)))
+_alias("moduloOrZero", lambda a, b: F.when(
+    _c(b) == 0, F.lit(0)).otherwise(REGISTRY["modulo"](a, b)))
+_alias("divideDecimal", lambda a, b, s=10: (
+    _c(a).cast("decimal(38,18)") / _c(b).cast("decimal(38,18)"))
+    .cast(f"decimal(38,{int(s)})"))
+_alias("roundToExp2", lambda x: F.when(_c(x) < 1, F.lit(0)).otherwise(
+    F.pow(F.lit(2.0), F.floor(F.log2(_c(x)))).cast("long")))
+_alias("roundDown", lambda x, arr: F.coalesce(
+    F.array_max(F.filter(_c(arr), lambda e: e <= _c(x))),
+    F.element_at(_c(arr), 1)))
+_AGE_BOUNDS = [55, 45, 35, 25, 18, 1]
+_alias("roundAge", lambda x: F.coalesce(
+    *[F.when(_c(x) >= b, F.lit(b if b != 1 else 17))
+      for b in _AGE_BOUNDS], F.lit(0)).cast("int"))
+_DURATIONS = [36000, 18000, 7200, 3600, 1800, 1200, 600, 300, 240, 180,
+              120, 60, 30, 10, 1]
+_alias("roundDuration", lambda x: F.coalesce(
+    *[F.when(_c(x) >= d, F.lit(d)) for d in _DURATIONS],
+    F.lit(0)).cast("int"))
+
+
+def _erf(x) -> Column:
+    """Abramowitz & Stegun 7.1.26 rational approximation (|err|<1.5e-7),
+    pure JVM arithmetic."""
+    x = _c(x).cast("double")
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    y = 1.0 - poly * F.exp(-ax * ax)
+    return F.signum(x) * y
+
+
+_alias("erf", _erf)
+_alias("erfc", lambda x: 1.0 - _erf(x))
+
+# Lanczos g=7 n=9 coefficients (public constants)
+_LANCZOS = [0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+            771.32342877765313, -176.61502916214059, 12.507343278686905,
+            -0.13857109526572012, 9.9843695780195716e-6,
+            1.5056327351493116e-7]
+
+
+def _lgamma(x) -> Column:
+    """Lanczos approximation, x > 0 (CH domain errors map to NaN)."""
+    import math
+    x = _c(x).cast("double") - 1.0
+    series = F.lit(_LANCZOS[0])
+    for i, c in enumerate(_LANCZOS[1:], start=1):
+        series = series + F.lit(c) / (x + i)
+    t = x + 7.5
+    return (F.lit(0.5 * math.log(2 * math.pi)) + (x + 0.5) * F.log(t)
+            - t + F.log(series))
+
+
+_alias("lgamma", _lgamma)
+_alias("tgamma", lambda x: F.exp(_lgamma(x)))
+
+
+@register("proportionsZTest")
+def _proportions_z_test(s1, s2, t1, t2, conf=0.95, method="unpooled"):
+    """Two-proportion z-test → (z, p_value, ci_lo, ci_hi). The critical
+    value comes from the literal confidence level via the stdlib normal
+    quantile at build time; erf supplies the p-value JVM-side."""
+    from statistics import NormalDist
+    p1 = _c(s1).cast("double") / _c(t1).cast("double")
+    p2 = _c(s2).cast("double") / _c(t2).cast("double")
+    pooled = ((_c(s1).cast("double") + _c(s2).cast("double"))
+              / (_c(t1).cast("double") + _c(t2).cast("double")))
+    inv_n = 1.0 / _c(t1).cast("double") + 1.0 / _c(t2).cast("double")
+    method = str(method).strip("'\"").lower()
+    if method == "pooled":
+        se = F.sqrt(pooled * (1.0 - pooled) * inv_n)
+    else:
+        se = F.sqrt(p1 * (1.0 - p1) / _c(t1).cast("double")
+                    + p2 * (1.0 - p2) / _c(t2).cast("double"))
+    z = (p1 - p2) / se
+    import math
+    p_val = 1.0 - _erf(F.abs(z) / F.lit(math.sqrt(2.0)))   # = erfc(|z|/√2)
+    zcrit = NormalDist().inv_cdf(0.5 + float(conf) / 2.0)
+    half = F.lit(zcrit) * se
+    return F.struct(z.alias("z_statistic"), p_val.alias("p_value"),
+                    ((p1 - p2) - half).alias("ci_low"),
+                    ((p1 - p2) + half).alias("ci_high"))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

@@ -2226,7 +2226,8 @@ _LITERAL_ARG_FNS = {
     "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
-    "accurateCastOrDefault", "neighbor",
+    "accurateCastOrDefault", "neighbor", "proportionsZTest",
+    "divideDecimal",
 }
 
 

@@ -433,3 +433,28 @@ def test_bitmap_aggregates(spark):
         "FROM t GROUP BY k ORDER BY k", t2).collect()
     assert [(x.k, list(x.i), list(x.u)) for x in r2] == \
         [(1, [2, 3], [1, 2, 3, 4]), (2, [7], [7])]
+
+
+def test_math_tail(spark):
+    import math
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS r", {}).collect()[0].r
+    assert abs(run("erf(0.5)") - math.erf(0.5)) < 1e-6
+    assert abs(run("erfc(0.5)") - math.erfc(0.5)) < 1e-6
+    assert abs(run("lgamma(5.0)") - math.lgamma(5.0)) < 1e-9
+    assert abs(run("tgamma(5.0)") - 24.0) < 1e-6
+    assert run("sigmoid(0)") == 0.5
+    assert abs(run("atan2(1, 1)") - math.pi / 4) < 1e-9
+    assert run("hypot(3, 4)") == 5.0
+    assert run("roundToExp2(10)") == 8
+    assert run("roundDown(5.5, [2, 4, 6])") == 4
+    assert run("roundAge(33)") == 25 and run("roundAge(16)") == 17
+    assert run("roundDuration(95)") == 60
+    assert run("moduloOrZero(5, 0)") == 0
+    assert run("clamp(15, 0, 10)") == 10
+    # two-proportion z-test: 30/100 vs 20/100, textbook values
+    t = run("proportionsZTest(30, 20, 100, 100, 0.95, 'unpooled')")
+    assert abs(t.z_statistic - 1.6440) < 1e-3
+    assert abs(t.p_value - 0.1002) < 1e-3
+    assert abs(t.ci_low + 0.0192) < 1e-3
