@@ -30,21 +30,32 @@ def with_fill(df: DataFrame, fill_col: str,
 
 
 def with_fill_multi(df: DataFrame,
-                    items: list[tuple[str, Column, Column, Column]],
+                    items: list[tuple],
                     fill_defaults: dict[str, object] | None = None
                     ) -> DataFrame:
     """Multi-column WITH FILL: one spine per fill column, cross-joined
     into a grid (CH's FillingTransform emits every combination of the
-    fill domains), then one left join against the data on all fill
-    columns. Each spine is tiny (the column's domain, not the data), so
-    the grid broadcasts; the data side joins in a single pass."""
+    fill domains), then one FULL join against the data on all fill
+    columns — original rows outside the fill range stay in the result
+    (CH keeps them; fill only inserts). Each spine is tiny (the column's
+    domain, not the data), so the grid broadcasts.
+
+    Items are (name, start, stop, step[, to_exclusive]); the SQL
+    ``WITH FILL TO`` bound is exclusive per CH, the Python API default
+    stays inclusive."""
     spark = df.sparkSession
     spine = spark.range(1).select()
-    for name, start, stop, step in items:
-        spine = spine.crossJoin(
-            spark.range(1).select(
-                F.explode(F.sequence(start, stop, step)).alias(name)))
-    out = spine.join(df, on=[name for name, *_ in items], how="left")
+    for item in items:
+        name, start, stop, step = item[:4]
+        to_excl = bool(item[4]) if len(item) > 4 else False
+        seq = F.sequence(start, stop, step)
+        col = F.explode(seq).alias(name)
+        one = spark.range(1).select(col)
+        if to_excl:
+            one = one.filter(F.col(name) < stop)
+        spine = spine.crossJoin(one)
+    names = [item[0] for item in items]
+    out = spine.join(df, on=names, how="full")
     if fill_defaults:
         out = out.fillna(fill_defaults)
-    return out.orderBy(*[name for name, *_ in items])
+    return out.orderBy(*names)

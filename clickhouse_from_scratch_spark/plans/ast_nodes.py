@@ -193,6 +193,7 @@ class SelectQuery(Node):
     having: Node | None = None
     windows: dict[str, WindowSpec] = field(default_factory=dict)
     order_by: list[OrderItem] = field(default_factory=list)
+    interpolate: list = field(default_factory=list)  # [(col, expr|None)]
     limit_by: LimitBy | None = None
     limit: int | None = None
     offset: int | None = None

@@ -302,13 +302,58 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                 step = (F.expr("interval 1 day")
                         if dtype in ("date", "timestamp", "timestamp_ntz")
                         else F.lit(1))
-            specs.append((name, start, stop, step))
+            # explicit TO is exclusive (public CH WITH FILL contract);
+            # a data-inferred max is a real row and stays included
+            specs.append((name, start, stop, step,
+                          it.fill_to is not None))
         if specs:
             df = with_fill_multi(df, specs)
+            if q.interpolate:
+                df = _apply_interpolate(df, q.interpolate,
+                                        [s[0] for s in specs])
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    return df
+
+
+def _apply_interpolate(df: DataFrame, items: list,
+                       fill_keys: list[str]) -> DataFrame:
+    """ORDER BY … WITH FILL INTERPOLATE (col [AS expr]):
+    fill-generated rows (col is NULL there) take the previous row's
+    value (bare form) or ``prev ± const`` compounded per filled step
+    (the linear AS forms — CH evaluates the expression iteratively row
+    by row, which only linear expressions reduce to in one window pass;
+    other shapes raise). The window is ordered by the fill keys over the
+    bounded fill spine — single partition, bounded by the fill range."""
+    w = Window.orderBy(*[F.col(k) for k in fill_keys]) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    for col, expr in items:
+        prev = F.last(F.col(col), ignorenulls=True).over(w)
+        if expr is None:
+            df = df.withColumn(col, F.coalesce(F.col(col), prev))
+            continue
+        # accept col ± literal (evaluated per filled step)
+        delta = None
+        if (isinstance(expr, FuncCall) and expr.name in ("plus", "minus")
+                and len(expr.args) == 2
+                and isinstance(expr.args[0], Identifier)
+                and expr.args[0].name == col
+                and isinstance(expr.args[1], Literal)):
+            delta = F.lit(expr.args[1].value)
+            if expr.name == "minus":
+                delta = -delta
+        if delta is None:
+            raise BuildError(
+                f"INTERPOLATE ({col} AS …) supports the bare column or "
+                f"{col} ± <literal>; arbitrary expressions compound per "
+                f"row and are not supported")
+        grp = F.count(F.col(col)).over(w)      # bumps on real rows
+        k = F.row_number().over(
+            Window.partitionBy(grp).orderBy(
+                *[F.col(c) for c in fill_keys])) - 1
+        df = df.withColumn(col, F.coalesce(F.col(col), prev + delta * k))
     return df
 
 
@@ -1759,7 +1804,12 @@ def _apply_projection_keep(df: DataFrame, items,
             continue
         proj.append(_eval(expr, ctx, df).alias(name))
         names.append(name)
-    keep = [c for c in df.columns if c not in names]
+    # keep only UNAMBIGUOUS source columns: after a self-join both sides
+    # carry the same names and a bare reference cannot resolve (ordering
+    # by such a column would be ambiguous in CH too)
+    from collections import Counter
+    counts = Counter(df.columns)
+    keep = [c for c in df.columns if c not in names and counts[c] == 1]
     return df.select(*proj, *keep), names
 
 

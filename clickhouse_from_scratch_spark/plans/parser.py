@@ -208,6 +208,16 @@ class Parser:
             q.order_by = [self._order_item()]
             while self.accept_op(","):
                 q.order_by.append(self._order_item())
+            if self.accept_kw("INTERPOLATE"):
+                # INTERPOLATE (col [AS expr], …) — fill-row value rule
+                self.expect_op("(")
+                while True:
+                    col = self.advance().text
+                    expr = self._expr() if self.accept_kw("AS") else None
+                    q.interpolate.append((col, expr))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
         self._limits(q)
         if self.accept_kw("SETTINGS"):
             while True:

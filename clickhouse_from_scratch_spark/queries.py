@@ -406,8 +406,9 @@ def with_totals_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query("with_fill_multi", oracle="""
-WITH ms AS (SELECT unnest(generate_series(1, 3)) AS m),
-     ps AS (SELECT unnest(generate_series(1, 5)) AS p),
+WITH ms AS (SELECT unnest(generate_series(1, 2)) AS m),
+     ps AS (SELECT unnest(generate_series(1, 4)) AS p),
+     grid AS (SELECT ms.m AS m, ps.p AS p FROM ms CROSS JOIN ps),
      agg AS (
        SELECT EXTRACT(month FROM o_orderdate) AS m,
               CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS p,
@@ -417,16 +418,18 @@ WITH ms AS (SELECT unnest(generate_series(1, 3)) AS m),
          AND o_orderdate < DATE '1995-04-01'
          AND substring(o_orderpriority, 1, 1) <= '3'
        GROUP BY 1, 2)
-SELECT CAST(ms.m AS BIGINT) AS m, CAST(ps.p AS BIGINT) AS p,
+SELECT CAST(COALESCE(grid.m, agg.m) AS BIGINT) AS m,
+       CAST(COALESCE(grid.p, agg.p) AS BIGINT) AS p,
        CAST(COALESCE(agg.cnt, 0) AS BIGINT) AS cnt
-FROM ms CROSS JOIN ps
-LEFT JOIN agg ON agg.m = ms.m AND agg.p = ps.p
+FROM grid FULL JOIN agg ON agg.m = grid.m AND agg.p = grid.p
 ORDER BY m, p
 """)
 def with_fill_multi_q(spark, sf_dir):
     """Multiple ORDER BY ... WITH FILL columns: the per-column spines
     cross-join into a grid (operators/with_fill.py:with_fill_multi),
-    then one left join against the data — spine is tiny, broadcast."""
+    then one FULL join against the data — TO bounds are exclusive and
+    original rows outside the fill range are preserved, both per the
+    public CH WITH FILL contract; spine is tiny, broadcast."""
     return _sql(spark, sf_dir, """
         SELECT toInt64(m) AS m, toInt64(p) AS p,
                toInt64(coalesce(cnt, 0)) AS cnt

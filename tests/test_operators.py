@@ -132,10 +132,13 @@ def test_with_fill_multi_sql(spark):
     out = execute_sql(spark, """
         SELECT a, b, coalesce(v, 0) AS v FROM (
           SELECT a, b, v FROM t
-          ORDER BY a WITH FILL FROM 1 TO 2, b WITH FILL FROM 1 TO 3)
+          ORDER BY a WITH FILL FROM 1 TO 3, b WITH FILL FROM 1 TO 3)
     """, {"t": df})
-    got = [(r.a, r.b, r.v) for r in out.collect()]
-    assert len(got) == 6 and (1, 2, 0) in got and (2, 3, 23) in got
+    got = sorted((r.a, r.b, r.v) for r in out.collect())
+    # TO is exclusive (CH contract): grid = {1,2}×{1,2}; the real row
+    # (2, 3) sits outside the fill range and is still preserved
+    assert got == [(1, 1, 11), (1, 2, 0), (2, 1, 0), (2, 2, 0),
+                   (2, 3, 23)]
 
 
 def test_with_totals_appends_global_row(spark):

@@ -1081,3 +1081,29 @@ def test_parametric_if_combo(spark):
     assert execute_sql(
         spark, "SELECT quantileIf(0.5)(v, k > 1) AS r FROM t",
         t).collect()[0].r == 30.0
+
+
+def test_self_join_theta_condition(spark):
+    t = {"t": spark.createDataFrame([(1, 1), (1, 2), (2, 1)],
+                                    "k long, seq long")}
+    r = execute_sql(
+        spark, "SELECT t1.k AS k, t1.seq AS s1, t2.seq AS s2 "
+        "FROM t AS t1 JOIN t AS t2 "
+        "ON t1.k = t2.k AND t1.seq < t2.seq", t).collect()
+    assert sorted((x.k, x.s1, x.s2) for x in r) == [(1, 1, 2)]
+
+
+def test_with_fill_interpolate(spark):
+    t = {"t": spark.createDataFrame([(1, 10.0), (4, 40.0)],
+                                    "seq long, v double")}
+    carry = execute_sql(
+        spark, "SELECT seq, v FROM t ORDER BY seq "
+        "WITH FILL FROM 1 TO 5 INTERPOLATE (v)", t).collect()
+    assert sorted((r.seq, r.v) for r in carry) == \
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 40.0)]
+    linear = execute_sql(
+        spark, "SELECT seq, v FROM t ORDER BY seq "
+        "WITH FILL FROM 1 TO 5 INTERPOLATE (v AS v + 1)", t).collect()
+    # compounds per filled step from the previous real value
+    assert sorted((r.seq, r.v) for r in linear) == \
+        [(1, 10.0), (2, 11.0), (3, 12.0), (4, 40.0)]
