@@ -283,6 +283,11 @@ class Parser:
                     self.accept_kw("ONLY")
 
     def _group_by(self) -> GroupBy:
+        # GROUP BY () — explicit empty grouping = one global group
+        if self.tok.is_op("(") and self.peek().is_op(")"):
+            self.advance()
+            self.advance()
+            return GroupBy([])
         # GROUP BY ALL → every non-aggregate SELECT expression (expanded
         # by the builder, which knows the select list)
         if (self.tok.is_kw("ALL")

@@ -1107,3 +1107,10 @@ def test_with_fill_interpolate(spark):
     # compounds per filled step from the previous real value
     assert sorted((r.seq, r.v) for r in linear) == \
         [(1, 10.0), (2, 11.0), (3, 12.0), (4, 40.0)]
+
+
+def test_group_by_empty_tuple(spark):
+    t = {"t": spark.createDataFrame([(1,), (2,)], "k long")}
+    r = execute_sql(spark, "SELECT count() AS n, sum(k) AS s FROM t "
+                    "GROUP BY ()", t).collect()
+    assert [(x.n, x.s) for x in r] == [(2, 3)]
