@@ -34,7 +34,8 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "sum": lambda x: F.sum(_c(x)),
     "sumDistinct": lambda x: F.sum_distinct(_c(x)),
     "avg": lambda x: F.avg(_c(x)),
-    "avgDistinct": lambda x: F.avg(_c(x)),  # avg over distinct set
+    "avgDistinct": lambda x: (F.sum_distinct(_c(x)) /
+                              F.count_distinct(_c(x))).cast("double"),
     "min": lambda x: F.min(_c(x)),
     "max": lambda x: F.max(_c(x)),
     "any": lambda x: F.first(_c(x), ignorenulls=True),
@@ -417,6 +418,33 @@ AGGREGATES.update({
 # avgForEach, countOrNull, anyState, … Resolution peels suffixes right to
 # left until it reaches a base aggregate, composing wrappers.
 
+def _var_flat(flat: Column, samp: bool) -> Column:
+    """Population/sample variance of one array's elements (two-pass over
+    the group-local array — JVM-side, no extra shuffle)."""
+    d = F.filter(flat, lambda v: v.isNotNull())
+    d = F.transform(d, lambda v: v.cast("double"))
+    n = F.size(d).cast("double")
+    mean = F.aggregate(d, F.lit(0.0), lambda a, v: a + v) / n
+    ss = F.aggregate(d, F.lit(0.0),
+                     lambda a, v: a + (v - mean) * (v - mean))
+    denom = (n - 1) if samp else n
+    return F.when(denom > 0, ss / denom)
+
+
+def _quantile_flat(flat: Column, q: float) -> Column:
+    """Exact interpolated quantile of one array's elements (matches
+    percentile/percentile_cont semantics)."""
+    d = F.array_sort(F.filter(flat, lambda v: v.isNotNull()))
+    d = F.transform(d, lambda v: v.cast("double"))
+    n = F.size(d)
+    pos = (n.cast("double") - 1) * F.lit(float(q))
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    lo_v = F.element_at(d, lo + 1)
+    hi_v = F.element_at(d, F.least(lo + 2, n))
+    return F.when(n > 0, lo_v + (hi_v - lo_v) * frac)
+
+
 def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
     """Apply aggregate ``base_name`` to the elements of one array."""
     from .registry import REGISTRY as R
@@ -427,10 +455,16 @@ def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
         "min": lambda: F.array_min(flat),
         "max": lambda: F.array_max(flat),
         "any": lambda: F.element_at(flat, 1),
+        "anyLast": lambda: F.element_at(flat, -1),
         "uniq": lambda: F.size(F.array_distinct(flat)).cast("long"),
         "uniqExact": lambda: F.size(F.array_distinct(flat)).cast("long"),
         "groupArray": lambda: flat,            # groupArrayArray = concat
         "groupUniqArray": lambda: F.array_distinct(flat),
+        "varPop": lambda: _var_flat(flat, samp=False),
+        "varSamp": lambda: _var_flat(flat, samp=True),
+        "stddevPop": lambda: F.sqrt(_var_flat(flat, samp=False)),
+        "stddevSamp": lambda: F.sqrt(_var_flat(flat, samp=True)),
+        "median": lambda: _quantile_flat(flat, 0.5),
     }
     if base_name not in reducers:
         raise ValueError(f"-{sfx} combinator unsupported for {base_name}")
@@ -501,7 +535,13 @@ def _combine(base, base_name: str, sfx: str):
     if sfx == "ForEach":
         return lambda arr: _foreach_combinator(base_name, arr)
     if sfx == "Distinct":
-        return lambda x: _distinct_combinator(base_name, x)
+        def _distincted(*a):
+            if len(a) != 1:
+                raise ValueError(
+                    f"-Distinct combinator needs exactly one argument "
+                    f"for {base_name} (got {len(a)})")
+            return _distinct_combinator(base_name, a[0])
+        return _distincted
     raise AssertionError(sfx)
 
 

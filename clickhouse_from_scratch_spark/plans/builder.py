@@ -1596,10 +1596,22 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
             return F.count_distinct(*args)
         if name == "sum":
             return F.sum_distinct(*args)
-        name = name + "Distinct" if name + "Distinct" in REGISTRY else name
+        if params:
+            raise BuildError(
+                f"DISTINCT with parametric aggregate {name} not supported")
+        # Resolved below via REGISTRY or the generic -Distinct combinator
+        # (resolve_aggregate); unresolvable names raise — the DISTINCT
+        # modifier is never silently dropped.
+        name = name + "Distinct"
     if cond is not None:
         if name + "If" in REGISTRY:
             return ch(name + "If", *args, cond) if args else ch("countIf", cond)
+        resolved = resolve_aggregate(name + "If")
+        if resolved is not None:
+            try:
+                return resolved(*args, cond) if args else resolved(cond)
+            except ValueError as e:
+                raise BuildError(str(e)) from None
         raise BuildError(f"FILTER not supported for {name}")
     if name.endswith("If") and name in REGISTRY and not params:
         return ch(name, *args)
@@ -1648,7 +1660,10 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
             return F.array(*buckets)
     combined = resolve_aggregate(name)
     if combined is not None:
-        return combined(*args)
+        try:
+            return combined(*args)
+        except ValueError as e:
+            raise BuildError(str(e)) from None
     raise BuildError(f"unknown aggregate: {name}")
 
 

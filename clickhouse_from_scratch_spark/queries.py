@@ -1531,18 +1531,51 @@ def sql_group_by_all(spark, sf_dir):
 
 
 @query("sql_hof_lambda", oracle="""
-SELECT doc_id, list_filter(list_transform(string_split(text, ' '),
-         w -> CAST(length(w) AS BIGINT)), x -> x > 3) AS lens
+SELECT doc_id, array_to_string(list_filter(list_transform(
+         string_split(text, ' '), w -> CAST(length(w) AS BIGINT)),
+         x -> x > 3), ',') AS lens
 FROM documents ORDER BY doc_id LIMIT 200
 """)
 def sql_hof_lambda(spark, sf_dir):
     """Nested higher-order functions with lambdas: arrayMap/arrayFilter
-    → Spark transform/filter, fully JVM-side (no Python UDF)."""
+    → Spark transform/filter, fully JVM-side (no Python UDF). The result
+    is projected to a CSV string so the driver's pandas canonicalizer
+    can sort it (raw-array form is pinned in tests/test_sql_frontend)."""
     return _sql(spark, sf_dir, """
-        SELECT doc_id, arrayFilter(x -> x > 3,
-                 arrayMap(w -> toInt64(length(w)),
-                          splitByChar(' ', text))) AS lens
+        SELECT doc_id, arrayStringConcat(arrayMap(v -> toString(v),
+                 arrayFilter(x -> x > 3,
+                   arrayMap(w -> toInt64(length(w)),
+                            splitByChar(' ', text)))), ',') AS lens
         FROM documents ORDER BY doc_id LIMIT 200
+    """)
+
+
+@query("sql_agg_distinct_breadth", oracle="""
+SELECT l_returnflag,
+       avg(DISTINCT l_linenumber) AS avg_ln,
+       array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS lns,
+       round(stddev_samp(DISTINCT l_linenumber), 6) AS sd_ln,
+       CAST(median(DISTINCT l_linenumber) AS DOUBLE) AS med_ln,
+       avg(DISTINCT CASE WHEN l_linenumber > 2 THEN l_linenumber END)
+         AS avg_ln_gt2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_agg_distinct_breadth(spark, sf_dir):
+    """agg(DISTINCT) for EVERY aggregate, not just count/sum — the
+    -Distinct combinator applies universally
+    (src/Parsers/ExpressionElementParsers.cpp:866-867): avg(DISTINCT)
+    is the distinct-set average, groupArray(DISTINCT) drops duplicates,
+    stddev/median reduce over the distinct set, and FILTER composes."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               avg(DISTINCT l_linenumber) AS avg_ln,
+               arrayStringConcat(arrayMap(v -> toString(v),
+                 arraySort(groupArray(DISTINCT l_linenumber))), ',') AS lns,
+               round(stddevSamp(DISTINCT l_linenumber), 6) AS sd_ln,
+               median(DISTINCT l_linenumber) AS med_ln,
+               avg(DISTINCT l_linenumber) FILTER(WHERE l_linenumber > 2)
+                 AS avg_ln_gt2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """)
 
 
