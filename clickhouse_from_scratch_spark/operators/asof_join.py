@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_time: str, right_time: str,
-              direction: str = "backward",
+              direction: str = "backward", strict: bool = False,
               suffix: str = "_asof", how: str = "left") -> DataFrame:
     """As-of join (``how='left'`` keeps unmatched left rows with NULL
     payload; ``how='inner'`` drops them — CH's bare ``ASOF JOIN``).
@@ -32,6 +32,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     direction='backward': latest right with right_time <= left_time
     (ClickHouse ``ASOF JOIN ... ON l.t >= r.t``).
     direction='forward': earliest right with right_time >= left_time.
+    strict=True makes the inequality strict (``>`` / ``<``): a right row
+    at exactly left_time no longer matches (CH accepts all four
+    comparison tokens on the asof column,
+    src/Parsers/ASTTablesInSelectQuery.h:82).
 
     Right payload columns (everything except ``on`` + ``right_time``) are
     appended with ``suffix`` when the name collides with a left column;
@@ -65,9 +69,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     unioned = l_tagged.unionByName(r_tagged)
 
     asc = direction == "backward"
+    # __side tie-break at equal timestamps: inclusive (<=/>=) sees right
+    # rows (side 0) before left rows → a right row at exactly left_time
+    # matches; strict (</>) orders left rows first so it doesn't.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (Window.partitionBy(*[F.col(k) for k in keys])
                .orderBy(F.col("__t").asc() if asc else F.col("__t").desc(),
-                        F.col("__side").asc())
+                        side_order)
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         "*",

@@ -748,10 +748,11 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
         if not node.on:
             raise BuildError("ASOF JOIN requires ON or USING")
         eq, ineq = _split_asof_on(node.on)
-        lcol, rcol, direction = ineq
+        lcol, rcol, direction, strict = ineq
         return asof_join(left, right,
                          on=eq, left_time=lcol, right_time=rcol,
-                         direction=direction, how=node.kind)
+                         direction=direction, strict=strict,
+                         how=node.kind)
 
     how = {"inner": "inner", "left": "left", "right": "right",
            "full": "full"}[node.kind]
@@ -840,9 +841,10 @@ def _split_equi_pairs(on_node, left: DataFrame,
     return pairs
 
 
-def _split_asof_on(on_node) -> tuple[list[str], tuple[str, str, str]]:
+def _split_asof_on(on_node) -> tuple[list[str], tuple[str, str, str, bool]]:
     """Split ASOF ON into equi-keys + the one inequality (CH rule: the
-    final inequality condition drives the as-of match)."""
+    final inequality condition drives the as-of match). The last element
+    is strictness: True for ``>``/``<``, False for ``>=``/``<=``."""
     conjuncts: list = []
 
     def flat(n):
@@ -865,10 +867,14 @@ def _split_asof_on(on_node) -> tuple[list[str], tuple[str, str, str]]:
                 raise BuildError("ASOF equi-keys must reference same-named "
                                  "columns (USING semantics)")
             eq.append(lname)
-        elif c.name in ("greaterOrEquals", "greater"):
-            ineq = (lname, rname, "backward")
-        elif c.name in ("lessOrEquals", "less"):
-            ineq = (lname, rname, "forward")
+        elif c.name == "greaterOrEquals":
+            ineq = (lname, rname, "backward", False)
+        elif c.name == "greater":
+            ineq = (lname, rname, "backward", True)
+        elif c.name == "lessOrEquals":
+            ineq = (lname, rname, "forward", False)
+        elif c.name == "less":
+            ineq = (lname, rname, "forward", True)
     if ineq is None:
         raise BuildError("ASOF JOIN needs an inequality condition")
     return eq, ineq

@@ -1302,6 +1302,38 @@ def sql_asof_using(spark, sf_dir):
     """)
 
 
+@query("sql_asof_strict", oracle="""
+WITH p AS (SELECT event_id, user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events WHERE event_type = 'purchase'),
+     d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                    AS prev_day, count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+SELECT p.event_id, p.user_id, d.prev_day, d.n_events
+FROM p ASOF LEFT JOIN d
+ON p.user_id = d.user_id AND p.day > d.prev_day
+ORDER BY p.event_id
+""")
+def sql_asof_strict(spark, sf_dir):
+    """ASOF JOIN with a STRICT inequality (``>``): the most recent
+    strictly-earlier day must exclude rows at exactly the left timestamp
+    (every purchase has events on its own day, so inclusive semantics
+    would give a different answer — the strictness genuinely bites).
+    CH accepts all four comparison tokens on the asof column
+    (src/Parsers/ASTTablesInSelectQuery.h:82)."""
+    return _sql(spark, sf_dir, """
+        SELECT event_id, user_id, prev_day, n_events FROM
+          (SELECT event_id, user_id, toStartOfDay(ts) AS day FROM events
+           WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+          (SELECT user_id, toStartOfDay(ts) AS prev_day,
+                  count() AS n_events
+           FROM events GROUP BY user_id, toStartOfDay(ts)) d
+        ON p.user_id = d.user_id AND p.day > d.prev_day
+        ORDER BY event_id
+    """)
+
+
 @query("sql_udf_macro", oracle="""
 SELECT o_orderkey,
        round(o_totalprice * 1.1, 4) AS taxed,

@@ -64,6 +64,31 @@ def test_asof_join_backward(spark):
     assert got == {(1, 5): None, (1, 10): "r8", (1, 20): "r20", (2, 7): None}
 
 
+def test_asof_join_strict_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "q1"), (1, 20, "q2"), (1, 5, "q0")],
+        "k int, t int, lq string")
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, 10, "r10"), (1, 20, "r20")],
+        "k int, t int, rv string")
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                    strict=True)
+    got = {(r.k, r.t): r.rv for r in out.collect()}
+    # strict '>': an exact-tie right row must NOT match — t=5 has no
+    # strictly-earlier row, t=10 takes r5 (not r10), t=20 takes r10
+    assert got == {(1, 5): None, (1, 10): "r5", (1, 20): "r10"}
+
+
+def test_asof_join_strict_forward(spark):
+    left = spark.createDataFrame([(1, 12, "a")], "k int, t int, lq string")
+    right = spark.createDataFrame([(1, 12, "r12"), (1, 15, "r15")],
+                                  "k int, t int, rv string")
+    out = asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                    direction="forward", strict=True)
+    # strict '<': the right row at exactly t=12 is skipped
+    assert out.collect()[0].rv == "r15"
+
+
 def test_asof_join_forward(spark):
     left = spark.createDataFrame([(1, 10, "a")], "k int, t int, lq string")
     right = spark.createDataFrame([(1, 8, "r8"), (1, 12, "r12")],
