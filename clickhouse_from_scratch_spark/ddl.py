@@ -720,7 +720,8 @@ class ChSession:
             df = final_for_engine(df, key=meta.order_by, version=version,
                                   engine=meta.engine,
                                   sign=meta.settings.get("sign"),
-                                  sum_cols=meta.settings.get("sum_cols"))
+                                  sum_cols=meta.settings.get("sum_cols"),
+                                  ch_columns=dict(meta.columns))
         if node.deduplicate:
             df = (df.dropDuplicates(node.dedup_by) if node.dedup_by
                   else df.dropDuplicates())

@@ -526,9 +526,28 @@ def _combine(base, base_name: str, sfx: str):
     if sfx == "OrDefault":
         return lambda *a: F.coalesce(base(*a), F.lit(0))
     if sfx in ("State", "SimpleState", "Merge", "MergeState"):
-        # No AggregateFunction state type: Spark owns partial-aggregate
-        # state, so -State/-Merge collapse to finalized values (documented
-        # divergence; AggregatingMergeTree round-trips are out of scope)
+        # Real partial-aggregate state for the uniq family: uniqState is
+        # a genuine HLL sketch (binary, Spark DataSketches — the analogue
+        # of CH's AggregateFunction(uniq, T) state), uniqExactState the
+        # distinct-value array. States round-trip through parquet and
+        # merge with uniqMerge / AggregatingMergeTree FINAL. Other
+        # aggregates collapse to finalized values (Spark owns their
+        # partial-aggregate state — documented divergence).
+        if base_name in ("uniq", "uniqHLL12", "uniqCombined") \
+                and sfx != "SimpleState":
+            if sfx == "State":
+                return lambda x: F.hll_sketch_agg(_c(x))
+            if sfx == "Merge":
+                return lambda s: F.hll_sketch_estimate(F.hll_union_agg(_c(s)))
+            return lambda s: F.hll_union_agg(_c(s))     # MergeState
+        if base_name == "uniqExact" and sfx != "SimpleState":
+            if sfx == "State":
+                return lambda x: F.collect_set(_c(x))
+            merged = lambda s: F.array_distinct(                # noqa: E731
+                F.flatten(F.collect_list(_c(s))))
+            if sfx == "Merge":
+                return lambda s: F.size(merged(s)).cast("long")
+            return merged                                # MergeState
         return base
     if sfx == "Array":
         return lambda arr: _array_combinator(base_name, arr)

@@ -82,6 +82,23 @@ def ch_type_to_spark(ch: str) -> str:
     m = re.match(r"(?i)^enum(8|16)?\(", t)
     if m:
         return "string"
+    # AggregateFunction(fn, T): real sketch state columns for the uniq
+    # family — HLL states are opaque binary (Spark DataSketches), exact
+    # states are the distinct-value array. Other aggregate states have no
+    # portable representation → unmapped (documented divergence).
+    m = re.match(r"(?i)^aggregatefunction\((\w+)(?:\([^)]*\))?\s*,\s*(.*)\)$",
+                 t)
+    if m:
+        fn = m.group(1).lower()
+        if fn in ("uniq", "uniqhll12", "uniqcombined"):
+            return "binary"
+        if fn == "uniqexact":
+            return f"array<{ch_type_to_spark(m.group(2))}>"
+        raise ValueError(f"unmapped ClickHouse type: {ch}")
+    # SimpleAggregateFunction(fn, T) stores the plain value of T
+    m = re.match(r"(?i)^simpleaggregatefunction\(\w+\s*,\s*(.*)\)$", t)
+    if m:
+        return ch_type_to_spark(m.group(1))
     raise ValueError(f"unmapped ClickHouse type: {ch}")
 
 

@@ -78,17 +78,56 @@ def final_versioned_collapsing(df: DataFrame, key: Sequence[str],
             .drop("__bal", "__rn"))
 
 
+def final_aggregating(df: DataFrame, key: Sequence[str],
+                      ch_columns: dict[str, str] | None = None) -> DataFrame:
+    """AggregatingMergeTree FINAL: one row per sorting key with every
+    aggregate-state column MERGED (not replaced) —
+    ``AggregateFunction(uniq, T)`` states (HLL binary sketches) via
+    hll_union_agg, ``AggregateFunction(uniqExact, T)`` (distinct-value
+    arrays) via flatten+distinct, ``SimpleAggregateFunction(fn, T)`` via
+    fn itself. One hash aggregation, map-side combine applies — the same
+    shuffle a background merge would pay."""
+    import re as _re
+    simple_ops = {"sum": F.sum, "min": F.min, "max": F.max,
+                  "anylast": lambda c: F.last(c, ignorenulls=True)}
+    aggs = []
+    for f in df.schema.fields:
+        if f.name in key:
+            continue
+        cht = (ch_columns or {}).get(f.name, "") or ""
+        m = _re.match(r"(?i)^aggregatefunction\((\w+)", cht)
+        sm = _re.match(r"(?i)^simpleaggregatefunction\((\w+)", cht)
+        if m and m.group(1).lower() in ("uniq", "uniqhll12",
+                                        "uniqcombined"):
+            col = F.hll_union_agg(f.name)
+        elif m and m.group(1).lower() == "uniqexact":
+            col = F.array_distinct(F.flatten(F.collect_list(f.name)))
+        elif sm:
+            op = simple_ops.get(sm.group(1).lower(),
+                                lambda c: F.first(c, ignorenulls=True))
+            col = op(f.name).cast(f.dataType)
+        else:
+            col = F.first(f.name, ignorenulls=True)
+        aggs.append(col.alias(f.name))
+    return df.groupBy(*[F.col(k) for k in key]).agg(*aggs) \
+             .select(*df.columns)
+
+
 def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
                      engine: str = "", sign: str | None = None,
-                     sum_cols: Sequence[str] | None = None) -> DataFrame:
+                     sum_cols: Sequence[str] | None = None,
+                     ch_columns: dict[str, str] | None = None) -> DataFrame:
     """Engine-aware FINAL dispatch: Summing sums, Collapsing cancels,
-    everything else (Replacing & friends) keeps the latest version."""
+    Aggregating merges states, everything else (Replacing & friends)
+    keeps the latest version."""
     if engine == "SummingMergeTree":
         return final_summing(df, key, sum_cols)
     if engine == "CollapsingMergeTree" and sign:
         return final_collapsing(df, key, sign)
     if engine == "VersionedCollapsingMergeTree" and sign:
         return final_versioned_collapsing(df, key, sign, version)
+    if engine == "AggregatingMergeTree":
+        return final_aggregating(df, key, ch_columns)
     return final(df, key, version)
 
 

@@ -477,7 +477,8 @@ def _build_from(node, ctx: Context) -> DataFrame:
                                   version=meta["version"],
                                   engine=meta.get("engine", ""),
                                   sign=meta.get("sign"),
-                                  sum_cols=meta.get("sum_cols"))
+                                  sum_cols=meta.get("sum_cols"),
+                                  ch_columns=meta.get("columns"))
         if node.sample:
             frac, off = node.sample
             key = ctx.engines.get(rkey, {}).get("sample_by",

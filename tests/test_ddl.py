@@ -576,3 +576,47 @@ def test_versioned_collapsing_merge_tree_final(sess):
     rows = {r.k: r.v for r in
             sess.execute("SELECT k, v FROM vc FINAL").collect()}
     assert rows == {1: "v2", 2: "x"}      # ver=1 pair cancels, max ver wins
+
+
+def test_aggregating_merge_tree_uniq_state_roundtrip(sess):
+    """uniqState → AggregateFunction(uniq) binary HLL column →
+    AggregatingMergeTree FINAL merges sketches → uniqMerge finalizes.
+    The estimate must match the exact distinct count on small sets."""
+    sess.execute("CREATE TABLE ev (user Int64, day Int64) "
+                 "ENGINE = Memory")
+    sess.execute("INSERT INTO ev VALUES (1, 1), (2, 1), (3, 1), "
+                 "(2, 2), (3, 2), (4, 2)")
+    sess.execute(
+        "CREATE TABLE amt (day Int64, users AggregateFunction(uniq, Int64))"
+        " ENGINE = AggregatingMergeTree ORDER BY day")
+    # two inserts per day → two sketch rows per key that FINAL must merge
+    sess.execute("INSERT INTO amt SELECT day, uniqState(user) FROM ev "
+                 "WHERE user <= 2 GROUP BY day")
+    sess.execute("INSERT INTO amt SELECT day, uniqState(user) FROM ev "
+                 "WHERE user > 2 GROUP BY day")
+    assert sess.execute("SELECT count() AS n FROM amt").collect()[0].n == 4
+    rows = {r.day: r.u for r in sess.execute(
+        "SELECT day, uniqMerge(users) AS u FROM amt FINAL "
+        "GROUP BY day").collect()}
+    assert rows == {1: 3, 2: 3}
+    # merging states across ALL rows without FINAL gives the same answer
+    # (uniqMerge is a real sketch union, not a sum of finalized counts)
+    tot = sess.execute("SELECT uniqMerge(users) AS u FROM amt").collect()
+    assert tot[0].u == 4
+
+
+def test_aggregating_merge_tree_uniq_exact_state(sess):
+    sess.execute("CREATE TABLE ev2 (user Int64, day Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO ev2 VALUES (1, 1), (2, 1), (2, 1), (9, 2)")
+    sess.execute("CREATE TABLE amt2 (day Int64, "
+                 "users AggregateFunction(uniqExact, Int64)) "
+                 "ENGINE = AggregatingMergeTree ORDER BY day")
+    sess.execute("INSERT INTO amt2 SELECT day, uniqExactState(user) "
+                 "FROM ev2 GROUP BY day")
+    sess.execute("INSERT INTO amt2 SELECT day, uniqExactState(user + 10) "
+                 "FROM ev2 GROUP BY day")
+    rows = {r.day: r.u for r in sess.execute(
+        "SELECT day, uniqExactMerge(users) AS u FROM amt2 FINAL "
+        "GROUP BY day").collect()}
+    # day 1: {1,2} ∪ {11,12} = 4 exact; day 2: {9} ∪ {19} = 2
+    assert rows == {1: 4, 2: 2}

@@ -458,3 +458,28 @@ def test_math_tail(spark):
     assert abs(t.z_statistic - 1.6440) < 1e-3
     assert abs(t.p_value - 0.1002) < 1e-3
     assert abs(t.ci_low + 0.0192) < 1e-3
+
+
+def test_uniq_state_merge_real_sketch(spark):
+    """uniqState is a genuine HLL sketch (binary), uniqMerge a real
+    union: merging per-group states equals uniq over the union, within
+    HLL error — NOT a sum of finalized counts (overlapping groups would
+    double-count under the collapsed semantics)."""
+    import pandas as pd
+    n = 5000
+    # two overlapping halves: 0..2999 and 2000..4999
+    pdf = pd.DataFrame({"g": [0] * 3000 + [1] * 3000,
+                        "v": list(range(3000)) + list(range(2000, 5000))})
+    t = {"t": spark.createDataFrame(pdf)}
+    state = execute_sql(
+        spark, "SELECT g, uniqState(v) AS s FROM t GROUP BY g", t)
+    assert dict(state.dtypes)["s"] == "binary"
+    merged = execute_sql(spark, "SELECT uniqMerge(s) AS u FROM st",
+                         {"st": state}).collect()[0].u
+    naive_sum = 6000
+    assert abs(merged - n) / n < 0.05          # true union, within HLL err
+    assert abs(merged - naive_sum) > 500       # provably not a sum
+    # uniqMergeState keeps the partial mergeable (binary in, binary out)
+    ms = execute_sql(spark, "SELECT uniqMergeState(s) AS s2 FROM st",
+                     {"st": state})
+    assert dict(ms.dtypes)["s2"] == "binary"
