@@ -182,10 +182,26 @@ def _simple_linreg(x, y) -> Column:
 
 def _ema_time(halflife: float, v, t) -> Column:
     """exponentialMovingAverage(halflife)(value, time): time-decayed
-    mean Σ v·2^(-(tmax-t)/h) / Σ 2^(-(tmax-t)/h). The 2^(-tmax/h)
-    factor cancels, so it reduces to one pass of two sums — no sort."""
-    w = F.pow(F.lit(2.0), _c(t).cast("double") / F.lit(float(halflife)))
-    return F.sum(_c(v).cast("double") * w) / F.sum(w)
+    mean Σ v·2^(-(tmax-t)/h) / Σ 2^(-(tmax-t)/h).
+
+    The 2^(-tmax/h) factor cancels mathematically, but NOT in double
+    arithmetic: 2^(t/h) overflows to inf for Unix-epoch timestamps
+    (t≈1.7e9, h=10 → 2^1.7e8). So the exponent is shifted by the
+    per-group max first — collect once, anchor on tmax, fold with
+    weights ≤ 1 (JVM array fold, group-local, no extra shuffle)."""
+    h = F.lit(float(halflife))
+    pairs = F.array_sort(F.collect_list(F.struct(
+        _c(t).cast("double").alias("t"), _c(v).cast("double").alias("v"))))
+    tmax = F.element_at(pairs, -1)["t"]
+    st = F.aggregate(
+        pairs,
+        F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den")),
+        lambda acc, p: F.struct(
+            (acc["num"] + p["v"] * F.pow(F.lit(2.0), (p["t"] - tmax) / h))
+            .alias("num"),
+            (acc["den"] + F.pow(F.lit(2.0), (p["t"] - tmax) / h))
+            .alias("den")))
+    return st["num"] / st["den"]
 
 
 AGGREGATES.update({
@@ -354,17 +370,25 @@ def _sequence_fold(pattern, ts, conds, count: bool) -> Column:
          .alias("cs"))))
     init = F.struct(F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"))
 
-    def step_fn(st: Column, e: Column) -> Column:
-        nxt = st["i"]
+    def advance(i: Column, e: Column) -> tuple[Column, Column]:
+        """One event against the chain from position ``i`` → (next
+        position, did-a-strict-step-mismatch)."""
+        nxt, reset = i, F.lit(False)
         for idx, (cond_no, strict) in enumerate(steps):
             fired = F.element_at(e["cs"], cond_no) == 1
+            nxt = F.when((i == F.lit(idx)) & fired, F.lit(idx + 1)) \
+                   .otherwise(nxt)
             if strict:
-                # must match while at exactly this position, else reset
-                nxt = F.when((st["i"] == idx) & fired, idx + 1) \
-                    .otherwise(F.when(st["i"] == idx, 0).otherwise(nxt))
-            else:
-                nxt = F.when((st["i"] == idx) & fired, idx + 1) \
-                    .otherwise(nxt)
+                reset = reset | ((i == F.lit(idx)) & ~fired)
+        return nxt, reset
+
+    def step_fn(st: Column, e: Column) -> Column:
+        nxt, reset = advance(st["i"], e)
+        # a strict-step mismatch breaks the chain, but the SAME event may
+        # start a new one (e.g. '(?1)(?2)' over [c1, c1, c2] matches on
+        # the second c1) — re-run the event from position 0
+        nxt0, _ = advance(F.lit(0), e)
+        nxt = F.when(reset, nxt0).otherwise(nxt)
         done = nxt >= len(steps)
         return F.struct(F.when(done, 0).otherwise(nxt).alias("i"),
                         (st["n"] + F.when(done, 1).otherwise(0))

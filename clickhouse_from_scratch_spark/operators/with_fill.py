@@ -52,7 +52,11 @@ def with_fill_multi(df: DataFrame,
         col = F.explode(seq).alias(name)
         one = spark.range(1).select(col)
         if to_excl:
-            one = one.filter(F.col(name) < stop)
+            # exclusive bound follows the fill direction: ascending drops
+            # values >= TO, descending (FROM > TO, negative STEP) drops
+            # values <= TO
+            one = one.filter(F.when(start > stop, F.col(name) > stop)
+                              .otherwise(F.col(name) < stop))
         spine = spine.crossJoin(one)
     names = [item[0] for item in items]
     out = spine.join(df, on=names, how="full")

@@ -15,6 +15,7 @@ targets Spark so Catalyst supplies analysis/optimization:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -293,6 +294,8 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                 if lo is None:          # empty input: nothing to fill
                     specs = []
                     break
+                if _is_negative_step(it.fill_step):
+                    lo, hi = hi, lo     # descending fill: max → min
                 start = start if start is not None else F.lit(lo)
                 stop = stop if stop is not None else F.lit(hi)
             if it.fill_step is not None:
@@ -311,6 +314,10 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             if q.interpolate:
                 df = _apply_interpolate(df, q.interpolate,
                                         [s[0] for s in specs])
+            if order_cols:
+                # restore the query's declared sort direction (the fill
+                # operator's internal order is always ascending)
+                df = df.orderBy(*order_cols)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
@@ -363,6 +370,18 @@ def _clone_limits(q: SelectQuery) -> SelectQuery:
     q2.limit = None
     q2.offset = None
     return q2
+
+
+def _is_negative_step(node) -> bool:
+    """True when a WITH FILL STEP literal is negative (descending fill)."""
+    if isinstance(node, FuncCall) and node.name == "negate":
+        return True
+    if isinstance(node, Literal):
+        try:
+            return float(node.value) < 0
+        except (TypeError, ValueError):
+            return False
+    return False
 
 
 def _fill_col_name(it: OrderItem, df: DataFrame) -> str:
@@ -657,7 +676,14 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         with tempfile.NamedTemporaryFile(
                 "w", suffix=".data", delete=False) as fh:
             fh.write(data)
-        return read_format(ctx.spark, fmt, fh.name)
+        try:
+            # inline data is bounded by the SQL statement size, so
+            # materialize eagerly — the temp file can then be removed at
+            # once (no leak, no stale lazy re-read)
+            lazy = read_format(ctx.spark, fmt, fh.name)
+            return ctx.spark.createDataFrame(lazy.collect(), lazy.schema)
+        finally:
+            os.unlink(fh.name)
     if name in _PIPELINE_TFS:
         return _pipeline_table_function(name, node, ctx)
     raise BuildError(f"unsupported table function: {node.name}")

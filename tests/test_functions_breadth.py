@@ -483,3 +483,30 @@ def test_uniq_state_merge_real_sketch(spark):
     ms = execute_sql(spark, "SELECT uniqMergeState(s) AS s2 FROM st",
                      {"st": state})
     assert dict(ms.dtypes)["s2"] == "binary"
+
+
+def test_sequence_match_strict_restart_same_event(spark):
+    """A strict-step mismatch must let the SAME event start a new chain:
+    '(?1)(?2)' over [c1, c1, c2] matches (second c1 immediately followed
+    by c2) — a reset that discards the event would return 0."""
+    t = {"ev": spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c2")], "ts long, e string")}
+
+    def run(agg):
+        return execute_sql(spark, f"SELECT {agg} AS r FROM ev",
+                           t).collect()[0].r
+    assert run("sequenceMatch('(?1)(?2)')(ts, e = 'c1', e = 'c2')") == 1
+    assert run("sequenceCount('(?1)(?2)')(ts, e = 'c1', e = 'c2')") == 1
+
+
+def test_ema_epoch_timestamps_no_overflow(spark):
+    """2^(t/h) overflows double for Unix-epoch t; the tmax-anchored fold
+    must stay finite and exact."""
+    t = {"t": spark.createDataFrame(
+        [(1700000000, 1.0), (1700000010, 2.0), (1700000020, 3.0)],
+        "ts long, v double")}
+    got = execute_sql(
+        spark, "SELECT exponentialMovingAverage(10)(v, ts) AS e FROM t",
+        t).collect()[0].e
+    # weights 2^-2, 2^-1, 2^0 → (0.25 + 1.0 + 3.0) / 1.75
+    assert abs(got - 4.25 / 1.75) < 1e-12

@@ -6,6 +6,7 @@ result contract, compared order-insensitively like the driver gate.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -1114,3 +1115,33 @@ def test_group_by_empty_tuple(spark):
     r = execute_sql(spark, "SELECT count() AS n, sum(k) AS s FROM t "
                     "GROUP BY ()", t).collect()
     assert [(x.n, x.s) for x in r] == [(2, 3)]
+
+
+def test_with_fill_descending_exclusive_to(spark):
+    """Descending fill (negative STEP): the exclusive TO bound must drop
+    values <= TO, and inferred bounds must run max → min."""
+    t = {"t": spark.createDataFrame([(5, "a"), (2, "b")], "n long, s string")}
+    r = execute_sql(
+        spark, "SELECT n, s FROM t ORDER BY n DESC "
+        "WITH FILL FROM 5 TO 1 STEP -1", t).collect()
+    assert [(x.n, x.s) for x in r] == \
+        [(5, "a"), (4, None), (3, None), (2, "b")]
+    r2 = execute_sql(
+        spark, "SELECT n FROM t ORDER BY n DESC WITH FILL STEP -1",
+        t).collect()
+    assert [x.n for x in r2] == [5, 4, 3, 2]
+
+
+def test_format_table_function_no_temp_leak(spark):
+    """format() inline data materializes eagerly and removes its temp
+    file at once (no per-query leak, no stale lazy re-read)."""
+    import glob
+    import tempfile
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "*.data")))
+    r = execute_sql(
+        spark,
+        'SELECT a + 1 AS n FROM format(JSONEachRow, \'{"a": 1}\n{"a": 4}\') '
+        "ORDER BY n", {}).collect()
+    assert [x.n for x in r] == [2, 5]
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "*.data")))
+    assert after <= before
