@@ -1536,6 +1536,11 @@ for _aliases, _target in [
     (("POSITION",), "position"),
     (("REPLACE", "replace"), "replaceAll"),
     (("LOCATE", "locate"), "position"),
+    # CH registers the standard-SQL NULL functions case-insensitively
+    # (FunctionFactory::Case::Insensitive)
+    (("NULLIF", "nullif", "NullIf"), "nullIf"),
+    (("IFNULL", "ifnull", "IfNull"), "ifNull"),
+    (("COALESCE", "Coalesce"), "coalesce"),
 ]:
     for _a in _aliases:
         if _a != _target:

@@ -56,6 +56,7 @@ class FuncCall(Node):
     distinct: bool = False                             # f(DISTINCT x)
     filter_where: Node | None = None                   # f(x) FILTER(WHERE p)
     window: "WindowSpec | str | None" = None           # OVER (...) | OVER name
+    nulls_modifier: str | None = None                  # RESPECT/IGNORE NULLS
 
 
 @dataclass

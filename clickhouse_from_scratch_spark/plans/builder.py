@@ -453,7 +453,8 @@ def _subst(node, param: str, repl):
         return repl
     if isinstance(node, FuncCall):
         return FuncCall(node.name, [_subst(a, param, repl) for a in node.args],
-                        node.params, node.distinct)
+                        node.params, node.distinct, node.filter_where,
+                        node.window, node.nulls_modifier)
     if isinstance(node, Cast):
         return Cast(_subst(node.expr, param, repl), node.type_name)
     if isinstance(node, ArrayLiteral):
@@ -956,7 +957,7 @@ def _rewrite_corr(node, inner_cols: set):
         return FuncCall(node.name,
                         [_rewrite_corr(a, inner_cols) for a in node.args],
                         node.params, node.distinct, node.filter_where,
-                        node.window)
+                        node.window, node.nulls_modifier)
     if isinstance(node, (ArrayLiteral, TupleLiteral)):
         return type(node)([_rewrite_corr(a, inner_cols) for a in node.items])
     return node
@@ -1242,7 +1243,8 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
             new_args.append(na)
         if changed:
             node = FuncCall(node.name, new_args, node.params, node.distinct,
-                            node.filter_where, node.window)
+                            node.filter_where, node.window,
+                            node.nulls_modifier)
         return df, node
     if isinstance(node, Alias):
         df, e = _lower_in_subqueries(df, node.expr, ctx, drops, scalar_ok)
@@ -1624,11 +1626,23 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     cond = None
     if node.filter_where is not None:
         cond = _eval(_inline(node.filter_where, ctx), ctx, df)
+    if node.nulls_modifier is not None:
+        # RESPECT/IGNORE NULLS only exists for the any family (CH rejects
+        # it elsewhere); never silently drop the modifier
+        if name not in ("any", "anyLast") or node.distinct or cond is not None:
+            raise BuildError(
+                f"{node.nulls_modifier.upper()} NULLS not supported here "
+                f"(aggregate {name})")
+        f = F.first if name == "any" else F.last
+        return f(args[0], ignorenulls=(node.nulls_modifier == "ignore"))
     if node.distinct:
-        if name == "count":
-            return F.count_distinct(*args)
-        if name == "sum":
-            return F.sum_distinct(*args)
+        if name in ("count", "sum"):
+            # FILTER composes with DISTINCT: nulled-out rows are ignored
+            # by the distinct aggregation
+            if cond is not None:
+                args = [F.when(cond, a) for a in args]
+            return (F.count_distinct(*args) if name == "count"
+                    else F.sum_distinct(*args))
         if params:
             raise BuildError(
                 f"DISTINCT with parametric aggregate {name} not supported")
@@ -1753,7 +1767,8 @@ def _slotify(node, ctx: Context):
         if all(na is a for na, a in zip(new_args, node.args)):
             return node
         return FuncCall(node.name, new_args, node.params, node.distinct,
-                        node.filter_where, node.window)
+                        node.filter_where, node.window,
+                        node.nulls_modifier)
     return node
 
 
@@ -1907,7 +1922,8 @@ def _inline(node, ctx: Context):
         return FuncCall(node.name, [_inline(a, ctx) for a in node.args],
                         node.params, node.distinct,
                         _inline(node.filter_where, ctx)
-                        if node.filter_where else None, node.window)
+                        if node.filter_where else None, node.window,
+                        node.nulls_modifier)
     if isinstance(node, Cast):
         return Cast(_inline(node.expr, ctx), node.type_name)
     if isinstance(node, ArrayLiteral):
@@ -2509,9 +2525,21 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
         return _WINDOW_FNS[name](*args).over(w)
     if name in _WINDOW_VALUE_FNS:
         extra = [a.value for a in node.args[1:] if isinstance(a, Literal)]
+        if node.nulls_modifier is not None:
+            ign = node.nulls_modifier == "ignore"
+            if name in ("first_value", "last_value"):
+                f = F.first if name == "first_value" else F.last
+                return f(cols[0], ignorenulls=ign).over(w)
+            if name in ("nth_value", "nthValue"):
+                return F.nth_value(cols[0], *extra,
+                                   ignoreNulls=ign).over(w)
+            if ign:
+                # never silently drop the modifier
+                raise BuildError(f"IGNORE NULLS not supported for {name}")
         return _WINDOW_VALUE_FNS[name](cols[0], *extra).over(w)
     if _is_agg_name(name):
-        inner = FuncCall(node.name, node.args, node.params, node.distinct)
+        inner = FuncCall(node.name, node.args, node.params, node.distinct,
+                         nulls_modifier=node.nulls_modifier)
         return _agg_column(inner, ctx, df).over(w)
     raise BuildError(f"unknown window function: {name}")
 

@@ -891,6 +891,11 @@ class Parser:
             self.expect_kw("WHERE")
             fc.filter_where = self._expr()
             self.expect_op(")")
+        # fn(x) [RESPECT|IGNORE] NULLS — CH window-function null treatment
+        if self.accept_kws("RESPECT", "NULLS"):
+            fc.nulls_modifier = "respect"
+        elif self.accept_kws("IGNORE", "NULLS"):
+            fc.nulls_modifier = "ignore"
         if self.accept_kw("OVER"):
             if self.tok.is_op("("):
                 fc.window = self._window_spec()

@@ -220,6 +220,95 @@ def _having_cases(n: int) -> list[tuple[str, str]]:
 HAV_CASES = _having_cases(8)
 DATE_CASES = _date_cases()
 
+# --- agg(DISTINCT) across bases (the net for the -Distinct combinator) ----
+# Integer-valued expressions only: a float computed differently by the
+# two engines could change the distinct SET itself, which would be
+# dialect noise, not an engine bug.
+INT_COLS = ["l_linenumber", "l_suppkey"]
+
+
+def _int_expr(rnd: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rnd.random() < 0.5:
+        return rnd.choice(INT_COLS + [str(rnd.randint(1, 9))])
+    a, b = _int_expr(rnd, depth + 1), _int_expr(rnd, depth + 1)
+    if rnd.random() < 0.3:
+        return f"({a} % {rnd.randint(2, 13)})"
+    return f"({a} {rnd.choice(['+', '*'])} {b})"
+
+
+# (CH aggregate template, DuckDB aggregate template, needs_round)
+_DISTINCT_AGGS = [
+    ("avg(DISTINCT {e})", "avg(DISTINCT {e})", True),
+    ("sum(DISTINCT {e})", "sum(DISTINCT {e})", True),
+    ("count(DISTINCT {e})", "count(DISTINCT {e})", True),
+    ("min(DISTINCT {e})", "min(DISTINCT {e})", True),
+    ("max(DISTINCT {e})", "max(DISTINCT {e})", True),
+    ("stddevSamp(DISTINCT {e})", "stddev_samp(DISTINCT {e})", True),
+    ("varSamp(DISTINCT {e})", "var_samp(DISTINCT {e})", True),
+    ("stddevPop(DISTINCT {e})", "stddev_pop(DISTINCT {e})", True),
+    ("median(DISTINCT {e})", "median(DISTINCT {e})", True),
+    ("arrayStringConcat(arrayMap(v -> toString(v), "
+     "arraySort(groupArray(DISTINCT {e}))), ',')",
+     "array_to_string(list_sort(list(DISTINCT {e})), ',')", False),
+]
+
+
+def _distinct_cases(n: int) -> list[tuple[str, str, str]]:
+    rnd = random.Random(414)
+    out = []
+    for i in range(n):
+        e = _int_expr(rnd)
+        ch_t, dd_t, rounded = rnd.choice(_DISTINCT_AGGS)
+        key = rnd.choice(["l_returnflag", "l_linestatus",
+                          "(l_linenumber % 3)"])
+        ch_b, dd_b = ch_t.format(e=e), dd_t.format(e=e)
+        # -If + DISTINCT composed (FILTER binds to the aggregate, so only
+        # on templates where the aggregate is the outermost call)
+        if rounded and rnd.random() < 0.4:
+            flt = (f" FILTER(WHERE l_linenumber "
+                   f"{rnd.choice(['<', '>'])} {rnd.randint(2, 6)})")
+            ch_b, dd_b = ch_b + flt, dd_b + flt
+        if rounded:
+            ch_b = f"round(CAST({ch_b} AS DOUBLE), 3)"
+            dd_b = f"round(CAST({dd_b} AS DOUBLE), 3)"
+        ch = (f"SELECT {key} AS k, {ch_b} AS v FROM lineitem "
+              f"GROUP BY k")
+        dd = (f"SELECT {key} AS k, {dd_b} AS v FROM lineitem "
+              f"GROUP BY k")
+        out.append((f"distfuzz{i:02d}", ch, dd))
+    return out
+
+
+DIST_CASES = _distinct_cases(16)
+
+
+def _nulljoin_cases(n: int) -> list[tuple[str, str]]:
+    """Outer joins where join keys are genuinely NULL (NULLIF-injected):
+    NULL keys must never match, under join_use_nulls=1 both engines
+    agree on NULL semantics end-to-end."""
+    rnd = random.Random(2026)
+    out = []
+    for i in range(n):
+        m1, m2 = rnd.randint(0, 9), rnd.randint(0, 9)
+        kind = rnd.choice(["LEFT JOIN", "FULL JOIN", "JOIN"])
+        agg = rnd.choice([
+            "count(*)",
+            "round(CAST(sum(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 3)",
+            "count(kb)",
+        ])
+        sql = (f"SELECT ka, {agg} AS v FROM "
+               f"(SELECT o_orderkey, NULLIF(o_orderkey % 10, {m1}) AS ka "
+               f"FROM orders WHERE o_orderkey < 3000) o "
+               f"{kind} "
+               f"(SELECT NULLIF(l_orderkey % 10, {m2}) AS kb, l_quantity "
+               f"FROM lineitem WHERE l_orderkey < 3000) l "
+               f"ON ka = kb GROUP BY ka")
+        out.append((f"nulljoinfuzz{i:02d}", sql))
+    return out
+
+
+NULLJOIN_CASES = _nulljoin_cases(10)
+
 
 ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
              + HAV_CASES)
@@ -264,11 +353,23 @@ def test_differential(spark, sf_dir, duck, name, sql):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name,ch_sql,dd_sql", DATE_CASES,
-                         ids=[c[0] for c in DATE_CASES])
+@pytest.mark.parametrize("name,ch_sql,dd_sql", DATE_CASES + DIST_CASES,
+                         ids=[c[0] for c in DATE_CASES + DIST_CASES])
 def test_differential_dates(spark, sf_dir, duck, name, ch_sql, dd_sql):
     tables = load_all(spark, sf_dir)
     ours = execute_sql(spark, ch_sql, tables).toPandas()
     theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name,sql", NULLJOIN_CASES,
+                         ids=[c[0] for c in NULLJOIN_CASES])
+def test_differential_null_keys(spark, sf_dir, duck, name, sql):
+    tables = load_all(spark, sf_dir)
+    ch_sql = sql.replace("count(*)", "count()")
+    ours = execute_sql(spark, ch_sql, tables,
+                       settings={"join_use_nulls": 1}).toPandas()
+    theirs = duck.sql(sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems

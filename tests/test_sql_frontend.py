@@ -1145,3 +1145,35 @@ def test_format_table_function_no_temp_leak(spark):
     assert [x.n for x in r] == [2, 5]
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "*.data")))
     assert after <= before
+
+
+def test_ignore_respect_nulls_window(spark):
+    t = {"t": spark.createDataFrame(
+        [(10, None), (20, 5), (30, None)], "o int, v int")}
+
+    def run(expr):
+        return [r.x for r in execute_sql(
+            spark, f"SELECT o, {expr} OVER (ORDER BY o) AS x FROM t "
+            "ORDER BY o", t).collect()]
+    assert run("last_value(v) IGNORE NULLS") == [None, 5, 5]
+    assert run("last_value(v) RESPECT NULLS") == [None, 5, None]
+    assert run("first_value(v) IGNORE NULLS") == [None, 5, 5]
+    # any as a window aggregate: default skips NULLs, RESPECT keeps them
+    assert run("any(v) RESPECT NULLS") == [None, None, None]
+    assert run("any(v)") == [None, 5, 5]
+
+
+@pytest.mark.parametrize("sql", [
+    # a dialect modifier the engine can't honor must raise, never be
+    # silently dropped (the r3 -Distinct bug class)
+    "SELECT corr(DISTINCT o, v) AS x FROM t",
+    "SELECT topK(2)(DISTINCT v) AS x FROM t",
+    "SELECT sum(v) RESPECT NULLS AS x FROM t",
+    "SELECT lag(v, 1) IGNORE NULLS OVER (ORDER BY o) AS x FROM t",
+    "SELECT quantileTDigest(DISTINCT v) AS x FROM t",
+])
+def test_no_silent_modifier_drop(spark, sql):
+    t = {"t": spark.createDataFrame([(10, 1), (20, 2)], "o int, v int")}
+    with pytest.raises(Exception) as ei:
+        execute_sql(spark, sql, t).collect()
+    assert ei.type.__name__ in ("BuildError", "ParseError", "KeyError")
