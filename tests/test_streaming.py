@@ -161,3 +161,34 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # stateless per-row signatures run on the same stream unchanged
     sigs = streaming_minhash_signatures(stream)
     assert sigs.isStreaming and "signature" in sigs.columns
+
+
+def test_live_view_watch_liveness_rate_source(spark, tmp_path):
+    """End-to-end liveness: LIVE VIEW over a rate source → WATCH EVENTS
+    heartbeats advance on their own → WATCH snapshots grow →
+    INSERT INTO t WATCH lv (snapshot append) makes sink rows advance."""
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "200").load())
+    agg = stream.agg(F.count(F.lit(1)).alias("n"))
+    lv = LiveView("lv_rate_live", refresh_interval="200 milliseconds")
+    q = lv.create(agg)
+    sink_path = str(tmp_path / "watch_sink")
+    try:
+        deadline = time.time() + 90
+        v0 = lv.watch_events()
+        while lv.watch_events() < v0 + 2 and time.time() < deadline:
+            time.sleep(0.3)
+        assert lv.watch_events() >= v0 + 2      # heartbeats advance
+        snap1 = lv.watch(spark).collect()[0].n
+        lv.watch(spark).write.mode("append").parquet(sink_path)
+        while time.time() < deadline:
+            snap2 = lv.watch(spark).collect()[0].n
+            if snap2 > snap1:
+                break
+            time.sleep(0.3)
+        assert snap2 > snap1                    # the view itself advances
+        lv.watch(spark).write.mode("append").parquet(sink_path)
+        sink = [r.n for r in spark.read.parquet(sink_path).collect()]
+        assert len(sink) == 2 and max(sink) > min(sink)   # sink advanced
+    finally:
+        lv.stop()
