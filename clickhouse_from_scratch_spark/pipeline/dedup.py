@@ -36,6 +36,19 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
 _MIX = -7046029254386353131
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row kernels across the cluster when the scan
+    yields fewer partitions than cores (a handful of small parquet files
+    would otherwise pin the whole signature pass to a few tasks). The
+    repartition shuffle is linear in the input and only paid when the
+    partition count is actually deficient — at real scale the scan
+    already has more splits than cores and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle hashes (distinct) — array<long>, JVM-side.
 
@@ -102,6 +115,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     exactly the shape numpy wins at). ``use_arrow=False`` selects the
     pure-JVM expression path instead.
     """
+    docs = _ensure_parallelism(docs)
     sh = shingles(F.col(text_col), shingle_n)
     docs = docs.withColumn("__shingles", sh)
     if use_arrow:
@@ -230,6 +244,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     Expressed as one aggregate over the token-hash array per bit, folded
     into the signature with shiftleft/bitwise-or — no Python, no explode.
     """
+    docs = _ensure_parallelism(docs)
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                      lambda w: w != "")
     hashes = F.transform(words, lambda w: F.xxhash64(w))

@@ -47,6 +47,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``round_digits`` rounds the similarity *before* ranking so the top-k
     cut is stable under float noise (oracle comparability).
     """
+    from .dedup import _ensure_parallelism
+    corpus = _ensure_parallelism(corpus)
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("__qvec"))
     sim = cosine(F.col(vec_col), F.col("__qvec"))

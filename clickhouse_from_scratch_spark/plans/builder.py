@@ -1572,17 +1572,29 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
     else:
         out = grouped.agg(*agg_cols)
 
+    totals_with_having = (gb.with_totals and gb.mode == "plain"
+                          and q.having is not None)
     if gb.with_totals and gb.mode == "plain":
         # WITH TOTALS ≡ GROUPING SETS ((keys), ()): totals come out of
-        # the same Expand pass — no second scan of the input
-        out = (pre.groupingSets([list(knames), []], *knames)
-               .agg(*agg_cols).select(*knames, *agg_slots))
+        # the same Expand pass — no second scan of the input. With a
+        # HAVING clause, grouping_id() tags the totals row so totals_mode
+        # (Settings.h:109-110) can treat it separately from the groups.
+        gsets = pre.groupingSets([list(knames), []], *knames)
+        if totals_with_having:
+            out = (gsets.agg(*agg_cols, F.grouping_id().alias("__gid"))
+                   .select(*knames, *agg_slots, "__gid"))
+        else:
+            out = gsets.agg(*agg_cols).select(*knames, *agg_slots)
 
     # 3. evaluate outer SELECT expressions over the aggregated frame
     ctx.key_slots = key_slots          # ast-repr → __k* column
     ctx.agg_slots = dict(_slot_keys)   # ast-repr → __agg* column
 
     if q.having is not None:
+        tot = None
+        if totals_with_having:
+            tot = out.filter(F.col("__gid") != 0).drop("__gid")
+            out = out.filter(F.col("__gid") == 0).drop("__gid")
         hv = _inline(q.having, ctx)
         if _contains_expr_subquery(hv):
             # HAVING with IN/EXISTS/scalar subqueries: aggregates and
@@ -1599,6 +1611,27 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                 out = out.drop(*hdrops)
         else:
             out = out.filter(_eval_post(hv, out, ctx))
+        if tot is not None:
+            # totals_mode (Settings.h:109-110): before_having keeps the
+            # all-rows totals; the after_having_* family (CH default
+            # after_having_exclusive — the modes differ only under
+            # group-by overflow, which this engine does not replicate)
+            # recomputes totals over the underlying rows of the groups
+            # that PASSED HAVING — one semi-join + one global aggregate.
+            mode = str(ctx.settings.get("totals_mode",
+                                        "after_having_exclusive"))
+            if mode != "before_having" and knames:
+                survivors = out.select(*knames).alias("__sv")
+                pre_a = pre.alias("__pre")
+                jc = None
+                for k in knames:        # null-safe: NULL group keys are
+                    c = F.col(f"__pre.{k}").eqNullSafe(F.col(f"__sv.{k}"))
+                    jc = c if jc is None else (jc & c)   # real groups
+                pre_f = pre_a.join(survivors, on=jc, how="left_semi")
+                tot = pre_f.agg(*agg_cols).select(
+                    *[F.lit(None).cast(out.schema[k].dataType).alias(k)
+                      for k in knames], *agg_slots)
+            out = out.unionByName(tot)
 
     proj = []
     for item in q.select:
@@ -2134,6 +2167,22 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             except Exception:
                 t = None
         return F.lit(t or "Dynamic")
+    if (name == "finalizeAggregation" and len(cols) == 1
+            and df is not None
+            and not _refs_lambda_param(node.args[0], ctx)):
+        # AggregateFunction state → finalized value (scalar, per row):
+        # binary HLL sketch states estimate; uniqExact array states count
+        # their distinct elements; SimpleAggregateFunction states already
+        # ARE the value
+        try:
+            dt = df.select(cols[0]).schema[0].dataType.simpleString()
+        except Exception:
+            dt = ""
+        if dt == "binary":
+            return F.hll_sketch_estimate(cols[0])
+        if dt.startswith("array"):
+            return F.size(F.array_distinct(cols[0])).cast("long")
+        return cols[0]
     # CH length/empty/reverse are polymorphic over strings AND arrays —
     # dispatch on the argument's resolved type (schema-only, no job).
     # Skip the probe when the arg references a lambda parameter: those

@@ -620,3 +620,18 @@ def test_aggregating_merge_tree_uniq_exact_state(sess):
         "GROUP BY day").collect()}
     # day 1: {1,2} ∪ {11,12} = 4 exact; day 2: {9} ∪ {19} = 2
     assert rows == {1: 4, 2: 2}
+
+
+def test_finalize_aggregation_on_states(sess):
+    sess.execute("CREATE TABLE e3 (u Int64, d Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO e3 VALUES (1, 1), (2, 1), (2, 1), (7, 2)")
+    sess.execute("CREATE TABLE a3 (d Int64, "
+                 "hs AggregateFunction(uniq, Int64), "
+                 "es AggregateFunction(uniqExact, Int64)) "
+                 "ENGINE = AggregatingMergeTree ORDER BY d")
+    sess.execute("INSERT INTO a3 SELECT d, uniqState(u), uniqExactState(u) "
+                 "FROM e3 GROUP BY d")
+    rows = {r.d: (r.h, r.e) for r in sess.execute(
+        "SELECT d, finalizeAggregation(hs) AS h, "
+        "finalizeAggregation(es) AS e FROM a3 FINAL").collect()}
+    assert rows == {1: (2, 2), 2: (1, 1)}

@@ -1177,3 +1177,22 @@ def test_no_silent_modifier_drop(spark, sql):
     with pytest.raises(Exception) as ei:
         execute_sql(spark, sql, t).collect()
     assert ei.type.__name__ in ("BuildError", "ParseError", "KeyError")
+
+
+def test_totals_mode_having(spark):
+    """totals_mode: default after_having_exclusive recomputes totals over
+    rows of the groups that PASSED HAVING; before_having keeps the
+    all-rows totals; the totals row itself is never HAVING-filtered."""
+    t = {"t": spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 10), ("c", 100)],
+        "k string, v int")}
+    q = ("SELECT k, count() AS n, sum(v) AS s FROM t GROUP BY k "
+         "WITH TOTALS HAVING count() > 1")
+    after = sorted([(r.k, r.n, r.s) for r in
+                    execute_sql(spark, q, t).collect()], key=str)
+    assert after == [("a", 3, 6), (None, 3, 6)]
+    before = sorted([(r.k, r.n, r.s) for r in
+                     execute_sql(spark, q, t,
+                                 settings={"totals_mode": "before_having"})
+                     .collect()], key=str)
+    assert before == [("a", 3, 6), (None, 5, 116)]
