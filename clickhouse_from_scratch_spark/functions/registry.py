@@ -415,7 +415,21 @@ _alias("arrayZip", F.arrays_zip)
 _alias("arrayStringConcat", lambda a, sep="": F.array_join(_c(a), sep))
 _alias("arrayIntersect", F.array_intersect)
 _alias("arrayEnumerate", lambda a: F.sequence(F.lit(1), F.size(_c(a))))
-_alias("range", lambda *args: F.sequence(F.lit(0), _c(args[0]) - 1) if len(args) == 1 else F.sequence(_c(args[0]), _c(args[1]) - 1))
+def _ch_range(*args) -> Column:
+    """range([start,] end[, step]) — half-open [start, end), empty when
+    end <= start. Spark's sequence() is inclusive and silently flips to
+    a DESCENDING sequence when start > stop (range(0, 0) would yield
+    [0, -1]), so the empty case is guarded explicitly."""
+    if len(args) == 1:
+        start, end = F.lit(0).cast("long"), _c(args[0]).cast("long")
+    else:
+        start, end = _c(args[0]).cast("long"), _c(args[1]).cast("long")
+    step = _c(args[2]).cast("long") if len(args) > 2 else F.lit(1).cast("long")
+    return F.when(end > start, F.sequence(start, end - 1, step)) \
+            .otherwise(F.slice(F.array(start), 1, 0))
+
+
+_alias("range", _ch_range)
 _alias("emptyArrayInt64", lambda: F.array().cast("array<long>"))
 _alias("emptyArrayString", lambda: F.array().cast("array<string>"))
 _alias("arrayReduce", lambda name, a: {"sum": REGISTRY["arraySum"], "min": F.array_min, "max": F.array_max}[name](a))

@@ -310,8 +310,77 @@ def _nulljoin_cases(n: int) -> list[tuple[str, str]]:
 NULLJOIN_CASES = _nulljoin_cases(10)
 
 
+def _setop_cases(n: int) -> list[tuple[str, str]]:
+    """UNION/INTERSECT/EXCEPT (+ ALL forms) between two filtered
+    projections — identical syntax and semantics in both engines."""
+    rnd = random.Random(808)
+    out = []
+    for i in range(n):
+        op = rnd.choice(["UNION ALL", "UNION DISTINCT", "INTERSECT",
+                         "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"])
+        col = rnd.choice(["l_linenumber", "l_suppkey", "(l_orderkey % 50)"])
+        c1, c2 = rnd.randint(5, 30), rnd.randint(5, 30)
+        sql = (f"SELECT {col} AS v FROM lineitem WHERE l_linenumber < {c1 % 7 + 1} "
+               f"{op} "
+               f"SELECT {col} AS v FROM lineitem WHERE l_suppkey < {c2}")
+        out.append((f"setopfuzz{i:02d}", sql))
+    return out
+
+
+def _quantile_cases(n: int) -> list[tuple[str, str, str]]:
+    """quantile family: CH parametric form vs DuckDB quantile_cont —
+    exact interpolated percentiles over the same values."""
+    rnd = random.Random(909)
+    out = []
+    for i in range(n):
+        q = round(rnd.uniform(0.05, 0.95), 2)
+        col = rnd.choice(["l_quantity", "l_extendedprice", "l_discount"])
+        key = rnd.choice(["l_returnflag", "l_linestatus"])
+        ch = (f"SELECT {key} AS k, round(CAST(quantile({q})({col}) "
+              f"AS DOUBLE), 4) AS v FROM lineitem GROUP BY k")
+        dd = (f"SELECT {key} AS k, round(CAST(quantile_cont({col}, {q}) "
+              f"AS DOUBLE), 4) AS v FROM lineitem GROUP BY k")
+        out.append((f"qntfuzz{i:02d}", ch, dd))
+    return out
+
+
+def _array_cases() -> list[tuple[str, str, str]]:
+    """Array construction / HOF pairs (CH names vs DuckDB list names),
+    projected to strings for order-stable comparison."""
+    pairs = [
+        ("arrayStringConcat(arrayMap(x -> toString(x * 2), "
+         "range(1, l_linenumber + 1)), ',')",
+         "array_to_string(list_transform(range(1, l_linenumber + 1), "
+         "x -> CAST(x * 2 AS VARCHAR)), ',')"),
+        ("arraySum(arrayMap(x -> x * x, range(1, l_linenumber + 1)))",
+         "CAST(list_sum(list_transform(range(1, l_linenumber + 1), "
+         "x -> x * x)) AS BIGINT)"),
+        ("length(arrayFilter(x -> x % 2 = 0, range(0, l_suppkey % 20)))",
+         "CAST(length(list_filter(range(0, l_suppkey % 20), "
+         "x -> x % 2 = 0)) AS BIGINT)"),
+        ("arrayStringConcat(arraySort(arrayDistinct("
+         "[l_linenumber, l_linenumber % 3, 7, 7])), ',')",
+         "array_to_string(list_sort(list_distinct("
+         "[l_linenumber, l_linenumber % 3, 7, 7])), ',')"),
+        ("arrayReverse(range(1, l_linenumber + 1))[1]",
+         "list_reverse(range(1, l_linenumber + 1))[1]"),
+    ]
+    out = []
+    for i, (ch_e, dd_e) in enumerate(pairs):
+        ch = (f"SELECT l_orderkey, l_linenumber, {ch_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 1500")
+        dd = (f"SELECT l_orderkey, l_linenumber, {dd_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 1500")
+        out.append((f"arrfuzz{i:02d}", ch, dd))
+    return out
+
+
+SETOP_CASES = _setop_cases(10)
+QNT_CASES = _quantile_cases(8)
+ARR_CASES = _array_cases()
+
 ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
-             + HAV_CASES)
+             + HAV_CASES + SETOP_CASES)
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
@@ -353,8 +422,11 @@ def test_differential(spark, sf_dir, duck, name, sql):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name,ch_sql,dd_sql", DATE_CASES + DIST_CASES,
-                         ids=[c[0] for c in DATE_CASES + DIST_CASES])
+PAIR_CASES = DATE_CASES + DIST_CASES + QNT_CASES + ARR_CASES
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", PAIR_CASES,
+                         ids=[c[0] for c in PAIR_CASES])
 def test_differential_dates(spark, sf_dir, duck, name, ch_sql, dd_sql):
     tables = load_all(spark, sf_dir)
     ours = execute_sql(spark, ch_sql, tables).toPandas()
