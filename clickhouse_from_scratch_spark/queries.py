@@ -401,6 +401,54 @@ def with_totals_q(spark, sf_dir):
          "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value"])
 
 
+@query("sql_totals_mode", oracle="""
+WITH g AS (SELECT o_orderpriority AS pri, count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+                    AS s
+           FROM orders WHERE o_orderstatus = 'F'
+           GROUP BY o_orderpriority HAVING count(*) > 500)
+SELECT pri, n, s FROM g
+UNION ALL
+SELECT NULL AS pri, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS s
+FROM orders WHERE o_orderstatus = 'F'
+  AND o_orderpriority IN (SELECT pri FROM g)
+""")
+def sql_totals_mode(spark, sf_dir):
+    """WITH TOTALS under HAVING with the default totals_mode
+    (after_having_exclusive, Settings.h:109-110): the totals row is
+    recomputed over the underlying rows of the groups that PASSED
+    HAVING — never just filtered or left as the all-rows total."""
+    return _sql(spark, sf_dir, """
+        SELECT o_orderpriority AS pri, count() AS n,
+               CAST(sum(CAST(o_totalprice AS Decimal(27,4))) AS Float64)
+                 AS s
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority WITH TOTALS HAVING count() > 500
+    """)
+
+
+@query("sql_ignore_nulls", oracle="""
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_purchase
+FROM events ORDER BY event_id LIMIT 2000
+""")
+def sql_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window modifier: carry the last purchase value
+    forward across non-purchase events (the respect-nulls default would
+    return the current row's NULL instead)."""
+    return _sql(spark, sf_dir, """
+        SELECT event_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END)
+                 IGNORE NULLS
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS last_purchase
+        FROM events ORDER BY event_id LIMIT 2000
+    """)
+
+
 # ---------------------------------------------------------------------------
 # ORDER BY WITH FILL (§2.6)
 # ---------------------------------------------------------------------------
