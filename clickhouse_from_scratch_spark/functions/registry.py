@@ -256,14 +256,33 @@ _alias("toDate32", lambda c: _c(c).cast("date"))
 _alias("toDateTime", lambda c: _c(c).cast("timestamp"))
 _alias("toDateTime64", lambda c, p=3: _c(c).cast("timestamp"))
 _alias("toUUID", lambda c: _c(c).cast("string"))
-_alias("toIntervalSecond", lambda n: F.expr(f"interval {n} second"))
-_alias("toIntervalMinute", lambda n: F.expr(f"interval {n} minute"))
-_alias("toIntervalHour", lambda n: F.expr(f"interval {n} hour"))
-_alias("toIntervalDay", lambda n: F.expr(f"interval {n} day"))
-_alias("toIntervalWeek", lambda n: F.expr(f"interval {7*int(n)} day"))
-_alias("toIntervalMonth", lambda n: F.expr(f"interval {n} month"))
-_alias("toIntervalQuarter", lambda n: F.expr(f"interval {3*int(n)} month"))
-_alias("toIntervalYear", lambda n: F.expr(f"interval {n} year"))
+def _mk_interval(unit: str, mult: int = 1):
+    """toInterval<Unit>(n): literal n → interval literal; Column n →
+    make_dt_interval / make_ym_interval (never a string interpolation of
+    a Column repr)."""
+    def f(n):
+        if not isinstance(n, Column):
+            return F.expr(f"interval {int(n) * mult} "
+                          f"{'day' if unit == 'week' else unit}")
+        c = (_c(n) * mult).cast("long")
+        if unit in ("second", "minute", "hour", "day", "week"):
+            args = {"second": dict(secs=c.cast("double")),
+                    "minute": dict(mins=c), "hour": dict(hours=c),
+                    "day": dict(days=c), "week": dict(days=c)}[unit]
+            return F.make_dt_interval(**{k: v for k, v in args.items()})
+        return F.make_ym_interval(
+            **(dict(years=c) if unit == "year" else dict(months=c)))
+    return f
+
+
+_alias("toIntervalSecond", _mk_interval("second"))
+_alias("toIntervalMinute", _mk_interval("minute"))
+_alias("toIntervalHour", _mk_interval("hour"))
+_alias("toIntervalDay", _mk_interval("day"))
+_alias("toIntervalWeek", _mk_interval("week", 7))
+_alias("toIntervalMonth", _mk_interval("month"))
+_alias("toIntervalQuarter", _mk_interval("month", 3))
+_alias("toIntervalYear", _mk_interval("year"))
 _alias("CAST", lambda c, t: _c(c).cast(_spark_type(t)))
 _alias("reinterpretAsInt64", lambda c: _c(c).cast("long"))
 _alias("toTypeName", lambda c: F.lit("dynamic"))

@@ -2311,6 +2311,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                     and all(isinstance(x, Literal) for x in a.items)):
                 # transform(x, [1,2], ['a','b'], d) wants python lists
                 py_args.append([x.value for x in a.items])
+            elif (isinstance(a, IntervalExpr) and _wants_literal(name)
+                    and isinstance(a.value, Literal)):
+                # toStartOfInterval(ts, INTERVAL 15 MINUTE) / tumble /
+                # hop want a duration string, not an interval Column
+                py_args.append(f"{a.value.value} {a.unit.lower()}")
             elif (i == 0 and name in _UNIT_ARG_FNS
                     and isinstance(a, Identifier) and len(a.parts) == 1
                     and a.name.lower() in _INTERVAL_UNITS):

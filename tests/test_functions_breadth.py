@@ -510,3 +510,21 @@ def test_ema_epoch_timestamps_no_overflow(spark):
         t).collect()[0].e
     # weights 2^-2, 2^-1, 2^0 → (0.25 + 1.0 + 3.0) / 1.75
     assert abs(got - 4.25 / 1.75) < 1e-12
+
+
+def test_interval_functions_and_to_start_of_interval(spark):
+    t = {"t": spark.createDataFrame([(2,)], "k int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t", t).collect()[0].x
+    assert str(run("toStartOfInterval(toDateTime('2024-01-05 13:47:11'), "
+                   "INTERVAL 15 MINUTE)")) == "2024-01-05 13:45:00"
+    # interval on the LEFT of + and Column-valued interval counts
+    assert str(run("toIntervalDay(2) + toDate('2024-01-01')")) \
+        .startswith("2024-01-03")
+    assert str(run("toDate('2024-01-01') + toIntervalDay(k)")) \
+        .startswith("2024-01-03")
+    assert str(run("toDate('2024-01-01') + toIntervalMonth(k)")) \
+        .startswith("2024-03-01")
+    assert str(run("toDateTime('2024-01-01 00:00:00') + "
+                   "toIntervalSecond(90)")) == "2024-01-01 00:01:30"
