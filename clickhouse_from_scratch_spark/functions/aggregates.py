@@ -81,7 +81,18 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "avgWeighted": lambda x, w: (F.sum(_c(x) * _c(w)) / F.sum(_c(w))),
     "anyHeavy": lambda x: F.mode(_c(x)),       # most-frequent approximation
     "entropy": lambda x: _entropy(_c(x)),
+    # groupConcat[(sep)](x): parametric separator arrives first (builder
+    # passes params before args); NULLs skipped like CH
+    "groupConcat": lambda *a: F.array_join(
+        F.collect_list(_c(a[-1]).cast("string")),
+        str(a[0]) if len(a) > 1 and not isinstance(a[0], Column) else ""),
 }
+
+# -Stable variants are the numerically-stable spellings of the moments —
+# Spark's implementations already use stable accumulation
+for _st in ("varPop", "varSamp", "stddevPop", "stddevSamp",
+            "covarPop", "covarSamp", "corr", "skewPop", "kurtPop"):
+    AGGREGATES[_st + "Stable"] = AGGREGATES[_st]
 
 
 def _moving_fold(x, avg: bool = False) -> Column:

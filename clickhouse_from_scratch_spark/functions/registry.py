@@ -464,12 +464,40 @@ _alias("mapValues", F.map_values)
 _alias("mapContains", lambda m, k: F.map_contains_key(_c(m), k))
 
 # --- JSON (documents/events props columns) --------------------------------
-_alias("JSONExtractString", lambda j, k: F.get_json_object(_c(j), f"$.{k}"))
-_alias("JSONExtractInt", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("long"))
-_alias("JSONExtractFloat", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("double"))
-_alias("JSONExtractBool", lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("boolean"))
-_alias("JSONHas", lambda j, k: F.get_json_object(_c(j), f"$.{k}").isNotNull())
-_alias("JSONExtractRaw", lambda j, k: F.get_json_object(_c(j), f"$.{k}"))
+def _json_path(keys) -> str:
+    """CH JSON path args → JsonPath: string keys are member names,
+    integer keys are 1-based array indices (negative = from the end)."""
+    parts = ["$"]
+    for k in keys:
+        if isinstance(k, int) or (isinstance(k, str)
+                                  and k.lstrip("-").isdigit()):
+            i = int(k)
+            parts[-1] += f"[{i - 1 if i > 0 else i}]"
+        else:
+            parts.append(str(k))
+    return ".".join(parts)
+
+
+def _jx(cast: str | None = None):
+    def f(j, *keys):
+        col = F.get_json_object(_c(j), _json_path(keys))
+        return col.cast(cast) if cast else col
+    return f
+
+
+_alias("JSONExtractString", _jx())
+_alias("JSONExtractInt", _jx("long"))
+_alias("JSONExtractFloat", _jx("double"))
+_alias("JSONExtractBool", _jx("boolean"))
+_alias("JSONHas", lambda j, *keys: F.get_json_object(
+    _c(j), _json_path(keys)).isNotNull())
+_alias("JSONExtractRaw", _jx())
+# standard-SQL JSON accessors (CH registers them case-insensitively);
+# these take a ready-made '$.a.b' JsonPath string
+_alias("JSON_VALUE", lambda j, p: F.get_json_object(_c(j), str(p)))
+_alias("JSON_QUERY", lambda j, p: F.get_json_object(_c(j), str(p)))
+_alias("JSON_EXISTS", lambda j, p: F.get_json_object(_c(j),
+                                                     str(p)).isNotNull())
 _alias("visitParamExtractString", REGISTRY["JSONExtractString"])
 _alias("isValidJSON", lambda j: F.from_json(_c(j), "map<string,string>").isNotNull())
 
@@ -946,9 +974,12 @@ def _json_type(c) -> Column:
 
 
 _alias("JSONType", _json_type)
-_alias("JSONExtractArrayRaw", lambda c: F.from_json(_c(c), "array<string>"))
-_alias("JSONExtractKeys",
-       lambda c: F.map_keys(F.from_json(_c(c), "map<string,string>")))
+_alias("JSONExtractArrayRaw", lambda c, *keys: F.from_json(
+    F.get_json_object(_c(c), _json_path(keys)) if keys else _c(c),
+    "array<string>"))
+_alias("JSONExtractKeys", lambda c, *keys: F.map_keys(F.from_json(
+    F.get_json_object(_c(c), _json_path(keys)) if keys else _c(c),
+    "map<string,string>")))
 
 
 @register("JSONExtractKeysAndValues")
@@ -963,7 +994,13 @@ for _sj, _tj in [("simpleJSONExtractInt", "JSONExtractInt"),
                  ("simpleJSONExtractBool", "JSONExtractBool"),
                  ("simpleJSONExtractString", "JSONExtractString"),
                  ("simpleJSONExtractRaw", "JSONExtractRaw"),
-                 ("simpleJSONHas", "JSONHas")]:
+                 ("simpleJSONHas", "JSONHas"),
+                 # visitParam* are the historical names of simpleJSON*
+                 ("visitParamExtractInt", "JSONExtractInt"),
+                 ("visitParamExtractFloat", "JSONExtractFloat"),
+                 ("visitParamExtractBool", "JSONExtractBool"),
+                 ("visitParamExtractRaw", "JSONExtractRaw"),
+                 ("visitParamHas", "JSONHas")]:
     _alias(_sj, REGISTRY[_tj])
 
 _alias("randomString", lambda n: F.substring(

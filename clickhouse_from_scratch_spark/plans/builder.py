@@ -1720,6 +1720,11 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         # map-argument form: merge per-row maps, return a map
         return _map_agg(name, F.map_keys(args[0]), F.map_values(args[0]),
                         df, as_map=True)
+    if params and name in REGISTRY:
+        # parametric form f(p...)(args) without explicit dispatch above:
+        # params lead (CH convention) — a registry entry that cannot take
+        # them raises loudly instead of the params being silently dropped
+        return ch(name, *params, *args)
     if name in REGISTRY:
         return ch(name, *args)
     if name.endswith("Resample") and params and len(params) >= 3:
@@ -2375,6 +2380,10 @@ _LITERAL_ARG_FNS = {
     "startsWith", "endsWith", "substring", "left", "right", "repeat",
     "round", "roundBankers", "trunc", "JSONExtractString", "JSONExtractInt",
     "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
+    "JSONExtractArrayRaw", "JSONExtractKeys", "JSON_VALUE", "JSON_QUERY",
+    "JSON_EXISTS", "visitParamExtractInt", "visitParamExtractFloat",
+    "visitParamExtractBool", "visitParamExtractRaw", "visitParamHas",
+    "visitParamExtractString",
     "dateDiff", "dateAdd", "dateSub", "timestampAdd", "timestampSub",
     "dateName", "formatDateTime", "toTimeZone", "toDecimal32", "toDecimal64",
     "toDecimal128", "toDateTime64", "arrayElement", "arraySlice", "ngrams",

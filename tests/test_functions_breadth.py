@@ -528,3 +528,26 @@ def test_interval_functions_and_to_start_of_interval(spark):
         .startswith("2024-03-01")
     assert str(run("toDateTime('2024-01-01 00:00:00') + "
                    "toIntervalSecond(90)")) == "2024-01-01 00:01:30"
+
+
+def test_json_paths_group_concat_stable(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, "a", '{"a":{"b":[1,2]}}'), (2, "b", '{"a":{"b":[3]}}')],
+        "k int, s string, j string")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    # variadic JSON paths: string keys are members, ints are 1-based idx
+    assert list(run("JSONExtractArrayRaw(j, 'a', 'b')")) in \
+        (["1", "2"], ["3"])
+    assert run("JSON_VALUE(j, '$.a.b[0]')") in ("1", "3")
+    assert run("visitParamHas(j, 'a')") is True
+    assert run("groupConcat('-')(s)") in ("a-b", "b-a")
+    assert run("groupConcat(s)") in ("ab", "ba")
+    assert run("stddevPopStable(k)") == 0.5
+    # parametric form for an agg that can't take params raises loudly
+    import pytest as _pytest
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with _pytest.raises(Exception):
+        run("sum(2)(k)")
