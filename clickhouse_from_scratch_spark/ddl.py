@@ -472,6 +472,14 @@ class ChSession:
         return self._ok()
 
     def _rename(self, node: RenameTable):
+        if node.exchange:
+            # EXCHANGE TABLES a AND b: atomic pairwise swap of the
+            # catalog entries (data/paths travel with their metas)
+            for a, b in node.renames:
+                ma, mb = self._resolve(None, a), self._resolve(None, b)
+                ma.name, mb.name = b, a
+                self._db()[a], self._db()[b] = mb, ma
+            return self._ok()
         for a, b in node.renames:
             meta = self._resolve(None, a)
             del self._db()[a]

@@ -68,8 +68,9 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "groupBitOr": lambda x: F.bit_or(_c(x)),
     "groupBitXor": lambda x: F.bit_xor(_c(x)),
     "sumWithOverflow": lambda x: F.sum(_c(x)),
-    "topK": lambda k, x: F.slice(F.transform(F.array_sort(
-        F.collect_list(_c(x))), lambda v: v), 1, k),  # simple deterministic top-k list
+    # k MOST FREQUENT values (not first-k-sorted): weight-1 reuse of the
+    # topKWeighted fold; ties break by value for determinism
+    "topK": lambda k, x: _top_k_weighted(k, x, F.lit(1.0)),
     "histogram": lambda bins, x: F.histogram_numeric(_c(x), F.lit(bins)),
     "boundingRatio": lambda x, y: (F.max(_c(y)) - F.min(_c(y))) / (F.max(_c(x)) - F.min(_c(x))),
     "deltaSum": lambda x: F.max(_c(x)) - F.min(_c(x)),
@@ -132,19 +133,17 @@ def _delta_sum_ts(x, t) -> Column:
 
 def _top_k_weighted(k: int, x, w) -> Column:
     """topKWeighted(k)(x, w): k values with the largest summed weights.
-    One map per row, fold-merged group-locally (no extra shuffle)."""
-    per_row = F.map_from_arrays(F.array(_c(x)),
-                                F.array(_c(w).cast("double")))
-    lst = F.collect_list(per_row)
-    merged = F.aggregate(
-        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-        F.element_at(lst, 1),
-        lambda acc, m: F.map_zip_with(
-            acc, m, lambda _, a, b: F.coalesce(a, F.lit(0.0))
-            + F.coalesce(b, F.lit(0.0))))
-    ranked = F.array_sort(F.transform(
-        F.map_entries(merged),
-        lambda e: F.struct((-e["value"]).alias("nw"), e["key"].alias("k"))))
+    NULL values (e.g. from an -If wrapper) are skipped; the group-local
+    (value, weight) list is reduced per distinct value — no extra
+    shuffle, no NULL map keys."""
+    pairs = F.collect_list(F.when(
+        _c(x).isNotNull(),
+        F.struct(_c(x).alias("v"), _c(w).cast("double").alias("w"))))
+    dv = F.array_distinct(F.transform(pairs, lambda p: p["v"]))
+    ranked = F.array_sort(F.transform(dv, lambda v: F.struct(
+        (-F.aggregate(F.filter(pairs, lambda p: p["v"] == v),
+                      F.lit(0.0), lambda a, p: a + p["w"])).alias("nw"),
+        v.alias("k"))))
     return F.slice(F.transform(ranked, lambda s: s["k"]), 1, k)
 
 

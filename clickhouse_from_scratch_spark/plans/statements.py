@@ -174,6 +174,7 @@ class AlterStmt(Node):
 @dataclass
 class RenameTable(Node):
     renames: list[tuple[str, str]]
+    exchange: bool = False     # EXCHANGE TABLES a AND b — atomic swap
 
 
 @dataclass
@@ -308,6 +309,8 @@ class StatementParser(Parser):
             return self._drop()
         if t.is_kw("RENAME"):
             return self._rename()
+        if t.is_kw("EXCHANGE"):
+            return self._exchange()
         if t.is_kw("ALTER"):
             return self._alter()
         if t.is_kw("INSERT"):
@@ -657,6 +660,22 @@ class StatementParser(Parser):
             if not self.accept_op(","):
                 break
         return RenameTable(renames)
+
+    def _exchange(self):
+        """EXCHANGE TABLES|DICTIONARIES a AND b [, c AND d]
+        (reference: ParserRenameQuery.cpp:43-45) — atomic pairwise swap."""
+        self.advance()
+        if not (self.accept_kw("TABLES") or self.accept_kw("DICTIONARIES")):
+            raise ParseError("expected TABLES or DICTIONARIES")
+        pairs = []
+        while True:
+            _, a = self._qualified_name()
+            self.expect_kw("AND")
+            _, b = self._qualified_name()
+            pairs.append((a, b))
+            if not self.accept_op(","):
+                break
+        return RenameTable(pairs, exchange=True)
 
     def _alter(self):
         """ALTER TABLE [db.]t <command> [, <command>]* (public ClickHouse

@@ -635,3 +635,16 @@ def test_finalize_aggregation_on_states(sess):
         "SELECT d, finalizeAggregation(hs) AS h, "
         "finalizeAggregation(es) AS e FROM a3 FINAL").collect()}
     assert rows == {1: (2, 2), 2: (1, 1)}
+
+
+def test_exchange_tables(sess):
+    sess.execute("CREATE TABLE exa (x Int64) ENGINE = Memory")
+    sess.execute("CREATE TABLE exb (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO exa VALUES (1)")
+    sess.execute("INSERT INTO exb VALUES (2), (3)")
+    sess.execute("EXCHANGE TABLES exa AND exb")
+    assert sess.execute("SELECT count() AS n FROM exa").collect()[0].n == 2
+    assert sess.execute("SELECT count() AS n FROM exb").collect()[0].n == 1
+    # swap back (self-inverse)
+    sess.execute("EXCHANGE TABLES exa AND exb")
+    assert sess.execute("SELECT x FROM exa").collect()[0].x == 1

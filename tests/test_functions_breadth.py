@@ -551,3 +551,12 @@ def test_json_paths_group_concat_stable(spark):
     from clickhouse_from_scratch_spark.plans.builder import BuildError
     with _pytest.raises(Exception):
         run("sum(2)(k)")
+
+
+def test_topk_is_frequency_based(spark):
+    t = {"t": spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "c"), (6, "c")],
+        "k int, g string")}
+    r = execute_sql(spark, "SELECT topK(2)(g) AS x FROM t", t).collect()
+    # c appears 3x, a 2x — NOT the first two of the sorted raw list
+    assert list(r[0].x) == ["c", "a"]
