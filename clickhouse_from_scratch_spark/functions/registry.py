@@ -240,9 +240,16 @@ _alias("toInt16", lambda c: _c(c).cast("smallint"))
 _alias("toInt32", lambda c: _c(c).cast("int"))
 _alias("toInt64", lambda c: _c(c).cast("long"))
 # UInt64 → LongType: documented modulo-2^64 fidelity policy (SURVEY §1.2)
-_alias("toUInt8", lambda c: _c(c).cast("smallint"))
-_alias("toUInt16", lambda c: _c(c).cast("int"))
-_alias("toUInt32", lambda c: _c(c).cast("long"))
+def _to_uint(bits: int, out_t: str):
+    """toUIntN: CH wraps modulo 2^N (toUInt8(300) = 44, toUInt8(-1) =
+    255); the unsigned range needs the next-wider signed Spark type."""
+    return lambda c: F.pmod(_c(c).cast("long"),
+                            F.lit(1 << bits)).cast(out_t)
+
+
+_alias("toUInt8", _to_uint(8, "smallint"))
+_alias("toUInt16", _to_uint(16, "int"))
+_alias("toUInt32", _to_uint(32, "long"))
 _alias("toUInt64", lambda c: _c(c).cast("long"))
 _alias("toInt128", lambda c: _c(c).cast("decimal(38,0)"))
 _alias("toInt256", lambda c: _c(c).cast("decimal(38,0)"))

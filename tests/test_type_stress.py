@@ -276,3 +276,13 @@ def test_uint64_and_int128_literals(spark):
                     {}).collect()[0]
     assert r.u64max == -1                 # 0xFFFF..FF as signed long
     assert int(r.big) == 99999999999999999999999999
+
+
+def test_uint_conversion_wraps_modulo(spark):
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+    r = execute_sql(
+        spark, "SELECT toUInt8(300) AS a, toUInt8(-1) AS b, "
+        "toUInt16(70000) AS c, toUInt8('200') AS d FROM t", t).collect()[0]
+    # CH wraps modulo 2^N on out-of-range input
+    assert (r.a, r.b, r.c, r.d) == (44, 255, 4464, 200)
