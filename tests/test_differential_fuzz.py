@@ -65,7 +65,7 @@ CASES = _cases(30)
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    for tbl in ("lineitem", "orders"):
+    for tbl in ("lineitem", "orders", "customer", "nation", "region"):
         con.sql(f"CREATE VIEW {tbl} AS "
                 f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
     return con
@@ -375,12 +375,61 @@ def _array_cases() -> list[tuple[str, str, str]]:
     return out
 
 
+def _rollup_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(606)
+    out = []
+    for i in range(n):
+        mode = rnd.choice(["ROLLUP", "CUBE"])
+        keys = rnd.choice([["l_returnflag", "l_linestatus"],
+                           ["l_linestatus", "(l_linenumber % 2)"]])
+        agg = rnd.choice([
+            "count(*)",
+            "round(CAST(sum(CAST(l_quantity AS DECIMAL(27,4))) "
+            "AS DOUBLE), 3)",
+            "round(CAST(min(l_extendedprice) AS DOUBLE), 3)",
+        ])
+        ks = ", ".join(f"{k} AS k{j}" for j, k in enumerate(keys))
+        kn = ", ".join(k for k in keys)
+        # guaranteed-nonempty predicate: empty-input ROLLUP/CUBE is an
+        # engine-defined edge (DuckDB emits the () row, Spark doesn't)
+        sql = (f"SELECT {ks}, {agg} AS v FROM lineitem "
+               f"WHERE l_orderkey < {rnd.randint(2000, 9000)} "
+               f"GROUP BY {mode}({kn})")
+        out.append((f"rollupfuzz{i:02d}", sql))
+    return out
+
+
+def _subquery_cases(n: int) -> list[tuple[str, str]]:
+    rnd = random.Random(515)
+    out = []
+    for i in range(n):
+        cut = rnd.randint(50_000, 300_000)
+        form = rnd.randrange(3)
+        if form == 0:       # uncorrelated IN
+            sql = (f"SELECT o_orderpriority AS k, count(*) AS v FROM orders "
+                   f"WHERE o_custkey IN (SELECT c_custkey FROM customer "
+                   f"WHERE c_acctbal > {rnd.randint(0, 5000)}) GROUP BY k")
+        elif form == 1:     # correlated EXISTS
+            sql = (f"SELECT c_nationkey AS k, count(*) AS v FROM customer "
+                   f"WHERE EXISTS (SELECT 1 FROM orders "
+                   f"WHERE o_custkey = c_custkey "
+                   f"AND o_totalprice > {cut}) GROUP BY k")
+        else:               # NOT IN subquery
+            sql = (f"SELECT o_orderstatus AS k, count(*) AS v FROM orders "
+                   f"WHERE o_custkey NOT IN (SELECT c_custkey FROM customer "
+                   f"WHERE c_acctbal < {rnd.randint(-900, 0)}) GROUP BY k")
+        out.append((f"subqfuzz{i:02d}", sql))
+    return out
+
+
 SETOP_CASES = _setop_cases(10)
 QNT_CASES = _quantile_cases(8)
 ARR_CASES = _array_cases()
+ROLLUP_CASES = _rollup_cases(8)
+SUBQ_CASES = _subquery_cases(9)
 
 ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
-             + HAV_CASES + SETOP_CASES)
+             + HAV_CASES + SETOP_CASES + ROLLUP_CASES + SUBQ_CASES)
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
