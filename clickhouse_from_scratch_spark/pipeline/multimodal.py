@@ -80,3 +80,66 @@ def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling stand-in: deterministic 1-in-N selection by checksum
     hash (the video analogue of SAMPLE-by-key; pure filter, no shuffle)."""
     return decoded.filter(F.pmod(F.xxhash64("checksum"), F.lit(every_n)) == 0)
+
+
+RESIZED_SCHEMA = ("doc_id long, payload binary, width long, height long")
+
+
+def resize_image_batch(docs_with_payload: DataFrame, width: int = 64,
+                       height: int = 64) -> DataFrame:
+    """Resize via mapInPandas (Arrow-batched, no per-row pickling).
+
+    The pixel resample itself is STUBBED (no PIL in this container): the
+    fake 'resize' deterministically truncates/tiles the payload to
+    width*height bytes, so the batch shape, binary round-trip, and fixed
+    output schema — the parts Spark owns — are real and tested. Swap the
+    body for ``PIL.Image.resize`` in production."""
+    target = int(width) * int(height)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    b = b"\x00"
+                reps = (target + len(b) - 1) // len(b)
+                out.append((b * reps)[:target])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "payload": out,
+                "width": [int(width)] * len(out),
+                "height": [int(height)] * len(out),
+            })
+
+    return docs_with_payload.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def extract_features_batch(docs_with_payload: DataFrame,
+                           dim: int = 16) -> DataFrame:
+    """Feature extraction via mapInPandas: payload bytes → deterministic
+    unit-norm float vector (md5-seeded fake of an image/audio encoder —
+    the real model slots into the same batch loop). The output
+    ``embedding: array<float>`` feeds the similarity/ANN operators
+    directly, so binary → features → near-dup runs end-to-end."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                raw = []
+                i = 0
+                while len(raw) < dim:
+                    d = hashlib.md5(b + i.to_bytes(4, "little")).digest()
+                    raw.extend(x / 255.0 - 0.5 for x in d)
+                    i += 1
+                v = raw[:dim]
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                vecs.append([float(x / n) for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "embedding": vecs})
+
+    return docs_with_payload.mapInPandas(
+        feats, schema="doc_id long, embedding array<float>")

@@ -225,3 +225,31 @@ def test_lsh_near_dup_subset_of_exact_and_verified(spark):
     assert all(r.cos_sim >= thr for r in approx)
     # the parallel pair (identical signature in every band) must be found
     assert (0, 1) in got
+
+
+def test_multimodal_resize_and_features(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.multimodal import (
+        attach_binary_payload, extract_features_batch, resize_image_batch,
+    )
+    from clickhouse_from_scratch_spark.pipeline.similarity import (
+        brute_force_topk,
+    )
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payload = attach_binary_payload(docs)
+    resized = resize_image_batch(payload, width=8, height=4)
+    rows = resized.collect()
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4
+               for r in rows)
+    feats = extract_features_batch(payload, dim=8)
+    frows = feats.collect()
+    assert all(len(r.embedding) == 8 for r in frows)
+    # unit-norm, deterministic
+    import math
+    for r in frows[:5]:
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1) < 1e-5
+    # features feed the ANN/similarity operators end-to-end
+    q = feats.limit(3).withColumnRenamed("doc_id", "query_id")
+    top = brute_force_topk(feats, q, k=2, id_col="doc_id",
+                           vec_col="embedding")
+    assert top.count() == 6
