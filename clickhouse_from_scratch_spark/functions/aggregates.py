@@ -301,61 +301,116 @@ def _retention(*conds) -> Column:
                    *[(head * f).cast("int") for f in firsts[1:]])
 
 
-def _window_funnel(window, ts, *conds) -> Column:
-    """windowFunnel(window)(ts, cond1, …, condK): longest prefix of the
-    condition chain completed in timestamp order with the whole chain
-    inside ``window`` of its cond1 event.
+def _window_funnel(window, *rest) -> Column:
+    """windowFunnel(window[, mode…])(ts, cond1, …, condK): longest prefix
+    of the condition chain completed in timestamp order with the whole
+    chain inside ``window`` of its cond1 event.
+
+    Modes (public CH semantics, doc examples pinned in tests):
+    ``strict_order`` — an event matching NO condition while a chain is
+    active freezes the funnel at the level reached; ``strict_dedup`` —
+    an event repeating the condition currently topping an active chain
+    freezes it; ``strict_increase`` — steps only fire on strictly
+    increasing timestamps.
 
     Greedy fold over the group's time-sorted events: level k's slot
-    holds the chain-start time of some chain that has reached k; a
-    cond_k event promotes level k-1's chain when it is still inside the
-    window; cond1 refreshes the start (latest start = most feasible).
-    One collect + sort per group, no extra shuffle."""
+    holds (chain-start, last-step) times of some chain that reached k; a
+    cond_k event promotes level k-1's chain while inside the window;
+    cond1 refreshes the start (latest start = most feasible). The best
+    level ever reached is tracked so a mode interrupt reports the level
+    before the interrupting event. One collect + sort per group."""
+    modes, i = [], 0
+    while i < len(rest) and isinstance(rest[i], str):
+        modes.append(rest[i].strip("'\"").lower())
+        i += 1
+    ts, *conds = rest[i:]
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_inc = "strict_increase" in modes
     k = len(conds)
     # timestamp→double goes via a timestamp cast so TIMESTAMP_NTZ works;
-    # numeric inputs round-trip seconds unchanged
+    # numeric inputs round-trip seconds unchanged. Equal-timestamp events
+    # order by FIRST MATCHING CONDITION index (CH processes same-ts
+    # events in chain order, so A@t,B@t,C@t completes the funnel).
+    csarr = F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
+    ci = F.coalesce(F.nullif(F.array_position(csarr, 1), F.lit(0)),
+                    F.lit(k + 1))
     ev = F.array_sort(F.collect_list(F.struct(
         _c(ts).cast("timestamp").cast("double").alias("t"),
-        F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
-         .alias("cs"))))
-    init = F.array_repeat(F.lit(None).cast("double"), k)
+        ci.alias("ci"), csarr.alias("cs"))))
+    empty_slot = F.struct(F.lit(None).cast("double").alias("s"),
+                          F.lit(None).cast("double").alias("l"))
+    init = F.struct(F.array_repeat(empty_slot, k).alias("slots"),
+                    F.lit(0).alias("best"), F.lit(False).alias("dead"))
 
-    def step(state: Column, e: Column) -> Column:
-        slots = []
-        for lvl in range(k - 1, 0, -1):
-            prev = F.element_at(state, lvl)
-            fired = (F.element_at(e["cs"], lvl + 1) == 1) \
-                & prev.isNotNull() \
-                & (e["t"] - prev <= F.lit(float(window)))
-            slots.append((lvl + 1,
-                          F.when(fired, prev)
-                          .otherwise(F.element_at(state, lvl + 1))))
-        start1 = F.when(F.element_at(e["cs"], 1) == 1, e["t"]) \
-            .otherwise(F.element_at(state, 1))
-        out = {1: start1, **{i: c for i, c in slots}}
-        return F.array(*[out[i] for i in range(1, k + 1)])
+    def step(st: Column, e: Column) -> Column:
+        def slot(lvl):
+            return F.element_at(st["slots"], lvl)
+        cs = [F.element_at(e["cs"], lvl) == 1 for lvl in range(1, k + 1)]
+        active = [slot(lvl)["s"].isNotNull() for lvl in range(1, k + 1)]
+        any_active = active[0]
+        matches_any = cs[0]
+        for lvl in range(1, k):
+            any_active = any_active | active[lvl]
+            matches_any = matches_any | cs[lvl]
+        kill = F.lit(False)
+        if strict_dedup:
+            for lvl in range(k):
+                kill = kill | (cs[lvl] & active[lvl])
+        if strict_order:
+            kill = kill | (~matches_any & any_active)
+        new = {}
+        for lvl in range(k, 1, -1):
+            prev = slot(lvl - 1)
+            fired = cs[lvl - 1] & prev["s"].isNotNull() \
+                & (e["t"] - prev["s"] <= F.lit(float(window)))
+            if strict_inc:
+                fired = fired & (e["t"] > prev["l"])
+            new[lvl] = F.when(fired, F.struct(prev["s"].alias("s"),
+                                              e["t"].alias("l"))) \
+                        .otherwise(slot(lvl))
+        new[1] = F.when(cs[0], F.struct(e["t"].alias("s"),
+                                        e["t"].alias("l"))) \
+                  .otherwise(slot(1))
+        best = st["best"]
+        for lvl in range(1, k + 1):
+            best = F.greatest(best, F.when(new[lvl]["s"].isNotNull(),
+                                           F.lit(lvl)).otherwise(0))
+        advanced = F.struct(
+            F.array(*[new[lvl] for lvl in range(1, k + 1)]).alias("slots"),
+            best.alias("best"), F.lit(False).alias("dead"))
+        frozen = F.struct(st["slots"].alias("slots"),
+                          st["best"].alias("best"),
+                          F.lit(True).alias("dead"))
+        return F.when(st["dead"] | kill, frozen).otherwise(advanced)
 
-    final = F.aggregate(ev, init, step)
-    reached = F.filter(
-        F.zip_with(final, F.sequence(F.lit(1), F.lit(k)),
-                   lambda s, i: F.when(s.isNotNull(), i).otherwise(0)),
-        lambda x: x > 0)
-    return F.coalesce(F.array_max(reached), F.lit(0)).cast("int")
+    return F.aggregate(ev, init, step)["best"].cast("int")
 
 
-def _parse_seq_pattern(pattern: str) -> list[tuple[int, bool]]:
-    """'(?1).*(?2)(?3)' → [(1, False), (2, False), (3, True)] where the
-    bool means STRICTLY adjacent to the previous step (no '.*' between).
-    Time-constraint steps ``(?t<=N)`` are not supported (documented)."""
+def _parse_seq_pattern(pattern: str) -> list[tuple[int, bool, tuple | None]]:
+    """'(?1)(?t<3)(?2)(?3)' → [(1, False, None), (2, False, ('<', 3)),
+    (3, True, None)]: (condition number, STRICTLY adjacent to previous
+    step, time constraint vs the previous step's match)."""
     import re as _re
     pattern = str(pattern).strip("'\"")
-    steps: list[tuple[int, bool]] = []
-    pos, strict = 0, False
+    steps: list[tuple[int, bool, tuple | None]] = []
+    pos, strict, tcond = 0, False, None
     while pos < len(pattern):
         m = _re.match(r"\(\?(\d+)\)", pattern[pos:])
         if m:
-            steps.append((int(m.group(1)), strict and bool(steps)))
-            strict = True
+            steps.append((int(m.group(1)), strict and bool(steps), tcond))
+            strict, tcond = True, None
+            pos += m.end()
+            continue
+        m = _re.match(r"\(\?t\s*(<=|>=|==|<|>)\s*(\d+)\)", pattern[pos:])
+        if m:
+            # time matcher between steps: constrains the gap to the
+            # previous match, relaxes strict adjacency (like '.*')
+            if not steps:
+                raise ValueError("sequenceMatch: (?t...) cannot lead "
+                                 "the pattern")
+            tcond = (m.group(1), int(m.group(2)))
+            strict = False
             pos += m.end()
             continue
         if pattern[pos:pos + 2] == ".*":
@@ -364,7 +419,8 @@ def _parse_seq_pattern(pattern: str) -> list[tuple[int, bool]]:
             continue
         raise ValueError(
             f"sequenceMatch: unsupported pattern element at {pos} in "
-            f"{pattern!r} (supported: '(?N)' steps and '.*' gaps)")
+            f"{pattern!r} (supported: '(?N)' steps, '(?t<N)' time "
+            f"constraints, '.*' gaps)")
     return steps
 
 
@@ -374,35 +430,49 @@ def _sequence_fold(pattern, ts, conds, count: bool) -> Column:
     many non-overlapping times)? One collect + sort per group, then a
     pointer-advancing fold; strict steps require the very next event."""
     steps = _parse_seq_pattern(pattern)
+    # double timestamps so (?t op N) gaps are arithmetic (CH requires a
+    # numeric/datetime timestamp column); ordering is unchanged
     ev = F.array_sort(F.collect_list(F.struct(
-        _c(ts).alias("t"),          # ordering only — any orderable type
+        _c(ts).cast("timestamp").cast("double").alias("t"),
         F.array(*[F.when(_c(c), 1).otherwise(0) for c in conds])
          .alias("cs"))))
-    init = F.struct(F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"))
+    init = F.struct(F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"),
+                    F.lit(None).cast("double").alias("pt"))
+    _TOPS = {"<": Column.__lt__, "<=": Column.__le__, ">": Column.__gt__,
+             ">=": Column.__ge__, "==": Column.__eq__}
 
-    def advance(i: Column, e: Column) -> tuple[Column, Column]:
-        """One event against the chain from position ``i`` → (next
-        position, did-a-strict-step-mismatch)."""
-        nxt, reset = i, F.lit(False)
-        for idx, (cond_no, strict) in enumerate(steps):
+    def advance(i: Column, pt: Column, e: Column) -> tuple:
+        """One event against the chain from position ``i`` (pt = time of
+        the previous step's match) → (next position, new prev-time,
+        did-a-strict-step-mismatch)."""
+        nxt, npt, reset = i, pt, F.lit(False)
+        for idx, (cond_no, strict, tcond) in enumerate(steps):
             fired = F.element_at(e["cs"], cond_no) == 1
-            nxt = F.when((i == F.lit(idx)) & fired, F.lit(idx + 1)) \
-                   .otherwise(nxt)
+            if tcond is not None:
+                op, val = tcond
+                fired = fired & pt.isNotNull() \
+                    & _TOPS[op](e["t"] - pt, F.lit(float(val)))
+            here = (i == F.lit(idx)) & fired
+            nxt = F.when(here, F.lit(idx + 1)).otherwise(nxt)
+            npt = F.when(here, e["t"]).otherwise(npt)
             if strict:
                 reset = reset | ((i == F.lit(idx)) & ~fired)
-        return nxt, reset
+        return nxt, npt, reset
 
     def step_fn(st: Column, e: Column) -> Column:
-        nxt, reset = advance(st["i"], e)
+        nxt, npt, reset = advance(st["i"], st["pt"], e)
         # a strict-step mismatch breaks the chain, but the SAME event may
         # start a new one (e.g. '(?1)(?2)' over [c1, c1, c2] matches on
         # the second c1) — re-run the event from position 0
-        nxt0, _ = advance(F.lit(0), e)
+        nxt0, npt0, _ = advance(F.lit(0), F.lit(None).cast("double"), e)
         nxt = F.when(reset, nxt0).otherwise(nxt)
+        npt = F.when(reset, npt0).otherwise(npt)
         done = nxt >= len(steps)
         return F.struct(F.when(done, 0).otherwise(nxt).alias("i"),
                         (st["n"] + F.when(done, 1).otherwise(0))
-                        .alias("n"))
+                        .alias("n"),
+                        F.when(done, F.lit(None).cast("double"))
+                         .otherwise(npt).alias("pt"))
 
     final = F.aggregate(ev, init, step_fn)
     if count:

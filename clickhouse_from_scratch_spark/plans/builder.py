@@ -1708,7 +1708,12 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     if name in ("topK", "histogram", "groupArraySample", "groupArrayLast",
                 "topKWeighted", "uniqUpTo", "groupArraySorted") and params:
         return ch(name, int(params[0]), *args)
-    if name in ("exponentialMovingAverage", "windowFunnel") and params:
+    if name == "windowFunnel" and params:
+        # windowFunnel(window[, 'strict_order'|'strict_dedup'|
+        # 'strict_increase'…]) — modes pass through, never dropped
+        return ch(name, float(params[0]),
+                  *[str(p).strip("'\"") for p in params[1:]], *args)
+    if name == "exponentialMovingAverage" and params:
         return ch(name, float(params[0]), *args)
     if name in ("sequenceMatch", "sequenceCount") and params:
         return ch(name, str(params[0]), *args)

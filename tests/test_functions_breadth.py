@@ -560,3 +560,38 @@ def test_topk_is_frequency_based(spark):
     r = execute_sql(spark, "SELECT topK(2)(g) AS x FROM t", t).collect()
     # c appears 3x, a 2x — NOT the first two of the sorted raw list
     assert list(r[0].x) == ["c", "a"]
+
+
+def test_window_funnel_modes(spark):
+    """CH doc examples: strict_order stops at an intervening D,
+    strict_dedup stops at a repeated A, strict_increase refuses
+    equal-timestamp steps; same-ts A,B,C completes in chain order."""
+    t = {"ev": spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "B"), (1, 3, "D"), (1, 4, "C"),
+         (2, 1, "A"), (2, 2, "B"), (2, 3, "A"), (2, 4, "C"),
+         (3, 1, "A"), (3, 2, "B"), (3, 2, "C")],
+        "uid int, ts long, e string")}
+
+    def run(mode=""):
+        m = f", '{mode}'" if mode else ""
+        q = (f"SELECT uid, windowFunnel(10{m})(ts, e = 'A', e = 'B', "
+             "e = 'C') AS lvl FROM ev GROUP BY uid ORDER BY uid")
+        return {r.uid: r.lvl for r in execute_sql(spark, q, t).collect()}
+    assert run() == {1: 3, 2: 3, 3: 3}
+    assert run("strict_order") == {1: 2, 2: 3, 3: 3}
+    assert run("strict_dedup") == {1: 3, 2: 2, 3: 3}
+    assert run("strict_increase") == {1: 3, 2: 3, 3: 2}
+
+
+def test_sequence_match_time_constraints(spark):
+    t = {"ev": spark.createDataFrame(
+        [(1, 10, "a"), (1, 12, "b"), (2, 10, "a"), (2, 20, "b")],
+        "uid int, ts long, e string")}
+
+    def run(pat):
+        q = (f"SELECT uid, sequenceMatch('{pat}')(ts, e = 'a', e = 'b') "
+             "AS m FROM ev GROUP BY uid ORDER BY uid")
+        return [r.m for r in execute_sql(spark, q, t).collect()]
+    assert run("(?1)(?t<3)(?2)") == [1, 0]      # gap 2 passes, 10 fails
+    assert run("(?1)(?t>5)(?2)") == [0, 1]
+    assert run("(?1)(?t<=10)(?2)") == [1, 1]
