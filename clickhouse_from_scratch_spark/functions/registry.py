@@ -459,6 +459,19 @@ _alias("range", _ch_range)
 _alias("emptyArrayInt64", lambda: F.array().cast("array<long>"))
 _alias("emptyArrayString", lambda: F.array().cast("array<string>"))
 _alias("arrayReduce", lambda name, a: {"sum": REGISTRY["arraySum"], "min": F.array_min, "max": F.array_max}[name](a))
+_alias("arrayProduct", lambda a: F.aggregate(
+    _c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double")))
+# occurrence index among equal values seen so far (1-based)
+_alias("arrayEnumerateUniq", lambda a: F.transform(
+    _c(a), lambda x, i: F.size(F.filter(
+        F.slice(_c(a), 1, i + 1), lambda y: y == x))))
+# contiguous-subsequence containment ([1,2,3,4] hasSubstr [2,3])
+_alias("hasSubstr", lambda a, b: F.when(
+    F.size(_c(b)) == 0, F.lit(True)).otherwise(
+    F.exists(F.sequence(F.lit(1),
+                        F.greatest(F.size(_c(a)) - F.size(_c(b)) + 1,
+                                   F.lit(0))),
+             lambda i: F.slice(_c(a), i, F.size(_c(b))) == _c(b))))
 
 # --- tuples / maps --------------------------------------------------------
 _alias("tuple", lambda *cs: F.struct(*[_c(c).alias(f"_{i+1}")

@@ -40,7 +40,8 @@ from .ast_nodes import (
 )
 
 _AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
-    "count", "countIf", "countDistinct", "sumMap", "minMap", "maxMap"}
+    "count", "countIf", "countDistinct", "sumMap", "minMap", "maxMap",
+    "grouping", "GROUPING"}
 
 
 def _is_agg_name(name: str) -> bool:
@@ -1514,6 +1515,7 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
         key_slots[_ast_key(kinl)] = kname
         key_cols.append(_eval(kinl, ctx, df).alias(kname))
     pre = df.select("*", *key_cols) if key_cols else df
+    ctx.key_slots = key_slots          # visible to grouping() lowering
 
     # 2. collect aggregate sub-expressions from SELECT + HAVING + ORDER BY
     agg_slots: dict[str, Column] = {}
@@ -1650,6 +1652,20 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     """Lower one aggregate call: -If/-Distinct combinators, FILTER(WHERE),
     parametric form."""
     name = node.name
+    if name in ("grouping", "GROUPING"):
+        # grouping(expr): 1 on subtotal rows where expr is aggregated
+        # away (standard SQL / Spark semantics); the argument must match
+        # a GROUP BY key, resolved through its __k* slot
+        ks = ctx.key_slots or {}
+        slots = []
+        for a in node.args:
+            slot = ks.get(_ast_key(a)) or ks.get(_ast_key(_inline(a, ctx)))
+            if slot is None:
+                raise BuildError("grouping() argument must be a GROUP BY "
+                                 "expression")
+            slots.append(F.col(slot))
+        return (F.grouping(slots[0]) if len(slots) == 1
+                else F.grouping_id(*slots)).cast("long")
     if name == "count" and any(isinstance(a, Star) for a in node.args):
         node = FuncCall("count", [], node.params, node.distinct,
                         node.filter_where)
@@ -2548,6 +2564,44 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
         fn = lambda a, b, c: _body(a, b, c)        # noqa: E731
 
     name = node.name
+    if name in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll",
+                "arrayCount") and len(arrays) > 1:
+        # multi-array form: the lambda runs over POSITION-ALIGNED
+        # elements of every array (CH semantics). Spark's transform
+        # would silently feed the element INDEX as the second lambda
+        # argument — never fall through to that.
+        if len(lam.params) != len(arrays):
+            raise BuildError(
+                f"{name}: lambda takes {len(lam.params)} args but "
+                f"{len(arrays)} arrays were passed")
+
+        def mapped(f):
+            if len(arrays) == 2:
+                return F.zip_with(arrays[0], arrays[1], f)
+            if len(arrays) == 3:
+                p = F.zip_with(arrays[0], arrays[1],
+                               lambda x, y: F.struct(x.alias("a"),
+                                                     y.alias("b")))
+                return F.zip_with(p, arrays[2],
+                                  lambda s, z: f(s["a"], s["b"], z))
+            raise BuildError(f"{name}: at most 3 arrays supported")
+
+        if name == "arrayMap":
+            return mapped(fn)
+        mask = mapped(fn)
+        if name == "arrayExists":
+            return F.exists(mask, lambda m: m)
+        if name == "arrayAll":
+            return F.forall(mask, lambda m: m)
+        if name == "arrayCount":
+            return F.size(F.filter(mask, lambda m: m))
+        # arrayFilter: keep FIRST array's elements where the mask holds
+        # (null-safe: genuine NULL elements survive)
+        kept = F.zip_with(arrays[0], mask,
+                          lambda v, m: F.struct(v.alias("v"),
+                                                m.alias("k")))
+        return F.transform(F.filter(kept, lambda s: s["k"]),
+                           lambda s: s["v"])
     if name in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll",
                 "arrayCount"):
         target = {"arrayMap": F.transform, "arrayFilter": F.filter,

@@ -595,3 +595,43 @@ def test_sequence_match_time_constraints(spark):
     assert run("(?1)(?t<3)(?2)") == [1, 0]      # gap 2 passes, 10 fails
     assert run("(?1)(?t>5)(?2)") == [0, 1]
     assert run("(?1)(?t<=10)(?2)") == [1, 1]
+
+
+def test_multi_array_hofs_zip_aligned(spark):
+    """arrayMap/arrayFilter over N arrays run the lambda on
+    POSITION-ALIGNED elements (Spark's transform would silently feed the
+    element index as the second argument)."""
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    assert list(run("arrayMap((x, y) -> x + y, [1,2], [10,20])")) == [11, 22]
+    assert list(run("arrayMap((x, y, z) -> x + y + z, [1,2], [10,20], "
+                    "[100,200])")) == [111, 222]
+    assert list(run("arrayFilter((x, y) -> y > 0, [5,6,7], [1,0,1])")) \
+        == [5, 7]
+    assert run("arrayExists((x, y) -> x = y, [1,2], [9,2])") is True
+    assert run("arrayAll((x, y) -> x < y, [1,2], [9,9])") is True
+    assert run("arrayCount((x, y) -> x = y, [1,2,3], [1,9,3])") == 2
+
+
+def test_grouping_function_and_array_tail(spark):
+    t = {"t": spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)],
+        "g string, h string, v int")}
+    rows = execute_sql(
+        spark, "SELECT g, h, grouping(g) AS gg, grouping(h) AS gh, "
+        "sum(v) AS s FROM t GROUP BY ROLLUP(g, h) ORDER BY g, h",
+        t).collect()
+    assert (rows[0].g, rows[0].gg, rows[0].gh, rows[0].s) == (None, 1, 1, 6)
+    assert (rows[1].g, rows[1].gg, rows[1].gh) == ("a", 0, 1)
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t LIMIT 1",
+                           t).collect()[0].x
+    assert list(run("arrayEnumerateUniq([10,20,10,30,10])")) \
+        == [1, 1, 2, 1, 3]
+    assert run("hasSubstr([1,2,3,4],[2,3])") is True
+    assert run("hasSubstr([1,2,3],[3,2])") is False
+    assert run("arrayProduct([2,3,4])") == 24.0
