@@ -339,7 +339,27 @@ _alias("fromUnixTimestamp", lambda c: F.from_unixtime(_c(c)).cast("timestamp"))
 _alias("toStartOfYear", lambda c: F.date_trunc("year", _c(c)).cast("date"))
 _alias("toStartOfQuarter", lambda c: F.date_trunc("quarter", _c(c)).cast("date"))
 _alias("toStartOfMonth", lambda c: F.date_trunc("month", _c(c)).cast("date"))
-_alias("toStartOfWeek", lambda c: F.date_trunc("week", _c(c)).cast("date"))
+def _to_start_of_week(c, mode=0) -> Column:
+    """toStartOfWeek(d[, mode]): CH mode 0 (default) = Sunday-first,
+    odd modes = Monday-first (public CH week-mode table)."""
+    c = _c(c)
+    if isinstance(mode, Column):
+        mode_odd = F.pmod(mode.cast("int"), 2) == 1
+        monday = F.date_trunc("week", c).cast("date")
+        sunday = F.date_sub(c.cast("date"), F.dayofweek(c) - 1)
+        return F.when(mode_odd, monday).otherwise(sunday)
+    if int(mode) % 2 == 1:
+        return F.date_trunc("week", c).cast("date")
+    return F.date_sub(c.cast("date"), F.dayofweek(c) - 1)
+
+
+_alias("toStartOfWeek", _to_start_of_week)
+_alias("timeSlots", lambda start, dur, size=1800: F.transform(
+    F.sequence(F.lit(0),
+               F.floor(_c(dur).cast("double") / _c(size)).cast("int")),
+    lambda i: F.timestamp_seconds(
+        F.floor(F.unix_timestamp(_c(start)) / _c(size)).cast("long")
+        * _c(size) + i.cast("long") * _c(size))))
 _alias("toStartOfDay", lambda c: F.date_trunc("day", _c(c)))
 _alias("toStartOfHour", lambda c: F.date_trunc("hour", _c(c)))
 _alias("toStartOfMinute", lambda c: F.date_trunc("minute", _c(c)))

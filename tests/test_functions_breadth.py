@@ -635,3 +635,19 @@ def test_grouping_function_and_array_tail(spark):
     assert run("hasSubstr([1,2,3,4],[2,3])") is True
     assert run("hasSubstr([1,2,3],[3,2])") is False
     assert run("arrayProduct([2,3,4])") == 24.0
+
+
+def test_to_start_of_week_modes_and_time_slots(spark):
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+
+    def run(e):
+        return str(execute_sql(spark, f"SELECT {e} AS x FROM t",
+                               t).collect()[0].x)
+    # 2024-03-15 is a Friday: CH mode 0 (default) = Sunday-first
+    assert run("toStartOfWeek(toDate('2024-03-15'))") == "2024-03-10"
+    assert run("toStartOfWeek(toDate('2024-03-15'), 1)") == "2024-03-11"
+    assert run("toStartOfWeek(toDate('2024-03-10'))") == "2024-03-10"
+    assert run("arrayStringConcat(arrayMap(x -> toString(x), "
+               "timeSlots(toDateTime('2024-03-15 14:10:00'), "
+               "toUInt32(3600), 1800)), ',')") == \
+        ("2024-03-15 14:00:00,2024-03-15 14:30:00,2024-03-15 15:00:00")
