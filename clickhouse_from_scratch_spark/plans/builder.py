@@ -72,6 +72,49 @@ class BuildError(ValueError):
     pass
 
 
+class QueryLimitExceeded(BuildError):
+    """A max_rows_* resource limit was exceeded with overflow mode
+    'throw' (CH error TOO_MANY_ROWS; knobs at
+    /root/reference/src/Core/Settings.h:280,288-289,299,345)."""
+
+
+def _limit_setting(ctx: "Context", key: str) -> int | None:
+    """Numeric limit knob; CH treats 0 (the default) as unlimited."""
+    v = ctx.settings.get(key)
+    if v is None:
+        return None
+    n = int(str(v).strip("'\""))
+    return n if n > 0 else None
+
+
+def _overflow_mode(ctx: "Context", key: str,
+                   allowed: tuple = ("throw", "break")) -> str:
+    """Overflow-mode knob paired with a max_rows_* limit. Unsupported
+    modes (e.g. group_by_overflow_mode='any', which keeps aggregating
+    only already-seen keys — not expressible without a custom Spark
+    aggregation mode) raise instead of silently degrading."""
+    m = str(ctx.settings.get(key, "throw")).strip("'\"").lower()
+    if m not in allowed:
+        raise BuildError(
+            f"{key}={m!r} is not supported (supported: {allowed})")
+    return m
+
+
+def _enforce_row_cap(df: DataFrame, cap: int, mode: str,
+                     what: str) -> DataFrame:
+    """Apply a row-count resource limit. 'break' truncates (CH returns a
+    partial result); 'throw' runs ONE bounded job — limit(cap+1) is a
+    CollectLimit that short-circuits the scan, so the check costs O(cap)
+    rows, not a full pass."""
+    if mode == "break":
+        return df.limit(cap)
+    if df.limit(cap + 1).count() > cap:
+        raise QueryLimitExceeded(
+            f"{what}: more than {cap} rows (TOO_MANY_ROWS; set the "
+            f"overflow mode to 'break' for a truncated partial result)")
+    return df
+
+
 @dataclass
 class Context:
     spark: SparkSession
@@ -95,6 +138,12 @@ class Context:
     ch_types: dict[str, str] = field(default_factory=dict)
     # SQL lambda UDFs: name → Lambda AST (CREATE FUNCTION)
     udfs: dict[str, object] = field(default_factory=dict)
+    # max_rows_to_read meter, shared across the whole query tree:
+    # {"rows": cumulative rows read, "cache": id(df) → row count} — the
+    # cache keeps repeated scans of the same registered table to one
+    # counting job (only active when the knob is set)
+    read_meter: dict = field(default_factory=lambda: {"rows": 0,
+                                                      "cache": {}})
     # CREATE DICTIONARY lookups: name → provider with .maps()/.key_type/
     # .attr_ch_type()/.attr_default() (duck-typed; lives in ddl.DictMeta)
     dictionaries: dict[str, object] = field(default_factory=dict)
@@ -103,7 +152,8 @@ class Context:
         return Context(self.spark, dict(self.tables), dict(self.aliases),
                        engines=self.engines, params=self.params,
                        settings=self.settings, udfs=self.udfs,
-                       dictionaries=self.dictionaries)
+                       dictionaries=self.dictionaries,
+                       read_meter=self.read_meter)
 
 
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
@@ -116,7 +166,21 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
     ctx = Context(spark, dict(tables), engines=engines or {},
                   params=params or {}, settings=settings or {},
                   udfs=udfs or {}, dictionaries=dictionaries or {})
-    return _build_query(q, ctx)
+    out = _build_query(q, ctx)
+    # max_result_rows (Settings.h:299) applies to the final result only;
+    # a trailing SETTINGS suffix parses onto the (last) SELECT, so merge
+    # it before reading the knob
+    qset = getattr(q, "settings", None) or (
+        getattr(q.selects[-1], "settings", None)
+        if isinstance(q, UnionQuery) else None)
+    if qset:
+        ctx.settings = {**ctx.settings, **qset}
+    cap = _limit_setting(ctx, "max_result_rows")
+    if cap is not None:
+        out = _enforce_row_cap(
+            out, cap, _overflow_mode(ctx, "result_overflow_mode"),
+            "max_result_rows")
+    return out
 
 
 def _build_query(q, ctx: Context) -> DataFrame:
@@ -252,6 +316,11 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             df = df.select(*[_name_col(n) for n in final_names])
             final_names = None
         df = df.distinct()
+        cap = _limit_setting(ctx, "max_rows_in_distinct")
+        if cap is not None:            # Settings.h:345
+            df = _enforce_row_cap(
+                df, cap, _overflow_mode(ctx, "distinct_overflow_mode"),
+                "max_rows_in_distinct")
 
     order_cols = [_order_col(df, it, ctx) for it in q.order_by]
     fill_items = [it for it in q.order_by if it.with_fill]
@@ -487,6 +556,9 @@ def _build_from(node, ctx: Context) -> DataFrame:
                 ctx.ch_types[cname] = ""
             else:
                 ctx.ch_types[cname] = ctype
+        cap = _limit_setting(ctx, "max_rows_to_read")
+        if cap is not None:
+            df = _meter_scan(df, cap, ctx, name)
         if node.final:
             meta = ctx.engines.get(rkey)
             if not meta or "order_by" not in meta:
@@ -520,6 +592,35 @@ def _build_from(node, ctx: Context) -> DataFrame:
     if isinstance(node, Join):
         return _build_join(node, ctx)
     raise BuildError(f"unsupported FROM node: {type(node).__name__}")
+
+
+def _meter_scan(df: DataFrame, cap: int, ctx: Context,
+                name: str) -> DataFrame:
+    """max_rows_to_read (Settings.h:280): meter every named-table scan
+    against a query-wide row budget. CH counts rows read from storage
+    after index pruning but before WHERE; the closest honest Spark
+    analogue is the base table's row count (parquet footer metadata —
+    the counting job reads no data pages). 'throw' raises once the
+    cumulative budget is blown; 'break' truncates each scan to the
+    remaining budget (CH stops reading — same partial-result shape)."""
+    mode = _overflow_mode(ctx, "read_overflow_mode")
+    meter = ctx.read_meter
+    if mode == "break":
+        remaining = cap - meter["rows"]
+        if remaining <= 0:
+            return df.limit(0)
+        df = df.limit(remaining)
+        n = meter["cache"].setdefault(("break", id(df)), df.count())
+        meter["rows"] += n
+        return df
+    n = meter["cache"].setdefault(id(df), df.count())
+    meter["rows"] += n
+    if meter["rows"] > cap:
+        raise QueryLimitExceeded(
+            f"max_rows_to_read: scanning {name} brings the rows read to "
+            f"{meter['rows']} > {cap} (TOO_MANY_ROWS; use "
+            f"read_overflow_mode='break' for a truncated scan)")
+    return df
 
 
 def _numbers_where_bound(pred) -> int | None:
@@ -1587,6 +1688,18 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                    .select(*knames, *agg_slots, "__gid"))
         else:
             out = gsets.agg(*agg_cols).select(*knames, *agg_slots)
+
+    cap = _limit_setting(ctx, "max_rows_to_group_by")
+    if cap is not None:
+        # Settings.h:288-289 — limit on distinct group keys, checked on
+        # the aggregated frame before HAVING (CH checks during
+        # aggregation; the group count is identical). With ROLLUP/CUBE/
+        # TOTALS the subtotal rows count toward the cap (each is a key
+        # of the expanded grouping-set aggregation). 'any' mode raises
+        # in _overflow_mode — not silently approximated.
+        out = _enforce_row_cap(
+            out, cap, _overflow_mode(ctx, "group_by_overflow_mode"),
+            "max_rows_to_group_by")
 
     # 3. evaluate outer SELECT expressions over the aggregated frame
     ctx.key_slots = key_slots          # ast-repr → __k* column
