@@ -34,7 +34,7 @@ from .plans.builder import build
 from .plans.statements import (
     AlterStmt, BackupStmt, CheckStmt, CreateDatabase, CreateDictionary,
     CreateLiveView, CreateTable,
-    CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt,
+    CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt, ExternalDDL,
     ExplainStmt, InsertStmt, KillStmt, OptimizeStmt, OutputClause,
     RenameTable, SetStmt, ShowStmt, SystemStmt, TruncateStmt, UseStmt,
     WatchStmt, parse_statement,
@@ -132,7 +132,11 @@ class ChSession:
             return build(self.spark, node, self._tables(), self._engines(),
                          params=params, settings=self.settings,
                          udfs=self.udfs, dictionaries=self.dictionaries)
+        return self._dispatch_node(node)
+
+    def _dispatch_node(self, node):
         handler = {
+            ExternalDDL: self._external_ddl,
             CreateDictionary: self._create_dictionary,
             CreateFunction: self._create_function,
             CreateLiveView: self._create_live_view,
@@ -159,6 +163,22 @@ class ChSession:
             CheckStmt: self._check,
         }[type(node)]
         return handler(node)
+
+    def _external_ddl(self, node: ExternalDDL):
+        """Replay a MySQL-side DDL statement against our catalog
+        (ParserExternalDDLQuery.cpp:26-55). The MySQL source database
+        (second MySQL(...) argument) is the target database when the
+        inner statement has no explicit qualifier and that database
+        exists here — mirroring how MaterializeMySQL maps one MySQL db
+        onto one CH db."""
+        inner = node.inner
+        src_db = (str(node.source_args[1])
+                  if len(node.source_args) > 1 else None)
+        if src_db in self.databases \
+                and getattr(inner, "database", None) is None \
+                and hasattr(inner, "database"):
+            inner.database = src_db
+        return self._dispatch_node(inner)
 
     def register_external(self, name: str, df: DataFrame,
                           order_by: list[str] | None = None,

@@ -178,6 +178,19 @@ class RenameTable(Node):
 
 
 @dataclass
+class ExternalDDL(Node):
+    """EXTERNAL DDL FROM MySQL('host:port','db','t','user','pw') <ddl>
+    (ParserExternalDDLQuery.cpp:26-55) — replay a MySQL-side DDL
+    statement against our catalog. The reference wires CH DROP/RENAME
+    parsers after the prefix (its MySQL CREATE/ALTER sub-parsers are
+    compiled out via USE_MYSQL); we additionally translate MySQL-dialect
+    CREATE TABLE through the public MaterializeMySQL type mapping."""
+    source: str                    # e.g. "MySQL"
+    source_args: list[object]
+    inner: Node
+
+
+@dataclass
 class InsertStmt(Node):
     database: str | None
     table: str
@@ -266,6 +279,42 @@ class TruncateStmt(Node):
 class CheckStmt(Node):
     database: str | None
     table: str
+
+
+_MYSQL_INT = {"TINYINT": ("Int8", "UInt8"), "SMALLINT": ("Int16", "UInt16"),
+              "MEDIUMINT": ("Int32", "UInt32"), "INT": ("Int32", "UInt32"),
+              "INTEGER": ("Int32", "UInt32"), "BIGINT": ("Int64", "UInt64")}
+
+
+def _mysql_type_to_ch(base: str, args: list[str], unsigned: bool) -> str:
+    """MySQL column type → ClickHouse type (public MaterializeMySQL
+    conversion table). String-ish, blob-ish, enum/set/json/time all land
+    on String; DECIMAL keeps precision/scale; DATETIME/TIMESTAMP keep
+    sub-second precision via DateTime64(p)."""
+    b = base.upper()
+    if b in _MYSQL_INT:
+        return _MYSQL_INT[b][1 if unsigned else 0]
+    if b in ("BOOL", "BOOLEAN"):
+        return "Int8"
+    if b == "BIT":
+        return "UInt64"
+    if b == "FLOAT":
+        return "Float32"
+    if b in ("DOUBLE", "REAL"):
+        return "Float64"
+    if b in ("DECIMAL", "NUMERIC", "DEC", "FIXED"):
+        p = args[0] if args else "10"
+        s = args[1] if len(args) > 1 else "0"
+        return f"Decimal({p}, {s})"
+    if b == "DATE":
+        return "Date"
+    if b in ("DATETIME", "TIMESTAMP"):
+        if args and args[0] not in ("0", ""):
+            return f"DateTime64({args[0]})"
+        return "DateTime"
+    if b == "YEAR":
+        return "UInt16"
+    return "String"
 
 
 def parse_statement(sql: str) -> Node:
@@ -357,6 +406,8 @@ class StatementParser(Parser):
             self.accept_kw("SYNC") or self.accept_kw("ASYNC") \
                 or self.accept_kw("TEST")
             return KillStmt(" ".join(parts))
+        if t.is_kw("EXTERNAL"):
+            return self._external_ddl()
         if t.is_kw("BACKUP", "RESTORE"):
             kind = self.advance().text.upper()
             self.expect_kw("TABLE")
@@ -390,6 +441,153 @@ class StatementParser(Parser):
         return None, a
 
     # --- CREATE ----------------------------------------------------------
+
+    def _external_ddl(self) -> ExternalDDL:
+        """EXTERNAL DDL FROM MySQL(...) <create|drop|rename|truncate>."""
+        self.advance()                       # EXTERNAL
+        self.expect_kw("DDL")
+        self.expect_kw("FROM")
+        source = self.advance().text
+        args: list[object] = []
+        self.expect_op("(")
+        while not self.tok.is_op(")"):
+            args.append(self.advance().text)
+            self.accept_op(",")
+        self.expect_op(")")
+        if source.lower() != "mysql":
+            raise ParseError(f"EXTERNAL DDL source {source!r} is not "
+                             f"supported (only MySQL)")
+        t = self.tok
+        if t.is_kw("CREATE"):
+            inner: Node = self._mysql_create()
+        elif t.is_kw("DROP", "DETACH"):
+            inner = self._drop()
+        elif t.is_kw("RENAME"):
+            inner = self._rename()
+        elif t.is_kw("TRUNCATE"):
+            self.advance()
+            self.accept_kw("TABLE")
+            db, name = self._qualified_name()
+            inner = TruncateStmt(db, name)
+        else:
+            raise ParseError(
+                f"EXTERNAL DDL: cannot parse MySQL query starting at "
+                f"{t.text!r} (expected CREATE/DROP/RENAME/TRUNCATE)")
+        return ExternalDDL(source, args, inner)
+
+    def _mysql_create(self) -> CreateTable:
+        """MySQL-dialect CREATE TABLE → CreateTable with CH column types
+        (public MaterializeMySQL mapping: nullable-by-default columns
+        become Nullable(T), PRIMARY KEY becomes the ORDER BY key, engine
+        is ReplacingMergeTree)."""
+        self.advance()                       # CREATE
+        temporary = bool(self.accept_kw("TEMPORARY"))
+        self.expect_kw("TABLE")
+        if_not_exists = False
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
+        db, name = self._qualified_name()
+        self.expect_op("(")
+        cols: list[ColumnDef] = []
+        not_null: set[str] = set()
+        pk: list[str] = []
+        while True:
+            t = self.tok
+            if t.is_kw("PRIMARY"):
+                self.advance()
+                self.expect_kw("KEY")
+                self.expect_op("(")
+                while not self.tok.is_op(")"):
+                    pk.append(self.advance().text)
+                    # index prefix length `col(10)` / ASC|DESC — skip
+                    if self.accept_op("("):
+                        self.advance()
+                        self.expect_op(")")
+                    self.accept_kw("ASC") or self.accept_kw("DESC")
+                    self.accept_op(",")
+                self.expect_op(")")
+            elif t.is_kw("KEY", "INDEX", "UNIQUE", "FULLTEXT", "SPATIAL",
+                         "CONSTRAINT", "CHECK", "FOREIGN"):
+                self._skip_to_comma_or_close()
+            else:
+                cd, nn = self._mysql_column()
+                cols.append(cd)
+                if nn:
+                    not_null.add(cd.name)
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        # inline PRIMARY KEY marker recorded via not_null + _inline_pk
+        pk = pk or getattr(self, "_mysql_inline_pk", [])
+        self._mysql_inline_pk = []
+        # table options (ENGINE=InnoDB, AUTO_INCREMENT=…, CHARSET…) end
+        # the statement — recorded nowhere, the MySQL engine name has no
+        # meaning on our side
+        while self.tok.kind != T.EOF and not self.tok.is_op(";"):
+            self.advance()
+        for cd in cols:
+            if cd.name not in not_null and cd.name not in pk \
+                    and not cd.type_name.startswith("Nullable("):
+                cd.type_name = f"Nullable({cd.type_name})"
+        return CreateTable(db, name, cols, engine="ReplacingMergeTree",
+                           order_by=list(pk) or [cols[0].name],
+                           primary_key=list(pk), temporary=temporary,
+                           if_not_exists=if_not_exists)
+
+    def _mysql_column(self) -> tuple[ColumnDef, bool]:
+        """One MySQL column definition; returns (def, is_not_null)."""
+        name = self.advance().text
+        base = self.advance().text
+        targs: list[str] = []
+        if self.accept_op("("):
+            while not self.tok.is_op(")"):
+                targs.append(self.advance().text)
+                self.accept_op(",")
+            self.expect_op(")")
+        unsigned = bool(self.accept_kw("UNSIGNED"))
+        self.accept_kw("ZEROFILL")
+        if self.accept_kw("CHARACTER"):
+            self.expect_kw("SET")
+            self.advance()
+        if self.accept_kw("COLLATE"):
+            self.advance()
+        cd = ColumnDef(name, _mysql_type_to_ch(base, targs, unsigned))
+        nn = False
+        while True:
+            if self.accept_kws("NOT", "NULL"):
+                nn = True
+            elif self.accept_kw("NULL"):
+                pass
+            elif self.accept_kw("DEFAULT"):
+                if self.tok.is_kw("CURRENT_TIMESTAMP", "NOW"):
+                    self.advance()
+                    if self.accept_op("("):
+                        while not self.accept_op(")"):
+                            self.advance()
+                else:
+                    self._expr()
+            elif self.accept_kw("ON"):
+                self.expect_kw("UPDATE")
+                self.advance()                      # CURRENT_TIMESTAMP
+                if self.accept_op("("):
+                    while not self.accept_op(")"):
+                        self.advance()
+            elif self.accept_kw("AUTO_INCREMENT"):
+                nn = True
+            elif self.accept_kw("PRIMARY"):
+                self.expect_kw("KEY")
+                nn = True
+                self._mysql_inline_pk = getattr(
+                    self, "_mysql_inline_pk", []) + [name]
+            elif self.accept_kw("UNIQUE"):
+                self.accept_kw("KEY")
+            elif self.accept_kw("COMMENT"):
+                cd.comment = self.advance().text
+            else:
+                break
+        return cd, nn
 
     def _create(self):
         self.advance()                       # CREATE/ATTACH

@@ -648,3 +648,80 @@ def test_exchange_tables(sess):
     # swap back (self-inverse)
     sess.execute("EXCHANGE TABLES exa AND exb")
     assert sess.execute("SELECT x FROM exa").collect()[0].x == 1
+
+
+# --- EXTERNAL DDL FROM MySQL (ParserExternalDDLQuery.cpp:26-55) -------------
+
+MYSQL_CREATE = """
+EXTERNAL DDL FROM MySQL('127.0.0.1:3306', 'shop', 'orders', 'u', 'p')
+CREATE TABLE `orders` (
+  `id` BIGINT UNSIGNED NOT NULL AUTO_INCREMENT,
+  `customer` VARCHAR(64) NOT NULL DEFAULT '',
+  `qty` INT,
+  `price` DECIMAL(12, 2) NOT NULL,
+  `flag` TINYINT UNSIGNED,
+  `note` TEXT,
+  `created` DATETIME(3) DEFAULT CURRENT_TIMESTAMP(3),
+  `updated` TIMESTAMP NULL DEFAULT NULL ON UPDATE CURRENT_TIMESTAMP,
+  PRIMARY KEY (`id`),
+  KEY `idx_customer` (`customer`),
+  UNIQUE KEY `uq` (`customer`, `created`)
+) ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8mb4 COMMENT='orders'
+"""
+
+
+def test_external_ddl_mysql_create(sess):
+    sess.execute(MYSQL_CREATE)
+    cols = {r.name: r.type for r in sess.execute(
+        "SELECT name, type FROM system.columns WHERE table = 'orders'"
+    ).collect()}
+    # MaterializeMySQL type mapping: UNSIGNED ints widen family, NULLable
+    # columns (MySQL default) wrap in Nullable, DATETIME(3) keeps ms
+    assert cols["id"] == "UInt64"
+    assert cols["customer"] == "String"
+    assert cols["qty"] == "Nullable(Int32)"
+    assert cols["price"] == "Decimal(12, 2)"
+    assert cols["flag"] == "Nullable(UInt8)"
+    assert cols["note"] == "Nullable(String)"
+    assert cols["created"] == "Nullable(DateTime64(3))"
+    assert cols["updated"] == "Nullable(DateTime)"
+    meta = sess.execute("SELECT engine, sorting_key FROM system.tables "
+                        "WHERE name = 'orders'").collect()[0]
+    assert meta.engine == "ReplacingMergeTree"
+    assert meta.sorting_key == "id"
+    sess.execute("INSERT INTO orders (id, customer, price) "
+                 "VALUES (1, 'acme', 9.5)")
+    assert sess.execute("SELECT count() AS c FROM orders").collect()[0].c == 1
+
+
+def test_external_ddl_mysql_drop_and_truncate(sess):
+    sess.execute(MYSQL_CREATE)
+    sess.execute("INSERT INTO orders (id, customer, price) "
+                 "VALUES (1, 'acme', 9.5)")
+    sess.execute("EXTERNAL DDL FROM MySQL('h:3306','shop','orders','u','p') "
+                 "TRUNCATE TABLE orders")
+    assert sess.execute("SELECT count() AS c FROM orders").collect()[0].c == 0
+    sess.execute("EXTERNAL DDL FROM MySQL('h:3306','shop','orders','u','p') "
+                 "DROP TABLE orders")
+    assert sess.execute("EXISTS TABLE orders").collect()[0][0] == 0
+
+
+def test_external_ddl_mysql_rename(sess):
+    sess.execute(MYSQL_CREATE)
+    sess.execute("EXTERNAL DDL FROM MySQL('h:3306','shop','orders','u','p') "
+                 "RENAME TABLE orders TO orders2")
+    assert sess.execute("EXISTS TABLE orders2").collect()[0][0] == 1
+
+
+def test_external_ddl_targets_source_database(sess):
+    sess.execute("CREATE DATABASE shop")
+    sess.execute(MYSQL_CREATE)
+    # with a catalog db matching the MySQL source db, the replayed DDL
+    # lands there, not in the current database
+    assert sess.execute("EXISTS TABLE shop.orders").collect()[0][0] == 1
+
+
+def test_external_ddl_unknown_source_raises(sess):
+    with pytest.raises(Exception, match="not supported"):
+        sess.execute("EXTERNAL DDL FROM Postgres('h','d','t','u','p') "
+                     "DROP TABLE x")
