@@ -399,3 +399,68 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
     losers = comps.filter(F.col("id") != F.col("comp")) \
                   .select(F.col("id").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+# --- cross-document passage dedup (RefinedWeb / CCNet line-dedup shape) -----
+
+def unit_dedup(docs: DataFrame, units: Column, id_col: str = "doc_id",
+               max_count: int = 1, join_sep: str = " ") -> DataFrame:
+    """Remove every unit (line / passage / chunk) whose corpus-wide
+    occurrence count exceeds ``max_count``, preserving the remaining
+    units in document order.
+
+    The public line-dedup recipe (CCNet, RefinedWeb): repeated
+    boilerplate lines are removed from EVERY document once they occur in
+    more than ``max_count`` places corpus-wide. Distributed shape:
+    posexplode -> count per unit hash (one shuffle, map-side combine) ->
+    hash-join counts back (co-partitioned on the same key, AQE-planned)
+    -> per-doc rebuild (one shuffle). No collect, no per-doc Python; at
+    100 TB every stage keys on uniformly-distributed xxhash64 values.
+
+    Returns one row per input document: (id_col, kept_text, n_units,
+    n_removed) — documents whose every unit was removed stay present
+    with an empty kept_text.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(units).alias("__pos", "__unit"))
+    exploded = exploded.withColumn("__h", F.xxhash64("__unit"))
+    counts = exploded.groupBy("__h").agg(F.count("*").alias("__n"))
+    flagged = (exploded.join(counts, "__h")
+               .select(id_col, "__pos", "__unit",
+                       (F.col("__n") <= max_count).alias("__keep")))
+    rebuilt = F.array_join(
+        F.transform(
+            F.filter(F.sort_array(F.collect_list(
+                F.struct("__pos", "__unit", "__keep"))),
+                lambda x: x["__keep"] & x["__pos"].isNotNull()),
+            lambda x: x["__unit"]),
+        join_sep)
+    kept = F.sum(F.when(F.col("__keep") & F.col("__pos").isNotNull(), 1)
+                 .otherwise(0))
+    removed = F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+    return (flagged.groupBy(id_col)
+            .agg(rebuilt.alias("kept_text"),
+                 kept.cast("long").alias("n_units"),
+                 removed.cast("long").alias("n_removed")))
+
+
+def word_chunks(text: Column, k: int = 8) -> Column:
+    """Split text into consecutive k-word passages (last one partial) —
+    the dedup unit for corpora without line structure."""
+    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def passage_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", words_per_chunk: int = 8,
+                  max_count: int = 1) -> DataFrame:
+    """Cross-document exact passage dedup: chunk every document into
+    k-word passages and drop passages occurring more than ``max_count``
+    times corpus-wide (C4-style substring dedup at passage granularity)."""
+    return unit_dedup(docs, word_chunks(F.col(text_col), words_per_chunk),
+                      id_col=id_col, max_count=max_count, join_sep=" ")

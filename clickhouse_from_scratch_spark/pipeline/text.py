@@ -87,3 +87,95 @@ def doc_fingerprint(text: Column) -> Column:
     """
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+# --- repetition signals (Gopher-style quality rules) ------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", public) filter
+# documents by repetition: fraction of duplicate lines/words and the
+# fraction of characters covered by the most frequent n-gram. The
+# per-document fractions are pure JVM column expressions (zero shuffle);
+# the top-n-gram signal needs a (doc, gram) aggregation — one shuffle
+# with map-side combine, the correct 100 TB shape (never a per-doc
+# Python loop).
+
+def dup_unit_fraction(units: Column) -> Column:
+    """Fraction of units (words/lines) that repeat an earlier unit:
+    1 - distinct/total. 0.0 for empty input."""
+    n = F.size(units)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(units)).cast("double")
+                  / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def dup_unit_char_fraction(units: Column) -> Column:
+    """Fraction of characters inside duplicate units: (total chars -
+    distinct-unit chars) / total chars. 0.0 when no characters."""
+    def chars(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, u: acc + F.length(u))
+    total = chars(units)
+    return F.when(total > 0,
+                  (total - chars(F.array_distinct(units))).cast("double")
+                  / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the whitespace tokens."""
+    toks = _tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k > 0, F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_fraction(df, id_col: str, text_col: str,
+                            n: int = 2) -> "DataFrame":
+    """Fraction of characters covered by the document's most frequent
+    word n-gram: max(count * gram_chars) / total_chars. Distributed as
+    explode → (doc, gram) count → per-doc max — two partial-aggregated
+    shuffles on uniformly-hashed keys."""
+    grams = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__chars"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__gram"))
+    per_gram = grams.groupBy(id_col, "__chars", "__gram").count()
+    covered = F.max(F.col("count") * F.length("__gram"))
+    return (per_gram.groupBy(id_col, "__chars").agg(covered.alias("__cov"))
+            .select(F.col(id_col),
+                    F.when(F.col("__chars") > 0,
+                           F.col("__cov").cast("double")
+                           / F.col("__chars").cast("double"))
+                    .otherwise(F.lit(0.0)).alias(f"top{n}gram_char_frac")))
+
+
+# --- PII scrubbing ----------------------------------------------------------
+#
+# Standard training-data hygiene pass (public C4/CCNet-style pipelines):
+# replace emails, IPv4 addresses, and phone-like digit runs with typed
+# placeholders. Patterns are RE2-compatible (no lookaround) so the exact
+# same regex runs on Spark (Java regex) and the DuckDB oracle. Order
+# matters: emails first (contain dots + digits), then IPv4, then the
+# greedy phone pattern — each later pattern cannot match inside an
+# earlier placeholder.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\-\s]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (count BEFORE scrubbing)."""
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
+def pii_scrub(text: Column) -> Column:
+    """Text with every PII pattern replaced by its placeholder."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

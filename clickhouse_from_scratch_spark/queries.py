@@ -1814,3 +1814,160 @@ def multimodal_q(spark, sf_dir):
     decode via mapInPandas (decode itself is a deterministic stub)."""
     docs = _t(spark, sf_dir, "documents")
     return decode_image_batch(attach_binary_payload(docs))
+
+
+@query("passage_dedup", oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id, list_transform(
+           range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+           i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS chunks
+  FROM w),
+e AS (
+  SELECT doc_id, unnest(chunks) AS chunk,
+         generate_subscripts(chunks, 1) AS pos
+  FROM c),
+cnt AS (SELECT chunk, count(*) AS n FROM e GROUP BY chunk)
+SELECT e.doc_id,
+       md5(coalesce(string_agg(CASE WHEN cnt.n <= 1 THEN e.chunk END,
+                               ' ' ORDER BY e.pos), '')) AS kept_md5,
+       CAST(count(CASE WHEN cnt.n <= 1 THEN 1 END) AS BIGINT) AS n_units,
+       CAST(count(CASE WHEN cnt.n > 1 THEN 1 END) AS BIGINT) AS n_removed
+FROM e JOIN cnt USING (chunk)
+GROUP BY e.doc_id
+""")
+def passage_dedup_q(spark, sf_dir):
+    """Cross-document passage dedup (RefinedWeb/CCNet line-dedup shape,
+    word-chunk units for this line-less corpus): 8-word passages
+    occurring >1 time corpus-wide are removed from every document;
+    remaining passages keep document order. Compared via md5 of the
+    rebuilt text."""
+    from .pipeline.dedup import passage_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = passage_dedup(docs, words_per_chunk=8, max_count=1)
+    return out.select("doc_id", F.md5("kept_text").alias("kept_md5"),
+                      "n_units", "n_removed")
+
+
+@query("gopher_repetition", oracle="""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(ws) > 0
+              THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN list_sum(list_transform(ws, x -> length(x))) > 0
+              THEN CAST(list_sum(list_transform(ws, x -> length(x)))
+                        - list_sum(list_transform(list_distinct(ws),
+                                                  x -> length(x)))
+                        AS DOUBLE)
+                   / list_sum(list_transform(ws, x -> length(x)))
+              ELSE 0.0 END AS dup_word_char_frac,
+         ws
+  FROM toks),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END),
+           i -> array_to_string(ws[i+1 : i+2], ' '))) AS g
+  FROM base),
+gcnt AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, max(c * length(g)) AS cov FROM gcnt GROUP BY doc_id)
+SELECT b.doc_id,
+       round(b.dup_word_frac, 6) AS dup_word_frac,
+       round(b.dup_word_char_frac, 6) AS dup_word_char_frac,
+       round(CASE WHEN b.n_chars > 0
+             THEN CAST(coalesce(t.cov, 0) AS DOUBLE) / b.n_chars
+             ELSE 0.0 END, 6) AS top2gram_char_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+""")
+def gopher_repetition_q(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    duplicate-word fraction, duplicate-word character fraction, and the
+    character fraction covered by the most frequent word 2-gram. The
+    fractions are zero-shuffle column expressions; the top-2-gram pass
+    is explode -> (doc, gram) count -> per-doc max."""
+    from .pipeline.text import (_tokens, dup_unit_fraction,
+                                dup_unit_char_fraction,
+                                top_ngram_char_fraction)
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "text",
+        F.round(dup_unit_fraction(toks), 6).alias("dup_word_frac"),
+        F.round(dup_unit_char_fraction(toks), 6).alias("dup_word_char_frac"))
+    top = top_ngram_char_fraction(docs, "doc_id", "text", 2)
+    return (base.join(top, "doc_id", "left")
+            .select("doc_id", "dup_word_frac", "dup_word_char_frac",
+                    F.round(F.coalesce(F.col("top2gram_char_frac"),
+                                       F.lit(0.0)), 6)
+                    .alias("top2gram_char_frac")))
+
+
+@query("pii_scrub", oracle="""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id ||
+         '@example.com from 10.0.' || (doc_id % 256) ||
+         '.7 call +1 555-000-' || (1000 + doc_id % 9000) AS t
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, t,
+    CAST(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+  FROM enriched),
+s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1,
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')
+      AS t2
+  FROM scrubbed)
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '\\+?\\d[\\d\\-\\s]{7,}\\d')) AS BIGINT)
+    AS n_phones,
+  md5(regexp_replace(t2, '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g'))
+    AS scrubbed_md5
+FROM s2
+""")
+def pii_scrub_q(spark, sf_dir):
+    """PII scrubbing pass (training-data hygiene): emails, IPv4s, and
+    phone-like digit runs replaced by typed placeholders, with per-type
+    counts. The corpus has no organic PII, so both engines append the
+    same deterministic contact line per document before scrubbing — the
+    redaction work (and the md5 compare on the scrubbed text) is real.
+    Counts are taken pattern-by-pattern on the progressively-scrubbed
+    text, exactly as the oracle does."""
+    from .pipeline.text import PII_PATTERNS, pii_count
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@example.com from 10.0."), F.col("doc_id") % 256,
+            F.lit(".7 call +1 555-000-"),
+            (F.col("doc_id") % 9000 + 1000)).alias("t"))
+    out = enriched.withColumn("n_emails",
+                              pii_count(F.col("t"), "email").cast("long"))
+    out = out.withColumn("t1", F.regexp_replace(
+        "t", PII_PATTERNS[0][1], PII_PATTERNS[0][2]))
+    out = out.withColumn("n_ips",
+                         pii_count(F.col("t1"), "ipv4").cast("long"))
+    out = out.withColumn("t2", F.regexp_replace(
+        "t1", PII_PATTERNS[1][1], PII_PATTERNS[1][2]))
+    out = out.withColumn("n_phones",
+                         pii_count(F.col("t2"), "phone").cast("long"))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5(F.regexp_replace("t2", PII_PATTERNS[2][1],
+                               PII_PATTERNS[2][2])).alias("scrubbed_md5"))

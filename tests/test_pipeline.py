@@ -253,3 +253,75 @@ def test_multimodal_resize_and_features(spark, sf_dir):
     top = brute_force_topk(feats, q, k=2, id_col="doc_id",
                            vec_col="embedding")
     assert top.count() == 6
+
+
+# --- passage dedup / gopher repetition / PII scrub --------------------------
+
+def test_unit_dedup_removes_cross_doc_passages(spark):
+    from clickhouse_from_scratch_spark.pipeline.dedup import passage_dedup
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "q r s t")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           passage_dedup(df, words_per_chunk=2).collect()}
+    # "a b" occurs in two docs → removed from BOTH; unique chunks stay
+    assert out[1].kept_text == "c d" and out[1].n_removed == 1
+    assert out[2].kept_text == "x y" and out[2].n_removed == 1
+    assert out[3].kept_text == "q r s t" and out[3].n_removed == 0
+
+
+def test_unit_dedup_keeps_fully_removed_docs(spark):
+    from clickhouse_from_scratch_spark.pipeline.dedup import passage_dedup
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "z z")], "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           passage_dedup(df, words_per_chunk=2).collect()}
+    # both copies removed; the docs stay present with empty text
+    assert out[1].kept_text == "" and out[1].n_units == 0
+    assert out[2].kept_text == ""
+    assert out[3].kept_text == "z z"
+    assert len(out) == 3
+
+
+def test_unit_dedup_threshold(spark):
+    from clickhouse_from_scratch_spark.pipeline.dedup import passage_dedup
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b")], "doc_id int, text string")
+    out = passage_dedup(df, words_per_chunk=2, max_count=3).collect()
+    # occurrence count == max_count → kept everywhere
+    assert all(r.kept_text == "a b" for r in out)
+
+
+def test_gopher_fractions(spark):
+    import pyspark.sql.functions as F
+    from clickhouse_from_scratch_spark.pipeline.text import (
+        _tokens, dup_unit_fraction, dup_unit_char_fraction,
+        top_ngram_char_fraction)
+    df = spark.createDataFrame([(1, "aa bb aa bb cc")],
+                               "doc_id int, text string")
+    r = df.select(
+        dup_unit_fraction(_tokens(F.col("text"))).alias("f"),
+        dup_unit_char_fraction(_tokens(F.col("text"))).alias("cf")
+    ).collect()[0]
+    assert abs(r.f - 0.4) < 1e-12          # 5 words, 3 distinct
+    assert abs(r.cf - 0.4) < 1e-12         # 10 chars, 6 distinct
+    # "aa bb" occurs twice among 4 bigrams → 2*5 chars / 14 text chars
+    t = top_ngram_char_fraction(df, "doc_id", "text", 2).collect()[0]
+    assert abs(t.top2gram_char_frac - 10 / 14) < 1e-12
+
+
+def test_pii_scrub_patterns(spark):
+    import pyspark.sql.functions as F
+    from clickhouse_from_scratch_spark.pipeline.text import (
+        pii_count, pii_scrub)
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-site.org or x@y.io ip 192.168.0.1 "
+             "tel +44 20-7946-0958 done")], "id int, t string")
+    r = df.select(
+        pii_scrub(F.col("t")).alias("s"),
+        pii_count(F.col("t"), "email").alias("e"),
+        pii_count(F.col("t"), "ipv4").alias("i"),
+        pii_count(F.col("t"), "phone").alias("p")).collect()[0]
+    assert r.e == 2 and r.i == 1 and r.p == 1
+    assert "@" not in r.s and "192" not in r.s and "7946" not in r.s
+    assert r.s == ("mail <EMAIL> or <EMAIL> ip <IP> tel <PHONE> done")

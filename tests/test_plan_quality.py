@@ -188,3 +188,20 @@ def test_dict_get_is_map_lookup_not_join(spark, sf_dir):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
               "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert j not in plan
+
+
+def test_passage_dedup_shape(spark, sf_dir):
+    # explode → hash-count → hash-join → rebuild: bounded shuffles on
+    # uniformly-hashed keys, no cartesian, no Python UDFs
+    plan = _plan(spark, sf_dir, "passage_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_gopher_and_pii_stay_jvm_side(spark, sf_dir):
+    for name in ["gopher_repetition", "pii_scrub"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+        assert "CartesianProduct" not in plan, name
