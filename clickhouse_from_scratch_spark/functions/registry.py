@@ -1631,6 +1631,111 @@ def _proportions_z_test(s1, s2, t1, t2, conf=0.95, method="unpooled"):
                     ((p1 - p2) + half).alias("ci_high"))
 
 
+# --- registry tail: URL/array/geo/sketch functions ------------------------
+
+# CH netloc('https://u:p@host:port/p?q#f') = 'u:p@host:port' — the
+# authority component including credentials (public CH URL functions)
+_alias("netloc", lambda u: F.regexp_extract(
+    _c(u), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)", 1))
+_alias("queryStringAndFragment", lambda u: F.concat(
+    F.coalesce(F.parse_url(_c(u), F.lit("QUERY")), F.lit("")),
+    F.coalesce(F.concat(F.lit("#"), F.parse_url(_c(u), F.lit("REF"))),
+               F.lit(""))))
+# URLHash: hash of the URL normalized by dropping the fragment and any
+# trailing slash (64-bit analogue policy as cityHash64 above)
+_alias("URLHash", lambda u: F.xxhash64(
+    F.regexp_replace(F.split(_c(u), r"#")[0], r"/$", "")))
+
+# dense first-appearance index: [10,20,10,30] → [1,2,1,3]
+# (Spark array_distinct preserves first-appearance order)
+_alias("arrayEnumerateDense", lambda a: F.transform(
+    _c(a), lambda x: F.array_position(F.array_distinct(_c(a)), x)))
+
+
+def _array_auc(scores, labels) -> Column:
+    """arrayAUC(scores, labels): area under the ROC curve via the
+    rank-sum identity AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with average
+    ranks for ties. O(len²) inside one row — bounded by the array, no
+    shuffle. NaN when a class is absent (CH raises; NaN keeps the
+    expression total)."""
+    s, lab = _c(scores), _c(labels)
+    ranks = F.transform(s, lambda x: (
+        F.size(F.filter(s, lambda y: y < x)).cast("double")
+        + (F.size(F.filter(s, lambda y: y == x)) + 1).cast("double") / 2.0))
+    pos_rank_sum = F.aggregate(
+        F.zip_with(ranks, lab,
+                   lambda r, v: F.when(v > 0, r).otherwise(F.lit(0.0))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    p = F.size(F.filter(lab, lambda x: x > 0)).cast("double")
+    n = F.size(lab).cast("double") - p
+    return F.when((p > 0) & (n > 0),
+                  (pos_rank_sum - p * (p + 1) / 2.0) / (p * n)) \
+            .otherwise(F.lit(float("nan")))
+
+
+_alias("arrayAUC", _array_auc)
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon, lat, precision=12) -> Column:
+    """geohashEncode(lon, lat[, precision]): standard base32 geohash.
+    Bits are precomputed per character position (precision is a literal
+    ≤ 12), so the whole thing is one flat JVM expression — quantize each
+    axis once, then pick bits by integer division with power-of-two
+    literals (all values < 2^30: exact in double arithmetic)."""
+    if isinstance(precision, Column):
+        raise TypeError("geohashEncode precision must be a literal")
+    p = max(1, min(12, int(precision) if precision else 12))
+    bits = 5 * p
+    lonbits, latbits = (bits + 1) // 2, bits // 2
+    lonq = F.least(F.floor((_c(lon) + 180.0) / 360.0 * (1 << lonbits)),
+                   F.lit((1 << lonbits) - 1)).cast("long")
+    latq = F.least(F.floor((_c(lat) + 90.0) / 180.0 * (1 << latbits)),
+                   F.lit((1 << latbits) - 1)).cast("long")
+
+    def bit(i: int) -> Column:
+        if i % 2 == 0:
+            return F.pmod(F.floor(lonq / F.lit(1 << (lonbits - 1 - i // 2))
+                                  ).cast("long"), F.lit(2))
+        return F.pmod(F.floor(latq / F.lit(1 << (latbits - 1 - i // 2))
+                              ).cast("long"), F.lit(2))
+
+    chars = []
+    for j in range(p):
+        val = F.lit(0)
+        for t in range(5):
+            val = val + bit(5 * j + t) * (1 << (4 - t))
+        chars.append(F.element_at(
+            F.array(*[F.lit(ch) for ch in _GEOHASH32]),
+            (val + 1).cast("int")))
+    return F.concat(*chars)
+
+
+_alias("geohashEncode", _geohash_encode)
+
+
+def _word_shingle_minhash(text, shingle_size=3, num_hashes=6) -> Column:
+    """wordShingleMinHash(text[, size[, num]]): CH returns a
+    Tuple(UInt64, UInt64) usable for near-dup joins — here the (min,
+    max) over 64-bit hashes of word shingles (hash values are our
+    xxhash64 analogue, same policy as cityHash64)."""
+    n = int(shingle_size) if not isinstance(shingle_size, Column) else 3
+    toks = F.filter(F.split(F.lower(_c(text)), r"\s+"), lambda w: w != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k > 0, F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.struct(F.coalesce(F.array_min(hs), F.lit(0)).alias("_1"),
+                    F.coalesce(F.array_max(hs), F.lit(0)).alias("_2"))
+
+
+_alias("wordShingleMinHash", _word_shingle_minhash)
+_alias("wordShingleMinHashCaseInsensitive", _word_shingle_minhash)
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

@@ -2538,7 +2538,8 @@ _LITERAL_ARG_FNS = {
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
-    "divideDecimal",
+    "divideDecimal", "geohashEncode", "wordShingleMinHash",
+    "wordShingleMinHashCaseInsensitive",
 }
 
 

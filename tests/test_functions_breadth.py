@@ -651,3 +651,29 @@ def test_to_start_of_week_modes_and_time_slots(spark):
                "timeSlots(toDateTime('2024-03-15 14:10:00'), "
                "toUInt32(3600), 1800)), ',')") == \
         ("2024-03-15 14:00:00,2024-03-15 14:30:00,2024-03-15 15:00:00")
+
+
+def test_url_array_geo_tail(spark):
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    u = "'https://user:pw@site.com:8080/a/b?page=1&x=2#frag'"
+    assert run(f"netloc({u})") == "user:pw@site.com:8080"
+    assert run(f"queryStringAndFragment({u})") == "page=1&x=2#frag"
+    assert run("queryStringAndFragment('http://s.com/p?q=1')") == "q=1"
+    # URLHash ignores fragment and trailing slash
+    assert run("URLHash('http://a.com/x/') = URLHash('http://a.com/x#f')")
+    assert run("arrayEnumerateDense([10,20,10,30])") == [1, 2, 1, 3]
+    # AUC of perfect classifier = 1.0; random-ish example pinned
+    assert run("arrayAUC([0.1,0.4,0.35,0.8], [0,0,1,1])") == 0.75
+    assert run("arrayAUC([0.1,0.2], [1,1])") != run("arrayAUC([0.1], [1])") \
+        or True  # NaN != NaN — just assert it evaluates
+    # known geohash: lat 42.605, lon -5.603 → ezs42
+    assert run("geohashEncode(-5.60302734375, 42.60498046875, 5)") == "ezs42"
+    assert run("geohashEncode(0.0, 0.0, 1)") == "s"
+    mm = run("wordShingleMinHash('a b c d e', 3)")
+    assert mm["_1"] <= mm["_2"]
+    assert run("wordShingleMinHash('a b c d e', 3)") == \
+        run("wordShingleMinHash('A B c D e', 3)")
