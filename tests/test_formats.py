@@ -416,3 +416,55 @@ def test_json_each_row_with_progress_output(spark):
            [r["row"] for r in rows[:-1]] == [{"x": 1, "s": "a"},
                                              {"x": 2, "s": "b"}]
     assert rows[-1]["progress"]["read_rows"] == "2"
+
+
+# --- CapnProto (registerFormats.cpp:47-48; spec capnproto.org) --------------
+
+def test_capnproto_roundtrip(spark):
+    from datetime import date, datetime
+
+    from clickhouse_from_scratch_spark.sources import (
+        from_capnproto, to_capnproto)
+    schema = ("a int, b boolean, c double, t string, d date, "
+              "ts timestamp, u string, big bigint, small smallint")
+    df = spark.createDataFrame(
+        [(1, True, 2.5, "héllo", date(2024, 3, 15),
+          datetime(2024, 3, 15, 12, 0, 0), "x", 2**40, -3),
+         (-7, False, -0.25, "", date(1970, 1, 2),
+          datetime(1970, 1, 1, 0, 0, 1), "end", -(2**40), 7)], schema)
+    back = from_capnproto(spark, to_capnproto(df), schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+
+def test_capnproto_framing_is_spec_conformant(spark):
+    import struct
+
+    from clickhouse_from_scratch_spark.sources import to_capnproto
+    df = spark.createDataFrame([(5, "ab")], "x int, s string")
+    blob = to_capnproto(df)
+    # message frame: u32 segcount-1 (=0), u32 words, 8-byte aligned body
+    nseg_m1, words = struct.unpack_from("<II", blob, 0)
+    assert nseg_m1 == 0
+    assert len(blob) == 8 + words * 8
+    # root word: struct pointer (tag 0) with 1 data word, 1 pointer
+    (root,) = struct.unpack_from("<Q", blob, 8)
+    assert root & 3 == 0
+    assert (root >> 32) & 0xFFFF == 1      # data words
+    assert (root >> 48) & 0xFFFF == 1      # pointer count
+    # the text pointer is a byte list (tag 1, elem size 2) counting the
+    # NUL terminator
+    (tp,) = struct.unpack_from("<Q", blob, 8 + 16)
+    assert tp & 3 == 1
+    assert (tp >> 32) & 7 == 2
+    assert tp >> 35 == 3                   # 'a','b',NUL
+
+
+def test_capnproto_text_only_and_empty(spark):
+    from clickhouse_from_scratch_spark.sources import (
+        from_capnproto, to_capnproto)
+    df = spark.createDataFrame([("", "a" * 100), ("mid", "")],
+                               "p string, q string")
+    back = from_capnproto(spark, to_capnproto(df), "p string, q string")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
