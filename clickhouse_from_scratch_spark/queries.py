@@ -1971,3 +1971,85 @@ def pii_scrub_q(spark, sf_dir):
         "doc_id", "n_emails", "n_ips", "n_phones",
         F.md5(F.regexp_replace("t2", PII_PATTERNS[2][1],
                                PII_PATTERNS[2][2])).alias("scrubbed_md5"))
+
+
+def _training_recipe_oracle() -> str:
+    """Oracle for the end-to-end recipe: the same stage chain as
+    prepare_training_data (quality >= 0.5 → lang = 'en' → PII scrub →
+    8-word passage dedup → exact near-dup keep-min-id) expressed as
+    DuckDB CTEs, each fragment shared with its stage's own oracle."""
+    score = {lang: "len(list_filter(tokens, x -> x IN ({})))".format(
+        ", ".join(f"'{w}'" for w in words))
+        for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST({})".format(", ".join(score[la] for la in langs))
+    cases = " ".join(
+        f"WHEN {score[la]} = {greatest} THEN '{la}'" for la in langs)
+    pred = f"CASE WHEN {greatest} = 0 THEN 'und' {cases} ELSE 'und' END"
+    return """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS tokens
+  FROM documents),
+qf AS (
+  SELECT doc_id, text, tokens FROM base
+  WHERE ((CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(tokens) >= 10 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN n > 0 AND CAST(length(regexp_replace(text,
+               '[^!?.,;:]', '', 'g')) AS DOUBLE) / n <= 0.2 THEN 1.0
+               WHEN n = 0 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN len(list_filter(tokens,
+               x -> x IN ('the','and','of','to','in'))) >= 1
+               THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.5),
+lf AS (SELECT doc_id, text FROM qf WHERE __PRED__ = 'en'),
+sc AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+?\\d[\\d\\-\\s]{7,}\\d', '<PHONE>', 'g') AS t
+  FROM lf),
+w AS (SELECT doc_id, list_filter(string_split_regex(t, '\\s+'),
+                                 x -> x <> '') AS ws FROM sc),
+c AS (SELECT doc_id, list_transform(
+        range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+        i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS chunks FROM w),
+e AS (SELECT doc_id, unnest(chunks) AS chunk,
+             generate_subscripts(chunks, 1) AS pos FROM c),
+cnt AS (SELECT chunk, count(*) AS nn FROM e GROUP BY chunk),
+reb AS (
+  SELECT e.doc_id,
+         coalesce(string_agg(CASE WHEN cnt.nn <= 1 THEN e.chunk END,
+                             ' ' ORDER BY e.pos), '') AS kept
+  FROM e JOIN cnt USING (chunk) GROUP BY e.doc_id),
+nz AS (SELECT doc_id, kept FROM reb WHERE kept <> ''),
+fp AS (SELECT doc_id, kept,
+              md5(regexp_replace(trim(lower(kept)), '\\s+', ' ', 'g'))
+                AS f FROM nz),
+canon AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+keepers AS (SELECT fp.doc_id, fp.kept FROM fp
+            JOIN canon ON fp.doc_id = canon.doc_id AND fp.f = canon.f)
+SELECT doc_id, md5(kept) AS clean_md5,
+       CAST(len(list_filter(string_split_regex(lower(kept), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM keepers
+""".replace("__PRED__", pred)
+
+
+@query("training_recipe", oracle=None)  # oracle assembled above
+def training_recipe(spark, sf_dir):
+    """End-to-end corpus-prep recipe (pipeline/recipe.py): quality
+    filter → language filter → PII scrub → cross-doc passage dedup →
+    exact near-dup removal → stats. Every stage is the same operator
+    the per-stage catalog queries prove; this query proves the
+    composition."""
+    from .pipeline.recipe import prepare_training_data
+    docs = _t(spark, sf_dir, "documents")
+    out = prepare_training_data(docs)
+    return out.select("doc_id", F.md5("text").alias("clean_md5"),
+                      "n_tokens")
+
+
+ORACLES["training_recipe"] = _training_recipe_oracle()

@@ -325,3 +325,32 @@ def test_pii_scrub_patterns(spark):
     assert r.e == 2 and r.i == 1 and r.p == 1
     assert "@" not in r.s and "192" not in r.s and "7946" not in r.s
     assert r.s == ("mail <EMAIL> or <EMAIL> ip <IP> tel <PHONE> done")
+
+
+def test_training_recipe_minhash_variant(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.recipe import (
+        prepare_training_data)
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = prepare_training_data(docs, near_dup="exact")
+    mh = prepare_training_data(docs, near_dup="minhash",
+                               jaccard_threshold=0.8)
+    n_exact, n_mh = exact.count(), mh.count()
+    # near-dup removal can only remove more than (or as much as) exact:
+    # identical docs have Jaccard 1.0 ≥ any threshold
+    assert n_mh <= n_exact
+    assert n_mh > 0
+    # survivors carry stats
+    r = mh.limit(1).collect()[0]
+    assert r.n_tokens > 0 and len(r.fingerprint) == 32
+
+
+def test_training_recipe_rejects_unknown_near_dup(spark, sf_dir):
+    import pytest as _pytest
+
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.recipe import (
+        prepare_training_data)
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with _pytest.raises(ValueError, match="near_dup"):
+        prepare_training_data(docs, near_dup="bogus")

@@ -205,3 +205,9 @@ def test_gopher_and_pii_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_training_recipe_stays_distributed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "training_recipe")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
