@@ -25,11 +25,18 @@ from .similarity import (
     lsh_near_dup_pairs,
     train_centroids,
 )
+from .dedup import passage_dedup, unit_dedup
+from .recipe import prepare_training_data
 from .text import (
     doc_fingerprint,
+    dup_unit_char_fraction,
+    dup_unit_fraction,
     language_id,
+    pii_count,
+    pii_scrub,
     quality_score,
     token_count,
+    top_ngram_char_fraction,
 )
 
 __all__ = [
@@ -37,7 +44,10 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
     "simhash_hamming_pairs", "simhash_near_dups_hamming",
     "connected_components", "dedup_keep_canonical",
+    "passage_dedup", "unit_dedup", "prepare_training_data",
     "brute_force_topk", "lsh_bucketed_topk", "ivf_topk", "train_centroids",
     "cosine_near_dup_pairs", "lsh_near_dup_pairs",
     "doc_fingerprint", "language_id", "quality_score", "token_count",
+    "pii_scrub", "pii_count", "dup_unit_fraction",
+    "dup_unit_char_fraction", "top_ngram_char_fraction",
 ]

@@ -796,7 +796,8 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
 # (SURVEY §7 M6: "both a table function in the dialect and a Python API")
 _PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
                  "ngramjaccard", "anncosinetopk", "dedupembeddingcosine",
-                 "dedupembeddinglsh"}
+                 "dedupembeddinglsh", "passagededup", "piiscrub",
+                 "trainingrecipe"}
 
 
 def _pipeline_table_function(name: str, node: TableFunction,
@@ -831,6 +832,24 @@ def _pipeline_table_function(name: str, node: TableFunction,
         return P.simhash_near_dups(tbl(0))
     if name == "ngramjaccard":
         return P.ngram_jaccard_pairs(tbl(0), threshold=float(lit(1, 0.6)))
+    # passageDedup(docs [, words_per_chunk [, max_count]])
+    if name == "passagededup":
+        return P.passage_dedup(tbl(0), words_per_chunk=int(lit(1, 8)),
+                               max_count=int(lit(2, 1)))
+    # piiScrub(docs): scrubbed text + per-type redaction counts
+    if name == "piiscrub":
+        d = tbl(0)
+        return d.select(
+            "*",
+            P.pii_scrub(F.col("text")).alias("scrubbed"),
+            P.pii_count(F.col("text"), "email").alias("n_emails"),
+            P.pii_count(F.col("text"), "ipv4").alias("n_ips"),
+            P.pii_count(F.col("text"), "phone").alias("n_phones"))
+    # trainingRecipe(docs [, min_quality [, near_dup]])
+    if name == "trainingrecipe":
+        return P.prepare_training_data(
+            tbl(0), min_quality=float(lit(1, 0.5)),
+            near_dup=str(lit(2, "exact")))
     # dedupEmbeddingCosine(corpus [, threshold]) — exact all-pairs
     if name == "dedupembeddingcosine":
         return P.cosine_near_dup_pairs(tbl(0), threshold=float(lit(1, 0.9)))

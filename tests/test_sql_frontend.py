@@ -1196,3 +1196,24 @@ def test_totals_mode_having(spark):
                                  settings={"totals_mode": "before_having"})
                      .collect()], key=str)
     assert before == [("a", 3, 6), (None, 5, 116)]
+
+
+def test_new_pipeline_table_functions_sql(spark):
+    docs = spark.createDataFrame(
+        [(0, "the alpha beta email x@y.io end of it all right"),
+         (1, "the alpha beta and some other words to keep here"),
+         (2, "the gamma delta and more unique words in this doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in execute_sql(
+        spark, "SELECT doc_id, kept_text, n_removed "
+               "FROM passageDedup(t, 3, 1) ORDER BY doc_id",
+        {"t": docs}).collect()}
+    assert len(out) == 3
+    scr = execute_sql(
+        spark, "SELECT doc_id, n_emails FROM piiScrub(t) WHERE n_emails > 0",
+        {"t": docs}).collect()
+    assert [(r.doc_id, r.n_emails) for r in scr] == [(0, 1)]
+    rec = execute_sql(
+        spark, "SELECT doc_id, n_tokens FROM trainingRecipe(t, 0.0)",
+        {"t": docs}).collect()
+    assert all(r.n_tokens > 0 for r in rec)
