@@ -43,6 +43,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     repartition shuffle is linear in the input and only paid when the
     partition count is actually deficient — at real scale the scan
     already has more splits than cores and this is a no-op."""
+    if df.isStreaming:
+        # .rdd is a batch-only API (throws on streaming frames); micro-
+        # batch sizing is the scheduler's job there anyway
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     # half the cores: measured sweet spot — tasks ≈ cores schedules
     # erratically on a busy executor (1.6-9s spread at 32/32 vs a steady
