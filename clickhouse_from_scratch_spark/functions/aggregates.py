@@ -707,3 +707,48 @@ def register_into(registry: dict[str, Callable[..., Column]]) -> None:
             def _mk(f):
                 return lambda x, cond: f(F.when(_c(cond), _c(x)))
             registry[base + "If"] = _mk(fn)
+
+
+# --- two-sample statistical tests ------------------------------------------
+#
+# studentTTest/welchTTest(sample_data, sample_index) → named tuple
+# (t_statistic, p_value), sample_index ∈ {0,1} (public CH signatures;
+# the reference's Functions/ library is absent). Each compiles to a
+# single composite aggregate expression — one map-side-combined shuffle,
+# identical to any other GROUP BY aggregate. The p-value uses the
+# normal approximation to the t CDF via erf (exact as df → ∞;
+# documented deviation — CH evaluates the exact Student CDF).
+
+def _sample_moments(v, idx, which: int):
+    x = F.when(_c(idx).cast("int") == which, _c(v).cast("double"))
+    return (F.count(x).cast("double"), F.avg(x), F.var_samp(x))
+
+
+def _t_p_value(t: Column) -> Column:
+    import math
+
+    from .registry import _erf
+    return 1.0 - _erf(F.abs(t) / F.lit(math.sqrt(2.0)))   # 2-sided
+
+
+def _student_t_test(v, idx) -> Column:
+    n0, m0, v0 = _sample_moments(v, idx, 0)
+    n1, m1, v1 = _sample_moments(v, idx, 1)
+    sp2 = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / (n0 + n1 - 2.0)
+    t = (m0 - m1) / F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+    return F.struct(t.alias("t_statistic"),
+                    _t_p_value(t).alias("p_value"))
+
+
+def _welch_t_test(v, idx) -> Column:
+    n0, m0, v0 = _sample_moments(v, idx, 0)
+    n1, m1, v1 = _sample_moments(v, idx, 1)
+    t = (m0 - m1) / F.sqrt(v0 / n0 + v1 / n1)
+    return F.struct(t.alias("t_statistic"),
+                    _t_p_value(t).alias("p_value"))
+
+
+AGGREGATES.update({
+    "studentTTest": _student_t_test,
+    "welchTTest": _welch_t_test,
+})

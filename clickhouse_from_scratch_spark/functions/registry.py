@@ -1631,6 +1631,47 @@ def _proportions_z_test(s1, s2, t1, t2, conf=0.95, method="unpooled"):
                     ((p1 - p2) + half).alias("ci_high"))
 
 
+def _norm_quantiles(power, alpha) -> tuple[float, float]:
+    from statistics import NormalDist
+    nd = NormalDist()
+    return nd.inv_cdf(1.0 - float(alpha) / 2.0), nd.inv_cdf(float(power))
+
+
+@register("minSampleSizeConversion")
+def _min_sample_size_conversion(baseline, mde, power, alpha) -> Column:
+    """A/B-test sample-size for a conversion-rate experiment (public CH
+    signature; standard two-proportion power formula). power/alpha are
+    literals → normal quantiles computed build-time via the stdlib;
+    the rest is JVM arithmetic. Returns (minimum_sample_size,
+    detect_range_lower, detect_range_upper)."""
+    za, zb = _norm_quantiles(power, alpha)
+    p1 = _c(baseline).cast("double")
+    d = _c(mde).cast("double")
+    p2 = p1 + d
+    p = (p1 + p2) / 2.0
+    n = F.pow((F.lit(za) * F.sqrt(2.0 * p * (1.0 - p))
+               + F.lit(zb) * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+              / d, 2.0)
+    return F.struct(F.ceil(n).cast("double").alias("minimum_sample_size"),
+                    (p1 - d).alias("detect_range_lower"),
+                    (p1 + d).alias("detect_range_upper"))
+
+
+@register("minSampleSizeContinuous")
+def _min_sample_size_continuous(baseline, sigma, mde, power,
+                                alpha) -> Column:
+    """Sample size for a continuous-metric experiment with relative
+    MDE: n = 2(z_{1-α/2}+z_power)²σ²/(mde·baseline)²."""
+    za, zb = _norm_quantiles(power, alpha)
+    m = _c(baseline).cast("double")
+    s = _c(sigma).cast("double")
+    d = _c(mde).cast("double")
+    n = 2.0 * F.lit((za + zb) ** 2) * s * s / F.pow(d * m, 2.0)
+    return F.struct(F.ceil(n).cast("double").alias("minimum_sample_size"),
+                    (m * (1.0 - d)).alias("detect_range_lower"),
+                    (m * (1.0 + d)).alias("detect_range_upper"))
+
+
 # --- registry tail: URL/array/geo/sketch functions ------------------------
 
 # CH netloc('https://u:p@host:port/p?q#f') = 'u:p@host:port' — the

@@ -2558,7 +2558,8 @@ _LITERAL_ARG_FNS = {
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
     "divideDecimal", "geohashEncode", "wordShingleMinHash",
-    "wordShingleMinHashCaseInsensitive",
+    "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
+    "minSampleSizeContinuous",
 }
 
 

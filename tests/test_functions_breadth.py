@@ -677,3 +677,29 @@ def test_url_array_geo_tail(spark):
     assert mm["_1"] <= mm["_2"]
     assert run("wordShingleMinHash('a b c d e', 3)") == \
         run("wordShingleMinHash('A B c D e', 3)")
+
+
+def test_statistical_tests_and_sample_size(spark):
+    rows = [(float(v), 0) for v in (1, 2, 3, 4, 5, 6)] \
+        + [(float(v), 1) for v in (2, 4, 9)]
+    t = {"t": spark.createDataFrame(rows, "v double, g int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t LIMIT 1",
+                           t).collect()[0].x
+    st = run("studentTTest(v, g)")
+    wt = run("welchTTest(v, g)")
+    # pinned against the closed-form two-sample formulas (numpy-checked)
+    assert abs(st.t_statistic + 0.85096294) < 1e-6
+    assert abs(wt.t_statistic + 0.67648143) < 1e-6
+    assert 0 < st.p_value < 1 and 0 < wt.p_value < 1
+    # CH docs example: baseline 0.25, mde 0.03, power 0.80, alpha 0.05
+    # → n ≈ 3500 per group
+    ms = run("minSampleSizeConversion(0.25, 0.03, 0.80, 0.05)")
+    assert 3300 <= ms.minimum_sample_size <= 3700
+    assert abs(ms.detect_range_lower - 0.22) < 1e-12
+    assert abs(ms.detect_range_upper - 0.28) < 1e-12
+    mc = run("minSampleSizeContinuous(112.5, 10.0, 0.05, 0.80, 0.05)")
+    # n = 2*(1.96+0.8416)^2*100/(5.625)^2 ≈ 50
+    assert 45 <= mc.minimum_sample_size <= 55
+    assert abs(mc.detect_range_lower - 106.875) < 1e-9
