@@ -752,3 +752,103 @@ AGGREGATES.update({
     "studentTTest": _student_t_test,
     "welchTTest": _welch_t_test,
 })
+
+
+# --- Map-combining aggregates (sumMap / minMap / maxMap) -------------------
+#
+# CH sumMap(keys, values) sums values per key across rows and returns
+# (sorted keys, values). The merge state is a map folded with
+# map_zip_with (key-union merge) — the same bounded-by-distinct-keys
+# state CH keeps, one map-side-combined shuffle, no explode+regroup.
+
+def _map_merge_agg(op) -> Callable[..., Column]:
+    def agg(k, v=None):
+        per_row = _c(k) if v is None else F.map_from_arrays(_c(k), _c(v))
+        maps = F.collect_list(per_row)
+        merged = F.aggregate(
+            F.slice(maps, F.lit(2),
+                    F.greatest(F.size(maps) - 1, F.lit(0))),
+            F.element_at(maps, 1),
+            lambda acc, m: F.map_zip_with(acc, m, op))
+        keys = F.array_sort(F.map_keys(merged))
+        return F.struct(
+            keys.alias("_1"),
+            F.transform(keys,
+                        lambda kk: F.element_at(merged, kk)).alias("_2"))
+    return agg
+
+
+AGGREGATES.update({
+    "sumMap": _map_merge_agg(
+        lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))),
+    "minMap": _map_merge_agg(
+        lambda k, a, b: F.coalesce(F.least(a, b), a, b)),
+    "maxMap": _map_merge_agg(
+        lambda k, a, b: F.coalesce(F.greatest(a, b), a, b)),
+})
+
+
+# --- rank-based tests (collect + HOF ranks; O(n²) inside the group) --------
+#
+# Ranks need cross-element comparisons, so the state is the collected
+# group (same as CH, whose implementations also buffer the samples —
+# e.g. its mannWhitneyUTest keeps both samples in memory). The rank of
+# x is count(y < x) + (count(y == x)+1)/2 — average rank under ties —
+# computed with JVM HOFs over the collected array, never in Python.
+
+def _mann_whitney_u_test(v, idx) -> Column:
+    import math
+
+    from .registry import _erf
+    arr = F.collect_list(F.struct(_c(v).cast("double").alias("v"),
+                                  _c(idx).cast("int").alias("g")))
+    vs = F.transform(arr, lambda e: e["v"])
+
+    def rank(x):
+        return (F.size(F.filter(vs, lambda y: y < x)).cast("double")
+                + (F.size(F.filter(vs, lambda y: y == x)) + 1)
+                .cast("double") / 2.0)
+
+    r0 = F.aggregate(arr, F.lit(0.0),
+                     lambda acc, e: acc + F.when(e["g"] == 0,
+                                                 rank(e["v"]))
+                     .otherwise(F.lit(0.0)))
+    n0 = F.size(F.filter(arr, lambda e: e["g"] == 0)).cast("double")
+    n1 = F.size(arr).cast("double") - n0
+    u = r0 - n0 * (n0 + 1.0) / 2.0        # U of the first sample
+    z = (u - n0 * n1 / 2.0) / F.sqrt(n0 * n1 * (n0 + n1 + 1.0) / 12.0)
+    p = 1.0 - _erf(F.abs(z) / F.lit(math.sqrt(2.0)))
+    return F.struct(u.alias("u_statistic"), p.alias("p_value"))
+
+
+def _rank_corr(x, y) -> Column:
+    arr = F.collect_list(F.struct(_c(x).cast("double").alias("x"),
+                                  _c(y).cast("double").alias("y")))
+    xs = F.transform(arr, lambda e: e["x"])
+    ys = F.transform(arr, lambda e: e["y"])
+
+    def ranks(vals):
+        return F.transform(vals, lambda v: (
+            F.size(F.filter(vals, lambda w: w < v)).cast("double")
+            + (F.size(F.filter(vals, lambda w: w == v)) + 1)
+            .cast("double") / 2.0))
+
+    rx, ry = ranks(xs), ranks(ys)
+    n = F.size(arr).cast("double")
+
+    def asum(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, t: acc + t)
+
+    sx, sy = asum(rx), asum(ry)
+    sxy = asum(F.zip_with(rx, ry, lambda a, b: a * b))
+    sxx = asum(F.transform(rx, lambda a: a * a))
+    syy = asum(F.transform(ry, lambda a: a * a))
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return num / den
+
+
+AGGREGATES.update({
+    "mannWhitneyUTest": _mann_whitney_u_test,
+    "rankCorr": _rank_corr,
+})

@@ -703,3 +703,32 @@ def test_statistical_tests_and_sample_size(spark):
     # n = 2*(1.96+0.8416)^2*100/(5.625)^2 ≈ 50
     assert 45 <= mc.minimum_sample_size <= 55
     assert abs(mc.detect_range_lower - 106.875) < 1e-9
+
+
+def test_map_aggregates_and_rank_tests(spark):
+    t = {"t": spark.createDataFrame(
+        [([1, 2], [10.0, 20.0]), ([2, 3], [5.0, 7.0])],
+        "k array<int>, v array<double>")}
+
+    def run(tbl, e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           tbl).collect()[0].x
+    m = run(t, "sumMap(k, v)")
+    assert m["_1"] == [1, 2, 3] and m["_2"] == [10.0, 25.0, 7.0]
+    assert run(t, "minMap(k, v)")["_2"] == [10.0, 5.0, 7.0]
+    assert run(t, "maxMap(k, v)")["_2"] == [10.0, 20.0, 7.0]
+    rows = [(float(v), 0) for v in (1, 2, 3)] \
+        + [(float(v), 1) for v in (4, 5, 6)]
+    t2 = {"t": spark.createDataFrame(rows, "v double, g int")}
+    u = run(t2, "mannWhitneyUTest(v, g)")
+    # complete separation: U = 0; z = -4.5/sqrt(63/12) → p ≈ 0.0495
+    assert u["u_statistic"] == 0.0
+    assert abs(u["p_value"] - 0.0495) < 2e-3
+    t3 = {"t": spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 7.0)],
+        "x double, y double")}
+    assert abs(run(t3, "rankCorr(x, y)") - 1.0) < 1e-9
+    t4 = {"t": spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0), (4.0, 2.0)],
+        "x double, y double")}
+    assert abs(run(t4, "rankCorr(x, y)") + 1.0) < 1e-9
