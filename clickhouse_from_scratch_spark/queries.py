@@ -2053,3 +2053,29 @@ def training_recipe(spark, sf_dir):
 
 
 ORACLES["training_recipe"] = _training_recipe_oracle()
+
+
+@query("sql_summap", oracle="""
+WITH per AS (
+  SELECT l_returnflag, l_linenumber AS ln,
+         CAST(CAST(sum(l_quantity) AS DECIMAL(38, 10)) AS DOUBLE) AS s
+  FROM lineitem GROUP BY l_returnflag, l_linenumber)
+SELECT l_returnflag,
+       array_to_string(list(ln ORDER BY ln), ',') AS keys_csv,
+       array_to_string(list_transform(list(s ORDER BY ln),
+                                      x -> CAST(round(x, 4) AS VARCHAR)),
+                       ',') AS vals_csv
+FROM per GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_summap(spark, sf_dir):
+    """sumMap aggregate: per-key sums returned as (sorted keys, values)
+    tuple, projected to CSV strings for the driver canonicalizer (tuple
+    form pinned in tests/test_functions_breadth)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               arrayStringConcat(arrayMap(v -> toString(v),
+                 sumMap([l_linenumber], [l_quantity]).1), ',') AS keys_csv,
+               arrayStringConcat(arrayMap(v -> toString(round(v, 4)),
+                 sumMap([l_linenumber], [l_quantity]).2), ',') AS vals_csv
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
