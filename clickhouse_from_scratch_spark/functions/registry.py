@@ -1777,6 +1777,38 @@ _alias("wordShingleMinHash", _word_shingle_minhash)
 _alias("wordShingleMinHashCaseInsensitive", _word_shingle_minhash)
 
 
+def _array_rotate(a, n, left: bool = True) -> Column:
+    a = _c(a)
+    sz = F.size(a)
+    k = F.pmod(_c(n).cast("int") if isinstance(n, Column) else F.lit(int(n)),
+               F.greatest(sz, F.lit(1)))
+    if not left:
+        k = F.pmod(sz - k, F.greatest(sz, F.lit(1)))
+    return F.concat(F.slice(a, k + 1, sz - k), F.slice(a, 1, k))
+
+
+_alias("arrayRotateLeft", lambda a, n: _array_rotate(a, n, True))
+_alias("arrayRotateRight", lambda a, n: _array_rotate(a, n, False))
+
+
+def _array_shift(a, n, fill=None, left: bool = True) -> Column:
+    a = _c(a)
+    sz = F.size(a)
+    k = F.least(_c(n).cast("int") if isinstance(n, Column)
+                else F.lit(int(n)), sz)
+    pad = F.array_repeat(F.lit(fill) if fill is not None
+                         else F.lit(None), k)
+    if left:
+        return F.concat(F.slice(a, k + 1, sz - k), pad)
+    return F.concat(pad, F.slice(a, 1, sz - k))
+
+
+_alias("arrayShiftLeft", lambda a, n, fill=None: _array_shift(
+    a, n, fill, True))
+_alias("arrayShiftRight", lambda a, n, fill=None: _array_shift(
+    a, n, fill, False))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

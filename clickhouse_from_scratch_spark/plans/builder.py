@@ -2449,6 +2449,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
     # HOF with lambda args: bind lambda params
     if any(isinstance(a, Lambda) for a in node.args):
         return _hof_call(node, ctx, df)
+    if name in _TUPLE_ARITH and df is not None:
+        # element-wise tuple arithmetic needs the struct's field list,
+        # which only the analyzed schema knows — one plan analysis at
+        # build time, zero runtime cost
+        return _tuple_arith(name, cols, df)
     if name in ("trimBothChars", "trimLeftChars", "trimRightChars"):
         target, chars = cols
         cl = node.args[1].value if isinstance(node.args[1], Literal) else ""
@@ -2572,6 +2577,36 @@ _INTERVAL_UNITS = {"year", "quarter", "month", "week", "day", "hour",
 
 def _wants_literal(name: str) -> bool:
     return name in _LITERAL_ARG_FNS
+
+
+_TUPLE_ARITH = {"tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
+                "tupleNegate", "tupleMultiplyByNumber",
+                "tupleDivideByNumber"}
+
+
+def _tuple_arith(name: str, cols: list, df: DataFrame) -> Column:
+    """Element-wise tuple arithmetic (public CH tuple-math family):
+    resolve the struct's field names from the analyzed schema, apply the
+    op per field, rebuild the struct with the same field names."""
+    from pyspark.sql.types import StructType
+    dt = df.select(cols[0]).schema[0].dataType
+    if not isinstance(dt, StructType):
+        raise BuildError(f"{name}: first argument must be a Tuple")
+    fields = [f.name for f in dt.fields]
+    a = cols[0]
+    if name == "tupleNegate":
+        return F.struct(*[(-a[f]).alias(f) for f in fields])
+    b = cols[1]
+    if name in ("tupleMultiplyByNumber", "tupleDivideByNumber"):
+        op = ((lambda x: x * b) if name == "tupleMultiplyByNumber"
+              else (lambda x: x / b))
+        return F.struct(*[op(a[f]).alias(f) for f in fields])
+    ops = {"tuplePlus": lambda x, y: x + y,
+           "tupleMinus": lambda x, y: x - y,
+           "tupleMultiply": lambda x, y: x * y,
+           "tupleDivide": lambda x, y: x / y}
+    op = ops[name]
+    return F.struct(*[op(a[f], b[f]).alias(f) for f in fields])
 
 
 def _infer_ch_type(node, ctx: Context, df: DataFrame | None,

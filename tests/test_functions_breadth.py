@@ -732,3 +732,21 @@ def test_map_aggregates_and_rank_tests(spark):
         [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0), (4.0, 2.0)],
         "x double, y double")}
     assert abs(run(t4, "rankCorr(x, y)") + 1.0) < 1e-9
+
+
+def test_tuple_arithmetic_and_array_rotate(spark):
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    assert tuple(run("tuplePlus(tuple(1, 2), tuple(10, 20))")) == (11, 22)
+    assert tuple(run("tupleMinus(tuple(5, 5), tuple(2, 1))")) == (3, 4)
+    assert tuple(run("tupleMultiply(tuple(2, 3), tuple(4, 5))")) == (8, 15)
+    assert tuple(run("tupleNegate(tuple(1, -2))")) == (-1, 2)
+    assert tuple(run("tupleMultiplyByNumber(tuple(1, 2), 3)")) == (3, 6)
+    assert run("arrayRotateLeft([1,2,3,4], 1)") == [2, 3, 4, 1]
+    assert run("arrayRotateRight([1,2,3,4], 1)") == [4, 1, 2, 3]
+    assert run("arrayRotateLeft([1,2,3], 5)") == [3, 1, 2]
+    assert run("arrayShiftLeft([1,2,3], 1, 0)") == [2, 3, 0]
+    assert run("arrayShiftRight([1,2,3], 2, 9)") == [9, 9, 1]
