@@ -852,3 +852,83 @@ AGGREGATES.update({
     "mannWhitneyUTest": _mann_whitney_u_test,
     "rankCorr": _rank_corr,
 })
+
+
+# --- categorical association (cramersV / contingency / theilsU) ------------
+#
+# Cross-tabulation stats need the joint frequency table; the state is
+# the collected group (bounded by group size — categorical analytics
+# shape), counts computed with nested JVM HOFs over the distinct
+# categories, O(|A|·|B|·n) inside the row, no Python.
+
+def _cat_pairs(a, b):
+    return F.collect_list(F.struct(_c(a).cast("string").alias("a"),
+                                   _c(b).cast("string").alias("b")))
+
+
+def _chi2_n(arr):
+    n = F.size(arr).cast("double")
+    da = F.array_distinct(F.transform(arr, lambda e: e["a"]))
+    db = F.array_distinct(F.transform(arr, lambda e: e["b"]))
+
+    def cnt(pred):
+        return F.size(F.filter(arr, pred)).cast("double")
+
+    chi2 = F.aggregate(da, F.lit(0.0), lambda acc, x: acc + F.aggregate(
+        db, F.lit(0.0), lambda acc2, y: acc2 + (
+            lambda o, e: (o - e) * (o - e) / e)(
+            cnt(lambda r: (r["a"] == x) & (r["b"] == y)),
+            cnt(lambda r: r["a"] == x) * cnt(lambda r: r["b"] == y) / n)))
+    return chi2, n, F.size(da).cast("double"), F.size(db).cast("double")
+
+
+def _cramers_v(a, b, corrected: bool = False) -> Column:
+    arr = _cat_pairs(a, b)
+    chi2, n, ka, kb = _chi2_n(arr)
+    phi2 = chi2 / n
+    if corrected:
+        # Bergsma's bias correction (public formula)
+        phi2 = F.greatest(F.lit(0.0),
+                          phi2 - (ka - 1.0) * (kb - 1.0) / (n - 1.0))
+        ka = ka - (ka - 1.0) * (ka - 1.0) / (n - 1.0)
+        kb = kb - (kb - 1.0) * (kb - 1.0) / (n - 1.0)
+    return F.sqrt(phi2 / F.least(ka - 1.0, kb - 1.0))
+
+
+def _contingency(a, b) -> Column:
+    arr = _cat_pairs(a, b)
+    chi2, n, _ka, _kb = _chi2_n(arr)
+    return F.sqrt(chi2 / (n + chi2))
+
+
+def _theils_u(a, b) -> Column:
+    """Uncertainty coefficient U(a|b) = (H(a) − H(a|b)) / H(a); base of
+    the log cancels."""
+    arr = _cat_pairs(a, b)
+    n = F.size(arr).cast("double")
+    da = F.array_distinct(F.transform(arr, lambda e: e["a"]))
+    db = F.array_distinct(F.transform(arr, lambda e: e["b"]))
+
+    def cnt(pred):
+        return F.size(F.filter(arr, pred)).cast("double")
+
+    def plogp(p):
+        return F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    h_a = -F.aggregate(da, F.lit(0.0),
+                       lambda acc, x: acc + plogp(
+                           cnt(lambda r: r["a"] == x) / n))
+    h_ab = -F.aggregate(db, F.lit(0.0), lambda acc, y: acc + (
+        lambda ny: (ny / n) * F.aggregate(
+            da, F.lit(0.0), lambda acc2, x: acc2 + plogp(
+                cnt(lambda r: (r["a"] == x) & (r["b"] == y)) / ny)))(
+        cnt(lambda r: r["b"] == y)))
+    return F.when(h_a > 0, (h_a - h_ab) / h_a).otherwise(F.lit(1.0))
+
+
+AGGREGATES.update({
+    "cramersV": _cramers_v,
+    "cramersVBiasCorrected": lambda a, b: _cramers_v(a, b, corrected=True),
+    "contingency": _contingency,
+    "theilsU": _theils_u,
+})

@@ -750,3 +750,24 @@ def test_tuple_arithmetic_and_array_rotate(spark):
     assert run("arrayRotateLeft([1,2,3], 5)") == [3, 1, 2]
     assert run("arrayShiftLeft([1,2,3], 1, 0)") == [2, 3, 0]
     assert run("arrayShiftRight([1,2,3], 2, 9)") == [9, 9, 1]
+
+
+def test_categorical_association(spark):
+    def run(rows, e):
+        t = {"t": spark.createDataFrame(rows, "a string, b string")}
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    perfect = [("x", "x"), ("y", "y"), ("x", "x"),
+               ("z", "z"), ("y", "y"), ("z", "z")]
+    indep = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")]
+    assert abs(run(perfect, "cramersV(a, b)") - 1.0) < 1e-9
+    assert abs(run(perfect, "theilsU(a, b)") - 1.0) < 1e-9
+    # contingency coefficient caps at sqrt(k-1/k) < 1 even when perfect
+    assert abs(run(perfect, "contingency(a, b)") - 0.8164966) < 1e-6
+    assert abs(run(indep, "cramersV(a, b)")) < 1e-9
+    assert abs(run(indep, "theilsU(a, b)")) < 1e-9
+    # bias-corrected V ≤ raw V, still 0 on independence
+    assert abs(run(indep, "cramersVBiasCorrected(a, b)")) < 1e-9
+    v = run(perfect + indep, "cramersV(a, b)")
+    vc = run(perfect + indep, "cramersVBiasCorrected(a, b)")
+    assert 0 < vc <= v < 1
