@@ -932,3 +932,34 @@ AGGREGATES.update({
     "contingency": _contingency,
     "theilsU": _theils_u,
 })
+
+
+def _ks_test(v, idx) -> Column:
+    """kolmogorovSmirnovTest(sample_data, sample_index) → (d_statistic,
+    p_value). D = sup |F0 − F1| evaluated at the pooled sample points
+    (HOF counts, O(n²) in the group); p-value via the asymptotic
+    Kolmogorov distribution Q(λ) = 2 Σ (−1)^{j−1} e^{−2 j² λ²}
+    (truncated at 10 terms — public formula, exact-enough beyond tiny
+    samples)."""
+    arr = F.collect_list(F.struct(_c(v).cast("double").alias("v"),
+                                  _c(idx).cast("int").alias("g")))
+    n0 = F.size(F.filter(arr, lambda e: e["g"] == 0)).cast("double")
+    n1 = F.size(arr).cast("double") - n0
+
+    def cdf(x, which):
+        return F.size(F.filter(
+            arr, lambda e: (e["g"] == which) & (e["v"] <= x))
+        ).cast("double") / (n0 if which == 0 else n1)
+
+    d = F.array_max(F.transform(
+        arr, lambda e: F.abs(cdf(e["v"], 0) - cdf(e["v"], 1))))
+    lam = d * F.sqrt(n0 * n1 / (n0 + n1))
+    p = F.lit(0.0)
+    for j in range(1, 11):
+        term = 2.0 * F.exp(-2.0 * j * j * lam * lam)
+        p = p + (term if j % 2 == 1 else -term)
+    p = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+    return F.struct(d.alias("d_statistic"), p.alias("p_value"))
+
+
+AGGREGATES.update({"kolmogorovSmirnovTest": _ks_test})

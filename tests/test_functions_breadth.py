@@ -771,3 +771,20 @@ def test_categorical_association(spark):
     v = run(perfect + indep, "cramersV(a, b)")
     vc = run(perfect + indep, "cramersVBiasCorrected(a, b)")
     assert 0 < vc <= v < 1
+
+
+def test_kolmogorov_smirnov(spark):
+    rows = [(float(v), 0) for v in range(10)] \
+        + [(float(v) + 100, 1) for v in range(10)]
+    t = {"t": spark.createDataFrame(rows, "v double, g int")}
+    r = execute_sql(spark, "SELECT kolmogorovSmirnovTest(v, g) AS k FROM t",
+                    t).collect()[0].k
+    # disjoint samples: maximal D, significant p
+    assert r["d_statistic"] == 1.0 and r["p_value"] < 0.01
+    rows2 = [(float(v), 0) for v in (1, 2, 3, 4, 5)] \
+        + [(float(v) + 0.5, 1) for v in (1, 2, 3, 4, 5)]
+    t2 = {"t": spark.createDataFrame(rows2, "v double, g int")}
+    r2 = execute_sql(spark,
+                     "SELECT kolmogorovSmirnovTest(v, g) AS k FROM t",
+                     t2).collect()[0].k
+    assert abs(r2["d_statistic"] - 0.2) < 1e-9 and r2["p_value"] > 0.9
