@@ -71,6 +71,21 @@ class TableMeta:
         return ", ".join(f"`{n}` {ch_type_to_spark(t)}"
                          for n, t in self.columns)
 
+    def bucket_spec(self) -> tuple[int, str] | None:
+        """SETTINGS buckets = N [, bucket_by = 'col'] on a MergeTree
+        table → Spark bucketed storage. Both sides of an equi-join on
+        the bucket column then scan pre-partitioned files and the join
+        plans with ZERO Exchange — the co-located-join layout that
+        matters at 100 TB (CH itself has no bucket clause; this is the
+        documented Spark-native extension, default bucket_by = first
+        ORDER BY column)."""
+        n = self.settings.get("buckets")
+        if not n:
+            return None
+        col = self.settings.get("bucket_by") or (
+            self.order_by[0] if self.order_by else self.columns[0][0])
+        return int(str(n).strip("'\"")), str(col).strip("'\"")
+
 
 @dataclass
 class DictMeta:
@@ -292,6 +307,14 @@ class ChSession:
                 meta.name, meta.database), self._engines())
         if meta.memory_df is not None:
             return meta.memory_df
+        if meta.bucket_spec() is not None and meta.path:
+            cat = self._catalog_name(meta)
+            if self.spark.catalog.tableExists(cat):
+                # catalog-backed scan: keeps the bucketing metadata so
+                # equi-joins on the bucket column skip the shuffle
+                return self.spark.table(cat).select(
+                    *[n for n, _ in meta.columns])
+            return self.spark.createDataFrame([], meta.spark_schema())
         if meta.path and os.path.exists(meta.path):
             df = self.spark.read.schema(meta.spark_schema()).parquet(meta.path)
             declared = [n for n, _ in meta.columns]
@@ -486,6 +509,9 @@ class ChSession:
             if node.if_exists:
                 return self._ok()
             raise ValueError(f"unknown table: {db}.{node.name}")
+        if meta.bucket_spec() is not None and meta.path:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._catalog_name(meta)}")
         if meta.path and os.path.exists(meta.path):
             shutil.rmtree(meta.path)
         del self._db(db)[node.name]
@@ -643,6 +669,11 @@ class ChSession:
         if meta.memory_df is not None:
             meta.memory_df = self.spark.createDataFrame(
                 [], meta.spark_schema())
+        elif meta.bucket_spec() is not None and meta.path:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._catalog_name(meta)}")
+            if os.path.exists(meta.path):
+                shutil.rmtree(meta.path)
         elif meta.path and os.path.exists(meta.path):
             shutil.rmtree(meta.path)
         return self._ok()
@@ -761,7 +792,26 @@ class ChSession:
             self._write(meta, materialized, mode="overwrite")
         return self._ok()
 
+    def _catalog_name(self, meta: TableMeta) -> str:
+        """Session-catalog name for a bucketed table, keyed on the
+        warehouse path (stable under RENAME/EXCHANGE — the meta travels
+        with its path)."""
+        import hashlib
+        h = hashlib.md5(meta.path.encode()).hexdigest()[:12]
+        return f"chspark_b{h}"
+
     def _write(self, meta: TableMeta, df: DataFrame, mode: str) -> None:
+        spec = meta.bucket_spec()
+        if spec is not None and meta.path:
+            n, col = spec
+            writer = (df.sortWithinPartitions(*meta.order_by)
+                      if meta.order_by else df)
+            w = writer.write.mode(mode).option("path", meta.path)
+            if meta.partition_by and meta.partition_expr is None:
+                w = w.partitionBy(meta.partition_by)
+            (w.bucketBy(n, col).sortBy(*(meta.order_by or [col]))
+             .saveAsTable(self._catalog_name(meta)))
+            return
         writer = df
         if meta.order_by:
             # MergeTree ORDER BY → cluster files by sorting key so parquet

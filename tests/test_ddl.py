@@ -725,3 +725,50 @@ def test_external_ddl_unknown_source_raises(sess):
     with pytest.raises(Exception, match="not supported"):
         sess.execute("EXTERNAL DDL FROM Postgres('h','d','t','u','p') "
                      "DROP TABLE x")
+
+
+# --- bucketed tables: co-located joins without a shuffle --------------------
+
+def test_bucketed_tables_join_without_exchange(sess, spark):
+    sess.execute("CREATE TABLE ba (k UInt64, v UInt64) "
+                 "ENGINE = MergeTree ORDER BY k SETTINGS buckets = 4")
+    sess.execute("CREATE TABLE bb (k UInt64, w UInt64) "
+                 "ENGINE = MergeTree ORDER BY k SETTINGS buckets = 4")
+    sess.execute("INSERT INTO ba SELECT number AS k, number * 2 AS v "
+                 "FROM numbers(10000)")
+    sess.execute("INSERT INTO bb SELECT number AS k, number * 3 AS w "
+                 "FROM numbers(10000)")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sess.execute(
+            "SELECT count() AS c FROM ba INNER JOIN bb USING (k)")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both scans carry bucketing metadata; the equi-join on the
+        # bucket column plans with no hash-partitioning shuffle (the
+        # only Exchange is the global count's SinglePartition)
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange hashpartitioning" not in plan
+        assert df.collect()[0].c == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_table_lifecycle(sess, spark):
+    sess.execute("CREATE TABLE bt (k UInt64, v String) "
+                 "ENGINE = MergeTree ORDER BY k "
+                 "SETTINGS buckets = 2, bucket_by = 'k'")
+    # empty read before any insert
+    assert sess.execute("SELECT count() AS c FROM bt").collect()[0].c == 0
+    sess.execute("INSERT INTO bt VALUES (1, 'a'), (2, 'b')")
+    sess.execute("INSERT INTO bt VALUES (3, 'c')")          # append
+    assert sess.execute("SELECT count() AS c FROM bt").collect()[0].c == 3
+    sess.execute("RENAME TABLE bt TO bt2")
+    assert sess.execute("SELECT count() AS c FROM bt2").collect()[0].c == 3
+    sess.execute("TRUNCATE TABLE bt2")
+    assert sess.execute("SELECT count() AS c FROM bt2").collect()[0].c == 0
+    meta = sess._resolve(None, "bt2")
+    cat = sess._catalog_name(meta)
+    sess.execute("DROP TABLE bt2")
+    # this table's session-catalog entry is gone too
+    assert not spark.catalog.tableExists(cat)
