@@ -963,3 +963,42 @@ def _ks_test(v, idx) -> Column:
 
 
 AGGREGATES.update({"kolmogorovSmirnovTest": _ks_test})
+
+
+def _sparkbar(n, x, y=None) -> Column:
+    """sparkbar(buckets)(x[, y]): unicode bar chart of the y-sum (or
+    row count) over ``buckets`` equal x-ranges — '▂▅▇█…' (public CH
+    signature). Collect + HOF folds; glyph level = bucket sum scaled to
+    the max bucket, 8 levels, space for empty buckets."""
+    n = int(n)
+    pair = F.struct(_c(x).cast("double").alias("x"),
+                    (_c(y).cast("double") if y is not None
+                     else F.lit(1.0)).alias("y"))
+    arr = F.collect_list(pair)
+    xs = F.transform(arr, lambda e: e["x"])
+    mn, mx = F.array_min(xs), F.array_max(xs)
+    width = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+
+    def bucket_sum(i: int) -> Column:
+        lo = mn + width * i / float(n)
+        hi = mn + width * (i + 1) / float(n)
+        last = i == n - 1
+        return F.aggregate(
+            arr, F.lit(0.0),
+            lambda acc, e: acc + F.when(
+                (e["x"] >= lo) & ((e["x"] <= hi) if last
+                                  else (e["x"] < hi)), e["y"])
+            .otherwise(F.lit(0.0)))
+
+    sums = F.array(*[bucket_sum(i) for i in range(n)])
+    peak = F.array_max(sums)
+    glyphs = [" ", "▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]
+    bar = F.transform(sums, lambda s: F.element_at(
+        F.array(*[F.lit(g) for g in glyphs]),
+        (F.when((peak > 0) & (s > 0),
+                F.ceil(s * 8.0 / peak)).otherwise(F.lit(0)) + 1)
+        .cast("int")))
+    return F.array_join(bar, "")
+
+
+AGGREGATES.update({"sparkbar": _sparkbar, "sparkBar": _sparkbar})

@@ -788,3 +788,13 @@ def test_kolmogorov_smirnov(spark):
                      "SELECT kolmogorovSmirnovTest(v, g) AS k FROM t",
                      t2).collect()[0].k
     assert abs(r2["d_statistic"] - 0.2) < 1e-9 and r2["p_value"] > 0.9
+
+
+def test_sparkbar(spark):
+    rows = [(float(i), float(i)) for i in range(1, 11)]
+    t = {"t": spark.createDataFrame(rows, "x double, y double")}
+    r = execute_sql(spark,
+                    "SELECT sparkbar(5)(x, y) AS b, sparkbar(10)(x) AS c "
+                    "FROM t", t).collect()[0]
+    assert r.b == "▂▃▅▇█"         # rising weight per bucket
+    assert r.c == "██████████"    # uniform counts → all peak
