@@ -1002,3 +1002,81 @@ def _sparkbar(n, x, y=None) -> Column:
 
 
 AGGREGATES.update({"sparkbar": _sparkbar, "sparkBar": _sparkbar})
+
+
+AGGREGATES.update({
+    # Kahan-compensated sum: Spark's partial-aggregated double sum is
+    # the engine's summation; compensation is not exposed — documented
+    # analogue (same contract: more-stable float sums)
+    "sumKahan": lambda x: F.sum(_c(x)),
+    # type-Nothing aggregate (always NULL)
+    "nothing": lambda *a: F.first(F.lit(None)),
+    # exactly-one-distinct-value ⇒ that value, else NULL — the aggregate
+    # the reference's = ANY/!= ALL rewrites reference
+    # (ExpressionListParsers.cpp:237-251)
+    "singleValueOrNull": lambda x: F.when(
+        F.count_distinct(_c(x)) == 1, F.min(_c(x))),
+    # *MappedArrays spellings are the same per-key array merges
+    "sumMappedArrays": AGGREGATES["sumMap"],
+    "minMappedArrays": AGGREGATES["minMap"],
+    "maxMappedArrays": AGGREGATES["maxMap"],
+})
+
+
+def _lttb(n, x, y) -> Column:
+    """largestTriangleThreeBuckets(n)(x, y): downsample to n points
+    keeping visual shape (Steinarsson's public LTTB algorithm). Points
+    sorted by x; first/last always kept; each middle bucket keeps the
+    point with the largest triangle area against the previous kept
+    point and the next bucket's average — a sequential fold, expressed
+    as F.aggregate carrying (prev point, selected array). O(len) per
+    group inside the row, no Python."""
+    n = int(n)
+    pts = F.array_sort(F.collect_list(
+        F.struct(_c(x).cast("double").alias("x"),
+                 _c(y).cast("double").alias("y"))))
+    m = F.size(pts)
+    if n <= 2:
+        return F.when(m >= 2, F.array(F.element_at(pts, 1),
+                                      F.element_at(pts, -1))) \
+                .otherwise(pts)
+    w = (m - 2).cast("double") / float(n - 2)
+
+    def bucket_slice(i):
+        start = (F.floor(i * w) + 2).cast("int")           # 1-based
+        stop = (F.floor((i + 1) * w) + 2).cast("int")
+        return F.slice(pts, start, F.greatest(stop - start, F.lit(1)))
+
+    def avg_of(sl):
+        cnt = F.size(sl).cast("double")
+        ax = F.aggregate(sl, F.lit(0.0), lambda a, e: a + e["x"]) / cnt
+        ay = F.aggregate(sl, F.lit(0.0), lambda a, e: a + e["y"]) / cnt
+        return ax, ay
+
+    def step(acc, i):
+        prev = acc["prev"]
+        cands = bucket_slice(i)
+        nxt = F.when(i < n - 3, bucket_slice(i + 1)) \
+            .otherwise(F.array(F.element_at(pts, -1)))
+        ax, ay = avg_of(nxt)
+
+        def area(e):
+            return F.abs((prev["x"] - ax) * (e["y"] - prev["y"])
+                         - (prev["x"] - e["x"]) * (ay - prev["y"]))
+
+        best = F.aggregate(
+            cands, F.element_at(cands, 1),
+            lambda b, e: F.when(area(e) > area(b), e).otherwise(b))
+        return F.struct(best.alias("prev"),
+                        F.concat(acc["out"], F.array(best)).alias("out"))
+
+    init = F.struct(
+        F.element_at(pts, 1).alias("prev"),
+        F.array(F.element_at(pts, 1)).alias("out"))
+    folded = F.aggregate(F.sequence(F.lit(0), F.lit(n - 3)), init, step)
+    full = F.concat(folded["out"], F.array(F.element_at(pts, -1)))
+    return F.when(m <= n, pts).otherwise(full)
+
+
+AGGREGATES.update({"largestTriangleThreeBuckets": _lttb,
+                   "lttb": _lttb})

@@ -798,3 +798,24 @@ def test_sparkbar(spark):
                     "FROM t", t).collect()[0]
     assert r.b == "▂▃▅▇█"         # rising weight per bucket
     assert r.c == "██████████"    # uniform counts → all peak
+
+
+def test_lttb_and_single_value(spark):
+    import math
+    rows = [(float(i), math.sin(i / 10.0)) for i in range(100)]
+    rows[50] = (50.0, 25.0)                    # spike
+    t = {"t": spark.createDataFrame(rows, "x double, y double")}
+    r = execute_sql(
+        spark, "SELECT largestTriangleThreeBuckets(10)(x, y) AS d FROM t",
+        t).collect()[0]
+    pts = [(p.x, p.y) for p in r.d]
+    assert len(pts) == 10
+    assert pts[0][0] == 0.0 and pts[-1][0] == 99.0   # endpoints kept
+    assert (50.0, 25.0) in pts                       # spike survives
+    assert [p[0] for p in pts] == sorted(p[0] for p in pts)
+    t2 = {"t": spark.createDataFrame([(1,), (1,)], "v int")}
+    assert execute_sql(spark, "SELECT singleValueOrNull(v) AS s FROM t",
+                       t2).collect()[0].s == 1
+    t3 = {"t": spark.createDataFrame([(1,), (2,)], "v int")}
+    assert execute_sql(spark, "SELECT singleValueOrNull(v) AS s FROM t",
+                       t3).collect()[0].s is None
