@@ -1062,21 +1062,40 @@ class ChSession:
         return self._ok()
 
     def _backup(self, node: BackupStmt):
-        """BACKUP/RESTORE TABLE ... TO Disk('path') → parquet snapshot."""
+        """BACKUP/RESTORE TABLE|DATABASE ... TO Disk('path') → parquet
+        snapshot (one subdirectory per table for the DATABASE form)."""
+        if node.target == "DATABASE":
+            if node.kind == "BACKUP":
+                for name, meta in self._db(node.database).items():
+                    if meta.is_view:
+                        continue
+                    self._read(meta).write.mode("overwrite").parquet(
+                        os.path.join(node.path, name))
+                return self._ok()
+            db = node.database
+            self.databases.setdefault(db, {})
+            for name in sorted(os.listdir(node.path)):
+                sub = os.path.join(node.path, name)
+                if os.path.isdir(sub):
+                    self._restore_table(db, name, sub)
+            return self._ok()
         if node.kind == "BACKUP":
             meta = self._resolve(node.database, node.table)
             self._read(meta).write.mode("overwrite").parquet(node.path)
             return self._ok()
-        df = self.spark.read.parquet(node.path)
-        db = node.database or self.current_db
-        meta = TableMeta(node.table, db,
+        self._restore_table(node.database or self.current_db,
+                            node.table, node.path)
+        return self._ok()
+
+    def _restore_table(self, db: str, table: str, path: str) -> None:
+        df = self.spark.read.parquet(path)
+        meta = TableMeta(table, db,
                          [(f.name, _spark_to_ch(f.dataType.simpleString()))
                           for f in df.schema.fields],
                          engine="MergeTree",
-                         path=os.path.join(self.warehouse, db, node.table))
+                         path=os.path.join(self.warehouse, db, table))
         self._write(meta, df, mode="overwrite")
-        self._db(db)[node.table] = meta
-        return self._ok()
+        self._db(db)[table] = meta
 
     def _ok(self):
         return self.spark.createDataFrame([(0,)], "ok int")

@@ -219,8 +219,9 @@ class KillStmt(Node):
 class BackupStmt(Node):
     kind: str            # BACKUP | RESTORE
     database: str | None
-    table: str
+    table: str           # "" for whole-database form
     path: str
+    target: str = "TABLE"     # TABLE | DATABASE (ASTBackupQuery.h)
 
 
 @dataclass
@@ -410,8 +411,12 @@ class StatementParser(Parser):
             return self._external_ddl()
         if t.is_kw("BACKUP", "RESTORE"):
             kind = self.advance().text.upper()
-            self.expect_kw("TABLE")
-            db, name = self._qualified_name()
+            if self.accept_kw("DATABASE"):
+                target, db, name = "DATABASE", self.advance().text, ""
+            else:
+                self.expect_kw("TABLE")
+                target = "TABLE"
+                db, name = self._qualified_name()
             if not (self.accept_kw("TO") or self.accept_kw("FROM")):
                 raise ParseError(f"{kind} requires TO/FROM at {self.tok.pos}")
             # Disk('path') or plain 'path'
@@ -422,7 +427,7 @@ class StatementParser(Parser):
                 self.expect_op(")")
             else:
                 path = self.advance().text
-            return BackupStmt(kind, db, name, path)
+            return BackupStmt(kind, db, name, path, target=target)
         if t.is_op("("):
             return self.parse_query()
         raise ParseError(f"unknown statement start: {t.text!r}")

@@ -86,3 +86,17 @@ def test_quantified_ne_all_not_in(spark, tables, duck):
         "SELECT count(*) FROM customer WHERE c_nationkey NOT IN "
         "(SELECT s_nationkey FROM supplier)").fetchone()[0]
     assert got == want
+
+
+def test_backup_restore_database(sess, tmp_path):
+    sess.execute("CREATE DATABASE bk")
+    sess.execute("CREATE TABLE bk.t1 (x Int32) ENGINE = MergeTree ORDER BY x")
+    sess.execute("CREATE TABLE bk.t2 (s String) ENGINE = MergeTree ORDER BY s")
+    sess.execute("INSERT INTO bk.t1 VALUES (1), (2)")
+    sess.execute("INSERT INTO bk.t2 VALUES ('a')")
+    dest = str(tmp_path / "snap")
+    sess.execute(f"BACKUP DATABASE bk TO Disk('{dest}')")
+    sess.execute("DROP DATABASE bk")
+    sess.execute(f"RESTORE DATABASE bk FROM Disk('{dest}')")
+    assert sess.execute("SELECT count() AS c FROM bk.t1").collect()[0].c == 2
+    assert sess.execute("SELECT s FROM bk.t2").collect()[0].s == "a"
