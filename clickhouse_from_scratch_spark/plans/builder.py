@@ -2454,6 +2454,20 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # which only the analyzed schema knows — one plan analysis at
         # build time, zero runtime cost
         return _tuple_arith(name, cols, df)
+    if (name == "tupleElement" and df is not None
+            and len(node.args) == 2 and isinstance(node.args[1], Literal)
+            and isinstance(node.args[1].value, int)):
+        # t.N works positionally on ANY tuple — including named ones
+        # like the statistical-test results (t_statistic, p_value) —
+        # per the CH Tuple contract, not just our _N convention
+        from pyspark.sql.types import StructType
+        dt = df.select(cols[0]).schema[0].dataType
+        if isinstance(dt, StructType):
+            idx = node.args[1].value
+            if not 1 <= idx <= len(dt.fields):
+                raise BuildError(f"tupleElement: index {idx} out of "
+                                 f"range for {len(dt.fields)}-tuple")
+            return cols[0][dt.fields[idx - 1].name]
     if name in ("trimBothChars", "trimLeftChars", "trimRightChars"):
         target, chars = cols
         cl = node.args[1].value if isinstance(node.args[1], Literal) else ""

@@ -2079,3 +2079,91 @@ def sql_summap(spark, sf_dir):
                  sumMap([l_linenumber], [l_quantity]).2), ',') AS vals_csv
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """)
+
+
+@query("sql_ttest", oracle="""
+WITH g AS (
+  SELECT l_returnflag,
+         count(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS n0,
+         avg(CASE WHEN l_linenumber % 2 = 0 THEN l_extendedprice END) AS m0,
+         var_samp(CASE WHEN l_linenumber % 2 = 0
+                       THEN l_extendedprice END) AS v0,
+         count(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS n1,
+         avg(CASE WHEN l_linenumber % 2 = 1 THEN l_extendedprice END) AS m1,
+         var_samp(CASE WHEN l_linenumber % 2 = 1
+                       THEN l_extendedprice END) AS v1
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round((m0 - m1) / sqrt((((n0-1)*v0 + (n1-1)*v1) / (n0+n1-2))
+             * (1.0/n0 + 1.0/n1)), 6) AS student_t,
+       round((m0 - m1) / sqrt(v0/n0 + v1/n1), 6) AS welch_t
+FROM g ORDER BY l_returnflag
+""")
+def sql_ttest(spark, sf_dir):
+    """Two-sample t statistics per group, DuckDB-oracled through the
+    closed-form pooled/unpooled formulas (p-values are pinned in pytest
+    — DuckDB has no erf)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               round(studentTTest(l_extendedprice, l_linenumber % 2).1, 6)
+                 AS student_t,
+               round(welchTTest(l_extendedprice, l_linenumber % 2).1, 6)
+                 AS welch_t
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_rank_corr", oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+             / 2.0 AS rx,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+              - 1) / 2.0 AS ry
+  FROM lineitem)
+SELECT l_returnflag, round(corr(rx, ry), 6) AS rho
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_rank_corr(spark, sf_dir):
+    """Spearman rank correlation (rankCorr) per group; the oracle
+    computes Pearson over average ranks (RANK + tie-correction) —
+    identical definition."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               round(rankCorr(l_quantity, l_extendedprice), 6) AS rho
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_assoc", oracle="""
+WITH n AS (SELECT count(*) AS n FROM orders),
+cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+ma AS (SELECT a, sum(o) AS ca FROM cells GROUP BY a),
+mb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+chi AS (
+  SELECT sum((c.o - CAST(ma.ca AS DOUBLE) * mb.cb / n.n)
+             * (c.o - CAST(ma.ca AS DOUBLE) * mb.cb / n.n)
+             / (CAST(ma.ca AS DOUBLE) * mb.cb / n.n)) AS chi2
+  FROM cells c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+dims AS (SELECT (SELECT count(*) FROM ma) AS ka,
+                (SELECT count(*) FROM mb) AS kb)
+SELECT round(sqrt(chi.chi2 / n.n / least(dims.ka - 1, dims.kb - 1)), 6)
+         AS cramers_v,
+       round(sqrt(chi.chi2 / (n.n + chi.chi2)), 6) AS contingency_c
+FROM chi CROSS JOIN n CROSS JOIN dims
+""")
+def sql_assoc(spark, sf_dir):
+    """Categorical association between order status and priority:
+    cramersV + contingency coefficient, oracled through the explicit
+    chi-square contingency computation in SQL."""
+    return _sql(spark, sf_dir, """
+        SELECT round(cramersV(o_orderstatus, o_orderpriority), 6)
+                 AS cramers_v,
+               round(contingency(o_orderstatus, o_orderpriority), 6)
+                 AS contingency_c
+        FROM orders
+    """)
