@@ -383,6 +383,18 @@ class ChSession:
             meta.columns = list(src_meta.columns)
         if not meta.columns:
             raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+        expanded: list[tuple[str, str]] = []
+        for cn, ct in meta.columns:
+            if ct.startswith("Nested(") and ct.endswith(")"):
+                # Nested(a T, b U) flattens to parallel arrays n.a / n.b
+                # (DataTypeNested.cpp / NestedUtils.cpp; SURVEY §1.2) —
+                # ARRAY JOIN n unnests them in lockstep
+                from .sources.generate import _split_cols
+                for sub, st in _split_cols(ct[7:-1]):
+                    expanded.append((f"{cn}.{sub}", f"Array({st})"))
+            else:
+                expanded.append((cn, ct))
+        meta.columns = expanded
         if node.engine == "Memory" or node.temporary:
             meta.memory_df = (source if source is not None else
                               self.spark.createDataFrame(
@@ -762,8 +774,9 @@ class ChSession:
                 source = source.withColumn(
                     cname, F.lit(_type_default_py(ctype)).cast(
                         ch_type_to_spark(ctype)))
-        source = source.select(*[F.col(n).cast(ch_type_to_spark(t)).alias(n)
-                                 for n, t in meta.columns])
+        source = source.select(*[
+            F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
+            for n, t in meta.columns])
         if meta.memory_df is not None:
             meta.memory_df = meta.memory_df.unionByName(source)
         else:

@@ -35,5 +35,7 @@ def array_join(df: DataFrame, arrays: Mapping[str, str | Column],
     zipped = F.arrays_zip(*[col.alias(alias) for alias, col in items])
     out = df.select("*", exploder(zipped).alias("__z"))
     for alias, _ in items:
-        out = out.withColumn(alias, F.col(f"__z.{alias}"))
+        # getItem, not a parsed path — aliases may contain dots
+        # (flattened Nested columns like n.a)
+        out = out.withColumn(alias, F.col("__z")[alias])
     return out.drop("__z")

@@ -1036,9 +1036,17 @@ def _apply_array_join(df: DataFrame, aj: ArrayJoinClause,
         if isinstance(e, Alias):
             arrays[e.alias] = _eval(e.expr, ctx, df)
         elif isinstance(e, Identifier):
-            arrays[e.name] = F.col(e.name)
+            subs = [c for c in df.columns
+                    if c.startswith(e.name + ".")]
+            if e.name not in df.columns and subs:
+                # ARRAY JOIN n over a Nested column: every flattened
+                # n.* array unnests in lockstep (NestedUtils semantics)
+                for c in subs:
+                    df = df.withColumnRenamed(c, f"__aj_{c}")
+                    arrays[c] = F.col(f"`__aj_{c}`")
+                continue
             df = df.withColumnRenamed(e.name, f"__aj_{e.name}")
-            arrays[e.name] = F.col(f"__aj_{e.name}")
+            arrays[e.name] = F.col(f"`__aj_{e.name}`")
         else:
             raise BuildError("ARRAY JOIN expression needs an alias")
     out = array_join(df, arrays, left=aj.left)
@@ -1994,7 +2002,7 @@ def _eval_post(node, out: DataFrame, ctx: Context) -> Column:
 
 def _post_identifier(node: Identifier, out: DataFrame, ctx: Context) -> Column:
     if node.name in out.columns:
-        return F.col(node.name)
+        return _name_col(node.name)
     if node.parts[-1] in out.columns:
         return F.col(node.parts[-1])
     if node.name in ctx.aliases:
@@ -2014,7 +2022,7 @@ def _post_expr(node, df: DataFrame, ctx: Context) -> Column:
 
 def _apply_projection(df: DataFrame, items, ctx: Context) -> DataFrame:
     df, names = _apply_projection_keep(df, items, ctx)
-    return df.select(*names)
+    return df.select(*[_name_col(n) for n in names])
 
 
 def _apply_projection_keep(df: DataFrame, items,
@@ -2032,11 +2040,16 @@ def _apply_projection_keep(df: DataFrame, items,
                 proj.append(F.col(f"{item.table}.*"))
                 names.append(f"{item.table}.*")
                 continue
-            proj.extend(F.col(c) for c in cols)
+            proj.extend(_name_col(c) for c in cols)
             names.extend(cols)
             continue
         node = _inline(item, ctx)
         name = node.alias if isinstance(node, Alias) else _auto_name(node)
+        if (isinstance(node, Identifier) and len(node.parts) > 1
+                and node.name in df.columns):
+            # a dotted NAME that is itself a column (flattened Nested)
+            # keeps its full name — it is not a table-qualified ref
+            name = node.name
         expr = node.expr if isinstance(node, Alias) else node
         if isinstance(expr, FuncCall) and expr.name == "untuple":
             # untuple(t) expands the tuple's elements into separate
@@ -2064,7 +2077,7 @@ def _apply_projection_keep(df: DataFrame, items,
     from collections import Counter
     counts = Counter(df.columns)
     keep = [c for c in df.columns if c not in names and counts[c] == 1]
-    return df.select(*proj, *keep), names
+    return df.select(*proj, *[_name_col(c) for c in keep]), names
 
 
 def _name_col(n: str) -> Column:
@@ -2079,7 +2092,7 @@ def _order_bare(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
     with-ties lowering needs it both as a sort key and in a filter)."""
     c = _post_expr(it.expr, df, ctx)
     if isinstance(it.expr, Identifier) and it.expr.name in df.columns:
-        c = F.col(it.expr.name)
+        c = _name_col(it.expr.name)
     if it.collate:
         # CH COLLATE 'locale' → Spark 4 ICU collation on the sort key
         c = F.collate(c.cast("string"), it.collate.replace("-", "_"))
@@ -2140,6 +2153,13 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     if isinstance(node, Identifier):
         if node.name in ctx.lambda_params:
             return ctx.lambda_params[node.name]
+        if len(node.parts) > 1 and (
+                (df is not None and node.name in df.columns)
+                or node.name in ctx.columns):
+            # a column literally named with dots — the Nested(...)
+            # flattening convention (n.a Array(T)); backticks stop
+            # Spark parsing it as struct-field access
+            return F.col(f"`{node.name}`")
         if len(node.parts) == 2 and two_sided is not None:
             return F.col(node.name)
         if (df is not None and node.name not in ctx.columns

@@ -757,7 +757,20 @@ class Parser:
                     depth -= 1
                     if depth == 0:
                         break
-            return "".join(out)
+            # re-space adjacent word tokens so structured parameter
+            # lists survive round-tripping: Nested(a Int32, b String) /
+            # Tuple(x UInt8) keep their name-type separation
+            text = ""
+            prev_word = False
+            for piece in out:
+                word = bool(piece) and (piece[0].isalnum()
+                                        or piece[0] == "_")
+                if text and prev_word and word:
+                    text += " "
+                text += piece
+                prev_word = bool(piece) and (piece[-1].isalnum()
+                                             or piece[-1] == "_")
+            return text
         return name
 
     def _literal_value(self):

@@ -772,3 +772,31 @@ def test_bucketed_table_lifecycle(sess, spark):
     sess.execute("DROP TABLE bt2")
     # this table's session-catalog entry is gone too
     assert not spark.catalog.tableExists(cat)
+
+
+# --- Nested type (DataTypeNested.cpp / NestedUtils.cpp; SURVEY §1.2) --------
+
+def test_nested_type_flattening_and_array_join(sess):
+    sess.execute("CREATE TABLE vis (id UInt32, "
+                 "g Nested(url String, hits UInt32)) "
+                 "ENGINE = MergeTree ORDER BY id")
+    cols = {r.name: r.type for r in sess.execute(
+        "SELECT name, type FROM system.columns WHERE table = 'vis'"
+    ).collect()}
+    assert cols["g.url"] == "Array(String)"
+    assert cols["g.hits"] == "Array(UInt32)"
+    sess.execute("INSERT INTO vis VALUES (1, ['a','b'], [10, 20]), "
+                 "(2, [], [])")
+    # ARRAY JOIN on the nested prefix unnests every g.* in lockstep
+    rows = [tuple(r) for r in sess.execute(
+        "SELECT id, g.url, g.hits FROM vis ARRAY JOIN g "
+        "ORDER BY id, g.url").collect()]
+    assert rows == [(1, "a", 10), (1, "b", 20)]
+    # LEFT ARRAY JOIN keeps the empty-array row
+    assert sess.execute("SELECT count() AS c FROM vis LEFT ARRAY JOIN g"
+                        ).collect()[0].c == 3
+    # flattened columns select/aggregate like any column
+    assert sess.execute("SELECT sum(g.hits) AS s FROM vis ARRAY JOIN g"
+                        ).collect()[0].s == 30
+    out = sess.execute("SELECT * FROM vis ORDER BY id").collect()
+    assert out[0]["g.url"] == ["a", "b"] and out[1]["g.hits"] == []
