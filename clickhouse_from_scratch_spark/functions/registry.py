@@ -1777,6 +1777,25 @@ _alias("wordShingleMinHash", _word_shingle_minhash)
 _alias("wordShingleMinHashCaseInsensitive", _word_shingle_minhash)
 
 
+def _map_merge(op) -> Callable[..., Column]:
+    """mapAdd/mapSubtract over Map columns: key-union merge via
+    map_zip_with folded across the arguments (public CH map-arithmetic
+    family; the Tuple(Array,Array) calling form is the sumMap aggregate's
+    job — these are the per-row Map forms)."""
+    def fn(*maps) -> Column:
+        out = _c(maps[0])
+        for m in maps[1:]:
+            out = F.map_zip_with(out, _c(m), op)
+        return out
+    return fn
+
+
+_alias("mapAdd", _map_merge(
+    lambda k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))))
+_alias("mapSubtract", _map_merge(
+    lambda k, a, b: F.coalesce(a, F.lit(0)) - F.coalesce(b, F.lit(0))))
+
+
 def _array_rotate(a, n, left: bool = True) -> Column:
     a = _c(a)
     sz = F.size(a)

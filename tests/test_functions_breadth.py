@@ -819,3 +819,14 @@ def test_lttb_and_single_value(spark):
     t3 = {"t": spark.createDataFrame([(1,), (2,)], "v int")}
     assert execute_sql(spark, "SELECT singleValueOrNull(v) AS s FROM t",
                        t3).collect()[0].s is None
+
+
+def test_map_arithmetic(spark):
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+    r = execute_sql(
+        spark,
+        "SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 5)) AS m, "
+        "mapSubtract(map('x', 5), map('x', 2, 'y', 1)) AS n FROM t",
+        t).collect()[0]
+    assert sorted(r.m.items()) == [("a", 1), ("b", 12), ("c", 5)]
+    assert sorted(r.n.items()) == [("x", 3), ("y", -1)]
