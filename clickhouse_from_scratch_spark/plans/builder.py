@@ -322,6 +322,12 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                 df, cap, _overflow_mode(ctx, "distinct_overflow_mode"),
                 "max_rows_in_distinct")
 
+    if q.order_by:
+        cap = _limit_setting(ctx, "max_rows_to_sort")
+        if cap is not None:            # Settings.h:292
+            df = _enforce_row_cap(
+                df, cap, _overflow_mode(ctx, "sort_overflow_mode"),
+                "max_rows_to_sort")
     order_cols = [_order_col(df, it, ctx) for it in q.order_by]
     fill_items = [it for it in q.order_by if it.with_fill]
     if q.limit_by is not None:

@@ -130,3 +130,22 @@ def test_read_budget_is_query_wide(spark, t):
         run(spark, t,
             "SELECT count() FROM t AS a INNER JOIN t AS b USING (id)",
             max_rows_to_read=150).collect()
+
+
+# --- max_rows_to_sort -------------------------------------------------------
+
+def test_sort_throw(spark, t):
+    with pytest.raises(QueryLimitExceeded, match="max_rows_to_sort"):
+        run(spark, t, "SELECT id FROM t ORDER BY id",
+            max_rows_to_sort=50).collect()
+
+
+def test_sort_break_sorts_partial(spark, t):
+    df = run(spark, t, "SELECT id FROM t ORDER BY id",
+             max_rows_to_sort=50, sort_overflow_mode="break")
+    assert df.count() == 50
+
+
+def test_sort_under_cap(spark, t):
+    assert run(spark, t, "SELECT id FROM t ORDER BY id",
+               max_rows_to_sort=100).count() == 100
