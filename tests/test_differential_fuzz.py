@@ -471,7 +471,52 @@ def test_differential(spark, sf_dir, duck, name, sql):
     assert not problems, problems
 
 
-PAIR_CASES = DATE_CASES + DIST_CASES + QNT_CASES + ARR_CASES
+
+
+# tuple arithmetic / array rotation / URL parsing — CH expression vs an
+# equivalent-by-construction DuckDB formulation over the same columns
+_TUPMAP_PAIRS = [
+    ("tuplePlus(tuple(l_linenumber, l_suppkey), tuple(1, 2)).1",
+     "l_linenumber + 1"),
+    ("tupleMultiply(tuple(l_linenumber, l_suppkey),"
+     " tuple(l_suppkey, 2)).2",
+     "l_suppkey * 2"),
+    ("tupleNegate(tuple(l_linenumber, l_suppkey)).2", "-l_suppkey"),
+    ("arrayStringConcat(arrayRotateLeft("
+     "splitByChar('-', o_orderpriority), 1), ',')",
+     "array_to_string(string_split(o_orderpriority, '-')[2:999] || "
+     "string_split(o_orderpriority, '-')[1:1], ',')"),
+    ("arrayStringConcat(arrayShiftRight("
+     "splitByChar('-', o_orderpriority), 1, 'z'), ',')",
+     "array_to_string(['z'] || string_split(o_orderpriority, '-')"
+     "[1:len(string_split(o_orderpriority, '-')) - 1], ',')"),
+    ("netloc(concat('http://u:p@h', toString(l_linenumber),"
+     " '.com:88/p?q=1'))",
+     "regexp_extract('http://u:p@h' || l_linenumber || '.com:88/p?q=1',"
+     " '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)', 1)"),
+    ("queryStringAndFragment(concat('http://h.com/p?page=',"
+     " toString(l_linenumber), '#f'))",
+     "'page=' || l_linenumber || '#f'"),
+]
+
+
+def _tupmap_cases() -> list[tuple[str, str, str]]:
+    out = []
+    for i, (ch_e, dd_e) in enumerate(_TUPMAP_PAIRS):
+        src_t = "orders" if "o_orderpriority" in ch_e else "lineitem"
+        key = ("o_orderkey" if src_t == "orders"
+               else "l_orderkey, l_linenumber")
+        ch = (f"SELECT {key}, {ch_e} AS v FROM {src_t} "
+              f"WHERE {key.split(',')[0]} < 800")
+        dd = (f"SELECT {key}, {dd_e} AS v FROM {src_t} "
+              f"WHERE {key.split(',')[0]} < 800")
+        out.append((f"tupmapfuzz{i:02d}", ch, dd))
+    return out
+
+
+TUPMAP_CASES = _tupmap_cases()
+
+PAIR_CASES = (DATE_CASES + DIST_CASES + QNT_CASES + ARR_CASES + TUPMAP_CASES)
 
 
 @pytest.mark.parametrize("name,ch_sql,dd_sql", PAIR_CASES,
