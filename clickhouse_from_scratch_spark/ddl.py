@@ -797,6 +797,18 @@ class ChSession:
         if node.deduplicate:
             df = (df.dropDuplicates(node.dedup_by) if node.dedup_by
                   else df.dropDuplicates())
+        if meta.ttl:
+            # CH applies row TTL during merges; OPTIMIZE forces one, so
+            # rows whose TTL moment has passed are purged here (the
+            # "maintenance job" half of the CODEC/TTL policy — the
+            # recorded expression finally acts)
+            from .plans.builder import Context as _BCtx
+            from .plans.builder import _eval as _beval
+            from .plans.parser import Parser as _P
+            ttl_ast = _P(meta.ttl)._expr()
+            ttl_col = _beval(ttl_ast, _BCtx(self.spark, {}), df)
+            df = df.filter(ttl_col.cast("timestamp")
+                           > F.current_timestamp())
         materialized = df.cache()
         materialized.count()
         if meta.memory_df is not None:

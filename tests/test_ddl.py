@@ -800,3 +800,17 @@ def test_nested_type_flattening_and_array_join(sess):
                         ).collect()[0].s == 30
     out = sess.execute("SELECT * FROM vis ORDER BY id").collect()
     assert out[0]["g.url"] == ["a", "b"] and out[1]["g.hits"] == []
+
+
+def test_ttl_purged_on_optimize(sess):
+    sess.execute("CREATE TABLE ev (d DateTime, v Int64) "
+                 "ENGINE = MergeTree ORDER BY v "
+                 "TTL d + INTERVAL 30 DAY")
+    sess.execute("INSERT INTO ev VALUES ('2020-01-01 00:00:00', 1), "
+                 "('2099-01-01 00:00:00', 2)")
+    # both rows present until a merge runs (CH TTL-on-merge semantics)
+    assert sess.execute("SELECT count() AS c FROM ev").collect()[0].c == 2
+    sess.execute("OPTIMIZE TABLE ev FINAL")
+    rows = sess.execute("SELECT v FROM ev").collect()
+    # the 2020 row's TTL (2020-01-31) has passed; the 2099 row survives
+    assert [r.v for r in rows] == [2]
