@@ -1018,6 +1018,20 @@ class ChSession:
         df = build(self.spark, inner, self._tables(), self._engines())
         from .sources.formats import TEXT_RENDERERS
         if node.outfile:
+            from .sources import (
+                to_capnproto,
+                to_msgpack,
+                to_native,
+                to_row_binary,
+            )
+            byte_codecs = {"RowBinary": to_row_binary,
+                           "MsgPackEachRow": to_msgpack,
+                           "Native": to_native,
+                           "CapnProto": to_capnproto}
+            if node.format in byte_codecs:
+                with open(node.outfile, "wb") as fh:
+                    fh.write(byte_codecs[node.format](df))
+                return self._ok()
             if node.format in TEXT_RENDERERS:
                 # console/interchange formats render driver-side
                 with open(node.outfile, "w", encoding="utf-8") as fh:

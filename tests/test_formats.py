@@ -468,3 +468,22 @@ def test_capnproto_text_only_and_empty(spark):
     back = from_capnproto(spark, to_capnproto(df), "p string, q string")
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_into_outfile_binary_codecs(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    from clickhouse_from_scratch_spark.sources import (
+        from_capnproto, from_row_binary)
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE bo (x Int32, s String) ENGINE = Memory")
+    sess.execute("INSERT INTO bo VALUES (1, 'a'), (2, 'b')")
+    rb = str(tmp_path / "out.rowbinary")
+    sess.execute(f"SELECT x, s FROM bo ORDER BY x "
+                 f"INTO OUTFILE '{rb}' FORMAT RowBinary")
+    back = from_row_binary(spark, open(rb, "rb").read(), "x int, s string")
+    assert [tuple(r) for r in back.collect()] == [(1, "a"), (2, "b")]
+    cp = str(tmp_path / "out.capnp")
+    sess.execute(f"SELECT x, s FROM bo ORDER BY x "
+                 f"INTO OUTFILE '{cp}' FORMAT CapnProto")
+    back2 = from_capnproto(spark, open(cp, "rb").read(), "x int, s string")
+    assert [tuple(r) for r in back2.collect()] == [(1, "a"), (2, "b")]
