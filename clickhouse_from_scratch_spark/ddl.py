@@ -757,9 +757,17 @@ class ChSession:
                         encoding="utf-8") as fh:
                     fh.write(node.format_data)
                     path = fh.name
-            source = read_format(self.spark, fmt, path,
-                                 schema=text_schema if needs_schema
-                                 else None)
+            from .sources import from_capnproto, from_msgpack, from_row_binary
+            byte_decoders = {"RowBinary": from_row_binary,
+                             "MsgPackEachRow": from_msgpack,
+                             "CapnProto": from_capnproto}
+            if fmt in byte_decoders:
+                source = byte_decoders[fmt](
+                    self.spark, open(path, "rb").read(), text_schema)
+            else:
+                source = read_format(self.spark, fmt, path,
+                                     schema=text_schema if needs_schema
+                                     else None)
             source = (source.select(*cols)
                       if set(cols) <= set(source.columns)
                       else source.toDF(*cols))

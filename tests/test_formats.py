@@ -487,3 +487,21 @@ def test_into_outfile_binary_codecs(spark, tmp_path):
                  f"INTO OUTFILE '{cp}' FORMAT CapnProto")
     back2 = from_capnproto(spark, open(cp, "rb").read(), "x int, s string")
     assert [tuple(r) for r in back2.collect()] == [(1, "a"), (2, "b")]
+
+
+def test_insert_from_infile_binary_codecs(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE bi (x Int32, s String) ENGINE = Memory")
+    sess.execute("INSERT INTO bi VALUES (1, 'a'), (2, 'b')")
+    for fmt, ext in [("RowBinary", "rb"), ("CapnProto", "capnp"),
+                     ("MsgPackEachRow", "mp")]:
+        p = str(tmp_path / f"round.{ext}")
+        sess.execute(f"SELECT x, s FROM bi ORDER BY x "
+                     f"INTO OUTFILE '{p}' FORMAT {fmt}")
+        sess.execute(f"CREATE TABLE in_{ext} (x Int32, s String) "
+                     f"ENGINE = Memory")
+        sess.execute(f"INSERT INTO in_{ext} FROM INFILE '{p}' FORMAT {fmt}")
+        rows = [tuple(r) for r in sess.execute(
+            f"SELECT x, s FROM in_{ext} ORDER BY x").collect()]
+        assert rows == [(1, "a"), (2, "b")], fmt
