@@ -133,6 +133,8 @@ class ChSession:
         self.settings: dict[str, object] = {}
         self.udfs: dict[str, object] = {}      # CREATE FUNCTION lambdas
         self.dictionaries: dict[str, DictMeta] = {}
+        # system.query_log rows: (query, type, elapsed_ms, event_time)
+        self.query_log: list[tuple] = []
 
     # --- public API -------------------------------------------------------
 
@@ -140,14 +142,32 @@ class ChSession:
         """Run one statement. SELECT → DataFrame; DDL/admin → DataFrame
         describing the effect (mirrors clickhouse-client output shape).
         ``params`` binds {name:Type} query parameters."""
-        node = parse_statement(sql)
-        if isinstance(node, OutputClause):
-            return self._output(node)
-        if isinstance(node, (SelectQuery, UnionQuery)):
-            return build(self.spark, node, self._tables(), self._engines(),
-                         params=params, settings=self.settings,
-                         udfs=self.udfs, dictionaries=self.dictionaries)
-        return self._dispatch_node(node)
+        import time as _time
+        from datetime import datetime as _dt
+        t0 = _time.monotonic()
+        status = "QueryFinish"
+        try:
+            node = parse_statement(sql)
+            if isinstance(node, OutputClause):
+                return self._output(node)
+            if isinstance(node, (SelectQuery, UnionQuery)):
+                return build(self.spark, node, self._tables(),
+                             self._engines(),
+                             params=params, settings=self.settings,
+                             udfs=self.udfs,
+                             dictionaries=self.dictionaries)
+            return self._dispatch_node(node)
+        except Exception:
+            status = "ExceptionWhileProcessing"
+            raise
+        finally:
+            # system.query_log analogue: one row per statement (build
+            # time for lazy SELECTs — execution belongs to the caller's
+            # action, as in any Spark program)
+            self.query_log.append(
+                (sql.strip(), status,
+                 round((_time.monotonic() - t0) * 1000.0, 3),
+                 _dt.now().replace(microsecond=0)))
 
     def _dispatch_node(self, node):
         handler = {
@@ -252,8 +272,10 @@ class ChSession:
         drows = [(d.database, d.name, d.layout, d.key, d.source_table,
                   d.cache is not None)
                  for d in self.dictionaries.values()]
+        prows = self._parts_rows()
         fp = (tuple(trows), tuple(crows), tuple(drows), tuple(sorted(
-            (k, str(v)) for k, v in self.settings.items())))
+            (k, str(v)) for k, v in self.settings.items())),
+            len(self.query_log), tuple(prows))
         if getattr(self, "_sys_fp", None) == fp:
             return self._sys_cache
         self._sys_fp, self._sys_cache = fp, {
@@ -272,6 +294,12 @@ class ChSession:
                 sorted(drows) or [], "database string, name string,"
                 " layout string, key string, source string,"
                 " loaded boolean"),
+            "system.query_log": self.spark.createDataFrame(
+                list(self.query_log) or [], "query string, type string,"
+                " query_duration_ms double, event_time timestamp"),
+            "system.parts": self.spark.createDataFrame(
+                prows or [], "database string, table string, name string,"
+                " rows bigint, bytes_on_disk bigint, active boolean"),
         }
         return self._sys_cache
 
@@ -824,6 +852,32 @@ class ChSession:
         else:
             self._write(meta, materialized, mode="overwrite")
         return self._ok()
+
+    def _parts_rows(self) -> list[tuple]:
+        """system.parts analogue: one row per parquet data file of every
+        warehouse-backed table (rows from the parquet footer — metadata
+        only, cached per (path, mtime), no data pages read)."""
+        cache = getattr(self, "_parts_cache", {})
+        self._parts_cache = cache
+        rows: list[tuple] = []
+        for db in sorted(self.databases):
+            for name, meta in sorted(self._db(db).items()):
+                if not meta.path or not os.path.exists(meta.path):
+                    continue
+                for root, _dirs, files in os.walk(meta.path):
+                    for f in sorted(files):
+                        if not f.endswith(".parquet"):
+                            continue
+                        p = os.path.join(root, f)
+                        st = os.stat(p)
+                        key = (p, st.st_mtime_ns)
+                        if key not in cache:
+                            import pyarrow.parquet as pq
+                            cache[key] = pq.ParquetFile(p).metadata.num_rows
+                        rel = os.path.relpath(p, meta.path)
+                        rows.append((db, name, rel, cache[key],
+                                     st.st_size, True))
+        return rows
 
     def _catalog_name(self, meta: TableMeta) -> str:
         """Session-catalog name for a bucketed table, keyed on the

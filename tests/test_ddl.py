@@ -814,3 +814,21 @@ def test_ttl_purged_on_optimize(sess):
     rows = sess.execute("SELECT v FROM ev").collect()
     # the 2020 row's TTL (2020-01-31) has passed; the 2099 row survives
     assert [r.v for r in rows] == [2]
+
+
+def test_system_query_log_and_parts(sess):
+    sess.execute("CREATE TABLE ql (x Int64) ENGINE = MergeTree ORDER BY x")
+    sess.execute("INSERT INTO ql VALUES (1), (2), (3)")
+    with pytest.raises(Exception):
+        sess.execute("SELECT nonsense FROM nowhere")
+    log = sess.execute(
+        "SELECT query, type FROM system.query_log ORDER BY event_time"
+    ).collect()
+    assert any("CREATE TABLE ql" in r.query and r.type == "QueryFinish"
+               for r in log)
+    assert any(r.type == "ExceptionWhileProcessing" for r in log)
+    parts = sess.execute(
+        "SELECT table, rows, bytes_on_disk FROM system.parts "
+        "WHERE table = 'ql'").collect()
+    assert sum(r.rows for r in parts) == 3
+    assert all(r.bytes_on_disk > 0 for r in parts)
