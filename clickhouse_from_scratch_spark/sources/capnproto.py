@@ -104,9 +104,14 @@ def _list_ptr(offset_words: int, elem_size_code: int, count: int) -> bytes:
 def to_capnproto(df: DataFrame, n: int = 100000) -> bytes:
     """Encode up to n rows as a sequence of framed Cap'n Proto messages
     (one message per row, CH CapnProto style)."""
-    plan, data_words, ptr_count = _layout(df.schema.fields)
+    return _encode_rows(df.schema.fields, df.limit(n).collect())
+
+
+def _encode_rows(fields, rows) -> bytes:
+    """Pure encode core (no Spark session needed — property-testable)."""
+    plan, data_words, ptr_count = _layout(fields)
     out = bytearray()
-    for row in df.limit(n).collect():
+    for row in rows:
         data = bytearray(data_words * 8)
         ptr_words = [b""] * ptr_count
         blobs = bytearray()
@@ -138,6 +143,11 @@ def from_capnproto(spark: SparkSession, data: bytes,
     from pyspark.sql.types import StructType
 
     st = StructType.fromDDL(schema)
+    return spark.createDataFrame(_decode_rows(st, data), st)
+
+
+def _decode_rows(st, data: bytes) -> list[tuple]:
+    """Pure decode core (inverse of _encode_rows)."""
     plan, _dw, _pc = _layout(st.fields)
     rows, pos = [], 0
     while pos < len(data):
@@ -174,4 +184,4 @@ def from_capnproto(spark: SparkSession, data: bytes,
                 tstart = pword_at + 8 + loff * 8
                 row.append(seg[tstart:tstart + count - 1].decode("utf-8"))
         rows.append(tuple(row))
-    return spark.createDataFrame(rows, st)
+    return rows

@@ -157,3 +157,46 @@ def test_parser_totality(s):
         parse(s)
     except (ParseError, LexError):
         pass
+
+
+# --- CapnProto (spec framing; pure encode/decode cores) ---------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from clickhouse_from_scratch_spark.sources.capnproto import (  # noqa: E402
+    _decode_rows,
+    _encode_rows,
+)
+
+# built programmatically — fromDDL needs a live SparkContext, these
+# property tests are pure driver-side
+_CP_ST = StructType([
+    StructField("a", IntegerType()), StructField("b", LongType()),
+    StructField("c", DoubleType()), StructField("s", StringType()),
+    StructField("t", StringType()), StructField("f", BooleanType())])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    st.floats(allow_nan=False, width=64),
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_characters="\x00"),
+            max_size=60),
+    st.text(alphabet=st.characters(codec="utf-8",
+                                   exclude_characters="\x00"),
+            max_size=9),
+    st.booleans()), max_size=8))
+def test_capnproto_property_roundtrip(rows):
+    blob = _encode_rows(_CP_ST.fields, rows)
+    assert len(blob) % 8 == 0          # word-aligned framing throughout
+    assert _decode_rows(_CP_ST, blob) == rows
