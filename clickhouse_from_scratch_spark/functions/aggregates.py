@@ -96,10 +96,12 @@ for _st in ("varPop", "varSamp", "stddevPop", "stddevSamp",
     AGGREGATES[_st + "Stable"] = AGGREGATES[_st]
 
 
-def _moving_fold(x, avg: bool = False) -> Column:
-    """groupArrayMovingSum/Avg: prefix sums over the collected values.
-    Collection order is Spark's task order (CH uses insertion order —
-    both are deterministic only under an outer ORDER BY)."""
+def _moving_fold(x, avg: bool = False, window: int | None = None) -> Column:
+    """groupArrayMovingSum/Avg([window])(x): running sums over the
+    collected values, optionally over the trailing ``window`` elements
+    only (the parametric form). Collection order is Spark's task order
+    (CH uses insertion order — both are deterministic only under an
+    outer ORDER BY)."""
     lst = F.collect_list(_c(x).cast("double"))
     sums = F.aggregate(
         lst, F.struct(F.slice(lst, 1, 0).alias("arr"),
@@ -108,10 +110,21 @@ def _moving_fold(x, avg: bool = False) -> Column:
             F.concat(st.arr, F.array(st.tot + v)).alias("arr"),
             (st.tot + v).alias("tot")),
         lambda st: st.arr)
+    if window:
+        w = int(window)
+        # trailing-window sum = prefix[i] − prefix[i−w]
+        sums = F.zip_with(
+            sums, F.sequence(F.lit(1), F.size(sums)),
+            lambda s, i: s - F.when(
+                i > w,
+                F.element_at(sums, F.greatest(i - w, F.lit(1))))
+            .otherwise(F.lit(0.0)))
     if not avg:
         return sums
+    denom = ((lambda i: F.least(i, F.lit(window)))
+             if window else (lambda i: i))
     return F.zip_with(sums, F.sequence(F.lit(1), F.size(sums)),
-                      lambda s, i: s / i.cast("double"))
+                      lambda s, i: s / denom(i).cast("double"))
 
 
 def _delta_sum_ts(x, t) -> Column:
@@ -215,8 +228,12 @@ def _ema_time(halflife: float, v, t) -> Column:
 
 
 AGGREGATES.update({
-    "groupArrayMovingSum": lambda x: _moving_fold(x),
-    "groupArrayMovingAvg": lambda x: _moving_fold(x, avg=True),
+    "groupArrayMovingSum": lambda a, b=None: (
+        _moving_fold(a) if b is None
+        else _moving_fold(b, window=int(a))),
+    "groupArrayMovingAvg": lambda a, b=None: (
+        _moving_fold(a, avg=True) if b is None
+        else _moving_fold(b, avg=True, window=int(a))),
     "deltaSumTimestamp": _delta_sum_ts,
     "quantileTiming": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
     "quantileDeterministic":

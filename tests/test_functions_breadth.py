@@ -830,3 +830,16 @@ def test_map_arithmetic(spark):
         t).collect()[0]
     assert sorted(r.m.items()) == [("a", 1), ("b", 12), ("c", 5)]
     assert sorted(r.n.items()) == [("x", 3), ("y", -1)]
+
+
+def test_moving_agg_window_param(spark):
+    t = {"t": spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4, 5)],
+                                    "x double")}
+    r = execute_sql(
+        spark,
+        "SELECT groupArrayMovingSum(2)(x) AS m, groupArrayMovingSum(x) "
+        "AS f, groupArrayMovingAvg(2)(x) AS a "
+        "FROM (SELECT x FROM t ORDER BY x)", t).collect()[0]
+    assert r.m == [1.0, 3.0, 5.0, 7.0, 9.0]     # trailing-2 sums
+    assert r.f == [1.0, 3.0, 6.0, 10.0, 15.0]   # full running sums
+    assert r.a == [1.0, 1.5, 2.5, 3.5, 4.5]     # trailing-2 means
