@@ -121,10 +121,13 @@ def _moving_fold(x, avg: bool = False, window: int | None = None) -> Column:
             .otherwise(F.lit(0.0)))
     if not avg:
         return sums
-    denom = ((lambda i: F.least(i, F.lit(window)))
-             if window else (lambda i: i))
-    return F.zip_with(sums, F.sequence(F.lit(1), F.size(sums)),
-                      lambda s, i: s / denom(i).cast("double"))
+    # CH divides by the WINDOW SIZE for every element — including the
+    # ramp-up prefix — and by the total count when no window is given
+    # (public groupArrayMovingAvg contract: [1,2,3,4] with window 2 →
+    # [0.5, 1.5, 2.5, 3.5])
+    denom = F.lit(float(window)) if window \
+        else F.size(sums).cast("double")
+    return F.transform(sums, lambda s: s / denom)
 
 
 def _delta_sum_ts(x, t) -> Column:

@@ -110,7 +110,8 @@ def test_breadth_aggregates(spark):
         return [r.r for r in rows]
 
     assert run("groupArrayMovingSum(v)") == [[1.0, 3.0], [5.0, 12.0]]
-    assert run("groupArrayMovingAvg(v)") == [[1.0, 1.5], [5.0, 6.0]]
+    # CH divides every element by the window size (= n when omitted)
+    assert run("groupArrayMovingAvg(v)") == [[0.5, 1.5], [2.5, 6.0]]
     assert run("deltaSumTimestamp(v, ts)") == [1.0, 2.0]
     assert run("medianExact(v)") == [1.5, 6.0]
     assert run("quantilesExact(0.25, 0.75)(v)") == [[1.25, 1.75],
@@ -842,4 +843,5 @@ def test_moving_agg_window_param(spark):
         "FROM (SELECT x FROM t ORDER BY x)", t).collect()[0]
     assert r.m == [1.0, 3.0, 5.0, 7.0, 9.0]     # trailing-2 sums
     assert r.f == [1.0, 3.0, 6.0, 10.0, 15.0]   # full running sums
-    assert r.a == [1.0, 1.5, 2.5, 3.5, 4.5]     # trailing-2 means
+    # CH divides by the window size even on the ramp-up prefix
+    assert r.a == [0.5, 1.5, 2.5, 3.5, 4.5]
