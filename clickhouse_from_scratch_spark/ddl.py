@@ -935,6 +935,12 @@ class ChSession:
         if node.what == "DATABASES":
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases)], "name string")
+        if node.what == "PROCESSLIST":
+            # execution is synchronous in this engine — by the time a
+            # statement can observe the process list, nothing is running
+            # (CH semantics preserved: the running-queries view, empty)
+            return self.spark.createDataFrame(
+                [], "query_id string, query string, elapsed double")
         if node.what == "DICTIONARIES":
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.dictionaries)] or [],

@@ -1032,6 +1032,8 @@ class StatementParser(Parser):
             return ShowStmt("DATABASES")
         if self.accept_kw("DICTIONARIES"):
             return ShowStmt("DICTIONARIES")
+        if self.accept_kw("PROCESSLIST"):
+            return ShowStmt("PROCESSLIST")
         if self.accept_kw("CREATE"):
             if self.accept_kw("DICTIONARY"):
                 db, name = self._qualified_name()

@@ -100,3 +100,10 @@ def test_backup_restore_database(sess, tmp_path):
     sess.execute(f"RESTORE DATABASE bk FROM Disk('{dest}')")
     assert sess.execute("SELECT count() AS c FROM bk.t1").collect()[0].c == 2
     assert sess.execute("SELECT s FROM bk.t2").collect()[0].s == "a"
+
+
+def test_show_processlist(sess):
+    # synchronous engine: the running-queries view is honestly empty
+    df = sess.execute("SHOW PROCESSLIST")
+    assert df.columns == ["query_id", "query", "elapsed"]
+    assert df.count() == 0
