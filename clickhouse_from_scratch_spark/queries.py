@@ -2122,26 +2122,32 @@ WITH r AS (
          RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
            + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
               - 1) / 2.0 AS ry
-  FROM lineitem)
+  FROM lineitem WHERE l_orderkey < 2000)
 SELECT l_returnflag, round(corr(rx, ry), 6) AS rho
 FROM r GROUP BY l_returnflag ORDER BY l_returnflag
 """)
 def sql_rank_corr(spark, sf_dir):
     """Spearman rank correlation (rankCorr) per group; the oracle
     computes Pearson over average ranks (RANK + tie-correction) —
-    identical definition."""
+    identical definition. rankCorr buffers the group and ranks with
+    O(n²) in-row comparisons (CH buffers samples the same way), so the
+    input is bounded here; the oracle's window-rank + corr formulation
+    IS the scalable corpus-wide shape, expressible directly in the
+    dialect as rank() OVER + corr()."""
     return _sql(spark, sf_dir, """
         SELECT l_returnflag,
                round(rankCorr(l_quantity, l_extendedprice), 6) AS rho
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        FROM lineitem WHERE l_orderkey < 2000
+        GROUP BY l_returnflag ORDER BY l_returnflag
     """)
 
 
 @query("sql_assoc", oracle="""
-WITH n AS (SELECT count(*) AS n FROM orders),
+WITH src AS (SELECT * FROM orders WHERE o_orderkey < 40000),
+n AS (SELECT count(*) AS n FROM src),
 cells AS (
   SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
-  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+  FROM src GROUP BY o_orderstatus, o_orderpriority),
 ma AS (SELECT a, sum(o) AS ca FROM cells GROUP BY a),
 mb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
 chi AS (
@@ -2159,11 +2165,13 @@ FROM chi CROSS JOIN n CROSS JOIN dims
 def sql_assoc(spark, sf_dir):
     """Categorical association between order status and priority:
     cramersV + contingency coefficient, oracled through the explicit
-    chi-square contingency computation in SQL."""
+    chi-square contingency computation in SQL. The aggregates buffer
+    the group (bounded input here); the oracle's groupBy-cells chi²
+    IS the scalable formulation and is what a 100 TB run should use."""
     return _sql(spark, sf_dir, """
         SELECT round(cramersV(o_orderstatus, o_orderpriority), 6)
                  AS cramers_v,
                round(contingency(o_orderstatus, o_orderpriority), 6)
                  AS contingency_c
-        FROM orders
+        FROM orders WHERE o_orderkey < 40000
     """)
