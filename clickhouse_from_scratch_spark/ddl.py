@@ -375,7 +375,7 @@ class ChSession:
             if not node.or_replace:
                 raise ValueError(f"table exists: {db}.{node.table}")
         if node.engine not in _MERGE_TREE_FAMILY and node.engine not in (
-                "Memory", "External"):
+                "Memory", "External", "Null"):
             raise ValueError(f"unknown engine: {node.engine} (registry: "
                              f"{sorted(_MERGE_TREE_FAMILY)} + Memory)")
         part_col, part_expr = _partition_column(node)
@@ -423,7 +423,12 @@ class ChSession:
             else:
                 expanded.append((cn, ct))
         meta.columns = expanded
-        if node.engine == "Memory" or node.temporary:
+        if node.engine == "Null":
+            # Null engine: inserts are accepted and discarded, reads are
+            # empty (public CH Null-engine contract — the /dev/null sink)
+            meta.memory_df = self.spark.createDataFrame(
+                [], meta.spark_schema())
+        elif node.engine == "Memory" or node.temporary:
             meta.memory_df = (source if source is not None else
                               self.spark.createDataFrame(
                                   [], meta.spark_schema()))
@@ -722,6 +727,8 @@ class ChSession:
 
     def _insert(self, node: InsertStmt):
         meta = self._resolve(node.database, node.table)
+        if meta.engine == "Null":
+            return self._ok()          # accepted, discarded
         if node.watch_view is not None:
             # INSERT INTO t WATCH lv (ParserInsertQuery.cpp:165-172):
             # pipe the live view's current state into the table

@@ -703,6 +703,30 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
                 .withColumnRenamed("id", "number"))
     if name == "view":
         return _build_query(node.args[0].query, ctx)
+    if name == "merge":
+        # merge([db,] 'table_regex'): positional UNION ALL of every
+        # matching registered table (public CH merge() table function)
+        import re as _re
+        args = [a.value if isinstance(a, Literal) else a.name
+                for a in node.args]
+        db, pat = (args[0], args[1]) if len(args) > 1 else (None, args[0])
+        rx = _re.compile(pat)
+        prefix = f"{db}." if db else ""
+        cands = sorted(
+            t for t in ctx.tables
+            if (t.startswith(prefix) and "." not in t[len(prefix):]
+                and rx.search(t[len(prefix):]))
+            or (not prefix and "." not in t and rx.search(t)))
+        if not cands:
+            raise BuildError(f"merge(): no tables match {pat!r}")
+        frames = [ctx.tables[t] for t in cands]
+        out = frames[0]
+        for f_ in frames[1:]:
+            if len(f_.columns) != len(out.columns):
+                raise BuildError(
+                    "merge(): matched tables have different column counts")
+            out = out.union(f_.toDF(*out.columns))
+        return out
     if name == "one":
         # system.one analogue: single row, dummy UInt8 = 0
         return ctx.spark.range(1).select(

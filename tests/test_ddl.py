@@ -832,3 +832,21 @@ def test_system_query_log_and_parts(sess):
         "WHERE table = 'ql'").collect()
     assert sum(r.rows for r in parts) == 3
     assert all(r.bytes_on_disk > 0 for r in parts)
+
+
+def test_merge_table_function_and_null_engine(sess):
+    sess.execute("CREATE TABLE log_a (x Int64) ENGINE = Memory")
+    sess.execute("CREATE TABLE log_b (x Int64) ENGINE = Memory")
+    sess.execute("CREATE TABLE other (x Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO log_a VALUES (1), (2)")
+    sess.execute("INSERT INTO log_b VALUES (3)")
+    sess.execute("INSERT INTO other VALUES (99)")
+    got = sorted(r.x for r in sess.execute(
+        "SELECT x FROM merge('^log_')").collect())
+    assert got == [1, 2, 3]
+    assert sess.execute("SELECT sum(x) AS s FROM merge('default', '^log_')"
+                        ).collect()[0].s == 6
+    # Null engine: inserts accepted and discarded
+    sess.execute("CREATE TABLE sink (x Int64) ENGINE = Null")
+    sess.execute("INSERT INTO sink VALUES (1), (2)")
+    assert sess.execute("SELECT count() AS c FROM sink").collect()[0].c == 0
