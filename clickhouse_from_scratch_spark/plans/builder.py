@@ -2512,12 +2512,15 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # per the CH Tuple contract, not just our _N convention
         from pyspark.sql.types import StructType
         dt = df.select(cols[0]).schema[0].dataType
-        if isinstance(dt, StructType):
-            idx = node.args[1].value
-            if not 1 <= idx <= len(dt.fields):
-                raise BuildError(f"tupleElement: index {idx} out of "
-                                 f"range for {len(dt.fields)}-tuple")
-            return cols[0][dt.fields[idx - 1].name]
+        if not isinstance(dt, StructType):
+            raise BuildError(
+                f"tupleElement: positional .{node.args[1].value} access "
+                f"needs a Tuple, got {dt.simpleString()}")
+        idx = node.args[1].value
+        if not 1 <= idx <= len(dt.fields):
+            raise BuildError(f"tupleElement: index {idx} out of "
+                             f"range for {len(dt.fields)}-tuple")
+        return cols[0][dt.fields[idx - 1].name]
     if name in ("trimBothChars", "trimLeftChars", "trimRightChars"):
         target, chars = cols
         cl = node.args[1].value if isinstance(node.args[1], Literal) else ""
