@@ -444,6 +444,12 @@ _alias("arrayDistinct", F.array_distinct)
 _alias("arraySort", F.array_sort)
 _alias("arrayReverse", F.reverse)
 _alias("arrayReverseSort", lambda a: F.reverse(F.array_sort(_c(a))))
+# arrayPartialSort(limit, arr): only the first `limit` elements are
+# contractually sorted, the tail's order is unspecified (public CH
+# docs) — a fully-sorted array is a valid (and deterministic) instance
+_alias("arrayPartialSort", lambda limit, a: F.array_sort(_c(a)))
+_alias("arrayPartialReverseSort",
+       lambda limit, a: F.reverse(F.array_sort(_c(a))))
 _alias("arrayJoin", F.explode)          # row-replicating form handled by ARRAY JOIN op
 _alias("arrayMap", lambda f, a: F.transform(_c(a), f))
 _alias("arrayFilter", lambda f, a: F.filter(_c(a), f))
