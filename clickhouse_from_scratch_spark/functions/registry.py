@@ -1834,6 +1834,87 @@ _alias("arrayShiftRight", lambda a, n, fill=None: _array_shift(
     a, n, fill, False))
 
 
+# unbin('0110000101100010') = 'ab' — 8-bit chunks to characters
+_alias("unbin", lambda s: F.array_join(F.transform(
+    F.sequence(F.lit(0),
+               F.greatest(F.ceil(F.length(_c(s)) / 8).cast("int") - 1,
+                          F.lit(0))),
+    lambda i: F.char(F.conv(F.substring(_c(s), i * 8 + 1, 8),
+                            2, 10).cast("int"))), ""))
+_B64_RX = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+_alias("tryBase64Decode", lambda s: F.when(
+    _c(s).rlike(_B64_RX), F.unbase64(_c(s)).cast("string"))
+    .otherwise(F.lit("")))
+
+
+def _byte_swap(v) -> Column:
+    """byteSwap: reverse the bytes within the integer's width (CH
+    swaps per argument type: byteSwap(3351772109::UInt32) =
+    3455829959). Spark's schema is signed-long, so the width is taken
+    as the smallest unsigned width holding the value (negatives swap
+    all 8 bytes) — pure long shifts, literal bit counts, exact."""
+    x = _c(v).cast("long")
+
+    def swap(nbytes: int) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(nbytes):
+            byte = F.shiftrightunsigned(x, 8 * i).bitwiseAND(F.lit(255))
+            out = out + F.shiftleft(byte, 8 * (nbytes - 1 - i))
+        return out
+
+    return (F.when(x < 0, swap(8))
+            .when(x < (1 << 8), swap(1))
+            .when(x < (1 << 16), swap(2))
+            .when(x < (1 << 32), swap(4))
+            .otherwise(swap(8)))
+
+
+_alias("byteSwap", _byte_swap)
+
+_TIME_UNITS = {"s": 1, "sec": 1, "second": 1, "seconds": 1,
+               "m": 60, "min": 60, "minute": 60, "minutes": 60,
+               "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+               "d": 86400, "day": 86400, "days": 86400,
+               "w": 604800, "week": 604800, "weeks": 604800}
+
+
+def _parse_time_delta(s) -> Column:
+    """parseTimeDelta('1 h 30 min') → seconds (public CH function;
+    number+unit pairs summed)."""
+    pairs = F.regexp_extract_all(
+        _c(s), F.lit(r"([0-9]*\.?[0-9]+)\s*([a-zA-Z]+)"), F.lit(0))
+    unit_map = F.create_map(*[F.lit(x) for kv in _TIME_UNITS.items()
+                              for x in kv])
+    return F.aggregate(
+        pairs, F.lit(0.0),
+        lambda acc, p: acc
+        + F.regexp_extract(p, r"([0-9]*\.?[0-9]+)", 1).cast("double")
+        * F.coalesce(unit_map[F.lower(
+            F.regexp_extract(p, r"([a-zA-Z]+)", 1))].cast("double"),
+            F.lit(0.0)))
+
+
+_alias("parseTimeDelta", _parse_time_delta)
+_alias("timestamp", lambda s: F.to_timestamp(_c(s)))
+_alias("UTCTimestamp", lambda: F.current_timestamp())
+_alias("utc_timestamp", lambda: F.current_timestamp())
+# CH day numbering: 0001-01-01 is day 366 since "year zero"
+_alias("fromDaysSinceYearZero", lambda d: F.date_add(
+    F.lit("0001-01-01").cast("date"), (_c(d) - 366).cast("int")))
+_alias("initialQueryID", lambda: F.lit(""))
+_alias("ifNotFinite", lambda x, y: F.when(
+    F.isnan(_c(x).cast("double"))
+    | (F.abs(_c(x).cast("double")) == float("inf")), _c(y))
+    .otherwise(_c(x)))
+# random distributions (nondeterministic by contract, like CH)
+_alias("randNormal", lambda mean=0.0, sd=1.0: F.randn() * _c(sd) + _c(mean))
+_alias("randUniform", lambda lo, hi: F.rand() * (_c(hi) - _c(lo)) + _c(lo))
+_alias("randBernoulli", lambda p: (F.rand() < _c(p)).cast("tinyint"))
+_alias("randExponential", lambda lam: -F.log(1.0 - F.rand()) / _c(lam))
+_alias("normalizedQueryHash",
+       lambda s: F.xxhash64(REGISTRY["normalizeQuery"](s)))
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [

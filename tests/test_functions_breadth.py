@@ -845,3 +845,25 @@ def test_moving_agg_window_param(spark):
     assert r.f == [1.0, 3.0, 6.0, 10.0, 15.0]   # full running sums
     # CH divides by the window size even on the ramp-up prefix
     assert r.a == [0.5, 1.5, 2.5, 3.5, 4.5]
+
+
+def test_misc_tail_functions(spark):
+    t = {"t": spark.createDataFrame([(1,)], "k int")}
+
+    def run(e):
+        return execute_sql(spark, f"SELECT {e} AS x FROM t",
+                           t).collect()[0].x
+    assert run("unbin('0110000101100010')") == "ab"
+    # CH docs example: byteSwap(3351772109) = 3455829959 (UInt32 width)
+    assert run("byteSwap(3351772109)") == 3455829959
+    assert run("byteSwap(byteSwap(3351772109))") == 3351772109
+    assert run("byteSwap(258)") == 513              # 2-byte width
+    assert run("parseTimeDelta('1 h 30 min')") == 5400.0
+    assert run("parseTimeDelta('2 days 3s')") == 172803.0
+    assert run("toString(fromDaysSinceYearZero(693961))") == "1900-01-01"
+    assert run("tryBase64Decode('YWJj')") == "abc"
+    assert run("tryBase64Decode('##')") == ""
+    assert run("ifNotFinite(1.0/0.0, 42.0)") == 42.0
+    assert run("ifNotFinite(7.0, 42.0)") == 7.0
+    assert 5.0 <= run("randUniform(5.0, 6.0)") < 6.0
+    assert run("randBernoulli(1.0)") == 1
