@@ -167,8 +167,19 @@ _alias("trimBoth", F.trim)
 _alias("trimLeft", F.ltrim)
 _alias("trimRight", F.rtrim)
 _alias("trim", F.trim)
-_alias("position", lambda hay, needle: F.locate(needle, _c(hay)) if isinstance(needle, str) else F.expr("0"))
-_alias("positionCaseInsensitive", lambda hay, needle: F.locate(needle.lower(), F.lower(_c(hay))))
+def _position_fn(hay, needle, pos=None) -> Column:
+    """position(haystack, needle[, start_pos]): 1-based index of the
+    first occurrence at/after start_pos, 0 if absent — Spark's locate
+    has the same contract with (substr, str[, pos]) argument order."""
+    args = [_c(needle), _c(hay)]
+    if pos is not None:
+        args.append(_c(pos).cast("int"))
+    return F.call_function("locate", *args)
+
+
+_alias("position", _position_fn)
+_alias("positionCaseInsensitive", lambda hay, needle, pos=None:
+       _position_fn(F.lower(_c(hay)), F.lower(_c(needle)), pos))
 _alias("like", lambda s, p: _c(s).like(p))
 _alias("notLike", lambda s, p: ~_c(s).like(p))
 _alias("ilike", lambda s, p: _c(s).ilike(p))
@@ -484,19 +495,57 @@ def _ch_range(*args) -> Column:
 _alias("range", _ch_range)
 _alias("emptyArrayInt64", lambda: F.array().cast("array<long>"))
 _alias("emptyArrayString", lambda: F.array().cast("array<string>"))
-_alias("arrayReduce", lambda name, a: {"sum": REGISTRY["arraySum"], "min": F.array_min, "max": F.array_max}[name](a))
+def _array_reduce(name, a) -> Column:
+    """arrayReduce('agg', arr): apply an aggregate-function name to the
+    array's elements (ref src/Functions/array/arrayReduce.cpp accepts any
+    registered aggregate). Names expressible as array kernels run JVM-side;
+    anything else raises a named BuildError instead of a raw KeyError."""
+    agg = str(name).lower()
+    n = F.size(_c(a))
+    mean = REGISTRY["arrayAvg"](a)
+    sq_dev = F.aggregate(
+        _c(a), F.lit(0.0),
+        lambda acc, x: acc + (x.cast("double") - mean) ** 2)
+    kernels: dict[str, Callable[[], Column]] = {
+        "sum": lambda: REGISTRY["arraySum"](a),
+        "min": lambda: F.array_min(_c(a)),
+        "max": lambda: F.array_max(_c(a)),
+        "avg": lambda: mean,
+        "count": lambda: n.cast("long"),
+        "any": lambda: F.element_at(_c(a), 1),
+        "anylast": lambda: F.element_at(_c(a), -1),
+        "uniq": lambda: F.size(F.array_distinct(_c(a))).cast("long"),
+        "uniqexact": lambda: F.size(F.array_distinct(_c(a))).cast("long"),
+        "grouparray": lambda: _c(a),
+        "groupuniqarray": lambda: F.array_distinct(_c(a)),
+        "varpop": lambda: sq_dev / n,
+        "varsamp": lambda: F.when(n > 1, sq_dev / (n - 1)),
+        "stddevpop": lambda: F.sqrt(sq_dev / n),
+        "stddevsamp": lambda: F.when(n > 1, F.sqrt(sq_dev / (n - 1))),
+    }
+    if agg not in kernels:
+        from ..plans.builder import BuildError
+        raise BuildError(
+            f"arrayReduce: unsupported aggregate function {name!r} "
+            f"(supported: {', '.join(sorted(kernels))})")
+    return kernels[agg]()
+
+
+_alias("arrayReduce", _array_reduce)
 _alias("arrayProduct", lambda a: F.aggregate(
     _c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double")))
 # occurrence index among equal values seen so far (1-based)
 _alias("arrayEnumerateUniq", lambda a: F.transform(
     _c(a), lambda x, i: F.size(F.filter(
         F.slice(_c(a), 1, i + 1), lambda y: y == x))))
-# contiguous-subsequence containment ([1,2,3,4] hasSubstr [2,3])
+# contiguous-subsequence containment ([1,2,3,4] hasSubstr [2,3]);
+# needle longer than haystack → false BEFORE building the probe sequence
+# (sequence(1, 0) would emit a descending [1,0] and slice(_, 0, _) throws)
 _alias("hasSubstr", lambda a, b: F.when(
-    F.size(_c(b)) == 0, F.lit(True)).otherwise(
+    F.size(_c(b)) == 0, F.lit(True)).when(
+    F.size(_c(b)) > F.size(_c(a)), F.lit(False)).otherwise(
     F.exists(F.sequence(F.lit(1),
-                        F.greatest(F.size(_c(a)) - F.size(_c(b)) + 1,
-                                   F.lit(0))),
+                        F.size(_c(a)) - F.size(_c(b)) + 1),
              lambda i: F.slice(_c(a), i, F.size(_c(b))) == _c(b))))
 
 # --- tuples / maps --------------------------------------------------------
@@ -511,14 +560,15 @@ _alias("mapContains", lambda m, k: F.map_contains_key(_c(m), k))
 
 # --- JSON (documents/events props columns) --------------------------------
 def _json_path(keys) -> str:
-    """CH JSON path args → JsonPath: string keys are member names,
-    integer keys are 1-based array indices (negative = from the end)."""
+    """CH JSON path args → JsonPath: string keys are ALWAYS member names
+    (even digit-looking ones — JSONExtractString('{"2":"x"}', '2') reads
+    the member "2"); only integer-TYPED keys are 1-based array indices
+    (negative = from the end). Ref src/Functions/FunctionsJSON.h index
+    dispatch is on the argument's type, not its spelling."""
     parts = ["$"]
     for k in keys:
-        if isinstance(k, int) or (isinstance(k, str)
-                                  and k.lstrip("-").isdigit()):
-            i = int(k)
-            parts[-1] += f"[{i - 1 if i > 0 else i}]"
+        if isinstance(k, int) and not isinstance(k, bool):
+            parts[-1] += f"[{k - 1 if k > 0 else k}]"
         else:
             parts.append(str(k))
     return ".".join(parts)
@@ -1847,12 +1897,14 @@ _alias("tryBase64Decode", lambda s: F.when(
     .otherwise(F.lit("")))
 
 
-def _byte_swap(v) -> Column:
-    """byteSwap: reverse the bytes within the integer's width (CH
-    swaps per argument type: byteSwap(3351772109::UInt32) =
-    3455829959). Spark's schema is signed-long, so the width is taken
-    as the smallest unsigned width holding the value (negatives swap
-    all 8 bytes) — pure long shifts, literal bit counts, exact."""
+def _byte_swap(v, width: int | None = None) -> Column:
+    """byteSwap: reverse the bytes within the integer's DECLARED width
+    (CH swaps per argument type: byteSwap(3351772109::UInt32) =
+    3455829959, and a UInt32 holding 5 swaps 4 bytes → 83886080). The
+    builder passes `width` when the argument's CH type is inferable
+    (declared DDL type, to<Type> cast, literal typing); only untyped
+    arguments fall back to smallest-width-holding-the-value (negatives
+    swap all 8 bytes) — pure long shifts, literal bit counts, exact."""
     x = _c(v).cast("long")
 
     def swap(nbytes: int) -> Column:
@@ -1862,6 +1914,8 @@ def _byte_swap(v) -> Column:
             out = out + F.shiftleft(byte, 8 * (nbytes - 1 - i))
         return out
 
+    if width in (1, 2, 4, 8):
+        return swap(width)
     return (F.when(x < 0, swap(8))
             .when(x < (1 << 8), swap(1))
             .when(x < (1 << 16), swap(2))

@@ -704,8 +704,11 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
     if name == "view":
         return _build_query(node.args[0].query, ctx)
     if name == "merge":
-        # merge([db,] 'table_regex'): positional UNION ALL of every
-        # matching registered table (public CH merge() table function)
+        # merge([db,] 'table_regex'): UNION ALL by COLUMN NAME of every
+        # matching registered table (public CH merge() table function /
+        # Merge engine reads columns by name, not position — two tables
+        # with the same columns in different declaration order must not
+        # scramble values). Catalyst prunes/pushes into each branch.
         import re as _re
         args = [a.value if isinstance(a, Literal) else a.name
                 for a in node.args]
@@ -721,11 +724,14 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
             raise BuildError(f"merge(): no tables match {pat!r}")
         frames = [ctx.tables[t] for t in cands]
         out = frames[0]
-        for f_ in frames[1:]:
-            if len(f_.columns) != len(out.columns):
+        base_cols = set(out.columns)
+        for t, f_ in zip(cands[1:], frames[1:]):
+            if set(f_.columns) != base_cols:
                 raise BuildError(
-                    "merge(): matched tables have different column counts")
-            out = out.union(f_.toDF(*out.columns))
+                    f"merge(): table {t!r} column set "
+                    f"{sorted(f_.columns)} does not match "
+                    f"{sorted(base_cols)} of {cands[0]!r}")
+            out = out.unionByName(f_)
         return out
     if name == "one":
         # system.one analogue: single row, dummy UInt8 = 0
@@ -739,26 +745,6 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         path = node.args[0].value
         fmt = node.args[1].value if len(node.args) > 1 else "Parquet"
         return read_format(ctx.spark, fmt, path)
-    if name == "merge":
-        # merge('db', 'tables_regexp') / merge('tables_regexp'): union
-        # of every table whose name matches (public CH table function).
-        # Schemas must align by name; Catalyst prunes/pushes into each
-        # branch independently.
-        import re as _re
-
-        args = [a.value for a in node.args]
-        pat = _re.compile(args[-1])
-        db_prefix = f"{args[0]}." if len(args) > 1 else ""
-        matches = sorted(
-            t for t in ctx.tables
-            if (t.startswith(db_prefix) if db_prefix else "." not in t)
-            and pat.fullmatch(t[len(db_prefix):]))
-        if not matches:
-            raise BuildError(f"merge: no tables match {args[-1]!r}")
-        out = ctx.tables[matches[0]]
-        for t in matches[1:]:
-            out = out.unionByName(ctx.tables[t])
-        return out
     if name == "generaterandom":
         # generateRandom('schema', [seed], [max_str_len], [max_arr_len]):
         # unbounded in CH — bounded here by the enclosing LIMIT exactly
@@ -2362,6 +2348,15 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         first = sub.columns[0]
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
+    if name == "byteSwap" and len(node.args) == 1:
+        # width comes from the DECLARED CH type when inferable (DDL
+        # column, to<Type> cast, literal typing) — CH swaps per argument
+        # type, not per runtime value; untyped args fall back to
+        # value-width inside the registry kernel
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        width = info[1] if info and info[0] in ("u", "i") else None
+        return REGISTRY["byteSwap"](cols[0], width)
     if name == "toTypeName" and len(node.args) == 1:
         # CH type introspection: literal typing first (FieldToDataType —
         # toTypeName(1) = 'UInt8'), then the resolved Spark dtype mapped

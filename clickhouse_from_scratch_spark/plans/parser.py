@@ -1048,8 +1048,15 @@ class Parser:
             return FuncCall("position", [hay, a])
         self.expect_op(",")
         b = self._expr()
+        # 3-arg call form position(haystack, needle, start_pos): the
+        # reference special-cases only POSITION(n IN hay)
+        # (ExpressionElementParsers.cpp:537-564); the call form parses
+        # like any function — don't swallow the third argument
+        args = [a, b]
+        while self.accept_op(","):
+            args.append(self._expr())
         self.expect_op(")")
-        return FuncCall("position", [a, b])
+        return FuncCall("position", args)
 
 
 def _num(text: str) -> int | float:

@@ -1110,6 +1110,29 @@ def dedup_embedding_lsh_q(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+@query("dedup_embedding_lsh_fullband", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.35
+ORDER BY id_a, id_b
+""")
+def dedup_embedding_lsh_fullband_q(spark, sf_dir):
+    """The LSH plumbing pinned against the EXACT oracle: with one band
+    of zero sign bits every row lands in a single bucket, so the
+    candidate set is all pairs and recall is provably 1.0 — the output
+    must equal dedup_embedding_cosine exactly, which lets the SQL
+    oracle verify pairs_from_buckets + the verify-join end to end
+    (the banded production config is dedup_embedding_lsh above;
+    this config is verify-only, one bucket is NOT the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (lsh_near_dup_pairs(emb, threshold=0.35, bands=1,
+                               bits_per_band=0, max_bucket_size=10 ** 7)
+            .orderBy("id_a", "id_b"))
+
+
 @query("embedding_ann_lsh")  # no SQL oracle: LSH recall is approximate
 def embedding_ann(spark, sf_dir):
     """Random-hyperplane LSH bucketed ANN (scale path: bucket then probe)."""
@@ -1223,6 +1246,30 @@ def _sql(spark: SparkSession, sf_dir: str, text: str,
     from .catalog import load_all
     from .plans import execute_sql
     return execute_sql(spark, text, load_all(spark, sf_dir), engines=engines)
+
+
+@query("sql_merge_reordered", oracle="""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_nationkey
+""")
+def sql_merge_reordered_q(spark, sf_dir):
+    """merge() table function over two tables whose columns are declared
+    in DIFFERENT orders — the Merge engine reads columns by NAME, so the
+    union must realign instead of scrambling values positionally (the
+    round-5 bug class; builder._table_function unionByName path). The
+    oracle is simply the undivided base table."""
+    from .catalog import load_all
+    from .plans import execute_sql
+    tables = dict(load_all(spark, sf_dir))
+    nat = _t(spark, sf_dir, "nation")
+    tables["nation_a"] = (nat.filter(F.col("n_nationkey") % 2 == 0)
+                          .select("n_nationkey", "n_name", "n_regionkey"))
+    tables["nation_b"] = (nat.filter(F.col("n_nationkey") % 2 == 1)
+                          .select("n_regionkey", "n_name", "n_nationkey"))
+    return execute_sql(
+        spark,
+        "SELECT n_nationkey, n_name, n_regionkey FROM merge('nation_[ab]') "
+        "ORDER BY n_nationkey", tables)
 
 
 @query("sql_q1_frontend", oracle="""
@@ -1484,12 +1531,45 @@ def sql_sequence_match(spark, sf_dir):
     """)
 
 
-@query("funnel_window")  # no SQL oracle: greedy chain fold (pytest goldens)
+@query("funnel_window", oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 4 END AS ci
+  FROM events
+), s AS (
+  SELECT user_id, t, ci,
+         MAX(CASE WHEN ci = 1 THEN t END) OVER
+           (PARTITION BY user_id ORDER BY t, ci
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_start
+  FROM e
+), s2 AS (
+  SELECT user_id, t, ci, v_start,
+         MAX(CASE WHEN ci = 2 AND t - v_start <= 86400
+                  THEN v_start END) OVER
+           (PARTITION BY user_id ORDER BY t, ci
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_start
+  FROM s
+)
+SELECT user_id,
+       MAX(CASE WHEN ci = 3 AND t - c_start <= 86400 THEN 3
+                WHEN ci = 2 AND t - v_start <= 86400 THEN 2
+                WHEN ci = 1 THEN 1 ELSE 0 END) AS levels
+FROM s2 GROUP BY user_id ORDER BY user_id
+""")
 def funnel_window_q(spark, sf_dir):
     """windowFunnel(1 day)(ts, view->click->purchase) over events —
     longest in-order prefix per user inside the window
     (functions/aggregates.py _window_funnel, hand-computed goldens in
-    test_functions_breadth)."""
+    test_functions_breadth).
+
+    The oracle states the no-mode fold exactly in window SQL: cond1
+    refreshes the chain start, so the start recorded at each firing
+    cond2 event (its latest preceding view) is non-decreasing in time —
+    the LAST firing click's start the greedy fold keeps equals the MAX
+    over all firing clicks the SQL takes. Level k fires iff the event
+    is within the window of its chain's cond1 time."""
     return _sql(spark, sf_dir, """
         SELECT user_id,
                windowFunnel(86400)(toUnixTimestamp(ts),

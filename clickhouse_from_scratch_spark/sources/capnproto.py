@@ -70,6 +70,11 @@ def _layout(fields) -> tuple[list, int, int]:
 
 
 def _enc_value(v, key: str):
+    # Cap'n Proto has no null; CH exports NULL as the type's default
+    # (0 / false / epoch — the non-Nullable column semantics, same
+    # policy as input_format_null_as_default on the read side)
+    if v is None:
+        return 0
     if key == "boolean":
         return int(bool(v))
     if key == "date":
@@ -125,7 +130,8 @@ def _encode_rows(fields, rows) -> bytes:
                                  _enc_value(v, key))
             else:
                 slot, _t = rest
-                raw = v.encode("utf-8") + b"\x00"
+                # NULL text → empty string (type default, see _enc_value)
+                raw = ("" if v is None else v).encode("utf-8") + b"\x00"
                 words_after_ptr = (ptr_count - slot - 1) + blob_word
                 ptr_words[slot] = _list_ptr(words_after_ptr, 2, len(raw))
                 blobs += raw + b"\x00" * (-len(raw) % 8)

@@ -1,0 +1,135 @@
+"""Round-6 regression pins: the five ADVICE/VERDICT round-5 confirmed
+bugs plus the two round-5 probe gaps (position 3-arg, arrayReduce
+general names). Each test is the verdict's exact reproducer.
+
+Reference semantics: public ClickHouse docs — Merge engine reads
+columns by name; hasSubstr returns 0 when the needle is longer;
+JSONExtract* treats only integer-TYPED keys as indices
+(src/Functions/FunctionsJSON.h); byteSwap swaps the argument TYPE's
+width; CapnProto has no null so CH exports type defaults; POSITION
+special-case is only the IN form
+(src/Parsers/ExpressionElementParsers.cpp:537-564); arrayReduce accepts
+any registered aggregate name (src/Functions/array/arrayReduce.cpp).
+"""
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_from_scratch_spark.plans import execute_sql
+from clickhouse_from_scratch_spark.plans.builder import BuildError
+
+
+def _one(spark, sql, tables=None):
+    rows = execute_sql(spark, sql, tables or {}).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# --- 1. merge() unions by column NAME, never position --------------------
+def test_merge_reordered_columns_union_by_name(spark):
+    t1 = spark.createDataFrame([(1, "a")], "x int, y string")
+    t2 = spark.createDataFrame([("b", 2)], "y string, x int")
+    rows = execute_sql(spark, "SELECT * FROM merge('t[12]') ORDER BY x",
+                       {"t1": t1, "t2": t2}).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "a"), (2, "b")]
+    # schema keeps the first table's types — no silent string coercion
+    df = execute_sql(spark, "SELECT * FROM merge('t[12]')",
+                     {"t1": t1, "t2": t2})
+    assert dict(df.dtypes) == {"x": "int", "y": "string"}
+
+
+def test_merge_column_set_mismatch_raises(spark):
+    t1 = spark.createDataFrame([(1, "a")], "x int, y string")
+    t3 = spark.createDataFrame([(1, "a")], "z int, y string")
+    with pytest.raises(BuildError, match="merge.*column set"):
+        execute_sql(spark, "SELECT * FROM merge('t[13]')",
+                    {"t1": t1, "t3": t3})
+
+
+# --- 2. hasSubstr: needle longer than haystack → false, no crash ---------
+def test_has_substr_long_needle_is_false(spark):
+    r = _one(spark, "SELECT hasSubstr([1,2], [1,2,3]) AS h")
+    assert r.h is False
+
+
+def test_has_substr_normal_cases_unchanged(spark):
+    r = _one(spark, "SELECT hasSubstr([1,2,3,4], [2,3]) AS a, "
+                    "hasSubstr([1,2,3,4], [2,4]) AS b, "
+                    "hasSubstr([1,2], []) AS c")
+    assert (r.a, r.b, r.c) == (True, False, True)
+
+
+# --- 3. JSONExtract*: digit-looking STRING keys are member names ---------
+def test_json_digit_string_key_is_member_name(spark):
+    r = _one(spark, """SELECT JSONExtractString('{"2":"x"}', '2') AS v""")
+    assert r.v == "x"
+
+
+def test_json_integer_typed_key_is_index(spark):
+    r = _one(spark, "SELECT JSONExtractInt('[10,20]', 2) AS v, "
+                    "JSONExtractInt('[10,20]', 1) AS w")
+    assert (r.v, r.w) == (20, 10)
+
+
+# --- 4. to_capnproto: NULL cells encode as type defaults -----------------
+def test_capnproto_null_cells_roundtrip_as_defaults(spark):
+    from clickhouse_from_scratch_spark.sources.capnproto import (
+        from_capnproto, to_capnproto)
+    df = spark.createDataFrame([(None, None, None)],
+                               "s string, n int, b boolean")
+    back = from_capnproto(spark, to_capnproto(df),
+                          "s string, n int, b boolean").collect()
+    assert [(r.s, r.n, r.b) for r in back] == [("", 0, False)]
+
+
+# --- 5. byteSwap: width from the DECLARED type, not the value ------------
+def test_byteswap_declared_width(spark):
+    r = _one(spark, "SELECT byteSwap(toUInt32(5)) AS a, "
+                    "byteSwap(toUInt16(5)) AS b, "
+                    "byteSwap(toUInt64(5)) AS c")
+    assert (r.a, r.b, r.c) == (83886080, 1280, 360287970189639680)
+
+
+def test_byteswap_ddl_declared_column_width(spark):
+    df = spark.createDataFrame([(5,)], "u int")
+    # via CAST the CH type is explicit even though Spark stores signed
+    r = execute_sql(spark, "SELECT byteSwap(CAST(u AS UInt32)) AS v "
+                           "FROM t", {"t": df}).collect()
+    assert r[0].v == 83886080
+
+
+def test_byteswap_untyped_literal_value_width(spark):
+    r = _one(spark, "SELECT byteSwap(3351772109) AS v")
+    assert r.v == 3455829959
+
+
+# --- 6. position 3-arg call form ----------------------------------------
+def test_position_three_arg_start_pos(spark):
+    r = _one(spark, "SELECT position('abcabc', 'bc', 3) AS p, "
+                    "position('abcabc', 'bc') AS q, "
+                    "position('bc' IN 'abcabc') AS r")
+    assert (r.p, r.q, r.r) == (5, 2, 2)
+
+
+def test_position_column_needle(spark):
+    df = spark.createDataFrame([("abcabc", "ca")], "h string, n string")
+    r = execute_sql(spark, "SELECT position(h, n) AS p FROM t",
+                    {"t": df}).collect()
+    assert r[0].p == 3
+
+
+# --- 7. arrayReduce: general aggregate names -----------------------------
+def test_array_reduce_general_names(spark):
+    r = _one(spark, "SELECT arrayReduce('avg', [1,2,3]) AS a, "
+                    "arrayReduce('count', [1,2,3]) AS c, "
+                    "arrayReduce('uniqExact', [1,2,2,3]) AS u, "
+                    "arrayReduce('any', [7,8]) AS f, "
+                    "arrayReduce('anyLast', [7,8]) AS l, "
+                    "arrayReduce('stddevPop', [2,4]) AS s")
+    assert (r.a, r.c, r.u, r.f, r.l, r.s) == (2.0, 3, 3, 7, 8, 1.0)
+
+
+def test_array_reduce_unknown_name_is_build_error(spark):
+    with pytest.raises(BuildError, match="arrayReduce.*unsupported"):
+        execute_sql(spark, "SELECT arrayReduce('nosuchagg', [1]) AS v",
+                    {}).collect()
