@@ -590,9 +590,20 @@ def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
         "stddevSamp": lambda: F.sqrt(_var_flat(flat, samp=True)),
         "median": lambda: _quantile_flat(flat, 0.5),
     }
-    if base_name not in reducers:
-        raise ValueError(f"-{sfx} combinator unsupported for {base_name}")
-    return reducers[base_name]()
+    if base_name in reducers:
+        return reducers[base_name]()
+    # canonical-order stacking on a SUFFIXED base (reference rewrite
+    # appends a combinator to any name, ExpressionElementParsers.cpp:
+    # 866-867): peel the base's own trailing combinator and wrap the
+    # inner flat reduction — minOrNullDistinct reduces min over the
+    # distinct array, then applies the empty-set→NULL contract.
+    if base_name.endswith("OrNull") and len(base_name) > 6:
+        inner = _reduce_flat(base_name[:-6], flat, sfx)
+        return F.when(F.size(flat) > 0, inner)
+    if base_name.endswith("OrDefault") and len(base_name) > 9:
+        inner = _reduce_flat(base_name[:-9], flat, sfx)
+        return F.coalesce(inner, F.lit(0))
+    raise ValueError(f"-{sfx} combinator unsupported for {base_name}")
 
 
 def _array_combinator(base_name: str, arr) -> Column:
@@ -679,6 +690,14 @@ def _combine(base, base_name: str, sfx: str):
         return lambda arr: _foreach_combinator(base_name, arr)
     if sfx == "Distinct":
         def _distincted(*a):
+            if base_name.endswith("If") and len(base_name) > 2 \
+                    and len(a) == 2:
+                # avgIf(DISTINCT x, p): filter first (collect_list drops
+                # the NULLed-out rows), then distinct-reduce with the
+                # unsuffixed base — filter-then-distinct ≡
+                # distinct-of-filtered for a row predicate
+                return _distinct_combinator(base_name[:-2],
+                                            F.when(_c(a[1]), _c(a[0])))
             if len(a) != 1:
                 raise ValueError(
                     f"-Distinct combinator needs exactly one argument "

@@ -250,6 +250,15 @@ _DISTINCT_AGGS = [
     ("arrayStringConcat(arrayMap(v -> toString(v), "
      "arraySort(groupArray(DISTINCT {e}))), ',')",
      "array_to_string(list_sort(list(DISTINCT {e})), ',')", False),
+    # stacked combinators on suffixed bases (canonical order:
+    # base → Distinct → suffix); groups here are non-empty so
+    # -OrNull degenerates to the plain aggregate in the oracle
+    ("minOrNull(DISTINCT {e})", "min(DISTINCT {e})", True),
+    ("maxOrNull(DISTINCT {e})", "max(DISTINCT {e})", True),
+    ("avgIf(DISTINCT {e}, l_linenumber > 2)",
+     "avg(DISTINCT CASE WHEN l_linenumber > 2 THEN {e} END)", True),
+    ("sumIf(DISTINCT {e}, l_linenumber < 5)",
+     "sum(DISTINCT CASE WHEN l_linenumber < 5 THEN {e} END)", True),
 ]
 
 
@@ -279,7 +288,7 @@ def _distinct_cases(n: int) -> list[tuple[str, str, str]]:
     return out
 
 
-DIST_CASES = _distinct_cases(16)
+DIST_CASES = _distinct_cases(28)
 
 
 def _nulljoin_cases(n: int) -> list[tuple[str, str]]:

@@ -133,3 +133,25 @@ def test_array_reduce_unknown_name_is_build_error(spark):
     with pytest.raises(BuildError, match="arrayReduce.*unsupported"):
         execute_sql(spark, "SELECT arrayReduce('nosuchagg', [1]) AS v",
                     {}).collect()
+
+
+# --- 8. stacked combinators on suffixed bases ----------------------------
+def test_stacked_combinator_distinct_on_suffixed_base(spark):
+    df = spark.createDataFrame([(1, 10), (1, 10), (1, 20), (2, 5)],
+                               "k int, v int")
+    rows = execute_sql(spark, """
+        SELECT k, minOrNull(DISTINCT v) AS mn,
+               avgIf(DISTINCT v, v > 5) AS av,
+               sumIf(DISTINCT v, v > 0) AS sm,
+               countIf(DISTINCT v, v > 5) AS ct,
+               maxOrDefault(DISTINCT v) AS md
+        FROM t GROUP BY k ORDER BY k""", {"t": df}).collect()
+    assert [(r.mn, r.av, r.sm, r.ct, r.md) for r in rows] == \
+        [(10, 15.0, 30.0, 2, 20), (5, None, 5.0, 0, 5)]
+
+
+def test_stacked_combinator_ornull_empty_set(spark):
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    r = execute_sql(spark, "SELECT minOrNull(DISTINCT v) AS mn FROM t "
+                           "WHERE v > 100", {"t": df}).collect()
+    assert r[0].mn is None
