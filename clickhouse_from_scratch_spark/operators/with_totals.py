@@ -1,8 +1,12 @@
 """GROUP BY ... WITH TOTALS — append one row of whole-set aggregates.
 
 Reference: ``src/Parsers/ParserSelectQuery.cpp:205,211-218``,
-``ASTSelectQuery.h:82`` (totals row appended to the grouped result;
-``totals_mode`` variants in ``src/Core/Settings.h:109-110`` not replicated).
+``ASTSelectQuery.h:82`` (totals row appended to the grouped result).
+``totals_mode`` (``src/Core/Settings.h:109-110``) is handled in the SQL
+lowering (``plans/builder.py``): ``before_having`` keeps the all-rows
+totals, the ``after_having_*`` family recomputes totals over the groups
+that passed HAVING; the exclusive/inclusive/auto distinction only
+matters under group-by overflow, which this engine does not replicate.
 
 Lowering: grouping sets — ``GROUP BY GROUPING SETS ((keys...), ())`` in one
 aggregation pass (single shuffle; Spark computes both granularities with

@@ -16,6 +16,7 @@ targets Spark so Catalyst supplies analysis/optimization:
 from __future__ import annotations
 
 import os
+import re as _re_mod
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1897,13 +1898,16 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         # map-argument form: merge per-row maps, return a map
         return _map_agg(name, F.map_keys(args[0]), F.map_values(args[0]),
                         df, as_map=True)
+    widen = _widen_sum_target(name, args, df)
     if params and name in REGISTRY:
         # parametric form f(p...)(args) without explicit dispatch above:
         # params lead (CH convention) — a registry entry that cannot take
         # them raises loudly instead of the params being silently dropped
-        return ch(name, *params, *args)
+        out = ch(name, *params, *args)
+        return out.cast(widen) if widen else out
     if name in REGISTRY:
-        return ch(name, *args)
+        out = ch(name, *args)
+        return out.cast(widen) if widen else out
     if name.endswith("Resample") and params and len(params) >= 3:
         # -Resample(start, end, step)(args..., key): one aggregate per
         # bucket, expanded statically (params are literals) — stays a
@@ -1923,10 +1927,39 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     combined = resolve_aggregate(name)
     if combined is not None:
         try:
-            return combined(*args)
+            out = combined(*args)
         except ValueError as e:
             raise BuildError(str(e)) from None
+        return out.cast(widen) if widen else out
     raise BuildError(f"unknown aggregate: {name}")
+
+
+_WIDEN_SUM_RX = _re_mod.compile(
+    r"(?:sum(?:Array|Distinct|ForEach|If|OrNull|OrDefault)+"
+    r"|groupArrayMovingSum)$")
+
+_INT_SPARK_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean"}
+
+
+def _widen_sum_target(name: str, args: list, df: DataFrame | None
+                      ) -> str | None:
+    """CH NumberTraits result-type fidelity for the sum family: summing
+    integers yields Int64 (Array(Int64) for the array-valued forms),
+    never Float64. The flat/array kernels in functions/aggregates.py
+    compute in double (exact below 2^53 — documented policy), so the
+    lowering casts the result back to the widened integer type when the
+    argument is integral. Returns the Spark cast target or None."""
+    if df is None or not args or not _WIDEN_SUM_RX.fullmatch(name):
+        return None
+    try:
+        at = df.select(args[0]).schema[0].dataType.simpleString()
+    except Exception:
+        return None
+    elem = at[6:-1] if at.startswith("array<") and at.endswith(">") else at
+    if elem not in _INT_SPARK_TYPES:
+        return None
+    array_valued = name == "groupArrayMovingSum" or "ForEach" in name
+    return "array<bigint>" if array_valued else "bigint"
 
 
 def _map_agg(name: str, keys: Column, vals: Column,
@@ -1937,6 +1970,12 @@ def _map_agg(name: str, keys: Column, vals: Column,
     JVM-side shape: one map per row (map_from_arrays), collect_list per
     group, then a map_zip_with fold — group-local memory is O(distinct
     keys in group), no extra shuffle beyond the aggregation itself."""
+    if name == "sumMap":
+        # CH widens summed integer values to Int64 (NumberTraits), so a
+        # 32-bit input can't overflow mid-group
+        vt = df.select(vals.alias("__v")).schema[0].dataType.simpleString()
+        if vt.startswith("array<") and vt[6:-1] in _INT_SPARK_TYPES:
+            vals = vals.cast("array<bigint>")
     per_row = F.map_from_arrays(keys, vals)
     map_t = df.select(per_row.alias("__m")).schema[0].dataType.simpleString()
     op = {"sumMap": lambda a, b: a + b, "minMap": F.least,

@@ -155,3 +155,31 @@ def test_stacked_combinator_ornull_empty_set(spark):
     r = execute_sql(spark, "SELECT minOrNull(DISTINCT v) AS mn FROM t "
                            "WHERE v > 100", {"t": df}).collect()
     assert r[0].mn is None
+
+
+# --- 9. sum-family result-type fidelity (CH NumberTraits) ----------------
+def test_sum_family_integer_inputs_widen_to_int64(spark):
+    df = spark.createDataFrame([(1, 2, [1, 2]), (1, 3, [3, 4])],
+                               "k int, v int, a array<int>")
+    out = execute_sql(spark, """
+        SELECT groupArrayMovingSum(v) AS ms, sumArray(a) AS sa,
+               sumForEach(a) AS sf, sumDistinct(v) AS sd,
+               sumMap(a, a) AS sm
+        FROM t GROUP BY k""", {"t": df})
+    dt = dict(out.dtypes)
+    assert dt["ms"] == "array<bigint>"
+    assert dt["sa"] == "bigint"
+    assert dt["sf"] == "array<bigint>"
+    assert dt["sd"] == "bigint"
+    assert "array<bigint>" in dt["sm"]
+    r = out.collect()[0]
+    assert (r.ms, r.sa, r.sf, r.sd) == ([2, 5], 10, [4, 6], 5)
+
+
+def test_sum_family_float_inputs_stay_double(spark):
+    df = spark.createDataFrame([(1, 1.5, [0.5])], "k int, f double, a array<double>")
+    out = execute_sql(spark, "SELECT groupArrayMovingSum(f) AS ms, "
+                             "sumArray(a) AS sa FROM t GROUP BY k",
+                      {"t": df})
+    dt = dict(out.dtypes)
+    assert dt["ms"] == "array<double>" and dt["sa"] == "double"
