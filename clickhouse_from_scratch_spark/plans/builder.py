@@ -139,6 +139,10 @@ class Context:
     ch_types: dict[str, str] = field(default_factory=dict)
     # SQL lambda UDFs: name → Lambda AST (CREATE FUNCTION)
     udfs: dict[str, object] = field(default_factory=dict)
+    # table aliases whose Spark qualification was FLATTENED by a
+    # non-native join lowering (ASOF union+window): `t1.qty` written
+    # against them resolves to the bare output column instead
+    flat_qualifiers: set[str] = field(default_factory=set)
     # max_rows_to_read meter, shared across the whole query tree:
     # {"rows": cumulative rows read, "cache": id(df) → row count} — the
     # cache keeps repeated scans of the same registered table to one
@@ -415,7 +419,10 @@ def _apply_interpolate(df: DataFrame, items: list,
         .rowsBetween(Window.unboundedPreceding, 0)
     for col, expr in items:
         prev = F.last(F.col(col), ignorenulls=True).over(w)
-        if expr is None:
+        if expr is None or (isinstance(expr, Identifier)
+                            and expr.name == col):
+            # bare form and the identity `col AS col` both carry the
+            # previous row's value forward
             df = df.withColumn(col, F.coalesce(F.col(col), prev))
             continue
         # accept col ± literal (evaluated per filled step)
@@ -898,6 +905,13 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
         return left.crossJoin(right)
 
     if node.strictness == "asof":
+        # the union+window lowering flattens Spark's alias scoping:
+        # record both factors' names so later `alias.col` references
+        # resolve against the flat output columns
+        for factor in (node.left, node.right):
+            a = getattr(factor, "alias", None)
+            t = getattr(factor, "table", None)
+            ctx.flat_qualifiers.update(x for x in (a, t) if x)
         if node.using:
             # ASOF USING (k1, .., t): the LAST column is the inequality
             # key with <= semantics, the rest are equi-keys (public CH
@@ -1364,8 +1378,14 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                            .distinct().withColumn(marker, F.lit(True)))
                 if node.name.startswith("global"):
                     side = F.broadcast(side)
-                key = _eval(node.args[0], ctx, df)
-                df = df.join(side, key == F.col(val), "left").drop(val)
+                # materialize the key as a fresh left-only column: when
+                # the subquery scans the SAME table (self-join lineage),
+                # an unbound name in the join condition resolves on both
+                # sides and Spark raises AMBIGUOUS_REFERENCE
+                keyc = f"__in_k{i}"
+                df = df.withColumn(keyc, _eval(node.args[0], ctx, df))
+                df = df.join(side, F.col(keyc) == F.col(val),
+                             "left").drop(val, keyc)
                 drops.append(marker)
                 fn = "isNull" if is_not else "isNotNull"
                 return df, FuncCall(fn, [Identifier([marker])])
@@ -1584,7 +1604,12 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             side = sub.select(F.col(sub.columns[0]).alias("__in_set"))
             if c.name.startswith("global"):
                 side = F.broadcast(side)
-            df = df.join(side, key == F.col("__in_set"), how)
+            # key materialized left-only: a same-table membership check
+            # is a self-join, where an unbound name in the condition
+            # resolves on both sides (AMBIGUOUS_REFERENCE)
+            df = (df.withColumn("__in_key", key)
+                  .join(side, F.col("__in_key") == F.col("__in_set"), how)
+                  .drop("__in_key"))
         elif (isinstance(c, FuncCall) and c.name in ("in", "globalIn",
                                                      "notIn", "globalNotIn")
                 and len(c.args) == 2 and isinstance(c.args[1], Subquery)):
@@ -1595,11 +1620,15 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 df = dec
                 continue
             sub = _build_query(c.args[1].query, ctx)
-            subcol = sub.columns[0]
+            side = sub.select(F.col(sub.columns[0]).alias("__in_set"))
             how = "left_anti" if "not" in c.name.lower() else "left_semi"
             if c.name.startswith("global"):
-                sub = F.broadcast(sub)
-            df = df.join(sub, key == F.col(subcol), how)
+                side = F.broadcast(side)
+            # same self-join hygiene as the IN-table branch above: the
+            # subquery may scan the SAME table as the outer query
+            df = (df.withColumn("__in_key", key)
+                  .join(side, F.col("__in_key") == F.col("__in_set"), how)
+                  .drop("__in_key"))
         elif (isinstance(c, FuncCall) and c.name == "exists"
               and isinstance(c.args[0], Subquery)):
             dec = _decorrelate(df, c.args[0].query, ctx, anti=neg_exists)
@@ -2217,6 +2246,17 @@ def _eval(node, ctx: Context, df: DataFrame | None,
             return F.col(f"`{node.name}`")
         if len(node.parts) == 2 and two_sided is not None:
             return F.col(node.name)
+        if (len(node.parts) == 2 and node.parts[0] in ctx.flat_qualifiers
+                and df is not None and node.name not in df.columns):
+            # qualified ref against a flattened (ASOF-joined) side: the
+            # output is unqualified, so resolve the bare column — or
+            # raise by name if the column was suffix-renamed away
+            bare = node.parts[1]
+            if bare in df.columns:
+                return F.col(bare)
+            raise BuildError(
+                f"{node.name}: column not present after ASOF JOIN "
+                f"flattening (available: {sorted(df.columns)})")
         if (df is not None and node.name not in ctx.columns
                 and node.name in ctx.aliases):
             return _eval(_inline(node, ctx), ctx, df)

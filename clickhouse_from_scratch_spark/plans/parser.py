@@ -443,9 +443,17 @@ class Parser:
         return ref
 
     def _sample_ratio(self) -> float:
-        v = float(self.advance().text)
+        def num() -> float:
+            t = self.advance()
+            try:
+                return float(t.text)
+            except ValueError:
+                raise ParseError(
+                    f"SAMPLE expects a numeric ratio, got {t.text!r}"
+                ) from None
+        v = num()
         if self.accept_op("/"):
-            v /= float(self.advance().text)
+            v /= num()
         return v
 
     def _opt_alias(self) -> str | None:

@@ -192,3 +192,67 @@ def test_live_view_watch_liveness_rate_source(spark, tmp_path):
         assert len(sink) == 2 and max(sink) > min(sink)   # sink advanced
     finally:
         lv.stop()
+
+
+def test_window_view_hop_lateness_insert_watch(spark, tmp_path):
+    """WATCH feeding INSERT under a hop() WINDOW VIEW with
+    ALLOWED_LATENESS (round-4 brief #7): hop windows + watermark
+    lateness drive a foreachBatch append sink (the streaming
+    ``INSERT INTO t WATCH wv`` shape, ParserInsertQuery.cpp:165-172).
+
+    Late-row contract (Structured Streaming == CH WATERMARK +
+    ALLOWED_LATENESS): an out-of-order row ABOVE the watermark is
+    aggregated into its still-open windows; a row BELOW the watermark
+    is dropped before aggregation and appears in no window."""
+    src = str(tmp_path / "wv_late_src")
+    sink = str(tmp_path / "wv_late_sink")
+    schema = ("event_id long, ts timestamp, user_id long,"
+              " event_type string, value double")
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long,"
+                  " event_type string, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    # batch 1 — on-time events; max ts 00:24 → watermark 00:19 after it
+    write_batch([(1, "2024-01-01 00:01:00", 1, "click", 1.0),
+                 (2, "2024-01-01 00:12:00", 1, "click", 2.0),
+                 (3, "2024-01-01 00:24:00", 1, "click", 4.0)],
+                "overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    wv = WindowView("wv_lateness_test", "ts",
+                    hop("ts", slide="5 minutes", size="10 minutes"),
+                    keys=[], aggs=[F.count(F.lit(1)).alias("n")],
+                    watermark="0 seconds",
+                    allowed_lateness="5 minutes")
+    q = (wv.build(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wv_late_ckpt"))
+         .foreachBatch(lambda b, _id:
+                       b.write.mode("append").parquet(sink))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2 — one late-but-above-watermark row (00:21 > 00:19),
+        # one below-watermark row (00:08 < 00:19, must vanish), and a
+        # far-future row to advance the watermark and flush windows
+        write_batch([(4, "2024-01-01 00:21:00", 1, "click", 8.0),
+                     (5, "2024-01-01 00:08:00", 1, "click", 16.0),
+                     (6, "2024-01-01 00:50:00", 1, "click", 32.0)],
+                    "append")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {(str(r.window_start)[11:16], str(r.window_end)[11:16]): r.n
+           for r in spark.read.parquet(sink).collect()}
+    # too-late 00:08 row excluded from its (already-closed) windows
+    assert out[("00:00", "00:10")] == 1
+    assert out[("00:05", "00:15")] == 1
+    # late 00:21 row included in both still-open hop windows
+    assert out[("00:15", "00:25")] == 2      # 00:24 + late 00:21
+    assert out[("00:20", "00:30")] == 2      # 00:24 + late 00:21
+    # each emitted window appended exactly once through the WATCH sink
+    assert len(out) == len(
+        spark.read.parquet(sink).collect())
