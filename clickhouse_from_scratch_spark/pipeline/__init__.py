@@ -11,6 +11,7 @@ from .dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    ngram_jaccard_exact_pairs,
     ngram_jaccard_pairs,
     simhash_signatures,
     simhash_near_dups,
@@ -41,7 +42,7 @@ from .text import (
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_candidates",
-    "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
+    "ngram_jaccard_exact_pairs", "ngram_jaccard_pairs", "simhash_signatures", "simhash_near_dups",
     "simhash_hamming_pairs", "simhash_near_dups_hamming",
     "connected_components", "dedup_keep_canonical",
     "passage_dedup", "unit_dedup", "prepare_training_data",

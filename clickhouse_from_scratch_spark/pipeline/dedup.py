@@ -244,6 +244,30 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_jaccard_exact_pairs(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.6,
+                              shingle_n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard over ALL pairs — the oracle-able
+    baseline (SQL-expressible in DuckDB as string shingles; the hash
+    shingles here give identical set sizes barring 64-bit collisions).
+
+    All-pairs is O(n²): VERIFY-ONLY, like ``cosine_near_dup_pairs`` —
+    the 100 TB path is ``ngram_jaccard_pairs`` (LSH candidates) above.
+    """
+    sh = docs.select(F.col(id_col),
+                     shingles(F.col(text_col), shingle_n).alias("sh")) \
+             .filter(F.size("sh") > 0)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes, fully JVM-side.

@@ -28,7 +28,7 @@ from .operators import (
 from .pipeline import (
     brute_force_topk, cosine_near_dup_pairs, lsh_bucketed_topk,
     lsh_near_dup_pairs, minhash_lsh_candidates,
-    ngram_jaccard_pairs, simhash_near_dups,
+    ngram_jaccard_exact_pairs, ngram_jaccard_pairs, simhash_near_dups,
 )
 from .pipeline.multimodal import attach_binary_payload, decode_image_batch
 from .pipeline.text import (
@@ -1001,12 +1001,36 @@ def dedup_minhash_q(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-@query("dedup_ngram_jaccard")  # no SQL oracle (pairs via LSH)
+@query("dedup_ngram_jaccard", oracle="""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs
+  FROM d WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.shs, b.shs))::DOUBLE /
+             len(list_distinct(a.shs || b.shs)), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shs, b.shs))::DOUBLE /
+      len(list_distinct(a.shs || b.shs)) >= 0.5
+ORDER BY id_a, id_b
+""")
 def dedup_jaccard_q(spark, sf_dir):
-    """Exact n-gram Jaccard ≥ 0.5 on LSH candidates."""
+    """Exact word-3-gram Jaccard ≥ 0.5, ALL pairs — the oracle-able
+    baseline (DuckDB computes string shingles; the engine's hash
+    shingles give the same set sizes). All-pairs is verify-only by
+    contract; the 100 TB path is the LSH-candidates form
+    (ngram_jaccard_pairs), pinned as a superset in pytest."""
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=0.5, use_arrow=False)
-    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    out = ngram_jaccard_exact_pairs(docs, threshold=0.5)
+    return (out.select("id_a", "id_b",
+                       F.round("jaccard", 4).alias("jaccard"))
+            .orderBy("id_a", "id_b"))
 
 
 @query("dedup_cc_keep", oracle="""

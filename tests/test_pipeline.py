@@ -66,6 +66,22 @@ def test_ngram_jaccard_scores(spark):
     assert 0.5 < out[(0, 2)] < 1.0                 # near dup
 
 
+def test_ngram_jaccard_lsh_subset_of_exact(spark):
+    # LSH-candidate verify returns a SUBSET of the exact all-pairs form
+    # (same threshold, same shingles) with identical scores
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        ngram_jaccard_exact_pairs)
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_exact_pairs(
+                 _docs(spark), threshold=0.1).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(
+               _docs(spark), threshold=0.1, use_arrow=False).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(abs(exact[p] - j) < 1e-12 for p, j in lsh.items())
+    assert (0, 1) in lsh                           # exact dup recalled
+
+
 def test_simhash_identical_for_dups(spark):
     sigs = {r.doc_id: r.simhash
             for r in simhash_signatures(_docs(spark)).collect()}
