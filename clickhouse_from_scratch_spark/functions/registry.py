@@ -499,8 +499,26 @@ def _array_reduce(name, a) -> Column:
     """arrayReduce('agg', arr): apply an aggregate-function name to the
     array's elements (ref src/Functions/array/arrayReduce.cpp accepts any
     registered aggregate). Names expressible as array kernels run JVM-side;
-    anything else raises a named BuildError instead of a raw KeyError."""
-    agg = str(name).lower()
+    anything else raises a named BuildError instead of a raw KeyError.
+    Parametric spellings pass the params inside the string — CH accepts
+    arrayReduce('quantile(0.5)', arr) / 'topK(2)' the same way."""
+    import re as _re
+    agg = str(name).strip().lower()
+    pm = _re.fullmatch(r"(\w+)\(([^)]*)\)", agg)
+    if pm:
+        base, argtxt = pm.group(1), pm.group(2).strip()
+        if base in ("quantile", "medianexact", "quantileexact"):
+            from .aggregates import _quantile_flat
+            return _quantile_flat(F.transform(_c(a), lambda x:
+                                              x.cast("double")),
+                                  float(argtxt or 0.5))
+        from ..plans.builder import BuildError
+        raise BuildError(
+            f"arrayReduce: unsupported parametric aggregate {name!r}")
+    if agg == "median":
+        from .aggregates import _quantile_flat
+        return _quantile_flat(F.transform(_c(a), lambda x:
+                                          x.cast("double")), 0.5)
     n = F.size(_c(a))
     mean = REGISTRY["arrayAvg"](a)
     sq_dev = F.aggregate(
@@ -576,7 +594,24 @@ def _json_path(keys) -> str:
 
 def _jx(cast: str | None = None):
     def f(j, *keys):
-        col = F.get_json_object(_c(j), _json_path(keys))
+        neg = [isinstance(k, int) and not isinstance(k, bool) and k < 0
+               for k in keys]
+        if any(neg):
+            # negative index = from the end (CH contract). Spark's
+            # JsonPath has no [-1], so resolve via element_at over the
+            # parent array (negative-index capable) — supported in the
+            # last position only
+            if any(neg[:-1]):
+                from ..plans.builder import BuildError
+                raise BuildError(
+                    "JSONExtract: negative array index is only "
+                    "supported in the last path position")
+            parent = (F.get_json_object(_c(j), _json_path(keys[:-1]))
+                      if len(keys) > 1 else _c(j))
+            col = F.element_at(F.from_json(parent, "array<string>"),
+                               int(keys[-1]))
+        else:
+            col = F.get_json_object(_c(j), _json_path(keys))
         return col.cast(cast) if cast else col
     return f
 

@@ -2435,7 +2435,13 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         cht = _infer_ch_type(node.args[0], ctx, df)
         info = CH_NUMERIC.get(cht) if cht else None
         width = info[1] if info and info[0] in ("u", "i") else None
-        return REGISTRY["byteSwap"](cols[0], width)
+        out = REGISTRY["byteSwap"](cols[0], width)
+        if info and info[0] == "i" and width in (1, 2, 4):
+            # signed types keep their width: byteSwap(Int16 -2) is the
+            # 16-bit pattern 0xFFFE read back as Int16 (= -2), not 65534
+            out = out.cast({1: "tinyint", 2: "smallint",
+                            4: "int"}[width])
+        return out
     if name == "toTypeName" and len(node.args) == 1:
         # CH type introspection: literal typing first (FieldToDataType —
         # toTypeName(1) = 'UInt8'), then the resolved Spark dtype mapped

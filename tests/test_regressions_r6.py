@@ -183,3 +183,30 @@ def test_sum_family_float_inputs_stay_double(spark):
                       {"t": df})
     dt = dict(out.dtypes)
     assert dt["ms"] == "array<double>" and dt["sa"] == "double"
+
+
+# --- 10. fidelity tail: signed byteSwap, parametric arrayReduce, -------
+# --- negative JSON indices ----------------------------------------------
+def test_byteswap_signed_width_wraps(spark):
+    r = _one(spark, "SELECT byteSwap(toInt16(-2)) AS a, "
+                    "byteSwap(toInt32(-2)) AS b")
+    # 0xFFFE -> 0xFEFF (Int16 -257); 0xFFFFFFFE -> 0xFEFFFFFF
+    assert (r.a, r.b) == (-257, -16777217)
+
+
+def test_array_reduce_parametric_and_median(spark):
+    r = _one(spark, "SELECT arrayReduce('quantile(0.5)', [1,2,3,4]) AS q, "
+                    "arrayReduce('median', [1,2,3]) AS m")
+    assert (r.q, r.m) == (2.5, 2.0)
+
+
+def test_array_reduce_bad_parametric_raises(spark):
+    with pytest.raises(BuildError, match="arrayReduce"):
+        execute_sql(spark, "SELECT arrayReduce('nosuch(3)', [1]) AS v",
+                    {}).collect()
+
+
+def test_json_negative_index_from_end(spark):
+    r = _one(spark, "SELECT JSONExtractInt('[10,20,30]', -1) AS a, "
+                    """JSONExtractString('{"a":["x","y"]}', 'a', -1) AS b""")
+    assert (r.a, r.b) == (30, "y")
