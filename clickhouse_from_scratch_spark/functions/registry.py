@@ -158,7 +158,8 @@ _alias("lowerUTF8", F.lower)
 _alias("upperUTF8", F.upper)
 _alias("reverse", F.reverse)
 _alias("concat", F.concat)
-_alias("concatWithSeparator", lambda sep, *cs: F.concat_ws(sep, *cs))
+_alias("concatWithSeparator", lambda sep, *cs: F.concat_ws(
+    sep, *[_c(c) for c in cs]))
 _alias("substring", lambda s, p, l=None: F.substring(_c(s), p, l) if l is not None else _c(s).substr(_c(p), F.length(_c(s))))
 _alias("substringUTF8", REGISTRY["substring"])
 _alias("left", lambda s, n: F.substring(_c(s), 1, n))
@@ -197,9 +198,48 @@ _alias("endsWith", lambda s, p: _c(s).endswith(p))
 _alias("repeat", lambda s, n: F.repeat(_c(s), n))
 _alias("leftPad", lambda s, n, p=" ": F.lpad(_c(s), n, p))
 _alias("rightPad", lambda s, n, p=" ": F.rpad(_c(s), n, p))
-_alias("extract", lambda s, p: F.regexp_extract(_c(s), p, 1))
-_alias("extractAll", lambda s, p: F.regexp_extract_all(_c(s), F.lit(p), F.lit(1)))
-_alias("format", lambda fmt, *args: F.format_string(fmt.replace("{}", "%s"), *args))
+def _re_group_idx(p) -> int:
+    """CH extract/extractAll: first capture group if the pattern has
+    one, else the whole match (src/Functions/ExtractImpl docs)."""
+    import re as _re
+    try:
+        return 1 if isinstance(p, str) and _re.compile(p).groups else 0
+    except _re.error:
+        return 0
+
+
+_alias("extract", lambda s, p: F.regexp_extract(_c(s), p,
+                                                _re_group_idx(p)))
+_alias("extractAll", lambda s, p: F.regexp_extract_all(
+    _c(s), F.lit(p), F.lit(_re_group_idx(p))))
+
+
+def _ch_format(fmt, *args) -> Column:
+    """format('{} {}', a, b) / format('{1} {0}', a, b) — CH supports
+    anonymous and indexed placeholders (src/Functions/formatString)."""
+    if not isinstance(fmt, str):
+        raise ValueError("format: the pattern must be a literal string")
+    import re as _re
+    cols = [_c(a) for a in args]
+    picked: list[Column] = []
+    auto = [0]
+
+    def repl(m) -> str:
+        g = m.group(1)
+        i = int(g) if g else auto[0]
+        if not g:
+            auto[0] += 1
+        if not 0 <= i < len(cols):
+            raise ValueError(f"format: placeholder {{{g}}} out of range "
+                             f"for {len(cols)} arguments")
+        picked.append(cols[i])
+        return "%s"
+
+    pat = _re.sub(r"\{(\d*)\}", repl, fmt.replace("%", "%%"))
+    return F.format_string(pat, *picked)
+
+
+_alias("format", _ch_format)
 _alias("toValidUTF8", lambda s: _c(s))
 _alias("tokens", lambda s: F.split(_c(s), r"\s+"))
 _alias("regexpQuoteMeta", lambda s: _c(s))  # parse-time helper; identity for literals handled upstream
@@ -235,9 +275,24 @@ for _name, _fn in [
     ("exp10", lambda c: F.pow(F.lit(10.0), _c(c))),
     ("e", lambda: F.lit(2.718281828459045)), ("pi", lambda: F.lit(3.141592653589793)),
     ("pow", lambda a, b: F.pow(_c(a), _c(b))), ("power", lambda a, b: F.pow(_c(a), _c(b))),
-    ("floor", F.floor), ("ceil", F.ceil), ("ceiling", F.ceil),
 ]:
     _alias(_name, _fn)
+
+
+def _scale_round(base):
+    # floor/ceil with a scale return Float64 in CH; Spark's scale form
+    # yields Decimal — cast back (negative scale = tens/hundreds/…)
+    def f(c, n=None):
+        if n is None:
+            return base(_c(c))
+        return base(_c(c), _c(n) if isinstance(n, Column)
+                    else F.lit(int(n))).cast("double")
+    return f
+
+
+_alias("floor", _scale_round(F.floor))
+_alias("ceil", _scale_round(F.ceil))
+_alias("ceiling", _scale_round(F.ceil))
 _alias("trunc", lambda c, n=0: ((F.floor(_c(c) * (10 ** n)) / (10 ** n))
                                 if n else F.floor(_c(c)).cast("double")))
 _alias("truncate", REGISTRY["trunc"])
@@ -404,20 +459,28 @@ _alias("tumbleEnd", lambda ts, iv: F.window(_c(ts), iv).end)
 
 
 def _date_diff(unit: str, a, b) -> Column:
+    """dateDiff counts UNIT BOUNDARIES crossed (toRelative<Unit>Num
+    difference per the public CH contract): dateDiff('month',
+    '2022-01-31', '2022-02-01') = 1, dateDiff('hour', 10:59, 11:01) = 1
+    — not elapsed-amount truncation."""
     a, b = _c(a), _c(b)
     u = unit.strip("'\"").lower()
     if u in ("day", "dd", "d"):
         return F.datediff(b.cast("date"), a.cast("date")).cast("long")
     if u in ("hour", "hh"):
-        return ((F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600).cast("long")
+        return (F.floor(F.unix_timestamp(b) / 3600)
+                - F.floor(F.unix_timestamp(a) / 3600)).cast("long")
     if u in ("minute", "mi"):
-        return ((F.unix_timestamp(b) - F.unix_timestamp(a)) / 60).cast("long")
+        return (F.floor(F.unix_timestamp(b) / 60)
+                - F.floor(F.unix_timestamp(a) / 60)).cast("long")
     if u in ("second", "ss"):
         return (F.unix_timestamp(b) - F.unix_timestamp(a)).cast("long")
     if u in ("month", "mm"):
-        return F.floor(F.months_between(b, a)).cast("long")
+        return ((F.year(b) * 12 + F.month(b))
+                - (F.year(a) * 12 + F.month(a))).cast("long")
     if u in ("quarter", "qq"):
-        return F.floor(F.months_between(b, a) / 3).cast("long")
+        return ((F.year(b) * 4 + F.quarter(b))
+                - (F.year(a) * 4 + F.quarter(a))).cast("long")
     if u in ("week", "wk"):
         return F.floor(F.datediff(b.cast("date"), a.cast("date")) / 7).cast("long")
     if u in ("year", "yyyy", "yy"):
@@ -443,7 +506,14 @@ _alias("arrayElement", lambda a, i: F.try_element_at(_c(a), _c(i)))
 _alias("has", lambda a, v: F.array_contains(_c(a), v))
 _alias("hasAll", lambda a, b: F.forall(_c(b), lambda x: F.array_contains(_c(a), x)))
 _alias("hasAny", lambda a, b: F.arrays_overlap(_c(a), _c(b)))
-_alias("indexOf", lambda a, v: F.array_position(_c(a), v))
+# null-safe: indexOf([1,3,NULL], NULL) = 3 (CH matches NULL needles);
+# 0 when absent
+_alias("indexOf", lambda a, v: F.coalesce(
+    F.element_at(F.filter(
+        F.transform(_c(a), lambda x, i: F.when(x.eqNullSafe(_c(v)),
+                                               i + 1)),
+        lambda y: y.isNotNull()), 1),
+    F.lit(0)))
 _alias("arrayConcat", F.concat)
 _alias("arraySlice", lambda a, off, ln=None: F.slice(_c(a), off, ln) if ln is not None else F.slice(_c(a), off, F.size(_c(a))))
 _alias("arrayPushBack", lambda a, v: F.concat(_c(a), F.array(_c(v))))
@@ -472,7 +542,11 @@ _alias("arrayAvg", lambda a: REGISTRY["arraySum"](a) / F.size(_c(a)))
 _alias("arrayMin", F.array_min)
 _alias("arrayMax", F.array_max)
 _alias("arrayUniq", lambda a: F.size(F.array_distinct(_c(a))))
-_alias("arrayCompact", F.array_distinct)
+# arrayCompact removes CONSECUTIVE duplicates only ([1,1,2,2,1] →
+# [1,2,1]); global dedup is arrayDistinct
+_alias("arrayCompact", lambda a: F.filter(
+    _c(a), lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+        ~x.eqNullSafe(F.element_at(_c(a), F.greatest(i, F.lit(1)))))))
 _alias("arrayFlatten", F.flatten)
 _alias("arrayZip", F.arrays_zip)
 _alias("arrayStringConcat", lambda a, sep="": F.array_join(_c(a), sep))
@@ -644,7 +718,9 @@ _alias("IPv4StringToNum", lambda s: (
     + F.split(_c(s), r"\.")[2].cast("long") * 256
     + F.split(_c(s), r"\.")[3].cast("long")))
 _alias("hex", F.hex)
-_alias("unhex", F.unhex)
+# CH String ≙ Spark string (§1.2): unhex returns String, not binary —
+# non-UTF8 byte sequences diverge (documented; CH strings are raw bytes)
+_alias("unhex", lambda c: F.unhex(_c(c)).cast("string"))
 _alias("base64Encode", F.base64)
 _alias("base64Decode", lambda c: F.unbase64(_c(c)).cast("string"))
 _alias("generateUUIDv4", lambda: F.expr("uuid()"))
@@ -822,7 +898,9 @@ _alias("arrayFirst", lambda f, a: F.element_at(F.filter(_c(a), f), 1))
 _alias("arrayLast", lambda f, a: F.element_at(F.filter(_c(a), f), -1))
 _alias("arrayFirstIndex", lambda f, a: F.coalesce(
     F.array_position(_c(a), F.element_at(F.filter(_c(a), f), 1)), F.lit(0)))
-_alias("countEqual", lambda a, v: F.size(F.filter(_c(a), lambda x: x == v)))
+# null-safe like indexOf: countEqual([1,NULL,NULL], NULL) = 2
+_alias("countEqual", lambda a, v: F.size(F.filter(
+    _c(a), lambda x: x.eqNullSafe(_c(v)))))
 _alias("mapFromArrays", lambda k, v: F.map_from_arrays(_c(k), _c(v)))
 _alias("arrayShuffle", lambda a: F.shuffle(_c(a)))
 
@@ -1064,7 +1142,11 @@ _alias("alphaTokens", lambda s: F.filter(
     F.split(_c(s), "[^A-Za-z]+"), lambda x: x != ""))
 _alias("toDecimalString", lambda x, n: F.regexp_replace(
     F.format_number(_c(x).cast("double"), int(n)), ",", ""))
-_alias("bin", lambda c: F.bin(_c(c)))
+# bin pads to the value's byte width (bin(5) = '00000101'); dynamic
+# lpad length needs the SQL function (PySpark's lpad wants an int)
+_alias("bin", lambda c: F.call_function(
+    "lpad", F.bin(_c(c)),
+    (F.ceil(F.length(F.bin(_c(c))) / 8) * 8).cast("int"), F.lit("0")))
 
 
 def _reinterpret_le(n_bytes: int):
@@ -1906,7 +1988,7 @@ def _array_shift(a, n, fill=None, left: bool = True) -> Column:
     sz = F.size(a)
     k = F.least(_c(n).cast("int") if isinstance(n, Column)
                 else F.lit(int(n)), sz)
-    pad = F.array_repeat(F.lit(fill) if fill is not None
+    pad = F.array_repeat(_c(fill) if fill is not None
                          else F.lit(None), k)
     if left:
         return F.concat(F.slice(a, k + 1, sz - k), pad)

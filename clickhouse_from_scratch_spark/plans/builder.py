@@ -1963,6 +1963,42 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     raise BuildError(f"unknown aggregate: {name}")
 
 
+def _array_default_fns(name: str, node, cols: list,
+                       df: DataFrame) -> Column | None:
+    """Type-default semantics that need the element type (CH fills with
+    the TYPE's default, Spark with NULL): arrayShiftLeft/Right without
+    an explicit fill pad with 0/''/false/[]; arrayElement out of bounds
+    returns the default for non-Nullable elements (Spark containsNull
+    False) and NULL for Nullable ones — the CH Nullable default."""
+    from pyspark.sql.types import ArrayType
+    try:
+        dt = df.select(cols[0]).schema[0].dataType
+    except Exception:
+        return None
+    if not isinstance(dt, ArrayType):
+        return None
+    elem = dt.elementType.simpleString()
+    if elem in ("tinyint", "smallint", "int", "bigint", "float",
+                "double", "decimal"):
+        default = F.lit(0).cast(elem)
+    elif elem == "string":
+        default = F.lit("")
+    elif elem == "boolean":
+        default = F.lit(False)
+    elif elem.startswith("array<"):
+        default = F.array().cast(elem)
+    else:
+        return None
+    if name == "arrayElement" and len(node.args) == 2:
+        if dt.containsNull:
+            return None                 # Nullable default IS NULL
+        return F.coalesce(REGISTRY["arrayElement"](cols[0], cols[1]),
+                          default)
+    if name.startswith("arrayShift") and len(node.args) == 2:
+        return REGISTRY[name](cols[0], cols[1], default)
+    return None
+
+
 _WIDEN_SUM_RX = _re_mod.compile(
     r"(?:sum(?:Array|Distinct|ForEach|If|OrNull|OrDefault)+"
     r"|groupArrayMovingSum)$")
@@ -2427,6 +2463,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         first = sub.columns[0]
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
+    if name in ("arrayShiftLeft", "arrayShiftRight",
+                "arrayElement") and df is not None:
+        out = _array_default_fns(name, node, cols, df)
+        if out is not None:
+            return out
     if name == "byteSwap" and len(node.args) == 1:
         # width comes from the DECLARED CH type when inferable (DDL
         # column, to<Type> cast, literal typing) — CH swaps per argument
@@ -2680,7 +2721,7 @@ def _substitute(n, mapping: dict):
 
 _LITERAL_ARG_FNS = {
     "like", "notLike", "ilike", "notILike", "match", "splitByChar",
-    "splitByString", "splitByRegexp", "position", "extract", "extractAll",
+    "splitByString", "splitByRegexp", "position", "extract", "extractAll", "format",
     "replaceOne", "replaceAll", "replaceRegexpOne", "replaceRegexpAll",
     "startsWith", "endsWith", "substring", "left", "right", "repeat",
     "round", "roundBankers", "trunc", "JSONExtractString", "JSONExtractInt",

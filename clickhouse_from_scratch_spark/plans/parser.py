@@ -994,6 +994,16 @@ class Parser:
     def _extract(self):
         self.advance()
         self.expect_op("(")
+        # only `EXTRACT(unit FROM expr)` is the SQL-standard form; the
+        # call form extract(haystack, regexp) parses like any function
+        # (the reference special-cases only unit-FROM,
+        # ExpressionElementParsers.cpp) — don't swallow it
+        if not self.peek().is_kw("FROM"):
+            args = [self._expr()]
+            while self.accept_op(","):
+                args.append(self._expr())
+            self.expect_op(")")
+            return FuncCall("extract", args)
         unit = self.advance().text.upper()
         self.expect_kw("FROM")
         e = self._expr()

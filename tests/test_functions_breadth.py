@@ -29,7 +29,7 @@ CASES = [
     ("cutQueryStringAndFragment('https://e.com/a?q=1#f')",
      "https://e.com/a"),
     ("alphaTokens('ab12cd')", ["ab", "cd"]),
-    ("bin(5)", "101"),
+    ("bin(5)", "00000101"),    # CH pads to the value's byte width
     ("reinterpretAsUInt16('ab')", 98 * 256 + 97),       # little-endian
     ("reinterpretAsUInt32('abcd')",
      100 * 16777216 + 99 * 65536 + 98 * 256 + 97),
