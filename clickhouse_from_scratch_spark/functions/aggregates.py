@@ -28,6 +28,15 @@ def _if(agg: Callable[[Column], Column]) -> Callable[..., Column]:
     return lambda x, cond: agg(F.when(_c(cond), _c(x)))
 
 
+def _delta_sum(x) -> Column:
+    lst = F.collect_list(x.cast("double"))
+    m = F.greatest(F.size(lst) - 1, F.lit(0))
+    return F.aggregate(
+        F.zip_with(F.slice(lst, 2, m), F.slice(lst, 1, m),
+                   lambda b, a: F.greatest(b - a, F.lit(0.0))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 AGGREGATES: dict[str, Callable[..., Column]] = {
     "count": lambda *a: F.count(_c(a[0])) if a else F.count(F.lit(1)),
     "countDistinct": lambda *cs: F.count_distinct(*[_c(c) for c in cs]),
@@ -73,13 +82,19 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "topK": lambda k, x: _top_k_weighted(k, x, F.lit(1.0)),
     "histogram": lambda bins, x: F.histogram_numeric(_c(x), F.lit(bins)),
     "boundingRatio": lambda x, y: (F.max(_c(y)) - F.min(_c(y))) / (F.max(_c(x)) - F.min(_c(x))),
-    "deltaSum": lambda x: F.max(_c(x)) - F.min(_c(x)),
+    # sum of POSITIVE deltas between consecutive values in collection
+    # order (CH processes in data order; deterministic only under an
+    # outer sort, same caveat as groupArrayMovingSum)
+    "deltaSum": lambda x: _delta_sum(_c(x)),
     # CH skewPop/kurtPop are the raw population moments: Spark's
     # skewness is g1 (= CH skewPop); Spark kurtosis is EXCESS kurtosis,
     # CH kurtPop is m4/m2^2, hence the +3
     "skewPop": lambda x: F.skewness(_c(x)),
     "kurtPop": lambda x: F.kurtosis(_c(x)) + F.lit(3.0),
-    "avgWeighted": lambda x, w: (F.sum(_c(x) * _c(w)) / F.sum(_c(w))),
+    # pairs with a NULL value contribute neither value nor weight
+    "avgWeighted": lambda x, w: (
+        F.sum(_c(x) * _c(w))
+        / F.sum(F.when(_c(x).isNotNull(), _c(w)))),
     "anyHeavy": lambda x: F.mode(_c(x)),       # most-frequent approximation
     "entropy": lambda x: _entropy(_c(x)),
     # groupConcat[(sep)](x): parametric separator arrives first (builder

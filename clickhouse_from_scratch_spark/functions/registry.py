@@ -260,8 +260,10 @@ _alias("cityHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 _alias("sipHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 _alias("xxHash64", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 _alias("halfMD5", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
-_alias("MD5", lambda c: F.md5(_c(c)))
-_alias("SHA256", lambda c: F.sha2(_c(c), 256))
+# CH hash functions return FixedString(N) raw digests — carry as
+# binary so hex(MD5(x)) gives the 32-char digest, length() gives 16
+_alias("MD5", lambda c: F.unhex(F.md5(_c(c))))
+_alias("SHA256", lambda c: F.unhex(F.sha2(_c(c), 256)))
 _alias("crc32", lambda c: F.crc32(_c(c)))
 _alias("javaHash", lambda c: F.hash(_c(c)))
 
@@ -447,7 +449,30 @@ _alias("addHours", lambda d, n: _c(d) + F.expr(f"interval {n} hour"))
 _alias("addMonths", lambda d, n: F.add_months(_c(d), n))
 _alias("addYears", lambda d, n: F.add_months(_c(d), 12 * n))
 _alias("dateDiff", lambda unit, a, b: _date_diff(unit, a, b))
-_alias("age", lambda unit, a, b: _date_diff(unit, a, b))
+def _age(unit, a, b) -> Column:
+    """age() counts ELAPSED complete units (public CH contract —
+    age('month', '2022-01-31', '2022-02-01') = 0), unlike dateDiff's
+    boundary counting."""
+    a, b = _c(a), _c(b)
+    u = str(unit).strip("'\"").lower()
+    secs = F.unix_timestamp(b) - F.unix_timestamp(a)
+    per = {"second": 1, "ss": 1, "s": 1, "minute": 60, "mi": 60,
+           "hour": 3600, "hh": 3600, "day": 86400, "dd": 86400,
+           "d": 86400, "week": 604800, "wk": 604800}
+    if u in per:
+        return F.floor(secs / per[u]).cast("long")
+    months = F.floor(F.months_between(b, a))
+    if u in ("month", "mm"):
+        return months.cast("long")
+    if u in ("quarter", "qq"):
+        return F.floor(months / 3).cast("long")
+    if u in ("year", "yy", "yyyy"):
+        return F.floor(months / 12).cast("long")
+    raise ValueError(f"age unit: {unit}")
+
+
+_alias("age", _age)
+_alias("isZeroOrNull", lambda c: F.coalesce(_c(c) == 0, F.lit(True)))
 _alias("dateName", lambda part, d: F.date_format(_c(d), {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(part, "yyyy")))
 _alias("formatDateTime", lambda d, fmt: F.date_format(_c(d), _strftime_to_java(fmt)))
 _alias("toTimeZone", lambda c, tz: F.from_utc_timestamp(_c(c), tz))
@@ -931,7 +956,12 @@ _alias("toMonday", lambda c: F.date_trunc("week", _c(c)).cast("date"))
 _alias("ascii", F.ascii)
 _alias("char", lambda *cs: F.concat(*[F.char(_c(c)) for c in cs]))
 _alias("initcap", F.initcap)
-_alias("normalizeQuery", lambda s: F.regexp_replace(_c(s), r"\s+", " "))
+# replace literals with placeholders (public CH normalizeQuery):
+# quoted strings first, then bare numbers not embedded in identifiers
+_alias("normalizeQuery", lambda s: F.regexp_replace(
+    F.regexp_replace(F.regexp_replace(_c(s), r"\s+", " "),
+                     r"'[^']*'", "?"),
+    r"(?<![\w.])\d+(\.\d+)?(?![\w.])", "?"))
 _alias("countSubstrings", lambda s, sub: (
     (F.length(_c(s)) - F.length(F.replace(_c(s), _c(sub), F.lit(""))))
     / F.length(_c(sub))).cast("long"))
@@ -945,14 +975,13 @@ _alias("formatReadableSize", lambda n: _readable_size(_c(n)))
 
 
 def _readable_size(n: Column) -> Column:
-    return (F.when(n >= 1 << 30, F.concat(F.round(n / (1 << 30), 2)
-                                          .cast("string"), F.lit(" GiB")))
-            .when(n >= 1 << 20, F.concat(F.round(n / (1 << 20), 2)
-                                         .cast("string"), F.lit(" MiB")))
-            .when(n >= 1 << 10, F.concat(F.round(n / (1 << 10), 2)
-                                         .cast("string"), F.lit(" KiB")))
-            .otherwise(F.concat(n.cast("long").cast("string"),
-                                F.lit(" B"))))
+    def fmt(v: Column, unit: str) -> Column:
+        # CH prints two decimals: "1.00 KiB"
+        return F.concat(F.format_string("%.2f", v), F.lit(unit))
+    return (F.when(n >= 1 << 30, fmt(n / (1 << 30), " GiB"))
+            .when(n >= 1 << 20, fmt(n / (1 << 20), " MiB"))
+            .when(n >= 1 << 10, fmt(n / (1 << 10), " KiB"))
+            .otherwise(fmt(n.cast("double"), " B")))
 
 
 # --- more math ------------------------------------------------------------

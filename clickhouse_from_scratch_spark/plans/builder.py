@@ -2966,8 +2966,24 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
         if name == "arrayCount":
             return F.size(F.filter(arrays[0], fn))
         return target(arrays[0], fn)
-    if name == "arraySort":
-        return F.array_sort(F.transform(arrays[0], fn))
+    if name in ("arraySort", "arrayReverseSort"):
+        # sort the FIRST array's VALUES by the lambda key evaluated over
+        # the element tuples (arr1[i], arr2[i], …) — returning sorted
+        # keys (the old transform-then-sort shape) is a wrong answer
+        arr = arrays[0]
+        idx = F.sequence(F.lit(1), F.size(arr))
+        keyed = F.transform(idx, lambda i: F.struct(
+            fn(*[F.element_at(a, i) for a in arrays]).alias("k"),
+            i.alias("i"),
+            F.element_at(arr, i).alias("v")))
+        if name == "arrayReverseSort":
+            srt = F.array_sort(
+                keyed, lambda x, y: (F.when(x["k"] > y["k"], F.lit(-1))
+                                     .when(x["k"] < y["k"], F.lit(1))
+                                     .otherwise(x["i"] - y["i"])))
+        else:
+            srt = F.array_sort(keyed)   # (k, i, v): key then stable idx
+        return F.transform(srt, lambda s: s["v"])
     if name == "arrayFold":
         # arrayFold(λ(acc, x), arr, init) — CH arg order; F.aggregate
         # takes (arr, init, merge)

@@ -54,8 +54,9 @@ def _one(spark, col):
     ("countMatches", lambda: (F.lit("a1b22c333"), "[0-9]+"), 3),
     ("isAlphaNumeric", lambda: (F.lit("abc123"),), True),
     ("appendTrailingCharIfAbsent", lambda: (F.lit("dir"), "/"), "dir/"),
-    ("formatReadableSize", lambda: (F.lit(3 * 1024 * 1024),), "3.0 MiB"),
+    ("formatReadableSize", lambda: (F.lit(3 * 1024 * 1024),), "3.00 MiB"),
     ("normalizeQuery", lambda: (F.lit("a   b\t c"),), "a b c"),
+    ("normalizeQuery", lambda: (F.lit("SELECT 1 + 'x'"),), "SELECT ? + ?"),
 ])
 def test_extended_functions(spark, name, args, expected):
     got = _one(spark, ch(name, *args()))
