@@ -242,7 +242,10 @@ def _ch_format(fmt, *args) -> Column:
 _alias("format", _ch_format)
 _alias("toValidUTF8", lambda s: _c(s))
 _alias("tokens", lambda s: F.split(_c(s), r"\s+"))
-_alias("regexpQuoteMeta", lambda s: _c(s))  # parse-time helper; identity for literals handled upstream
+# escape regex metacharacters (real kernel — the old identity stub was
+# a silent wrong answer for any meta-containing input)
+_alias("regexpQuoteMeta", lambda s: F.regexp_replace(
+    _c(s), r"([\\.$^+?()\[\]{}|*\-])", r"\\$1"))
 
 
 def _regex_quote(s: str) -> str:
@@ -441,8 +444,14 @@ _alias("toYYYYMM", lambda c: (F.year(_c(c)) * 100 + F.month(_c(c))))
 _alias("toYYYYMMDD", lambda c: (F.year(_c(c)) * 10000 + F.month(_c(c)) * 100 + F.dayofmonth(_c(c))))
 _alias("dateAdd", lambda unit, n, d: _c(d) + F.expr(f"interval {n} {unit}"))
 _alias("dateSub", lambda unit, n, d: _c(d) - F.expr(f"interval {n} {unit}"))
-_alias("timestampAdd", REGISTRY["dateAdd"])
-_alias("timestampSub", REGISTRY["dateSub"])
+# timestampAdd supports BOTH public forms: (unit, n, date) and
+# (date, INTERVAL n unit) — the interval arrives as "n unit" text
+_alias("timestampAdd", lambda a, b, c=None: (
+    REGISTRY["dateAdd"](a, b, c) if c is not None
+    else _c(a) + F.expr(f"interval {b}")))
+_alias("timestampSub", lambda a, b, c=None: (
+    REGISTRY["dateSub"](a, b, c) if c is not None
+    else _c(a) - F.expr(f"interval {b}")))
 _alias("addDays", lambda d, n: F.date_add(_c(d), n))
 _alias("subtractDays", lambda d, n: F.date_sub(_c(d), n))
 _alias("addHours", lambda d, n: _c(d) + F.expr(f"interval {n} hour"))

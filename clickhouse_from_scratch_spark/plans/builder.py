@@ -65,7 +65,6 @@ _WINDOW_FNS = {
 _WINDOW_VALUE_FNS = {"lag": F.lag, "lead": F.lead,
                      "first_value": lambda c: F.first(c, ignorenulls=False),
                      "last_value": lambda c: F.last(c, ignorenulls=False),
-                     "lagInFrame": F.lag, "leadInFrame": F.lead,
                      "nth_value": F.nth_value, "nthValue": F.nth_value}
 
 
@@ -1705,6 +1704,7 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                 if key not in _slot_keys:
                     _slot_keys[key] = slot
                     agg_slots[slot] = _agg_column(node, ctx, df)
+                    _slot_fnames[slot] = node.name
                 return
             for a in node.args:
                 collect(a)
@@ -1715,6 +1715,7 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
             collect(node.expr)
 
     _slot_keys: dict[str, str] = {}
+    _slot_fnames: dict[str, str] = {}
     for item in q.select:
         collect(_inline(item, ctx))
     if q.having is not None:
@@ -1745,6 +1746,24 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                 for s in (gb.grouping_sets or [])]
         out = (pre.groupingSets(sets, *knames).agg(*agg_cols)
                .select(*knames, *agg_slots))
+    elif not knames and gb.mode == "plain" and not gb.with_totals \
+            and agg_slots:
+        # global aggregation over a possibly-EMPTY set: CH returns the
+        # result TYPE's default (sum→0, min/max/any→0/''/epoch,
+        # avg/moment family→nan), never NULL — NULL only comes from
+        # Nullable inputs whose values were all skipped, which Spark's
+        # own null-skipping already reproduces on non-empty sets
+        out = grouped.agg(*agg_cols,
+                          F.count(F.lit(1)).alias("__cnt_all"))
+        wrapped = []
+        for slot in agg_slots:
+            c: Column = F.col(slot)
+            d = _empty_set_default(_slot_fnames.get(slot, ""),
+                                   out.schema[slot].dataType)
+            if d is not None:
+                c = F.when(F.col("__cnt_all") == 0, d).otherwise(c)
+            wrapped.append(c.alias(slot))
+        out = out.select(*wrapped)
     else:
         out = grouped.agg(*agg_cols)
 
@@ -1961,6 +1980,40 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
             raise BuildError(str(e)) from None
         return out.cast(widen) if widen else out
     raise BuildError(f"unknown aggregate: {name}")
+
+
+_NAN_EMPTY_AGGS = _re_mod.compile(
+    r"(?i)^(avg|var|stddev|covar|corr|skew|kurt|quantile|median|entropy"
+    r"|rankCorr|mannWhitney|welchTTest|studentTTest)")
+
+
+def _empty_set_default(name: str, dtype) -> Column | None:
+    """CH empty-set result for a keyless aggregate: the result type's
+    default value (getLeastSupertype/IDataType::getDefault semantics for
+    aggregates without keys) — 0 / '' / false / epoch / [] — with the
+    moment family yielding nan (0/0 in Float64). -OrNull keeps NULL,
+    -State/-Merge keep their sketch carriers. None = leave as built."""
+    low = name.lower()
+    if any(low.endswith(sfx) for sfx in
+           ("ornull", "state", "merge", "mergestate")):
+        return None
+    dts = dtype.simpleString()
+    if _NAN_EMPTY_AGGS.match(name) and dts in ("double", "float"):
+        return F.lit(float("nan"))
+    if dts in ("tinyint", "smallint", "int", "bigint", "float",
+               "double") or dts.startswith("decimal"):
+        return F.lit(0).cast(dts)
+    if dts == "string":
+        return F.lit("")
+    if dts == "boolean":
+        return F.lit(False)
+    if dts == "date":
+        return F.to_date(F.lit("1970-01-01"))
+    if dts.startswith("timestamp"):
+        return F.to_timestamp(F.lit("1970-01-01 00:00:00")).cast(dts)
+    if dts.startswith("array<"):
+        return F.array().cast(dts)
+    return None
 
 
 def _array_default_fns(name: str, node, cols: list,
@@ -2468,6 +2521,15 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         out = _array_default_fns(name, node, cols, df)
         if out is not None:
             return out
+    if name == "abs" and len(node.args) == 1:
+        # CH abs(IntN) returns UIntN — abs(toInt8(-128)) = 128, not the
+        # two's-complement wrap. Widen sub-64-bit signed ints to long
+        # before abs (Int64 min stays the §1.2 UInt64-as-long edge).
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        if info and info[0] == "i" and info[1] <= 4:
+            return F.abs(cols[0].cast("bigint"))
+        return F.abs(cols[0])
     if name == "byteSwap" and len(node.args) == 1:
         # width comes from the DECLARED CH type when inferable (DDL
         # column, to<Type> cast, literal typing) — CH swaps per argument
@@ -3005,6 +3067,49 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
     w = Window.partitionBy(*[_eval(p, ctx, df) for p in spec.partition_by])
     if spec.order_by:
         w = w.orderBy(*[_order_col(df, it, ctx) for it in spec.order_by])
+    name = node.name
+    if name in ("lagInFrame", "leadInFrame"):
+        # CH lag/lead WITHIN the frame, returning the explicit default
+        # or the column TYPE's default out of reach. Spark's lag/lead
+        # reject frames, so accept only frames whose reach side covers
+        # the offset (then the frame is semantically inert) and apply
+        # over the frame-free window.
+        extra = [a.value for a in node.args[1:] if isinstance(a, Literal)]
+        off = int(extra[0]) if extra else 1
+        if spec.frame:
+            mode, start, end = spec.frame
+            reach = start if name == "lagInFrame" else end
+            anchored = reach in ("UNBOUNDED PRECEDING",
+                                 "UNBOUNDED FOLLOWING")
+            try:
+                k = abs(_bound(reach))
+            except Exception:
+                k = -1
+            if mode != "ROWS" or not (anchored or k >= off):
+                raise BuildError(
+                    f"{name}: only ROWS frames whose "
+                    f"{'start' if name == 'lagInFrame' else 'end'} "
+                    f"covers the offset are supported")
+        if len(extra) > 1:
+            default: Column | None = F.lit(extra[1])
+        else:
+            default = None
+            if df is not None:
+                try:
+                    dts = (df.select(cols[0]).schema[0]
+                           .dataType.simpleString())
+                except Exception:
+                    dts = ""
+                if dts in ("tinyint", "smallint", "int", "bigint",
+                           "float", "double"):
+                    default = F.lit(0).cast(dts)
+                elif dts == "string":
+                    default = F.lit("")
+                elif dts == "boolean":
+                    default = F.lit(False)
+        fn = F.lag if name == "lagInFrame" else F.lead
+        out = fn(cols[0], off).over(w)
+        return F.coalesce(out, default) if default is not None else out
     if spec.frame:
         mode, start, end = spec.frame
         if mode == "GROUPS":
@@ -3014,7 +3119,6 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
         lo = _bound(start)
         hi = _bound(end)
         w = w.rowsBetween(lo, hi) if mode == "ROWS" else w.rangeBetween(lo, hi)
-    name = node.name
     if name in _WINDOW_FNS:
         args = [a.value for a in node.args if isinstance(a, Literal)]
         return _WINDOW_FNS[name](*args).over(w)

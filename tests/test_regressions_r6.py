@@ -210,3 +210,25 @@ def test_json_negative_index_from_end(spark):
     r = _one(spark, "SELECT JSONExtractInt('[10,20,30]', -1) AS a, "
                     """JSONExtractString('{"a":["x","y"]}', 'a', -1) AS b""")
     assert (r.a, r.b) == (30, "y")
+
+
+# --- 11. empty-set keyless aggregates return type defaults ---------------
+def test_empty_set_global_agg_type_defaults(spark):
+    import math
+    df = spark.createDataFrame([(1, 10, "x")], "k int, v int, s string")
+    r = _one(spark, "SELECT sum(v) AS s, min(v) AS mn, max(v) AS mx, "
+                    "any(s) AS a, avg(v) AS av, count(v) AS c, "
+                    "uniqExact(v) AS u, groupArray(v) AS g, "
+                    "sumOrNull(v) AS so, minOrNull(v) AS mo "
+                    "FROM t WHERE v > 100", {"t": df})
+    assert (r.s, r.mn, r.mx, r.a, r.c, r.u, r.g) == \
+        (0, 0, 0, "", 0, 0, [])
+    assert math.isnan(r.av)
+    assert r.so is None and r.mo is None   # -OrNull keeps NULL
+
+
+def test_non_empty_global_agg_unchanged(spark):
+    df = spark.createDataFrame([(1, 10), (2, None)], "k int, v int")
+    r = _one(spark, "SELECT sum(v) AS s, avg(v) AS av FROM t",
+             {"t": df})
+    assert (r.s, r.av) == (10, 10.0)
