@@ -1118,6 +1118,29 @@ def _array_split(f, *arrays):
     return F.when(F.size(a) == 0, F.slice(init, 1, 0)).otherwise(stepped)
 
 
+@register("arrayReverseSplit")
+def _array_reverse_split(f, *arrays):
+    """arrayReverseSplit: cut AFTER every index where the lambda is true
+    (arraySplit cuts BEFORE) — equivalently, start a new group at index
+    i+1 whenever cond(i) held."""
+    a = _c(arrays[0])
+    els = [_c(x) for x in arrays]
+
+    def cond_prev(i: Column) -> Column:
+        return f(*[F.element_at(x, i - 1) for x in els])
+
+    init = F.array(F.slice(a, 1, 0))
+    stepped = F.aggregate(
+        F.sequence(F.lit(1), F.size(a)), init,
+        lambda acc, i: F.when((i > 1) & cond_prev(i), F.concat(
+            acc, F.array(F.array(F.element_at(a, i)))))
+        .otherwise(F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat(F.element_at(acc, -1),
+                             F.array(F.element_at(a, i)))))))
+    return F.when(F.size(a) == 0, F.slice(init, 1, 0)).otherwise(stepped)
+
+
 @register("mapFilter")
 def _map_filter(f, m):
     return F.map_filter(_c(m), f)
@@ -2149,3 +2172,135 @@ for _aliases, _target in [
         if _a != _target:
             CANONICAL[_a] = _target
             REGISTRY.setdefault(_a, REGISTRY[_target])
+
+
+# --- round-6 surface tail (public CH names; src/Functions registry) -------
+_alias("translateUTF8", REGISTRY["translate"])
+_alias("arrayJaccardIndex", lambda a, b: F.when(
+    F.size(F.array_union(_c(a), _c(b))) > 0,
+    F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    / F.size(F.array_union(_c(a), _c(b)))).otherwise(F.lit(1.0)))
+# byte-1-gram Jaccard over the two strings' character sets
+_alias("stringJaccardIndex", lambda a, b: REGISTRY["arrayJaccardIndex"](
+    F.array_distinct(F.split(_c(a), "(?!$)")),
+    F.array_distinct(F.split(_c(b), "(?!$)"))))
+_alias("bitHammingDistance", lambda a, b: F.bit_count(
+    _c(a).cast("long").bitwiseXOR(_c(b).cast("long"))))
+
+
+def _bit_test_fold(all_of: bool):
+    def f(a, *bits) -> Column:
+        x = _c(a).cast("long")
+        tests = [
+            F.call_function("shiftrightunsigned", x,
+                            _c(b).cast("int")).bitwiseAND(F.lit(1)) == 1
+            for b in bits]
+        out = tests[0]
+        for t in tests[1:]:
+            out = (out & t) if all_of else (out | t)
+        return out
+    return f
+
+
+_alias("bitTestAll", _bit_test_fold(True))
+_alias("bitTestAny", _bit_test_fold(False))
+_alias("toMillisecond", lambda c: (
+    F.unix_millis(_c(c).cast("timestamp")) % 1000).cast("smallint"))
+_alias("toStartOfMillisecond", lambda c: F.timestamp_micros(
+    F.floor(F.unix_micros(_c(c).cast("timestamp")) / 1000)
+    .cast("long") * 1000))
+_alias("toUTCTimestamp", lambda ts, tz: F.to_utc_timestamp(_c(ts), tz))
+_alias("fromUTCTimestamp", lambda ts, tz: F.from_utc_timestamp(_c(ts), tz))
+# change*(date, n): Date semantics (CH also accepts DateTime — the
+# time-of-day-preserving form is not implemented; named error-free
+# Date contract only)
+_alias("changeYear", lambda d, y: F.make_date(
+    _c(y).cast("int"), F.month(_c(d)), F.dayofmonth(_c(d))))
+_alias("changeMonth", lambda d, m: F.make_date(
+    F.year(_c(d)), _c(m).cast("int"), F.dayofmonth(_c(d))))
+_alias("changeDay", lambda d, dd: F.make_date(
+    F.year(_c(d)), F.month(_c(d)), _c(dd).cast("int")))
+# session is pinned UTC (session.py); these introspect that pin
+_alias("timezone", lambda: F.lit("UTC"))
+_alias("serverTimezone", lambda: F.lit("UTC"))
+_alias("timezoneOf", lambda c: F.lit("UTC"))
+_alias("indexHint", lambda *a: F.lit(True))   # CH: always 1, arg unused
+_alias("JSONArrayLength", lambda j: F.json_array_length(_c(j)))
+_alias("JSONLength", lambda j, *keys: F.coalesce(
+    F.json_array_length(F.get_json_object(_c(j), _json_path(keys))
+                        if keys else _c(j)),
+    F.size(F.json_object_keys(F.get_json_object(_c(j), _json_path(keys))
+                              if keys else _c(j)))))
+_alias("JSONExtractValues", lambda j, *keys: F.map_values(F.from_json(
+    F.get_json_object(_c(j), _json_path(keys)) if keys else _c(j),
+    "map<string,string>")))
+
+
+def _default_value_of_type(t) -> Column:
+    """defaultValueOfTypeName('Int32') → 0 (IDataType::getDefault)."""
+    name = str(t).strip()
+    low = name.lower()
+    if low.startswith("nullable("):
+        from .typemap import ch_type_to_spark
+        return F.lit(None).cast(ch_type_to_spark(name[9:-1].strip()))
+    if low.startswith("array("):
+        from .typemap import ch_type_to_spark
+        return F.array().cast(ch_type_to_spark(name))
+    if low in ("string", "fixedstring"):
+        return F.lit("")
+    if low == "date" or low == "date32":
+        return F.to_date(F.lit("1970-01-01"))
+    if low.startswith("datetime"):
+        return F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    if low == "bool":
+        return F.lit(False)
+    from .typemap import ch_type_to_spark
+    return F.lit(0).cast(ch_type_to_spark(name))
+
+
+_alias("defaultValueOfTypeName", _default_value_of_type)
+_alias("IPv4CIDRToRange", lambda ip, p: F.struct(
+    REGISTRY["IPv4NumToString"](
+        F.floor(_c(ip) / F.pow(F.lit(2.0), 32 - _c(p).cast("int")))
+        .cast("long") * F.pow(F.lit(2.0), 32 - _c(p).cast("int"))
+        .cast("long")).alias("_1"),
+    REGISTRY["IPv4NumToString"](
+        (F.floor(_c(ip) / F.pow(F.lit(2.0), 32 - _c(p).cast("int")))
+         .cast("long") + 1) * F.pow(F.lit(2.0), 32 - _c(p).cast("int"))
+        .cast("long") - 1).alias("_2")))
+
+
+def _ip_in_range(addr, cidr) -> Column:
+    """isIPAddressInRange('192.168.5.2', '192.168.0.0/16') — IPv4 form;
+    IPv6 inputs return false (v6 string math not implemented)."""
+    a, c = _c(addr), _c(cidr)
+    base = F.split(c, "/")[0]
+    bits = F.split(c, "/")[1].cast("int")
+    looks_v4 = a.rlike(r"^\d+\.\d+\.\d+\.\d+$") \
+        & base.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    an = REGISTRY["IPv4StringToNum"](a)
+    bn = REGISTRY["IPv4StringToNum"](base)
+    blk = F.pow(F.lit(2.0), 32 - bits).cast("long")
+    return F.when(looks_v4,
+                  F.floor(an / blk) == F.floor(bn / blk)) \
+            .otherwise(F.lit(False))
+
+
+_alias("isIPAddressInRange", _ip_in_range)
+
+
+def _array_zip_unaligned(*arrays) -> Column:
+    """arrayZipUnaligned: zip to the LONGEST length, null-padding the
+    shorter arrays (plain arrayZip requires equal sizes)."""
+    els = [_c(a) for a in arrays]
+    n = (F.greatest(*[F.size(a) for a in els]) if len(els) > 1
+         else F.size(els[0]))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(*[F.when(i <= F.size(a),
+                                    F.element_at(a, i))
+                             .alias(f"_{j + 1}")
+                             for j, a in enumerate(els)]))
+
+
+_alias("arrayZipUnaligned", _array_zip_unaligned)

@@ -2521,6 +2521,34 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         out = _array_default_fns(name, node, cols, df)
         if out is not None:
             return out
+    if name == "toJSONString" and len(node.args) == 1 and df is not None:
+        # complex types serialize via to_json; scalars per JSON rules
+        # (strings quoted+escaped, numbers/bools bare)
+        dts = df.select(cols[0]).schema[0].dataType.simpleString()
+        if dts.startswith(("array", "map", "struct")):
+            return F.to_json(cols[0])
+        if dts == "string":
+            esc = F.regexp_replace(
+                F.regexp_replace(cols[0], r"\\", r"\\\\"),
+                '"', '\\\\"')
+            return F.concat(F.lit('"'), esc, F.lit('"'))
+        if dts == "boolean":
+            return F.when(cols[0], F.lit("true")).otherwise(F.lit("false"))
+        return cols[0].cast("string")
+    if name == "defaultValueOfArgumentType" and len(node.args) == 1 \
+            and df is not None:
+        dts = df.select(cols[0]).schema[0].dataType.simpleString()
+        d = _empty_set_default("", df.select(cols[0]).schema[0].dataType)
+        return d if d is not None else F.lit(None).cast(dts)
+    if name == "hasColumnInTable":
+        vals = [a.value for a in node.args if isinstance(a, Literal)]
+        if len(vals) < 2:
+            raise BuildError("hasColumnInTable needs literal "
+                             "[db,] table, column arguments")
+        *tparts, colname = vals
+        tname = ".".join(tparts)
+        tdf = ctx.tables.get(tname)
+        return F.lit(bool(tdf is not None and colname in tdf.columns))
     if name == "abs" and len(node.args) == 1:
         # CH abs(IntN) returns UIntN — abs(toInt8(-128)) = 128, not the
         # two's-complement wrap. Widen sub-64-bit signed ints to long
@@ -2807,7 +2835,7 @@ _LITERAL_ARG_FNS = {
     "randomString", "space", "toDecimalString", "dateTrunc", "date_trunc",
     "extractGroups", "extractAllGroups", "addWeeks", "subtractWeeks",
     "addQuarters", "subtractQuarters", "subtractHours", "subtractMonths",
-    "subtractYears", "translate", "substringIndex", "hasToken",
+    "subtractYears", "translate", "translateUTF8", "defaultValueOfTypeName", "substringIndex", "hasToken",
     "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
@@ -2959,6 +2987,13 @@ def _refs_lambda_param(n, ctx: Context) -> bool:
     return False
 
 
+_COND_HOFS = {"arrayFilter", "arrayExists", "arrayAll", "arrayCount",
+              "arraySplit", "arrayReverseSplit", "arrayFill",
+              "arrayReverseFill", "arrayFirst", "arrayLast",
+              "arrayFirstIndex", "arrayLastIndex", "arrayFirstOrNull",
+              "arrayLastOrNull"}
+
+
 def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
     """Higher-order function with lambda argument(s):
     arrayMap(x -> e, a) etc."""
@@ -2973,16 +3008,23 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
             inner.lambda_params[p] = c
         return _eval(lam.body, inner, df)
 
+    name = node.name
+    # condition-consuming HOFs accept CH truthy ints (arrayFilter(x ->
+    # x % 2, …)); Spark's filter/exists demand boolean — coerce
+    as_bool = name in _COND_HOFS
+
+    def _res(*args: Column) -> Column:
+        out = _body(*args)
+        return out.cast("boolean") if as_bool else out
+
     # PySpark inspects the callable's positional arity — give it an exact
     # signature, not *args
     if len(lam.params) == 1:
-        fn = lambda a: _body(a)                    # noqa: E731
+        fn = lambda a: _res(a)                     # noqa: E731
     elif len(lam.params) == 2:
-        fn = lambda a, b: _body(a, b)              # noqa: E731
+        fn = lambda a, b: _res(a, b)               # noqa: E731
     else:
-        fn = lambda a, b, c: _body(a, b, c)        # noqa: E731
-
-    name = node.name
+        fn = lambda a, b, c: _res(a, b, c)         # noqa: E731
     if name in ("arrayMap", "arrayFilter", "arrayExists", "arrayAll",
                 "arrayCount") and len(arrays) > 1:
         # multi-array form: the lambda runs over POSITION-ALIGNED
