@@ -8,10 +8,17 @@ totals, the ``after_having_*`` family recomputes totals over the groups
 that passed HAVING; the exclusive/inclusive/auto distinction only
 matters under group-by overflow, which this engine does not replicate.
 
-Lowering: grouping sets — ``GROUP BY GROUPING SETS ((keys...), ())`` in one
-aggregation pass (single shuffle; Spark computes both granularities with
-partial aggregation), the () row carrying NULL keys — exactly CH's totals
-row shape.
+Lowering: the grouped part is a plain GROUP BY (one key-shuffle); the
+totals row is a keyless global aggregate over the same source, unioned
+by name with NULL keys. A keyless aggregate always emits exactly one
+row, so the totals block survives an empty input — matching ClickHouse,
+whose TotalsHavingTransform emits the totals block unconditionally. At
+scale the keyless pass map-side partial-aggregates to ~one row per
+partition before its shuffle, cheaper than the 2× row duplication an
+Expand-based GROUPING SETS ((keys), ()) lowering pays. Note: this
+string-expression API keeps Spark's ANSI NULL-on-empty aggregate values
+in the totals row; the SQL engine path (``plans/builder.py``) further
+applies CH's empty-set defaults (sum→0, count→0) to it.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def with_totals(df: DataFrame, keys: Sequence[str],
@@ -30,8 +38,13 @@ def with_totals(df: DataFrame, keys: Sequence[str],
     """
     view = "__wt_src"
     df.createOrReplaceTempView(view)
+    spark = df.sparkSession
     key_list = ", ".join(keys)
     agg_list = ", ".join(agg_exprs)
-    sql = (f"SELECT {key_list}, {agg_list} FROM {view} "
-           f"GROUP BY GROUPING SETS (({key_list}), ())")
-    return df.sparkSession.sql(sql)
+    grouped = spark.sql(f"SELECT {key_list}, {agg_list} FROM {view} "
+                        f"GROUP BY {key_list}")
+    totals = spark.sql(f"SELECT {agg_list} FROM {view}")
+    totals = totals.select(
+        *[F.lit(None).cast(grouped.schema[k].dataType).alias(k)
+          for k in keys], "*")
+    return grouped.unionByName(totals)

@@ -1727,7 +1727,9 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
     if not agg_cols:
         agg_cols = [F.count(F.lit(1)).alias("__agg_dummy")]
 
-    knames = list(key_slots.values())
+    # dedupe: raw and alias-inlined AST forms of one key both register
+    # the same __k* slot, so values() can repeat a name
+    knames = list(dict.fromkeys(key_slots.values()))
     if gb.mode == "rollup":
         grouped = pre.rollup(*knames)
     elif gb.mode == "cube":
@@ -1770,16 +1772,24 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
     totals_with_having = (gb.with_totals and gb.mode == "plain"
                           and q.having is not None)
     if gb.with_totals and gb.mode == "plain":
-        # WITH TOTALS ≡ GROUPING SETS ((keys), ()): totals come out of
-        # the same Expand pass — no second scan of the input. With a
-        # HAVING clause, grouping_id() tags the totals row so totals_mode
-        # (Settings.h:109-110) can treat it separately from the groups.
-        gsets = pre.groupingSets([list(knames), []], *knames)
+        # WITH TOTALS: groups from the plain groupBy plus ONE keyless
+        # global aggregate over the same pre-aggregation frame. CH's
+        # TotalsHavingTransform emits the totals block unconditionally —
+        # even when zero rows survive WHERE (default-initialized states:
+        # sum→0, count→0) — which a GROUPING SETS ((keys), ()) lowering
+        # cannot reproduce (Spark yields no rows at all on empty input).
+        # Scale: the keyless pass map-side partial-aggregates to one row
+        # per partition, so its shuffle is ~numPartitions rows; the
+        # grouped pass shuffles once on the keys — cheaper overall than
+        # the 2× Expand row duplication of the grouping-sets form.
+        tot0 = _totals_row(pre, agg_cols, list(agg_slots), _slot_fnames,
+                           out, knames)
         if totals_with_having:
-            out = (gsets.agg(*agg_cols, F.grouping_id().alias("__gid"))
-                   .select(*knames, *agg_slots, "__gid"))
+            out = (out.select(*knames, *agg_slots)
+                   .withColumn("__gid", F.lit(0))
+                   .unionByName(tot0.withColumn("__gid", F.lit(1))))
         else:
-            out = gsets.agg(*agg_cols).select(*knames, *agg_slots)
+            out = (out.select(*knames, *agg_slots).unionByName(tot0))
 
     cap = _limit_setting(ctx, "max_rows_to_group_by")
     if cap is not None:
@@ -1835,9 +1845,11 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                     c = F.col(f"__pre.{k}").eqNullSafe(F.col(f"__sv.{k}"))
                     jc = c if jc is None else (jc & c)   # real groups
                 pre_f = pre_a.join(survivors, on=jc, how="left_semi")
-                tot = pre_f.agg(*agg_cols).select(
-                    *[F.lit(None).cast(out.schema[k].dataType).alias(k)
-                      for k in knames], *agg_slots)
+                # CH still emits the totals block when zero groups pass
+                # HAVING — default-initialized, same as the empty-WHERE
+                # case — so wrap with the empty-set defaults here too.
+                tot = _totals_row(pre_f, agg_cols, list(agg_slots),
+                                  _slot_fnames, out, knames)
             out = out.unionByName(tot)
 
     proj = []
@@ -1851,6 +1863,27 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
         expr = node.expr if isinstance(node, Alias) else node
         proj.append(_eval_post(expr, out, ctx).alias(name))
     return out.select(*proj) if proj else out
+
+
+def _totals_row(src: DataFrame, agg_cols: list, slot_names: list,
+                slot_fnames: dict, schema_src: DataFrame,
+                knames: list) -> DataFrame:
+    """One totals row (keys NULL) for WITH TOTALS: keyless global
+    aggregate over ``src``. Spark's global agg always emits exactly one
+    row, so the totals block survives an empty input — matching CH's
+    unconditional totals emission — with empty-set aggregate defaults
+    (sum→0, count→0, avg→nan) applied when zero rows contributed."""
+    t = src.agg(*agg_cols, F.count(F.lit(1)).alias("__cnt_all"))
+    cols = [F.lit(None).cast(schema_src.schema[k].dataType).alias(k)
+            for k in knames]
+    for slot in slot_names:
+        c: Column = F.col(slot)
+        d = _empty_set_default(slot_fnames.get(slot, ""),
+                               t.schema[slot].dataType)
+        if d is not None:
+            c = F.when(F.col("__cnt_all") == 0, d).otherwise(c)
+        cols.append(c.alias(slot))
+    return t.select(*cols)
 
 
 def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:

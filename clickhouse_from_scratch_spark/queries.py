@@ -409,8 +409,11 @@ WITH g AS (SELECT o_orderpriority AS pri, count(*) AS n,
            GROUP BY o_orderpriority HAVING count(*) > 500)
 SELECT pri, n, s FROM g
 UNION ALL
+-- CH emits the totals block even when zero groups pass HAVING, with
+-- empty-set defaults (sum->0); ANSI SUM over zero rows is NULL
 SELECT NULL AS pri, count(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS s
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE),
+                0.0) AS s
 FROM orders WHERE o_orderstatus = 'F'
   AND o_orderpriority IN (SELECT pri FROM g)
 """)
@@ -1177,6 +1180,37 @@ def embedding_ann_ivf(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
     return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query("embedding_ann_ivf_probeall", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+WHERE rn <= 5
+""")
+def embedding_ann_ivf_probeall(spark, sf_dir):
+    """The IVF machinery pinned against the EXACT oracle: probing every
+    cell (nprobe = n_centroids) makes the candidate set the full corpus
+    — each corpus row joins through its single cell exactly once — so
+    recall is provably 1.0 and the result must equal brute-force top-k.
+    Verifies train_centroids + cell assignment + probe join + the
+    ranking window end to end (the approximate production config is
+    embedding_ann_ivf above; probing all cells is verify-only, NOT the
+    scale path)."""
+    from .pipeline import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=16,
+                   round_digits=4)
+    return out.select("query_id", "vec_id", "cos_sim")
 
 
 @query("text_quality", oracle="""

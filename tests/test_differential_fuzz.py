@@ -548,3 +548,87 @@ def test_differential_null_keys(spark, sf_dir, duck, name, sql):
     theirs = duck.sql(sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _combo_cases(n: int) -> list[tuple[str, str, str]]:
+    """Randomized CLAUSE-COMBINATION differential fuzz (round 6): stack
+    PREWHERE/WHERE/GROUP BY/HAVING/WITH TOTALS/DISTINCT/LIMIT BY/ORDER
+    BY/LIMIT in random mixes; the DuckDB side states the combination in
+    ANSI SQL (PREWHERE folded into WHERE, LIMIT BY via row_number,
+    TOTALS via GROUPING SETS). Catches clause-interaction misparses the
+    static matrix (test_clause_matrix.py) can't enumerate."""
+    rnd = random.Random(606)
+    keys = ["l_returnflag", "l_linestatus", "(l_linenumber % 3)"]
+    out = []
+    for i in range(n):
+        p1, p2 = _pred(rnd), _pred(rnd)
+        key = rnd.choice(keys)
+        shape = rnd.choice(["agg", "row", "limitby", "totals",
+                            "distinct"])
+        if shape == "agg":
+            e = _expr(rnd)
+            hv = rnd.randint(1, 50)
+            body = f"round(CAST(sum(CAST({e} AS DOUBLE)) AS DOUBLE), 3)"
+            ch = (f"SELECT {key} AS k, {body} AS s, count() AS n "
+                  f"FROM lineitem PREWHERE {p1} WHERE {p2} "
+                  f"GROUP BY k HAVING n >= {hv} ORDER BY k")
+            dd = (f"SELECT {key} AS k, {body} AS s, count(*) AS n "
+                  f"FROM lineitem WHERE ({p1}) AND ({p2}) "
+                  f"GROUP BY k HAVING count(*) >= {hv} ORDER BY k")
+        elif shape == "totals":
+            e = f"CAST(l_linenumber AS DOUBLE) + {rnd.randint(0, 9)}"
+            body = f"round(CAST(sum({e}) AS DOUBLE), 3)"
+            ch = (f"SELECT {key} AS k, {body} AS s FROM lineitem "
+                  f"WHERE {p2} GROUP BY k WITH TOTALS")
+            # CH emits the totals block even on empty input, with
+            # empty-set defaults (sum→0); ANSI sum over zero rows is
+            # NULL, so COALESCE states that contract on the oracle side.
+            dd = (f"SELECT k, COALESCE(s, 0.0) AS s FROM ("
+                  f"SELECT {key} AS k, {body} AS s FROM lineitem "
+                  f"WHERE {p2} GROUP BY GROUPING SETS ((k), ()))")
+        elif shape == "limitby":
+            m = rnd.randint(1, 3)
+            ch = (f"SELECT l_orderkey, l_linenumber FROM lineitem "
+                  f"PREWHERE {p1} WHERE {p2} "
+                  f"ORDER BY {key}, l_orderkey, l_linenumber "
+                  f"LIMIT {m} BY {key}")
+            dd = (f"SELECT l_orderkey, l_linenumber FROM ("
+                  f"SELECT l_orderkey, l_linenumber, {key} AS k, "
+                  f"row_number() OVER (PARTITION BY {key} "
+                  f"ORDER BY l_orderkey, l_linenumber) AS rn "
+                  f"FROM lineitem WHERE ({p1}) AND ({p2})) "
+                  f"WHERE rn <= {m}")
+        elif shape == "distinct":
+            lim = rnd.randint(2, 8)
+            ch = (f"SELECT DISTINCT {key} AS k, l_linenumber FROM "
+                  f"lineitem PREWHERE {p1} "
+                  f"ORDER BY k, l_linenumber LIMIT {lim}")
+            dd = (f"SELECT DISTINCT {key} AS k, l_linenumber FROM "
+                  f"lineitem WHERE {p1} "
+                  f"ORDER BY k, l_linenumber LIMIT {lim}")
+        else:
+            e = _expr(rnd)
+            lim = rnd.randint(3, 12)
+            ch = (f"SELECT l_orderkey, l_linenumber, "
+                  f"round(CAST({e} AS DOUBLE), 4) AS v FROM lineitem "
+                  f"PREWHERE {p1} WHERE {p2} "
+                  f"ORDER BY l_orderkey, l_linenumber LIMIT {lim}")
+            dd = (f"SELECT l_orderkey, l_linenumber, "
+                  f"round(CAST({e} AS DOUBLE), 4) AS v FROM lineitem "
+                  f"WHERE ({p1}) AND ({p2}) "
+                  f"ORDER BY l_orderkey, l_linenumber LIMIT {lim}")
+        out.append((f"combofuzz{i:02d}", ch, dd))
+    return out
+
+
+COMBO_CASES = _combo_cases(30)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", COMBO_CASES,
+                         ids=[c[0] for c in COMBO_CASES])
+def test_differential_combos(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems

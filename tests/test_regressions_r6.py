@@ -232,3 +232,37 @@ def test_non_empty_global_agg_unchanged(spark):
     r = _one(spark, "SELECT sum(v) AS s, avg(v) AS av FROM t",
              {"t": df})
     assert (r.s, r.av) == (10, 10.0)
+
+
+# --- 12. WITH TOTALS emits the totals block even on EMPTY input ----------
+# CH's TotalsHavingTransform emits totals unconditionally; a GROUPING
+# SETS ((k), ()) lowering yields zero rows on empty input in Spark.
+def test_with_totals_empty_input(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    rows = execute_sql(spark, "SELECT k, sum(v) AS s, count() AS c "
+                              "FROM t WHERE v > 999 GROUP BY k WITH TOTALS",
+                       {"t": df}).collect()
+    assert len(rows) == 1            # just the totals row
+    r = rows[0]
+    assert r.k is None and r.s == 0 and r.c == 0
+
+
+def test_with_totals_empty_after_having(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    rows = execute_sql(spark, "SELECT k, sum(v) AS s FROM t GROUP BY k "
+                              "WITH TOTALS HAVING s > 999",
+                       {"t": df}).collect()
+    # after_having_exclusive (default): totals over zero surviving
+    # groups -> default-initialized totals row, still emitted
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k is None and r.s == 0
+
+
+def test_with_totals_non_empty_unchanged(spark):
+    df = spark.createDataFrame([(1, 10), (1, 5), (2, 20)], "k int, v int")
+    rows = execute_sql(spark, "SELECT k, sum(v) AS s FROM t "
+                              "GROUP BY k WITH TOTALS",
+                       {"t": df}).collect()
+    got = {(r.k, r.s) for r in rows}
+    assert got == {(1, 15), (2, 20), (None, 35)}
