@@ -28,6 +28,24 @@ def _if(agg: Callable[[Column], Column]) -> Callable[..., Column]:
     return lambda x, cond: agg(F.when(_c(cond), _c(x)))
 
 
+def _quantile_exact(x, q) -> Column:
+    """quantileExact(level)(x): CH picks the SORTED element at index
+    ``level * n`` (0-based, ``n-1`` for level=1) — no interpolation
+    (reference semantics: QuantileExact ``get()`` nth_element pick), so
+    the result keeps the input type and can differ from percentile-style
+    interpolation on even-sized groups (e.g. [10,20,30,40] level 0.5 →
+    30, not 25). Buffers the group's values — exact by definition, same
+    cost class as CH's own exact quantile."""
+    arr = F.array_sort(F.collect_list(_c(x)))
+    q = float(q)
+    if q >= 1.0:
+        idx = F.size(arr)
+    else:
+        idx = F.least(F.floor(F.lit(q) * F.size(arr)).cast("int") + 1,
+                      F.size(arr))
+    return F.try_element_at(arr, F.greatest(idx, F.lit(1)))
+
+
 def _delta_sum(x) -> Column:
     lst = F.collect_list(x.cast("double"))
     m = F.greatest(F.size(lst) - 1, F.lit(0))
@@ -67,7 +85,7 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "uniqExact": lambda *cs: F.count_distinct(*[_c(c) for c in cs]),
     # parametric quantiles: quantile(q)(x) — exact interpolated percentile
     "quantile": lambda q, x=None: F.percentile(_c(x), F.lit(q)) if x is not None else F.median(_c(q)),
-    "quantileExact": lambda q, x: F.percentile(_c(x), F.lit(q)),
+    "quantileExact": lambda q, x: _quantile_exact(x, q),
     "quantileTDigest": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
     "quantiles": lambda qs, x: F.percentile(_c(x), F.array(*[F.lit(q) for q in qs])),
     "median": lambda x: F.median(_c(x)),
@@ -257,8 +275,10 @@ AGGREGATES.update({
     "quantileDeterministic":
         lambda q, x, det=None: F.percentile(_c(x), F.lit(q)),
     "quantileBFloat16": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
-    "quantilesExact": lambda qs, x: F.percentile(
-        _c(x), F.array(*[F.lit(q) for q in qs])),
+    # array form reuses one collect_list buffer (Catalyst dedupes the
+    # identical aggregate subexpression across the picks)
+    "quantilesExact": lambda qs, x: F.array(
+        *[_quantile_exact(x, q) for q in qs]),
     "quantilesTDigest": lambda qs, x: F.percentile_approx(
         _c(x), F.array(*[F.lit(q) for q in qs])),
     "quantilesTiming": lambda qs, x: F.percentile_approx(
@@ -275,7 +295,7 @@ AGGREGATES.update({
     "quantileExactHigh": lambda q, x: F.element_at(
         F.array_sort(F.collect_list(_c(x))),
         (F.ceil(F.lit(q) * (F.count(_c(x)) - 1)) + 1).cast("int")),
-    "medianExact": lambda x: F.percentile(_c(x), F.lit(0.5)),
+    "medianExact": lambda x: _quantile_exact(x, 0.5),
     "medianTDigest": lambda x: F.percentile_approx(_c(x), F.lit(0.5)),
     "topKWeighted": _top_k_weighted,
     "first_value": lambda x: F.first(_c(x), ignorenulls=True),

@@ -1956,9 +1956,13 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         args = [F.when(cond_col, a) for a in args[:-1]]
         name = name[:-2]
     if name.startswith("quantiles") and params:
-        return ch(name, params, *args)
+        out = ch(name, params, *args)
+        w = _widen_sum_target(name, args, df)
+        return out.cast(w) if w else out
     if (name.startswith("quantile") or name.startswith("median")) and params:
-        return ch(name, params[0], *args)
+        out = ch(name, params[0], *args)
+        w = _widen_sum_target(name, args, df)
+        return out.cast(w) if w else out
     if name in ("topK", "histogram", "groupArraySample", "groupArrayLast",
                 "topKWeighted", "uniqUpTo", "groupArraySorted") and params:
         return ch(name, int(params[0]), *args)
@@ -2032,7 +2036,9 @@ def _empty_set_default(name: str, dtype) -> Column | None:
         return None
     dts = dtype.simpleString()
     if _NAN_EMPTY_AGGS.match(name) and dts in ("double", "float"):
-        return F.lit(float("nan"))
+        # cast: a bare double NaN literal would promote a Float32-typed
+        # aggregate (e.g. quantileTDigest) to double via when/otherwise
+        return F.lit(float("nan")).cast(dts)
     if dts in ("tinyint", "smallint", "int", "bigint", "float",
                "double") or dts.startswith("decimal"):
         return F.lit(0).cast(dts)
@@ -2091,16 +2097,36 @@ _WIDEN_SUM_RX = _re_mod.compile(
 
 _INT_SPARK_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean"}
 
+# CH's Timing/TDigest quantile sketches return Float32 and BFloat16
+# returns Float64 regardless of input type; Spark's percentile_approx
+# returns the INPUT type (int in → int out), so the lowering casts the
+# sketch results explicitly.
+_QUANTILE_F32 = {"quantileTDigest", "quantileTiming",
+                 "quantileTimingWeighted", "quantileTDigestWeighted",
+                 "medianTDigest", "medianTiming"}
+_QUANTILE_F32_ARR = {"quantilesTDigest", "quantilesTiming"}
+
 
 def _widen_sum_target(name: str, args: list, df: DataFrame | None
                       ) -> str | None:
-    """CH NumberTraits result-type fidelity for the sum family: summing
-    integers yields Int64 (Array(Int64) for the array-valued forms),
-    never Float64. The flat/array kernels in functions/aggregates.py
-    compute in double (exact below 2^53 — documented policy), so the
-    lowering casts the result back to the widened integer type when the
-    argument is integral. Returns the Spark cast target or None."""
-    if df is None or not args or not _WIDEN_SUM_RX.fullmatch(name):
+    """Aggregate result-type fidelity casts (CH NumberTraits + the
+    quantile-sketch return types). Sum family: summing integers yields
+    Int64 (Array(Int64) for the array-valued forms), never Float64 —
+    the flat/array kernels in functions/aggregates.py compute in double
+    (exact below 2^53 — documented policy), so the lowering casts the
+    result back to the widened integer type when the argument is
+    integral; deltaSum follows the same policy. Timing/TDigest
+    quantiles → Float32, BFloat16 → Float64 (CH contract, independent
+    of input type). Returns the Spark cast target or None."""
+    if name in _QUANTILE_F32:
+        return "float"
+    if name in _QUANTILE_F32_ARR:
+        return "array<float>"
+    if name in ("quantileBFloat16", "medianBFloat16"):
+        return "double"
+    if df is None or not args:
+        return None
+    if name != "deltaSum" and not _WIDEN_SUM_RX.fullmatch(name):
         return None
     try:
         at = df.select(args[0]).schema[0].dataType.simpleString()

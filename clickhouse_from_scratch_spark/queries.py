@@ -796,6 +796,28 @@ def quantiles(spark, sf_dir):
                  F.round(F.max("o_totalprice"), 4).alias("max_price")))
 
 
+@query("sql_quantile_exact", oracle="""
+SELECT l_returnflag AS flag,
+       (list_sort(list(CAST(l_quantity AS INT))))
+         [CAST(floor(0.5 * count(*)) AS INT) + 1] AS q50,
+       (list_sort(list(CAST(l_quantity AS INT))))
+         [CAST(floor(0.9 * count(*)) AS INT) + 1] AS q90
+FROM lineitem GROUP BY flag ORDER BY flag
+""")
+def sql_quantile_exact(spark, sf_dir):
+    """quantileExact(level)(x): CH picks the SORTED element at
+    floor(level*n) (0-based) — NO interpolation, result keeps the input
+    type. The oracle states the same element pick with DuckDB's 1-based
+    list indexing. Distinct from the interpolated `quantiles` query
+    above (percentile semantics)."""
+    return _sql(
+        spark, sf_dir,
+        "SELECT l_returnflag AS flag, "
+        "quantileExact(0.5)(CAST(l_quantity AS Int32)) AS q50, "
+        "quantileExact(0.9)(CAST(l_quantity AS Int32)) AS q90 "
+        "FROM lineitem GROUP BY flag ORDER BY flag")
+
+
 @query("argmax_argmin", oracle="""
 SELECT o_orderstatus,
        MAX_BY(o_orderkey, o_totalprice) AS top_order,

@@ -113,9 +113,11 @@ def test_breadth_aggregates(spark):
     # CH divides every element by the window size (= n when omitted)
     assert run("groupArrayMovingAvg(v)") == [[0.5, 1.5], [2.5, 6.0]]
     assert run("deltaSumTimestamp(v, ts)") == [1.0, 2.0]
-    assert run("medianExact(v)") == [1.5, 6.0]
-    assert run("quantilesExact(0.25, 0.75)(v)") == [[1.25, 1.75],
-                                                    [5.5, 6.5]]
+    # CH quantileExact picks the sorted element at floor(level*n) — no
+    # interpolation: median of [1,2] is 2, not 1.5
+    assert run("medianExact(v)") == [2.0, 7.0]
+    assert run("quantilesExact(0.25, 0.75)(v)") == [[1.0, 2.0],
+                                                    [5.0, 7.0]]
     assert run("topKWeighted(1)(s, v)") == [["b"], ["a"]]
     assert run("groupArrayLast(1)(v)") == [[2.0], [7.0]]
     assert [tuple(r) for r in run("sumCount(v)")] == [(3.0, 2), (12.0, 2)]

@@ -266,3 +266,33 @@ def test_with_totals_non_empty_unchanged(spark):
                        {"t": df}).collect()
     got = {(r.k, r.s) for r in rows}
     assert got == {(1, 15), (2, 20), (None, 35)}
+
+
+# --- 13. quantile-family result-type + element-pick fidelity -------------
+# CH quantileExact picks sorted[floor(level*n)] with NO interpolation and
+# keeps the input type; the TDigest/Timing sketches return Float32.
+def test_quantile_exact_element_pick(spark):
+    df = spark.createDataFrame([(10,), (20,), (30,), (40,)], "v int")
+    r = execute_sql(spark, "SELECT quantileExact(0.5)(v) AS m, "
+                           "quantileExact(1)(v) AS hi, "
+                           "quantilesExact(0.25, 0.5)(v) AS qs FROM t",
+                    {"t": df})
+    row = r.collect()[0]
+    # even count: element at floor(0.5*4)=idx 2 (0-based) -> 30, not 25
+    assert (row.m, row.hi, row.qs) == (30, 40, [20, 30])
+    assert r.schema["m"].dataType.simpleString() == "int"
+    assert r.schema["qs"].dataType.simpleString() == "array<int>"
+
+
+def test_quantile_sketch_result_types(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    r = execute_sql(spark, "SELECT quantileTDigest(0.5)(v) AS td, "
+                           "quantileTiming(0.5)(v) AS tm, "
+                           "quantilesTDigest(0.25, 0.75)(v) AS tds, "
+                           "quantileBFloat16(0.5)(v) AS bf, "
+                           "deltaSum(v) AS ds FROM t", {"t": df})
+    got = {f.name: f.dataType.simpleString() for f in r.schema.fields}
+    assert got == {"td": "float", "tm": "float",
+                   "tds": "array<float>", "bf": "double",
+                   "ds": "bigint"}
+    assert r.collect()[0].ds == 2
