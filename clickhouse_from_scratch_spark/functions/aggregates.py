@@ -82,6 +82,7 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "uniq": lambda *cs: F.approx_count_distinct(_c(cs[0])),
     "uniqHLL12": lambda x: F.approx_count_distinct(_c(x)),
     "uniqCombined": lambda x: F.approx_count_distinct(_c(x)),
+    "uniqCombined64": lambda x: F.approx_count_distinct(_c(x)),
     "uniqExact": lambda *cs: F.count_distinct(*[_c(c) for c in cs]),
     # parametric quantiles: quantile(q)(x) — exact interpolated percentile
     "quantile": lambda q, x=None: F.percentile(_c(x), F.lit(q)) if x is not None else F.median(_c(q)),
@@ -1154,3 +1155,85 @@ def _lttb(n, x, y) -> Column:
 
 AGGREGATES.update({"largestTriangleThreeBuckets": _lttb,
                    "lttb": _lttb})
+
+
+# --- round-6 breadth tail --------------------------------------------------
+
+def _matrix_agg(pairfn) -> Callable[..., Column]:
+    """corrMatrix/covar*Matrix(c1..cN): N×N Array(Array(Float64)) of the
+    pairwise statistic — N² built-in aggregates in ONE pass (map-side
+    combine preserved; N is the column count, not data-sized)."""
+    def g(*cs):
+        cols = [_c(c) for c in cs]
+        return F.array(*[F.array(*[pairfn(a, b).cast("double")
+                                   for b in cols]) for a in cols])
+    return g
+
+
+def _max_intersections_pos(s, e) -> Column:
+    """maxIntersectionsPosition: the leftmost interval-start where
+    maxIntersections is reached (same +1/-1 sweep, tracking argmax)."""
+    events = F.array_sort(F.concat(
+        F.collect_list(F.struct(_c(s).cast("double").alias("p"),
+                                F.lit(1).alias("d"))),
+        F.collect_list(F.struct(_c(e).cast("double").alias("p"),
+                                F.lit(-1).alias("d")))))
+    return F.aggregate(
+        events,
+        F.struct(F.lit(0).cast("long").alias("cur"),
+                 F.lit(0).cast("long").alias("best"),
+                 F.lit(None).cast("double").alias("pos")),
+        lambda st, ev: F.struct(
+            (st.cur + ev.d).alias("cur"),
+            F.greatest(st.best, st.cur + ev.d).alias("best"),
+            F.when((ev.d == 1) & (st.cur + 1 > st.best), ev.p)
+            .otherwise(st.pos).alias("pos")),
+        lambda st: st.pos).cast("bigint")
+
+
+def _group_array_intersect(x) -> Column:
+    """groupArrayIntersect: intersection of all the group's arrays."""
+    lst = F.collect_list(_c(x))
+    return F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.try_element_at(lst, F.lit(1)),
+        lambda acc, a: F.array_intersect(acc, a))
+
+
+def _group_bitmap_xor(x) -> Column:
+    """groupBitmapXor: cardinality of the XOR-merge of the group's
+    single-value bitmaps = count of values with ODD multiplicity.
+    O(distinct × n) in-group fold — same bounded-group class as the
+    documented statistical aggregates."""
+    lst = F.collect_list(_c(x))
+    return F.size(F.filter(
+        F.array_distinct(lst),
+        lambda v: F.size(F.filter(lst, lambda e: e == v)) % 2 == 1)
+    ).cast("long")
+
+
+AGGREGATES.update({
+    "corrMatrix": _matrix_agg(F.corr),
+    "covarSampMatrix": _matrix_agg(F.covar_samp),
+    "covarPopMatrix": _matrix_agg(F.covar_pop),
+    "maxIntersectionsPosition": _max_intersections_pos,
+    "groupArrayIntersect": _group_array_intersect,
+    "groupBitmapXor": _group_bitmap_xor,
+    # GK sketch → Spark's approx percentile with the same accuracy knob
+    "quantileGK": lambda acc, q, x: F.percentile_approx(
+        _c(x), F.lit(float(q)), F.lit(int(acc))),
+    "quantilesGK": lambda acc, qs, x: F.percentile_approx(
+        _c(x), F.array(*[F.lit(float(q)) for q in qs]), F.lit(int(acc))),
+    "quantileInterpolatedWeighted": lambda q, x, w: F.percentile(
+        _c(x), F.lit(float(q)), _c(w).cast("long")),
+})
+
+
+def _sum_map_filtered_misuse(*a):
+    # the real lowering lives in the builder (needs the parametric key
+    # list + _map_agg); this entry only makes name classification work
+    raise ValueError("sumMapFiltered requires the parametric form "
+                     "sumMapFiltered([keys])(keys_col, values_col)")
+
+
+AGGREGATES["sumMapFiltered"] = _sum_map_filtered_misuse

@@ -1445,12 +1445,28 @@ _alias("mapSort", lambda m: F.map_from_entries(
     F.array_sort(F.map_entries(_c(m)))))
 _alias("mapReverseSort", lambda m: F.map_from_entries(
     F.reverse(F.array_sort(F.map_entries(_c(m))))))
-_alias("mapPopulateSeries", lambda m: F.map_from_arrays(
-    F.sequence(F.array_min(F.map_keys(_c(m))),
-               F.array_max(F.map_keys(_c(m)))),
-    F.transform(F.sequence(F.array_min(F.map_keys(_c(m))),
-                           F.array_max(F.map_keys(_c(m)))),
-                lambda k: F.coalesce(F.element_at(_c(m), k), F.lit(0)))))
+def _map_populate_series(a, b=None, mx=None):
+    """mapPopulateSeries: fill missing integer keys from min(keys) to
+    max(keys) (or the explicit max) with 0. Map-typed form returns a
+    map; the array-pair form returns CH's tuple(keys, values) (docs:
+    ([1,2,4],[11,22,44]) → ([1,2,3,4],[11,22,0,44]))."""
+    if b is None:
+        m = _c(a)
+        seq = F.sequence(F.array_min(F.map_keys(m)),
+                         F.array_max(F.map_keys(m)))
+        return F.map_from_arrays(
+            seq, F.transform(seq, lambda k: F.coalesce(
+                F.element_at(m, k), F.lit(0))))
+    keys, vals = _c(a), _c(b)
+    m = F.map_from_arrays(keys, vals)
+    last = _c(mx) if mx is not None else F.array_max(keys)
+    seq = F.sequence(F.array_min(keys), last)
+    out = F.transform(seq, lambda k: F.coalesce(F.element_at(m, k),
+                                                F.lit(0)))
+    return F.struct(seq.alias("_1"), out.alias("_2"))
+
+
+_alias("mapPopulateSeries", _map_populate_series)
 
 
 @register("mapExists")
@@ -2304,3 +2320,640 @@ def _array_zip_unaligned(*arrays) -> Column:
 
 
 _alias("arrayZipUnaligned", _array_zip_unaligned)
+
+
+# --- round-6 surface tail: URL hierarchy, bit/hash/digit helpers ----------
+# (public ClickHouse functions; semantics per the published docs, cited
+# per function — all flat JVM expressions, no Python in the data path)
+
+_alias("SHA1", lambda c: F.unhex(F.sha1(_c(c))))          # FixedString(20)
+_alias("SHA224", lambda c: F.unhex(F.sha2(_c(c), 224)))
+_alias("SHA384", lambda c: F.unhex(F.sha2(_c(c), 384)))
+_alias("SHA512", lambda c: F.unhex(F.sha2(_c(c), 512)))
+# Spark strings are UTF-8 and locate/initcap are character-based, so the
+# UTF8 spellings share the ASCII implementations
+_alias("positionUTF8", REGISTRY["position"])
+_alias("positionCaseInsensitiveUTF8", REGISTRY["positionCaseInsensitive"])
+_alias("initcapUTF8", REGISTRY["initcap"])
+
+
+def _int_hash64(x) -> Column:
+    """intHash64: CH's exact 64-bit integer finalizer (xor-shift +
+    two odd-constant multiplies; reference Common/HashTable/Hash.h
+    intHash64). Java long arithmetic wraps, so the bit pattern matches;
+    UInt64 results surface as the §1.2 signed-long reinterpretation."""
+    c = _c(x).cast("long")
+    c = c.bitwiseXOR(F.shiftrightunsigned(c, 33))
+    c = c * F.lit(-49064778989728563)        # 0xff51afd7ed558ccd
+    c = c.bitwiseXOR(F.shiftrightunsigned(c, 33))
+    c = c * F.lit(-4265267296055464877)      # 0xc4ceb9fe1a85ec53
+    return c.bitwiseXOR(F.shiftrightunsigned(c, 33))
+
+
+def _rotr64(c: Column, n: int) -> Column:
+    return F.shiftrightunsigned(c, n).bitwiseOR(F.shiftleft(c, 64 - n))
+
+
+def _int_hash32(x) -> Column:
+    """intHash32: CH's 64-bit mix truncated to UInt32 (reference
+    Common/HashTable/Hash.h intHash32<0>: not/shift adds, three
+    rotate-xors, *21)."""
+    c = _c(x).cast("long")
+    c = c.bitwiseXOR(F.lit(-1)) + F.shiftleft(c, 18)
+    c = c.bitwiseXOR(_rotr64(c, 31))
+    c = c * F.lit(21)
+    c = c.bitwiseXOR(_rotr64(c, 11))
+    c = c + F.shiftleft(c, 6)
+    c = c.bitwiseXOR(_rotr64(c, 22))
+    return c.bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+_alias("intHash64", _int_hash64)
+_alias("intHash32", _int_hash32)
+
+
+def _count_digits(x) -> Column:
+    """countDigits: decimal digits needed to represent the value —
+    sign and decimal point excluded (docs: countDigits(125) = 3)."""
+    return F.length(F.translate(_c(x).cast("string"), "-.", ""))
+
+
+_alias("countDigits", _count_digits)
+
+
+def _bit_positions(x, width: int | None = None) -> Column:
+    """bitPositionsToArray: 0-based positions of set bits, ascending
+    (docs: bitPositionsToArray(toInt8(1)) = [0]). Signed sub-64-bit
+    values are masked to their DECLARED width first (toInt8(-1) is the
+    8-bit pattern → [0..7]); width arrives from the builder's CH-type
+    inference, like byteSwap."""
+    c = _c(x).cast("long")
+    if width and width < 8:
+        c = c.bitwiseAND(F.lit((1 << (8 * width)) - 1))
+    bits = F.reverse(F.bin(c))                      # LSB first
+    chars = F.split(bits, "")
+    return F.filter(
+        F.transform(chars, lambda ch, i: F.when(ch == "1", i.cast("bigint"))
+                    .otherwise(F.lit(-1))),
+        lambda v: v >= 0)
+
+
+_alias("bitPositionsToArray", _bit_positions)
+
+
+def _array_cum_sum_nonneg(a) -> Column:
+    """arrayCumSumNonNegative: running sum clamped at zero whenever it
+    goes negative (docs: [1,1,-4,1] → [1,2,0,1])."""
+    arr = _c(a)
+    return F.aggregate(
+        arr,
+        F.struct(F.slice(arr.cast("array<double>"), 1, 0).alias("out"),
+                 F.lit(0.0).alias("tot")),
+        lambda st, v: F.struct(
+            F.concat(st.out, F.array(F.greatest(
+                st.tot + v.cast("double"), F.lit(0.0)))).alias("out"),
+            F.greatest(st.tot + v.cast("double"), F.lit(0.0)).alias("tot")),
+        lambda st: st.out)
+
+
+_alias("arrayCumSumNonNegative", _array_cum_sum_nonneg)
+
+
+def _array_last_index(f, a) -> Column:
+    """arrayLastIndex(f, arr): 1-based index of the LAST element
+    satisfying f, 0 if none. Reuses the first-index trick on the
+    reversed array — valid because f is a pure function of the value,
+    so equal values agree on f."""
+    rev = F.reverse(_c(a))
+    rev_idx = F.coalesce(
+        F.array_position(rev, F.try_element_at(F.filter(rev, f), F.lit(1))),
+        F.lit(0))
+    return F.when(rev_idx == 0, F.lit(0)) \
+            .otherwise(F.size(rev) - rev_idx + 1).cast("bigint")
+
+
+_alias("arrayLastIndex", _array_last_index)
+
+# cutWWW: drop ONE leading "www." from the domain (with or without an
+# explicit protocol)
+_alias("cutWWW", lambda u: F.regexp_replace(
+    _c(u), r"^((?:[a-zA-Z][a-zA-Z0-9+.\-]*://)?)www\.", "$1"))
+
+
+def _extract_url_params(u) -> Column:
+    """extractURLParameters: array of 'name=value' strings from the
+    query string (docs example: ?page=1&lr=213 → ['page=1','lr=213'])."""
+    qs = REGISTRY["queryString"](u)
+    return F.filter(F.split(qs, "&"), lambda p: p != "")
+
+
+def _extract_url_param_names(u) -> Column:
+    return F.transform(_extract_url_params(u),
+                       lambda p: F.split(p, "=").getItem(0))
+
+
+_alias("extractURLParameters", _extract_url_params)
+_alias("extractURLParameterNames", _extract_url_param_names)
+
+
+def _url_hierarchy(u, with_host: bool = True) -> Column:
+    """URLHierarchy / URLPathHierarchy: prefixes of the URL cut after
+    each '/' (and after '?') in the path + query string; the full URL is
+    appended when it doesn't end on a separator. URLPathHierarchy drops
+    protocol+host and excludes the root '/' (docs: URL-functions
+    'Functions that Work with URLs'). One flat JVM expression."""
+    u = _c(u)
+    head = F.regexp_extract(
+        u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.length(u))
+    pth = F.split(rest, r"\?").getItem(0)
+    qtail = F.substring(rest, F.length(pth) + 1, F.length(rest))
+    segs = F.split(pth, "/")
+    n = F.size(segs)
+    base = head if with_host else F.lit("")
+    start = 1 if with_host else 2          # path form excludes root '/'
+    prefixes = F.when(
+        n >= start + 1,
+        F.transform(
+            F.sequence(F.lit(start), n - 1),
+            lambda k: F.concat(base,
+                               F.concat_ws("/", F.slice(segs, 1, k)),
+                               F.lit("/")))
+    ).otherwise(F.array().cast("array<string>"))
+    # path not separator-terminated → its full form is an element
+    tail1 = F.when(
+        (F.length(pth) > 0) & (F.element_at(segs, -1) != ""),
+        F.array(F.concat(base, pth))).otherwise(F.array().cast("array<string>"))
+    # '?' is a separator: cut right after it, then the full remainder
+    tail2 = F.when(
+        qtail != "",
+        F.array(F.concat(base, pth, F.lit("?")))
+    ).otherwise(F.array().cast("array<string>"))
+    tail3 = F.when(
+        F.length(qtail) > 1,
+        F.array(F.concat(base, pth, qtail))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(prefixes, tail1, tail2, tail3)
+
+
+_alias("URLHierarchy", lambda u: _url_hierarchy(u, True))
+_alias("URLPathHierarchy", lambda u: _url_hierarchy(u, False))
+
+
+# --- round-6 surface tail 2: Arrow-batched kernels (cold path) ------------
+# IPv6 textual forms, base58, HTML entities, geohash decode, morton
+# curves: no JVM equivalent exists, so these are vectorized pandas UDFs
+# (Arrow batch transfer, never per-row Python UDFs) — none sits on a
+# catalog hot path (the plan guards pin those to pure JVM).
+
+def _pandas_udf_typed(py_fn, rettype: str):
+    """Arrow-batched one-column kernel with an explicit return type."""
+    import pandas as pd
+
+    def f(s):
+        return s.map(lambda x: py_fn(x) if x is not None else None)
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, rettype)
+
+
+def _py_ipv6_ston(x: str) -> bytes:
+    import socket
+    try:
+        return socket.inet_pton(socket.AF_INET6, x)
+    except OSError:
+        # CH: a valid IPv4 literal yields its IPv6-mapped form
+        return b"\x00" * 10 + b"\xff\xff" + socket.inet_pton(
+            socket.AF_INET, x)
+
+
+def _py_ipv6_ntos(b: bytes) -> str:
+    import ipaddress
+    a = ipaddress.IPv6Address(bytes(b))
+    # CH prints IPv4-mapped addresses with the dotted-quad tail
+    return f"::ffff:{a.ipv4_mapped}" if a.ipv4_mapped else str(a)
+
+
+_alias("IPv6StringToNum",
+       lambda c: _pandas_udf_typed(_py_ipv6_ston, "binary")(_c(c)))
+_alias("IPv6NumToString",
+       lambda c: _pandas_udf_typed(_py_ipv6_ntos, "string")(_c(c)))
+# IPv4ToIPv6(UInt32) → the 16-byte ::ffff:a.b.c.d mapped form (JVM:
+# 12-byte prefix ++ big-endian UInt32)
+_alias("IPv4ToIPv6", lambda c: F.concat(
+    F.lit(b"\x00" * 10 + b"\xff\xff"),
+    F.unhex(F.lpad(F.hex(_c(c).cast("long")), 8, "0"))))
+
+
+def _py_html_decode(x: str) -> str:
+    import html
+    return html.unescape(x)
+
+
+_alias("decodeHTMLComponent",
+       lambda c: _pandas_udf_typed(_py_html_decode, "string")(_c(c)))
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _py_base58_enc(x) -> str:
+    b = x.encode("utf-8") if isinstance(x, str) else bytes(x)
+    n = int.from_bytes(b, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for byte in b:
+        if byte:
+            break
+        pad += 1
+    return "1" * pad + "".join(reversed(out))
+
+
+def _py_base58_dec(x: str) -> str:
+    n = 0
+    for ch in x:
+        i = _B58_ALPHABET.find(ch)
+        if i < 0:
+            raise ValueError(f"invalid base58 character {ch!r}")
+        n = n * 58 + i
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = len(x) - len(x.lstrip("1"))
+    return (b"\x00" * pad + raw).decode("utf-8", errors="replace")
+
+
+_alias("base58Encode",
+       lambda c: _pandas_udf_typed(_py_base58_enc, "string")(_c(c)))
+_alias("base58Decode",
+       lambda c: _pandas_udf_typed(_py_base58_dec, "string")(_c(c)))
+
+
+def _py_geohash_decode(s: str):
+    lon = [-180.0, 180.0]
+    lat = [-90.0, 90.0]
+    even = True
+    for ch in s:
+        v = _GEOHASH32.find(ch)
+        if v < 0:
+            return (0.0, 0.0)
+        for bitpos in range(4, -1, -1):
+            rng = lon if even else lat
+            mid = (rng[0] + rng[1]) / 2
+            rng[0 if (v >> bitpos) & 1 else 1] = mid
+            even = not even
+    return ((lon[0] + lon[1]) / 2, (lat[0] + lat[1]) / 2)
+
+
+def _geohash_decode(c) -> Column:
+    """geohashDecode(s) → (longitude, latitude) Float64 tuple — the
+    center of the geohash cell (docs: geohashDecode('ezs42') =
+    (-5.60302734375, 42.60498046875))."""
+    import pandas as pd
+
+    def f(s):
+        vals = s.map(lambda x: _py_geohash_decode(x)
+                     if x is not None else (None, None))
+        return pd.DataFrame({"_1": vals.map(lambda t: t[0]),
+                             "_2": vals.map(lambda t: t[1])})
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(f, "_1 double, _2 double")(_c(c))
+
+
+_alias("geohashDecode", _geohash_decode)
+
+
+def _morton_encode(*cols) -> Column:
+    """mortonEncode(v1, ..., vN): interleave the bits of N UInt
+    values into one UInt64 (docs: mortonEncode(1, 2, 3) = 53)."""
+    import pandas as pd
+    n = len(cols)
+
+    def _enc_all(series):
+        def enc(vals):
+            if any(v is None for v in vals):
+                return None
+            out = 0
+            for bit in range(64 // n + 1):
+                for j, v in enumerate(vals):
+                    if (int(v) >> bit) & 1:
+                        out |= 1 << (bit * n + j)
+            return out - (1 << 64) if out >= (1 << 63) else out
+        return pd.Series([enc(vals) for vals in zip(*series)])
+
+    # pandas_udf demands an exact named-parameter signature — build one
+    # with n parameters (same closure-factory rule as the HOF lambdas)
+    argl = ", ".join(f"s{i}" for i in range(n))
+    ns = {"_enc_all": _enc_all}
+    exec(f"def f({argl}):\n    return _enc_all([{argl}])", ns)
+    f = ns["f"]
+    f.__annotations__ = {f"s{i}": pd.Series for i in range(n)} | {
+        "return": pd.Series}
+    return F.pandas_udf(f, "long")(*[_c(c).cast("long") for c in cols])
+
+
+def _morton_decode(n, code) -> Column:
+    """mortonDecode(N, code): de-interleave into an N-tuple (docs:
+    mortonDecode(3, 53) = (1, 2, 3)). N must be a literal."""
+    import pandas as pd
+    if isinstance(n, Column):
+        raise TypeError("mortonDecode tuple size must be a literal")
+    n = int(n)
+
+    def f(s):
+        def dec(code):
+            if code is None:
+                return tuple([None] * n)
+            code = int(code) & ((1 << 64) - 1)
+            vals = [0] * n
+            for bit in range(64):
+                if (code >> bit) & 1:
+                    vals[bit % n] |= 1 << (bit // n)
+            return tuple(vals)
+        decoded = s.map(dec)
+        return pd.DataFrame(
+            {f"_{j + 1}": decoded.map(lambda t, j=j: t[j])
+             for j in range(n)})
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    rettype = ", ".join(f"_{j + 1} long" for j in range(n))
+    return F.pandas_udf(f, rettype)(_c(code).cast("long"))
+
+
+_alias("mortonEncode", _morton_encode)
+_alias("mortonDecode", _morton_decode)
+
+
+# --- round-6 surface tail 3: date/string/array/window breadth -------------
+
+# Spark strings are UTF-8 character-based already
+_alias("leftUTF8", lambda s, n: F.substring(_c(s), 1, n))
+_alias("rightUTF8", lambda s, n: F.when(
+    F.length(_c(s)) <= n, _c(s)).otherwise(
+        F.substring(_c(s), -n, n)))
+_alias("firstLine", lambda s: F.split(_c(s), "\n").getItem(0))
+# timeDiff(first, second) = seconds from first to second
+_alias("timeDiff", lambda a, b: (F.unix_timestamp(_c(b).cast("timestamp"))
+                                 - F.unix_timestamp(_c(a).cast("timestamp"))))
+_alias("toRelativeYearNum", lambda c: F.year(_c(c)).cast("long"))
+_alias("toRelativeMonthNum", lambda c: (F.year(_c(c)) * 12
+                                        + F.month(_c(c))).cast("long"))
+# reference DateLUTImpl.h:599 — Monday-based week count since epoch:
+# (dayNum + 8 - dayOfWeekMon) / 7, dayOfWeekMon in 1..7
+_alias("toRelativeWeekNum", lambda c: F.floor(
+    (F.datediff(_c(c).cast("date"), F.to_date(F.lit("1970-01-01")))
+     + 7 - F.weekday(_c(c))) / 7).cast("long"))
+_alias("toRelativeMinuteNum", lambda c: (F.unix_timestamp(_c(c)) / 60)
+       .cast("long"))
+_alias("toRelativeSecondNum", lambda c: F.unix_timestamp(_c(c)))
+
+
+def _to_start_of_iso_year(c) -> Column:
+    """toStartOfISOYear: Monday of ISO week 1 — the week containing
+    Jan 4 of the ISO year (= year of the Thursday of c's week,
+    reference DateLUTImpl.h toISOYear)."""
+    d = _c(c).cast("date")
+    iso_year = F.year(F.date_add(d, 3 - F.weekday(d)))
+    jan4 = F.make_date(iso_year, F.lit(1), F.lit(4))
+    return F.date_sub(jan4, F.weekday(jan4))
+
+
+_alias("toStartOfISOYear", _to_start_of_iso_year)
+_alias("fromUnixTimestamp64Nano",
+       lambda c: F.timestamp_micros((_c(c) / 1000).cast("long")))
+_alias("snowflakeToDateTime64", REGISTRY["snowflakeToDateTime"])
+_alias("dateTime64ToSnowflake", REGISTRY["dateTimeToSnowflake"])
+_alias("timeZoneOf", lambda c: F.current_timezone())
+_alias("timeZoneOffset", lambda c: (
+    F.unix_timestamp(F.from_utc_timestamp(_c(c).cast("timestamp"),
+                                          F.current_timezone()))
+    - F.unix_timestamp(_c(c).cast("timestamp"))))
+
+_alias("hasTokenCaseInsensitive", lambda h, t: REGISTRY["hasToken"](
+    F.lower(_c(h)), F.lower(_c(t))))
+_alias("hasTokenOrNull", lambda h, t: F.when(
+    _c(t).rlike(r"^[A-Za-z0-9_]+$"), REGISTRY["hasToken"](h, t)))
+_alias("distanceL1", REGISTRY["L1Distance"])
+_alias("distanceL2", REGISTRY["L2Distance"])
+
+# arrayShingles(arr, n): all length-n contiguous windows (docs:
+# ([1,2,3,4,5], 3) = [[1,2,3],[2,3,4],[3,4,5]])
+_alias("arrayShingles", lambda a, n: F.transform(
+    F.sequence(F.lit(1), F.greatest(F.size(_c(a)) - n + 1, F.lit(0))),
+    lambda i: F.slice(_c(a), i, F.lit(n))))
+
+
+def _non_negative_derivative(v, t, *extra) -> Column:
+    """nonNegativeDerivative(value, ts): rate of change per second,
+    clamped at 0 (block-order function — same global-order caveat as
+    runningDifference). The 3-arg INTERVAL form is not lowered."""
+    if extra:
+        raise ValueError(
+            "nonNegativeDerivative INTERVAL argument not supported")
+    w = _global_order()
+    dv = _c(v) - F.lag(_c(v), 1).over(w)
+    dt = (F.unix_micros(_c(t).cast("timestamp"))
+          - F.lag(F.unix_micros(_c(t).cast("timestamp")), 1).over(w)) / 1e6
+    return F.coalesce(F.greatest(dv / dt, F.lit(0.0)), F.lit(0.0))
+
+
+_alias("nonNegativeDerivative", _non_negative_derivative)
+
+
+def _readable_decimal_size(n: Column) -> Column:
+    def fmt(v: Column, unit: str) -> Column:
+        return F.concat(F.format_string("%.2f", v), F.lit(unit))
+    k = 1000.0
+    return (F.when(n >= k ** 3, fmt(n / k ** 3, " GB"))
+            .when(n >= k ** 2, fmt(n / k ** 2, " MB"))
+            .when(n >= k, fmt(n / k, " KB"))
+            .otherwise(fmt(n.cast("double"), " B")))
+
+
+_alias("formatReadableDecimalSize",
+       lambda n: _readable_decimal_size(_c(n)))
+
+_READABLE_UNITS = {"b": 1, "kib": 1024, "mib": 1024 ** 2,
+                   "gib": 1024 ** 3, "tib": 1024 ** 4, "pib": 1024 ** 5,
+                   "eib": 1024 ** 6, "kb": 1000, "mb": 1000 ** 2,
+                   "gb": 1000 ** 3, "tb": 1000 ** 4, "pb": 1000 ** 5,
+                   "eb": 1000 ** 6}
+
+
+def _parse_readable_size(s, mode: str = "throw") -> Column:
+    """parseReadableSize['1.5 KiB' → 1536]: number × binary/decimal
+    unit, rounded UP to an integer byte count (CH contract). OrNull /
+    OrZero degrade instead of raising."""
+    c = _c(s)
+    num = F.regexp_extract(c, r"^\s*([0-9]*\.?[0-9]+)", 1)
+    unit = F.lower(F.trim(F.regexp_extract(c, r"([A-Za-z]+)\s*$", 1)))
+    mult = None
+    for u, m in _READABLE_UNITS.items():
+        branch = F.when(unit == u, F.lit(float(m)))
+        mult = branch if mult is None else mult.when(
+            unit == u, F.lit(float(m)))
+    ok = (num != "") & mult.isNotNull()
+    val = F.ceil(num.cast("double") * mult).cast("long")
+    if mode == "zero":
+        return F.when(ok, val).otherwise(F.lit(0))
+    if mode == "null":
+        return F.when(ok, val)
+    return F.when(ok, val).otherwise(
+        F.raise_error(F.concat(F.lit("Cannot parse readable size: "), c)))
+
+
+_alias("parseReadableSize", lambda s: _parse_readable_size(s, "throw"))
+_alias("parseReadableSizeOrNull",
+       lambda s: _parse_readable_size(s, "null"))
+_alias("parseReadableSizeOrZero",
+       lambda s: _parse_readable_size(s, "zero"))
+
+
+def _extract_text_from_html(s) -> Column:
+    """extractTextFromHTML: drop comments/script/style blocks, keep
+    CDATA content verbatim, strip remaining tags, collapse whitespace
+    (public CH function; per-row JVM regexp chain — scale-safe for the
+    HTML→text stage of a training-data pipeline)."""
+    c = _c(s)
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", "")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", "")
+    c = F.regexp_replace(c, r"(?s)<!\[CDATA\[(.*?)\]\]>", "$1")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+_alias("extractTextFromHTML", _extract_text_from_html)
+
+# typed empty-array constructors (§1.2 type map)
+for _ch_t, _sp_t in (("UInt8", "smallint"), ("UInt16", "int"),
+                     ("UInt32", "long"), ("UInt64", "long"),
+                     ("Int8", "tinyint"), ("Int16", "smallint"),
+                     ("Int32", "int"), ("Float32", "float"),
+                     ("Float64", "double"), ("Date", "date"),
+                     ("DateTime", "timestamp")):
+    _alias(f"emptyArray{_ch_t}",
+           lambda _t=_sp_t: F.array().cast(f"array<{_t}>"))
+
+
+# --- string-similarity kernels (Arrow-batched; published algorithms) -----
+
+def _pandas_str_pair_udf(py_fn, rettype: str):
+    """Arrow-batched (string, string) → scalar kernel."""
+    import pandas as pd
+
+    def f(a, b):
+        return pd.Series([py_fn(x, y) if x is not None and y is not None
+                          else None for x, y in zip(a, b)])
+
+    f.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                         "return": pd.Series}
+    return F.pandas_udf(f, rettype)
+
+
+def _py_damerau(a: str, b: str) -> int:
+    """Damerau-Levenshtein (unrestricted) — standard DP with the last
+    per-character row index (public algorithm)."""
+    da = {}
+    maxd = len(a) + len(b)
+    d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l_ = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+def _py_jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    win = max(len(a), len(b)) // 2 - 1
+    ma = [False] * len(a)
+    mb = [False] * len(b)
+    m = 0
+    for i, ch in enumerate(a):
+        lo, hi = max(0, i - win), min(len(b), i + win + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ch:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(len(a)):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / len(a) + m / len(b) + (m - t) / m) / 3.0
+
+
+def _py_jaro_winkler(a: str, b: str) -> float:
+    jw = _py_jaro(a, b)
+    prefix = 0
+    for x, y in zip(a, b):
+        if x != y or prefix == 4:
+            break
+        prefix += 1
+    return jw + prefix * 0.1 * (1.0 - jw)
+
+
+_alias("damerauLevenshteinDistance",
+       lambda a, b: _pandas_str_pair_udf(_py_damerau, "long")(_c(a), _c(b)))
+_alias("jaroSimilarity",
+       lambda a, b: _pandas_str_pair_udf(_py_jaro, "double")(_c(a), _c(b)))
+_alias("jaroWinklerSimilarity",
+       lambda a, b: _pandas_str_pair_udf(_py_jaro_winkler,
+                                         "double")(_c(a), _c(b)))
+
+
+def _py_jump_hash(key: int, buckets: int) -> int:
+    """Lamping-Veach jump consistent hash (published algorithm)."""
+    k = key & ((1 << 64) - 1)
+    b, j = -1, 0
+    while j < buckets:
+        b = j
+        k = (k * 2862933555777941757 + 1) & ((1 << 64) - 1)
+        j = int((b + 1) * (float(1 << 31) / float((k >> 33) + 1)))
+    return b
+
+
+def _jump_consistent_hash(key, buckets) -> Column:
+    import pandas as pd
+    if isinstance(buckets, Column):
+        raise TypeError("jumpConsistentHash bucket count must be literal")
+    n = int(buckets)
+
+    def f(s):
+        return s.map(lambda x: _py_jump_hash(int(x), n)
+                     if x is not None else None)
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, "int")(_c(key).cast("long"))
+
+
+_alias("jumpConsistentHash", _jump_consistent_hash)

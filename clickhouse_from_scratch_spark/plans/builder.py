@@ -142,6 +142,9 @@ class Context:
     # non-native join lowering (ASOF union+window): `t1.qty` written
     # against them resolves to the bare output column instead
     flat_qualifiers: set[str] = field(default_factory=set)
+    # (qualifier, column) → post-flattening name for columns the ASOF
+    # union+window lowering suffix-renamed (right-side collisions)
+    flat_renames: dict = field(default_factory=dict)
     # max_rows_to_read meter, shared across the whole query tree:
     # {"rows": cumulative rows read, "cache": id(df) → row count} — the
     # cache keeps repeated scans of the same registered table to one
@@ -911,6 +914,21 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
             a = getattr(factor, "alias", None)
             t = getattr(factor, "table", None)
             ctx.flat_qualifiers.update(x for x in (a, t) if x)
+
+        def _record_renames(eq_keys: list) -> None:
+            # mirror asof_join's collision suffixing so right-qualified
+            # refs (s.event_id) resolve to the RENAMED column instead of
+            # silently hitting the left's same-named column
+            r_quals = {x for x in (getattr(node.right, "alias", None),
+                                   getattr(node.right, "table", None)) if x}
+            l_quals = {x for x in (getattr(node.left, "alias", None),
+                                   getattr(node.left, "table", None)) if x}
+            for c in right.columns:
+                if c not in eq_keys and c in left.columns:
+                    for q in r_quals:
+                        ctx.flat_renames[(q, c)] = c + "_asof"
+                    for q in l_quals:
+                        ctx.flat_renames.setdefault((q, c), c)
         if node.using:
             # ASOF USING (k1, .., t): the LAST column is the inequality
             # key with <= semantics, the rest are equi-keys (public CH
@@ -919,6 +937,7 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
                 raise BuildError("ASOF USING needs at least 2 columns "
                                  "(equi keys + the asof column)")
             *eq, t = node.using
+            _record_renames(list(eq) + [t])
             # latest right row with right.t <= left.t; bare ASOF JOIN is
             # inner (unmatched left rows dropped), ASOF LEFT keeps them
             return asof_join(left, right, on=list(eq),
@@ -928,6 +947,7 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
             raise BuildError("ASOF JOIN requires ON or USING")
         eq, ineq = _split_asof_on(node.on)
         lcol, rcol, direction, strict = ineq
+        _record_renames(list(eq))
         return asof_join(left, right,
                          on=eq, left_time=lcol, right_time=rcol,
                          direction=direction, strict=strict,
@@ -1790,6 +1810,21 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
                    .unionByName(tot0.withColumn("__gid", F.lit(1))))
         else:
             out = (out.select(*knames, *agg_slots).unionByName(tot0))
+    elif gb.with_totals:
+        # ROLLUP/CUBE/GROUPING SETS WITH TOTALS: CH emits the totals
+        # block IN ADDITION to the subtotal rows the mode itself
+        # produces (TotalsHavingTransform is downstream of the
+        # grouping-set expansion), so the all-NULL-keys totals row
+        # appears twice in the stream — once from ROLLUP's grand total,
+        # once from TOTALS. Never silently dropped.
+        if q.having is not None:
+            raise BuildError(
+                "WITH TOTALS combined with HAVING is only supported for "
+                "plain GROUP BY (totals_mode semantics over grouping "
+                "sets are not lowered)")
+        tot0 = _totals_row(pre, agg_cols, list(agg_slots), _slot_fnames,
+                           out, knames)
+        out = out.select(*knames, *agg_slots).unionByName(tot0)
 
     cap = _limit_setting(ctx, "max_rows_to_group_by")
     if cap is not None:
@@ -1955,6 +1990,12 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         cond_col = args[-1]
         args = [F.when(cond_col, a) for a in args[:-1]]
         name = name[:-2]
+    if name == "quantileGK" and len(params) == 2:
+        # GK sketch: (accuracy, level)(x)
+        return ch(name, int(params[0]), float(params[1]), *args)
+    if name == "quantilesGK" and len(params) >= 2:
+        return ch(name, int(params[0]), [float(p) for p in params[1:]],
+                  *args)
     if name.startswith("quantiles") and params:
         out = ch(name, params, *args)
         w = _widen_sum_target(name, args, df)
@@ -1977,6 +2018,17 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         return ch(name, str(params[0]), *args)
     if name == "count" and not args:
         return F.count(F.lit(1))
+    if name == "sumMapFiltered" and params and len(args) == 2:
+        # sumMapFiltered(keys_to_keep)(k, v): drop non-listed keys from
+        # each row's arrays, then the plain sumMap per-group fold
+        keep = (params[0] if isinstance(params[0], Column)
+                else F.array(*[F.lit(v) for v in params[0]]))
+        pairs = F.zip_with(args[0], args[1],
+                           lambda k, v: F.struct(k.alias("k"),
+                                                 v.alias("v")))
+        flt = F.filter(pairs, lambda p: F.array_contains(keep, p.k))
+        return _map_agg("sumMap", F.transform(flt, lambda p: p.k),
+                        F.transform(flt, lambda p: p.v), df)
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         return _map_agg(name, args[0], args[1], df)
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
@@ -2397,8 +2449,12 @@ def _eval(node, ctx: Context, df: DataFrame | None,
         if (len(node.parts) == 2 and node.parts[0] in ctx.flat_qualifiers
                 and df is not None and node.name not in df.columns):
             # qualified ref against a flattened (ASOF-joined) side: the
-            # output is unqualified, so resolve the bare column — or
-            # raise by name if the column was suffix-renamed away
+            # output is unqualified, so resolve through the recorded
+            # rename map (right-side collisions got a _asof suffix),
+            # then the bare column — or raise by name
+            ren = ctx.flat_renames.get((node.parts[0], node.parts[1]))
+            if ren is not None and ren in df.columns:
+                return F.col(ren)
             bare = node.parts[1]
             if bare in df.columns:
                 return F.col(bare)
@@ -2632,6 +2688,61 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             out = out.cast({1: "tinyint", 2: "smallint",
                             4: "int"}[width])
         return out
+    if name in ("multiMatchAny", "multiMatchAnyIndex") \
+            and len(node.args) == 2:
+        # pattern set must be an array literal (CH compiles the set into
+        # one automaton; here each pattern is one JVM rlike)
+        pats = node.args[1]
+        if not (isinstance(pats, ArrayLiteral)
+                and all(isinstance(i, Literal) and isinstance(i.value, str)
+                        for i in pats.items)):
+            raise BuildError(f"{name} patterns must be string literals")
+        plist = [i.value for i in pats.items]
+        h = cols[0]
+        if name == "multiMatchAny":
+            out = F.lit(False)
+            for p in plist:
+                out = out | h.rlike(p)
+            return out.cast("int")
+        out = F.lit(0)
+        for i in range(len(plist) - 1, -1, -1):   # first match wins
+            out = F.when(h.rlike(plist[i]), F.lit(i + 1)).otherwise(out)
+        return out.cast("long")
+    if name == "emptyArrayToSingle" and len(node.args) == 1 \
+            and df is not None:
+        # empty → [type default] (CH IDataType::getDefault), else as-is
+        from pyspark.sql.types import ArrayType
+        dt = df.select(cols[0]).schema[0].dataType
+        if isinstance(dt, ArrayType):
+            elem = dt.elementType
+            d = _empty_set_default("", elem)
+            if d is None:
+                d = F.lit(None).cast(elem)
+            return F.when(F.size(cols[0]) == 0,
+                          F.array(d.cast(elem))).otherwise(cols[0])
+    if name == "isConstant" and len(node.args) == 1:
+        # constant ⇔ the argument references no column (CH evaluates
+        # constness at analysis time; literals/functions-of-literals → 1)
+        def _has_ident(n) -> bool:
+            if isinstance(n, Identifier):
+                return True
+            for v in getattr(n, "__dict__", {}).values():
+                if isinstance(n, FuncCall) and v is getattr(n, "name", None):
+                    continue
+                if isinstance(v, list):
+                    if any(_has_ident(i) for i in v):
+                        return True
+                elif hasattr(v, "__dict__") and _has_ident(v):
+                    return True
+            return False
+        return F.lit(0 if _has_ident(node.args[0]) else 1).cast("smallint")
+    if name == "bitPositionsToArray" and len(node.args) == 1:
+        # same width rule as byteSwap: positions come from the DECLARED
+        # type's bit pattern (toInt8(-1) → [0..7], not 64 bits)
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        width = info[1] if info and info[0] in ("u", "i") else None
+        return REGISTRY["bitPositionsToArray"](cols[0], width)
     if name == "toTypeName" and len(node.args) == 1:
         # CH type introspection: literal typing first (FieldToDataType —
         # toTypeName(1) = 'UInt8'), then the resolved Spark dtype mapped
@@ -2774,6 +2885,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # which only the analyzed schema knows — one plan analysis at
         # build time, zero runtime cost
         return _tuple_arith(name, cols, df)
+    if name in _VEC_TUPLE_FNS and df is not None:
+        # the distance/norm family accepts Tuples as well as Arrays in
+        # CH — adapt struct args to arrays once at build time
+        cols = [_struct_as_array(c, df) for c in cols]
+        return REGISTRY[name](*cols)
     if (name == "tupleElement" and df is not None
             and len(node.args) == 2 and isinstance(node.args[1], Literal)
             and isinstance(node.args[1].value, int)):
@@ -2899,7 +3015,8 @@ _LITERAL_ARG_FNS = {
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
-    "divideDecimal", "geohashEncode", "wordShingleMinHash",
+    "divideDecimal", "geohashEncode", "mortonDecode", "jumpConsistentHash",
+    "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
     "minSampleSizeContinuous",
 }
@@ -2918,7 +3035,24 @@ def _wants_literal(name: str) -> bool:
 
 _TUPLE_ARITH = {"tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
                 "tupleNegate", "tupleMultiplyByNumber",
-                "tupleDivideByNumber"}
+                "tupleDivideByNumber", "tupleHammingDistance"}
+
+_VEC_TUPLE_FNS = {"L1Norm", "L2Norm", "LinfNorm", "L1Distance",
+                  "L2Distance", "cosineDistance", "dotProduct",
+                  "normalizeL1", "normalizeL2"}
+
+
+def _struct_as_array(c: Column, df: DataFrame) -> Column:
+    """Tuple → Array adaptation for the vector-math family: CH's
+    distance/norm functions take either; the kernels are array HOFs."""
+    from pyspark.sql.types import StructType
+    try:
+        dt = df.select(c).schema[0].dataType
+    except Exception:
+        return c
+    if isinstance(dt, StructType):
+        return F.array(*[c[f.name] for f in dt.fields])
+    return c
 
 
 def _tuple_arith(name: str, cols: list, df: DataFrame) -> Column:
@@ -2938,6 +3072,14 @@ def _tuple_arith(name: str, cols: list, df: DataFrame) -> Column:
         op = ((lambda x: x * b) if name == "tupleMultiplyByNumber"
               else (lambda x: x / b))
         return F.struct(*[op(a[f]).alias(f) for f in fields])
+    if name == "tupleHammingDistance":
+        # count of differing positions (docs: ((1,2,3),(3,2,1)) = 2);
+        # NULL-safe so a NULL element only matches another NULL
+        cnt = None
+        for f in fields:
+            d = (~a[f].eqNullSafe(b[f])).cast("int")
+            cnt = d if cnt is None else cnt + d
+        return cnt
     ops = {"tuplePlus": lambda x, y: x + y,
            "tupleMinus": lambda x, y: x - y,
            "tupleMultiply": lambda x, y: x * y,

@@ -31,6 +31,15 @@ def execute_sql(spark: SparkSession, sql: str,
     SAMPLE. ``params`` binds ``{name:Type}`` query parameters
     (clickhouse-client --param_name analogue).
     """
+    # CH integer semantics wrap on overflow and index misses degrade to
+    # defaults — Spark 4's ANSI default would throw instead, so the
+    # dialect engine always evaluates ANSI-off (catalog.load_table pins
+    # the same for the parquet path; this covers table-less scalar SQL
+    # on a vanilla session)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
     ast = _parse(sql)
     return build(spark, ast, tables, engines=engines, params=params,
                  settings=settings, dictionaries=dictionaries)

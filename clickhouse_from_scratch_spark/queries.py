@@ -818,6 +818,31 @@ def sql_quantile_exact(spark, sf_dir):
         "FROM lineitem GROUP BY flag ORDER BY flag")
 
 
+@query("sql_surface_tail_r6", oracle="""
+SELECT doc_id,
+       CAST(regexp_matches(text, 'hash') OR regexp_matches(text, 'scan')
+            AS INT) AS mm,
+       levenshtein(substring(text, 1, 10), substring(text, 3, 10)) AS ed,
+       length(CAST(doc_id AS VARCHAR)) AS cd,
+       CAST((doc_id % 100) * 1024 AS BIGINT) AS prs
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def sql_surface_tail_r6(spark, sf_dir):
+    """Round-6 surface tail pinned over real data via the driver gate:
+    multiMatchAny (pattern-set OR), editDistance (Levenshtein),
+    countDigits, parseReadableSize — each stated with an exact DuckDB
+    equivalent."""
+    return _sql(
+        spark, sf_dir,
+        "SELECT doc_id, "
+        "multiMatchAny(text, ['hash', 'scan']) AS mm, "
+        "editDistance(substring(text, 1, 10), substring(text, 3, 10)) "
+        "  AS ed, "
+        "countDigits(doc_id) AS cd, "
+        "parseReadableSize(toString(doc_id % 100) || ' KiB') AS prs "
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id")
+
+
 @query("argmax_argmin", oracle="""
 SELECT o_orderstatus,
        MAX_BY(o_orderkey, o_totalprice) AS top_order,

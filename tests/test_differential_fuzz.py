@@ -65,7 +65,8 @@ CASES = _cases(30)
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     con = duckdb.connect()
-    for tbl in ("lineitem", "orders", "customer", "nation", "region"):
+    for tbl in ("lineitem", "orders", "customer", "nation", "region",
+                "events", "documents"):
         con.sql(f"CREATE VIEW {tbl} AS "
                 f"SELECT * FROM '{sf_dir}/{tbl}.parquet'")
     return con
@@ -630,5 +631,112 @@ def test_differential_combos(spark, sf_dir, duck, name, ch_sql, dd_sql):
     tables = load_all(spark, sf_dir)
     ours = execute_sql(spark, ch_sql, tables).toPandas()
     theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+def _quantile_exact_cases(n: int) -> list[tuple[str, str, str]]:
+    """quantileExact: CH's element pick at floor(level*n) vs the same
+    pick stated with DuckDB list indexing (1-based) — catches any
+    regression back to interpolation on even-sized groups."""
+    rnd = random.Random(606060)
+    out = []
+    for i in range(n):
+        q = round(rnd.uniform(0.05, 0.95), 2)
+        col = rnd.choice(["l_quantity", "l_linenumber", "l_suppkey"])
+        key = rnd.choice(["l_returnflag", "l_linestatus"])
+        ch = (f"SELECT {key} AS k, "
+              f"quantileExact({q})(CAST({col} AS Int32)) AS v "
+              f"FROM lineitem GROUP BY k")
+        dd = (f"SELECT {key} AS k, "
+              f"(list_sort(list(CAST({col} AS INT))))"
+              f"[CAST(floor({q} * count(*)) AS INT) + 1] AS v "
+              f"FROM lineitem GROUP BY k")
+        out.append((f"qexfuzz{i:02d}", ch, dd))
+    return out
+
+
+QEX_CASES = _quantile_exact_cases(10)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", QEX_CASES,
+                         ids=[c[0] for c in QEX_CASES])
+def test_differential_quantile_exact(spark, sf_dir, duck, name, ch_sql,
+                                     dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+def _asof_cases(n: int) -> list[tuple[str, str, str]]:
+    """ASOF JOIN fuzz: direction (>= / > / <= / <), inner vs LEFT, and
+    varying side filters — DuckDB's native ASOF JOIN states the same
+    semantics verbatim. Ties in ts are broken identically (at most one
+    match per left row by construction of the closest-match contract)."""
+    rnd = random.Random(4242)
+    types = ["click", "signup", "view", "purchase", "error"]
+    out = []
+    for i in range(n):
+        lt, rt = rnd.sample(types, 2)
+        op = rnd.choice([">=", ">", "<=", "<"])
+        kind = rnd.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+        m = rnd.randint(2, 5)
+        sql = (f"SELECT p.event_id AS eid, s.event_id AS sid "
+               f"FROM (SELECT * FROM events WHERE event_type = '{lt}' "
+               f"AND user_id % {m} = 0) p "
+               f"{kind} (SELECT * FROM events WHERE event_type = '{rt}') s "
+               f"ON p.user_id = s.user_id AND p.ts {op} s.ts "
+               f"ORDER BY eid")
+        out.append((f"asoffuzz{i:02d}", sql, sql))
+    return out
+
+
+ASOF_CASES = _asof_cases(10)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", ASOF_CASES,
+                         ids=[c[0] for c in ASOF_CASES])
+def test_differential_asof(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+def _range_frame_cases(n: int) -> list[tuple[str, str]]:
+    """RANGE window frames with value offsets — identical ANSI SQL on
+    both engines; catches frame-boundary lowering bugs."""
+    rnd = random.Random(717)
+    out = []
+    for i in range(n):
+        lo = rnd.randint(1, 5)
+        hi = rnd.randint(0, 3)
+        key = rnd.choice(["l_returnflag", "l_linestatus"])
+        frame = rnd.choice([
+            f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ])
+        sql = (f"SELECT l_orderkey, l_linenumber, "
+               f"count(*) OVER (PARTITION BY {key} "
+               f"ORDER BY l_linenumber {frame}) AS c "
+               f"FROM lineitem WHERE l_orderkey < 800 "
+               f"ORDER BY l_orderkey, l_linenumber")
+        out.append((f"rangefuzz{i:02d}", sql))
+    return out
+
+
+RANGE_CASES = _range_frame_cases(8)
+
+
+@pytest.mark.parametrize("name,sql", RANGE_CASES,
+                         ids=[c[0] for c in RANGE_CASES])
+def test_differential_range_frames(spark, sf_dir, duck, name, sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, sql, tables).toPandas()
+    theirs = duck.sql(sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems

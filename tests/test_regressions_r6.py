@@ -296,3 +296,45 @@ def test_quantile_sketch_result_types(spark):
                    "tds": "array<float>", "bf": "double",
                    "ds": "bigint"}
     assert r.collect()[0].ds == 2
+
+
+# --- 14. ROLLUP/CUBE WITH TOTALS emits the totals BLOCK too ---------------
+# CH's TotalsHavingTransform runs downstream of the grouping-set
+# expansion: the all-NULL totals row appears IN ADDITION to ROLLUP's own
+# grand-total row. Previously the modifier was silently dropped.
+def test_rollup_with_totals_block(spark):
+    df = spark.createDataFrame([(1, 1, 10), (1, 2, 20), (2, 1, 30)],
+                               "a int, b int, v int")
+    rows = execute_sql(spark, "SELECT a, b, sum(v) AS s FROM t "
+                              "GROUP BY ROLLUP(a, b) WITH TOTALS",
+                       {"t": df}).collect()
+    rs = [tuple(r) for r in rows]
+    assert rs.count((None, None, 60)) == 2   # grand total + totals block
+    assert len(rs) == 7
+
+
+def test_cube_with_totals_having_raises(spark):
+    df = spark.createDataFrame([(1, 10)], "a int, v int")
+    with pytest.raises(BuildError):
+        execute_sql(spark, "SELECT a, sum(v) AS s FROM t GROUP BY "
+                           "CUBE(a) WITH TOTALS HAVING s > 0",
+                    {"t": df}).collect()
+
+
+# --- 15. ASOF JOIN qualified refs to COLLIDING right columns -------------
+# Both sides carry event_id-style same-named columns; the union+window
+# flattening suffix-renames the right one, and s.<col> must resolve to
+# the RENAMED column — previously it silently hit the left's column.
+def test_asof_qualified_colliding_column(spark):
+    left = spark.createDataFrame(
+        [(100, 1, 10)], "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(200, 1, 5), (201, 1, 8), (202, 1, 11)],
+        "event_id long, user_id long, ts long")
+    r = execute_sql(
+        spark,
+        "SELECT p.event_id AS eid, s.event_id AS sid "
+        "FROM l AS p ASOF JOIN r AS s "
+        "ON p.user_id = s.user_id AND p.ts >= s.ts",
+        {"l": left, "r": right}).collect()
+    assert [(x.eid, x.sid) for x in r] == [(100, 201)]
