@@ -69,9 +69,20 @@ def _ch_divide(a, b) -> Column:
 
 
 _alias("divide", _ch_divide)
-_alias("modulo", lambda a, b: _c(a) % _c(b))   # C-style sign, like CH
+def _div_zero_guard(b: Column, out: Column) -> Column:
+    # CH intDiv/modulo THROW on a zero divisor (the OrZero spellings are
+    # the degrading forms) — never a silent NULL. when() branches are
+    # lazy, so if(b != 0, intDiv(a, b), 0) still works.
+    return F.when(b == 0, F.raise_error(F.lit(
+        "Division by zero (use intDivOrZero/moduloOrZero for 0)"))
+        ).otherwise(out)
+
+
+_alias("modulo", lambda a, b: _div_zero_guard(
+    _c(b), _c(a) % _c(b)))   # C-style sign, like CH
 # CH intDiv truncates toward zero (not floor): intDiv(-7,2) = -3
-_alias("intDiv", lambda a, b: F.call_function("div", _c(a), _c(b)))
+_alias("intDiv", lambda a, b: _div_zero_guard(
+    _c(b), F.call_function("div", _c(a), _c(b))))
 _alias("intDivOrZero", lambda a, b: F.coalesce(
     F.when(_c(b) != 0, F.call_function("div", _c(a), _c(b))), F.lit(0)))
 _alias("negate", lambda a: -_c(a))

@@ -2736,6 +2736,48 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                     return True
             return False
         return F.lit(0 if _has_ident(node.args[0]) else 1).cast("smallint")
+    if name == "toString" and len(node.args) == 1:
+        # CH's float formatter prints integral Float32/64 WITHOUT the
+        # trailing .0 (toString(1.0) = '1'); Java's Double.toString
+        # keeps it. Strip for plain-notation values — scientific-
+        # notation magnitudes (|x| >= 1e7) keep Java's form (documented
+        # partial fidelity; CH switches to shortest-repr there). In
+        # lambda position the static schema probe can't run, so the
+        # float check happens via typeof() (constant-folded per type).
+        out = cols[0].cast("string")
+        stripped = F.regexp_replace(out, r"^(-?\d+)\.0$", "$1")
+        dts = None
+        if df is not None and not _refs_lambda_param(node.args[0], ctx):
+            try:
+                dts = df.select(cols[0]).schema[0].dataType.simpleString()
+            except Exception:
+                dts = None
+        if dts is not None:
+            return stripped if dts in ("float", "double") else out
+        return F.when(F.typeof(cols[0]).isin("float", "double"),
+                      stripped).otherwise(out)
+    if name == "round" and node.args:
+        # CH round() is BANKER'S rounding for float types and
+        # away-from-zero for integer/Decimal types (public docs:
+        # round(2.5) = 2, round(toInt32(25), -1) = 30). Spark's round
+        # is away-from-zero, bround is banker's — pick by inferred type;
+        # unknown types behave as Float64 (the literal default).
+        n = 0
+        if len(node.args) > 1:
+            a1 = node.args[1]
+            n = a1.value if isinstance(a1, Literal) else 0
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        away = (info is not None and info[0] in ("u", "i")) or (
+            cht is not None and cht.startswith("Decimal"))
+        if not away and cht is None and df is not None:
+            try:
+                dts = df.select(cols[0]).schema[0].dataType.simpleString()
+                away = dts.startswith("decimal") or dts in _INT_SPARK_TYPES
+            except Exception:
+                pass
+        return (F.round(cols[0], int(n)) if away
+                else F.bround(cols[0], int(n)))
     if name == "bitPositionsToArray" and len(node.args) == 1:
         # same width rule as byteSwap: positions come from the DECLARED
         # type's bit pattern (toInt8(-1) → [0..7], not 64 bits)

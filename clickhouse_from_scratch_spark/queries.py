@@ -2248,7 +2248,9 @@ WITH per AS (
 SELECT l_returnflag,
        array_to_string(list(ln ORDER BY ln), ',') AS keys_csv,
        array_to_string(list_transform(list(s ORDER BY ln),
-                                      x -> CAST(round(x, 4) AS VARCHAR)),
+                  -- CH toString drops the trailing .0 on integral floats
+                  x -> regexp_replace(CAST(round(x, 4) AS VARCHAR),
+                                      '\.0$', '')),
                        ',') AS vals_csv
 FROM per GROUP BY l_returnflag ORDER BY l_returnflag
 """)

@@ -116,7 +116,13 @@ def test_ch_doc_contracts(spark):
     probe("SELECT bitTest(5, 0)", 1, "bitTest")
     probe("SELECT bitCount(7)", 3, "bitCount")
     probe("SELECT roundBankers(2.5)", 2.0, "roundBankers")
-    probe("SELECT round(2.5)", 3.0, "round half away")
+    # CH round() is BANKER'S for floats (docs: round(2.5) = 2;
+    # away-from-zero only for integer/Decimal types)
+    probe("SELECT round(2.5)", 2.0, "round bankers on float")
+    probe("SELECT round(3.5)", 4.0, "round bankers 3.5 -> 4")
+    probe("SELECT round(toInt32(25), -1)", 30, "round int away from zero")
+    probe("SELECT round(CAST(2.5 AS Decimal(10, 1)))", 3,
+          "round decimal away from zero")
     probe("SELECT roundToExp2(100)", 64, "roundToExp2")
     probe("SELECT roundDown(5, [2,4,8])", 4, "roundDown")
     probe("SELECT floor(123.45, 1)", 123.4, "floor digits")

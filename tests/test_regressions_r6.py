@@ -338,3 +338,47 @@ def test_asof_qualified_colliding_column(spark):
         "ON p.user_id = s.user_id AND p.ts >= s.ts",
         {"l": left, "r": right}).collect()
     assert [(x.eid, x.sid) for x in r] == [(100, 201)]
+
+
+# --- 16. round() rounding-mode fidelity ------------------------------------
+# CH round() = banker's for float types, away-from-zero for int/Decimal
+# (docs: round(2.5) = 2, round(3.5) = 4, round(toInt32(25), -1) = 30).
+# Spark's round is away-from-zero everywhere, so the lowering picks
+# bround/round by inferred CH type.
+def test_round_bankers_floats(spark):
+    r = _one(spark, "SELECT round(2.5) AS a, round(3.5) AS b, "
+                    "round(-2.5) AS c, round(2.4) AS d")
+    assert (r.a, r.b, r.c, r.d) == (2.0, 4.0, -2.0, 2.0)
+
+
+def test_round_away_for_int_decimal(spark):
+    r = _one(spark, "SELECT round(toInt32(25), -1) AS a, "
+                    "CAST(round(CAST(2.5 AS Decimal(10, 1))) AS INT) AS b")
+    assert (r.a, r.b) == (30, 3)
+
+
+def test_round_column_double(spark):
+    df = spark.createDataFrame([(2.5,), (3.5,)], "v double")
+    rows = execute_sql(spark, "SELECT round(v) AS r FROM t ORDER BY r",
+                       {"t": df}).collect()
+    assert [x.r for x in rows] == [2.0, 4.0]
+
+
+# --- 17. intDiv/modulo THROW on zero divisor (OrZero forms degrade) -------
+def test_int_div_zero_raises(spark):
+    for sql in ("SELECT intDiv(1, 0) AS v", "SELECT 5 % 0 AS v",
+                "SELECT modulo(5, 0) AS v"):
+        with pytest.raises(Exception) as ei:
+            execute_sql(spark, sql, {}).collect()
+        assert "Division by zero" in str(ei.value)
+    r = _one(spark, "SELECT intDivOrZero(5, 0) AS a, "
+                    "moduloOrZero(5, 0) AS b, "
+                    "if(1 = 0, intDiv(1, 0), -1) AS c")
+    assert (r.a, r.b, r.c) == (0, 0, -1)   # when() branches stay lazy
+
+
+# --- 18. toString drops the trailing .0 on integral floats (CH format) ----
+def test_tostring_integral_float(spark):
+    r = _one(spark, "SELECT toString(1.0) AS a, toString(1.5) AS b, "
+                    "toString(-3.0) AS c, toString('a.0') AS d")
+    assert (r.a, r.b, r.c, r.d) == ("1", "1.5", "-3", "a.0")
