@@ -96,8 +96,20 @@ _alias("less", lambda a, b: _c(a) < _c(b))
 _alias("greater", lambda a, b: _c(a) > _c(b))
 _alias("lessOrEquals", lambda a, b: _c(a) <= _c(b))
 _alias("greaterOrEquals", lambda a, b: _c(a) >= _c(b))
-_alias("least", F.least)
-_alias("greatest", F.greatest)
+def _null_propagating(fn):
+    # CH greatest/least return NULL when ANY argument is NULL (docs);
+    # Spark's skip NULLs instead
+    def g(*cs):
+        cols = [_c(c) for c in cs]
+        anynull = cols[0].isNull()
+        for c in cols[1:]:
+            anynull = anynull | c.isNull()
+        return F.when(anynull, F.lit(None)).otherwise(fn(*cols))
+    return g
+
+
+_alias("least", _null_propagating(F.least))
+_alias("greatest", _null_propagating(F.greatest))
 
 # --- boolean (:77-81) -----------------------------------------------------
 # CH condition semantics: any numeric is a valid condition (nonzero=true);

@@ -2114,11 +2114,27 @@ def _array_default_fns(name: str, node, cols: list,
     an explicit fill pad with 0/''/false/[]; arrayElement out of bounds
     returns the default for non-Nullable elements (Spark containsNull
     False) and NULL for Nullable ones — the CH Nullable default."""
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import ArrayType, MapType
     try:
         dt = df.select(cols[0]).schema[0].dataType
     except Exception:
         return None
+    if isinstance(dt, MapType) and name == "arrayElement" \
+            and len(node.args) == 2:
+        # m['missing'] returns the VALUE type's default in CH (0 / '' /
+        # false), NULL only for Nullable values — same rule as arrays
+        vt = dt.valueType.simpleString()
+        vdefault = {"string": F.lit("")}.get(vt)
+        if vt in ("tinyint", "smallint", "int", "bigint", "float",
+                  "double") or vt.startswith("decimal"):
+            vdefault = F.lit(0).cast(vt)
+        elif vt == "boolean":
+            vdefault = F.lit(False)
+        elif vt.startswith("array<"):
+            vdefault = F.array().cast(vt)
+        if vdefault is None or dt.valueContainsNull:
+            return None
+        return F.coalesce(F.try_element_at(cols[0], cols[1]), vdefault)
     if not isinstance(dt, ArrayType):
         return None
     elem = dt.elementType.simpleString()

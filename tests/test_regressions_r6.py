@@ -382,3 +382,17 @@ def test_tostring_integral_float(spark):
     r = _one(spark, "SELECT toString(1.0) AS a, toString(1.5) AS b, "
                     "toString(-3.0) AS c, toString('a.0') AS d")
     assert (r.a, r.b, r.c, r.d) == ("1", "1.5", "-3", "a.0")
+
+
+# --- 19. map['missing'] returns the value-type default; greatest/least
+# propagate NULL (CH contracts) --------------------------------------------
+def test_map_missing_key_default(spark):
+    r = _one(spark, "SELECT map('a', 1)['b'] AS i, "
+                    "map('a', 'x')['b'] AS s, map('a', 1)['a'] AS hit")
+    assert (r.i, r.s, r.hit) == (0, "", 1)
+
+
+def test_greatest_least_null_propagation(spark):
+    r = _one(spark, "SELECT greatest(1, NULL) AS g, least(2, NULL) AS l, "
+                    "greatest(1, 5, 2) AS g2, least(3, 1) AS l2")
+    assert (r.g, r.l, r.g2, r.l2) == (None, None, 5, 1)
