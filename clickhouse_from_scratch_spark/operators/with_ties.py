@@ -31,13 +31,12 @@ _MAX_THRESHOLD_N = 100_000
 
 
 def _direct(c: Column, desc: bool, nulls_first: bool | None) -> Column:
+    # CH default NULL placement: NULLS LAST for both directions
     if desc:
         return (c.desc_nulls_first() if nulls_first
-                else c.desc_nulls_last() if nulls_first is False
-                else c.desc())
+                else c.desc_nulls_last())
     return (c.asc_nulls_first() if nulls_first
-            else c.asc_nulls_last() if nulls_first is False
-            else c.asc())
+            else c.asc_nulls_last())
 
 
 def limit_with_ties(df: DataFrame, order: Sequence[Column], n: int,

@@ -2401,13 +2401,15 @@ def _order_bare(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
 
 def _order_col(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
     c = _order_bare(df, it, ctx)
+    # CH default NULL placement is NULLS LAST for BOTH directions
+    # (reference ExpressionElementParsers.cpp:2258 — nulls_direction
+    # defaults to the sort direction, "same as direction for NULLS
+    # LAST"); Spark's bare asc() is nulls-FIRST, so spell it out.
     if it.desc:
         return (c.desc_nulls_first() if it.nulls_first
-                else c.desc_nulls_last() if it.nulls_first is False
-                else c.desc())
+                else c.desc_nulls_last())
     return (c.asc_nulls_first() if it.nulls_first
-            else c.asc_nulls_last() if it.nulls_first is False
-            else c.asc())
+            else c.asc_nulls_last())
 
 
 # --- expression evaluation ---------------------------------------------------

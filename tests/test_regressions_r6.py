@@ -396,3 +396,20 @@ def test_greatest_least_null_propagation(spark):
     r = _one(spark, "SELECT greatest(1, NULL) AS g, least(2, NULL) AS l, "
                     "greatest(1, 5, 2) AS g2, least(3, 1) AS l2")
     assert (r.g, r.l, r.g2, r.l2) == (None, None, 5, 1)
+
+
+# --- 20. ORDER BY default NULL placement is NULLS LAST (both dirs) --------
+# reference ExpressionElementParsers.cpp:2258: nulls_direction defaults
+# to the sort direction ("same as direction for NULLS LAST"); Spark's
+# bare asc() is nulls-first.
+def test_order_by_default_nulls_last(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "v int")
+    runs = {
+        "SELECT v FROM t ORDER BY v": [1, 2, None],
+        "SELECT v FROM t ORDER BY v DESC": [2, 1, None],
+        "SELECT v FROM t ORDER BY v NULLS FIRST": [None, 1, 2],
+        "SELECT v FROM t ORDER BY v DESC NULLS FIRST": [None, 2, 1],
+    }
+    for sql, want in runs.items():
+        got = [r.v for r in execute_sql(spark, sql, {"t": df}).collect()]
+        assert got == want, (sql, got)
