@@ -55,9 +55,24 @@ def _delta_sum(x) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _uniq_null_aware(fn) -> Callable[..., Column]:
+    """CH's uniq family counts NULL as a distinct value for Nullable
+    arguments (count(DISTINCT x) = uniqExact(x) = 3 over [1,NULL,2]);
+    Spark's count_distinct skips NULLs, so add the any-null flag."""
+    def g(*cs):
+        cols = [_c(c) for c in cs]
+        base = fn(*cols)
+        if len(cols) == 1:
+            flag = F.coalesce(
+                F.max(F.when(cols[0].isNull(), 1).otherwise(0)), F.lit(0))
+            return (base + flag).cast("long")
+        return base
+    return g
+
+
 AGGREGATES: dict[str, Callable[..., Column]] = {
     "count": lambda *a: F.count(_c(a[0])) if a else F.count(F.lit(1)),
-    "countDistinct": lambda *cs: F.count_distinct(*[_c(c) for c in cs]),
+    "countDistinct": _uniq_null_aware(F.count_distinct),
     "sum": lambda x: F.sum(_c(x)),
     "sumDistinct": lambda x: F.sum_distinct(_c(x)),
     "avg": lambda x: F.avg(_c(x)),
@@ -79,11 +94,11 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "skewSamp": lambda x: F.skewness(_c(x)),
     "kurtSamp": lambda x: F.kurtosis(_c(x)),
     # approximate distinct: CH uniq/uniqHLL12/uniqCombined → HLL
-    "uniq": lambda *cs: F.approx_count_distinct(_c(cs[0])),
-    "uniqHLL12": lambda x: F.approx_count_distinct(_c(x)),
-    "uniqCombined": lambda x: F.approx_count_distinct(_c(x)),
-    "uniqCombined64": lambda x: F.approx_count_distinct(_c(x)),
-    "uniqExact": lambda *cs: F.count_distinct(*[_c(c) for c in cs]),
+    "uniq": _uniq_null_aware(lambda *cs: F.approx_count_distinct(cs[0])),
+    "uniqHLL12": _uniq_null_aware(F.approx_count_distinct),
+    "uniqCombined": _uniq_null_aware(F.approx_count_distinct),
+    "uniqCombined64": _uniq_null_aware(F.approx_count_distinct),
+    "uniqExact": _uniq_null_aware(F.count_distinct),
     # parametric quantiles: quantile(q)(x) — exact interpolated percentile
     "quantile": lambda q, x=None: F.percentile(_c(x), F.lit(q)) if x is not None else F.median(_c(q)),
     "quantileExact": lambda q, x: _quantile_exact(x, q),

@@ -581,7 +581,9 @@ _alias("arrayLength", F.size)
 _alias("arrayDistinct", F.array_distinct)
 _alias("arraySort", F.array_sort)
 _alias("arrayReverse", F.reverse)
-_alias("arrayReverseSort", lambda a: F.reverse(F.array_sort(_c(a))))
+# sort_array(desc) keeps NULLs LAST (CH: NULL/NaN last in BOTH sort
+# directions); reverse(array_sort(..)) would move them first
+_alias("arrayReverseSort", lambda a: F.sort_array(_c(a), False))
 # arrayPartialSort(limit, arr): only the first `limit` elements are
 # contractually sorted, the tail's order is unspecified (public CH
 # docs) — a fully-sorted array is a valid (and deterministic) instance

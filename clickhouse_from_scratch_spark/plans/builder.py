@@ -1960,7 +1960,17 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     if node.distinct:
         if name in ("count", "sum"):
             # FILTER composes with DISTINCT: nulled-out rows are ignored
-            # by the distinct aggregation
+            # by the distinct aggregation. count(DISTINCT x) is CH's
+            # uniqExact: NULL counts as a distinct value, so add the
+            # any-real-NULL flag (restricted to FILTER-matching rows).
+            if name == "count" and len(args) == 1:
+                raw = args[0]
+                isnull = (raw.isNull() if cond is None else
+                          (F.coalesce(cond, F.lit(False)) & raw.isNull()))
+                a0 = F.when(cond, raw) if cond is not None else raw
+                flag = F.coalesce(
+                    F.max(F.when(isnull, 1).otherwise(0)), F.lit(0))
+                return (F.count_distinct(a0) + flag).cast("long")
             if cond is not None:
                 args = [F.when(cond, a) for a in args]
             return (F.count_distinct(*args) if name == "count"

@@ -413,3 +413,21 @@ def test_order_by_default_nulls_last(spark):
     for sql, want in runs.items():
         got = [r.v for r in execute_sql(spark, sql, {"t": df}).collect()]
         assert got == want, (sql, got)
+
+
+# --- 21. uniq family counts NULL as a distinct value (CH uniqExact) -------
+def test_uniq_counts_null(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (None,)], "v int")
+    r = _one(spark, "SELECT uniqExact(v) AS ue, count(DISTINCT v) AS cd, "
+                    "uniq(v) AS u, count(DISTINCT v) "
+                    "FILTER(WHERE v IS NOT NULL) AS cdf FROM t", {"t": df})
+    assert (r.ue, r.cd, r.u, r.cdf) == (3, 3, 3, 2)
+    # empty set stays 0, not NULL (the flag coalesces)
+    r = _one(spark, "SELECT uniqExact(v) AS ue FROM t WHERE v > 99",
+             {"t": df})
+    assert r.ue == 0
+
+
+def test_array_reverse_sort_nulls_last(spark):
+    r = _one(spark, "SELECT arrayReverseSort([3, NULL, 1]) AS a")
+    assert r.a == [3, 1, None]
