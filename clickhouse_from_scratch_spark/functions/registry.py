@@ -1875,8 +1875,19 @@ def _lgamma(x) -> Column:
             - t + F.log(series))
 
 
-_alias("lgamma", _lgamma)
-_alias("tgamma", lambda x: F.exp(_lgamma(x)))
+def _gamma_exact_int(x, approx: Column, log_form: bool) -> Column:
+    """libm (and CH) return EXACT values for small integral arguments
+    (tgamma(5) = 24, lgamma(1) = 0); route those through factorial and
+    keep the Lanczos approximation for the continuous domain."""
+    xi = _c(x).cast("double")
+    is_small_int = (xi == F.floor(xi)) & (xi >= 1) & (xi <= 21)
+    fact = F.factorial((xi - 1).cast("int")).cast("double")
+    exact = F.log(fact) if log_form else fact
+    return F.when(is_small_int, exact).otherwise(approx)
+
+
+_alias("lgamma", lambda x: _gamma_exact_int(x, _lgamma(x), True))
+_alias("tgamma", lambda x: _gamma_exact_int(x, F.exp(_lgamma(x)), False))
 
 
 @register("proportionsZTest")

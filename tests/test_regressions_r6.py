@@ -431,3 +431,10 @@ def test_uniq_counts_null(spark):
 def test_array_reverse_sort_nulls_last(spark):
     r = _one(spark, "SELECT arrayReverseSort([3, NULL, 1]) AS a")
     assert r.a == [3, 1, None]
+
+
+# --- 22. gamma functions exact on small integral arguments ----------------
+def test_gamma_exact_integers(spark):
+    r = _one(spark, "SELECT tgamma(5) AS t5, lgamma(1) AS l1, "
+                    "tgamma(1) AS t1, round(tgamma(0.5), 6) AS th")
+    assert (r.t5, r.l1, r.t1, r.th) == (24.0, 0.0, 1.0, 1.772454)
