@@ -506,7 +506,9 @@ def _age(unit, a, b) -> Column:
 _alias("age", _age)
 _alias("isZeroOrNull", lambda c: F.coalesce(_c(c) == 0, F.lit(True)))
 _alias("dateName", lambda part, d: F.date_format(_c(d), {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(part, "yyyy")))
-_alias("formatDateTime", lambda d, fmt: F.date_format(_c(d), _strftime_to_java(fmt)))
+_alias("formatDateTime", lambda d, fmt, tz=None: _format_datetime(
+    _c(d) if tz is None
+    else F.from_utc_timestamp(_c(d), str(tz).strip("'\"")), fmt))
 _alias("toTimeZone", lambda c, tz: F.from_utc_timestamp(_c(c), tz))
 _alias("makeDate", lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)))
 _alias("tumble", lambda ts, iv: F.window(_c(ts), iv))
@@ -546,11 +548,105 @@ def _date_diff(unit: str, a, b) -> Column:
 
 
 def _strftime_to_java(fmt: str) -> str:
-    table = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
-             "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss"}
+    """MySQL-style → Java pattern for the PARSING direction
+    (parseDateTime): a string-to-string mapping is required there, so
+    only the position-parseable specifiers translate."""
+    table = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "MM", "%d": "dd",
+             "%e": "d", "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh",
+             "%i": "mm", "%M": "mm", "%S": "ss", "%s": "ss",
+             "%f": "SSSSSS", "%j": "DDD", "%p": "a",
+             "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy",
+             "%R": "HH:mm", "%%": "%"}
     for k, v in table.items():
         fmt = fmt.replace(k, v)
     return fmt
+
+
+def _iso_year_of(d: Column) -> Column:
+    # ISO year = calendar year of the Thursday of d's week
+    return F.year(F.date_add(d.cast("date"), 3 - F.weekday(d)))
+
+
+# formatDateTime specifier table (full public MySQL-style set; the
+# reference era has no formatdatetime_*_m_is_month_name setting, so %M
+# is the MINUTE like MySQL — %i is the modern alias)
+_FDT_SPECS: dict = {
+    "a": lambda d: F.date_format(d, "EEE"),
+    "b": lambda d: F.date_format(d, "MMM"),
+    "c": lambda d: F.date_format(d, "MM"),
+    "C": lambda d: F.lpad(F.floor(F.year(d) / 100).cast("int")
+                          .cast("string"), 2, "0"),
+    "d": lambda d: F.date_format(d, "dd"),
+    "D": lambda d: F.date_format(d, "MM/dd/yy"),
+    "e": lambda d: F.lpad(F.dayofmonth(d).cast("string"), 2, " "),
+    "f": lambda d: F.date_format(d, "SSSSSS"),
+    "F": lambda d: F.date_format(d, "yyyy-MM-dd"),
+    "g": lambda d: F.lpad(F.pmod(_iso_year_of(d), F.lit(100))
+                          .cast("string"), 2, "0"),
+    "G": lambda d: _iso_year_of(d).cast("string"),
+    "h": lambda d: F.date_format(d, "hh"),
+    "H": lambda d: F.date_format(d, "HH"),
+    "i": lambda d: F.date_format(d, "mm"),
+    "I": lambda d: F.date_format(d, "hh"),
+    "j": lambda d: F.lpad(F.dayofyear(d).cast("string"), 3, "0"),
+    "k": lambda d: F.lpad(F.hour(d).cast("string"), 2, " "),
+    "l": lambda d: F.lpad(F.date_format(d, "h"), 2, " "),
+    "m": lambda d: F.date_format(d, "MM"),
+    "M": lambda d: F.date_format(d, "mm"),
+    "n": lambda d: F.lit("\n"),
+    "p": lambda d: F.date_format(d, "a"),
+    "Q": lambda d: F.quarter(d).cast("string"),
+    "r": lambda d: F.date_format(d, "hh:mm a"),
+    "R": lambda d: F.date_format(d, "HH:mm"),
+    "s": lambda d: F.date_format(d, "ss"),
+    "S": lambda d: F.date_format(d, "ss"),
+    "t": lambda d: F.lit("\t"),
+    "T": lambda d: F.date_format(d, "HH:mm:ss"),
+    "u": lambda d: (F.weekday(d) + 1).cast("string"),
+    "V": lambda d: F.lpad(F.weekofyear(d).cast("string"), 2, "0"),
+    "w": lambda d: (F.dayofweek(d) - 1).cast("string"),
+    "W": lambda d: F.date_format(d, "EEEE"),
+    "y": lambda d: F.date_format(d, "yy"),
+    "Y": lambda d: F.date_format(d, "yyyy"),
+    "z": lambda d: F.date_format(d, "Z"),
+    "%": lambda d: F.lit("%"),
+}
+
+
+def _format_datetime(d: Column, fmt) -> Column:
+    """formatDateTime: compile the MySQL-style pattern at BUILD time to
+    a concat of per-specifier JVM expressions — Spark's date_format
+    pattern language only covers a subset, and an untranslated %X either
+    throws or silently emits garbage. Unknown specifiers raise."""
+    if isinstance(fmt, Column):
+        raise TypeError("formatDateTime pattern must be a literal")
+    fmt = str(fmt)
+    segs: list[Column] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            segs.append(F.lit("".join(lit)))
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            i += 2
+            fn = _FDT_SPECS.get(spec)
+            if fn is None:
+                raise ValueError(
+                    f"formatDateTime: unsupported specifier %{spec}")
+            flush()
+            segs.append(fn(d))
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    if not segs:
+        return F.lit("")
+    return segs[0] if len(segs) == 1 else F.concat(*segs)
 
 
 # --- arrays (public CH array function family) -----------------------------

@@ -129,3 +129,39 @@ def test_ch_doc_contracts_sweep7(spark):
           "nonNegativeDerivative first row 0")
 
     assert not FAIL, "\n".join(FAIL)
+
+
+def test_format_datetime_specifier_table(spark):
+    """The full public formatDateTime specifier table over the canonical
+    docs timestamp 2018-01-02 22:33:44 (a Tuesday). %M is the MINUTE:
+    the reference era predates the m_is_month_name setting (MySQL
+    semantics); %i is the modern alias."""
+    want = {
+        "%Y": "2018", "%y": "18", "%m": "01", "%c": "01", "%d": "02",
+        "%e": " 2", "%H": "22", "%k": "22", "%h": "10", "%I": "10",
+        "%l": "10", "%i": "33", "%M": "33", "%S": "44", "%s": "44",
+        "%F": "2018-01-02", "%D": "01/02/18", "%T": "22:33:44",
+        "%R": "22:33", "%r": "10:33 PM", "%j": "002", "%a": "Tue",
+        "%b": "Jan", "%C": "20", "%g": "18", "%G": "2018", "%n": "\n",
+        "%p": "PM", "%Q": "1", "%t": "\t", "%u": "2", "%V": "01",
+        "%w": "2", "%W": "Tuesday", "%%": "%",
+    }
+    FAIL = []
+    for spec, exp in want.items():
+        got = execute_sql(
+            spark, "SELECT formatDateTime(toDateTime("
+                   f"'2018-01-02 22:33:44'), '{spec}') AS v",
+            {}).collect()[0].v
+        if got != exp:
+            FAIL.append(f"{spec}: {got!r} != {exp!r}")
+    # parse direction keeps the positional subset
+    got = execute_sql(
+        spark, "SELECT parseDateTime('2018-01-02 22:33:44', "
+               "'%Y-%m-%d %H:%i:%S') AS v", {}).collect()[0].v
+    assert str(got) == "2018-01-02 22:33:44", got
+    # unknown specifier raises, never silently misformats
+    import pytest as _pt
+    with _pt.raises(Exception):
+        execute_sql(spark, "SELECT formatDateTime(now(), '%P')",
+                    {}).collect()
+    assert not FAIL, "\n".join(FAIL)
