@@ -426,7 +426,68 @@ _alias("toHour", F.hour)
 _alias("toMinute", F.minute)
 _alias("toSecond", F.second)
 _alias("toQuarter", F.quarter)
-_alias("toWeek", F.weekofyear)
+def _calc_week(d, mode: int = 0, with_year: bool = False):
+    """MySQL calc_week — the algorithm behind CH toWeek/toYearWeek
+    (public: MySQL WEEK() modes 0-7; CH docs reference the same table).
+    mode bits: 1 = Monday-first, 2 = week belongs to the year holding
+    it (0..53 → year-adjusted 1..53), 4 = week 1 needs >3 days of the
+    new year (else: contains the week's first day). Mode is a literal,
+    so the three flags fold at build time; only data-dependent branches
+    stay as when()s."""
+    mode = int(mode) if not isinstance(mode, Column) else 0
+    # MySQL week_mode(): without Monday-first the FIRST_WEEKDAY bit is
+    # FLIPPED (mode 0 behaves as flag set 4)
+    mode = mode & 7
+    if not (mode & 1):
+        mode ^= 4
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    d = _c(d).cast("date")
+    y = F.year(d)
+    epoch = F.to_date(F.lit("1970-01-01"))
+    jan1 = F.make_date(y, F.lit(1), F.lit(1))
+    daynr = F.datediff(d, epoch)
+    first_daynr = F.datediff(jan1, epoch)
+    wd_mon = F.weekday(jan1)                     # 0=Mon .. 6=Sun
+    weekday0 = wd_mon if monday_first else F.pmod(wd_mon + 1, F.lit(7))
+    pre = (F.month(d) == 1) & (F.dayofmonth(d) <= 7 - weekday0)
+    rule_fail0 = (weekday0 != 0) if first_weekday else (weekday0 >= 4)
+    py = y - 1
+    days_prev = F.datediff(jan1, F.make_date(py, F.lit(1), F.lit(1)))
+    first_daynr_prev = first_daynr - days_prev
+    weekday_prev = F.pmod(weekday0 + 53 * 7 - days_prev, F.lit(7))
+
+    def week_from(first_dn, wd, yr, wy: bool):
+        rf = (wd != 0) if first_weekday else (wd >= 4)
+        days = F.when(rf, daynr - (first_dn + (7 - wd)))                 .otherwise(daynr - (first_dn - wd))
+        week = (F.floor(days / 7) + 1).cast("int")
+        if wy:
+            diy = F.datediff(F.make_date(yr + 1, F.lit(1), F.lit(1)),
+                             F.make_date(yr, F.lit(1), F.lit(1)))
+            wd2 = F.pmod(wd + diy, F.lit(7))
+            rolls = (days >= 52 * 7) & (
+                (wd2 == 0) if first_weekday else (wd2 < 4))
+            return (F.when(rolls, F.lit(1)).otherwise(week),
+                    F.when(rolls, yr + 1).otherwise(yr))
+        return week, yr
+
+    wk_main, yr_main = week_from(first_daynr, weekday0, y, week_year)
+    wk_prev, yr_prev = week_from(first_daynr_prev, weekday_prev, py, True)
+    if week_year:
+        week = F.when(pre, wk_prev).otherwise(wk_main)
+        yr_out = F.when(pre, yr_prev).otherwise(yr_main)
+    else:
+        week = (F.when(pre & rule_fail0, F.lit(0))
+                .when(pre, wk_prev).otherwise(wk_main))
+        yr_out = (F.when(pre & rule_fail0, y)
+                  .when(pre, yr_prev).otherwise(yr_main))
+    if with_year:
+        return (yr_out * 100 + week).cast("long")
+    return week.cast("int")
+
+
+_alias("toWeek", lambda d, mode=0, tz=None: _calc_week(d, mode))
 _alias("toISOWeek", F.weekofyear)
 _alias("toUnixTimestamp", lambda c: F.unix_timestamp(_c(c)))
 _alias("fromUnixTimestamp", lambda c: F.from_unixtime(_c(c)).cast("timestamp"))
@@ -1739,8 +1800,11 @@ def _iso_dow(c: Column) -> Column:
 _alias("toISOYear", lambda c: F.year(
     F.date_add(F.to_date(_c(c)), 4 - _iso_dow(F.to_date(_c(c)))))
     .cast("int"))
-_alias("toYearWeek", lambda c, *m: (F.year(_c(c)) * 100
-                                    + F.weekofyear(_c(c))).cast("int"))
+# YEARWEEK forces the year-adjustment bit (MySQL week_mode(mode | 2))
+_alias("toYearWeek",
+       lambda c, mode=0, tz=None: _calc_week(
+           c, (int(mode) if not isinstance(mode, Column) else 0) | 2,
+           with_year=True))
 _alias("nowInBlock", lambda: F.now() if hasattr(F, "now")
        else F.current_timestamp())
 

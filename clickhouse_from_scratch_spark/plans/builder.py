@@ -3086,6 +3086,7 @@ _LITERAL_ARG_FNS = {
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
     "divideDecimal", "geohashEncode", "mortonDecode", "jumpConsistentHash",
+    "toWeek", "toYearWeek",
     "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
     "minSampleSizeContinuous",

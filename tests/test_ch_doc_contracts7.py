@@ -165,3 +165,34 @@ def test_format_datetime_specifier_table(spark):
         execute_sql(spark, "SELECT formatDateTime(now(), '%P')",
                     {}).collect()
     assert not FAIL, "\n".join(FAIL)
+
+
+def test_to_week_mysql_modes(spark):
+    """toWeek/toYearWeek follow MySQL's calc_week + week_mode (the CH
+    docs reference the same mode table). Pins the published WEEK()
+    examples (2008-02-20: mode 0 → 7, mode 1 → 8; YEARWEEK('1987-01-01')
+    = 198652) plus year-boundary cases across all 8 modes."""
+    cases = {
+        "toWeek(toDate('2008-02-20'))": 7,
+        "toWeek(toDate('2008-02-20'), 1)": 8,
+        "toWeek(toDate('2008-12-31'), 1)": 53,
+        "toWeek(toDate('2000-01-01'))": 0,
+        "toWeek(toDate('2000-01-01'), 2)": 52,
+        "toWeek(toDate('2018-01-02'))": 0,
+        "toWeek(toDate('2018-01-07'))": 1,
+        "toWeek(toDate('2018-01-02'), 3)": 1,
+        "toWeek(toDate('2008-02-20'), 4)": 8,
+        "toWeek(toDate('2008-02-20'), 5)": 7,
+        "toWeek(toDate('2008-02-20'), 6)": 8,
+        "toWeek(toDate('2008-02-20'), 7)": 7,
+        "toYearWeek(toDate('1987-01-01'))": 198652,
+        "toYearWeek(toDate('2018-01-02'))": 201753,
+        "toYearWeek(toDate('2000-01-01'))": 199952,
+        "toYearWeek(toDate('2008-02-20'), 1)": 200808,
+    }
+    FAIL = []
+    for expr, want in cases.items():
+        got = execute_sql(spark, f"SELECT {expr} AS v", {}).collect()[0].v
+        if got != want:
+            FAIL.append(f"{expr}: {got} != {want}")
+    assert not FAIL, "\n".join(FAIL)
