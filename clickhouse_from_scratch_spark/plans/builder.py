@@ -2806,6 +2806,22 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 pass
         return (F.round(cols[0], int(n)) if away
                 else F.bround(cols[0], int(n)))
+    if (name in ("arraySum", "arrayCumSum", "arrayCumSumNonNegative")
+            and len(node.args) == 1 and df is not None
+            and not _refs_lambda_param(node.args[0], ctx)):
+        # CH NumberTraits: summing integer arrays yields Int64 /
+        # Array(Int64); the kernels compute in double (exact below 2^53
+        # — the documented sum policy)
+        out = REGISTRY[name](cols[0])
+        try:
+            dts = df.select(cols[0]).schema[0].dataType.simpleString()
+        except Exception:
+            return out
+        elem = dts[6:-1] if dts.startswith("array<") else ""
+        if elem in _INT_SPARK_TYPES:
+            return out.cast("bigint" if name == "arraySum"
+                            else "array<bigint>")
+        return out
     if name == "bitPositionsToArray" and len(node.args) == 1:
         # same width rule as byteSwap: positions come from the DECLARED
         # type's bit pattern (toInt8(-1) → [0..7], not 64 bits)

@@ -300,7 +300,9 @@ TEXT_DATE_CASES = [
     ("toISOYear(toDate('2024-01-01'))", 2024),
     ("toISOYear(toDate('2023-01-01'))", 2022),   # Sunday -> ISO wk 52/2022
     ("toDaysSinceYearZero(toDate('1970-01-01'))", 719528),
-    ("toYearWeek(toDate('2024-03-15'))", 202411),
+    # MySQL YEARWEEK mode-0: Sunday-first, week 1 starts at the first
+    # Sunday (2024-01-07), so 2024-03-15 is in week 10 — not ISO 11
+    ("toYearWeek(toDate('2024-03-15'))", 202410),
     ("extractGroups('a=1', '(\\\\w+)=(\\\\d+)')", ["a", "1"]),
     ("round(ngramDistance('hello', 'hello'), 4)", 0.0),
     ("ngramSearch('hello world', 'hello')", 1.0),

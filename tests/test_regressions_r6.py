@@ -438,3 +438,14 @@ def test_gamma_exact_integers(spark):
     r = _one(spark, "SELECT tgamma(5) AS t5, lgamma(1) AS l1, "
                     "tgamma(1) AS t1, round(tgamma(0.5), 6) AS th")
     assert (r.t5, r.l1, r.t1, r.th) == (24.0, 0.0, 1.0, 1.772454)
+
+
+# --- 23. integer array sums widen to Int64 (CH NumberTraits) --------------
+def test_array_sum_widens_integers(spark):
+    r = execute_sql(spark, "SELECT arraySum([1, 2, 3]) AS s, "
+                           "arrayCumSum([1, 1, 1]) AS cs, "
+                           "arraySum([1.5, 2.5]) AS fs", {})
+    got = {f.name: f.dataType.simpleString() for f in r.schema.fields}
+    assert got == {"s": "bigint", "cs": "array<bigint>", "fs": "double"}
+    row = r.collect()[0]
+    assert (row.s, row.cs, row.fs) == (6, [1, 2, 3], 4.0)
