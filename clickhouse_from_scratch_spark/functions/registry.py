@@ -213,9 +213,16 @@ _alias("replaceOne", lambda s, a, b: F.regexp_replace(_c(s), _regex_quote(a), b)
 _alias("replaceAll", lambda s, a, b: F.replace(_c(s), _c(a), _c(b)))
 _alias("replaceRegexpOne", lambda s, p, r: F.regexp_replace(_c(s), p, r))
 _alias("replaceRegexpAll", lambda s, p, r: F.regexp_replace(_c(s), p, r))
-_alias("splitByChar", lambda sep, s: F.split(_c(s), _regex_quote(sep)))
-_alias("splitByString", lambda sep, s: F.split(_c(s), _regex_quote(sep)))
-_alias("splitByRegexp", lambda p, s: F.split(_c(s), p))
+# 3rd arg max_substrings (public CH docs): at most n elements, the last
+# carries the remaining string — exactly Spark's split() limit contract;
+# 0/omitted = unlimited (Spark limit -1)
+def _split_n(pat, s, n):
+    return F.split(_c(s), pat, -1 if not n else int(n))
+
+
+_alias("splitByChar", lambda sep, s, n=0: _split_n(_regex_quote(sep), s, n))
+_alias("splitByString", lambda sep, s, n=0: _split_n(_regex_quote(sep), s, n))
+_alias("splitByRegexp", lambda p, s, n=0: _split_n(p, s, n))
 _alias("startsWith", lambda s, p: _c(s).startswith(p))
 _alias("endsWith", lambda s, p: _c(s).endswith(p))
 _alias("repeat", lambda s, n: F.repeat(_c(s), n))
@@ -420,7 +427,24 @@ for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
 _alias("toYear", F.year)
 _alias("toMonth", F.month)
 _alias("toDayOfMonth", F.dayofmonth)
-_alias("toDayOfWeek", lambda c: F.when(F.dayofweek(_c(c)) == 1, 7).otherwise(F.dayofweek(_c(c)) - 1))  # CH: Mon=1..Sun=7
+def _to_day_of_week(c, mode=0, tz=None) -> Column:
+    """toDayOfWeek(date[, mode[, tz]]) — public CH mode table:
+    0 Mon=1..Sun=7 (default), 1 Mon=0..Sun=6, 2 Sun=0..Sat=6,
+    3 Sun=1..Sat=7."""
+    c = _c(c)
+    m = int(mode)
+    if m == 0:
+        return F.when(F.dayofweek(c) == 1, 7).otherwise(F.dayofweek(c) - 1)
+    if m == 1:
+        return F.when(F.dayofweek(c) == 1, 6).otherwise(F.dayofweek(c) - 2)
+    if m == 2:
+        return F.dayofweek(c) - 1
+    if m == 3:
+        return F.dayofweek(c)
+    raise ValueError(f"toDayOfWeek: mode must be 0-3, got {mode}")
+
+
+_alias("toDayOfWeek", _to_day_of_week)
 _alias("toDayOfYear", F.dayofyear)
 _alias("toHour", F.hour)
 _alias("toMinute", F.minute)
@@ -545,28 +569,57 @@ _alias("dateDiff", lambda unit, a, b: _date_diff(unit, a, b))
 def _age(unit, a, b) -> Column:
     """age() counts ELAPSED complete units (public CH contract —
     age('month', '2022-01-31', '2022-02-01') = 0), unlike dateDiff's
-    boundary counting."""
+    boundary counting. A month is complete only when the later date has
+    reached the earlier's day-of-month (+time): age('month',
+    '2022-01-31', '2022-02-28') = 0 — NOT Spark's months_between, which
+    special-cases both-end-of-month to a full month."""
     a, b = _c(a), _c(b)
     u = str(unit).strip("'\"").lower()
     secs = F.unix_timestamp(b) - F.unix_timestamp(a)
     per = {"second": 1, "ss": 1, "s": 1, "minute": 60, "mi": 60,
            "hour": 3600, "hh": 3600, "day": 86400, "dd": 86400,
            "d": 86400, "week": 604800, "wk": 604800}
+    sign = F.when(secs < 0, -1).otherwise(1)
     if u in per:
-        return F.floor(secs / per[u]).cast("long")
-    months = F.floor(F.months_between(b, a))
+        return (sign * F.floor(F.abs(secs) / per[u])).cast("long")
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    m = (F.year(hi) - F.year(lo)) * 12 + (F.month(hi) - F.month(lo))
+    # day-of-month + time-of-day comparable key: the trailing month is
+    # incomplete while hi's key is below lo's
+    key = lambda x: (F.dayofmonth(x).cast("long") * 86400
+                     + F.unix_timestamp(x)
+                     - F.unix_timestamp(F.date_trunc("day", x)))
+    m = (m - F.when(key(hi) < key(lo), 1).otherwise(0)).cast("long")
     if u in ("month", "mm"):
-        return months.cast("long")
+        return (sign * m).cast("long")
     if u in ("quarter", "qq"):
-        return F.floor(months / 3).cast("long")
+        return (sign * F.floor(m / 3)).cast("long")
     if u in ("year", "yy", "yyyy"):
-        return F.floor(months / 12).cast("long")
+        return (sign * F.floor(m / 12)).cast("long")
     raise ValueError(f"age unit: {unit}")
 
 
 _alias("age", _age)
 _alias("isZeroOrNull", lambda c: F.coalesce(_c(c) == 0, F.lit(True)))
-_alias("dateName", lambda part, d: F.date_format(_c(d), {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(part, "yyyy")))
+def _date_name(part, d) -> Column:
+    """dateName(part, date): the named/numeric part AS A STRING (public
+    CH contract — dateName('quarter', d)='2', dateName('weekday',
+    d)='Wednesday'); unknown parts raise, never silently default."""
+    d = _c(d)
+    p = str(part).strip("'\"").lower()
+    fmt = {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(p)
+    if fmt is not None:
+        return F.date_format(d, fmt)
+    num = {"quarter": F.quarter, "dayofyear": F.dayofyear,
+           "day": F.dayofmonth, "week": F.weekofyear, "hour": F.hour,
+           "minute": F.minute, "second": F.second}.get(p)
+    if num is None:
+        raise ValueError(f"dateName: unknown date part {part!r}")
+    return num(d).cast("string")
+
+
+_alias("dateName", _date_name)
 _alias("formatDateTime", lambda d, fmt, tz=None: _format_datetime(
     _c(d) if tz is None
     else F.from_utc_timestamp(_c(d), str(tz).strip("'\"")), fmt))
@@ -729,7 +782,22 @@ _alias("indexOf", lambda a, v: F.coalesce(
         lambda y: y.isNotNull()), 1),
     F.lit(0)))
 _alias("arrayConcat", F.concat)
-_alias("arraySlice", lambda a, off, ln=None: F.slice(_c(a), off, ln) if ln is not None else F.slice(_c(a), off, F.size(_c(a))))
+def _array_slice(a, off, ln=None):
+    """arraySlice(arr, offset[, length]) with CH sign semantics
+    (public docs): negative offset counts from the end; negative length
+    drops |length| elements from the tail — arraySlice([1..5], 2, -1)
+    = [2,3,4]. Spark's slice rejects negative length, so normalize."""
+    a = _c(a)
+    if ln is None:
+        return F.slice(a, off, F.size(a))
+    offc = off if isinstance(off, Column) else F.lit(off)
+    lnc = ln if isinstance(ln, Column) else F.lit(ln)
+    start = F.when(offc >= 0, offc).otherwise(F.size(a) + offc + 1)
+    length = F.when(lnc >= 0, lnc).otherwise(F.size(a) + lnc - start + 1)
+    return F.slice(a, start, F.greatest(length, F.lit(0)))
+
+
+_alias("arraySlice", _array_slice)
 _alias("arrayPushBack", lambda a, v: F.concat(_c(a), F.array(_c(v))))
 _alias("arrayPushFront", lambda a, v: F.concat(F.array(_c(v)), _c(a)))
 _alias("arrayPopBack", lambda a: F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0))))
@@ -1463,8 +1531,9 @@ _alias("randomString", lambda n: F.substring(
     F.sha2(F.rand().cast("string"), 256), 1, int(n)))
 _alias("toModifiedJulianDay", lambda c: F.datediff(
     F.to_date(_c(c)), F.lit("1858-11-17").cast("date")).cast("long"))
+# returns the date IN TEXT FORM — the CH return type is String
 _alias("fromModifiedJulianDay", lambda c: F.date_add(
-    F.lit("1858-11-17").cast("date"), _c(c).cast("int")))
+    F.lit("1858-11-17").cast("date"), _c(c).cast("int")).cast("string"))
 
 
 _alias("multiSearchAny", lambda h, ns: F.exists(
@@ -1492,19 +1561,38 @@ _alias("byteHammingDistance", lambda a, b: F.aggregate(
 _alias("soundex", lambda c: F.soundex(_c(c)))
 
 
-def _readable_delta(c) -> Column:
+_DELTA_UNITS = [("year", 31536000), ("month", 2635200), ("day", 86400),
+                ("hour", 3600), ("minute", 60), ("second", 1)]
+
+
+def _readable_delta(c, max_unit="years", min_unit="seconds") -> Column:
+    """formatReadableTimeDelta(sec[, maximum_unit[, minimum_unit]]) —
+    public CH contract: units down from years (365-day years, 30.5-day
+    months), Oxford-less 'and' before the final component:
+    7601 → '2 hours, 6 minutes and 41 seconds'."""
+    names = [u for u, _ in _DELTA_UNITS]
+    hi = names.index(str(max_unit).strip("'\"").rstrip("s"))
+    lo = names.index(str(min_unit).strip("'\"").rstrip("s"))
+    if lo < hi:
+        raise ValueError("formatReadableTimeDelta: minimum_unit must not "
+                         "exceed maximum_unit")
     s = _c(c).cast("long")
     segs = []
-    d = F.floor(s / 86400)
-    h = F.floor((s % 86400) / 3600)
-    m = F.floor((s % 3600) / 60)
-    sec = s % 60
-    for v, unit in [(d, "day"), (h, "hour"), (m, "minute"), (sec, "second")]:
+    rem = s
+    for unit, width in _DELTA_UNITS[hi:lo + 1]:
+        v = F.floor(rem / width).cast("long")
+        rem = rem % width
         segs.append(F.when(v > 0, F.concat(
             v.cast("string"), F.lit(" " + unit),
             F.when(v == 1, F.lit("")).otherwise(F.lit("s")))))
-    joined = F.array_join(F.array(*segs), ", ")   # nulls skipped
-    return F.when(joined == "", "0 seconds").otherwise(joined)
+    arr = F.filter(F.array(*segs), lambda x: x.isNotNull())
+    n = F.size(arr)
+    zero = _DELTA_UNITS[lo][0] + "s"
+    return (F.when(n == 0, F.lit("0 " + zero))
+            .when(n == 1, F.element_at(arr, 1))
+            .otherwise(F.concat(
+                F.array_join(F.slice(arr, F.lit(1), n - 1), ", "),
+                F.lit(" and "), F.element_at(arr, -1))))
 
 
 _alias("formatReadableTimeDelta", _readable_delta)
@@ -1553,19 +1641,43 @@ def _py_punycode_dec(x: str) -> str:
 
 
 def _py_idna_enc(x: str) -> str:
-    return ".".join(p.encode("idna").decode("ascii")
-                    for p in x.split(".") if p)
+    # IDNA2008 (the reference embeds ada-idna: ß stays xn--strae-oqa,
+    # not the IDNA2003 ß→ss mapping of Python's built-in codec)
+    try:
+        import idna
+        return idna.encode(x).decode("ascii")
+    except ImportError:
+        return ".".join(p.encode("idna").decode("ascii")
+                        for p in x.split(".") if p)
 
 
 def _py_idna_dec(x: str) -> str:
-    return ".".join(p.encode("ascii").decode("idna")
-                    for p in x.split(".") if p)
+    try:
+        import idna
+        return idna.decode(x)
+    except ImportError:
+        return ".".join(p.encode("ascii").decode("idna")
+                        for p in x.split(".") if p)
+
+
+def _py_try(fn):
+    """CH try*-encoding contract: empty string instead of a throw."""
+    def g(x: str) -> str:
+        try:
+            return fn(x)
+        except Exception:
+            return ""
+    return g
 
 
 _alias("punycodeEncode", lambda c: _pandas_str_udf(_py_punycode_enc)(_c(c)))
 _alias("punycodeDecode", lambda c: _pandas_str_udf(_py_punycode_dec)(_c(c)))
+_alias("tryPunycodeDecode",
+       lambda c: _pandas_str_udf(_py_try(_py_punycode_dec))(_c(c)))
 _alias("idnaEncode", lambda c: _pandas_str_udf(_py_idna_enc)(_c(c)))
 _alias("idnaDecode", lambda c: _pandas_str_udf(_py_idna_dec)(_c(c)))
+_alias("tryIdnaEncode",
+       lambda c: _pandas_str_udf(_py_try(_py_idna_enc))(_c(c)))
 
 for _form in ("NFC", "NFD", "NFKC", "NFKD"):
     def _mk_norm(form):
@@ -2779,10 +2891,22 @@ def _py_base58_dec(x: str) -> str:
     return (b"\x00" * pad + raw).decode("utf-8", errors="replace")
 
 
+def _py_try_str(fn):
+    def g(x: str) -> str:
+        try:
+            return fn(x)
+        except Exception:
+            return ""
+    return g
+
+
 _alias("base58Encode",
        lambda c: _pandas_udf_typed(_py_base58_enc, "string")(_c(c)))
 _alias("base58Decode",
        lambda c: _pandas_udf_typed(_py_base58_dec, "string")(_c(c)))
+_alias("tryBase58Decode",
+       lambda c: _pandas_udf_typed(_py_try_str(_py_base58_dec),
+                                   "string")(_c(c)))
 
 
 def _py_geohash_decode(s: str):

@@ -295,10 +295,44 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           nbits: int = 32) -> DataFrame:
+    """Deterministic SimHash twin for the DuckDB oracle gate.
+
+    Same bit-vote construction as ``simhash_signatures`` but token-hash
+    bits come from md5 hex nibbles (bit b of a token = bit b%4 of hex
+    digit b//4) — md5 is available in both engines, so the oracle can
+    recompute the exact signature in SQL. Still fully JVM-side
+    (split/transform/aggregate HOFs, no Python)."""
+    docs = _ensure_parallelism(docs)
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.md5(w))
+    docs = docs.withColumn("__h", hashes)
+
+    def bit_vote(b: int) -> Column:
+        pos, shift = b // 4 + 1, b % 4
+        vote = F.aggregate(
+            F.col("__h"), F.lit(0).cast("long"),
+            lambda acc, h: acc + (
+                F.shiftright(F.conv(F.substring(h, pos, 1), 16, 10)
+                             .cast("int"), shift)
+                .bitwiseAND(F.lit(1)).cast("long") * 2 - 1))
+        return F.when(vote > 0, F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+
+    sig = F.lit(0).cast("long")
+    for b in range(nbits):
+        sig = sig.bitwiseOR(F.shiftleft(bit_vote(b), b))
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
                           id_col: str = "doc_id",
                           sig_col: str = "simhash",
-                          max_bucket_size: int = 10000) -> DataFrame:
+                          max_bucket_size: int = 10000,
+                          nbits: int = 64) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(sig_a, sig_b) <= k.
 
     Pigeonhole banding: split 64 bits into k+1 chunks — any pair within
@@ -310,7 +344,7 @@ def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
     the only strategy that survives 100 TB.
     """
     bands = k + 1
-    base, extra = divmod(64, bands)
+    base, extra = divmod(nbits, bands)
     widths = [base + (1 if i < extra else 0) for i in range(bands)]
     starts = [sum(widths[:i]) for i in range(bands)]
     chunks = F.array(*[

@@ -206,3 +206,80 @@ class SelectQuery(Node):
 class UnionQuery(Node):
     selects: list[SelectQuery | "UnionQuery"]
     modes: list[str] = field(default_factory=list)   # between selects: all/distinct/intersect/except
+
+
+# --- canonical formatting --------------------------------------------------
+
+def _fmt_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return str(v)
+
+
+def format_node(node) -> str:
+    """Canonical expression text, mirroring the reference's
+    ``IAST::getColumnName`` contract (``src/Parsers/IAST.h``): unaliased
+    output columns are named by the formatted expression — ``round(2.5)``
+    and ``round(3.5)`` are distinct names. Operators arrive here already
+    canonicalized to named calls (``plus(a, 1)``), same as the reference's
+    operator tables."""
+    if isinstance(node, Literal):
+        return _fmt_literal(node.value)
+    if isinstance(node, Identifier):
+        return node.name
+    if isinstance(node, Alias):
+        return node.alias
+    if isinstance(node, FuncCall):
+        out = node.name
+        if node.params:
+            out += "(" + ", ".join(format_node(p) for p in node.params) + ")"
+        inner = ", ".join(format_node(a) for a in node.args)
+        if node.distinct:
+            inner = "DISTINCT " + inner
+        out += "(" + inner + ")"
+        if node.filter_where is not None:
+            out += f" FILTER (WHERE {format_node(node.filter_where)})"
+        if node.nulls_modifier is not None:
+            out += f" {node.nulls_modifier.upper()} NULLS"
+        if node.window is not None:
+            w = node.window
+            if isinstance(w, str):
+                out += f" OVER {w}"
+            else:
+                parts = []
+                if w.partition_by:
+                    parts.append("PARTITION BY " + ", ".join(
+                        format_node(e) for e in w.partition_by))
+                if w.order_by:
+                    parts.append("ORDER BY " + ", ".join(
+                        format_node(o.expr) + (" DESC" if o.desc else "")
+                        for o in w.order_by))
+                if w.frame:
+                    parts.append(f"{w.frame[0]} BETWEEN {w.frame[1]} "
+                                 f"AND {w.frame[2]}")
+                out += " OVER (" + " ".join(parts) + ")"
+        return out
+    if isinstance(node, Cast):
+        return f"CAST({format_node(node.expr)}, '{node.type_name}')"
+    if isinstance(node, ArrayLiteral):
+        return "[" + ", ".join(format_node(i) for i in node.items) + "]"
+    if isinstance(node, TupleLiteral):
+        return "(" + ", ".join(format_node(i) for i in node.items) + ")"
+    if isinstance(node, Lambda):
+        ps = (node.params[0] if len(node.params) == 1
+              else "(" + ", ".join(node.params) + ")")
+        return f"{ps} -> {format_node(node.body)}"
+    if isinstance(node, IntervalExpr):
+        unit = node.unit.capitalize()
+        return f"toInterval{unit}({format_node(node.value)})"
+    if isinstance(node, QueryParameter):
+        return "{" + f"{node.name}:{node.type_name}" + "}"
+    if isinstance(node, Subquery):
+        return "_subquery"
+    if isinstance(node, Star):
+        return "*"
+    return "expr"

@@ -37,7 +37,7 @@ from .ast_nodes import (
     Alias, ArrayJoinClause, ArrayLiteral, Cast, FuncCall, GroupBy,
     Identifier, IntervalExpr, Join, Lambda, LimitBy, Literal, OrderItem,
     QueryParameter, SelectQuery, Star, Subquery, SubqueryRef, TableFunction,
-    TableRef, TupleLiteral, UnionQuery, WindowSpec,
+    TableRef, TupleLiteral, UnionQuery, WindowSpec, format_node,
 )
 
 _AGG_NAMES = set(AGGREGATES) | {n + "If" for n in AGGREGATES} | {
@@ -304,12 +304,15 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         q, df = _lower_groups_frames(q, df, ctx)
         ctx.columns = list(df.columns)
 
+    if df is not None:
+        q, df = _hoist_nested_array_joins(q, df, ctx)
+
     has_agg = (q.group_by is not None
                or any(_contains_agg(it) for it in q.select)
                or (q.having is not None and _contains_agg(q.having)))
     final_names: list[str] | None = None
     if has_agg:
-        df = _apply_aggregate(df, q, ctx)
+        df, final_names = _apply_aggregate(df, q, ctx)
     else:
         if q.having is not None:
             raise BuildError("HAVING without aggregation")
@@ -320,7 +323,8 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
 
     if q.distinct:
         if final_names is not None:
-            df = df.select(*[_name_col(n) for n in final_names])
+            df = df.select(*[_name_col(n).alias(_out_name(n))
+                             for n in final_names])
             final_names = None
         df = df.distinct()
         cap = _limit_setting(ctx, "max_rows_in_distinct")
@@ -339,7 +343,7 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     fill_items = [it for it in q.order_by if it.with_fill]
     if q.limit_by is not None:
         keys = [_post_expr(e, df, ctx) for e in q.limit_by.exprs]
-        order = order_cols or [F.col(c) for c in df.columns]
+        order = order_cols or [_name_col(c) for c in df.columns]
         df = limit_by(df, keys, order, q.limit_by.n, q.limit_by.offset)
     if order_cols:
         if q.with_ties and q.limit is not None:
@@ -353,7 +357,8 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         else:
             df = df.orderBy(*order_cols)
     if final_names is not None:
-        df = df.select(*[_name_col(n) for n in final_names])
+        df = df.select(*[_name_col(n).alias(_out_name(n))
+                         for n in final_names])
     if fill_items:
         names = [_fill_col_name(it, df) for it in fill_items]
         # CH infers missing bounds from the data's min/max; ONE extra
@@ -1001,8 +1006,8 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
 def _dedupe_one_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """One deterministic row per join key (ANY strictness). Map-side
     combine-friendly window; shrinks the shuffled side before the join."""
-    w = Window.partitionBy(*[F.col(k) for k in keys]) \
-              .orderBy(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(*[_name_col(k) for k in keys]) \
+              .orderBy(*[_name_col(c) for c in df.columns])
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
 
@@ -1103,6 +1108,80 @@ def _apply_array_join(df: DataFrame, aj: ArrayJoinClause,
     return out.drop(*[c for c in out.columns if c.startswith("__aj_")])
 
 
+def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
+                              ctx: Context):
+    """``arrayJoin()`` nested inside another expression —
+    ``arrayJoin([...]).2``, ``sum(arrayJoin(x))`` — cannot lower to a
+    Spark generator sub-expression (generators are projection-level
+    only), so hoist each distinct call to an exploded hidden column
+    first (row replication happens once per distinct argument, the
+    reference's ARRAY-JOIN-function semantics), then substitute a
+    column reference. Top-level bare ``arrayJoin(x)`` items keep the
+    direct generator-in-project lowering."""
+    calls: dict[str, FuncCall] = {}
+
+    def collect(node, top):
+        if isinstance(node, Alias):
+            collect(node.expr, top)
+        elif isinstance(node, Cast):
+            collect(node.expr, False)
+        elif isinstance(node, (ArrayLiteral, TupleLiteral)):
+            for a in node.items:
+                collect(a, False)
+        elif isinstance(node, FuncCall):
+            if (node.name == "arrayJoin" and len(node.args) == 1
+                    and node.window is None):
+                if not top:
+                    calls.setdefault(_ast_key(node), node)
+                return
+            for a in node.args:
+                if not isinstance(a, (Lambda, Subquery)):
+                    collect(a, False)
+
+    for it in q.select:
+        collect(it, True)
+    if not calls:
+        return q, df
+    import copy
+    slots: dict[str, str] = {}
+    for i, (key, node) in enumerate(calls.items()):
+        slot = f"__ajn{i}"
+        col = _eval(_inline(node.args[0], ctx), ctx, df)
+        df = df.select("*", F.explode(col).alias(slot))
+        slots[key] = slot
+
+    def subst(node, top):
+        if isinstance(node, Alias):
+            return Alias(subst(node.expr, top), node.alias)
+        if isinstance(node, Cast):
+            return Cast(subst(node.expr, False), node.type_name)
+        if isinstance(node, ArrayLiteral):
+            return ArrayLiteral([subst(a, False) for a in node.items])
+        if isinstance(node, TupleLiteral):
+            return TupleLiteral([subst(a, False) for a in node.items])
+        if isinstance(node, FuncCall):
+            if not top and _ast_key(node) in slots:
+                return Identifier([slots[_ast_key(node)]])
+            args = [a if isinstance(a, (Lambda, Subquery))
+                    else subst(a, False) for a in node.args]
+            return FuncCall(node.name, args, node.params, node.distinct,
+                            node.filter_where, node.window,
+                            node.nulls_modifier)
+        return node
+
+    q = copy.copy(q)
+    new_select = []
+    for it in q.select:
+        rewritten = subst(it, True)
+        if rewritten is not it and not isinstance(it, Alias):
+            # keep the original expression text as the output name
+            rewritten = Alias(rewritten, _auto_name(it))
+        new_select.append(rewritten)
+    q.select = new_select
+    ctx.columns = list(df.columns)
+    return q, df
+
+
 # --- WHERE ------------------------------------------------------------------
 
 def _collect_ident_names(node, out: set) -> None:
@@ -1191,7 +1270,7 @@ def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
     if not corr:
         return None                      # uncorrelated: existing paths
     for c in uncorr:
-        inner_df = inner_df.filter(_eval(c, ctx, inner_df))
+        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df)))
     if in_key is not None:
         item = sub_ast.select[0]
         if isinstance(item, Alias):
@@ -1508,7 +1587,7 @@ def _split_equi_correlation(sub_ast, ctx: Context, df: DataFrame):
     if not pairs:
         return None                      # uncorrelated: existing paths
     for c in uncorr:
-        inner_df = inner_df.filter(_eval(c, ctx, inner_df))
+        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df)))
     return inner_df, pairs
 
 
@@ -1589,6 +1668,23 @@ def _scalar_corr_join(df: DataFrame, sub_ast, ctx: Context,
     return df, val
 
 
+def _as_filter(df: DataFrame, c: Column) -> Column:
+    """CH truthy semantics in filter position (WHERE/PREWHERE/HAVING):
+    any non-zero numeric is true (``WHERE x % 2``, ``WHERE 0``) — the
+    reference's filter columns are UInt8, not Bool. NULL filters drop the
+    row, same as false. Schema-only probe, no job."""
+    from pyspark.sql.types import BooleanType, NumericType, NullType
+    dt = df.select(c).schema[0].dataType
+    if isinstance(dt, NumericType):
+        return c != 0
+    if isinstance(dt, NullType):
+        return F.lit(False)
+    if not isinstance(dt, BooleanType):
+        raise BuildError(
+            f"filter expression has non-boolean type {dt.simpleString()}")
+    return c
+
+
 def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
     """WHERE with IN/EXISTS-subquery support: top-level conjuncts that are
     (not)in-subquery become semi/anti joins; the rest evaluate as Columns."""
@@ -1666,7 +1762,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 df, c = _lower_in_subqueries(df, c, ctx, in_drops)
             plain.append(_eval(c, ctx, df))
     for p in plain:
-        df = df.filter(p)
+        df = df.filter(_as_filter(df, p))
     if in_drops:
         df = df.drop(*in_drops)
     return df
@@ -1688,7 +1784,8 @@ def _contains_agg(node) -> bool:
     return False
 
 
-def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
+def _apply_aggregate(df: DataFrame, q: SelectQuery,
+                     ctx: Context) -> tuple[DataFrame, list[str] | None]:
     gb = q.group_by or GroupBy([], mode="plain")
     if gb.mode == "all":
         # GROUP BY ALL: every SELECT expression without an aggregate
@@ -1858,11 +1955,11 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
             hdrops: list[str] = []
             out, hv = _lower_in_subqueries(out, _slotify(hv, ctx), ctx,
                                            hdrops)
-            out = out.filter(_eval_post(hv, out, ctx))
+            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx)))
             if hdrops:
                 out = out.drop(*hdrops)
         else:
-            out = out.filter(_eval_post(hv, out, ctx))
+            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx)))
         if tot is not None:
             # totals_mode (Settings.h:109-110): before_having keeps the
             # all-rows totals; the after_having_* family (CH default
@@ -1888,16 +1985,24 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery, ctx: Context) -> DataFrame:
             out = out.unionByName(tot)
 
     proj = []
+    names: list[str] = []
+    used: dict[str, int] = {}
     for item in q.select:
         node = _inline(item, ctx)
         if isinstance(node, Star):
-            proj.extend(F.col(c) for c in out.columns
-                        if not c.startswith("__"))
+            for c in out.columns:
+                if c.startswith("__"):
+                    continue
+                slot = _uniq_slot(c, used)
+                proj.append(_name_col(c).alias(slot))
+                names.append(slot)
             continue
         name = node.alias if isinstance(node, Alias) else _auto_name(node)
         expr = node.expr if isinstance(node, Alias) else node
-        proj.append(_eval_post(expr, out, ctx).alias(name))
-    return out.select(*proj) if proj else out
+        slot = _uniq_slot(name, used)
+        proj.append(_eval_post(expr, out, ctx).alias(slot))
+        names.append(slot)
+    return (out.select(*proj) if proj else out), (names or None)
 
 
 def _totals_row(src: DataFrame, agg_cols: list, slot_names: list,
@@ -2332,7 +2437,7 @@ def _post_expr(node, df: DataFrame, ctx: Context) -> Column:
 
 def _apply_projection(df: DataFrame, items, ctx: Context) -> DataFrame:
     df, names = _apply_projection_keep(df, items, ctx)
-    return df.select(*[_name_col(n) for n in names])
+    return df.select(*[_name_col(n).alias(_out_name(n)) for n in names])
 
 
 def _apply_projection_keep(df: DataFrame, items,
@@ -2342,6 +2447,7 @@ def _apply_projection_keep(df: DataFrame, items,
     frame plus the final output column names."""
     proj: list[Column] = []
     names: list[str] = []
+    used: dict[str, int] = {}
     for item in items:
         if isinstance(item, Star):
             cols = ([c for c in df.columns if c.split(".")[0] == item.table]
@@ -2350,8 +2456,10 @@ def _apply_projection_keep(df: DataFrame, items,
                 proj.append(F.col(f"{item.table}.*"))
                 names.append(f"{item.table}.*")
                 continue
-            proj.extend(_name_col(c) for c in cols)
-            names.extend(cols)
+            for c in cols:
+                slot = _uniq_slot(c, used)
+                proj.append(_name_col(c).alias(slot))
+                names.append(slot)
             continue
         node = _inline(item, ctx)
         name = node.alias if isinstance(node, Alias) else _auto_name(node)
@@ -2376,11 +2484,13 @@ def _apply_projection_keep(df: DataFrame, items,
             alias = node.alias if isinstance(node, Alias) else None
             for fld in dt.fields:
                 out_name = f"{alias}_{fld.name}" if alias else fld.name
-                proj.append(c.getField(fld.name).alias(out_name))
-                names.append(out_name)
+                slot = _uniq_slot(out_name, used)
+                proj.append(c.getField(fld.name).alias(slot))
+                names.append(slot)
             continue
-        proj.append(_eval(expr, ctx, df).alias(name))
-        names.append(name)
+        slot = _uniq_slot(name, used)
+        proj.append(_eval(expr, ctx, df).alias(slot))
+        names.append(slot)
     # keep only UNAMBIGUOUS source columns: after a self-join both sides
     # carry the same names and a bare reference cannot resolve (ordering
     # by such a column would be ambiguous in CH too)
@@ -2391,10 +2501,11 @@ def _apply_projection_keep(df: DataFrame, items,
 
 
 def _name_col(n: str) -> Column:
-    """Column reference by exact name: backtick-quoted so names Spark's
-    parser would treat as structure (a float-literal auto-name like
-    `2.5`) resolve as one column, never field access."""
-    return F.col(n) if "`" in n else F.col(f"`{n}`")
+    """Column reference by exact name: backtick-quoted (with backticks
+    doubled) so names Spark's parser would treat as structure (a
+    float-literal auto-name like `2.5`, a formatted-expression name like
+    `round(2.5)`) resolve as one column, never field access."""
+    return F.col("`" + n.replace("`", "``") + "`")
 
 
 def _order_bare(df: DataFrame, it: OrderItem, ctx: Context) -> Column:
@@ -2678,6 +2789,17 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if dts == "boolean":
             return F.when(cols[0], F.lit("true")).otherwise(F.lit("false"))
         return cols[0].cast("string")
+    if name in ("date_trunc", "dateTrunc") and len(cols) == 2 \
+            and df is not None and isinstance(node.args[0], Literal):
+        # CH returns Date (not DateTime) for Date input with unit >= day
+        # (same contract as toStartOfMonth/Quarter/Year, which already
+        # cast); DateTime input keeps DateTime
+        unit = str(node.args[0].value).lower()
+        out = F.date_trunc(unit, cols[1])
+        if unit in ("day", "week", "month", "quarter", "year") and \
+                df.select(cols[1]).schema[0].dataType.simpleString() == "date":
+            out = out.cast("date")
+        return out
     if name == "defaultValueOfArgumentType" and len(node.args) == 1 \
             and df is not None:
         dts = df.select(cols[0]).schema[0].dataType.simpleString()
@@ -2831,9 +2953,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         return REGISTRY["bitPositionsToArray"](cols[0], width)
     if name == "toTypeName" and len(node.args) == 1:
         # CH type introspection: literal typing first (FieldToDataType —
-        # toTypeName(1) = 'UInt8'), then the resolved Spark dtype mapped
-        # back to its CH name
-        t = _infer_ch_type(node.args[0], ctx, df)
+        # toTypeName(1) = 'UInt8', toTypeName(NULL) = 'Nullable(Nothing)',
+        # array/tuple literals type their elements: [1,2] → Array(UInt8)),
+        # then the resolved Spark dtype mapped back to its CH name
+        t = _literal_render_type(node.args[0]) \
+            or _infer_ch_type(node.args[0], ctx, df)
         if t is None and df is not None \
                 and not _refs_lambda_param(node.args[0], ctx):
             try:
@@ -3102,7 +3226,7 @@ _LITERAL_ARG_FNS = {
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
     "divideDecimal", "geohashEncode", "mortonDecode", "jumpConsistentHash",
-    "toWeek", "toYearWeek",
+    "toWeek", "toYearWeek", "toDayOfWeek", "formatReadableTimeDelta",
     "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
     "minSampleSizeContinuous",
@@ -3173,6 +3297,48 @@ def _tuple_arith(name: str, cols: list, df: DataFrame) -> Column:
            "tupleDivide": lambda x, y: x / y}
     op = ops[name]
     return F.struct(*[op(a[f], b[f]).alias(f) for f in fields])
+
+
+def _literal_render_type(node) -> str | None:
+    """CH type name of a pure literal expression for introspection
+    (FieldToDataType over Fields): NULL → Nullable(Nothing); array
+    literals take the least supertype of their element literal types
+    ([1,2] → Array(UInt8), [1,-1] → Array(Int16), [1,NULL] →
+    Array(Nullable(UInt8))); tuple literals → Tuple(...). Non-literal
+    shapes return None and defer to schema-based inference."""
+    if isinstance(node, Literal):
+        if node.value is None:
+            return "Nullable(Nothing)"
+        if isinstance(node.value, str):
+            return "String"
+        return ch_literal_type(node.value)
+    if isinstance(node, ArrayLiteral):
+        if not node.items:
+            return "Array(Nothing)"
+        has_null = any(isinstance(i, Literal) and i.value is None
+                       for i in node.items)
+        elems = [_literal_render_type(i) for i in node.items
+                 if not (isinstance(i, Literal) and i.value is None)]
+        if not elems:
+            return "Array(Nullable(Nothing))"
+        if any(e is None for e in elems):
+            return None
+        if len(set(elems)) == 1:
+            inner = elems[0]
+        else:
+            try:
+                inner = least_supertype(list(set(elems)))
+            except Exception:
+                return None
+        if has_null:
+            inner = f"Nullable({inner})"
+        return f"Array({inner})"
+    if isinstance(node, TupleLiteral):
+        elems = [_literal_render_type(i) for i in node.items]
+        if any(e is None for e in elems):
+            return None
+        return "Tuple(" + ", ".join(elems) + ")"
+    return None
 
 
 def _infer_ch_type(node, ctx: Context, df: DataFrame | None,
@@ -3493,12 +3659,31 @@ def _ast_key(node) -> str:
 
 
 def _auto_name(node) -> str:
+    """Unaliased output columns are named by the formatted expression
+    text — the reference's ``IAST::getColumnName`` contract
+    (``src/Parsers/IAST.h``): ``round(2.5)`` and ``round(3.5)`` are
+    distinct column names, so multi-call SELECTs never collide."""
     if isinstance(node, Identifier):
         return node.parts[-1]
-    if isinstance(node, FuncCall):
-        return node.name
-    if isinstance(node, Cast):
-        return _auto_name(node.expr)
-    if isinstance(node, Literal):
-        return str(node.value)
-    return "expr"
+    if isinstance(node, Alias):
+        return node.alias
+    return format_node(node)
+
+
+_DUP_MARK = "#__dup"
+
+
+def _uniq_slot(name: str, used: dict) -> str:
+    """Internal frame slot for an output column: exact-duplicate output
+    names (``SELECT 1, 1``) get unique internal names so by-name
+    operations (ORDER BY pruning) stay unambiguous; ``_out_name``
+    restores the duplicate display name in the final select — CH emits
+    duplicate-named result columns."""
+    k = used.get(name, 0)
+    used[name] = k + 1
+    return name if k == 0 else f"{name}{_DUP_MARK}{k}"
+
+
+def _out_name(slot: str) -> str:
+    i = slot.find(_DUP_MARK)
+    return slot if i < 0 else slot[:i]

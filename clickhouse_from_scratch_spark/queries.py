@@ -1129,6 +1129,69 @@ def dedup_simhash_hamming_q(spark, sf_dir):
     return simhash_near_dups_hamming(docs, k=3).orderBy("id_a", "id_b")
 
 
+_SIMHASH_MD5_SIG_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(w) AS h FROM toks WHERE w <> ''
+), bits AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, (b.b // 4) + 1, 1)) - 1)
+                        >> (b.b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b
+), sig AS (
+  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+                          ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@query("dedup_simhash_md5", oracle=_SIMHASH_MD5_SIG_SQL + """
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+ORDER BY simhash
+""")
+def dedup_simhash_md5_q(spark, sf_dir):
+    """Deterministic SimHash twin (md5-nibble token bits, 32-bit) —
+    pins the bit-vote construction of dedup_simhash against a full
+    DuckDB recomputation of the signatures (pipeline/dedup.py
+    simhash_signatures_md5)."""
+    from .pipeline.dedup import simhash_signatures_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash_signatures_md5(docs)
+    return (sigs.groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("simhash"))
+
+
+@query("dedup_simhash_hamming_md5", oracle=_SIMHASH_MD5_SIG_SQL + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+""")
+def dedup_simhash_hamming_md5_q(spark, sf_dir):
+    """Deterministic hamming<=3 twin: the SAME pigeonhole banding path
+    as dedup_simhash_hamming (k+1 chunks over the signature, in-bucket
+    candidates, exact bit_count(xor) verify) pinned against DuckDB's
+    exact all-pairs answer — proves the banding loses no pair."""
+    from .pipeline.dedup import simhash_hamming_pairs, simhash_signatures_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash_signatures_md5(docs)
+    return (simhash_hamming_pairs(sigs, k=3, nbits=32)
+            .orderBy("id_a", "id_b"))
+
+
 @query("embedding_cosine_topk", oracle="""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
            FROM embeddings WHERE vec_id < 10),

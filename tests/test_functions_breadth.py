@@ -47,8 +47,8 @@ CASES = [
     ("multiSearchAllPositions('ab cd', ['ab','cd','zz'])", [1, 4, 0]),
     ("editDistance('kitten','sitting')", 3),
     ("soundex('Robert')", "R163"),
-    ("formatReadableTimeDelta(3700)", "1 hour, 1 minute, 40 seconds"),
-    ("formatReadableTimeDelta(90061)", "1 day, 1 hour, 1 minute, 1 second"),
+    ("formatReadableTimeDelta(3700)", "1 hour, 1 minute and 40 seconds"),
+    ("formatReadableTimeDelta(90061)", "1 day, 1 hour, 1 minute and 1 second"),
     ("formatReadableTimeDelta(0)", "0 seconds"),
     ("space(3)", "   "),
     ("encodeXMLComponent('<a&b>')", "&lt;a&amp;b&gt;"),

@@ -966,7 +966,7 @@ def test_totypename_and_accurate_cast(spark, tables):
                accurateCastOrNull('7', 'Int64') AS h
     """, {}).collect()[0]
     assert (r.a, r.b, r.c, r.d) == ("UInt8", "Int8", "Float64", "String")
-    assert r.e == "Array(Int32)"
+    assert r.e == "Array(UInt8)"   # element literal typing (r7 fidelity)
     assert (r.f, r.g, r.h) == (1, None, 7)
     col = execute_sql(spark, "SELECT toTypeName(o_orderkey) AS t "
                              "FROM orders LIMIT 1", tables).collect()[0]
