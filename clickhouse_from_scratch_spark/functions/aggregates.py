@@ -700,7 +700,9 @@ def _foreach_combinator(base_name: str, arr) -> Column:
 def _combine(base, base_name: str, sfx: str):
     if sfx == "If":
         def _ifed(*a):
-            cond = _c(a[-1])
+            # CH truthy condition: any non-zero numeric counts
+            # (countIf(x % 2)); non-ANSI numeric→boolean cast ≡ != 0
+            cond = _c(a[-1]).cast("boolean")
             vals = a[:-1]
             if not vals:                        # countIf(cond)
                 return base(F.when(cond, F.lit(1)))
@@ -747,8 +749,9 @@ def _combine(base, base_name: str, sfx: str):
                 # the NULLed-out rows), then distinct-reduce with the
                 # unsuffixed base — filter-then-distinct ≡
                 # distinct-of-filtered for a row predicate
-                return _distinct_combinator(base_name[:-2],
-                                            F.when(_c(a[1]), _c(a[0])))
+                return _distinct_combinator(
+                    base_name[:-2],
+                    F.when(_c(a[1]).cast("boolean"), _c(a[0])))
             if len(a) != 1:
                 raise ValueError(
                     f"-Distinct combinator needs exactly one argument "
@@ -787,15 +790,20 @@ def register_into(registry: dict[str, Callable[..., Column]]) -> None:
     registry.update(AGGREGATES)
     for base in _IF_BASES:
         fn = AGGREGATES[base]
+        # conditions cast to boolean: CH accepts truthy ints (countIf(x%2))
         if base == "count":
-            registry["countIf"] = lambda cond: F.count(F.when(_c(cond), F.lit(1)))
+            registry["countIf"] = lambda cond: F.count(
+                F.when(_c(cond).cast("boolean"), F.lit(1)))
         elif base in ("argMin", "argMax"):
             def _arg_if(f):
-                return lambda a, v, cond: f(F.when(_c(cond), _c(a)), F.when(_c(cond), _c(v)))
+                return lambda a, v, cond: f(
+                    F.when(_c(cond).cast("boolean"), _c(a)),
+                    F.when(_c(cond).cast("boolean"), _c(v)))
             registry[base + "If"] = _arg_if(fn)
         else:
             def _mk(f):
-                return lambda x, cond: f(F.when(_c(cond), _c(x)))
+                return lambda x, cond: f(
+                    F.when(_c(cond).cast("boolean"), _c(x)))
             registry[base + "If"] = _mk(fn)
 
 

@@ -202,6 +202,9 @@ def _position_fn(hay, needle, pos=None) -> Column:
 
 
 _alias("position", _position_fn)
+# MySQL-compatible arg order: locate(needle, haystack[, start_pos])
+_alias("locate", lambda needle, hay, pos=None: _position_fn(hay, needle, pos))
+_alias("LOCATE", REGISTRY["locate"])
 _alias("positionCaseInsensitive", lambda hay, needle, pos=None:
        _position_fn(F.lower(_c(hay)), F.lower(_c(needle)), pos))
 _alias("like", lambda s, p: _c(s).like(p))
@@ -238,6 +241,8 @@ def _re_group_idx(p) -> int:
         return 0
 
 
+_alias("regexpExtract", lambda h, p, i=1: F.regexp_extract(_c(h), p,
+                                                           int(i)))
 _alias("extract", lambda s, p: F.regexp_extract(_c(s), p,
                                                 _re_group_idx(p)))
 _alias("extractAll", lambda s, p: F.regexp_extract_all(
@@ -271,7 +276,10 @@ def _ch_format(fmt, *args) -> Column:
 
 _alias("format", _ch_format)
 _alias("toValidUTF8", lambda s: _c(s))
-_alias("tokens", lambda s: F.split(_c(s), r"\s+"))
+# default tokenizer splits on non-alphanumeric runs (CH docs:
+# tokens('Hello, world!') = ['Hello', 'world'])
+_alias("tokens", lambda s: F.filter(
+    F.split(_c(s), "[^A-Za-z0-9]+"), lambda x: x != ""))
 # escape regex metacharacters (real kernel — the old identity stub was
 # a silent wrong answer for any meta-containing input)
 _alias("regexpQuoteMeta", lambda s: F.regexp_replace(
@@ -298,7 +306,6 @@ _alias("halfMD5", lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 _alias("MD5", lambda c: F.unhex(F.md5(_c(c))))
 _alias("SHA256", lambda c: F.unhex(F.sha2(_c(c), 256)))
 _alias("crc32", lambda c: F.crc32(_c(c)))
-_alias("javaHash", lambda c: F.hash(_c(c)))
 
 # --- math -----------------------------------------------------------------
 for _name, _fn in [
@@ -405,13 +412,51 @@ def _spark_type(t: str) -> str:
 # -OrZero / -OrNull cast variants: CH's lenient parse-conversions.
 # try_cast yields NULL on failure on BOTH ANSI-on and ANSI-off sessions
 # (a plain cast would raise under Spark 4's ANSI-on default) → OrNull is
-# try_cast itself, OrZero coalesces the type default over it.
+# try_cast itself, OrZero coalesces the type default over it. Integer
+# widths RANGE-CHECK like CH's readIntText (toUInt8OrNull('256') = NULL,
+# toUInt8OrNull('-1') = NULL), via a long-width parse + bounds guard —
+# the storage type is often wider than the declared CH width.
+_INT_CAST_BOUNDS = {
+    "toInt8": (-(1 << 7), (1 << 7) - 1),
+    "toInt16": (-(1 << 15), (1 << 15) - 1),
+    "toInt32": (-(1 << 31), (1 << 31) - 1),
+    "toInt64": (None, None),            # long IS the storage width
+    "toUInt8": (0, (1 << 8) - 1),
+    "toUInt16": (0, (1 << 16) - 1),
+    "toUInt32": (0, (1 << 32) - 1),
+    "toUInt64": (0, None),              # >2^63-1 unrepresentable in long
+}
+
+
+def _ranged_int_or_null(c, t: str, lo, hi) -> Column:
+    v = _c(c).try_cast("long")
+    ok = v.isNotNull()
+    if lo is not None:
+        ok = ok & (v >= lo)
+    if hi is not None:
+        ok = ok & (v <= hi)
+    return F.when(ok, v).otherwise(F.lit(None)).cast(t)
+
+
 for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
                       ("toInt32", "int"), ("toInt64", "long"),
                       ("toUInt8", "smallint"), ("toUInt16", "int"),
                       ("toUInt32", "long"), ("toUInt64", "long"),
                       ("toFloat32", "float"), ("toFloat64", "double"),
                       ("toDate", "date"), ("toDateTime", "timestamp")]:
+    if _base in _INT_CAST_BOUNDS:
+        _lo, _hi = _INT_CAST_BOUNDS[_base]
+        _alias(_base + "OrNull",
+               lambda c, t=_sql_t, lo=_lo, hi=_hi:
+               _ranged_int_or_null(c, t, lo, hi))
+        _alias(_base + "OrZero",
+               lambda c, t=_sql_t, lo=_lo, hi=_hi: F.coalesce(
+                   _ranged_int_or_null(c, t, lo, hi), F.lit(0).cast(t)))
+        _alias(_base + "OrDefault",
+               lambda c, d=None, t=_sql_t, lo=_lo, hi=_hi: F.coalesce(
+                   _ranged_int_or_null(c, t, lo, hi),
+                   (_c(d) if d is not None else F.lit(None)).cast(t)))
+        continue
     _alias(_base + "OrNull", lambda c, t=_sql_t: _c(c).try_cast(t))
     _alias(_base + "OrZero",
            lambda c, t=_sql_t: F.coalesce(
@@ -543,15 +588,46 @@ _alias("toStartOfDay", lambda c: F.date_trunc("day", _c(c)))
 _alias("toStartOfHour", lambda c: F.date_trunc("hour", _c(c)))
 _alias("toStartOfMinute", lambda c: F.date_trunc("minute", _c(c)))
 _alias("toStartOfFifteenMinutes", lambda c: F.timestamp_seconds((F.unix_timestamp(_c(c)) / 900).cast("long") * 900))
-_alias("toStartOfInterval", lambda c, iv: F.window(_c(c), iv).start)
+def _to_start_of_interval(c, iv) -> Column:
+    """toStartOfInterval(t, INTERVAL n unit): month/quarter/year align
+    to 1970-01 month arithmetic and return Date (like toStartOfMonth);
+    single weeks align to Monday (CH contract, unlike F.window's
+    epoch-Thursday 7-day buckets); day and below use F.window's
+    epoch-aligned buckets, which match CH."""
+    col = _c(c)
+    try:
+        n_txt, unit = str(iv).split()[:2]
+        n, unit = int(n_txt), unit.rstrip("s").lower()
+    except Exception:
+        return F.window(col, iv).start
+    if unit == "quarter":
+        n, unit = 3 * n, "month"
+    if unit == "year":
+        n, unit = 12 * n, "month"
+    if unit == "month":
+        m = F.year(col) * 12 + F.month(col) - 1 - (1970 * 12)
+        m0 = (F.floor(m / n).cast("int") * n) + F.lit(1970 * 12)
+        return F.make_date(F.floor(m0 / 12).cast("int"),
+                           m0 % 12 + 1, F.lit(1))
+    if unit == "week" and n == 1:
+        return F.date_trunc("week", col).cast("date")
+    return F.window(col, f"{n} {unit}").start
+
+
+_alias("toStartOfInterval", _to_start_of_interval)
 _alias("toLastDayOfMonth", F.last_day)
 _alias("today", F.current_date)
 _alias("now", F.current_timestamp)
 _alias("yesterday", lambda: F.date_sub(F.current_date(), 1))
 _alias("toYYYYMM", lambda c: (F.year(_c(c)) * 100 + F.month(_c(c))))
 _alias("toYYYYMMDD", lambda c: (F.year(_c(c)) * 10000 + F.month(_c(c)) * 100 + F.dayofmonth(_c(c))))
-_alias("dateAdd", lambda unit, n, d: _c(d) + F.expr(f"interval {n} {unit}"))
-_alias("dateSub", lambda unit, n, d: _c(d) - F.expr(f"interval {n} {unit}"))
+# both public forms: (unit, n, date) and (date, INTERVAL n unit)
+_alias("dateAdd", lambda unit, n, d=None: (
+    _c(d) + F.expr(f"interval {n} {unit}") if d is not None
+    else _c(unit) + F.expr(f"interval {n}")))
+_alias("dateSub", lambda unit, n, d=None: (
+    _c(d) - F.expr(f"interval {n} {unit}") if d is not None
+    else _c(unit) - F.expr(f"interval {n}")))
 # timestampAdd supports BOTH public forms: (unit, n, date) and
 # (date, INTERVAL n unit) — the interval arrives as "n unit" text
 _alias("timestampAdd", lambda a, b, c=None: (
@@ -1157,7 +1233,11 @@ _alias("extractURLParameter",
 # cutQueryString keeps the fragment (CH has cutQueryStringAndFragment
 # for both) — defined in the URL-tail section below
 _alias("cutFragment", lambda u: F.split(_c(u), r"#")[0])
-_alias("encodeURLComponent", lambda u: F.url_encode(_c(u)))
+# RFC3986 component encoding: space is %20 not '+', '*' escapes, '~'
+# does not (Java URLEncoder is form encoding — post-fix the 3 deltas)
+_alias("encodeURLComponent", lambda u: F.replace(F.replace(F.replace(
+    F.url_encode(_c(u)), F.lit("+"), F.lit("%20")),
+    F.lit("*"), F.lit("%2A")), F.lit("%7E"), F.lit("~")))
 _alias("decodeURLComponent", lambda u: F.url_decode(_c(u)))
 
 # --- more array functions -------------------------------------------------
@@ -1482,8 +1562,27 @@ for _nb, _sfx in [(1, "8"), (2, "16"), (4, "32"), (8, "64")]:
 for _h64 in ("murmurHash2_64", "murmurHash3_64", "farmHash64",
              "farmFingerprint64", "wyHash64", "metroHash64"):
     _alias(_h64, lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
-for _h32 in ("murmurHash2_32", "murmurHash3_32", "javaHash", "hiveHash"):
+for _h32 in ("murmurHash2_32", "murmurHash3_32"):
     _alias(_h32, lambda *cs: F.hash(*[_c(c) for c in cs]).cast("long"))
+
+
+def _java_hash(c) -> Column:
+    """Exact Java String.hashCode (h = 31*h + code per UTF-16 unit;
+    published contract, javaHash('Hello, world!') = -1880044555).
+    Pure-HOF fold over the characters, wrap at 2^32 then re-sign."""
+    s = _c(c).cast("string")
+    chars = F.filter(F.split(s, ""), lambda x: x != "")
+    h = F.aggregate(chars, F.lit(0).cast("long"),
+                    lambda acc, ch: (acc * 31 + F.ascii(ch))
+                    % F.lit(4294967296).cast("long"))
+    return F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)) \
+            .otherwise(h).cast("int")
+
+
+_alias("javaHash", _java_hash)
+# hiveHash is javaHash with the sign bit zeroed (CH docs)
+_alias("hiveHash", lambda c: _java_hash(c).cast("long")
+       .bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"))
 _alias("sipHash128", lambda *cs: F.unhex(F.md5(F.concat_ws(
     "\x00", *[_c(c).cast("string") for c in cs]))))
 
@@ -1498,9 +1597,13 @@ def _json_type(c) -> Column:
 
 
 _alias("JSONType", _json_type)
-_alias("JSONExtractArrayRaw", lambda c, *keys: F.from_json(
-    F.get_json_object(_c(c), _json_path(keys)) if keys else _c(c),
-    "array<string>"))
+# array<variant> + to_json keeps each element's RAW JSON encoding
+# (strings stay quoted: '["1","\"a\"","{\"b\":1}"]' — the Raw contract)
+_alias("JSONExtractArrayRaw", lambda c, *keys: F.transform(
+    F.from_json(
+        F.get_json_object(_c(c), _json_path(keys)) if keys else _c(c),
+        "array<variant>"),
+    lambda x: F.to_json(x)))
 _alias("JSONExtractKeys", lambda c, *keys: F.map_keys(F.from_json(
     F.get_json_object(_c(c), _json_path(keys)) if keys else _c(c),
     "map<string,string>")))
@@ -1983,6 +2086,11 @@ _alias("hasSubsequence", lambda h, n: (F.aggregate(
                            & (F.substr(_c(n), acc + 1, F.lit(1)) == ch),
                            acc + 1).otherwise(acc))
     >= F.length(_c(n))).cast("int"))
+_alias("hasSubsequenceCaseInsensitive", lambda h, n: REGISTRY[
+    "hasSubsequence"](F.lower(_c(h)), F.lower(_c(n))))
+_alias("hasSubsequenceUTF8", lambda h, n: REGISTRY["hasSubsequence"](h, n))
+_alias("hasSubsequenceCaseInsensitiveUTF8", lambda h, n: REGISTRY[
+    "hasSubsequenceCaseInsensitive"](h, n))
 _alias("hasToken", lambda h, t: F.array_contains(
     F.split(_c(h), "[^A-Za-z0-9_]+"), _c(t)).cast("int"))
 _alias("startsWithUTF8", lambda s, p: _c(s).startswith(_c(p)))
@@ -2273,6 +2381,7 @@ def _array_auc(scores, labels) -> Column:
 
 
 _alias("arrayAUC", _array_auc)
+_alias("arrayROCAUC", _array_auc)   # 24.x+ name of the same function
 
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -2476,8 +2585,10 @@ CANONICAL: dict[str, str] = {}
 for _aliases, _target in [
     (("DATEDIFF", "DATE_DIFF", "dateDiff", "timestampDiff",
       "TIMESTAMPDIFF", "timestamp_diff"), "dateDiff"),
-    (("DATEADD", "DATE_ADD", "dateAdd", "TIMESTAMPADD"), "dateAdd"),
-    (("DATESUB", "DATE_SUB", "dateSub", "TIMESTAMPSUB"), "dateSub"),
+    (("DATEADD", "DATE_ADD", "date_add", "dateAdd", "TIMESTAMPADD",
+      "timestamp_add"), "dateAdd"),
+    (("DATESUB", "DATE_SUB", "date_sub", "dateSub", "TIMESTAMPSUB",
+      "timestamp_sub"), "dateSub"),
     (("LTRIM", "ltrim"), "trimLeft"),
     (("RTRIM", "rtrim"), "trimRight"),
     (("LCASE", "lcase"), "lower"),
@@ -2485,7 +2596,8 @@ for _aliases, _target in [
     (("SUBSTR", "substr", "MID", "mid"), "substring"),
     (("POSITION",), "position"),
     (("REPLACE", "replace"), "replaceAll"),
-    (("LOCATE", "locate"), "position"),
+    # locate is NOT position: MySQL-compatible needle-first arg order
+    # (CH docs string-search-functions#locate)
     # CH registers the standard-SQL NULL functions case-insensitively
     # (FunctionFactory::Case::Insensitive)
     (("NULLIF", "nullif", "NullIf"), "nullIf"),
@@ -2528,6 +2640,20 @@ def _bit_test_fold(all_of: bool):
 
 _alias("bitTestAll", _bit_test_fold(True))
 _alias("bitTestAny", _bit_test_fold(False))
+
+
+def _bitmask_to_array(c) -> Column:
+    """bitmaskToArray(n): ascending powers of two summing to n
+    (CH docs encoding-functions; bitmaskToList is its string form)."""
+    n = _c(c).cast("long")
+    parts = [F.when(F.shiftright(n, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1 << i).cast("long")) for i in range(63)]
+    return F.filter(F.array(*parts), lambda x: x.isNotNull())
+
+
+_alias("bitmaskToArray", _bitmask_to_array)
+_alias("bitmaskToList", lambda c: F.array_join(
+    F.transform(_bitmask_to_array(c), lambda x: x.cast("string")), ","))
 _alias("toMillisecond", lambda c: (
     F.unix_millis(_c(c).cast("timestamp")) % 1000).cast("smallint"))
 _alias("toStartOfMillisecond", lambda c: F.timestamp_micros(

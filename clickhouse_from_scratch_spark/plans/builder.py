@@ -985,6 +985,10 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
         on = list(node.using)
     elif node.on is not None:
         on = _eval(node.on, ctx.child(), df=None, two_sided=(left, right))
+        if not _is_boolish(node.on):
+            # CH truthy ON conditions (``ON 1``, ``ON a*b``): any
+            # non-zero numeric joins the pair, same as filter position
+            on = on.cast("boolean")
 
     if node.strictness == "semi":
         how = "left_semi" if node.kind != "right" else "right_semi"
@@ -1119,6 +1123,7 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
     column reference. Top-level bare ``arrayJoin(x)`` items keep the
     direct generator-in-project lowering."""
     calls: dict[str, FuncCall] = {}
+    top_seen: set[str] = set()
 
     def collect(node, top):
         if isinstance(node, Alias):
@@ -1131,14 +1136,26 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
         elif isinstance(node, FuncCall):
             if (node.name == "arrayJoin" and len(node.args) == 1
                     and node.window is None):
-                if not top:
-                    calls.setdefault(_ast_key(node), node)
+                key = _ast_key(node)
+                # repeated IDENTICAL expressions are evaluated once (the
+                # reference's common-subexpression elimination — the CH
+                # arrayJoin doc's "use arrayConcat(arr, []) to force a
+                # second explode"); a single top-level call keeps the
+                # direct generator lowering
+                if not top or key in top_seen or key in calls:
+                    calls.setdefault(key, node)
+                else:
+                    top_seen.add(key)
                 return
             for a in node.args:
                 if not isinstance(a, (Lambda, Subquery)):
                     collect(a, False)
 
-    for it in q.select:
+    # walk the ALIAS-INLINED form: ``SELECT arrayJoin(a) AS t, t.1``
+    # nests the same call under tupleElement once t inlines, so the
+    # shared explode is discovered (and CSE'd) here
+    inlined = [_inline(it, ctx) for it in q.select]
+    for it in inlined:
         collect(it, True)
     if not calls:
         return q, df
@@ -1160,7 +1177,7 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
         if isinstance(node, TupleLiteral):
             return TupleLiteral([subst(a, False) for a in node.items])
         if isinstance(node, FuncCall):
-            if not top and _ast_key(node) in slots:
+            if _ast_key(node) in slots:
                 return Identifier([slots[_ast_key(node)]])
             args = [a if isinstance(a, (Lambda, Subquery))
                     else subst(a, False) for a in node.args]
@@ -1171,11 +1188,13 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
 
     q = copy.copy(q)
     new_select = []
-    for it in q.select:
+    for orig, it in zip(q.select, inlined):
         rewritten = subst(it, True)
-        if rewritten is not it and not isinstance(it, Alias):
-            # keep the original expression text as the output name
-            rewritten = Alias(rewritten, _auto_name(it))
+        if rewritten is not it and not isinstance(orig, Alias):
+            # keep the ORIGINAL expression text as the output name
+            rewritten = Alias(rewritten, _auto_name(orig))
+        elif rewritten is it:
+            rewritten = orig    # untouched: keep the pre-inline form
         new_select.append(rewritten)
     q.select = new_select
     ctx.columns = list(df.columns)
@@ -2026,6 +2045,11 @@ def _totals_row(src: DataFrame, agg_cols: list, slot_names: list,
     return t.select(*cols)
 
 
+_NUMERIC_AGG_PREFIXES = (
+    "sum", "avg", "quantile", "median", "stddev", "var", "covar", "corr",
+    "skew", "kurt", "deltaSum", "boundingRatio", "rankCorr")
+
+
 def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     """Lower one aggregate call: -If/-Distinct combinators, FILTER(WHERE),
     parametric form."""
@@ -2048,11 +2072,22 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
         node = FuncCall("count", [], node.params, node.distinct,
                         node.filter_where)
     args = [_eval(_inline(a, ctx), ctx, df) for a in node.args]
+    if name.startswith(_NUMERIC_AGG_PREFIXES):
+        # sum(x > 5): CH aggregates predicates as UInt8 numbers. The
+        # last arg of an -If variant is a condition, not a value.
+        n_vals = len(args) - 1 if name.endswith("If") else len(args)
+        args = [c.cast("tinyint")
+                if (i < n_vals and not isinstance(a, (Lambda, Star))
+                    and _is_boolish(a, df))
+                else c
+                for i, (a, c) in enumerate(zip(node.args, args))]
     params = [a.value if isinstance(a, Literal) else _eval(a, ctx, df)
               for a in node.params]
     cond = None
     if node.filter_where is not None:
-        cond = _eval(_inline(node.filter_where, ctx), ctx, df)
+        # truthy FILTER (WHERE x % 2) — same coercion as WHERE position
+        cond = _eval(_inline(node.filter_where, ctx), ctx, df) \
+            .cast("boolean")
     if node.nulls_modifier is not None:
         # RESPECT/IGNORE NULLS only exists for the any family (CH rejects
         # it elsewhere); never silently drop the modifier
@@ -2102,7 +2137,7 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     if name.endswith("If") and len(name) > 2 and params:
         # parametric + -If combo (topKIf(2)(x, cond)): peel the If here
         # so the parametric dispatch below sees the base name
-        cond_col = args[-1]
+        cond_col = args[-1].cast("boolean")   # CH truthy condition
         args = [F.when(cond_col, a) for a in args[:-1]]
         name = name[:-2]
     if name == "quantileGK" and len(params) == 2:
@@ -2655,6 +2690,51 @@ _POLYMORPHIC = {"length": ("arrayLength", "length"),
                 "reverse": ("arrayReverse", "reverse")}
 
 
+# CH predicates return UInt8, freely usable as numbers
+# (``has(a,1) + has(a,2)``, ``sum(x > 5)``); Spark returns Boolean and
+# rejects bool arithmetic. Operands produced by these functions coerce
+# to tinyint in numeric context (the reference declares comparison /
+# logical results as UInt8 — src/Functions/FunctionsComparison.h,
+# src/Functions/FunctionsLogical.h).
+_BOOL_RESULT_FNS = frozenset({
+    "equals", "notEquals", "less", "greater", "lessOrEquals",
+    "greaterOrEquals", "and", "or", "not", "xor", "like", "notLike",
+    "ilike", "notILike", "match", "has", "hasAll", "hasAny", "hasSubstr",
+    "hasToken", "hasTokenCaseInsensitive", "startsWith", "endsWith",
+    "isNull", "isNotNull", "empty", "notEmpty", "isNaN", "isFinite",
+    "isInfinite", "in", "notIn", "globalIn", "globalNotIn",
+    "arrayExists", "arrayAll", "isIPv4String", "isIPv6String",
+    "isValidUTF8", "isValidJSON", "isZeroOrNull", "isNotDistinctFrom",
+    "isIPAddressInRange", "isConstant", "exists",
+})
+
+# numeric-context functions where a boolish operand coerces to tinyint
+_NUM_CONTEXT_FNS = frozenset({
+    "plus", "minus", "multiply", "divide", "intDiv", "intDivOrZero",
+    "modulo", "moduloOrZero", "negate", "abs", "gcd", "lcm",
+    "bitAnd", "bitOr", "bitXor", "bitNot", "bitShiftLeft",
+    "bitShiftRight", "bitCount", "least", "greatest",
+})
+
+
+def _is_boolish(n, df: DataFrame | None = None) -> bool:
+    """Expression produces a Spark Boolean that CH would type UInt8."""
+    if isinstance(n, Literal):
+        return isinstance(n.value, bool)
+    if isinstance(n, Alias):
+        return _is_boolish(n.expr, df)
+    if isinstance(n, FuncCall):
+        from ..functions.registry import CANONICAL
+        return CANONICAL.get(n.name, n.name) in _BOOL_RESULT_FNS
+    if isinstance(n, Identifier) and df is not None:
+        from pyspark.sql.types import BooleanType
+        try:
+            return isinstance(df.schema[n.parts[-1]].dataType, BooleanType)
+        except Exception:
+            return False
+    return False
+
+
 # map-literal lookups stay in codegen up to this many entries; larger
 # dictionaries switch to an Arrow-batched pandas_udf closure (the dict
 # ships to workers once per task — the broadcast-hash-lookup shape)
@@ -2770,6 +2850,17 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         first = sub.columns[0]
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
+    if (name == "neighbor" and df is not None and len(cols) == 2
+            and isinstance(node.args[1], Literal)):
+        # out-of-range rows get the TYPE DEFAULT, not NULL, when no
+        # explicit default is given (CH other-functions#neighbor)
+        from ..operators.joins import _type_default
+        shifted = REGISTRY["neighbor"](cols[0], node.args[1].value)
+        try:
+            dt = df.select(cols[0]).schema[0].dataType
+            return F.coalesce(shifted, _type_default(dt))
+        except Exception:
+            return shifted
     if name in ("arrayShiftLeft", "arrayShiftRight",
                 "arrayElement") and df is not None:
         out = _array_default_fns(name, node, cols, df)
@@ -3048,6 +3139,28 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if isinstance(iv.value, Literal):
             expr = F.expr(f"interval {iv.value.value} {iv.unit.lower()}")
             return cols[0] + expr if name == "plus" else cols[0] - expr
+    if (name in ("plus", "minus") and len(node.args) == 2
+            and isinstance(node.args[1], FuncCall)
+            and node.args[1].name.startswith("toInterval")
+            and df is not None):
+        # Date ± day-or-wider interval stays Date (CH: DateTime only for
+        # sub-day units); Spark promotes date+interval to timestamp
+        res = cols[0] + cols[1] if name == "plus" else cols[0] - cols[1]
+        unit = node.args[1].name[len("toInterval"):].lower()
+        if unit in ("day", "week", "month", "quarter", "year"):
+            try:
+                dt = df.select(cols[0]).schema[0].dataType.simpleString()
+                if dt == "date":
+                    return res.cast("date")
+            except Exception:
+                pass
+        return res
+    # boolean-as-UInt8: CH predicates are numbers; cast them before any
+    # arithmetic/bit op so Spark's bool-rejecting operators accept them
+    if name in _NUM_CONTEXT_FNS:
+        cols = [c.cast("tinyint")
+                if not isinstance(a, Lambda) and _is_boolish(a, df) else c
+                for a, c in zip(node.args, cols)]
     # CH numeric promotion (NumberTraits): the result of int arithmetic is
     # one size class wider than the operands (Int8+Int8 = Int16,
     # UInt8+Int8 = Int16, Int32*Int32 = Int64), unlike Spark which keeps
@@ -3229,7 +3342,7 @@ _LITERAL_ARG_FNS = {
     "toWeek", "toYearWeek", "toDayOfWeek", "formatReadableTimeDelta",
     "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
-    "minSampleSizeContinuous",
+    "minSampleSizeContinuous", "regexpExtract", "locate",
 }
 
 
@@ -3386,6 +3499,9 @@ def _infer_ch_type(node, ctx: Context, df: DataFrame | None,
         return None
     if isinstance(node, FuncCall):
         nm = node.name
+        from ..functions.registry import CANONICAL as _can
+        if _can.get(nm, nm) in _BOOL_RESULT_FNS:
+            return "UInt8"       # predicates are UInt8 numbers in CH
         base = nm[:-6] if nm.endswith("OrZero") else (
             nm[:-6] if nm.endswith("OrNull") else nm)
         if base.startswith("to") and base[2:] in CH_NUMERIC:

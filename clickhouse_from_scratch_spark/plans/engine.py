@@ -38,6 +38,10 @@ def execute_sql(spark: SparkSession, sql: str,
     # on a vanilla session)
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+        # DateTime renders deterministically in UTC regardless of the
+        # host machine's zone (catalog.load_table pins the same; this
+        # covers table-less scalar SQL on a vanilla session)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     ast = _parse(sql)

@@ -2425,3 +2425,75 @@ def sql_assoc(spark, sf_dir):
                  AS contingency_c
         FROM orders WHERE o_orderkey < 40000
     """)
+
+
+@query("sql_truthy_predicates", oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big,
+       CAST(COUNT(*) FILTER (WHERE l_orderkey % 2 <> 0) AS BIGINT)
+         AS n_odd,
+       (CASE WHEN COUNT(*) > 100 THEN 1 ELSE 0 END)
+       + (CASE WHEN SUM(l_quantity) > 0 THEN 1 ELSE 0 END) AS flags
+FROM lineitem
+WHERE l_linenumber % 2 <> 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_truthy_predicates(spark, sf_dir):
+    """CH predicates are UInt8 numbers and any non-zero numeric is true
+    in condition position (the reference's filter columns are UInt8 —
+    src/Functions/FunctionsComparison.h result type): truthy WHERE
+    (``WHERE l_linenumber % 2``), sum-of-predicate
+    (``sum(l_quantity > 25)``), truthy countIf, and predicate
+    arithmetic (``(a > b) + (c > d)``)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               sum(l_quantity > 25) AS n_big,
+               countIf(l_orderkey % 2) AS n_odd,
+               (count() > 100) + (sum(l_quantity) > 0) AS flags
+        FROM lineitem
+        WHERE l_linenumber % 2
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_string_search", oracle="""
+SELECT doc_id,
+       strpos(text, 'the') AS pos_the,
+       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)
+         AS n_e,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+         AS first3
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""")
+def sql_string_search(spark, sf_dir):
+    """String-search surface over real text: position (1-based, 0 when
+    absent), countSubstrings (non-overlapping), substringIndex (prefix
+    up to the Nth delimiter; whole string when fewer parts) — public CH
+    string-search-functions contracts."""
+    return _sql(spark, sf_dir, """
+        SELECT doc_id,
+               position(text, 'the') AS pos_the,
+               toInt64(countSubstrings(text, 'e')) AS n_e,
+               substringIndex(text, ' ', 3) AS first3
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """)
+
+
+@query("sql_interval_buckets", oracle="""
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q,
+       CAST(COUNT(*) AS BIGINT) AS c,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS rev
+FROM orders GROUP BY q ORDER BY q
+""")
+def sql_interval_buckets(spark, sf_dir):
+    """toStartOfInterval with month-class units returns Date and aligns
+    to 1970-01 month arithmetic (CH date-time-functions) — the quarter
+    rollup every reporting query uses. One shuffle on the bucket key,
+    map-side combined."""
+    return _sql(spark, sf_dir, """
+        SELECT toStartOfInterval(o_orderdate, INTERVAL 1 QUARTER) AS q,
+               count() AS c,
+               toFloat64(sum(toDecimal64(o_totalprice, 4))) AS rev
+        FROM orders GROUP BY q ORDER BY q
+    """)

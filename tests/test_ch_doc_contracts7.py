@@ -1,198 +1,577 @@
-"""Published ClickHouse doc-example contracts, sweep 7: the round-6
-surface-tail batch 3/4 — UTF8 string forms, relative date numbers,
-toStartOfISOYear, arrayShingles, token search, readable-size parse and
-format, extractTextFromHTML, multiMatch, emptyArray constructors,
-isConstant, string-similarity kernels (Damerau-Levenshtein, Jaro,
-Jaro-Winkler), jump consistent hash, matrix/bitmap/GK aggregates,
-sumMapFiltered, maxIntersectionsPosition, nonNegativeDerivative.
-"""
+"""Round-7 fidelity pins, batch 3: JSON extraction, string search
+(position/multiSearch/countSubstrings/locate), conditionals
+(transform/nullIf), array breadth, bit tests and bitmasks, math edges,
+date extras, geohash — all values from published ClickHouse
+documentation examples."""
 from __future__ import annotations
 
-import datetime
+import pytest
 
 from clickhouse_from_scratch_spark.plans import execute_sql
 
 
-def test_ch_doc_contracts_sweep7(spark):
-    FAIL = []
-
-    def probe(sql, expected, label, tables=None):
-        try:
-            rows = execute_sql(spark, sql, tables or {}).collect()
-            got = tuple(rows[0]) if len(rows) == 1 else [tuple(r) for r in rows]
-            if len(rows) == 1 and len(rows[0]) == 1:
-                got = rows[0][0]
-            if got != expected:
-                FAIL.append(f"{label}: expected {expected!r} got {got!r}")
-        except Exception as e:
-            FAIL.append(f"{label}: {type(e).__name__}: {str(e)[:90]}")
-
-    # --- strings ------------------------------------------------------
-    probe("SELECT leftUTF8('Motörhead', 4)", "Motö", "leftUTF8")
-    probe("SELECT rightUTF8('Motörhead', 4)", "head", "rightUTF8")
-    probe("SELECT firstLine('foo\\nbar\\nbaz')", "foo", "firstLine")
-    probe("SELECT hasTokenCaseInsensitive('Hello World', 'hello')", 1,
-          "hasTokenCaseInsensitive")
-    probe("SELECT hasTokenOrNull('a+b', '+')", None,
-          "hasTokenOrNull invalid token -> NULL")
-    probe("SELECT multiMatchAny('abcd', ['xx', 'bc'])", 1, "multiMatchAny")
-    probe("SELECT multiMatchAny('abcd', ['xx', 'yy'])", 0,
-          "multiMatchAny none")
-    probe("SELECT multiMatchAnyIndex('abcd', ['xx', 'bc'])", 2,
-          "multiMatchAnyIndex")
-    probe("SELECT extractTextFromHTML('<p>Hi <b>there</b><!-- c --></p>')",
-          "Hi there", "extractTextFromHTML")
-    probe("SELECT extractTextFromHTML('<script>var x = 1;</script>text')",
-          "text", "extractTextFromHTML drops script")
-
-    # --- similarity (published vectors: MARTHA/MARHTA Jaro 0.944444,
-    # Jaro-Winkler 0.961111; CH docs damerauLevenshteinDistance example) -
-    probe("SELECT damerauLevenshteinDistance('clickhouse', 'mouse')", 6,
-          "damerauLevenshteinDistance")
-    probe("SELECT damerauLevenshteinDistance('ca', 'abc')", 2,
-          "damerau unrestricted (ca->abc)")
-    probe("SELECT round(jaroSimilarity('MARTHA', 'MARHTA'), 6)", 0.944444,
-          "jaroSimilarity")
-    probe("SELECT round(jaroWinklerSimilarity('MARTHA', 'MARHTA'), 6)",
-          0.961111, "jaroWinklerSimilarity")
-    probe("SELECT jaroSimilarity('abc', 'abc')", 1.0, "jaro equal")
-
-    # --- dates ----------------------------------------------------------
-    probe("SELECT timeDiff(toDateTime('2023-01-01 00:00:00'), "
-          "toDateTime('2023-01-01 00:01:30'))", 90, "timeDiff")
-    probe("SELECT toRelativeMonthNum(toDate('2023-04-01'))", 24280,
-          "toRelativeMonthNum = y*12+m")
-    probe("SELECT toRelativeYearNum(toDate('2023-04-01'))", 2023,
-          "toRelativeYearNum")
-    # reference DateLUTImpl.h:599 — Monday-based epoch week count
-    probe("SELECT toRelativeWeekNum(toDate('1970-01-05'))", 1,
-          "toRelativeWeekNum first Monday")
-    probe("SELECT toRelativeWeekNum(toDate('1970-01-04'))", 0,
-          "toRelativeWeekNum epoch week")
-    probe("SELECT toStartOfISOYear(toDate('2017-01-01'))",
-          datetime.date(2016, 1, 4), "toStartOfISOYear year boundary")
-    probe("SELECT toStartOfISOYear(toDate('2023-06-15'))",
-          datetime.date(2023, 1, 2), "toStartOfISOYear mid-year")
-    probe("SELECT toUnixTimestamp64Milli(fromUnixTimestamp64Nano("
-          "1234567891011000000))", 1234567891011,
-          "fromUnixTimestamp64Nano round-trip")
-
-    # --- readable sizes -------------------------------------------------
-    probe("SELECT formatReadableDecimalSize(1500)", "1.50 KB",
-          "formatReadableDecimalSize")
-    probe("SELECT parseReadableSize('1.5 KiB')", 1536, "parseReadableSize")
-    probe("SELECT parseReadableSize('3 MB')", 3000000,
-          "parseReadableSize decimal unit")
-    probe("SELECT parseReadableSizeOrNull('bogus')", None,
-          "parseReadableSizeOrNull")
-    probe("SELECT parseReadableSizeOrZero('bogus')", 0,
-          "parseReadableSizeOrZero")
-
-    # --- arrays / misc ---------------------------------------------------
-    probe("SELECT arrayShingles([1, 2, 3, 4, 5], 3)",
-          [[1, 2, 3], [2, 3, 4], [3, 4, 5]], "arrayShingles")
-    probe("SELECT emptyArrayUInt8()", [], "emptyArrayUInt8")
-    probe("SELECT emptyArrayToSingle(emptyArrayUInt8())", [0],
-          "emptyArrayToSingle")
-    probe("SELECT emptyArrayToSingle([7])", [7],
-          "emptyArrayToSingle non-empty unchanged")
-    probe("SELECT isConstant(1 + 2)", 1, "isConstant literal expr")
-    # Lamping-Veach published vector: jumpConsistentHash(42, 57) varies
-    # by implementation detail of the float; pin determinism + range
-    probe("SELECT jumpConsistentHash(42, 57) >= 0 AND "
-          "jumpConsistentHash(42, 57) < 57", True, "jumpConsistentHash")
-
-    # --- aggregates -------------------------------------------------------
-    t = {"t": spark.createDataFrame(
-        [(1, 1.0, 2.1), (2, 2.0, 3.9), (3, 3.0, 6.1), (1, 4.0, 8.0)],
-        "k int, x double, y double")}
-    probe("SELECT groupBitmapXor(k) FROM t", 2,
-          "groupBitmapXor odd multiplicity", t)
-    probe("SELECT uniqCombined64(k) FROM t", 3, "uniqCombined64", t)
-    probe("SELECT round(corrMatrix(x, y)[1][1], 6)  FROM t", 1.0,
-          "corrMatrix diagonal", t)
-    probe("SELECT round(covarPopMatrix(x, x)[1][2], 6) FROM t",
-          1.25, "covarPopMatrix", t)
-    probe("SELECT groupArrayIntersect(a) FROM (SELECT [1, 2, 3] AS a "
-          "UNION ALL SELECT [2, 3, 4] AS a)", [2, 3],
-          "groupArrayIntersect")
-    probe("SELECT quantileGK(100, 0.5)(x) FROM t", 2.0, "quantileGK", t)
-    probe("SELECT quantilesGK(100, 0.25, 0.75)(x) FROM t", [1.0, 3.0],
-          "quantilesGK", t)
-    probe("SELECT sumMapFiltered([1, 3])([1, 2, 3], [10, 20, 30]) "
-          "FROM (SELECT 1 AS one)", ([1, 3], [10, 30]), "sumMapFiltered")
-    probe("SELECT maxIntersectionsPosition(s, e) FROM (SELECT 1 AS s, "
-          "4 AS e UNION ALL SELECT 2 AS s, 5 AS e)", 2,
-          "maxIntersectionsPosition")
-    probe("SELECT nonNegativeDerivative(v, ts) FROM (SELECT 1 AS v, "
-          "toDateTime('2020-01-01 00:00:00') AS ts)", 0.0,
-          "nonNegativeDerivative first row 0")
-
-    assert not FAIL, "\n".join(FAIL)
+def rows(spark, sql):
+    return [tuple(r) for r in execute_sql(spark, sql, {}).collect()]
 
 
-def test_format_datetime_specifier_table(spark):
-    """The full public formatDateTime specifier table over the canonical
-    docs timestamp 2018-01-02 22:33:44 (a Tuesday). %M is the MINUTE:
-    the reference era predates the m_is_month_name setting (MySQL
-    semantics); %i is the modern alias."""
-    want = {
-        "%Y": "2018", "%y": "18", "%m": "01", "%c": "01", "%d": "02",
-        "%e": " 2", "%H": "22", "%k": "22", "%h": "10", "%I": "10",
-        "%l": "10", "%i": "33", "%M": "33", "%S": "44", "%s": "44",
-        "%F": "2018-01-02", "%D": "01/02/18", "%T": "22:33:44",
-        "%R": "22:33", "%r": "10:33 PM", "%j": "002", "%a": "Tue",
-        "%b": "Jan", "%C": "20", "%g": "18", "%G": "2018", "%n": "\n",
-        "%p": "PM", "%Q": "1", "%t": "\t", "%u": "2", "%V": "01",
-        "%w": "2", "%W": "Tuesday", "%%": "%",
-    }
-    FAIL = []
-    for spec, exp in want.items():
-        got = execute_sql(
-            spark, "SELECT formatDateTime(toDateTime("
-                   f"'2018-01-02 22:33:44'), '{spec}') AS v",
-            {}).collect()[0].v
-        if got != exp:
-            FAIL.append(f"{spec}: {got!r} != {exp!r}")
-    # parse direction keeps the positional subset
-    got = execute_sql(
-        spark, "SELECT parseDateTime('2018-01-02 22:33:44', "
-               "'%Y-%m-%d %H:%i:%S') AS v", {}).collect()[0].v
-    assert str(got) == "2018-01-02 22:33:44", got
-    # unknown specifier raises, never silently misformats
-    import pytest as _pt
-    with _pt.raises(Exception):
-        execute_sql(spark, "SELECT formatDateTime(now(), '%P')",
-                    {}).collect()
-    assert not FAIL, "\n".join(FAIL)
+def one(spark, sql):
+    return rows(spark, sql)[0]
 
 
-def test_to_week_mysql_modes(spark):
-    """toWeek/toYearWeek follow MySQL's calc_week + week_mode (the CH
-    docs reference the same mode table). Pins the published WEEK()
-    examples (2008-02-20: mode 0 → 7, mode 1 → 8; YEARWEEK('1987-01-01')
-    = 198652) plus year-boundary cases across all 8 modes."""
-    cases = {
-        "toWeek(toDate('2008-02-20'))": 7,
-        "toWeek(toDate('2008-02-20'), 1)": 8,
-        "toWeek(toDate('2008-12-31'), 1)": 53,
-        "toWeek(toDate('2000-01-01'))": 0,
-        "toWeek(toDate('2000-01-01'), 2)": 52,
-        "toWeek(toDate('2018-01-02'))": 0,
-        "toWeek(toDate('2018-01-07'))": 1,
-        "toWeek(toDate('2018-01-02'), 3)": 1,
-        "toWeek(toDate('2008-02-20'), 4)": 8,
-        "toWeek(toDate('2008-02-20'), 5)": 7,
-        "toWeek(toDate('2008-02-20'), 6)": 8,
-        "toWeek(toDate('2008-02-20'), 7)": 7,
-        "toYearWeek(toDate('1987-01-01'))": 198652,
-        "toYearWeek(toDate('2018-01-02'))": 201753,
-        "toYearWeek(toDate('2000-01-01'))": 199952,
-        "toYearWeek(toDate('2008-02-20'), 1)": 200808,
-    }
-    FAIL = []
-    for expr, want in cases.items():
-        got = execute_sql(spark, f"SELECT {expr} AS v", {}).collect()[0].v
-        if got != want:
-            FAIL.append(f"{expr}: {got} != {want}")
-    assert not FAIL, "\n".join(FAIL)
+# --- JSON --------------------------------------------------------------------
+
+def test_json_extract_scalars(spark):
+    assert one(spark, """SELECT JSONExtractInt('{"a": 300}', 'a') AS i,
+        JSONExtractString('{"a": "hello"}', 'a') AS s,
+        JSONExtractFloat('{"a": 3.5}', 'a') AS f,
+        JSONExtractBool('{"a": true}', 'a') AS b""") == (300, 'hello',
+                                                         3.5, True)
+
+
+def test_json_has_length_type(spark):
+    assert one(spark, """SELECT JSONHas('{"a": 1}', 'a') AS y,
+        JSONHas('{"a": 1}', 'b') AS n, JSONLength('[1,2,3]') AS la,
+        JSONLength('{"a":1,"b":2}') AS lo""") == (True, False, 3, 2)
+    assert one(spark, """SELECT JSONType('{"a":1}') AS o,
+        JSONType('[1]') AS a, JSONType('"s"') AS s""") == \
+        ('Object', 'Array', 'String')
+
+
+def test_json_extract_keys_and_raw(spark):
+    assert one(spark, """SELECT JSONExtractKeys('{"a":1,"b":2}') AS r""") \
+        == (['a', 'b'],)
+    assert one(spark,
+               """SELECT JSONExtractRaw('{"a":{"b":1}}', 'a') AS r""") \
+        == ('{"b":1}',)
+
+
+def test_json_extract_array_raw_keeps_encoding(spark):
+    # the Raw contract: string elements keep their JSON quoting
+    assert one(spark,
+               """SELECT JSONExtractArrayRaw('[1,"a",{"b":1}]') AS r""") \
+        == (['1', '"a"', '{"b":1}'],)
+
+
+def test_json_nested_and_indexing(spark):
+    assert one(spark, """SELECT
+        JSONExtractInt('{"a": {"b": 7}}', 'a', 'b') AS nested,
+        JSONExtractInt('[10, 20]', 2) AS pos,
+        JSONExtractInt('[10, 20]', -1) AS neg""") == (7, 20, 20)
+
+
+def test_simple_json_family(spark):
+    assert one(spark, """SELECT simpleJSONExtractInt('{"a": 300}', 'a')
+        AS i, simpleJSONExtractString('{"a": "hi"}', 'a') AS s,
+        simpleJSONHas('{"a": 1}', 'a') AS h""") == (300, 'hi', True)
+
+
+# --- string search -----------------------------------------------------------
+
+def test_position_family(spark):
+    assert one(spark, "SELECT position('Hello, world!', 'l') AS a, "
+               "position('Hello', 'x') AS b, "
+               "positionCaseInsensitive('Hello', 'L') AS c, "
+               "positionUTF8('привет', 'в') AS d") == (3, 0, 3, 4)
+
+
+def test_locate_mysql_arg_order(spark):
+    # locate is needle-first (MySQL-compatible), unlike position
+    assert one(spark, "SELECT locate('l', 'Hello') AS r") == (3,)
+    assert one(spark, "SELECT locate('l', 'Hello', 4) AS r") == (4,)
+
+
+def test_multi_search(spark):
+    assert one(spark, "SELECT multiSearchAny('Hello', ['e','x']) AS y, "
+               "multiSearchAny('Hello', ['q','x']) AS n") == (True, False)
+    assert one(spark, "SELECT multiSearchFirstIndex('Hello World', "
+               "['xx','Wo']) AS a, multiSearchFirstIndex('Hello', "
+               "['xx','yy']) AS b") == (2, 0)
+    assert one(spark, "SELECT multiSearchAllPositions('Hello, World', "
+               "['Hello', ',', 'World']) AS r") == ([1, 6, 8],)
+    assert one(spark, "SELECT multiSearchFirstPosition('Hello World', "
+               "['or','ld','Wo']) AS r") == (7,)
+
+
+def test_count_substrings(spark):
+    assert one(spark, "SELECT countSubstrings('aaaa', 'aa') AS a, "
+               "countSubstrings('foobar.com', '.') AS b, "
+               "countMatches('aaaa', 'aa') AS c") == (2, 1, 2)
+
+
+def test_extract_regex_family(spark):
+    assert one(spark, "SELECT extract('Hello123World', '[0-9]+') AS r") \
+        == ('123',)
+    assert one(spark, "SELECT extractAll('a1b2c3', '[0-9]') AS r") \
+        == (['1', '2', '3'],)
+    assert one(spark, "SELECT extractGroups('hello abc=111', "
+               "'([a-z]+)=([0-9]+)') AS r") == (['abc', '111'],)
+
+
+# --- conditionals ------------------------------------------------------------
+
+def test_transform(spark):
+    assert one(spark, "SELECT transform(2, [1,2,3], ['a','b','c'], 'd') "
+               "AS a, transform(4, [1,2,3], ['a','b','c'], 'd') AS b") \
+        == ('b', 'd')
+    # 3-arg form: unmatched values pass through
+    assert one(spark, "SELECT transform(4, [1,2], [10,20]) AS r") == (4,)
+
+
+def test_null_conditionals(spark):
+    assert one(spark, "SELECT nullIf(1, 1) AS a, nullIf(1, 2) AS b, "
+               "ifNull(NULL, 2) AS c, coalesce(NULL, NULL, 3) AS d, "
+               "assumeNotNull(toNullable(5)) AS e") == (None, 1, 2, 3, 5)
+
+
+# --- arrays ------------------------------------------------------------------
+
+def test_array_zip_compact_uniq(spark):
+    assert one(spark, "SELECT arrayZip(['a','b'], [1,2]) AS r") == \
+        ([('a', 1), ('b', 2)],)
+    assert one(spark, "SELECT arrayCompact([1,1,2,2,1]) AS a, "
+               "arrayUniq([1,1,2]) AS b") == ([1, 2, 1], 2)
+
+
+def test_array_flatten_resize_concat(spark):
+    assert one(spark, "SELECT arrayFlatten([[1,2],[3]]) AS r") \
+        == ([1, 2, 3],)
+    assert one(spark, "SELECT arrayResize([1,2,3], 2) AS a, "
+               "arrayResize([1,2,3], 4) AS b") == ([1, 2], [1, 2, 3, 0])
+    assert one(spark, "SELECT arrayStringConcat(['a','b'], '-') AS r") \
+        == ('a-b',)
+
+
+def test_array_null_aware_search(spark):
+    # indexOf/countEqual treat NULL as a findable value (CH docs)
+    assert one(spark, "SELECT indexOf([1,3,NULL,NULL], NULL) AS a, "
+               "countEqual([1,2,NULL,NULL], NULL) AS b") == (3, 2)
+
+
+def test_array_cumsum_nonnegative_fill(spark):
+    assert one(spark, "SELECT arrayCumSumNonNegative([1,1,-4,1]) AS r") \
+        == ([1, 2, 0, 1],)
+    assert one(spark, "SELECT arrayFill(x -> not(isNull(x)), "
+               "[1, NULL, 2, NULL]) AS r") == ([1, 1, 2, 2],)
+
+
+def test_array_push_pop(spark):
+    assert one(spark, "SELECT arrayPushBack([1], 2) AS a, "
+               "arrayPopFront([1,2]) AS b") == ([1, 2], [2])
+
+
+# --- bit ---------------------------------------------------------------------
+
+def test_bit_test_family(spark):
+    # 43 = 0b101011: bits 0,1,3,5 set (docs examples)
+    assert one(spark, "SELECT bitTest(43, 1) AS a, bitTest(43, 2) AS b, "
+               "bitTestAll(43, 0, 1, 3, 5) AS c, "
+               "bitTestAny(43, 2, 4) AS d") == (1, 0, 1, 0)
+
+
+def test_bit_hamming_distance(spark):
+    assert one(spark, "SELECT bitHammingDistance(111, 121) AS r") == (3,)
+
+
+def test_bitmask_to_list_array(spark):
+    assert one(spark, "SELECT bitmaskToList(50) AS r") == ('2,16,32',)
+    assert one(spark, "SELECT bitmaskToArray(50) AS r") == ([2, 16, 32],)
+
+
+# --- math edges --------------------------------------------------------------
+
+def test_int_exp(spark):
+    assert one(spark, "SELECT intExp2(3) AS a, intExp10(2) AS b") \
+        == (8, 100)
+
+
+def test_float_math(spark):
+    assert one(spark, "SELECT exp2(3.0) AS a, log2(8.0) AS b, "
+               "pow(2, 10) AS c, cbrt(27.0) AS d, hypot(3.0, 4.0) AS e, "
+               "degrees(pi()) AS f") == (8.0, 3.0, 1024.0, 3.0, 5.0, 180.0)
+
+
+def test_sign_factorial(spark):
+    assert one(spark, "SELECT sign(-5) AS a, sign(0) AS b, sign(7) AS c, "
+               "factorial(5) AS d") == (-1, 0, 1, 120)
+
+
+def test_char_ascii(spark):
+    assert one(spark, "SELECT char(104, 101, 108, 108, 111) AS a, "
+               "ascii('A') AS b") == ('hello', 65)
+
+
+# --- date extras -------------------------------------------------------------
+
+def test_quarter_iso_week(spark):
+    assert one(spark, "SELECT toQuarter(toDate('2023-05-05')) AS q, "
+               "toISOWeek(toDate('2017-01-01')) AS w, "
+               "toISOYear(toDate('2017-01-01')) AS y") == (2, 52, 2016)
+
+
+def test_month_name_last_day_time_slot(spark):
+    assert one(spark, "SELECT monthName(toDate('2021-04-14')) AS m, "
+               "toString(toLastDayOfMonth(toDate('2023-02-10'))) AS l, "
+               "toString(timeSlot(toDateTime('2000-01-02 03:23:00'))) "
+               "AS t") == ('April', '2023-02-28', '2000-01-02 03:00:00')
+
+
+# --- geo / tuple -------------------------------------------------------------
+
+def test_geohash_roundtrip(spark):
+    # docs example: geohashEncode(-5.60302734375, 42.593994140625)
+    assert one(spark, "SELECT geohashEncode(-5.60302734375, "
+               "42.593994140625) AS r") == ('ezs42d000000',)
+    lon, lat = one(spark, "SELECT geohashDecode('ezs42') AS r")[0]
+    assert abs(lon - (-5.60302734375)) < 1e-9
+    assert abs(lat - 42.60498046875) < 1e-9
+
+
+def test_tuple_hamming_distance(spark):
+    assert one(spark, "SELECT tupleHammingDistance((1,2,3), (3,2,1)) "
+               "AS r") == (2,)
+
+
+# --- batch 4: maps, window edges, aggregate edges, string breadth,
+# conversions ------------------------------------------------------------------
+
+def test_map_functions(spark):
+    assert one(spark, "SELECT mapKeys(map('a',1,'b',2)) AS k, "
+               "mapValues(map('a',1,'b',2)) AS v, "
+               "mapContains(map('a',1), 'a') AS y, "
+               "mapContains(map('a',1), 'z') AS n") \
+        == (['a', 'b'], [1, 2], True, False)
+    assert one(spark, "SELECT mapAdd(map(1,1), map(1,1)) AS r") \
+        == ({1: 2},)
+    assert one(spark, "SELECT mapSubtract(map(1,2), map(1,1)) AS r") \
+        == ({1: 1},)
+
+
+def test_map_populate_series(spark):
+    r = one(spark, "SELECT mapPopulateSeries([1,2,4], [11,22,44], 5) "
+            "AS r")[0]
+    assert tuple(r) == ([1, 2, 3, 4, 5], [11, 22, 0, 44, 0])
+
+
+def test_map_hof(spark):
+    assert one(spark, "SELECT mapFilter((k, v) -> v > 1, "
+               "map('a',1,'b',2)) AS r") == ({'b': 2},)
+    assert one(spark, "SELECT mapApply((k, v) -> (k, v * 2), "
+               "map('a',1)) AS r") == ({'a': 2},)
+
+
+def test_window_rank_family(spark):
+    assert rows(spark, "SELECT number, ntile(2) OVER (ORDER BY number) "
+                "AS t FROM numbers(4) ORDER BY number") \
+        == [(0, 1), (1, 1), (2, 2), (3, 2)]
+    assert rows(spark, "SELECT number, nth_value(number, 2) OVER ("
+                "ORDER BY number ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "UNBOUNDED FOLLOWING) AS n FROM numbers(3) "
+                "ORDER BY number") == [(0, 1), (1, 1), (2, 1)]
+    assert rows(spark, "SELECT number, round(percent_rank() OVER ("
+                "ORDER BY number), 6) AS p, round(cume_dist() OVER ("
+                "ORDER BY number), 6) AS c FROM numbers(3) "
+                "ORDER BY number") \
+        == [(0, 0.0, 0.333333), (1, 0.5, 0.666667), (2, 1.0, 1.0)]
+
+
+def test_agg_arg_min_max_weighted(spark):
+    assert one(spark, "SELECT argMax(number, number % 3) AS r "
+               "FROM numbers(5)") == (2,)
+    assert one(spark, "SELECT avgWeighted(x, w) AS r FROM (SELECT "
+               "arrayJoin([(4,1),(1,0),(10,2)]) AS t, t.1 AS x, "
+               "t.2 AS w)") == (8.0,)
+
+
+def test_agg_sum_count_entropy(spark):
+    assert tuple(one(spark, "SELECT sumCount(number) AS r "
+                     "FROM numbers(4)")[0]) == (6, 4)
+    assert one(spark, "SELECT entropy(number % 2) AS a, "
+               "entropy(number) AS b FROM numbers(4)") == (1.0, 2.0)
+
+
+def test_agg_group_bit(spark):
+    assert one(spark, "SELECT groupBitAnd(x) AS a, groupBitOr(x) AS o, "
+               "groupBitXor(x) AS r FROM (SELECT arrayJoin([7,3,1]) "
+               "AS x)") == (1, 7, 5)
+
+
+def test_array_enumerate_family(spark):
+    assert one(spark, "SELECT arrayEnumerate([10,20,30]) AS a, "
+               "arrayEnumerateDense([10,20,10,30]) AS d, "
+               "arrayEnumerateUniq([10,20,10,30]) AS u") \
+        == ([1, 2, 3], [1, 2, 1, 3], [1, 1, 2, 1])
+
+
+def test_array_dot_jaccard(spark):
+    assert one(spark, "SELECT arrayDotProduct([1,2,3], [4,5,6]) AS d, "
+               "round(arrayJaccardIndex([1,2], [2,3]), 6) AS j") \
+        == (32, 0.333333)
+
+
+def test_string_pad_translate(spark):
+    assert one(spark, "SELECT leftPad('abc', 7, '*') AS a, "
+               "rightPad('abc', 7, '*') AS b, leftPad('abc', 2) AS c") \
+        == ('****abc', 'abc****', 'ab')
+    assert one(spark, "SELECT translate('Hello, World!', 'delor', "
+               "'DELOR') AS r") == ('HELLO, WORLD!',)
+
+
+def test_substring_index(spark):
+    assert one(spark, "SELECT substringIndex('www.clickhouse.com', '.', "
+               "2) AS a, substringIndex('www.clickhouse.com', '.', -2) "
+               "AS b") == ('www.clickhouse', 'clickhouse.com')
+
+
+def test_string_format_repeat(spark):
+    assert one(spark, "SELECT format('{1} {0}', 'World', 'Hello') AS a, "
+               "format('{} {}', 'Hello', 'World') AS b, "
+               "repeat('ab', 3) AS c, space(3) AS d") \
+        == ('Hello World', 'Hello World', 'ababab', '   ')
+
+
+def test_string_utf8_trim_concat(spark):
+    assert one(spark, "SELECT reverseUTF8('привет') AS a, "
+               "trim(BOTH 'x' FROM 'xxfooxx') AS b, "
+               "concatWithSeparator(',', 'a', 'b') AS c, "
+               "initcap('hello world') AS d") \
+        == ('тевирп', 'foo', 'a,b', 'Hello World')
+
+
+def test_string_jaccard_try_base64(spark):
+    assert one(spark, "SELECT stringJaccardIndex('clickhouse', 'mouse') "
+               "AS a, tryBase64Decode('invalid!') AS b") == (0.4, '')
+
+
+def test_unix_timestamp_roundtrip_utc(spark):
+    # values are UTC: the engine pins spark.sql.session.timeZone
+    assert one(spark, "SELECT toUnixTimestamp(toDateTime("
+               "'2017-11-05 08:07:47')) AS a, "
+               "toString(fromUnixTimestamp(423543535)) AS b") \
+        == (1509869267, '1983-06-04 02:58:55')
+
+
+def test_to_start_of_interval_units(spark):
+    assert one(spark, "SELECT toString(toStartOfInterval(toDateTime("
+               "'2023-01-05 14:17:30'), INTERVAL 15 MINUTE)) AS a, "
+               "toString(toStartOfInterval(toDate('2023-01-05'), "
+               "INTERVAL 1 MONTH)) AS b, "
+               "toString(toStartOfInterval(toDate('2023-05-05'), "
+               "INTERVAL 1 QUARTER)) AS c, "
+               "toString(toStartOfInterval(toDate('2023-08-15'), "
+               "INTERVAL 2 YEAR)) AS d, "
+               "toString(toStartOfInterval(toDate('2023-01-05'), "
+               "INTERVAL 1 WEEK)) AS e") \
+        == ('2023-01-05 14:15:00', '2023-01-01', '2023-04-01',
+            '2022-01-01', '2023-01-02')
+
+
+def test_date_add_sub_unit_form(spark):
+    assert one(spark, "SELECT toString(date_add(YEAR, 3, "
+               "toDate('2018-01-01'))) AS a, toString(date_sub(YEAR, 3, "
+               "toDate('2018-01-01'))) AS b") \
+        == ('2021-01-01', '2015-01-01')
+
+
+def test_decimal_fixed_string_accurate_cast(spark):
+    assert one(spark, "SELECT toTypeName(toDecimal32('1.55', 2)) AS t, "
+               "toFixedString('foo', 8) AS f, "
+               "accurateCastOrNull(257, 'UInt8') AS o, "
+               "accurateCastOrNull(5, 'UInt8') AS i") \
+        == ('Decimal(9,2)', 'foo' + '\x00' * 5, None, 5)
+
+
+def test_alias_of_array_join_tuple_access(spark):
+    # t.1 through the alias of an inline array-of-tuples arrayJoin
+    assert rows(spark, "SELECT arrayJoin([(4,1),(10,2)]) AS t, "
+                "t.1 AS x, t.2 AS w ORDER BY x")[0][1:] == (4, 1)
+
+
+# --- batch 5: NULL propagation, ranged OrNull casts, parseDateTime,
+# range/HOF firsts, moving aggregates, intervals, URL component ----------------
+
+def test_null_propagation(spark):
+    assert one(spark, "SELECT 1 + NULL AS a, concat('a', NULL) AS b, "
+               "isNull(NULL + 1) AS c, NULL = NULL AS d, "
+               "NULL IS NULL AS e") == (None, None, True, None, True)
+
+
+def test_or_null_range_checked(spark):
+    # CH readIntText range-checks the declared width, not the storage
+    assert one(spark, "SELECT toUInt8OrNull('256') AS a, "
+               "toUInt8OrNull('-1') AS b, toUInt8OrNull('7') AS c, "
+               "toInt8OrNull('128') AS d, toInt8OrNull('-128') AS e, "
+               "toUInt16OrNull('65536') AS f, "
+               "toInt32OrNull('2147483648') AS g") \
+        == (None, None, 7, None, -128, None, None)
+
+
+def test_or_zero_or_default_ranged(spark):
+    assert one(spark, "SELECT toUInt8OrZero('256') AS a, "
+               "toUInt8OrZero('9') AS b, "
+               "toUInt8OrDefault('256', 5) AS c") == (0, 9, 5)
+
+
+def test_parse_date_time_family(spark):
+    assert one(spark, "SELECT toString(parseDateTimeBestEffort("
+               "'2018-12-12 10:12:12')) AS a, "
+               "parseDateTimeBestEffortOrNull('junk') AS b, "
+               "toString(parseDateTime('2021-01-04+23:00:00', "
+               "'%Y-%m-%d+%H:%i:%s')) AS c") \
+        == ('2018-12-12 10:12:12', None, '2021-01-04 23:00:00')
+
+
+def test_range_forms(spark):
+    assert one(spark, "SELECT range(5) AS a, range(2, 5) AS b, "
+               "range(0, 10, 3) AS c, arrayWithConstant(3, 'x') AS d") \
+        == ([0, 1, 2, 3, 4], [2, 3, 4], [0, 3, 6, 9], ['x', 'x', 'x'])
+    assert one(spark, "SELECT emptyArrayUInt8() AS a, "
+               "emptyArrayToSingle(emptyArrayUInt8()) AS b") == ([], [0])
+
+
+def test_numbers_offset_form(spark):
+    assert rows(spark, "SELECT number FROM numbers(2, 3) "
+                "ORDER BY number") == [(2,), (3,), (4,)]
+
+
+def test_array_first_last_index(spark):
+    assert one(spark, "SELECT arrayFirst(x -> x > 1, [1,2,3]) AS a, "
+               "arrayFirstIndex(x -> x > 1, [1,2,3]) AS b, "
+               "arrayLast(x -> x > 1, [1,2,3]) AS c, "
+               "arrayLastIndex(x -> x > 1, [1,2,3]) AS d") == (2, 2, 3, 3)
+
+
+def test_array_split(spark):
+    assert one(spark, "SELECT arraySplit((x, y) -> y, [1,2,3,4,5], "
+               "[1,0,0,1,0]) AS r") == ([[1, 2, 3], [4, 5]],)
+
+
+def test_group_array_moving(spark):
+    # moving windows always divide by the window SIZE (docs example)
+    assert one(spark, "SELECT groupArrayMovingSum(2)(x) AS r FROM "
+               "(SELECT arrayJoin([1,2,3,4]) AS x)") == ([1, 3, 5, 7],)
+    assert one(spark, "SELECT groupArrayMovingAvg(2)(x) AS r FROM "
+               "(SELECT arrayJoin([2.0,4.0,6.0,8.0]) AS x)") \
+        == ([1.0, 3.0, 5.0, 7.0],)
+
+
+def test_uniq_up_to(spark):
+    # returns the exact count up to N, N+1 past it (docs contract)
+    assert one(spark, "SELECT uniqUpTo(2)(x) AS r FROM "
+               "(SELECT arrayJoin([1,2,3]) AS x)") == (3,)
+    assert one(spark, "SELECT uniqUpTo(2)(x) AS r FROM "
+               "(SELECT arrayJoin([1,2]) AS x)") == (2,)
+
+
+def test_array_roc_auc(spark):
+    assert one(spark, "SELECT arrayROCAUC([0.1, 0.4, 0.35, 0.8], "
+               "[0, 0, 1, 1]) AS r") == (0.75,)
+
+
+def test_interval_arithmetic_types(spark):
+    # Date ± day-or-wider interval stays Date
+    assert one(spark, "SELECT toString(toDate('2020-01-01') + "
+               "INTERVAL 1 MONTH) AS a, toString(toDate('2020-03-31') "
+               "- INTERVAL 1 MONTH) AS b, "
+               "toString(toDate('2020-01-01') + toIntervalDay(5)) AS c, "
+               "toString(toDateTime('2020-01-01 00:00:00') + "
+               "INTERVAL 90 SECOND) AS d") \
+        == ('2020-02-01', '2020-02-29', '2020-01-06',
+            '2020-01-01 00:01:30')
+
+
+def test_to_start_of_subhour(spark):
+    assert one(spark, "SELECT toString(toStartOfFifteenMinutes("
+               "toDateTime('2023-04-21 10:20:00'))) AS a, "
+               "toString(toStartOfTenMinutes(toDateTime("
+               "'2023-04-21 10:23:00'))) AS b, "
+               "toString(toStartOfFiveMinutes(toDateTime("
+               "'2023-04-21 10:23:00'))) AS c, "
+               "toString(toStartOfHour(toDateTime("
+               "'2023-04-21 10:20:30'))) AS d") \
+        == ('2023-04-21 10:15:00', '2023-04-21 10:20:00',
+            '2023-04-21 10:20:00', '2023-04-21 10:00:00')
+
+
+def test_regexp_extract(spark):
+    assert one(spark, "SELECT regexpExtract('100-200', "
+               "'(\\\\d+)-(\\\\d+)', 1) AS a, regexpExtract('100-200', "
+               "'(\\\\d+)-(\\\\d+)', 2) AS b") == ('100', '200')
+
+
+def test_encode_url_component_rfc3986(spark):
+    # %20 for space (component encoding), not '+' (form encoding)
+    assert one(spark, "SELECT encodeURLComponent('a b&c') AS r") \
+        == ('a%20b%26c',)
+    assert one(spark, "SELECT decodeURLComponent(encodeURLComponent("
+               "'a b&c=d/e')) AS r") == ('a b&c=d/e',)
+
+
+# --- batch 6: rounding buckets, helpers, subsequences, tokenizers,
+# exact javaHash/hiveHash, neighbor type-default --------------------------------
+
+def test_rounding_buckets(spark):
+    assert one(spark, "SELECT roundToExp2(31) AS a, roundToExp2(32) AS b,"
+               " roundToExp2(0) AS c, roundDown(5, [2,4,8]) AS d, "
+               "roundDown(1, [2,4,8]) AS e") == (16, 32, 0, 4, 2)
+    assert one(spark, "SELECT roundAge(32) AS a, roundAge(16) AS b, "
+               "roundAge(0) AS c, roundDuration(230) AS d, "
+               "roundDuration(0) AS e") == (25, 17, 0, 180, 0)
+
+
+def test_noop_helpers(spark):
+    assert one(spark, "SELECT identity(3) AS a, materialize(1) AS b, "
+               "ignore(42, 'x') AS c") == (3, 1, 0)
+    assert one(spark, "SELECT defaultValueOfArgumentType(3) AS a, "
+               "defaultValueOfArgumentType('s') AS b") == (0, '')
+
+
+def test_has_subsequence(spark):
+    assert one(spark, "SELECT hasSubsequence('garbage', 'arg') AS y, "
+               "hasSubsequence('garbage', 'zzz') AS n, "
+               "hasSubsequenceCaseInsensitive('garbage', 'ARG') AS ci") \
+        == (True, False, True)
+
+
+def test_tokenizers(spark):
+    assert one(spark, "SELECT alphaTokens('abca1abc') AS a, "
+               "splitByWhitespace('1!  a,  b.  ') AS w, "
+               "tokens('Hello, world!') AS t") \
+        == (['abca', 'abc'], ['1!', 'a,', 'b.'], ['Hello', 'world'])
+    assert one(spark, "SELECT ngrams('ClickHouse', 3) AS r") \
+        == (['Cli', 'lic', 'ick', 'ckH', 'kHo', 'Hou', 'ous', 'use'],)
+
+
+def test_java_hive_hash_exact(spark):
+    # Java String.hashCode published contract
+    assert one(spark, "SELECT javaHash('Hello, world!') AS a, "
+               "hiveHash('Hello, world!') AS b, javaHash('') AS c") \
+        == (-1880044555, 267439093, 0)
+
+
+def test_byte_swap_32(spark):
+    assert one(spark, "SELECT byteSwap(3351772109) AS r") \
+        == (3455829959,)
+
+
+def test_readable_time_delta_max_unit(spark):
+    assert one(spark, "SELECT formatReadableTimeDelta(7601, 'minutes') "
+               "AS r") == ('126 minutes and 41 seconds',)
+
+
+def test_to_decimal_string(spark):
+    assert one(spark, "SELECT toDecimalString(64.32, 5) AS r") \
+        == ('64.32000',)
+
+
+def test_float_special_values(spark):
+    assert one(spark, "SELECT isFinite(1/0) AS a, isInfinite(1/0) AS b, "
+               "isNaN(0/0) AS c, ifNotFinite(1/0, 42) AS d") \
+        == (False, True, True, 42.0)
+
+
+def test_running_difference_neighbor(spark):
+    assert rows(spark, "SELECT runningDifference(number) AS r "
+                "FROM numbers(3)") == [(0,), (1,), (1,)]
+    # neighbor's out-of-range default is the TYPE default, not NULL
+    assert rows(spark, "SELECT neighbor(number, 1) AS r "
+                "FROM numbers(3)") == [(1,), (2,), (0,)]

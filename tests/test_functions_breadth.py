@@ -384,8 +384,9 @@ def test_block_order_functions(spark):
 
     assert run("SELECT runningDifference(v) AS d FROM "
                "(SELECT v FROM t ORDER BY k)") == [0.0, 3.0, 5.0, 7.0]
+    # out-of-range rows get the TYPE default (0), not NULL (CH docs)
     assert run("SELECT neighbor(k, 1) AS n FROM "
-               "(SELECT k FROM t ORDER BY k)") == [2, 3, 4, None]
+               "(SELECT k FROM t ORDER BY k)") == [2, 3, 4, 0]
     assert run("SELECT neighbor(k, -1, 0) AS n FROM "
                "(SELECT k FROM t ORDER BY k)") == [0, 1, 2, 3]
     assert run("SELECT rowNumberInAllBlocks() AS r FROM t") == [0, 1, 2, 3]

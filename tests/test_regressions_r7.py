@@ -283,3 +283,54 @@ def test_truthy_in_conditionals(spark):
 def test_truthy_having_on_aggregate(spark):
     assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
                 "HAVING sum(number)") == [(10,)]
+
+
+# --- class sweeps after the verdict: boolean-as-UInt8 arithmetic, truthy
+# -If conditions / JOIN ON, identical-arrayJoin CSE --------------------------
+
+def test_bool_arithmetic_uint8(spark):
+    # CH predicates are UInt8 numbers (FunctionsComparison.h result type)
+    assert rows(spark, "SELECT has([1,2], 2) + has([1], 5) AS s") == [(1,)]
+    assert rows(spark, "SELECT (1 = 1) + (2 = 2) AS s") == [(2,)]
+    assert rows(spark, "SELECT true + true AS s") == [(2,)]
+    assert rows(spark, "SELECT (3 > 1) * 10 AS s") == [(10,)]
+    assert rows(spark, "SELECT -(1 < 2) AS s") == [(-1,)]
+
+
+def test_sum_of_predicate(spark):
+    assert rows(spark, "SELECT sum(number > 2) AS s FROM numbers(5)") \
+        == [(2,)]
+    assert rows(spark, "SELECT avg(number % 2 = 0) AS a "
+                "FROM numbers(4)") == [(0.5,)]
+
+
+def test_if_combinator_truthy_condition(spark):
+    assert rows(spark, "SELECT countIf(number % 2) AS c, "
+                "sumIf(number, number % 2) AS s FROM numbers(4)") \
+        == [(2, 4)]
+    assert rows(spark, "SELECT avgIf(number, number % 2) AS a "
+                "FROM numbers(4)") == [(2.0,)]
+
+
+def test_filter_where_truthy(spark):
+    assert rows(spark, "SELECT count() FILTER (WHERE number % 2) AS c "
+                "FROM numbers(4)") == [(2,)]
+
+
+def test_join_on_truthy(spark):
+    assert rows(spark, "SELECT a FROM (SELECT 1 AS a) x "
+                "JOIN (SELECT 1 AS b) y ON 1") == [(1,)]
+    assert rows(spark, "SELECT a, b FROM (SELECT 2 AS a) x "
+                "JOIN (SELECT 3 AS b) y ON a * b ORDER BY b") == [(2, 3)]
+
+
+def test_array_join_identical_cse(spark):
+    # identical arrayJoin expressions evaluate ONCE (reference CSE; the
+    # CH docs' arrayConcat(arr, []) trick exists to defeat it)
+    assert rows(spark, "SELECT arrayJoin([1,2]), arrayJoin([1,2])") \
+        == [(1, 1), (2, 2)]
+    # syntactically different arguments still multiply rows
+    assert sorted(rows(spark,
+                       "SELECT arrayJoin([1,2]) AS a, "
+                       "arrayJoin([10,20]) AS b")) \
+        == [(1, 10), (1, 20), (2, 10), (2, 20)]
