@@ -861,7 +861,19 @@ AGGREGATES.update({
 
 def _map_merge_agg(op) -> Callable[..., Column]:
     def agg(k, v=None):
-        per_row = _c(k) if v is None else F.map_from_arrays(_c(k), _c(v))
+        if v is None:
+            per_row = _c(k)
+        else:
+            # a single row may repeat keys (sumMap([1,2,1], [10,20,30]))
+            # — CH combines them; map_from_arrays would throw
+            # DUPLICATED_MAP_KEY. Fold single-entry maps with the SAME
+            # merge op, entirely row-local.
+            kc, vc = _c(k), _c(v)
+            per_row = F.aggregate(
+                F.zip_with(kc, vc, lambda a, b: F.map_from_arrays(
+                    F.array(a), F.array(b))),
+                F.map_from_arrays(F.slice(kc, 1, 0), F.slice(vc, 1, 0)),
+                lambda acc, m: F.map_zip_with(acc, m, op))
         maps = F.collect_list(per_row)
         merged = F.aggregate(
             F.slice(maps, F.lit(2),

@@ -578,12 +578,24 @@ def _to_start_of_week(c, mode=0) -> Column:
 
 
 _alias("toStartOfWeek", _to_start_of_week)
-_alias("timeSlots", lambda start, dur, size=1800: F.transform(
-    F.sequence(F.lit(0),
-               F.floor(_c(dur).cast("double") / _c(size)).cast("int")),
-    lambda i: F.timestamp_seconds(
-        F.floor(F.unix_timestamp(_c(start)) / _c(size)).cast("long")
-        * _c(size) + i.cast("long") * _c(size))))
+# rounds UP: Saturday for mode 0, Sunday for Monday-first modes
+_alias("toLastDayOfWeek", lambda c, mode=0: F.date_add(
+    _to_start_of_week(c, mode), 6))
+_alias("toFirstDayOfMonth", lambda c: F.date_trunc("month", _c(c))
+       .cast("date"))
+def _time_slots(start, dur, size=1800) -> Column:
+    """timeSlots(t, duration[, size]): every size-aligned slot the
+    interval [t, t+duration] touches — timeSlots('12:20:00', 600) hits
+    both the 12:00 and the 12:30 half-hour slots (CH docs)."""
+    st = F.unix_timestamp(_c(start))
+    sz = _c(size).cast("long")
+    first = F.floor(st / sz).cast("long")
+    last = F.floor((st + _c(dur).cast("long")) / sz).cast("long")
+    return F.transform(F.sequence(first, last),
+                       lambda i: F.timestamp_seconds(i * sz))
+
+
+_alias("timeSlots", _time_slots)
 _alias("toStartOfDay", lambda c: F.date_trunc("day", _c(c)))
 _alias("toStartOfHour", lambda c: F.date_trunc("hour", _c(c)))
 _alias("toStartOfMinute", lambda c: F.date_trunc("minute", _c(c)))
@@ -700,7 +712,11 @@ _alias("formatDateTime", lambda d, fmt, tz=None: _format_datetime(
     _c(d) if tz is None
     else F.from_utc_timestamp(_c(d), str(tz).strip("'\"")), fmt))
 _alias("toTimeZone", lambda c, tz: F.from_utc_timestamp(_c(c), tz))
-_alias("makeDate", lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)))
+# both public forms: (year, month, day) and (year, day_of_year)
+_alias("makeDate", lambda y, m, d=None: (
+    F.make_date(_c(y), _c(m), _c(d)) if d is not None
+    else F.date_add(F.make_date(_c(y), F.lit(1), F.lit(1)),
+                    (_c(m) - 1).cast("int"))))
 _alias("tumble", lambda ts, iv: F.window(_c(ts), iv))
 _alias("hop", lambda ts, slide, size: F.window(_c(ts), size, slide))
 _alias("tumbleStart", lambda ts, iv: F.window(_c(ts), iv).start)
@@ -984,6 +1000,24 @@ def _array_reduce(name, a) -> Column:
 
 
 _alias("arrayReduce", _array_reduce)
+
+
+def _array_reduce_in_ranges(name, ranges, a) -> Column:
+    """arrayReduceInRanges('agg', [(start, len), ...], arr): one reduce
+    per (1-based start, length) slice (ref
+    src/Functions/array/arrayReduceInRanges.cpp surface)."""
+    if isinstance(ranges, (list, tuple)):
+        ranges = F.array(*[F.struct(F.lit(int(r[0])).alias("_1"),
+                                    F.lit(int(r[1])).alias("_2"))
+                           for r in ranges])
+    else:
+        ranges = _c(ranges)
+    return F.transform(
+        ranges, lambda r: _array_reduce(name, F.slice(_c(a), r["_1"],
+                                                      r["_2"])))
+
+
+_alias("arrayReduceInRanges", _array_reduce_in_ranges)
 _alias("arrayProduct", lambda a: F.aggregate(
     _c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double")))
 # occurrence index among equal values seen so far (1-based)
@@ -1108,7 +1142,22 @@ _alias("identity", lambda c: _c(c))
 _alias("isFinite", lambda c: ~(F.isnan(_c(c)) | (_c(c) == float("inf")) | (_c(c) == float("-inf"))))
 _alias("isInfinite", lambda c: (_c(c) == float("inf")) | (_c(c) == float("-inf")))
 _alias("isNaN", lambda c: F.isnan(_c(c)))
-_alias("bar", lambda c, lo, hi, width=80: F.repeat(F.lit("█"), F.round((_c(c) - lo) / (hi - lo) * width).cast("int")))
+_BAR_EIGHTHS = ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]
+
+
+def _bar(c, lo, hi, width=80) -> Column:
+    """bar(x, min, max, width): full blocks plus a fractional
+    eighth-block tail (CH renders width*8 eighths — bar(3.5,0,10,10)
+    = '███▌')."""
+    eighths = F.round((_c(c) - lo) / (hi - lo) * width * 8).cast("int")
+    eighths = F.greatest(F.lit(0),
+                         F.least(eighths, (_c(width) * 8).cast("int")))
+    partial = F.array(*[F.lit(ch) for ch in _BAR_EIGHTHS])
+    return F.concat(F.repeat(F.lit("█"), (eighths / 8).cast("int")),
+                    F.element_at(partial, eighths % 8 + 1))
+
+
+_alias("bar", _bar)
 _alias("transform",
        lambda c, frm, to, dflt=None: _transform_map(c, frm, to, dflt))
 
@@ -1304,6 +1353,10 @@ _alias("normalizeQuery", lambda s: F.regexp_replace(
 _alias("countSubstrings", lambda s, sub: (
     (F.length(_c(s)) - F.length(F.replace(_c(s), _c(sub), F.lit(""))))
     / F.length(_c(sub))).cast("long"))
+_alias("countSubstringsCaseInsensitive", lambda s, sub: REGISTRY[
+    "countSubstrings"](F.lower(_c(s)), F.lower(_c(sub))))
+_alias("countSubstringsCaseInsensitiveUTF8", lambda s, sub: REGISTRY[
+    "countSubstringsCaseInsensitive"](s, sub))
 _alias("countMatches", lambda s, pat: F.size(
     F.regexp_extract_all(_c(s), F.lit(pat), F.lit(0))))
 _alias("isAlphaNumeric", lambda s: _c(s).rlike(r"^[A-Za-z0-9]+$"))
@@ -1835,13 +1888,43 @@ _alias("normalizeL2", lambda a: F.transform(
     _c(a), lambda v: v.cast("double") / _vnorm2(a)))
 _alias("normalizeL1", lambda a: F.transform(
     _c(a), lambda v: v.cast("double") / REGISTRY["L1Norm"](a)))
+_alias("L1Normalize", REGISTRY["normalizeL1"])
+_alias("L2Normalize", lambda a: F.transform(
+    _c(a), lambda v: v.cast("double") / _vnorm2(a)))
+_alias("normalizeL2", REGISTRY["L2Normalize"])
+_alias("LinfNormalize", lambda a: F.transform(
+    _c(a), lambda v: v.cast("double") / REGISTRY["LinfNorm"](a)))
+_alias("LpNorm", lambda a, p: F.pow(
+    F.aggregate(_c(a), F.lit(0.0),
+                lambda acc, v: acc + F.pow(F.abs(v.cast("double")),
+                                           float(p))),
+    1.0 / float(p)))
+_alias("LpDistance", lambda a, b, p: REGISTRY["LpNorm"](
+    F.zip_with(_c(a), _c(b),
+               lambda x, y: x.cast("double") - y.cast("double")), p))
+_alias("LpNormalize", lambda a, p: F.transform(
+    _c(a), lambda v: v.cast("double") / REGISTRY["LpNorm"](a, p)))
 
 # --- map tail -------------------------------------------------------------
 _alias("mapConcat", lambda *ms: F.map_concat(*[_c(m) for m in ms]))
-_alias("mapSort", lambda m: F.map_from_entries(
-    F.array_sort(F.map_entries(_c(m)))))
-_alias("mapReverseSort", lambda m: F.map_from_entries(
-    F.reverse(F.array_sort(F.map_entries(_c(m))))))
+def _map_sort(f, m=None, desc: bool = False) -> Column:
+    """mapSort([func,] map): entry sort, optionally keyed by
+    func(k, v) (CH tuple-map-functions)."""
+    if m is None:
+        f, m = None, f
+    entries = F.map_entries(_c(m))
+    if f is None:
+        s = F.array_sort(entries)
+    else:
+        def cmp(le, ri):
+            kl, kr = f(le["key"], le["value"]), f(ri["key"], ri["value"])
+            return F.when(kl < kr, -1).when(kl > kr, 1).otherwise(0)
+        s = F.array_sort(entries, cmp)
+    return F.map_from_entries(F.reverse(s) if desc else s)
+
+
+_alias("mapSort", _map_sort)
+_alias("mapReverseSort", lambda f, m=None: _map_sort(f, m, desc=True))
 def _map_populate_series(a, b=None, mx=None):
     """mapPopulateSeries: fill missing integer keys from min(keys) to
     max(keys) (or the explicit max) with 0. Map-typed form returns a
@@ -3403,3 +3486,42 @@ def _jump_consistent_hash(key, buckets) -> Column:
 
 
 _alias("jumpConsistentHash", _jump_consistent_hash)
+
+
+def _py_bit_slice(s, off: int, ln=None) -> str:
+    """bitSlice core: 1-based bit offset (negative = from the end),
+    optional length (negative = drop |len| bits from the end); the
+    result is zero-padded up to a byte boundary (CH
+    string-functions#bitslice)."""
+    data = s.encode("utf-8", "surrogateescape") if isinstance(s, str) \
+        else bytes(s)
+    nbits = len(data) * 8
+    o = (off - 1) if off > 0 else max(0, nbits + off)
+    if ln is None:
+        l = nbits - o
+    elif ln >= 0:
+        l = int(ln)
+    else:
+        l = nbits - o + int(ln)
+    l = max(0, min(l, max(0, nbits - o)))
+    if l <= 0:
+        return ""
+    big = int.from_bytes(data, "big")
+    sliced = (big >> (nbits - o - l)) & ((1 << l) - 1)
+    out_bits = (l + 7) // 8 * 8
+    sliced <<= out_bits - l
+    return sliced.to_bytes(out_bits // 8, "big") \
+        .decode("utf-8", "replace")
+
+
+def _bit_slice(s, off, ln=None) -> Column:
+    if isinstance(off, Column) or isinstance(ln, Column):
+        raise TypeError("bitSlice offset/length must be literals")
+
+    def k(x):
+        return _py_bit_slice(x, int(off), None if ln is None else int(ln))
+
+    return _pandas_str_udf(k)(_c(s))
+
+
+_alias("bitSlice", _bit_slice)

@@ -1812,6 +1812,21 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
                       for it in q.select
                       if not isinstance(it, Star) and not _contains_agg(it)],
                      mode="plain", with_totals=gb.with_totals)
+    # positional keys: GROUP BY 1 refers to the first SELECT item
+    # (enable_positional_arguments, on by default in the reference —
+    # src/Core/Settings.h)
+    if gb.exprs and q.select:
+        resolved = []
+        for kexpr in gb.exprs:
+            if (isinstance(kexpr, Literal) and isinstance(kexpr.value, int)
+                    and not isinstance(kexpr.value, bool)
+                    and 1 <= kexpr.value <= len(q.select)):
+                item = q.select[kexpr.value - 1]
+                kexpr = item.expr if isinstance(item, Alias) else item
+            resolved.append(kexpr)
+        gb = GroupBy(resolved, mode=gb.mode,
+                     grouping_sets=gb.grouping_sets,
+                     with_totals=gb.with_totals)
     # 1. project group keys as stable columns
     key_slots: dict[str, str] = {}
     key_cols: list[Column] = []
@@ -2371,10 +2386,22 @@ def _map_agg(name: str, keys: Column, vals: Column,
         vt = df.select(vals.alias("__v")).schema[0].dataType.simpleString()
         if vt.startswith("array<") and vt[6:-1] in _INT_SPARK_TYPES:
             vals = vals.cast("array<bigint>")
-    per_row = F.map_from_arrays(keys, vals)
-    map_t = df.select(per_row.alias("__m")).schema[0].dataType.simpleString()
     op = {"sumMap": lambda a, b: a + b, "minMap": F.least,
           "maxMap": F.greatest}[name]
+    # a single row may repeat keys (sumMap([1,2,1], [10,20,30])) — CH
+    # combines them; a direct map_from_arrays would throw
+    # DUPLICATED_MAP_KEY. Fold single-entry maps with the same op,
+    # entirely row-local.
+    per_row = F.aggregate(
+        F.zip_with(keys, vals,
+                   lambda a, b: F.map_from_arrays(F.array(a),
+                                                  F.array(b))),
+        F.map_from_arrays(F.slice(keys, 1, 0), F.slice(vals, 1, 0)),
+        lambda acc, m: F.map_zip_with(
+            acc, m, lambda _, a, b: F.when(a.isNull(), b)
+                                     .when(b.isNull(), a)
+                                     .otherwise(op(a, b))))
+    map_t = df.select(per_row.alias("__m")).schema[0].dataType.simpleString()
     merged = F.aggregate(
         F.collect_list(per_row),
         F.lit(None).cast(map_t),
@@ -3047,7 +3074,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # toTypeName(1) = 'UInt8', toTypeName(NULL) = 'Nullable(Nothing)',
         # array/tuple literals type their elements: [1,2] → Array(UInt8)),
         # then the resolved Spark dtype mapped back to its CH name
-        t = _literal_render_type(node.args[0]) \
+        arg = node.args[0]
+        if (isinstance(arg, FuncCall) and arg.name == "toDateTime64"
+                and len(arg.args) >= 2 and isinstance(arg.args[1], Literal)):
+            # the Spark timestamp carries no scale — keep the declared one
+            return F.lit(f"DateTime64({arg.args[1].value})")
+        t = _literal_render_type(arg) \
             or _infer_ch_type(node.args[0], ctx, df)
         if t is None and df is not None \
                 and not _refs_lambda_param(node.args[0], ctx):
@@ -3343,6 +3375,8 @@ _LITERAL_ARG_FNS = {
     "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
     "minSampleSizeContinuous", "regexpExtract", "locate",
+    "arrayReduceInRanges", "bitSlice", "LpNorm", "LpDistance",
+    "LpNormalize",
 }
 
 

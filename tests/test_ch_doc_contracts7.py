@@ -575,3 +575,189 @@ def test_running_difference_neighbor(spark):
     # neighbor's out-of-range default is the TYPE default, not NULL
     assert rows(spark, "SELECT neighbor(number, 1) AS r "
                 "FROM numbers(3)") == [(1,), (2,), (0,)]
+
+
+# --- batch 7: parametric aggregates, DateTime64, sumMap duplicate keys,
+# bar eighths, arrayReduceInRanges -----------------------------------------------
+
+_EVENTS7 = ("(SELECT arrayJoin(["
+            "(1, 1000, 'view'), (1, 1010, 'cart'), (1, 1020, 'buy'),"
+            "(2, 2000, 'view'), (2, 2100, 'buy'),"
+            "(3, 3000, 'cart'), (3, 3010, 'view')]) AS t,"
+            "t.1 AS uid, t.2 AS ts, t.3 AS ev)")
+
+
+def test_window_funnel_inline(spark):
+    assert rows(spark, f"SELECT uid, windowFunnel(50)(ts, ev = 'view', "
+                f"ev = 'cart', ev = 'buy') AS lvl FROM {_EVENTS7} "
+                f"GROUP BY uid ORDER BY uid") == [(1, 3), (2, 1), (3, 1)]
+
+
+def test_sequence_match_count_inline(spark):
+    assert rows(spark, f"SELECT uid, sequenceMatch('(?1).*(?2)')(ts, "
+                f"ev = 'view', ev = 'buy') AS m FROM {_EVENTS7} "
+                f"GROUP BY uid ORDER BY uid") \
+        == [(1, True), (2, True), (3, False)]
+    assert one(spark, "SELECT sequenceCount('(?1)(?2)')(t, n = 1, "
+               "n = 2) AS c FROM (SELECT arrayJoin("
+               "[(1,1),(2,2),(3,1),(4,2),(5,3)]) AS p, p.1 AS t, "
+               "p.2 AS n)") == (2,)
+
+
+def test_retention_inline(spark):
+    assert rows(spark, f"SELECT uid, retention(ev = 'view', "
+                f"ev = 'cart', ev = 'buy') AS r FROM {_EVENTS7} "
+                f"GROUP BY uid ORDER BY uid") \
+        == [(1, [1, 1, 1]), (2, [1, 0, 1]), (3, [1, 1, 0])]
+
+
+def test_topk_weighted(spark):
+    assert one(spark, "SELECT topKWeighted(2)(k, w) AS r FROM (SELECT "
+               "arrayJoin([('a',10),('b',1),('c',5)]) AS p, p.1 AS k, "
+               "p.2 AS w)") == (['a', 'c'],)
+
+
+def test_datetime64_precision(spark):
+    assert one(spark, "SELECT toTypeName(toDateTime64("
+               "'2023-01-01 12:00:00.123', 3)) AS t, "
+               "toString(toDateTime64('2023-01-01 12:00:00.123', 3)) "
+               "AS s, toUnixTimestamp64Milli(toDateTime64("
+               "'2023-01-01 00:00:00.500', 3)) AS ms, "
+               "toMillisecond(toDateTime64('2023-01-01 00:00:00.456', "
+               "3)) AS f") \
+        == ('DateTime64(3)', '2023-01-01 12:00:00.123', 1672531200500,
+            456)
+
+
+def test_decimal_values(spark):
+    assert one(spark, "SELECT toString(toDecimal32('1.10', 2) + "
+               "toDecimal32('2.25', 2)) AS a, "
+               "toString(toDecimal32('1.5', 1) * toDecimal32('2.5', 1))"
+               " AS b") == ('3.35', '3.75')
+    assert str(one(spark, "SELECT divideDecimal(toDecimal64(-12, 1), "
+                   "toDecimal32(2.1, 1), 5) AS r")[0]) == '-5.71429'
+
+
+def test_uuid_roundtrip(spark):
+    assert one(spark, "SELECT toString(toUUID("
+               "'61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS r") \
+        == ('61f0c404-5cb3-11e7-907b-a6006ad3dba0',)
+
+
+def test_sum_map_duplicate_row_keys(spark):
+    # CH combines repeated keys WITHIN one row too
+    assert tuple(one(spark, "SELECT sumMap([1,2,1], [10,20,30]) "
+                     "AS r")[0]) == ([1, 2], [40, 20])
+    assert tuple(one(spark, "SELECT sumMap(k, v) AS r FROM (SELECT "
+                     "[1,2,1] AS k, [10,20,30] AS v)")[0]) \
+        == ([1, 2], [40, 20])
+
+
+def test_bar_eighth_blocks(spark):
+    assert one(spark, "SELECT bar(3.5, 0, 10, 10) AS a, "
+               "bar(10, 0, 10, 5) AS b, bar(3, 0, 10, 10) AS c") \
+        == ('███▌', '█████', '███')
+
+
+def test_array_reduce_in_ranges(spark):
+    assert one(spark, "SELECT arrayReduceInRanges('sum', "
+               "[(1, 5), (2, 3)], [1,2,3,4,5]) AS r") == ([15, 9],)
+
+
+def test_bounding_ratio(spark):
+    assert one(spark, "SELECT boundingRatio(x, y) AS r FROM (SELECT "
+               "arrayJoin([(0,0.0),(10,20.0)]) AS p, p.1 AS x, "
+               "p.2 AS y)") == (2.0,)
+
+
+# --- batch 8: relative nums, timeSlots, makeDate forms, map mutation,
+# norms, bitSlice, week/month boundaries ----------------------------------------
+
+def test_relative_nums(spark):
+    assert one(spark, "SELECT toRelativeDayNum(toDate('1970-01-03')) "
+               "AS a, toRelativeHourNum(toDateTime("
+               "'1970-01-02 00:00:00')) AS b, toRelativeMinuteNum("
+               "toDateTime('1970-01-01 01:30:00')) AS c, "
+               "toRelativeSecondNum(toDateTime('1970-01-01 00:02:00')) "
+               "AS d") == (2, 24, 90, 120)
+
+
+def test_time_slots_span(spark):
+    # the interval [t, t+duration] touches BOTH half-hour slots
+    assert one(spark, "SELECT arrayMap(x -> toString(x), timeSlots("
+               "toDateTime('2012-01-01 12:20:00'), toUInt32(600))) "
+               "AS r") \
+        == (['2012-01-01 12:00:00', '2012-01-01 12:30:00'],)
+
+
+def test_make_date_forms(spark):
+    assert one(spark, "SELECT toString(makeDate(2023, 2, 28)) AS a, "
+               "toString(makeDate(2023, 42)) AS b, "
+               "toString(makeDateTime(2023, 2, 28, 17, 12, 33)) AS c") \
+        == ('2023-02-28', '2023-02-11', '2023-02-28 17:12:33')
+
+
+def test_yyyymmdd_codecs(spark):
+    assert one(spark, "SELECT toString(YYYYMMDDToDate(20230911)) AS a, "
+               "toYYYYMMDDhhmmss(toDateTime('2023-09-11 12:13:14')) "
+               "AS b") == ('2023-09-11', 20230911121314)
+
+
+def test_map_mutation(spark):
+    assert one(spark, "SELECT mapUpdate(map('k1',1,'k2',2), "
+               "map('k1',0)) AS a, mapConcat(map('a',1), map('b',2)) "
+               "AS b") == ({'k1': 0, 'k2': 2}, {'a': 1, 'b': 2})
+    assert one(spark, "SELECT mapExists((k, v) -> v > 1, "
+               "map('a',1,'b',2)) AS y, mapAll((k, v) -> v > 0, "
+               "map('a',1,'b',2)) AS a") == (True, True)
+
+
+def test_map_sort_forms(spark):
+    assert one(spark, "SELECT mapSort(map('b',2,'a',1)) AS r") \
+        == ({'a': 1, 'b': 2},)
+    # entry order through mapKeys — Python dicts don't preserve it
+    assert one(spark, "SELECT mapKeys(mapSort((k, v) -> v, "
+               "map('a',3,'b',1))) AS r") == (['b', 'a'],)
+    assert one(spark, "SELECT mapKeys(mapReverseSort("
+               "map('a',1,'b',2))) AS r") == (['b', 'a'],)
+
+
+def test_vector_norms(spark):
+    assert one(spark, "SELECT L1Norm([1,-2]) AS a, "
+               "L2Norm([3.0,4.0]) AS b, LinfNorm([1,-5]) AS c, "
+               "round(LpNorm([1.0,2.0], 2), 6) AS d, "
+               "L1Distance([1,2],[2,3]) AS e") == (3, 5.0, 5.0,
+                                                   2.236068, 2)
+    assert one(spark, "SELECT L2Normalize([3.0, 4.0]) AS r") \
+        == ([0.6, 0.8],)
+
+
+def test_dot_product_tuple_and_array(spark):
+    assert one(spark, "SELECT dotProduct((1, 2), (3, 4)) AS a, "
+               "dotProduct([1, 2], [3, 4]) AS b") == (11, 11)
+
+
+def test_snowflake_roundtrip(spark):
+    assert one(spark, "SELECT toString(snowflakeToDateTime("
+               "dateTimeToSnowflake(toDateTime("
+               "'2021-08-15 18:57:56')))) AS r") \
+        == ('2021-08-15 18:57:56',)
+
+
+def test_bit_slice(spark):
+    assert one(spark, "SELECT bitSlice('Hello', 1, 8) AS a, "
+               "bitSlice('Hello', 9, 8) AS b") == ('H', 'e')
+
+
+def test_count_substrings_case_insensitive(spark):
+    assert one(spark, "SELECT countSubstringsCaseInsensitive('AAaa', "
+               "'aa') AS r") == (2,)
+
+
+def test_week_month_boundaries(spark):
+    # 2024-01-03 is a Wednesday: last day of its Sunday-first week is
+    # Saturday the 6th
+    assert one(spark, "SELECT toString(toLastDayOfWeek(toDate("
+               "'2024-01-03'))) AS a, toString(toFirstDayOfMonth("
+               "toDate('2024-01-15'))) AS b") \
+        == ('2024-01-06', '2024-01-01')

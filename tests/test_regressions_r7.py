@@ -334,3 +334,53 @@ def test_array_join_identical_cse(spark):
                        "SELECT arrayJoin([1,2]) AS a, "
                        "arrayJoin([10,20]) AS b")) \
         == [(1, 10), (1, 20), (2, 10), (2, 20)]
+
+
+# --- batch 9: clause-edge semantics -----------------------------------------
+
+def test_positional_group_by(spark):
+    # enable_positional_arguments is on by default in the reference
+    assert rows(spark, "SELECT number % 2 AS k, count() AS c "
+                "FROM numbers(4) GROUP BY 1 ORDER BY 1") \
+        == [(0, 2), (1, 2)]
+    assert rows(spark, "SELECT number % 2, number % 3, count() AS c "
+                "FROM numbers(12) GROUP BY 1, 2 ORDER BY 1, 2")[:3] \
+        == [(0, 0, 2), (0, 1, 2), (0, 2, 2)]
+
+
+def test_duplicate_group_order_keys(spark):
+    assert rows(spark, "SELECT number % 2 AS k FROM numbers(4) "
+                "GROUP BY number % 2, number % 2 ORDER BY k") \
+        == [(0,), (1,)]
+    assert rows(spark, "SELECT number FROM numbers(2) "
+                "ORDER BY number, number") == [(0,), (1,)]
+
+
+def test_chained_alias_visibility(spark):
+    assert rows(spark, "SELECT number AS x, x + 1 AS y, y * 2 AS z "
+                "FROM numbers(2) ORDER BY x") == [(0, 1, 2), (1, 2, 4)]
+
+
+def test_out_of_range_access_defaults(spark):
+    # CH: out-of-range array / missing map key = TYPE default, no error
+    assert rows(spark, "SELECT arrayElement([1,2], 5) AS a, "
+                "[1,2][5] AS b, arrayElement(['a'], 5) AS c, "
+                "map('a', 1)['missing'] AS d, [1,2][-1] AS e") \
+        == [(0, 0, '', 0, 2)]
+
+
+def test_tuple_in_list_and_compare(spark):
+    assert rows(spark, "SELECT (1, 'a') IN ((1, 'a'), (2, 'b')) AS r") \
+        == [(True,)]
+    assert rows(spark, "SELECT number FROM numbers(5) WHERE "
+                "(number, number % 2) IN ((3, 1), (4, 0)) "
+                "ORDER BY number") == [(3,), (4,)]
+    assert rows(spark, "SELECT (1, 2) < (1, 3) AS a, "
+                "(2, 1) > (1, 9) AS b") == [(True, True)]
+
+
+def test_having_whole_table(spark):
+    assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
+                "HAVING s > 5") == [(10,)]
+    assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
+                "HAVING s > 50") == []
