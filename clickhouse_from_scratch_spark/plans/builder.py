@@ -2315,10 +2315,13 @@ def _array_default_fns(name: str, node, cols: list,
     else:
         return None
     if name == "arrayElement" and len(node.args) == 2:
+        # index 0 is not an error in CH — it returns the default too
+        idx = cols[1] if isinstance(cols[1], Column) else F.lit(cols[1])
+        safe = F.when(idx != 0, F.try_element_at(cols[0],
+                                                 idx.cast("int")))
         if dt.containsNull:
-            return None                 # Nullable default IS NULL
-        return F.coalesce(REGISTRY["arrayElement"](cols[0], cols[1]),
-                          default)
+            return safe                 # Nullable default IS NULL
+        return F.coalesce(safe, default)
     if name.startswith("arrayShift") and len(node.args) == 2:
         return REGISTRY[name](cols[0], cols[1], default)
     return None
@@ -2711,6 +2714,14 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     raise BuildError(f"cannot evaluate node: {type(node).__name__}")
 
 
+# plain conversions that THROW on unparseable strings in CH (the
+# OrNull/OrZero spellings are the lenient ones)
+_STRICT_PARSE_FNS = frozenset({
+    "toInt8", "toInt16", "toInt32", "toInt64",
+    "toUInt8", "toUInt16", "toUInt32", "toUInt64",
+    "toFloat32", "toFloat64", "toDate", "toDateTime",
+})
+
 _POLYMORPHIC = {"length": ("arrayLength", "length"),
                 "empty": (None, "empty"),
                 "notEmpty": (None, "notEmpty"),
@@ -2877,6 +2888,43 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         first = sub.columns[0]
         row = sub.agg(F.min(first) if fn == "min" else F.max(first)).collect()
         return F.lit(row[0][0])
+    if name == "isNullable" and len(cols) == 1:
+        # type introspection: 1 when the argument's type is Nullable.
+        # toNullable() is a Spark no-op (literals stay non-nullable),
+        # so resolve the declared wrapper syntactically first.
+        a0 = node.args[0]
+        if isinstance(a0, FuncCall) and a0.name in ("toNullable",
+                                                    "nullIf"):
+            return F.lit(1).cast("tinyint")
+        if isinstance(a0, Literal):
+            return F.lit(1 if a0.value is None else 0).cast("tinyint")
+        if df is not None:
+            try:
+                return F.lit(
+                    1 if df.select(cols[0]).schema[0].nullable else 0) \
+                    .cast("tinyint")
+            except Exception:
+                pass
+        return F.lit(0).cast("tinyint")
+    if (name in _STRICT_PARSE_FNS and len(node.args) == 1
+            and df is not None
+            and not _refs_lambda_param(node.args[0], ctx)):
+        # CH's plain conversions THROW on an unparseable string —
+        # only the OrNull/OrZero spellings degrade (ref
+        # src/Functions/FunctionsConversion.h). Spark's non-ANSI cast
+        # nulls silently; guard string inputs with raise_error.
+        try:
+            dt = df.select(cols[0]).schema[0].dataType.simpleString()
+        except Exception:
+            dt = None
+        if dt == "string":
+            parsed = REGISTRY[name](cols[0])
+            return F.when(
+                cols[0].isNotNull() & parsed.isNull(),
+                F.raise_error(F.lit(
+                    f"Cannot parse {name[2:]} from string "
+                    f"(use {name}OrNull / {name}OrZero)"))
+            ).otherwise(parsed)
     if (name == "neighbor" and df is not None and len(cols) == 2
             and isinstance(node.args[1], Literal)):
         # out-of-range rows get the TYPE DEFAULT, not NULL, when no
@@ -3079,6 +3127,10 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 and len(arg.args) >= 2 and isinstance(arg.args[1], Literal)):
             # the Spark timestamp carries no scale — keep the declared one
             return F.lit(f"DateTime64({arg.args[1].value})")
+        if (isinstance(arg, FuncCall) and arg.name.startswith("toInterval")
+                and len(arg.name) > len("toInterval")):
+            # Spark renders 'interval day to second'; CH names the unit
+            return F.lit(f"Interval{arg.name[len('toInterval'):]}")
         t = _literal_render_type(arg) \
             or _infer_ch_type(node.args[0], ctx, df)
         if t is None and df is not None \

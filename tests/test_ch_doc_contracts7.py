@@ -761,3 +761,63 @@ def test_week_month_boundaries(spark):
                "'2024-01-03'))) AS a, toString(toFirstDayOfMonth("
                "toDate('2024-01-15'))) AS b") \
         == ('2024-01-06', '2024-01-01')
+
+
+# --- batch 10: bitmap scalars, Resample, type introspection, geometry ---------
+
+def test_bitmap_scalar_family(spark):
+    assert one(spark, "SELECT bitmapToArray(bitmapBuild([1,2,3])) AS a,"
+               " bitmapCardinality(bitmapBuild([1,2,3])) AS b") \
+        == ([1, 2, 3], 3)
+    assert one(spark, "SELECT bitmapToArray(bitmapAnd(bitmapBuild("
+               "[1,2,3]), bitmapBuild([3,4,5]))) AS a, "
+               "bitmapToArray(bitmapOr(bitmapBuild([1,2]), "
+               "bitmapBuild([3]))) AS o, "
+               "bitmapToArray(bitmapXor(bitmapBuild([1,2,3]), "
+               "bitmapBuild([3,4]))) AS x, "
+               "bitmapToArray(bitmapAndnot(bitmapBuild([1,2,3]), "
+               "bitmapBuild([3]))) AS n") \
+        == ([3], [1, 2, 3], [1, 2, 4], [1, 2])
+    assert one(spark, "SELECT bitmapContains(bitmapBuild([1,2]), 1) "
+               "AS y, bitmapHasAny(bitmapBuild([1,2]), "
+               "bitmapBuild([2,3])) AS ha, bitmapHasAll(bitmapBuild("
+               "[1,2]), bitmapBuild([2,3])) AS hl, "
+               "bitmapMin(bitmapBuild([3,1,5])) AS mn, "
+               "bitmapMax(bitmapBuild([3,1,5])) AS mx") \
+        == (1, 1, 0, 1, 5)
+    assert one(spark, "SELECT bitmapToArray(bitmapSubsetInRange("
+               "bitmapBuild([1,5,10]), 2, 11)) AS r") == ([5, 10],)
+
+
+def test_resample_combinator(spark):
+    assert one(spark, "SELECT countResample(0, 4, 2)(number) AS r "
+               "FROM numbers(4)") == ([2, 2],)
+    assert one(spark, "SELECT sumResample(0, 4, 2)(number, number) "
+               "AS r FROM numbers(4)") == ([1, 5],)
+
+
+def test_type_introspection_breadth(spark):
+    assert one(spark, "SELECT toTypeName([1, NULL]) AS a, "
+               "toTypeName(toIntervalDay(1)) AS b, "
+               "isNullable(toNullable(1)) AS y, isNullable(1) AS n") \
+        == ('Array(Nullable(UInt8))', 'IntervalDay', 1, 0)
+    assert one(spark, "SELECT defaultValueOfTypeName('UInt8') AS a, "
+               "defaultValueOfTypeName('String') AS b, "
+               "defaultValueOfTypeName('Nullable(Int8)') AS c") \
+        == (0, '', None)
+
+
+def test_point_in_polygon(spark):
+    assert one(spark, "SELECT pointInPolygon((3, 3), [(6, 0), (8, 4), "
+               "(5, 8), (0, 2)]) AS r") == (1,)
+
+
+def test_bankers_rounding_negative(spark):
+    assert one(spark, "SELECT round(-2.5) AS a, round(-3.5) AS b") \
+        == (-2.0, -4.0)
+
+
+def test_add_months_clamps(spark):
+    assert one(spark, "SELECT toString(addMonths(toDate('2020-01-31'), "
+               "1)) AS a, toString(addYears(toDate('2020-02-29'), 1)) "
+               "AS b") == ('2020-02-29', '2021-02-28')

@@ -384,3 +384,21 @@ def test_having_whole_table(spark):
                 "HAVING s > 5") == [(10,)]
     assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
                 "HAVING s > 50") == []
+
+
+def test_strict_parse_conversions_throw(spark):
+    # plain to<Type> conversions THROW on unparseable strings; only the
+    # OrNull/OrZero spellings degrade (FunctionsConversion contract)
+    import pytest as _pytest
+    for bad in ["SELECT toInt8('abc')", "SELECT toDate('junk')",
+                "SELECT toFloat64('x')"]:
+        with _pytest.raises(Exception, match="Cannot parse"):
+            run(spark, bad).collect()
+    assert rows(spark, "SELECT toInt32(s) AS r FROM (SELECT '42' AS s)") \
+        == [(42,)]
+    assert rows(spark, "SELECT toInt32OrNull('abc') AS r") == [(None,)]
+
+
+def test_array_index_zero_returns_default(spark):
+    assert rows(spark, "SELECT [1,2,3][0] AS a, "
+                "arrayElement(['x'], 0) AS b") == [(0, '')]
