@@ -211,3 +211,34 @@ def test_training_recipe_stays_distributed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "training_recipe")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_truthy_predicates_pushdown(spark, sf_dir):
+    # the truthy WHERE (l_linenumber % 2) evaluates as a scan-level
+    # filter; one aggregation shuffle; predicates stay JVM-side
+    plan = _plan(spark, sf_dir, "sql_truthy_predicates")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    # two exchange NODES (agg shuffle + final sort), each printed twice
+    # in formatted mode
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_string_search_scan_pruning(spark, sf_dir):
+    # doc_id < 50 pushes to the parquet reader; only doc_id + text read
+    plan = _plan(spark, sf_dir, "sql_string_search")
+    assert "PushedFilters" in plan and "doc_id" in plan.split(
+        "PushedFilters", 1)[1].split("]", 1)[0]
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "embedding" not in read_schema
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_buckets_single_shuffle(spark, sf_dir):
+    # quarter rollup: one map-side-combined aggregation shuffle over
+    # the bucket key, plus the final sort — nothing else
+    plan = _plan(spark, sf_dir, "sql_interval_buckets")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "o_comment" not in read_schema
