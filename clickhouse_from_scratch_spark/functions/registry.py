@@ -2213,6 +2213,12 @@ def _global_order():
 
 _alias("runningDifference", lambda c: F.coalesce(
     _c(c) - F.lag(_c(c), 1).over(_global_order()), F.lit(0)))
+# runningAccumulate(state): the finalized merge of all states up to the
+# current row. Numeric -State columns (sum/count/min/max SimpleState
+# values) merge as cumulative fold; sketch/array states have no
+# progressive JVM merge and raise via the unknown-kernel path.
+_alias("runningAccumulate", lambda s: F.sum(_c(s)).over(
+    _global_order()))    # default frame = unbounded preceding..current
 _alias("runningDifferenceStartingWithFirstValue", lambda c: F.coalesce(
     _c(c) - F.lag(_c(c), 1).over(_global_order()), _c(c)))
 _alias("neighbor", lambda c, o, d=None:

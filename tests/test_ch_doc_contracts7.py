@@ -821,3 +821,60 @@ def test_add_months_clamps(spark):
     assert one(spark, "SELECT toString(addMonths(toDate('2020-01-31'), "
                "1)) AS a, toString(addYears(toDate('2020-02-29'), 1)) "
                "AS b") == ('2020-02-29', '2021-02-28')
+
+
+# --- batch 11: window RANGE offsets, Kleene logic, running accumulators -------
+
+def test_window_range_value_offsets(spark):
+    assert rows(spark, "SELECT number, sum(number) OVER (ORDER BY "
+                "number RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s"
+                " FROM numbers(4) ORDER BY number") \
+        == [(0, 0), (1, 1), (2, 3), (3, 5)]
+    assert rows(spark, "SELECT number, sum(number) OVER (ORDER BY "
+                "number RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING) AS s"
+                " FROM numbers(4) ORDER BY number") \
+        == [(0, 3), (1, 6), (2, 5), (3, 3)]
+
+
+def test_kleene_null_logic(spark):
+    assert one(spark, "SELECT NULL AND 0 AS a, NULL AND 1 AS b, "
+               "NULL OR 1 AS c, NULL OR 0 AS d, NOT NULL AS e") \
+        == (False, None, True, None, None)
+
+
+def test_if_null_condition_takes_else(spark):
+    assert one(spark, "SELECT if(NULL, 'a', 'b') AS a, "
+               "multiIf(NULL, 'a', 1, 'b', 'c') AS b") == ('b', 'b')
+
+
+def test_non_negative_derivative(spark):
+    assert rows(spark, "SELECT nonNegativeDerivative(v, t) AS d FROM "
+                "(SELECT arrayJoin([(1, 10.0), (2, 20.0), (3, 15.0)]) "
+                "AS p, p.1 AS t, p.2 AS v)") == [(0.0,), (10.0,), (0.0,)]
+
+
+def test_running_accumulate(spark):
+    assert rows(spark, "SELECT grp, runningAccumulate(s) AS r FROM "
+                "(SELECT number % 3 AS grp, sumState(number) AS s "
+                "FROM numbers(9) GROUP BY grp ORDER BY grp)") \
+        == [(0, 9), (1, 21), (2, 36)]
+
+
+def test_aggregate_result_type_names(spark):
+    assert one(spark, "SELECT toTypeName(avg(number)) AS a, "
+               "toTypeName(sum(number)) AS s, toTypeName(count()) AS c "
+               "FROM numbers(3)") == ('Float64', 'Int64', 'Int64')
+
+
+def test_array_sort_by_second_array(spark):
+    assert one(spark, "SELECT arraySort((x, y) -> y, ['a','b','c'], "
+               "[3, 1, 2]) AS r") == (['b', 'c', 'a'],)
+    assert one(spark, "SELECT arrayDifference([1, 4, 2]) AS a, "
+               "arrayCumSum([1, 2, 3]) AS b, "
+               "arrayReverseSort([2, 1, 3]) AS c") \
+        == ([0, 3, -2], [1, 3, 6], [3, 2, 1])
+
+
+def test_concat_mixed_types(spark):
+    assert one(spark, "SELECT concat('a', 1, 2.5) AS a, "
+               "toString(42) || 'x' AS b") == ('a12.5', '42x')
