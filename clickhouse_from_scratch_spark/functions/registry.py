@@ -335,8 +335,14 @@ def _scale_round(base):
 _alias("floor", _scale_round(F.floor))
 _alias("ceil", _scale_round(F.ceil))
 _alias("ceiling", _scale_round(F.ceil))
-_alias("trunc", lambda c, n=0: ((F.floor(_c(c) * (10 ** n)) / (10 ** n))
-                                if n else F.floor(_c(c)).cast("double")))
+# CH truncate rounds TOWARD ZERO (truncate(-1.9) = -1), not floor
+def _trunc(c, n=0):
+    sc = _c(n) if isinstance(n, Column) else F.lit(int(n))
+    return (F.when(_c(c) >= 0, F.floor(_c(c), sc))
+             .otherwise(F.ceil(_c(c), sc))).cast("double")
+
+
+_alias("trunc", _trunc)
 _alias("truncate", REGISTRY["trunc"])
 _alias("round", lambda c, n=0: F.round(_c(c), n))
 _alias("roundBankers", lambda c, n=0: F.bround(_c(c), n))
@@ -862,7 +868,10 @@ _alias("array", F.array)
 # the element type is unknown at expression-build time) and never raises
 # under ANSI sessions.
 _alias("arrayElement", lambda a, i: F.try_element_at(_c(a), _c(i)))
-_alias("has", lambda a, v: F.array_contains(_c(a), v))
+# null-safe on both sides: has([1,NULL],NULL) = 1 and
+# has([1,NULL],3) = 0 (array_contains would yield NULL there)
+_alias("has", lambda a, v: F.exists(
+    _c(a), lambda x: x.eqNullSafe(_c(v))))
 _alias("hasAll", lambda a, b: F.forall(_c(b), lambda x: F.array_contains(_c(a), x)))
 _alias("hasAny", lambda a, b: F.arrays_overlap(_c(a), _c(b)))
 # null-safe: indexOf([1,3,NULL], NULL) = 3 (CH matches NULL needles);
@@ -908,6 +917,11 @@ _alias("arrayPartialSort", lambda limit, a: F.array_sort(_c(a)))
 _alias("arrayPartialReverseSort",
        lambda limit, a: F.reverse(F.array_sort(_c(a))))
 _alias("arrayJoin", F.explode)          # row-replicating form handled by ARRAY JOIN op
+# LowCardinality is a storage-encoding wrapper — dictionary encoding is
+# Tungsten/Parquet's job here, so these are identity/introspection no-ops
+_alias("toLowCardinality", lambda c: _c(c))
+_alias("lowCardinalityIndices", lambda c: _c(c))
+_alias("lowCardinalityKeys", lambda c: _c(c))
 _alias("arrayMap", lambda f, a: F.transform(_c(a), f))
 _alias("arrayFilter", lambda f, a: F.filter(_c(a), f))
 _alias("arrayExists", lambda f, a: F.exists(_c(a), f))
@@ -1094,7 +1108,16 @@ _alias("JSONExtractRaw", _jx())
 # standard-SQL JSON accessors (CH registers them case-insensitively);
 # these take a ready-made '$.a.b' JsonPath string
 _alias("JSON_VALUE", lambda j, p: F.get_json_object(_c(j), str(p)))
-_alias("JSON_QUERY", lambda j, p: F.get_json_object(_c(j), str(p)))
+# JSON_QUERY always wraps the match in an array of RAW JSON (sql-
+# reference/functions/json-functions#json_query: '{"hello":"world"}'
+# $.hello -> ["world"], strings stay quoted); the variant round-trip
+# preserves raw JSON where get_json_object would unquote scalars.
+# Non-match -> NULL.
+_alias("JSON_QUERY", lambda j, p: F.concat(
+    F.lit("["),
+    F.to_json(F.variant_get(F.try_parse_json(_c(j)), str(p),
+                            "variant")),
+    F.lit("]")))
 _alias("JSON_EXISTS", lambda j, p: F.get_json_object(_c(j),
                                                      str(p)).isNotNull())
 _alias("visitParamExtractString", REGISTRY["JSONExtractString"])

@@ -145,6 +145,12 @@ class Context:
     # (qualifier, column) → post-flattening name for columns the ASOF
     # union+window lowering suffix-renamed (right-side collisions)
     flat_renames: dict = field(default_factory=dict)
+    # lambda parameter name → Spark DataType of the element it binds,
+    # filled by _hof_call from the HOF's array-argument schema. Lets
+    # type-dispatched functions (length, tupleElement, round, toString,
+    # date_trunc, …) resolve inside lambda bodies, where a df.select
+    # schema probe would throw (the param only exists inside the HOF).
+    lambda_param_types: dict = field(default_factory=dict)
     # max_rows_to_read meter, shared across the whole query tree:
     # {"rows": cumulative rows read, "cache": id(df) → row count} — the
     # cache keeps repeated scans of the same registered table to one
@@ -190,6 +196,23 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
     return out
 
 
+def _setop_filter(left: DataFrame, right: DataFrame,
+                  anti: bool) -> DataFrame:
+    """CH INTERSECT / EXCEPT (default = ALL): hash-set filter of the
+    left input against the right — every left row whose full tuple
+    [does not] appear in the right survives, preserving left-side
+    multiplicity (docs: "the result can contain duplicate rows";
+    NOT the SQL-standard multiset-min). Lowered as a null-safe
+    left-semi/anti join on all columns — one shuffle, right side
+    deduped by the join build, AQE free to broadcast a small right."""
+    l, r = left.alias("__setl"), right.alias("__setr")
+    cond = None
+    for c in left.columns:
+        e = F.col(f"__setl.`{c}`").eqNullSafe(F.col(f"__setr.`{c}`"))
+        cond = e if cond is None else cond & e
+    return l.join(r, cond, "left_anti" if anti else "left_semi")
+
+
 def _build_query(q, ctx: Context) -> DataFrame:
     if isinstance(q, UnionQuery):
         out = _build_query(q.selects[0], ctx)
@@ -208,11 +231,11 @@ def _build_query(q, ctx: Context) -> DataFrame:
             elif mode == "intersect":
                 out = out.intersect(nxt)
             elif mode == "intersect_all":
-                out = out.intersectAll(nxt)
+                out = _setop_filter(out, nxt, anti=False)
             elif mode == "except":
                 out = out.subtract(nxt)
             elif mode == "except_all":
-                out = out.exceptAll(nxt)
+                out = _setop_filter(out, nxt, anti=True)
         return out
     return _build_select(q, ctx)
 
@@ -679,6 +702,18 @@ def _numbers_where_bound(pred) -> int | None:
     return min(bounds) if bounds else None
 
 
+def _declare_numbers_type(ctx: Context) -> None:
+    """CH SystemNumbers declares `number` as UInt64 — feed that into
+    the declared-type map so arithmetic result types see the unsigned
+    width (number % 2 is UInt8, hex(number) is 16 digits). Ambiguity
+    with a same-named column from a joined table drops to schema
+    inference, mirroring the engine-metadata rule."""
+    if ctx.ch_types.get("number", "UInt64") != "UInt64":
+        ctx.ch_types["number"] = ""
+    else:
+        ctx.ch_types["number"] = "UInt64"
+
+
 def _system_table(table: str, ctx: Context) -> DataFrame:
     """system.* virtual tables available on any session (the catalog's
     ChSession layers richer ones — tables/columns/databases — on top by
@@ -698,6 +733,7 @@ def _system_table(table: str, ctx: Context) -> DataFrame:
                 f"this SELECT (with no row-dropping WHERE/GROUP BY/"
                 f"DISTINCT before it) or use the numbers(N) table "
                 f"function for an exact row count")
+        _declare_numbers_type(ctx)
         return (ctx.spark.range(ctx.numbers_bound)
                 .withColumnRenamed("id", "number"))
     if table == "functions":
@@ -711,6 +747,7 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
     name = node.name.lower()
     if name == "numbers":
         # numbers(N) / numbers(start, N) → spark.range (ref table function)
+        _declare_numbers_type(ctx)
         args = [a.value for a in node.args]
         if len(args) == 1:
             return ctx.spark.range(args[0]).withColumnRenamed("id", "number")
@@ -1157,13 +1194,27 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
     inlined = [_inline(it, ctx) for it in q.select]
     for it in inlined:
         collect(it, True)
+    # ORDER BY can reference a bare top-level arrayJoin through its
+    # alias (`SELECT arrayJoin(m) AS kv ORDER BY kv.1`); the Sort node
+    # cannot hold a generator, so such calls must hoist too — walking
+    # them as non-top forces the shared hidden-column lowering
+    for it_o in q.order_by:
+        collect(_inline(it_o.expr, ctx), False)
     if not calls:
         return q, df
     import copy
+    from pyspark.sql.types import MapType
     slots: dict[str, str] = {}
     for i, (key, node) in enumerate(calls.items()):
         slot = f"__ajn{i}"
         col = _eval(_inline(node.args[0], ctx), ctx, df)
+        try:
+            if isinstance(df.select(col).schema[0].dataType, MapType):
+                # CH arrayJoin over a Map iterates its (key, value)
+                # tuples — one column, not Spark's two-column explode
+                col = F.map_entries(col)
+        except Exception:
+            pass
         df = df.select("*", F.explode(col).alias(slot))
         slots[key] = slot
 
@@ -1197,6 +1248,12 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
             rewritten = orig    # untouched: keep the pre-inline form
         new_select.append(rewritten)
     q.select = new_select
+    # re-point aliases at the substituted expressions: ORDER BY /
+    # HAVING inline through ctx.aliases, which must now reference the
+    # hidden exploded slot, not the original generator call
+    for it in q.select:
+        if isinstance(it, Alias):
+            ctx.aliases[it.alias] = it.expr
     ctx.columns = list(df.columns)
     return q, df
 
@@ -2066,6 +2123,55 @@ _NUMERIC_AGG_PREFIXES = (
 
 
 def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
+    """Lower one aggregate call, then apply the CH empty-subset rule:
+    an -If / FILTER(WHERE) aggregate whose condition never fires behaves
+    exactly like an aggregate over an empty set — default-initialized
+    state (sum→0, min/max→type default, avg→nan), never NULL. Spark's
+    sum(when(cond, x)) yields NULL there, so gate on the matched-row
+    count per group. -OrNull keeps NULL; count* is already 0."""
+    result = _agg_column_inner(node, ctx, df)
+    name = node.name
+    if node.filter_where is not None:
+        cond_node, base = node.filter_where, name
+        value_nodes = node.args
+    elif (name.endswith("If") and len(name) > 2 and node.args
+            and not node.distinct):
+        cond_node, base = node.args[-1], name[:-2]
+        value_nodes = node.args[:-1]
+    else:
+        return result
+    low = base.lower()
+    if low.startswith("count") or any(low.endswith(s) for s in
+            ("ornull", "state", "merge", "mergestate")):
+        return result
+    # the default applies only to non-Nullable arguments — CH's
+    # AggregateFunctionNull wrapper keeps NULL for Nullable inputs with
+    # no aggregated values. Spark's nullable flag is the proxy (exact
+    # for in-memory frames; file scans force nullable, matching the
+    # Nullable reading).
+    for vn in value_nodes:
+        if isinstance(vn, (Star, Lambda)):
+            continue
+        try:
+            vc = _eval(_inline(vn, ctx), ctx, df)
+            if df.select(vc).schema[0].nullable:
+                return result
+        except Exception:
+            return result
+    try:
+        dt = df.select(result).schema[0].dataType
+    except Exception:
+        return result
+    d = _empty_set_default(base, dt)
+    if d is None:
+        return result
+    cond = _eval(_inline(cond_node, ctx), ctx, df).cast("boolean")
+    matched = F.count(F.when(cond, F.lit(1)))
+    return F.when(matched > 0, result).otherwise(d)
+
+
+def _agg_column_inner(node: FuncCall, ctx: Context,
+                      df: DataFrame) -> Column:
     """Lower one aggregate call: -If/-Distinct combinators, FILTER(WHERE),
     parametric form."""
     name = node.name
@@ -2269,20 +2375,30 @@ def _empty_set_default(name: str, dtype) -> Column | None:
         return F.to_timestamp(F.lit("1970-01-01 00:00:00")).cast(dts)
     if dts.startswith("array<"):
         return F.array().cast(dts)
+    if dts.startswith("struct<"):
+        # tuple results (sumMap, argMin tuple forms): per-field defaults
+        fields = []
+        for f in dtype.fields:
+            fd = _empty_set_default("", f.dataType)
+            if fd is None:
+                return None
+            fields.append(fd.alias(f.name))
+        return F.struct(*fields)
+    if dts.startswith("map<"):
+        return F.create_map().cast(dts)
     return None
 
 
 def _array_default_fns(name: str, node, cols: list,
-                       df: DataFrame) -> Column | None:
+                       df: DataFrame, ctx: Context) -> Column | None:
     """Type-default semantics that need the element type (CH fills with
     the TYPE's default, Spark with NULL): arrayShiftLeft/Right without
     an explicit fill pad with 0/''/false/[]; arrayElement out of bounds
     returns the default for non-Nullable elements (Spark containsNull
     False) and NULL for Nullable ones — the CH Nullable default."""
     from pyspark.sql.types import ArrayType, MapType
-    try:
-        dt = df.select(cols[0]).schema[0].dataType
-    except Exception:
+    dt = _probe_dtype(node.args[0], cols[0], ctx, df)
+    if dt is None:
         return None
     if isinstance(dt, MapType) and name == "arrayElement" \
             and len(node.args) == 2:
@@ -2898,7 +3014,7 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.lit(1).cast("tinyint")
         if isinstance(a0, Literal):
             return F.lit(1 if a0.value is None else 0).cast("tinyint")
-        if df is not None:
+        if df is not None and not _refs_lambda_param(a0, ctx):
             try:
                 return F.lit(
                     1 if df.select(cols[0]).schema[0].nullable else 0) \
@@ -2938,13 +3054,18 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return shifted
     if name in ("arrayShiftLeft", "arrayShiftRight",
                 "arrayElement") and df is not None:
-        out = _array_default_fns(name, node, cols, df)
+        out = _array_default_fns(name, node, cols, df, ctx)
         if out is not None:
             return out
     if name == "toJSONString" and len(node.args) == 1 and df is not None:
         # complex types serialize via to_json; scalars per JSON rules
         # (strings quoted+escaped, numbers/bools bare)
-        dts = df.select(cols[0]).schema[0].dataType.simpleString()
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dt_obj is None:
+            raise BuildError(
+                "toJSONString: argument type unresolvable in lambda "
+                "position — bind the value to a lambda parameter first")
+        dts = dt_obj.simpleString()
         if dts.startswith(("array", "map", "struct")):
             return F.to_json(cols[0])
         if dts == "string":
@@ -2962,15 +3083,22 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # cast); DateTime input keeps DateTime
         unit = str(node.args[0].value).lower()
         out = F.date_trunc(unit, cols[1])
+        dt_obj = _probe_dtype(node.args[1], cols[1], ctx, df)
         if unit in ("day", "week", "month", "quarter", "year") and \
-                df.select(cols[1]).schema[0].dataType.simpleString() == "date":
+                dt_obj is not None and \
+                dt_obj.simpleString() == "date":
             out = out.cast("date")
         return out
     if name == "defaultValueOfArgumentType" and len(node.args) == 1 \
             and df is not None:
-        dts = df.select(cols[0]).schema[0].dataType.simpleString()
-        d = _empty_set_default("", df.select(cols[0]).schema[0].dataType)
-        return d if d is not None else F.lit(None).cast(dts)
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dt_obj is None:
+            raise BuildError(
+                "defaultValueOfArgumentType: argument type unresolvable "
+                "in lambda position — bind it to a lambda parameter")
+        d = _empty_set_default("", dt_obj)
+        return d if d is not None \
+            else F.lit(None).cast(dt_obj.simpleString())
     if name == "hasColumnInTable":
         vals = [a.value for a in node.args if isinstance(a, Literal)]
         if len(vals) < 2:
@@ -2989,6 +3117,32 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if info and info[0] == "i" and info[1] <= 4:
             return F.abs(cols[0].cast("bigint"))
         return F.abs(cols[0])
+    if name == "arrayJoin" and len(node.args) == 1:
+        from pyspark.sql.types import MapType
+        dtm = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if isinstance(dtm, MapType):
+            # CH: arrayJoin over a Map iterates its (key, value) tuples
+            return F.explode(F.map_entries(cols[0]))
+    if name in ("hex", "bin") and len(node.args) == 1:
+        # CH pads to the DECLARED integer type's byte width — hex(1) =
+        # '01' (UInt8 literal), hex(256) = '0100' (UInt16),
+        # hex(toUInt32(1)) = '00000001'; negative values show the
+        # sign-extended pattern of that width (hex(toInt8(-1)) = 'FF').
+        # String arguments keep the byte-dump kernel.
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        width = info[1] if info and info[0] in ("u", "i") else None
+        if width is None:
+            dtp = _probe_dtype(node.args[0], cols[0], ctx, df)
+            if dtp is not None:
+                width = {"tinyint": 1, "smallint": 2, "int": 4,
+                         "bigint": 8}.get(dtp.simpleString())
+        if width is not None:
+            base = F.hex(cols[0]) if name == "hex" else F.bin(cols[0])
+            n = width * (2 if name == "hex" else 8)
+            return F.when(F.length(base) >= n,
+                          F.substring(base, -n, n)) \
+                    .otherwise(F.lpad(base, n, "0"))
     if name == "byteSwap" and len(node.args) == 1:
         # width comes from the DECLARED CH type when inferable (DDL
         # column, to<Type> cast, literal typing) — CH swaps per argument
@@ -3028,7 +3182,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             and df is not None:
         # empty → [type default] (CH IDataType::getDefault), else as-is
         from pyspark.sql.types import ArrayType
-        dt = df.select(cols[0]).schema[0].dataType
+        dt = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dt is None and _refs_lambda_param(node.args[0], ctx):
+            raise BuildError(
+                "emptyArrayToSingle: array type unresolvable in lambda "
+                "position — bind it to a lambda parameter")
         if isinstance(dt, ArrayType):
             elem = dt.elementType
             d = _empty_set_default("", elem)
@@ -3062,12 +3220,15 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # float check happens via typeof() (constant-folded per type).
         out = cols[0].cast("string")
         stripped = F.regexp_replace(out, r"^(-?\d+)\.0$", "$1")
-        dts = None
-        if df is not None and not _refs_lambda_param(node.args[0], ctx):
-            try:
-                dts = df.select(cols[0]).schema[0].dataType.simpleString()
-            except Exception:
-                dts = None
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        dts = dt_obj.simpleString() if dt_obj is not None else None
+        if dts is not None and dts.startswith("decimal"):
+            # CH trims trailing decimal zeros by default
+            # (output_format_decimal_trailing_zeros = false,
+            # reference Core/Settings.h:609 + SerializationDecimal.cpp:50)
+            return F.regexp_replace(
+                F.regexp_replace(out, r"(\.\d*?)0+$", "$1"),
+                r"\.$", "")
         if dts is not None:
             return stripped if dts in ("float", "double") else out
         return F.when(F.typeof(cols[0]).isin("float", "double"),
@@ -3086,25 +3247,23 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         info = CH_NUMERIC.get(cht) if cht else None
         away = (info is not None and info[0] in ("u", "i")) or (
             cht is not None and cht.startswith("Decimal"))
-        if not away and cht is None and df is not None:
-            try:
-                dts = df.select(cols[0]).schema[0].dataType.simpleString()
+        if not away and cht is None:
+            dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+            if dt_obj is not None:
+                dts = dt_obj.simpleString()
                 away = dts.startswith("decimal") or dts in _INT_SPARK_TYPES
-            except Exception:
-                pass
         return (F.round(cols[0], int(n)) if away
                 else F.bround(cols[0], int(n)))
     if (name in ("arraySum", "arrayCumSum", "arrayCumSumNonNegative")
-            and len(node.args) == 1 and df is not None
-            and not _refs_lambda_param(node.args[0], ctx)):
+            and len(node.args) == 1):
         # CH NumberTraits: summing integer arrays yields Int64 /
         # Array(Int64); the kernels compute in double (exact below 2^53
         # — the documented sum policy)
         out = REGISTRY[name](cols[0])
-        try:
-            dts = df.select(cols[0]).schema[0].dataType.simpleString()
-        except Exception:
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dt_obj is None:
             return out
+        dts = dt_obj.simpleString()
         elem = dts[6:-1] if dts.startswith("array<") else ""
         if elem in _INT_SPARK_TYPES:
             return out.cast("bigint" if name == "arraySum"
@@ -3133,41 +3292,29 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.lit(f"Interval{arg.name[len('toInterval'):]}")
         t = _literal_render_type(arg) \
             or _infer_ch_type(node.args[0], ctx, df)
-        if t is None and df is not None \
-                and not _refs_lambda_param(node.args[0], ctx):
-            try:
-                dt = df.select(cols[0]).schema[0].dataType.simpleString()
-                t = _spark_to_ch_name(dt)
-            except Exception:
-                t = None
+        if t is None:
+            dt_obj = _probe_dtype(arg, cols[0], ctx, df)
+            if dt_obj is not None:
+                t = _spark_to_ch_name(dt_obj.simpleString())
         return F.lit(t or "Dynamic")
-    if (name == "finalizeAggregation" and len(cols) == 1
-            and df is not None
-            and not _refs_lambda_param(node.args[0], ctx)):
+    if name == "finalizeAggregation" and len(cols) == 1:
         # AggregateFunction state → finalized value (scalar, per row):
         # binary HLL sketch states estimate; uniqExact array states count
         # their distinct elements; SimpleAggregateFunction states already
         # ARE the value
-        try:
-            dt = df.select(cols[0]).schema[0].dataType.simpleString()
-        except Exception:
-            dt = ""
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        dt = dt_obj.simpleString() if dt_obj is not None else ""
         if dt == "binary":
             return F.hll_sketch_estimate(cols[0])
         if dt.startswith("array"):
             return F.size(F.array_distinct(cols[0])).cast("long")
         return cols[0]
     # CH length/empty/reverse are polymorphic over strings AND arrays —
-    # dispatch on the argument's resolved type (schema-only, no job).
-    # Skip the probe when the arg references a lambda parameter: those
-    # columns only resolve inside their HOF, so df.select would raise
-    # (and log an analyzer error JVM-side) on every lambda-body call.
-    if (name in _POLYMORPHIC and len(cols) == 1 and df is not None
-            and not _refs_lambda_param(node.args[0], ctx)):
-        try:
-            dt = df.select(cols[0]).schema[0].dataType.simpleString()
-        except Exception:
-            dt = ""
+    # dispatch on the argument's resolved type (schema-only for frame
+    # columns; HOF-bound dtype for lambda parameters).
+    if name in _POLYMORPHIC and len(cols) == 1:
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        dt = dt_obj.simpleString() if dt_obj is not None else ""
         if dt.startswith(("array", "map")):
             arr_name, _ = _POLYMORPHIC[name]
             if arr_name:
@@ -3196,8 +3343,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                     disj = disj | conj
                 col = disj
             else:
-                vals = [a.value for a in rhs_node.items]
-                col = lhs.isin(vals)
+                # CH null processing (operators/in#null-processing,
+                # transform_null_in=0): NULL elements match nothing
+                vals = [a.value for a in rhs_node.items
+                        if a.value is not None]
+                col = lhs.isin(vals) if vals else F.lit(False)
         elif isinstance(rhs_node, Subquery):
             # last-resort path: IN-subquery inside a lambda body — the
             # only position the marker-join lowering cannot reach (a join
@@ -3213,9 +3363,13 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                     "IN-subquery in this position would materialize more "
                     f"than {cap} rows on the driver; rewrite as a WHERE "
                     "conjunct or join")
-            col = lhs.isin([r[0] for r in rows])
+            col = lhs.isin([r[0] for r in rows if r[0] is not None])
         else:
             col = lhs.isin([cols[1]])
+        # CH: the result of IN involving NULL is always 0 (UInt8), never
+        # NULL — a NULL lhs matches nothing and NOT IN is the exact
+        # complement (operators/in#null-processing, transform_null_in=0)
+        col = F.coalesce(col.cast("boolean"), F.lit(False))
         return ~col if "not" in name.lower() else col
     if name in ("plus", "minus") and len(node.args) == 2 and isinstance(
             node.args[1], IntervalExpr):
@@ -3291,11 +3445,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # element-wise tuple arithmetic needs the struct's field list,
         # which only the analyzed schema knows — one plan analysis at
         # build time, zero runtime cost
-        return _tuple_arith(name, cols, df)
+        return _tuple_arith(name, node, cols, ctx, df)
     if name in _VEC_TUPLE_FNS and df is not None:
         # the distance/norm family accepts Tuples as well as Arrays in
         # CH — adapt struct args to arrays once at build time
-        cols = [_struct_as_array(c, df) for c in cols]
+        cols = [_struct_as_array(a, c, ctx, df)
+                for a, c in zip(node.args, cols)]
         return REGISTRY[name](*cols)
     if (name == "tupleElement" and df is not None
             and len(node.args) == 2 and isinstance(node.args[1], Literal)
@@ -3304,11 +3459,18 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # like the statistical-test results (t_statistic, p_value) —
         # per the CH Tuple contract, not just our _N convention
         from pyspark.sql.types import StructType
-        dt = df.select(cols[0]).schema[0].dataType
+        dt = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dt is None and _refs_lambda_param(node.args[0], ctx):
+            # composite lambda expression whose struct type the HOF
+            # binding can't see: fall back to the `_N` literal-tuple
+            # field convention (every tuple this engine constructs)
+            return cols[0].getField(f"_{node.args[1].value}")
         if not isinstance(dt, StructType):
+            got = dt.simpleString() if dt is not None \
+                else "an unresolvable expression"
             raise BuildError(
                 f"tupleElement: positional .{node.args[1].value} access "
-                f"needs a Tuple, got {dt.simpleString()}")
+                f"needs a Tuple, got {got}")
         idx = node.args[1].value
         if not 1 <= idx <= len(dt.fields):
             raise BuildError(f"tupleElement: index {idx} out of "
@@ -3396,7 +3558,7 @@ _LITERAL_ARG_FNS = {
     "splitByString", "splitByRegexp", "position", "extract", "extractAll", "format",
     "replaceOne", "replaceAll", "replaceRegexpOne", "replaceRegexpAll",
     "startsWith", "endsWith", "substring", "left", "right", "repeat",
-    "round", "roundBankers", "trunc", "JSONExtractString", "JSONExtractInt",
+    "round", "roundBankers", "trunc", "truncate", "JSONExtractString", "JSONExtractInt",
     "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
     "JSONExtractArrayRaw", "JSONExtractKeys", "JSON_VALUE", "JSON_QUERY",
     "JSON_EXISTS", "visitParamExtractInt", "visitParamExtractFloat",
@@ -3452,25 +3614,25 @@ _VEC_TUPLE_FNS = {"L1Norm", "L2Norm", "LinfNorm", "L1Distance",
                   "normalizeL1", "normalizeL2"}
 
 
-def _struct_as_array(c: Column, df: DataFrame) -> Column:
+def _struct_as_array(arg, c: Column, ctx: Context,
+                     df: DataFrame) -> Column:
     """Tuple → Array adaptation for the vector-math family: CH's
     distance/norm functions take either; the kernels are array HOFs."""
     from pyspark.sql.types import StructType
-    try:
-        dt = df.select(c).schema[0].dataType
-    except Exception:
-        return c
+    dt = _probe_dtype(arg, c, ctx, df)
     if isinstance(dt, StructType):
         return F.array(*[c[f.name] for f in dt.fields])
     return c
 
 
-def _tuple_arith(name: str, cols: list, df: DataFrame) -> Column:
+def _tuple_arith(name: str, node, cols: list, ctx: Context,
+                 df: DataFrame) -> Column:
     """Element-wise tuple arithmetic (public CH tuple-math family):
-    resolve the struct's field names from the analyzed schema, apply the
-    op per field, rebuild the struct with the same field names."""
+    resolve the struct's field names from the analyzed schema (or the
+    HOF lambda binding), apply the op per field, rebuild the struct
+    with the same field names."""
     from pyspark.sql.types import StructType
-    dt = df.select(cols[0]).schema[0].dataType
+    dt = _probe_dtype(node.args[0], cols[0], ctx, df)
     if not isinstance(dt, StructType):
         raise BuildError(f"{name}: first argument must be a Tuple")
     fields = [f.name for f in dt.fields]
@@ -3643,6 +3805,26 @@ def _refs_lambda_param(n, ctx: Context) -> bool:
     return False
 
 
+def _probe_dtype(arg, col, ctx: Context, df: DataFrame | None):
+    """Resolved Spark DataType of an argument expression, or None.
+
+    Frame columns resolve through a schema-only plan analysis (no job).
+    Lambda parameters resolve through the type the enclosing HOF bound
+    for them — df.select would throw AnalysisException there, since the
+    param only exists inside the HOF. Composite expressions over lambda
+    params stay None (callers keep their documented fallback)."""
+    if _refs_lambda_param(arg, ctx):
+        if isinstance(arg, Identifier) and len(arg.parts) == 1:
+            return ctx.lambda_param_types.get(arg.name)
+        return None
+    if df is None:
+        return None
+    try:
+        return df.select(col).schema[0].dataType
+    except Exception:
+        return None
+
+
 _COND_HOFS = {"arrayFilter", "arrayExists", "arrayAll", "arrayCount",
               "arraySplit", "arrayReverseSplit", "arrayFill",
               "arrayReverseFill", "arrayFirst", "arrayLast",
@@ -3654,12 +3836,43 @@ def _hof_call(node: FuncCall, ctx: Context, df: DataFrame | None) -> Column:
     """Higher-order function with lambda argument(s):
     arrayMap(x -> e, a) etc."""
     lam = next(a for a in node.args if isinstance(a, Lambda))
-    arrays = [_eval(a, ctx, df) for a in node.args if not isinstance(a, Lambda)]
+    arr_nodes = [a for a in node.args if not isinstance(a, Lambda)]
+    arrays = [_eval(a, ctx, df) for a in arr_nodes]
+
+    # Bind the dtype each lambda parameter ranges over (from the array
+    # argument's resolved element type) so type-dispatched functions in
+    # the body can see it through _probe_dtype. Nested HOFs chain: the
+    # array arg may itself be an outer lambda param whose type the
+    # outer _hof_call bound.
+    from pyspark.sql.types import ArrayType, MapType
+
+    def _elem(i: int):
+        dt = _probe_dtype(arr_nodes[i], arrays[i], ctx, df)
+        return dt.elementType if isinstance(dt, ArrayType) else None
+
+    ptypes: dict = {}
+    if (node.name == "arrayFold" and len(lam.params) == 2
+            and len(arrays) == 2):
+        # arrayFold(λ(acc, x), arr, init): acc has init's type
+        ptypes[lam.params[0]] = _probe_dtype(arr_nodes[1], arrays[1],
+                                             ctx, df)
+        ptypes[lam.params[1]] = _elem(0)
+    elif len(lam.params) == len(arrays):
+        for i, p in enumerate(lam.params):
+            ptypes[p] = _elem(i)
+    elif len(lam.params) == 2 and len(arrays) == 1:
+        dt = _probe_dtype(arr_nodes[0], arrays[0], ctx, df)
+        if isinstance(dt, MapType):      # map HOF: λ(k, v)
+            ptypes[lam.params[0]] = dt.keyType
+            ptypes[lam.params[1]] = dt.valueType
+    elif len(lam.params) == 1 and arrays:
+        ptypes[lam.params[0]] = _elem(0)
 
     def _body(*args: Column) -> Column:
         inner = Context(ctx.spark, ctx.tables, ctx.aliases,
                         dict(ctx.lambda_params), ctx.columns,
                         engines=ctx.engines)
+        inner.lambda_param_types = {**ctx.lambda_param_types, **ptypes}
         for p, c in zip(lam.params, args):
             inner.lambda_params[p] = c
         return _eval(lam.body, inner, df)

@@ -878,3 +878,361 @@ def test_array_sort_by_second_array(spark):
 def test_concat_mixed_types(spark):
     assert one(spark, "SELECT concat('a', 1, 2.5) AS a, "
                "toString(42) || 'x' AS b") == ('a12.5', '42x')
+
+
+# --- batch 12: type-dispatched functions inside HOF lambda bodies ----------
+# The HOF binds each lambda parameter's dtype from the array argument's
+# resolved element type (builder._hof_call → Context.lambda_param_types),
+# so length/tupleElement/round/date_trunc/… dispatch correctly where a
+# df.select schema probe cannot reach.
+
+def test_lambda_tuple_element(spark):
+    assert one(spark, "SELECT arrayMap(t -> t.1, [(1,'a'),(2,'b')]) AS a, "
+               "arrayMap(t -> tupleElement(t, 2), [(1,'x'),(2,'y')]) AS b") \
+        == ([1, 2], ['x', 'y'])
+
+
+def test_lambda_polymorphic_length(spark):
+    assert one(spark, "SELECT arrayMap(s -> length(s), ['ab','c']) AS a, "
+               "arrayMap(a -> length(a), [[1,2],[3]]) AS b, "
+               "arrayMap(a -> empty(a), [[], [1]]) AS c") \
+        == ([2, 1], [2, 1], [True, False])
+
+
+def test_lambda_date_trunc_keeps_date(spark):
+    assert one(spark, "SELECT arrayMap(d -> toString(date_trunc('month', "
+               "d)), [toDate('2024-03-15')]) AS r") == (['2024-03-01'],)
+
+
+def test_lambda_round_bankers_on_floats(spark):
+    assert one(spark, "SELECT arrayMap(v -> round(v, 1), [1.25, 2.35]) "
+               "AS r") == ([1.2, 2.4],)
+
+
+def test_lambda_to_json_string(spark):
+    assert one(spark, "SELECT arrayMap(x -> toJSONString(x), [1, 2]) AS a,"
+               " arrayMap(s -> toJSONString(s), ['q']) AS b") \
+        == (['1', '2'], ['"q"'])
+
+
+def test_lambda_type_defaults(spark):
+    assert one(spark, "SELECT arrayMap(a -> emptyArrayToSingle(a), "
+               "[[1], []]) AS a, arrayMap(x -> "
+               "defaultValueOfArgumentType(x), [5]) AS b") \
+        == ([[1], [0]], [0])
+
+
+def test_lambda_nested_hof_binding(spark):
+    # nested HOF: inner param's type chains through the outer binding
+    assert one(spark, "SELECT arrayMap(a -> arrayMap(s -> length(s), a), "
+               "[['ab'], ['c','de']]) AS r") == ([[2], [1, 2]],)
+
+
+def test_lambda_array_sum_widens(spark):
+    assert one(spark, "SELECT arrayMap(a -> arraySum(a), [[1,2],[3]]) "
+               "AS r") == ([3, 3],)
+
+
+# --- batch 13: empty-set / empty-subset aggregate defaults ------------------
+# CH: "When aggregating over an empty set, aggregate functions return
+# their default values"; an -If aggregate whose condition never fires
+# is the same empty-set state (sum->0, min/max->type default, avg->nan).
+
+def test_empty_set_aggregate_defaults(spark):
+    assert one(spark, "SELECT count() AS c, sum(number) AS s, "
+               "min(number) AS mn, max(number) AS mx, "
+               "anyLast(number) AS al FROM numbers(10) WHERE 0") \
+        == (0, 0, 0, 0, 0)
+
+
+def test_empty_set_nan_family(spark):
+    import math
+    r = one(spark, "SELECT avg(number) AS a, stddevPop(number) AS sd, "
+            "quantile(0.5)(number) AS q, corr(number, number) AS c "
+            "FROM numbers(10) WHERE 0")
+    assert all(isinstance(v, float) and math.isnan(v) for v in r)
+
+
+def test_empty_set_string_and_array_defaults(spark):
+    assert one(spark, "SELECT any(s) AS a, min(s) AS m FROM "
+               "(SELECT 'a' AS s WHERE 0)") == ('', '')
+    assert one(spark, "SELECT groupArray(number) AS g, topK(3)(number) "
+               "AS t FROM numbers(10) WHERE 0") == ([], [])
+
+
+def test_empty_set_or_null_keeps_null(spark):
+    assert one(spark, "SELECT sumOrNull(number) AS s, minOrNull(number)"
+               " AS m FROM numbers(10) WHERE 0") == (None, None)
+
+
+def test_if_never_true_condition_defaults(spark):
+    import math
+    assert one(spark, "SELECT sumIf(number, number > 100) AS s, "
+               "maxIf(number, number > 100) AS m, "
+               "countIf(number > 100) AS c FROM numbers(10)") == (0, 0, 0)
+    a = one(spark, "SELECT avgIf(number, number > 100) AS a "
+            "FROM numbers(10)")[0]
+    assert isinstance(a, float) and math.isnan(a)
+
+
+def test_if_never_true_grouped_defaults(spark):
+    # the empty-subset rule applies PER GROUP, not just keyless
+    assert rows(spark, "SELECT number % 2 AS g, sumIf(number, number > "
+                "100) AS s FROM numbers(4) GROUP BY g ORDER BY g") \
+        == [(0, 0), (1, 0)]
+
+
+def test_filter_where_never_true_defaults(spark):
+    assert one(spark, "SELECT sum(number) FILTER (WHERE number > 100) "
+               "AS s FROM numbers(10)") == (0,)
+
+
+def test_empty_set_summap_empty_tuple(spark):
+    assert one(spark, "SELECT sumMap([number], [number]).1 AS k "
+               "FROM numbers(3) WHERE 0") == ([],)
+
+
+def test_empty_set_group_by_yields_no_rows(spark):
+    assert rows(spark, "SELECT number % 2 AS g, sum(number) AS s "
+                "FROM numbers(10) WHERE 0 GROUP BY g") == []
+
+
+# --- batch 14: IN null processing, tuple compare, enumerate, SQL/JSON -------
+
+def test_in_with_null_never_null(spark):
+    # operators/in#null-processing (transform_null_in=0): IN involving
+    # NULL is always 0/1, never NULL; NOT IN is the exact complement
+    assert one(spark, "SELECT 1 IN (NULL, 1) AS a, 2 IN (NULL, 1) AS b,"
+               " 2 NOT IN (NULL, 1) AS c") == (True, False, True)
+    assert one(spark, "SELECT NULL IN (1, 2) AS a, NULL NOT IN (1, 2) "
+               "AS b, NULL IN (NULL) AS c") == (False, True, False)
+
+
+def test_in_subquery_with_nulls(spark):
+    assert rows(spark, "SELECT number NOT IN (SELECT nullIf(number, 1) "
+                "FROM numbers(3)) AS r FROM numbers(3) ORDER BY number") \
+        == [(False,), (True,), (False,)]
+
+
+def test_tuple_lexicographic_compare(spark):
+    assert one(spark, "SELECT (1, 2) < (1, 3) AS a, (1, 2) < (1, 2) AS "
+               "b, (2, 0) > (1, 9) AS c, (1, 'a') = (1, 'a') AS d") \
+        == (True, False, True, True)
+
+
+def test_array_enumerate_family(spark):
+    assert one(spark, "SELECT arrayEnumerate([10,20,30]) AS a, "
+               "arrayEnumerateUniq([10,20,10,30,10]) AS b, "
+               "arrayEnumerateDense([10,20,10,30]) AS c") \
+        == ([1, 2, 3], [1, 1, 2, 1, 3], [1, 2, 1, 3])
+
+
+def test_bitmask_helpers(spark):
+    assert one(spark, "SELECT bitmaskToList(50) AS a, "
+               "bitmaskToArray(50) AS b") == ('2,16,32', [2, 16, 32])
+
+
+def test_sql_json_standard_forms(spark):
+    # JSON_QUERY wraps raw JSON in an array, strings stay quoted
+    assert one(spark, "SELECT JSON_QUERY('{\"hello\":\"world\"}', "
+               "'$.hello') AS a, JSON_QUERY('{\"a\":[1,2]}', '$.a') AS "
+               "b, JSON_VALUE('{\"a\":\"x\"}', '$.a') AS c, "
+               "JSON_EXISTS('{\"a\":1}', '$.a') AS d") \
+        == ('["world"]', '[[1,2]]', 'x', True)
+
+
+def test_has_null_needle_and_absent(spark):
+    assert one(spark, "SELECT has([1, NULL, 2], NULL) AS a, "
+               "indexOf([1, NULL, 2], NULL) AS b, "
+               "countEqual([1, NULL, 1], NULL) AS c, "
+               "has([1, NULL], 3) AS d") == (True, 2, 1, False)
+
+
+def test_order_by_array_lexicographic(spark):
+    assert rows(spark, "SELECT a FROM (SELECT arrayJoin([[2], [1, 3], "
+                "[1, 2]]) AS a) ORDER BY a") \
+        == [([1, 2],), ([1, 3],), ([2],)]
+
+
+# --- batch 16: age(), deltaSum, minMap/maxMap, hex/bin widths ---------------
+
+def test_age_counts_complete_units(spark):
+    assert one(spark, "SELECT age('year', toDate('2021-12-29'), "
+               "toDate('2022-01-01')) AS a, dateDiff('year', "
+               "toDate('2021-12-29'), toDate('2022-01-01')) AS d") \
+        == (0, 1)
+    assert one(spark, "SELECT age('month', toDate('2021-01-31'), "
+               "toDate('2021-02-28')) AS a, age('month', "
+               "toDate('2021-01-01'), toDate('2021-02-01')) AS b") \
+        == (0, 1)
+
+
+def test_delta_sum_positive_differences(spark):
+    assert one(spark, "SELECT deltaSum(v) AS d FROM (SELECT "
+               "arrayJoin([1, 3, 2, 4]) AS v)") == (4,)
+
+
+def test_min_max_map(spark):
+    assert one(spark, "SELECT minMap([1, 2], [v, 10 - v]).2 AS a, "
+               "maxMap([1, 2], [v, 10 - v]).2 AS b FROM (SELECT "
+               "arrayJoin([2, 5]) AS v)") == ([2, 5], [5, 8])
+
+
+def test_hex_bin_pad_to_type_width(spark):
+    # hex/bin render the DECLARED type's full byte pattern:
+    # hex(1)='01' (UInt8 literal), hex(256)='0100' (UInt16),
+    # hex(toUInt32(1))='00000001', sign-extension at the type width
+    assert one(spark, "SELECT hex(1) AS a, hex(255) AS b, hex(256) AS "
+               "c, hex(toUInt32(1)) AS d, hex(toInt8(-1)) AS e, "
+               "bin(toInt8(-1)) AS f, bin(5) AS g") \
+        == ('01', 'FF', '0100', '00000001', 'FF', '11111111',
+            '00000101')
+    assert one(spark, "SELECT hex('ab') AS a, unhex('6162') AS b") \
+        == ('6162', 'ab')
+
+
+def test_interval_length_sum(spark):
+    assert one(spark, "SELECT intervalLengthSum(s, e) AS r FROM "
+               "(SELECT arrayJoin([(1, 3), (2, 5), (7, 8)]) AS p, "
+               "p.1 AS s, p.2 AS e)") == (5,)
+
+
+def test_week_start_functions(spark):
+    assert one(spark, "SELECT toString(toMonday(toDate('2024-03-14')))"
+               " AS a, toString(toStartOfWeek(toDate('2024-03-14'))) "
+               "AS b, toString(toStartOfWeek(toDate('2024-03-14'), 1))"
+               " AS c, toString(toLastDayOfMonth(toDate('2024-02-05')))"
+               " AS d") \
+        == ('2024-03-11', '2024-03-10', '2024-03-11', '2024-02-29')
+
+
+# --- batch 17: substring negatives, split edges, decimal toString, misc -----
+
+def test_substring_negative_offset(spark):
+    assert one(spark, "SELECT substring('hello', -3, 2) AS a, "
+               "substring('hello', 2) AS b, substringUTF8('привет', 2, "
+               "3) AS c") == ('ll', 'ello', 'рив')
+
+
+def test_split_by_char_edges(spark):
+    assert one(spark, "SELECT splitByChar(',', '') AS a, "
+               "splitByChar(',', 'a,') AS b, splitByChar(',', ',a') AS "
+               "c, splitByString('ab', 'cabd') AS d") \
+        == ([''], ['a', ''], ['', 'a'], ['c', 'd'])
+
+
+def test_decimal_tostring_trims_trailing_zeros(spark):
+    # output_format_decimal_trailing_zeros defaults to false
+    # (reference Core/Settings.h:609): 1.50 prints as '1.5'
+    assert one(spark, "SELECT toString(toDecimal32(1.5, 2)) AS a, "
+               "toString(toDecimal64(-3, 3)) AS b, "
+               "toString(toDecimal32(1.25, 4)) AS c") \
+        == ('1.5', '-3', '1.25')
+
+
+def test_array_join_over_map(spark):
+    # arrayJoin over a Map iterates (key, value) tuples — one column
+    assert rows(spark, "SELECT kv.1 AS k, kv.2 AS v FROM (SELECT "
+                "arrayJoin(map('a', 1, 'b', 2)) AS kv) ORDER BY k") \
+        == [('a', 1), ('b', 2)]
+    assert len(rows(spark, "SELECT arrayJoin(map('a', 1, 'b', 2)) AS "
+                   "kv ORDER BY kv.1")) == 2
+
+
+def test_int_exp_and_low_cardinality(spark):
+    assert one(spark, "SELECT intExp2(10) AS a, intExp10(3) AS b, "
+               "toLowCardinality('x') AS c") == (1024, 1000, 'x')
+
+
+def test_pad_truncates_longer_input(spark):
+    assert one(spark, "SELECT leftPad('abc', 2) AS a, rightPad('abc', "
+               "2, '*') AS b, leftPad('a', 3, 'xy') AS c") \
+        == ('ab', 'ab', 'xya')
+
+
+# --- batch 18: compositions of the round-7 semantic fixes -------------------
+
+def test_if_defaults_under_totals_and_rollup(spark):
+    assert rows(spark, "SELECT number % 2 AS g, sumIf(number, number >"
+                " 100) AS s FROM numbers(4) GROUP BY g WITH TOTALS "
+                "ORDER BY g") == [(0, 0), (1, 0), (None, 0)]
+    assert rows(spark, "SELECT number % 2 AS g, maxIf(number, number >"
+                " 100) AS m FROM numbers(4) GROUP BY ROLLUP(g) "
+                "ORDER BY g NULLS LAST") == [(0, 0), (1, 0), (None, 0)]
+
+
+def test_in_null_in_where_position(spark):
+    assert rows(spark, "SELECT number FROM numbers(3) WHERE number IN "
+                "(NULL, 1)") == [(1,)]
+    assert rows(spark, "SELECT number FROM numbers(3) WHERE number NOT"
+                " IN (NULL, 1) ORDER BY number") == [(0,), (2,)]
+
+
+def test_setop_null_rows_compare_equal(spark):
+    assert rows(spark, "SELECT NULL AS n INTERSECT SELECT NULL AS n") \
+        == [(None,)]
+    assert rows(spark, "SELECT 1 AS n EXCEPT SELECT NULL AS n") \
+        == [(1,)]
+    assert rows(spark, "SELECT NULL AS n EXCEPT SELECT NULL AS n") == []
+
+
+def test_array_join_map_group_by(spark):
+    assert rows(spark, "SELECT kv.1 AS k, sum(kv.2) AS s FROM (SELECT "
+                "arrayJoin(map('a', number, 'b', 1)) AS kv FROM "
+                "numbers(3)) GROUP BY k ORDER BY k") \
+        == [('a', 3), ('b', 3)]
+
+
+def test_numbers_declares_uint64(spark):
+    # SystemNumbers: number is UInt64, so number % 2 is UInt8
+    # (ResultOfModulo = divisor width, unsigned dividend)
+    assert one(spark, "SELECT toTypeName(number) AS t, "
+               "toTypeName(number % 2) AS m, hex(number % 2) AS h "
+               "FROM numbers(1)") == ('UInt64', 'UInt8', '00')
+
+
+# --- batch 19: ISO week, decimal scale arithmetic, extract, trunc -----------
+
+def test_iso_week_year(spark):
+    assert one(spark, "SELECT toISOWeek(toDate('2024-01-01')) AS a, "
+               "toISOYear(toDate('2023-01-01')) AS b, "
+               "toISOWeek(toDate('2023-01-01')) AS c") == (1, 2022, 52)
+
+
+def test_decimal_arith_scale(spark):
+    # multiply adds scales, plus takes max scale; rendering trims zeros
+    assert one(spark, "SELECT toString(toDecimal32(2.5, 1) * "
+               "toDecimal32(2.5, 1)) AS a, toString(toDecimal32(1.1, "
+               "1) + toDecimal32(2.25, 2)) AS b") == ('6.25', '3.35')
+
+
+def test_extract_and_count_matches(spark):
+    assert one(spark, "SELECT extract('hello123world456', '\\\\d+') AS"
+               " a, extractAll('hello123world456', '\\\\d+') AS b, "
+               "countMatches('aaaa', 'aa') AS c, translate('abc', "
+               "'ab', 'xy') AS d") == ('123', ['123', '456'], 2, 'xyc')
+
+
+def test_trunc_rounds_toward_zero(spark):
+    assert one(spark, "SELECT trunc(-1.9) AS a, trunc(1.9) AS b, "
+               "truncate(-12.345, 2) AS c, floor(-1.9) AS d") \
+        == (-1.0, 1.0, -12.34, -2.0)
+
+
+def test_array_rotate_shingles(spark):
+    assert one(spark, "SELECT arrayRotateLeft([1,2,3], 1) AS a, "
+               "arrayRotateRight([1,2,3], 1) AS b, "
+               "arrayShingles([1,2,3], 2) AS c") \
+        == ([2, 3, 1], [3, 1, 2], [[1, 2], [2, 3]])
+
+
+def test_map_helper_trio(spark):
+    assert one(spark, "SELECT mapContains(map('a',1), 'a') AS a, "
+               "mapKeys(map('a',1,'b',2)) AS k, "
+               "mapValues(map('a',1,'b',2)) AS v") \
+        == (True, ['a', 'b'], [1, 2])
+
+
+def test_modulo_or_zero(spark):
+    assert one(spark, "SELECT moduloOrZero(5, 0) AS a, "
+               "intDivOrZero(5, 0) AS b") == (0, 0)
