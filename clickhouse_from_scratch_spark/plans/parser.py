@@ -120,17 +120,20 @@ class Parser:
                     self.accept_kw("ALL")
                     modes.append("all")
             elif self.accept_kw("INTERSECT"):
-                if self.accept_kw("ALL"):
-                    modes.append("intersect_all")
-                else:
-                    self.accept_kw("DISTINCT")
+                # bare INTERSECT keeps left-side duplicates (the
+                # reference era has no ALL/DISTINCT variants —
+                # SelectUnionMode.h:8-15; ALL is the published default)
+                if self.accept_kw("DISTINCT"):
                     modes.append("intersect")
-            elif self.accept_kw("EXCEPT"):
-                if self.accept_kw("ALL"):
-                    modes.append("except_all")
                 else:
-                    self.accept_kw("DISTINCT")
+                    self.accept_kw("ALL")
+                    modes.append("intersect_all")
+            elif self.accept_kw("EXCEPT"):
+                if self.accept_kw("DISTINCT"):
                     modes.append("except")
+                else:
+                    self.accept_kw("ALL")
+                    modes.append("except_all")
             else:
                 break
             selects.append(self._select_or_paren())

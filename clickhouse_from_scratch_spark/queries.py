@@ -588,24 +588,67 @@ def setop_union(spark, sf_dir):
 
 @query("setop_intersect", oracle="""
 SELECT c_nationkey AS nk FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
+""")
+def setop_intersect(spark, sf_dir):
+    """CH bare INTERSECT defaults to ALL with hash-set-filter semantics:
+    every left row whose tuple appears in the right survives, left
+    multiplicity preserved (reference SelectUnionMode.h:8-15 has no
+    ALL/DISTINCT variants; docs: "the result can contain duplicate
+    rows"). Lowered as a null-safe left-semi join — the DuckDB oracle
+    is the equivalent IN filter."""
+    return _sql(spark, sf_dir, """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    """)
+
+
+@query("setop_intersect_distinct", oracle="""
+SELECT c_nationkey AS nk FROM customer
 INTERSECT
 SELECT s_nationkey AS nk FROM supplier
 """)
-def setop_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
+def setop_intersect_distinct(spark, sf_dir):
+    """INTERSECT DISTINCT dedups the result (SQL-standard INTERSECT —
+    what DuckDB's bare INTERSECT means)."""
+    return _sql(spark, sf_dir, """
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT DISTINCT
+        SELECT s_nationkey AS nk FROM supplier
+    """)
 
 
 @query("setop_except", oracle="""
+SELECT c_custkey AS ck FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+""")
+def setop_except(spark, sf_dir):
+    """CH bare EXCEPT = ALL filter semantics: drops every left row whose
+    tuple appears in the right, keeps duplicates of the rest (null-safe
+    left-anti join). Customers with no 'F'-status order —
+    a non-trivial row set in this testdata; keys are non-null so the
+    DuckDB NOT IN oracle is exact."""
+    return _sql(spark, sf_dir, """
+        SELECT c_custkey AS ck FROM customer
+        EXCEPT
+        SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    """)
+
+
+@query("setop_except_distinct", oracle="""
 SELECT c_nationkey AS nk FROM customer
 EXCEPT
 SELECT s_nationkey AS nk FROM supplier
 """)
-def setop_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.subtract(s)  # EXCEPT = set difference (distinct semantics)
+def setop_except_distinct(spark, sf_dir):
+    """EXCEPT DISTINCT = SQL-standard set difference."""
+    return _sql(spark, sf_dir, """
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT DISTINCT
+        SELECT s_nationkey AS nk FROM supplier
+    """)
 
 
 # ---------------------------------------------------------------------------

@@ -320,20 +320,34 @@ def _nulljoin_cases(n: int) -> list[tuple[str, str]]:
 NULLJOIN_CASES = _nulljoin_cases(10)
 
 
-def _setop_cases(n: int) -> list[tuple[str, str]]:
-    """UNION/INTERSECT/EXCEPT (+ ALL forms) between two filtered
-    projections — identical syntax and semantics in both engines."""
+def _setop_cases(n: int) -> list[tuple[str, str, str]]:
+    """UNION/INTERSECT/EXCEPT (+ modifiers) between two filtered
+    projections. UNION and the DISTINCT forms mean the same thing in
+    both engines; CH INTERSECT/EXCEPT default to ALL with hash-set
+    FILTER semantics (left multiplicity preserved, every copy of a
+    matched row dropped), which DuckDB expresses as IN / NOT IN."""
     rnd = random.Random(808)
     out = []
     for i in range(n):
         op = rnd.choice(["UNION ALL", "UNION DISTINCT", "INTERSECT",
-                         "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"])
+                         "EXCEPT", "INTERSECT ALL", "EXCEPT ALL",
+                         "INTERSECT DISTINCT", "EXCEPT DISTINCT"])
         col = rnd.choice(["l_linenumber", "l_suppkey", "(l_orderkey % 50)"])
         c1, c2 = rnd.randint(5, 30), rnd.randint(5, 30)
-        sql = (f"SELECT {col} AS v FROM lineitem WHERE l_linenumber < {c1 % 7 + 1} "
-               f"{op} "
-               f"SELECT {col} AS v FROM lineitem WHERE l_suppkey < {c2}")
-        out.append((f"setopfuzz{i:02d}", sql))
+        left = (f"SELECT {col} AS v FROM lineitem "
+                f"WHERE l_linenumber < {c1 % 7 + 1}")
+        right = f"SELECT {col} AS v FROM lineitem WHERE l_suppkey < {c2}"
+        sql = f"{left} {op} {right}"
+        if op in ("INTERSECT", "INTERSECT ALL"):
+            duck = f"SELECT v FROM ({left}) WHERE v IN (SELECT v FROM ({right}))"
+        elif op in ("EXCEPT", "EXCEPT ALL"):
+            duck = (f"SELECT v FROM ({left}) WHERE v NOT IN "
+                    f"(SELECT v FROM ({right}))")
+        elif op in ("INTERSECT DISTINCT", "EXCEPT DISTINCT"):
+            duck = f"{left} {op.split()[0]} {right}"
+        else:
+            duck = sql
+        out.append((f"setopfuzz{i:02d}", sql, duck))
     return out
 
 
@@ -439,7 +453,7 @@ ROLLUP_CASES = _rollup_cases(8)
 SUBQ_CASES = _subquery_cases(9)
 
 ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
-             + HAV_CASES + SETOP_CASES + ROLLUP_CASES + SUBQ_CASES)
+             + HAV_CASES + ROLLUP_CASES + SUBQ_CASES)
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
@@ -526,7 +540,8 @@ def _tupmap_cases() -> list[tuple[str, str, str]]:
 
 TUPMAP_CASES = _tupmap_cases()
 
-PAIR_CASES = (DATE_CASES + DIST_CASES + QNT_CASES + ARR_CASES + TUPMAP_CASES)
+PAIR_CASES = (DATE_CASES + DIST_CASES + QNT_CASES + ARR_CASES
+              + TUPMAP_CASES + SETOP_CASES)
 
 
 @pytest.mark.parametrize("name,ch_sql,dd_sql", PAIR_CASES,

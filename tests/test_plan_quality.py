@@ -242,3 +242,16 @@ def test_interval_buckets_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
     read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
     assert "o_comment" not in read_schema
+
+
+def test_setop_filter_is_semi_join(spark, sf_dir):
+    # CH bare INTERSECT/EXCEPT lower to null-safe LeftSemi/LeftAnti
+    # hash joins (the IntersectOrExceptTransform shape): the right side
+    # builds a broadcastable hash set; never a Cartesian, never a
+    # full-width shuffle of the left
+    plan = _plan(spark, sf_dir, "setop_intersect")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(spark, sf_dir, "setop_except")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

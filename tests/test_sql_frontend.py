@@ -195,14 +195,28 @@ CASES = [
      "SELECT s_nationkey AS nk FROM supplier",
      "SELECT c_nationkey AS nk FROM customer UNION "
      "SELECT s_nationkey AS nk FROM supplier"),
+    # CH bare INTERSECT/EXCEPT default to ALL with hash-set filter
+    # semantics (left duplicates kept); DuckDB speaks it as IN / NOT IN
     ("intersect",
      "SELECT c_nationkey AS nk FROM customer INTERSECT "
      "SELECT s_nationkey AS nk FROM supplier",
-     None),
+     "SELECT c_nationkey AS nk FROM customer WHERE c_nationkey IN "
+     "(SELECT s_nationkey FROM supplier)"),
+    ("intersect_distinct",
+     "SELECT c_nationkey AS nk FROM customer INTERSECT DISTINCT "
+     "SELECT s_nationkey AS nk FROM supplier",
+     "SELECT c_nationkey AS nk FROM customer INTERSECT "
+     "SELECT s_nationkey AS nk FROM supplier"),
     ("except",
      "SELECT c_nationkey AS nk FROM customer EXCEPT "
      "SELECT s_nationkey AS nk FROM supplier",
-     None),
+     "SELECT c_nationkey AS nk FROM customer WHERE c_nationkey NOT IN "
+     "(SELECT s_nationkey FROM supplier)"),
+    ("except_distinct",
+     "SELECT c_nationkey AS nk FROM customer EXCEPT DISTINCT "
+     "SELECT s_nationkey AS nk FROM supplier",
+     "SELECT c_nationkey AS nk FROM customer EXCEPT "
+     "SELECT s_nationkey AS nk FROM supplier"),
     ("window_rank",
      "SELECT event_id, rank() OVER (PARTITION BY user_id "
      "ORDER BY ts, event_id) AS rk FROM events",
@@ -1042,13 +1056,20 @@ def test_values_and_format_table_functions(spark):
 
 
 def test_set_op_all_modifiers(spark):
+    # CH EXCEPT (ALL) is a hash-set filter: EVERY copy of a matched row
+    # is dropped, so {1, 1} EXCEPT {1} = {} (not the multiset-minus one)
     out = execute_sql(
         spark, "SELECT 1 AS x UNION ALL SELECT 1 EXCEPT ALL SELECT 1",
         {}).collect()
-    assert [r.x for r in out] == [1]       # multiset difference keeps one
+    assert [r.x for r in out] == []
     out = execute_sql(
         spark, "SELECT 2 AS x INTERSECT ALL SELECT 2 AS x", {}).collect()
     assert [r.x for r in out] == [2]
+    # and INTERSECT preserves full left multiplicity (not multiset-min)
+    out = execute_sql(
+        spark, "SELECT x FROM (SELECT 0 AS x UNION ALL SELECT 0 "
+        "INTERSECT SELECT 0 AS x)", {}).collect()
+    assert [r.x for r in out] == [0, 0]
 
 
 def test_array_fold_hof(spark):
