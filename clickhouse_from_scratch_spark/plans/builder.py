@@ -2122,14 +2122,20 @@ _NUMERIC_AGG_PREFIXES = (
     "skew", "kurt", "deltaSum", "boundingRatio", "rankCorr")
 
 
-def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
+def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
+                over=None) -> Column:
     """Lower one aggregate call, then apply the CH empty-subset rule:
-    an -If / FILTER(WHERE) aggregate whose condition never fires behaves
-    exactly like an aggregate over an empty set — default-initialized
-    state (sum→0, min/max→type default, avg→nan), never NULL. Spark's
-    sum(when(cond, x)) yields NULL there, so gate on the matched-row
-    count per group. -OrNull keeps NULL; count* is already 0."""
+    an -If / FILTER(WHERE) aggregate whose condition never fires — and
+    any aggregate over an empty WINDOW FRAME (`over` is the Spark
+    WindowSpec when called from _window_call) — behaves exactly like an
+    aggregate over an empty set: default-initialized state (sum→0,
+    min/max→type default, avg→nan), never NULL. Spark yields NULL in
+    both positions, so gate on the matched-row count per group/frame.
+    -OrNull keeps NULL; count* is already 0; Nullable arguments keep
+    NULL (AggregateFunctionNull)."""
     result = _agg_column_inner(node, ctx, df)
+    if over is not None:
+        result = result.over(over)
     name = node.name
     if node.filter_where is not None:
         cond_node, base = node.filter_where, name
@@ -2138,6 +2144,9 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
             and not node.distinct):
         cond_node, base = node.args[-1], name[:-2]
         value_nodes = node.args[:-1]
+    elif over is not None:
+        cond_node, base = None, name    # empty-frame rule, plain agg
+        value_nodes = node.args
     else:
         return result
     low = base.lower()
@@ -2165,8 +2174,13 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame) -> Column:
     d = _empty_set_default(base, dt)
     if d is None:
         return result
-    cond = _eval(_inline(cond_node, ctx), ctx, df).cast("boolean")
-    matched = F.count(F.when(cond, F.lit(1)))
+    if cond_node is not None:
+        cond = _eval(_inline(cond_node, ctx), ctx, df).cast("boolean")
+        matched = F.count(F.when(cond, F.lit(1)))
+    else:
+        matched = F.count(F.lit(1))
+    if over is not None:
+        matched = matched.over(over)
     return F.when(matched > 0, result).otherwise(d)
 
 
@@ -4049,8 +4063,12 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
         return _WINDOW_VALUE_FNS[name](cols[0], *extra).over(w)
     if _is_agg_name(name):
         inner = FuncCall(node.name, node.args, node.params, node.distinct,
+                         node.filter_where,
                          nulls_modifier=node.nulls_modifier)
-        return _agg_column(inner, ctx, df).over(w)
+        # _agg_column applies .over(w) per aggregate leg — the
+        # empty-frame/empty-subset default gate is a CASE over two
+        # windowed aggregates, which .over() could not wrap whole
+        return _agg_column(inner, ctx, df, over=w)
     raise BuildError(f"unknown window function: {name}")
 
 

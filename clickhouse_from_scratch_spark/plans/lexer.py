@@ -114,6 +114,13 @@ def _string(sql: str, i: int, quote: str) -> tuple[str, int]:
     while j < n:
         c = sql[j]
         if c == "\\" and j + 1 < n:
+            # \xHH hex byte escape ('\x41' = 'A')
+            if (sql[j + 1] in "xX" and j + 3 < n
+                    and sql[j + 2] in "0123456789abcdefABCDEF"
+                    and sql[j + 3] in "0123456789abcdefABCDEF"):
+                out.append(chr(int(sql[j + 2:j + 4], 16)))
+                j += 4
+                continue
             out.append(_ESCAPES.get(sql[j + 1], sql[j + 1]))
             j += 2
             continue

@@ -1236,3 +1236,88 @@ def test_map_helper_trio(spark):
 def test_modulo_or_zero(spark):
     assert one(spark, "SELECT moduloOrZero(5, 0) AS a, "
                "intDivOrZero(5, 0) AS b") == (0, 0)
+
+
+# --- batch 20: empty window frames get aggregate defaults -------------------
+
+def test_empty_frame_defaults(spark):
+    # an empty ROWS frame is a default-initialized aggregate state:
+    # sum/max -> 0, count -> 0, avg -> nan — never NULL
+    assert rows(spark, "SELECT number, sum(number) OVER (ORDER BY "
+                "number ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS s"
+                " FROM numbers(3) ORDER BY number") \
+        == [(0, 2), (1, 0), (2, 0)]
+    assert rows(spark, "SELECT number, count(number) OVER (ORDER BY "
+                "number ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS c"
+                " FROM numbers(3) ORDER BY number") \
+        == [(0, 1), (1, 0), (2, 0)]
+    import math
+    r = rows(spark, "SELECT avg(number) OVER (ORDER BY number ROWS "
+             "BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS a FROM "
+             "numbers(2) ORDER BY number")
+    assert math.isnan(r[1][0])
+
+
+def test_empty_frame_group_array(spark):
+    assert rows(spark, "SELECT number, groupArray(number) OVER (ORDER "
+                "BY number ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) "
+                "AS g FROM numbers(2) ORDER BY number") \
+        == [(0, [1]), (1, [])]
+
+
+def test_windowed_sum_if(spark):
+    assert rows(spark, "SELECT number, sumIf(number, number > 100) "
+                "OVER (ORDER BY number ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW) AS s FROM numbers(2) "
+                "ORDER BY number") == [(0, 0), (1, 0)]
+
+
+def test_tuple_in_with_null_member(spark):
+    assert one(spark, "SELECT (1, NULL) IN ((1, NULL)) AS a, "
+               "(1, 2) IN ((1, NULL), (1, 2)) AS b") == (False, True)
+
+
+def test_array_fold_typed_acc(spark):
+    assert one(spark, "SELECT arrayFold((acc, x) -> acc + x, [1,2,3], "
+               "toInt64(10)) AS a, arrayFold((acc, x) -> "
+               "arrayPushBack(acc, x * 2), [1, 2], emptyArrayInt64()) "
+               "AS b") == (16, [2, 4])
+
+
+# --- batch 21: SQL-surface edges --------------------------------------------
+
+def test_group_by_constant_and_tuple(spark):
+    assert rows(spark, "SELECT count() AS c FROM numbers(5) "
+                "GROUP BY 'a'") == [(5,)]
+    assert rows(spark, "SELECT (number % 2) AS g, groupArray(number) "
+                "AS xs FROM numbers(4) GROUP BY g ORDER BY g") \
+        == [(0, [0, 2]), (1, [1, 3])]
+
+
+def test_having_without_group_by(spark):
+    assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
+                "HAVING sum(number) > 100") == []
+    assert rows(spark, "SELECT sum(number) AS s FROM numbers(5) "
+                "HAVING s > 5") == [(10,)]
+
+
+def test_negative_array_index_bracket(spark):
+    assert one(spark, "SELECT [1,2,3][-1] AS a, "
+               "arrayElement([1,2,3], -2) AS b") == (3, 2)
+
+
+def test_chained_interval_arithmetic(spark):
+    assert one(spark, "SELECT toString(toDateTime('2024-01-01 "
+               "00:00:00') + INTERVAL 1 DAY + INTERVAL 2 HOUR) AS a, "
+               "toString(toDate('2024-03-14') - INTERVAL 2 WEEK) AS b")\
+        == ('2024-01-02 02:00:00', '2024-02-29')
+
+
+def test_hex_escape_in_string_literal(spark):
+    assert one(spark, "SELECT '\\x41' AS a, length('a\\nb') AS b") \
+        == ('A', 3)
+
+
+def test_unary_minus_typing(spark):
+    assert one(spark, "SELECT -number AS n, toTypeName(-number) AS t "
+               "FROM numbers(1)") == (0, 'Int64')
