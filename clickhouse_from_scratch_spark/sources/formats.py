@@ -27,14 +27,22 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     # with the Native analogue below)
     "Arrow": ("arrow-ipc-file", {}, {}),
     "ArrowStream": ("arrow-ipc-stream", {}, {}),
-    "CSV": ("csv", {"header": "false"}, {"header": "false"}),
-    "CSVWithNames": ("csv", {"header": "true"}, {"header": "true"}),
-    "TabSeparated": ("csv", {"sep": "\t", "header": "false"},
-                     {"sep": "\t", "header": "false"}),
-    "TSV": ("csv", {"sep": "\t", "header": "false"},
-            {"sep": "\t", "header": "false"}),
-    "TabSeparatedWithNames": ("csv", {"sep": "\t", "header": "true"},
-                              {"sep": "\t", "header": "true"}),
+    # CH CSV/TSV both render NULL as \N (formats docs) — make the
+    # distributed Spark readers/writers speak the same convention
+    "CSV": ("csv", {"header": "false", "nullValue": "\\N"},
+            {"header": "false", "nullValue": "\\N"}),
+    "CSVWithNames": ("csv", {"header": "true", "nullValue": "\\N"},
+                     {"header": "true", "nullValue": "\\N"}),
+    "TabSeparated": ("csv", {"sep": "\t", "header": "false",
+                             "nullValue": "\\N"},
+                     {"sep": "\t", "header": "false",
+                      "nullValue": "\\N"}),
+    "TSV": ("csv", {"sep": "\t", "header": "false", "nullValue": "\\N"},
+            {"sep": "\t", "header": "false", "nullValue": "\\N"}),
+    "TabSeparatedWithNames": ("csv", {"sep": "\t", "header": "true",
+                                      "nullValue": "\\N"},
+                              {"sep": "\t", "header": "true",
+                               "nullValue": "\\N"}),
     "JSONEachRow": ("json", {}, {}),
     "JSONCompactEachRow": ("json", {}, {}),
     "LineAsString": ("text", {}, {}),
@@ -439,11 +447,52 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
     return "\n".join([head, *body, foot])
 
 
+def _dec_str(v) -> str:
+    """Decimal text: CH trims trailing fractional zeros by default
+    (output_format_decimal_trailing_zeros = false)."""
+    s = str(v)
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
+
+
+def _text_cell(v, simple: str, quote_strings: bool) -> str:
+    """One CH text-format cell (TabSeparated/CSV array conventions):
+    escaped strings, [..] arrays with no spaces and quoted string
+    elements, trimmed decimals, seconds-precision DateTime."""
+    import datetime
+    if v is None:
+        return "\\N"
+    if simple == "boolean":
+        return "true" if v else "false"
+    if simple.startswith("decimal"):
+        return _dec_str(v)
+    if simple in ("float", "double"):
+        out = str(v)
+        return out[:-2] if out.endswith(".0") else out
+    if simple.startswith("array<"):
+        inner = simple[6:-1]
+        return "[" + ",".join(
+            _text_cell(x, inner, quote_strings=True) for x in v) + "]"
+    if simple.startswith("timestamp") and isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if simple in ("string", "binary"):
+        sv = _tsv_escape(str(v))
+        return "'" + sv.replace("'", "\\'") + "'" if quote_strings else sv
+    return str(v)
+
+
 def to_tab_separated(df: DataFrame, n: int = 10000) -> str:
-    """TabSeparated text output (CH's default client format)."""
+    """TabSeparated text output (CH's default client format): NULL is
+    ``\\N``, strings backslash-escape tab/newline, arrays render as
+    ``[1,2]`` with quoted string elements, decimals trim trailing
+    zeros."""
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
     rows = df.limit(n).collect()
-    return "\n".join("\t".join("" if v is None else str(v) for v in row)
-                     for row in rows)
+    return "\n".join(
+        "\t".join(_text_cell(v, t, quote_strings=False)
+                  for v, t in zip(row, simples))
+        for row in rows)
 
 
 # --- ClickHouse text formats (registerFormats.cpp:10-77 tail) --------------
@@ -483,7 +532,9 @@ def _values_cell(v, simple: str) -> str:
         return "NULL"
     if simple == "boolean":
         return "true" if v else "false"
-    if simple in _NUMERIC_TYPES or simple.startswith("decimal"):
+    if simple.startswith("decimal"):
+        return _dec_str(v)
+    if simple in _NUMERIC_TYPES:
         return str(v)
     if simple.startswith("array<"):
         inner = simple[6:-1]
@@ -593,6 +644,12 @@ def _json_cell(v, simple: str):
     if simple.startswith("array<"):
         inner = simple[6:-1]
         return [_json_cell(x, inner) for x in v]
+    if simple.startswith("decimal"):
+        # CH JSON renders Decimal as an unquoted number by default
+        # (output_format_json_quote_decimals = 0), trailing zeros
+        # trimmed; exact below 2^53 (the documented float policy)
+        iv = int(v)
+        return iv if v == iv else float(_dec_str(v))
     return str(v)
 
 

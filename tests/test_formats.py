@@ -66,7 +66,9 @@ def test_pretty_and_tsv_renderers(sample):
     tsv = to_tab_separated(sample.orderBy("id"))
     lines = tsv.split("\n")
     assert lines[0] == "1\ta\t1.5"
-    assert lines[2] == "3\tc\t"          # NULL → empty cell
+    # CH TabSeparated formats NULL as \N (formats docs: "NULL is
+    # formatted as \N")
+    assert lines[2] == "3\tc\t\\N"
 
 
 def test_line_as_string(spark, tmp_path):
@@ -505,3 +507,25 @@ def test_insert_from_infile_binary_codecs(spark, tmp_path):
         rows = [tuple(r) for r in sess.execute(
             f"SELECT x, s FROM in_{ext} ORDER BY x").collect()]
         assert rows == [(1, "a"), (2, "b")], fmt
+
+
+def test_tsv_ch_cell_conventions(spark):
+    """TabSeparated: \\N nulls, escaped tabs/newlines in strings,
+    [1,2]-style arrays with quoted string elements, trimmed decimals."""
+    from clickhouse_from_scratch_spark.plans.engine import execute_sql
+    df = execute_sql(
+        spark,
+        "SELECT toDecimal32(1.5, 2) AS d, nullIf(1, 1) AS nul, "
+        "[1, 2] AS arr, 'a\tb' AS s, ['x', 'y'] AS sa", {})
+    assert to_tab_separated(df) == "1.5\t\\N\t[1,2]\ta\\tb\t['x','y']"
+
+
+def test_json_each_row_decimal_is_number(spark):
+    """CH JSON renders Decimal unquoted (quote_decimals default 0)."""
+    from clickhouse_from_scratch_spark.plans.engine import execute_sql
+    from clickhouse_from_scratch_spark.sources.formats import (
+        to_json_each_row, to_values)
+    df = execute_sql(spark, "SELECT toDecimal32(1.5, 2) AS d, "
+                     "toDecimal64(2, 3) AS i", {})
+    assert to_json_each_row(df) == '{"d": 1.5, "i": 2}'
+    assert to_values(df) == "(1.5,2)"
