@@ -821,19 +821,22 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         cols = _split_cols(node.args[0].value)
         spark_schema = ", ".join(f"`{n}` {ch_type_to_spark(t)}"
                                  for n, t in cols)
+        def _cell(item):
+            # constant EXPRESSIONS are allowed in VALUES rows
+            # (input_format_values_interpret_expressions default 1):
+            # evaluate against a one-row frame — bounded by the
+            # inline row count, never a table scan
+            if isinstance(item, Literal):
+                return item.value
+            one = ctx.spark.range(1)
+            return one.select(_eval(item, ctx, one)).collect()[0][0]
+
         rows = []
         for a in node.args[1:]:
             if isinstance(a, TupleLiteral):
-                vals = []
-                for item in a.items:
-                    if not isinstance(item, Literal):
-                        raise BuildError("values() rows must be literals")
-                    vals.append(item.value)
-                rows.append(tuple(vals))
-            elif isinstance(a, Literal):
-                rows.append((a.value,))
+                rows.append(tuple(_cell(item) for item in a.items))
             else:
-                raise BuildError("values() rows must be literals")
+                rows.append((_cell(a),))
         return ctx.spark.createDataFrame(rows, spark_schema)
     if name == "format":
         # format(FormatName, 'data') — inline data in any input format;
@@ -2808,7 +2811,21 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     if isinstance(node, Alias):
         return _eval(node.expr, ctx, df).alias(node.alias)
     if isinstance(node, Cast):
-        return _eval(node.expr, ctx, df).cast(ch_type_to_spark(node.type_name))
+        src = _eval(node.expr, ctx, df)
+        target = ch_type_to_spark(node.type_name)
+        if target.lstrip().startswith(("array", "map", "struct")):
+            # CAST('[1,2,3]' AS Array(Int32)) parses the CH literal
+            # form when the source is a string. Single-quoted string
+            # elements are normalized to JSON double quotes first —
+            # exact for elements without embedded quotes (documented
+            # partial fidelity; CH strings are parsed with full
+            # escape handling).
+            sdt = _probe_dtype(node.expr, src, ctx, df)
+            if sdt is not None and sdt.simpleString() == "string":
+                norm = F.regexp_replace(src, r"(?<!')'(?!')", '"')
+                norm = F.regexp_replace(norm, r"''", "'")
+                return F.from_json(norm, target)
+        return src.cast(target)
     if isinstance(node, ArrayLiteral):
         return F.array(*[_eval(a, ctx, df) for a in node.items])
     if isinstance(node, TupleLiteral):
@@ -3236,6 +3253,10 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         stripped = F.regexp_replace(out, r"^(-?\d+)\.0$", "$1")
         dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
         dts = dt_obj.simpleString() if dt_obj is not None else None
+        if dts is not None and dts.startswith(("array", "struct", "map")):
+            # composite values render as CH literals ('[1,2]',
+            # "(1,'a')", "{'k':1}"), not Spark's cast text
+            return _ch_literal_render(cols[0], dt_obj)
         if dts is not None and dts.startswith("decimal"):
             # CH trims trailing decimal zeros by default
             # (output_format_decimal_trailing_zeros = false,
@@ -3788,15 +3809,38 @@ _SPARK_TO_CH_NAME = {
 }
 
 
+def _split_type_args(body: str) -> list[str]:
+    """Split 'int,struct<a:int,b:string>' at top-level commas."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _spark_to_ch_name(dt: str) -> str:
     if dt.startswith("array<") and dt.endswith(">"):
         return f"Array({_spark_to_ch_name(dt[6:-1])})"
     if dt.startswith("decimal"):
         return "Decimal" + dt[7:]
-    if dt.startswith("struct<"):
-        return "Tuple(...)"
-    if dt.startswith("map<"):
-        return "Map(...)"
+    if dt.startswith("struct<") and dt.endswith(">"):
+        elems = [_spark_to_ch_name(p.split(":", 1)[1])
+                 for p in _split_type_args(dt[7:-1]) if ":" in p]
+        return f"Tuple({', '.join(elems)})"
+    if dt.startswith("map<") and dt.endswith(">"):
+        kv = _split_type_args(dt[4:-1])
+        if len(kv) == 2:
+            return (f"Map({_spark_to_ch_name(kv[0])}, "
+                    f"{_spark_to_ch_name(kv[1])})")
     return _SPARK_TO_CH_NAME.get(dt, dt)
 
 
@@ -3817,6 +3861,75 @@ def _refs_lambda_param(n, ctx: Context) -> bool:
     if isinstance(n, (ArrayLiteral, TupleLiteral)):
         return any(_refs_lambda_param(a, ctx) for a in n.items)
     return False
+
+
+def _ch_literal_render(col: Column, dt) -> Column:
+    """CH text rendering of a composite value as its literal form (the
+    IColumn text serialization toString uses): arrays ``[1,2]``, tuples
+    ``(1,'a')``, maps ``{'k':1}`` — no spaces, strings/dates inside
+    composites single-quoted with backslash escaping, floats trimmed of
+    the integral ``.0``, NULL elements as ``NULL``. Pure JVM expression
+    tree built from the resolved dtype."""
+    from pyspark.sql.types import (ArrayType, BooleanType, DateType,
+                                   MapType, StringType, StructType,
+                                   TimestampNTZType, TimestampType)
+
+    def render(c: Column, t, quoted: bool) -> Column:
+        if isinstance(t, ArrayType):
+            inner = F.transform(
+                c, _render_closure(t.elementType))
+            return F.concat(F.lit("["),
+                            F.array_join(inner, ",", "NULL"),
+                            F.lit("]"))
+        if isinstance(t, MapType):
+            ents = F.transform(
+                F.map_entries(c),
+                _map_entry_closure(t.keyType, t.valueType))
+            return F.concat(F.lit("{"),
+                            F.array_join(ents, ",", "NULL"),
+                            F.lit("}"))
+        if isinstance(t, StructType):
+            parts: list = [F.lit("(")]
+            for i, fld in enumerate(t.fields):
+                if i:
+                    parts.append(F.lit(","))
+                parts.append(F.coalesce(
+                    render(c[fld.name], fld.dataType, True),
+                    F.lit("NULL")))
+            parts.append(F.lit(")"))
+            return F.concat(*parts)
+        if isinstance(t, StringType):
+            esc = F.regexp_replace(
+                F.regexp_replace(c, r"\\", r"\\\\"), "'", r"\\'")
+            return (F.concat(F.lit("'"), esc, F.lit("'"))
+                    if quoted else c)
+        if isinstance(t, (DateType, TimestampType, TimestampNTZType)):
+            s = c.cast("string")
+            if isinstance(t, (TimestampType, TimestampNTZType)):
+                s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            return (F.concat(F.lit("'"), s, F.lit("'"))
+                    if quoted else s)
+        if isinstance(t, BooleanType):
+            return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+        out = c.cast("string")
+        if t.simpleString() in ("float", "double"):
+            out = F.regexp_replace(out, r"^(-?\d+)\.0$", "$1")
+        elif t.simpleString().startswith("decimal"):
+            out = F.regexp_replace(
+                F.regexp_replace(out, r"(\.\d*?)0+$", "$1"),
+                r"\.$", "")
+        return out
+
+    def _render_closure(t):
+        return lambda x: render(x, t, True)
+
+    def _map_entry_closure(kt, vt):
+        return lambda e: F.concat(
+            F.coalesce(render(e["key"], kt, True), F.lit("NULL")),
+            F.lit(":"),
+            F.coalesce(render(e["value"], vt, True), F.lit("NULL")))
+
+    return render(col, dt, False)
 
 
 def _probe_dtype(arg, col, ctx: Context, df: DataFrame | None):

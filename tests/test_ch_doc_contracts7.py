@@ -1321,3 +1321,38 @@ def test_hex_escape_in_string_literal(spark):
 def test_unary_minus_typing(spark):
     assert one(spark, "SELECT -number AS n, toTypeName(-number) AS t "
                "FROM numbers(1)") == (0, 'Int64')
+
+
+# --- batch 22: CH literal rendering of composites, CAST parse, VALUES -------
+
+def test_tostring_composites_render_ch_literals(spark):
+    assert one(spark, "SELECT toString([1, 2, 3]) AS a, "
+               "toString(['a', 'b']) AS b, toString((1, 'a')) AS c, "
+               "toString(map('a', 1)) AS d, toString([[1], [2, 3]]) "
+               "AS e, toString([1, NULL, 2]) AS f") \
+        == ('[1,2,3]', "['a','b']", "(1,'a')", "{'a':1}", '[[1],[2,3]]',
+            '[1,NULL,2]')
+    assert one(spark, "SELECT toString([toDate('2024-01-01')]) AS r") \
+        == ("['2024-01-01']",)
+
+
+def test_cast_string_to_array_parses_literal(spark):
+    assert one(spark, "SELECT CAST('[1,2,3]' AS Array(Int32)) AS a, "
+               "CAST('[''a'',''b'']' AS Array(String)) AS b") \
+        == ([1, 2, 3], ['a', 'b'])
+
+
+def test_values_tf_interprets_expressions(spark):
+    # input_format_values_interpret_expressions defaults to 1
+    assert rows(spark, "SELECT * FROM values('a Int32, b String', "
+                "(1 + 1, lower('A')), (3, 'b')) ORDER BY a") \
+        == [(2, 'a'), (3, 'b')]
+
+
+def test_totypename_map_renders_fully(spark):
+    # no more 'Map(...)' placeholder — full recursive type names
+    # (values use the documented Spark literal mapping: 1 -> Int32
+    # through map(); scalar literals keep CH literal typing)
+    assert one(spark, "SELECT toTypeName(map('a', 1)) AS a, "
+               "toTypeName(map('k', (1, 'x'))) AS b") \
+        == ('Map(String, Int32)', 'Map(String, Tuple(Int32, String))')
