@@ -927,8 +927,13 @@ _alias("arrayFilter", lambda f, a: F.filter(_c(a), f))
 _alias("arrayExists", lambda f, a: F.exists(_c(a), f))
 _alias("arrayAll", lambda f, a: F.forall(_c(a), f))
 _alias("arrayCount", lambda f, a: F.size(F.filter(_c(a), f)))
-_alias("arraySum", lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")))
-_alias("arrayAvg", lambda a: REGISTRY["arraySum"](a) / F.size(_c(a)))
+# NULL elements are SKIPPED (aggregate-function semantics:
+# arraySum([1,NULL]) = 1, arrayAvg divides by the non-NULL count)
+_alias("arraySum", lambda a: F.aggregate(
+    F.filter(_c(a), lambda x: x.isNotNull()),
+    F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+_alias("arrayAvg", lambda a: REGISTRY["arraySum"](a)
+       / F.size(F.filter(_c(a), lambda x: x.isNotNull())))
 _alias("arrayMin", F.array_min)
 _alias("arrayMax", F.array_max)
 _alias("arrayUniq", lambda a: F.size(F.array_distinct(_c(a))))
@@ -1033,7 +1038,8 @@ def _array_reduce_in_ranges(name, ranges, a) -> Column:
 
 _alias("arrayReduceInRanges", _array_reduce_in_ranges)
 _alias("arrayProduct", lambda a: F.aggregate(
-    _c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double")))
+    F.filter(_c(a), lambda x: x.isNotNull()),
+    F.lit(1.0), lambda acc, x: acc * x.cast("double")))
 # occurrence index among equal values seen so far (1-based)
 _alias("arrayEnumerateUniq", lambda a: F.transform(
     _c(a), lambda x, i: F.size(F.filter(

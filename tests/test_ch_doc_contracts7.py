@@ -1356,3 +1356,45 @@ def test_totypename_map_renders_fully(spark):
     assert one(spark, "SELECT toTypeName(map('a', 1)) AS a, "
                "toTypeName(map('k', (1, 'x'))) AS b") \
         == ('Map(String, Int32)', 'Map(String, Tuple(Int32, String))')
+
+
+# --- batch 24: array aggregate NULL-skipping, tz display, finite helpers ----
+
+def test_array_aggregates_skip_nulls(spark):
+    assert one(spark, "SELECT arrayMin([3, NULL, 1]) AS a, "
+               "arraySum([1, NULL]) AS b, arrayAvg([2, NULL, 4]) AS c,"
+               " arrayMax([1, NULL, 5]) AS d, "
+               "arrayProduct([2, NULL, 3]) AS e") \
+        == (1, 1, 3.0, 5, 6.0)
+
+
+def test_totimezone_display_conversion(spark):
+    assert one(spark, "SELECT toString(toTimeZone(toDateTime("
+               "'2024-01-01 00:00:00'), 'Asia/Tokyo')) AS r") \
+        == ('2024-01-01 09:00:00',)
+
+
+def test_range_variants(spark):
+    assert one(spark, "SELECT range(4) AS a, range(2, 5) AS b, "
+               "range(0, 10, 3) AS c") \
+        == ([0, 1, 2, 3], [2, 3, 4], [0, 3, 6, 9])
+
+
+def test_finite_helpers(spark):
+    assert one(spark, "SELECT isFinite(1 / 0) AS a, isInfinite(1 / 0) "
+               "AS b, isNaN(0 / 0) AS c, ifNotFinite(1 / 0, 9.0) AS d,"
+               " ifNotFinite(2.5, 9.0) AS e") \
+        == (False, True, True, 9.0, 2.5)
+
+
+def test_transform_3arg_keeps_original(spark):
+    assert one(spark, "SELECT transform(5, [1, 2], [10, 20]) AS a, "
+               "transform(1, [1, 2], [10, 20]) AS b") == (5, 10)
+
+
+def test_to_relative_nums_and_timeslot(spark):
+    assert one(spark, "SELECT toRelativeHourNum(toDateTime("
+               "'1970-01-02 00:00:00')) AS a, toRelativeDayNum("
+               "toDate('1970-01-03')) AS b, toString(timeSlot("
+               "toDateTime('2024-01-01 12:17:00'))) AS c") \
+        == (24, 2, '2024-01-01 12:00:00')
