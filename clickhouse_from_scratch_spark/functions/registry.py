@@ -1669,8 +1669,15 @@ _alias("sipHash128", lambda *cs: F.unhex(F.md5(F.concat_ws(
     "\x00", *[_c(c).cast("string") for c in cs]))))
 
 
-def _json_type(c) -> Column:
-    t = F.trim(_c(c))
+def _json_type(c, *keys) -> Column:
+    # with path keys, classify the RAW sub-document at that path (the
+    # variant round-trip keeps strings quoted so the first-char
+    # dispatch stays correct)
+    src = _c(c)
+    if keys:
+        src = F.to_json(F.variant_get(F.try_parse_json(src),
+                                      _json_path(keys), "variant"))
+    t = F.trim(src)
     f = F.substring(t, 1, 1)
     return (F.when(f == "{", "Object").when(f == "[", "Array")
             .when(f == '"', "String").when(t.isin("true", "false"), "Bool")

@@ -3595,7 +3595,7 @@ _LITERAL_ARG_FNS = {
     "startsWith", "endsWith", "substring", "left", "right", "repeat",
     "round", "roundBankers", "trunc", "truncate", "JSONExtractString", "JSONExtractInt",
     "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
-    "JSONExtractArrayRaw", "JSONExtractKeys", "JSON_VALUE", "JSON_QUERY",
+    "JSONExtractArrayRaw", "JSONExtractKeys", "JSONType", "JSONLength", "JSON_VALUE", "JSON_QUERY",
     "JSON_EXISTS", "visitParamExtractInt", "visitParamExtractFloat",
     "visitParamExtractBool", "visitParamExtractRaw", "visitParamHas",
     "visitParamExtractString",

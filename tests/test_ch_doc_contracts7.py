@@ -1398,3 +1398,38 @@ def test_to_relative_nums_and_timeslot(spark):
                "toDate('1970-01-03')) AS b, toString(timeSlot("
                "toDateTime('2024-01-01 12:17:00'))) AS c") \
         == (24, 2, '2024-01-01 12:00:00')
+
+
+# --- batch 25: JSON extraction family ---------------------------------------
+
+def test_json_extract_array_raw_and_keys(spark):
+    assert one(spark, "SELECT JSONExtractArrayRaw('{\"a\": [1, \"x\","
+               " [2]]}', 'a') AS a, JSONExtractKeys('{\"a\": 1, "
+               "\"b\": 2}') AS b") \
+        == (['1', '"x"', '[2]'], ['a', 'b'])
+
+
+def test_json_type_with_path(spark):
+    assert one(spark, "SELECT JSONType('{\"a\": 1}') AS a, "
+               "JSONType('[1]') AS b, JSONType('{\"a\": 1}', 'a') AS "
+               "c, JSONType('{\"a\": [1]}', 'a') AS d") \
+        == ('Object', 'Array', 'Int64', 'Array')
+
+
+def test_json_length_and_has(spark):
+    assert one(spark, "SELECT JSONLength('[1, 2, 3]') AS a, "
+               "JSONLength('{\"a\": 1, \"b\": 2}') AS b, "
+               "JSONHas('{\"a\": 1}', 'a') AS c, "
+               "JSONHas('{\"a\": 1}', 'b') AS d") == (3, 2, True, False)
+
+
+def test_json_nested_and_negative_index(spark):
+    assert one(spark, "SELECT JSONExtractString('{\"a\": {\"b\": "
+               "\"deep\"}}', 'a', 'b') AS a, JSONExtractInt('{\"a\": "
+               "[10, 20]}', 'a', 2) AS b, JSONExtractInt('{\"a\": "
+               "[10, 20]}', 'a', -1) AS c") == ('deep', 20, 20)
+
+
+def test_json_extract_raw_nested_object(spark):
+    assert one(spark, "SELECT JSONExtractRaw('{\"a\": {\"b\": 1}}', "
+               "'a') AS r") == ('{"b":1}',)
