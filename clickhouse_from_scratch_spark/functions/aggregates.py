@@ -67,6 +67,7 @@ def _uniq_null_aware(fn) -> Callable[..., Column]:
                 F.max(F.when(cols[0].isNull(), 1).otherwise(0)), F.lit(0))
             return (base + flag).cast("long")
         return base
+    g._raw = fn      # the -If combinator rebuilds the NULL flag itself
     return g
 
 
@@ -302,6 +303,8 @@ AGGREGATES.update({
     # weighted quantiles: Spark percentile takes a frequency column
     "quantileExactWeighted": lambda q, x, w: F.percentile(
         _c(x), F.lit(q), _c(w).cast("long")),
+    "quantilesExactWeighted": lambda qs, x, w: F.percentile(
+        _c(x), F.array(*[F.lit(q) for q in qs]), _c(w).cast("long")),
     "quantileTimingWeighted": lambda q, x, w: F.percentile(
         _c(x), F.lit(q), _c(w).cast("long")),
     # exact lower/upper-bound selection (no interpolation)
@@ -706,6 +709,18 @@ def _combine(base, base_name: str, sfx: str):
             vals = a[:-1]
             if not vals:                        # countIf(cond)
                 return base(F.when(cond, F.lit(1)))
+            raw = getattr(base, "_raw", None)
+            if raw is not None and len(vals) == 1:
+                # uniq family: the NULL-as-distinct-value flag must see
+                # only rows the condition SELECTS — masking non-matching
+                # rows to NULL would add a phantom distinct value
+                # (uniqExactIf(x, cond) over all-matching non-NULL rows
+                # must not count the masked rest)
+                v = _c(vals[0])
+                flag = F.coalesce(F.max(F.when(
+                    F.coalesce(cond, F.lit(False)) & v.isNull(),
+                    1).otherwise(0)), F.lit(0))
+                return (raw(F.when(cond, v)) + flag).cast("long")
             return base(*[F.when(cond, _c(x)) for x in vals])
         return _ifed
     if sfx == "OrNull":
@@ -802,6 +817,19 @@ def register_into(registry: dict[str, Callable[..., Column]]) -> None:
             registry[base + "If"] = _arg_if(fn)
         else:
             def _mk(f):
+                raw = getattr(f, "_raw", None)
+                if raw is not None:
+                    # uniq family: restrict the NULL-as-distinct flag
+                    # to condition-matching rows (masked-out rows must
+                    # not add a phantom NULL value)
+                    def g(x, cond):
+                        c = _c(cond).cast("boolean")
+                        v = _c(x)
+                        flag = F.coalesce(F.max(F.when(
+                            F.coalesce(c, F.lit(False)) & v.isNull(),
+                            1).otherwise(0)), F.lit(0))
+                        return (raw(F.when(c, v)) + flag).cast("long")
+                    return g
                 return lambda x, cond: f(
                     F.when(_c(cond).cast("boolean"), _c(x)))
             registry[base + "If"] = _mk(fn)
@@ -846,9 +874,68 @@ def _welch_t_test(v, idx) -> Column:
                     _t_p_value(t).alias("p_value"))
 
 
+def _mean_z_test(pv0, pv1, conf, v, idx) -> Column:
+    """meanZTest(pop_var_x, pop_var_y, confidence)(data, index) →
+    (z_statistic, p_value, ci_low, ci_high) per the public CH
+    signature; the population variances are GIVEN, so the statistic is
+    exactly normal (no t approximation)."""
+    import math
+    n0, m0, _ = _sample_moments(v, idx, 0)
+    n1, m1, _ = _sample_moments(v, idx, 1)
+    se = F.sqrt(F.lit(float(pv0)) / n0 + F.lit(float(pv1)) / n1)
+    z = (m0 - m1) / se
+    # two-sided quantile of the normal via the inverse error function
+    # is not available JVM-side; the CI half-width uses the erf-based
+    # approximation of z_{(1+conf)/2} computed in Python (constant)
+    from statistics import NormalDist
+    zq = NormalDist().inv_cdf((1.0 + float(conf)) / 2.0)
+    return F.struct(
+        z.alias("z_statistic"),
+        _t_p_value(z).alias("p_value"),
+        ((m0 - m1) - zq * se).alias("confidence_interval_low"),
+        ((m0 - m1) + zq * se).alias("confidence_interval_high"))
+
+
+def _group_array_insert_at(*a) -> Column:
+    """groupArrayInsertAt([default[, size]])(x, pos): place x at its
+    0-based pos; gaps take the explicit default (params lead, CH
+    convention) or the resolved type default the builder passes.
+    State is the collected (pos, value) pair list — bounded by the
+    group, same as CH's array state."""
+    default = size = None
+    if len(a) == 2:
+        x, pos = a
+    elif len(a) == 3:
+        default, x, pos = a
+    elif len(a) == 4:
+        default, size, x, pos = a
+    else:
+        raise ValueError("groupArrayInsertAt takes (x, pos) with "
+                         "optional (default[, size]) parameters")
+    pairs = F.collect_list(F.struct(_c(pos).cast("int").alias("p"),
+                                    _c(x).alias("v")))
+    n = (F.lit(int(size)) if size is not None
+         else F.array_max(F.transform(pairs, lambda s: s["p"])) + 1)
+    if default is None:
+        filler = F.lit(None)
+    elif isinstance(default, Column):
+        filler = default
+    else:
+        filler = F.lit(default)
+
+    def slot(i):
+        hit = F.element_at(
+            F.filter(pairs, lambda s: s["p"] == i), -1)
+        return F.coalesce(hit["v"], filler)
+
+    return F.transform(F.sequence(F.lit(0), n - 1), slot)
+
+
 AGGREGATES.update({
     "studentTTest": _student_t_test,
     "welchTTest": _welch_t_test,
+    "meanZTest": _mean_z_test,
+    "groupArrayInsertAt": _group_array_insert_at,
 })
 
 

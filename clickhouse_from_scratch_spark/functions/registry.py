@@ -1434,7 +1434,10 @@ _alias("degrees", F.degrees)
 _alias("radians", F.radians)
 _alias("factorial", F.factorial)
 _alias("bitCount", F.bit_count)
+# byteSize: the builder resolves fixed-width types to their declared
+# width; this registry fallback handles dynamic/unknown types
 _alias("byteSize", lambda c: F.octet_length(_c(c).cast("string")))
+
 _alias("intExp2", lambda c: F.pow(F.lit(2.0), _c(c)).cast("long"))
 _alias("intExp10", lambda c: F.pow(F.lit(10.0), _c(c)).cast("long"))
 

@@ -2317,6 +2317,14 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
         flt = F.filter(pairs, lambda p: F.array_contains(keep, p.k))
         return _map_agg("sumMap", F.transform(flt, lambda p: p.k),
                         F.transform(flt, lambda p: p.v), df)
+    if name == "groupArrayInsertAt" and len(args) == 2 and not params:
+        # plain form fills gaps with the VALUE type's default
+        # (IDataType::getDefault) — resolved here where the schema is
+        from ..functions.aggregates import _group_array_insert_at
+        dtp = _probe_dtype(node.args[0], args[0], ctx, df)
+        d = _empty_set_default("", dtp) if dtp is not None else None
+        return _group_array_insert_at(d, args[0], args[1]) if d is not None \
+            else _group_array_insert_at(args[0], args[1])
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         return _map_agg(name, args[0], args[1], df)
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
@@ -3154,6 +3162,36 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if isinstance(dtm, MapType):
             # CH: arrayJoin over a Map iterates its (key, value) tuples
             return F.explode(F.map_entries(cols[0]))
+    if name == "tupleConcat" and node.args and df is not None:
+        from pyspark.sql.types import StructType
+        parts = []
+        for a, c in zip(node.args, cols):
+            dt = _probe_dtype(a, c, ctx, df)
+            if not isinstance(dt, StructType):
+                raise BuildError("tupleConcat: arguments must be Tuples")
+            parts.extend(c[f.name] for f in dt.fields)
+        return F.struct(*[pc.alias(f"_{i + 1}")
+                          for i, pc in enumerate(parts)])
+    if name == "byteSize" and len(node.args) == 1:
+        # uncompressed in-memory size: fixed-width types report the
+        # DECLARED width (UInt32 -> 4, Float64 -> 8, Date -> 2,
+        # DateTime -> 4); String is length + 9 (8-byte size prefix +
+        # terminator, per the CH docs example)
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        if info is not None:
+            return F.lit(info[1]).cast("long")
+        dtp = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dtp is not None:
+            w = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+                 "float": 4, "double": 8, "boolean": 1, "date": 2,
+                 "timestamp": 4, "timestamp_ntz": 4}.get(
+                     dtp.simpleString())
+            if w is not None:
+                return F.lit(w).cast("long")
+            if dtp.simpleString() == "string":
+                return (F.octet_length(cols[0]) + 9).cast("long")
+        return F.octet_length(cols[0].cast("string")).cast("long")
     if name in ("hex", "bin") and len(node.args) == 1:
         # CH pads to the DECLARED integer type's byte width — hex(1) =
         # '01' (UInt8 literal), hex(256) = '0100' (UInt16),

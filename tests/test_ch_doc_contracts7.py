@@ -1433,3 +1433,102 @@ def test_json_nested_and_negative_index(spark):
 def test_json_extract_raw_nested_object(spark):
     assert one(spark, "SELECT JSONExtractRaw('{\"a\": {\"b\": 1}}', "
                "'a') AS r") == ('{"b":1}',)
+
+
+# --- batch 26: uniq-If NULL flag, map forms, byteSize, tupleConcat ----------
+
+def test_uniq_if_null_flag_restricted_to_matches(spark):
+    # masked-out rows must not add a phantom NULL distinct value
+    assert one(spark, "SELECT countDistinctIf(number % 3, number < 4) "
+               "AS a, uniqExactIf(number % 3, number < 4) AS b, "
+               "uniqIf(number % 3, number < 4) AS c, "
+               "uniqExactIf(nullIf(number, 0), number < 4) AS d "
+               "FROM numbers(10)") == (3, 3, 3, 4)
+
+
+def test_summap_map_argument_returns_map(spark):
+    assert one(spark, "SELECT mapValues(sumMap(m)) AS v FROM (SELECT "
+               "map('a', number) AS m FROM numbers(3))") == ([3],)
+
+
+def test_map_hofs(spark):
+    assert one(spark, "SELECT mapApply((k, v) -> (k, v * 2), "
+               "map('a', 1, 'b', 2)) AS a, mapFilter((k, v) -> v > 1, "
+               "map('a', 1, 'b', 2)) AS b") \
+        == ({'a': 2, 'b': 4}, {'b': 2})
+
+
+def test_byte_size_widths(spark):
+    assert one(spark, "SELECT byteSize(toUInt8(1)) AS a, "
+               "byteSize(toUInt32(1)) AS b, byteSize(1.5) AS c, "
+               "byteSize('abc') AS d, byteSize(toDate('2024-01-01')) "
+               "AS e") == (1, 4, 8, 12, 2)
+
+
+def test_tuple_concat(spark):
+    assert one(spark, "SELECT tupleConcat((1, 'a'), (2.5, 3)).3 AS r") \
+        == (2.5,)
+
+
+def test_arg_min_max_if(spark):
+    assert one(spark, "SELECT argMinIf(s, v, v > 10) AS a, "
+               "argMaxIf(s, v, v > 0) AS b FROM (SELECT arrayJoin("
+               "[('x', 5), ('y', 20), ('z', 30)]) AS p, p.1 AS s, "
+               "p.2 AS v)") == ('y', 'z')
+
+
+def test_vector_distance_values(spark):
+    assert one(spark, "SELECT arrayDotProduct([1, 2], [3, 4]) AS a, "
+               "round(cosineDistance([1, 0], [0, 1]), 6) AS b, "
+               "L2Distance([0, 0], [3, 4]) AS c, "
+               "round(arrayJaccardIndex([1, 2], [2, 3]), 6) AS d") \
+        == (11, 1.0, 5.0, 0.333333)
+
+
+def test_quantiles_exact_weighted(spark):
+    assert one(spark, "SELECT quantilesExactWeighted(0.5)(number, 1) "
+               "AS r FROM numbers(5)") == ([2],)
+
+
+def test_group_array_insert_at(spark):
+    # plain form fills gaps with the type default; parametric
+    # (default[, size]) leads per CH convention
+    assert one(spark, "SELECT groupArrayInsertAt(s, p) AS a, "
+               "groupArrayInsertAt('-', 5)(s, p) AS b FROM (SELECT "
+               "arrayJoin([('a', 0), ('c', 2)]) AS t, t.1 AS s, "
+               "t.2 AS p)") == (['a', '', 'c'], ['a', '-', 'c', '-', '-'])
+
+
+def test_mean_z_test_shape(spark):
+    import math
+    r = one(spark, "SELECT meanZTest(1.0, 1.0, 0.95)(v, g) AS r FROM "
+            "(SELECT toFloat64(number) AS v, number % 2 AS g "
+            "FROM numbers(10))")[0]
+    # groups {0,2,4,6,8} vs {1,3,5,7,9}: mean diff -1, se sqrt(2/5)
+    assert math.isclose(r["z_statistic"], -1.0 / math.sqrt(0.4),
+                        rel_tol=1e-9)
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert r["confidence_interval_low"] < -1.0 < \
+        r["confidence_interval_high"]
+
+
+def test_array_fill_and_split(spark):
+    assert one(spark, "SELECT arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) "
+               "AS a, arrayReverseFill(x -> x != 0, [0, 2, 0, 0, 7]) "
+               "AS b, arraySplit(x -> x > 0, [-1, 2, 3, -4, 5]) AS c") \
+        == ([1, 1, 1, 5, 5], [2, 2, 7, 7, 7],
+            [[-1], [2], [3, -4], [5]])
+
+
+def test_multi_search_positions(spark):
+    assert one(spark, "SELECT multiSearchFirstPosition('hello world', "
+               "['or', 'wo']) AS a, multiSearchFirstIndex('hello', "
+               "['xx', 'll']) AS b, multiSearchAllPositions('hello', "
+               "['l', 'o']) AS c, positionUTF8('привет', 'вет') AS d, "
+               "countSubstringsCaseInsensitive('AbaB', 'ab') AS e") \
+        == (7, 2, [3, 5], 4, 2)
+
+
+def test_group_concat(spark):
+    assert one(spark, "SELECT groupConcat(toString(number)) AS r "
+               "FROM numbers(3)") == ('012',)
