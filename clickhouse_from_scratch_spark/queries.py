@@ -2540,3 +2540,76 @@ def sql_interval_buckets(spark, sf_dir):
                toFloat64(sum(toDecimal64(o_totalprice, 4))) AS rev
         FROM orders GROUP BY q ORDER BY q
     """)
+
+
+@query("sql_uniq_if_family", oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)
+            AS BIGINT) AS u_big,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+       CAST(COUNT(DISTINCT l_linenumber)
+            FILTER (WHERE l_quantity > 9000) AS BIGINT) AS u_none
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_uniq_if_family(spark, sf_dir):
+    """-If on the uniq family: the NULL-as-distinct flag must see only
+    condition-matching rows — masked-out rows never add a phantom
+    distinct value (uniqExactIf over zero matches is 0, not 1). TPC-H
+    keys are non-null so DuckDB's FILTER COUNT(DISTINCT) is an exact
+    oracle."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               uniqExactIf(l_suppkey, l_quantity > 25) AS u_big,
+               countIf(l_quantity > 25) AS n_big,
+               uniqExactIf(l_linenumber, l_quantity > 9000) AS u_none
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_json_extraction", oracle="""
+SELECT o_orderkey,
+       CAST(json_extract_string(j, '$.status') AS VARCHAR) AS st,
+       CAST(json_extract(j, '$.price') AS DOUBLE) AS pr
+FROM (
+  SELECT o_orderkey,
+         '{"status":"' || o_orderstatus || '","price":' ||
+         CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS VARCHAR) ||
+         '}' AS j
+  FROM orders WHERE o_orderkey < 200)
+ORDER BY o_orderkey
+""")
+def sql_json_extraction(spark, sf_dir):
+    """JSON extraction over per-row documents built from order fields
+    (JSONExtractString / JSONExtractFloat with key paths) — the typed
+    extract surface every log-processing query uses, oracled against
+    DuckDB's JSON functions on identically constructed documents."""
+    return _sql(spark, sf_dir, """
+        SELECT o_orderkey,
+               JSONExtractString(j, 'status') AS st,
+               JSONExtractFloat(j, 'price') AS pr
+        FROM (
+          SELECT o_orderkey,
+                 concat('{"status":"', o_orderstatus, '","price":',
+                        toString(toDecimal64(o_totalprice, 2)), '}') AS j
+          FROM orders WHERE o_orderkey < 200)
+        ORDER BY o_orderkey
+    """)
+
+
+@query("sql_tostring_composites", oracle="""
+SELECT l_orderkey,
+       '[' || array_to_string(list(CAST(l_linenumber AS VARCHAR)
+                                   ORDER BY l_linenumber), ',') || ']'
+           AS lines_lit
+FROM lineitem WHERE l_orderkey < 100
+GROUP BY l_orderkey ORDER BY l_orderkey
+""")
+def sql_tostring_composites(spark, sf_dir):
+    """toString over a composite renders the CH literal form ('[1,2]',
+    no spaces) — pinned against a string-built DuckDB twin."""
+    return _sql(spark, sf_dir, """
+        SELECT l_orderkey,
+               toString(arraySort(groupArray(l_linenumber))) AS lines_lit
+        FROM lineitem WHERE l_orderkey < 100
+        GROUP BY l_orderkey ORDER BY l_orderkey
+    """)
