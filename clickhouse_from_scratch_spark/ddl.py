@@ -62,6 +62,15 @@ class TableMeta:
     sample_by: str | None = None
     ttl: str | None = None
     settings: dict = field(default_factory=dict)
+    # column name -> (kind, default AST); kind is DEFAULT | MATERIALIZED
+    # | ALIAS. DEFAULT fills omitted INSERT columns; MATERIALIZED/ALIAS
+    # are always computed, excluded from implicit INSERT lists and from
+    # SELECT * (the CH visibility contract). ALIAS is computed at
+    # insert instead of query time — value-identical for row-local
+    # expressions (documented simplification).
+    defaults: dict = field(default_factory=dict)
+    comments: dict = field(default_factory=dict)   # column -> comment text
+    codecs: dict = field(default_factory=dict)     # column -> codec text
     path: str | None = None                   # parquet dir (None = Memory)
     memory_df: DataFrame | None = None
     is_view: bool = False
@@ -323,6 +332,10 @@ class ChSession:
                     # declared CH types feed the numeric-promotion layer
                     # (unsigned-ness is invisible in the Spark schema)
                     info["columns"] = dict(meta.columns)
+                hidden = [n for n, (k, _) in meta.defaults.items()
+                          if k in ("MATERIALIZED", "ALIAS")]
+                if hidden:
+                    info["hidden"] = hidden
                 if info:
                     out[f"{db}.{name}"] = info
                     if db == self.current_db:
@@ -386,6 +399,14 @@ class ChSession:
             partition_by=part_col, partition_expr=part_expr,
             sample_by=node.sample_by,
             ttl=node.ttl, settings=dict(node.settings))
+        for c in node.columns:
+            if c.default is not None:
+                meta.defaults[c.name] = (c.default_kind or "DEFAULT",
+                                         c.default)
+            if c.comment is not None:
+                meta.comments[c.name] = c.comment
+            if c.codec is not None:
+                meta.codecs[c.name] = c.codec
         # engine parameters: ReplacingMergeTree(ver) /
         # CollapsingMergeTree(sign) / SummingMergeTree([cols…])
         if node.engine == "ReplacingMergeTree" and node.engine_args:
@@ -409,6 +430,7 @@ class ChSession:
         elif node.as_table is not None:
             src_meta = self._resolve(None, node.as_table)
             meta.columns = list(src_meta.columns)
+            meta.defaults = dict(src_meta.defaults)
         if not meta.columns:
             raise ValueError("CREATE TABLE needs a column list or AS SELECT")
         expanded: list[tuple[str, str]] = []
@@ -741,7 +763,17 @@ class ChSession:
             else:
                 self._write(meta, source, mode="append")
             return self._ok()
-        cols = node.columns or [n for n, _ in meta.columns]
+        hidden_kinds = ("MATERIALIZED", "ALIAS")
+        if node.columns:
+            for c in node.columns:
+                if meta.defaults.get(c, ("",))[0] in hidden_kinds:
+                    raise ValueError(
+                        f"cannot INSERT into "
+                        f"{meta.defaults[c][0]} column {c}")
+            cols = node.columns
+        else:
+            cols = [n for n, _ in meta.columns
+                    if meta.defaults.get(n, ("",))[0] not in hidden_kinds]
         if node.values is not None:
             types = dict(meta.columns)
 
@@ -811,12 +843,36 @@ class ChSession:
                            self._engines(), settings=self.settings,
                            udfs=self.udfs)
             source = source.toDF(*cols)
-        # missing columns get CH type defaults (non-nullable semantics)
-        for cname, ctype in meta.columns:
-            if cname not in source.columns:
-                source = source.withColumn(
-                    cname, F.lit(_type_default_py(ctype)).cast(
-                        ch_type_to_spark(ctype)))
+        # missing columns get their declared DEFAULT / MATERIALIZED /
+        # ALIAS expression (evaluated over the supplied columns;
+        # iterative passes resolve defaults referencing other defaulted
+        # columns), else the CH type default (non-nullable semantics)
+        from .plans.builder import Context as _BCtx
+        from .plans.builder import _eval as _beval
+        pending = [(cname, ctype) for cname, ctype in meta.columns
+                   if cname not in source.columns]
+        for _ in range(len(pending) + 1):
+            progressed = False
+            for cname, ctype in list(pending):
+                spark_t = ch_type_to_spark(ctype)
+                kind_ast = meta.defaults.get(cname)
+                try:
+                    if kind_ast is not None:
+                        val = _beval(kind_ast[1], _BCtx(self.spark, {}),
+                                     source).cast(spark_t)
+                    else:
+                        val = F.lit(_type_default_py(ctype)).cast(spark_t)
+                    source = source.withColumn(cname, val)
+                except Exception:
+                    continue
+                pending.remove((cname, ctype))
+                progressed = True
+            if not pending or not progressed:
+                break
+        if pending:
+            raise ValueError(
+                "cannot evaluate DEFAULT expression for column(s): "
+                + ", ".join(c for c, _ in pending))
         source = source.select(*[
             F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
             for n, t in meta.columns])
@@ -996,9 +1052,24 @@ class ChSession:
         return " ".join(parts)
 
     def _describe(self, node: DescribeStmt):
+        """CH DESCRIBE shape (reference
+        ``src/Parsers/ParserDescribeTableQuery.cpp`` surface; published
+        output columns): name, type, default_type, default_expression,
+        comment, codec_expression, ttl_expression — empty string when a
+        column has no such attribute."""
+        from .plans.ast_nodes import format_node
         meta = self._resolve(node.database, node.table)
+        rows = []
+        for n, t in meta.columns:
+            kind, ast = meta.defaults.get(n, ("", None))
+            rows.append((n, t, kind,
+                         format_node(ast) if ast is not None else "",
+                         meta.comments.get(n, ""),
+                         meta.codecs.get(n, ""), ""))
         return self.spark.createDataFrame(
-            [(n, t) for n, t in meta.columns], "name string, type string")
+            rows, "name string, type string, default_type string, "
+            "default_expression string, comment string, "
+            "codec_expression string, ttl_expression string")
 
     def _exists(self, node: ExistsStmt):
         ok = node.table in self._db(node.database)

@@ -145,6 +145,9 @@ class Context:
     # (qualifier, column) → post-flattening name for columns the ASOF
     # union+window lowering suffix-renamed (right-side collisions)
     flat_renames: dict = field(default_factory=dict)
+    # MATERIALIZED / ALIAS columns of scanned tables: selectable by
+    # name but excluded from `*` expansion (CH visibility contract)
+    hidden_columns: set = field(default_factory=set)
     # lambda parameter name → Spark DataType of the element it binds,
     # filled by _hof_call from the HOF's array-argument schema. Lets
     # type-dispatched functions (length, tupleElement, round, toString,
@@ -593,6 +596,8 @@ def _build_from(node, ctx: Context) -> DataFrame:
             raise BuildError(f"unknown table: {name}")
         # engine metadata is looked up under the SAME key the table resolved
         # by, so FROM db.t FINAL never picks a shadowing table's ORDER BY
+        ctx.hidden_columns.update(
+            ctx.engines.get(rkey, {}).get("hidden", []))
         for cname, ctype in ctx.engines.get(rkey, {}).get("columns",
                                                           {}).items():
             # ambiguous across joined tables → drop to schema inference
@@ -2658,6 +2663,9 @@ def _apply_projection_keep(df: DataFrame, items,
         if isinstance(item, Star):
             cols = ([c for c in df.columns if c.split(".")[0] == item.table]
                     if item.table else df.columns)
+            if ctx.hidden_columns:
+                # MATERIALIZED/ALIAS columns stay out of * expansion
+                cols = [c for c in cols if c not in ctx.hidden_columns]
             if item.table and not cols:
                 proj.append(F.col(f"{item.table}.*"))
                 names.append(f"{item.table}.*")
@@ -3206,6 +3214,17 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             if dtp is not None:
                 width = {"tinyint": 1, "smallint": 2, "int": 4,
                          "bigint": 8}.get(dtp.simpleString())
+                if name == "bin" and dtp.simpleString() == "string":
+                    # bin(String) is the byte dump ('a' → '01100001');
+                    # F.bin is numeric-only, so chunk the hex dump into
+                    # per-byte 8-bit groups
+                    hx = F.hex(cols[0])
+                    return F.array_join(F.transform(
+                        F.sequence(F.lit(1),
+                                   (F.length(hx) / 2).cast("int")),
+                        lambda i: F.lpad(
+                            F.conv(F.substring(hx, (i - 1) * 2 + 1, 2),
+                                   16, 2), 8, "0")), "")
         if width is not None:
             base = F.hex(cols[0]) if name == "hex" else F.bin(cols[0])
             n = width * (2 if name == "hex" else 8)

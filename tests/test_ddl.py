@@ -850,3 +850,62 @@ def test_merge_table_function_and_null_engine(sess):
     sess.execute("CREATE TABLE sink (x Int64) ENGINE = Null")
     sess.execute("INSERT INTO sink VALUES (1), (2)")
     assert sess.execute("SELECT count() AS c FROM sink").collect()[0].c == 0
+
+
+def test_default_expressions_fill_partial_insert(spark):
+    """Omitted INSERT columns take their declared DEFAULT expression —
+    including defaults referencing supplied columns — not the bare
+    type default."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE dflt (a Int32, b String DEFAULT 'none', "
+                 "c Int32 DEFAULT a * 2) ENGINE = Memory")
+    sess.execute("INSERT INTO dflt (a) VALUES (5), (7)")
+    rows = sorted(tuple(r) for r in
+                  sess.execute("SELECT a, b, c FROM dflt").collect())
+    assert rows == [(5, 'none', 10), (7, 'none', 14)]
+
+
+def test_materialized_column_semantics(spark):
+    """MATERIALIZED columns are computed at insert, excluded from the
+    implicit INSERT column list and from SELECT *, selectable by
+    name, and rejected as explicit INSERT targets."""
+    import pytest
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE matc (a Int32, m Int32 MATERIALIZED "
+                 "a + 1) ENGINE = Memory")
+    sess.execute("INSERT INTO matc VALUES (10)")   # one value: a only
+    star = sess.execute("SELECT * FROM matc").collect()
+    assert [tuple(r) for r in star] == [(10,)]
+    both = sess.execute("SELECT a, m FROM matc").collect()
+    assert [tuple(r) for r in both] == [(10, 11)]
+    with pytest.raises(Exception, match="MATERIALIZED"):
+        sess.execute("INSERT INTO matc (m) VALUES (1)")
+
+
+def test_describe_ch_shape(spark):
+    """DESCRIBE emits the CH 7-column shape with default/comment/codec
+    attributes rendered and empty strings elsewhere."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE dsh (id UInt64, v Float64 DEFAULT 0 "
+                 "COMMENT 'val' CODEC(ZSTD(3)), m Int32 MATERIALIZED "
+                 "id + 1) ENGINE = MergeTree ORDER BY id")
+    rows = sess.execute("DESCRIBE dsh").collect()
+    assert rows[0].asDict() == {
+        "name": "id", "type": "UInt64", "default_type": "",
+        "default_expression": "", "comment": "", "codec_expression": "",
+        "ttl_expression": ""}
+    assert (rows[1].default_type, rows[1].comment) == ("DEFAULT", "val")
+    assert rows[1].codec_expression != ""
+    assert rows[2].default_type == "MATERIALIZED"
+    assert "id" in rows[2].default_expression
+
+
+def test_alias_column_hidden_and_selectable(spark):
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE alc (a Int32, twice Int32 ALIAS a * 2) "
+                 "ENGINE = Memory")
+    sess.execute("INSERT INTO alc VALUES (4)")
+    assert [tuple(r) for r in
+            sess.execute("SELECT * FROM alc").collect()] == [(4,)]
+    assert [tuple(r) for r in
+            sess.execute("SELECT twice FROM alc").collect()] == [(8,)]
