@@ -170,7 +170,10 @@ _alias("assumeNotNull", lambda a: _c(a))
 _alias("toNullable", lambda a: _c(a))
 
 # --- strings --------------------------------------------------------------
-_alias("length", F.length)
+# CH length(String) counts BYTES (docs string-functions#length: "not
+# characters or Unicode code points"); lengthUTF8 counts code points.
+# Array arguments dispatch to arrayLength via builder._POLYMORPHIC.
+_alias("length", lambda a: F.octet_length(_c(a)))
 _alias("lengthUTF8", lambda a: F.length(_c(a)))
 _alias("char_length", F.length)
 _alias("empty", lambda a: F.length(_c(a)) == 0)
@@ -2173,19 +2176,37 @@ def _extract_all_groups(s, pattern):
 
 # --- char-ngram similarity + token/subsequence search ---------------------
 def _char_ngrams(s: Column, n: int = 4, ci: bool = False) -> Column:
+    """All overlapping character n-grams WITH duplicates — CH's
+    ngramDistance/ngramSearch are multiset measures (docs
+    string-search-functions#ngramdistance: symmetric difference of
+    4-gram multisets over the total count)."""
     s = F.lower(s) if ci else s
     m = F.greatest(F.length(s) - (n - 1), F.lit(0))
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), m), lambda i: F.substr(s, i, F.lit(n))))
+    return F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.substr(s, i, F.lit(n)))
+
+
+def _multiset_common(ga: Column, gb: Column) -> Column:
+    """Σ over distinct grams of min(count_a, count_b) — multiset
+    intersection size. Per-row cost O(|distinct|·(|a|+|b|)): fine for
+    scalar strings (grams ≈ string length), and the scale-path dedup
+    kernels in pipeline/dedup.py use hashed shingles instead."""
+    return F.aggregate(
+        F.array_distinct(ga), F.lit(0),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(ga, lambda x: x == g)),
+            F.size(F.filter(gb, lambda x: x == g))))
 
 
 def _ngram_distance(ci: bool):
     def fn(a, b) -> Column:
         ga, gb = _char_ngrams(_c(a), ci=ci), _char_ngrams(_c(b), ci=ci)
-        union = F.size(F.array_union(ga, gb))
-        inter = F.size(F.array_intersect(ga, gb))
-        return F.when(union == 0, F.lit(0.0)) \
-            .otherwise(1.0 - inter / union.cast("double"))
+        total = F.size(ga) + F.size(gb)
+        common = _multiset_common(ga, gb)
+        # docs example: ngramDistance('ClickHouse','clickhouse') =
+        # 0.71428573 = (7+7-2·2)/(7+7)
+        return F.when(total == 0, F.lit(0.0)) \
+            .otherwise(1.0 - 2.0 * common / total.cast("double"))
     return fn
 
 
@@ -2193,7 +2214,7 @@ def _ngram_search(ci: bool):
     def fn(hay, needle) -> Column:
         gn = _char_ngrams(_c(needle), ci=ci)
         return F.when(F.size(gn) == 0, F.lit(0.0)).otherwise(
-            F.size(F.array_intersect(_char_ngrams(_c(hay), ci=ci), gn))
+            _multiset_common(_char_ngrams(_c(hay), ci=ci), gn)
             / F.size(gn).cast("double"))
     return fn
 
