@@ -46,6 +46,24 @@ def _quantile_exact(x, q) -> Column:
     return F.try_element_at(arr, F.greatest(idx, F.lit(1)))
 
 
+def _quantile_exact_exclusive(x, q) -> Column:
+    """quantileExactExclusive(level)(x): Excel PERCENTILE.EXC / R-6 —
+    h = level·(n+1), clamp to the extremes outside (1, n), linear
+    interpolation between the 1-based h-floor neighbors (CH docs
+    quantileexactexclusive; same buffered-group cost class as
+    quantileExact)."""
+    arr = F.array_sort(F.collect_list(_c(x)))
+    n = F.size(arr)
+    h = F.lit(float(q)) * (n + 1).cast("double")
+    lo = F.greatest(F.least(F.floor(h).cast("int"), n - 1), F.lit(1))
+    v_lo = F.element_at(arr, lo).cast("double")
+    v_hi = F.element_at(arr, F.least(lo + 1, n)).cast("double")
+    return F.when(h <= 1.0, F.element_at(arr, 1).cast("double")) \
+            .when(h >= n.cast("double"),
+                  F.element_at(arr, n).cast("double")) \
+            .otherwise(v_lo + (h - lo.cast("double")) * (v_hi - v_lo))
+
+
 def _delta_sum(x) -> Column:
     lst = F.collect_list(x.cast("double"))
     m = F.greatest(F.size(lst) - 1, F.lit(0))
@@ -296,6 +314,14 @@ AGGREGATES.update({
     # identical aggregate subexpression across the picks)
     "quantilesExact": lambda qs, x: F.array(
         *[_quantile_exact(x, q) for q in qs]),
+    # Exclusive = R-6 (PERCENTILE.EXC); Inclusive = R-7 (PERCENTILE.INC)
+    # — the latter is exactly Spark's exact percentile interpolation
+    "quantileExactExclusive": lambda q, x: _quantile_exact_exclusive(x, q),
+    "quantileExactInclusive": lambda q, x: F.percentile(_c(x), F.lit(q)),
+    "quantilesExactExclusive": lambda qs, x: F.array(
+        *[_quantile_exact_exclusive(x, q) for q in qs]),
+    "quantilesExactInclusive": lambda qs, x: F.percentile(
+        _c(x), F.array(*[F.lit(q) for q in qs])),
     "quantilesTDigest": lambda qs, x: F.percentile_approx(
         _c(x), F.array(*[F.lit(q) for q in qs])),
     "quantilesTiming": lambda qs, x: F.percentile_approx(

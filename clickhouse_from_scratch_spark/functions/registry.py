@@ -2164,7 +2164,8 @@ def _extract_groups(s, pattern):
 
 @register("extractAllGroups")
 def _extract_all_groups(s, pattern):
-    """Array of per-match group arrays: zip the per-group match lists."""
+    """Array of per-match group arrays: zip the per-group match lists.
+    This is CH's VERTICAL orientation (extractAllGroups is its alias)."""
     n = _group_count(pattern)
     per_group = [F.regexp_extract_all(_c(s), F.lit(pattern), i + 1)
                  for i in range(n)]
@@ -2172,6 +2173,18 @@ def _extract_all_groups(s, pattern):
     for g in per_group[1:]:
         acc = F.zip_with(acc, g, lambda xs, y: F.concat(xs, F.array(y)))
     return acc
+
+
+_alias("extractAllGroupsVertical", _extract_all_groups)
+
+
+@register("extractAllGroupsHorizontal")
+def _extract_all_groups_horizontal(s, pattern):
+    """One array per GROUP, each holding that group's text across all
+    matches — [[g1 of m1, g1 of m2, …], [g2 of m1, …], …]."""
+    n = _group_count(pattern)
+    return F.array(*[F.regexp_extract_all(_c(s), F.lit(pattern), i + 1)
+                     for i in range(n)])
 
 
 # --- char-ngram similarity + token/subsequence search ---------------------
@@ -2727,6 +2740,112 @@ _alias("randBernoulli", lambda p: (F.rand() < _c(p)).cast("tinyint"))
 _alias("randExponential", lambda lam: -F.log(1.0 - F.rand()) / _c(lam))
 _alias("normalizedQueryHash",
        lambda s: F.xxhash64(REGISTRY["normalizeQuery"](s)))
+
+
+# --- round-7 surface tail: normalization / DL distance / map-LIKE ---------
+def _bit_rotate(left: bool):
+    """bitRotateLeft/Right within the argument's DECLARED type width
+    (builder passes width like byteSwap; untyped falls back to 8 bytes).
+    64-bit uses two's-complement shift identities (exact UInt64 wrap);
+    narrower widths mask to the width."""
+    def fn(x, n, width=8):
+        bits = int(width) * 8
+        n = int(n) % bits
+        c = _c(x).cast("long")
+        if n == 0:
+            return c
+        k = n if left else bits - n
+        if bits == 64:
+            return F.shiftleft(c, k).bitwiseOR(
+                F.shiftrightunsigned(c, 64 - k))
+        m = (1 << bits) - 1
+        xm = c.bitwiseAND(F.lit(m))
+        return F.shiftleft(xm, k).bitwiseOR(
+            F.shiftrightunsigned(xm, bits - k)).bitwiseAND(F.lit(m))
+    return fn
+
+
+_alias("bitRotateLeft", _bit_rotate(True))
+_alias("bitRotateRight", _bit_rotate(False))
+
+
+def _py_normalize(form: str):
+    def fn(x: str) -> str:
+        import unicodedata
+        return unicodedata.normalize(form, x)
+    return fn
+
+
+for _form in ("NFC", "NFD", "NFKC", "NFKD"):
+    _alias(f"normalizeUTF8{_form}",
+           lambda c, _f=_form: _pandas_udf_typed(
+               _py_normalize(_f), "string")(_c(c)))
+
+
+def _py_damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (with adjacent-transposition
+    moves) — matches DuckDB's damerau_levenshtein, used as the oracle."""
+    da: dict[str, int] = {}
+    maxd = len(a) + len(b)
+    d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitution
+                d[i + 1][j] + 1,           # insertion
+                d[i][j + 1] + 1,           # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transposition
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+def _damerau_udf(a, b) -> Column:
+    import pandas as pd
+
+    def f(sa, sb):
+        return pd.Series([
+            None if x is None or y is None
+            else _py_damerau_levenshtein(x, y)
+            for x, y in zip(sa, sb)])
+
+    f.__annotations__ = {"sa": pd.Series, "sb": pd.Series,
+                         "return": pd.Series}
+    return F.pandas_udf(f, "long")(_c(a), _c(b))
+
+
+_alias("damerauLevenshteinDistance", _damerau_udf)
+
+
+def _like_rx(pattern: str) -> str:
+    """SQL LIKE pattern → anchored regex (%→.*, _→., rest escaped)."""
+    import re as _re
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+_alias("mapContainsKeyLike", lambda m, p: F.exists(
+    F.map_keys(_c(m)), lambda k: k.rlike(_like_rx(p))).cast("tinyint"))
+_alias("mapExtractKeyLike", lambda m, p: F.map_filter(
+    _c(m), lambda k, v: k.rlike(_like_rx(p))))
 
 
 # builder normalize before literal-arg dispatch.

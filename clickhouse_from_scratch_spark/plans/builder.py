@@ -2885,6 +2885,19 @@ _STRICT_PARSE_FNS = frozenset({
     "toFloat32", "toFloat64", "toDate", "toDateTime",
 })
 
+# element-wise tuple arithmetic: name -> pairwise op (None = special)
+_TUPLE_ARITH_2 = {
+    "tuplePlus": lambda a, b: a + b,
+    "vectorSum": lambda a, b: a + b,
+    "tupleMinus": lambda a, b: a - b,
+    "vectorDifference": lambda a, b: a - b,
+    "tupleMultiply": lambda a, b: a * b,
+    "tupleDivide": lambda a, b: a / b,
+    "tupleIntDiv": lambda a, b: REGISTRY["intDiv"](a, b),
+    "tupleModulo": lambda a, b: REGISTRY["modulo"](a, b),
+    "tupleHammingDistance": None,
+}
+
 _POLYMORPHIC = {"length": ("arrayLength", "length"),
                 "empty": (None, "empty"),
                 "notEmpty": (None, "notEmpty"),
@@ -3231,6 +3244,62 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.when(F.length(base) >= n,
                           F.substring(base, -n, n)) \
                     .otherwise(F.lpad(base, n, "0"))
+    if name in _TUPLE_ARITH_2 and len(node.args) == 2:
+        # element-wise tuple arithmetic (CH tuple-functions): field
+        # names come from positional pairing, output fields are _N
+        from pyspark.sql.types import StructType
+        da = _probe_dtype(node.args[0], cols[0], ctx, df)
+        db = _probe_dtype(node.args[1], cols[1], ctx, df)
+        if isinstance(da, StructType) and isinstance(db, StructType):
+            if len(da.fields) != len(db.fields):
+                raise BuildError(f"{name}: tuple sizes differ")
+            op = _TUPLE_ARITH_2[name]
+            fa = [cols[0][f.name] for f in da.fields]
+            fb = [cols[1][f.name] for f in db.fields]
+            if name == "tupleHammingDistance":
+                out = F.lit(0)
+                for a, b in zip(fa, fb):
+                    out = out + (~a.eqNullSafe(b)).cast("int")
+                return out
+            return F.struct(*[op(a, b).alias(f"_{i + 1}")
+                              for i, (a, b) in enumerate(zip(fa, fb))])
+    if name in ("tupleNegate", "tupleMultiplyByNumber",
+                "tupleDivideByNumber") and node.args:
+        from pyspark.sql.types import StructType
+        da = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if isinstance(da, StructType):
+            fa = [cols[0][f.name] for f in da.fields]
+            if name == "tupleNegate":
+                vals = [-a for a in fa]
+            elif name == "tupleMultiplyByNumber":
+                vals = [a * cols[1] for a in fa]
+            else:
+                vals = [a / cols[1] for a in fa]
+            return F.struct(*[v.alias(f"_{i + 1}")
+                              for i, v in enumerate(vals)])
+    if name == "tupleConcat" and len(node.args) >= 2:
+        from pyspark.sql.types import StructType
+        parts = []
+        for arg_node, col in zip(node.args, cols):
+            dt = _probe_dtype(arg_node, col, ctx, df)
+            if not isinstance(dt, StructType):
+                parts = None
+                break
+            parts.extend(col[f.name] for f in dt.fields)
+        if parts is not None:
+            return F.struct(*[p.alias(f"_{i + 1}")
+                              for i, p in enumerate(parts)])
+    if name in ("bitRotateLeft", "bitRotateRight") \
+            and len(node.args) == 2:
+        # rotation width = the DECLARED CH type's byte width (literal
+        # typing gives UInt8 for small literals); untyped → 8 bytes
+        cht = _infer_ch_type(node.args[0], ctx, df)
+        info = CH_NUMERIC.get(cht) if cht else None
+        width = info[1] if info and info[0] in ("u", "i") else 8
+        n = node.args[1].value if isinstance(node.args[1], Literal) else None
+        if n is None:
+            raise BuildError(f"{name} shift count must be a literal")
+        return REGISTRY[name](cols[0], n, width)
     if name == "byteSwap" and len(node.args) == 1:
         # width comes from the DECLARED CH type when inferable (DDL
         # column, to<Type> cast, literal typing) — CH swaps per argument
@@ -3682,7 +3751,8 @@ _LITERAL_ARG_FNS = {
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",
     "minSampleSizeContinuous", "regexpExtract", "locate",
     "arrayReduceInRanges", "bitSlice", "LpNorm", "LpDistance",
-    "LpNormalize",
+    "LpNormalize", "mapContainsKeyLike", "mapExtractKeyLike",
+    "extractAllGroupsVertical", "extractAllGroupsHorizontal",
 }
 
 

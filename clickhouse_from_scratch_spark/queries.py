@@ -2613,3 +2613,79 @@ def sql_tostring_composites(spark, sf_dir):
         FROM lineitem WHERE l_orderkey < 100
         GROUP BY l_orderkey ORDER BY l_orderkey
     """)
+
+
+@query("sql_quantile_exc_inc", oracle="""
+WITH g AS (
+  SELECT l_returnflag AS f,
+         list_sort(list(CAST(l_quantity AS DOUBLE))) AS a,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT f AS l_returnflag,
+       ROUND(CASE WHEN 0.6 * (n + 1) <= 1 THEN a[1]
+                  WHEN 0.6 * (n + 1) >= n THEN a[n]
+                  ELSE a[CAST(floor(0.6 * (n + 1)) AS INT)]
+                       + (0.6 * (n + 1) - CAST(floor(0.6 * (n + 1)) AS INT))
+                         * (a[CAST(floor(0.6 * (n + 1)) AS INT) + 1]
+                            - a[CAST(floor(0.6 * (n + 1)) AS INT)])
+             END, 6) AS q_exc,
+       ROUND(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.6)
+                  AS DOUBLE), 6) AS q_inc
+FROM lineitem JOIN g ON l_returnflag = g.f
+GROUP BY f, a, n ORDER BY f
+""")
+def sql_quantile_exc_inc(spark, sf_dir):
+    """quantileExactExclusive/Inclusive — Excel R-6 / R-7 interpolation
+    (CH docs quantileexactexclusive/-inclusive; parser arity via
+    ``src/Parsers/ExpressionElementParsers.cpp:766-876``). Inclusive is
+    DuckDB's ``quantile_cont``; Exclusive is hand-built R-6 in the
+    oracle. Scale: one shuffle on the group key; the buffered sorted
+    list is per-group (bounded group count), the same cost class CH
+    pays for its exact quantiles."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               round(quantileExactExclusive(0.6)(toFloat64(l_quantity)), 6)
+                   AS q_exc,
+               round(quantileExactInclusive(0.6)(toFloat64(l_quantity)), 6)
+                   AS q_inc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_edit_distances", oracle="""
+SELECT p_partkey,
+       levenshtein(p_brand, substr(p_type, 1, 10)) AS lev,
+       damerau_levenshtein(p_brand, substr(p_type, 1, 10)) AS dl
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+""")
+def sql_edit_distances(spark, sf_dir):
+    """editDistance (JVM levenshtein) + damerauLevenshteinDistance
+    (Arrow-batched unrestricted DL, matching DuckDB's
+    damerau_levenshtein) over real part attributes — short bounded
+    strings, per-row cost O(len²) identical to CH's own DP kernels."""
+    return _sql(spark, sf_dir, """
+        SELECT p_partkey,
+               editDistance(p_brand, substring(p_type, 1, 10)) AS lev,
+               damerauLevenshteinDistance(p_brand,
+                                          substring(p_type, 1, 10)) AS dl
+        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+    """)
+
+
+@query("sql_byte_length", oracle="""
+SELECT doc_id,
+       strlen(text || 'é') AS blen,
+       length(text || 'é') AS clen
+FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+""")
+def sql_byte_length(spark, sf_dir):
+    """CH length(String) counts BYTES, lengthUTF8 code points (docs
+    string-functions#length) — the appended two-byte 'é' makes the two
+    differ on every row; DuckDB strlen/length are the same pair."""
+    return _sql(spark, sf_dir, """
+        SELECT doc_id,
+               length(concat(text, 'é')) AS blen,
+               lengthUTF8(concat(text, 'é')) AS clen
+        FROM documents WHERE doc_id <= 200 ORDER BY doc_id
+    """)

@@ -89,6 +89,72 @@ def test_encoding_round_trips(spark):
         == ('Y2xpY2tob3VzZQ==', '3dc8KtHrwM', 'Encoded', '', 'abc')
 
 
+def test_tuple_arithmetic_family(spark):
+    a, b, c, d = one(spark, "SELECT tuplePlus((1, 2), (2, 3)) AS a, "
+                     "tupleMultiply((1, 2), (2, 3)) AS b, "
+                     "tupleDivide((1, 2), (2, 3)) AS c, "
+                     "tupleNegate((1, 2)) AS d")
+    assert tuple(a) == (3, 5) and tuple(b) == (2, 6)
+    assert c[0] == 0.5 and c[1] == pytest.approx(2 / 3)
+    assert tuple(d) == (-1, -2)
+    e, f, g = one(spark, "SELECT tupleIntDiv((15, 10, 5), (5, 5, 5)) "
+                  "AS e, tupleModulo((15, 10, 5), (5, 3, 2)) AS f, "
+                  "tupleHammingDistance((1, 2, 3), (3, 2, 1)) AS g")
+    assert tuple(e) == (3, 2, 1) and tuple(f) == (0, 1, 1) and g == 2
+    h, = one(spark, "SELECT tupleConcat((1, 2), tuple('a')) AS h")
+    assert tuple(h) == (1, 2, 'a')
+
+
+def test_bit_rotate_width_aware(spark):
+    # UInt8 literal width: bitRotateLeft(129,1) wraps the high bit
+    assert one(spark, "SELECT bitRotateLeft(3, 4) AS a, "
+               "bitRotateLeft(129, 1) AS b, bitRotateRight(3, 1) AS c, "
+               "bitRotateLeft(toUInt32(1), 31) AS d, "
+               "bitRotateLeft(toUInt16(32769), 1) AS e") \
+        == (48, 3, 129, 2147483648, 3)
+
+
+def test_quantile_exclusive_inclusive(spark):
+    a, b = one(spark, "SELECT quantileExactExclusive(0.6)(number) AS a, "
+               "quantileExactInclusive(0.6)(number) AS b "
+               "FROM numbers(1, 10)")
+    assert a == pytest.approx(6.6) and b == pytest.approx(6.4)
+    c, d = one(spark, "SELECT quantilesExactExclusive(0.25, 0.5, 0.75)"
+               "(number) AS c, quantilesExactInclusive(0.25, 0.5, 0.75)"
+               "(number) AS d FROM numbers(1, 11)")
+    assert list(c) == [3.0, 6.0, 9.0] and list(d) == [3.5, 6.0, 8.5]
+
+
+def test_normalize_utf8_forms(spark):
+    assert one(spark, "SELECT lengthUTF8(normalizeUTF8NFD('é')) AS a, "
+               "lengthUTF8(normalizeUTF8NFC(normalizeUTF8NFD('é'))) AS b, "
+               "normalizeUTF8NFKC('ﬁ') AS c, normalizeUTF8NFKD('²') AS d") \
+        == (2, 1, 'fi', '2')
+
+
+def test_damerau_levenshtein(spark):
+    # transposition counts once; values match DuckDB damerau_levenshtein
+    assert one(spark, "SELECT damerauLevenshteinDistance('clickhouse', "
+               "'mouse') AS a, damerauLevenshteinDistance('ab', 'ba') AS b, "
+               "damerauLevenshteinDistance('ca', 'abc') AS c") == (6, 1, 2)
+
+
+def test_map_key_like_helpers(spark):
+    a, b, c = one(spark, "SELECT mapContainsKeyLike(map('abc', 1, "
+                  "'def', 2), 'a%') AS a, mapContainsKeyLike(map('abc', 1"
+                  ", 'def', 2), 'x%') AS b, mapExtractKeyLike(map("
+                  "'abc', 1, 'abe', 2, 'def', 3), 'ab%') AS c")
+    assert (a, b) == (1, 0) and dict(c) == {'abc': 1, 'abe': 2}
+
+
+def test_extract_all_groups_orientations(spark):
+    h, v = one(spark, r"""SELECT
+        extractAllGroupsHorizontal('abc=111, def=222', '(\\w+)=(\\w+)') AS h,
+        extractAllGroupsVertical('abc=111, def=222', '(\\w+)=(\\w+)') AS v""")
+    assert [list(g) for g in h] == [['abc', 'def'], ['111', '222']]
+    assert [list(g) for g in v] == [['abc', '111'], ['def', '222']]
+
+
 def test_date_name_and_julian(spark):
     assert one(spark, "SELECT dateName('weekday', toDate('2024-02-29')) "
                "AS a, monthName(toDate('2024-02-29')) AS b, "

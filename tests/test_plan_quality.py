@@ -255,3 +255,28 @@ def test_setop_filter_is_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "setop_except")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_exc_inc_single_shuffle(spark, sf_dir):
+    # one aggregation shuffle over l_returnflag plus the final sort;
+    # R-6/R-7 interpolation is pure JVM expressions over the buffered
+    # per-group sorted list (3 groups)
+    plan = _plan(spark, sf_dir, "sql_quantile_exc_inc")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_edit_distances_filter_pushed(spark, sf_dir):
+    # p_partkey <= 500 reaches the parquet scan; the Arrow DL kernel is
+    # the documented pandas_udf escape hatch (no per-row Python UDF)
+    plan = _plan(spark, sf_dir, "sql_edit_distances")
+    assert "PushedFilters" in plan and "p_partkey" in plan.split(
+        "PushedFilters", 1)[1].split("]", 1)[0]
+    assert "BatchEvalPython" not in plan
+
+
+def test_byte_length_stays_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_byte_length")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "embedding" not in read_schema and "lang" not in read_schema
