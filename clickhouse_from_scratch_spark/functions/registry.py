@@ -1153,8 +1153,7 @@ _alias("generateUUIDv4", lambda: F.expr("uuid()"))
 _alias("bitAnd", lambda a, b: _c(a).bitwiseAND(_c(b)))
 _alias("bitOr", lambda a, b: _c(a).bitwiseOR(_c(b)))
 _alias("bitXor", lambda a, b: _c(a).bitwiseXOR(_c(b)))
-_alias("bitNot", lambda a: ~_c(a).cast("long") if not isinstance(a, Column) else F.expr("~0"))
-REGISTRY["bitNot"] = lambda a: _c(a).cast("long").bitwiseXOR(F.lit(-1))
+_alias("bitNot", lambda a: _c(a).cast("long").bitwiseXOR(F.lit(-1)))
 _alias("bitShiftLeft", lambda a, n: F.shiftleft(_c(a), n))
 _alias("bitShiftRight", lambda a, n: F.shiftright(_c(a), n))
 _alias("bitTest", lambda a, n: (F.shiftright(_c(a), n) % 2).cast("int"))

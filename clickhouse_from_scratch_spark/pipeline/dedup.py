@@ -295,6 +295,74 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
+def minhash_signatures_md5(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_hashes: int = 16) -> DataFrame:
+    """Deterministic MD5-seeded MinHash twin for the DuckDB oracle gate.
+
+    Token set = distinct whitespace words of lower(text); hash i of a
+    token = md5(token || ':i') hex; signature element i = lexicographic
+    MIN — both engines share the md5 domain byte-for-byte, so a DuckDB
+    oracle recomputes the exact signatures (the production path is
+    ``minhash_signatures``' K-permutation kernel; this twin pins the
+    band/bucket machinery end-to-end). K separate array traversals are
+    acceptable at twin scale; fully JVM-side."""
+    docs = _ensure_parallelism(docs)
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda w: w != "")
+    docs = docs.withColumn("__w", words)
+    m = F.size(F.col("__w")) - 2
+    # 3-word STRING shingles (the hashed-shingle production path is
+    # minhash_signatures; strings here so DuckDB rebuilds them exactly).
+    # sequence(1, m) is DESCENDING for m < 1, so short docs need the
+    # explicit empty-array branch.
+    sh = F.when(m < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("__w"), i),
+                                  F.element_at(F.col("__w"), i + 1),
+                                  F.element_at(F.col("__w"), i + 2)))))
+    docs = docs.withColumn("__sh", sh)
+
+    def h_i(i: int) -> Column:
+        suffix = f":{i}"
+        return F.array_min(F.transform(
+            F.col("__sh"), lambda s: F.md5(F.concat(s, F.lit(suffix)))))
+
+    sig = F.array(*[h_i(i) for i in range(num_hashes)])
+    return docs.select(F.col(id_col), sig.alias("sig_md5"))
+
+
+def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           bands: int = 4) -> DataFrame:
+    """LSH banding over the md5 MinHash twin: the SAME one-shuffle
+    (band, bucket) → pairs shape as ``minhash_lsh_candidates`` (band
+    key = concatenated band rows; ``pairs_from_buckets`` tail), pinned
+    against a DuckDB recomputation in the catalog."""
+    r = num_hashes // bands
+    sigs = minhash_signatures_md5(docs.select(id_col, text_col),
+                                  text_col, id_col, num_hashes)
+    # docs with <3 words have no shingles (array_min → NULL): exclude,
+    # matching the oracle where they produce no signature row at all
+    sigs = sigs.filter(F.element_at(F.col("sig_md5"), 1).isNotNull())
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = (sigs.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            band_idx,
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(F.slice(F.col("sig_md5"), b * r + 1, r),
+                             "").alias("bucket")))).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.bucket").alias("bucket")))
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    return pairs_from_buckets(buckets)
+
+
 def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            nbits: int = 32) -> DataFrame:

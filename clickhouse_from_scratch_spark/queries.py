@@ -2689,3 +2689,69 @@ def sql_byte_length(spark, sf_dir):
                lengthUTF8(concat(text, 'é')) AS clen
         FROM documents WHERE doc_id <= 200 ORDER BY doc_id
     """)
+
+
+@query("sample_hash_md5", oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      < 429496729
+""")
+def sample_hash_md5(spark, sf_dir):
+    """Deterministic twin of ``sample_hash``: the same hash-range
+    SAMPLE 0.1 shape with the hash domain swapped to md5's first 32
+    bits, which DuckDB recomputes byte-for-byte (xxhash64's domain is
+    Spark-specific — that configuration stays a rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")),
+                           1, 8), 16, 10).cast("long")
+    return (li.filter(h < int(0.1 * 2**32))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 dsum(F.col("l_quantity")).alias("sum_qty")))
+
+
+_MINHASH_MD5_SIG_SQL = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), toks AS (
+  SELECT DISTINCT doc_id,
+         w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS w
+  FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) g
+), sig AS (
+  SELECT doc_id,
+         MIN(md5(w || ':0')) AS h0, MIN(md5(w || ':1')) AS h1,
+         MIN(md5(w || ':2')) AS h2, MIN(md5(w || ':3')) AS h3,
+         MIN(md5(w || ':4')) AS h4, MIN(md5(w || ':5')) AS h5,
+         MIN(md5(w || ':6')) AS h6, MIN(md5(w || ':7')) AS h7,
+         MIN(md5(w || ':8')) AS h8, MIN(md5(w || ':9')) AS h9,
+         MIN(md5(w || ':10')) AS h10, MIN(md5(w || ':11')) AS h11,
+         MIN(md5(w || ':12')) AS h12, MIN(md5(w || ':13')) AS h13,
+         MIN(md5(w || ':14')) AS h14, MIN(md5(w || ':15')) AS h15
+  FROM toks GROUP BY doc_id
+), band AS (
+  SELECT doc_id, 0 AS b, h0 || h1 || h2 || h3 AS k FROM sig
+  UNION ALL SELECT doc_id, 1, h4 || h5 || h6 || h7 FROM sig
+  UNION ALL SELECT doc_id, 2, h8 || h9 || h10 || h11 FROM sig
+  UNION ALL SELECT doc_id, 3, h12 || h13 || h14 || h15 FROM sig
+)
+"""
+
+
+@query("dedup_minhash_md5", oracle=_MINHASH_MD5_SIG_SQL + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b ON a.b = b.b AND a.k = b.k
+                        AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""")
+def dedup_minhash_md5_q(spark, sf_dir):
+    """Deterministic MinHash-LSH twin: md5-seeded 16-hash signatures,
+    4 bands of 4, the SAME (band, bucket) shuffle + in-bucket pair
+    combinatorics as ``dedup_minhash_lsh`` — pinned against a full
+    DuckDB recomputation (pipeline/dedup.py minhash_md5_candidates)."""
+    from .pipeline.dedup import minhash_md5_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_md5_candidates(docs).orderBy("id_a", "id_b")

@@ -370,3 +370,19 @@ def test_training_recipe_rejects_unknown_near_dup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     with _pytest.raises(ValueError, match="near_dup"):
         prepare_training_data(docs, near_dup="bogus")
+
+
+def test_minhash_md5_twin_catches_exact_dup_skips_distinct(spark):
+    """The deterministic md5 twin (3-word string shingles, 16 hashes,
+    4 bands) pairs identical docs, skips unrelated ones, and excludes
+    <3-word docs instead of bucketing their NULL signatures."""
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        minhash_md5_candidates)
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_md5_candidates(_docs(spark)).collect()}
+    assert (0, 1) in pairs                 # exact duplicate text
+    assert (3, 4) not in pairs             # unrelated docs
+    from pyspark.sql import Row
+    tiny = spark.createDataFrame([Row(doc_id=10, text="one two"),
+                                  Row(doc_id=11, text="one two")])
+    assert minhash_md5_candidates(tiny).count() == 0

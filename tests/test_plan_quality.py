@@ -280,3 +280,18 @@ def test_byte_length_stays_jvm(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
     assert "embedding" not in read_schema and "lang" not in read_schema
+
+
+def test_minhash_md5_twin_stays_banded(spark, sf_dir):
+    # the md5 twin keeps the production shape: one (band, bucket)
+    # shuffle, in-bucket pair combinatorics, no self-join of the corpus,
+    # fully JVM-side (md5 + HOFs)
+    plan = _plan(spark, sf_dir, "dedup_minhash_md5")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_sample_hash_md5_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_hash_md5")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
