@@ -782,6 +782,9 @@ class StatementParser(Parser):
             if self.accept_op("("):
                 # engine parameters: ReplacingMergeTree(ver),
                 # CollapsingMergeTree(sign), SummingMergeTree([cols…])
+                # SummingMergeTree's column list may come as a TUPLE —
+                # SummingMergeTree((a, b)) — so identifiers at depth 2
+                # inside a leading '(' are arguments too
                 depth = 1
                 while depth:
                     tk = self.advance()
@@ -789,7 +792,7 @@ class StatementParser(Parser):
                         depth += 1
                     elif tk.is_op(")"):
                         depth -= 1
-                    elif depth == 1 and tk.kind == T.IDENT:
+                    elif depth in (1, 2) and tk.kind == T.IDENT:
                         ct.engine_args.append(tk.text)
         while True:
             if self.accept_kws("ORDER", "BY"):

@@ -909,3 +909,16 @@ def test_alias_column_hidden_and_selectable(spark):
             sess.execute("SELECT * FROM alc").collect()] == [(4,)]
     assert [tuple(r) for r in
             sess.execute("SELECT twice FROM alc").collect()] == [(8,)]
+
+
+def test_summing_tuple_column_list(spark):
+    """SummingMergeTree((q)) — the docs' tuple form — sums ONLY the
+    listed columns; unlisted numeric columns keep an existing value
+    (never a sum)."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE s_tup (k Int32, q Int64, w Int64) "
+                 "ENGINE = SummingMergeTree((q)) ORDER BY k")
+    sess.execute("INSERT INTO s_tup VALUES (1, 5, 100), (1, 7, 200)")
+    row = sess.execute("SELECT k, q, w FROM s_tup FINAL").collect()[0]
+    assert (row.k, row.q) == (1, 12)
+    assert row.w in (100, 200)
