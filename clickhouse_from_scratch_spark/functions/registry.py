@@ -379,7 +379,7 @@ _alias("toDate", lambda c: _c(c).cast("date"))
 _alias("toDate32", lambda c: _c(c).cast("date"))
 _alias("toDateTime", lambda c: _c(c).cast("timestamp"))
 _alias("toDateTime64", lambda c, p=3: _c(c).cast("timestamp"))
-_alias("toUUID", lambda c: _c(c).cast("string"))
+_alias("toUUID", lambda c: F.lower(_c(c).cast("string")))  # UUIDs render lowercase
 def _mk_interval(unit: str, mult: int = 1):
     """toInterval<Unit>(n): literal n → interval literal; Column n →
     make_dt_interval / make_ym_interval (never a string interpolation of
@@ -1446,16 +1446,41 @@ _alias("intExp10", lambda c: F.pow(F.lit(10.0), _c(c)).cast("long"))
 # --- geo (CH geo family; haversine great-circle) --------------------------
 _alias("greatCircleDistance", lambda lon1, lat1, lon2, lat2:
        _haversine(_c(lon1), _c(lat1), _c(lon2), _c(lat2)))
-_alias("geoDistance", REGISTRY["greatCircleDistance"])
 
 
 def _haversine(lon1, lat1, lon2, lat2) -> Column:
-    r = 6372797.560856  # CH uses this Earth radius in meters
+    # R = 6371 km mean sphere: the docs example
+    # greatCircleDistance(55.755831, 37.617673, -55.755831, -37.617673)
+    # = 14128352 only reproduces with this radius (6372797 gives +4 km)
+    r = 6371000.0
     dlat = F.radians(lat2 - lat1) / 2
     dlon = F.radians(lon2 - lon1) / 2
     a = (F.sin(dlat) ** 2
          + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) ** 2)
     return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+def _geo_distance(lon1, lat1, lon2, lat2) -> Column:
+    """geoDistance: WGS84-aware, unlike the spherical
+    greatCircleDistance (CH docs geo/coordinates#geodistance: "takes
+    the ellipsoid into account", better for short distances). Short
+    spans use the FCC ellipsoidal per-degree coefficients at the
+    midpoint latitude; spans beyond the flat-Earth validity window fall
+    back to the sphere."""
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    mid = F.radians((lat1 + lat2) / 2)
+    k_lat = (F.lit(111132.09) - 566.05 * F.cos(2 * mid)
+             + 1.20 * F.cos(4 * mid))
+    k_lon = (111415.13 * F.cos(mid) - 94.55 * F.cos(3 * mid)
+             + 0.12 * F.cos(5 * mid))
+    flat = F.sqrt((k_lat * dlat) ** 2 + (k_lon * dlon) ** 2)
+    return F.when((F.abs(dlat) < 4.0) & (F.abs(dlon) < 4.0), flat) \
+            .otherwise(_haversine(lon1, lat1, lon2, lat2))
+
+
+_alias("geoDistance", lambda lon1, lat1, lon2, lat2:
+       _geo_distance(_c(lon1), _c(lat1), _c(lon2), _c(lat2)))
 
 
 # --- text-pipeline scalars (pipeline/text.py; beyond-reference M6) --------
@@ -2097,10 +2122,11 @@ _alias("toUUIDOrZero", lambda c: F.coalesce(
     F.lit("00000000-0000-0000-0000-000000000000")))
 _alias("UUIDStringToNum", lambda c, *a: F.unhex(
     F.regexp_replace(_c(c), "-", "")))
-_alias("UUIDNumToString", lambda c, *a: F.concat_ws(
+# CH renders UUIDs lowercase (F.hex is uppercase)
+_alias("UUIDNumToString", lambda c, *a: F.lower(F.concat_ws(
     "-", F.substring(F.hex(_c(c)), 1, 8), F.substring(F.hex(_c(c)), 9, 4),
     F.substring(F.hex(_c(c)), 13, 4), F.substring(F.hex(_c(c)), 17, 4),
-    F.substring(F.hex(_c(c)), 21, 12)))
+    F.substring(F.hex(_c(c)), 21, 12))))
 _alias("generateUUIDv7", lambda: F.expr("uuid()"))
 _alias("serverUUID", lambda: F.lit(
     "00000000-0000-4000-8000-000000000001"))   # fixed single-server id
@@ -2847,6 +2873,66 @@ _alias("mapExtractKeyLike", lambda m, p: F.map_filter(
     _c(m), lambda k, v: k.rlike(_like_rx(p))))
 
 
+def _reinterpret_as_string(c) -> Column:
+    """Little-endian byte image of the integer, trailing NULs stripped
+    (same byte<->codepoint convention as reinterpretAsUInt*). Pure JVM
+    so it composes inside HOF lambdas (a pandas_udf here would trip
+    UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF)."""
+    n = _c(c).cast("long")
+    parts = [F.char(F.pmod(F.floor(n / F.lit(float(1 << (8 * i))))
+                           .cast("long"), F.lit(256)).cast("int"))
+             for i in range(8)]
+    return F.regexp_replace(F.concat(*parts), "\x00+$", "")
+
+
+_alias("reinterpretAsString", _reinterpret_as_string)
+
+
+def _py_ipv6_cidr(pair) -> list:
+    import ipaddress
+    addr, prefix = pair
+    net = ipaddress.IPv6Network((addr, int(prefix)), strict=False)
+    return [str(net.network_address), str(net.broadcast_address)]
+
+
+def _ipv6_cidr_to_range(addr, prefix) -> Column:
+    import pandas as pd
+
+    def f(sa, sp):
+        return pd.DataFrame(
+            [_py_ipv6_cidr((a, p)) for a, p in zip(sa, sp)],
+            columns=["_1", "_2"])
+
+    f.__annotations__ = {"sa": pd.Series, "sp": pd.Series,
+                         "return": pd.DataFrame}
+    return F.pandas_udf(f, "_1 string, _2 string")(
+        _c(addr), _c(prefix).cast("int"))
+
+
+_alias("IPv6CIDRToRange", _ipv6_cidr_to_range)
+
+# MAC address <-> UInt64 (6 low big-endian bytes)
+_alias("MACNumToString", lambda n: F.lower(F.regexp_replace(
+    F.lpad(F.hex(_c(n).cast("long")), 12, "0"),
+    "(..)(?!$)", "$1:")))
+_alias("MACStringToNum", lambda s: F.conv(
+    F.regexp_replace(_c(s), ":", ""), 16, 10).cast("long"))
+
+
+def _point_in_ellipses(x, y, *params) -> Column:
+    """pointInEllipses(x, y, x0, y0, a0, b0, …): 1 if the point falls
+    inside ANY of the axis-aligned ellipses."""
+    out = F.lit(False)
+    for i in range(0, len(params), 4):
+        x0, y0, a, b = (_c(p) for p in params[i:i + 4])
+        out = out | (((_c(x) - x0) / a) ** 2
+                     + ((_c(y) - y0) / b) ** 2 <= 1.0)
+    return out.cast("tinyint")
+
+
+_alias("pointInEllipses", _point_in_ellipses)
+
+
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [
@@ -2976,15 +3062,24 @@ def _default_value_of_type(t) -> Column:
 
 
 _alias("defaultValueOfTypeName", _default_value_of_type)
-_alias("IPv4CIDRToRange", lambda ip, p: F.struct(
-    REGISTRY["IPv4NumToString"](
-        F.floor(_c(ip) / F.pow(F.lit(2.0), 32 - _c(p).cast("int")))
-        .cast("long") * F.pow(F.lit(2.0), 32 - _c(p).cast("int"))
-        .cast("long")).alias("_1"),
-    REGISTRY["IPv4NumToString"](
-        (F.floor(_c(ip) / F.pow(F.lit(2.0), 32 - _c(p).cast("int")))
-         .cast("long") + 1) * F.pow(F.lit(2.0), 32 - _c(p).cast("int"))
-        .cast("long") - 1).alias("_2")))
+def _ipv4_as_num(ip) -> Column:
+    """IPv4 argument normalizer: the engine's IPv4 type renders as the
+    dotted string (toIPv4 output), while numeric forms stay numeric —
+    accept both (a dotted string casts to NULL as long → fall back)."""
+    c = _c(ip)
+    return F.coalesce(c.cast("long"), REGISTRY["IPv4StringToNum"](c))
+
+
+def _ipv4_cidr_to_range(ip, p) -> Column:
+    num = _ipv4_as_num(ip)
+    width = F.pow(F.lit(2.0), 32 - _c(p).cast("int"))
+    lo = (F.floor(num / width) * width).cast("long")
+    hi = ((F.floor(num / width) + 1) * width).cast("long") - 1
+    return F.struct(REGISTRY["IPv4NumToString"](lo).alias("_1"),
+                    REGISTRY["IPv4NumToString"](hi).alias("_2"))
+
+
+_alias("IPv4CIDRToRange", _ipv4_cidr_to_range)
 
 
 def _ip_in_range(addr, cidr) -> Column:

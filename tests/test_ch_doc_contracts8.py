@@ -155,6 +155,54 @@ def test_extract_all_groups_orientations(spark):
     assert [list(g) for g in v] == [['abc', '111'], ['def', '222']]
 
 
+def test_uuid_renders_lowercase(spark):
+    assert one(spark, "SELECT UUIDNumToString(UUIDStringToNum("
+               "'612F3C40-5D3B-217E-707B-6A546A3D7B29')) AS a, "
+               "toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS b") \
+        == ('612f3c40-5d3b-217e-707b-6a546a3d7b29',
+            '61f0c404-5cb3-11e7-907b-a6006ad3dba0')
+
+
+def test_geo_distances(spark):
+    # docs example (args are LON, LAT): sphere R=6371 km
+    a, b, c = one(spark, "SELECT greatCircleDistance(55.755831, "
+                  "37.617673, -55.755831, -37.617673) AS a, "
+                  "geoDistance(-77.0366, 38.8976, -75.1503, 39.9496) "
+                  "AS b, greatCircleAngle(0, 0, 45, 0) AS c")
+    assert a == pytest.approx(14128352, rel=1e-4)
+    # DC->Philadelphia WGS84 geodesic = 199830 m (Vincenty): the FCC
+    # ellipsoid path must beat the sphere's 0.35% error
+    assert b == pytest.approx(199830, rel=2e-3)
+    assert c == pytest.approx(45.0)
+
+
+def test_ipv4_ipv6_cidr_ranges(spark):
+    lo, hi, v6 = one(spark, "SELECT toString(tupleElement("
+                     "IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 1)) "
+                     "AS lo, toString(tupleElement(IPv4CIDRToRange("
+                     "toIPv4('192.168.5.2'), 16), 2)) AS hi, "
+                     "toString(tupleElement(IPv6CIDRToRange(toIPv6("
+                     "'2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32), "
+                     "1)) AS v6")
+    assert (lo, hi, v6) == ('192.168.0.0', '192.168.255.255',
+                            '2001:db8::')
+
+
+def test_reinterpret_and_mac(spark):
+    assert one(spark, "SELECT reinterpretAsString(97) AS a, "
+               "reinterpretAsString(25185) AS b, "
+               "reinterpretAsUInt8(reinterpretAsString(97)) AS c, "
+               "MACNumToString(1108152157446) AS d, "
+               "MACStringToNum('01:02:03:04:05:06') AS e") \
+        == ('a', 'ab', 97, '01:02:03:04:05:06', 1108152157446)
+
+
+def test_point_in_ellipses(spark):
+    assert one(spark, "SELECT pointInEllipses(10., 10., 10., 9.1, 1., "
+               "0.9999) AS a, pointInEllipses(10., 10., 10., 8., 1., "
+               "0.9999) AS b") == (1, 0)
+
+
 def test_date_name_and_julian(spark):
     assert one(spark, "SELECT dateName('weekday', toDate('2024-02-29')) "
                "AS a, monthName(toDate('2024-02-29')) AS b, "
