@@ -76,9 +76,16 @@ class TableMeta:
     is_view: bool = False
     view_query: object | None = None
 
+    def stored_columns(self) -> list[tuple[str, str]]:
+        """Columns that exist in storage — EPHEMERAL ones are
+        INSERT-time inputs only (declared, shown by DESCRIBE, never
+        written, never selectable)."""
+        return [(n, t) for n, t in self.columns
+                if self.defaults.get(n, ("",))[0] != "EPHEMERAL"]
+
     def spark_schema(self) -> str:
         return ", ".join(f"`{n}` {ch_type_to_spark(t)}"
-                         for n, t in self.columns)
+                         for n, t in self.stored_columns())
 
     def bucket_spec(self) -> tuple[int, str] | None:
         """SETTINGS buckets = N [, bucket_by = 'col'] on a MergeTree
@@ -400,7 +407,8 @@ class ChSession:
             sample_by=node.sample_by,
             ttl=node.ttl, settings=dict(node.settings))
         for c in node.columns:
-            if c.default is not None:
+            if c.default is not None or c.default_kind is not None:
+                # bare EPHEMERAL records (kind, None) → type default
                 meta.defaults[c.name] = (c.default_kind or "DEFAULT",
                                          c.default)
             if c.comment is not None:
@@ -766,6 +774,8 @@ class ChSession:
         hidden_kinds = ("MATERIALIZED", "ALIAS")
         if node.columns:
             for c in node.columns:
+                # EPHEMERAL is a legal EXPLICIT insert target (it is an
+                # insert-time input); MATERIALIZED/ALIAS are not
                 if meta.defaults.get(c, ("",))[0] in hidden_kinds:
                     raise ValueError(
                         f"cannot INSERT into "
@@ -773,7 +783,8 @@ class ChSession:
             cols = node.columns
         else:
             cols = [n for n, _ in meta.columns
-                    if meta.defaults.get(n, ("",))[0] not in hidden_kinds]
+                    if meta.defaults.get(n, ("",))[0]
+                    not in hidden_kinds + ("EPHEMERAL",)]
         if node.values is not None:
             types = dict(meta.columns)
 
@@ -857,7 +868,7 @@ class ChSession:
                 spark_t = ch_type_to_spark(ctype)
                 kind_ast = meta.defaults.get(cname)
                 try:
-                    if kind_ast is not None:
+                    if kind_ast is not None and kind_ast[1] is not None:
                         val = _beval(kind_ast[1], _BCtx(self.spark, {}),
                                      source).cast(spark_t)
                     else:
@@ -873,9 +884,12 @@ class ChSession:
             raise ValueError(
                 "cannot evaluate DEFAULT expression for column(s): "
                 + ", ".join(c for c, _ in pending))
+        # EPHEMERAL columns are INSERT-time inputs only: visible to the
+        # default expressions above, never stored (so they are neither
+        # in SELECT * nor selectable — the CH visibility contract)
         source = source.select(*[
             F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
-            for n, t in meta.columns])
+            for n, t in meta.stored_columns()])
         if meta.memory_df is not None:
             meta.memory_df = meta.memory_df.unionByName(source)
         else:

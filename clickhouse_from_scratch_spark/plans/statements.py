@@ -729,12 +729,23 @@ class StatementParser(Parser):
             else:
                 name = self.advance().text
                 type_name = None
-                if not self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
+                if not self.tok.is_kw("DEFAULT", "MATERIALIZED",
+                                       "ALIAS", "EPHEMERAL"):
                     type_name = self._type_name()
                 cd = ColumnDef(name, type_name or "String")
                 if self.tok.is_kw("DEFAULT", "MATERIALIZED", "ALIAS"):
                     cd.default_kind = self.advance().text.upper()
                     cd.default = self._expr()
+                elif self.tok.is_kw("EPHEMERAL"):
+                    # EPHEMERAL [expr]: INSERT-time-only input column
+                    # (ParserCreateQuery.h:205-215); bare form defaults
+                    # to the type default
+                    self.advance()
+                    cd.default_kind = "EPHEMERAL"
+                    if not (self.tok.is_op(",") or self.tok.is_op(")")
+                            or self.tok.is_kw("COMMENT", "CODEC", "TTL",
+                                              "NOT", "NULL")):
+                        cd.default = self._expr()
                 self.accept_kws("NOT", "NULL") or self.accept_kw("NULL")
                 if self.accept_kw("COMMENT"):
                     cd.comment = self.advance().text

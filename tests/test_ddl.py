@@ -922,3 +922,28 @@ def test_summing_tuple_column_list(spark):
     row = sess.execute("SELECT k, q, w FROM s_tup FINAL").collect()[0]
     assert (row.k, row.q) == (1, 12)
     assert row.w in (100, 200)
+
+
+def test_ephemeral_column_semantics(spark):
+    """EPHEMERAL columns (docs create/table#ephemeral; parser surface
+    ParserCreateQuery.h:205-215): INSERT-time inputs visible to DEFAULT
+    expressions, never stored, not in SELECT *, not selectable,
+    shown by DESCRIBE with default_type EPHEMERAL."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE eph (id Int32, unhexed String "
+                 "EPHEMERAL '0', hexed String DEFAULT unhex(unhexed)) "
+                 "ENGINE = Memory")
+    sess.execute("INSERT INTO eph (id, unhexed) VALUES (1, '5a90b714')")
+    row = sess.execute("SELECT id, hex(hexed) AS h FROM eph").collect()[0]
+    assert (row.id, row.h) == (1, '5A90B714')
+    assert sess.execute("SELECT * FROM eph").columns == ["id", "hexed"]
+    with pytest.raises(Exception):
+        sess.execute("SELECT unhexed FROM eph").collect()
+    desc = {r.name: r.default_type
+            for r in sess.execute("DESCRIBE eph").collect()}
+    assert desc["unhexed"] == "EPHEMERAL"
+    # bare EPHEMERAL (no expr) takes the type default when omitted
+    sess.execute("CREATE TABLE eph2 (id Int32, tag String EPHEMERAL, "
+                 "t2 String DEFAULT concat(tag, '!')) ENGINE = Memory")
+    sess.execute("INSERT INTO eph2 (id) VALUES (7)")
+    assert sess.execute("SELECT t2 FROM eph2").collect()[0].t2 == "!"
