@@ -946,6 +946,7 @@ _alias("arrayCompact", lambda a: F.filter(
     _c(a), lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
         ~x.eqNullSafe(F.element_at(_c(a), F.greatest(i, F.lit(1)))))))
 _alias("arrayFlatten", F.flatten)
+_alias("flatten", F.flatten)
 _alias("arrayZip", F.arrays_zip)
 _alias("arrayStringConcat", lambda a, sep="": F.array_join(_c(a), sep))
 _alias("arrayIntersect", F.array_intersect)

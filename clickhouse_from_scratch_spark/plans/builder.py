@@ -3244,6 +3244,18 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.when(F.length(base) >= n,
                           F.substring(base, -n, n)) \
                     .otherwise(F.lpad(base, n, "0"))
+    if name in ("arrayFlatten", "flatten") and len(node.args) == 1:
+        # CH flattens ALL nesting levels (docs array-functions#flatten:
+        # [[[1]], [[2], [3]]] → [1, 2, 3]); F.flatten peels one level,
+        # so apply it (depth-1) times from the probed dtype
+        from pyspark.sql.types import ArrayType
+        dt = _probe_dtype(node.args[0], cols[0], ctx, df)
+        out = cols[0]
+        while isinstance(dt, ArrayType) \
+                and isinstance(dt.elementType, ArrayType):
+            out = F.flatten(out)
+            dt = dt.elementType
+        return out
     if name in _TUPLE_ARITH_2 and len(node.args) == 2:
         # element-wise tuple arithmetic (CH tuple-functions): field
         # names come from positional pairing, output fields are _N

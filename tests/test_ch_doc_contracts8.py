@@ -203,6 +203,61 @@ def test_point_in_ellipses(spark):
                "0.9999) AS b") == (1, 0)
 
 
+def test_array_flatten_all_levels(spark):
+    # docs array-functions#flatten: every nesting level unrolls
+    a, b = one(spark, "SELECT arrayFlatten([[[1]], [[2], [3]]]) AS a, "
+               "flatten([[1, 2], [3]]) AS b")
+    assert list(a) == [1, 2, 3] and list(b) == [1, 2, 3]
+
+
+def test_window_fn_breadth(spark):
+    nt, = one(spark, "SELECT groupArray(nt) AS x FROM (SELECT ntile(3) "
+              "OVER (ORDER BY number) AS nt FROM numbers(6))")
+    assert list(nt) == [1, 1, 2, 2, 3, 3]
+    nv, = one(spark, "SELECT groupArray(nv) AS x FROM (SELECT "
+              "nth_value(number, 2) OVER (ORDER BY number ROWS BETWEEN "
+              "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+              "FROM numbers(3))")
+    assert list(nv) == [1, 1, 1]
+
+
+def test_interval_aggregates(spark):
+    # docs: intervalLengthSum of [1.1,2.9],[2.5,3.2],[4,4] = 2.1;
+    # maxIntersections of [1,4],[2,5],[3,6] = 3
+    a, = one(spark, "SELECT round(intervalLengthSum(s, e), 1) AS x "
+             "FROM (SELECT arrayJoin([(1.1, 2.9), (2.5, 3.2), "
+             "(4.0, 4.0)]) AS seg, seg.1 AS s, seg.2 AS e)")
+    b, = one(spark, "SELECT maxIntersections(s, e) AS x FROM (SELECT "
+             "arrayJoin([(1, 4), (2, 5), (3, 6)]) AS seg, seg.1 AS s, "
+             "seg.2 AS e)")
+    assert a == 2.1 and b == 3
+
+
+def test_moments_match_population_formulas(spark):
+    # numpy cross-check: [1,2,3,4,10] -> skewPop 1.138420, kurtPop 2.788
+    s, k = one(spark, "SELECT round(skewPop(x), 6) AS s, "
+               "round(kurtPop(x), 6) AS k FROM (SELECT "
+               "arrayJoin([1, 2, 3, 4, 10]) AS x)")
+    assert s == pytest.approx(1.138420, abs=2e-6)
+    assert k == pytest.approx(2.788, abs=2e-6)
+
+
+def test_snowflake_converters(spark):
+    # docs example instant (18:57:56 Asia/Shanghai = 10:57:56 UTC)
+    a, b = one(spark, "SELECT dateTimeToSnowflake(toDateTime("
+               "'2021-08-15 10:57:56')) AS a, toString("
+               "snowflakeToDateTime(1426860702823350272)) AS b")
+    assert a == 1426860702823350272
+    assert b == "2021-08-15 10:57:56"
+
+
+def test_unix64_round_trip(spark):
+    a, b = one(spark, "SELECT toUnixTimestamp64Milli(toDateTime64("
+               "'2009-02-13 23:31:31.011', 3)) AS a, toString("
+               "fromUnixTimestamp64Milli(1234567891011)) AS b")
+    assert a == 1234567891011 and b == "2009-02-13 23:31:31.011"
+
+
 def test_date_name_and_julian(spark):
     assert one(spark, "SELECT dateName('weekday', toDate('2024-02-29')) "
                "AS a, monthName(toDate('2024-02-29')) AS b, "
