@@ -121,6 +121,7 @@ class DictMeta:
     lifetime: str | None = None
     session: object = None
     cache: dict | None = None              # attr → {key: value}
+    hier_attr: str | None = None           # HIERARCHICAL-flagged attribute
 
     def maps(self) -> dict[str, dict]:
         if self.cache is None:
@@ -513,10 +514,12 @@ class ChSession:
                 continue
             dflt = _literal_py(c.default) if c.default is not None else None
             attrs[c.name] = (c.type_name, dflt)
+        hier = next((c.name for c in node.columns if c.hierarchical),
+                    None)
         self.dictionaries[node.name] = DictMeta(
             node.name, node.database or self.current_db, key, types[key],
             attrs, node.source_table, node.source_db, node.layout,
-            node.lifetime, session=self)
+            node.lifetime, session=self, hier_attr=hier)
         return self._ok()
 
     def _load_dictionary(self, d: DictMeta) -> dict[str, dict]:

@@ -649,6 +649,31 @@ def _quantile_flat(flat: Column, q: float) -> Column:
     return F.when(n > 0, lo_v + (hi_v - lo_v) * frac)
 
 
+def _quantile_flat_exclusive(flat: Column, q: float) -> Column:
+    """R-6 (PERCENTILE.EXC) over one array's elements — the -Array form
+    of quantileExactExclusive."""
+    d = F.array_sort(F.filter(flat, lambda v: v.isNotNull()))
+    d = F.transform(d, lambda v: v.cast("double"))
+    n = F.size(d)
+    h = F.lit(float(q)) * (n + 1).cast("double")
+    lo = F.greatest(F.least(F.floor(h).cast("int"), n - 1), F.lit(1))
+    v_lo = F.element_at(d, lo)
+    v_hi = F.element_at(d, F.least(lo + 1, n))
+    return F.when(n == 0, F.lit(None).cast("double")) \
+            .when(h <= 1.0, F.element_at(d, 1)) \
+            .when(h >= n.cast("double"), F.element_at(d, n)) \
+            .otherwise(v_lo + (h - lo.cast("double")) * (v_hi - v_lo))
+
+
+def quantile_flat(base_name: str, flat: Column, q: float) -> Column:
+    """Parametric quantile over one flattened array (-Array combinator
+    path): Exclusive is R-6, everything else the R-7 interpolation."""
+    if base_name.rstrip("s").endswith("Exclusive") \
+            or base_name.endswith("Exclusive"):
+        return _quantile_flat_exclusive(flat, q)
+    return _quantile_flat(flat, q)
+
+
 def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
     """Apply aggregate ``base_name`` to the elements of one array."""
     from .registry import REGISTRY as R

@@ -2283,6 +2283,34 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
         cond_col = args[-1].cast("boolean")   # CH truthy condition
         args = [F.when(cond_col, a) for a in args[:-1]]
         name = name[:-2]
+    # parametric + -OrNull / -Array combos (quantileExactExclusiveOrNull
+    # (0.5)(x), quantileArray(0.5)(arr)): peel like the -If peel above —
+    # OrNull = NULL on an empty set instead of the type default; Array =
+    # aggregate over the flattened array elements
+    # (restricted to quantile/median: every other parametric return
+    # below would silently drop the peeled modifier otherwise)
+    _ornull_src = None
+    if params and name.endswith("OrNull") and name not in REGISTRY \
+            and name[:-6].startswith(("quantile", "median")):
+        _ornull_src = args[0] if args else F.lit(1)
+        name = name[:-6]
+
+    def _ornull(out: Column) -> Column:
+        if _ornull_src is None:
+            return out
+        return F.when(F.count(_ornull_src) > 0, out)
+
+    if params and name.endswith("Array") and name not in REGISTRY \
+            and name[:-5].startswith(("quantile", "median")) and args:
+        from ..functions.aggregates import quantile_flat
+        base = name[:-5]
+        flat = F.flatten(F.collect_list(args[0]))
+        if base.startswith("quantiles"):
+            out = F.array(*[quantile_flat(base, flat, float(p))
+                            for p in params])
+        else:
+            out = quantile_flat(base, flat, float(params[0]))
+        return _ornull(out)
     if name == "quantileGK" and len(params) == 2:
         # GK sketch: (accuracy, level)(x)
         return ch(name, int(params[0]), float(params[1]), *args)
@@ -2292,11 +2320,11 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
     if name.startswith("quantiles") and params:
         out = ch(name, params, *args)
         w = _widen_sum_target(name, args, df)
-        return out.cast(w) if w else out
+        return _ornull(out.cast(w) if w else out)
     if (name.startswith("quantile") or name.startswith("median")) and params:
         out = ch(name, params[0], *args)
         w = _widen_sum_target(name, args, df)
-        return out.cast(w) if w else out
+        return _ornull(out.cast(w) if w else out)
     if name in ("topK", "histogram", "groupArraySample", "groupArrayLast",
                 "topKWeighted", "uniqUpTo", "groupArraySorted") and params:
         return ch(name, int(params[0]), *args)
@@ -3006,6 +3034,39 @@ def _dict_fn(name: str, node: FuncCall, cols: list, ctx: Context) -> Column:
         has = {k: 1 for k in (next(iter(maps.values())) if maps else {})}
         got = _dict_lookup(has, cols[1], "int", key_cast)
         return F.coalesce(got, F.lit(0))
+    if name in ("dictGetHierarchy", "dictIsIn", "dictGetChildren"):
+        # hierarchy walks over the HIERARCHICAL-flagged attribute;
+        # chains precompute driver-side (dictionaries are RAM-bounded
+        # by contract — same bound as every lookup above)
+        if prov.hier_attr is None:
+            raise BuildError(
+                f"dictionary {dname} has no HIERARCHICAL attribute")
+        parent = maps[prov.hier_attr]
+        chains: dict = {}
+        for k in parent:
+            chain, cur, seen = [], k, set()
+            while cur in parent and cur not in seen and cur not in (0,
+                                                                    None):
+                chain.append(cur)
+                seen.add(cur)
+                cur = parent[cur]
+            chains[k] = chain
+        if name == "dictGetHierarchy":
+            return F.coalesce(
+                _dict_lookup(chains, cols[1], "array<bigint>", key_cast),
+                F.array().cast("array<bigint>"))
+        if name == "dictIsIn":
+            got = _dict_lookup(chains, cols[1], "array<bigint>", key_cast)
+            return F.coalesce(
+                F.array_contains(got, cols[2].cast("bigint")).cast("int"),
+                F.lit(0))
+        children: dict = {}
+        for k, p in parent.items():
+            children.setdefault(p, []).append(k)
+        children = {p: sorted(c) for p, c in children.items()}
+        return F.coalesce(
+            _dict_lookup(children, cols[1], "array<bigint>", key_cast),
+            F.array().cast("array<bigint>"))
     # dictGet family: (dict, attr, key [, default])
     suffix = name[len("dictGet"):]
     or_default = suffix.endswith("OrDefault")
@@ -3051,7 +3112,7 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
     if name in ("timezone", "timeZone", "serverTimezone") and not node.args:
         return F.lit(ctx.spark.conf.get("spark.sql.session.timeZone",
                                         "UTC"))
-    if name == "dictHas" or name.startswith("dictGet"):
+    if name in ("dictHas", "dictIsIn") or name.startswith("dictGet"):
         return _dict_fn(name, node, cols, ctx)
     # window functions
     if node.window is not None:

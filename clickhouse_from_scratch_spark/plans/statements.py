@@ -25,6 +25,7 @@ class ColumnDef(Node):
     default_kind: str | None = None    # DEFAULT | MATERIALIZED | ALIAS
     comment: str | None = None
     codec: str | None = None
+    hierarchical: bool = False         # dictionary attribute flag
 
 
 @dataclass
@@ -747,6 +748,10 @@ class StatementParser(Parser):
                                               "NOT", "NULL")):
                         cd.default = self._expr()
                 self.accept_kws("NOT", "NULL") or self.accept_kw("NULL")
+                if self.accept_kw("HIERARCHICAL"):
+                    # dictionary attribute flag (public CH dictionary
+                    # DDL; enables dictGetHierarchy/dictIsIn)
+                    cd.hierarchical = True
                 if self.accept_kw("COMMENT"):
                     cd.comment = self.advance().text
                 if self.accept_kw("CODEC"):

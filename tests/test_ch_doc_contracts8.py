@@ -258,6 +258,45 @@ def test_unix64_round_trip(spark):
     assert a == 1234567891011 and b == "2009-02-13 23:31:31.011"
 
 
+def test_parametric_quantile_combinators(spark):
+    """-If/-OrNull/-Array stack on the parametric quantile family."""
+    a, = one(spark, "SELECT quantileExactExclusiveIf(0.6)(number, "
+             "number > 0) AS x FROM numbers(11)")
+    assert a == pytest.approx(6.6)
+    b, = one(spark, "SELECT quantileExactExclusiveOrNull(0.5)(number) "
+             "AS x FROM numbers(0)")
+    assert b is None
+    c, = one(spark, "SELECT quantileExactInclusiveArray(0.5)"
+             "([1, 2, 3, 4]) AS x")
+    assert c == pytest.approx(2.5)
+    d, = one(spark, "SELECT quantileOrNull(0.5)(number) AS x "
+             "FROM numbers(5)")
+    assert d == pytest.approx(2.0)
+
+
+def test_dict_hierarchy_functions(spark):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE hsrc (id UInt64, name String, "
+                 "parent UInt64) ENGINE = Memory")
+    sess.execute("INSERT INTO hsrc VALUES (1, 'one', 0), (2, 'two', 1), "
+                 "(3, 'three', 2), (4, 'four', 1)")
+    sess.execute("CREATE DICTIONARY hd (id UInt64, name String, "
+                 "parent UInt64 HIERARCHICAL) PRIMARY KEY id "
+                 "SOURCE(CLICKHOUSE(TABLE 'hsrc')) LAYOUT(HASHED()) "
+                 "LIFETIME(300)")
+    h, = [tuple(r) for r in sess.execute(
+        "SELECT dictGetHierarchy('hd', toUInt64(3)) AS x").collect()][0]
+    assert list(h) == [3, 2, 1]
+    r = sess.execute("SELECT dictIsIn('hd', toUInt64(3), toUInt64(1)) "
+                     "AS a, dictIsIn('hd', toUInt64(3), toUInt64(4)) "
+                     "AS b").collect()[0]
+    assert (r.a, r.b) == (1, 0)
+    c, = [tuple(r) for r in sess.execute(
+        "SELECT dictGetChildren('hd', toUInt64(1)) AS x").collect()][0]
+    assert list(c) == [2, 4]
+
+
 def test_date_name_and_julian(spark):
     assert one(spark, "SELECT dateName('weekday', toDate('2024-02-29')) "
                "AS a, monthName(toDate('2024-02-29')) AS b, "
