@@ -650,7 +650,13 @@ class ChSession:
                        else names.index(act.after) + 1 if act.after
                        else len(names))
                 meta.columns.insert(pos, (cd.name, cd.type_name))
-                df = df.select(*[n for n, _ in meta.columns])
+                if cd.default is not None or cd.default_kind is not None:
+                    # future INSERTs fill the column from this expr too
+                    meta.defaults[cd.name] = (cd.default_kind or "DEFAULT",
+                                              cd.default)
+                df = df.select(*[n for n, _ in meta.columns
+                                 if meta.defaults.get(n, ("",))[0]
+                                 != "EPHEMERAL"])
                 changed = True
             elif act.kind == "DROP_COLUMN":
                 if act.name not in names:
@@ -658,6 +664,9 @@ class ChSession:
                         continue
                     raise ValueError(f"unknown column: {act.name}")
                 meta.columns = [c for c in meta.columns if c[0] != act.name]
+                meta.defaults.pop(act.name, None)
+                meta.comments.pop(act.name, None)
+                meta.codecs.pop(act.name, None)
                 df = df.drop(act.name)
                 changed = True
             elif act.kind == "RENAME_COLUMN":
@@ -670,6 +679,9 @@ class ChSession:
                                 for n, t in meta.columns]
                 meta.order_by = [act.new_name if c == act.name else c
                                  for c in meta.order_by]
+                for attr in (meta.defaults, meta.comments, meta.codecs):
+                    if act.name in attr:
+                        attr[act.new_name] = attr.pop(act.name)
                 if meta.sample_by == act.name:
                     meta.sample_by = act.new_name
                 if meta.partition_by == act.name:
@@ -688,8 +700,12 @@ class ChSession:
                     meta.columns = [(n, cd.type_name if n == cd.name else t)
                                     for n, t in meta.columns]
                     changed = True
+                if cd.default is not None:
+                    meta.defaults[cd.name] = (cd.default_kind or "DEFAULT",
+                                              cd.default)
             elif act.kind == "COMMENT_COLUMN":
                 meta.settings[f"comment:{act.name}"] = act.text
+                meta.comments[act.name] = act.text
             elif act.kind == "UPDATE":
                 pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
                                   F.lit(False))

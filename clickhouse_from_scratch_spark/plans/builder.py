@@ -559,6 +559,14 @@ def _apply_fn(f, node, name: str):
     if isinstance(f, Identifier):
         return FuncCall(f.name, [node]), f"{f.name}({name})"
     if isinstance(f, FuncCall):
+        # APPLY(quantile(0.5)): a parametric aggregate keeps its args
+        # as PARAMS — quantile(0.5)(col) — while a scalar form
+        # (APPLY(round(2))) appends them as trailing arguments
+        from ..functions.aggregates import resolve_aggregate
+        if f.params or resolve_aggregate(f.name) is not None \
+                or f.name.startswith(("quantile", "median")):
+            return (FuncCall(f.name, [node], params=list(f.args)),
+                    f"{f.name}({name})")
         return FuncCall(f.name, [node, *f.args]), f"{f.name}({name})"
     if isinstance(f, Lambda):
         return _subst(f.body, f.params[0], node), f"lambda({name})"

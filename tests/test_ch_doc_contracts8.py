@@ -303,3 +303,11 @@ def test_date_name_and_julian(spark):
                "toModifiedJulianDay('2020-01-01') AS c, "
                "toString(fromModifiedJulianDay(58849)) AS d") \
         == ('Thursday', 'February', 58849, '2020-01-01')
+
+
+def test_apply_parametric_aggregate(spark):
+    """* APPLY(quantile(0.5)) — FuncCall arguments become aggregate
+    PARAMS, not leading value arguments."""
+    assert one(spark, "SELECT * APPLY(quantileExactInclusive(0.5)) "
+               "FROM (SELECT number AS a, number * 10 AS b "
+               "FROM numbers(3))") == (1.0, 10.0)

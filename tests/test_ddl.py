@@ -947,3 +947,22 @@ def test_ephemeral_column_semantics(spark):
                  "t2 String DEFAULT concat(tag, '!')) ENGINE = Memory")
     sess.execute("INSERT INTO eph2 (id) VALUES (7)")
     assert sess.execute("SELECT t2 FROM eph2").collect()[0].t2 == "!"
+
+
+def test_alter_add_column_default_applies_to_new_inserts(spark):
+    """ALTER ADD COLUMN ... DEFAULT backfills existing rows from the
+    current expression AND fills the column on later partial INSERTs;
+    COMMENT COLUMN reaches DESCRIBE."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE alt_d (a Int64, b Int64) ENGINE = Memory")
+    sess.execute("INSERT INTO alt_d VALUES (1, 10), (2, 20)")
+    sess.execute("ALTER TABLE alt_d ADD COLUMN c Int64 DEFAULT a * 100")
+    assert sorted(tuple(r) for r in sess.execute(
+        "SELECT a, c FROM alt_d").collect()) == [(1, 100), (2, 200)]
+    sess.execute("INSERT INTO alt_d (a, b) VALUES (3, 30)")
+    assert sess.execute(
+        "SELECT c FROM alt_d WHERE a = 3").collect()[0].c == 300
+    sess.execute("ALTER TABLE alt_d COMMENT COLUMN a 'the key'")
+    desc = {r.name: (r.default_type, r.comment) for r in
+            sess.execute("DESCRIBE alt_d").collect()}
+    assert desc["c"][0] == "DEFAULT" and desc["a"][1] == "the key"
