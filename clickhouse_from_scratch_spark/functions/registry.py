@@ -1165,7 +1165,17 @@ _alias("rand64", lambda: (F.rand() * (1 << 62)).cast("long"))
 _alias("randCanonical", lambda: F.rand())        # uniform [0, 1)
 _alias("randConstant", lambda: F.lit(0))
 _alias("hostName", lambda: F.lit("localhost"))
+_alias("FQDN", lambda: F.lit("localhost"))
+_alias("fqdn", lambda: F.lit("localhost"))
 _alias("version", lambda: F.lit("24.0-spark"))
+# single-session constants (CH server-introspection surface)
+_alias("buildId", lambda: F.lit(""))
+_alias("tcpPort", lambda: F.lit(9000).cast("int"))
+_alias("queryID", lambda: F.lit(""))
+_alias("initialUser", lambda: F.lit("default"))
+_alias("connectionId", lambda: F.lit(0).cast("long"))
+_alias("connection_id", lambda: F.lit(0).cast("long"))
+_alias("displayName", lambda: F.lit("localhost"))
 _alias("currentDatabase", lambda: F.lit("default"))
 _alias("sleep", lambda s: F.lit(0))
 _alias("ignore", lambda *cs: F.lit(0))

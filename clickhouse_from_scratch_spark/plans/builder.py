@@ -3195,16 +3195,19 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 "toJSONString: argument type unresolvable in lambda "
                 "position — bind the value to a lambda parameter first")
         dts = dt_obj.simpleString()
+        # a NULL value of any scalar type serializes as bare null
         if dts.startswith(("array", "map", "struct")):
             return F.to_json(cols[0])
         if dts == "string":
             esc = F.regexp_replace(
                 F.regexp_replace(cols[0], r"\\", r"\\\\"),
                 '"', '\\\\"')
-            return F.concat(F.lit('"'), esc, F.lit('"'))
+            return F.coalesce(F.concat(F.lit('"'), esc, F.lit('"')),
+                              F.lit("null"))
         if dts == "boolean":
-            return F.when(cols[0], F.lit("true")).otherwise(F.lit("false"))
-        return cols[0].cast("string")
+            return F.when(cols[0], F.lit("true")) \
+                    .when(~cols[0], F.lit("false")).otherwise(F.lit("null"))
+        return F.coalesce(cols[0].cast("string"), F.lit("null"))
     if name in ("date_trunc", "dateTrunc") and len(cols) == 2 \
             and df is not None and isinstance(node.args[0], Literal):
         # CH returns Date (not DateTime) for Date input with unit >= day
@@ -3313,6 +3316,28 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.when(F.length(base) >= n,
                           F.substring(base, -n, n)) \
                     .otherwise(F.lpad(base, n, "0"))
+    if name == "isConstant" and len(node.args) == 1:
+        def _const(n) -> bool:
+            if isinstance(n, Literal):
+                return True
+            if isinstance(n, FuncCall):
+                return all(_const(a) for a in n.args) and not n.window
+            if isinstance(n, (ArrayLiteral,)):
+                return all(_const(i) for i in n.items)
+            return False
+        return F.lit(1 if _const(node.args[0]) else 0).cast("tinyint")
+    if name == "hasColumnInTable" and len(node.args) >= 3:
+        # (['host',] db, table, column) — literal args, catalog lookup
+        vals = [a.value for a in node.args if isinstance(a, Literal)]
+        if len(vals) != len(node.args):
+            raise BuildError("hasColumnInTable requires literal args")
+        if len(vals) > 3:
+            vals = vals[-3:]
+        dbn, tbl, coln = vals
+        t = ctx.tables.get(f"{dbn}.{tbl}") or ctx.tables.get(tbl)
+        if t is None:
+            raise BuildError(f"unknown table: {dbn}.{tbl}")
+        return F.lit(1 if coln in t.columns else 0).cast("tinyint")
     if name in ("arrayFlatten", "flatten") and len(node.args) == 1:
         # CH flattens ALL nesting levels (docs array-functions#flatten:
         # [[[1]], [[2], [3]]] → [1, 2, 3]); F.flatten peels one level,

@@ -311,3 +311,17 @@ def test_apply_parametric_aggregate(spark):
     assert one(spark, "SELECT * APPLY(quantileExactInclusive(0.5)) "
                "FROM (SELECT number AS a, number * 10 AS b "
                "FROM numbers(3))") == (1.0, 10.0)
+
+
+def test_to_json_string(spark):
+    assert one(spark, """SELECT toJSONString('a"b') AS a,
+        toJSONString(NULL) AS b, toJSONString(1.25) AS c,
+        toJSONString([1, 2, 3]) AS d, toJSONString(map('k', 1)) AS e""") \
+        == ('"a\\"b"', 'null', '1.25', '[1,2,3]', '{"k":1}')
+
+
+def test_is_constant_and_introspection(spark):
+    a, b, c, d = one(spark, "SELECT isConstant(1 + 2) AS a, "
+                     "isConstant(number) AS b, FQDN() AS c, "
+                     "tcpPort() AS d FROM numbers(1)")
+    assert (a, b, c, d) == (1, 0, 'localhost', 9000)
