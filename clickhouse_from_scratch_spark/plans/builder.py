@@ -3967,6 +3967,37 @@ def _literal_render_type(node) -> str | None:
         if any(e is None for e in elems):
             return None
         return "Tuple(" + ", ".join(elems) + ")"
+    if isinstance(node, FuncCall):
+        # explicit constructors keep literal element typing — CH types
+        # tuple(1,'a') and (1,'a') identically (FieldToDataType)
+        if node.name == "tuple" and node.args:
+            elems = [_literal_render_type(i) for i in node.args]
+            if any(e is None for e in elems):
+                return None
+            return "Tuple(" + ", ".join(elems) + ")"
+        if node.name == "map" and node.args and len(node.args) % 2 == 0:
+            ks = [_literal_render_type(i) for i in node.args[0::2]]
+            vs = [_literal_render_type(i) for i in node.args[1::2]]
+            if any(e is None for e in ks + vs):
+                return None
+            try:
+                kt = ks[0] if len(set(ks)) == 1 \
+                    else least_supertype(list(set(ks)))
+                vt = vs[0] if len(set(vs)) == 1 \
+                    else least_supertype(list(set(vs)))
+            except Exception:
+                return None
+            return f"Map({kt}, {vt})"
+        # conversion constructors carry their declared CH type
+        if node.name in ("toIPv4", "toUUID", "toIPv6"):
+            return node.name[2:]
+        if node.name == "toFixedString" and len(node.args) == 2 \
+                and isinstance(node.args[1], Literal):
+            return f"FixedString({node.args[1].value})"
+        if node.name == "toDate" :
+            return "Date"
+        if node.name in ("toDateTime", "now"):
+            return "DateTime"
     return None
 
 

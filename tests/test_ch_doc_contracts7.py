@@ -1350,12 +1350,12 @@ def test_values_tf_interprets_expressions(spark):
 
 
 def test_totypename_map_renders_fully(spark):
-    # no more 'Map(...)' placeholder — full recursive type names
-    # (values use the documented Spark literal mapping: 1 -> Int32
-    # through map(); scalar literals keep CH literal typing)
+    # no more 'Map(...)' placeholder — full recursive type names;
+    # literal element typing now reaches map() constructor values
+    # (FieldToDataType: 1 -> UInt8), matching the bare-literal paths
     assert one(spark, "SELECT toTypeName(map('a', 1)) AS a, "
                "toTypeName(map('k', (1, 'x'))) AS b") \
-        == ('Map(String, Int32)', 'Map(String, Tuple(Int32, String))')
+        == ('Map(String, UInt8)', 'Map(String, Tuple(UInt8, String))')
 
 
 # --- batch 24: array aggregate NULL-skipping, tz display, finite helpers ----

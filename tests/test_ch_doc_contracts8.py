@@ -325,3 +325,17 @@ def test_is_constant_and_introspection(spark):
                      "isConstant(number) AS b, FQDN() AS c, "
                      "tcpPort() AS d FROM numbers(1)")
     assert (a, b, c, d) == (1, 0, 'localhost', 9000)
+
+
+def test_type_name_constructors(spark):
+    """toTypeName over constructors: literal element typing reaches
+    tuple()/map() (FieldToDataType), and conversion constructors carry
+    their declared CH type (IPv4/UUID/FixedString(N))."""
+    assert one(spark, "SELECT toTypeName(toIPv4('1.2.3.4')) AS a, "
+               "toTypeName(toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0'"
+               ")) AS b, toTypeName(tuple(1, 'a')) AS c, "
+               "toTypeName(map('k', 1)) AS d, "
+               "toTypeName(toFixedString('ab', 4)) AS e, "
+               "toTypeName([tuple(1, 'a'), (2, 'b')]) AS f") \
+        == ('IPv4', 'UUID', 'Tuple(UInt8, String)', 'Map(String, UInt8)',
+            'FixedString(4)', 'Array(Tuple(UInt8, String))')
