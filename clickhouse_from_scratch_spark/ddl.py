@@ -150,6 +150,8 @@ class ChSession:
         self.settings: dict[str, object] = {}
         self.udfs: dict[str, object] = {}      # CREATE FUNCTION lambdas
         self.dictionaries: dict[str, DictMeta] = {}
+        # INSERT-trigger registry for materialized views
+        self.mat_views: list[dict] = []
         # system.query_log rows: (query, type, elapsed_ms, event_time)
         self.query_log: list[tuple] = []
 
@@ -477,15 +479,56 @@ class ChSession:
         if node.name in self._db(db) and node.if_not_exists:
             return self._ok()
         if node.materialized:
-            # materialized view: eager snapshot table (POPULATE semantics);
-            # continuous refresh belongs to the streaming layer (§2.9)
-            df = build(self.spark, node.query, self._tables(), self._engines())
-            meta = TableMeta(node.name, db,
-                             [(f.name, _spark_to_ch(f.dataType.simpleString()))
-                              for f in df.schema.fields],
-                             engine="MergeTree",
-                             path=os.path.join(self.warehouse, db, node.name))
-            self._write(meta, df, mode="overwrite")
+            # CH materialized views are INSERT TRIGGERS (docs
+            # view#materialized): the SELECT runs over each inserted
+            # block of the source table and appends to the target.
+            # POPULATE additionally backfills the data present at
+            # creation; without it the view starts EMPTY.
+            from .plans.ast_nodes import Star, TableRef
+            df = build(self.spark, node.query, self._tables(),
+                       self._engines())
+            if node.to_table:
+                # TO target: rows land in an existing table; the view
+                # name reads from it
+                tmeta = self._resolve(None, node.to_table)
+                meta = TableMeta(
+                    node.name, db, list(tmeta.columns), engine="View",
+                    is_view=True,
+                    view_query=SelectQuery(
+                        select=[Star()],
+                        # bare name: view reads resolve through
+                        # _tables_except, which keys unqualified
+                        from_=TableRef(None, tmeta.name)))
+                target_db, target_table = tmeta.database, tmeta.name
+            else:
+                meta = TableMeta(
+                    node.name, db,
+                    [(f.name, _spark_to_ch(f.dataType.simpleString()))
+                     for f in df.schema.fields],
+                    engine="MergeTree",
+                    path=os.path.join(self.warehouse, db, node.name))
+                self._write(meta, df if node.populate
+                            else df.limit(0), mode="overwrite")
+                target_db, target_table = db, node.name
+            if node.populate and node.to_table:
+                out = df.select(*[
+                    F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
+                    for n, t in tmeta.stored_columns()])
+                if tmeta.memory_df is not None:
+                    tmeta.memory_df = tmeta.memory_df.unionByName(out)
+                else:
+                    self._write(tmeta, out, mode="append")
+            src = node.query.from_ if isinstance(node.query,
+                                                 SelectQuery) else None
+            if isinstance(src, TableRef):
+                if not hasattr(self, "mat_views"):
+                    self.mat_views = []
+                self.mat_views.append({
+                    "name": node.name,
+                    "src_db": src.database or self.current_db,
+                    "src_table": src.table, "query": node.query,
+                    "target_db": target_db,
+                    "target_table": target_table})
         else:
             meta = TableMeta(node.name, db, [], engine="View", is_view=True,
                              view_query=node.query)
@@ -593,6 +636,8 @@ class ChSession:
         if meta.path and os.path.exists(meta.path):
             shutil.rmtree(meta.path)
         del self._db(db)[node.name]
+        self.mat_views = [mv for mv in self.mat_views
+                          if mv["name"] != node.name]
         return self._ok()
 
     def _rename(self, node: RenameTable):
@@ -913,7 +958,37 @@ class ChSession:
             meta.memory_df = meta.memory_df.unionByName(source)
         else:
             self._write(meta, source, mode="append")
+        self._propagate_mvs(meta, source)
         return self._ok()
+
+    def _propagate_mvs(self, src_meta: TableMeta, batch: DataFrame,
+                       _depth: int = 0) -> None:
+        """Materialized views are INSERT TRIGGERS (CH contract,
+        docs view#materialized): the stored SELECT runs over each
+        INSERTED BLOCK (never the whole table — why CH pairs MVs with
+        Summing/AggregatingMergeTree targets) and appends to the target
+        table. Chained MVs cascade, with a depth bound as the cycle
+        guard."""
+        if _depth > 8 or not getattr(self, "mat_views", None):
+            return
+        for mv in self.mat_views:
+            if (mv["src_db"], mv["src_table"]) != (src_meta.database,
+                                                   src_meta.name):
+                continue
+            tables = self._tables()
+            tables[mv["src_table"]] = batch
+            tables[f"{src_meta.database}.{src_meta.name}"] = batch
+            out = build(self.spark, mv["query"], tables, self._engines(),
+                        settings=self.settings, udfs=self.udfs)
+            tmeta = self._resolve(mv["target_db"], mv["target_table"])
+            out = out.select(*[
+                F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
+                for n, t in tmeta.stored_columns()])
+            if tmeta.memory_df is not None:
+                tmeta.memory_df = tmeta.memory_df.unionByName(out)
+            else:
+                self._write(tmeta, out, mode="append")
+            self._propagate_mvs(tmeta, out, _depth + 1)
 
     def _optimize(self, node: OptimizeStmt):
         meta = self._resolve(node.database, node.table)

@@ -133,10 +133,19 @@ def test_views(sess):
     # view reflects later inserts (it is a stored query)
     sess.execute("INSERT INTO base VALUES (6)")
     assert sess.execute("SELECT count() AS n FROM evens").collect()[0].n == 3
-    # materialized view is a snapshot (POPULATE backfill semantics)
-    sess.execute("CREATE MATERIALIZED VIEW snap AS SELECT count() AS n FROM base")
+    # materialized view = INSERT trigger (CH docs view#materialized):
+    # without POPULATE it starts EMPTY; each later insert runs the
+    # SELECT over the inserted BLOCK and appends the result
+    sess.execute("CREATE MATERIALIZED VIEW snap AS SELECT count() AS n "
+                 "FROM base")
+    assert sess.execute("SELECT count() AS c FROM snap").collect()[0].c == 0
     sess.execute("INSERT INTO base VALUES (7)")
-    assert sess.execute("SELECT n FROM snap").collect()[0].n == 5
+    rows = [r.n for r in sess.execute("SELECT n FROM snap").collect()]
+    assert rows == [1]                      # the block had one row
+    # POPULATE backfills the data present at creation AND accrues
+    sess.execute("CREATE MATERIALIZED VIEW snap2 POPULATE AS "
+                 "SELECT count() AS n FROM base")
+    assert sess.execute("SELECT n FROM snap2").collect()[0].n == 6
 
 
 def test_show_describe_exists(sess):
@@ -966,3 +975,22 @@ def test_alter_add_column_default_applies_to_new_inserts(spark):
     desc = {r.name: (r.default_type, r.comment) for r in
             sess.execute("DESCRIBE alt_d").collect()}
     assert desc["c"][0] == "DEFAULT" and desc["a"][1] == "the key"
+
+
+def test_materialized_view_to_target_summing(spark):
+    """The canonical CH pattern: MV TO a SummingMergeTree target —
+    per-block partial aggregates accumulate, FINAL collapses them."""
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE ev (k Int32, v Int64) ENGINE = Memory")
+    sess.execute("CREATE TABLE agg (k Int32, total Int64) "
+                 "ENGINE = SummingMergeTree() ORDER BY k")
+    sess.execute("CREATE MATERIALIZED VIEW mv_agg TO agg AS "
+                 "SELECT k, sum(v) AS total FROM ev GROUP BY k")
+    sess.execute("INSERT INTO ev VALUES (1, 10), (1, 5), (2, 7)")
+    sess.execute("INSERT INTO ev VALUES (1, 3)")
+    got = {r.k: r.total for r in sess.execute(
+        "SELECT k, total FROM agg FINAL ORDER BY k").collect()}
+    assert got == {1: 18, 2: 7}
+    # the view name reads from the target table
+    assert sess.execute(
+        "SELECT count() AS c FROM mv_agg").collect()[0].c >= 2
