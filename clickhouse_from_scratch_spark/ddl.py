@@ -1146,7 +1146,23 @@ class ChSession:
                                           [], "name string")
 
     def _format_create(self, meta: TableMeta) -> str:
-        cols = ", ".join(f"`{n}` {t}" for n, t in meta.columns)
+        from .plans.ast_nodes import format_node
+
+        def col_decl(n: str, t: str) -> str:
+            out = f"`{n}` {t}"
+            kind_ast = meta.defaults.get(n)
+            if kind_ast is not None:
+                kind, ast = kind_ast
+                out += f" {kind}"
+                if ast is not None:
+                    out += f" {format_node(ast)}"
+            if n in meta.comments:
+                out += f" COMMENT '{meta.comments[n]}'"
+            if n in meta.codecs:
+                out += f" CODEC({meta.codecs[n]})"
+            return out
+
+        cols = ", ".join(col_decl(n, t) for n, t in meta.columns)
         parts = [f"CREATE TABLE {meta.database}.{meta.name} ({cols}) "
                  f"ENGINE = {meta.engine}"]
         if meta.order_by:

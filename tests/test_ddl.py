@@ -994,3 +994,14 @@ def test_materialized_view_to_target_summing(spark):
     # the view name reads from the target table
     assert sess.execute(
         "SELECT count() AS c FROM mv_agg").collect()[0].c >= 2
+
+
+def test_show_create_renders_column_attributes(spark):
+    sess = ChSession(spark)
+    sess.execute("CREATE TABLE scr (a Int32, b String DEFAULT 'x', "
+                 "m Int32 MATERIALIZED a + 1, e String EPHEMERAL) "
+                 "ENGINE = MergeTree ORDER BY a")
+    stmt = sess.execute("SHOW CREATE TABLE scr").collect()[0].statement
+    assert "`b` String DEFAULT 'x'" in stmt
+    assert "`m` Int32 MATERIALIZED" in stmt and "plus(a, 1)" in stmt
+    assert "`e` String EPHEMERAL" in stmt
