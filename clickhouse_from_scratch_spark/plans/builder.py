@@ -3316,16 +3316,38 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.when(F.length(base) >= n,
                           F.substring(base, -n, n)) \
                     .otherwise(F.lpad(base, n, "0"))
-    if name == "isConstant" and len(node.args) == 1:
-        def _const(n) -> bool:
-            if isinstance(n, Literal):
-                return True
-            if isinstance(n, FuncCall):
-                return all(_const(a) for a in n.args) and not n.window
-            if isinstance(n, (ArrayLiteral,)):
-                return all(_const(i) for i in n.items)
-            return False
-        return F.lit(1 if _const(node.args[0]) else 0).cast("tinyint")
+    if name in ("formatRow", "formatRowNoNewline") and len(node.args) >= 2:
+        # per-row text-format rendering (CSV/TSV/JSONEachRow/Values):
+        # Arrow-batched over the argument columns, reusing the same
+        # cell renderers as the INTO OUTFILE/FORMAT writers
+        if not isinstance(node.args[0], Literal):
+            raise BuildError("formatRow needs a literal format name")
+        fmt = str(node.args[0].value)
+        vals = cols[1:]
+        names = [_auto_name(a) for a in node.args[1:]]
+        simples = []
+        for a, c in zip(node.args[1:], vals):
+            dtp = _probe_dtype(a, c, ctx, df)
+            simples.append(dtp.simpleString() if dtp is not None
+                           else "string")
+        newline = name == "formatRow"
+        from ..sources.formats import render_row
+        import pandas as pd
+
+        def frow(sdf):
+            # object dtype keeps NULLs as None (numeric pandas columns
+            # would coerce them to NaN and render 'nan' instead of \N)
+            sdf = sdf.astype(object).where(pd.notnull(sdf), None)
+            return pd.Series([
+                render_row(fmt,
+                           [v.tolist() if hasattr(v, "tolist") else v
+                            for v in row],
+                           simples, names, newline)
+                for row in sdf.itertuples(index=False, name=None)])
+
+        frow.__annotations__ = {"sdf": pd.DataFrame, "return": pd.Series}
+        return F.pandas_udf(frow, "string")(F.struct(
+            *[v.alias(f"c{i}") for i, v in enumerate(vals)]))
     if name == "hasColumnInTable" and len(node.args) >= 3:
         # (['host',] db, table, column) — literal args, catalog lookup
         vals = [a.value for a in node.args if isinstance(a, Literal)]

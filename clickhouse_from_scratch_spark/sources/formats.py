@@ -834,3 +834,44 @@ TEXT_RENDERERS = {
     "JSONCompact": to_json_compact,
     "JSONEachRowWithProgress": to_json_each_row_with_progress,
 }
+
+
+def _csv_cell(v, simple: str) -> str:
+    """CH CSV output cell: numbers bare, NULL = \\N, strings always
+    double-quoted with '""' doubling, composites quoted whole in their
+    text form."""
+    if v is None:
+        return "\\N"
+    if simple == "boolean":
+        return "true" if v else "false"
+    if simple.startswith("decimal"):
+        return _dec_str(v)
+    if simple in _NUMERIC_TYPES:
+        return _text_cell(v, simple, quote_strings=False)
+    body = _text_cell(v, simple, quote_strings=False) \
+        if not simple.startswith("array<") \
+        else _text_cell(v, simple, quote_strings=True)
+    return '"' + str(body).replace('"', '""') + '"'
+
+
+def render_row(fmt: str, values, simples, names,
+               newline: bool = True) -> str:
+    """One row in a CH row-oriented text format — the formatRow()
+    scalar-function kernel (CSV / TSV / JSONEachRow / Values)."""
+    import json
+    f = fmt.lower()
+    if f == "csv":
+        out = ",".join(_csv_cell(v, s) for v, s in zip(values, simples))
+    elif f in ("tsv", "tabseparated"):
+        out = "\t".join(_text_cell(v, s, quote_strings=False)
+                        for v, s in zip(values, simples))
+    elif f == "jsoneachrow":
+        out = json.dumps({n: _json_cell(v, s) for n, v, s in
+                          zip(names, values, simples)},
+                         ensure_ascii=False, separators=(",", ":"))
+    elif f == "values":
+        out = "(" + ",".join(_values_cell(v, s)
+                             for v, s in zip(values, simples)) + ")"
+    else:
+        raise ValueError(f"formatRow: unsupported format {fmt!r}")
+    return out + "\n" if newline else out

@@ -339,3 +339,21 @@ def test_type_name_constructors(spark):
                "toTypeName([tuple(1, 'a'), (2, 'b')]) AS f") \
         == ('IPv4', 'UUID', 'Tuple(UInt8, String)', 'Map(String, UInt8)',
             'FixedString(4)', 'Array(Tuple(UInt8, String))')
+
+
+def test_format_row_family(spark):
+    """formatRow/NoNewline: per-row CSV/TSV/JSONEachRow/Values rendering
+    with the engine's text-format cell conventions (\\N nulls, CSV
+    quote doubling, quoted 64-bit ints in JSON)."""
+    a, = one(spark, "SELECT formatRow('CSV', number, 'hel\"lo', "
+             "[1, 2]) AS x FROM numbers(1)")
+    assert a == '0,"hel""lo","[1,2]"\n'
+    b, = one(spark, "SELECT formatRowNoNewline('TSV', number, 'a\tb') "
+             "AS x FROM numbers(1)")
+    assert b == '0\ta\\tb'
+    c, = one(spark, "SELECT formatRow('JSONEachRow', number) AS x "
+             "FROM numbers(1)")
+    assert c == '{"number":"0"}\n'
+    d, = one(spark, "SELECT formatRowNoNewline('Values', 1, 'it''s', "
+             "NULL) AS x")
+    assert d == "(1,'it\\'s',NULL)"
