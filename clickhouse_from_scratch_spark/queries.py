@@ -2755,3 +2755,27 @@ def dedup_minhash_md5_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_md5_candidates(docs).orderBy("id_a", "id_b")
+
+
+@query("sql_format_row", oracle="""
+SELECT l_orderkey,
+       CAST(l_orderkey AS VARCHAR) || ',"' || l_returnflag || '","' ||
+       CAST(l_shipdate AS VARCHAR) || '"' AS csv_row,
+       '(' || CAST(l_orderkey AS VARCHAR) || ',''' || l_returnflag ||
+       ''')' AS values_row
+FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber = 1
+ORDER BY l_orderkey
+""")
+def sql_format_row(spark, sf_dir):
+    """formatRowNoNewline('CSV'/'Values', ...) — the per-row text-format
+    kernel (Arrow-batched over a packed struct; same cell renderers as
+    INTO OUTFILE) pinned against string-built DuckDB twins."""
+    return _sql(spark, sf_dir, """
+        SELECT l_orderkey,
+               formatRowNoNewline('CSV', l_orderkey, l_returnflag,
+                                  toString(l_shipdate)) AS csv_row,
+               formatRowNoNewline('Values', l_orderkey, l_returnflag)
+                   AS values_row
+        FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber = 1
+        ORDER BY l_orderkey
+    """)
