@@ -662,6 +662,24 @@ _alias("subtractDays", lambda d, n: F.date_sub(_c(d), n))
 _alias("addHours", lambda d, n: _c(d) + F.expr(f"interval {n} hour"))
 _alias("addMonths", lambda d, n: F.add_months(_c(d), n))
 _alias("addYears", lambda d, n: F.add_months(_c(d), 12 * n))
+# sub-second arithmetic over DateTime64 (interval literals don't take
+# fractional seconds — go through micros)
+_alias("addMilliseconds",
+       lambda d, n: F.timestamp_add("MICROSECOND",
+                                    (_c(n) * 1000).cast("long"), _c(d)))
+_alias("subtractMilliseconds",
+       lambda d, n: F.timestamp_add("MICROSECOND",
+                                    (_c(n) * -1000).cast("long"), _c(d)))
+_alias("addMicroseconds",
+       lambda d, n: F.timestamp_add("MICROSECOND", _c(n).cast("long"),
+                                    _c(d)))
+_alias("subtractMicroseconds",
+       lambda d, n: F.timestamp_add("MICROSECOND",
+                                    (-_c(n)).cast("long"), _c(d)))
+# session timezone is pinned UTC (catalog.load_table contract): the
+# offset from UTC is 0 at every instant
+_alias("timezoneOffset", lambda c: F.lit(0).cast("int"))
+_alias("timeZoneOffset", lambda c: F.lit(0).cast("int"))
 _alias("dateDiff", lambda unit, a, b: _date_diff(unit, a, b))
 def _age(unit, a, b) -> Column:
     """age() counts ELAPSED complete units (public CH contract —
@@ -2947,7 +2965,7 @@ _alias("pointInEllipses", _point_in_ellipses)
 # builder normalize before literal-arg dispatch.
 CANONICAL: dict[str, str] = {}
 for _aliases, _target in [
-    (("DATEDIFF", "DATE_DIFF", "dateDiff", "timestampDiff",
+    (("DATEDIFF", "DATE_DIFF", "date_diff", "dateDiff", "timestampDiff",
       "TIMESTAMPDIFF", "timestamp_diff"), "dateDiff"),
     (("DATEADD", "DATE_ADD", "date_add", "dateAdd", "TIMESTAMPADD",
       "timestamp_add"), "dateAdd"),

@@ -3518,6 +3518,14 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             return F.regexp_replace(
                 F.regexp_replace(out, r"(\.\d*?)0+$", "$1"),
                 r"\.$", "")
+        if dts in ("timestamp", "timestamp_ntz"):
+            # DateTime64(s) renders EXACTLY s fraction digits
+            # ('00:00:00.500', not Spark cast's trimmed '.5') — the
+            # declared scale survives through sub-second arithmetic
+            sc = _dt64_scale_of(node.args[0])
+            if sc:
+                return F.date_format(
+                    cols[0], f"yyyy-MM-dd HH:mm:ss.{'S' * sc}")
         if dts is not None:
             return stripped if dts in ("float", "double") else out
         return F.when(F.typeof(cols[0]).isin("float", "double"),
@@ -3948,6 +3956,35 @@ def _tuple_arith(name: str, node, cols: list, ctx: Context,
            "tupleDivide": lambda x, y: x / y}
     op = ops[name]
     return F.struct(*[op(a[f], b[f]).alias(f) for f in fields])
+
+
+_DT64_UNIT_SCALE = {"addMilliseconds": 3, "subtractMilliseconds": 3,
+                    "addMicroseconds": 6, "subtractMicroseconds": 6,
+                    "addNanoseconds": 9, "subtractNanoseconds": 9,
+                    "fromUnixTimestamp64Milli": 3,
+                    "fromUnixTimestamp64Micro": 6,
+                    "fromUnixTimestamp64Nano": 9}
+
+
+def _dt64_scale_of(node) -> int | None:
+    """Declared DateTime64 scale of an expression, recursing through
+    the date-arithmetic wrappers (CH: addMilliseconds over DateTime
+    yields DateTime64(3); the Spark timestamp carries no scale)."""
+    if isinstance(node, Alias):
+        return _dt64_scale_of(node.expr)
+    if isinstance(node, FuncCall):
+        if node.name == "toDateTime64" and len(node.args) >= 2 \
+                and isinstance(node.args[1], Literal):
+            return int(node.args[1].value)
+        unit = _DT64_UNIT_SCALE.get(node.name)
+        if unit is not None:
+            inner = (_dt64_scale_of(node.args[0]) or 0) if node.args \
+                else 0
+            return max(unit, inner)
+        if node.name.startswith(("add", "subtract", "toStartOf",
+                                 "toTimeZone")) and node.args:
+            return _dt64_scale_of(node.args[0])
+    return None
 
 
 def _literal_render_type(node) -> str | None:

@@ -357,3 +357,18 @@ def test_format_row_family(spark):
     d, = one(spark, "SELECT formatRowNoNewline('Values', 1, 'it''s', "
              "NULL) AS x")
     assert d == "(1,'it\\'s',NULL)"
+
+
+def test_subsecond_arithmetic_and_dt64_scale(spark):
+    """add/subtract Milli/Microseconds over DateTime64, and toString
+    rendering EXACTLY the declared scale's digit count (CH
+    DateTime64(3) prints '.000', never Spark's trimmed cast)."""
+    assert one(spark, "SELECT toString(addMilliseconds(toDateTime64("
+               "'2024-01-01 00:00:00.000', 3), 500)) AS a, "
+               "toString(toDateTime64('2024-01-01 00:00:00', 3)) AS b, "
+               "toString(addMicroseconds(toDateTime64("
+               "'2024-01-01 00:00:00', 6), 42)) AS c, "
+               "date_diff('week', toDate('2024-01-01'), "
+               "toDate('2024-01-20')) AS d, timezoneOffset(now()) AS e") \
+        == ('2024-01-01 00:00:00.500', '2024-01-01 00:00:00.000',
+            '2024-01-01 00:00:00.000042', 2, 0)
