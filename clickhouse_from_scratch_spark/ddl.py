@@ -1157,7 +1157,10 @@ class ChSession:
                 if ast is not None:
                     out += f" {format_node(ast)}"
             if n in meta.comments:
-                out += f" COMMENT '{meta.comments[n]}'"
+                # escape like _fmt_literal so the rendered DDL reparses
+                esc = (meta.comments[n].replace("\\", "\\\\")
+                       .replace("'", "\\'"))
+                out += f" COMMENT '{esc}'"
             if n in meta.codecs:
                 out += f" CODEC({meta.codecs[n]})"
             return out

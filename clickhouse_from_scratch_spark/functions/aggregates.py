@@ -124,8 +124,15 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "quantileTDigest": lambda q, x: F.percentile_approx(_c(x), F.lit(q)),
     "quantiles": lambda qs, x: F.percentile(_c(x), F.array(*[F.lit(q) for q in qs])),
     "median": lambda x: F.median(_c(x)),
-    "groupArray": lambda x: F.collect_list(_c(x)),
-    "groupUniqArray": lambda x: F.collect_set(_c(x)),
+    # parametric max_size form groupArray(N)(x) keeps the first N values
+    # (published CH contract; parametric grammar at reference
+    # src/Parsers/ExpressionElementParsers.cpp:766-876) — params lead
+    "groupArray": lambda *a: (
+        F.slice(F.collect_list(_c(a[-1])), 1, int(a[0]))
+        if len(a) > 1 else F.collect_list(_c(a[0]))),
+    "groupUniqArray": lambda *a: (
+        F.slice(F.collect_set(_c(a[-1])), 1, int(a[0]))
+        if len(a) > 1 else F.collect_set(_c(a[0]))),
     "groupBitAnd": lambda x: F.bit_and(_c(x)),
     "groupBitOr": lambda x: F.bit_or(_c(x)),
     "groupBitXor": lambda x: F.bit_xor(_c(x)),

@@ -24,15 +24,25 @@ from pyspark.sql import functions as F
 
 REGISTRY: dict[str, Callable[..., Column]] = {}
 
+# duplicate-registration tracking: a name registered twice means one
+# definition silently shadows the other (the round-7 window-fn /
+# toJSONString / isConstant bug class) — tests/test_registry_lint.py
+# asserts this list stays empty
+DUPLICATE_REGISTRATIONS: list[str] = []
+
 
 def register(name: str):
     def deco(fn):
+        if name in REGISTRY:
+            DUPLICATE_REGISTRATIONS.append(name)
         REGISTRY[name] = fn
         return fn
     return deco
 
 
 def _alias(name: str, fn: Callable[..., Column]) -> None:
+    if name in REGISTRY:
+        DUPLICATE_REGISTRATIONS.append(name)
     REGISTRY[name] = fn
 
 
@@ -219,16 +229,27 @@ _alias("replaceOne", lambda s, a, b: F.regexp_replace(_c(s), _regex_quote(a), b)
 _alias("replaceAll", lambda s, a, b: F.replace(_c(s), _c(a), _c(b)))
 _alias("replaceRegexpOne", lambda s, p, r: F.regexp_replace(_c(s), p, r))
 _alias("replaceRegexpAll", lambda s, p, r: F.regexp_replace(_c(s), p, r))
-# 3rd arg max_substrings (public CH docs): at most n elements, the last
-# carries the remaining string — exactly Spark's split() limit contract;
-# 0/omitted = unlimited (Spark limit -1)
-def _split_n(pat, s, n):
-    return F.split(_c(s), pat, -1 if not n else int(n))
+# 3rd arg max_substrings (public CH docs): at most n elements. With the
+# default splitby_max_substrings_includes_remaining_string=0 the
+# remainder is DISCARDED (splitByChar('=','a=b=c',2) = ['a','b']); with
+# the setting on, the last element keeps the remaining string (Spark's
+# split() limit contract). 0/omitted = unlimited (Spark limit -1).
+def _split_n(pat, s, n, keep=False):
+    if not n:
+        return F.split(_c(s), pat, -1)
+    if keep:
+        return F.split(_c(s), pat, int(n))
+    return F.slice(F.split(_c(s), pat, -1), 1, int(n))
 
 
-_alias("splitByChar", lambda sep, s, n=0: _split_n(_regex_quote(sep), s, n))
-_alias("splitByString", lambda sep, s, n=0: _split_n(_regex_quote(sep), s, n))
-_alias("splitByRegexp", lambda p, s, n=0: _split_n(p, s, n))
+_alias("splitByChar",
+       lambda sep, s, n=0, keep=False: _split_n(_regex_quote(sep), s, n,
+                                                keep))
+_alias("splitByString",
+       lambda sep, s, n=0, keep=False: _split_n(_regex_quote(sep), s, n,
+                                                keep))
+_alias("splitByRegexp", lambda p, s, n=0, keep=False: _split_n(p, s, n,
+                                                               keep))
 _alias("startsWith", lambda s, p: _c(s).startswith(p))
 _alias("endsWith", lambda s, p: _c(s).endswith(p))
 _alias("repeat", lambda s, n: F.repeat(_c(s), n))
@@ -408,7 +429,6 @@ _alias("toIntervalMonth", _mk_interval("month"))
 _alias("toIntervalQuarter", _mk_interval("month", 3))
 _alias("toIntervalYear", _mk_interval("year"))
 _alias("CAST", lambda c, t: _c(c).cast(_spark_type(t)))
-_alias("reinterpretAsInt64", lambda c: _c(c).cast("long"))
 _alias("toTypeName", lambda c: F.lit("dynamic"))
 
 
@@ -679,7 +699,6 @@ _alias("subtractMicroseconds",
 # session timezone is pinned UTC (catalog.load_table contract): the
 # offset from UTC is 0 at every instant
 _alias("timezoneOffset", lambda c: F.lit(0).cast("int"))
-_alias("timeZoneOffset", lambda c: F.lit(0).cast("int"))
 _alias("dateDiff", lambda unit, a, b: _date_diff(unit, a, b))
 def _age(unit, a, b) -> Column:
     """age() counts ELAPSED complete units (public CH contract —
@@ -931,12 +950,6 @@ _alias("arrayReverse", F.reverse)
 # sort_array(desc) keeps NULLs LAST (CH: NULL/NaN last in BOTH sort
 # directions); reverse(array_sort(..)) would move them first
 _alias("arrayReverseSort", lambda a: F.sort_array(_c(a), False))
-# arrayPartialSort(limit, arr): only the first `limit` elements are
-# contractually sorted, the tail's order is unspecified (public CH
-# docs) — a fully-sorted array is a valid (and deterministic) instance
-_alias("arrayPartialSort", lambda limit, a: F.array_sort(_c(a)))
-_alias("arrayPartialReverseSort",
-       lambda limit, a: F.reverse(F.array_sort(_c(a))))
 _alias("arrayJoin", F.explode)          # row-replicating form handled by ARRAY JOIN op
 # LowCardinality is a storage-encoding wrapper — dictionary encoding is
 # Tungsten/Parquet's job here, so these are identity/introspection no-ops
@@ -1325,8 +1338,6 @@ _alias("protocol", lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
 _alias("domain", lambda u: F.parse_url(_c(u), F.lit("HOST")))
 _alias("domainWithoutWWW", lambda u: F.regexp_replace(
     F.parse_url(_c(u), F.lit("HOST")), r"^www\.", ""))
-_alias("topLevelDomain", lambda u: F.regexp_extract(
-    F.parse_url(_c(u), F.lit("HOST")), r"\.([^.]+)$", 1))
 _alias("path", lambda u: F.parse_url(_c(u), F.lit("PATH")))
 _alias("pathFull", lambda u: F.concat(
     F.parse_url(_c(u), F.lit("PATH")),
@@ -1339,9 +1350,8 @@ _alias("fragment", lambda u: F.coalesce(
 _alias("extractURLParameter",
        lambda u, p: F.coalesce(F.parse_url(_c(u), F.lit("QUERY"), F.lit(p)),
                                F.lit("")))
-# cutQueryString keeps the fragment (CH has cutQueryStringAndFragment
-# for both) — defined in the URL-tail section below
-_alias("cutFragment", lambda u: F.split(_c(u), r"#")[0])
+# cutQueryString / cutFragment / cutQueryStringAndFragment are defined
+# in the URL-tail section below
 # RFC3986 component encoding: space is %20 not '+', '*' escapes, '~'
 # does not (Java URLEncoder is form encoding — post-fix the 3 deltas)
 _alias("encodeURLComponent", lambda u: F.replace(F.replace(F.replace(
@@ -1536,19 +1546,6 @@ _aggs.register_into(REGISTRY)
 # registers them case-insensitive); the canonical map also lets the
 # --- round-3 breadth batch: arrays / URL / JSON / maps / hash / text ------
 
-def _rotate_left(a, n) -> Column:
-    a, n = _c(a), _c(n)
-    k = F.pmod(n, F.greatest(F.size(a), F.lit(1)))
-    return F.when(F.size(a) <= 1, a).otherwise(
-        F.concat(F.slice(a, k + 1, F.size(a) - k), F.slice(a, 1, k)))
-
-
-_alias("arrayRotateLeft", _rotate_left)
-_alias("arrayRotateRight",
-       lambda a, n: _rotate_left(a, F.size(_c(a)) - F.pmod(
-           _c(n), F.greatest(F.size(_c(a)), F.lit(1)))))
-
-
 @register("arrayFill")
 def _array_fill(f, a):
     """arrayFill(cond, arr): elements where cond is false take the value
@@ -1624,19 +1621,6 @@ def _map_apply(f, m):
                     lambda e: f(e["key"], e["value"])))
 
 
-def _map_merge(op):
-    def fn(*maps):
-        out = _c(maps[0])
-        for m in maps[1:]:
-            out = F.map_zip_with(out, _c(m),
-                                 lambda k, v1, v2: op(F.coalesce(v1, F.lit(0)),
-                                                      F.coalesce(v2, F.lit(0))))
-        return out
-    return fn
-
-
-_alias("mapAdd", _map_merge(lambda a, b: a + b))
-_alias("mapSubtract", _map_merge(lambda a, b: a - b))
 _alias("mapUpdate", lambda m1, m2: F.map_zip_with(
     _c(m1), _c(m2), lambda k, v1, v2: F.coalesce(v2, v1)))
 
@@ -1710,12 +1694,23 @@ for _h32 in ("murmurHash2_32", "murmurHash3_32"):
 def _java_hash(c) -> Column:
     """Exact Java String.hashCode (h = 31*h + code per UTF-16 unit;
     published contract, javaHash('Hello, world!') = -1880044555).
-    Pure-HOF fold over the characters, wrap at 2^32 then re-sign."""
+    Pure-HOF fold over the characters, wrap at 2^32 then re-sign.
+    Supplementary-plane codepoints (> 0xFFFF) hash as their TWO UTF-16
+    surrogate units: h = 961*h + 31*high + low."""
     s = _c(c).cast("string")
     chars = F.filter(F.split(s, ""), lambda x: x != "")
-    h = F.aggregate(chars, F.lit(0).cast("long"),
-                    lambda acc, ch: (acc * 31 + F.ascii(ch))
-                    % F.lit(4294967296).cast("long"))
+    wrap = F.lit(4294967296).cast("long")
+
+    def step(acc, ch):
+        cp = F.ascii(ch).cast("long")
+        off = cp - F.lit(0x10000)
+        hi = F.lit(0xD800) + F.floor(off / F.lit(1024)).cast("long")
+        lo = F.lit(0xDC00) + (off % F.lit(1024))
+        return F.when(cp > F.lit(0xFFFF),
+                      (acc * 961 + hi * 31 + lo) % wrap) \
+                .otherwise((acc * 31 + cp) % wrap)
+
+    h = F.aggregate(chars, F.lit(0).cast("long"), step)
     return F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)) \
             .otherwise(h).cast("int")
 
@@ -1930,15 +1925,8 @@ _alias("idnaDecode", lambda c: _pandas_str_udf(_py_idna_dec)(_c(c)))
 _alias("tryIdnaEncode",
        lambda c: _pandas_str_udf(_py_try(_py_idna_enc))(_c(c)))
 
-for _form in ("NFC", "NFD", "NFKC", "NFKD"):
-    def _mk_norm(form):
-        import unicodedata
-
-        def enc(x: str) -> str:
-            return unicodedata.normalize(form, x)
-        return enc
-    _alias(f"normalizeUTF8{_form}",
-           lambda c, _f=_form: _pandas_str_udf(_mk_norm(_f))(_c(c)))
+# normalizeUTF8{NFC,NFD,NFKC,NFKD} are registered in the typed-pandas
+# section below (single registration point)
 
 
 # --- vector distance/norm family (array<numeric> args, JVM HOFs) ---------
@@ -1979,8 +1967,6 @@ _alias("L1Distance", lambda a, b: F.aggregate(
 _alias("LinfDistance", lambda a, b: F.array_max(
     F.zip_with(_c(a), _c(b),
                lambda x, y: F.abs(x.cast("double") - y.cast("double")))))
-_alias("normalizeL2", lambda a: F.transform(
-    _c(a), lambda v: v.cast("double") / _vnorm2(a)))
 _alias("normalizeL1", lambda a: F.transform(
     _c(a), lambda v: v.cast("double") / REGISTRY["L1Norm"](a)))
 _alias("L1Normalize", REGISTRY["normalizeL1"])
@@ -2059,7 +2045,6 @@ def _map_all(f, m):
 # --- misc casts / math / arrays ------------------------------------------
 _alias("toBool", lambda c: _c(c).cast("boolean"))
 _alias("toUInt256", lambda c: _c(c).cast("decimal(38,0)"))
-_alias("toInt256", lambda c: _c(c).cast("decimal(38,0)"))
 _alias("widthBucket", lambda v, lo, hi, n: F.width_bucket(
     _c(v), _c(lo), _c(hi), _c(n)))
 _alias("byteSlice", lambda s, off, ln: F.substr(_c(s), _c(off), _c(ln)))
@@ -2836,50 +2821,8 @@ for _form in ("NFC", "NFD", "NFKC", "NFKD"):
                _py_normalize(_f), "string")(_c(c)))
 
 
-def _py_damerau_levenshtein(a: str, b: str) -> int:
-    """Unrestricted Damerau-Levenshtein (with adjacent-transposition
-    moves) — matches DuckDB's damerau_levenshtein, used as the oracle."""
-    da: dict[str, int] = {}
-    maxd = len(a) + len(b)
-    d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
-    for i in range(len(a) + 1):
-        d[i + 1][1] = i
-    for j in range(len(b) + 1):
-        d[1][j + 1] = j
-    for i in range(1, len(a) + 1):
-        db = 0
-        for j in range(1, len(b) + 1):
-            k = da.get(b[j - 1], 0)
-            l = db
-            if a[i - 1] == b[j - 1]:
-                cost = 0
-                db = j
-            else:
-                cost = 1
-            d[i + 1][j + 1] = min(
-                d[i][j] + cost,            # substitution
-                d[i + 1][j] + 1,           # insertion
-                d[i][j + 1] + 1,           # deletion
-                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transposition
-        da[a[i - 1]] = i
-    return d[len(a) + 1][len(b) + 1]
-
-
-def _damerau_udf(a, b) -> Column:
-    import pandas as pd
-
-    def f(sa, sb):
-        return pd.Series([
-            None if x is None or y is None
-            else _py_damerau_levenshtein(x, y)
-            for x, y in zip(sa, sb)])
-
-    f.__annotations__ = {"sa": pd.Series, "sb": pd.Series,
-                         "return": pd.Series}
-    return F.pandas_udf(f, "long")(_c(a), _c(b))
-
-
-_alias("damerauLevenshteinDistance", _damerau_udf)
+# damerauLevenshteinDistance is registered in the string-similarity
+# section below (single registration point, _py_damerau)
 
 
 def _like_rx(pattern: str) -> str:

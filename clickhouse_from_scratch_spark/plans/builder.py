@@ -1378,10 +1378,25 @@ def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
+    if anti and in_key is not None:
+        # CH transform_null_in=0: a NULL lhs yields 0 for NOT IN too —
+        # drop NULL-key rows the anti join would otherwise keep
+        df = df.filter(in_key.isNotNull())
     return df.join(renamed, cond, "left_anti" if anti else "left_semi")
 
 
 _IN_NAMES = ("in", "globalIn", "notIn", "globalNotIn")
+
+
+def _in_marker_pred(marker: str, lhs_node, is_not: bool):
+    """(NOT) IN result from a marker-join column, as an AST predicate.
+    CH transform_null_in=0: an IN operation with a NULL lhs is 0 for
+    BOTH IN and NOT IN — so NOT IN is isNull(marker) AND isNotNull(lhs),
+    never the bare complement."""
+    if not is_not:
+        return FuncCall("isNotNull", [Identifier([marker])])
+    return FuncCall("and", [FuncCall("isNull", [Identifier([marker])]),
+                            FuncCall("isNotNull", [lhs_node])])
 
 
 def _contains_in_subquery(node) -> bool:
@@ -1577,16 +1592,14 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                 df = df.join(side, F.col(keyc) == F.col(val),
                              "left").drop(val, keyc)
                 drops.append(marker)
-                fn = "isNull" if is_not else "isNotNull"
-                return df, FuncCall(fn, [Identifier([marker])])
+                return df, _in_marker_pred(marker, node.args[0], is_not)
             res = _exists_marker_join(
                 df, node.args[1].query, ctx, drops,
                 in_key_node=node.args[0],
                 broadcast_side=node.name.startswith("global"))
             if res is not None:
                 df, marker = res
-                fn = "isNull" if is_not else "isNotNull"
-                return df, FuncCall(fn, [Identifier([marker])])
+                return df, _in_marker_pred(marker, node.args[0], is_not)
         new_args, changed = [], False
         for a in node.args:
             # __subqueryReduce consumes its Subquery arg itself
@@ -1814,8 +1827,11 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             # key materialized left-only: a same-table membership check
             # is a self-join, where an unbound name in the condition
             # resolves on both sides (AMBIGUOUS_REFERENCE)
-            df = (df.withColumn("__in_key", key)
-                  .join(side, F.col("__in_key") == F.col("__in_set"), how)
+            df = df.withColumn("__in_key", key)
+            if how == "left_anti":
+                # NULL lhs yields 0 for NOT IN (transform_null_in=0)
+                df = df.filter(F.col("__in_key").isNotNull())
+            df = (df.join(side, F.col("__in_key") == F.col("__in_set"), how)
                   .drop("__in_key"))
         elif (isinstance(c, FuncCall) and c.name in ("in", "globalIn",
                                                      "notIn", "globalNotIn")
@@ -1833,8 +1849,11 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 side = F.broadcast(side)
             # same self-join hygiene as the IN-table branch above: the
             # subquery may scan the SAME table as the outer query
-            df = (df.withColumn("__in_key", key)
-                  .join(side, F.col("__in_key") == F.col("__in_set"), how)
+            df = df.withColumn("__in_key", key)
+            if how == "left_anti":
+                # NULL lhs yields 0 for NOT IN (transform_null_in=0)
+                df = df.filter(F.col("__in_key").isNotNull())
+            df = (df.join(side, F.col("__in_key") == F.col("__in_set"), how)
                   .drop("__in_key"))
         elif (isinstance(c, FuncCall) and c.name == "exists"
               and isinstance(c.args[0], Subquery)):
@@ -3664,10 +3683,14 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         else:
             col = lhs.isin([cols[1]])
         # CH: the result of IN involving NULL is always 0 (UInt8), never
-        # NULL — a NULL lhs matches nothing and NOT IN is the exact
-        # complement (operators/in#null-processing, transform_null_in=0)
-        col = F.coalesce(col.cast("boolean"), F.lit(False))
-        return ~col if "not" in name.lower() else col
+        # NULL — for BOTH IN and NOT IN (operators/in#null-processing,
+        # transform_null_in=0). Negate BEFORE coalescing so a NULL lhs
+        # yields 0 either way (coalesce-then-negate would make
+        # `NULL NOT IN (…)` true).
+        col = col.cast("boolean")
+        if "not" in name.lower():
+            col = ~col
+        return F.coalesce(col, F.lit(False))
     if name in ("plus", "minus") and len(node.args) == 2 and isinstance(
             node.args[1], IntervalExpr):
         iv = node.args[1]
@@ -3783,6 +3806,17 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if name != "trimLeftChars":
             target = F.regexp_replace(target, f"[{pat}]*$", "")
         return target
+    if (name in ("splitByChar", "splitByString", "splitByRegexp")
+            and len(node.args) == 3
+            and isinstance(node.args[0], Literal)
+            and isinstance(node.args[2], Literal)):
+        # splitby_max_substrings_includes_remaining_string (default 0 at
+        # the emulated era): remainder discarded unless the setting is on
+        keep = str(ctx.settings.get(
+            "splitby_max_substrings_includes_remaining_string",
+            0)).strip("'\"").lower() in ("1", "true")
+        return REGISTRY[name](node.args[0].value, cols[1],
+                              node.args[2].value, keep)
     # literal-arg passthrough for registry fns wanting python values
     if name in REGISTRY:
         py_args = []

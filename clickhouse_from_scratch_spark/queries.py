@@ -1187,8 +1187,8 @@ WITH toks AS (
   FROM th, (SELECT unnest(range(32)) AS b) b
   GROUP BY doc_id, b.b
 ), sig AS (
-  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
-                          ELSE 0 END) AS simhash
+  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+                               ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 """

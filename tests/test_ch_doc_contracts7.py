@@ -1004,8 +1004,10 @@ def test_in_with_null_never_null(spark):
     # NULL is always 0/1, never NULL; NOT IN is the exact complement
     assert one(spark, "SELECT 1 IN (NULL, 1) AS a, 2 IN (NULL, 1) AS b,"
                " 2 NOT IN (NULL, 1) AS c") == (True, False, True)
+    # a NULL lhs yields 0 for BOTH IN and NOT IN (the result of an IN
+    # operation involving NULL is always 0 — never the complement)
     assert one(spark, "SELECT NULL IN (1, 2) AS a, NULL NOT IN (1, 2) "
-               "AS b, NULL IN (NULL) AS c") == (False, True, False)
+               "AS b, NULL IN (NULL) AS c") == (False, False, False)
 
 
 def test_in_subquery_with_nulls(spark):

@@ -170,22 +170,32 @@ def test_bare_array_join_still_works(spark):
 
 # --- 5: splitBy* max_substrings -------------------------------------------
 
+# splitby_max_substrings_includes_remaining_string defaults to 0 at the
+# emulated era (24.0): the remainder is DISCARDED; the setting restores
+# the keep-remainder behavior
 def test_split_by_char_max_substrings(spark):
     assert rows(spark,
                 "SELECT splitByChar(',', 'a,b,c', 2) AS r") == \
-        [((["a", "b,c"]),)]
+        [((["a", "b"]),)]
+
+
+def test_split_by_char_max_substrings_keep_remaining(spark):
+    assert rows(spark,
+                "SELECT splitByChar(',', 'a,b,c', 2) AS r SETTINGS "
+                "splitby_max_substrings_includes_remaining_string = 1") \
+        == [((["a", "b,c"]),)]
 
 
 def test_split_by_string_max_substrings(spark):
     assert rows(spark,
                 "SELECT splitByString(', ', 'a, b, c', 2) AS r") == \
-        [((["a", "b, c"]),)]
+        [((["a", "b"]),)]
 
 
 def test_split_by_regexp_max_substrings(spark):
     assert rows(spark,
                 "SELECT splitByRegexp('[,;]', 'a,b;c', 2) AS r") == \
-        [((["a", "b;c"]),)]
+        [((["a", "b"]),)]
 
 
 def test_split_by_char_two_arg_unchanged(spark):

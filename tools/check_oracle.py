@@ -43,9 +43,28 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
+
+    def kind_group(k: str) -> str:
+        return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "M": "dt", "m": "td", "O": "obj"}.get(k, k)
+
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # dtype-KIND strict: the driver value-hashes rendered cells,
+            # so an int Spark column vs a float oracle column (DuckDB
+            # HUGEINT→float64 widening) hash-mismatches even when every
+            # value is numerically equal — fail locally too. Exception:
+            # either side all-NaN float vs int (NULL-widening) stays a
+            # value comparison.
+            ga, gb = kind_group(av.dtype.kind), kind_group(bv.dtype.kind)
+            if ga != gb and {ga, gb} == {"int", "float"} \
+                    and not (av.isna().any() or bv.isna().any()):
+                problems.append(
+                    f"col {c}: dtype kind mismatch {av.dtype} vs "
+                    f"{bv.dtype} (driver hashes these differently — cast "
+                    f"the oracle, e.g. HUGEINT sums to BIGINT)")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 import numpy as np
                 aa = pd.to_numeric(av, errors="coerce")
