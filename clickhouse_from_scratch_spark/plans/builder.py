@@ -2157,6 +2157,19 @@ _NUMERIC_AGG_PREFIXES = (
     "skew", "kurt", "deltaSum", "boundingRatio", "rankCorr")
 
 
+# aggregates whose PUBLISHED signature takes leading parameters and
+# whose registry implementation consumes them as leading args (the
+# explicitly-dispatched parametric families — quantile*, topK, GK,
+# windowFunnel, sequence*, sumMapFiltered, … — are handled before the
+# generic path and not listed here)
+_GENERIC_PARAMETRIC_AGGS = {
+    "groupArray", "groupUniqArray", "groupConcat",
+    "groupArrayMovingSum", "groupArrayMovingAvg", "groupArrayInsertAt",
+    "sparkbar", "sparkBar", "largestTriangleThreeBuckets", "lttb",
+    "meanZTest",
+}
+
+
 def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
                 over=None) -> Column:
     """Lower one aggregate call, then apply the CH empty-subset rule:
@@ -2168,7 +2181,15 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
     both positions, so gate on the matched-row count per group/frame.
     -OrNull keeps NULL; count* is already 0; Nullable arguments keep
     NULL (AggregateFunctionNull)."""
-    result = _agg_column_inner(node, ctx, df)
+    try:
+        result = _agg_column_inner(node, ctx, df)
+    except (TypeError, IndexError) as e:
+        # never leak a raw Python TypeError from the registry dispatch —
+        # a non-parametric aggregate given parameters (sum(1)(x)) or a
+        # wrong-arity call surfaces as a NAMED engine error
+        raise BuildError(
+            "wrong number of arguments or parameters for aggregate "
+            f"function {node.name}: {e}") from None
     if over is not None:
         result = result.over(over)
     name = node.name
@@ -2394,8 +2415,14 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
     widen = _widen_sum_target(name, args, df)
     if params and name in REGISTRY:
         # parametric form f(p...)(args) without explicit dispatch above:
-        # params lead (CH convention) — a registry entry that cannot take
-        # them raises loudly instead of the params being silently dropped
+        # params lead (CH convention). Only the names that DOCUMENT
+        # parameters may take this path — a variadic or
+        # arity-coinciding registry entry would otherwise silently
+        # absorb the params as extra arguments (uniqExact(1)(x) must be
+        # an error, not count_distinct(1, x)).
+        if name not in _GENERIC_PARAMETRIC_AGGS:
+            raise BuildError(
+                f"aggregate function {name} cannot have parameters")
         out = ch(name, *params, *args)
         return out.cast(widen) if widen else out
     if name in REGISTRY:

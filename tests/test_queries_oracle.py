@@ -12,11 +12,12 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-from clickhouse_from_scratch_spark.queries import ORACLES, QUERIES
+from clickhouse_from_scratch_spark.queries import INVARIANTS, ORACLES, QUERIES
 from tools.check_oracle import compare
 
 ORACLE_NAMES = sorted(ORACLES)
 WEAK_NAMES = sorted(set(QUERIES) - set(ORACLES))
+INVARIANT_NAMES = sorted(set(INVARIANTS) & set(WEAK_NAMES))
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -34,3 +35,14 @@ def test_weak_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # non-empty schema
+
+
+@pytest.mark.parametrize("name", INVARIANT_NAMES)
+def test_no_oracle_invariants(spark, sf_dir, duck, name):
+    """Approx/nondeterministic queries without a value-exact oracle still
+    carry a CHECKED invariant against DuckDB (HLL error bound, exact
+    re-scoring of emitted pairs, structural limits)."""
+    pdf = QUERIES[name](spark, sf_dir).toPandas()
+    desc, fn = INVARIANTS[name]
+    problem = fn(pdf, duck)
+    assert problem is None, f"{name} ({desc}): {problem}"

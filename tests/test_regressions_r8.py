@@ -1,0 +1,126 @@
+"""Round-8 regression pins (ADVICE + verdict items):
+
+1. NOT IN with a NULL lhs returns 0 at EVERY lowering site
+   (transform_null_in=0: the result of an IN operation involving NULL
+   is always 0 for both IN and NOT IN).
+2. Parametric groupArray(N)/groupUniqArray(N)/groupArrayIf(N).
+3. splitBy* max_substrings discards the remainder by default
+   (splitby_max_substrings_includes_remaining_string=0).
+4. javaHash hashes supplementary-plane codepoints as surrogate pairs.
+5. SHOW CREATE escapes column comments.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_from_scratch_spark.plans.engine import execute_sql
+
+
+def rows(spark, sql, tables=None):
+    return [tuple(r) for r in execute_sql(spark, sql, tables or {}).collect()]
+
+
+def one(spark, sql):
+    return rows(spark, sql)[0]
+
+
+# --- 1: NOT IN null processing ---------------------------------------------
+
+def test_not_in_null_lhs_literal_list(spark):
+    assert one(spark, "SELECT NULL IN (1, 2) AS a, NULL NOT IN (1, 2) AS b") \
+        == (False, False)
+
+
+def test_not_in_null_lhs_expression_position_subquery(spark):
+    assert rows(spark,
+                "SELECT number, nullIf(number, 1) NOT IN (SELECT number "
+                "FROM numbers(3)) AS r FROM numbers(3) ORDER BY number") \
+        == [(0, False), (1, False), (2, False)]
+
+
+def test_not_in_null_lhs_where_subquery(spark):
+    # anti-join lowering: the NULL-key row must be dropped, not kept
+    assert one(spark,
+               "SELECT count() AS c FROM numbers(3) WHERE "
+               "nullIf(number, 1) NOT IN (SELECT number + 10 "
+               "FROM numbers(3))") == (2,)
+
+
+def test_in_null_lhs_where_subquery(spark):
+    assert one(spark,
+               "SELECT count() AS c FROM numbers(3) WHERE "
+               "nullIf(number, 1) IN (SELECT number FROM numbers(3))") \
+        == (2,)
+
+
+def test_not_in_non_null_lhs_unchanged(spark):
+    assert one(spark, "SELECT 1 IN (1, 2) AS a, 1 NOT IN (1, 2) AS b, "
+               "3 NOT IN (1, 2) AS c") == (True, False, True)
+
+
+# --- 2: parametric groupArray family ---------------------------------------
+
+def test_group_array_max_size(spark):
+    assert one(spark, "SELECT groupArray(2)(number) AS r FROM "
+               "(SELECT number FROM numbers(5) ORDER BY number)") \
+        == ([0, 1],)
+
+
+def test_group_array_max_size_larger_than_group(spark):
+    assert one(spark, "SELECT groupArray(10)(number) AS r "
+               "FROM numbers(3)") == ([0, 1, 2],)
+
+
+def test_group_uniq_array_max_size(spark):
+    (r,) = one(spark, "SELECT groupUniqArray(2)(number % 3) AS r "
+               "FROM numbers(9)")
+    assert len(r) == 2 and set(r) <= {0, 1, 2}
+
+
+def test_group_array_if_parametric_stack(spark):
+    assert one(spark, "SELECT groupArrayIf(2)(number, number > 1) AS r "
+               "FROM (SELECT number FROM numbers(6) ORDER BY number)") \
+        == ([2, 3],)
+
+
+def test_non_parametric_aggregate_rejects_params(spark):
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError):
+        execute_sql(spark, "SELECT uniqExact(1)(number) FROM numbers(3)",
+                    {}).schema
+
+
+# --- 4: javaHash UTF-16 units ----------------------------------------------
+
+def _java_hash_py(s: str) -> int:
+    import struct
+    enc = s.encode("utf-16-be")
+    units = struct.unpack(f">{len(enc) // 2}H", enc)
+    h = 0
+    for u in units:
+        h = (h * 31 + u) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_java_hash_bmp(spark):
+    assert one(spark, "SELECT javaHash('Hello, world!') AS r") \
+        == (-1880044555,)
+
+
+def test_java_hash_supplementary_plane(spark):
+    for s in ("a\U0001F600b", "\U0001D11E", "\U0001F600\U0001F601"):
+        assert one(spark, f"SELECT javaHash('{s}') AS r") \
+            == (_java_hash_py(s),), s
+
+
+# --- 5: SHOW CREATE comment escaping ----------------------------------------
+
+def test_show_create_escapes_comment(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute(
+        "CREATE TABLE c_esc (x UInt8 COMMENT 'it''s a \\\\ test') "
+        "ENGINE = Memory")
+    stmt = sess.execute("SHOW CREATE TABLE c_esc").collect()[0][0]
+    assert "COMMENT 'it\\'s a \\\\ test'" in stmt

@@ -17,7 +17,11 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from clickhouse_from_scratch_spark.queries import ORACLES, QUERIES  # noqa: E402
+from clickhouse_from_scratch_spark.queries import (  # noqa: E402
+    INVARIANTS,
+    ORACLES,
+    QUERIES,
+)
 from clickhouse_from_scratch_spark.session import get_spark  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -109,8 +113,22 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"weak  {name}: {len(spark_pdf)} rows (no oracle)")
-            n_weak += 1
+            if name in INVARIANTS:
+                desc, fn = INVARIANTS[name]
+                try:
+                    prob = fn(spark_pdf, con)
+                except Exception as e:
+                    prob = f"invariant check error: {e}"
+                if prob:
+                    print(f"FAIL  {name}: invariant violated: {prob}")
+                    n_fail += 1
+                else:
+                    print(f"ok~   {name}: {len(spark_pdf)} rows "
+                          f"(invariant: {desc})")
+                    n_pass += 1
+            else:
+                print(f"weak  {name}: {len(spark_pdf)} rows (no oracle)")
+                n_weak += 1
             continue
         try:
             duck_pdf = con.execute(ORACLES[name]).fetchdf()
