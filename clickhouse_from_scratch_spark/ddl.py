@@ -32,8 +32,8 @@ from .functions.typemap import ch_type_to_spark
 from .operators import final as final_op
 from .plans.builder import build
 from .plans.statements import (
-    AlterStmt, BackupStmt, CheckStmt, CreateDatabase, CreateDictionary,
-    CreateLiveView, CreateTable,
+    AlterStmt, AttachStmt, BackupStmt, CheckStmt, CreateDatabase,
+    CreateDictionary, CreateLiveView, CreateTable,
     CreateView, CreateWindowView, DescribeStmt, DropStmt, ExistsStmt, ExternalDDL,
     ExplainStmt, InsertStmt, KillStmt, OptimizeStmt, OutputClause,
     RenameTable, SetStmt, ShowStmt, SystemStmt, TruncateStmt, UseStmt,
@@ -152,6 +152,9 @@ class ChSession:
         self.dictionaries: dict[str, DictMeta] = {}
         # INSERT-trigger registry for materialized views
         self.mat_views: list[dict] = []
+        # DETACH TABLE parks the meta here (data kept on disk/in memory)
+        # until a bare ATTACH TABLE restores it
+        self.detached: dict[tuple[str, str], TableMeta] = {}
         # system.query_log rows: (query, type, elapsed_ms, event_time)
         self.query_log: list[tuple] = []
 
@@ -203,6 +206,7 @@ class ChSession:
             CreateTable: self._create_table,
             CreateView: self._create_view,
             DropStmt: self._drop,
+            AttachStmt: self._attach,
             RenameTable: self._rename,
             AlterStmt: self._alter,
             InsertStmt: self._insert,
@@ -630,6 +634,13 @@ class ChSession:
             if node.if_exists:
                 return self._ok()
             raise ValueError(f"unknown table: {db}.{node.name}")
+        if getattr(node, "detach", False):
+            # DETACH: unhook from the catalog but KEEP data and meta so
+            # a later bare ATTACH TABLE restores it (CH detached parts
+            # directory analogue)
+            self.detached[(db, node.name)] = meta
+            del self._db(db)[node.name]
+            return self._ok()
         if meta.bucket_spec() is not None and meta.path:
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self._catalog_name(meta)}")
@@ -638,6 +649,18 @@ class ChSession:
         del self._db(db)[node.name]
         self.mat_views = [mv for mv in self.mat_views
                           if mv["name"] != node.name]
+        return self._ok()
+
+    def _attach(self, node):
+        """Bare ATTACH TABLE: restore a DETACHed table's meta (+data)."""
+        db = node.database or self.current_db
+        meta = self.detached.pop((db, node.name), None)
+        if meta is None:
+            if node.if_not_exists:
+                return self._ok()
+            raise ValueError(
+                f"cannot ATTACH {db}.{node.name}: not detached")
+        self._db(db)[node.name] = meta
         return self._ok()
 
     def _rename(self, node: RenameTable):

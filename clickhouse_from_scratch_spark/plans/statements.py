@@ -64,6 +64,8 @@ class CreateView(Node):
     to_table: str | None = None
     if_not_exists: bool = False
     or_replace: bool = False
+    engine: str | None = None      # MV inner-table ENGINE (parsed, the
+    order_by: list = None          # Spark store is parquet/memory-backed)
 
 
 @dataclass
@@ -125,6 +127,16 @@ class DropStmt(Node):
     database: str | None
     name: str
     if_exists: bool = False
+    detach: bool = False           # DETACH keeps data for a later ATTACH
+
+
+@dataclass
+class AttachStmt(Node):
+    """Bare ATTACH TABLE name — re-attach a previously DETACHed table
+    (ParserCreateQuery ATTACH-without-definition path)."""
+    database: str | None
+    name: str
+    if_not_exists: bool = False
 
 
 @dataclass
@@ -596,7 +608,19 @@ class StatementParser(Parser):
         return cd, nn
 
     def _create(self):
+        is_attach = self.tok.is_kw("ATTACH")
         self.advance()                       # CREATE/ATTACH
+        if is_attach and self.tok.is_kw("TABLE"):
+            # bare ATTACH TABLE name: re-attach a DETACHed table; a
+            # definition after the name falls through to CREATE-style
+            # ATTACH (re-parsed from the saved position)
+            save = self.i
+            self.advance()                   # TABLE
+            ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+            db, name = self._qualified_name()
+            if self.tok.kind == T.EOF or self.tok.is_op(";"):
+                return AttachStmt(db, name, ine)
+            self.i = save                    # full definition: re-parse
         or_replace = bool(self.accept_kws("OR", "REPLACE"))
         temporary = bool(self.accept_kw("TEMPORARY"))
         if self.accept_kw("DATABASE"):
@@ -647,11 +671,21 @@ class StatementParser(Parser):
             to_table = None
             if self.accept_kw("TO"):
                 _, to_table = self._qualified_name()
+            # [ENGINE = X [ORDER BY ...]] — the MV's INNER-table storage
+            # clause (ParserCreateQuery.cpp materialized-view grammar);
+            # parsed via the shared storage-clause path, recorded on the
+            # node (the Spark store keeps MV results as managed frames)
+            engine = order_by = None
+            if self.tok.is_kw("ENGINE", "ORDER", "PARTITION", "SETTINGS",
+                              "PRIMARY"):
+                dummy = CreateTable(db, name, [])
+                self._storage_clause(dummy)
+                engine, order_by = dummy.engine, dummy.order_by
             populate = bool(self.accept_kw("POPULATE"))
             self.expect_kw("AS")
             q = self._union()
             return CreateView(db, name, q, materialized, populate,
-                              to_table, ine, or_replace)
+                              to_table, ine, or_replace, engine, order_by)
         self.expect_kw("TABLE")
         ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
         db, name = self._qualified_name()
@@ -850,6 +884,7 @@ class StatementParser(Parser):
     # --- DROP / RENAME ----------------------------------------------------
 
     def _drop(self):
+        detach = self.tok.is_kw("DETACH")
         self.advance()
         kind = "TABLE"
         if self.accept_kw("DATABASE"):
@@ -868,7 +903,7 @@ class StatementParser(Parser):
         db, name = self._qualified_name()
         self.accept_kw("PERMANENTLY")
         self.accept_kw("SYNC")
-        return DropStmt(kind, db, name, ie)
+        return DropStmt(kind, db, name, ie, detach)
 
     def _rename(self):
         self.advance()
