@@ -91,7 +91,10 @@ def _uniq_null_aware(fn) -> Callable[..., Column]:
 
 AGGREGATES: dict[str, Callable[..., Column]] = {
     "count": lambda *a: F.count(_c(a[0])) if a else F.count(F.lit(1)),
-    "countDistinct": _uniq_null_aware(F.count_distinct),
+    # late-bound F.* lookups (lambda, not the function object): the
+    # window path patches the constructors so each aggregate leaf gets
+    # .over applied — an import-time capture would bypass it
+    "countDistinct": _uniq_null_aware(lambda *c: F.count_distinct(*c)),
     "sum": lambda x: F.sum(_c(x)),
     "sumDistinct": lambda x: F.sum_distinct(_c(x)),
     "avg": lambda x: F.avg(_c(x)),
@@ -114,10 +117,12 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "kurtSamp": lambda x: F.kurtosis(_c(x)),
     # approximate distinct: CH uniq/uniqHLL12/uniqCombined → HLL
     "uniq": _uniq_null_aware(lambda *cs: F.approx_count_distinct(cs[0])),
-    "uniqHLL12": _uniq_null_aware(F.approx_count_distinct),
-    "uniqCombined": _uniq_null_aware(F.approx_count_distinct),
-    "uniqCombined64": _uniq_null_aware(F.approx_count_distinct),
-    "uniqExact": _uniq_null_aware(F.count_distinct),
+    "uniqHLL12": _uniq_null_aware(lambda *c: F.approx_count_distinct(*c)),
+    "uniqCombined": _uniq_null_aware(
+        lambda *c: F.approx_count_distinct(*c)),
+    "uniqCombined64": _uniq_null_aware(
+        lambda *c: F.approx_count_distinct(*c)),
+    "uniqExact": _uniq_null_aware(lambda *c: F.count_distinct(*c)),
     # parametric quantiles: quantile(q)(x) — exact interpolated percentile
     "quantile": lambda q, x=None: F.percentile(_c(x), F.lit(q)) if x is not None else F.median(_c(q)),
     "quantileExact": lambda q, x: _quantile_exact(x, q),
@@ -814,6 +819,53 @@ def _combine(base, base_name: str, sfx: str):
         return lambda arr: _array_combinator(base_name, arr)
     if sfx == "ForEach":
         return lambda arr: _foreach_combinator(base_name, arr)
+    if sfx in ("ArgMin", "ArgMax"):
+        # -ArgMin/-ArgMax (published combinator): apply the base ONLY to
+        # rows whose last argument is the group's min/max — CH keeps a
+        # (state, best_v) pair, restarting the state on a better v, so
+        # the result is the base over ALL best-v rows. Buffered fold
+        # (bounded by the group, same state class as rankCorr etc.).
+        fold = _FOLDABLE_BASES.get(base_name)
+        if fold is None:
+            def _unsupported(*a):
+                raise ValueError(
+                    f"-{sfx} combinator is not supported for {base_name}")
+            return _unsupported
+
+        def _arged(*a):
+            v = _c(a[-1])
+            x = _c(a[0]) if len(a) > 1 else F.lit(1)
+            pairs = F.collect_list(F.struct(v.alias("v"), x.alias("x")))
+            vs = F.transform(pairs, lambda s: s["v"])
+            best = F.array_min(vs) if sfx == "ArgMin" else F.array_max(vs)
+            sel = F.transform(
+                F.filter(pairs, lambda s: s["v"] == best),
+                lambda s: s["x"])
+            return fold(sel)
+        return _arged
+    if sfx == "Map":
+        # generic -Map combinator (sumMap/minMap/maxMap are dispatched
+        # earlier in the builder): apply the base per map KEY across the
+        # group — countMap, avgMap, uniqMap, anyMap …
+        fold = _FOLDABLE_BASES.get(base_name)
+        if fold is None:
+            def _unsupported(*a):
+                raise ValueError(
+                    f"-Map combinator is not supported for {base_name}")
+            return _unsupported
+
+        def _mapped(*a):
+            m = _c(a[0]) if len(a) == 1 else F.map_from_arrays(_c(a[0]),
+                                                               _c(a[1]))
+            entries = F.flatten(F.collect_list(F.map_entries(m)))
+            keys = F.array_sort(F.array_distinct(
+                F.transform(entries, lambda e: e["key"])))
+            return F.map_from_arrays(
+                keys,
+                F.transform(keys, lambda k: fold(F.transform(
+                    F.filter(entries, lambda e: e["key"] == k),
+                    lambda e: e["value"]))))
+        return _mapped
     if sfx == "Distinct":
         def _distincted(*a):
             if base_name.endswith("If") and len(base_name) > 2 \
@@ -834,9 +886,29 @@ def _combine(base, base_name: str, sfx: str):
     raise AssertionError(sfx)
 
 
+# array-fold forms of the foldable bases, shared by the -ArgMin/-ArgMax
+# and generic -Map combinators (the fold runs over the buffered
+# selection, preserving the element type where possible)
+_FOLDABLE_BASES: dict[str, Callable[[Column], Column]] = {
+    "sum": lambda vs: F.aggregate(
+        vs, F.element_at(vs, 1) * 0, lambda acc, v: acc + v),
+    "count": lambda vs: F.size(vs).cast("long"),
+    "avg": lambda vs: (F.aggregate(vs, F.lit(0.0),
+                                   lambda a, v: a + v.cast("double"))
+                       / F.size(vs)),
+    "min": F.array_min,
+    "max": F.array_max,
+    "any": lambda vs: F.element_at(vs, 1),
+    "anyLast": lambda vs: F.element_at(vs, -1),
+    "groupArray": lambda vs: vs,
+    "groupUniqArray": F.array_distinct,
+    "uniq": lambda vs: F.size(F.array_distinct(vs)).cast("long"),
+    "uniqExact": lambda vs: F.size(F.array_distinct(vs)).cast("long"),
+}
+
 _COMBINATOR_SUFFIXES = ("OrNull", "OrDefault", "SimpleState", "MergeState",
                         "State", "Merge", "Array", "ForEach", "If",
-                        "Distinct")
+                        "Distinct", "ArgMin", "ArgMax", "Map")
 
 
 def resolve_aggregate(name: str) -> Callable[..., Column] | None:

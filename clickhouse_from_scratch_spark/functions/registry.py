@@ -1115,7 +1115,10 @@ def _json_path(keys) -> str:
     return ".".join(parts)
 
 
-def _jx(cast: str | None = None):
+def _jx(cast: str | None = None, default=None):
+    """JSONExtract<T>: absent key / wrong type / invalid JSON returns
+    the requested TYPE's default (0 / 0.0 / false / ''), never NULL
+    (FunctionsJSON extract contract)."""
     def f(j, *keys):
         neg = [isinstance(k, int) and not isinstance(k, bool) and k < 0
                for k in keys]
@@ -1135,17 +1138,37 @@ def _jx(cast: str | None = None):
                                int(keys[-1]))
         else:
             col = F.get_json_object(_c(j), _json_path(keys))
-        return col.cast(cast) if cast else col
+        if cast:
+            col = col.cast(cast)
+        if default is not None:
+            col = F.coalesce(col, F.lit(default))
+        return col
     return f
 
 
-_alias("JSONExtractString", _jx())
-_alias("JSONExtractInt", _jx("long"))
-_alias("JSONExtractFloat", _jx("double"))
-_alias("JSONExtractBool", _jx("boolean"))
-_alias("JSONHas", lambda j, *keys: F.get_json_object(
-    _c(j), _json_path(keys)).isNotNull())
-_alias("JSONExtractRaw", _jx())
+def _json_has(j, *keys):
+    """JSONHas: 1 when the member/index EXISTS — including a json null
+    value (key membership, not value extraction; FunctionsJSON has())."""
+    if not keys:
+        return F.try_parse_json(_c(j)).isNotNull()
+    parent = (F.get_json_object(_c(j), _json_path(keys[:-1]))
+              if len(keys) > 1 else _c(j))
+    k = keys[-1]
+    if isinstance(k, int) and not isinstance(k, bool):
+        n = F.json_array_length(parent)
+        return F.coalesce((F.lit(k) != 0) & (F.lit(k) <= n)
+                          & (F.lit(-k) <= n), F.lit(False))
+    return F.coalesce(
+        F.array_contains(F.json_object_keys(parent), str(k)),
+        F.lit(False))
+
+
+_alias("JSONExtractString", _jx(default=""))
+_alias("JSONExtractInt", _jx("long", 0))
+_alias("JSONExtractFloat", _jx("double", 0.0))
+_alias("JSONExtractBool", _jx("boolean", False))
+_alias("JSONHas", _json_has)
+_alias("JSONExtractRaw", _jx(default=""))
 # standard-SQL JSON accessors (CH registers them case-insensitively);
 # these take a ready-made '$.a.b' JsonPath string
 _alias("JSON_VALUE", lambda j, p: F.get_json_object(_c(j), str(p)))
@@ -1373,9 +1396,38 @@ def _array_cumsum(a: Column) -> Column:
         F.slice(a, 1, i), F.lit(0.0), lambda acc, x: acc + x.cast("double")))
 
 
-_alias("arrayResize", lambda a, n, fill=0: F.concat(
-    F.slice(_c(a), 1, n),
-    F.array_repeat(F.lit(fill), F.greatest(F.lit(n) - F.size(_c(a)), F.lit(0)))))
+def _array_resize(a, n, fill=0) -> Column:
+    """arrayResize(arr, size[, extender]): positive size keeps/extends
+    from the RIGHT end; NEGATIVE size resizes from the LEFT — elements
+    are added to or removed from the beginning (public CH contract:
+    arrayResize([1,2,3], -2) = [2,3])."""
+    a = _c(a)
+    f = _c(fill) if isinstance(fill, Column) else F.lit(fill)
+    n_i = int(n) if not isinstance(n, Column) else None
+    if n_i is not None and n_i >= 0:
+        return F.concat(
+            F.slice(a, 1, n_i),
+            F.array_repeat(f, F.greatest(F.lit(n_i) - F.size(a),
+                                         F.lit(0))))
+    if n_i is not None:     # negative literal: from the left
+        k = -n_i
+        return F.concat(
+            F.array_repeat(f, F.greatest(F.lit(k) - F.size(a), F.lit(0))),
+            F.slice(a, F.greatest(F.size(a) - k + 1, F.lit(1)),
+                    F.least(F.lit(k), F.size(a))))
+    n = _c(n).cast("int")
+    pos = F.concat(
+        F.slice(a, 1, F.greatest(n, F.lit(0))),
+        F.array_repeat(f, F.greatest(n - F.size(a), F.lit(0))))
+    k = -n
+    neg = F.concat(
+        F.array_repeat(f, F.greatest(k - F.size(a), F.lit(0))),
+        F.slice(a, F.greatest(F.size(a) - k + 1, F.lit(1)),
+                F.least(k, F.size(a))))
+    return F.when(n >= 0, pos).otherwise(neg)
+
+
+_alias("arrayResize", _array_resize)
 _alias("arrayWithConstant", lambda n, v: F.array_repeat(_c(v), n))
 _alias("arrayFirst", lambda f, a: F.element_at(F.filter(_c(a), f), 1))
 _alias("arrayLast", lambda f, a: F.element_at(F.filter(_c(a), f), -1))
@@ -3001,11 +3053,16 @@ _alias("serverTimezone", lambda: F.lit("UTC"))
 _alias("timezoneOf", lambda c: F.lit("UTC"))
 _alias("indexHint", lambda *a: F.lit(True))   # CH: always 1, arg unused
 _alias("JSONArrayLength", lambda j: F.json_array_length(_c(j)))
-_alias("JSONLength", lambda j, *keys: F.coalesce(
-    F.json_array_length(F.get_json_object(_c(j), _json_path(keys))
-                        if keys else _c(j)),
-    F.size(F.json_object_keys(F.get_json_object(_c(j), _json_path(keys))
-                              if keys else _c(j)))))
+def _json_length(j, *keys) -> Column:
+    """JSONLength: array/object element count, 0 for scalars or absent
+    paths (never Spark's size(NULL) = -1)."""
+    src = (F.get_json_object(_c(j), _json_path(keys)) if keys else _c(j))
+    ks = F.json_object_keys(src)
+    return F.coalesce(F.json_array_length(src),
+                      F.when(ks.isNotNull(), F.size(ks)), F.lit(0))
+
+
+_alias("JSONLength", _json_length)
 _alias("JSONExtractValues", lambda j, *keys: F.map_values(F.from_json(
     F.get_json_object(_c(j), _json_path(keys)) if keys else _c(j),
     "map<string,string>")))

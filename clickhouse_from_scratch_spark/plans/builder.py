@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import re as _re_mod
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -2170,6 +2171,58 @@ _GENERIC_PARAMETRIC_AGGS = {
 }
 
 
+# aggregate CONSTRUCTORS in pyspark.sql.functions: in window position
+# each primitive aggregate leaf must get .over(w) applied individually —
+# composite aggregates (uniqExact's null flag, -OrNull's count gate,
+# quantileExact's sorted collect, groupArray(N)'s slice) are arithmetic
+# OVER several windowed aggregates, and Column.over on the composite
+# root leaves the inner AggregateExpressions bare (MISSING_GROUP_BY).
+_AGG_CONSTRUCTORS = (
+    "sum", "count", "avg", "mean", "min", "max", "first", "last",
+    "collect_list", "collect_set", "stddev_pop", "stddev_samp",
+    "var_pop", "var_samp", "covar_pop", "covar_samp", "corr",
+    "skewness", "kurtosis", "approx_count_distinct", "percentile",
+    "percentile_approx", "median", "mode", "min_by", "max_by",
+    "bit_and", "bit_or", "bit_xor", "histogram_numeric", "any_value",
+    "bool_and", "bool_or", "product",
+)
+
+
+@contextmanager
+def _windowed_agg_constructors(w):
+    """Scoped patch: every aggregate constructor returns its column
+    already .over(w)-wrapped, so ANY composite the registry builds
+    becomes post-processing over windowed aggregates — the CH contract
+    that every aggregate works as a window function. DISTINCT
+    aggregates are rewritten to set-collection (Spark rejects DISTINCT
+    window aggregates; size(collect_set) ≡ count_distinct over the
+    frame). Single-threaded builder; restored in finally."""
+    import pyspark.sql.functions as FF
+    saved = {n: getattr(FF, n) for n in _AGG_CONSTRUCTORS}
+    saved_cd = FF.count_distinct
+
+    def mk(fn):
+        def g(*a, **k):
+            return fn(*a, **k).over(w)
+        return g
+
+    def cd(*cols):
+        col = cols[0] if len(cols) == 1 else FF.struct(*cols)
+        return F.size(saved["collect_set"](col).over(w))
+
+    try:
+        for n, fn in saved.items():
+            setattr(FF, n, mk(fn))
+        FF.count_distinct = cd
+        FF.countDistinct = cd
+        yield
+    finally:
+        for n, fn in saved.items():
+            setattr(FF, n, fn)
+        FF.count_distinct = saved_cd
+        FF.countDistinct = saved_cd
+
+
 def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
                 over=None) -> Column:
     """Lower one aggregate call, then apply the CH empty-subset rule:
@@ -2182,7 +2235,15 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
     -OrNull keeps NULL; count* is already 0; Nullable arguments keep
     NULL (AggregateFunctionNull)."""
     try:
-        result = _agg_column_inner(node, ctx, df)
+        if over is not None:
+            # window position: each aggregate LEAF gets .over applied as
+            # it is constructed, so composite aggregates (uniq null
+            # flags, -OrNull gates, sorted-collect quantiles, parametric
+            # slices) work as window functions like in CH
+            with _windowed_agg_constructors(over):
+                result = _agg_column_inner(node, ctx, df)
+        else:
+            result = _agg_column_inner(node, ctx, df)
     except (TypeError, IndexError) as e:
         # never leak a raw Python TypeError from the registry dispatch —
         # a non-parametric aggregate given parameters (sum(1)(x)) or a
@@ -2190,8 +2251,6 @@ def _agg_column(node: FuncCall, ctx: Context, df: DataFrame,
         raise BuildError(
             "wrong number of arguments or parameters for aggregate "
             f"function {node.name}: {e}") from None
-    if over is not None:
-        result = result.over(over)
     name = node.name
     if node.filter_where is not None:
         cond_node, base = node.filter_where, name
@@ -3311,6 +3370,30 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             parts.extend(c[f.name] for f in dt.fields)
         return F.struct(*[pc.alias(f"_{i + 1}")
                           for i, pc in enumerate(parts)])
+    if name in ("tupleNames", "tupleToNameValuePairs") \
+            and len(node.args) == 1 and df is not None:
+        # tupleNames(t) -> Array(String) of element names ('1','2' for
+        # unnamed tuples); tupleToNameValuePairs(t) -> Array(Tuple(name,
+        # value)) — same-type elements required, like CH
+        from pyspark.sql.types import StructType
+        dt = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if not isinstance(dt, StructType):
+            raise BuildError(f"{name}: argument must be a Tuple")
+
+        def disp(n: str) -> str:
+            return n[1:] if n.startswith("_") and n[1:].isdigit() else n
+
+        if name == "tupleNames":
+            return F.array(*[F.lit(disp(f.name)) for f in dt.fields])
+        kinds = {f.dataType.simpleString() for f in dt.fields}
+        if len(kinds) > 1:
+            raise BuildError(
+                "tupleToNameValuePairs: tuple elements must share one "
+                f"type, got {sorted(kinds)}")
+        return F.array(*[
+            F.struct(F.lit(disp(f.name)).alias("_1"),
+                     cols[0][f.name].alias("_2"))
+            for f in dt.fields])
     if name == "byteSize" and len(node.args) == 1:
         # uncompressed in-memory size: fixed-width types report the
         # DECLARED width (UInt32 -> 4, Float64 -> 8, Date -> 2,
@@ -3640,6 +3723,27 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             if dt_obj is not None:
                 t = _spark_to_ch_name(dt_obj.simpleString())
         return F.lit(t or "Dynamic")
+    if name == "initializeAggregation" and len(node.args) >= 2 \
+            and isinstance(node.args[0], Literal):
+        # initializeAggregation('aggState', v...): the single-row state
+        # (functions/other#initializeaggregation). Our value-carrier
+        # states finalize to the value itself; sketch-free dispatch on
+        # the base name, named error otherwise.
+        agg = str(node.args[0].value).strip("'\"")
+        base = agg[:-5] if agg.endswith("State") else agg
+        vals = cols[1:]
+        if base in ("sum", "min", "max", "any", "anyLast", "avg",
+                    "median", "first", "last"):
+            return vals[0]
+        if base in ("count", "uniq", "uniqExact", "uniqHLL12",
+                    "uniqCombined"):
+            return F.lit(1).cast("long")
+        if base in ("groupArray", "groupUniqArray"):
+            return F.array(*vals)
+        if base == "uniqExactState":
+            return F.array(*vals)
+        raise BuildError(
+            f"initializeAggregation: unsupported aggregate {agg!r}")
     if name == "finalizeAggregation" and len(cols) == 1:
         # AggregateFunction state → finalized value (scalar, per row):
         # binary HLL sketch states estimate; uniqExact array states count

@@ -114,6 +114,64 @@ def test_java_hash_supplementary_plane(spark):
             == (_java_hash_py(s),), s
 
 
+# --- 6: JSON extract defaults / JSONHas null / JSONLength scalar ------------
+
+def test_json_extract_missing_key_type_default(spark):
+    assert one(spark, """SELECT JSONExtractInt('{"a": 3}', 'b') AS a,
+        JSONExtractString('{}', 'a') AS b,
+        JSONExtractFloat('{}', 'a') AS c,
+        JSONExtractBool('{}', 'a') AS d,
+        JSONExtractInt('not json', 'a') AS e""") \
+        == (0, "", 0.0, False, 0)
+
+
+def test_json_has_sees_null_valued_key(spark):
+    assert one(spark, """SELECT JSONHas('{"a": null}', 'a') AS a,
+        JSONHas('{}', 'a') AS b""") == (True, False)
+
+
+def test_json_has_array_index_bounds(spark):
+    assert one(spark, """SELECT JSONHas('{"a":[1,2]}', 'a', 1) AS a,
+        JSONHas('{"a":[1,2]}', 'a', 3) AS b,
+        JSONHas('{"a":[1,2]}', 'a', -2) AS c,
+        JSONHas('{"a":[1,2]}', 'a', -3) AS d""") \
+        == (True, False, True, False)
+
+
+def test_json_length_scalar_is_zero(spark):
+    assert one(spark, "SELECT JSONLength('3') AS a, "
+               "JSONLength('bad') AS b, JSONLength('[1,2]') AS c") \
+        == (0, 0, 2)
+
+
+# --- 7: arrayResize negative size (resize from the left) --------------------
+
+def test_array_resize_negative(spark):
+    assert one(spark, "SELECT arrayResize([1,2,3], -2) AS a, "
+               "arrayResize([1,2,3], -5) AS b, "
+               "arrayResize([1,2,3], 2) AS c, "
+               "arrayResize([1,2,3], 5) AS d") \
+        == ([2, 3], [0, 0, 1, 2, 3], [1, 2], [1, 2, 3, 0, 0])
+
+
+def test_array_resize_dynamic_size(spark):
+    assert rows(spark, "SELECT arrayResize([1,2,3], number - 2) AS r "
+                "FROM numbers(5) ORDER BY number") \
+        == [([2, 3],), ([3],), ([],), ([1],), ([1, 2],)]
+
+
+# --- 8: tupleNames / tupleToNameValuePairs -----------------------------------
+
+def test_tuple_names(spark):
+    assert one(spark, "SELECT tupleNames(tuple(1, 2)) AS r") \
+        == (["1", "2"],)
+
+
+def test_tuple_to_name_value_pairs(spark):
+    (r,) = one(spark, "SELECT tupleToNameValuePairs(tuple(10, 20)) AS r")
+    assert [tuple(p) for p in r] == [("1", 10), ("2", 20)]
+
+
 # --- 5: SHOW CREATE comment escaping ----------------------------------------
 
 def test_show_create_escapes_comment(spark, tmp_path):
