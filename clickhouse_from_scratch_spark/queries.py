@@ -2717,6 +2717,112 @@ def sql_group_array_param(spark, sf_dir):
     """)
 
 
+@query("sql_arg_minmax_combinators", oracle="""
+WITH m AS (
+  SELECT l_returnflag AS f, MIN(l_linenumber) AS lo,
+         MAX(l_linenumber) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CASE WHEN l_linenumber = lo
+                      THEN CAST(l_quantity AS DECIMAL(27,4)) END)
+                  AS DOUBLE), 4) AS sum_at_min,
+       ROUND(CAST(SUM(CASE WHEN l_linenumber = hi
+                      THEN CAST(l_quantity AS DECIMAL(27,4)) END)
+                  AS DOUBLE), 4) AS sum_at_max,
+       CAST(COUNT(CASE WHEN l_linenumber = lo THEN 1 END) AS BIGINT)
+           AS n_at_min
+FROM lineitem JOIN m ON l_returnflag = m.f
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_arg_minmax_combinators(spark, sf_dir):
+    """-ArgMin/-ArgMax combinators (round-8): the base aggregate over
+    exactly the rows whose key column is the group's min/max —
+    sumArgMin(qty, linenumber) = sum of qty on min-linenumber rows
+    (aggregate-functions/combinators; grammar ref
+    src/Parsers/ExpressionElementParsers.cpp:766-876). Scale: buffered
+    per-group fold, one group-by shuffle."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               round(sumArgMin(toFloat64(l_quantity), l_linenumber), 4)
+                   AS sum_at_min,
+               round(sumArgMax(toFloat64(l_quantity), l_linenumber), 4)
+                   AS sum_at_max,
+               countArgMin(l_linenumber) AS n_at_min
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
+@query("sql_map_combinators", oracle="""
+WITH per_key AS (
+  SELECT l_linenumber AS ln, o_orderpriority AS k,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(ROUND(10000 * SUM(CAST(l_quantity AS DOUBLE)) / COUNT(*))
+              AS BIGINT) AS avg_q4
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_linenumber, o_orderpriority
+)
+SELECT ln AS l_linenumber,
+       string_agg(k || '=' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY k) AS counts,
+       string_agg(k || '=' || CAST(avg_q4 AS VARCHAR), ','
+                  ORDER BY k) AS avgs
+FROM per_key GROUP BY ln ORDER BY ln
+""")
+def sql_map_combinators(spark, sf_dir):
+    """Generic -Map combinator (round-8): countMap/avgMap apply the base
+    per map KEY across the group (aggregate-functions/combinators#-map).
+    Maps render as sorted key=value CSV for the driver canonicalizer
+    (unhashable-cell rule); averages scale to 1e4-fixed integers so both
+    engines render identically. Scale: per-group key-fold after one
+    broadcast join + group-by shuffle."""
+    return _sql(spark, sf_dir, """
+        SELECT l_linenumber,
+               arrayStringConcat(arrayMap(
+                   k -> concat(k, '=', toString(cm[k])), mapKeys(cm)),
+                   ',') AS counts,
+               arrayStringConcat(arrayMap(
+                   k -> concat(k, '=',
+                               toString(toInt64(round(am[k] * 10000)))),
+                   mapKeys(am)), ',') AS avgs
+        FROM (
+            SELECT l_linenumber,
+                   countMap(map(o_orderpriority, l_quantity)) AS cm,
+                   avgMap(map(o_orderpriority,
+                              toFloat64(l_quantity))) AS am
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linenumber
+        ) ORDER BY l_linenumber
+    """)
+
+
+@query("sql_windowed_uniq", oracle="""
+SELECT event_id,
+       CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts,
+            event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seen_types
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events)
+ORDER BY event_id LIMIT 2000
+""")
+def sql_windowed_uniq(spark, sf_dir):
+    """uniqExact as a WINDOW function (round-8: composite aggregates
+    get .over per leaf): cumulative distinct event types per user.
+    DuckDB oracle counts first-occurrence markers (DISTINCT window
+    aggregates are unsupported there too — the rewrite is exact).
+    Scale: one window shuffle on user_id."""
+    return _sql(spark, sf_dir, """
+        SELECT event_id,
+               uniqExact(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS seen_types
+        FROM events ORDER BY event_id LIMIT 2000
+    """)
+
+
 @query("sql_quantile_exc_inc", oracle="""
 WITH g AS (
   SELECT l_returnflag AS f,
