@@ -963,9 +963,27 @@ _alias("arrayAll", lambda f, a: F.forall(_c(a), f))
 _alias("arrayCount", lambda f, a: F.size(F.filter(_c(a), f)))
 # NULL elements are SKIPPED (aggregate-function semantics:
 # arraySum([1,NULL]) = 1, arrayAvg divides by the non-NULL count)
-_alias("arraySum", lambda a: F.aggregate(
-    F.filter(_c(a), lambda x: x.isNotNull()),
-    F.lit(0.0), lambda acc, x: acc + x.cast("double")))
+def typed_array_sum(a, elem_type: str | None = None) -> Column:
+    """arraySum with CH result typing: integer elements sum to Int64
+    (wrapping), Decimal stays Decimal(38, s), floats sum to Float64.
+    The builder passes the probed element type; the bare registry form
+    falls back to the double fold."""
+    vals = F.filter(_c(a), lambda x: x.isNotNull())
+    et = elem_type or ""
+    if et in ("tinyint", "smallint", "int", "bigint", "boolean"):
+        return F.aggregate(
+            vals, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"))
+    if et.startswith("decimal"):
+        scale = et.rstrip(")").split(",")[-1] if "," in et else "0"
+        t = f"decimal(38,{scale.strip()})"
+        return F.aggregate(vals, F.lit(0).cast(t),
+                           lambda acc, x: (acc + x).cast(t))
+    return F.aggregate(vals, F.lit(0.0),
+                       lambda acc, x: acc + x.cast("double"))
+
+
+_alias("arraySum", typed_array_sum)
 _alias("arrayAvg", lambda a: REGISTRY["arraySum"](a)
        / F.size(F.filter(_c(a), lambda x: x.isNotNull())))
 _alias("arrayMin", F.array_min)
@@ -1188,6 +1206,12 @@ _alias("visitParamExtractString", REGISTRY["JSONExtractString"])
 _alias("isValidJSON", lambda j: F.from_json(_c(j), "map<string,string>").isNotNull())
 
 # --- IP / UUID / encoding -------------------------------------------------
+_alias("IPv4NumToStringClassC", lambda n: F.concat(
+    F.concat_ws(".",
+                F.shiftright(_c(n).cast("long"), 24).bitwiseAND(F.lit(255)),
+                F.shiftright(_c(n).cast("long"), 16).bitwiseAND(F.lit(255)),
+                F.shiftright(_c(n).cast("long"), 8).bitwiseAND(F.lit(255))),
+    F.lit(".xxx")))
 _alias("IPv4NumToString", lambda n: F.concat_ws(
     ".", (F.shiftright(_c(n), 24) % 256).cast("string"),
     (F.shiftright(_c(n), 16) % 256).cast("string"),

@@ -3370,6 +3370,22 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             parts.extend(c[f.name] for f in dt.fields)
         return F.struct(*[pc.alias(f"_{i + 1}")
                           for i, pc in enumerate(parts)])
+    if ((name == "arraySum" and len(node.args) == 1)
+            or (name == "arrayReduce" and len(node.args) == 2
+                and isinstance(node.args[0], Literal)
+                and str(node.args[0].value).strip().lower() == "sum")) \
+            and df is not None:
+        # CH arraySum / arrayReduce('sum') result type follows the
+        # element type (Int64 for ints, Decimal stays Decimal) — probe
+        # the element type and use the typed fold
+        from pyspark.sql.types import ArrayType
+        from ..functions.registry import typed_array_sum
+        arr_node = node.args[-1]
+        arr_col = cols[-1]
+        dt = _probe_dtype(arr_node, arr_col, ctx, df)
+        if isinstance(dt, ArrayType):
+            return typed_array_sum(arr_col,
+                                   dt.elementType.simpleString())
     if name in ("tupleNames", "tupleToNameValuePairs") \
             and len(node.args) == 1 and df is not None:
         # tupleNames(t) -> Array(String) of element names ('1','2' for
