@@ -836,8 +836,10 @@ def _combine(base, base_name: str, sfx: str):
             v = _c(a[-1])
             x = _c(a[0]) if len(a) > 1 else F.lit(1)
             pairs = F.collect_list(F.struct(v.alias("v"), x.alias("x")))
-            vs = F.transform(pairs, lambda s: s["v"])
-            best = F.array_min(vs) if sfx == "ArgMin" else F.array_max(vs)
+            # best v as a SEPARATE aggregate — an array_min over the
+            # collected pairs would inline into the filter lambda and
+            # recompute per element (O(n²) per group)
+            best = F.min(v) if sfx == "ArgMin" else F.max(v)
             sel = F.transform(
                 F.filter(pairs, lambda s: s["v"] == best),
                 lambda s: s["x"])

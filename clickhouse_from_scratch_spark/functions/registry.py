@@ -677,11 +677,30 @@ _alias("timestampAdd", lambda a, b, c=None: (
 _alias("timestampSub", lambda a, b, c=None: (
     REGISTRY["dateSub"](a, b, c) if c is not None
     else _c(a) - F.expr(f"interval {b}")))
-_alias("addDays", lambda d, n: F.date_add(_c(d), n))
-_alias("subtractDays", lambda d, n: F.date_sub(_c(d), n))
-_alias("addHours", lambda d, n: _c(d) + F.expr(f"interval {n} hour"))
-_alias("addMonths", lambda d, n: F.add_months(_c(d), n))
-_alias("addYears", lambda d, n: F.add_months(_c(d), 12 * n))
+# add/subtract-unit family: timestamp_add keeps the time-of-day (CH
+# addDays(DateTime) returns DateTime — F.date_add would truncate) and
+# takes Column counts. The builder casts the result back to Date for
+# day-or-wider units when the INPUT is a Date (CH result-type rule);
+# sub-day units always yield DateTime.
+def _add_units(unit: str, mult: int, sign: int = 1):
+    def f(d, n):
+        cnt = (_c(n).cast("long") * (mult * sign)).cast("long")
+        return F.timestamp_add(unit, cnt, _c(d).cast("timestamp"))
+    return f
+
+
+for _u, _m, _add_nm, _sub_nm in [
+    ("SECOND", 1, "addSeconds", "subtractSeconds"),
+    ("MINUTE", 1, "addMinutes", "subtractMinutes"),
+    ("HOUR", 1, "addHours", "subtractHours"),
+    ("DAY", 1, "addDays", "subtractDays"),
+    ("DAY", 7, "addWeeks", "subtractWeeks"),
+    ("MONTH", 1, "addMonths", "subtractMonths"),
+    ("MONTH", 3, "addQuarters", "subtractQuarters"),
+    ("YEAR", 1, "addYears", "subtractYears"),
+]:
+    _alias(_add_nm, _add_units(_u, _m, 1))
+    _alias(_sub_nm, _add_units(_u, _m, -1))
 # sub-second arithmetic over DateTime64 (interval literals don't take
 # fractional seconds — go through micros)
 _alias("addMilliseconds",
@@ -2222,7 +2241,7 @@ _alias("serverUUID", lambda: F.lit(
     "00000000-0000-4000-8000-000000000001"))   # fixed single-server id
 _alias("makeDateTime", lambda y, mo, d, h=0, mi=0, s=0, *a:
        F.make_timestamp(_c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)))
-_alias("makeDate32", lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)))
+_alias("makeDate32", lambda y, m, d=None: REGISTRY["makeDate"](y, m, d))
 _alias("YYYYMMDDToDate", lambda c: F.to_date(
     _c(c).cast("long").cast("string"), "yyyyMMdd"))
 _alias("YYYYMMDDToDate32", lambda c: F.to_date(
@@ -2233,13 +2252,8 @@ _alias("YYYYMMDDhhmmssToDateTime", lambda c, *a: F.to_timestamp(
 
 # --- date/time tail -------------------------------------------------------
 _alias("toStartOfSecond", lambda c: F.date_trunc("second", _c(c)))
-_alias("addWeeks", lambda d, n: F.date_add(_c(d), 7 * int(n)))
-_alias("subtractWeeks", lambda d, n: F.date_sub(_c(d), 7 * int(n)))
-_alias("addQuarters", lambda d, n: F.add_months(_c(d), 3 * int(n)))
-_alias("subtractQuarters", lambda d, n: F.add_months(_c(d), -3 * int(n)))
-_alias("subtractHours", lambda d, n: _c(d) - F.expr(f"interval {n} hour"))
-_alias("subtractMonths", lambda d, n: F.add_months(_c(d), -int(n)))
-_alias("subtractYears", lambda d, n: F.add_months(_c(d), -12 * int(n)))
+# (addWeeks/addQuarters/subtract* are registered with the uniform
+# timestamp_add family in the date-arithmetic section above)
 _alias("toDaysSinceYearZero", lambda c: (F.datediff(
     F.to_date(_c(c)), F.lit("1970-01-01").cast("date"))
     + F.lit(719528)).cast("long"))

@@ -1388,6 +1388,15 @@ def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
 
 _IN_NAMES = ("in", "globalIn", "notIn", "globalNotIn")
 
+# day-or-wider add/subtract-unit functions whose result must collapse
+# back to Date when the input is a Date (CH result-type rule; the
+# registry builds them over timestamps to keep DateTime time-of-day)
+_DAY_WIDER_ADD_FNS = {
+    "addDays", "subtractDays", "addWeeks", "subtractWeeks",
+    "addMonths", "subtractMonths", "addQuarters", "subtractQuarters",
+    "addYears", "subtractYears",
+}
+
 
 def _in_marker_pred(marker: str, lhs_node, is_not: bool):
     """(NOT) IN result from a marker-join column, as an AST predicate.
@@ -2994,7 +3003,10 @@ def _eval(node, ctx: Context, df: DataFrame | None,
         v = node.value
         if isinstance(v, Literal):
             return F.expr(f"interval {v.value} {node.unit.lower()}")
-        raise BuildError("non-literal INTERVAL")
+        # INTERVAL <expr> DAY with a dynamic count: one-unit interval
+        # scaled by the (int-cast) count column
+        return F.expr(f"interval 1 {node.unit.lower()}") \
+            * _eval(v, ctx, df).cast("int")
     if isinstance(node, Subquery):
         # scalar subquery: computed once, injected as a literal
         sub = _build_query(node.query, ctx)
@@ -3838,12 +3850,37 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if "not" in name.lower():
             col = ~col
         return F.coalesce(col, F.lit(False))
+    if name in _DAY_WIDER_ADD_FNS and len(node.args) == 2 \
+            and df is not None:
+        # CH result-type rule: addDays/addMonths/… over a DATE stays
+        # Date; over DateTime it keeps the time-of-day (the registry's
+        # timestamp_add form)
+        out = REGISTRY[name](cols[0], cols[1])
+        dtp = _probe_dtype(node.args[0], cols[0], ctx, df)
+        if dtp is not None and dtp.simpleString() == "date":
+            return out.cast("date")
+        return out
     if name in ("plus", "minus") and len(node.args) == 2 and isinstance(
             node.args[1], IntervalExpr):
         iv = node.args[1]
+        unit = iv.unit.lower()
         if isinstance(iv.value, Literal):
-            expr = F.expr(f"interval {iv.value.value} {iv.unit.lower()}")
-            return cols[0] + expr if name == "plus" else cols[0] - expr
+            expr = F.expr(f"interval {iv.value.value} {unit}")
+        else:
+            # INTERVAL <expr> DAY with a dynamic count: one-unit
+            # interval scaled by the (int-cast) count column
+            expr = F.expr(f"interval 1 {unit}") * _eval(
+                iv.value, ctx, df).cast("int")
+        res = cols[0] + expr if name == "plus" else cols[0] - expr
+        if unit in ("day", "week", "month", "quarter", "year") \
+                and df is not None:
+            try:
+                s0 = df.select(cols[0]).schema[0].dataType.simpleString()
+                if s0 == "date":
+                    return res.cast("date")
+            except Exception:
+                pass
+        return res
     if (name in ("plus", "minus") and len(node.args) == 2
             and isinstance(node.args[1], FuncCall)
             and node.args[1].name.startswith("toInterval")
@@ -3887,6 +3924,38 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 # narrows the result type (ResultOfIntegerDivision /
                 # ResultOfModulo)
                 return REGISTRY[name](cols[0], cols[1]).cast(spark_t)
+        if name in ("plus", "minus") and df is not None \
+                and (ta is None or tb is None):
+            # temporal arithmetic (the numeric inference above left a
+            # side unresolved): Date ± N = Date shifted N days (Spark's
+            # date_add rejects BIGINT counts), DateTime ± N = N seconds,
+            # Date − Date = Int32 days, DateTime − DateTime = seconds
+            def _tkind(i):
+                dtp = _probe_dtype(node.args[i], cols[i], ctx, df)
+                s = dtp.simpleString() if dtp is not None else ""
+                return ("date" if s == "date"
+                        else "ts" if s.startswith("timestamp") else s)
+            k0 = _tkind(0) if ta is None else "num"
+            if k0 in ("date", "ts"):
+                k1 = _tkind(1) if tb is None else "num"
+                if name == "minus" and k0 == k1 == "date":
+                    return F.datediff(cols[0], cols[1]).cast("int")
+                if name == "minus" and k0 == k1 == "ts":
+                    return (F.unix_timestamp(cols[0])
+                            - F.unix_timestamp(cols[1])).cast("int")
+                if k1 == "num" or k1.endswith("int"):
+                    n = cols[1].cast("int")
+                    if k0 == "date":
+                        return (F.date_add(cols[0], n) if name == "plus"
+                                else F.date_sub(cols[0], n))
+                    return F.timestamp_add(
+                        "SECOND",
+                        cols[1].cast("long") * (1 if name == "plus"
+                                                else -1), cols[0])
+            elif name == "plus" and ta is not None and tb is None \
+                    and _tkind(1) == "date":
+                # N + Date (commuted)
+                return F.date_add(cols[1], cols[0].cast("int"))
     # getLeastSupertype for conditional branches: CH unifies if/multiIf
     # value types by bit-width maximization (signed ∪ unsigned of one
     # width → next wider signed), not Spark's coercion rules
@@ -4608,7 +4677,38 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
         spec = ctx.windows[spec]
     w = Window.partitionBy(*[_eval(p, ctx, df) for p in spec.partition_by])
     if spec.order_by:
-        w = w.orderBy(*[_order_col(df, it, ctx) for it in spec.order_by])
+        order_cols = [_order_col(df, it, ctx) for it in spec.order_by]
+        if (spec.frame and spec.frame[0] == "RANGE"
+                and len(spec.order_by) == 1 and df is not None
+                and not all(b in ("UNBOUNDED PRECEDING", "CURRENT ROW",
+                                  "UNBOUNDED FOLLOWING")
+                            for b in spec.frame[1:])):
+            # CH RANGE offsets over temporal ORDER BY count SECONDS
+            # (DateTime) / DAYS (Date); Spark requires a numeric order
+            # column for numeric range bounds — rebase to epoch units
+            # (order-equivalent: both are second/day precision)
+            raw = _eval(spec.order_by[0].expr
+                        if isinstance(spec.order_by[0], OrderItem)
+                        else spec.order_by[0], ctx, df)
+            try:
+                s = df.select(raw).schema[0].dataType.simpleString()
+            except Exception:
+                s = ""
+            rebased = None
+            if s.startswith("timestamp"):
+                rebased = F.unix_timestamp(raw)
+            elif s == "date":
+                rebased = F.datediff(raw, F.lit("1970-01-01"))
+            if rebased is not None:
+                it = spec.order_by[0]
+                if it.desc:
+                    rebased = (rebased.desc_nulls_first() if it.nulls_first
+                               else rebased.desc_nulls_last())
+                else:
+                    rebased = (rebased.asc_nulls_first() if it.nulls_first
+                               else rebased.asc_nulls_last())
+                order_cols = [rebased]
+        w = w.orderBy(*order_cols)
     name = node.name
     if name in ("lagInFrame", "leadInFrame"):
         # CH lag/lead WITHIN the frame, returning the explicit default

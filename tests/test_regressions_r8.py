@@ -172,6 +172,100 @@ def test_tuple_to_name_value_pairs(spark):
     assert [tuple(p) for p in r] == [("1", 10), ("2", 20)]
 
 
+# --- 9: date arithmetic typing (round-8 probe batch) -------------------------
+
+def test_date_minus_date_is_days(spark):
+    assert one(spark, "SELECT toDate('2024-03-05') - "
+               "toDate('2024-03-01') AS r") == (4,)
+
+
+def test_datetime_minus_datetime_is_seconds(spark):
+    assert one(spark, "SELECT toDateTime('2024-01-01 00:01:00') - "
+               "toDateTime('2024-01-01 00:00:30') AS r") == (30,)
+
+
+def test_add_days_keeps_datetime_time_of_day(spark):
+    import datetime as dt
+    assert one(spark, "SELECT addDays(toDateTime("
+               "'2024-01-01 05:00:00'), 1) AS r") \
+        == (dt.datetime(2024, 1, 2, 5, 0),)
+    assert one(spark, "SELECT addMonths(toDateTime("
+               "'2024-01-31 05:00:00'), 1) AS r") \
+        == (dt.datetime(2024, 2, 29, 5, 0),)
+
+
+def test_add_units_date_stays_date(spark):
+    import datetime as dt
+    assert one(spark, "SELECT addDays(toDate('2024-01-01'), 1) AS a, "
+               "addWeeks(toDate('2024-01-01'), 2) AS b, "
+               "subtractYears(toDate('2024-02-29'), 1) AS c") \
+        == (dt.date(2024, 1, 2), dt.date(2024, 1, 15),
+            dt.date(2023, 2, 28))
+
+
+def test_add_units_column_count(spark):
+    import datetime as dt
+    assert rows(spark, "SELECT addWeeks(toDate('2024-01-01'), number) "
+                "AS r FROM numbers(3) ORDER BY number") \
+        == [(dt.date(2024, 1, 1),), (dt.date(2024, 1, 8),),
+            (dt.date(2024, 1, 15),)]
+
+
+def test_add_seconds_minutes_exist(spark):
+    import datetime as dt
+    assert one(spark, "SELECT addSeconds(toDateTime("
+               "'2024-01-01 00:00:00'), 90) AS a, "
+               "addMinutes(toDateTime('2024-01-01 00:00:00'), 2) AS b") \
+        == (dt.datetime(2024, 1, 1, 0, 1, 30),
+            dt.datetime(2024, 1, 1, 0, 2))
+
+
+def test_date_plus_bigint_column(spark):
+    import datetime as dt
+    assert rows(spark, "SELECT toDate('2024-01-01') + number AS r "
+                "FROM numbers(2) ORDER BY number") \
+        == [(dt.date(2024, 1, 1),), (dt.date(2024, 1, 2),)]
+    assert rows(spark, "SELECT number + toDate('2024-01-01') AS r "
+                "FROM numbers(2) ORDER BY number") \
+        == [(dt.date(2024, 1, 1),), (dt.date(2024, 1, 2),)]
+
+
+def test_datetime_plus_int_is_seconds(spark):
+    import datetime as dt
+    assert one(spark, "SELECT toDateTime('2024-01-01 00:00:00') + 61 "
+               "AS r") == (dt.datetime(2024, 1, 1, 0, 1, 1),)
+
+
+def test_dynamic_interval_count(spark):
+    import datetime as dt
+    assert rows(spark, "SELECT toDate('2024-01-31') + INTERVAL number "
+                "MONTH AS r FROM numbers(2) ORDER BY number") \
+        == [(dt.date(2024, 1, 31),), (dt.date(2024, 2, 29),)]
+
+
+def test_range_frame_over_timestamp_seconds(spark):
+    assert rows(spark, "SELECT v, sum(v) OVER (ORDER BY t RANGE BETWEEN "
+                "86400 PRECEDING AND CURRENT ROW) AS r FROM (SELECT "
+                "toDateTime('2024-01-01 00:00:00') + INTERVAL number DAY "
+                "AS t, number AS v FROM numbers(4)) ORDER BY v") \
+        == [(0, 0), (1, 1), (2, 3), (3, 5)]
+
+
+def test_range_frame_over_date_days(spark):
+    assert rows(spark, "SELECT v, sum(v) OVER (ORDER BY d RANGE BETWEEN "
+                "1 PRECEDING AND CURRENT ROW) AS r FROM (SELECT "
+                "toDate('2024-01-01') + number AS d, number AS v "
+                "FROM numbers(4)) ORDER BY v") \
+        == [(0, 0), (1, 1), (2, 3), (3, 5)]
+
+
+def test_make_date_day_of_year_form(spark):
+    import datetime as dt
+    assert one(spark, "SELECT makeDate32(2024, 60) AS a, "
+               "makeDate(2024, 60) AS b") \
+        == (dt.date(2024, 2, 29), dt.date(2024, 2, 29))
+
+
 # --- 5: SHOW CREATE comment escaping ----------------------------------------
 
 def test_show_create_escapes_comment(spark, tmp_path):
