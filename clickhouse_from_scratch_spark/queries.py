@@ -2823,6 +2823,28 @@ def sql_windowed_uniq(spark, sf_dir):
     """)
 
 
+@query("sql_range_frame_temporal", oracle="""
+SELECT event_id,
+       ROUND(CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE), 4) AS trailing_hour
+FROM events ORDER BY event_id LIMIT 2000
+""")
+def sql_range_frame_temporal(spark, sf_dir):
+    """RANGE frame with a numeric bound over a DateTime ORDER BY —
+    CH counts the offset in SECONDS (round-8: ordering rebased to epoch
+    seconds; Spark rejects numeric bounds on timestamp order). DuckDB
+    oracle speaks INTERVAL bounds natively. Scale: one window shuffle
+    on user_id."""
+    return _sql(spark, sf_dir, """
+        SELECT event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_hour
+        FROM events ORDER BY event_id LIMIT 2000
+    """)
+
+
 @query("sql_quantile_exc_inc", oracle="""
 WITH g AS (
   SELECT l_returnflag AS f,
