@@ -2979,6 +2979,15 @@ def _eval(node, ctx: Context, df: DataFrame | None,
     if isinstance(node, Cast):
         src = _eval(node.expr, ctx, df)
         target = ch_type_to_spark(node.type_name)
+        tt = node.type_name.strip().lower()
+        if (tt.startswith(("int", "uint"))
+                or tt.startswith("nullable(int")
+                or tt.startswith("nullable(uint")):
+            pairs = _declared_enum(node.expr, ctx)
+            if pairs:
+                # CAST(enum, IntN): the declared numeric value, not a
+                # string parse of the name
+                return _enum_to_number(src, pairs).cast(target)
         if target.lstrip().startswith(("array", "map", "struct")):
             # CAST('[1,2,3]' AS Array(Int32)) parses the CH literal
             # form when the source is a string. Single-quoted string
@@ -3268,6 +3277,14 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             except Exception:
                 pass
         return F.lit(0).cast("tinyint")
+    if (name.startswith("to") and name[2:] in CH_NUMERIC
+            and len(node.args) == 1):
+        _ep = _declared_enum(node.args[0], ctx)
+        if _ep:
+            # toInt8(enum_col) etc.: the declared numeric value, never a
+            # string parse of the name
+            return _enum_to_number(cols[0], _ep).cast(
+                ch_type_to_spark(name[2:]))
     if (name in _STRICT_PARSE_FNS and len(node.args) == 1
             and df is not None
             and not _refs_lambda_param(node.args[0], ctx)):
@@ -4503,6 +4520,38 @@ def _ch_literal_render(col: Column, dt) -> Column:
             F.coalesce(render(e["value"], vt, True), F.lit("NULL")))
 
     return render(col, dt, False)
+
+
+def _enum_pairs(cht: str | None) -> list | None:
+    """('name', value) pairs of a declared Enum8/Enum16 CH type text."""
+    if not cht or not cht.strip().startswith("Enum"):
+        return None
+    m = _re_mod.match(r"Enum(?:8|16)?\s*\((.*)\)\s*$", cht.strip())
+    if not m:
+        return None
+    pairs = _re_mod.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)",
+                            m.group(1))
+    return [(k.replace("\\'", "'"), int(v)) for k, v in pairs] or None
+
+
+def _declared_enum(node, ctx: Context) -> list | None:
+    if isinstance(node, Alias):
+        return _declared_enum(node.expr, ctx)
+    if isinstance(node, Identifier):
+        t = ctx.ch_types.get(node.name) \
+            or ctx.ch_types.get(node.parts[-1])
+        return _enum_pairs(t)
+    return None
+
+
+def _enum_to_number(src: Column, pairs: list) -> Column:
+    """Enum name column → its declared numeric value (CAST(enum, Int8)
+    semantics; storage keeps the name string)."""
+    out = None
+    for k, v in pairs:
+        c = F.when(src == F.lit(k), F.lit(v))
+        out = c if out is None else out.when(src == F.lit(k), F.lit(v))
+    return out
 
 
 def _probe_dtype(arg, col, ctx: Context, df: DataFrame | None):

@@ -823,6 +823,22 @@ class Parser:
             self.advance()
             return FuncCall("getSetting", [Literal(self.advance().text)])
         if tok.is_op("{"):
+            # {'k': v, ...} with a NON-IDENT first key is a Map literal
+            # (CH map syntax); {name:Type} is a query parameter
+            # (ParserSubstitution :2068-2112) — disambiguated on the
+            # first token after the brace
+            if self.peek().kind != T.IDENT or self.peek().is_kw("NULL"):
+                self.advance()
+                keys, vals = [], []
+                while not self.tok.is_op("}"):
+                    keys.append(self._expr())
+                    self.expect_op(":")
+                    vals.append(self._expr())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op("}")
+                args = [a for kv in zip(keys, vals) for a in kv]
+                return FuncCall("map", args)
             # query parameter {name:Type} (ParserSubstitution :2068-2112)
             self.advance()
             pname = self.advance().text

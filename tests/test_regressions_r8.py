@@ -266,6 +266,44 @@ def test_make_date_day_of_year_form(spark):
         == (dt.date(2024, 2, 29), dt.date(2024, 2, 29))
 
 
+# --- 10: Enum numeric casts + map literals (round-8 DDL-type probe) ---------
+
+def test_enum_cast_to_numeric(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE en8 (x Enum8('small' = 1, 'big' = 2)) "
+              "ENGINE = Memory")
+    s.execute("INSERT INTO en8 VALUES ('small'), ('big')")
+    assert sorted(r.v for r in s.execute(
+        "SELECT CAST(x, 'Int8') AS v FROM en8").collect()) == [1, 2]
+    assert sorted(r.v for r in s.execute(
+        "SELECT toInt16(x) AS v FROM en8").collect()) == [1, 2]
+    # the name is the string face
+    assert sorted(r.x for r in s.execute(
+        "SELECT x FROM en8").collect()) == ["big", "small"]
+
+
+def test_map_literal_braces(spark):
+    assert one(spark, "SELECT {'x': 10, 'y': 20}['y'] AS r") == (20,)
+
+
+def test_map_literal_in_insert_values(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE ml (a Array(Nullable(Int64)), "
+              "m Map(String, Int64)) ENGINE = Memory")
+    s.execute("INSERT INTO ml VALUES ([1, NULL, 3], {'k': 5})")
+    r = s.execute("SELECT a, m['k'] AS mv FROM ml").collect()[0]
+    assert list(r.a) == [1, None, 3] and r.mv == 5
+
+
+def test_query_parameter_braces_still_work(spark):
+    from clickhouse_from_scratch_spark.plans.engine import execute_sql
+    df = execute_sql(spark, "SELECT {p:Int64} + 1 AS r", {},
+                     params={"p": 41})
+    assert df.collect()[0].r == 42
+
+
 # --- 5: SHOW CREATE comment escaping ----------------------------------------
 
 def test_show_create_escapes_comment(spark, tmp_path):
