@@ -179,3 +179,54 @@ def pii_scrub(text: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# --- TF-IDF term scoring ------------------------------------------------
+#
+# Standard corpus-level relevance scoring for training-data pipelines
+# (select documents by topical terms, build keyword indexes). Fully
+# distributed: one (doc, term) aggregation, one term-level document-
+# frequency aggregation (map-side combined), one broadcast-friendly
+# join back — no driver materialization, uniform hash keys at 100 TB.
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3,
+                    min_token_len: int = 4) -> "DataFrame":
+    """Top-k terms per document by smoothed TF-IDF.
+
+    tf = term count in doc / doc token count;
+    idf = ln((N + 1) / (df_t + 1)) + 1 (sklearn-style smoothing —
+    deterministic, no zero division); ties break lexicographically.
+    Tokens shorter than ``min_token_len`` are dropped (stopword-ish
+    filter that keeps the oracle SQL-expressible)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(_tokens(F.col(text_col)),
+                           lambda w: F.length(w) >= min_token_len))
+        .alias("__term"))
+    per_doc = toks.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("__tc"))
+    doc_len = per_doc.groupBy(id_col).agg(F.sum("__tc").alias("__dl"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    idf = per_doc.groupBy("__term").agg(
+        F.count_distinct(F.col(id_col)).alias("__df"))
+    idf = idf.select(
+        "__term",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1)) + 1.0)
+        .alias("__idf"))
+    scored = (per_doc
+              .join(doc_len, id_col)
+              .join(F.broadcast(idf), "__term")
+              .select(F.col(id_col), F.col("__term"),
+                      F.round((F.col("__tc") / F.col("__dl"))
+                              * F.col("__idf"), 8).alias("__score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(),
+                                           F.col("__term"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy(id_col)
+            .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("__rn").alias("r"),
+                         F.col("__term").alias("t")))),
+                lambda s: s["t"]), ",").alias("top_terms")))

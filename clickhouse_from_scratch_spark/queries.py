@@ -2845,6 +2845,73 @@ def sql_range_frame_temporal(spark, sf_dir):
     """)
 
 
+@query("tfidf_top_terms", oracle="""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents)
+  WHERE length(t) >= 4
+), per_doc AS (
+  SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY doc_id, term
+), dl AS (SELECT doc_id, SUM(tc) AS dl FROM per_doc GROUP BY doc_id),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (
+  SELECT term, ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1)) + 1 AS idf
+  FROM per_doc, n GROUP BY term, n.n
+), ranked AS (
+  SELECT p.doc_id, p.term,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+           ROUND((CAST(tc AS DOUBLE) / dl) * idf, 8) DESC, p.term) AS rn
+  FROM per_doc p JOIN dl USING (doc_id) JOIN idf USING (term))
+SELECT doc_id, string_agg(term, ',' ORDER BY rn) AS top_terms
+FROM ranked WHERE rn <= 3 GROUP BY doc_id ORDER BY doc_id
+""")
+def tfidf_top_terms_q(spark, sf_dir):
+    """TF-IDF top-3 terms per document (training-data relevance
+    scoring; pipeline/text.py tfidf_top_terms). Smoothed idf =
+    ln((N+1)/(df+1))+1, round-before-rank for cross-engine tie
+    stability. Scale: (doc,term) and term-level partial-agg shuffles +
+    one broadcast idf join — no driver materialization."""
+    from .pipeline.text import tfidf_top_terms
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("doc_id")
+
+
+@query("embedding_quantized_topk", oracle="""
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(
+             CAST(x AS DOUBLE) * 127.0 / amax) AS DOUBLE)) AS codes
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        y -> ABS(CAST(y AS DOUBLE)))) AS amax
+        FROM embeddings)
+), qq AS (SELECT vec_id AS query_id, codes AS qc
+          FROM quant WHERE vec_id < 10),
+scored AS (
+  SELECT qq.query_id, c.vec_id,
+         ROUND(CAST(list_cosine_similarity(c.codes, qq.qc) AS DOUBLE), 4)
+             AS cos_sim
+  FROM quant c CROSS JOIN qq WHERE c.vec_id <> qq.query_id)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+WHERE rn <= 5 ORDER BY query_id, vec_id
+""")
+def embedding_quantized_topk_q(spark, sf_dir):
+    """int8 scalar-quantized brute-force top-k (FAISS SQ8 analogue;
+    pipeline/similarity.py quantize_embeddings/quantized_topk). The
+    scales cancel in the cosine, so DuckDB recomputes the identical
+    integer dot products over the same codes — exact oracle for the
+    quantization + scan + ranking plumbing. Scale: codes are 4x
+    smaller than float32; one corpus scan, broadcast queries."""
+    from .pipeline.similarity import quantized_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return quantized_topk(emb, queries, k=5).orderBy("query_id", "vec_id")
+
+
 @query("sql_quantile_exc_inc", oracle="""
 WITH g AS (
   SELECT l_returnflag AS f,
