@@ -29,20 +29,34 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     "ArrowStream": ("arrow-ipc-stream", {}, {}),
     # CH CSV/TSV both render NULL as \N (formats docs) — make the
     # distributed Spark readers/writers speak the same convention
-    "CSV": ("csv", {"header": "false", "nullValue": "\\N"},
+    # reads infer column types when no explicit structure is given,
+    # like CH's schema inference for file() (schema arg overrides)
+    "CSV": ("csv", {"header": "false", "nullValue": "\\N",
+                    "inferSchema": "true"},
             {"header": "false", "nullValue": "\\N"}),
-    "CSVWithNames": ("csv", {"header": "true", "nullValue": "\\N"},
+    "CSVWithNames": ("csv", {"header": "true", "nullValue": "\\N",
+                             "inferSchema": "true"},
                      {"header": "true", "nullValue": "\\N"}),
     "TabSeparated": ("csv", {"sep": "\t", "header": "false",
-                             "nullValue": "\\N"},
+                             "nullValue": "\\N", "inferSchema": "true"},
                      {"sep": "\t", "header": "false",
                       "nullValue": "\\N"}),
-    "TSV": ("csv", {"sep": "\t", "header": "false", "nullValue": "\\N"},
+    "TSV": ("csv", {"sep": "\t", "header": "false", "nullValue": "\\N",
+                    "inferSchema": "true"},
             {"sep": "\t", "header": "false", "nullValue": "\\N"}),
     "TabSeparatedWithNames": ("csv", {"sep": "\t", "header": "true",
-                                      "nullValue": "\\N"},
+                                      "nullValue": "\\N",
+                                      "inferSchema": "true"},
                               {"sep": "\t", "header": "true",
                                "nullValue": "\\N"}),
+    # common CH short aliases
+    "TSVWithNames": ("csv", {"sep": "\t", "header": "true",
+                             "nullValue": "\\N", "inferSchema": "true"},
+                     {"sep": "\t", "header": "true",
+                      "nullValue": "\\N"}),
+    # Native ≙ Arrow IPC stream (the reference's only live format code;
+    # see to_native/from_native below)
+    "Native": ("arrow-ipc-stream", {}, {}),
     "JSONEachRow": ("json", {}, {}),
     "JSONCompactEachRow": ("json", {}, {}),
     "LineAsString": ("text", {}, {}),
