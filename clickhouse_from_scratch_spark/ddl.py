@@ -136,6 +136,29 @@ class DictMeta:
         return dflt if dflt is not None else _type_default_py(t)
 
 
+# the settings namespace the engine actually honors, with their CH
+# defaults (reference src/Core/Settings.h) — system.settings lists these
+# with changed=0 until a SET/SETTINGS overrides them
+_SETTING_DEFAULTS: dict[str, object] = {
+    "join_use_nulls": 0,
+    "join_algorithm": "default",
+    "totals_mode": "after_having_exclusive",
+    "transform_null_in": 0,
+    "enable_positional_arguments": 1,
+    "splitby_max_substrings_includes_remaining_string": 0,
+    "output_format_decimal_trailing_zeros": 0,
+    "max_result_rows": 0,
+    "result_overflow_mode": "throw",
+    "max_rows_to_read": 0,
+    "read_overflow_mode": "throw",
+    "max_rows_to_group_by": 0,
+    "group_by_overflow_mode": "throw",
+    "max_rows_in_distinct": 0,
+    "distinct_overflow_mode": "throw",
+    "max_dictionary_rows": 5_000_000,
+}
+
+
 class ChSession:
     """A ClickHouse-flavored session over Spark: databases, tables,
     settings, and the statement dispatch loop."""
@@ -311,8 +334,9 @@ class ChSession:
             "system.databases": self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases)], "name string"),
             "system.settings": self.spark.createDataFrame(
-                [(k, str(v)) for k, v in sorted(self.settings.items())]
-                or [], "name string, value string"),
+                [(k, str(v), int(k in self.settings)) for k, v in sorted(
+                    {**_SETTING_DEFAULTS, **self.settings}.items())],
+                "name string, value string, changed int"),
             "system.dictionaries": self.spark.createDataFrame(
                 sorted(drows) or [], "database string, name string,"
                 " layout string, key string, source string,"
@@ -1139,6 +1163,18 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.dictionaries)] or [],
                 "name string")
+        if node.what in ("SETTINGS", "CHANGED_SETTINGS"):
+            rows = [(k, str(v), int(k in self.settings)) for k, v in
+                    sorted({**_SETTING_DEFAULTS, **self.settings}.items())]
+            if node.what == "CHANGED_SETTINGS":
+                rows = [r for r in rows if r[2]]
+            if node.like:
+                pat = re.compile(
+                    "^" + re.escape(node.like).replace("%", ".*")
+                    .replace("_", ".") + "$", re.IGNORECASE)
+                rows = [r for r in rows if pat.match(r[0])]
+            return self.spark.createDataFrame(
+                rows or [], "name string, value string, changed int")
         if node.what == "CREATE_DICTIONARY":
             d = self.dictionaries.get(node.target)
             if d is None:

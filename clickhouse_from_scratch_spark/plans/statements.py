@@ -1088,6 +1088,17 @@ class StatementParser(Parser):
             return ShowStmt("DICTIONARIES")
         if self.accept_kw("PROCESSLIST"):
             return ShowStmt("PROCESSLIST")
+        if self.accept_kw("SETTINGS"):
+            # SHOW [CHANGED] SETTINGS [LIKE p] (ParserShowTablesQuery)
+            st = ShowStmt("SETTINGS")
+            if self.accept_kw("LIKE") or self.accept_kw("ILIKE"):
+                st.like = self.advance().text
+            return st
+        if self.accept_kws("CHANGED", "SETTINGS"):
+            st = ShowStmt("CHANGED_SETTINGS")
+            if self.accept_kw("LIKE") or self.accept_kw("ILIKE"):
+                st.like = self.advance().text
+            return st
         if self.accept_kw("CREATE"):
             if self.accept_kw("DICTIONARY"):
                 db, name = self._qualified_name()

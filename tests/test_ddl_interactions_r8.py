@@ -132,6 +132,19 @@ def test_mv_to_target_survives_drop_view(sess):
         == [10]
 
 
+def test_show_settings_defaults_and_changed(sess):
+    assert sess.execute("SELECT count() > 0 AS c FROM system.settings") \
+        .collect()[0].c
+    sess.execute("SET join_use_nulls = 1")
+    rows = {r.name: (r.value, r.changed) for r in
+            sess.execute("SHOW SETTINGS LIKE 'join%'").collect()}
+    assert rows["join_use_nulls"] == ("1", 1)
+    assert rows["join_algorithm"][1] == 0
+    changed = [r.name for r in
+               sess.execute("SHOW CHANGED SETTINGS").collect()]
+    assert changed == ["join_use_nulls"]
+
+
 def test_alter_modify_column_type_converts(sess):
     sess.execute("CREATE TABLE am (x Int64) ENGINE = Memory")
     sess.execute("INSERT INTO am VALUES (1), (2)")
