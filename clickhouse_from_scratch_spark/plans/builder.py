@@ -3309,6 +3309,9 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # out-of-range rows get the TYPE DEFAULT, not NULL, when no
         # explicit default is given (CH other-functions#neighbor)
         from ..operators.joins import _type_default
+        if node.args[1].value is None:
+            raise BuildError("neighbor: the offset must be a constant "
+                             "integer, got NULL")
         shifted = REGISTRY["neighbor"](cols[0], node.args[1].value)
         try:
             dt = df.select(cols[0]).schema[0].dataType
@@ -4004,7 +4007,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # CH — adapt struct args to arrays once at build time
         cols = [_struct_as_array(a, c, ctx, df)
                 for a, c in zip(node.args, cols)]
-        return REGISTRY[name](*cols)
+        try:
+            return REGISTRY[name](*cols)
+        except TypeError as e:
+            raise BuildError(
+                f"wrong number of arguments for function {name}: "
+                f"{e}") from None
     if (name == "tupleElement" and df is not None
             and len(node.args) == 2 and isinstance(node.args[1], Literal)
             and isinstance(node.args[1].value, int)):
@@ -4073,7 +4081,14 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 py_args.append(a.name.lower())
             else:
                 py_args.append(c)
-        return REGISTRY[name](*py_args)
+        try:
+            return REGISTRY[name](*py_args)
+        except TypeError as e:
+            # CH reports wrong argument counts as a NAMED error — never
+            # leak the registry lambda's raw TypeError
+            raise BuildError(
+                f"wrong number (or kind) of arguments for function "
+                f"{name}: {e}") from None
     if ctx.udfs and node.name in ctx.udfs:
         # CREATE FUNCTION SQL lambda: substitute call args into the
         # body AST and evaluate — pure macro expansion, so the UDF
