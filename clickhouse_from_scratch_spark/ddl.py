@@ -798,6 +798,24 @@ class ChSession:
             elif act.kind == "COMMENT_COLUMN":
                 meta.settings[f"comment:{act.name}"] = act.text
                 meta.comments[act.name] = act.text
+            elif act.kind == "CLEAR_COLUMN":
+                # reset every row to the column TYPE's default (CH
+                # resets the part data; types keep their defaults)
+                types = dict(meta.columns)
+                if act.name not in types:
+                    if act.if_exists:
+                        continue
+                    raise ValueError(f"unknown column: {act.name}")
+                from .operators.joins import _type_default
+                t = ch_type_to_spark(types[act.name])
+                df = df.select(*[
+                    (_type_default(self.spark.createDataFrame(
+                        [], f"x {t}").schema[0].dataType)
+                     .cast(t).alias(n) if n == act.name else F.col(n))
+                    for n, _ in meta.columns])
+                changed = True
+            elif act.kind == "MODIFY_COMMENT":
+                meta.settings["table_comment"] = act.text
             elif act.kind == "UPDATE":
                 pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
                                   F.lit(False))

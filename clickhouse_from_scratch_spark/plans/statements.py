@@ -984,7 +984,19 @@ class StatementParser(Parser):
             self.expect_kw("TO")
             return AlterAction("RENAME_COLUMN", name=old,
                                new_name=self.advance().text, if_exists=ie)
+        if self.accept_kw("CLEAR"):
+            # CLEAR COLUMN c [IN PARTITION p]: reset to the type default
+            self.expect_kw("COLUMN")
+            ie = bool(self.accept_kws("IF", "EXISTS"))
+            name = self.advance().text
+            if self.accept_kws("IN", "PARTITION"):
+                self.advance()
+            return AlterAction("CLEAR_COLUMN", name=name, if_exists=ie)
         if self.accept_kw("MODIFY"):
+            if self.accept_kw("COMMENT"):
+                # table-level comment
+                return AlterAction("MODIFY_COMMENT",
+                                   text=self.advance().text)
             if self.accept_kw("TTL"):
                 parts = []
                 while (self.tok.kind != T.EOF and not self.tok.is_op(",")
