@@ -132,6 +132,24 @@ def test_mv_to_target_survives_drop_view(sess):
         == [10]
 
 
+def test_alter_clear_column_resets_to_type_default(sess):
+    sess.execute("CREATE TABLE cc (a Int64, b String, f Float64) "
+                 "ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO cc VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+    sess.execute("ALTER TABLE cc CLEAR COLUMN b")
+    assert sorted(tuple(r) for r in
+                  sess.execute("SELECT a, b, f FROM cc").collect()) \
+        == [(1, "", 1.5), (2, "", 2.5)]
+    sess.execute("ALTER TABLE cc CLEAR COLUMN IF EXISTS nosuch")
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE cc CLEAR COLUMN nosuch")
+
+
+def test_alter_modify_table_comment(sess):
+    sess.execute("CREATE TABLE mc (a Int64) ENGINE = Memory")
+    sess.execute("ALTER TABLE mc MODIFY COMMENT 'the table'")
+
+
 def test_show_settings_defaults_and_changed(sess):
     assert sess.execute("SELECT count() > 0 AS c FROM system.settings") \
         .collect()[0].c
