@@ -4774,6 +4774,36 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
                 order_cols = [rebased]
         w = w.orderBy(*order_cols)
     name = node.name
+    if not spec.order_by and (
+            node.name in _WINDOW_FNS or node.name in _WINDOW_VALUE_FNS
+            or node.name in ("lagInFrame", "leadInFrame",
+                             "nonNegativeDerivative")):
+        # CH allows OVER () for every window function — the order is
+        # whatever the scan produces; RANKING/value functions need SOME
+        # order in Spark, so use the row-identity surrogate. Plain
+        # aggregates keep the unordered whole-partition window (an
+        # injected order would flip the default frame to a running one).
+        w = w.orderBy(F.monotonically_increasing_id())
+    if name == "nonNegativeDerivative" and len(cols) >= 2:
+        # nonNegativeDerivative(value, ts[, INTERVAL n unit]): rate of
+        # change vs the previous frame row per second (or per the given
+        # interval); negative rates and the first row yield 0
+        scale = 1.0
+        if len(node.args) > 2 and isinstance(node.args[2], IntervalExpr) \
+                and isinstance(node.args[2].value, Literal):
+            iv = node.args[2]
+            per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                   "week": 604800}.get(iv.unit.lower())
+            if per is None:
+                raise BuildError("nonNegativeDerivative: interval unit "
+                                 f"{iv.unit} not supported")
+            scale = float(iv.value.value) * per
+        prev_v = F.lag(cols[0], 1).over(w)
+        prev_t = F.lag(cols[1], 1).over(w)
+        dt_s = cols[1].cast("double") - prev_t.cast("double")
+        rate = (cols[0].cast("double") - prev_v.cast("double")) \
+            / dt_s * F.lit(scale)
+        return F.coalesce(F.greatest(rate, F.lit(0.0)), F.lit(0.0))
     if name in ("lagInFrame", "leadInFrame"):
         # CH lag/lead WITHIN the frame, returning the explicit default
         # or the column TYPE's default out of reach. Spark's lag/lead

@@ -111,6 +111,25 @@ def test_plain_aggregates_window_unchanged(spark):
         == [(0, 1), (1, 2), (2, 3)]
 
 
+def test_empty_over_ranking_and_aggregates(spark):
+    # OVER () works for every function: ranking gets a surrogate order,
+    # aggregates keep the whole-partition window
+    assert rows(spark, "SELECT count(DISTINCT r) AS c FROM (SELECT "
+                "row_number() OVER () AS r FROM numbers(5))") == [(5,)]
+    assert rows(spark, "SELECT sum(number) OVER () AS r FROM numbers(3) "
+                "LIMIT 1") == [(3,)]
+    assert rows(spark, "SELECT uniqExact(number % 2) OVER () AS r "
+                "FROM numbers(4) LIMIT 1") == [(2,)]
+
+
+def test_non_negative_derivative(spark):
+    assert rows(spark, "SELECT round(nonNegativeDerivative(v, t, "
+                "INTERVAL 1 MINUTE) OVER (ORDER BY t), 1) AS r FROM "
+                "(SELECT toDateTime('2024-01-01 00:00:00') + INTERVAL "
+                "number SECOND AS t, toFloat64(number) AS v FROM "
+                "numbers(3)) ORDER BY r") == [(0.0,), (60.0,), (60.0,)]
+
+
 def test_constructors_restored_after_window_build(spark):
     # the scoped patch must not leak: a plain aggregate built right
     # after a window query is NOT windowed
