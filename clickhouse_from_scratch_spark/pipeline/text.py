@@ -230,3 +230,31 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3,
                 F.struct(F.col("__rn").alias("r"),
                          F.col("__term").alias("t")))),
                 lambda s: s["t"]), ",").alias("top_terms")))
+
+
+def chunk_documents(df, id_col: str, text_col: str,
+                    chunk_tokens: int = 64,
+                    overlap: int = 16) -> "DataFrame":
+    """Split documents into fixed-token-count chunks with overlap —
+    the standard context-window preprocessing for training/embedding
+    pipelines. Chunk k covers tokens [k*stride, k*stride+chunk_tokens)
+    with stride = chunk_tokens - overlap; the final partial chunk is
+    kept. Pure JVM expressions (split → sequence over starts →
+    slice/join → posexplode); one narrow pass, no shuffle."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be smaller "
+                         "than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride), at least 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
+    return (df.select(F.col(id_col), F.posexplode(chunks)
+                      .alias("chunk_idx", "chunk_text"))
+            .filter(F.col("chunk_text") != ""))

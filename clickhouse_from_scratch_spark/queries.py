@@ -2912,6 +2912,35 @@ def embedding_quantized_topk_q(spark, sf_dir):
     return quantized_topk(emb, queries, k=5).orderBy("query_id", "vec_id")
 
 
+@query("chunk_documents", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), ch AS (
+  SELECT doc_id, n.i AS chunk_idx,
+         array_to_string(tk[n.i * 48 + 1 : n.i * 48 + 64], ' ')
+             AS chunk_text
+  FROM toks, LATERAL (
+    SELECT unnest(range(CAST(GREATEST(
+        CEIL((len(tk) - 16) / 48.0), 1) AS BIGINT))) AS i) n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text
+FROM ch WHERE chunk_text <> '' ORDER BY doc_id, chunk_idx
+""")
+def chunk_documents_q(spark, sf_dir):
+    """Fixed-token document chunking with overlap (context-window
+    preprocessing; pipeline/text.py chunk_documents — 64-token chunks,
+    16-token overlap, stride 48). Scale: pure narrow pass (split →
+    sequence → slice → posexplode), zero shuffle before the sink."""
+    from .pipeline.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_documents(docs, "doc_id", "text",
+                            chunk_tokens=64, overlap=16)
+            .orderBy("doc_id", "chunk_idx"))
+
+
 @query("sql_quantile_exc_inc", oracle="""
 WITH g AS (
   SELECT l_returnflag AS f,
