@@ -199,6 +199,8 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3,
     deterministic, no zero division); ties break lexicographically.
     Tokens shorter than ``min_token_len`` are dropped (stopword-ish
     filter that keeps the oracle SQL-expressible)."""
+    from .dedup import _ensure_parallelism
+    df = _ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(_tokens(F.col(text_col)),
@@ -244,6 +246,8 @@ def chunk_documents(df, id_col: str, text_col: str,
     if overlap >= chunk_tokens:
         raise ValueError("chunk_documents: overlap must be smaller "
                          "than chunk_tokens")
+    from .dedup import _ensure_parallelism
+    df = _ensure_parallelism(df)
     stride = chunk_tokens - overlap
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
