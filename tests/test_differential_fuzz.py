@@ -755,3 +755,58 @@ def test_differential_range_frames(spark, sf_dir, duck, name, sql):
     theirs = duck.sql(sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _window_combinator_cases(n: int) -> list[tuple[str, str, str]]:
+    """-If / -OrNull aggregates as WINDOW functions (round-8 rework:
+    per-leaf .over). DuckDB speaks them as FILTER (WHERE) / plain
+    windows; the CH empty-subset default (0, never NULL for sum/count
+    over non-Nullable args) maps to COALESCE on the oracle side."""
+    rnd = random.Random(808)
+    out = []
+    order = ("l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+             "l_quantity, l_extendedprice")
+    for i in range(n):
+        part = rnd.choice(["l_returnflag", "l_linestatus"])
+        cond = (f"l_quantity {rnd.choice(['<', '>'])} "
+                f"{rnd.randint(5, 45)}")
+        frame = rnd.choice([
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        ])
+        kind = rnd.randrange(3)
+        over = f"OVER (PARTITION BY {part} ORDER BY {order} {frame})"
+        if kind == 0:
+            # parquet columns are Nullable under our documented proxy,
+            # so a no-match frame keeps NULL (AggregateFunctionNull) —
+            # exactly DuckDB's plain conditional sum
+            ch = f"sumIf(CAST(l_linenumber AS Float64), {cond}) {over}"
+            dd = (f"sum(CASE WHEN {cond} THEN "
+                  f"CAST(l_linenumber AS DOUBLE) END) {over}")
+        elif kind == 1:
+            ch = f"countIf({cond}) {over}"
+            dd = f"count(CASE WHEN {cond} THEN 1 END) {over}"
+        else:
+            ch = f"sumOrNull(CAST(l_linenumber AS Float64)) {over}"
+            dd = f"sum(CAST(l_linenumber AS DOUBLE)) {over}"
+        base = ("SELECT l_orderkey, l_linenumber, "
+                "round(CAST({expr} AS DOUBLE), 3) AS v "
+                "FROM lineitem WHERE l_orderkey < 800")
+        out.append((f"wincombfuzz{i:02d}",
+                    base.format(expr=ch), base.format(expr=dd)))
+    return out
+
+
+WINCOMB_CASES = _window_combinator_cases(9)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", WINCOMB_CASES,
+                         ids=[c[0] for c in WINCOMB_CASES])
+def test_differential_window_combinators(spark, sf_dir, duck, name,
+                                         ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
