@@ -810,3 +810,51 @@ def test_differential_window_combinators(spark, sf_dir, duck, name,
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _in_null_cases(n: int) -> list[tuple[str, str, str]]:
+    """IN / NOT IN with NULL on either side (round-8: a NULL lhs yields
+    0 for BOTH IN and NOT IN at every lowering site; NULL list elements
+    match nothing — transform_null_in=0). DuckDB's three-valued IN is
+    rewritten with CASE to the CH contract."""
+    rnd = random.Random(909)
+    out = []
+    for i in range(n):
+        k = rnd.randint(1, 7)
+        vals = sorted(rnd.sample(range(1, 8), rnd.randint(1, 3)))
+        vlist = ", ".join(map(str, vals))
+        neg = rnd.random() < 0.5
+        op = "NOT IN" if neg else "IN"
+        lhs = f"nullIf(l_linenumber, {k})"
+        ch = (f"SELECT l_orderkey, l_linenumber, "
+              f"{lhs} {op} ({vlist}) AS v "
+              f"FROM lineitem WHERE l_orderkey < 500")
+        dd = (f"SELECT l_orderkey, l_linenumber, "
+              f"CASE WHEN {lhs} IS NULL THEN FALSE "
+              f"ELSE {lhs} {op} ({vlist}) END AS v "
+              f"FROM lineitem WHERE l_orderkey < 500")
+        out.append((f"innullfuzz{i:02d}", ch, dd))
+        # WHERE-position variant (semi/anti-join lowering path)
+        ch_w = (f"SELECT count(*) AS c FROM lineitem "
+                f"WHERE l_orderkey < 500 AND {lhs} {op} "
+                f"(SELECT l_linenumber FROM lineitem "
+                f"WHERE l_orderkey < 100)")
+        dd_w = (f"SELECT count(*) AS c FROM lineitem "
+                f"WHERE l_orderkey < 500 AND (CASE WHEN {lhs} IS NULL "
+                f"THEN FALSE ELSE {lhs} {op} (SELECT l_linenumber "
+                f"FROM lineitem WHERE l_orderkey < 100) END)")
+        out.append((f"innullfuzz{i:02d}w", ch_w, dd_w))
+    return out
+
+
+IN_NULL_CASES = _in_null_cases(6)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", IN_NULL_CASES,
+                         ids=[c[0] for c in IN_NULL_CASES])
+def test_differential_in_null(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
