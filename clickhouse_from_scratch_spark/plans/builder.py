@@ -3963,6 +3963,13 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 if name == "minus" and k0 == k1 == "ts":
                     return (F.unix_timestamp(cols[0])
                             - F.unix_timestamp(cols[1])).cast("int")
+                if name == "minus" and {k0, k1} == {"date", "ts"}:
+                    # mixed DateTime − Date: the Date converts to
+                    # midnight DateTime, result Int32 seconds (CH
+                    # getLeastSupertype for the pair)
+                    return (F.unix_timestamp(cols[0].cast("timestamp"))
+                            - F.unix_timestamp(cols[1].cast("timestamp"))
+                            ).cast("int")
                 if k1 == "num" or k1.endswith("int"):
                     n = cols[1].cast("int")
                     if k0 == "date":

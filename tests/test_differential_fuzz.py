@@ -858,3 +858,53 @@ def test_differential_in_null(spark, sf_dir, duck, name, ch_sql, dd_sql):
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _date_arith_cases(n: int) -> list[tuple[str, str, str]]:
+    """Round-8 date-arithmetic typing: Date ± N shifts days, Date − Date
+    is an Int32 day count, add/subtract-unit functions keep the input
+    class. DuckDB speaks the same semantics with explicit casts."""
+    rnd = random.Random(1010)
+    out = []
+    for i in range(n):
+        k = rnd.randint(1, 40)
+        kind = rnd.randrange(4)
+        # l_shipdate is a TIMESTAMP in the parquet — CH DateTime + N
+        # adds SECONDS there, so Date semantics are pinned on
+        # toDate(l_shipdate)
+        d = "toDate(l_shipdate)"
+        dd_d = "CAST(l_shipdate AS DATE)"
+        if kind == 0:
+            ch_e = f"toString({d} + {k})"
+            dd_e = f"strftime({dd_d} + {k}, '%Y-%m-%d')"
+        elif kind == 1:
+            ch_e = f"{d} - toDate('1995-01-01')"
+            dd_e = f"datediff('day', DATE '1995-01-01', {dd_d})"
+        elif kind == 2:
+            ch_e = f"toString(addMonths({d}, {k % 13}))"
+            dd_e = (f"strftime({dd_d} + INTERVAL {k % 13} MONTH, "
+                    f"'%Y-%m-%d')")
+        else:
+            ch_e = f"toString(subtractWeeks({d}, {k % 9}))"
+            dd_e = (f"strftime({dd_d} - INTERVAL {(k % 9) * 7} DAY, "
+                    f"'%Y-%m-%d')")
+        ch = (f"SELECT l_orderkey, l_linenumber, {ch_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 1500")
+        dd = (f"SELECT l_orderkey, l_linenumber, {dd_e} AS v "
+              f"FROM lineitem WHERE l_orderkey < 1500")
+        out.append((f"datearithfuzz{i:02d}", ch, dd))
+    return out
+
+
+DATE_ARITH_CASES = _date_arith_cases(10)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", DATE_ARITH_CASES,
+                         ids=[c[0] for c in DATE_ARITH_CASES])
+def test_differential_date_arith(spark, sf_dir, duck, name, ch_sql,
+                                 dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
