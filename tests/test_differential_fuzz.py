@@ -908,3 +908,58 @@ def test_differential_date_arith(spark, sf_dir, duck, name, ch_sql,
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _hof_cases(n: int) -> list[tuple[str, str, str]]:
+    """HOF lambdas over arrays vs DuckDB list functions — pins the
+    lambda-binding machinery (typed params, nested HOFs) against an
+    independent engine. Arrays come from splitting real string columns."""
+    rnd = random.Random(1111)
+    out = []
+    ch_arr = "splitByChar('-', o_orderpriority)"
+    dd_arr = "string_split(o_orderpriority, '-')"
+    for i in range(n):
+        kind = rnd.randrange(5)
+        if kind == 0:
+            ch_e = (f"arrayStringConcat(arrayMap(x -> upper(x), "
+                    f"{ch_arr}), '.')")
+            dd_e = (f"array_to_string(list_transform({dd_arr}, "
+                    f"x -> upper(x)), '.')")
+        elif kind == 1:
+            k = rnd.randint(1, 8)
+            ch_e = (f"length(arrayFilter(x -> length(x) > {k}, "
+                    f"{ch_arr}))")
+            dd_e = (f"len(list_filter({dd_arr}, "
+                    f"x -> length(x) > {k}))")
+        elif kind == 2:
+            ch_e = f"arrayStringConcat(arraySort({ch_arr}), ',')"
+            dd_e = f"array_to_string(list_sort({dd_arr}), ',')"
+        elif kind == 3:
+            ch_e = f"arrayStringConcat(arrayReverse({ch_arr}), ',')"
+            dd_e = f"array_to_string(list_reverse({dd_arr}), ',')"
+        else:
+            # nested HOF: map inside filter
+            ch_e = (f"arrayStringConcat(arrayMap(x -> concat(x, '!'), "
+                    f"arrayFilter(y -> y != '', {ch_arr})), '|')")
+            dd_e = (f"array_to_string(list_transform(list_filter("
+                    f"{dd_arr}, y -> y != ''), x -> concat(x, '!')), "
+                    f"'|')")
+        ch = (f"SELECT o_orderkey, {ch_e} AS v FROM orders "
+              f"WHERE o_orderkey < 2000")
+        dd = (f"SELECT o_orderkey, {dd_e} AS v FROM orders "
+              f"WHERE o_orderkey < 2000")
+        out.append((f"hoffuzz{i:02d}", ch, dd))
+    return out
+
+
+HOF_CASES = _hof_cases(10)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", HOF_CASES,
+                         ids=[c[0] for c in HOF_CASES])
+def test_differential_hofs(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
