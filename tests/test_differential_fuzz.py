@@ -963,3 +963,54 @@ def test_differential_hofs(spark, sf_dir, duck, name, ch_sql, dd_sql):
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _limitby_setop_cases(n: int) -> list[tuple[str, str, str]]:
+    """LIMIT k BY and bare INTERSECT/EXCEPT (hash-set filters keeping
+    left multiplicity) vs DuckDB rewrites (row_number / IN / NOT IN)."""
+    rnd = random.Random(1212)
+    out = []
+    for i in range(n):
+        kind = rnd.randrange(3)
+        if kind == 0:
+            k = rnd.randint(1, 3)
+            key = rnd.choice(["o_orderpriority", "o_orderstatus"])
+            ch = (f"SELECT {key} AS g, o_orderkey FROM (SELECT {key}, "
+                  f"o_orderkey FROM orders ORDER BY o_orderkey) "
+                  f"LIMIT {k} BY {key}")
+            dd = (f"SELECT g, o_orderkey FROM (SELECT {key} AS g, "
+                  f"o_orderkey, ROW_NUMBER() OVER (PARTITION BY {key} "
+                  f"ORDER BY o_orderkey) AS rn FROM orders) "
+                  f"WHERE rn <= {k}")
+        elif kind == 1:
+            cut = rnd.randint(200, 900)
+            ch = (f"SELECT l_linenumber FROM lineitem WHERE "
+                  f"l_orderkey < {cut} INTERSECT SELECT l_linenumber "
+                  f"FROM lineitem WHERE l_orderkey >= {cut}")
+            dd = (f"SELECT l_linenumber FROM lineitem WHERE "
+                  f"l_orderkey < {cut} AND l_linenumber IN (SELECT "
+                  f"l_linenumber FROM lineitem WHERE l_orderkey >= {cut})")
+        else:
+            cut = rnd.randint(200, 900)
+            ch = (f"SELECT l_linenumber FROM lineitem WHERE "
+                  f"l_orderkey < {cut} EXCEPT SELECT l_linenumber "
+                  f"FROM lineitem WHERE l_orderkey >= {cut}")
+            dd = (f"SELECT l_linenumber FROM lineitem WHERE "
+                  f"l_orderkey < {cut} AND l_linenumber NOT IN (SELECT "
+                  f"l_linenumber FROM lineitem WHERE l_orderkey >= {cut})")
+        out.append((f"lbsofuzz{i:02d}", ch, dd))
+    return out
+
+
+LBSO_CASES = _limitby_setop_cases(9)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", LBSO_CASES,
+                         ids=[c[0] for c in LBSO_CASES])
+def test_differential_limitby_setops(spark, sf_dir, duck, name, ch_sql,
+                                     dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
