@@ -130,6 +130,30 @@ def test_non_negative_derivative(spark):
                 "numbers(3)) ORDER BY r") == [(0.0,), (60.0,), (60.0,)]
 
 
+def test_windowed_moving_sum_and_argmax(spark):
+    # single-leaf composites (one windowed collect fed to a HOF) work
+    assert rows(spark, "SELECT number, groupArrayMovingSum(number) OVER "
+                "(ORDER BY number ROWS BETWEEN 1 PRECEDING AND CURRENT "
+                "ROW) AS r FROM numbers(3) ORDER BY number") \
+        == [(0, [0]), (1, [0, 1]), (2, [1, 3])]
+    assert rows(spark, "SELECT number, argMax(number, number % 3) OVER "
+                "(ORDER BY number ROWS UNBOUNDED PRECEDING) AS r "
+                "FROM numbers(5) ORDER BY number") \
+        == [(0, 0), (1, 1), (2, 2), (3, 2), (4, 2)]
+
+
+def test_windowed_multi_leaf_lambda_composite_named_error(spark):
+    """Documented partial support: Spark's analyzer rejects referencing
+    a SECOND windowed aggregate from inside a HOF lambda
+    (LATERAL_COLUMN_ALIAS_IN_WINDOW) — topK/sumMap/-ArgMin in window
+    position raise that NAMED error, never a silent wrong answer."""
+    import pytest as _pt
+    with _pt.raises(Exception, match="LATERAL_COLUMN_ALIAS_IN_WINDOW"):
+        execute_sql(spark, "SELECT topK(2)(number % 3) OVER (ORDER BY "
+                    "number ROWS UNBOUNDED PRECEDING) AS r "
+                    "FROM numbers(5)", {}).collect()
+
+
 def test_constructors_restored_after_window_build(spark):
     # the scoped patch must not leak: a plain aggregate built right
     # after a window query is NOT windowed
