@@ -2853,7 +2853,17 @@ def _apply_projection_keep(df: DataFrame, items,
                 names.append(slot)
             continue
         slot = _uniq_slot(name, used)
-        proj.append(_eval(expr, ctx, df).alias(slot))
+        if _contains_window_fn(expr):
+            # window expressions materialize in their OWN projection
+            # stage: inlined next to a bare column of the same name,
+            # Spark's lateral-column-alias rule can mis-bind the window's
+            # references (LATERAL_COLUMN_ALIAS_IN_WINDOW on composite
+            # lowerings like topK/sumMap OVER). Catalyst collapses the
+            # extra Project.
+            df = df.withColumn(slot, _eval(expr, ctx, df))
+            proj.append(_name_col(slot))
+        else:
+            proj.append(_eval(expr, ctx, df).alias(slot))
         names.append(slot)
     # keep only UNAMBIGUOUS source columns: after a self-join both sides
     # carry the same names and a bare reference cannot resolve (ordering
@@ -2862,6 +2872,18 @@ def _apply_projection_keep(df: DataFrame, items,
     counts = Counter(df.columns)
     keep = [c for c in df.columns if c not in names and counts[c] == 1]
     return df.select(*proj, *[_name_col(c) for c in keep]), names
+
+
+def _contains_window_fn(node) -> bool:
+    """True if the expression tree holds an OVER-windowed call."""
+    if isinstance(node, (Alias, Cast)):
+        return _contains_window_fn(node.expr)
+    if isinstance(node, FuncCall):
+        if node.window is not None:
+            return True
+        return any(_contains_window_fn(a) for a in node.args
+                   if not isinstance(a, Lambda))
+    return False
 
 
 def _name_col(n: str) -> Column:

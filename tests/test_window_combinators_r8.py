@@ -142,16 +142,19 @@ def test_windowed_moving_sum_and_argmax(spark):
         == [(0, 0), (1, 1), (2, 2), (3, 2), (4, 2)]
 
 
-def test_windowed_multi_leaf_lambda_composite_named_error(spark):
-    """Documented partial support: Spark's analyzer rejects referencing
-    a SECOND windowed aggregate from inside a HOF lambda
-    (LATERAL_COLUMN_ALIAS_IN_WINDOW) — topK/sumMap/-ArgMin in window
-    position raise that NAMED error, never a silent wrong answer."""
-    import pytest as _pt
-    with _pt.raises(Exception, match="LATERAL_COLUMN_ALIAS_IN_WINDOW"):
-        execute_sql(spark, "SELECT topK(2)(number % 3) OVER (ORDER BY "
-                    "number ROWS UNBOUNDED PRECEDING) AS r "
-                    "FROM numbers(5)", {}).collect()
+def test_windowed_composites_next_to_bare_columns(spark):
+    """Window expressions materialize in their own projection stage, so
+    a composite window aggregate next to a bare column of a referenced
+    name no longer trips Spark's LATERAL_COLUMN_ALIAS_IN_WINDOW rule —
+    topK/sumMap/-ArgMin all work in window position."""
+    assert rows(spark, "SELECT number, topK(2)(number % 3) OVER (ORDER "
+                "BY number ROWS UNBOUNDED PRECEDING) AS r FROM "
+                "numbers(4) ORDER BY number") \
+        == [(0, [0]), (1, [0, 1]), (2, [0, 1]), (3, [0, 1])]
+    assert rows(spark, "SELECT number, sumArgMin(number, number % 2) "
+                "OVER (ORDER BY number ROWS UNBOUNDED PRECEDING) AS r "
+                "FROM numbers(4) ORDER BY number") \
+        == [(0, 0), (1, 0), (2, 2), (3, 2)]
 
 
 def test_constructors_restored_after_window_build(spark):
