@@ -178,6 +178,10 @@ class ChSession:
         # DETACH TABLE parks the meta here (data kept on disk/in memory)
         # until a bare ATTACH TABLE restores it
         self.detached: dict[tuple[str, str], TableMeta] = {}
+        # DETACH DATABASE / DICTIONARY park whole catalogs / dict metas
+        # (no data is deleted; bare ATTACH restores)
+        self.detached_dbs: dict[str, dict[str, TableMeta]] = {}
+        self.detached_dicts: dict[str, object] = {}
         # system.query_log rows: (query, type, elapsed_ms, event_time)
         self.query_log: list[tuple] = []
 
@@ -630,9 +634,17 @@ class ChSession:
         return self._ok()
 
     def _drop(self, node: DropStmt):
+        detach = getattr(node, "detach", False)
         if node.kind == "DICTIONARY":
             if node.name not in self.dictionaries and not node.if_exists:
                 raise ValueError(f"unknown dictionary: {node.name}")
+            if detach:
+                # DETACH keeps the meta for a later bare ATTACH — the
+                # opposite of DROP's destroy contract
+                if node.name in self.dictionaries:
+                    self.detached_dicts[node.name] = \
+                        self.dictionaries.pop(node.name)
+                return self._ok()
             self.dictionaries.pop(node.name, None)
             return self._ok()
         if node.kind == "FUNCTION":
@@ -645,6 +657,12 @@ class ChSession:
                 if node.if_exists:
                     return self._ok()
                 raise ValueError(f"unknown database: {node.name}")
+            if detach:
+                # park the whole catalog; on-disk data untouched
+                self.detached_dbs[node.name] = self.databases.pop(node.name)
+                if self.current_db == node.name:
+                    self.current_db = "default"
+                return self._ok()
             for meta in self.databases[node.name].values():
                 if meta.path and os.path.exists(meta.path):
                     shutil.rmtree(meta.path)
@@ -676,7 +694,27 @@ class ChSession:
         return self._ok()
 
     def _attach(self, node):
-        """Bare ATTACH TABLE: restore a DETACHed table's meta (+data)."""
+        """Bare ATTACH TABLE|DATABASE|DICTIONARY: restore a DETACHed
+        object's meta (+data)."""
+        kind = getattr(node, "kind", "TABLE")
+        if kind == "DATABASE":
+            tables = self.detached_dbs.pop(node.name, None)
+            if tables is None:
+                if node.if_not_exists:
+                    return self._ok()
+                raise ValueError(
+                    f"cannot ATTACH DATABASE {node.name}: not detached")
+            self.databases[node.name] = tables
+            return self._ok()
+        if kind == "DICTIONARY":
+            d = self.detached_dicts.pop(node.name, None)
+            if d is None:
+                if node.if_not_exists:
+                    return self._ok()
+                raise ValueError(
+                    f"cannot ATTACH DICTIONARY {node.name}: not detached")
+            self.dictionaries[node.name] = d
+            return self._ok()
         db = node.database or self.current_db
         meta = self.detached.pop((db, node.name), None)
         if meta is None:

@@ -132,11 +132,13 @@ class DropStmt(Node):
 
 @dataclass
 class AttachStmt(Node):
-    """Bare ATTACH TABLE name — re-attach a previously DETACHed table
-    (ParserCreateQuery ATTACH-without-definition path)."""
+    """Bare ATTACH TABLE|DATABASE|DICTIONARY name — re-attach a
+    previously DETACHed object (ParserCreateQuery
+    ATTACH-without-definition path)."""
     database: str | None
     name: str
     if_not_exists: bool = False
+    kind: str = "TABLE"            # TABLE | DATABASE | DICTIONARY
 
 
 @dataclass
@@ -610,16 +612,16 @@ class StatementParser(Parser):
     def _create(self):
         is_attach = self.tok.is_kw("ATTACH")
         self.advance()                       # CREATE/ATTACH
-        if is_attach and self.tok.is_kw("TABLE"):
-            # bare ATTACH TABLE name: re-attach a DETACHed table; a
+        if is_attach and self.tok.is_kw("TABLE", "DATABASE", "DICTIONARY"):
+            # bare ATTACH <kind> name: re-attach a DETACHed object; a
             # definition after the name falls through to CREATE-style
             # ATTACH (re-parsed from the saved position)
             save = self.i
-            self.advance()                   # TABLE
+            kind = self.advance().text.upper()
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             db, name = self._qualified_name()
             if self.tok.kind == T.EOF or self.tok.is_op(";"):
-                return AttachStmt(db, name, ine)
+                return AttachStmt(db, name, ine, kind)
             self.i = save                    # full definition: re-parse
         or_replace = bool(self.accept_kws("OR", "REPLACE"))
         temporary = bool(self.accept_kw("TEMPORARY"))
@@ -890,6 +892,8 @@ class StatementParser(Parser):
         if self.accept_kw("DATABASE"):
             kind = "DATABASE"
         elif self.accept_kw("FUNCTION"):
+            if detach:
+                raise ParseError("DETACH is not supported for FUNCTION")
             ie = bool(self.accept_kws("IF", "EXISTS"))
             return DropStmt("FUNCTION", None, self.advance().text, ie)
         elif self.accept_kw("VIEW"):
