@@ -31,11 +31,15 @@ from pyspark.sql import functions as F
 
 def with_totals(df: DataFrame, keys: Sequence[str],
                 agg_exprs: Sequence[str]) -> DataFrame:
-    """Grouped aggregation plus a totals row (keys all NULL).
+    """Grouped aggregation plus a totals row (keys = type defaults).
+
+    ClickHouse (pre-``group_by_use_nulls``) fills totals key cells with
+    the key TYPE'S default (0 / '' / epoch), not NULL.
 
     ``agg_exprs`` are SQL aggregate expressions with aliases,
     e.g. ``["sum(l_quantity) AS sum_qty", "count(*) AS cnt"]``.
     """
+    from .joins import _type_default
     view = "__wt_src"
     df.createOrReplaceTempView(view)
     spark = df.sparkSession
@@ -45,6 +49,6 @@ def with_totals(df: DataFrame, keys: Sequence[str],
                         f"GROUP BY {key_list}")
     totals = spark.sql(f"SELECT {agg_list} FROM {view}")
     totals = totals.select(
-        *[F.lit(None).cast(grouped.schema[k].dataType).alias(k)
+        *[_type_default(grouped.schema[k].dataType).alias(k)
           for k in keys], "*")
     return grouped.unionByName(totals)

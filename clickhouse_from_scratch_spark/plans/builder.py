@@ -1992,6 +1992,26 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
     else:
         grouped = pre.groupBy(*knames)
 
+    # Spark's rollup/cube/groupingSets NULL-fill rolled-up key cells;
+    # ClickHouse (reference era, before group_by_use_nulls existed) fills
+    # the key TYPE'S DEFAULT (0 / '' / epoch) on subtotal rows — the docs'
+    # ROLLUP example shows 0, not NULL. Materialize a grouping flag per
+    # key during the agg (free: computed in the same Expand) and coalesce
+    # each key to its default where grouping(key)=1, leaving genuine
+    # NULL-valued groups (grouping=0) untouched. grouping()/grouping_id()
+    # in SELECT are separate agg slots computed before this fill.
+    _gf = [f"__gf{i}" for i in range(len(knames))] \
+        if gb.mode in ("rollup", "cube", "grouping_sets") else []
+    _gf_cols = [F.grouping(k).alias(g) for k, g in zip(knames, _gf)]
+
+    def _fill_subtotal_keys(frame: DataFrame) -> DataFrame:
+        from ..operators.joins import _type_default
+        keep = [F.when(F.col(g) == 1,
+                       _type_default(frame.schema[k].dataType))
+                .otherwise(F.col(k)).alias(k)
+                for k, g in zip(knames, _gf)]
+        return frame.select(*keep, *agg_slots)
+
     if gb.mode == "grouping_sets":
         # ONE scan + Expand + one shuffle for every set (Spark 4
         # groupingSets), instead of a groupBy-per-set union — at scale
@@ -1999,8 +2019,8 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
         sets = [[n for e_, n in zip(gb.exprs, knames)
                  if _ast_key(e_) in {_ast_key(e) for e in s}]
                 for s in (gb.grouping_sets or [])]
-        out = (pre.groupingSets(sets, *knames).agg(*agg_cols)
-               .select(*knames, *agg_slots))
+        out = _fill_subtotal_keys(
+            pre.groupingSets(sets, *knames).agg(*agg_cols, *_gf_cols))
     elif not knames and gb.mode == "plain" and not gb.with_totals \
             and agg_slots:
         # global aggregation over a possibly-EMPTY set: CH returns the
@@ -2019,6 +2039,8 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
                 c = F.when(F.col("__cnt_all") == 0, d).otherwise(c)
             wrapped.append(c.alias(slot))
         out = out.select(*wrapped)
+    elif gb.mode in ("rollup", "cube"):
+        out = _fill_subtotal_keys(grouped.agg(*agg_cols, *_gf_cols))
     else:
         out = grouped.agg(*agg_cols)
 
@@ -2144,13 +2166,17 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
 def _totals_row(src: DataFrame, agg_cols: list, slot_names: list,
                 slot_fnames: dict, schema_src: DataFrame,
                 knames: list) -> DataFrame:
-    """One totals row (keys NULL) for WITH TOTALS: keyless global
+    """One totals row (keys = type defaults) for WITH TOTALS: keyless global
     aggregate over ``src``. Spark's global agg always emits exactly one
     row, so the totals block survives an empty input — matching CH's
     unconditional totals emission — with empty-set aggregate defaults
     (sum→0, count→0, avg→nan) applied when zero rows contributed."""
+    from ..operators.joins import _type_default
     t = src.agg(*agg_cols, F.count(F.lit(1)).alias("__cnt_all"))
-    cols = [F.lit(None).cast(schema_src.schema[k].dataType).alias(k)
+    # totals key cells carry the key TYPE'S DEFAULT (0/''/epoch), not
+    # NULL — same fill rule as ROLLUP/CUBE subtotal rows (pre-
+    # group_by_use_nulls ClickHouse semantics)
+    cols = [_type_default(schema_src.schema[k].dataType).alias(k)
             for k in knames]
     for slot in slot_names:
         c: Column = F.col(slot)

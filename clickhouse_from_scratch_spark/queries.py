@@ -378,31 +378,60 @@ def with_ties_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query("rollup_agg", oracle="""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '' ELSE o_orderstatus
+       END AS o_orderstatus,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '' ELSE o_orderpriority
+       END AS o_orderpriority,
+       COUNT(*) AS cnt,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """)
 def rollup_agg(spark, sf_dir):
-    return (_t(spark, sf_dir, "orders")
-            .rollup("o_orderstatus", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 dsum(F.col("o_totalprice")).alias("total")))
+    # CH fills rolled-up key cells with the type default ('' for String),
+    # not NULL (pre-group_by_use_nulls semantics) — grouping flags are
+    # computed in the same Expand, so the fill is a free projection
+    df = (_t(spark, sf_dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(F.count(F.lit(1)).alias("cnt"),
+               dsum(F.col("o_totalprice")).alias("total"),
+               F.grouping("o_orderstatus").alias("__g0"),
+               F.grouping("o_orderpriority").alias("__g1")))
+    return df.select(
+        F.when(F.col("__g0") == 1, F.lit(""))
+         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("__g1") == 1, F.lit(""))
+         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        "cnt", "total")
 
 
 @query("cube_agg", oracle="""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '' ELSE l_returnflag
+       END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN '' ELSE l_linestatus
+       END AS l_linestatus,
+       COUNT(*) AS cnt,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
 def cube_agg(spark, sf_dir):
-    return (_t(spark, sf_dir, "lineitem")
-            .cube("l_returnflag", "l_linestatus")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 dsum(F.col("l_quantity")).alias("sum_qty")))
+    df = (_t(spark, sf_dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(F.count(F.lit(1)).alias("cnt"),
+               dsum(F.col("l_quantity")).alias("sum_qty"),
+               F.grouping("l_returnflag").alias("__g0"),
+               F.grouping("l_linestatus").alias("__g1")))
+    return df.select(
+        F.when(F.col("__g0") == 1, F.lit(""))
+         .otherwise(F.col("l_returnflag")).alias("l_returnflag"),
+        F.when(F.col("__g1") == 1, F.lit(""))
+         .otherwise(F.col("l_linestatus")).alias("l_linestatus"),
+        "cnt", "sum_qty")
 
 
 @query("with_totals", oracle="""
-SELECT event_type, COUNT(*) AS cnt,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '' ELSE event_type
+       END AS event_type,
+       COUNT(*) AS cnt,
        CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY GROUPING SETS ((event_type), ())
 """)
@@ -424,8 +453,9 @@ WITH g AS (SELECT o_orderpriority AS pri, count(*) AS n,
 SELECT pri, n, s FROM g
 UNION ALL
 -- CH emits the totals block even when zero groups pass HAVING, with
--- empty-set defaults (sum->0); ANSI SUM over zero rows is NULL
-SELECT NULL AS pri, count(*) AS n,
+-- empty-set defaults (sum->0); totals key cells carry the type
+-- default ('' for String), not NULL; ANSI SUM over zero rows is NULL
+SELECT '' AS pri, count(*) AS n,
        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE),
                 0.0) AS s
 FROM orders WHERE o_orderstatus = 'F'
@@ -1943,14 +1973,18 @@ def sql_groups_frame(spark, sf_dir):
 
 
 @query("sql_grouping_sets", oracle="""
-SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '' ELSE l_returnflag
+       END AS l_returnflag,
+       CASE WHEN GROUPING(l_linestatus) = 1 THEN '' ELSE l_linestatus
+       END AS l_linestatus,
+       count(*) AS cnt FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 ORDER BY l_returnflag, l_linestatus
 """)
 def sql_grouping_sets(spark, sf_dir):
-    """GROUPING SETS: per-set groupBy unioned with NULL-typed missing
-    keys (SURVEY §2.5) — each set is its own map-side-combined shuffle,
-    no row replication."""
+    """GROUPING SETS: one scan + Expand (SURVEY §2.5), missing keys on
+    each set's rows filled with the key TYPE'S default ('' for String) —
+    ClickHouse pre-group_by_use_nulls semantics, not Spark's NULL fill."""
     return _sql(spark, sf_dir, """
         SELECT l_returnflag, l_linestatus, count() AS cnt FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

@@ -97,9 +97,8 @@ def test_final_sample_prewhere_kitchen_sink(spark, micro):
 def test_group_totals_having_after(spark, micro):
     got = run(spark, micro, "SELECT g, sum(v) AS s FROM t GROUP BY g "
                             "WITH TOTALS HAVING s > 55").collect()
-    assert sorted([(r.g, r.s) for r in got],
-                  key=lambda p: (p[0] is None, p)) == [("y", 60),
-                                                       (None, 60)]
+    # totals key cell = String type default '' (sorts first)
+    assert sorted((r.g, r.s) for r in got) == [("", 60), ("y", 60)]
 
 
 def test_group_totals_having_before_mode(spark, micro):
@@ -108,14 +107,14 @@ def test_group_totals_having_before_mode(spark, micro):
               "HAVING s > 55 SETTINGS totals_mode = 'before_having'"
               ).collect()
     # before_having: totals over ALL rows (161), not just survivors
-    assert (None, 161) in {(r.g, r.s) for r in got}
+    assert ("", 161) in {(r.g, r.s) for r in got}
 
 
 def test_rollup_order_limit(spark, micro):
     got = run(spark, micro, "SELECT g, sum(v) AS s FROM t "
                             "GROUP BY ROLLUP(g) ORDER BY s DESC, g "
                             "LIMIT 2").collect()
-    assert [(r.g, r.s) for r in got] == [(None, 161), ("y", 60)]
+    assert [(r.g, r.s) for r in got] == [("", 161), ("y", 60)]
 
 
 def test_grouping_sets_having(spark, micro):
@@ -123,7 +122,7 @@ def test_grouping_sets_having(spark, micro):
               "SELECT g, sum(v) AS s FROM t "
               "GROUP BY GROUPING SETS ((g), ()) HAVING s >= 60 "
               "ORDER BY s").collect()
-    assert [(r.g, r.s) for r in got] == [("y", 60), (None, 161)]
+    assert [(r.g, r.s) for r in got] == [("y", 60), ("", 161)]
 
 
 def test_distinct_on_order(spark, micro):

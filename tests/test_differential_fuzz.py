@@ -399,7 +399,10 @@ def _array_cases() -> list[tuple[str, str, str]]:
     return out
 
 
-def _rollup_cases(n: int) -> list[tuple[str, str]]:
+def _rollup_cases(n: int) -> list[tuple[str, str, str]]:
+    # pair-cases: the engine fills rolled-up key cells with the key
+    # TYPE'S default (''/0, pre-group_by_use_nulls CH), DuckDB NULL-
+    # fills — the DuckDB side states the fill with GROUPING() CASEs
     rnd = random.Random(606)
     out = []
     for i in range(n):
@@ -413,13 +416,20 @@ def _rollup_cases(n: int) -> list[tuple[str, str]]:
             "round(CAST(min(l_extendedprice) AS DOUBLE), 3)",
         ])
         ks = ", ".join(f"{k} AS k{j}" for j, k in enumerate(keys))
+        dks = ", ".join(
+            f"CASE WHEN GROUPING({k}) = 1 THEN "
+            f"{'0' if k.startswith('(') else chr(39) * 2} "
+            f"ELSE {k} END AS k{j}"
+            for j, k in enumerate(keys))
         kn = ", ".join(k for k in keys)
         # guaranteed-nonempty predicate: empty-input ROLLUP/CUBE is an
         # engine-defined edge (DuckDB emits the () row, Spark doesn't)
-        sql = (f"SELECT {ks}, {agg} AS v FROM lineitem "
-               f"WHERE l_orderkey < {rnd.randint(2000, 9000)} "
-               f"GROUP BY {mode}({kn})")
-        out.append((f"rollupfuzz{i:02d}", sql))
+        cut = rnd.randint(2000, 9000)
+        ch = (f"SELECT {ks}, {agg} AS v FROM lineitem "
+              f"WHERE l_orderkey < {cut} GROUP BY {mode}({kn})")
+        dd = (f"SELECT {dks}, {agg} AS v FROM lineitem "
+              f"WHERE l_orderkey < {cut} GROUP BY {mode}({kn})")
+        out.append((f"rollupfuzz{i:02d}", ch, dd))
     return out
 
 
@@ -453,7 +463,7 @@ ROLLUP_CASES = _rollup_cases(8)
 SUBQ_CASES = _subquery_cases(9)
 
 ALL_CASES = (CASES + AGG_CASES + STR_CASES + WIN_CASES + JOIN_CASES
-             + HAV_CASES + ROLLUP_CASES + SUBQ_CASES)
+             + HAV_CASES + SUBQ_CASES)
 
 
 def _tolerant_compare(ours, theirs) -> list[str]:
@@ -597,11 +607,15 @@ def _combo_cases(n: int) -> list[tuple[str, str, str]]:
             ch = (f"SELECT {key} AS k, {body} AS s FROM lineitem "
                   f"WHERE {p2} GROUP BY k WITH TOTALS")
             # CH emits the totals block even on empty input, with
-            # empty-set defaults (sum→0); ANSI sum over zero rows is
-            # NULL, so COALESCE states that contract on the oracle side.
+            # empty-set defaults (sum→0) and the key TYPE'S default
+            # (''/0) in the key cell; ANSI sum over zero rows is NULL
+            # and GROUPING SETS NULL-fills, so COALESCE + GROUPING()
+            # state both contracts on the oracle side.
+            kd = "0" if key.startswith("(") else "''"
             dd = (f"SELECT k, COALESCE(s, 0.0) AS s FROM ("
-                  f"SELECT {key} AS k, {body} AS s FROM lineitem "
-                  f"WHERE {p2} GROUP BY GROUPING SETS ((k), ()))")
+                  f"SELECT CASE WHEN GROUPING({key}) = 1 THEN {kd} "
+                  f"ELSE {key} END AS k, {body} AS s FROM lineitem "
+                  f"WHERE {p2} GROUP BY GROUPING SETS (({key}), ()))")
         elif shape == "limitby":
             m = rnd.randint(1, 3)
             ch = (f"SELECT l_orderkey, l_linenumber FROM lineitem "
@@ -645,6 +659,17 @@ COMBO_CASES = _combo_cases(30)
 def test_differential_combos(spark, sf_dir, duck, name, ch_sql, dd_sql):
     tables = load_all(spark, sf_dir)
     ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", ROLLUP_CASES,
+                         ids=[c[0] for c in ROLLUP_CASES])
+def test_differential_rollup(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql.replace("count(*)", "count()"),
+                       tables).toPandas()
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems

@@ -630,11 +630,12 @@ def test_grouping_function_and_array_tail(spark):
         spark, "SELECT g, h, grouping(g) AS gg, grouping(h) AS gh, "
         "sum(v) AS s FROM t GROUP BY ROLLUP(g, h) ORDER BY g, h",
         t).collect()
-    # CH default ORDER BY puts NULL keys LAST, so the grand-total and
-    # subtotal rows sort to the tail
-    assert (rows[-1].g, rows[-1].gg, rows[-1].gh, rows[-1].s) == (None, 1, 1, 6)
-    assert (rows[0].g, rows[0].h, rows[0].gg, rows[0].gh) == ("a", "x", 0, 0)
-    assert (rows[2].g, rows[2].h, rows[2].gg, rows[2].gh) == ("a", None, 0, 1)
+    # subtotal key cells carry the String type default '' (pre-
+    # group_by_use_nulls CH), which sorts FIRST — grouping() still
+    # distinguishes subtotal rows from genuine ''-valued groups
+    assert (rows[0].g, rows[0].gg, rows[0].gh, rows[0].s) == ("", 1, 1, 6)
+    assert (rows[1].g, rows[1].h, rows[1].gg, rows[1].gh) == ("a", "", 0, 1)
+    assert (rows[2].g, rows[2].h, rows[2].gg, rows[2].gh) == ("a", "x", 0, 0)
 
     def run(e):
         return execute_sql(spark, f"SELECT {e} AS x FROM t LIMIT 1",

@@ -170,7 +170,8 @@ def test_with_totals_appends_global_row(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
     out = with_totals(df, ["k"], ["SUM(v) AS sv"])
     rows = {r.k: r.sv for r in out.collect()}
-    assert rows == {"a": 3, "b": 3, None: 6}
+    # totals key cell = String type default '' (CH pre-group_by_use_nulls)
+    assert rows == {"a": 3, "b": 3, "": 6}
 
 
 def test_limit_with_ties_keeps_ties(spark):

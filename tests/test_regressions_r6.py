@@ -244,7 +244,7 @@ def test_with_totals_empty_input(spark):
                        {"t": df}).collect()
     assert len(rows) == 1            # just the totals row
     r = rows[0]
-    assert r.k is None and r.s == 0 and r.c == 0
+    assert r.k == 0 and r.s == 0 and r.c == 0   # totals key = type default
 
 
 def test_with_totals_empty_after_having(spark):
@@ -256,7 +256,7 @@ def test_with_totals_empty_after_having(spark):
     # groups -> default-initialized totals row, still emitted
     assert len(rows) == 1
     r = rows[0]
-    assert r.k is None and r.s == 0
+    assert r.k == 0 and r.s == 0   # totals key = type default
 
 
 def test_with_totals_non_empty_unchanged(spark):
@@ -264,8 +264,10 @@ def test_with_totals_non_empty_unchanged(spark):
     rows = execute_sql(spark, "SELECT k, sum(v) AS s FROM t "
                               "GROUP BY k WITH TOTALS",
                        {"t": df}).collect()
-    got = {(r.k, r.s) for r in rows}
-    assert got == {(1, 15), (2, 20), (None, 35)}
+    # totals key cell = type default (0), so the totals row collides
+    # with no real group here but duplicates would be legal
+    got = sorted((r.k, r.s) for r in rows)
+    assert got == [(0, 35), (1, 15), (2, 20)]
 
 
 # --- 13. quantile-family result-type + element-pick fidelity -------------
@@ -309,7 +311,7 @@ def test_rollup_with_totals_block(spark):
                               "GROUP BY ROLLUP(a, b) WITH TOTALS",
                        {"t": df}).collect()
     rs = [tuple(r) for r in rows]
-    assert rs.count((None, None, 60)) == 2   # grand total + totals block
+    assert rs.count((0, 0, 60)) == 2   # grand total + totals block (key=default)
     assert len(rs) == 7
 
 

@@ -140,17 +140,23 @@ CASES = [
     ("cube_with_syntax",
      "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
      "GROUP BY l_returnflag, l_linestatus WITH CUBE",
-     "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
-     "GROUP BY CUBE(l_returnflag, l_linestatus)"),
+     "SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '' ELSE "
+     "l_returnflag END AS l_returnflag, CASE WHEN GROUPING(l_linestatus) "
+     "= 1 THEN '' ELSE l_linestatus END AS l_linestatus, count(*) AS n "
+     "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
     ("with_totals",
      "SELECT event_type, count() AS n FROM events "
      "GROUP BY event_type WITH TOTALS",
-     "SELECT event_type, count(*) AS n FROM events "
+     "SELECT CASE WHEN GROUPING(event_type) = 1 THEN '' ELSE event_type "
+     "END AS event_type, count(*) AS n FROM events "
      "GROUP BY GROUPING SETS ((event_type), ())"),
     ("grouping_sets",
      "SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
      "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))",
-     "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+     "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '' ELSE "
+     "o_orderstatus END AS o_orderstatus, CASE WHEN "
+     "GROUPING(o_orderpriority) = 1 THEN '' ELSE o_orderpriority END AS "
+     "o_orderpriority, count(*) AS n FROM orders "
      "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"),
     ("having",
      "SELECT c_nationkey, count() AS n FROM customer "
@@ -1211,12 +1217,12 @@ def test_totals_mode_having(spark):
          "WITH TOTALS HAVING count() > 1")
     after = sorted([(r.k, r.n, r.s) for r in
                     execute_sql(spark, q, t).collect()], key=str)
-    assert after == [("a", 3, 6), (None, 3, 6)]
+    assert after == [("", 3, 6), ("a", 3, 6)]   # totals key = type default
     before = sorted([(r.k, r.n, r.s) for r in
                      execute_sql(spark, q, t,
                                  settings={"totals_mode": "before_having"})
                      .collect()], key=str)
-    assert before == [("a", 3, 6), (None, 5, 116)]
+    assert before == [("", 5, 116), ("a", 3, 6)]
 
 
 def test_new_pipeline_table_functions_sql(spark):
