@@ -219,26 +219,51 @@ def _setop_filter(left: DataFrame, right: DataFrame,
 
 def _build_query(q, ctx: Context) -> DataFrame:
     if isinstance(q, UnionQuery):
-        out = _build_query(q.selects[0], ctx)
+        # The reference parses a FLAT select list + mode vector
+        # (ExpressionListParsers.cpp:120-183, SelectUnionMode.h:8-15);
+        # published CH applies precedence in interpreter normalization:
+        # INTERSECT binds TIGHTER than UNION/EXCEPT (which fold left-to-
+        # right among themselves). `1 UNION ALL 2 INTERSECT 2` is
+        # 1 ∪ (2∩2) = {1,2}, not (1∪2)∩2. Group maximal runs of
+        # INTERSECT arms into sub-chains first, then fold the outer ops.
+        groups: list[list[tuple[str | None, object]]] = \
+            [[(None, q.selects[0])]]
         for mode, sel in zip(q.modes, q.selects[1:]):
-            nxt = _build_query(sel, ctx)
-            if len(nxt.columns) != len(out.columns):
+            if mode in ("intersect", "intersect_all"):
+                groups[-1].append((mode, sel))
+            else:
+                groups.append([(mode, sel)])
+
+        first = _build_query(groups[0][0][1], ctx)
+        # CH set ops are positional; result names come from the first
+        # SELECT (SelectUnionMode semantics)
+        cols = first.columns
+
+        def _align(df: DataFrame) -> DataFrame:
+            if len(df.columns) != len(cols):
                 raise BuildError("UNION branches have different column "
                                  "counts")
-            # CH set ops are positional; result names come from the first
-            # SELECT (SelectUnionMode semantics)
-            nxt = nxt.toDF(*out.columns)
-            if mode == "all":
+            return df.toDF(*cols)
+
+        def _chain(head: DataFrame, rest) -> DataFrame:
+            out = head
+            for m, sel in rest:
+                nxt = _align(_build_query(sel, ctx))
+                out = (out.intersect(nxt) if m == "intersect"
+                       else _setop_filter(out, nxt, anti=False))
+            return out
+
+        out = _chain(first, groups[0][1:])
+        for grp in groups[1:]:
+            outer, head_sel = grp[0]
+            nxt = _chain(_align(_build_query(head_sel, ctx)), grp[1:])
+            if outer == "all":
                 out = out.union(nxt)
-            elif mode == "distinct":
+            elif outer == "distinct":
                 out = out.union(nxt).distinct()
-            elif mode == "intersect":
-                out = out.intersect(nxt)
-            elif mode == "intersect_all":
-                out = _setop_filter(out, nxt, anti=False)
-            elif mode == "except":
+            elif outer == "except":
                 out = out.subtract(nxt)
-            elif mode == "except_all":
+            elif outer == "except_all":
                 out = _setop_filter(out, nxt, anti=True)
         return out
     return _build_select(q, ctx)

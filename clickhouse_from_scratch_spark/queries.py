@@ -663,6 +663,37 @@ def setop_intersect_distinct(spark, sf_dir):
     """)
 
 
+@query("setop_mixed_precedence", oracle="""
+SELECT nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk FROM supplier
+  WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                        WHERE n_regionkey = 1)
+) t
+WHERE nk NOT IN (SELECT n_nationkey FROM nation WHERE n_name = 'FRANCE')
+ORDER BY nk
+""")
+def setop_mixed_precedence(spark, sf_dir):
+    """Mixed UNION ALL / INTERSECT / EXCEPT chain: CH binds INTERSECT
+    tighter than UNION/EXCEPT (interpreter normalization over the flat
+    mode list the reference parses — ExpressionListParsers.cpp:120-183,
+    SelectUnionMode.h:8-15); UNION/EXCEPT then fold left-to-right, and
+    bare INTERSECT/EXCEPT keep LEFT multiplicity (hash-set filters).
+    The oracle states the grouping + multiplicity with IN / NOT IN."""
+    return _sql(spark, sf_dir, """
+        SELECT nk FROM (
+          SELECT c_nationkey AS nk FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nk FROM supplier
+          INTERSECT
+          SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 1
+          EXCEPT
+          SELECT n_nationkey AS nk FROM nation WHERE n_name = 'FRANCE'
+        ) ORDER BY nk
+    """)
+
+
 @query("setop_except", oracle="""
 SELECT c_custkey AS ck FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

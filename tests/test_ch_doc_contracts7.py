@@ -1538,3 +1538,27 @@ def test_multi_search_positions(spark):
 def test_group_concat(spark):
     assert one(spark, "SELECT groupConcat(toString(number)) AS r "
                "FROM numbers(3)") == ('012',)
+
+
+# --- round 10: set-op precedence (INTERSECT binds tighter) -------------------
+
+def test_setop_intersect_precedence(spark):
+    # published CH: INTERSECT has higher precedence than UNION/EXCEPT
+    # (the reference parses a flat mode list — ExpressionListParsers.cpp
+    # :120-183 — the grouping is interpreter-side)
+    assert sorted(rows(spark, "SELECT 1 AS n UNION ALL SELECT 2 AS n "
+                       "INTERSECT SELECT 2 AS n")) == [(1,), (2,)]
+    assert rows(spark, "SELECT 1 AS n UNION ALL SELECT 2 AS n "
+                "INTERSECT SELECT 3 AS n") == [(1,)]
+    assert rows(spark, "SELECT 1 AS n EXCEPT SELECT 2 AS n "
+                "INTERSECT SELECT 2 AS n") == [(1,)]
+    # UNION/EXCEPT fold left-to-right among themselves
+    assert rows(spark, "SELECT 1 AS n UNION ALL SELECT 2 AS n "
+                "EXCEPT SELECT 2 AS n") == [(1,)]
+    # an INTERSECT run groups as one sub-chain
+    assert sorted(rows(spark, "SELECT 2 AS n INTERSECT SELECT 2 AS n "
+                       "INTERSECT SELECT 2 AS n UNION ALL "
+                       "SELECT 9 AS n")) == [(2,), (9,)]
+    # parenthesized form overrides: ((1 UNION ALL 2) INTERSECT 2) = {2}
+    assert rows(spark, "SELECT n FROM (SELECT 1 AS n UNION ALL "
+                "SELECT 2 AS n) INTERSECT SELECT 2 AS n") == [(2,)]

@@ -351,6 +351,64 @@ def _setop_cases(n: int) -> list[tuple[str, str, str]]:
     return out
 
 
+def _setop_chain_cases(n: int) -> list[tuple[str, str, str]]:
+    """Mixed-mode set-op CHAINS of 3-4 arms: CH binds INTERSECT tighter
+    than UNION/EXCEPT (interpreter normalization over the flat mode
+    list), UNION/EXCEPT fold left-to-right, and the bare/ALL forms keep
+    left multiplicity. The DuckDB side restates the same grouping with
+    explicit parentheses and IN / NOT IN for the multiplicity-keeping
+    forms."""
+    rnd = random.Random(909)
+    MODES = ["UNION ALL", "UNION DISTINCT", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL", "INTERSECT DISTINCT",
+             "EXCEPT DISTINCT"]
+    out = []
+    for i in range(n):
+        col = rnd.choice(["l_linenumber", "l_suppkey", "(l_orderkey % 20)"])
+        k = rnd.randint(3, 4)
+        arms = [(f"SELECT {col} AS v FROM lineitem "
+                 f"WHERE l_linenumber < {rnd.randint(1, 7)}")
+                if rnd.random() < 0.5 else
+                (f"SELECT {col} AS v FROM lineitem "
+                 f"WHERE l_suppkey < {rnd.randint(3, 25)}")
+                for _ in range(k)]
+        modes = [rnd.choice(MODES) for _ in range(k - 1)]
+        ch = arms[0] + "".join(f" {m} {a}"
+                               for m, a in zip(modes, arms[1:]))
+        groups = [[(None, arms[0])]]
+        for m, a in zip(modes, arms[1:]):
+            if m.startswith("INTERSECT"):
+                groups[-1].append((m, a))
+            else:
+                groups.append([(m, a)])
+
+        def chain(g):
+            acc = g[0][1]
+            for m, a in g[1:]:
+                if m == "INTERSECT DISTINCT":
+                    acc = f"({acc}) INTERSECT ({a})"
+                else:
+                    acc = (f"SELECT v FROM ({acc}) "
+                           f"WHERE v IN (SELECT v FROM ({a}))")
+            return acc
+
+        duck = chain(groups[0])
+        for g in groups[1:]:
+            m, a = g[0]
+            sub = chain([(None, a)] + g[1:])
+            if m == "UNION ALL":
+                duck = f"({duck}) UNION ALL ({sub})"
+            elif m == "UNION DISTINCT":
+                duck = f"({duck}) UNION ({sub})"
+            elif m == "EXCEPT DISTINCT":
+                duck = f"({duck}) EXCEPT ({sub})"
+            else:
+                duck = (f"SELECT v FROM ({duck}) "
+                        f"WHERE v NOT IN (SELECT v FROM ({sub}))")
+        out.append((f"setopchain{i:02d}", ch, duck))
+    return out
+
+
 def _quantile_cases(n: int) -> list[tuple[str, str, str]]:
     """quantile family: CH parametric form vs DuckDB quantile_cont —
     exact interpolated percentiles over the same values."""
@@ -657,6 +715,20 @@ COMBO_CASES = _combo_cases(30)
 @pytest.mark.parametrize("name,ch_sql,dd_sql", COMBO_CASES,
                          ids=[c[0] for c in COMBO_CASES])
 def test_differential_combos(spark, sf_dir, duck, name, ch_sql, dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
+
+SETOP_CHAIN_CASES = _setop_chain_cases(14)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", SETOP_CHAIN_CASES,
+                         ids=[c[0] for c in SETOP_CHAIN_CASES])
+def test_differential_setop_chains(spark, sf_dir, duck, name, ch_sql,
+                                   dd_sql):
     tables = load_all(spark, sf_dir)
     ours = execute_sql(spark, ch_sql, tables).toPandas()
     theirs = duck.sql(dd_sql).df()
