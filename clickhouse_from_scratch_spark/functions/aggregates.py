@@ -939,8 +939,14 @@ def register_into(registry: dict[str, Callable[..., Column]]) -> None:
         fn = AGGREGATES[base]
         # conditions cast to boolean: CH accepts truthy ints (countIf(x%2))
         if base == "count":
-            registry["countIf"] = lambda cond: F.count(
-                F.when(_c(cond).cast("boolean"), F.lit(1)))
+            # countIf(cond) counts matching rows; the two-arg form
+            # countIf(x, cond) — count's 0-or-1-arg signature plus the
+            # -If trailing condition — counts rows where cond holds AND
+            # x is non-NULL (count(when(cond, x)))
+            registry["countIf"] = lambda *a: (
+                F.count(F.when(_c(a[-1]).cast("boolean"), F.lit(1)))
+                if len(a) == 1 else
+                F.count(F.when(_c(a[1]).cast("boolean"), _c(a[0]))))
         elif base in ("argMin", "argMax"):
             def _arg_if(f):
                 return lambda a, v, cond: f(

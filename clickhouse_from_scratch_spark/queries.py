@@ -879,6 +879,28 @@ def conditional_agg(spark, sf_dir):
                  ch("countIf", F.col("event_type") == "error").alias("n_errors")))
 
 
+@query("sql_countif_value", oracle="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN l_quantity > 25
+                  THEN NULLIF(l_linenumber, 1) END) AS n_committed,
+       COUNT(l_shipdate) FILTER (WHERE l_discount > 0.05) AS n_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_countif_value(spark, sf_dir):
+    """Two-arg countIf(x, cond) — count's 0-or-1-arg signature plus the
+    -If combinator's trailing condition — counts rows where cond holds
+    AND x is non-NULL; count(x) FILTER (WHERE p) is the same lowering
+    (AggregateFunctionIf over AggregateFunctionCount)."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               countIf(nullIf(l_linenumber, 1), l_quantity > 25)
+                 AS n_committed,
+               count(l_shipdate) FILTER (WHERE l_discount > 0.05)
+                 AS n_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+
+
 @query("agg_distinct", oracle="""
 SELECT l_returnflag,
        COUNT(DISTINCT l_suppkey) AS n_supp,

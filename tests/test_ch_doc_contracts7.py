@@ -1562,3 +1562,23 @@ def test_setop_intersect_precedence(spark):
     # parenthesized form overrides: ((1 UNION ALL 2) INTERSECT 2) = {2}
     assert rows(spark, "SELECT n FROM (SELECT 1 AS n UNION ALL "
                 "SELECT 2 AS n) INTERSECT SELECT 2 AS n") == [(2,)]
+
+
+# --- round 10: two-arg countIf / count(x) FILTER -----------------------------
+
+def test_countif_value_form(spark):
+    # countIf(x, cond): count's 0-or-1-arg signature + the -If trailing
+    # condition — counts rows where cond holds AND x is non-NULL
+    assert one(spark, "SELECT countIf(number, number > 1) AS a, "
+               "countIf(NULL, 1) AS b, "
+               "countIf(nullIf(number, 2), number < 4) AS c, "
+               "countIf(number, number > 100) AS d FROM numbers(5)") \
+        == (3, 0, 3, 0)
+    # FILTER (WHERE p) over count(x) is the same lowering
+    assert one(spark, "SELECT count(number) FILTER (WHERE number > 2) "
+               "AS a, count(nullIf(number, 2)) FILTER (WHERE number < "
+               "4) AS b FROM numbers(6)") == (3, 3)
+    # windowed position
+    assert rows(spark, "SELECT number, countIf(number, number % 2 = 0)"
+                " OVER (ORDER BY number) AS c FROM numbers(4) "
+                "ORDER BY number") == [(0, 1), (1, 1), (2, 2), (3, 2)]
