@@ -837,8 +837,9 @@ class ChSession:
                 meta.settings[f"comment:{act.name}"] = act.text
                 meta.comments[act.name] = act.text
             elif act.kind == "CLEAR_COLUMN":
-                # reset every row to the column TYPE's default (CH
-                # resets the part data; types keep their defaults)
+                # reset rows to the column TYPE's default (CH resets the
+                # part data; types keep their defaults). IN PARTITION
+                # scopes the reset to the named partition's rows only.
                 types = dict(meta.columns)
                 if act.name not in types:
                     if act.if_exists:
@@ -846,10 +847,14 @@ class ChSession:
                     raise ValueError(f"unknown column: {act.name}")
                 from .operators.joins import _type_default
                 t = ch_type_to_spark(types[act.name])
+                dflt = _type_default(self.spark.createDataFrame(
+                    [], f"x {t}").schema[0].dataType).cast(t)
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                newc = (dflt if in_part is None else
+                        F.when(in_part, dflt).otherwise(F.col(act.name)))
                 df = df.select(*[
-                    (_type_default(self.spark.createDataFrame(
-                        [], f"x {t}").schema[0].dataType)
-                     .cast(t).alias(n) if n == act.name else F.col(n))
+                    (newc.alias(n) if n == act.name else F.col(n))
                     for n, _ in meta.columns])
                 changed = True
             elif act.kind == "MODIFY_COMMENT":
@@ -857,6 +862,10 @@ class ChSession:
             elif act.kind == "UPDATE":
                 pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
                                   F.lit(False))
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                if in_part is not None:
+                    pred = pred & in_part
                 types = dict(meta.columns)
                 updates = {}
                 for cname, e in act.assignments:
@@ -872,6 +881,10 @@ class ChSession:
             elif act.kind == "DELETE":
                 pred = F.coalesce(_beval(act.where, ctx, df).cast("boolean"),
                                   F.lit(False))
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                if in_part is not None:
+                    pred = pred & in_part
                 df = df.filter(~pred)
                 changed = True
             elif act.kind == "ADD_INDEX":
@@ -887,6 +900,32 @@ class ChSession:
         if changed:
             self._rewrite(meta, df)
         return self._ok()
+
+    def _partition_match(self, meta: TableMeta, partition, ctx, df,
+                         _beval):
+        """Boolean column selecting rows of the ``IN PARTITION p`` scope
+        for ALTER mutations (CLEAR COLUMN / UPDATE / DELETE), or None
+        when no partition clause was given. The partition value is the
+        table's PARTITION BY expression evaluated per row, null-safe
+        compared to the statement's partition literal — CH scopes the
+        mutation to the named partition's parts."""
+        if partition is None:
+            return None
+        if meta.partition_expr is not None:
+            pv = _beval(meta.partition_expr, ctx, df)
+        elif meta.partition_by:
+            pv = F.col(meta.partition_by)
+        else:
+            raise ValueError(
+                f"table {meta.name} is not partitioned — IN PARTITION "
+                f"requires a PARTITION BY key")
+        lit = _beval(partition, ctx, df)
+        if meta.partition_by and meta.partition_by in df.columns \
+                and meta.partition_expr is None:
+            # coerce the statement literal to the partition column's
+            # type (CH accepts both `PARTITION 1` and `PARTITION '1'`)
+            lit = lit.cast(df.schema[meta.partition_by].dataType)
+        return pv.eqNullSafe(lit)
 
     def _rewrite(self, meta: TableMeta, df: DataFrame) -> None:
         """Replace a table's contents (ALTER rewrite path): Memory tables

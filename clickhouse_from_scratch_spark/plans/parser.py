@@ -620,7 +620,9 @@ class Parser:
                 FuncCall("greaterOrEquals", [left, lo]),
                 FuncCall("lessOrEquals", [left, hi])])
             return FuncCall("not", [inside]) if neg else inside
-        if neg and self.accept_kw("IN"):
+        if neg and self.tok.is_kw("IN") \
+                and not self.peek().is_kw("PARTITION"):
+            self.advance()
             return FuncCall("notIn", [left, self._in_rhs()])
         if neg and self.accept_kw("LIKE"):
             return FuncCall("notLike", [left, self._concat()])
@@ -629,7 +631,10 @@ class Parser:
         if neg:
             self.i = save
             return left
-        if self.accept_kw("IN"):
+        # `IN PARTITION` belongs to the ALTER mutation grammar
+        # (UPDATE ... IN PARTITION p WHERE ...), never an IN operator
+        if self.tok.is_kw("IN") and not self.peek().is_kw("PARTITION"):
+            self.advance()
             return FuncCall("in", [left, self._in_rhs()])
         if self.accept_kw("LIKE"):
             return FuncCall("like", [left, self._concat()])

@@ -176,6 +176,7 @@ class AlterAction(Node):
     if_not_exists: bool = False
     assignments: list | None = None      # [(col, expr)] for UPDATE
     where: Node | None = None            # UPDATE / DELETE predicate
+    partition: Node | None = None        # IN PARTITION scope (expr)
     text: str | None = None              # COMMENT text / INDEX / TTL spec
 
 
@@ -990,12 +991,16 @@ class StatementParser(Parser):
                                new_name=self.advance().text, if_exists=ie)
         if self.accept_kw("CLEAR"):
             # CLEAR COLUMN c [IN PARTITION p]: reset to the type default
+            # ONLY in the named partition (CH scopes the reset to the
+            # partition's parts; other partitions keep their data)
             self.expect_kw("COLUMN")
             ie = bool(self.accept_kws("IF", "EXISTS"))
             name = self.advance().text
+            part = None
             if self.accept_kws("IN", "PARTITION"):
-                self.advance()
-            return AlterAction("CLEAR_COLUMN", name=name, if_exists=ie)
+                part = self._expr()
+            return AlterAction("CLEAR_COLUMN", name=name, if_exists=ie,
+                               partition=part)
         if self.accept_kw("MODIFY"):
             if self.accept_kw("COMMENT"):
                 # table-level comment
@@ -1029,14 +1034,23 @@ class StatementParser(Parser):
                 col = self.advance().text
                 self.expect_op("=")
                 assignments.append((col, self._expr()))
+                if self.accept_kws("IN", "PARTITION"):
+                    part = self._expr()
+                    self.expect_kw("WHERE")
+                    return AlterAction("UPDATE", assignments=assignments,
+                                       where=self._expr(), partition=part)
                 if self.accept_kw("WHERE"):
                     break
                 self.expect_op(",")
             return AlterAction("UPDATE", assignments=assignments,
                                where=self._expr())
         if self.accept_kw("DELETE"):
+            part = None
+            if self.accept_kws("IN", "PARTITION"):
+                part = self._expr()
             self.expect_kw("WHERE")
-            return AlterAction("DELETE", where=self._expr())
+            return AlterAction("DELETE", where=self._expr(),
+                               partition=part)
         raise ParseError(f"unsupported ALTER command at {self.tok.pos}: "
                          f"{self.tok.text!r}")
 
