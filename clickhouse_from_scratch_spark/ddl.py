@@ -640,8 +640,15 @@ class ChSession:
                 raise ValueError(f"unknown dictionary: {node.name}")
             if detach:
                 # DETACH keeps the meta for a later bare ATTACH — the
-                # opposite of DROP's destroy contract
+                # opposite of DROP's destroy contract. Refuse to
+                # overwrite an already-parked entry of the same name
+                # (a re-created then re-detached dictionary would
+                # silently orphan the first parked meta).
                 if node.name in self.dictionaries:
+                    if node.name in self.detached_dicts:
+                        raise ValueError(
+                            f"dictionary {node.name} is already "
+                            f"detached — ATTACH or DROP it first")
                     self.detached_dicts[node.name] = \
                         self.dictionaries.pop(node.name)
                 return self._ok()
@@ -658,7 +665,16 @@ class ChSession:
                     return self._ok()
                 raise ValueError(f"unknown database: {node.name}")
             if detach:
-                # park the whole catalog; on-disk data untouched
+                # park the whole catalog; on-disk data untouched.
+                # Refuse to clobber an already-parked database of the
+                # same name, and forbid detaching 'default' (CH-style
+                # guard — the session would point at a nonexistent db)
+                if node.name == "default":
+                    raise ValueError("cannot DETACH the default database")
+                if node.name in self.detached_dbs:
+                    raise ValueError(
+                        f"database {node.name} is already detached — "
+                        f"ATTACH or DROP it first")
                 self.detached_dbs[node.name] = self.databases.pop(node.name)
                 if self.current_db == node.name:
                     self.current_db = "default"
@@ -679,7 +695,11 @@ class ChSession:
         if getattr(node, "detach", False):
             # DETACH: unhook from the catalog but KEEP data and meta so
             # a later bare ATTACH TABLE restores it (CH detached parts
-            # directory analogue)
+            # directory analogue). Never clobber an already-parked meta.
+            if (db, node.name) in self.detached:
+                raise ValueError(
+                    f"table {db}.{node.name} is already detached — "
+                    f"ATTACH or DROP it first")
             self.detached[(db, node.name)] = meta
             del self._db(db)[node.name]
             return self._ok()
@@ -698,6 +718,12 @@ class ChSession:
         object's meta (+data)."""
         kind = getattr(node, "kind", "TABLE")
         if kind == "DATABASE":
+            if node.name in self.databases:
+                # DATABASE_ALREADY_EXISTS contract: never silently
+                # replace a live database (and its tables) on ATTACH
+                if node.if_not_exists:
+                    return self._ok()
+                raise ValueError(f"database {node.name} already exists")
             tables = self.detached_dbs.pop(node.name, None)
             if tables is None:
                 if node.if_not_exists:
@@ -707,6 +733,11 @@ class ChSession:
             self.databases[node.name] = tables
             return self._ok()
         if kind == "DICTIONARY":
+            if node.name in self.dictionaries:
+                if node.if_not_exists:
+                    return self._ok()
+                raise ValueError(
+                    f"dictionary {node.name} already exists")
             d = self.detached_dicts.pop(node.name, None)
             if d is None:
                 if node.if_not_exists:
@@ -716,6 +747,10 @@ class ChSession:
             self.dictionaries[node.name] = d
             return self._ok()
         db = node.database or self.current_db
+        if node.name in self._db(db):
+            if node.if_not_exists:
+                return self._ok()
+            raise ValueError(f"table {db}.{node.name} already exists")
         meta = self.detached.pop((db, node.name), None)
         if meta is None:
             if node.if_not_exists:

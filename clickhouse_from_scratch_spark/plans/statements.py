@@ -628,7 +628,19 @@ class StatementParser(Parser):
         temporary = bool(self.accept_kw("TEMPORARY"))
         if self.accept_kw("DATABASE"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
-            return CreateDatabase(self.advance().text, ine)
+            dbname = self.advance().text
+            # optional ENGINE = Atomic[(...)] / COMMENT — accepted and
+            # ignored (single engine here), so the full-definition
+            # ATTACH DATABASE x ENGINE = Atomic form parses
+            if self.accept_kw("ENGINE"):
+                self.accept_op("=")
+                self.advance()
+                if self.accept_op("("):
+                    while not self.accept_op(")"):
+                        self.advance()
+            if self.accept_kw("COMMENT"):
+                self.advance()
+            return CreateDatabase(dbname, ine)
         if self.accept_kw("FUNCTION"):
             ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
             name = self.advance().text
