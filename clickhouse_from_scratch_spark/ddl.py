@@ -1398,6 +1398,8 @@ class ChSession:
         return self._ok()
 
     def _set(self, node: SetStmt):
+        from .plans.builder import check_pinned_settings
+        check_pinned_settings({**self.settings, **node.settings})
         self.settings.update(node.settings)
         return self._ok()
 

@@ -235,6 +235,14 @@ _alias("replaceRegexpAll", lambda s, p, r: F.regexp_replace(_c(s), p, r))
 # the setting on, the last element keeps the remaining string (Spark's
 # split() limit contract). 0/omitted = unlimited (Spark limit -1).
 def _split_n(pat, s, n, keep=False):
+    if isinstance(n, Column):
+        # column-valued max_substrings: 0/NULL = unlimited, otherwise
+        # remainder discarded (default setting; the remainder-keeping
+        # path requires plan-time literals and raises in the builder)
+        full = F.split(_c(s), pat, -1)
+        nn = n.cast("int")
+        return (F.when(nn.isNull() | (nn <= 0), full)
+                .otherwise(F.slice(full, 1, nn)))
     if not n:
         return F.split(_c(s), pat, -1)
     if keep:

@@ -173,6 +173,32 @@ class Context:
                        read_meter=self.read_meter)
 
 
+# settings the engine implements ONLY at their CH-default value: the
+# default behavior is hard-coded into the lowering (transform_null_in=0
+# NULL semantics, positional GROUP BY keys on, decimal trailing zeros
+# trimmed), so a SET/SETTINGS to any other value must raise a NAMED
+# error rather than be silently advertised as changed and ignored
+_PINNED_AT_DEFAULT: dict[str, str] = {
+    "transform_null_in": "0",
+    "enable_positional_arguments": "1",
+    "output_format_decimal_trailing_zeros": "0",
+}
+
+
+def check_pinned_settings(settings: dict) -> None:
+    """Raise on a non-default value for a setting whose default is the
+    only implemented behavior (honesty contract: never a silent no-op)."""
+    for k, dflt in _PINNED_AT_DEFAULT.items():
+        if k in settings:
+            v = str(settings[k]).strip("'\"").lower()
+            v = {"true": "1", "false": "0"}.get(v, v)
+            if v != dflt:
+                raise BuildError(
+                    f"setting {k} = {settings[k]} is not supported at a "
+                    f"non-default value (the engine implements only the "
+                    f"default {dflt})")
+
+
 def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           tables: dict[str, DataFrame],
           engines: dict[str, dict] | None = None,
@@ -192,6 +218,7 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
         if isinstance(q, UnionQuery) else None)
     if qset:
         ctx.settings = {**ctx.settings, **qset}
+    check_pinned_settings(ctx.settings)
     cap = _limit_setting(ctx, "max_result_rows")
     if cap is not None:
         out = _enforce_row_cap(
@@ -277,6 +304,7 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     if q.settings:
         # query-level SETTINGS suffix overrides session SET values
         ctx.settings = {**ctx.settings, **q.settings}
+        check_pinned_settings(ctx.settings)
     # WITH elements: subqueries become visible tables, scalar exprs become
     # aliases usable anywhere (CH scalar-WITH visibility)
     for name, node in q.ctes:
@@ -4138,6 +4166,18 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             0)).strip("'\"").lower() in ("1", "true")
         return REGISTRY[name](node.args[0].value, cols[1],
                               node.args[2].value, keep)
+    if (name in ("splitByChar", "splitByString", "splitByRegexp")
+            and len(node.args) == 3
+            and str(ctx.settings.get(
+                "splitby_max_substrings_includes_remaining_string",
+                0)).strip("'\"").lower() in ("1", "true")):
+        # the remainder-keeping lowering needs the separator and count
+        # at plan time; never silently discard the remainder when the
+        # setting is on and the count is column-valued
+        raise BuildError(
+            f"{name} with a non-literal separator/max_substrings does "
+            f"not support "
+            f"splitby_max_substrings_includes_remaining_string=1")
     # literal-arg passthrough for registry fns wanting python values
     if name in REGISTRY:
         py_args = []

@@ -1582,3 +1582,49 @@ def test_countif_value_form(spark):
     assert rows(spark, "SELECT number, countIf(number, number % 2 = 0)"
                 " OVER (ORDER BY number) AS c FROM numbers(4) "
                 "ORDER BY number") == [(0, 1), (1, 1), (2, 2), (3, 2)]
+
+
+# --- round 10: settings honesty + windowed-agg re-entrancy pin ----------------
+
+def test_pinned_settings_raise_at_non_default(spark):
+    # transform_null_in / enable_positional_arguments /
+    # output_format_decimal_trailing_zeros: only the CH default is
+    # implemented — a non-default value raises a NAMED error instead of
+    # being advertised as changed and silently ignored
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    for stmt in (
+            "SELECT 1 AS x SETTINGS transform_null_in = 1",
+            "SELECT 1 AS x SETTINGS enable_positional_arguments = 0",
+            "SELECT 1 AS x SETTINGS output_format_decimal_trailing_zeros = 1"):
+        with pytest.raises(BuildError, match="not supported"):
+            rows(spark, stmt)
+    # default values are accepted
+    assert one(spark, "SELECT 1 AS x SETTINGS transform_null_in = 0") == (1,)
+
+
+def test_splitby_remaining_string_honesty(spark):
+    # literal count: setting honored
+    assert one(spark, "SELECT splitByChar(',', 'a,b,c,d', 2) AS s "
+               "SETTINGS splitby_max_substrings_includes_remaining_"
+               "string = 1") == (['a', 'b,c,d'],)
+    assert one(spark, "SELECT splitByChar(',', 'a,b,c,d', 2) AS s") \
+        == (['a', 'b'],)
+    # column-valued count with the setting ON raises (never a silent
+    # remainder discard); with the setting OFF it works
+    from clickhouse_from_scratch_spark.plans.builder import BuildError
+    with pytest.raises(BuildError, match="splitby_max_substrings"):
+        rows(spark, "SELECT splitByChar(',', 'a,b,c', number) AS s "
+             "FROM numbers(1) SETTINGS splitby_max_substrings_includes"
+             "_remaining_string = 1")
+    got = rows(spark, "SELECT splitByChar(',', 'a,b,c', number + 1) "
+               "AS s FROM numbers(2) ORDER BY number")
+    assert [tuple(r) for r in got] == [(['a'],), (['a', 'b'],)]
+
+
+def test_windowed_agg_with_scalar_subquery_arg(spark):
+    # round-8 ADVICE re-entrancy concern: scalar subqueries inside
+    # windowed aggregate arguments pre-lower before the window applies
+    assert rows(spark, "SELECT number, sum(number + (SELECT max(number)"
+                " FROM numbers(3))) OVER (ORDER BY number) AS s "
+                "FROM numbers(3) ORDER BY number") \
+        == [(0, 2), (1, 5), (2, 9)]
