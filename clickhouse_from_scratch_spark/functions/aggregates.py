@@ -169,6 +169,34 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
         str(a[0]) if len(a) > 1 and not isinstance(a[0], Column) else ""),
 }
 
+def _nan_degenerate(f, two_arg: bool = False):
+    """CH evaluates the moment formulas in Float64: a degenerate
+    denominator (n=1 for the -Samp family, zero variance for
+    corr/skew/kurt) is IEEE 0/0 = nan, never NULL. Spark returns NULL
+    there, so coalesce to nan whenever at least one (pair-)value
+    contributed — NULL is kept only for the all-NULL Nullable input
+    (AggregateFunctionNull contract, same as Spark)."""
+    if two_arg:
+        def g(a, b):
+            x, y = _c(a), _c(b)
+            cnt = F.count(F.when(x.isNotNull() & y.isNotNull(), 1))
+            return F.when(cnt > 0,
+                          F.coalesce(f(x, y), F.lit(float("nan"))))
+        return g
+
+    def g(x):
+        v = _c(x)
+        return F.when(F.count(v) > 0,
+                      F.coalesce(f(v), F.lit(float("nan"))))
+    return g
+
+
+for _nm in ("stddevSamp", "varSamp", "skewSamp", "kurtSamp",
+            "skewPop", "kurtPop"):
+    AGGREGATES[_nm] = _nan_degenerate(AGGREGATES[_nm])
+for _nm in ("covarSamp", "corr"):
+    AGGREGATES[_nm] = _nan_degenerate(AGGREGATES[_nm], two_arg=True)
+
 # -Stable variants are the numerically-stable spellings of the moments —
 # Spark's implementations already use stable accumulation
 for _st in ("varPop", "varSamp", "stddevPop", "stddevSamp",

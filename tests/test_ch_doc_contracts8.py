@@ -372,3 +372,33 @@ def test_subsecond_arithmetic_and_dt64_scale(spark):
                "toDate('2024-01-20')) AS d, timezoneOffset(now()) AS e") \
         == ('2024-01-01 00:00:00.500', '2024-01-01 00:00:00.000',
             '2024-01-01 00:00:00.000042', 2, 0)
+
+
+# --- round 10: variance-zero moment family yields nan, not NULL --------------
+
+def test_degenerate_moments_nan(spark):
+    # CH evaluates the moment formulas in Float64: n=1 for the -Samp
+    # family and zero variance for corr/skew/kurt are IEEE 0/0 = nan
+    # (probe w4; numpy cross-check: corrcoef of a single pair is nan)
+    import math
+    r = one(spark, "SELECT corr(a, b) AS c, covarSamp(a, b) AS cs, "
+            "varSamp(a) AS v, stddevSamp(a) AS sd, skewPop(a) AS sp, "
+            "skewSamp(a) AS ss, kurtPop(a) AS kp, kurtSamp(a) AS ks "
+            "FROM (SELECT 1.0 AS a, 2.0 AS b)")
+    assert all(isinstance(x, float) and math.isnan(x) for x in r)
+    # population forms at n=1 are well-defined zeros
+    assert one(spark, "SELECT varPop(a) AS v, stddevPop(a) AS sd, "
+               "covarPop(a, b) AS c FROM (SELECT 1.0 AS a, 2.0 AS b)") \
+        == (0.0, 0.0, 0.0)
+    # zero-variance corr over n>=2 is also 0/0
+    assert math.isnan(one(spark, "SELECT corr(a, b) AS c FROM (SELECT "
+                         "1.0 AS a, 2.0 AS b UNION ALL SELECT 1.0, "
+                         "3.0)")[0])
+    # all-NULL Nullable input keeps NULL (AggregateFunctionNull)
+    assert one(spark, "SELECT varSamp(nullIf(a, 1.0)) AS v, "
+               "corr(nullIf(a, 1.0), a) AS c FROM (SELECT 1.0 AS a)") \
+        == (None, None)
+    # windowed frame of one row behaves like n=1
+    got = rows(spark, "SELECT number, varSamp(number) OVER (ORDER BY "
+               "number) AS v FROM numbers(3) ORDER BY number")
+    assert math.isnan(got[0][1]) and got[1][1] == 0.5
