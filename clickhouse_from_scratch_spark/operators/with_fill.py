@@ -31,8 +31,8 @@ def with_fill(df: DataFrame, fill_col: str,
 
 def with_fill_multi(df: DataFrame,
                     items: list[tuple],
-                    fill_defaults: dict[str, object] | None = None
-                    ) -> DataFrame:
+                    fill_defaults: dict[str, object] | None = None,
+                    mark_generated: str | None = None) -> DataFrame:
     """Multi-column WITH FILL: one spine per fill column, cross-joined
     into a grid (CH's FillingTransform emits every combination of the
     fill domains), then one FULL join against the data on all fill
@@ -59,6 +59,11 @@ def with_fill_multi(df: DataFrame,
                               .otherwise(F.col(name) < stop))
         spine = spine.crossJoin(one)
     names = [item[0] for item in items]
+    if mark_generated:
+        # marker survives the full join as NULL exactly on generated
+        # rows (spine-only), letting the caller fill type defaults or
+        # interpolate without mistaking a genuine NULL for a fill row
+        df = df.withColumn(mark_generated, F.lit(1))
     out = spine.join(df, on=names, how="full")
     if fill_defaults:
         out = out.fillna(fill_defaults)

@@ -478,10 +478,25 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             specs.append((name, start, stop, step,
                           it.fill_to is not None))
         if specs:
-            df = with_fill_multi(df, specs)
+            df = with_fill_multi(df, specs, mark_generated="__wf_orig")
+            interp_cols: set[str] = set()
             if q.interpolate:
                 df = _apply_interpolate(df, q.interpolate,
                                         [s[0] for s in specs])
+                interp_cols = {c for c, _ in q.interpolate}
+            # CH's FillingTransform emits generated rows with the TYPE
+            # DEFAULT (0/'') in every non-fill, non-INTERPOLATE column —
+            # never NULL; genuine NULLs in original rows stay NULL
+            # (marker column distinguishes the two)
+            from ..operators.joins import _type_default
+            fill_names = {s[0] for s in specs}
+            gen = F.col("__wf_orig").isNull()
+            df = df.select(*[
+                (F.when(gen, _type_default(df.schema[c].dataType))
+                 .otherwise(F.col(c)).alias(c)
+                 if c not in fill_names and c not in interp_cols
+                 and c != "__wf_orig" else F.col(c))
+                for c in df.columns]).drop("__wf_orig")
             if order_cols:
                 # restore the query's declared sort direction (the fill
                 # operator's internal order is always ascending)

@@ -261,6 +261,10 @@ class Parser:
                 first_off, first_n = a, b
             else:
                 first_off, first_n = 0, a
+                if self.tok.is_kw("OFFSET") and self.peek(2).is_kw("BY"):
+                    # LIMIT n OFFSET m BY k (same as LIMIT m, n BY k)
+                    self.advance()
+                    first_off = int(self.advance().text)
             with_ties = bool(self.accept_kws("WITH", "TIES"))
             if self.accept_kw("BY"):
                 q.limit_by = LimitBy(first_n, first_off, self._expr_list())

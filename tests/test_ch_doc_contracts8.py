@@ -402,3 +402,33 @@ def test_degenerate_moments_nan(spark):
     got = rows(spark, "SELECT number, varSamp(number) OVER (ORDER BY "
                "number) AS v FROM numbers(3) ORDER BY number")
     assert math.isnan(got[0][1]) and got[1][1] == 0.5
+
+
+# --- round 10 sweep A pins ----------------------------------------------------
+
+def test_with_fill_generated_rows_type_defaults(spark):
+    # CH FillingTransform: generated rows carry the TYPE default in
+    # every non-fill, non-INTERPOLATE column (docs example shows ''),
+    # while genuine NULLs on ORIGINAL rows stay NULL
+    assert rows(spark, "SELECT number * 2 AS n, 'x' AS t FROM "
+                "numbers(3) ORDER BY n WITH FILL STEP 1") \
+        == [(0, 'x'), (1, ''), (2, 'x'), (3, ''), (4, 'x')]
+    assert rows(spark, "SELECT number * 2 AS n, nullIf(number, 1) AS v "
+                "FROM numbers(3) ORDER BY n WITH FILL STEP 1") \
+        == [(0, 0), (1, 0), (2, None), (3, 0), (4, 2)]
+    # INTERPOLATE columns are interpolated, everything else defaulted
+    assert rows(spark, "SELECT number * 2 AS n, number + 10 AS v, "
+                "'y' AS t FROM numbers(3) ORDER BY n WITH FILL STEP 1 "
+                "INTERPOLATE (v AS v + 1)") \
+        == [(0, 10, 'y'), (1, 11, ''), (2, 11, 'y'), (3, 12, ''),
+            (4, 12, 'y')]
+
+
+def test_limit_offset_by_form(spark):
+    # LIMIT n OFFSET m BY k ≡ LIMIT m, n BY k (public CH grammar)
+    assert rows(spark, "SELECT number % 3 AS g, number FROM numbers(9) "
+                "ORDER BY g, number LIMIT 1 OFFSET 1 BY g") \
+        == [(0, 3), (1, 4), (2, 5)]
+    assert rows(spark, "SELECT number % 3 AS g, number FROM numbers(9) "
+                "ORDER BY g, number LIMIT 1, 1 BY g") \
+        == [(0, 3), (1, 4), (2, 5)]

@@ -135,7 +135,10 @@ CASES = [
     ("rollup",
      "SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
      "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
-     "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+     "SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '' ELSE "
+     "o_orderstatus END AS o_orderstatus, CASE WHEN "
+     "GROUPING(o_orderpriority) = 1 THEN '' ELSE o_orderpriority END AS "
+     "o_orderpriority, count(*) AS n FROM orders "
      "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
     ("cube_with_syntax",
      "SELECT l_returnflag, l_linestatus, count() AS n FROM lineitem "
@@ -1151,8 +1154,9 @@ def test_with_fill_descending_exclusive_to(spark):
     r = execute_sql(
         spark, "SELECT n, s FROM t ORDER BY n DESC "
         "WITH FILL FROM 5 TO 1 STEP -1", t).collect()
+    # fill rows carry the String type default '' (CH FillingTransform)
     assert [(x.n, x.s) for x in r] == \
-        [(5, "a"), (4, None), (3, None), (2, "b")]
+        [(5, "a"), (4, ""), (3, ""), (2, "b")]
     r2 = execute_sql(
         spark, "SELECT n FROM t ORDER BY n DESC WITH FILL STEP -1",
         t).collect()
