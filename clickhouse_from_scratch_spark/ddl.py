@@ -828,6 +828,11 @@ class ChSession:
                     if act.if_exists:
                         continue
                     raise ValueError(f"unknown column: {act.name}")
+                if act.name in _key_columns(meta):
+                    # CH: a sorting/partition key member cannot be
+                    # dropped
+                    raise ValueError(
+                        f"cannot DROP key column {act.name}")
                 meta.columns = [c for c in meta.columns if c[0] != act.name]
                 meta.defaults.pop(act.name, None)
                 meta.comments.pop(act.name, None)
@@ -880,6 +885,9 @@ class ChSession:
                     if act.if_exists:
                         continue
                     raise ValueError(f"unknown column: {act.name}")
+                if act.name in _key_columns(meta):
+                    raise ValueError(
+                        f"cannot CLEAR key column {act.name}")
                 from .operators.joins import _type_default
                 t = ch_type_to_spark(types[act.name])
                 dflt = _type_default(self.spark.createDataFrame(
@@ -901,6 +909,12 @@ class ChSession:
                                                 ctx, df, _beval)
                 if in_part is not None:
                     pred = pred & in_part
+                # CH forbids mutating key columns (ORDER BY / PARTITION
+                # BY members): "Cannot UPDATE key column"
+                for cname, _e in act.assignments:
+                    if cname in _key_columns(meta):
+                        raise ValueError(
+                            f"cannot UPDATE key column {cname}")
                 types = dict(meta.columns)
                 updates = {}
                 for cname, e in act.assignments:
@@ -1649,6 +1663,39 @@ def _literal_py(node):
         items = [_literal_py(i) for i in node.args]
         return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _key_columns(meta: "TableMeta") -> set[str]:
+    """ORDER BY / PARTITION BY member columns — CH forbids UPDATE,
+    DROP COLUMN, and CLEAR COLUMN on these."""
+    keys = set(meta.order_by or [])
+    if meta.partition_by:
+        keys.add(meta.partition_by)
+    if meta.partition_expr is not None:
+        keys |= _expr_identifiers(meta.partition_expr)
+    return keys
+
+
+def _expr_identifiers(node) -> set[str]:
+    """Column names referenced by an AST expression (used to forbid
+    ALTER UPDATE of PARTITION BY expression members)."""
+    from .plans.ast_nodes import (Alias, ArrayLiteral, Cast, FuncCall,
+                                  Identifier, TupleLiteral)
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, Identifier):
+            out.add(n.name)
+        elif isinstance(n, FuncCall):
+            for a in n.args:
+                walk(a)
+        elif isinstance(n, (ArrayLiteral, TupleLiteral)):
+            for a in n.items:
+                walk(a)
+        elif isinstance(n, (Cast, Alias)):
+            walk(n.expr)
+    walk(node)
+    return out
 
 
 def _type_default_py(ch_type: str):

@@ -196,6 +196,7 @@ _alias("reverse", F.reverse)
 _alias("concat", F.concat)
 _alias("concatWithSeparator", lambda sep, *cs: F.concat_ws(
     sep, *[_c(c) for c in cs]))
+_alias("concat_ws", REGISTRY["concatWithSeparator"])
 _alias("substring", lambda s, p, l=None: F.substring(_c(s), p, l) if l is not None else _c(s).substr(_c(p), F.length(_c(s))))
 _alias("substringUTF8", REGISTRY["substring"])
 _alias("left", lambda s, n: F.substring(_c(s), 1, n))

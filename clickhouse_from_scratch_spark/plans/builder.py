@@ -4285,6 +4285,7 @@ _LITERAL_ARG_FNS = {
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
+    "concat_ws",
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
     "accurateCast", "accurateCastOrNull", "age", "positionCaseInsensitive",
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",

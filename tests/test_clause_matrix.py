@@ -158,7 +158,8 @@ def test_with_fill_from_to(spark, micro):
               "SELECT k, sum(v) AS s FROM t GROUP BY k "
               "ORDER BY k WITH FILL FROM 1 TO 7").collect()
     assert [r.k for r in got] == [1, 2, 3, 4, 5, 6]
-    assert got[-1].s is None
+    # fill-generated rows carry the type default (0), not NULL
+    assert got[-1].s == 0
 
 
 def test_with_fill_interpolate(spark, micro):

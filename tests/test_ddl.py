@@ -528,9 +528,11 @@ def test_show_create_dictionary(sess):
 
 def test_alter_mutation_on_partitioned_table(sess, tmp_path):
     import os
-    sess.execute("CREATE TABLE part_mut (d String, v Int64) "
-                 "ENGINE = MergeTree ORDER BY v PARTITION BY d")
-    sess.execute("INSERT INTO part_mut VALUES ('a', 1), ('b', 2), ('a', 3)")
+    # ORDER BY k: v stays mutable (CH forbids UPDATE of key columns)
+    sess.execute("CREATE TABLE part_mut (d String, k Int64, v Int64) "
+                 "ENGINE = MergeTree ORDER BY k PARTITION BY d")
+    sess.execute("INSERT INTO part_mut VALUES ('a', 1, 1), ('b', 2, 2), "
+                 "('a', 3, 3)")
     sess.execute("ALTER TABLE part_mut UPDATE v = v * 10 WHERE d = 'a'")
     got = {(r.d, r.v) for r in
            sess.execute("SELECT d, v FROM part_mut").collect()}

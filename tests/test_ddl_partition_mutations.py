@@ -23,9 +23,9 @@ def _rows(sess, sql):
 
 @pytest.fixture()
 def pt(sess):
-    sess.execute("CREATE TABLE pt (p UInt8, v UInt32) ENGINE = MergeTree"
-                 " PARTITION BY p ORDER BY v")
-    sess.execute("INSERT INTO pt VALUES (1, 10), (2, 20)")
+    sess.execute("CREATE TABLE pt (p UInt8, k UInt32, v UInt32) "
+                 "ENGINE = MergeTree PARTITION BY p ORDER BY k")
+    sess.execute("INSERT INTO pt VALUES (1, 1, 10), (2, 2, 20)")
     return sess
 
 
@@ -60,7 +60,7 @@ def test_partition_id_string_coerces(pt):
 def test_partition_expression_key(sess):
     # PARTITION BY toYYYYMM(d): the statement names the expression VALUE
     sess.execute("CREATE TABLE pe (d Date, v UInt32) ENGINE = MergeTree"
-                 " PARTITION BY toYYYYMM(d) ORDER BY v")
+                 " PARTITION BY toYYYYMM(d) ORDER BY d")
     sess.execute("INSERT INTO pe VALUES ('2024-01-05', 1), "
                  "('2024-02-05', 2)")
     sess.execute("ALTER TABLE pe UPDATE v = 0 IN PARTITION 202401 WHERE 1")
@@ -68,8 +68,9 @@ def test_partition_expression_key(sess):
 
 
 def test_in_partition_on_unpartitioned_raises(sess):
-    sess.execute("CREATE TABLE up (v UInt32) ENGINE = MergeTree ORDER BY v")
-    sess.execute("INSERT INTO up VALUES (5)")
+    sess.execute("CREATE TABLE up (k UInt32, v UInt32) "
+                 "ENGINE = MergeTree ORDER BY k")
+    sess.execute("INSERT INTO up VALUES (1, 5)")
     with pytest.raises(Exception, match="not partitioned"):
         sess.execute("ALTER TABLE up CLEAR COLUMN v IN PARTITION 1")
 
@@ -90,10 +91,29 @@ def test_update_matrix_materialized_column(sess):
     # rows the mutation rewrites? No — CH rewrites whole parts; our
     # rewrite recomputes nothing (materialized values are stored at
     # INSERT), so m keeps its insert-time value
-    sess.execute("CREATE TABLE pm (p UInt8, v UInt32, "
+    sess.execute("CREATE TABLE pm (p UInt8, k UInt32, v UInt32, "
                  "m UInt32 MATERIALIZED v * 2) ENGINE = MergeTree "
-                 "PARTITION BY p ORDER BY v")
-    sess.execute("INSERT INTO pm (p, v) VALUES (1, 10), (2, 20)")
+                 "PARTITION BY p ORDER BY k")
+    sess.execute("INSERT INTO pm (p, k, v) VALUES (1, 1, 10), (2, 2, 20)")
     sess.execute("ALTER TABLE pm UPDATE v = 5 IN PARTITION 1 WHERE 1")
     assert _rows(sess, "SELECT p, v, m FROM pm ORDER BY p") \
         == [(1, 5, 20), (2, 20, 40)]
+
+
+def test_update_key_column_rejected(sess):
+    # CH: "Cannot UPDATE key column" for ORDER BY / PARTITION BY members
+    sess.execute("CREATE TABLE mk (p UInt8, k UInt32, v UInt32) "
+                 "ENGINE = MergeTree PARTITION BY p ORDER BY k")
+    sess.execute("INSERT INTO mk VALUES (1, 1, 10)")
+    with pytest.raises(Exception, match="key column"):
+        sess.execute("ALTER TABLE mk UPDATE k = 5 WHERE 1")
+    with pytest.raises(Exception, match="key column"):
+        sess.execute("ALTER TABLE mk UPDATE p = 5 WHERE 1")
+    sess.execute("ALTER TABLE mk UPDATE v = 5 WHERE 1")
+    assert _rows(sess, "SELECT v FROM mk") == [(5,)]
+    # a member of a PARTITION BY expression is a key column too
+    sess.execute("CREATE TABLE pe2 (d Date, v UInt32) ENGINE = "
+                 "MergeTree PARTITION BY toYYYYMM(d) ORDER BY d")
+    with pytest.raises(Exception, match="key column"):
+        sess.execute("ALTER TABLE pe2 UPDATE d = toDate('2020-01-01') "
+                     "WHERE 1")
