@@ -355,9 +355,16 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         df = _apply_array_join(df, q.array_join, ctx)
         ctx.columns = list(df.columns)
 
+    deferred_preds = []
     for pred in (q.prewhere, q.where):
         if pred is not None:
-            df = _apply_where(df, pred, ctx)
+            if _contains_array_join_call(_inline(pred, ctx)):
+                # WHERE referencing an arrayJoin result (directly or via
+                # its alias) filters AFTER the expansion in CH — defer
+                # until the hoist has exploded the hidden column
+                deferred_preds.append(pred)
+            else:
+                df = _apply_where(df, pred, ctx)
 
     if any(_contains_expr_subquery(it) for it in q.select):
         # SELECT-list subqueries (IN / EXISTS / correlated scalar): lower
@@ -385,7 +392,10 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         ctx.columns = list(df.columns)
 
     if df is not None:
-        q, df = _hoist_nested_array_joins(q, df, ctx)
+        q, df, deferred_preds = _hoist_nested_array_joins(
+            q, df, ctx, deferred_preds)
+        for pred in deferred_preds:
+            df = _apply_where(df, pred, ctx)
 
     has_agg = (q.group_by is not None
                or any(_contains_agg(it) for it in q.select)
@@ -1234,8 +1244,21 @@ def _apply_array_join(df: DataFrame, aj: ArrayJoinClause,
     return out.drop(*[c for c in out.columns if c.startswith("__aj_")])
 
 
+def _contains_array_join_call(node) -> bool:
+    if isinstance(node, FuncCall):
+        if node.name == "arrayJoin":
+            return True
+        return any(_contains_array_join_call(a) for a in node.args
+                   if not isinstance(a, (Lambda, Subquery)))
+    if isinstance(node, (Alias, Cast)):
+        return _contains_array_join_call(node.expr)
+    if isinstance(node, (ArrayLiteral, TupleLiteral)):
+        return any(_contains_array_join_call(a) for a in node.items)
+    return False
+
+
 def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
-                              ctx: Context):
+                              ctx: Context, extra_preds: list = ()):
     """``arrayJoin()`` nested inside another expression —
     ``arrayJoin([...]).2``, ``sum(arrayJoin(x))`` — cannot lower to a
     Spark generator sub-expression (generators are projection-level
@@ -1285,8 +1308,13 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
     # them as non-top forces the shared hidden-column lowering
     for it_o in q.order_by:
         collect(_inline(it_o.expr, ctx), False)
+    # WHERE predicates referencing an arrayJoin result were deferred by
+    # the caller; they filter post-expansion, so their calls hoist too
+    inlined_preds = [_inline(p, ctx) for p in extra_preds]
+    for pred in inlined_preds:
+        collect(pred, False)
     if not calls:
-        return q, df
+        return q, df, list(extra_preds)
     import copy
     from pyspark.sql.types import MapType
     slots: dict[str, str] = {}
@@ -1340,7 +1368,7 @@ def _hoist_nested_array_joins(q: SelectQuery, df: DataFrame,
         if isinstance(it, Alias):
             ctx.aliases[it.alias] = it.expr
     ctx.columns = list(df.columns)
-    return q, df
+    return q, df, [subst(pred, False) for pred in inlined_preds]
 
 
 # --- WHERE ------------------------------------------------------------------
@@ -1623,7 +1651,12 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
         except Exception:
             return df, node         # unresolvable here: collect fallback
         if len(sub.columns) != 1:
-            raise BuildError("scalar subquery must return 1 row × 1 column")
+            # CH: a multi-column scalar subquery yields a TUPLE value
+            # (fields named _1.._n like every other engine tuple, so
+            # element access and tuple comparison resolve unambiguously)
+            names = [f"_{i + 1}" for i in range(len(sub.columns))]
+            sub = (sub.toDF(*names)     # positional rename: duplicate
+                   .select(F.struct(*names).alias("__sc_tup")))  # names ok
         val = f"__sc{len(drops)}"
         agg = sub.limit(2).agg(
             F.count(F.lit(1)).alias("__sc_cnt"),
@@ -3133,10 +3166,15 @@ def _eval(node, ctx: Context, df: DataFrame | None,
         return F.expr(f"interval 1 {node.unit.lower()}") \
             * _eval(v, ctx, df).cast("int")
     if isinstance(node, Subquery):
-        # scalar subquery: computed once, injected as a literal
+        # scalar subquery: computed once, injected as a literal; a
+        # multi-column result is a TUPLE value (CH scalar contract)
         sub = _build_query(node.query, ctx)
+        if len(sub.columns) != 1:
+            names = [f"_{i + 1}" for i in range(len(sub.columns))]
+            sub = (sub.toDF(*names)
+                   .select(F.struct(*names).alias("__sc_tup")))
         rows = sub.limit(2).collect()
-        if len(rows) != 1 or len(rows[0]) != 1:
+        if len(rows) != 1:
             raise BuildError("scalar subquery must return 1 row × 1 column")
         return F.lit(rows[0][0])
     if isinstance(node, FuncCall):

@@ -432,3 +432,28 @@ def test_limit_offset_by_form(spark):
     assert rows(spark, "SELECT number % 3 AS g, number FROM numbers(9) "
                 "ORDER BY g, number LIMIT 1, 1 BY g") \
         == [(0, 3), (1, 4), (2, 5)]
+
+
+def test_arrayjoin_result_in_where(spark):
+    # WHERE referencing an arrayJoin result (directly or via its alias)
+    # filters AFTER the expansion — CH ARRAY-JOIN-function semantics
+    assert rows(spark, "SELECT arrayJoin([1, 2, 3]) AS x WHERE x > 1") \
+        == [(2,), (3,)]
+    # identical calls CSE: the WHERE's arrayJoin is the SELECT's
+    assert rows(spark, "SELECT arrayJoin([1, 2, 3]) AS x "
+                "WHERE arrayJoin([1, 2, 3]) > 1") == [(2,), (3,)]
+    assert rows(spark, "SELECT number, arrayJoin([1, 2]) AS x "
+                "FROM numbers(2) WHERE x = 2 ORDER BY number") \
+        == [(0, 2), (1, 2)]
+    assert rows(spark, "SELECT arrayJoin([(1, 'a'), (2, 'b')]) AS t "
+                "WHERE t.1 = 2") == [((2, 'b'),)]
+
+
+def test_multicolumn_scalar_subquery_is_tuple(spark):
+    # CH: a scalar subquery with N>1 columns yields a Tuple value
+    assert one(spark, "SELECT (SELECT 1, 2) AS t") == ((1, 2),)
+    assert one(spark, "SELECT (SELECT 1, 2).2 AS snd") == (2,)
+    assert one(spark, "SELECT (SELECT min(number), max(number) "
+               "FROM numbers(5)).1 AS lo") == (0,)
+    assert rows(spark, "SELECT number FROM numbers(3) "
+                "WHERE (number, number) = (SELECT 1, 1)") == [(1,)]
