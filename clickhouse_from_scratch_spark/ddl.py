@@ -25,7 +25,7 @@ import re
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.typemap import ch_type_to_spark
@@ -1143,10 +1143,19 @@ class ChSession:
         # default expressions above, never stored (so they are neither
         # in SELECT * nor selectable — the CH visibility contract)
         source = source.select(*[
-            F.col(f"`{n}`").cast(ch_type_to_spark(t)).alias(n)
+            _enum_guard(F.col(f"`{n}`").cast(ch_type_to_spark(t)), n, t)
+            .alias(n)
             for n, t in meta.stored_columns()])
         if meta.memory_df is not None:
-            meta.memory_df = meta.memory_df.unionByName(source)
+            merged = meta.memory_df.unionByName(source)
+            if any(_enum_elements(t) for _n, t in meta.stored_columns()):
+                # CH validates enum elements AT INSERT ("unknown
+                # element"); Memory frames are lazy, so force the
+                # guarded projection now (also truncates the stacked
+                # insert lineage). Committed only on success — a failed
+                # INSERT leaves the table unchanged.
+                merged = merged.localCheckpoint(eager=True)
+            meta.memory_df = merged
         else:
             self._write(meta, source, mode="append")
         self._propagate_mvs(meta, source)
@@ -1663,6 +1672,28 @@ def _literal_py(node):
         items = [_literal_py(i) for i in node.args]
         return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _enum_elements(ch_type: str) -> list[str] | None:
+    """Element names of an Enum8/Enum16 declaration, else None."""
+    import re
+    m = re.match(r"(?i)^\s*enum(?:8|16)?\s*\((.*)\)\s*$", ch_type)
+    if not m:
+        return None
+    return re.findall(r"'((?:[^'\\]|\\.)*)'\s*=", m.group(1))
+
+
+def _enum_guard(col: Column, name: str, ch_type: str) -> Column:
+    """CH rejects INSERTed values outside the Enum's element set
+    ("Unknown element ... for enum"); enforce lazily with raise_error so
+    the check stays distributed."""
+    elems = _enum_elements(ch_type)
+    if not elems:
+        return col
+    return (F.when(col.isNull() | col.isin(*elems), col)
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"unknown element '"), col,
+                F.lit(f"' for enum column {name}")))))
 
 
 def _key_columns(meta: "TableMeta") -> set[str]:

@@ -408,7 +408,20 @@ _alias("toDecimal128", lambda c, s: _c(c).cast(f"decimal(38,{s})"))
 _alias("toDate", lambda c: _c(c).cast("date"))
 _alias("toDate32", lambda c: _c(c).cast("date"))
 _alias("toDateTime", lambda c: _c(c).cast("timestamp"))
-_alias("toDateTime64", lambda c, p=3: _c(c).cast("timestamp"))
+def _to_dt64(c, p=3):
+    # CH truncates sub-second digits beyond the declared scale (the
+    # stored tick count has exactly `scale` fractional digits); Spark
+    # timestamps carry micros, so floor to the scale's tick size
+    t = _c(c).cast("timestamp")
+    p = int(p) if not isinstance(p, Column) else 3
+    if p >= 6:
+        return t
+    tick = 10 ** (6 - p)
+    us = F.unix_micros(t)
+    return F.timestamp_micros((us - ((us % tick) + tick) % tick))
+
+
+_alias("toDateTime64", _to_dt64)
 _alias("toUUID", lambda c: F.lower(_c(c).cast("string")))  # UUIDs render lowercase
 def _mk_interval(unit: str, mult: int = 1):
     """toInterval<Unit>(n): literal n → interval literal; Column n →
@@ -3412,6 +3425,26 @@ _alias("IPv6NumToString",
        lambda c: _pandas_udf_typed(_py_ipv6_ntos, "string")(_c(c)))
 # IPv4ToIPv6(UInt32) → the 16-byte ::ffff:a.b.c.d mapped form (JVM:
 # 12-byte prefix ++ big-endian UInt32)
+# cutIPv6(bytes, bytesToCutForIPv6, bytesToCutForIPv4): zero the last
+# N bytes (N chosen per address family), then print — the CH anonymizer
+def _py_cut_ipv6(b: bytes, cut6: int, cut4: int) -> str:
+    import ipaddress
+    raw = bytes(b)
+    a = ipaddress.IPv6Address(raw)
+    n = int(cut4) if a.ipv4_mapped else int(cut6)
+    kept = raw[:16 - n] + b"\x00" * n if n > 0 else raw
+    a2 = ipaddress.IPv6Address(kept)
+    return f"::ffff:{a2.ipv4_mapped}" if a2.ipv4_mapped else str(a2)
+
+
+def _cut_ipv6(c, c6, c4):
+    if isinstance(c6, Column) or isinstance(c4, Column):
+        raise ValueError("cutIPv6 expects literal byte counts")
+    return _pandas_udf_typed(
+        lambda b: _py_cut_ipv6(b, int(c6), int(c4)), "string")(_c(c))
+
+
+_alias("cutIPv6", _cut_ipv6)
 _alias("IPv4ToIPv6", lambda c: F.concat(
     F.lit(b"\x00" * 10 + b"\xff\xff"),
     F.unhex(F.lpad(F.hex(_c(c).cast("long")), 8, "0"))))

@@ -837,8 +837,11 @@ def _system_table(table: str, ctx: Context) -> DataFrame:
 
 def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
     name = node.name.lower()
-    if name == "numbers":
-        # numbers(N) / numbers(start, N) → spark.range (ref table function)
+    if name in ("numbers", "numbers_mt"):
+        # numbers(N) / numbers(start, N) → spark.range (ref table
+        # function); numbers_mt is the multi-threaded variant with the
+        # same contents minus the ordering guarantee — spark.range is
+        # already parallel
         _declare_numbers_type(ctx)
         args = [a.value for a in node.args]
         if len(args) == 1:
@@ -2608,6 +2611,12 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
         return _map_agg(name, F.map_keys(args[0]), F.map_values(args[0]),
                         df, as_map=True)
     widen = _widen_sum_target(name, args, df)
+    if (params and len(params) == 1
+            and name in ("uniqCombined", "uniqCombined64")):
+        # uniqCombined(HLL_precision)(x): the precision parameter tunes
+        # the sketch's memory/error trade-off (public signature); the
+        # HLL backing here uses its default rsd either way
+        params = []
     if params and name in REGISTRY:
         # parametric form f(p...)(args) without explicit dispatch above:
         # params lead (CH convention). Only the names that DOCUMENT
@@ -3322,7 +3331,8 @@ def _dict_fn(name: str, node: FuncCall, cols: list, ctx: Context) -> Column:
         has = {k: 1 for k in (next(iter(maps.values())) if maps else {})}
         got = _dict_lookup(has, cols[1], "int", key_cast)
         return F.coalesce(got, F.lit(0))
-    if name in ("dictGetHierarchy", "dictIsIn", "dictGetChildren"):
+    if name in ("dictGetHierarchy", "dictIsIn", "dictGetChildren",
+                "dictGetDescendants"):
         # hierarchy walks over the HIERARCHICAL-flagged attribute;
         # chains precompute driver-side (dictionaries are RAM-bounded
         # by contract — same bound as every lookup above)
@@ -3352,6 +3362,28 @@ def _dict_fn(name: str, node: FuncCall, cols: list, ctx: Context) -> Column:
         for k, p in parent.items():
             children.setdefault(p, []).append(k)
         children = {p: sorted(c) for p, c in children.items()}
+        if name == "dictGetDescendants":
+            # dictGetDescendants(dict, key[, level]): level=0/omitted =
+            # ALL transitive descendants; level=N = exactly that depth
+            level = (node.args[2].value
+                     if len(node.args) > 2
+                     and isinstance(node.args[2], Literal) else 0)
+            desc: dict = {}
+            for k in set(parent) | set(children):
+                out: list = []
+                frontier, depth = [k], 0
+                while frontier and (level == 0 or depth < level):
+                    frontier = [c for f in frontier
+                                for c in children.get(f, [])]
+                    depth += 1
+                    if level == 0:
+                        out.extend(frontier)
+                    elif depth == level:
+                        out = frontier
+                desc[k] = sorted(out)
+            return F.coalesce(
+                _dict_lookup(desc, cols[1], "array<bigint>", key_cast),
+                F.array().cast("array<bigint>"))
         return F.coalesce(
             _dict_lookup(children, cols[1], "array<bigint>", key_cast),
             F.array().cast("array<bigint>"))
@@ -4323,7 +4355,7 @@ _LITERAL_ARG_FNS = {
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
-    "concat_ws",
+    "concat_ws", "cutIPv6",
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
     "accurateCast", "accurateCastOrNull", "age", "positionCaseInsensitive",
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",

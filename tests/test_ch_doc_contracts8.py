@@ -457,3 +457,59 @@ def test_multicolumn_scalar_subquery_is_tuple(spark):
                "FROM numbers(5)).1 AS lo") == (0,)
     assert rows(spark, "SELECT number FROM numbers(3) "
                 "WHERE (number, number) = (SELECT 1, 1)") == [(1,)]
+
+
+def test_enum_insert_validation(spark, tmp_path):
+    # CH rejects INSERTed values outside the Enum element set at INSERT
+    # time ("Unknown element ... for enum"); a failed INSERT leaves the
+    # table unchanged
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE en (e Enum8('a' = 1, 'b' = 2)) "
+                 "ENGINE = Memory")
+    sess.execute("INSERT INTO en VALUES ('a'), ('b')")
+    with pytest.raises(Exception, match="unknown element"):
+        sess.execute("INSERT INTO en VALUES ('zzz')")
+    got = sorted(r[0] for r in sess.execute("SELECT e FROM en").collect())
+    assert got == ["a", "b"]
+
+
+def test_numbers_mt_and_uniq_combined_precision(spark):
+    assert one(spark, "SELECT count() AS c FROM numbers_mt(100)") == (100,)
+    # uniqCombined(HLL_precision)(x): precision parameter accepted
+    u = one(spark, "SELECT uniqCombined(12)(number) AS u "
+            "FROM numbers(100)")[0]
+    assert 90 <= u <= 110
+    assert one(spark, "SELECT min(number) AS lo, max(number) AS hi "
+               "FROM numbers(5, 10)") == (5, 14)
+
+
+def test_datetime64_scale_truncates(spark):
+    import datetime
+    a, b, c = one(spark, "SELECT toDateTime64('2024-05-07 "
+                  "01:02:03.123456', 3) AS a, toDateTime64('2024-05-07 "
+                  "01:02:03.123456', 6) AS b, toDateTime64('2024-05-07 "
+                  "01:02:03.999999', 0) AS c")
+    assert a == datetime.datetime(2024, 5, 7, 1, 2, 3, 123000)
+    assert b == datetime.datetime(2024, 5, 7, 1, 2, 3, 123456)
+    assert c == datetime.datetime(2024, 5, 7, 1, 2, 3)
+
+
+def test_dict_descendants_and_cut_ipv6(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE dsrc (id UInt64, nm String, "
+                 "parent UInt64) ENGINE = Memory")
+    sess.execute("INSERT INTO dsrc VALUES (1, 'one', 0), (2, 'two', 1),"
+                 " (3, 'three', 2), (4, 'four', 1)")
+    sess.execute("CREATE DICTIONARY hd (id UInt64, nm String, parent "
+                 "UInt64 HIERARCHICAL) PRIMARY KEY id "
+                 "SOURCE(CLICKHOUSE(TABLE 'dsrc')) LAYOUT(FLAT()) "
+                 "LIFETIME(0)")
+    r = sess.execute("SELECT dictGetDescendants('hd', toUInt64(1)) AS "
+                     "a, dictGetDescendants('hd', toUInt64(1), 1) AS b"
+                     ).collect()[0]
+    assert (sorted(r[0]), sorted(r[1])) == ([2, 3, 4], [2, 4])
+    assert one(spark, "SELECT cutIPv6(IPv6StringToNum('2001:db8:ac10:"
+               "fe01:feed:babe:cafe:f00d'), 8, 0) AS c") \
+        == ('2001:db8:ac10:fe01::',)
