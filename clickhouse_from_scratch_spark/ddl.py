@@ -1328,6 +1328,11 @@ class ChSession:
                 rows = [r for r in rows if pat.match(r[0])]
             return self.spark.createDataFrame(
                 rows or [], "name string, value string, changed int")
+        if node.what == "CREATE_DATABASE":
+            if node.target not in self.databases:
+                raise ValueError(f"unknown database: {node.target}")
+            return self.spark.createDataFrame(
+                [(f"CREATE DATABASE {node.target}",)], "statement string")
         if node.what == "CREATE_DICTIONARY":
             d = self.dictionaries.get(node.target)
             if d is None:

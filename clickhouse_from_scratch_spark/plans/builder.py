@@ -837,13 +837,23 @@ def _system_table(table: str, ctx: Context) -> DataFrame:
 
 def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
     name = node.name.lower()
+
+    def _tf_py(a):
+        # literal or {p:Type} query parameter → python value
+        if isinstance(a, QueryParameter):
+            if a.name not in ctx.params:
+                raise BuildError(f"unbound query parameter: "
+                                 f"{{{a.name}:{a.type_name}}}")
+            return ctx.params[a.name]
+        return a.value
+
     if name in ("numbers", "numbers_mt"):
         # numbers(N) / numbers(start, N) → spark.range (ref table
         # function); numbers_mt is the multi-threaded variant with the
         # same contents minus the ordering guarantee — spark.range is
         # already parallel
         _declare_numbers_type(ctx)
-        args = [a.value for a in node.args]
+        args = [_tf_py(a) for a in node.args]
         if len(args) == 1:
             return ctx.spark.range(args[0]).withColumnRenamed("id", "number")
         return (ctx.spark.range(args[0], args[0] + args[1])

@@ -1146,6 +1146,9 @@ class StatementParser(Parser):
                 db, name = self._qualified_name()
                 return ShowStmt("CREATE_DICTIONARY", database=db,
                                 target=name)
+            if self.accept_kw("DATABASE"):
+                return ShowStmt("CREATE_DATABASE",
+                                target=self.advance().text)
             self.accept_kw("TABLE") or self.accept_kw("VIEW")
             db, name = self._qualified_name()
             return ShowStmt("CREATE_TABLE", database=db, target=name)

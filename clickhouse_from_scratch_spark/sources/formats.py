@@ -13,6 +13,7 @@ to the ``compression`` option.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -124,7 +125,29 @@ def write_format(df: DataFrame, fmt: str, path: str,
     opts = dict(wopts)
     if compression:
         opts["compression"] = _COMPRESSION[compression.lower()]
-    df.write.format(name).options(**{**opts, **extra}).mode(mode).save(path)
+    # CH INTO OUTFILE produces ONE file at the named path (ClientBase
+    # writes the result client-side); Spark's writer emits a directory
+    # of part files, so write to a sibling dir and move the single part
+    # into place. INTO OUTFILE is inherently a single-file artifact —
+    # for distributed multi-file output use the table write path.
+    import glob
+    import shutil
+    tmp = path + ".spark-out"
+    (df.coalesce(1).write.format(name)
+     .options(**{**opts, **extra}).mode(mode).save(tmp))
+    parts = [p for p in glob.glob(os.path.join(tmp, "part-*"))
+             if not p.endswith(".crc")]
+    if len(parts) == 1:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        shutil.move(parts[0], path)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:   # zero parts (empty writer quirk): keep the directory form
+        if os.path.exists(path):
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        shutil.move(tmp, path)
 
 
 def to_native(df: DataFrame) -> bytes:

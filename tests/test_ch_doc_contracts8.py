@@ -513,3 +513,24 @@ def test_dict_descendants_and_cut_ipv6(spark, tmp_path):
     assert one(spark, "SELECT cutIPv6(IPv6StringToNum('2001:db8:ac10:"
                "fe01:feed:babe:cafe:f00d'), 8, 0) AS c") \
         == ('2001:db8:ac10:fe01::',)
+
+
+def test_outfile_single_file_and_show_create_database(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    # CH INTO OUTFILE produces ONE file at the named path
+    import os
+    out = str(tmp_path / "o.csv")
+    sess.execute(f"SELECT number AS n, number * 2 AS d FROM numbers(3) "
+                 f"ORDER BY n INTO OUTFILE '{out}' FORMAT CSV")
+    assert os.path.isfile(out)
+    assert open(out).read() == "0,0\n1,2\n2,4\n"
+    got = sess.execute("SHOW CREATE DATABASE default").collect()
+    assert got[0][0] == "CREATE DATABASE default"
+
+
+def test_query_param_in_table_function(spark):
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    got = execute_sql(spark, "SELECT number FROM numbers({lim:UInt8}) "
+                      "ORDER BY number", {}, params={"lim": 3}).collect()
+    assert [r[0] for r in got] == [0, 1, 2]

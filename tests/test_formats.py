@@ -44,10 +44,16 @@ def test_avro_roundtrip_or_skip(spark, sample, tmp_path):
 
 
 def test_compression_codecs(spark, sample, tmp_path):
-    for codec, ext in [("gzip", ".csv.gz"), ("none", ".csv")]:
-        dest = str(tmp_path / f"c_{codec}")
+    # INTO OUTFILE semantics: ONE file at the named path (CH ClientBase
+    # writes the result client-side), compressed per the codec
+    import gzip
+    for codec in ("gzip", "none"):
+        dest = str(tmp_path / f"c_{codec}.csv")
         write_format(sample, "CSVWithNames", dest, compression=codec)
-        assert any(f.endswith(ext) for f in os.listdir(dest))
+        assert os.path.isfile(dest)
+        opener = gzip.open if codec == "gzip" else open
+        with opener(dest, "rt") as fh:
+            assert len(fh.read().strip().splitlines()) == 4  # header + 3
 
 
 def test_format_null_discards(sample):
