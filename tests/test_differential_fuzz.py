@@ -89,6 +89,44 @@ def _agg_cases(n: int) -> list[tuple[str, str]]:
 
 AGG_CASES = _agg_cases(20)
 
+
+def _countif_value_cases(n: int) -> list[tuple[str, str, str]]:
+    """Two-arg countIf(x, cond) / count(x) FILTER (WHERE p): counts rows
+    where cond holds AND x is non-NULL — DuckDB states the same as
+    COUNT(CASE WHEN cond THEN x END)."""
+    rnd = random.Random(1010)
+    out = []
+    for i in range(n):
+        key = rnd.choice(["l_returnflag", "l_linestatus"])
+        val = rnd.choice(["l_shipdate", "NULLIF(l_linenumber, 1)",
+                          "NULLIF(l_suppkey, 3)"])
+        cond = _pred(rnd)
+        form = rnd.choice(["countIf", "filter"])
+        if form == "countIf":
+            ch = (f"SELECT {key} AS k, countIf({val}, {cond}) AS c "
+                  f"FROM lineitem GROUP BY k")
+        else:
+            ch = (f"SELECT {key} AS k, count({val}) "
+                  f"FILTER (WHERE {cond}) AS c FROM lineitem GROUP BY k")
+        dd = (f"SELECT {key} AS k, COUNT(CASE WHEN {cond} THEN {val} "
+              f"END) AS c FROM lineitem GROUP BY k")
+        out.append((f"cntiffuzz{i:02d}", ch, dd))
+    return out
+
+
+CNTIF_CASES = _countif_value_cases(8)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", CNTIF_CASES,
+                         ids=[c[0] for c in CNTIF_CASES])
+def test_differential_countif_value(spark, sf_dir, duck, name, ch_sql,
+                                    dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
+
 STR_COLS = ["l_returnflag", "l_linestatus"]
 
 
