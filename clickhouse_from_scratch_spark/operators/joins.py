@@ -90,6 +90,7 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
     left2 = left.withColumn(lm, F.lit(True)) if fill_left else left
     right2 = right.withColumn(rm, F.lit(True)) if fill_right else right
 
+    lnames = {f.name for f in left.schema.fields}
     if condition is not None:
         joined = left2.join(right2, condition, how)
         proj: list[Column] = []
@@ -104,7 +105,11 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
             if fill_right:
                 col = F.when(right2[rm].isNull(), _type_default(f.dataType)) \
                        .otherwise(col)
-            proj.append(col.alias(f.name))
+            # colliding right columns get a __r suffix (the flattening
+            # projection cannot keep Spark's side qualifiers; qualified
+            # refs resolve through ctx.flat_renames like ASOF's _asof)
+            proj.append(col.alias(f.name + "__r" if f.name in lnames
+                                  else f.name))
         return joined.select(*proj)
 
     keys = list(on or [])
@@ -113,6 +118,27 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
               if f.name not in keys}
     rtypes = {f.name: f.dataType for f in right.schema.fields
               if f.name not in keys}
+    collide = set(ltypes) & set(rtypes)
+    if collide:
+        # both sides carry a non-key column of the same name: project
+        # from the side frames so the pair stays addressable — the
+        # right copy gets a __r suffix (qualified refs resolve through
+        # ctx.flat_renames, ASOF-style)
+        proj = [F.col(k) for k in keys]
+        for name, t in ltypes.items():
+            col = left2[name]
+            if fill_left:
+                col = (F.when(F.col(lm).isNull(), _type_default(t))
+                       .otherwise(col))
+            proj.append(col.alias(name))
+        for name, t in rtypes.items():
+            col = right2[name]
+            if fill_right:
+                col = (F.when(F.col(rm).isNull(), _type_default(t))
+                       .otherwise(col))
+            proj.append(col.alias(name + "__r" if name in collide
+                                  else name))
+        return joined.select(*proj)
     proj = []
     for name in joined.columns:
         if name in (lm, rm):

@@ -716,6 +716,10 @@ def _build_from(node, ctx: Context) -> DataFrame:
         if node.alias:
             df = df.alias(node.alias)
             ctx.tables.setdefault(node.alias, df)
+        else:
+            # CH allows qualification by the bare table name
+            # (SELECT ta.v FROM ta) — register it as the frame alias
+            df = df.alias(node.table)
         return df
     if isinstance(node, SubqueryRef):
         df = _build_query(node.query, ctx)
@@ -1145,7 +1149,24 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
     if node.kind in ("left", "right", "full") and not use_nulls \
             and node.strictness in ("all", "any", None, ""):
         # join_use_nulls=0 (the CH default, Settings.h:224): non-matched
-        # outer-join cells get the column type's default, not NULL
+        # outer-join cells get the column type's default, not NULL.
+        # The fill projection flattens Spark's side qualifiers, so
+        # record them (ASOF-style) for later `alias.col` resolution;
+        # colliding right columns carry a __r suffix in the output.
+        keys = on if isinstance(on, list) else []
+        r_quals = {x for x in (getattr(node.right, "alias", None),
+                               getattr(node.right, "table", None)) if x}
+        l_quals = {x for x in (getattr(node.left, "alias", None),
+                               getattr(node.left, "table", None)) if x}
+        ctx.flat_qualifiers.update(l_quals | r_quals)
+        for c in right.columns:
+            if c in keys:
+                continue
+            if c in left.columns:
+                for q in r_quals:
+                    ctx.flat_renames[(q, c)] = c + "__r"
+                for q in l_quals:
+                    ctx.flat_renames.setdefault((q, c), c)
         if isinstance(on, list):
             return join_with_defaults(left, right, on=on, how=how)
         return join_with_defaults(left, right, how=how, condition=on)

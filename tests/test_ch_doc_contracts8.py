@@ -534,3 +534,31 @@ def test_query_param_in_table_function(spark):
     got = execute_sql(spark, "SELECT number FROM numbers({lim:UInt8}) "
                       "ORDER BY number", {}, params={"lim": 3}).collect()
     assert [r[0] for r in got] == [0, 1, 2]
+
+
+def test_qualified_refs_after_joins(spark, tmp_path):
+    # CH allows alias- AND bare-table-name qualification of columns, in
+    # inner and outer joins alike; after a USING/defaults join the
+    # colliding right column is addressable as r.v (output name v__r)
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE ta (k UInt32, v UInt32) ENGINE = Memory")
+    sess.execute("CREATE TABLE tb (k UInt32, v UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO ta VALUES (1, 10)")
+    sess.execute("INSERT INTO tb VALUES (1, 100)")
+    assert [tuple(r) for r in sess.execute(
+        "SELECT ta.v AS av, tb.v AS bv FROM ta JOIN tb ON ta.k = tb.k"
+        ).collect()] == [(10, 100)]
+    assert [tuple(r) for r in sess.execute(
+        "SELECT ta.v AS av, tb.v AS bv FROM ta LEFT JOIN tb "
+        "ON ta.k = tb.k").collect()] == [(10, 100)]
+    assert [tuple(r) for r in sess.execute("SELECT ta.v FROM ta"
+                                           ).collect()] == [(10,)]
+    got = rows(spark, "SELECT l.v AS lv, r.v AS rv FROM "
+               "(SELECT 1 AS k, 10 AS v) l LEFT JOIN "
+               "(SELECT 1 AS k, 100 AS v) r USING (k)")
+    assert got == [(10, 100)]
+    # unqualified collision resolves to the LEFT side (CH scoping)
+    assert rows(spark, "SELECT v FROM (SELECT 1 AS k, 10 AS v) l "
+                "LEFT JOIN (SELECT 1 AS k, 100 AS v) r USING (k)") \
+        == [(10,)]
