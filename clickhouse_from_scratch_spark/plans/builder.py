@@ -348,8 +348,10 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
 
     # select-list aliases join the alias map (visible in WHERE/GROUP/HAVING)
     for item in q.select:
-        if isinstance(item, Alias):
-            ctx.aliases.setdefault(item.alias, item.expr)
+        _register_aliases(item, ctx)
+    for extra in (q.where, q.prewhere, q.having):
+        if extra is not None:
+            _register_aliases(extra, ctx)
 
     if q.array_join is not None:
         df = _apply_array_join(df, q.array_join, ctx)
@@ -664,6 +666,24 @@ def _subst(node, param: str, repl):
     if isinstance(node, ArrayLiteral):
         return ArrayLiteral([_subst(a, param, repl) for a in node.items])
     return node
+
+
+def _register_aliases(node, ctx: Context) -> None:
+    """Register every alias in an expression tree — CH aliases attach to
+    ANY element ((1 + 1 AS two) + two), not just top-level select items,
+    and are visible query-wide."""
+    if isinstance(node, Alias):
+        ctx.aliases.setdefault(node.alias, node.expr)
+        _register_aliases(node.expr, ctx)
+    elif isinstance(node, FuncCall):
+        for a in node.args:
+            if not isinstance(a, (Subquery, Lambda)):
+                _register_aliases(a, ctx)
+    elif isinstance(node, (ArrayLiteral, TupleLiteral)):
+        for a in node.items:
+            _register_aliases(a, ctx)
+    elif isinstance(node, Cast):
+        _register_aliases(node.expr, ctx)
 
 
 # --- FROM -------------------------------------------------------------------

@@ -907,7 +907,18 @@ class Parser:
             sub = self._union()
             self.expect_op(")")
             return Subquery(sub)
-        items = self._expr_list()
+        # CH attaches aliases to ANY expression element, including
+        # parenthesized ones: (1 + 1 AS two) both evaluates and
+        # registers `two` for later reuse (reference wraps every
+        # element in ParserWithOptionalAlias)
+        items = []
+        while True:
+            e = self._expr()
+            if self.accept_kw("AS"):
+                e = Alias(e, self.advance().text)
+            items.append(e)
+            if not self.accept_op(","):
+                break
         self.expect_op(")")
         if len(items) == 1:
             return items[0]

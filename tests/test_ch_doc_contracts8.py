@@ -562,3 +562,16 @@ def test_qualified_refs_after_joins(spark, tmp_path):
     assert rows(spark, "SELECT v FROM (SELECT 1 AS k, 10 AS v) l "
                 "LEFT JOIN (SELECT 1 AS k, 100 AS v) r USING (k)") \
         == [(10,)]
+
+
+def test_parenthesized_inline_alias(spark):
+    # CH attaches aliases to ANY expression element; a parenthesized
+    # aliased expression both evaluates and registers the alias for
+    # reuse anywhere in the query
+    assert one(spark, "SELECT (1 + 1 AS two) AS a, two + 1 AS b") == (2, 3)
+    assert one(spark, "SELECT 1 + (2 AS b) AS v, b AS bb") == (3, 2)
+    assert rows(spark, "SELECT (number * 2 AS d) FROM numbers(3) "
+                "WHERE d > 2") == [(4,)]
+    assert one(spark, "SELECT ((1, (2, 3)) AS t).2.1 AS x") == (2,)
+    assert one(spark, "SELECT (1 AS one, 2 AS two) AS t, one + two "
+               "AS s") == ((1, 2), 3)
