@@ -1085,10 +1085,17 @@ class ChSession:
             if path is None:               # inline FORMAT data
                 import tempfile
 
+                data = node.format_data
+                if fmt.startswith("JSON") and fmt.endswith("EachRow"):
+                    # CH accepts whitespace-separated objects on one
+                    # line; Spark's JSON reader is line-based, so
+                    # re-split the objects (brace-balanced, string- and
+                    # escape-aware) onto separate lines
+                    data = "\n".join(_split_json_objects(data))
                 with tempfile.NamedTemporaryFile(
                         "w", suffix=".rows", delete=False,
                         encoding="utf-8") as fh:
-                    fh.write(node.format_data)
+                    fh.write(data)
                     path = fh.name
             from .sources import from_capnproto, from_msgpack, from_row_binary
             byte_decoders = {"RowBinary": from_row_binary,
@@ -1677,6 +1684,34 @@ def _literal_py(node):
         items = [_literal_py(i) for i in node.args]
         return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _split_json_objects(text: str) -> list[str]:
+    """Split concatenated JSON objects ({..} {..} on any whitespace/
+    newline layout) into one object per list entry — brace-balanced,
+    string- and escape-aware."""
+    out, depth, start, in_str, esc = [], 0, None, False, False
+    for i, ch in enumerate(text):
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0 and start is not None:
+                out.append(text[start:i + 1])
+                start = None
+    return out or [text]
 
 
 def _enum_elements(ch_type: str) -> list[str] | None:

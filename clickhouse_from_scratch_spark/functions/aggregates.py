@@ -842,6 +842,32 @@ def _combine(base, base_name: str, sfx: str):
             if sfx == "Merge":
                 return lambda s: F.size(merged(s)).cast("long")
             return merged                                # MergeState
+        if sfx in ("Merge", "MergeState"):
+            # merging collapsed (finalized) states: a trailing -If on
+            # the base belongs to the STATE-producing side, never
+            # re-applied at merge (sumIfMerge ≡ sumMerge); count states
+            # merge by SUMMING, not by counting state rows
+            if base_name.endswith("If") and len(base_name) > 2:
+                return resolve_aggregate(base_name[:-2] + sfx)
+            _MERGE_OPS = {
+                "count": lambda s: F.coalesce(
+                    F.sum(_c(s)), F.lit(0)).cast("long"),
+                "sum": lambda s: F.sum(_c(s)),
+                "min": lambda s: F.min(_c(s)),
+                "max": lambda s: F.max(_c(s)),
+                "any": lambda s: F.first(_c(s), ignorenulls=True),
+                "anyLast": lambda s: F.last(_c(s), ignorenulls=True),
+                "groupArray": lambda s: F.flatten(
+                    F.collect_list(_c(s))),
+                "groupUniqArray": lambda s: F.array_distinct(
+                    F.flatten(F.collect_list(_c(s)))),
+            }
+            if base_name in _MERGE_OPS:
+                return _MERGE_OPS[base_name]
+            # avg/moment family: states are finalized values, so the
+            # merge is the base re-applied — exact for a single state
+            # row, an approximation across rows (documented divergence)
+            return base
         return base
     if sfx == "Array":
         return lambda arr: _array_combinator(base_name, arr)

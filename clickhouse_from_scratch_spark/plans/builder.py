@@ -2699,6 +2699,21 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
                     base(*[F.when(cond, v) for v in vals]) if vals
                     else base(F.when(cond, F.lit(1))))
             return F.array(*buckets)
+    if name in ("uniqState", "uniqHLL12State", "uniqCombinedState",
+                "uniqCombined64State") and args and df is not None:
+        # hll_sketch_agg accepts int/bigint/string/binary only: widen
+        # narrow integrals (CH UInt8/16 land as tinyint/smallint after
+        # the wrap-modulo lowering) and stringify other types
+        try:
+            dt = df.select(args[0].alias("__p")).schema[0] \
+                .dataType.simpleString()
+        except Exception:
+            dt = None
+        if dt in ("tinyint", "smallint", "boolean"):
+            args = [args[0].cast("bigint"), *args[1:]]
+        elif dt is not None and dt not in ("int", "bigint", "string",
+                                           "binary"):
+            args = [args[0].cast("string"), *args[1:]]
     combined = resolve_aggregate(name)
     if combined is not None:
         try:

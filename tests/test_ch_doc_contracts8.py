@@ -575,3 +575,49 @@ def test_parenthesized_inline_alias(spark):
     assert one(spark, "SELECT ((1, (2, 3)) AS t).2.1 AS x") == (2,)
     assert one(spark, "SELECT (1 AS one, 2 AS two) AS t, one + two "
                "AS s") == ((1, 2), 3)
+
+
+def test_state_merge_combinator_stacking(spark):
+    # -If on a State-producing side belongs to that side; the matching
+    # -Merge re-aggregates (sumIfMerge ≡ sumMerge), and count states
+    # merge by SUMMING, never by counting state rows
+    assert one(spark, "SELECT sumIfMerge(s) AS a FROM (SELECT "
+               "sumIfState(number, number > 1) AS s FROM numbers(5))") \
+        == (9,)
+    assert one(spark, "SELECT avgIfMerge(s) AS a FROM (SELECT "
+               "avgIfState(number, number > 1) AS s FROM numbers(5))") \
+        == (3.0,)
+    assert one(spark, "SELECT countIfMerge(s) AS a FROM (SELECT "
+               "countIfState(number > 1) AS s FROM numbers(5))") == (3,)
+    assert one(spark, "SELECT countMerge(s) AS a FROM (SELECT number "
+               "% 2 AS g, countState() AS s FROM numbers(10) "
+               "GROUP BY g)") == (10,)
+    assert one(spark, "SELECT sumMerge(s) AS a FROM (SELECT number "
+               "% 2 AS g, sumState(number) AS s FROM numbers(10) "
+               "GROUP BY g)") == (45,)
+    assert sorted(one(spark, "SELECT groupArrayMerge(s) AS a FROM "
+                  "(SELECT number % 2 AS g, groupArrayState(number) AS "
+                  "s FROM numbers(4) GROUP BY g)")[0]) == [0, 1, 2, 3]
+
+
+def test_uniq_state_input_types(spark):
+    # the HLL sketch state accepts every input type: narrow integrals
+    # widen, other types stringify (distinct-count preserving)
+    assert one(spark, "SELECT uniqMerge(s) AS a FROM (SELECT number % "
+               "2 AS g, uniqState(number % 3) AS s FROM numbers(10) "
+               "GROUP BY g)") == (3,)
+    assert one(spark, "SELECT uniqMerge(s) AS a FROM (SELECT number % "
+               "2 AS g, uniqState(number / 2) AS s FROM numbers(10) "
+               "GROUP BY g)") == (10,)
+
+
+def test_insert_jsoneachrow_inline_multirow(spark, tmp_path):
+    # CH accepts whitespace-separated objects; every object is a row
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    sess.execute("CREATE TABLE jt (a UInt32, b String) ENGINE = Memory")
+    sess.execute('INSERT INTO jt FORMAT JSONEachRow {"a": 1, "b": "x"} '
+                 '{"a": 2, "b": "y {z}"}')
+    got = [tuple(r) for r in
+           sess.execute("SELECT a, b FROM jt ORDER BY a").collect()]
+    assert got == [(1, "x"), (2, "y {z}")]
