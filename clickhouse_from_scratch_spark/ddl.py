@@ -1409,6 +1409,19 @@ class ChSession:
         comment, codec_expression, ttl_expression — empty string when a
         column has no such attribute."""
         from .plans.ast_nodes import format_node
+        if getattr(node, "query", None) is not None:
+            # DESCRIBE (SELECT ...): the query's result schema, Spark
+            # types rendered in CH spelling where the inverse map knows
+            # them
+            df = build(self.spark, node.query, self._tables(),
+                       self._engines(), settings=self.settings,
+                       udfs=self.udfs)
+            rows = [(f.name, _spark_type_to_ch(f.dataType.simpleString()),
+                     "", "", "", "", "") for f in df.schema.fields]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, default_type string, "
+                "default_expression string, comment string, "
+                "codec_expression string, ttl_expression string")
         meta = self._resolve(node.database, node.table)
         rows = []
         for n, t in meta.columns:
@@ -1684,6 +1697,24 @@ def _literal_py(node):
         items = [_literal_py(i) for i in node.args]
         return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _spark_type_to_ch(spark_t: str) -> str:
+    """CH spelling of a Spark result type for DESCRIBE (SELECT ...)."""
+    from .functions.typemap import spark_type_to_ch_numeric
+    num = spark_type_to_ch_numeric(spark_t)
+    if num:
+        return num
+    base = {"string": "String", "boolean": "UInt8", "date": "Date",
+            "timestamp": "DateTime", "timestamp_ntz": "DateTime",
+            "binary": "String"}.get(spark_t)
+    if base:
+        return base
+    if spark_t.startswith("array<"):
+        return f"Array({_spark_type_to_ch(spark_t[6:-1])})"
+    if spark_t.startswith("decimal"):
+        return "Decimal" + spark_t[7:]
+    return spark_t
 
 
 def _split_json_objects(text: str) -> list[str]:

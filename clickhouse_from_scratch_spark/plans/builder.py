@@ -945,11 +945,20 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         # values('a Int32, b String', (1,'x'), (2,'y')) — inline rows
         from ..functions.typemap import ch_type_to_spark
         from ..sources.generate import _split_cols
-        if not (node.args and isinstance(node.args[0], Literal)):
-            raise BuildError("values() requires a literal schema string")
-        cols = _split_cols(node.args[0].value)
-        spark_schema = ", ".join(f"`{n}` {ch_type_to_spark(t)}"
-                                 for n, t in cols)
+        if not node.args:
+            raise BuildError("values() requires at least one row")
+        if isinstance(node.args[0], Literal) \
+                and isinstance(node.args[0].value, str):
+            cols = _split_cols(node.args[0].value)
+            spark_schema = ", ".join(f"`{n}` {ch_type_to_spark(t)}"
+                                     for n, t in cols)
+            data_args = node.args[1:]
+        else:
+            # schema-less form values((1, 'x'), ...): columns named
+            # c1..cN, types inferred from the rows (CH contract)
+            spark_schema = None
+            data_args = node.args
+
         def _cell(item):
             # constant EXPRESSIONS are allowed in VALUES rows
             # (input_format_values_interpret_expressions default 1):
@@ -961,11 +970,15 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
             return one.select(_eval(item, ctx, one)).collect()[0][0]
 
         rows = []
-        for a in node.args[1:]:
+        for a in data_args:
             if isinstance(a, TupleLiteral):
                 rows.append(tuple(_cell(item) for item in a.items))
             else:
                 rows.append((_cell(a),))
+        if spark_schema is None:
+            width = max(len(r) for r in rows)
+            return ctx.spark.createDataFrame(
+                rows, [f"c{i + 1}" for i in range(width)])
         return ctx.spark.createDataFrame(rows, spark_schema)
     if name == "format":
         # format(FormatName, 'data') — inline data in any input format;

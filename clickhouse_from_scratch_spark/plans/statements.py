@@ -253,6 +253,7 @@ class ShowStmt(Node):
 class DescribeStmt(Node):
     database: str | None
     table: str
+    query: Node | None = None      # DESCRIBE (SELECT ...) form
 
 
 @dataclass
@@ -1166,6 +1167,12 @@ class StatementParser(Parser):
     def _describe(self):
         self.advance()
         self.accept_kw("TABLE")
+        if self.tok.is_op("(") and self.peek().is_kw("SELECT", "WITH"):
+            # DESCRIBE (SELECT ...) — result schema of a query
+            self.advance()
+            q = self._union()
+            self.expect_op(")")
+            return DescribeStmt(None, "", query=q)
         db, name = self._qualified_name()
         return DescribeStmt(db, name)
 

@@ -621,3 +621,19 @@ def test_insert_jsoneachrow_inline_multirow(spark, tmp_path):
     got = [tuple(r) for r in
            sess.execute("SELECT a, b FROM jt ORDER BY a").collect()]
     assert got == [(1, "x"), (2, "y {z}")]
+
+
+def test_values_schemaless_and_describe_query(spark, tmp_path):
+    # schema-less values(): columns c1..cN, types inferred (CH contract)
+    assert rows(spark, "SELECT * FROM values((1, 'x'), (2, 'y')) "
+                "ORDER BY c1") == [(1, 'x'), (2, 'y')]
+    assert rows(spark, "SELECT * FROM values(5, 6) ORDER BY c1") \
+        == [(5,), (6,)]
+    # DESCRIBE (SELECT ...) returns the result schema
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    sess = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    got = [(r.name, r.type) for r in
+           sess.execute("DESCRIBE (SELECT 'a' AS s, [1, 2] AS arr)"
+                        ).collect()]
+    assert got[0] == ("s", "String")
+    assert got[1][0] == "arr" and got[1][1].startswith("Array(")
