@@ -1681,6 +1681,17 @@ def _lower_groups_frames(q: SelectQuery, df: DataFrame, ctx: Context):
     return q, dfbox[0]
 
 
+def _in_side(sub: DataFrame, alias: str) -> DataFrame:
+    """Membership side of an IN join: single column as-is; a multi-
+    column subquery becomes ONE tuple-typed column (_1.._n fields,
+    positional rename so duplicate names are legal) matching the
+    TupleLiteral lowering of the left key — CH (a, b) IN (SELECT ...)."""
+    if len(sub.columns) == 1:
+        return sub.select(F.col(sub.columns[0]).alias(alias))
+    names = [f"_{i + 1}" for i in range(len(sub.columns))]
+    return sub.toDF(*names).select(F.struct(*names).alias(alias))
+
+
 def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
                          drops: list[str], scalar_ok: bool = True):
     """Expression-position subqueries → distributed joins.
@@ -1757,7 +1768,7 @@ def _lower_in_subqueries(df: DataFrame, node, ctx: Context,
             if sub is not None:
                 i = len(drops)
                 marker, val = f"__in_m{i}", f"__in_v{i}"
-                side = (sub.select(F.col(sub.columns[0]).alias(val))
+                side = (_in_side(sub, val)
                            .distinct().withColumn(marker, F.lit(True)))
                 if node.name.startswith("global"):
                     side = F.broadcast(side)
@@ -1999,7 +2010,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             sub = ctx.tables[c.args[1].name]
             key = _eval(c.args[0], ctx, df)
             how = "left_anti" if "not" in c.name.lower() else "left_semi"
-            side = sub.select(F.col(sub.columns[0]).alias("__in_set"))
+            side = _in_side(sub, "__in_set")
             if c.name.startswith("global"):
                 side = F.broadcast(side)
             # key materialized left-only: a same-table membership check
@@ -2021,7 +2032,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 df = dec
                 continue
             sub = _build_query(c.args[1].query, ctx)
-            side = sub.select(F.col(sub.columns[0]).alias("__in_set"))
+            side = _in_side(sub, "__in_set")
             how = "left_anti" if "not" in c.name.lower() else "left_semi"
             if c.name.startswith("global"):
                 side = F.broadcast(side)

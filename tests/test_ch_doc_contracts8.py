@@ -637,3 +637,19 @@ def test_values_schemaless_and_describe_query(spark, tmp_path):
                         ).collect()]
     assert got[0] == ("s", "String")
     assert got[1][0] == "arr" and got[1][1].startswith("Array(")
+
+
+def test_tuple_in_subquery(spark):
+    # CH: (a, b) IN (SELECT x, y ...) — tuple membership against a
+    # multi-column subquery (marker/semi-join lowerings alike)
+    assert rows(spark, "SELECT number FROM numbers(5) WHERE (number, "
+                "number + 1) IN (SELECT 2, 3) ORDER BY number") == [(2,)]
+    assert rows(spark, "SELECT number FROM numbers(5) WHERE (number % "
+                "2, number) IN (SELECT number % 2, number FROM "
+                "numbers(3)) ORDER BY number") == [(0,), (1,), (2,)]
+    assert rows(spark, "SELECT number FROM numbers(5) WHERE (number, "
+                "number) NOT IN (SELECT 2, 2) ORDER BY number") \
+        == [(0,), (1,), (3,), (4,)]
+    assert rows(spark, "SELECT number, (number, number + 1) IN "
+                "(SELECT 2, 3) AS m FROM numbers(4) ORDER BY number") \
+        == [(0, False), (1, False), (2, True), (3, False)]
