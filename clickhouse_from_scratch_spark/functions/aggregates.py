@@ -73,6 +73,13 @@ def _delta_sum(x) -> Column:
         F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _approx_distinct(*cs) -> Column:
+    """HLL distinct over one column, or over the TUPLE of several (CH
+    multi-argument uniq counts distinct argument tuples)."""
+    return F.approx_count_distinct(cs[0] if len(cs) == 1
+                                   else F.struct(*cs))
+
+
 def _uniq_null_aware(fn) -> Callable[..., Column]:
     """CH's uniq family counts NULL as a distinct value for Nullable
     arguments (count(DISTINCT x) = uniqExact(x) = 3 over [1,NULL,2]);
@@ -115,13 +122,12 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "corr": lambda a, b: F.corr(_c(a), _c(b)),
     "skewSamp": lambda x: F.skewness(_c(x)),
     "kurtSamp": lambda x: F.kurtosis(_c(x)),
-    # approximate distinct: CH uniq/uniqHLL12/uniqCombined → HLL
-    "uniq": _uniq_null_aware(lambda *cs: F.approx_count_distinct(cs[0])),
-    "uniqHLL12": _uniq_null_aware(lambda *c: F.approx_count_distinct(*c)),
-    "uniqCombined": _uniq_null_aware(
-        lambda *c: F.approx_count_distinct(*c)),
-    "uniqCombined64": _uniq_null_aware(
-        lambda *c: F.approx_count_distinct(*c)),
+    # approximate distinct: CH uniq/uniqHLL12/uniqCombined → HLL;
+    # multi-argument forms count distinct TUPLES (struct the args)
+    "uniq": _uniq_null_aware(_approx_distinct),
+    "uniqHLL12": _uniq_null_aware(_approx_distinct),
+    "uniqCombined": _uniq_null_aware(_approx_distinct),
+    "uniqCombined64": _uniq_null_aware(_approx_distinct),
     "uniqExact": _uniq_null_aware(lambda *c: F.count_distinct(*c)),
     # parametric quantiles: quantile(q)(x) — exact interpolated percentile
     "quantile": lambda q, x=None: F.percentile(_c(x), F.lit(q)) if x is not None else F.median(_c(q)),

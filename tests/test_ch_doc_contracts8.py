@@ -653,3 +653,11 @@ def test_tuple_in_subquery(spark):
     assert rows(spark, "SELECT number, (number, number + 1) IN "
                 "(SELECT 2, 3) AS m FROM numbers(4) ORDER BY number") \
         == [(0, False), (1, False), (2, True), (3, False)]
+
+
+def test_multiarg_uniq_counts_tuples(spark):
+    # CH multi-argument uniq counts distinct argument TUPLES
+    assert one(spark, "SELECT uniq(number % 2, number % 3) AS u, "
+               "uniqExact(number % 2, number % 3) AS e, "
+               "count(DISTINCT number % 2, number % 3) AS c "
+               "FROM numbers(12)") == (6, 6, 6)
