@@ -1024,11 +1024,27 @@ def typed_array_sum(a, elem_type: str | None = None) -> Column:
                        lambda acc, x: acc + x.cast("double"))
 
 
-_alias("arraySum", typed_array_sum)
-_alias("arrayAvg", lambda a: REGISTRY["arraySum"](a)
-       / F.size(F.filter(_c(a), lambda x: x.isNotNull())))
-_alias("arrayMin", F.array_min)
-_alias("arrayMax", F.array_max)
+def _arr_lam(fn):
+    """CH arrayMin/Max/Sum/Avg([func,] arr): the optional leading lambda
+    maps elements before the reduction."""
+    def g(*a):
+        if len(a) == 2 and callable(a[0]):
+            return fn(F.transform(_c(a[1]), a[0]))
+        if len(a) != 1:
+            raise ValueError("expects [func,] array")
+        return fn(_c(a[0]))
+    return g
+
+
+_alias("arraySum", _arr_lam(typed_array_sum))
+_alias("arrayAvg", _arr_lam(lambda a: typed_array_sum(a)
+       / F.size(F.filter(_c(a), lambda x: x.isNotNull()))))
+_alias("arrayMin", _arr_lam(F.array_min))
+_alias("arrayMax", _arr_lam(F.array_max))
+_alias("arrayUnion", lambda *arrs: F.array_distinct(
+    F.concat(*[_c(a) for a in arrs])))
+_alias("arraySymmetricDifference", lambda a, b: F.array_distinct(
+    F.concat(F.array_except(_c(a), _c(b)), F.array_except(_c(b), _c(a)))))
 _alias("arrayUniq", lambda a: F.size(F.array_distinct(_c(a))))
 # arrayCompact removes CONSECUTIVE duplicates only ([1,1,2,2,1] →
 # [1,2,1]); global dedup is arrayDistinct

@@ -661,3 +661,15 @@ def test_multiarg_uniq_counts_tuples(spark):
                "uniqExact(number % 2, number % 3) AS e, "
                "count(DISTINCT number % 2, number % 3) AS c "
                "FROM numbers(12)") == (6, 6, 6)
+
+
+def test_array_reduction_lambda_forms(spark):
+    # arrayMin/Max/Sum/Avg([func,] arr): optional leading lambda maps
+    # elements before reducing
+    assert one(spark, "SELECT arrayMin(x -> -x, [1, 2]) AS a, "
+               "arrayMax(x -> x * 2, [1, 3]) AS b, "
+               "arraySum(x -> x * x, [2, 3]) AS c, "
+               "arrayAvg(x -> x * 10, [1, 2]) AS d") == (-2, 6, 13.0, 15.0)
+    assert one(spark, "SELECT arrayUnion([1, 2], [2, 3]) AS u, "
+               "arraySymmetricDifference([1, 2], [2, 3]) AS d") \
+        == ([1, 2, 3], [1, 3])
