@@ -1933,11 +1933,21 @@ _alias("multiSearchFirstPosition", lambda h, ns: F.coalesce(
 
 _alias("editDistance", lambda a, b: F.levenshtein(_c(a), _c(b)).cast("long"))
 _alias("levenshteinDistance", REGISTRY["editDistance"])
+# Spark's levenshtein is already codepoint-based — UTF8 variants alias
+_alias("editDistanceUTF8", REGISTRY["editDistance"])
+_alias("levenshteinDistanceUTF8", REGISTRY["editDistance"])
 _alias("byteHammingDistance", lambda a, b: F.aggregate(
     F.zip_with(F.split(_c(a), ""), F.split(_c(b), ""),
                lambda x, y: F.when(x.eqNullSafe(y), 0).otherwise(1)),
     F.lit(0).cast("long"), lambda acc, v: acc + v))
 _alias("soundex", lambda c: F.soundex(_c(c)))
+# difference(a, b): count of matching soundex code positions (0-4,
+# MySQL/CH contract)
+_alias("difference", lambda a, b: F.aggregate(
+    F.zip_with(F.split(F.soundex(_c(a)), ""),
+               F.split(F.soundex(_c(b)), ""),
+               lambda x, y: F.when(x == y, 1).otherwise(0)),
+    F.lit(0), lambda acc, v: acc + v).cast("tinyint"))
 
 
 _DELTA_UNITS = [("year", 31536000), ("month", 2635200), ("day", 86400),
@@ -3513,6 +3523,20 @@ def _py_try_str(fn):
     return g
 
 
+def _py_base32_enc(x: str) -> str:
+    import base64
+    return base64.b32encode(x.encode()).decode()
+
+
+def _py_base32_dec(x: str) -> str:
+    import base64
+    return base64.b32decode(x.encode()).decode()
+
+
+_alias("base32Encode",
+       lambda c: _pandas_udf_typed(_py_base32_enc, "string")(_c(c)))
+_alias("base32Decode",
+       lambda c: _pandas_udf_typed(_py_base32_dec, "string")(_c(c)))
 _alias("base58Encode",
        lambda c: _pandas_udf_typed(_py_base58_enc, "string")(_c(c)))
 _alias("base58Decode",
