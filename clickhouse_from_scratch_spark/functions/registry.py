@@ -1362,10 +1362,16 @@ _CH_CAST = {"Int8": "tinyint", "Int16": "smallint", "Int32": "int",
 
 def _json_extract(j, *rest) -> Column:
     """Generic JSONExtract(json, key..., 'Type') — path keys then a CH
-    type name last (public CH signature)."""
+    type name last (public CH signature). Array/Tuple/Map targets parse
+    with from_json into the real container type."""
     *keys, typ = rest
     path = "$." + ".".join(str(k) for k in keys) if keys else "$"
-    return F.get_json_object(_c(j), path).cast(_CH_CAST.get(typ, "string"))
+    raw = F.get_json_object(_c(j), path)
+    t = str(typ)
+    if t.replace(" ", "").startswith(("Array(", "Tuple(", "Map(")):
+        from .typemap import ch_type_to_spark
+        return F.from_json(raw, ch_type_to_spark(t))
+    return raw.cast(_CH_CAST.get(typ, "string"))
 
 
 _alias("JSONExtract", _json_extract)
@@ -1440,6 +1446,12 @@ _alias("formatReadableQuantity", lambda c: F.when(
 # --- URL functions (public CH URL family → parse_url/regexp) --------------
 _alias("protocol", lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
 _alias("domain", lambda u: F.parse_url(_c(u), F.lit("HOST")))
+# port(url[, default]): explicit :port in the authority, else default
+_alias("port", lambda u, d=0: F.coalesce(
+    F.regexp_extract(_c(u), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)",
+                     1).cast("int").cast("long"),
+    (F.lit(int(d)) if not isinstance(d, Column) else
+     _c(d).cast("long"))).cast("long"))
 _alias("domainWithoutWWW", lambda u: F.regexp_replace(
     F.parse_url(_c(u), F.lit("HOST")), r"^www\.", ""))
 _alias("path", lambda u: F.parse_url(_c(u), F.lit("PATH")))

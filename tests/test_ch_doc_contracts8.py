@@ -673,3 +673,12 @@ def test_array_reduction_lambda_forms(spark):
     assert one(spark, "SELECT arrayUnion([1, 2], [2, 3]) AS u, "
                "arraySymmetricDifference([1, 2], [2, 3]) AS d") \
         == ([1, 2, 3], [1, 3])
+
+
+def test_port_and_typed_json_containers(spark):
+    assert one(spark, "SELECT port('http://x.com:8080/a') AS a, "
+               "port('http://x.com/a') AS b, "
+               "port('http://x.com/a', 80) AS c") == (8080, 0, 80)
+    assert one(spark, "SELECT JSONExtract('[1,2]', 'Array(Int64)') AS "
+               "arr, JSONExtract('{\"a\": [1,2]}', 'a', 'Array(Int64)') "
+               "AS n") == ([1, 2], [1, 2])
