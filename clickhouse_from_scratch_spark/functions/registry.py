@@ -407,7 +407,12 @@ _alias("toDecimal64", lambda c, s: _c(c).cast(f"decimal(18,{s})"))
 _alias("toDecimal128", lambda c, s: _c(c).cast(f"decimal(38,{s})"))
 _alias("toDate", lambda c: _c(c).cast("date"))
 _alias("toDate32", lambda c: _c(c).cast("date"))
-_alias("toDateTime", lambda c: _c(c).cast("timestamp"))
+# toDateTime(x[, tz]): the optional timezone interprets the parsed wall
+# time in tz (instant = to_utc_timestamp; the session renders UTC —
+# documented single-zone display)
+_alias("toDateTime", lambda c, tz=None: (
+    F.to_utc_timestamp(_c(c).cast("timestamp"), tz)
+    if isinstance(tz, str) else _c(c).cast("timestamp")))
 def _to_dt64(c, p=3):
     # CH truncates sub-second digits beyond the declared scale (the
     # stored tick count has exactly `scale` fractional digits); Spark
@@ -843,16 +848,31 @@ def _date_diff(unit: str, a, b) -> Column:
 def _strftime_to_java(fmt: str) -> str:
     """MySQL-style → Java pattern for the PARSING direction
     (parseDateTime): a string-to-string mapping is required there, so
-    only the position-parseable specifiers translate."""
+    only the position-parseable specifiers translate. Literal letters
+    and Java-reserved chars (#, {, }) are single-quoted so separators
+    like '#' parse instead of tripping pattern validation."""
     table = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "MM", "%d": "dd",
              "%e": "d", "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh",
              "%i": "mm", "%M": "mm", "%S": "ss", "%s": "ss",
              "%f": "SSSSSS", "%j": "DDD", "%p": "a",
              "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy",
              "%R": "HH:mm", "%%": "%"}
-    for k, v in table.items():
-        fmt = fmt.replace(k, v)
-    return fmt
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(table.get(fmt[i:i + 2], fmt[i + 1]))
+            i += 2
+            continue
+        ch = fmt[i]
+        if ch.isalpha() or ch in "#{}":
+            out.append("'" + ch + "'")
+        elif ch == "'":
+            out.append("''")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _iso_year_of(d: Column) -> Column:

@@ -4445,7 +4445,7 @@ _LITERAL_ARG_FNS = {
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
     "tumble", "hop", "tumbleStart", "tumbleEnd", "concatWithSeparator",
-    "concat_ws", "cutIPv6",
+    "concat_ws", "cutIPv6", "toDateTime",
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
     "accurateCast", "accurateCastOrNull", "age", "positionCaseInsensitive",
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",

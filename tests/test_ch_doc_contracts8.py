@@ -682,3 +682,15 @@ def test_port_and_typed_json_containers(spark):
     assert one(spark, "SELECT JSONExtract('[1,2]', 'Array(Int64)') AS "
                "arr, JSONExtract('{\"a\": [1,2]}', 'a', 'Array(Int64)') "
                "AS n") == ([1, 2], [1, 2])
+
+
+def test_parse_datetime_separators_and_tz_arg(spark):
+    import datetime
+    # literal separators (incl. Java-reserved '#') quote correctly
+    assert one(spark, "SELECT parseDateTime('2024#05#07', '%Y#%m#%d') "
+               "AS d") == (datetime.datetime(2024, 5, 7),)
+    # toDateTime(s, tz): wall time interpreted in tz (UTC session shows
+    # the instant in UTC)
+    assert one(spark, "SELECT toDateTime('2024-06-01 00:00:00', "
+               "'America/New_York') AS t") \
+        == (datetime.datetime(2024, 6, 1, 4, 0),)
