@@ -384,10 +384,47 @@ class ChSession:
                         out[name] = info
         return out
 
-    def _read(self, meta: TableMeta) -> DataFrame:
+    def _read(self, meta: TableMeta,
+              _resolving: frozenset = frozenset()) -> DataFrame:
         if meta.is_view:
-            return build(self.spark, meta.view_query, self._tables_except(
-                meta.name, meta.database), self._engines())
+            # Resolve ONLY the tables the view's query actually
+            # references (AST walk): eager whole-catalog materialization
+            # would re-build every sibling view per view — quadratic at
+            # best, infinitely recursive between any two views. The
+            # in-flight set turns genuine cycles into a named error.
+            key = (meta.database, meta.name)
+            if key in _resolving:
+                raise ValueError(
+                    f"circular view reference involving {meta.name}")
+            names, dynamic = _referenced_table_names(meta.view_query)
+            stack = _resolving | {key}
+            if dynamic:
+                # merge()-style dynamic references: fall back to the
+                # full catalog minus the in-flight views
+                tables = self._tables_except(meta.name, meta.database,
+                                             stack)
+            else:
+                tables = {}
+                for dbn, t in names:
+                    cand = ((dbn, t),)
+                    if dbn is None:
+                        cand = ((meta.database, t), ("default", t))
+                    for cdb, ct in cand:
+                        m2 = (self._db(cdb).get(ct)
+                              if cdb in self.databases else None)
+                        if m2 is None:
+                            continue
+                        if (m2.database, m2.name) in stack:
+                            raise ValueError(
+                                f"circular view reference involving "
+                                f"{meta.name}")
+                        k = ct if dbn is None else f"{dbn}.{ct}"
+                        tables[k] = self._read(m2, stack)
+                        break
+                if any(dbn == "system" for dbn, _t in names):
+                    tables.update(self._system_tables())
+            return build(self.spark, meta.view_query, tables,
+                         self._engines())
         if meta.memory_df is not None:
             return meta.memory_df
         if meta.bucket_spec() is not None and meta.path:
@@ -407,10 +444,12 @@ class ChSession:
             return df
         return self.spark.createDataFrame([], meta.spark_schema())
 
-    def _tables_except(self, skip: str,
-                       db: str | None = None) -> dict[str, DataFrame]:
-        return {n: self._read(m)
-                for n, m in self._db(db).items() if n != skip}
+    def _tables_except(self, skip: str, db: str | None = None,
+                       _resolving: frozenset = frozenset()
+                       ) -> dict[str, DataFrame]:
+        return {n: self._read(m, _resolving)
+                for n, m in self._db(db).items()
+                if n != skip and (m.database, m.name) not in _resolving}
 
     # --- DDL --------------------------------------------------------------
 
@@ -1697,6 +1736,56 @@ def _literal_py(node):
         items = [_literal_py(i) for i in node.args]
         return dict(zip(items[0::2], items[1::2]))
     raise ValueError(f"INSERT VALUES supports literals, got {node}")
+
+
+def _referenced_table_names(node) -> tuple[set, bool]:
+    """(db_or_None, table) pairs a query's AST references — TableRefs,
+    view()/IN-table forms, subqueries — plus a flag for dynamic table
+    functions (merge()) whose reference set is pattern-driven."""
+    from .plans.ast_nodes import (FuncCall, Identifier, Join, Subquery,
+                                  SubqueryRef, TableFunction, TableRef)
+    names: set = set()
+    dynamic = False
+
+    def walk(n):
+        nonlocal dynamic
+        if n is None or isinstance(n, (str, int, float, bool, bytes)):
+            return
+        if isinstance(n, (list, tuple)):
+            for x in n:
+                walk(x)
+            return
+        if isinstance(n, TableRef):
+            names.add((n.database, n.table))
+            return
+        if isinstance(n, (SubqueryRef, Subquery)):
+            walk(n.query)
+            return
+        if isinstance(n, TableFunction):
+            if n.name.lower() == "merge":
+                dynamic = True
+            walk(n.args)
+            return
+        if isinstance(n, Join):
+            walk(n.left)
+            walk(n.right)
+            walk(n.on)
+            return
+        if isinstance(n, FuncCall):
+            if (n.name in ("in", "notIn", "globalIn", "globalNotIn")
+                    and len(n.args) == 2
+                    and isinstance(n.args[1], Identifier)):
+                # x IN table form
+                names.add((None, n.args[1].name))
+            walk(n.args)
+            walk(n.params)
+            if n.filter_where is not None:
+                walk(n.filter_where)
+            return
+        for f in getattr(n, "__dataclass_fields__", {}):
+            walk(getattr(n, f))
+    walk(node)
+    return names, dynamic
 
 
 def _spark_type_to_ch(spark_t: str) -> str:

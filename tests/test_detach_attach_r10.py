@@ -148,3 +148,21 @@ def test_double_detach_table_raises(sess):
     sess.execute("CREATE TABLE t (v UInt32) ENGINE = Memory")
     with pytest.raises(Exception, match="already detached"):
         sess.execute("DETACH TABLE t")
+
+
+# --- views of views (round-10 recursion fix) --------------------------------
+
+def test_views_of_views_chain_and_diamond(sess):
+    sess.execute("CREATE VIEW v1 AS SELECT number AS n FROM numbers(3)")
+    sess.execute("CREATE VIEW v2 AS SELECT n * 2 AS m FROM v1")
+    sess.execute("CREATE VIEW v3 AS SELECT m + 1 AS k FROM v2")
+    assert _vals(sess, "SELECT sum(m) AS s FROM v2") == [(6,)]
+    assert _vals(sess, "SELECT max(k) AS mx FROM v3") == [(5,)]
+    # diamond: one view referencing two others that share an ancestor
+    sess.execute("CREATE VIEW v4 AS SELECT (SELECT max(n) FROM v1) + m "
+                 "AS z FROM v2")
+    assert _vals(sess, "SELECT max(z) AS mz FROM v4") == [(6,)]
+    # INSERT SELECT through a view chain
+    sess.execute("CREATE TABLE tt (m UInt64) ENGINE = Memory")
+    sess.execute("INSERT INTO tt SELECT m FROM v2")
+    assert _vals(sess, "SELECT count() AS c FROM tt") == [(3,)]
