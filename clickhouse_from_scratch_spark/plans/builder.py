@@ -253,6 +253,17 @@ def _build_query(q, ctx: Context) -> DataFrame:
         # right among themselves). `1 UNION ALL 2 INTERSECT 2` is
         # 1 ∪ (2∩2) = {1,2}, not (1∪2)∩2. Group maximal runs of
         # INTERSECT arms into sub-chains first, then fold the outer ops.
+        # a WITH clause before the first arm scopes over the WHOLE
+        # union statement (CH: every arm sees the CTEs)
+        first_sel = q.selects[0]
+        if isinstance(first_sel, SelectQuery) and first_sel.ctes:
+            ctx = ctx.child()
+            for cte_name, cte_node in first_sel.ctes:
+                if isinstance(cte_node, (SelectQuery, UnionQuery)):
+                    ctx.tables.setdefault(cte_name,
+                                          _build_query(cte_node, ctx))
+                else:
+                    ctx.aliases.setdefault(cte_name, cte_node)
         groups: list[list[tuple[str | None, object]]] = \
             [[(None, q.selects[0])]]
         for mode, sel in zip(q.modes, q.selects[1:]):

@@ -694,3 +694,11 @@ def test_parse_datetime_separators_and_tz_arg(spark):
     assert one(spark, "SELECT toDateTime('2024-06-01 00:00:00', "
                "'America/New_York') AS t") \
         == (datetime.datetime(2024, 6, 1, 4, 0),)
+
+
+def test_union_wide_cte_scope(spark):
+    # a WITH before the first arm scopes over the WHOLE union statement
+    assert sorted(rows(spark, "WITH t AS (SELECT 1 AS a) SELECT a FROM "
+                       "t UNION ALL SELECT a + 1 FROM t")) == [(1,), (2,)]
+    assert sorted(rows(spark, "WITH 5 AS x SELECT x AS v UNION ALL "
+                       "SELECT x * 2")) == [(5,), (10,)]
