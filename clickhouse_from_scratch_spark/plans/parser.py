@@ -280,14 +280,16 @@ class Parser:
         if self.accept_kw("OFFSET"):
             q.offset = int(self.advance().text)
             self.accept_kw("ROW") or self.accept_kw("ROWS")
-            if self.accept_kw("FETCH"):
-                self.accept_kw("FIRST") or self.accept_kw("NEXT")
-                q.limit = int(self.advance().text)
-                self.accept_kw("ROW") or self.accept_kw("ROWS")
-                if self.accept_kws("WITH", "TIES"):
-                    q.with_ties = True
-                else:
-                    self.accept_kw("ONLY")
+        if self.accept_kw("FETCH"):
+            # FETCH FIRST n ROWS [ONLY | WITH TIES], with or without a
+            # preceding OFFSET clause (standard fetch-first grammar)
+            self.accept_kw("FIRST") or self.accept_kw("NEXT")
+            q.limit = int(self.advance().text)
+            self.accept_kw("ROW") or self.accept_kw("ROWS")
+            if self.accept_kws("WITH", "TIES"):
+                q.with_ties = True
+            else:
+                self.accept_kw("ONLY")
 
     def _group_by(self) -> GroupBy:
         # GROUP BY () — explicit empty grouping = one global group

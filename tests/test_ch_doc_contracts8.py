@@ -702,3 +702,11 @@ def test_union_wide_cte_scope(spark):
                        "t UNION ALL SELECT a + 1 FROM t")) == [(1,), (2,)]
     assert sorted(rows(spark, "WITH 5 AS x SELECT x AS v UNION ALL "
                        "SELECT x * 2")) == [(5,), (10,)]
+
+
+def test_fetch_first_without_offset(spark):
+    assert rows(spark, "SELECT number FROM numbers(10) ORDER BY number "
+                "FETCH FIRST 3 ROWS ONLY") == [(0,), (1,), (2,)]
+    assert rows(spark, "SELECT v FROM (SELECT 1 AS v UNION ALL SELECT "
+                "1 UNION ALL SELECT 2) ORDER BY v "
+                "FETCH FIRST 1 ROWS WITH TIES") == [(1,), (1,)]
