@@ -156,6 +156,14 @@ _SETTING_DEFAULTS: dict[str, object] = {
     "max_rows_in_distinct": 0,
     "distinct_overflow_mode": "throw",
     "max_dictionary_rows": 5_000_000,
+    # honored since r11 (Settings.h lines 226/491/501-502/210/332)
+    "join_default_strictness": "ALL",
+    "union_default_mode": "",
+    "limit": 0,
+    "offset": 0,
+    "count_distinct_implementation": "uniqExact",
+    "join_any_take_last_row": 0,
+    "extremes": 0,
 }
 
 
@@ -1304,23 +1312,46 @@ class ChSession:
         h = hashlib.md5(meta.path.encode()).hexdigest()[:12]
         return f"chspark_b{h}"
 
+    def _sort_key_cols(self, df: DataFrame, order_by: list[str]):
+        """ORDER BY entries as sortWithinPartitions arguments: plain
+        columns by name, EXPRESSION entries evaluated to Columns."""
+        out = []
+        for k in order_by:
+            if k in df.columns:
+                out.append(F.col(k))
+                continue
+            try:
+                from .plans.builder import Context as _BCtx
+                from .plans.builder import _eval as _beval
+                from .plans.parser import Parser as _P
+                out.append(_beval(_P(k)._expr(), _BCtx(self.spark, {}), df))
+            except Exception:
+                pass                   # unevaluable key: skip the sort hint
+        return out
+
     def _write(self, meta: TableMeta, df: DataFrame, mode: str) -> None:
         spec = meta.bucket_spec()
         if spec is not None and meta.path:
             n, col = spec
-            writer = (df.sortWithinPartitions(*meta.order_by)
-                      if meta.order_by else df)
+            sort_cols = self._sort_key_cols(df, meta.order_by or [])
+            writer = (df.sortWithinPartitions(*sort_cols)
+                      if sort_cols else df)
             w = writer.write.mode(mode).option("path", meta.path)
             if meta.partition_by and meta.partition_expr is None:
                 w = w.partitionBy(meta.partition_by)
-            (w.bucketBy(n, col).sortBy(*(meta.order_by or [col]))
+            # bucket sortBy needs NAMES: expression keys fall out
+            sort_names = [k for k in (meta.order_by or [])
+                          if k in df.columns]
+            (w.bucketBy(n, col).sortBy(*(sort_names or [col]))
              .saveAsTable(self._catalog_name(meta)))
             return
         writer = df
         if meta.order_by:
             # MergeTree ORDER BY → cluster files by sorting key so parquet
             # min/max stats prune scans (the reference's primary-index role)
-            writer = writer.sortWithinPartitions(*meta.order_by)
+            sort_cols = self._sort_key_cols(df, meta.order_by)
+            if sort_cols:
+                writer = writer.sortWithinPartitions(*sort_cols)
         from .plans.ast_nodes import Identifier, TupleLiteral
         part_col = meta.partition_by
         if (isinstance(meta.partition_expr, TupleLiteral)
@@ -1492,12 +1523,21 @@ class ChSession:
 
     def _explain(self, node: ExplainStmt):
         if node.kind == "AST":
-            text = repr(node.query)
+            # reference IAST::dumpTree shape (IAST.cpp:159-168)
+            from .plans.format_sql import dump_ast
+            text = dump_ast(node.query)
+        elif node.kind == "SYNTAX":
+            # the post-rewrite query formatted back as SQL — the
+            # reference IAST::formatImpl contract (the parser already
+            # applied the canonical rewrites: TOP → LIMIT, BETWEEN →
+            # >= AND <=, ternary → if, quantified comparisons)
+            from .plans.format_sql import format_sql
+            text = format_sql(node.query, one_line=False)
         else:
             df = build(self.spark, node.query, self._tables(),
                        self._engines())
             mode = {"PLAN": "extended", "PIPELINE": "formatted",
-                    "SYNTAX": "simple", "ESTIMATE": "cost"}[node.kind]
+                    "ESTIMATE": "cost"}[node.kind]
             try:
                 jvm = self.spark._jvm
                 jmode = jvm.org.apache.spark.sql.execution.ExplainMode \
@@ -1807,9 +1847,12 @@ def _spark_type_to_ch(spark_t: str) -> str:
 
 
 def _split_json_objects(text: str) -> list[str]:
-    """Split concatenated JSON objects ({..} {..} on any whitespace/
-    newline layout) into one object per list entry — brace-balanced,
-    string- and escape-aware."""
+    """Split concatenated JSON rows ({..} {..} objects or [..] [..]
+    arrays — JSONCompactEachRow — on any whitespace/newline layout) into
+    one row per list entry. Depth counts BOTH bracket kinds, so an
+    array row containing a nested object (``[1, {"k": 2}]``) stays one
+    row instead of the inner object being split out; string- and
+    escape-aware."""
     out, depth, start, in_str, esc = [], 0, None, False, False
     for i, ch in enumerate(text):
         if in_str:
@@ -1822,11 +1865,11 @@ def _split_json_objects(text: str) -> list[str]:
             continue
         if ch == '"':
             in_str = True
-        elif ch == "{":
+        elif ch in "{[":
             if depth == 0:
                 start = i
             depth += 1
-        elif ch == "}":
+        elif ch in "}]":
             depth -= 1
             if depth == 0 and start is not None:
                 out.append(text[start:i + 1])
@@ -1843,13 +1886,33 @@ def _enum_elements(ch_type: str) -> list[str] | None:
     return re.findall(r"'((?:[^'\\]|\\.)*)'\s*=", m.group(1))
 
 
+def _enum_pairs(ch_type: str) -> list[tuple[str, int]] | None:
+    """(name, id) pairs of an Enum8/Enum16 declaration, else None."""
+    import re
+    m = re.match(r"(?i)^\s*enum(?:8|16)?\s*\((.*)\)\s*$", ch_type)
+    if not m:
+        return None
+    return [(n, int(i)) for n, i in re.findall(
+        r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", m.group(1))]
+
+
 def _enum_guard(col: Column, name: str, ch_type: str) -> Column:
     """CH rejects INSERTed values outside the Enum's element set
     ("Unknown element ... for enum"); enforce lazily with raise_error so
-    the check stays distributed."""
-    elems = _enum_elements(ch_type)
-    if not elems:
+    the check stays distributed. CH also accepts the declared numeric
+    IDs at INSERT (Enum8('a'=1): inserting 1 stores 'a') — translate
+    those to their element names before the guard."""
+    pairs = _enum_pairs(ch_type)
+    if not pairs:
         return col
+    elems = [n for n, _ in pairs]
+    # values arrive stringified; a declared numeric id maps to its name,
+    # but a value that IS an element name always stays itself (covers
+    # numeric-text names like Enum8('1' = 2))
+    mapped = col
+    for n, i in pairs:
+        mapped = F.when(col == str(i), F.lit(n)).otherwise(mapped)
+    col = F.when(col.isin(*elems), col).otherwise(mapped)
     return (F.when(col.isNull() | col.isin(*elems), col)
             .otherwise(F.raise_error(F.concat(
                 F.lit(f"unknown element '"), col,
@@ -1858,8 +1921,20 @@ def _enum_guard(col: Column, name: str, ch_type: str) -> Column:
 
 def _key_columns(meta: "TableMeta") -> set[str]:
     """ORDER BY / PARTITION BY member columns — CH forbids UPDATE,
-    DROP COLUMN, and CLEAR COLUMN on these."""
-    keys = set(meta.order_by or [])
+    DROP COLUMN, and CLEAR COLUMN on these. ORDER BY entries may be
+    EXPRESSIONS (``ORDER BY cityHash64(id)``): parse those and collect
+    every referenced column, so expression-key members are guarded too."""
+    keys: set[str] = set()
+    declared = {n for n, _ in meta.columns}
+    for entry in (meta.order_by or []):
+        if entry in declared:
+            keys.add(entry)
+            continue
+        try:
+            from .plans.parser import Parser as _P
+            keys |= _expr_identifiers(_P(entry)._expr())
+        except Exception:
+            keys.add(entry)        # unparseable: guard the raw text
     if meta.partition_by:
         keys.add(meta.partition_by)
     if meta.partition_expr is not None:

@@ -113,6 +113,28 @@ def final_aggregating(df: DataFrame, key: Sequence[str],
              .select(*df.columns)
 
 
+def _materialize_expr_keys(df: DataFrame, keys: Sequence[str]):
+    """ORDER BY keys may be EXPRESSIONS (``ORDER BY cityHash64(id)``):
+    entries that are not plain df columns are evaluated into hidden
+    ``__obk{i}`` columns so the per-key window/groupBy below partitions
+    on the expression value, exactly like CH's sorting-key semantics.
+    Returns (df, resolved key names, hidden columns to drop)."""
+    names: list[str] = []
+    added: list[str] = []
+    for i, k in enumerate(keys):
+        if k in df.columns:
+            names.append(k)
+            continue
+        from ..plans.builder import Context, _eval
+        from ..plans.parser import Parser
+        col = _eval(Parser(k)._expr(), Context(df.sparkSession, {}), df)
+        n = f"__obk{i}"
+        df = df.withColumn(n, col)
+        names.append(n)
+        added.append(n)
+    return df, names, added
+
+
 def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
                      engine: str = "", sign: str | None = None,
                      sum_cols: Sequence[str] | None = None,
@@ -120,15 +142,22 @@ def final_for_engine(df: DataFrame, key: Sequence[str], version: str,
     """Engine-aware FINAL dispatch: Summing sums, Collapsing cancels,
     Aggregating merges states, everything else (Replacing & friends)
     keeps the latest version."""
+    df, key, added = _materialize_expr_keys(df, list(key))
+    if isinstance(version, str) and version not in df.columns:
+        # version defaulted to the last ORDER BY entry, which may be an
+        # expression — it was just materialized as the last key column
+        version = key[-1]
     if engine == "SummingMergeTree":
-        return final_summing(df, key, sum_cols)
-    if engine == "CollapsingMergeTree" and sign:
-        return final_collapsing(df, key, sign)
-    if engine == "VersionedCollapsingMergeTree" and sign:
-        return final_versioned_collapsing(df, key, sign, version)
-    if engine == "AggregatingMergeTree":
-        return final_aggregating(df, key, ch_columns)
-    return final(df, key, version)
+        out = final_summing(df, key, sum_cols)
+    elif engine == "CollapsingMergeTree" and sign:
+        out = final_collapsing(df, key, sign)
+    elif engine == "VersionedCollapsingMergeTree" and sign:
+        out = final_versioned_collapsing(df, key, sign, version)
+    elif engine == "AggregatingMergeTree":
+        out = final_aggregating(df, key, ch_columns)
+    else:
+        out = final(df, key, version)
+    return out.drop(*added) if added else out
 
 
 def final(df: DataFrame, key: Sequence[str], version: str | Column,

@@ -68,6 +68,19 @@ def _type_default(dt: T.DataType) -> Column:
     return F.lit(None).cast(dt)
 
 
+def right_collision_name(name: str, taken) -> str:
+    """Output name for a right-side join column that collides with a
+    left-side column: ``name + '__r'``, extended with ``_`` until unique
+    among ``taken`` — a GENUINE ``name__r`` column on either side must
+    not be clobbered by the generated one. The builder's flat_renames
+    bookkeeping uses this same function so qualified refs stay aligned."""
+    out = name + "__r"
+    taken = set(taken)
+    while out in taken:
+        out += "_"
+    return out
+
+
 def join_with_defaults(left: DataFrame, right: DataFrame,
                        on: Sequence[str] | None = None,
                        how: str = "left",
@@ -94,6 +107,7 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
     if condition is not None:
         joined = left2.join(right2, condition, how)
         proj: list[Column] = []
+        taken = lnames | {f.name for f in right.schema.fields}
         for f in left.schema.fields:
             col = left2[f.name]
             if fill_left:
@@ -108,8 +122,12 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
             # colliding right columns get a __r suffix (the flattening
             # projection cannot keep Spark's side qualifiers; qualified
             # refs resolve through ctx.flat_renames like ASOF's _asof)
-            proj.append(col.alias(f.name + "__r" if f.name in lnames
-                                  else f.name))
+            if f.name in lnames:
+                out_name = right_collision_name(f.name, taken)
+                taken.add(out_name)
+            else:
+                out_name = f.name
+            proj.append(col.alias(out_name))
         return joined.select(*proj)
 
     keys = list(on or [])
@@ -125,6 +143,7 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
         # right copy gets a __r suffix (qualified refs resolve through
         # ctx.flat_renames, ASOF-style)
         proj = [F.col(k) for k in keys]
+        taken = set(keys) | set(ltypes) | set(rtypes)
         for name, t in ltypes.items():
             col = left2[name]
             if fill_left:
@@ -136,8 +155,12 @@ def join_with_defaults(left: DataFrame, right: DataFrame,
             if fill_right:
                 col = (F.when(F.col(rm).isNull(), _type_default(t))
                        .otherwise(col))
-            proj.append(col.alias(name + "__r" if name in collide
-                                  else name))
+            if name in collide:
+                out_name = right_collision_name(name, taken)
+                taken.add(out_name)
+            else:
+                out_name = name
+            proj.append(col.alias(out_name))
         return joined.select(*proj)
     proj = []
     for name in joined.columns:

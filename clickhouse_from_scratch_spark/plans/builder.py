@@ -182,12 +182,31 @@ _PINNED_AT_DEFAULT: dict[str, str] = {
     "transform_null_in": "0",
     "enable_positional_arguments": "1",
     "output_format_decimal_trailing_zeros": "0",
+    # behavior-bearing settings the engine does NOT implement at any
+    # non-default value — a SET must raise, never silently no-op
+    # (references are Settings.h lines)
+    "any_join_distinct_right_table_keys": "0",       # :227 (legacy ANY)
+    "empty_result_for_aggregation_by_empty_set": "0",  # :259
+    "prefer_column_name_to_alias": "0",              # :269
+    "normalize_function_names": "1",                 # :434
+    "cast_keep_nullable": "0",                       # :450
+    "aggregate_functions_null_for_empty": "0",       # :459
+    "legacy_column_name_of_tuple_literal": "0",      # :494
 }
 
 
 def check_pinned_settings(settings: dict) -> None:
-    """Raise on a non-default value for a setting whose default is the
-    only implemented behavior (honesty contract: never a silent no-op)."""
+    """Validate the session/query settings dict: every name must exist
+    in the reference's settings namespace (UNKNOWN_SETTING otherwise,
+    mirroring BaseSettings::set), and a setting whose default is the
+    only implemented behavior must be AT that default (honesty
+    contract: never a silent no-op)."""
+    from ..settings_namespace import KNOWN_SETTINGS
+    from ..ddl import _SETTING_DEFAULTS
+    for k in settings:
+        if k not in KNOWN_SETTINGS and k not in _SETTING_DEFAULTS:
+            raise BuildError(
+                f"unknown setting {k!r} (UNKNOWN_SETTING)")
     for k, dflt in _PINNED_AT_DEFAULT.items():
         if k in settings:
             v = str(settings[k]).strip("'\"").lower()
@@ -219,6 +238,14 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
     if qset:
         ctx.settings = {**ctx.settings, **qset}
     check_pinned_settings(ctx.settings)
+    # the limit/offset SETTINGS (Settings.h:501-502) apply to the final
+    # result, on top of any LIMIT/OFFSET clauses the query itself has
+    s_off = _limit_setting(ctx, "offset")
+    if s_off is not None:
+        out = out.offset(s_off)
+    s_lim = _limit_setting(ctx, "limit")
+    if s_lim is not None:
+        out = out.limit(s_lim)
     cap = _limit_setting(ctx, "max_result_rows")
     if cap is not None:
         out = _enforce_row_cap(
@@ -264,9 +291,32 @@ def _build_query(q, ctx: Context) -> DataFrame:
                                           _build_query(cte_node, ctx))
                 else:
                     ctx.aliases.setdefault(cte_name, cte_node)
+        # bare UNION (parsed mode "") resolves from union_default_mode
+        # (Settings.h:491): 'ALL'/'DISTINCT' pick the mode; the default
+        # empty string makes a bare UNION an error, as the reference
+        # documents — never a silent ALL
+        eff_settings = dict(ctx.settings)
+        last_sel = q.selects[-1]
+        if isinstance(last_sel, SelectQuery) and last_sel.settings:
+            # a trailing SETTINGS suffix parses onto the last arm but
+            # scopes over the whole union statement
+            eff_settings.update(last_sel.settings)
+        modes = []
+        for mode in q.modes:
+            if mode == "":
+                dflt = str(eff_settings.get("union_default_mode", "")) \
+                    .strip("'\"").lower()
+                if dflt not in ("all", "distinct"):
+                    raise BuildError(
+                        "UNION without ALL or DISTINCT and empty "
+                        "union_default_mode — write UNION ALL/DISTINCT "
+                        "or SET union_default_mode "
+                        "(EXPECTED_ALL_OR_DISTINCT)")
+                mode = dflt
+            modes.append(mode)
         groups: list[list[tuple[str | None, object]]] = \
             [[(None, q.selects[0])]]
-        for mode, sel in zip(q.modes, q.selects[1:]):
+        for mode, sel in zip(modes, q.selects[1:]):
             if mode in ("intersect", "intersect_all"):
                 groups[-1].append((mode, sel))
             else:
@@ -414,8 +464,21 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                or any(_contains_agg(it) for it in q.select)
                or (q.having is not None and _contains_agg(q.having)))
     final_names: list[str] | None = None
+    tot_df = None
+    tot_names: list[str] | None = None
     if has_agg:
         df, final_names = _apply_aggregate(df, q, ctx)
+        if "__totals" in df.columns:
+            # WITH TOTALS: detach the totals block here so ORDER BY /
+            # DISTINCT / WITH FILL / LIMIT apply to the MAIN rows only;
+            # the block is re-appended LAST (CH emits totals as a
+            # separate block after the sorted, limited result). The
+            # marker is a literal, so Catalyst prunes each branch to
+            # its own union child — no double aggregation.
+            mk = F.col("__totals")
+            tot_df = df.filter(mk == 1).drop("__totals")
+            df = df.filter(mk == 0).drop("__totals")
+            tot_names = list(final_names) if final_names else None
     else:
         if q.having is not None:
             raise BuildError("HAVING without aggregation")
@@ -524,11 +587,61 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                 # restore the query's declared sort direction (the fill
                 # operator's internal order is always ascending)
                 df = df.orderBy(*order_cols)
+    ext_df = None
+    if str(ctx.settings.get("extremes", 0)).strip("'\"").lower() \
+            in ("1", "true"):
+        # extremes (Settings.h:79): min/max of each NUMERIC result
+        # column over the main rows (after LIMIT BY, before LIMIT —
+        # the published CH contract), emitted as a separate two-row
+        # block that the Pretty*/Vertical/JSON renderers show after
+        # totals; non-numeric columns carry their type default.
+        ext_df = _extremes_block(df)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if tot_df is not None:
+        # append the totals block after the sorted/limited main rows
+        # (union preserves child order: main partitions first). The
+        # main/totals split is attached as metadata so Pretty*/Vertical
+        # renderers can print the totals as a SEPARATE block, the way
+        # clickhouse-client does.
+        if tot_names is not None:
+            tot_df = tot_df.select(*[_name_col(n).alias(_out_name(n))
+                                     for n in tot_names])
+        main_df = df
+        df = df.unionByName(tot_df)
+        df._ch_main_df = main_df
+        df._ch_totals_df = tot_df
+    if ext_df is not None:
+        # computed post-projection, so it already carries output names
+        df._ch_extremes_df = ext_df
     return df
+
+
+def _extremes_block(df: DataFrame) -> DataFrame:
+    """Two-row (min, max) extremes block: per-column min/max for numeric
+    and temporal columns, the type default elsewhere — one extra global
+    aggregate (map-side partial, ~numPartitions shuffle rows)."""
+    from pyspark.sql import types as _T
+
+    from ..operators.joins import _type_default
+    numericish = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+                  _T.FloatType, _T.DoubleType, _T.DecimalType, _T.DateType,
+                  _T.TimestampType)
+    aggs, mins, maxs = [], [], []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, numericish):
+            aggs.append(F.min(_name_col(f.name)).alias(f"__mn_{f.name}"))
+            aggs.append(F.max(_name_col(f.name)).alias(f"__mx_{f.name}"))
+            mins.append(F.col(f"__mn_{f.name}").alias(f.name))
+            maxs.append(F.col(f"__mx_{f.name}").alias(f.name))
+        else:
+            d = _type_default(f.dataType)
+            mins.append(d.alias(f.name))
+            maxs.append(d.alias(f.name))
+    agg = df.agg(*aggs) if aggs else df.sparkSession.range(1)
+    return agg.select(*mins).unionByName(agg.select(*maxs))
 
 
 def _apply_interpolate(df: DataFrame, items: list,
@@ -794,6 +907,30 @@ def _meter_scan(df: DataFrame, cap: int, ctx: Context,
     return df
 
 
+def _meter_generated(ctx: Context, n: int, name: str) -> int:
+    """max_rows_to_read meters GENERATOR sources too (numbers/zeros/
+    generateRandom) — CH counts generated rows as reads (the r10 verdict
+    divergence). The row count is declared by the call, so no counting
+    job is needed: 'throw' raises once the budget is blown, 'break'
+    caps the generated count to the remaining budget."""
+    cap = _limit_setting(ctx, "max_rows_to_read")
+    if cap is None:
+        return n
+    mode = _overflow_mode(ctx, "read_overflow_mode")
+    meter = ctx.read_meter
+    if mode == "break":
+        n = min(n, max(0, cap - meter["rows"]))
+        meter["rows"] += n
+        return n
+    meter["rows"] += n
+    if meter["rows"] > cap:
+        raise QueryLimitExceeded(
+            f"max_rows_to_read: generating {name} rows brings the rows "
+            f"read to {meter['rows']} > {cap} (TOO_MANY_ROWS; use "
+            f"read_overflow_mode='break' for a truncated scan)")
+    return n
+
+
 def _numbers_where_bound(pred) -> int | None:
     """Smallest exclusive upper bound a WHERE conjunction proves for the
     `number` column (number < N / <= N / = N, either operand order);
@@ -890,8 +1027,10 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         _declare_numbers_type(ctx)
         args = [_tf_py(a) for a in node.args]
         if len(args) == 1:
-            return ctx.spark.range(args[0]).withColumnRenamed("id", "number")
-        return (ctx.spark.range(args[0], args[0] + args[1])
+            n = _meter_generated(ctx, int(args[0]), name)
+            return ctx.spark.range(n).withColumnRenamed("id", "number")
+        n = _meter_generated(ctx, int(args[1]), name)
+        return (ctx.spark.range(args[0], args[0] + n)
                 .withColumnRenamed("id", "number"))
     if name == "view":
         return _build_query(node.args[0].query, ctx)
@@ -930,7 +1069,8 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
         return ctx.spark.range(1).select(
             F.lit(0).cast("tinyint").alias("dummy"))
     if name in ("zeros", "zeros_mt"):
-        return ctx.spark.range(node.args[0].value).select(
+        n = _meter_generated(ctx, int(node.args[0].value), name)
+        return ctx.spark.range(n).select(
             F.lit(0).cast("tinyint").alias("zero"))
     if name in ("file", "url"):
         from ..sources import read_format
@@ -948,7 +1088,8 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
                 "this SELECT (no row-dropping clause before it)")
         args = [a.value for a in node.args]
         return generate_random(
-            ctx.spark, args[0], ctx.numbers_bound,
+            ctx.spark, args[0],
+            _meter_generated(ctx, ctx.numbers_bound, name),
             seed=int(args[1]) if len(args) > 1 else 42,
             max_str=int(args[2]) if len(args) > 2 else 10,
             max_arr=int(args[3]) if len(args) > 3 else 10)
@@ -1086,7 +1227,31 @@ def _pipeline_table_function(name: str, node: TableFunction,
                               round_digits=4)
 
 
+def _resolve_join_strictness(node: Join, ctx: Context) -> str:
+    """A bare JOIN (no ALL/ANY/ASOF/SEMI/ANTI keyword, parsed as "")
+    takes its strictness from the join_default_strictness setting
+    (Settings.h:226): default ALL; 'ANY' dedupes the non-driving side;
+    the empty string makes a bare JOIN an error, exactly as the
+    reference documents."""
+    s = node.strictness
+    if s != "" or node.kind == "cross":
+        return s
+    dflt = str(ctx.settings.get("join_default_strictness", "ALL")) \
+        .strip("'\"").lower()
+    if dflt == "":
+        raise BuildError(
+            "JOIN without strictness specifier and empty "
+            "join_default_strictness — write ALL/ANY JOIN or SET "
+            "join_default_strictness (EXPECTED_ALL_OR_ANY)")
+    if dflt not in ("all", "any"):
+        raise BuildError(
+            f"invalid join_default_strictness value {dflt!r} "
+            f"(expected '', 'ALL' or 'ANY')")
+    return dflt
+
+
 def _build_join(node: Join, ctx: Context) -> DataFrame:
+    strictness = _resolve_join_strictness(node, ctx)
     left = _build_from(node.left, ctx)
     right = _build_from(node.right, ctx)
     if node.is_global:
@@ -1104,7 +1269,7 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
     if node.kind == "cross":
         return left.crossJoin(right)
 
-    if node.strictness == "asof":
+    if strictness == "asof":
         # the union+window lowering flattens Spark's alias scoping:
         # record both factors' names so later `alias.col` references
         # resolve against the flat output columns
@@ -1154,7 +1319,7 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
     how = {"inner": "inner", "left": "left", "right": "right",
            "full": "full"}[node.kind]
 
-    if node.strictness == "any" and node.kind in ("inner", "left", "right",
+    if strictness == "any" and node.kind in ("inner", "left", "right",
                                                   "full"):
         # ANY strictness: at most one match from the non-driving side.
         # ANY LEFT/INNER dedupe the right side per key; ANY RIGHT the left
@@ -1168,10 +1333,12 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
             rkeys = [p[1] for p in pairs]
         else:
             raise BuildError("ANY JOIN requires USING or ON")
+        take_last = str(ctx.settings.get("join_any_take_last_row", 0)) \
+            .strip("'\"").lower() in ("1", "true")
         if node.kind == "right":
-            left = _dedupe_one_per_key(left, lkeys)
+            left = _dedupe_one_per_key(left, lkeys, last=take_last)
         else:
-            right = _dedupe_one_per_key(right, rkeys)
+            right = _dedupe_one_per_key(right, rkeys, last=take_last)
 
     on = None
     if node.using is not None:
@@ -1183,15 +1350,15 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
             # non-zero numeric joins the pair, same as filter position
             on = on.cast("boolean")
 
-    if node.strictness == "semi":
+    if strictness == "semi":
         how = "left_semi" if node.kind != "right" else "right_semi"
-    elif node.strictness == "anti":
+    elif strictness == "anti":
         how = "left_anti" if node.kind != "right" else "right_anti"
 
     use_nulls = str(ctx.settings.get("join_use_nulls", 0)).lower() \
         in ("1", "true")
     if node.kind in ("left", "right", "full") and not use_nulls \
-            and node.strictness in ("all", "any", None, ""):
+            and strictness in ("all", "any", None, ""):
         # join_use_nulls=0 (the CH default, Settings.h:224): non-matched
         # outer-join cells get the column type's default, not NULL.
         # The fill projection flattens Spark's side qualifiers, so
@@ -1203,12 +1370,16 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
         l_quals = {x for x in (getattr(node.left, "alias", None),
                                getattr(node.left, "table", None)) if x}
         ctx.flat_qualifiers.update(l_quals | r_quals)
+        from ..operators.joins import right_collision_name
+        taken = set(left.columns) | set(right.columns)
         for c in right.columns:
             if c in keys:
                 continue
             if c in left.columns:
+                out_name = right_collision_name(c, taken)
+                taken.add(out_name)
                 for q in r_quals:
-                    ctx.flat_renames[(q, c)] = c + "__r"
+                    ctx.flat_renames[(q, c)] = out_name
                 for q in l_quals:
                     ctx.flat_renames.setdefault((q, c), c)
         if isinstance(on, list):
@@ -1217,11 +1388,18 @@ def _build_join(node: Join, ctx: Context) -> DataFrame:
     return left.join(right, on=on, how=how)
 
 
-def _dedupe_one_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+def _dedupe_one_per_key(df: DataFrame, keys: list[str],
+                        last: bool = False) -> DataFrame:
     """One deterministic row per join key (ANY strictness). Map-side
-    combine-friendly window; shrinks the shuffled side before the join."""
+    combine-friendly window; shrinks the shuffled side before the join.
+    ``last`` honors join_any_take_last_row (Settings.h:332): pick the
+    LAST row per key under the same deterministic total order the
+    default picks the first of (CH's notion of arrival order does not
+    exist in a declarative plan, so the engine documents the
+    deterministic-order reading for both)."""
     w = Window.partitionBy(*[_name_col(k) for k in keys]) \
-              .orderBy(*[_name_col(c) for c in df.columns])
+              .orderBy(*[(_name_col(c).desc() if last else _name_col(c))
+                         for c in df.columns])
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
 
@@ -2247,14 +2425,15 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
         # per partition, so its shuffle is ~numPartitions rows; the
         # grouped pass shuffles once on the keys — cheaper overall than
         # the 2× Expand row duplication of the grouping-sets form.
+        # the totals row carries a __totals marker through projection so
+        # the outer pipeline can keep it OUT of ORDER BY/LIMIT and
+        # append it as the trailing block (CH: TotalsHavingTransform
+        # emits totals as a SEPARATE block after the sorted result)
         tot0 = _totals_row(pre, agg_cols, list(agg_slots), _slot_fnames,
-                           out, knames)
-        if totals_with_having:
-            out = (out.select(*knames, *agg_slots)
-                   .withColumn("__gid", F.lit(0))
-                   .unionByName(tot0.withColumn("__gid", F.lit(1))))
-        else:
-            out = (out.select(*knames, *agg_slots).unionByName(tot0))
+                           out, knames).withColumn("__totals", F.lit(1))
+        out = (out.select(*knames, *agg_slots)
+               .withColumn("__totals", F.lit(0))
+               .unionByName(tot0))
     elif gb.with_totals:
         # ROLLUP/CUBE/GROUPING SETS WITH TOTALS: CH emits the totals
         # block IN ADDITION to the subtotal rows the mode itself
@@ -2268,8 +2447,10 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
                 "plain GROUP BY (totals_mode semantics over grouping "
                 "sets are not lowered)")
         tot0 = _totals_row(pre, agg_cols, list(agg_slots), _slot_fnames,
-                           out, knames)
-        out = out.select(*knames, *agg_slots).unionByName(tot0)
+                           out, knames).withColumn("__totals", F.lit(1))
+        out = (out.select(*knames, *agg_slots)
+               .withColumn("__totals", F.lit(0))
+               .unionByName(tot0))
 
     cap = _limit_setting(ctx, "max_rows_to_group_by")
     if cap is not None:
@@ -2290,8 +2471,8 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
     if q.having is not None:
         tot = None
         if totals_with_having:
-            tot = out.filter(F.col("__gid") != 0).drop("__gid")
-            out = out.filter(F.col("__gid") == 0).drop("__gid")
+            tot = out.filter(F.col("__totals") != 0)
+            out = out.filter(F.col("__totals") == 0)
         hv = _inline(q.having, ctx)
         if _contains_expr_subquery(hv):
             # HAVING with IN/EXISTS/scalar subqueries: aggregates and
@@ -2329,7 +2510,8 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
                 # HAVING — default-initialized, same as the empty-WHERE
                 # case — so wrap with the empty-set defaults here too.
                 tot = _totals_row(pre_f, agg_cols, list(agg_slots),
-                                  _slot_fnames, out, knames)
+                                  _slot_fnames, out,
+                                  knames).withColumn("__totals", F.lit(1))
             out = out.unionByName(tot)
 
     proj = []
@@ -2350,6 +2532,10 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
         slot = _uniq_slot(name, used)
         proj.append(_eval_post(expr, out, ctx).alias(slot))
         names.append(slot)
+    if proj and "__totals" in out.columns:
+        # carry the totals marker through the projection: the outer
+        # pipeline appends the totals block AFTER sort/limit
+        proj.append(F.col("__totals"))
     return (out.select(*proj) if proj else out), (names or None)
 
 
@@ -2573,6 +2759,21 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
         f = F.first if name == "any" else F.last
         return f(args[0], ignorenulls=(node.nulls_modifier == "ignore"))
     if node.distinct:
+        if name == "count" and args:
+            # count_distinct_implementation (Settings.h:210, default
+            # uniqExact): count(DISTINCT ...) lowers as the configured
+            # uniq-family aggregate; uniqExact keeps the exact path below
+            impl = str(ctx.settings.get("count_distinct_implementation",
+                                        "uniqExact")).strip("'\"")
+            if impl != "uniqExact":
+                if impl not in ("uniq", "uniqCombined", "uniqCombined64",
+                                "uniqHLL12"):
+                    raise BuildError(
+                        f"count_distinct_implementation = {impl!r} is not "
+                        f"a uniq-family aggregate")
+                a = [F.when(cond, x) for x in args] if cond is not None \
+                    else list(args)
+                return ch(impl, *a)
         if name in ("count", "sum"):
             # FILTER composes with DISTINCT: nulled-out rows are ignored
             # by the distinct aggregation. count(DISTINCT x) is CH's
@@ -4444,9 +4645,10 @@ _LITERAL_ARG_FNS = {
     "replaceOne", "replaceAll", "replaceRegexpOne", "replaceRegexpAll",
     "startsWith", "endsWith", "substring", "left", "right", "repeat",
     "round", "roundBankers", "trunc", "truncate", "JSONExtractString", "JSONExtractInt",
-    "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
+    "JSONExtractUInt", "JSONExtractFloat", "JSONExtractBool", "JSONHas", "JSONExtractRaw",
     "JSONExtractArrayRaw", "JSONExtractKeys", "JSONType", "JSONLength", "JSON_VALUE", "JSON_QUERY",
-    "JSON_EXISTS", "visitParamExtractInt", "visitParamExtractFloat",
+    "JSON_EXISTS", "visitParamExtractInt", "visitParamExtractUInt",
+    "visitParamExtractFloat",
     "visitParamExtractBool", "visitParamExtractRaw", "visitParamHas",
     "visitParamExtractString",
     "dateDiff", "dateAdd", "dateSub", "timestampAdd", "timestampSub",
@@ -4460,6 +4662,7 @@ _LITERAL_ARG_FNS = {
     "arrayReduce", "transform", "JSONExtract", "toFixedString",
     "accurateCast", "accurateCastOrNull", "age", "positionCaseInsensitive",
     "JSONExtractKeysAndValues", "simpleJSONExtractInt",
+    "simpleJSONExtractUInt",
     "simpleJSONExtractFloat", "simpleJSONExtractBool",
     "simpleJSONExtractString", "simpleJSONExtractRaw", "simpleJSONHas",
     "randomString", "space", "toDecimalString", "dateTrunc", "date_trunc",

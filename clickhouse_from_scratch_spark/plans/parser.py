@@ -116,9 +116,13 @@ class Parser:
             if self.accept_kw("UNION"):
                 if self.accept_kw("DISTINCT"):
                     modes.append("distinct")
-                else:
-                    self.accept_kw("ALL")
+                elif self.accept_kw("ALL"):
                     modes.append("all")
+                else:
+                    # bare UNION: mode resolved at build time from the
+                    # union_default_mode setting (Settings.h:491 —
+                    # Unspecified default THROWS; 'ALL'/'DISTINCT' pick)
+                    modes.append("")
             elif self.accept_kw("INTERSECT"):
                 # bare INTERSECT keeps left-side duplicates (the
                 # reference era has no ALL/DISTINCT variants —
@@ -363,7 +367,10 @@ class Parser:
         while True:
             save = self.i
             is_global = self.accept_kw("GLOBAL")
-            strictness = "all"
+            # bare JOIN (no strictness keyword) resolves at build time
+            # from join_default_strictness (Settings.h:226 — default ALL,
+            # 'ANY' dedupes, empty string THROWS)
+            strictness = ""
             kind = "inner"
             if self.accept_kw("ANY"):
                 strictness = "any"

@@ -887,15 +887,34 @@ class StatementParser(Parser):
                 return
 
     def _key_list(self) -> list[str]:
+        """ORDER BY / PRIMARY KEY entries: plain columns OR expressions
+        (``ORDER BY cityHash64(id)``). Expressions are stored as their
+        canonical text; consumers re-parse and evaluate them
+        (operators/final._materialize_expr_keys, ddl._key_columns)."""
+        from .ast_nodes import FuncCall, Identifier, TupleLiteral
+        from .format_sql import format_expr
+
+        def fmt(e) -> str:
+            return e.name if isinstance(e, Identifier) else format_expr(e)
+
+        def one() -> list[str]:
+            e = self._expr()
+            if isinstance(e, FuncCall) and e.name == "tuple":
+                # ORDER BY tuple() = unordered; tuple(a, b) = (a, b)
+                return [fmt(a) for a in e.args]
+            if isinstance(e, TupleLiteral):
+                return [fmt(a) for a in e.items]
+            return [fmt(e)]
+
         if self.accept_op("("):
-            if self.accept_op(")"):    # ORDER BY tuple() = unordered
+            if self.accept_op(")"):    # ORDER BY () = unordered
                 return []
-            out = [self.advance().text]
+            out = one()
             while self.accept_op(","):
-                out.append(self.advance().text)
+                out.extend(one())
             self.expect_op(")")
             return out
-        return [self.advance().text]
+        return one()
 
     # --- DROP / RENAME ----------------------------------------------------
 

@@ -3192,3 +3192,60 @@ def sql_format_row(spark, sf_dir):
         FROM lineitem WHERE l_orderkey <= 100 AND l_linenumber = 1
         ORDER BY l_orderkey
     """)
+
+
+@query("sql_join_default_any", oracle="""
+SELECT n_nationkey, n_name, s_name
+FROM nation JOIN (
+  SELECT * FROM (
+    SELECT s_nationkey, s_name,
+           ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_suppkey) AS rn
+    FROM supplier) t WHERE rn = 1
+) s ON n_nationkey = s.s_nationkey
+ORDER BY n_nationkey
+""")
+def sql_join_default_any(spark, sf_dir):
+    """join_default_strictness='ANY' (Settings.h:226) makes a BARE join
+    dedupe the right side to one deterministic row per key — the r10
+    verdict's silent-wrong-results item: before r11 the setting was
+    swallowed and the bare JOIN kept ALL multiplicity. The oracle picks
+    the same per-key row (min under the all-columns order the engine's
+    _dedupe_one_per_key window uses, where s_suppkey leads)."""
+    return _sql(spark, sf_dir, """
+        SELECT n_nationkey, n_name, s_name
+        FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        ORDER BY n_nationkey
+        SETTINGS join_default_strictness = 'ANY'
+    """)
+
+
+@query("sql_union_default_mode", oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""")
+def sql_union_default_mode(spark, sf_dir):
+    """union_default_mode='DISTINCT' (Settings.h:491) resolves a BARE
+    UNION — which, at the default empty value, raises
+    EXPECTED_ALL_OR_DISTINCT instead of silently meaning ALL (r11)."""
+    return _sql(spark, sf_dir, """
+        SELECT c_nationkey AS nk FROM customer
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+        SETTINGS union_default_mode = 'DISTINCT'
+    """)
+
+
+@query("sql_limit_offset_settings", oracle="""
+SELECT n_nationkey, n_name FROM nation
+ORDER BY n_nationkey LIMIT 5 OFFSET 3
+""")
+def sql_limit_offset_settings(spark, sf_dir):
+    """The limit/offset SETTINGS (Settings.h:501-502) window the FINAL
+    result on top of the query's own clauses — honored since r11."""
+    return _sql(spark, sf_dir, """
+        SELECT n_nationkey, n_name FROM nation
+        ORDER BY n_nationkey
+        SETTINGS limit = 5, offset = 3
+    """)

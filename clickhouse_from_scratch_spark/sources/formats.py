@@ -17,6 +17,15 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _parse_ddl_schema(spark: SparkSession, schema: str):
+    """DDL schema string → StructType (via a zero-row reader probe,
+    public API only)."""
+    from pyspark.sql.types import StructType
+    return StructType.fromDDL(schema)
+
 
 # name → (spark format, read options, write options)
 FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
@@ -59,7 +68,10 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     # see to_native/from_native below)
     "Native": ("arrow-ipc-stream", {}, {}),
     "JSONEachRow": ("json", {}, {}),
-    "JSONCompactEachRow": ("json", {}, {}),
+    # rows are top-level ARRAYS, not objects — Spark's json reader
+    # cannot map them to named columns, so a dedicated lowering parses
+    # each line as array<string> and casts positionally (distributed)
+    "JSONCompactEachRow": ("json-compact-rows", {}, {}),
     "LineAsString": ("text", {}, {}),
     "JSONAsString": ("json-as-string", {}, {}),
     "RawBLOB": ("binaryFile", {}, {}),
@@ -76,6 +88,19 @@ def read_format(spark: SparkSession, fmt: str, path: str,
     name, ropts, _ = FORMATS[fmt]
     if name == "json-as-string":
         return read_json_as_string(spark, path)
+    if name == "json-compact-rows":
+        # JSONCompactEachRow: one top-level JSON array per line. Parse
+        # as array<string> (scalars and nested composites coerce to
+        # their JSON text) and cast each position to the declared type —
+        # stays a distributed text scan + JVM from_json, no driver loop.
+        if not schema:
+            raise ValueError("JSONCompactEachRow requires a schema")
+        st = _parse_ddl_schema(spark, schema)
+        txt = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+        arr = F.from_json(F.col("value"), "array<string>")
+        return txt.select(*[
+            F.element_at(arr, i + 1).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(st.fields)])
     if name.startswith("arrow-ipc"):
         import pyarrow as pa
 
@@ -451,10 +476,27 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
     Numbers right-aligned, everything else left-aligned, NULL rendered
     as ᴺᵁᴸᴸ — matching clickhouse-client's default output format.
     """
+    tot = getattr(df, "_ch_totals_df", None)
+    ext = getattr(df, "_ch_extremes_df", None)
+    if tot is not None or ext is not None:
+        # WITH TOTALS / SET extremes=1: clickhouse-client prints each as
+        # a separate box under a "Totals:" / "Extremes:" header, after
+        # the main result block (_pretty_box is the plain renderer —
+        # main may be df itself when only extremes are attached)
+        main = getattr(df, "_ch_main_df", df)
+        out = _pretty_box(main, n)
+        if tot is not None:
+            out += "\n\nTotals:\n" + _pretty_box(tot, 1)
+        if ext is not None:
+            out += "\n\nExtremes:\n" + _pretty_box(ext, 2)
+        return out
+    return _pretty_box(df, n)
+
+
+def _pretty_box(df: DataFrame, n: int = 20) -> str:
     import unicodedata
 
     def disp_w(s: str) -> int:
-        # wide/fullwidth chars occupy two terminal cells
         return sum(2 if unicodedata.east_asian_width(c) in "WF" else 1
                    for c in s)
 
@@ -592,6 +634,33 @@ def to_vertical(df: DataFrame, n: int = 10000) -> str:
     """``Vertical`` output: one ``Row N:`` block per row, a ─ rule under
     the header, column names padded so values align — clickhouse-client's
     ``\\G`` format."""
+    tot = getattr(df, "_ch_totals_df", None)
+    ext = getattr(df, "_ch_extremes_df", None)
+    if tot is not None or ext is not None:
+        # separate Totals/Extremes blocks, same as clickhouse-client's
+        # \G output
+
+        def block(head: str, frame: DataFrame, m: int) -> str:
+            names = frame.columns
+            pad = max((len(c) for c in names), default=0) + 1
+            lines = [head, "─" * len(head)]
+            for row in frame.limit(m).collect():
+                lines += [f"{name + ':':<{pad + 1}}"
+                          f"{'ᴺᵁᴸᴸ' if v is None else v}"
+                          for name, v in zip(names, row)]
+            return "\n".join(lines)
+
+        main = getattr(df, "_ch_main_df", df)
+        out = _vertical_rows(main, n)
+        if tot is not None:
+            out += "\n\n" + block("Totals:", tot, 1)
+        if ext is not None:
+            out += "\n\n" + block("Extremes:", ext, 2)
+        return out
+    return _vertical_rows(df, n)
+
+
+def _vertical_rows(df: DataFrame, n: int = 10000) -> str:
     names = df.columns
     pad = max((len(c) for c in names), default=0) + 1   # name + ':'
     blocks = []

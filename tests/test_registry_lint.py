@@ -81,3 +81,42 @@ def test_aggregate_subscript_assignments_unique():
     dup_assigned = [a for i, a in enumerate(assigned) if a in assigned[:i]]
     assert not overlap, f"AGGREGATES[...] reassigns literal keys: {overlap}"
     assert not dup_assigned, f"AGGREGATES[...] assigned twice: {dup_assigned}"
+
+
+def test_conversion_family_completeness():
+    """Every numeric width has its full to<T> / OrZero / OrNull /
+    OrDefault family (the r10 verdict's alias-hole class)."""
+    from clickhouse_from_scratch_spark.functions.registry import REGISTRY
+    widths = ["Int8", "Int16", "Int32", "Int64", "Int128", "Int256",
+              "UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "UInt256",
+              "Float32", "Float64"]
+    missing = [f"to{w}{sfx}" for w in widths
+               for sfx in ("", "OrZero", "OrNull", "OrDefault")
+               if f"to{w}{sfx}" not in REGISTRY]
+    assert missing == [], missing
+
+
+def test_simplejson_visitparam_parity():
+    """simpleJSON* and visitParam* mirror the JSONExtract family for
+    every published member (UInt included since r11)."""
+    from clickhouse_from_scratch_spark.functions.registry import REGISTRY
+    members = ["ExtractInt", "ExtractUInt", "ExtractFloat", "ExtractBool",
+               "ExtractString", "ExtractRaw", "Has"]
+    missing = []
+    for m in members:
+        for fam in ("simpleJSON", "visitParam"):
+            if fam + m not in REGISTRY:
+                missing.append(fam + m)
+        if m.startswith("Extract") and "JSON" + m not in REGISTRY:
+            missing.append("JSON" + m)
+    assert missing == [], missing
+
+
+def test_empty_array_family():
+    from clickhouse_from_scratch_spark.functions.registry import REGISTRY
+    kinds = ["UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16",
+             "Int32", "Int64", "Float32", "Float64", "Date", "DateTime",
+             "String"]
+    missing = [f"emptyArray{k}" for k in kinds
+               if f"emptyArray{k}" not in REGISTRY]
+    assert missing == [], missing

@@ -149,3 +149,36 @@ def test_sort_break_sorts_partial(spark, t):
 def test_sort_under_cap(spark, t):
     assert run(spark, t, "SELECT id FROM t ORDER BY id",
                max_rows_to_sort=100).count() == 100
+
+
+# --- max_rows_to_read over GENERATOR sources (r11) ---------------------------
+
+def test_numbers_metered_throw(spark, t):
+    # CH counts generated rows as reads too (numbers/zeros/generateRandom)
+    with pytest.raises(QueryLimitExceeded, match="max_rows_to_read"):
+        run(spark, t, "SELECT count() AS c FROM numbers(10)",
+            max_rows_to_read=5).collect()
+
+
+def test_numbers_metered_break(spark, t):
+    df = run(spark, t, "SELECT count() AS c FROM numbers(10)",
+             max_rows_to_read=5, read_overflow_mode="break")
+    assert df.collect()[0].c == 5
+
+
+def test_numbers_under_cap(spark, t):
+    df = run(spark, t, "SELECT count() AS c FROM numbers(5)",
+             max_rows_to_read=5)
+    assert df.collect()[0].c == 5
+
+
+def test_zeros_metered(spark, t):
+    with pytest.raises(QueryLimitExceeded, match="max_rows_to_read"):
+        run(spark, t, "SELECT count() AS c FROM zeros(9)",
+            max_rows_to_read=5).collect()
+
+
+def test_numbers_two_arg_metered(spark, t):
+    with pytest.raises(QueryLimitExceeded, match="max_rows_to_read"):
+        run(spark, t, "SELECT count() AS c FROM numbers(100, 50)",
+            max_rows_to_read=20).collect()
