@@ -167,6 +167,14 @@ _SETTING_DEFAULTS: dict[str, object] = {
 }
 
 
+def _reference_defaults() -> dict[str, object]:
+    """The full 472-name settings namespace with reference defaults —
+    system.settings lists every name the dialect accepts, changed=0
+    until a SET overrides it (reference system.settings contract)."""
+    from .settings_namespace import REFERENCE_DEFAULTS
+    return REFERENCE_DEFAULTS
+
+
 class ChSession:
     """A ClickHouse-flavored session over Spark: databases, tables,
     settings, and the statement dispatch loop."""
@@ -347,7 +355,8 @@ class ChSession:
                 [(d,) for d in sorted(self.databases)], "name string"),
             "system.settings": self.spark.createDataFrame(
                 [(k, str(v), int(k in self.settings)) for k, v in sorted(
-                    {**_SETTING_DEFAULTS, **self.settings}.items())],
+                    {**_reference_defaults(), **_SETTING_DEFAULTS,
+                     **self.settings}.items())],
                 "name string, value string, changed int"),
             "system.dictionaries": self.spark.createDataFrame(
                 sorted(drows) or [], "database string, name string,"

@@ -1092,7 +1092,16 @@ _alias("arrayFlatten", F.flatten)
 _alias("flatten", F.flatten)
 _alias("arrayZip", F.arrays_zip)
 _alias("arrayStringConcat", lambda a, sep="": F.array_join(_c(a), sep))
-_alias("arrayIntersect", F.array_intersect)
+# variadic: CH intersects any number of arrays left-to-right
+_alias("arrayIntersect", lambda *arrs: _fold_binary(
+    F.array_intersect, [_c(a) for a in arrs]))
+
+
+def _fold_binary(fn, cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = fn(out, c)
+    return out
 _alias("arrayEnumerate", lambda a: F.sequence(F.lit(1), F.size(_c(a))))
 def _ch_range(*args) -> Column:
     """range([start,] end[, step]) — half-open [start, end), empty when
@@ -1572,7 +1581,13 @@ _alias("arrayFirstIndex", lambda f, a: F.coalesce(
 _alias("countEqual", lambda a, v: F.size(F.filter(
     _c(a), lambda x: x.eqNullSafe(_c(v)))))
 _alias("mapFromArrays", lambda k, v: F.map_from_arrays(_c(k), _c(v)))
-_alias("arrayShuffle", lambda a: F.shuffle(_c(a)))
+# the optional seed arg pins the permutation; Spark's shuffle takes no
+# seed, so derive a deterministic order from xxhash64(element, seed)
+_alias("arrayShuffle", lambda a, seed=None: F.shuffle(_c(a))
+       if seed is None else F.transform(F.array_sort(
+           F.transform(_c(a), lambda x: F.struct(
+               F.xxhash64(x, _c(seed)).alias("h"), x.alias("v")))),
+           lambda s: s.getField("v")))
 
 # --- more date/time -------------------------------------------------------
 _alias("date_trunc", lambda unit, c: F.date_trunc(unit, _c(c)))

@@ -761,19 +761,34 @@ def _json_cell(v, simple: str):
 
 def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
     import json
-    rows = df.limit(n).collect()
-    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    tot = getattr(df, "_ch_totals_df", None)
+    ext = getattr(df, "_ch_extremes_df", None)
+    main = getattr(df, "_ch_main_df", df) if tot is not None else df
+    rows = main.limit(n).collect()
+    simples = [f.dataType.simpleString() for f in main.schema.fields]
     meta = [{"name": f.name, "type": _ch_type(s)}
-            for f, s in zip(df.schema.fields, simples)]
-    if compact:
-        data = [[_json_cell(v, s) for v, s in zip(row, simples)]
-                for row in rows]
-    else:
-        data = [{c: _json_cell(v, s)
-                 for c, v, s in zip(df.columns, row, simples)}
-                for row in rows]
-    return json.dumps({"meta": meta, "data": data, "rows": len(rows)},
-                      ensure_ascii=False, indent="\t")
+            for f, s in zip(main.schema.fields, simples)]
+
+    def row_obj(row):
+        return ([_json_cell(v, s) for v, s in zip(row, simples)]
+                if compact else
+                {c: _json_cell(v, s)
+                 for c, v, s in zip(main.columns, row, simples)})
+
+    doc: dict = {"meta": meta, "data": [row_obj(r) for r in rows]}
+    # CH JSON formats carry WITH TOTALS / extremes as dedicated fields
+    # between data and rows (published JSON format contract)
+    if tot is not None:
+        trows = tot.limit(1).collect()
+        if trows:
+            doc["totals"] = row_obj(trows[0])
+    if ext is not None:
+        erows = ext.limit(2).collect()
+        if len(erows) == 2:
+            doc["extremes"] = {"min": row_obj(erows[0]),
+                               "max": row_obj(erows[1])}
+    doc["rows"] = len(rows)
+    return json.dumps(doc, ensure_ascii=False, indent="\t")
 
 
 def to_json(df: DataFrame, n: int = 10000) -> str:

@@ -83,3 +83,30 @@ def test_totals_unsorted_still_last(sess):
     rows = [(r.k, r.s) for r in sess.execute(
         "SELECT k, sum(v) AS s FROM tp GROUP BY k WITH TOTALS").collect()]
     assert rows[-1] == (0, 10)
+
+
+def test_json_format_totals_extremes_fields(sess):
+    import json as _json
+
+    from clickhouse_from_scratch_spark.sources.formats import to_json
+    sess.execute("SET extremes = 1")
+    df = sess.execute(
+        "SELECT k, sum(v) AS s FROM tp GROUP BY k WITH TOTALS ORDER BY k")
+    doc = _json.loads(to_json(df))
+    # published CH JSON format: meta, data, totals, extremes, rows
+    assert list(doc.keys()) == ["meta", "data", "totals", "extremes",
+                                "rows"]
+    assert doc["rows"] == 2 and len(doc["data"]) == 2
+    assert doc["totals"]["k"] == 0
+    assert doc["extremes"]["min"]["k"] == 0
+    assert doc["extremes"]["max"]["k"] == 1
+    sess.execute("SET extremes = 0")
+
+
+def test_json_format_no_blocks_without_totals(sess):
+    import json as _json
+
+    from clickhouse_from_scratch_spark.sources.formats import to_json
+    doc = _json.loads(to_json(sess.execute(
+        "SELECT k, sum(v) AS s FROM tp GROUP BY k")))
+    assert "totals" not in doc and "extremes" not in doc
