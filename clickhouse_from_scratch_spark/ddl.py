@@ -1161,9 +1161,16 @@ class ChSession:
                 source = byte_decoders[fmt](
                     self.spark, open(path, "rb").read(), text_schema)
             else:
+                extra = {}
+                if fmt == "Regexp":
+                    extra = {"regex": str(self.settings.get(
+                                 "format_regexp", "")).strip("'\""),
+                             "skip_unmatched": str(self.settings.get(
+                                 "format_regexp_skip_unmatched", 0))
+                             .strip("'\"").lower() in ("1", "true")}
                 source = read_format(self.spark, fmt, path,
                                      schema=text_schema if needs_schema
-                                     else None)
+                                     else None, **extra)
             source = (source.select(*cols)
                       if set(cols) <= set(source.columns)
                       else source.toDF(*cols))
@@ -1211,12 +1218,14 @@ class ChSession:
             for n, t in meta.stored_columns()])
         if meta.memory_df is not None:
             merged = meta.memory_df.unionByName(source)
-            if any(_enum_elements(t) for _n, t in meta.stored_columns()):
-                # CH validates enum elements AT INSERT ("unknown
-                # element"); Memory frames are lazy, so force the
-                # guarded projection now (also truncates the stacked
-                # insert lineage). Committed only on success — a failed
-                # INSERT leaves the table unchanged.
+            if (any(_enum_elements(t) for _n, t in meta.stored_columns())
+                    or node.format == "Regexp"):
+                # CH validates enum elements / Regexp line matches AT
+                # INSERT ("unknown element" / "doesn't match the
+                # regexp"); Memory frames are lazy, so force the guarded
+                # projection now (also truncates the stacked insert
+                # lineage). Committed only on success — a failed INSERT
+                # leaves the table unchanged.
                 merged = merged.localCheckpoint(eager=True)
             meta.memory_df = merged
         else:

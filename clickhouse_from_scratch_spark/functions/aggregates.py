@@ -75,9 +75,12 @@ def _delta_sum(x) -> Column:
 
 def _approx_distinct(*cs) -> Column:
     """HLL distinct over one column, or over the TUPLE of several (CH
-    multi-argument uniq counts distinct argument tuples)."""
+    multi-argument uniq counts distinct argument tuples). rsd 0.01
+    approximates CH's uniqCombined precision (K=17, ~0.8% error) —
+    notably it is exact at small cardinalities, where CH's linear-
+    counting mode is exact too."""
     return F.approx_count_distinct(cs[0] if len(cs) == 1
-                                   else F.struct(*cs))
+                                   else F.struct(*cs), rsd=0.01)
 
 
 def _uniq_null_aware(fn) -> Callable[..., Column]:
@@ -641,10 +644,20 @@ AGGREGATES.update({
     # bitmaps ≙ sorted-distinct arrays (see registry bitmap family)
     "groupBitmap": lambda x: F.count_distinct(_c(x)),
     "groupBitmapState": lambda x: F.array_sort(F.collect_set(_c(x))),
-    "groupBitmapAnd": _bitmap_fold(F.array_intersect),
-    "groupBitmapOr": _bitmap_fold(F.array_union),
+    # the plain And/Or/Xor forms return the CARDINALITY of the folded
+    # bitmap (CH contract: UInt64); the -State forms return the bitmap
+    "groupBitmapAnd": lambda b: F.size(
+        _bitmap_fold(F.array_intersect)(b)).cast("long"),
+    "groupBitmapOr": lambda b: F.size(
+        _bitmap_fold(F.array_union)(b)).cast("long"),
+    "groupBitmapXor": lambda b: F.size(_bitmap_fold(
+        lambda a, m: F.array_union(F.array_except(a, m),
+                                   F.array_except(m, a)))(b)).cast("long"),
     "groupBitmapAndState": _bitmap_fold(F.array_intersect),
     "groupBitmapOrState": _bitmap_fold(F.array_union),
+    "groupBitmapXorState": _bitmap_fold(
+        lambda a, m: F.array_union(F.array_except(a, m),
+                                   F.array_except(m, a))),
 })
 
 
@@ -1520,25 +1533,12 @@ def _group_array_intersect(x) -> Column:
         lambda acc, a: F.array_intersect(acc, a))
 
 
-def _group_bitmap_xor(x) -> Column:
-    """groupBitmapXor: cardinality of the XOR-merge of the group's
-    single-value bitmaps = count of values with ODD multiplicity.
-    O(distinct × n) in-group fold — same bounded-group class as the
-    documented statistical aggregates."""
-    lst = F.collect_list(_c(x))
-    return F.size(F.filter(
-        F.array_distinct(lst),
-        lambda v: F.size(F.filter(lst, lambda e: e == v)) % 2 == 1)
-    ).cast("long")
-
-
 AGGREGATES.update({
     "corrMatrix": _matrix_agg(F.corr),
     "covarSampMatrix": _matrix_agg(F.covar_samp),
     "covarPopMatrix": _matrix_agg(F.covar_pop),
     "maxIntersectionsPosition": _max_intersections_pos,
     "groupArrayIntersect": _group_array_intersect,
-    "groupBitmapXor": _group_bitmap_xor,
     # GK sketch → Spark's approx percentile with the same accuracy knob
     "quantileGK": lambda acc, q, x: F.percentile_approx(
         _c(x), F.lit(float(q)), F.lit(int(acc))),

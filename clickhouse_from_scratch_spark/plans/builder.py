@@ -192,6 +192,7 @@ _PINNED_AT_DEFAULT: dict[str, str] = {
     "cast_keep_nullable": "0",                       # :450
     "aggregate_functions_null_for_empty": "0",       # :459
     "legacy_column_name_of_tuple_literal": "0",      # :494
+    "format_regexp_escaping_rule": "raw",            # :628 (Raw only)
 }
 
 
@@ -4238,6 +4239,10 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         info = CH_NUMERIC.get(cht) if cht else None
         width = info[1] if info and info[0] in ("u", "i") else None
         return REGISTRY["bitPositionsToArray"](cols[0], width)
+    if name == "toColumnTypeName" and len(node.args) == 1:
+        # internal column spelling ≙ the dialect type name here (the
+        # engine has no separate in-memory column representation)
+        name = "toTypeName"
     if name == "toTypeName" and len(node.args) == 1:
         # CH type introspection: literal typing first (FieldToDataType —
         # toTypeName(1) = 'UInt8', toTypeName(NULL) = 'Nullable(Nothing)',
@@ -4292,6 +4297,30 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if dt.startswith("array"):
             return F.size(F.array_distinct(cols[0])).cast("long")
         return cols[0]
+    # reinterpretAs(U)IntN over a NUMERIC argument keeps the bytes (the
+    # CH contract: reinterpret, not parse) — a plain wrap-cast to the
+    # target width; the registry's little-endian-bytes reading applies
+    # to string arguments only.
+    if (name.startswith(("reinterpretAsUInt", "reinterpretAsInt"))
+            and len(cols) == 1 and name[-1].isdigit()):
+        dt_obj = _probe_dtype(node.args[0], cols[0], ctx, df)
+        dt = dt_obj.simpleString() if dt_obj is not None else ""
+        if dt in ("tinyint", "smallint", "int", "bigint", "float",
+                  "double", "boolean", "date", "timestamp"):
+            bits = int(name.rsplit("t", 1)[-1])
+            v = cols[0]
+            if dt in ("float", "double", "date", "timestamp", "boolean"):
+                v = v.cast("long")     # CH reinterprets the binary; the
+                # integral reading is the documented deviation (§1.2)
+            v = v.cast("long")
+            if bits >= 64:
+                return v
+            # arithmetic wrap (an overflowing narrowing CAST would raise
+            # under the driver's ANSI-on session)
+            if name.startswith("reinterpretAsUInt"):
+                return F.pmod(v, F.lit(1 << bits))
+            half = 1 << (bits - 1)
+            return F.pmod(v + half, F.lit(1 << bits)) - F.lit(half)
     # CH length/empty/reverse are polymorphic over strings AND arrays —
     # dispatch on the argument's resolved type (schema-only for frame
     # columns; HOF-bound dtype for lambda parameters).

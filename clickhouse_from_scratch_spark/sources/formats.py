@@ -72,6 +72,9 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     # cannot map them to named columns, so a dedicated lowering parses
     # each line as array<string> and casts positionally (distributed)
     "JSONCompactEachRow": ("json-compact-rows", {}, {}),
+    # regex-per-line input (reference registerInputFormatRegexp;
+    # settings format_regexp / format_regexp_skip_unmatched drive it)
+    "Regexp": ("regexp-rows", {}, {}),
     "LineAsString": ("text", {}, {}),
     "JSONAsString": ("json-as-string", {}, {}),
     "RawBLOB": ("binaryFile", {}, {}),
@@ -88,6 +91,34 @@ def read_format(spark: SparkSession, fmt: str, path: str,
     name, ropts, _ = FORMATS[fmt]
     if name == "json-as-string":
         return read_json_as_string(spark, path)
+    if name == "regexp-rows":
+        # Regexp format: each line matched against format_regexp; group
+        # i binds column i. Distributed text scan + JVM regexp_extract;
+        # unmatched lines raise unless format_regexp_skip_unmatched=1
+        # (CH raises "Line ... doesn't match the regexp").
+        regex = extra.get("regex") or ""
+        if not regex:
+            raise ValueError(
+                "FORMAT Regexp requires SET format_regexp = '...'")
+        if not schema:
+            raise ValueError("FORMAT Regexp requires a schema")
+        skip = bool(extra.get("skip_unmatched", False))
+        st = _parse_ddl_schema(spark, schema)
+        txt = spark.read.text(path).where(F.length("value") > 0)
+        matched = F.col("value").rlike(regex)
+        if skip:
+            txt = txt.where(matched)
+        else:
+            txt = txt.select(F.when(matched, F.col("value")).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("Line \""), F.col("value"),
+                    F.lit("\" doesn't match the regexp "
+                          "(format_regexp_skip_unmatched=0)")))
+            ).alias("value"))
+        return txt.select(*[
+            F.regexp_extract("value", regex, i + 1).cast(f.dataType)
+             .alias(f.name)
+            for i, f in enumerate(st.fields)])
     if name == "json-compact-rows":
         # JSONCompactEachRow: one top-level JSON array per line. Parse
         # as array<string> (scalars and nested composites coerce to

@@ -133,3 +133,43 @@ def test_map_apply_filter(spark):
                       "map('a', 1, 'b', 2))") == {"a": 2, "b": 4}
     assert one(spark, "mapFilter((k, v) -> v > 1, "
                       "map('a', 1, 'b', 2))") == {"b": 2}
+
+
+REINTERPRET_CASES = [
+    # numeric input: reinterpret keeps the bytes (r11 fix — it used to
+    # read the stringified digits)
+    ("reinterpretAsUInt8(toInt8(1))", 1),
+    ("reinterpretAsUInt8(toInt8(-1))", 255),
+    ("reinterpretAsInt8(toUInt8(255))", -1),
+    ("reinterpretAsUInt16(toInt16(-2))", 65534),
+    # string input: little-endian leading bytes (unchanged)
+    ("reinterpretAsUInt8('a')", 97),
+    ("reinterpretAsUInt16('ab')", 25185),
+    ("toColumnTypeName(toInt32(1))", "Int32"),
+]
+
+
+@pytest.mark.parametrize("expr,want", REINTERPRET_CASES)
+def test_reinterpret_numeric(spark, expr, want):
+    assert one(spark, expr) == want
+
+
+def test_group_bitmap_cardinality_contract(spark):
+    # groupBitmapAnd/Or/Xor return the folded bitmap's CARDINALITY; the
+    # -State forms return the bitmap (r11 fix)
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    r = execute_sql(
+        spark, "SELECT groupBitmapAnd(bitmapBuild([number, 9])) AS a, "
+        "groupBitmapOr(bitmapBuild([number])) AS o, "
+        "groupBitmapXor(bitmapBuild([number, 5])) AS x FROM numbers(3)",
+        {}).collect()[0]
+    assert (r.a, r.o, r.x) == (1, 3, 4)
+
+
+def test_uniq_combined_small_cardinality_exact(spark):
+    # CH's uniqCombined is exact at small cardinalities (linear counting
+    # mode); the rsd=0.01 HLL matches that at n=100
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    r = execute_sql(spark, "SELECT uniqCombined64(number) AS c "
+                           "FROM numbers(100)", {}).collect()[0]
+    assert r.c == 100

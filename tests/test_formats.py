@@ -535,3 +535,62 @@ def test_json_each_row_decimal_is_number(spark):
                      "toDecimal64(2, 3) AS i", {})
     assert to_json_each_row(df) == '{"d": 1.5, "i": 2}'
     assert to_values(df) == "(1.5,2)"
+
+
+# --- Regexp input format (r11; reference registerInputFormatRegexp) ---------
+
+def test_regexp_format_insert(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    p = str(tmp_path / "in.log")
+    with open(p, "w") as fh:
+        fh.write("id: 1 name: alpha\nid: 2 name: beta\njunk\n")
+    s.execute("CREATE TABLE rx (id Int32, name String) ENGINE = Memory")
+    s.execute("SET format_regexp = 'id: (\\\\d+) name: (\\\\w+)'")
+    # unmatched line raises AT INSERT and leaves the table unchanged
+    with pytest.raises(Exception, match="doesn't match"):
+        s.execute(f"INSERT INTO rx FROM INFILE '{p}' FORMAT Regexp")
+    assert s.execute("SELECT count() AS c FROM rx").collect()[0].c == 0
+    s.execute("SET format_regexp_skip_unmatched = 1")
+    s.execute(f"INSERT INTO rx FROM INFILE '{p}' FORMAT Regexp")
+    rows = sorted((r.id, r.name)
+                  for r in s.execute("SELECT * FROM rx").collect())
+    assert rows == [(1, "alpha"), (2, "beta")]
+
+
+def test_regexp_format_requires_regex(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    p = str(tmp_path / "x.log")
+    open(p, "w").write("a\n")
+    s.execute("CREATE TABLE rq (a String) ENGINE = Memory")
+    with pytest.raises(Exception, match="format_regexp"):
+        s.execute(f"INSERT INTO rq FROM INFILE '{p}' FORMAT Regexp")
+
+
+def test_json_compact_each_row_infile(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    p = str(tmp_path / "rows.jsonc")
+    with open(p, "w") as fh:
+        fh.write('[1, "x", 1.5]\n[2, "y", 2.5]\n')
+    s.execute("CREATE TABLE jc (a Int32, b String, c Float64) "
+              "ENGINE = Memory")
+    s.execute(f"INSERT INTO jc FROM INFILE '{p}' FORMAT JSONCompactEachRow")
+    rows = sorted((r.a, r.b, r.c)
+                  for r in s.execute("SELECT * FROM jc").collect())
+    assert rows == [(1, "x", 1.5), (2, "y", 2.5)]
+
+
+def test_json_compact_inline_nested_object(spark, tmp_path):
+    # an array row containing a nested object must stay ONE row (the
+    # r11 ADVICE fix: the splitter counts both bracket kinds)
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE jn (a Int32, m String, b Int32) "
+              "ENGINE = Memory")
+    s.execute('INSERT INTO jn FORMAT JSONCompactEachRow '
+              '[1, {"k": 2}, 3] [4, "plain", 6]')
+    rows = sorted((r.a, r.m, r.b)
+                  for r in s.execute("SELECT * FROM jn").collect())
+    assert rows == [(1, '{"k":2}', 3), (4, "plain", 6)]

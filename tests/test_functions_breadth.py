@@ -434,11 +434,14 @@ def test_bitmap_aggregates(spark):
     t2 = {"t": spark.createDataFrame(
         [(1, [1, 2, 3]), (1, [2, 3, 4]), (2, [7])],
         "k long, b array<long>")}
+    # the plain And/Or/Xor forms return CARDINALITY (CH: UInt64); the
+    # -State forms carry the folded bitmap itself
     r2 = execute_sql(
-        spark, "SELECT k, groupBitmapAnd(b) AS i, groupBitmapOr(b) AS u "
+        spark, "SELECT k, groupBitmapAnd(b) AS i, groupBitmapOr(b) AS u, "
+        "groupBitmapXor(b) AS x, groupBitmapAndState(b) AS st "
         "FROM t GROUP BY k ORDER BY k", t2).collect()
-    assert [(x.k, list(x.i), list(x.u)) for x in r2] == \
-        [(1, [2, 3], [1, 2, 3, 4]), (2, [7], [7])]
+    assert [(x.k, x.i, x.u, x.x, list(x.st)) for x in r2] == \
+        [(1, 2, 4, 2, [2, 3]), (2, 1, 1, 1, [7])]
 
 
 def test_math_tail(spark):
