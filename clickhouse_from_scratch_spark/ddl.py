@@ -1068,6 +1068,20 @@ class ChSession:
 
     def _insert(self, node: InsertStmt):
         meta = self._resolve(node.database, node.table)
+        if getattr(node, "settings", None):
+            # INSERT ... SETTINGS k=v: validated like SET, scoped to
+            # this statement (overlays the session dict)
+            from .plans.builder import check_pinned_settings
+            check_pinned_settings({**self.settings, **node.settings})
+            saved = self.settings
+            self.settings = {**self.settings, **node.settings}
+            try:
+                return self._insert_inner(node, meta)
+            finally:
+                self.settings = saved
+        return self._insert_inner(node, meta)
+
+    def _insert_inner(self, node: InsertStmt, meta: "TableMeta"):
         if meta.engine == "Null":
             return self._ok()          # accepted, discarded
         if node.watch_view is not None:
@@ -1620,11 +1634,21 @@ class ChSession:
         return df
 
     def _output(self, node: OutputClause):
-        """INTO OUTFILE 'f' [COMPRESSION 'm'] [FORMAT fmt] suffix."""
+        """INTO OUTFILE 'f' [COMPRESSION 'm'] [FORMAT fmt] suffix. The
+        reference attaches it to every ASTQueryWithOutput — SELECT but
+        also SHOW/DESCRIBE/EXISTS/EXPLAIN (ParserQueryWithOutput.cpp:
+        56-75) — so non-query statements dispatch first and their result
+        frame feeds the same renderer."""
         inner = node.query
-        if not isinstance(inner, (SelectQuery, UnionQuery)):
-            raise ValueError("INTO OUTFILE/FORMAT applies to queries")
-        df = build(self.spark, inner, self._tables(), self._engines())
+        if isinstance(inner, (SelectQuery, UnionQuery)):
+            df = build(self.spark, inner, self._tables(), self._engines(),
+                       settings=self.settings, udfs=self.udfs,
+                       dictionaries=self.dictionaries)
+        else:
+            df = self._dispatch_node(inner)
+            if df is None or not hasattr(df, "columns"):
+                raise ValueError("INTO OUTFILE/FORMAT applies to "
+                                 "statements that return a result")
         from .sources.formats import TEXT_RENDERERS
         if node.outfile:
             from .sources import (

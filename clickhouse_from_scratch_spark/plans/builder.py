@@ -3726,11 +3726,21 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             raise BuildError("getSetting requires a literal name")
         key = node.args[0].value
         if key not in ctx.settings:
+            # fall back to the engine's honored defaults, then the full
+            # reference namespace (CH getSetting returns the DEFAULT of
+            # any known name); only unknown names raise
+            from ..ddl import _SETTING_DEFAULTS
+            from ..settings_namespace import REFERENCE_DEFAULTS
+            if key in _SETTING_DEFAULTS:
+                return F.lit(_SETTING_DEFAULTS[key])
+            if key in REFERENCE_DEFAULTS:
+                v = REFERENCE_DEFAULTS[key]
+                return F.lit(int(v) if str(v).lstrip("-").isdigit() else v)
             if name == "getSettingOrDefault" and len(node.args) > 1:
                 return cols[1]
             # CH raises UNKNOWN_SETTING rather than returning NULL
-            raise BuildError(f"unknown setting: {key} "
-                             f"(SET it or use getSettingOrDefault)")
+            raise BuildError(f"unknown setting: {key} (UNKNOWN_SETTING; "
+                             f"use getSettingOrDefault)")
         return F.lit(ctx.settings[key])
     if name in ("timezone", "timeZone", "serverTimezone") and not node.args:
         return F.lit(ctx.spark.conf.get("spark.sql.session.timeZone",
@@ -4397,6 +4407,18 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         if dtp is not None and dtp.simpleString() == "date":
             return out.cast("date")
         return out
+    if (name in ("addTupleOfIntervals", "subtractTupleOfIntervals")
+            and len(node.args) == 2
+            and isinstance(node.args[1], TupleLiteral)):
+        # fold the tuple's intervals left-to-right through the plus/
+        # minus interval lowering below
+        op = "plus" if name == "addTupleOfIntervals" else "minus"
+        out_node = node.args[0]
+        for iv in node.args[1].items:
+            if not isinstance(iv, IntervalExpr):
+                raise BuildError(f"{name} expects a tuple of INTERVALs")
+            out_node = FuncCall(op, [out_node, iv])
+        return _eval(out_node, ctx, df)
     if name in ("plus", "minus") and len(node.args) == 2 and isinstance(
             node.args[1], IntervalExpr):
         iv = node.args[1]

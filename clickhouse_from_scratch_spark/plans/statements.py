@@ -217,6 +217,7 @@ class InsertStmt(Node):
     infile: str | None = None                   # FROM INFILE 'path'
     format: str | None = None                   # FORMAT name
     format_data: str | None = None              # inline rows after FORMAT
+    settings: dict = field(default_factory=dict)  # INSERT ... SETTINGS
 
 
 @dataclass
@@ -1102,6 +1103,16 @@ class StatementParser(Parser):
             self.expect_op(")")
         if self.accept_kw("WATCH"):
             return InsertStmt(db, name, cols, watch_view=self.advance().text)
+        # INSERT ... SETTINGS k = v, ... before the data clause
+        # (ParserInsertQuery settings branch)
+        ins_settings: dict = {}
+        if self.accept_kw("SETTINGS"):
+            while True:
+                k = self.advance().text
+                self.expect_op("=")
+                ins_settings[k] = self._literal_value()
+                if not self.accept_op(","):
+                    break
         if self.accept_kws("FROM", "INFILE"):
             # INSERT ... FROM INFILE 'path' [COMPRESSION 'm'] FORMAT fmt
             # (ParserInsertQuery infile branch)
@@ -1111,7 +1122,8 @@ class StatementParser(Parser):
             fmt = None
             if self.accept_kw("FORMAT"):
                 fmt = self.advance().text
-            return InsertStmt(db, name, cols, infile=path, format=fmt)
+            return InsertStmt(db, name, cols, infile=path, format=fmt,
+                              settings=ins_settings)
         if self.accept_kw("VALUES"):
             rows = []
             while self.accept_op("("):
@@ -1119,9 +1131,11 @@ class StatementParser(Parser):
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break
-            return InsertStmt(db, name, cols, values=rows)
+            return InsertStmt(db, name, cols, values=rows,
+                              settings=ins_settings)
         if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
-            return InsertStmt(db, name, cols, select=self._union())
+            return InsertStmt(db, name, cols, select=self._union(),
+                              settings=ins_settings)
         if self.tok.is_kw("FORMAT"):
             # INSERT ... FORMAT fmt <raw rows>: everything after the
             # format name is data, not SQL (clickhouse-client splits it
@@ -1135,7 +1149,7 @@ class StatementParser(Parser):
                 data = data[1:]
             self.i = len(self.toks) - 1        # consume through EOF
             return InsertStmt(db, name, cols, format=fmt_tok.text,
-                              format_data=data)
+                              format_data=data, settings=ins_settings)
         raise ParseError("INSERT requires VALUES, SELECT, FROM INFILE, "
                          "or FORMAT data")
 

@@ -42,10 +42,10 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     # reads infer column types when no explicit structure is given,
     # like CH's schema inference for file() (schema arg overrides)
     "CSV": ("csv", {"header": "false", "nullValue": "\\N",
-                    "inferSchema": "true"},
+                    "inferSchema": "true", "escape": '"'},
             {"header": "false", "nullValue": "\\N"}),
     "CSVWithNames": ("csv", {"header": "true", "nullValue": "\\N",
-                             "inferSchema": "true"},
+                             "inferSchema": "true", "escape": '"'},
                      {"header": "true", "nullValue": "\\N"}),
     "TabSeparated": ("csv", {"sep": "\t", "header": "false",
                              "nullValue": "\\N", "inferSchema": "true"},
@@ -147,6 +147,59 @@ def read_format(spark: SparkSession, fmt: str, path: str,
     return reader.load(path)
 
 
+def _ch_text_cell_col(field, tsv: bool):
+    """One output cell rendered CH-style, pure JVM (distributed):
+    CSV always double-quotes String/Date/DateTime (published CSV format
+    contract); TSV backslash-escapes instead of quoting; floats drop a
+    trailing .0; decimals trim trailing zeros; NULL is \\N; arrays use
+    the CH text form with single-quoted string elements."""
+    dt = field.dataType.simpleString()
+    c = F.col(f"`{field.name}`")
+
+    def quote(s):
+        if tsv:
+            return s
+        return F.concat(F.lit('"'),
+                        F.replace(s, F.lit('"'), F.lit('""')), F.lit('"'))
+
+    if dt in ("string", "binary"):
+        s = c.cast("string")
+        if tsv:
+            for frm, to in (("\\", "\\\\"), ("\t", "\\t"),
+                            ("\n", "\\n"), ("\r", "\\r")):
+                s = F.replace(s, F.lit(frm), F.lit(to))
+            out = s
+        else:
+            out = quote(s)
+    elif dt == "date":
+        out = quote(F.date_format(c, "yyyy-MM-dd"))
+    elif dt.startswith("timestamp"):
+        out = quote(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    elif dt in ("float", "double"):
+        out = F.regexp_replace(c.cast("string"), r"\.0$", "")
+    elif dt.startswith("decimal"):
+        s = c.cast("string")
+        out = F.when(
+            s.contains("."),
+            F.regexp_replace(F.regexp_replace(s, "0+$", ""), r"\.$", "")
+        ).otherwise(s)
+    elif dt == "boolean":
+        out = F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    elif dt.startswith("array<"):
+        inner = field.dataType.elementType.simpleString()
+        if inner in ("string", "binary"):
+            body = F.array_join(F.transform(c, lambda x: F.concat(
+                F.lit("'"), F.replace(x, F.lit("'"), F.lit("\\'")),
+                F.lit("'"))), ",")
+        else:
+            body = F.array_join(F.transform(
+                c, lambda x: x.cast("string")), ",")
+        out = quote(F.concat(F.lit("["), body, F.lit("]")))
+    else:
+        out = c.cast("string")
+    return F.when(c.isNull(), F.lit("\\N")).otherwise(out)
+
+
 def write_format(df: DataFrame, fmt: str, path: str,
                  compression: str | None = None, mode: str = "overwrite",
                  **extra) -> None:
@@ -181,6 +234,27 @@ def write_format(df: DataFrame, fmt: str, path: str,
     opts = dict(wopts)
     if compression:
         opts["compression"] = _COMPRESSION[compression.lower()]
+    header_names: list[str] | None = None
+    sep = opts.get("sep", ",")
+    if name == "csv" and not compression:
+        # CH text conventions, which Spark's csv writer cannot produce:
+        # CSV always double-quotes String/Date/DateTime cells; TSV
+        # backslash-ESCAPES instead of quoting. Pre-render every cell
+        # JVM-side, join with the separator, and write through the raw
+        # TEXT writer so no second-level quoting ever applies.
+        # (Compressed output keeps the plain csv writer — splicing a
+        # header into a compressed stream is not worth the delta.)
+        tsv = sep == "\t"
+        rendered = [_ch_text_cell_col(f, tsv=tsv)
+                    for f in df.schema.fields]
+        if opts.get("header") == "true":
+            # CH quotes CSV header names too; prepended onto the single
+            # output file below
+            q = '"' if not tsv else ""
+            header_names = [q + f.replace('"', '""') + q
+                            for f in df.columns]
+        df = df.select(F.concat_ws(sep, *rendered).alias("value"))
+        name, opts = "text", {}
     # CH INTO OUTFILE produces ONE file at the named path (ClientBase
     # writes the result client-side); Spark's writer emits a directory
     # of part files, so write to a sibling dir and move the single part
@@ -200,6 +274,13 @@ def write_format(df: DataFrame, fmt: str, path: str,
             os.remove(path)
         shutil.move(parts[0], path)
         shutil.rmtree(tmp, ignore_errors=True)
+        if header_names is not None and not compression:
+            # CH writes the (quoted) header itself; splice it onto the
+            # single client-side artifact
+            with open(path, "r+", encoding="utf-8") as fh:
+                body = fh.read()
+                fh.seek(0)
+                fh.write(sep.join(header_names) + "\n" + body)
     else:   # zero parts (empty writer quirk): keep the directory form
         if os.path.exists(path):
             shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)

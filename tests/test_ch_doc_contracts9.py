@@ -173,3 +173,13 @@ def test_uniq_combined_small_cardinality_exact(spark):
     r = execute_sql(spark, "SELECT uniqCombined64(number) AS c "
                            "FROM numbers(100)", {}).collect()[0]
     assert r.c == 100
+
+
+def test_tuple_of_intervals(spark):
+    # published doc examples (r11 addition)
+    assert str(one(spark, "addTupleOfIntervals(toDate('2018-01-01'), "
+                          "(INTERVAL 1 DAY, INTERVAL 1 MONTH, "
+                          "INTERVAL 1 YEAR))")) == "2019-02-02"
+    assert str(one(spark, "subtractTupleOfIntervals(toDate('2019-02-02'),"
+                          " (INTERVAL 1 DAY, INTERVAL 1 MONTH))")) \
+        == "2019-01-01"

@@ -594,3 +594,38 @@ def test_json_compact_inline_nested_object(spark, tmp_path):
     rows = sorted((r.a, r.m, r.b)
                   for r in s.execute("SELECT * FROM jn").collect())
     assert rows == [(1, '{"k":2}', 3), (4, "plain", 6)]
+
+
+def test_csv_output_ch_quoting(spark, tmp_path):
+    """Published CSV format contract: String/Date/DateTime cells are
+    ALWAYS double-quoted (embedded quotes doubled), numbers unquoted,
+    NULL is \\N, the header is quoted too (r11)."""
+    df = spark.createDataFrame(
+        [(1, "plain", 1.5, None), (2, 'has,comma "q"', 2.0, 7)],
+        "id long, s string, v double, n int")
+    dest = str(tmp_path / "out.csv")
+    write_format(df, "CSVWithNames", dest)
+    lines = open(dest).read().splitlines()
+    assert lines[0] == '"id","s","v","n"'
+    assert '1,"plain",1.5,\\N' in lines
+    assert '2,"has,comma ""q""",2,7' in lines
+    back = read_format(spark, "CSVWithNames", dest,
+                       schema="id long, s string, v double, n int")
+    assert sorted((r.id, r.s) for r in back.collect()) == \
+        [(1, "plain"), (2, 'has,comma "q"')]
+
+
+def test_tsv_output_ch_escaping(spark, tmp_path):
+    """TabSeparated escapes control characters instead of quoting
+    (published TSV contract): tab → \\t, newline → \\n, backslash
+    doubled; no quotes anywhere."""
+    df = spark.createDataFrame(
+        [(1, "tab\there"), (2, "nl\nhere"), (3, "back\\slash")],
+        "id long, s string")
+    dest = str(tmp_path / "out.tsv")
+    write_format(df, "TabSeparated", dest)
+    text = open(dest).read()
+    assert "tab\\there" in text and "nl\\nhere" in text
+    assert "back\\\\slash" in text
+    assert '"' not in text
+    assert len(text.splitlines()) == 3

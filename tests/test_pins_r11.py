@@ -49,3 +49,40 @@ def test_intersect_tighter_than_union_still_holds(spark):
         "SELECT 1 AS x UNION ALL SELECT 2 AS x INTERSECT SELECT 2 AS x",
         {}).collect()
     assert sorted(r.x for r in rows) == [1, 2]
+
+
+def test_insert_settings_clause(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE ist (a Int32) ENGINE = Memory")
+    s.execute("INSERT INTO ist SETTINGS max_threads = 4 VALUES (1), (2)")
+    assert sorted(r.a for r in
+                  s.execute("SELECT a FROM ist").collect()) == [1, 2]
+    with pytest.raises(Exception, match="UNKNOWN_SETTING"):
+        s.execute("INSERT INTO ist SETTINGS made_up = 1 VALUES (3)")
+    # statement-scoped: the session dict is not mutated
+    assert "max_threads" not in s.settings
+
+
+def test_get_setting_falls_back_to_defaults(spark):
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    # known names return their reference default without a SET
+    assert execute_sql(spark, "SELECT getSetting('max_threads') AS r",
+                       {}).collect()[0].r == 0
+    assert execute_sql(
+        spark, "SELECT getSetting('count_distinct_implementation') AS r",
+        {}).collect()[0].r == "uniqExact"
+    with pytest.raises(Exception, match="UNKNOWN_SETTING"):
+        execute_sql(spark, "SELECT getSetting('not_a_setting')",
+                    {}).collect()
+
+
+def test_describe_show_with_format_suffix(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE fmt_t (a Int32, b String) ENGINE = Memory")
+    tsv = [r[0] for r in s.execute("DESCRIBE fmt_t FORMAT TSV").collect()]
+    assert tsv[0].startswith("a\tInt32")
+    vert = [r[0] for r in
+            s.execute("SHOW CREATE TABLE fmt_t FORMAT Vertical").collect()]
+    assert vert[0] == "Row 1:"
