@@ -1558,6 +1558,44 @@ class ChSession:
             # reference IAST::dumpTree shape (IAST.cpp:159-168)
             from .plans.format_sql import dump_ast
             text = dump_ast(node.query)
+        elif node.kind == "ESTIMATE":
+            # CH contract: one row per scanned table with
+            # database/table/parts/rows/marks (marks = row count at the
+            # default 8192 index granularity). Row counts come from
+            # parquet footers / cached frames — no data pages read.
+            from .plans.ast_nodes import Join as _Join
+            from .plans.ast_nodes import TableRef as _TRef
+
+            def tables_of(q):
+                out = []
+
+                def walk_from(n):
+                    if isinstance(n, _TRef):
+                        out.append(n)
+                    elif isinstance(n, _Join):
+                        walk_from(n.left)
+                        walk_from(n.right)
+                for sel in getattr(q, "selects", [q]):
+                    if getattr(sel, "from_", None) is not None:
+                        walk_from(sel.from_)
+                return out
+
+            rows = []
+            for tref in tables_of(node.query):
+                try:
+                    meta = self._resolve(tref.database, tref.table)
+                except Exception:
+                    continue
+                n = self._read(meta).count()
+                parts = 1
+                if meta.path and os.path.isdir(meta.path):
+                    parts = sum(1 for f in os.listdir(meta.path)
+                                if f.endswith(".parquet")) or 1
+                rows.append((meta.database, meta.name, parts, n,
+                             (n + 8191) // 8192))
+            return self.spark.createDataFrame(
+                rows or [], "database string, table string, parts bigint,"
+                " rows bigint, marks bigint")
         elif node.kind == "SYNTAX":
             # the post-rewrite query formatted back as SQL — the
             # reference IAST::formatImpl contract (the parser already
@@ -1568,8 +1606,8 @@ class ChSession:
         else:
             df = build(self.spark, node.query, self._tables(),
                        self._engines())
-            mode = {"PLAN": "extended", "PIPELINE": "formatted",
-                    "ESTIMATE": "cost"}[node.kind]
+            mode = {"PLAN": "extended",
+                    "PIPELINE": "formatted"}[node.kind]
             try:
                 jvm = self.spark._jvm
                 jmode = jvm.org.apache.spark.sql.execution.ExplainMode \
@@ -1679,10 +1717,24 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(line,) for line in to_pretty(df).split("\n")],
                 "output string")
-        if node.format in ("TabSeparated", "TSV"):
+        if node.format in ("TabSeparated", "TSV", "TabSeparatedWithNames",
+                           "TSVWithNames"):
             from .sources.formats import to_tab_separated
+            text = to_tab_separated(df)
+            if node.format.endswith("WithNames"):
+                text = "\t".join(df.columns) + "\n" + text
             return self.spark.createDataFrame(
-                [(line,) for line in to_tab_separated(df).split("\n")],
+                [(line,) for line in text.split("\n")], "output string")
+        if node.format in ("CSV", "CSVWithNames"):
+            from .sources.formats import to_csv_text
+            text = to_csv_text(df,
+                               header=node.format.endswith("WithNames"))
+            return self.spark.createDataFrame(
+                [(line,) for line in text.split("\n")], "output string")
+        if node.format == "JSONEachRow":
+            from .sources.formats import to_json_each_row
+            return self.spark.createDataFrame(
+                [(line,) for line in to_json_each_row(df).split("\n")],
                 "output string")
         if node.format in TEXT_RENDERERS:
             return self.spark.createDataFrame(

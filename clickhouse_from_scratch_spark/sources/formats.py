@@ -1087,6 +1087,21 @@ def _csv_cell(v, simple: str) -> str:
     return '"' + str(body).replace('"', '""') + '"'
 
 
+def to_csv_text(df: DataFrame, n: int = 10000,
+                header: bool = False) -> str:
+    """Console ``FORMAT CSV[WithNames]`` rendering (same cell contract
+    as the distributed INTO OUTFILE writer)."""
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    lines = []
+    if header:
+        lines.append(",".join('"' + c.replace('"', '""') + '"'
+                              for c in df.columns))
+    for row in df.limit(n).collect():
+        lines.append(",".join(_csv_cell(v, s)
+                              for v, s in zip(row, simples)))
+    return "\n".join(lines)
+
+
 def render_row(fmt: str, values, simples, names,
                newline: bool = True) -> str:
     """One row in a CH row-oriented text format — the formatRow()

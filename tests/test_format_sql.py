@@ -119,3 +119,21 @@ def test_explain_syntax_statement(spark, tmp_path):
     assert "LIMIT 2" in text
     # the rewritten SQL must itself parse
     parse(text.replace("\n", " "))
+
+
+def test_catalog_corpus_fixpoint():
+    """Every SQL text in the query catalog round-trips through the
+    formatter (format → parse → format fixpoint) — the corpus-level
+    robustness check behind EXPLAIN SYNTAX."""
+    import os
+    import re
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "clickhouse_from_scratch_spark",
+                            "queries.py")).read()
+    texts = [t.strip() for t in
+             re.findall(r'_sql\(spark, sf_dir, """(.*?)"""', src, re.S)]
+    assert len(texts) >= 50
+    for t in texts:
+        f1 = format_sql(parse(t), one_line=True)
+        f2 = format_sql(parse(f1), one_line=True)
+        assert f1 == f2, t[:100]

@@ -86,3 +86,15 @@ def test_describe_show_with_format_suffix(spark, tmp_path):
     vert = [r[0] for r in
             s.execute("SHOW CREATE TABLE fmt_t FORMAT Vertical").collect()]
     assert vert[0] == "Row 1:"
+
+
+def test_explain_estimate_shape(spark, tmp_path):
+    # CH contract: one row per scanned table with
+    # database/table/parts/rows/marks (8192-granularity marks)
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE est (a Int32) ENGINE = Memory")
+    s.execute("INSERT INTO est VALUES (1), (2), (3)")
+    rows = s.execute("EXPLAIN ESTIMATE SELECT a FROM est").collect()
+    assert rows[0].asDict() == {"database": "default", "table": "est",
+                                "parts": 1, "rows": 3, "marks": 1}
