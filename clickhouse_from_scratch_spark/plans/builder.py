@@ -1163,7 +1163,7 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
 _PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
                  "ngramjaccard", "anncosinetopk", "dedupembeddingcosine",
                  "dedupembeddinglsh", "passagededup", "piiscrub",
-                 "trainingrecipe"}
+                 "trainingrecipe", "stratifiedsplit"}
 
 
 def _pipeline_table_function(name: str, node: TableFunction,
@@ -1211,6 +1211,11 @@ def _pipeline_table_function(name: str, node: TableFunction,
             P.pii_count(F.col("text"), "email").alias("n_emails"),
             P.pii_count(F.col("text"), "ipv4").alias("n_ips"),
             P.pii_count(F.col("text"), "phone").alias("n_phones"))
+    # stratifiedSplit(docs [, key [, salt]]) — deterministic
+    # train/val/test labels, map-only (pipeline/split.py)
+    if name == "stratifiedsplit":
+        return P.stratified_split(tbl(0), key=str(lit(1, "doc_id")),
+                                  salt=str(lit(2, "v1")))
     # trainingRecipe(docs [, min_quality [, near_dup]])
     if name == "trainingrecipe":
         return P.prepare_training_data(

@@ -3249,3 +3249,105 @@ def sql_limit_offset_settings(spark, sf_dir):
         ORDER BY n_nationkey
         SETTINGS limit = 5, offset = 3
     """)
+
+
+@query("sql_count_distinct_impl", oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS u
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def sql_count_distinct_impl(spark, sf_dir):
+    """count_distinct_implementation='uniq' (Settings.h:210) routes
+    count(DISTINCT) through the HLL family — exact at these small
+    cardinalities (rsd 0.01 ≙ CH uniqCombined's linear-counting mode),
+    so the exact DuckDB oracle must match."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag, count(DISTINCT l_linestatus) AS u
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        SETTINGS count_distinct_implementation = 'uniq'
+    """)
+
+
+@query("sql_any_take_last", oracle="""
+SELECT n_nationkey, n_name, s_name
+FROM nation JOIN (
+  SELECT * FROM (
+    SELECT s_nationkey, s_name,
+           ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_suppkey DESC) AS rn
+    FROM supplier) t WHERE rn = 1
+) s ON n_nationkey = s.s_nationkey
+ORDER BY n_nationkey
+""")
+def sql_any_take_last(spark, sf_dir):
+    """join_any_take_last_row=1 (Settings.h:332) flips the ANY-join
+    winner to the LAST row under the deterministic all-columns order
+    (s_suppkey leads) — the oracle picks per-key max s_suppkey."""
+    return _sql(spark, sf_dir, """
+        SELECT n_nationkey, n_name, s_name
+        FROM nation ANY JOIN supplier ON n_nationkey = s_nationkey
+        ORDER BY n_nationkey
+        SETTINGS join_any_take_last_row = 1
+    """)
+
+
+@query("sql_group_bitmap", oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_orderpriority) AS bm,
+       COUNT(DISTINCT CAST(o_custkey % 8 AS BIGINT)) AS bm2
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def sql_group_bitmap(spark, sf_dir):
+    """groupBitmap(expr) = cardinality of the value bitmap (published
+    bitmap-aggregate contract) — two bitmaps per group, both against
+    exact COUNT(DISTINCT) oracles."""
+    return _sql(spark, sf_dir, """
+        SELECT o_orderstatus,
+               groupBitmap(o_orderpriority) AS bm,
+               groupBitmap(o_custkey % 8) AS bm2
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
+@query("sql_reinterpret_wrap", oracle="""
+SELECT l_linenumber,
+       CAST(((l_suppkey % 256) + 256) % 256 AS BIGINT) AS u8,
+       CAST((((l_suppkey % 65536) + 65536 + 32768) % 65536) - 32768
+            AS BIGINT) AS i16
+FROM lineitem WHERE l_orderkey <= 200 AND l_linenumber = 1
+ORDER BY l_suppkey LIMIT 50
+""")
+def sql_reinterpret_wrap(spark, sf_dir):
+    """reinterpretAsUInt8/Int16 over NUMERIC inputs keep the bytes
+    (arithmetic wrap; the r11 fix — previously the digit string was
+    parsed) — pinned against DuckDB modular arithmetic."""
+    return _sql(spark, sf_dir, """
+        SELECT l_linenumber,
+               reinterpretAsUInt8(l_suppkey) AS u8,
+               reinterpretAsInt16(l_suppkey) AS i16
+        FROM lineitem WHERE l_orderkey <= 200 AND l_linenumber = 1
+        ORDER BY l_suppkey LIMIT 50
+    """)
+
+
+@query("stratified_split", oracle="""
+SELECT CASE
+  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) < 'e666'
+    THEN 'train'
+  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) < 'f333'
+    THEN 'val'
+  ELSE 'test' END AS split,
+  COUNT(*) AS n, CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+FROM documents GROUP BY 1 ORDER BY split
+""")
+def stratified_split_q(spark, sf_dir):
+    """Deterministic train/val/test split (pipeline/split.py): md5-hex
+    range assignment, map-only (no shuffle) — the DuckDB oracle
+    recomputes the exact same labels from the same md5 prefix, so
+    membership is pinned value-for-value, not just by proportion."""
+    from .pipeline.split import stratified_split
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_split(docs, key="doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("text")).alias("chars"))
+            .orderBy("split"))

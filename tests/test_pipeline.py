@@ -386,3 +386,65 @@ def test_minhash_md5_twin_catches_exact_dup_skips_distinct(spark):
     tiny = spark.createDataFrame([Row(doc_id=10, text="one two"),
                                   Row(doc_id=11, text="one two")])
     assert minhash_md5_candidates(tiny).count() == 0
+
+
+def test_stratified_split_deterministic(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.split import (
+        stratified_split, take_split)
+    docs = load_table(spark, sf_dir, "documents")
+    a = stratified_split(docs).select("doc_id", "split").collect()
+    b = stratified_split(docs).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by = {}
+    for r in a:
+        by[r.split] = by.get(r.split, 0) + 1
+    n = len(a)
+    # proportions near the declared fractions (md5 is uniform)
+    assert abs(by.get("train", 0) / n - 0.9) < 0.05
+    assert set(by) <= {"train", "val", "test"}
+    # take_split is the same membership as the label column
+    tr = {r.doc_id for r in take_split(docs, "train").select("doc_id")
+          .collect()}
+    assert tr == {r.doc_id for r in a if r.split == "train"}
+
+
+def test_stratified_split_salt_and_fractions(spark, sf_dir):
+    import pytest as _pytest
+
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.split import \
+        stratified_split
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    a = {r.doc_id: r.split
+         for r in stratified_split(docs, salt="v1").collect()}
+    b = {r.doc_id: r.split
+         for r in stratified_split(docs, salt="v2").collect()}
+    assert a != b                      # a new salt re-deals
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(docs, fractions={"train": 0.5, "test": 0.1})
+    two = stratified_split(docs, fractions={"a": 0.5, "b": 0.5})
+    assert {r.split for r in two.collect()} <= {"a", "b"}
+
+
+def test_stratified_split_plan_is_map_only(spark, sf_dir):
+    # no shuffle, no Python eval: the label is a pure JVM projection
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.split import \
+        stratified_split
+    docs = load_table(spark, sf_dir, "documents")
+    plan = stratified_split(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_stratified_split_sql_table_function(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_all
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    df = execute_sql(
+        spark, "SELECT split, count() AS n "
+        "FROM stratifiedSplit(documents) GROUP BY split ORDER BY split",
+        load_all(spark, sf_dir))
+    rows = {r.split: r.n for r in df.collect()}
+    assert set(rows) <= {"train", "val", "test"} and sum(rows.values()) > 0
