@@ -29,6 +29,7 @@ from .similarity import (
 from .dedup import passage_dedup, unit_dedup
 from .recipe import prepare_training_data
 from .split import split_column, stratified_split, take_split
+from .decontaminate import contamination, contamination_md5, decontaminate
 from .text import (
     doc_fingerprint,
     dup_unit_char_fraction,

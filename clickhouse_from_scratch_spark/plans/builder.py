@@ -1163,7 +1163,8 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
 _PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
                  "ngramjaccard", "anncosinetopk", "dedupembeddingcosine",
                  "dedupembeddinglsh", "passagededup", "piiscrub",
-                 "trainingrecipe", "stratifiedsplit"}
+                 "trainingrecipe", "stratifiedsplit", "decontaminate",
+                 "contamination"}
 
 
 def _pipeline_table_function(name: str, node: TableFunction,
@@ -1216,6 +1217,14 @@ def _pipeline_table_function(name: str, node: TableFunction,
     if name == "stratifiedsplit":
         return P.stratified_split(tbl(0), key=str(lit(1, "doc_id")),
                                   salt=str(lit(2, "v1")))
+    # decontaminate(docs, bench [, n [, min_matches]]) — keep documents
+    # NOT overlapping the benchmark set (pipeline/decontaminate.py)
+    if name == "decontaminate":
+        return P.decontaminate(tbl(0), tbl(1), n=int(lit(2, 3)),
+                               min_matches=int(lit(3, 1)))
+    if name == "contamination":
+        return P.contamination(tbl(0), tbl(1), n=int(lit(2, 3)),
+                               min_matches=int(lit(3, 1)))
     # trainingRecipe(docs [, min_quality [, near_dup]])
     if name == "trainingrecipe":
         return P.prepare_training_data(

@@ -3351,3 +3351,34 @@ def stratified_split_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.length("text")).alias("chars"))
             .orderBy("split"))
+
+
+@query("decontaminate_ngram", oracle="""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         md5(w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2]) AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) g
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id, CAST(COUNT(DISTINCT d.g) AS BIGINT) AS n_matches
+FROM grams d JOIN bench USING (g)
+GROUP BY d.doc_id HAVING COUNT(DISTINCT d.g) >= 2
+ORDER BY d.doc_id
+""")
+def decontaminate_ngram_q(spark, sf_dir):
+    """Benchmark decontamination (pipeline/decontaminate.py): documents
+    sharing >= 2 distinct 3-gram md5 keys with the benchmark subset
+    (doc_id % 97 = 0). The benchmark gram set broadcasts; the corpus
+    side is one exploded-gram join + per-doc count — never all-pairs.
+    The production path uses xxhash64 shingles; this md5 twin is
+    recomputed verbatim by DuckDB."""
+    from .pipeline.decontaminate import contamination_md5
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return (contamination_md5(docs, bench, n=3, min_matches=2)
+            .orderBy("doc_id"))

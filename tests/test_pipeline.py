@@ -448,3 +448,58 @@ def test_stratified_split_sql_table_function(spark, sf_dir):
         load_all(spark, sf_dir))
     rows = {r.split: r.n for r in df.collect()}
     assert set(rows) <= {"train", "val", "test"} and sum(rows.values()) > 0
+
+
+def test_contamination_finds_benchmark_overlap(spark):
+    from clickhouse_from_scratch_spark.pipeline.decontaminate import (
+        contamination, decontaminate)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words appear here only"),
+         (3, "quick brown fox says hello to everyone")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story")], "doc_id long, text string")
+    hits = {r.doc_id: r.n_matches
+            for r in contamination(docs, bench, n=3).collect()}
+    # docs 1 and 3 share the 'quick brown fox' 3-gram; doc 2 does not
+    assert set(hits) == {1, 3} and all(v >= 1 for v in hits.values())
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=3).collect()}
+    assert kept == {2}
+
+
+def test_contamination_min_matches_threshold(spark):
+    from clickhouse_from_scratch_spark.pipeline.decontaminate import \
+        contamination
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id long, text string")
+    # bench shares 2 distinct 3-grams with doc 1
+    assert contamination(docs, bench, n=3, min_matches=2).count() == 1
+    assert contamination(docs, bench, n=3, min_matches=3).count() == 0
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.decontaminate import \
+        contamination
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    plan = contamination(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan      # bench side broadcast
+    assert "BatchEvalPython" not in plan    # pure JVM shingles
+
+
+def test_decontaminate_sql_table_function(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_all
+    from clickhouse_from_scratch_spark.plans import execute_sql
+    tables = load_all(spark, sf_dir)
+    n_total = tables["documents"].count()
+    df = execute_sql(
+        spark, "SELECT count() AS n FROM decontaminate(documents, "
+        "view(SELECT * FROM documents WHERE doc_id % 97 = 0))", tables)
+    n_kept = df.collect()[0].n
+    assert 0 < n_kept < n_total
