@@ -2362,7 +2362,25 @@ _alias("UUIDNumToString", lambda c, *a: F.lower(F.concat_ws(
     "-", F.substring(F.hex(_c(c)), 1, 8), F.substring(F.hex(_c(c)), 9, 4),
     F.substring(F.hex(_c(c)), 13, 4), F.substring(F.hex(_c(c)), 17, 4),
     F.substring(F.hex(_c(c)), 21, 12))))
-_alias("generateUUIDv7", lambda: F.expr("uuid()"))
+# UUIDv7: 48-bit unix-ms prefix + version nibble 7 + random tail
+# (published layout) — built from the ms clock and uuid() entropy so
+# UUIDv7ToDateTime can recover the timestamp
+def _uuid_v7() -> Column:
+    ms_hex = F.lower(F.lpad(
+        F.hex(F.unix_millis(F.current_timestamp())), 12, "0"))
+    r = F.regexp_replace(F.expr("uuid()"), "-", "")
+    return F.concat(
+        F.substring(ms_hex, 1, 8), F.lit("-"),
+        F.substring(ms_hex, 9, 4), F.lit("-7"),
+        F.substring(r, 14, 3), F.lit("-8"),
+        F.substring(r, 18, 3), F.lit("-"),
+        F.substring(r, 21, 12))
+
+
+_alias("generateUUIDv7", _uuid_v7)
+_alias("UUIDv7ToDateTime", lambda u: F.timestamp_millis(
+    F.conv(F.substring(F.regexp_replace(_c(u), "-", ""), 1, 12),
+           16, 10).cast("long")))
 _alias("serverUUID", lambda: F.lit(
     "00000000-0000-4000-8000-000000000001"))   # fixed single-server id
 _alias("makeDateTime", lambda y, mo, d, h=0, mi=0, s=0, *a:

@@ -183,3 +183,21 @@ def test_tuple_of_intervals(spark):
     assert str(one(spark, "subtractTupleOfIntervals(toDate('2019-02-02'),"
                           " (INTERVAL 1 DAY, INTERVAL 1 MONTH))")) \
         == "2019-01-01"
+
+
+def test_uuid_v7_roundtrip(spark):
+    # UUIDv7 carries the unix-ms clock in its first 48 bits; the
+    # version nibble is 7 and UUIDv7ToDateTime recovers the timestamp
+    r = execute_sql(spark, """SELECT generateUUIDv7() AS u,
+        abs(dateDiff('second',
+                     UUIDv7ToDateTime(generateUUIDv7()), now())) AS dd
+    """, {}).collect()[0]
+    assert r.u[14] == "7" and r.dd <= 5
+
+
+def test_bit_test_family(spark):
+    # 43 = 0b101011: bits 0,1,3,5 set; 2,4 clear
+    assert one(spark, "bitTest(43, 1)") == 1
+    assert bool(one(spark, "bitTestAll(43, 0, 1, 3, 5)")) is True
+    assert bool(one(spark, "bitTestAny(43, 4, 2)")) is False
+    assert bool(one(spark, "bitTestAny(43, 0, 2)")) is True
