@@ -2512,7 +2512,8 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
             # recomputes totals over the underlying rows of the groups
             # that PASSED HAVING — one semi-join + one global aggregate.
             mode = str(ctx.settings.get("totals_mode",
-                                        "after_having_exclusive"))
+                                        "after_having_exclusive")) \
+                .strip("'\"")
             if mode != "before_having" and knames:
                 survivors = out.select(*knames).alias("__sv")
                 pre_a = pre.alias("__pre")
