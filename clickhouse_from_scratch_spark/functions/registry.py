@@ -97,7 +97,14 @@ _alias("intDivOrZero", lambda a, b: F.coalesce(
     F.when(_c(b) != 0, F.call_function("div", _c(a), _c(b))), F.lit(0)))
 _alias("negate", lambda a: -_c(a))
 _alias("abs", F.abs)
-_alias("sign", F.signum)
+# CH sign returns Int8 (-1 / 0 / 1), never a float
+_alias("sign", lambda c: F.signum(_c(c)).cast("tinyint"))
+# positiveModulo: always-nonnegative remainder (pmod)
+_alias("positiveModulo", lambda a, b: F.pmod(_c(a), _c(b)))
+_alias("positive_modulo", lambda a, b: F.pmod(_c(a), _c(b)))
+_alias("pmod", lambda a, b: F.pmod(_c(a), _c(b)))
+# NULL-safe equality (the <=> operator's named form)
+_alias("isNotDistinctFrom", lambda a, b: _c(a).eqNullSafe(_c(b)))
 
 # --- comparison (:50-59) --------------------------------------------------
 _alias("equals", lambda a, b: _c(a) == _c(b))
@@ -402,9 +409,41 @@ _alias("toInt128", lambda c: _c(c).cast("decimal(38,0)"))
 _alias("toInt256", lambda c: _c(c).cast("decimal(38,0)"))
 _alias("toFloat32", lambda c: _c(c).cast("float"))
 _alias("toFloat64", lambda c: _c(c).cast("double"))
-_alias("toDecimal32", lambda c, s: _c(c).cast(f"decimal(9,{s})"))
-_alias("toDecimal64", lambda c, s: _c(c).cast(f"decimal(18,{s})"))
-_alias("toDecimal128", lambda c, s: _c(c).cast(f"decimal(38,{s})"))
+# CH toDecimal* TRUNCATES excess fractional digits toward zero (the
+# published "value will be truncated, not rounded" contract); a plain
+# Spark cast rounds half-up, so floor the scaled magnitude first
+def _to_decimal(c: Column, s: int, precision: int) -> Column:
+    s = int(s)
+    # wide exact parse, truncate toward zero at scale s (floor/ceil on
+    # the scaled decimal), then normalize to the declared type
+    d = c.cast("decimal(38,18)")
+    scale = 10 ** s
+    scaled = d * scale
+    trunc = F.when(d >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+    return (trunc.cast("decimal(38,0)") / scale) \
+        .cast(f"decimal({precision},{s})")
+
+
+_alias("toDecimal32", lambda c, s: _to_decimal(_c(c), s, 9))
+_alias("toDecimal64", lambda c, s: _to_decimal(_c(c), s, 18))
+_alias("toDecimal128", lambda c, s: _to_decimal(_c(c), s, 38))
+_alias("toDecimal256", lambda c, s: _to_decimal(_c(c), s, 38))
+
+for _dp, _dpr in [("32", 9), ("64", 18), ("128", 38), ("256", 38)]:
+    _alias(f"toDecimal{_dp}OrNull",
+           lambda c, s, p=_dpr: _to_decimal(
+               _c(c).cast("string").try_cast("decimal(38,18)"), s, p))
+    _alias(f"toDecimal{_dp}OrZero",
+           lambda c, s, p=_dpr: F.coalesce(
+               _to_decimal(
+                   _c(c).cast("string").try_cast("decimal(38,18)"), s, p),
+               F.lit(0).cast(f"decimal({p},{int(s)})")))
+    _alias(f"toDecimal{_dp}OrDefault",
+           lambda c, s, d=None, p=_dpr: F.coalesce(
+               _to_decimal(
+                   _c(c).cast("string").try_cast("decimal(38,18)"), s, p),
+               (_c(d) if d is not None
+                else F.lit(None)).cast(f"decimal({p},{int(s)})")))
 _alias("toDate", lambda c: _c(c).cast("date"))
 _alias("toDate32", lambda c: _c(c).cast("date"))
 # toDateTime(x[, tz]): the optional timezone interprets the parsed wall
@@ -2639,6 +2678,9 @@ _alias("moduloOrZero", lambda a, b: F.when(
     _c(b) == 0, F.lit(0)).otherwise(REGISTRY["modulo"](a, b)))
 _alias("divideDecimal", lambda a, b, s=10: (
     _c(a).cast("decimal(38,18)") / _c(b).cast("decimal(38,18)"))
+    .cast(f"decimal(38,{int(s)})"))
+_alias("multiplyDecimal", lambda a, b, s=10: (
+    _c(a).cast("decimal(38,15)") * _c(b).cast("decimal(38,15)"))
     .cast(f"decimal(38,{int(s)})"))
 _alias("roundToExp2", lambda x: F.when(_c(x) < 1, F.lit(0)).otherwise(
     F.pow(F.lit(2.0), F.floor(F.log2(_c(x)))).cast("long")))

@@ -4274,6 +4274,21 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
         # array/tuple literals type their elements: [1,2] → Array(UInt8)),
         # then the resolved Spark dtype mapped back to its CH name
         arg = node.args[0]
+        if isinstance(arg, FuncCall) and arg.name == "toNullable" \
+                and len(arg.args) == 1:
+            # toNullable wraps the INNER type (CH: Nullable(UInt8));
+            # recurse on the unwrapped argument
+            inner = _eval(FuncCall("toTypeName", [arg.args[0]]), ctx, df)
+            return F.concat(F.lit("Nullable("), inner, F.lit(")"))
+        if isinstance(arg, FuncCall) and arg.name == "assumeNotNull" \
+                and len(arg.args) == 1:
+            # assumeNotNull strips Nullable — unwrap a direct
+            # toNullable(...) argument to the innermost expression
+            inner_arg = arg.args[0]
+            if isinstance(inner_arg, FuncCall) \
+                    and inner_arg.name == "toNullable":
+                inner_arg = inner_arg.args[0]
+            return _eval(FuncCall("toTypeName", [inner_arg]), ctx, df)
         if (isinstance(arg, FuncCall) and arg.name == "toDateTime64"
                 and len(arg.args) >= 2 and isinstance(arg.args[1], Literal)):
             # the Spark timestamp carries no scale — keep the declared one
@@ -4719,7 +4734,12 @@ _LITERAL_ARG_FNS = {
     "visitParamExtractString",
     "dateDiff", "dateAdd", "dateSub", "timestampAdd", "timestampSub",
     "dateName", "formatDateTime", "toTimeZone", "toDecimal32", "toDecimal64",
-    "toDecimal128", "toDateTime64", "arrayElement", "arraySlice", "ngrams",
+    "toDecimal128", "toDecimal256", "toDecimal32OrNull", "toDecimal64OrNull",
+    "toDecimal128OrNull", "toDecimal256OrNull", "toDecimal32OrZero",
+    "toDecimal64OrZero", "toDecimal128OrZero", "toDecimal256OrZero",
+    "toDecimal32OrDefault", "toDecimal64OrDefault", "toDecimal128OrDefault",
+    "toDecimal256OrDefault", "multiplyDecimal",
+    "toDateTime64", "arrayElement", "arraySlice", "ngrams",
     "leftPad", "rightPad", "tupleElement", "indexOf", "has", "bitShiftLeft",
     "bitShiftRight", "bitTest", "toStartOfInterval", "arrayStringConcat",
     "range", "addDays", "subtractDays", "addHours", "addMonths", "addYears",
@@ -5012,7 +5032,8 @@ def _spark_to_ch_name(dt: str) -> str:
     if dt.startswith("array<") and dt.endswith(">"):
         return f"Array({_spark_to_ch_name(dt[6:-1])})"
     if dt.startswith("decimal"):
-        return "Decimal" + dt[7:]
+        # CH spells it with a space: Decimal(18, 4)
+        return "Decimal" + dt[7:].replace(",", ", ")
     if dt.startswith("struct<") and dt.endswith(">"):
         elems = [_spark_to_ch_name(p.split(":", 1)[1])
                  for p in _split_type_args(dt[7:-1]) if ":" in p]

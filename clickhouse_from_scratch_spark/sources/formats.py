@@ -617,7 +617,10 @@ def _pretty_box(df: DataFrame, n: int = 20) -> str:
     is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
               or f.dataType.simpleString().startswith("decimal")
               for f in df.schema.fields]
-    cells = [["ᴺᵁᴸᴸ" if v is None else str(v) for v in r] for r in rows]
+    import decimal as _dec
+    cells = [["ᴺᵁᴸᴸ" if v is None
+              else (_dec_str(v) if isinstance(v, _dec.Decimal) else str(v))
+              for v in r] for r in rows]
     widths = [max(disp_w(names[i]),
                   *([disp_w(r[i]) for r in cells] or [0]))
               for i in range(len(names))]

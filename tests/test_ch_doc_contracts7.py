@@ -377,7 +377,7 @@ def test_decimal_fixed_string_accurate_cast(spark):
                "toFixedString('foo', 8) AS f, "
                "accurateCastOrNull(257, 'UInt8') AS o, "
                "accurateCastOrNull(5, 'UInt8') AS i") \
-        == ('Decimal(9,2)', 'foo' + '\x00' * 5, None, 5)
+        == ('Decimal(9, 2)', 'foo' + '\x00' * 5, None, 5)
 
 
 def test_alias_of_array_join_tuple_access(spark):

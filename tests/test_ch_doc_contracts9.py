@@ -201,3 +201,30 @@ def test_bit_test_family(spark):
     assert bool(one(spark, "bitTestAll(43, 0, 1, 3, 5)")) is True
     assert bool(one(spark, "bitTestAny(43, 4, 2)")) is False
     assert bool(one(spark, "bitTestAny(43, 0, 2)")) is True
+
+
+def test_decimal_truncation_contract(spark):
+    # toDecimal* TRUNCATES excess fractional digits toward zero (the
+    # published "not rounded" contract); r11 fix — a plain cast rounds
+    assert str(one(spark, "toString(toDecimal32('1.555', 2))")) == "1.55"
+    assert str(one(spark, "toString(toDecimal32(-1.555, 2))")) == "-1.55"
+    assert str(one(spark, "toString(toDecimal64OrNull('2.5', 1))")) \
+        == "2.5"
+    assert str(one(spark, "toString(toDecimal64OrZero('nope', 3))")) \
+        == "0"
+    assert str(one(spark, "toString(multiplyDecimal(toDecimal64(2.5, 1),"
+                          " toDecimal64(2.5, 1), 2))")) == "6.25"
+
+
+def test_sign_and_positive_modulo(spark):
+    assert one(spark, "sign(-7)") == -1
+    assert one(spark, "sign(0)") == 0
+    assert one(spark, "positiveModulo(-7, 3)") == 2
+    assert bool(one(spark, "isNotDistinctFrom(NULL, NULL)")) is True
+
+
+def test_to_type_name_nullable_wrap(spark):
+    assert one(spark, "toTypeName(toNullable(1))") == "Nullable(UInt8)"
+    assert one(spark, "toTypeName(assumeNotNull(toNullable(1)))") \
+        == "UInt8"
+    assert one(spark, "toTypeName(toDecimal64(1, 4))") == "Decimal(18, 4)"
