@@ -671,7 +671,12 @@ def _calc_week(d, mode: int = 0, with_year: bool = False):
 _alias("toWeek", lambda d, mode=0, tz=None: _calc_week(d, mode))
 _alias("toISOWeek", F.weekofyear)
 _alias("toUnixTimestamp", lambda c: F.unix_timestamp(_c(c)))
-_alias("fromUnixTimestamp", lambda c: F.from_unixtime(_c(c)).cast("timestamp"))
+# fromUnixTimestamp(ts[, fmt]): the 2-arg form formats with the same
+# MySQL-style specifiers as formatDateTime
+_alias("fromUnixTimestamp", lambda c, fmt=None:
+       F.from_unixtime(_c(c)).cast("timestamp") if fmt is None
+       else REGISTRY["formatDateTime"](
+           F.from_unixtime(_c(c)).cast("timestamp"), fmt))
 _alias("toStartOfYear", lambda c: F.date_trunc("year", _c(c)).cast("date"))
 _alias("toStartOfQuarter", lambda c: F.date_trunc("quarter", _c(c)).cast("date"))
 _alias("toStartOfMonth", lambda c: F.date_trunc("month", _c(c)).cast("date"))
@@ -965,7 +970,7 @@ _FDT_SPECS: dict = {
     "n": lambda d: F.lit("\n"),
     "p": lambda d: F.date_format(d, "a"),
     "Q": lambda d: F.quarter(d).cast("string"),
-    "r": lambda d: F.date_format(d, "hh:mm a"),
+    "r": lambda d: F.date_format(d, "hh:mm:ss a"),
     "R": lambda d: F.date_format(d, "HH:mm"),
     "s": lambda d: F.date_format(d, "ss"),
     "S": lambda d: F.date_format(d, "ss"),

@@ -4758,6 +4758,7 @@ _LITERAL_ARG_FNS = {
     "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
+    "fromUnixTimestamp",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
     "divideDecimal", "geohashEncode", "mortonDecode", "jumpConsistentHash",
     "toWeek", "toYearWeek", "toDayOfWeek", "formatReadableTimeDelta",

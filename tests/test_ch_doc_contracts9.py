@@ -228,3 +228,10 @@ def test_to_type_name_nullable_wrap(spark):
     assert one(spark, "toTypeName(assumeNotNull(toNullable(1)))") \
         == "UInt8"
     assert one(spark, "toTypeName(toDecimal64(1, 4))") == "Decimal(18, 4)"
+
+
+def test_format_datetime_r_and_from_unix_fmt(spark):
+    assert one(spark, "formatDateTime(toDateTime("
+                      "'2010-01-04 12:34:56'), '%r')") == "12:34:56 PM"
+    assert one(spark, "fromUnixTimestamp(1682072430, '%Y-%m-%d')") \
+        == "2023-04-21"
