@@ -1051,6 +1051,11 @@ class ChSession:
         os.rename(tmp, old)
 
     def _truncate(self, node: TruncateStmt):
+        if getattr(node, "if_exists", False):
+            try:
+                self._resolve(node.database, node.table)
+            except Exception:
+                return self._ok()
         meta = self._resolve(node.database, node.table)
         if meta.memory_df is not None:
             meta.memory_df = self.spark.createDataFrame(

@@ -292,6 +292,7 @@ class OptimizeStmt(Node):
 class TruncateStmt(Node):
     database: str | None
     table: str
+    if_exists: bool = False
 
 
 @dataclass
@@ -401,8 +402,9 @@ class StatementParser(Parser):
         if t.is_kw("TRUNCATE"):
             self.advance()
             self.accept_kw("TABLE")
+            ie = bool(self.accept_kws("IF", "EXISTS"))
             db, name = self._qualified_name()
-            return TruncateStmt(db, name)
+            return TruncateStmt(db, name, if_exists=ie)
         if t.is_kw("CHECK"):
             self.advance()
             self.expect_kw("TABLE")

@@ -98,3 +98,15 @@ def test_explain_estimate_shape(spark, tmp_path):
     rows = s.execute("EXPLAIN ESTIMATE SELECT a FROM est").collect()
     assert rows[0].asDict() == {"database": "default", "table": "est",
                                 "parts": 1, "rows": 3, "marks": 1}
+
+
+def test_truncate_if_exists(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("TRUNCATE TABLE IF EXISTS nope_not_there")   # no raise
+    s.execute("CREATE TABLE tr (a Int32) ENGINE = Memory")
+    s.execute("INSERT INTO tr VALUES (1)")
+    s.execute("TRUNCATE TABLE IF EXISTS tr")
+    assert s.execute("SELECT count() AS c FROM tr").collect()[0].c == 0
+    with pytest.raises(Exception):
+        s.execute("TRUNCATE TABLE definitely_missing")
