@@ -1126,7 +1126,10 @@ _alias("arrayUnion", lambda *arrs: F.array_distinct(
     F.concat(*[_c(a) for a in arrs])))
 _alias("arraySymmetricDifference", lambda a, b: F.array_distinct(
     F.concat(F.array_except(_c(a), _c(b)), F.array_except(_c(b), _c(a)))))
-_alias("arrayUniq", lambda a: F.size(F.array_distinct(_c(a))))
+# multi-array form counts unique TUPLES across the aligned arrays
+_alias("arrayUniq", lambda a, *rest: F.size(F.array_distinct(
+    _c(a) if not rest
+    else F.arrays_zip(_c(a), *[_c(r) for r in rest]))))
 # arrayCompact removes CONSECUTIVE duplicates only ([1,1,2,2,1] →
 # [1,2,1]); global dedup is arrayDistinct
 _alias("arrayCompact", lambda a: F.filter(
@@ -1263,6 +1266,9 @@ _alias("map", F.create_map)
 _alias("mapKeys", F.map_keys)
 _alias("mapValues", F.map_values)
 _alias("mapContains", lambda m, k: F.map_contains_key(_c(m), k))
+_alias("mapContainsKey", lambda m, k: F.map_contains_key(_c(m), k))
+_alias("mapContainsValue", lambda m, v: F.array_contains(
+    F.map_values(_c(m)), v))
 
 # --- JSON (documents/events props columns) --------------------------------
 def _json_path(keys) -> str:

@@ -235,3 +235,11 @@ def test_format_datetime_r_and_from_unix_fmt(spark):
                       "'2010-01-04 12:34:56'), '%r')") == "12:34:56 PM"
     assert one(spark, "fromUnixTimestamp(1682072430, '%Y-%m-%d')") \
         == "2023-04-21"
+
+
+def test_array_uniq_multi(spark):
+    # multi-array arrayUniq counts unique aligned TUPLES
+    r = execute_sql(spark, "SELECT arrayUniq([1, 1, 2, 1], "
+                           "[1, 2, 1, 1]) AS t, arrayUniq([1, 2, 2]) AS s",
+                    {}).collect()[0]
+    assert (r.t, r.s) == (3, 2)
