@@ -176,7 +176,108 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     "groupConcat": lambda *a: F.array_join(
         F.collect_list(_c(a[-1]).cast("string")),
         str(a[0]) if len(a) > 1 and not isinstance(a[0], Column) else ""),
+    # default-parameter forms; the parametric (lr, l2, batch, method)
+    # form is dispatched explicitly in the builder (params lead there)
+    "stochasticLinearRegression":
+        lambda *a: ml_regression(False, [], list(a)),
+    "stochasticLogisticRegression":
+        lambda *a: ml_regression(True, [], list(a)),
 }
+
+def ml_regression(logistic: bool, params: list, args: list) -> Column:
+    """``stochasticLinearRegression`` / ``stochasticLogisticRegression``
+    (public CH signature ``(learning_rate, l2_reg, batch_size, method)
+    (target, p1..pk)``; the reference declares the names in its
+    aggregate registry) → ``Array(Float64)`` of ``[w1..wk, bias]``.
+
+    Deterministic batch fit of the same objective instead of CH's
+    path-dependent SGD (documented deviation): closed-form ridge normal
+    equations for linear, fixed-iteration IRLS for logistic. The l2_reg
+    parameter is honored (weights regularized, bias not — CH's gradient
+    skips the bias term); learning_rate/batch_size/method are SGD path
+    parameters with no batch-fit analogue and are validated then
+    ignored.
+
+    Scale shape: the LINEAR path aggregates the (k+1)² moment sums as
+    pure-JVM map-side-combined F.sum expressions — no per-group data
+    materialization at all — and solves the tiny normal-equations system
+    in an Arrow scalar UDF over the single aggregated row. The LOGISTIC
+    path needs the raw observations (IRLS is not moment-expressible):
+    collect_list per group, so it's bounded by group size like
+    groupArray."""
+    import pandas as pd
+
+    l2 = float(params[1]) if len(params) > 1 else 0.1
+    method = str(params[3]).strip("'\"") if len(params) > 3 else "SGD"
+    if method not in ("SGD", "Momentum", "Nesterov", "Adam"):
+        raise ValueError(
+            f"invalid method {method!r} for stochastic regression "
+            f"(SGD/Momentum/Nesterov/Adam)")
+    if len(args) < 2:
+        raise ValueError(
+            "stochastic regression needs a target and at least one "
+            "parameter column")
+    cols = [_c(a).cast("double") for a in args]
+    y, xs = cols[0], cols[1:]
+    n = len(xs) + 1                      # features + bias
+
+    if not logistic:
+        feats = xs + [F.lit(1.0)]
+        moments = [F.sum(feats[i] * feats[j])
+                   for i in range(n) for j in range(i, n)]
+        moments += [F.sum(feats[i] * y) for i in range(n)]
+
+        def _solve(m):
+            import numpy as np
+            out = []
+            for arr in m:
+                vals = np.asarray(arr, dtype=float)
+                a = np.zeros((n, n))
+                idx = 0
+                for i in range(n):
+                    for j in range(i, n):
+                        a[i, j] = a[j, i] = vals[idx]
+                        idx += 1
+                b = vals[idx:idx + n]
+                reg = np.eye(n) * l2
+                reg[-1, -1] = 0.0        # bias is not regularized
+                out.append([float(v)
+                            for v in np.linalg.solve(a + reg, b)])
+            return pd.Series(out)
+
+        _solve.__annotations__ = {"m": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_solve, "array<double>")(F.array(*moments))
+
+    rows = F.collect_list(F.array(y, *xs))
+
+    def _irls(m):
+        import numpy as np
+        out = []
+        for grp in m:
+            mat = np.asarray([np.asarray(r, dtype=float) for r in grp])
+            yy = mat[:, 0]
+            x = np.column_stack([mat[:, 1:], np.ones(len(yy))])
+            reg = np.eye(n) * l2
+            reg[-1, -1] = 0.0
+            w = np.zeros(n)
+            for _ in range(25):          # fixed-count IRLS — deterministic
+                p = 1.0 / (1.0 + np.exp(-np.clip(x @ w, -35, 35)))
+                wd = p * (1.0 - p) + 1e-9
+                a = (x * wd[:, None]).T @ x + reg
+                g = x.T @ (yy - p) - np.concatenate([w[:-1] * l2, [0.0]])
+                try:
+                    step = np.linalg.solve(a, g)
+                except np.linalg.LinAlgError:
+                    break
+                w = w + step
+                if float(np.abs(step).max()) < 1e-12:
+                    break
+            out.append([float(v) for v in w])
+        return pd.Series(out)
+
+    _irls.__annotations__ = {"m": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_irls, "array<double>")(rows)
+
 
 def _nan_degenerate(f, two_arg: bool = False):
     """CH evaluates the moment formulas in Float64: a degenerate

@@ -470,6 +470,22 @@ def _to_dt64(c, p=3):
 
 _alias("toDateTime64", _to_dt64)
 _alias("toUUID", lambda c: F.lower(_c(c).cast("string")))  # UUIDs render lowercase
+
+
+def _eval_ml_method(state, *xs):
+    """evalMLMethod(state, p1..pk): prediction from the [w1..wk, bias]
+    weights array the stochastic*Regression aggregates produce —
+    dot(w, x) + bias (the linear score; CH applies sigmoid for logistic
+    states, which the untagged weights array cannot distinguish —
+    documented deviation, apply 1/(1+exp(-x)) for probabilities)."""
+    s = _c(state)
+    out = F.element_at(s, -1)
+    for i, x in enumerate(xs):
+        out = out + F.element_at(s, i + 1) * _c(x).cast("double")
+    return out
+
+
+_alias("evalMLMethod", _eval_ml_method)
 def _mk_interval(unit: str, mult: int = 1):
     """toInterval<Unit>(n): literal n → interval literal; Column n →
     make_dt_interval / make_ym_interval (never a string interpolation of

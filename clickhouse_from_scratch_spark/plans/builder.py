@@ -587,6 +587,16 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
             df = with_fill_multi(df, specs, mark_generated="__wf_orig")
             interp_cols: set[str] = set()
             if q.interpolate:
+                # CH rejects interpolating a fill column itself
+                # (InterpreterSelectQuery: INVALID_WITH_FILL_EXPRESSION)
+                fill_set = {s[0] for s in specs}
+                for c, _ in q.interpolate:
+                    if c in fill_set:
+                        raise BuildError(
+                            f"Column {c!r} is participating in ORDER BY "
+                            f"... WITH FILL expression and can't be used "
+                            f"in INTERPOLATE "
+                            f"(INVALID_WITH_FILL_EXPRESSION)")
                 df = _apply_interpolate(df, q.interpolate,
                                         [s[0] for s in specs])
                 interp_cols = {c for c, _ in q.interpolate}
@@ -2962,6 +2972,14 @@ def _agg_column_inner(node: FuncCall, ctx: Context,
         return ch(name, float(params[0]), *args)
     if name in ("sequenceMatch", "sequenceCount") and params:
         return ch(name, str(params[0]), *args)
+    if name in ("stochasticLinearRegression",
+                "stochasticLogisticRegression"):
+        from ..functions.aggregates import ml_regression
+        try:
+            return ml_regression(name == "stochasticLogisticRegression",
+                                 params, args)
+        except ValueError as e:
+            raise BuildError(str(e)) from None
     if name == "count" and not args:
         return F.count(F.lit(1))
     if name == "sumMapFiltered" and params and len(args) == 2:
@@ -3376,8 +3394,16 @@ def _apply_projection_keep(df: DataFrame, items,
             if not isinstance(dt, StructType):
                 raise BuildError("untuple expects a Tuple argument")
             alias = node.alias if isinstance(node, Alias) else None
-            for fld in dt.fields:
-                out_name = f"{alias}_{fld.name}" if alias else fld.name
+            arg_text = _auto_name(expr.args[0])
+            for i, fld in enumerate(dt.fields, 1):
+                if alias:
+                    out_name = f"{alias}_{fld.name}"
+                elif fld.name == f"_{i}":
+                    # positional tuple fields: CH spells the output
+                    # column tupleElement(<arg>, n)
+                    out_name = f"tupleElement({arg_text}, {i})"
+                else:
+                    out_name = fld.name        # named tuple keeps names
                 slot = _uniq_slot(out_name, used)
                 proj.append(c.getField(fld.name).alias(slot))
                 names.append(slot)
@@ -4369,6 +4395,11 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 and len(arg.args) >= 2 and isinstance(arg.args[1], Literal)):
             # the Spark timestamp carries no scale — keep the declared one
             return F.lit(f"DateTime64({arg.args[1].value})")
+        if isinstance(arg, FuncCall) and arg.name == "now64":
+            # now64([scale]) is DateTime64(scale), default scale 3
+            p = (arg.args[0].value
+                 if arg.args and isinstance(arg.args[0], Literal) else 3)
+            return F.lit(f"DateTime64({p})")
         if (isinstance(arg, FuncCall) and arg.name.startswith("toInterval")
                 and len(arg.name) > len("toInterval")):
             # Spark renders 'interval day to second'; CH names the unit

@@ -439,14 +439,21 @@ class StatementParser(Parser):
                 db, name = self._qualified_name()
             if not (self.accept_kw("TO") or self.accept_kw("FROM")):
                 raise ParseError(f"{kind} requires TO/FROM at {self.tok.pos}")
-            # Disk('path') or plain 'path'
-            if self.tok.is_kw("DISK", "FILE") and self.peek().is_op("("):
-                self.advance()
-                self.advance()
-                path = self.advance().text
-                self.expect_op(")")
-            else:
-                path = self.advance().text
+            path = self._backup_name(kind)
+            if self.accept_kw("SETTINGS"):
+                # ParserBackupQuery.cpp:165-190: a SETTINGS list where
+                # base_backup = Disk(...) names an incremental base.
+                # Parse the full grammar; none of the backup settings
+                # are implemented — raise the named error instead of a
+                # silent no-op.
+                while True:
+                    sname = self.advance().text
+                    self.expect_op("=")
+                    if self.tok.kind != T.EOF and not self.tok.is_op(";"):
+                        self._backup_name(kind)     # value: name(...)|lit
+                    raise ParseError(
+                        f"{kind} SETTINGS {sname} is not implemented "
+                        f"(NOT_IMPLEMENTED)")
             return BackupStmt(kind, db, name, path, target=target)
         if t.is_op("("):
             return self.parse_query()
@@ -464,6 +471,27 @@ class StatementParser(Parser):
         if self.accept_op("."):
             return a, self.advance().text
         return None, a
+
+    def _backup_name(self, kind: str) -> str:
+        """Backup-name grammar: an identifier with an optional parameter
+        list — ``Disk('backups', 'name')``, ``File('path')``,
+        ``Disk('path')`` — or a bare string literal
+        (``ParserBackupQuery.cpp:150-153`` routes through
+        ``ParserIdentifierWithOptionalParameters``). Multiple parameters
+        join as path segments (disk directory + backup name)."""
+        import os as _os
+        if self.tok.is_kw("DISK", "FILE") and self.peek().is_op("("):
+            self.advance()
+            self.advance()
+            args: list[str] = []
+            while not self.tok.is_op(")"):
+                args.append(self.advance().text)
+                self.accept_op(",")
+            self.expect_op(")")
+            if not args:
+                raise ParseError(f"{kind}: empty backup-name parameters")
+            return _os.path.join(*args)
+        return self.advance().text
 
     # --- CREATE ----------------------------------------------------------
 

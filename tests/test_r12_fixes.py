@@ -167,3 +167,103 @@ def test_or_default_explicit_still_wins(sess):
         "SELECT toDecimal64OrDefault('bad', 3, toDecimal64(9.5, 3)) AS d"
     ).collect()[0]
     assert float(r.d) == 9.5
+
+
+# --- BACKUP/RESTORE grammar parity (ParserBackupQuery.cpp:150-190) -----------
+
+def test_backup_two_arg_disk_roundtrip(sess, tmp_path):
+    sess.execute("CREATE TABLE bk (a Int32, s String) "
+                 "ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO bk VALUES (1, 'x'), (2, 'y')")
+    sess.execute(f"BACKUP TABLE bk TO Disk('{tmp_path}/backups', 'b1')")
+    sess.execute("DROP TABLE bk")
+    sess.execute(f"RESTORE TABLE bk FROM Disk('{tmp_path}/backups', 'b1')")
+    rows = sorted((r.a, r.s)
+                  for r in sess.execute("SELECT * FROM bk").collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_backup_one_arg_disk_still_parses(sess, tmp_path):
+    sess.execute("CREATE TABLE bk1 (a Int32) ENGINE = Memory")
+    sess.execute("INSERT INTO bk1 VALUES (5)")
+    sess.execute(f"BACKUP TABLE bk1 TO Disk('{tmp_path}/flat')")
+    sess.execute(f"RESTORE TABLE bk2 FROM Disk('{tmp_path}/flat')")
+    assert sess.execute("SELECT a FROM bk2").collect()[0].a == 5
+
+
+def test_backup_base_backup_setting_named_error(sess, tmp_path):
+    sess.execute("CREATE TABLE bk3 (a Int32) ENGINE = Memory")
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        sess.execute(f"BACKUP TABLE bk3 TO Disk('{tmp_path}/b') "
+                     f"SETTINGS base_backup = Disk('{tmp_path}/b0', 'x')")
+
+
+# --- DateTime64 type-name propagation ----------------------------------------
+
+def test_totypename_now64(sess):
+    r = sess.execute("SELECT toTypeName(now64()) AS a, "
+                     "toTypeName(now64(9)) AS b, "
+                     "toTypeName(toDateTime64('2024-01-01 00:00:00', 6)) "
+                     "AS c").collect()[0]
+    assert (r.a, r.b, r.c) == ("DateTime64(3)", "DateTime64(9)",
+                               "DateTime64(6)")
+
+
+# --- stochastic regression aggregates ----------------------------------------
+
+def test_stochastic_linear_regression_exact(sess):
+    r = sess.execute(
+        "SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')"
+        "(3*number + 7, number) AS w FROM numbers(50)").collect()[0].w
+    assert abs(r[0] - 3.0) < 1e-9 and abs(r[1] - 7.0) < 1e-9
+
+
+def test_stochastic_linear_regression_two_features_grouped(sess):
+    rows = sess.execute(
+        "SELECT number % 2 AS g, "
+        "stochasticLinearRegression(0.1, 0.0, 5, 'SGD')"
+        "(number*if(g = 0, 2, 5), number) AS w "
+        "FROM numbers(40) GROUP BY g ORDER BY g").collect()
+    assert abs(rows[0].w[0] - 2.0) < 1e-9
+    assert abs(rows[1].w[0] - 5.0) < 1e-9
+
+
+def test_eval_ml_method(sess):
+    p = sess.execute(
+        "WITH (SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')"
+        "(3*number + 7, number) FROM numbers(50)) AS m "
+        "SELECT evalMLMethod(m, 10) AS p").collect()[0].p
+    assert abs(p - 37.0) < 1e-6
+
+
+def test_stochastic_logistic_regression_separates(sess):
+    # separable data: the learned boundary must classify the training
+    # points correctly (sign of the linear score)
+    w = sess.execute(
+        "SELECT stochasticLogisticRegression(0.1, 0.1, 5, 'SGD')"
+        "(if(number > 25, 1, 0), number) AS w "
+        "FROM numbers(50)").collect()[0].w
+    assert w[0] * 10 + w[1] < 0          # number=10 → class 0
+    assert w[0] * 40 + w[1] > 0          # number=40 → class 1
+
+
+def test_stochastic_regression_bad_method(sess):
+    with pytest.raises(Exception, match="invalid method"):
+        sess.execute(
+            "SELECT stochasticLinearRegression(0.1, 0.0, 5, 'BAD')"
+            "(number, number) FROM numbers(5)").collect()
+
+
+# --- WITH FILL INTERPOLATE guard + untuple naming ----------------------------
+
+def test_interpolate_of_fill_column_rejected(sess):
+    with pytest.raises(Exception, match="INVALID_WITH_FILL_EXPRESSION"):
+        sess.execute("SELECT number AS n FROM numbers(3) "
+                     "ORDER BY n WITH FILL INTERPOLATE (n AS n + 1)") \
+            .collect()
+
+
+def test_untuple_output_names_tuple_element(sess):
+    df = sess.execute("SELECT untuple(tuple(1, 'a'))")
+    assert df.columns == ["tupleElement(tuple(1, 'a'), 1)",
+                          "tupleElement(tuple(1, 'a'), 2)"]

@@ -909,7 +909,9 @@ def test_untuple_and_hof_over_aggregate(spark):
     assert out.columns == ["u__1", "u__2", "k"]
     assert tuple(out.collect()[0]) == (10, "z", 5)
     out = execute_sql(spark, "SELECT untuple((1, 'a'))", {})
-    assert out.columns == ["_1", "_2"]
+    # CH spells unaliased positional outputs tupleElement(<arg>, n)
+    assert out.columns == ["tupleElement((1, 'a'), 1)",
+                           "tupleElement((1, 'a'), 2)"]
     # HOF whose array argument is an aggregate result
     r = execute_sql(spark, """
         SELECT arraySort(x -> x, groupUniqArray(v)) AS a
