@@ -652,6 +652,13 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         # (predicate results — CH renders them 1/0, not true/false);
         # the text-format renderers read this to pick the CH cell form
         df._ch_uint8_cols = u8
+    u64 = _uint64_cols(q.select, df, ctx)
+    if u64:
+        # Spark LongType output columns whose DIALECT type is UInt64
+        # (stored two's-complement per the UInt64-as-Long policy);
+        # renderers print negative values + 2^64 so 0xFFFF... shows as
+        # 18446744073709551615, the way CH formats UInt64
+        df._ch_uint64_cols = u64
     return df
 
 
@@ -704,6 +711,27 @@ def _uint8_bool_cols(select_items, df: DataFrame,
         f.name for item, f in zip(select_items, fields)
         if isinstance(f.dataType, BooleanType)
         and not _renders_as_ch_bool(item, ctx))
+
+
+def _uint64_cols(select_items, df: DataFrame,
+                 ctx: Context) -> frozenset:
+    """Names of output columns that are Spark LongType but dialect
+    UInt64 (the UInt64-as-Long policy stores them two's-complement).
+    Schema-only — no job."""
+    from pyspark.sql.types import LongType
+    fields = df.schema.fields
+    if not any(isinstance(f.dataType, LongType) for f in fields):
+        return frozenset()
+    if len(select_items) != len(fields):
+        return frozenset()
+    out = set()
+    for item, f in zip(select_items, fields):
+        if not isinstance(f.dataType, LongType):
+            continue
+        cht = _infer_ch_type(item, ctx, df)
+        if cht == "UInt64":
+            out.add(f.name)
+    return frozenset(out)
 
 
 def _extremes_block(df: DataFrame) -> DataFrame:

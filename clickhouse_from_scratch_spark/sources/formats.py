@@ -593,6 +593,8 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
         # the main result block (_pretty_box is the plain renderer —
         # main may be df itself when only extremes are attached)
         main = getattr(df, "_ch_main_df", df)
+        main._ch_uint64_cols = getattr(df, "_ch_uint64_cols",
+                                       frozenset())
         out = _pretty_box(main, n, u8)
         if tot is not None:
             out += "\n\nTotals:\n" + _pretty_box(tot, 1, u8)
@@ -610,7 +612,7 @@ def _pretty_box(df: DataFrame, n: int = 20,
         return sum(2 if unicodedata.east_asian_width(c) in "WF" else 1
                    for c in s)
 
-    rows = df.limit(n).collect()
+    rows = _collect_rows(df, n)
     names = df.columns
     is_num = [f.dataType.simpleString() in _NUMERIC_TYPES
               or f.dataType.simpleString().startswith("decimal")
@@ -731,6 +733,25 @@ def _u8_cols(df: DataFrame) -> frozenset:
     return getattr(df, "_ch_uint8_cols", frozenset())
 
 
+def _collect_rows(df: DataFrame, n: int, u64: frozenset | None = None):
+    """``limit(n).collect()`` plus the UInt64-as-Long display fix:
+    columns the builder marked dialect-UInt64 (``_ch_uint64_cols``)
+    re-base negative longs by +2^64, so 0xFFFF… renders as
+    18446744073709551615 — the way CH prints UInt64 — instead of -1.
+    Rows come back as plain tuples (positional/zip access only)."""
+    rows = df.limit(n).collect()
+    if u64 is None:
+        u64 = getattr(df, "_ch_uint64_cols", frozenset())
+    if not u64:
+        return rows
+    ids = {i for i, nm in enumerate(df.columns) if nm in u64}
+    return [tuple((v + (1 << 64))
+                  if i in ids and isinstance(v, int)
+                  and not isinstance(v, bool) and v < 0 else v
+                  for i, v in enumerate(r))
+            for r in rows]
+
+
 def _text_cell(v, simple: str, quote_strings: bool,
                bool_as_int: bool = False, nested: bool = False) -> str:
     """One CH text-format cell (TabSeparated/CSV array conventions):
@@ -791,7 +812,7 @@ def to_tab_separated(df: DataFrame, n: int = 10000) -> str:
     simples = [f.dataType.simpleString() for f in df.schema.fields]
     u8 = _u8_cols(df)
     names = df.columns
-    rows = df.limit(n).collect()
+    rows = _collect_rows(df, n)
     return "\n".join(
         "\t".join(_text_cell(v, t, quote_strings=False,
                              bool_as_int=names[i] in u8)
@@ -873,7 +894,7 @@ def to_values(df: DataFrame, n: int = 10000) -> str:
     return ",".join(
         "(" + ",".join(_values_cell(v, t, names[i] in u8)
                        for i, (v, t) in enumerate(zip(row, simples))) + ")"
-        for row in df.limit(n).collect())
+        for row in _collect_rows(df, n))
 
 
 def to_vertical(df: DataFrame, n: int = 10000) -> str:
@@ -898,6 +919,8 @@ def to_vertical(df: DataFrame, n: int = 10000) -> str:
             return "\n".join(lines)
 
         main = getattr(df, "_ch_main_df", df)
+        main._ch_uint64_cols = getattr(df, "_ch_uint64_cols",
+                                       frozenset())
         out = _vertical_rows(main, n, u8)
         if tot is not None:
             out += "\n\n" + block("Totals:", tot, 1)
@@ -912,7 +935,7 @@ def _vertical_rows(df: DataFrame, n: int = 10000,
     names = df.columns
     pad = max((len(c) for c in names), default=0) + 1   # name + ':'
     blocks = []
-    for i, row in enumerate(df.limit(n).collect(), 1):
+    for i, row in enumerate(_collect_rows(df, n), 1):
         head = f"Row {i}:"
         lines = [head, "─" * len(head)]
         lines += [f"{name + ':':<{pad + 1}}"
@@ -933,7 +956,7 @@ def to_tskv(df: DataFrame, n: int = 10000) -> str:
         "\t".join(k + "=" + (null if v is None else _tsv_escape(
             _ch_literal(v, bool_as_int=raw[i] in u8)))
                   for i, (k, v) in enumerate(zip(names, row)))
-        for row in df.limit(n).collect())
+        for row in _collect_rows(df, n))
 
 
 def to_markdown(df: DataFrame, n: int = 10000) -> str:
@@ -951,7 +974,7 @@ def to_markdown(df: DataFrame, n: int = 10000) -> str:
         "ᴺᵁᴸᴸ" if v is None
         else esc(_ch_literal(v, bool_as_int=names[i] in u8))
         for i, v in enumerate(row)) + " |"
-        for row in df.limit(n).collect()]
+        for row in _collect_rows(df, n)]
     return "\n".join(out)
 
 
@@ -964,7 +987,7 @@ def _xml_escape(s: str) -> str:
 def to_xml(df: DataFrame, n: int = 10000) -> str:
     """``XML`` document output: meta (name+CH type), data rows, rows
     count — the reference's declared XML layout."""
-    rows = df.limit(n).collect()
+    rows = _collect_rows(df, n)
     out = ["<?xml version='1.0' encoding='UTF-8' ?>", "<result>",
            "\t<meta>", "\t\t<columns>"]
     for f in df.schema.fields:
@@ -1000,7 +1023,9 @@ def _json_cell(v, simple: str, bool_as_int: bool = False):
         return str(v)
     if simple in _NUMERIC_TYPES:
         if isinstance(v, float) and not math.isfinite(v):
-            return str(v)                   # CH renders inf/nan as strings
+            # CH default output_format_json_quote_denormals = 0:
+            # nan/inf/-inf serialize as null in all JSON formats
+            return None
         return v
     if simple == "boolean":
         # predicate results are UInt8 in the dialect → JSON number 1/0
@@ -1036,7 +1061,7 @@ def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
     ext = getattr(df, "_ch_extremes_df", None)
     u8 = _u8_cols(df)
     main = getattr(df, "_ch_main_df", df) if tot is not None else df
-    rows = main.limit(n).collect()
+    rows = _collect_rows(main, n, getattr(df, "_ch_uint64_cols", frozenset()))
     simples = [f.dataType.simpleString() for f in main.schema.fields]
     meta = [{"name": f.name, "type": _ch_type(s)}
             for f, s in zip(main.schema.fields, simples)]
@@ -1084,7 +1109,7 @@ def to_json_each_row(df: DataFrame, n: int = 10000) -> str:
         json.dumps({c: _json_cell(v, s, c in u8)
                     for c, v, s in zip(df.columns, row, simples)},
                    ensure_ascii=False, separators=(",", ":"))
-        for row in df.limit(n).collect())
+        for row in _collect_rows(df, n))
 
 
 _TPL_RE = None
@@ -1175,7 +1200,7 @@ def to_json_each_row_with_progress(df: DataFrame, n: int = 10000) -> str:
     followed by one final {"progress": {...}} event (CH streams interim
     progress; a completed local result has exactly the final one)."""
     import json
-    rows = df.limit(n).collect()
+    rows = _collect_rows(df, n)
     simples = [f.dataType.simpleString() for f in df.schema.fields]
     u8 = _u8_cols(df)
     out = [json.dumps(
@@ -1265,7 +1290,7 @@ def to_csv_text(df: DataFrame, n: int = 10000,
     if header:
         lines.append(",".join('"' + c.replace('"', '""') + '"'
                               for c in df.columns))
-    for row in df.limit(n).collect():
+    for row in _collect_rows(df, n):
         lines.append(",".join(
             _csv_cell(v, s, names[i] in u8)
             for i, (v, s) in enumerate(zip(row, simples))))

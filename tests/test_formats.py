@@ -630,3 +630,40 @@ def test_tsv_output_ch_escaping(spark, tmp_path):
     assert "back\\\\slash" in text
     assert '"' not in text
     assert len(text.splitlines()) == 3
+
+
+def test_uint64_unsigned_text_rendering(spark):
+    """UInt64-as-Long display policy: dialect-UInt64 output columns
+    re-base negative longs +2^64 in every text renderer, so the max
+    UInt64 prints 18446744073709551615 (CH behavior), while genuinely
+    signed Int64 columns keep their sign. JSON additionally quotes
+    64-bit ints (output_format_json_quote_64bit_integers = 1)."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    from clickhouse_from_scratch_spark.sources.formats import (
+        to_csv_text, to_json_each_row, to_pretty, to_tab_separated,
+        to_values)
+    s = ChSession(spark)
+    df = s.execute("SELECT toUInt64(18446744073709551615) AS u, "
+                   "toInt64(-1) AS i")
+    big = "18446744073709551615"
+    assert to_json_each_row(df) == '{"u":"%s","i":"-1"}' % big
+    assert big in to_pretty(df)
+    assert to_csv_text(df) == f"{big},-1"
+    assert to_tab_separated(df) == f"{big}\t-1"
+    assert to_values(df) == f"({big},-1)"
+    # CH types toUInt64(0) - 1 as Int64 (NumberTraits subtraction is
+    # signed) — must stay -1, not re-base
+    df2 = s.execute("SELECT toUInt64(0) - 1 AS wrap")
+    assert to_json_each_row(df2) == '{"wrap":"-1"}'
+
+
+def test_json_denormals_render_null(spark):
+    """output_format_json_quote_denormals = 0 (CH default): nan and
+    ±inf serialize as null in JSON output formats."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    from clickhouse_from_scratch_spark.sources.formats import (
+        to_json_each_row)
+    s = ChSession(spark)
+    df = s.execute("SELECT 0/0 AS nan_v, 1/0 AS inf_v, -1/0 AS ninf_v")
+    assert to_json_each_row(df) == \
+        '{"nan_v":null,"inf_v":null,"ninf_v":null}'
