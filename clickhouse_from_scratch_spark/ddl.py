@@ -1802,6 +1802,11 @@ class ChSession:
                         os.path.join(node.path, name))
                 return self._ok()
             db = node.database
+            if not os.path.isdir(node.path):
+                # CH error 598 on a missing backup name
+                raise ValueError(
+                    f"BACKUP_NOT_FOUND: backup '{node.path}' does not "
+                    f"exist")
             self.databases.setdefault(db, {})
             for name in sorted(os.listdir(node.path)):
                 sub = os.path.join(node.path, name)
@@ -1817,6 +1822,10 @@ class ChSession:
         return self._ok()
 
     def _restore_table(self, db: str, table: str, path: str) -> None:
+        if not os.path.isdir(path):
+            # CH error 598 on a missing backup name
+            raise ValueError(
+                f"BACKUP_NOT_FOUND: backup '{path}' does not exist")
         df = self.spark.read.parquet(path)
         meta = TableMeta(table, db,
                          [(f.name, _spark_to_ch(f.dataType.simpleString()))

@@ -267,3 +267,12 @@ def test_untuple_output_names_tuple_element(sess):
     df = sess.execute("SELECT untuple(tuple(1, 'a'))")
     assert df.columns == ["tupleElement(tuple(1, 'a'), 1)",
                           "tupleElement(tuple(1, 'a'), 2)"]
+
+
+def test_restore_missing_backup_named_error(sess):
+    """CH raises BACKUP_NOT_FOUND (598) when restoring a name that was
+    never backed up — not a raw filesystem error."""
+    with pytest.raises(Exception, match="BACKUP_NOT_FOUND"):
+        sess.execute("RESTORE TABLE nope FROM Disk('backups', 'nothere')")
+    with pytest.raises(Exception, match="BACKUP_NOT_FOUND"):
+        sess.execute("RESTORE DATABASE nodb FROM Disk('backups', 'no2')")
