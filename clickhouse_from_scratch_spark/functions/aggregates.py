@@ -1514,10 +1514,13 @@ AGGREGATES.update({"sparkbar": _sparkbar, "sparkBar": _sparkbar})
 
 
 AGGREGATES.update({
-    # Kahan-compensated sum: Spark's partial-aggregated double sum is
-    # the engine's summation; compensation is not exposed — documented
-    # analogue (same contract: more-stable float sums)
-    "sumKahan": lambda x: F.sum(_c(x)),
+    # Kahan-compensated sum (AggregateFunctionSumKahan): sum through
+    # DECIMAL(38,18) — exact to 18 fractional digits, which dominates
+    # Kahan's error bound for the doc contract (sumKahan(0.1)×10 = 1,
+    # where plain double sum gives 0.9999…). Pure JVM, map-side
+    # partial aggregation intact — scales like sum()
+    "sumKahan": lambda x: F.sum(
+        _c(x).cast("decimal(38,18)")).cast("double"),
     # type-Nothing aggregate (always NULL)
     "nothing": lambda *a: F.first(F.lit(None)),
     # exactly-one-distinct-value ⇒ that value, else NULL — the aggregate

@@ -1962,6 +1962,22 @@ for _h64 in ("murmurHash2_64", "murmurHash3_64", "farmHash64",
     _alias(_h64, lambda *cs: F.xxhash64(*[_c(c) for c in cs]))
 for _h32 in ("murmurHash2_32", "murmurHash3_32"):
     _alias(_h32, lambda *cs: F.hash(*[_c(c) for c in cs]).cast("long"))
+# xxh3 (XXH3_64bits): 64-bit stand-in, seed-distinguished from xxHash64
+# so the two names never collide on the same input
+_alias("xxh3", lambda *cs: F.xxhash64(F.lit("xxh3"),
+                                      *[_c(c) for c in cs]))
+# 128-bit stand-in: md5 is exactly 16 bytes (same policy as sipHash128)
+_alias("murmurHash3_128", lambda *cs: F.unhex(F.md5(F.concat_ws(
+    "\x00", *[_c(c).cast("string") for c in cs]))))
+# CRC32 — EXACT: Spark's crc32 is the same zlib CRC-32 the reference
+# uses (CRC32('hello') = 907060870, pinned)
+_alias("CRC32", lambda c: F.crc32(_c(c).cast("string").cast("binary")))
+# CRC32IEEE / CRC64: stand-ins derived from the exact crc32 (the
+# variant differs only in init/final-xor conventions; bit parity is a
+# non-goal per the hash policy above)
+_alias("CRC32IEEE", lambda c: F.crc32(
+    _c(c).cast("string").cast("binary")).bitwiseXOR(F.lit(0xFFFFFFFF)))
+_alias("CRC64", lambda c: F.xxhash64(_c(c)))
 
 
 def _java_hash(c) -> Column:
@@ -1989,6 +2005,72 @@ def _java_hash(c) -> Column:
 
 
 _alias("javaHash", _java_hash)
+
+
+def _java_hash_utf16le(c) -> Column:
+    """javaHashUTF16LE: the argument HOLDS UTF-16LE-encoded bytes (one
+    char per byte); hash = Java hashCode over the 16-bit units
+    lo + 256*hi (doc contract: javaHashUTF16LE(convertCharset('test',
+    'utf-8', 'utf-16le')) = javaHash('test') = 3556498)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _jh(vs):
+        out = []
+        for s_ in vs:
+            if s_ is None:
+                out.append(None)
+                continue
+            h = 0
+            for i in range(0, len(s_) // 2 * 2, 2):
+                unit = (ord(s_[i]) & 0xFF) + ((ord(s_[i + 1]) & 0xFF) << 8)
+                h = (31 * h + unit) & 0xFFFFFFFF
+            out.append(h - (1 << 32) if h >= (1 << 31) else h)
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_jh, "int", PandasUDFType.SCALAR)(
+        _c(c).cast("string"))
+
+
+_alias("javaHashUTF16LE", _java_hash_utf16le)
+
+
+def _convert_charset(s, from_cs, to_cs) -> Column:
+    """convertCharset(s, from, to): re-encode the BYTES of s from one
+    charset to another. Spark strings are unicode — chars ≤ U+00FF map
+    1:1 to bytes (latin-1 view), which is how byte-payload strings move
+    through the engine; pure-text input with from='utf-8' falls back to
+    its utf-8 bytes. Arrow-batched scalar UDF (cold path — charset
+    transcoding is not expressible in JVM expressions)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _conv(vs, vf, vt):
+        out = []
+        for s_, f_, t_ in zip(vs, vf, vt):
+            if s_ is None:
+                out.append(None)
+                continue
+            try:
+                raw = s_.encode("latin-1")
+            except (UnicodeEncodeError, AttributeError):
+                raw = str(s_).encode("utf-8")
+            try:
+                text = raw.decode(f_.replace("-", "_").lower()
+                                  .replace("_", "-"), errors="replace")
+                enc = text.encode(t_.replace("_", "-").lower())
+            except LookupError as e:
+                raise ValueError(f"convertCharset: unknown charset "
+                                 f"({e})") from None
+            out.append(enc.decode("latin-1"))
+        return pd.Series(out)
+
+    return F.pandas_udf(_conv, "string", PandasUDFType.SCALAR)(
+        _c(s).cast("string"), _c(from_cs).cast("string"),
+        _c(to_cs).cast("string"))
+
+
+_alias("convertCharset", _convert_charset)
 # hiveHash is javaHash with the sign bit zeroed (CH docs)
 _alias("hiveHash", lambda c: _java_hash(c).cast("long")
        .bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"))
@@ -2356,6 +2438,29 @@ _alias("isIPv6String", lambda s: _c(s).rlike(
     r"^[0-9A-Fa-f:]+$") & _c(s).contains(":"))
 _alias("toIPv4", lambda s: _c(s).cast("string"))
 _alias("toIPv6", lambda s: _c(s).cast("string"))
+
+
+def _ipv4_valid(s) -> Column:
+    return REGISTRY["isIPv4String"](s)
+
+
+# OrNull / OrDefault / OrZero conversion tails of the IP family
+# (FunctionsCodingIP.cpp registers IPv4StringToNumOrNull etc.): invalid
+# input → NULL / the type default (0 or '') instead of an error
+_alias("IPv4StringToNumOrNull", lambda s: F.when(
+    _ipv4_valid(s), REGISTRY["IPv4StringToNum"](s)))
+_alias("IPv4StringToNumOrDefault", lambda s: F.coalesce(
+    F.when(_ipv4_valid(s), REGISTRY["IPv4StringToNum"](s)),
+    F.lit(0).cast("long")))
+_alias("toIPv4OrNull", lambda s: F.when(_ipv4_valid(s),
+                                        _c(s).cast("string")))
+_alias("toIPv4OrDefault", lambda s: F.coalesce(
+    F.when(_ipv4_valid(s), _c(s).cast("string")), F.lit("0.0.0.0")))
+_alias("toIPv6OrNull", lambda s: F.when(
+    REGISTRY["isIPv6String"](s), _c(s).cast("string")))
+_alias("toIPv6OrDefault", lambda s: F.coalesce(
+    F.when(REGISTRY["isIPv6String"](s), _c(s).cast("string")),
+    F.lit("::")))
 
 
 def _point_in_polygon(pt, poly) -> Column:
@@ -3538,43 +3643,33 @@ _alias("extractURLParameterNames", _extract_url_param_names)
 
 
 def _url_hierarchy(u, with_host: bool = True) -> Column:
-    """URLHierarchy / URLPathHierarchy: prefixes of the URL cut after
-    each '/' (and after '?') in the path + query string; the full URL is
-    appended when it doesn't end on a separator. URLPathHierarchy drops
-    protocol+host and excludes the root '/' (docs: URL-functions
-    'Functions that Work with URLs'). One flat JVM expression."""
+    """URLHierarchy / URLPathHierarchy: the URL cut right AFTER every
+    '/', '?' and '#' occurrence past the host, plus the full string when
+    it doesn't end on a separator (the reference walks separators one at
+    a time — a bare path element appears only as that final full form,
+    never before a following '?'). URLPathHierarchy drops protocol+host
+    and excludes the root '/' (docs: 'Functions that Work with URLs').
+    One flat JVM expression — no UDF, no shuffle."""
     u = _c(u)
     head = F.regexp_extract(
         u, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)", 1)
     rest = F.substring(u, F.length(head) + 1, F.length(u))
-    pth = F.split(rest, r"\?").getItem(0)
-    qtail = F.substring(rest, F.length(pth) + 1, F.length(rest))
-    segs = F.split(pth, "/")
-    n = F.size(segs)
     base = head if with_host else F.lit("")
-    start = 1 if with_host else 2          # path form excludes root '/'
-    prefixes = F.when(
-        n >= start + 1,
-        F.transform(
-            F.sequence(F.lit(start), n - 1),
-            lambda k: F.concat(base,
-                               F.concat_ws("/", F.slice(segs, 1, k)),
-                               F.lit("/")))
+    seps = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(rest), F.lit(1))),
+        lambda i: F.substr(rest, i, F.lit(1)).isin("/", "?", "#"))
+    cuts = F.transform(seps,
+                       lambda i: F.concat(base, F.substr(rest, F.lit(1), i)))
+    if not with_host:
+        # path form: drop the root '/' element
+        cuts = F.filter(cuts, lambda s: s != F.lit("/"))
+    tail = F.when(
+        (F.length(rest) > 0)
+        & ~F.substr(rest, F.length(rest), F.lit(1)).isin("/", "?", "#"),
+        F.array(F.concat(base, rest))
     ).otherwise(F.array().cast("array<string>"))
-    # path not separator-terminated → its full form is an element
-    tail1 = F.when(
-        (F.length(pth) > 0) & (F.element_at(segs, -1) != ""),
-        F.array(F.concat(base, pth))).otherwise(F.array().cast("array<string>"))
-    # '?' is a separator: cut right after it, then the full remainder
-    tail2 = F.when(
-        qtail != "",
-        F.array(F.concat(base, pth, F.lit("?")))
-    ).otherwise(F.array().cast("array<string>"))
-    tail3 = F.when(
-        F.length(qtail) > 1,
-        F.array(F.concat(base, pth, qtail))
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(prefixes, tail1, tail2, tail3)
+    return F.when(F.length(rest) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.concat(cuts, tail))
 
 
 _alias("URLHierarchy", lambda u: _url_hierarchy(u, True))

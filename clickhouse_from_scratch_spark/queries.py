@@ -2503,7 +2503,7 @@ def training_recipe(spark, sf_dir):
 ORACLES["training_recipe"] = _training_recipe_oracle()
 
 
-@query("sql_summap", oracle="""
+@query("sql_summap", oracle=r"""
 WITH per AS (
   SELECT l_returnflag, l_linenumber AS ln,
          CAST(CAST(sum(l_quantity) AS DECIMAL(38, 10)) AS DOUBLE) AS s

@@ -1,0 +1,128 @@
+"""Round-12 sweep-C fixes pinned: URLHierarchy separator walk, exact
+sumKahan (decimal path), CRC32 zlib parity, javaHashUTF16LE +
+convertCharset, IP conversion OrNull/OrDefault tails, hash stand-in
+tails (xxh3, murmurHash3_128).
+
+Reference behavior: ClickHouse URL-functions and hash-functions docs;
+sumKahan doc contract (sum(0.1)×10 = 0.999…, sumKahan = 1)."""
+
+import pytest
+
+from clickhouse_from_scratch_spark.plans import execute_sql
+
+
+def one(spark, sql):
+    return tuple(execute_sql(spark, sql, {}).collect()[0])
+
+
+# --- URLHierarchy: cut after EVERY /?# past the host -------------------------
+
+def test_url_hierarchy_with_query(spark):
+    assert one(spark, "SELECT URLHierarchy('https://e.com/a/b?x=1') AS h") \
+        == (["https://e.com/", "https://e.com/a/", "https://e.com/a/b?",
+             "https://e.com/a/b?x=1"],)
+
+
+def test_url_hierarchy_with_fragment(spark):
+    assert one(spark, "SELECT URLHierarchy('https://e.com/a?x=1#f') AS h") \
+        == (["https://e.com/", "https://e.com/a?", "https://e.com/a?x=1#",
+             "https://e.com/a?x=1#f"],)
+
+
+def test_url_hierarchy_doc_example_unchanged(spark):
+    assert one(spark, "SELECT URLHierarchy("
+               "'https://example.com/browse/CONV-6788') AS h") == (
+        ["https://example.com/", "https://example.com/browse/",
+         "https://example.com/browse/CONV-6788"],)
+
+
+def test_url_hierarchy_host_only_empty(spark):
+    assert one(spark, "SELECT URLHierarchy('https://e.com') AS h") == ([],)
+
+
+def test_url_path_hierarchy_unchanged(spark):
+    assert one(spark, "SELECT URLPathHierarchy("
+               "'https://example.com/browse/CONV-6788') AS h") == (
+        ["/browse/", "/browse/CONV-6788"],)
+
+
+# --- sumKahan: compensated (decimal-exact) sum --------------------------------
+
+def test_sum_kahan_doc_contract(spark):
+    assert one(spark, "SELECT sumKahan(x) AS s FROM "
+               "(SELECT 0.1 AS x FROM numbers(10))") == (1.0,)
+
+
+def test_sum_kahan_point_six(spark):
+    assert one(spark, "SELECT sumKahan(x) AS s FROM "
+               "(SELECT arrayJoin([0.1, 0.2, 0.3]) AS x)") == (0.6,)
+
+
+def test_sum_kahan_mixes_with_other_aggs(spark):
+    assert one(spark, "SELECT sumKahan(x) AS s, count() AS c FROM "
+               "(SELECT 0.1 AS x FROM numbers(10))") == (1.0, 10)
+
+
+# --- hash tails ---------------------------------------------------------------
+
+def test_crc32_zlib_exact(spark):
+    assert one(spark, "SELECT CRC32('hello') AS c") == (907060870,)
+
+
+def test_crc_variants_exist_and_differ(spark):
+    r = one(spark, "SELECT CRC32('a') != CRC32IEEE('a') AS d1, "
+            "CRC64('a') IS NOT NULL AS d2")
+    assert r == (True, True)
+
+
+def test_java_hash_utf16le(spark):
+    assert one(spark, "SELECT javaHashUTF16LE(convertCharset("
+               "'test', 'utf-8', 'utf-16le')) AS h") == (3556498,)
+
+
+def test_convert_charset_roundtrip(spark):
+    assert one(spark, "SELECT convertCharset(convertCharset("
+               "'abc', 'utf-8', 'utf-16le'), 'utf-16le', 'utf-8') AS s") \
+        == ("abc",)
+
+
+def test_xxh3_and_murmur128(spark):
+    assert one(spark, "SELECT xxh3('a') != xxHash64('a') AS d") == (True,)
+    assert one(spark, "SELECT length(hex(murmurHash3_128('a'))) AS l") \
+        == (32,)
+
+
+# --- IP conversion tails -------------------------------------------------------
+
+def test_ipv4_string_to_num_or_null(spark):
+    assert one(spark, "SELECT IPv4StringToNumOrNull('bad') AS a, "
+               "IPv4StringToNumOrNull('1.2.3.4') AS b") == (None, 16909060)
+
+
+def test_ipv4_string_to_num_or_default(spark):
+    assert one(spark, "SELECT IPv4StringToNumOrDefault('bad') AS a") == (0,)
+
+
+def test_to_ip_or_null_or_default(spark):
+    assert one(spark, "SELECT toIPv4OrNull('x') AS a, "
+               "toIPv6OrNull('::1') AS b") == (None, "::1")
+    assert one(spark, "SELECT toIPv4OrDefault('x') AS a, "
+               "toIPv6OrDefault('x') AS b") == ("0.0.0.0", "::")
+
+
+# --- sweep-verified values that were already correct (regression pins) -------
+
+def test_round_age_seventeen(spark):
+    assert one(spark, "SELECT roundAge(16) AS a, roundAge(25) AS b") \
+        == (17, 25)
+
+
+def test_single_value_or_null_equal_values(spark):
+    # equal duplicates still count as a single value (first-vs-differs)
+    assert one(spark, "SELECT singleValueOrNull(x) AS a FROM "
+               "(SELECT arrayJoin([1, 1]) AS x)") == (1,)
+
+
+def test_interval_length_sum_overlap(spark):
+    assert one(spark, "SELECT intervalLengthSum(s, e) AS l FROM "
+               "(SELECT 1 AS s, 5 AS e UNION ALL SELECT 3, 7)") == (6,)
