@@ -1402,6 +1402,32 @@ _alias("hex", F.hex)
 _alias("unhex", lambda c: F.unhex(_c(c)).cast("string"))
 _alias("base64Encode", F.base64)
 _alias("base64Decode", lambda c: F.unbase64(_c(c)).cast("string"))
+
+
+def _b64url_encode(c) -> Column:
+    # URL-safe alphabet (+→-, /→_) without padding (RFC 4648 §5)
+    e = F.base64(_c(c).cast("string").cast("binary"))
+    return F.replace(F.replace(F.replace(e, F.lit("+"), F.lit("-")),
+                               F.lit("/"), F.lit("_")),
+                     F.lit("="), F.lit(""))
+
+
+def _b64url_decode(c) -> Column:
+    s = F.replace(F.replace(_c(c).cast("string"), F.lit("-"), F.lit("+")),
+                  F.lit("_"), F.lit("/"))
+    pad = F.when(F.length(s) % 4 == 0, F.lit("")) \
+           .otherwise(F.repeat(F.lit("="), (4 - F.length(s) % 4)))
+    return F.unbase64(F.concat(s, pad)).cast("string")
+
+
+# both historical spellings (base64UrlEncode pre-24.x, base64URLEncode)
+for _nm, _fn in (("base64URLEncode", _b64url_encode),
+                 ("base64UrlEncode", _b64url_encode),
+                 ("base64URLDecode", _b64url_decode),
+                 ("base64UrlDecode", _b64url_decode),
+                 ("tryBase64URLDecode", _b64url_decode),
+                 ("tryBase64UrlDecode", _b64url_decode)):
+    _alias(_nm, _fn)
 _alias("generateUUIDv4", lambda: F.expr("uuid()"))
 _alias("bitAnd", lambda a, b: _c(a).bitwiseAND(_c(b)))
 _alias("bitOr", lambda a, b: _c(a).bitwiseOR(_c(b)))
@@ -2522,6 +2548,22 @@ _alias("snowflakeToDateTime", lambda c, *a: F.timestamp_millis(
     F.shiftrightunsigned(_c(c).cast("long"), 22) + F.lit(_SNOWFLAKE_EPOCH)))
 _alias("dateTimeToSnowflake", lambda c: F.shiftleft(
     F.unix_millis(_c(c).cast("timestamp")) - F.lit(_SNOWFLAKE_EPOCH), 22))
+
+
+def _sf_epoch(e) -> Column:
+    # new-name snowflake functions default the epoch to 0 (1970-01-01),
+    # unlike the legacy Twitter-epoch pair above
+    return _c(e).cast("long") if e is not None else F.lit(0).cast("long")
+
+
+_alias("snowflakeIDToDateTime", lambda c, e=None, *a: F.timestamp_millis(
+    F.shiftrightunsigned(_c(c).cast("long"), 22) + _sf_epoch(e)))
+_alias("snowflakeIDToDateTime64", lambda c, e=None, *a: F.timestamp_millis(
+    F.shiftrightunsigned(_c(c).cast("long"), 22) + _sf_epoch(e)))
+_alias("dateTimeToSnowflakeID", lambda c, e=None: F.shiftleft(
+    F.unix_millis(_c(c).cast("timestamp")) - _sf_epoch(e), 22))
+_alias("dateTime64ToSnowflakeID", lambda c, e=None: F.shiftleft(
+    F.unix_millis(_c(c).cast("timestamp")) - _sf_epoch(e), 22))
 _alias("accurateCastOrDefault", lambda c, t, d=None: F.coalesce(
     REGISTRY["accurateCastOrNull"](c, t),
     _c(d) if d is not None else F.lit(None)))
@@ -2716,9 +2758,14 @@ _alias("detectLanguage", lambda s: __import__(
     "clickhouse_from_scratch_spark.pipeline.text",
     fromlist=["language_id"]).language_id(_c(s)))
 _alias("detectCharset", lambda s: F.lit("UTF-8"))
-# extractKeyValuePairs(s[, kv_delim[, pair_delim]]) → map
-_alias("extractKeyValuePairs", lambda s, kv=":", pd=",": F.str_to_map(
-    _c(s), F.lit(pd), F.lit(kv)))
+# extractKeyValuePairs(s[, kv_delim[, pair_delim]]) → map; the
+# reference's state machine skips whitespace around keys and values
+# ('k1:v1, k2:v2' → {'k1':'v1','k2':'v2'}) — trim both sides
+_alias("extractKeyValuePairs", lambda s, kv=":", pd=",": F.map_from_arrays(
+    F.transform(F.map_keys(F.str_to_map(_c(s), F.lit(pd), F.lit(kv))),
+                lambda k: F.trim(k)),
+    F.transform(F.map_values(F.str_to_map(_c(s), F.lit(pd), F.lit(kv))),
+                lambda v: F.trim(v))))
 _alias("str_to_map", lambda s, pd=",", kv=":": F.str_to_map(
     _c(s), F.lit(pd), F.lit(kv)))
 

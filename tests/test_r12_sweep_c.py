@@ -126,3 +126,46 @@ def test_single_value_or_null_equal_values(spark):
 def test_interval_length_sum_overlap(spark):
     assert one(spark, "SELECT intervalLengthSum(s, e) AS l FROM "
                "(SELECT 1 AS s, 5 AS e UNION ALL SELECT 3, 7)") == (6,)
+
+
+# --- sweep-D fixes ------------------------------------------------------------
+
+def test_extract_kv_trims_whitespace(spark):
+    assert one(spark, "SELECT extractKeyValuePairs("
+               "'name:neymar, age:31') AS m") == (
+        {"name": "neymar", "age": "31"},)
+
+
+def test_base64_url_roundtrip_no_padding(spark):
+    assert one(spark, "SELECT base64URLEncode('ab') AS e") == ("YWI",)
+    assert one(spark, "SELECT base64URLDecode(base64URLEncode("
+               "'hello?>~')) AS s") == ("hello?>~",)
+    # pre-24.x spelling
+    assert one(spark, "SELECT base64UrlDecode(base64UrlEncode("
+               "'x')) AS s") == ("x",)
+
+
+def test_snowflake_id_new_names_epoch_zero(spark):
+    # new-name pair defaults the epoch to 0 (1970), unlike the legacy
+    # Twitter-epoch snowflakeToDateTime
+    assert one(spark, "SELECT dateTimeToSnowflakeID(toDateTime("
+               "'1970-01-01 00:00:01')) AS n") == (1000 << 22,)
+    assert one(spark, "SELECT snowflakeIDToDateTime("
+               "dateTimeToSnowflakeID(toDateTime("
+               "'2024-01-02 03:04:05'))) AS t")[0].isoformat() \
+        == "2024-01-02T03:04:05"
+
+
+def test_make_date_and_yyyymmdd(spark):
+    import datetime
+    assert one(spark, "SELECT makeDate(2024, 60) AS d") == (
+        datetime.date(2024, 2, 29),)
+    assert one(spark, "SELECT YYYYMMDDToDate(20240102) AS d") == (
+        datetime.date(2024, 1, 2),)
+    assert one(spark, "SELECT toYYYYMMDDhhmmss(toDateTime("
+               "'2024-01-02 03:04:05')) AS n") == (20240102030405,)
+
+
+def test_readable_time_delta_and_separator(spark):
+    assert one(spark, "SELECT formatReadableTimeDelta(7601) AS t") == (
+        "2 hours, 6 minutes and 41 seconds",)
