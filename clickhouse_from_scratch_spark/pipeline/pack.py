@@ -1,0 +1,75 @@
+"""Sequence packing for LLM training-data pipelines.
+
+Pretraining concatenates documents into fixed-token-budget training
+sequences ("packs"). The GPT-style packing rule — concatenate the token
+stream in a deterministic order and cut every ``budget`` tokens, letting
+documents straddle cut points — is exactly expressible as a window
+cumulative sum, which makes it (a) deterministic across engines (the
+DuckDB oracle recomputes it verbatim) and (b) scale-correct: one
+shuffle by shard, one in-shard sort, no driver state.
+
+Sharding: ``doc_id % n_shards`` keeps each window partition bounded (a
+100 TB corpus packs per-shard in parallel; shard count scales with the
+cluster, the window never sees more than corpus/n_shards rows).
+
+Token counts use whitespace tokenization (``text.py`` has the BPE-ish
+variant; whitespace is the oracle-stable choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_count_col(text_col: str = "text"):
+    """Whitespace token count — pure JVM, identical to DuckDB's
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))."""
+    return F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda x: x != ""))
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048,
+                   n_shards: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Assign every document its pack id and in-pack offset.
+
+    Output columns: id_col, shard, n_tokens, start_tok (position of the
+    doc's first token in the shard's concatenated stream), pack (=
+    floor(start_tok / budget)), straddles (1 when the document crosses a
+    pack boundary and will be split across two training sequences).
+
+    Plan shape: one hash shuffle on shard + in-partition sort — the
+    window is PARTITION BY shard, so no global sort and no skew beyond
+    corpus/n_shards per task.
+    """
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    toks = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        token_count_col(text_col).cast("long").alias("n_tokens"))
+    return (toks
+            .withColumn("start_tok",
+                        F.coalesce(F.sum("n_tokens").over(w),
+                                   F.lit(0)).cast("long"))
+            .withColumn("pack",
+                        F.floor(F.col("start_tok") / budget).cast("long"))
+            .withColumn(
+                "straddles",
+                (F.floor((F.col("start_tok") + F.col("n_tokens") - 1)
+                         / budget) > F.col("pack")).cast("int")))
+
+
+def pack_stats(df: DataFrame, budget: int = 2048,
+               n_shards: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-shard packing summary: documents, packs produced, boundary
+    straddles, total tokens — the numbers a pipeline dashboard needs."""
+    packed = pack_sequences(df, budget, n_shards, id_col, text_col)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.max("pack") + 1).alias("n_packs"),
+                 F.sum("straddles").alias("n_straddles"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("shard"))

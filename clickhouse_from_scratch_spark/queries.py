@@ -3353,6 +3353,69 @@ def stratified_split_q(spark, sf_dir):
             .orderBy("split"))
 
 
+@query("pack_sequences", oracle="""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_tok
+  FROM toks
+), packed AS (
+  SELECT shard, n_tokens,
+         CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack,
+         CASE WHEN FLOOR((start_tok + n_tokens - 1) / 512.0)
+                   > FLOOR(start_tok / 512.0) THEN 1 ELSE 0 END AS straddles
+  FROM pos
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(pack) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(straddles) AS BIGINT) AS n_straddles,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY shard ORDER BY shard
+""")
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing (pipeline/pack.py): GPT-style concatenate-and-
+    cut at a fixed token budget, computed as a per-shard window cumsum
+    — one shuffle on shard, no global sort, no driver state. The DuckDB
+    oracle recomputes the identical window, so pack ids and straddle
+    counts are pinned value-for-value."""
+    from .pipeline.pack import pack_stats
+    docs = _t(spark, sf_dir, "documents")
+    return pack_stats(docs, budget=512, n_shards=8)
+
+
+@query("domain_mix_sample", oracle="""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 4) <
+  CASE source
+    WHEN 'src0' THEN '1eb8'
+    WHEN 'src1' THEN '8000'
+    WHEN 'src2' THEN 'fff9'
+    ELSE 'cccd' END
+GROUP BY source ORDER BY source
+""")
+def domain_mix_sample_q(spark, sf_dir):
+    """Domain-mixture sampling (pipeline/mix.py): per-source keep rates
+    decided by the md5-hex-threshold device — deterministic, map-only,
+    pushdown-friendly (the filter is a scan predicate, not a sampler
+    with state). The oracle recomputes identical membership: src0 at
+    12%, src1 at 50%, src2 at ~100%, everything else at 80%."""
+    from .pipeline.mix import domain_mix
+    docs = _t(spark, sf_dir, "documents")
+    kept = domain_mix(docs, {"src0": 0.12, "src1": 0.5, "src2": 0.9999},
+                      default_rate=0.8)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("source"))
+
+
 @query("decontaminate_ngram", oracle="""
 WITH ws AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),

@@ -503,3 +503,43 @@ def test_decontaminate_sql_table_function(spark, sf_dir):
         "view(SELECT * FROM documents WHERE doc_id % 97 = 0))", tables)
     n_kept = df.collect()[0].n
     assert 0 < n_kept < n_total
+
+
+def test_pack_sequences_assignment(spark, sf_dir):
+    """Pack ids are the floor-division of the shard-local running token
+    count; straddles flags docs crossing a budget boundary."""
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.pack import pack_sequences
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = pack_sequences(docs, budget=64, n_shards=4).collect()
+    assert out
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.start_tok == cum
+            assert r.pack == cum // 64
+            expect_straddle = int((cum + r.n_tokens - 1) // 64 > r.pack)
+            assert r.straddles == expect_straddle
+            cum += r.n_tokens
+
+
+def test_domain_mix_rates_and_determinism(spark, sf_dir):
+    from clickhouse_from_scratch_spark.catalog import load_table
+    from clickhouse_from_scratch_spark.pipeline.mix import domain_mix
+    docs = load_table(spark, sf_dir, "documents")
+    kept = domain_mix(docs, {"src0": 0.0, "src1": 1.0}, default_rate=0.5)
+    agg = {r.source: r.n for r in kept.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "src0" not in agg                     # rate 0 drops all
+    full = docs.where(F.col("source") == "src1").count()
+    assert agg["src1"] == full                   # rate 1 keeps all
+    # determinism: the same call yields identical membership
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    kept2 = domain_mix(docs, {"src0": 0.0, "src1": 1.0},
+                       default_rate=0.5)
+    ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+    assert ids1 == ids2

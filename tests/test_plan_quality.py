@@ -303,3 +303,23 @@ def test_format_row_filter_pushed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sql_format_row")
     assert "PushedFilters" in plan and "l_orderkey" in plan.split(
         "PushedFilters", 1)[1].split("]", 1)[0]
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    # packing is one hash shuffle on shard + in-partition window; no
+    # global sort exchange, no Python, pruned scan (doc_id/text only)
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_domain_mix_is_map_only_scan_filter(spark, sf_dir):
+    # the mix keep-decision is a scan-level filter: the only exchange
+    # allowed is the final small groupBy, and no Python appears
+    plan = _plan(spark, sf_dir, "domain_mix_sample")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # only the groupBy + final orderBy shuffles (each exchange appears
+    # twice in formatted output: tree line + detail block)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
