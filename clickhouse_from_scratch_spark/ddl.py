@@ -1717,10 +1717,23 @@ class ChSession:
             write_format(df, node.format or "Parquet", node.outfile,
                          compression=node.compression)
             return self._ok()
-        if node.format in ("Pretty", "PrettyCompact", "PrettySpace"):
+        if node.format in ("Pretty", "PrettyCompact", "PrettySpace",
+                           "PrettyMonoBlock", "PrettyCompactMonoBlock",
+                           "PrettySpaceMonoBlock", "PrettyNoEscapes",
+                           "PrettyCompactNoEscapes",
+                           "PrettySpaceNoEscapes"):
+            # style families: Pretty* = heavy-ruled header box,
+            # PrettyCompact* = names-in-border grid, PrettySpace* = no
+            # grid; MonoBlock/NoEscapes variants share the base layout
+            # (no ANSI escapes are emitted in the first place)
             from .sources.formats import to_pretty
+            style = ("space" if node.format.startswith("PrettySpace")
+                     else "compact"
+                     if node.format.startswith("PrettyCompact")
+                     else "full")
             return self.spark.createDataFrame(
-                [(line,) for line in to_pretty(df).split("\n")],
+                [(line,) for line in to_pretty(df, style=style)
+                 .split("\n")],
                 "output string")
         if node.format in ("TabSeparated", "TSV", "TabSeparatedWithNames",
                            "TSVWithNames"):

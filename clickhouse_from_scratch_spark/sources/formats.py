@@ -574,8 +574,9 @@ def from_msgpack(spark: SparkSession, data: bytes, schema: str) -> DataFrame:
 _NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
-def to_pretty(df: DataFrame, n: int = 20) -> str:
-    """PrettyCompact console renderer: ClickHouse's box-drawing grid.
+def to_pretty(df: DataFrame, n: int = 20,
+              style: str = "compact") -> str:
+    """Pretty-family console renderer: ClickHouse's box-drawing grid.
 
     ┌─a─┬─b──────┐
     │ 1 │ hello  │
@@ -583,6 +584,8 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
 
     Numbers right-aligned, everything else left-aligned, NULL rendered
     as ᴺᵁᴸᴸ — matching clickhouse-client's default output format.
+    ``style``: 'compact' (above), 'full' (FORMAT Pretty's heavy-ruled
+    header box), 'space' (PrettySpace, no grid).
     """
     tot = getattr(df, "_ch_totals_df", None)
     ext = getattr(df, "_ch_extremes_df", None)
@@ -595,17 +598,25 @@ def to_pretty(df: DataFrame, n: int = 20) -> str:
         main = getattr(df, "_ch_main_df", df)
         main._ch_uint64_cols = getattr(df, "_ch_uint64_cols",
                                        frozenset())
-        out = _pretty_box(main, n, u8)
+        out = _pretty_box(main, n, u8, style)
         if tot is not None:
-            out += "\n\nTotals:\n" + _pretty_box(tot, 1, u8)
+            out += "\n\nTotals:\n" + _pretty_box(tot, 1, u8, style)
         if ext is not None:
-            out += "\n\nExtremes:\n" + _pretty_box(ext, 2, u8)
+            out += "\n\nExtremes:\n" + _pretty_box(ext, 2, u8, style)
         return out
-    return _pretty_box(df, n, u8)
+    return _pretty_box(df, n, u8, style)
 
 
 def _pretty_box(df: DataFrame, n: int = 20,
-                u8: frozenset = frozenset()) -> str:
+                u8: frozenset = frozenset(),
+                style: str = "compact") -> str:
+    """One result block in a Pretty-family style.
+
+    ``compact`` (the client default): column names embedded in the top
+    border — ``┌─a─┬─b──┐``. ``full`` (FORMAT Pretty): heavy-ruled
+    header box ``┏━┳━┓ / ┃ name ┃ / ┡━╇━┩`` above the light body grid.
+    ``space`` (FORMAT PrettySpace): no grid, space-padded columns with
+    a leading space per the published examples."""
     import unicodedata
 
     def disp_w(s: str) -> int:
@@ -630,15 +641,30 @@ def _pretty_box(df: DataFrame, n: int = 20,
         gap = fill * (w - disp_w(s))
         return gap + s if right else s + gap
 
+    k = len(names)
+    body = ["│ " + " │ ".join(
+        pad(r[i], widths[i], is_num[i])
+        for i in range(k)) + " │" for r in cells]
+    foot = "└─" + "─┴─".join("─" * widths[i]
+                             for i in range(k)) + "─┘"
+    if style == "space":
+        # header names right-aligned over numeric columns, single-space
+        # column gap, leading space — no borders at all
+        head = " " + "   ".join(pad(names[i], widths[i], is_num[i])
+                                for i in range(k))
+        data = [" " + "   ".join(pad(r[i], widths[i], is_num[i])
+                                 for i in range(k)) for r in cells]
+        return "\n".join([head.rstrip(), *(d.rstrip() for d in data)])
+    if style == "full":
+        top = "┏━" + "━┳━".join("━" * widths[i] for i in range(k)) + "━┓"
+        hdr = "┃ " + " ┃ ".join(pad(names[i], widths[i], is_num[i])
+                                for i in range(k)) + " ┃"
+        sep = "┡━" + "━╇━".join("━" * widths[i] for i in range(k)) + "━┩"
+        return "\n".join([top, hdr, sep, *body, foot])
     # clickhouse-client right-aligns header names of numeric columns
     head = "┌─" + "─┬─".join(
         pad(names[i], widths[i], is_num[i], "─")
-        for i in range(len(names))) + "─┐"
-    body = ["│ " + " │ ".join(
-        pad(r[i], widths[i], is_num[i])
-        for i in range(len(names))) + " │" for r in cells]
-    foot = "└─" + "─┴─".join("─" * widths[i]
-                             for i in range(len(names))) + "─┘"
+        for i in range(k)) + "─┐"
     return "\n".join([head, *body, foot])
 
 

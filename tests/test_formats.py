@@ -667,3 +667,33 @@ def test_json_denormals_render_null(spark):
     df = s.execute("SELECT 0/0 AS nan_v, 1/0 AS inf_v, -1/0 AS ninf_v")
     assert to_json_each_row(df) == \
         '{"nan_v":null,"inf_v":null,"ninf_v":null}'
+
+
+def test_pretty_style_families(spark):
+    """FORMAT Pretty = heavy-ruled header box; PrettyCompact = names in
+    the top border; PrettySpace = no grid (published CH layouts)."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark)
+    base = ("SELECT number AS n, concat('row', toString(number)) AS s "
+            "FROM numbers(1) FORMAT ")
+
+    def render(fmt):
+        return "\n".join(
+            r.output for r in s.execute(base + fmt).collect())
+
+    assert render("Pretty") == (
+        "┏━━━┳━━━━━━┓\n"
+        "┃ n ┃ s    ┃\n"
+        "┡━━━╇━━━━━━┩\n"
+        "│ 0 │ row0 │\n"
+        "└───┴──────┘")
+    assert render("PrettyCompact") == (
+        "┌─n─┬─s────┐\n"
+        "│ 0 │ row0 │\n"
+        "└───┴──────┘")
+    assert render("PrettySpace") == (
+        " n   s\n"
+        " 0   row0")
+    # MonoBlock/NoEscapes variants share the base layouts
+    assert render("PrettyCompactMonoBlock") == render("PrettyCompact")
+    assert render("PrettyNoEscapes") == render("Pretty")
