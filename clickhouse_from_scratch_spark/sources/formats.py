@@ -1019,7 +1019,7 @@ def to_xml(df: DataFrame, n: int = 10000) -> str:
     for f in df.schema.fields:
         out += ["\t\t\t<column>",
                 f"\t\t\t\t<name>{_xml_escape(f.name)}</name>",
-                f"\t\t\t\t<type>{_ch_type(f.dataType.simpleString())}</type>",
+                f"\t\t\t\t<type>{_meta_type(f, df)}</type>",
                 "\t\t\t</column>"]
     out += ["\t\t</columns>", "\t</meta>", "\t<data>"]
     u8 = _u8_cols(df)
@@ -1081,6 +1081,14 @@ def _json_cell(v, simple: str, bool_as_int: bool = False):
     return str(v)
 
 
+def _meta_type(field, df: DataFrame) -> str:
+    """CH type name for format metadata — honors the builder's
+    dialect-UInt64 marker (Spark stores UInt64 as signed Long)."""
+    if field.name in getattr(df, "_ch_uint64_cols", frozenset()):
+        return "UInt64"
+    return _ch_type(field.dataType.simpleString())
+
+
 def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
     import json
     tot = getattr(df, "_ch_totals_df", None)
@@ -1089,8 +1097,8 @@ def _json_doc(df: DataFrame, n: int, compact: bool) -> str:
     main = getattr(df, "_ch_main_df", df) if tot is not None else df
     rows = _collect_rows(main, n, getattr(df, "_ch_uint64_cols", frozenset()))
     simples = [f.dataType.simpleString() for f in main.schema.fields]
-    meta = [{"name": f.name, "type": _ch_type(s)}
-            for f, s in zip(main.schema.fields, simples)]
+    meta = [{"name": f.name, "type": _meta_type(f, df)}
+            for f in main.schema.fields]
 
     def row_obj(row):
         return ([_json_cell(v, s, c in u8)
@@ -1136,6 +1144,147 @@ def to_json_each_row(df: DataFrame, n: int = 10000) -> str:
                     for c, v, s in zip(df.columns, row, simples)},
                    ensure_ascii=False, separators=(",", ":"))
         for row in _collect_rows(df, n))
+
+
+def _json_str_cell(v, simple: str, bool_as_int: bool = False):
+    """*Strings JSON variants: every value serialized as its CH text
+    form in a JSON string; NULL stays null."""
+    if v is None:
+        return None
+    c = _json_cell(v, simple, bool_as_int)
+    if isinstance(c, (dict, list)):
+        # composites keep their CH literal text inside the string
+        return _ch_literal(v, bool_as_int=bool_as_int)
+    if isinstance(c, bool):
+        return "true" if c else "false"
+    return str(c)
+
+
+def _each_row_lines(df: DataFrame, n: int, compact: bool,
+                    strings: bool) -> list[str]:
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    cell = _json_str_cell if strings else _json_cell
+    out = []
+    for row in _collect_rows(df, n):
+        vals = [cell(v, s, c in u8)
+                for c, v, s in zip(df.columns, row, simples)]
+        obj = vals if compact else dict(zip(df.columns, vals))
+        out.append(json.dumps(obj, ensure_ascii=False,
+                              separators=(",", ":")))
+    return out
+
+
+def to_json_compact_each_row(df: DataFrame, n: int = 10000,
+                             with_names: bool = False,
+                             with_types: bool = False) -> str:
+    """``JSONCompactEachRow[WithNames[AndTypes]]``: one JSON array per
+    line; optional header lines with names / CH types."""
+    import json
+    head = []
+    if with_names:
+        head.append(json.dumps(df.columns, ensure_ascii=False,
+                               separators=(",", ":")))
+    if with_types:
+        head.append(json.dumps(
+            [_meta_type(f, df) for f in df.schema.fields],
+            ensure_ascii=False, separators=(",", ":")))
+    return "\n".join(head + _each_row_lines(df, n, True, False))
+
+
+def to_json_strings_each_row(df: DataFrame, n: int = 10000) -> str:
+    """``JSONStringsEachRow``: objects with every value as a string."""
+    return "\n".join(_each_row_lines(df, n, False, True))
+
+
+def to_json_compact_strings_each_row(df: DataFrame,
+                                     n: int = 10000) -> str:
+    """``JSONCompactStringsEachRow``: arrays of string-formatted
+    values."""
+    return "\n".join(_each_row_lines(df, n, True, True))
+
+
+def to_json_object_each_row(df: DataFrame, n: int = 10000) -> str:
+    """``JSONObjectEachRow``: a single object keyed row_1, row_2, …"""
+    import json
+    lines = _each_row_lines(df, n, False, False)
+    body = ",\n".join(f'\t"row_{i}": {obj}'
+                      for i, obj in enumerate(lines, 1))
+    return "{\n" + body + "\n}"
+
+
+def to_json_columns(df: DataFrame, n: int = 10000,
+                    compact: bool = False) -> str:
+    """``JSONColumns`` / ``JSONCompactColumns``: columnar JSON — one
+    array per column (object-keyed or positional)."""
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    rows = _collect_rows(df, n)
+    cols = [[_json_cell(r[i], simples[i], c in u8) for r in rows]
+            for i, c in enumerate(df.columns)]
+    if compact:
+        return json.dumps(cols, ensure_ascii=False,
+                          separators=(",", ":"))
+    body = ",\n".join(
+        f'\t{json.dumps(c, ensure_ascii=False)}: '
+        + json.dumps(col, ensure_ascii=False, separators=(",", ":"))
+        for c, col in zip(df.columns, cols))
+    return "{\n" + body + "\n}"
+
+
+def to_pretty_json_each_row(df: DataFrame, n: int = 10000) -> str:
+    """``PrettyJSONEachRow``: one indented JSON object per row."""
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    return "\n".join(
+        json.dumps({c: _json_cell(v, s, c in u8)
+                    for c, v, s in zip(df.columns, row, simples)},
+                   ensure_ascii=False, indent=2)
+        for row in _collect_rows(df, n))
+
+
+def to_json_strings(df: DataFrame, n: int = 10000) -> str:
+    """``JSONStrings``: the JSON document with string-formatted data
+    values (meta/rows unchanged)."""
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    meta = [{"name": f.name, "type": _meta_type(f, df)}
+            for f in df.schema.fields]
+    rows = _collect_rows(df, n)
+    data = [{c: _json_str_cell(v, s, c in u8)
+             for c, v, s in zip(df.columns, row, simples)}
+            for row in rows]
+    return json.dumps({"meta": meta, "data": data, "rows": len(rows)},
+                      ensure_ascii=False, indent="\t")
+
+
+def to_sql_insert(df: DataFrame, n: int = 10000,
+                  table: str = "table",
+                  max_batch_size: int = 65505) -> str:
+    """``SQLInsert``: INSERT statements with a VALUES list (batched at
+    output_format_sql_insert_max_batch_size rows per statement)."""
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
+    rows = _collect_rows(df, n)
+    cols = ", ".join(names)
+    stmts, batch = [], []
+    for row in rows:
+        batch.append("(" + ", ".join(
+            _values_cell(v, s, names[i] in u8)
+            for i, (v, s) in enumerate(zip(row, simples))) + ")")
+        if len(batch) >= max_batch_size:
+            stmts.append(f"INSERT INTO {table} ({cols}) VALUES "
+                         + ", ".join(batch) + ";")
+            batch = []
+    if batch:
+        stmts.append(f"INSERT INTO {table} ({cols}) VALUES "
+                     + ", ".join(batch) + ";")
+    return "\n".join(stmts)
 
 
 _TPL_RE = None
@@ -1282,6 +1431,23 @@ TEXT_RENDERERS = {
     "JSON": to_json,
     "JSONCompact": to_json_compact,
     "JSONEachRowWithProgress": to_json_each_row_with_progress,
+    "JSONStrings": to_json_strings,
+    "JSONCompactEachRow": to_json_compact_each_row,
+    "JSONCompactEachRowWithNames": lambda df, n=10000:
+        to_json_compact_each_row(df, n, with_names=True),
+    "JSONCompactEachRowWithNamesAndTypes": lambda df, n=10000:
+        to_json_compact_each_row(df, n, with_names=True,
+                                 with_types=True),
+    "JSONStringsEachRow": to_json_strings_each_row,
+    "JSONCompactStringsEachRow": to_json_compact_strings_each_row,
+    "JSONObjectEachRow": to_json_object_each_row,
+    "JSONColumns": to_json_columns,
+    "JSONCompactColumns": lambda df, n=10000:
+        to_json_columns(df, n, compact=True),
+    "PrettyJSONEachRow": to_pretty_json_each_row,
+    "JSONLines": to_json_each_row,
+    "NDJSON": to_json_each_row,
+    "SQLInsert": to_sql_insert,
 }
 
 

@@ -697,3 +697,32 @@ def test_pretty_style_families(spark):
     # MonoBlock/NoEscapes variants share the base layouts
     assert render("PrettyCompactMonoBlock") == render("PrettyCompact")
     assert render("PrettyNoEscapes") == render("Pretty")
+
+
+def test_json_output_family(spark):
+    """JSONStringsEachRow / JSONCompactEachRow[WithNamesAndTypes] /
+    JSONObjectEachRow / JSONColumns / SQLInsert renderers, with the
+    dialect-UInt64 meta type honored (numbers() is UInt64)."""
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark)
+
+    def render(fmt, q="SELECT number AS x, concat('a', toString(number))"
+                       " AS s FROM numbers(2)"):
+        df = s.execute(f"{q} FORMAT {fmt}")
+        return "\n".join(r.output for r in df.collect())
+
+    assert render("JSONCompactEachRow") == '["0","a0"]\n["1","a1"]'
+    assert render("JSONCompactEachRowWithNamesAndTypes").splitlines()[:2] \
+        == ['["x","s"]', '["UInt64","String"]']
+    assert render("JSONStringsEachRow") == \
+        '{"x":"0","s":"a0"}\n{"x":"1","s":"a1"}'
+    assert render("JSONObjectEachRow") == (
+        '{\n\t"row_1": {"x":"0","s":"a0"},'
+        '\n\t"row_2": {"x":"1","s":"a1"}\n}')
+    assert render("JSONColumns") == (
+        '{\n\t"x": ["0","1"],\n\t"s": ["a0","a1"]\n}')
+    assert render("JSONCompactColumns") == '[["0","1"],["a0","a1"]]'
+    assert render("SQLInsert") == \
+        "INSERT INTO table (x, s) VALUES (0, 'a0'), (1, 'a1');"
+    assert render("JSONLines") == render("NDJSON") == \
+        '{"x":"0","s":"a0"}\n{"x":"1","s":"a1"}'
