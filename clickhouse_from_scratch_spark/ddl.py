@@ -167,6 +167,16 @@ _SETTING_DEFAULTS: dict[str, object] = {
 }
 
 
+def _format_names() -> set[str]:
+    """All FORMAT names with a live reader/writer or text renderer
+    (system.formats contract: one row per registered format)."""
+    from .sources import FORMATS
+    from .sources.formats import TEXT_RENDERERS
+    return (set(FORMATS) | set(TEXT_RENDERERS)
+            | {"Pretty", "PrettyCompact", "PrettySpace", "JSONEachRow",
+               "RowBinary", "MsgPackEachRow", "CapnProto", "Template"})
+
+
 def _reference_defaults() -> dict[str, object]:
     """The full 472-name settings namespace with reference defaults —
     system.settings lists every name the dialect accepts, changed=0
@@ -368,6 +378,28 @@ class ChSession:
             "system.parts": self.spark.createDataFrame(
                 prows or [], "database string, table string, name string,"
                 " rows bigint, bytes_on_disk bigint, active boolean"),
+            # one row per in-flight query: this session's current
+            # statement (the reference lists live queries; a local
+            # engine always has exactly the one)
+            "system.processes": self.spark.createDataFrame(
+                [("default", "")], "user string, query string"),
+            "system.formats": self.spark.createDataFrame(
+                sorted((n, 1, 1) for n in _format_names()),
+                "name string, is_input int, is_output int"),
+            "system.table_functions": self.spark.createDataFrame(
+                [(n,) for n in sorted(
+                    ("numbers", "numbers_mt", "view", "one", "zeros",
+                     "zeros_mt", "file", "url", "values", "format",
+                     "generateRandom", "merge", "input", "null"))],
+                "name string"),
+            "system.aggregate_function_combinators":
+                self.spark.createDataFrame(
+                    [(n,) for n in sorted(
+                        ("If", "Array", "ArrayIf", "Map", "SimpleState",
+                         "State", "Merge", "MergeState", "ForEach",
+                         "Distinct", "OrDefault", "OrNull", "Resample",
+                         "ArgMin", "ArgMax"))],
+                    "name string"),
         }
         return self._sys_cache
 
@@ -1002,6 +1034,35 @@ class ChSession:
                     if not i.split()[:1] == [act.name]]
             elif act.kind == "MODIFY_TTL":
                 meta.ttl = act.text
+            elif act.kind == "MODIFY_ORDER_BY":
+                # the new sorting key must extend the existing one as a
+                # prefix and may only add EXISTING columns (CH contract:
+                # newly-ordered-by columns must come from ADD COLUMN in
+                # the same ALTER or already exist with defaults)
+                from .plans.ast_nodes import Identifier, TupleLiteral
+                expr = act.where
+                if isinstance(expr, TupleLiteral):
+                    new_keys = [i.name for i in expr.items
+                                if isinstance(i, Identifier)]
+                elif isinstance(expr, Identifier):
+                    new_keys = [expr.name]
+                else:
+                    raise ValueError(
+                        "MODIFY ORDER BY supports column lists here")
+                if new_keys[:len(meta.order_by)] != list(meta.order_by):
+                    raise ValueError(
+                        "ALTER MODIFY ORDER BY: the new sorting key must "
+                        "be a prefix extension of the old one")
+                for k in new_keys:
+                    if k not in names:
+                        raise ValueError(f"unknown column: {k}")
+                meta.order_by = new_keys
+            elif act.kind == "MODIFY_SAMPLE_BY":
+                if act.name not in names:
+                    raise ValueError(f"unknown column: {act.name}")
+                meta.sample_by = act.name
+            elif act.kind == "MODIFY_SETTING":
+                meta.settings["table_settings"] = act.text
         if changed:
             self._rewrite(meta, df)
         return self._ok()
@@ -1601,6 +1662,55 @@ class ChSession:
             return self.spark.createDataFrame(
                 rows or [], "database string, table string, parts bigint,"
                 " rows bigint, marks bigint")
+        elif node.kind == "QUERY TREE":
+            # analyzer-tree shape (sections QUERY / PROJECTION COLUMNS /
+            # PROJECTION / JOIN TREE / WHERE / GROUP BY / ORDER BY, the
+            # reference's QueryTreePassManager dump layout); expressions
+            # print in their post-rewrite SQL form
+            from .plans.ast_nodes import Join as _Join
+            from .plans.ast_nodes import SelectQuery as _Sel
+            from .plans.ast_nodes import TableRef as _TRef
+            from .plans.format_sql import format_expr
+
+            q = node.query
+            sel = q.selects[0] if hasattr(q, "selects") else q
+            if not isinstance(sel, _Sel):
+                raise ValueError("EXPLAIN QUERY TREE expects SELECT")
+            lines = ["QUERY id: 0"]
+            lines.append("  PROJECTION")
+            for item in sel.select:
+                lines.append(f"    {format_expr(item)}")
+
+            def join_tree(n, depth):
+                pad = "    " * depth
+                if isinstance(n, _TRef):
+                    full = (f"{n.database}.{n.table}" if n.database
+                            else n.table)
+                    lines.append(f"{pad}TABLE table_name: {full}")
+                elif isinstance(n, _Join):
+                    lines.append(f"{pad}JOIN kind: "
+                                 f"{(n.kind or 'INNER').upper()}")
+                    join_tree(n.left, depth + 1)
+                    join_tree(n.right, depth + 1)
+                elif n is not None:
+                    lines.append(f"{pad}QUERY (subquery)")
+            lines.append("  JOIN TREE")
+            if sel.from_ is not None:
+                join_tree(sel.from_, 1)
+            else:
+                lines.append("    TABLE table_name: system.one")
+            if sel.where is not None:
+                lines.append("  WHERE")
+                lines.append(f"    {format_expr(sel.where)}")
+            if sel.group_by:
+                lines.append("  GROUP BY")
+                for g in getattr(sel.group_by, "exprs", sel.group_by):
+                    lines.append(f"    {format_expr(g)}")
+            if sel.order_by:
+                lines.append("  ORDER BY")
+                for o in sel.order_by:
+                    lines.append(f"    {format_expr(o.expr)}")
+            text = "\n".join(lines)
         elif node.kind == "SYNTAX":
             # the post-rewrite query formatted back as SQL — the
             # reference IAST::formatImpl contract (the parser already

@@ -455,6 +455,20 @@ class StatementParser(Parser):
                         f"{kind} SETTINGS {sname} is not implemented "
                         f"(NOT_IMPLEMENTED)")
             return BackupStmt(kind, db, name, path, target=target)
+        if t.is_kw("DELETE"):
+            # lightweight DELETE (public grammar since 22.8):
+            # DELETE FROM [db.]t [IN PARTITION p] WHERE expr — same
+            # mutation semantics as ALTER TABLE ... DELETE
+            self.advance()
+            self.expect_kw("FROM")
+            db, name = self._qualified_name()
+            part = None
+            if self.accept_kws("IN", "PARTITION"):
+                part = self._expr()
+            self.expect_kw("WHERE")
+            return AlterStmt(db, name, [
+                AlterAction("DELETE", where=self._expr(),
+                            partition=part)])
         if t.is_op("("):
             return self.parse_query()
         raise ParseError(f"unknown statement start: {t.text!r}")
@@ -1069,6 +1083,27 @@ class StatementParser(Parser):
                 # table-level comment
                 return AlterAction("MODIFY_COMMENT",
                                    text=self.advance().text)
+            if self.accept_kw("ORDER"):
+                # MODIFY ORDER BY expr — the new key must be a prefix
+                # extension of the old one (checked at execution)
+                self.expect_kw("BY")
+                return AlterAction("MODIFY_ORDER_BY", where=self._expr())
+            if self.accept_kw("SAMPLE"):
+                self.expect_kw("BY")
+                return AlterAction("MODIFY_SAMPLE_BY",
+                                   name=self.advance().text)
+            if self.accept_kw("SETTING"):
+                # MODIFY SETTING name = value [, ...]: stored on the
+                # table meta (MergeTree settings don't drive Spark)
+                pairs = []
+                while True:
+                    sname = self.advance().text
+                    self.expect_op("=")
+                    pairs.append(f"{sname} = {self.advance().text}")
+                    if not self.accept_op(","):
+                        break
+                return AlterAction("MODIFY_SETTING",
+                                   text=", ".join(pairs))
             if self.accept_kw("TTL"):
                 parts = []
                 while (self.tok.kind != T.EOF and not self.tok.is_op(",")
@@ -1259,10 +1294,14 @@ class StatementParser(Parser):
     def _explain(self):
         self.advance()
         kind = "PLAN"
-        for k in ("AST", "SYNTAX", "PLAN", "PIPELINE", "ESTIMATE"):
-            if self.accept_kw(k):
-                kind = k
-                break
+        if self.accept_kw("QUERY"):
+            self.expect_kw("TREE")
+            kind = "QUERY TREE"
+        else:
+            for k in ("AST", "SYNTAX", "PLAN", "PIPELINE", "ESTIMATE"):
+                if self.accept_kw(k):
+                    kind = k
+                    break
         return ExplainStmt(kind, self._union())
 
     def _optimize(self):

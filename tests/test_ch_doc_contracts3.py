@@ -82,7 +82,7 @@ def test_ch_doc_contracts_sweep3(spark):
     probe("SELECT sigmoid(0)", 0.5, "sigmoid")
     probe("SELECT radians(180) > 3.14", True, "radians")
     probe("SELECT round(tgamma(5), 6)", 24.0, "tgamma")
-    probe("SELECT sumKahan(x) FROM (SELECT arrayJoin([0.1,0.2,0.3]) AS x) HAVING sumKahan(x) > 0.59", 0.6000000000000001, "sumKahan-ish")
+    probe("SELECT sumKahan(x) FROM (SELECT arrayJoin([0.1,0.2,0.3]) AS x) HAVING sumKahan(x) > 0.59", 0.6, "sumKahan compensated (r12: decimal-path exact, CH Kahan also yields 0.6)")
     # misc
     probe("SELECT rowNumberInAllBlocks() FROM (SELECT arrayJoin([10,20]) AS x)", [(0,),(1,)], "rowNumberInAllBlocks")
     probe("SELECT sleep(0)", 0, "sleep(0)")

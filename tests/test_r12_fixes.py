@@ -276,3 +276,61 @@ def test_restore_missing_backup_named_error(sess):
         sess.execute("RESTORE TABLE nope FROM Disk('backups', 'nothere')")
     with pytest.raises(Exception, match="BACKUP_NOT_FOUND"):
         sess.execute("RESTORE DATABASE nodb FROM Disk('backups', 'no2')")
+
+
+# --- sweep-F: lightweight DELETE / ALTER tail / system tables / EXPLAIN ----
+
+def test_lightweight_delete(sess):
+    sess.execute("CREATE TABLE lwd (a UInt32) ENGINE = MergeTree "
+                 "ORDER BY a")
+    sess.execute("INSERT INTO lwd SELECT number FROM numbers(10)")
+    sess.execute("DELETE FROM lwd WHERE a >= 5")
+    assert sess.execute("SELECT count() FROM lwd").collect()[0][0] == 5
+    sess.execute("DROP TABLE lwd")
+
+
+def test_alter_modify_order_by_prefix_rule(sess):
+    sess.execute("CREATE TABLE mob (a UInt32, b String) "
+                 "ENGINE = MergeTree ORDER BY a")
+    sess.execute("ALTER TABLE mob MODIFY ORDER BY (a, b)")
+    with pytest.raises(Exception, match="prefix extension"):
+        sess.execute("ALTER TABLE mob MODIFY ORDER BY (b)")
+    sess.execute("ALTER TABLE mob MODIFY SAMPLE BY a")
+    sess.execute("ALTER TABLE mob MODIFY SETTING index_granularity = 4096")
+    sess.execute("DROP TABLE mob")
+
+
+def test_system_tables_r12(sess):
+    assert sess.execute("SELECT count() FROM system.processes") \
+        .collect()[0][0] == 1
+    assert sess.execute("SELECT count() FROM system.formats") \
+        .collect()[0][0] > 30
+    assert sess.execute("SELECT count() FROM system.table_functions") \
+        .collect()[0][0] > 5
+    names = {r.name for r in sess.execute(
+        "SELECT name FROM system.aggregate_function_combinators")
+        .collect()}
+    assert {"If", "Array", "State", "Merge", "Resample"} <= names
+
+
+def test_explain_estimate_real_table(sess):
+    sess.execute("CREATE TABLE est (a UInt32) ENGINE = MergeTree "
+                 "ORDER BY a")
+    sess.execute("INSERT INTO est SELECT number FROM numbers(100)")
+    rows = sess.execute("EXPLAIN ESTIMATE SELECT * FROM est").collect()
+    assert len(rows) == 1 and rows[0].rows == 100 and rows[0].marks == 1
+    sess.execute("DROP TABLE est")
+
+
+def test_explain_query_tree_sections(sess):
+    sess.execute("CREATE TABLE qt (a UInt32) ENGINE = MergeTree "
+                 "ORDER BY a")
+    out = "\n".join(r.explain for r in sess.execute(
+        "EXPLAIN QUERY TREE SELECT a, count() AS c FROM qt "
+        "WHERE a > 1 GROUP BY a ORDER BY a").collect())
+    assert out.startswith("QUERY id: 0")
+    for section in ("PROJECTION", "JOIN TREE", "WHERE", "GROUP BY",
+                    "ORDER BY"):
+        assert section in out
+    assert "TABLE table_name: qt" in out
+    sess.execute("DROP TABLE qt")
