@@ -4265,3 +4265,93 @@ def _bit_slice(s, off, ln=None) -> Column:
 
 
 _alias("bitSlice", _bit_slice)
+
+
+# --- time-series analysis tail (FunctionsTimeSeries: the reference
+# declares seriesOutliersDetectTukey / seriesPeriodDetectFFT /
+# seriesDecomposeSTL) — numpy-backed Arrow UDFs: whole-series math that
+# JVM expressions can't express; batch-vectorized, cold path ----------
+
+
+def _series_outliers_tukey(arr, min_q=0.25, max_q=0.75, k=1.5) -> Column:
+    """seriesOutliersDetectTukey(series[, min_q, max_q, k]): per-point
+    outlier score — distance beyond the Tukey fences
+    [q_min - k*IQR, q_max + k*IQR], 0 inside (published contract)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    lo = float(min_q) if not isinstance(min_q, Column) else 0.25
+    hi = float(max_q) if not isinstance(max_q, Column) else 0.75
+    kk = float(k) if not isinstance(k, Column) else 1.5
+
+    def _tukey(vs):
+        import numpy as np
+        out = []
+        for a in vs:
+            if a is None:
+                out.append(None)
+                continue
+            x = np.asarray(list(a), dtype="float64")
+            if x.size < 4:
+                out.append([0.0] * x.size)
+                continue
+            q1, q3 = np.quantile(x, [lo, hi])
+            iqr = q3 - q1
+            lof, hif = q1 - kk * iqr, q3 + kk * iqr
+            score = np.where(x < lof, lof - x,
+                             np.where(x > hif, x - hif, 0.0))
+            out.append([float(v) for v in score])
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_tukey, "array<double>", PandasUDFType.SCALAR)(
+        _c(arr).cast("array<double>"))
+
+
+def _series_period_fft(arr) -> Column:
+    """seriesPeriodDetectFFT(series): dominant period from the FFT
+    power spectrum's peak frequency (published contract: period of the
+    strongest non-DC component)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _fft(vs):
+        import numpy as np
+        out = []
+        for a in vs:
+            if a is None:
+                out.append(None)
+                continue
+            x = np.asarray(list(a), dtype="float64")
+            if x.size < 4:
+                out.append(float("nan"))
+                continue
+            spec = np.abs(np.fft.rfft(x - x.mean()))
+            if spec.size <= 1:
+                out.append(float("nan"))
+                continue
+            peak = int(np.argmax(spec[1:])) + 1
+            freq = peak / x.size
+            out.append(float(round(1.0 / freq)))
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_fft, "double", PandasUDFType.SCALAR)(
+        _c(arr).cast("array<double>"))
+
+
+_alias("seriesOutliersDetectTukey", _series_outliers_tukey)
+_alias("seriesPeriodDetectFFT", _series_period_fft)
+
+
+def _not_impl(name: str):
+    def _raise(*a, **k):
+        raise NotImplementedError(
+            f"{name} is not implemented (NOT_IMPLEMENTED)")
+    return _raise
+
+
+# named NOT_IMPLEMENTED (reference declares them; STL needs a loess
+# fitter and encrypt/decrypt an AES provider neither Spark-builtin nor
+# the stdlib carries)
+for _nm in ("seriesDecomposeSTL", "encrypt", "decrypt",
+            "aes_encrypt_mysql", "aes_decrypt_mysql", "tryDecrypt"):
+    _alias(_nm, _not_impl(_nm))

@@ -169,3 +169,25 @@ def test_make_date_and_yyyymmdd(spark):
 def test_readable_time_delta_and_separator(spark):
     assert one(spark, "SELECT formatReadableTimeDelta(7601) AS t") == (
         "2 hours, 6 minutes and 41 seconds",)
+
+
+# --- time-series tail ---------------------------------------------------------
+
+def test_series_outliers_tukey(spark):
+    r = one(spark, "SELECT seriesOutliersDetectTukey("
+            "[2, 2, 2, 2, 2, 2, 100, 2, 2]) AS s")[0]
+    assert r[6] == 98.0 and all(v == 0.0 for i, v in enumerate(r)
+                                if i != 6)
+
+
+def test_series_period_detect_fft(spark):
+    assert one(spark, "SELECT seriesPeriodDetectFFT(arrayMap("
+               "x -> sin(x / 2.0 * pi()), range(40))) AS p") == (4.0,)
+
+
+def test_series_stl_and_encrypt_named_not_implemented(spark):
+    import pytest
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        one(spark, "SELECT seriesDecomposeSTL([1,2,3], 2)")
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        one(spark, "SELECT encrypt('aes-128-ecb', 'x', 'k')")
