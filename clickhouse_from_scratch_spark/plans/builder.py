@@ -4410,6 +4410,12 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
             # recurse on the unwrapped argument
             inner = _eval(FuncCall("toTypeName", [arg.args[0]]), ctx, df)
             return F.concat(F.lit("Nullable("), inner, F.lit(")"))
+        if isinstance(arg, FuncCall) and arg.name == "toLowCardinality" \
+                and len(arg.args) == 1:
+            # the dictionary-encoded wrapper survives in the type name
+            # (Spark has no LowCardinality column representation)
+            inner = _eval(FuncCall("toTypeName", [arg.args[0]]), ctx, df)
+            return F.concat(F.lit("LowCardinality("), inner, F.lit(")"))
         if isinstance(arg, FuncCall) and arg.name == "assumeNotNull" \
                 and len(arg.args) == 1:
             # assumeNotNull strips Nullable — unwrap a direct

@@ -768,6 +768,14 @@ class Parser:
                   and self.peek().kind == T.IDENT):
                 self.advance()
                 e.parts.append(self.advance().text)
+            elif (self.tok.is_op(".") and not isinstance(e, Identifier)
+                  and self.peek().kind == T.IDENT):
+                # named-tuple member access on a non-identifier
+                # expression: CAST((1,'a') AS Tuple(id UInt8, s
+                # String)).s ≡ tupleElement(expr, 's')
+                self.advance()
+                e = FuncCall("tupleElement",
+                             [e, Literal(self.advance().text)])
             else:
                 return e
 

@@ -191,3 +191,15 @@ def test_series_stl_and_encrypt_named_not_implemented(spark):
         one(spark, "SELECT seriesDecomposeSTL([1,2,3], 2)")
     with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
         one(spark, "SELECT encrypt('aes-128-ecb', 'x', 'k')")
+
+
+def test_named_tuple_member_access(spark):
+    assert one(spark, "SELECT CAST((1, 'a') AS Tuple(id UInt8, "
+               "s String)).s AS x") == ("a",)
+    assert one(spark, "SELECT CAST((1, 'a') AS Tuple(id UInt8, "
+               "s String)).id AS x") == (1,)
+
+
+def test_lowcardinality_type_name(spark):
+    assert one(spark, "SELECT toTypeName(toLowCardinality('x')) AS t") \
+        == ("LowCardinality(String)",)
