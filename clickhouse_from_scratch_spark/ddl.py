@@ -1864,6 +1864,55 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(line,) for line in to_json_each_row(df).split("\n")],
                 "output string")
+        if node.format in ("CustomSeparated", "CustomSeparatedWithNames"):
+            from .sources.formats import to_custom_separated
+
+            def _s(name, dflt):
+                v = str(self.settings.get(name, dflt))
+                return (v.replace("\\t", "\t").replace("\\n", "\n")
+                        .replace("\\r", "\r"))
+
+            text = to_custom_separated(
+                df,
+                escaping=_s("format_custom_escaping_rule", "Escaped"),
+                field_delim=_s("format_custom_field_delimiter", "\t"),
+                row_before=_s("format_custom_row_before_delimiter", ""),
+                row_after=_s("format_custom_row_after_delimiter", "\n"),
+                row_between=_s("format_custom_row_between_delimiter", ""),
+                result_before=_s("format_custom_result_before_delimiter",
+                                 ""),
+                result_after=_s("format_custom_result_after_delimiter",
+                                ""))
+            if node.format.endswith("WithNames"):
+                fd = _s("format_custom_field_delimiter", "\t")
+                text = (_s("format_custom_row_before_delimiter", "")
+                        + fd.join(df.columns)
+                        + _s("format_custom_row_after_delimiter", "\n")
+                        + text)
+            return self.spark.createDataFrame(
+                [(line,) for line in text.rstrip("\n").split("\n")],
+                "output string")
+        if node.format == "Template":
+            from .sources.formats import to_template
+            row_fmt = str(self.settings.get(
+                "format_template_row_format",
+                self.settings.get("format_template_row", "")))
+            if not row_fmt:
+                raise ValueError(
+                    "FORMAT Template requires SET "
+                    "format_template_row_format = '...'")
+            between = (str(self.settings.get(
+                "format_template_rows_between_delimiter", "\\n"))
+                .replace("\\n", "\n").replace("\\t", "\t"))
+            rs = str(self.settings.get(
+                "format_template_resultset_format",
+                self.settings.get("format_template_resultset", ""))) \
+                or None
+            text = to_template(df, row_fmt,
+                               row_between_delimiter=between,
+                               resultset_format=rs)
+            return self.spark.createDataFrame(
+                [(line,) for line in text.split("\n")], "output string")
         if node.format in TEXT_RENDERERS:
             return self.spark.createDataFrame(
                 [(line,) for line in

@@ -1287,6 +1287,49 @@ def to_sql_insert(df: DataFrame, n: int = 10000,
     return "\n".join(stmts)
 
 
+def to_custom_separated(df: DataFrame, n: int = 10000,
+                        escaping: str = "Escaped",
+                        field_delim: str = "\t",
+                        row_before: str = "", row_after: str = "\n",
+                        row_between: str = "",
+                        result_before: str = "",
+                        result_after: str = "") -> str:
+    """``CustomSeparated``: the format_custom_* settings drive the
+    delimiters; each cell escapes per format_custom_escaping_rule
+    (Escaped = TSV, Quoted = CH literal, CSV, JSON, Raw/None)."""
+    import json
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    u8 = _u8_cols(df)
+    names = df.columns
+
+    def cell(v, s, i):
+        if escaping == "Quoted":
+            return _values_cell(v, s, names[i] in u8)
+        if escaping == "CSV":
+            return _csv_cell(v, s, names[i] in u8)
+        if escaping == "JSON":
+            return json.dumps(_json_cell(v, s, names[i] in u8),
+                              ensure_ascii=False, separators=(",", ":"))
+        if escaping in ("Raw", "None"):
+            # no escaping: raw string text; non-strings use the plain
+            # text form (which never contains escapes for them)
+            if v is None:
+                return ""
+            if isinstance(v, str):
+                return v
+        # Escaped (default): TSV conventions
+        return _text_cell(v, s, quote_strings=False,
+                          bool_as_int=names[i] in u8)
+
+    rows_txt = [row_before
+                + field_delim.join(cell(v, s, i)
+                                   for i, (v, s)
+                                   in enumerate(zip(row, simples)))
+                + row_after
+                for row in _collect_rows(df, n)]
+    return result_before + row_between.join(rows_txt) + result_after
+
+
 _TPL_RE = None
 
 

@@ -334,3 +334,24 @@ def test_explain_query_tree_sections(sess):
         assert section in out
     assert "TABLE table_name: qt" in out
     sess.execute("DROP TABLE qt")
+
+
+def test_custom_separated_settings_driven(sess):
+    sess.execute("SET format_custom_field_delimiter = '|'")
+    sess.execute("SET format_custom_row_before_delimiter = '<'")
+    sess.execute("SET format_custom_row_after_delimiter = '>'")
+    sess.execute("SET format_custom_row_between_delimiter = '\\n'")
+    sess.execute("SET format_custom_escaping_rule = 'Quoted'")
+    out = "\n".join(r.output for r in sess.execute(
+        "SELECT number AS n, 'x' AS s FROM numbers(2) "
+        "FORMAT CustomSeparated").collect())
+    assert out == "<0|'x'>\n<1|'x'>"
+
+
+def test_template_format_settings_driven(sess):
+    sess.execute("SET format_template_row_format = "
+                 "'${n:Raw} => ${s:Quoted}'")
+    out = "\n".join(r.output for r in sess.execute(
+        "SELECT number AS n, 'x' AS s FROM numbers(2) "
+        "FORMAT Template").collect())
+    assert out == "0 => 'x'\n1 => 'x'"

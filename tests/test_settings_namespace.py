@@ -33,7 +33,7 @@ def test_namespace_size_matches_reference():
     # 471 live common/format names plus the 13 MAKE_OBSOLETE names the
     # reference still accepts as no-ops (src/Core/Settings.h:539-556)
     assert len(OBSOLETE_SETTINGS) == 13
-    assert len(KNOWN_SETTINGS) == 471 + 13
+    assert len(KNOWN_SETTINGS) == 473 + 13  # +2 r12: format_template_{row,resultset}_format
     assert OBSOLETE_SETTINGS <= KNOWN_SETTINGS
     # the MAKE_OBSOLETE macro definition's placeholder must not leak in
     assert "NAME" not in KNOWN_SETTINGS
