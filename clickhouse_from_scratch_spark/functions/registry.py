@@ -388,7 +388,18 @@ _alias("round", lambda c, n=0: F.round(_c(c), n))
 _alias("roundBankers", lambda c, n=0: F.bround(_c(c), n))
 
 # --- type conversion (§1.2 type-mapping table) ----------------------------
-_alias("toString", lambda c: _c(c).cast("string"))
+def _to_string_fn(c, tz=None) -> Column:
+    """toString(x[, timezone]): the two-arg form renders a DateTime in
+    the given timezone (session timestamps are UTC-pinned)."""
+    if tz is None:
+        return _c(c).cast("string")
+    return F.date_format(
+        F.convert_timezone(F.lit("UTC"), _c(tz).cast("string"),
+                           _c(c).cast("timestamp")),
+        "yyyy-MM-dd HH:mm:ss")
+
+
+_alias("toString", _to_string_fn)
 _alias("toInt8", lambda c: _c(c).cast("tinyint"))
 _alias("toInt16", lambda c: _c(c).cast("smallint"))
 _alias("toInt32", lambda c: _c(c).cast("int"))
@@ -924,6 +935,15 @@ def _date_diff(unit: str, a, b) -> Column:
         return F.floor(F.datediff(b.cast("date"), a.cast("date")) / 7).cast("long")
     if u in ("year", "yyyy", "yy"):
         return (F.year(b) - F.year(a)).cast("long")
+    if u in ("millisecond", "ms"):
+        return (F.unix_millis(b.cast("timestamp"))
+                - F.unix_millis(a.cast("timestamp"))).cast("long")
+    if u in ("microsecond", "us", "u"):
+        return (F.unix_micros(b.cast("timestamp"))
+                - F.unix_micros(a.cast("timestamp"))).cast("long")
+    if u in ("nanosecond", "ns"):
+        return ((F.unix_micros(b.cast("timestamp"))
+                 - F.unix_micros(a.cast("timestamp"))) * 1000).cast("long")
     raise ValueError(f"dateDiff unit: {unit}")
 
 
@@ -2534,8 +2554,41 @@ _alias("parseDateTime", lambda c, fmt, *a: F.to_timestamp(
     _c(c), _strftime_to_java(fmt)))
 _alias("parseDateTimeOrNull", lambda c, fmt, *a: F.try_to_timestamp(
     _c(c), F.lit(_strftime_to_java(fmt))))
+_alias("parseDateTimeOrZero", lambda c, fmt, *a: F.coalesce(
+    F.try_to_timestamp(_c(c), F.lit(_strftime_to_java(fmt))),
+    F.timestamp_seconds(F.lit(0))))
 _alias("parseDateTimeInJodaSyntax", lambda c, fmt, *a: F.to_timestamp(
     _c(c), fmt))
+_alias("parseDateTimeInJodaSyntaxOrNull", lambda c, fmt, *a:
+       F.try_to_timestamp(_c(c), F.lit(fmt)))
+_alias("parseDateTimeInJodaSyntaxOrZero", lambda c, fmt, *a: F.coalesce(
+    F.try_to_timestamp(_c(c), F.lit(fmt)),
+    F.timestamp_seconds(F.lit(0))))
+
+
+def _parse_best_effort_us(c) -> Column:
+    """parseDateTimeBestEffortUS: ambiguous x/y/z dates read
+    month-first (US convention), then the generic best-effort set."""
+    s = _c(c).cast("string")
+    return F.coalesce(
+        F.try_to_timestamp(s, F.lit("M/d/yyyy")),
+        F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm:ss")),
+        F.try_to_timestamp(s, F.lit("M-d-yyyy")),
+        F.try_to_timestamp(s, F.lit("M.d.yyyy")),
+        _parse_best_effort(c))
+
+
+_alias("parseDateTimeBestEffortUS", _parse_best_effort_us)
+_alias("parseDateTimeBestEffortUSOrNull", _parse_best_effort_us)
+_alias("parseDateTimeBestEffortUSOrZero", lambda c: F.coalesce(
+    _parse_best_effort_us(c), F.timestamp_seconds(F.lit(0))))
+_alias("parseDateTime64BestEffort",
+       lambda c, *a: REGISTRY["parseDateTimeBestEffort"](c))
+_alias("parseDateTime64BestEffortOrNull",
+       lambda c, *a: REGISTRY["parseDateTimeBestEffort"](c))
+_alias("parseDateTime64BestEffortOrZero", lambda c, *a: F.coalesce(
+    REGISTRY["parseDateTimeBestEffort"](c),
+    F.timestamp_seconds(F.lit(0))))
 _alias("formatDateTimeInJodaSyntax",
        lambda d, fmt, *a: F.date_format(_c(d), fmt))
 _alias("fromUnixTimestampInJodaSyntax", lambda x, fmt, *a: F.date_format(
@@ -3457,6 +3510,8 @@ _alias("changeDay", lambda d, dd: F.make_date(
     F.year(_c(d)), F.month(_c(d)), _c(dd).cast("int")))
 # session is pinned UTC (session.py); these introspect that pin
 _alias("timezone", lambda: F.lit("UTC"))
+_alias("serverTimeZone", lambda: F.lit("UTC"))
+_alias("serverTimezone", lambda: F.lit("UTC"))
 _alias("serverTimezone", lambda: F.lit("UTC"))
 _alias("timezoneOf", lambda c: F.lit("UTC"))
 _alias("indexHint", lambda *a: F.lit(True))   # CH: always 1, arg unused

@@ -41,6 +41,7 @@ class Star(Node):
     columns_regex: str | None = None    # COLUMNS('re')
     columns_list: list[str] | None = None   # COLUMNS(a, b)
     except_: list[str] | None = None    # * EXCEPT (a, b)
+    except_strict: bool = False         # EXCEPT STRICT raises on missing
     except_regex: str | None = None     # * EXCEPT ('re')
     replace: list[tuple["Node", str]] | None = None  # * REPLACE (e AS c)
     apply: list["Node"] | None = None   # * APPLY (f) — FuncCall/Lambda/name
@@ -192,6 +193,7 @@ class SelectQuery(Node):
     where: Node | None = None
     group_by: GroupBy | None = None
     having: Node | None = None
+    qualify: Node | None = None
     windows: dict[str, WindowSpec] = field(default_factory=dict)
     order_by: list[OrderItem] = field(default_factory=list)
     interpolate: list = field(default_factory=list)  # [(col, expr|None)]

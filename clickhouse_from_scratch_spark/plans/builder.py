@@ -507,6 +507,18 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
         # columns); they are dropped after ordering
         df, final_names = _apply_projection_keep(df, q.select, ctx)
 
+    if q.qualify is not None:
+        # QUALIFY: filter on a window-function predicate, evaluated
+        # after the projection (CH applies it over the SELECT's window
+        # results, before DISTINCT / ORDER BY). Spark rejects window
+        # functions inside filter(), so materialize the predicate as a
+        # column first — Catalyst collapses the projection afterwards.
+        qc = _post_expr(q.qualify, df, ctx)
+        df = (df.withColumn("__ch_qualify", qc)
+              .filter(F.coalesce(F.col("__ch_qualify").cast("boolean"),
+                                 F.lit(False)))
+              .drop("__ch_qualify"))
+
     if q.distinct:
         if final_names is not None:
             df = df.select(*[_name_col(n).alias(_out_name(n))
@@ -850,6 +862,13 @@ def _expand_stars(q: SelectQuery, ctx: Context) -> SelectQuery:
         elif item.columns_list:
             cols = [c for c in item.columns_list]
         if item.except_:
+            if item.except_strict:
+                # EXCEPT STRICT requires every named column to exist
+                missing = [c for c in item.except_ if c not in cols]
+                if missing:
+                    raise BuildError(
+                        f"EXCEPT STRICT: column {missing[0]!r} is not "
+                        f"in the source columns")
             cols = [c for c in cols if c not in set(item.except_)]
         if item.except_regex:
             rx = _re.compile(item.except_regex)
@@ -4898,6 +4917,8 @@ _LITERAL_ARG_FNS = {
     "subtractYears", "translate", "translateUTF8", "defaultValueOfTypeName", "substringIndex", "hasToken",
     "extractKeyValuePairs", "str_to_map", "instr", "parseDateTime",
     "parseDateTimeOrNull", "parseDateTimeInJodaSyntax",
+    "parseDateTimeOrZero", "parseDateTimeInJodaSyntaxOrNull",
+    "parseDateTimeInJodaSyntaxOrZero",
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "fromUnixTimestamp",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",

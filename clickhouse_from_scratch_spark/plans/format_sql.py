@@ -317,6 +317,8 @@ def format_sql(q, one_line: bool = False, indent: int = 0) -> str:
     if q.windows:
         lines.append(pad + "WINDOW " + ", ".join(
             f"{n} AS ({_format_window(w)})" for n, w in q.windows.items()))
+    if q.qualify is not None:
+        lines.append(pad + "QUALIFY " + format_expr(q.qualify))
     if q.order_by:
         lines.append(pad + "ORDER BY "
                      + ", ".join(_format_order_item(it)

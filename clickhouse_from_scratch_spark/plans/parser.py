@@ -36,6 +36,7 @@ _CLAUSE_KW = {
     "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "USING",
     "ASOF", "SEMI", "ANTI", "ANY", "ALL", "GLOBAL", "ARRAY", "WITH", "BY",
     "ASC", "DESC", "NULLS", "THEN", "ELSE", "WHEN", "END", "AS", "WINDOW",
+    "QUALIFY",
 }
 
 
@@ -211,6 +212,10 @@ class Parser:
                 q.windows[wname] = self._window_spec()
                 if not self.accept_op(","):
                     break
+        if self.accept_kw("QUALIFY"):
+            # QUALIFY: post-window-function filter (the window analogue
+            # of HAVING; public ClickHouse grammar)
+            q.qualify = self._expr()
         if self.accept_kws("ORDER", "BY"):
             q.order_by = [self._order_item()]
             while self.accept_op(","):
@@ -520,7 +525,7 @@ class Parser:
         — chainable (ExpressionElementParsers.cpp:1819-2015)."""
         while True:
             if self.accept_kw("EXCEPT"):
-                self.accept_kw("STRICT")
+                star.except_strict = bool(self.accept_kw("STRICT"))
                 paren = self.accept_op("(")
                 if self.tok.kind == T.STRING:
                     star.except_regex = self.advance().text

@@ -2883,6 +2883,27 @@ def sql_map_combinators(spark, sf_dir):
     """)
 
 
+@query("sql_qualify_latest", oracle="""
+SELECT user_id, event_id, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id) = 1
+ORDER BY user_id LIMIT 500
+""")
+def sql_qualify_latest(spark, sf_dir):
+    """QUALIFY clause (r12): post-window filter picking each user's
+    latest event — the window analogue of HAVING. DuckDB runs the
+    identical QUALIFY natively. Scale: one window shuffle on user_id,
+    filter fused into the same stage."""
+    return _sql(spark, sf_dir, """
+        SELECT user_id, event_id, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id) = 1
+        ORDER BY user_id LIMIT 500
+    """)
+
+
 @query("sql_windowed_uniq", oracle="""
 SELECT event_id,
        CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts,

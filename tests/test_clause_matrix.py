@@ -305,14 +305,21 @@ def test_subquery_limit_by_outer_where(spark, micro):
 
 # --- named-error contract on unsupported/invalid combinations ------------
 
+def test_qualify_supported_r12(spark, micro):
+    # QUALIFY graduated from the named-error list in r12: post-window
+    # filter, one row per ORDER BY v ranking
+    got = run(spark, micro, "SELECT g, v FROM t QUALIFY "
+              "row_number() OVER (ORDER BY v) = 1").collect()
+    assert len(got) == 1
+
+
 @pytest.mark.parametrize("sql", [
-    "SELECT g, v FROM t QUALIFY row_number() OVER (ORDER BY v) = 1",
     "SELECT sum(v) WITHIN GROUP (ORDER BY v) FROM t",
     "SELECT k FROM t SAMPLE 'not_a_number'",
     "SELECT k FROM t LIMIT 2 BY",                 # dangling BY
     "SELECT k FROM t ORDER BY k WITH FILL STEP",  # dangling STEP
     "SELECT arrayReduce('nosuchagg', arr) FROM t",
-], ids=["qualify", "within-group", "sample-nonnum", "dangling-by",
+], ids=["within-group", "sample-nonnum", "dangling-by",
         "dangling-step", "bad-arrayreduce"])
 def test_unsupported_combo_raises_named(spark, micro, sql):
     with pytest.raises(NAMED_ERRORS):

@@ -203,3 +203,54 @@ def test_named_tuple_member_access(spark):
 def test_lowcardinality_type_name(spark):
     assert one(spark, "SELECT toTypeName(toLowCardinality('x')) AS t") \
         == ("LowCardinality(String)",)
+
+
+# --- sweep-G: QUALIFY, subsecond dateDiff, tz toString, parse tails ---------
+
+def test_qualify_clause(spark):
+    assert one(spark, "SELECT * FROM (SELECT number AS n FROM "
+               "numbers(4)) QUALIFY row_number() OVER (ORDER BY n) <= 1") \
+        == (0,)
+    rows = [tuple(r) for r in __import__(
+        "clickhouse_from_scratch_spark.plans", fromlist=["execute_sql"])
+        .execute_sql(spark, "SELECT number % 2 AS g, number AS n FROM "
+                     "numbers(6) QUALIFY row_number() OVER (PARTITION "
+                     "BY g ORDER BY n DESC) = 1 ORDER BY g", {})
+        .collect()]
+    assert rows == [(0, 4), (1, 5)]
+
+
+def test_date_diff_subsecond_units(spark):
+    assert one(spark, "SELECT dateDiff('millisecond', "
+               "toDateTime64('2024-01-02 03:04:05.000', 3), "
+               "toDateTime64('2024-01-02 03:04:05.123', 3)) AS d") \
+        == (123,)
+    assert one(spark, "SELECT dateDiff('microsecond', "
+               "toDateTime64('2024-01-02 03:04:05.000', 3), "
+               "toDateTime64('2024-01-02 03:04:05.001', 3)) AS d") \
+        == (1000,)
+
+
+def test_to_string_with_timezone(spark):
+    assert one(spark, "SELECT toString(toDateTime("
+               "'2024-01-01 12:00:00'), 'Asia/Tokyo') AS s") \
+        == ("2024-01-01 21:00:00",)
+
+
+def test_parse_datetime_tail_names(spark):
+    import datetime
+    assert one(spark, "SELECT parseDateTimeOrZero('bad', '%Y') AS t") \
+        == (datetime.datetime(1970, 1, 1),)
+    assert one(spark, "SELECT parseDateTimeBestEffortUS("
+               "'1/31/2024') AS t") == (datetime.datetime(2024, 1, 31),)
+    assert one(spark, "SELECT parseDateTimeInJodaSyntaxOrNull("
+               "'x', 'yyyy') AS t") == (None,)
+    assert one(spark, "SELECT serverTimeZone() AS tz") == ("UTC",)
+
+
+def test_except_strict_raises_on_missing(spark):
+    import pytest
+    with pytest.raises(Exception, match="EXCEPT STRICT"):
+        one(spark, "SELECT * EXCEPT STRICT (nope) FROM (SELECT 1 AS a)")
+    assert one(spark, "SELECT * EXCEPT STRICT (b) FROM "
+               "(SELECT 1 AS a, 2 AS b)") == (1,)
