@@ -956,7 +956,7 @@ def _strftime_to_java(fmt: str) -> str:
     table = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "MM", "%d": "dd",
              "%e": "d", "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh",
              "%i": "mm", "%M": "mm", "%S": "ss", "%s": "ss",
-             "%f": "SSSSSS", "%j": "DDD", "%p": "a",
+             "%f": "SSSSSS", "%j": "D", "%p": "a",
              "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy",
              "%R": "HH:mm", "%%": "%"}
     out = []

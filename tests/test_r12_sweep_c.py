@@ -254,3 +254,11 @@ def test_except_strict_raises_on_missing(spark):
         one(spark, "SELECT * EXCEPT STRICT (nope) FROM (SELECT 1 AS a)")
     assert one(spark, "SELECT * EXCEPT STRICT (b) FROM "
                "(SELECT 1 AS a, 2 AS b)") == (1,)
+
+
+def test_parse_datetime_day_of_year(spark):
+    import datetime
+    assert one(spark, "SELECT parseDateTime('2024 60', '%Y %j') AS t") \
+        == (datetime.datetime(2024, 2, 29),)
+    assert one(spark, "SELECT parseDateTime('2024 060', '%Y %j') AS t") \
+        == (datetime.datetime(2024, 2, 29),)
