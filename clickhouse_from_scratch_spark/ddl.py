@@ -204,6 +204,8 @@ class ChSession:
         # DETACH TABLE parks the meta here (data kept on disk/in memory)
         # until a bare ATTACH TABLE restores it
         self.detached: dict[tuple[str, str], TableMeta] = {}
+        # detached PARTITIONS: (db, table) -> {partition_key: path}
+        self.detached_parts: dict[tuple[str, str], dict[str, str]] = {}
         # DETACH DATABASE / DICTIONARY park whole catalogs / dict metas
         # (no data is deleted; bare ATTACH restores)
         self.detached_dbs: dict[str, dict[str, TableMeta]] = {}
@@ -1034,6 +1036,57 @@ class ChSession:
                     if not i.split()[:1] == [act.name]]
             elif act.kind == "MODIFY_TTL":
                 meta.ttl = act.text
+            elif act.kind == "DROP_PARTITION":
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                if in_part is None:
+                    raise ValueError("DROP PARTITION on an unpartitioned "
+                                     "table")
+                df = df.filter(~F.coalesce(in_part, F.lit(False)))
+                changed = True
+            elif act.kind == "DETACH_PARTITION":
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                if in_part is None:
+                    raise ValueError("DETACH PARTITION on an "
+                                     "unpartitioned table")
+                cond = F.coalesce(in_part, F.lit(False))
+                key = _render_expr(act.partition)
+                path = os.path.join(self.warehouse, meta.database,
+                                    f"{meta.name}__detached_{key}")
+                df.filter(cond).write.mode("overwrite").parquet(path)
+                self.detached_parts.setdefault(
+                    (meta.database, meta.name), {})[key] = path
+                df = df.filter(~cond)
+                changed = True
+            elif act.kind == "ATTACH_PARTITION":
+                key = _render_expr(act.partition)
+                store = self.detached_parts.get(
+                    (meta.database, meta.name), {})
+                if key not in store:
+                    raise ValueError(
+                        f"NO_SUCH_DATA_PART: no detached partition "
+                        f"{key}")
+                back = self.spark.read.parquet(store.pop(key))
+                df = df.unionByName(back)
+                changed = True
+            elif act.kind == "DROP_DETACHED_PARTITION":
+                key = _render_expr(act.partition)
+                store = self.detached_parts.get(
+                    (meta.database, meta.name), {})
+                if key in store:
+                    shutil.rmtree(store.pop(key), ignore_errors=True)
+            elif act.kind == "FREEZE":
+                # snapshot the (optionally partition-scoped) data under
+                # shadow/ — the reference's FREEZE hard-links parts there
+                in_part = (self._partition_match(meta, act.partition,
+                                                 ctx, df, _beval)
+                           if act.partition is not None else None)
+                snap = df if in_part is None else df.filter(
+                    F.coalesce(in_part, F.lit(False)))
+                path = os.path.join(self.warehouse, "shadow",
+                                    meta.database, meta.name)
+                snap.write.mode("overwrite").parquet(path)
             elif act.kind == "MODIFY_ORDER_BY":
                 # the new sorting key must extend the existing one as a
                 # prefix and may only add EXISTING columns (CH contract:
@@ -1251,6 +1304,13 @@ class ChSession:
                 source = read_format(self.spark, fmt, path,
                                      schema=text_schema if needs_schema
                                      else None, **extra)
+            if fmt in ("TabSeparated", "TSV", "TabSeparatedWithNames",
+                       "TSVWithNames", "TabSeparatedWithNamesAndTypes",
+                       "TSVWithNamesAndTypes"):
+                # CH TSV input decodes backslash escapes; Spark's CSV
+                # reader leaves them raw
+                from .sources.formats import tsv_unescape_columns
+                source = tsv_unescape_columns(source)
             source = (source.select(*cols)
                       if set(cols) <= set(source.columns)
                       else source.toDF(*cols))

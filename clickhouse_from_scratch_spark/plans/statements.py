@@ -337,7 +337,27 @@ def _mysql_type_to_ch(base: str, args: list[str], unsigned: bool) -> str:
     return "String"
 
 
+_INSERT_FMT_RE = None
+
+
 def parse_statement(sql: str) -> Node:
+    # INSERT ... FORMAT fmt <raw rows>: split the data off BEFORE
+    # lexing — raw rows (TSV backslash escapes, arbitrary bytes) need
+    # not tokenize as SQL. clickhouse-client splits the same way.
+    global _INSERT_FMT_RE
+    if _INSERT_FMT_RE is None:
+        import re as _re
+        _INSERT_FMT_RE = _re.compile(
+            r"^(\s*INSERT\s+INTO\s+[^'\"]*?\bFORMAT\s+(\w+))[ \t\r\n]",
+            _re.IGNORECASE | _re.DOTALL)
+    m = _INSERT_FMT_RE.match(sql)
+    if m and m.group(2).upper() != "VALUES":
+        head, data = m.group(1), sql[m.end():]
+        p = StatementParser(head)
+        node = p.parse_statement()
+        if getattr(node, "format_data", None) in (None, ""):
+            node.format_data = data
+        return node
     return StatementParser(sql).parse_statement()
 
 
@@ -418,7 +438,11 @@ class StatementParser(Parser):
             return SystemStmt(" ".join(parts).upper())
         if t.is_kw("KILL"):
             self.advance()
-            self.expect_kw("QUERY")
+            if not self.accept_kw("QUERY"):
+                # KILL MUTATION WHERE ... — same grammar, targets the
+                # mutations table (mutations here complete inline, so
+                # there is never one to kill; statement still parses)
+                self.expect_kw("MUTATION")
             self.expect_kw("WHERE")
             parts = []
             while self.tok.kind != T.EOF and not self.tok.is_op(";") \
@@ -1055,10 +1079,25 @@ class StatementParser(Parser):
         if self.accept_kw("DROP"):
             if self.accept_kw("INDEX"):
                 return AlterAction("DROP_INDEX", name=self.advance().text)
+            if self.accept_kw("PARTITION"):
+                return AlterAction("DROP_PARTITION",
+                                   partition=self._expr())
+            if self.accept_kws("DETACHED", "PARTITION"):
+                return AlterAction("DROP_DETACHED_PARTITION",
+                                   partition=self._expr())
             self.expect_kw("COLUMN")
             ie = bool(self.accept_kws("IF", "EXISTS"))
             return AlterAction("DROP_COLUMN", name=self.advance().text,
                                if_exists=ie)
+        if self.accept_kws("DETACH", "PARTITION"):
+            return AlterAction("DETACH_PARTITION", partition=self._expr())
+        if self.accept_kws("ATTACH", "PARTITION"):
+            return AlterAction("ATTACH_PARTITION", partition=self._expr())
+        if self.accept_kw("FREEZE"):
+            part = None
+            if self.accept_kw("PARTITION"):
+                part = self._expr()
+            return AlterAction("FREEZE", partition=part)
         if self.accept_kw("RENAME"):
             self.expect_kw("COLUMN")
             ie = bool(self.accept_kws("IF", "EXISTS"))

@@ -1287,6 +1287,26 @@ def to_sql_insert(df: DataFrame, n: int = 10000,
     return "\n".join(stmts)
 
 
+def tsv_unescape_columns(df: DataFrame) -> DataFrame:
+    """Decode CH TabSeparated INPUT escapes on string columns
+    (\\t, \\n, \\r, \\', \\\\) — Spark's CSV reader leaves them raw.
+    Backslash-backslash goes through a sentinel so '\\\\t' decodes to
+    backslash+t, not tab. Pure JVM replace chain."""
+    from pyspark.sql.types import StringType
+    sent = "\x00"
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, StringType):
+            c = F.replace(c, F.lit("\\\\"), F.lit(sent))
+            for esc, real in (("\\t", "\t"), ("\\n", "\n"),
+                              ("\\r", "\r"), ("\\'", "'")):
+                c = F.replace(c, F.lit(esc), F.lit(real))
+            c = F.replace(c, F.lit(sent), F.lit("\\"))
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
 def to_custom_separated(df: DataFrame, n: int = 10000,
                         escaping: str = "Escaped",
                         field_delim: str = "\t",

@@ -355,3 +355,44 @@ def test_template_format_settings_driven(sess):
         "SELECT number AS n, 'x' AS s FROM numbers(2) "
         "FORMAT Template").collect())
     assert out == "0 => 'x'\n1 => 'x'"
+
+
+# --- sweep-H: partition verbs, inline-format escapes, KILL MUTATION --------
+
+def test_partition_verbs_matrix(sess):
+    sess.execute("CREATE TABLE ptv (d Date, v UInt32) ENGINE = MergeTree "
+                 "PARTITION BY toYYYYMM(d) ORDER BY d")
+    sess.execute("INSERT INTO ptv VALUES ('2024-01-05', 1), "
+                 "('2024-01-06', 2), ('2024-02-05', 3)")
+    sess.execute("ALTER TABLE ptv DROP PARTITION 202401")
+    assert sess.execute("SELECT count() FROM ptv").collect()[0][0] == 1
+    sess.execute("INSERT INTO ptv VALUES ('2024-03-01', 9)")
+    sess.execute("ALTER TABLE ptv DETACH PARTITION 202403")
+    assert sess.execute("SELECT count() FROM ptv").collect()[0][0] == 1
+    sess.execute("ALTER TABLE ptv ATTACH PARTITION 202403")
+    assert sess.execute("SELECT count() FROM ptv").collect()[0][0] == 2
+    with pytest.raises(Exception, match="NO_SUCH_DATA_PART"):
+        sess.execute("ALTER TABLE ptv ATTACH PARTITION 209901")
+    sess.execute("ALTER TABLE ptv FREEZE")
+    sess.execute("ALTER TABLE ptv DETACH PARTITION 202403")
+    sess.execute("ALTER TABLE ptv DROP DETACHED PARTITION 202403")
+    with pytest.raises(Exception, match="NO_SUCH_DATA_PART"):
+        sess.execute("ALTER TABLE ptv ATTACH PARTITION 202403")
+    sess.execute("DROP TABLE ptv")
+
+
+def test_inline_tsv_backslash_escapes(sess):
+    sess.execute("CREATE TABLE tsvt (a UInt32, s String) ENGINE = Memory")
+    sess.execute("INSERT INTO tsvt FORMAT TabSeparated 1\ttab\\there")
+    assert sess.execute("SELECT s FROM tsvt").collect()[0][0] \
+        == "tab\there"
+    sess.execute("TRUNCATE TABLE tsvt")
+    # double backslash stays a literal backslash + t
+    sess.execute("INSERT INTO tsvt FORMAT TabSeparated 2\tback\\\\there")
+    assert sess.execute("SELECT s FROM tsvt").collect()[0][0] \
+        == "back\\there"
+    sess.execute("DROP TABLE tsvt")
+
+
+def test_kill_mutation_parses(sess):
+    sess.execute("KILL MUTATION WHERE mutation_id = 'x'")
