@@ -1883,6 +1883,12 @@ class ChSession:
                 with open(node.outfile, "w", encoding="utf-8") as fh:
                     fh.write(TEXT_RENDERERS[node.format](df))
                 return self._ok()
+            if node.format in ("CustomSeparated",
+                               "CustomSeparatedWithNames", "Template"):
+                text = self._settings_format_text(df, node.format)
+                with open(node.outfile, "w", encoding="utf-8") as fh:
+                    fh.write(text)
+                return self._ok()
             from .sources import write_format
             write_format(df, node.format or "Parquet", node.outfile,
                          compression=node.compression)
@@ -1924,35 +1930,29 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(line,) for line in to_json_each_row(df).split("\n")],
                 "output string")
-        if node.format in ("CustomSeparated", "CustomSeparatedWithNames"):
-            from .sources.formats import to_custom_separated
-
-            def _s(name, dflt):
-                v = str(self.settings.get(name, dflt))
-                return (v.replace("\\t", "\t").replace("\\n", "\n")
-                        .replace("\\r", "\r"))
-
-            text = to_custom_separated(
-                df,
-                escaping=_s("format_custom_escaping_rule", "Escaped"),
-                field_delim=_s("format_custom_field_delimiter", "\t"),
-                row_before=_s("format_custom_row_before_delimiter", ""),
-                row_after=_s("format_custom_row_after_delimiter", "\n"),
-                row_between=_s("format_custom_row_between_delimiter", ""),
-                result_before=_s("format_custom_result_before_delimiter",
-                                 ""),
-                result_after=_s("format_custom_result_after_delimiter",
-                                ""))
-            if node.format.endswith("WithNames"):
-                fd = _s("format_custom_field_delimiter", "\t")
-                text = (_s("format_custom_row_before_delimiter", "")
-                        + fd.join(df.columns)
-                        + _s("format_custom_row_after_delimiter", "\n")
-                        + text)
+        if node.format in ("CustomSeparated", "CustomSeparatedWithNames",
+                           "Template"):
+            text = self._settings_format_text(df, node.format)
             return self.spark.createDataFrame(
                 [(line,) for line in text.rstrip("\n").split("\n")],
                 "output string")
-        if node.format == "Template":
+        if node.format in TEXT_RENDERERS:
+            return self.spark.createDataFrame(
+                [(line,) for line in
+                 TEXT_RENDERERS[node.format](df).split("\n")],
+                "output string")
+        return df
+
+    def _settings_format_text(self, df, fmt: str) -> str:
+        """Render the settings-driven text formats (CustomSeparated /
+        Template) — shared by the console FORMAT suffix and INTO
+        OUTFILE paths."""
+        def _s(name, dflt):
+            v = str(self.settings.get(name, dflt))
+            return (v.replace("\\t", "\t").replace("\\n", "\n")
+                    .replace("\\r", "\r"))
+
+        if fmt == "Template":
             from .sources.formats import to_template
             row_fmt = str(self.settings.get(
                 "format_template_row_format",
@@ -1961,24 +1961,31 @@ class ChSession:
                 raise ValueError(
                     "FORMAT Template requires SET "
                     "format_template_row_format = '...'")
-            between = (str(self.settings.get(
-                "format_template_rows_between_delimiter", "\\n"))
-                .replace("\\n", "\n").replace("\\t", "\t"))
+            between = _s("format_template_rows_between_delimiter", "\\n")
             rs = str(self.settings.get(
                 "format_template_resultset_format",
                 self.settings.get("format_template_resultset", ""))) \
                 or None
-            text = to_template(df, row_fmt,
+            return to_template(df, row_fmt,
                                row_between_delimiter=between,
                                resultset_format=rs)
-            return self.spark.createDataFrame(
-                [(line,) for line in text.split("\n")], "output string")
-        if node.format in TEXT_RENDERERS:
-            return self.spark.createDataFrame(
-                [(line,) for line in
-                 TEXT_RENDERERS[node.format](df).split("\n")],
-                "output string")
-        return df
+        from .sources.formats import to_custom_separated
+        text = to_custom_separated(
+            df,
+            escaping=_s("format_custom_escaping_rule", "Escaped"),
+            field_delim=_s("format_custom_field_delimiter", "\t"),
+            row_before=_s("format_custom_row_before_delimiter", ""),
+            row_after=_s("format_custom_row_after_delimiter", "\n"),
+            row_between=_s("format_custom_row_between_delimiter", ""),
+            result_before=_s("format_custom_result_before_delimiter", ""),
+            result_after=_s("format_custom_result_after_delimiter", ""))
+        if fmt.endswith("WithNames"):
+            fd = _s("format_custom_field_delimiter", "\t")
+            text = (_s("format_custom_row_before_delimiter", "")
+                    + fd.join(df.columns)
+                    + _s("format_custom_row_after_delimiter", "\n")
+                    + text)
+        return text
 
     def _check(self, node: CheckStmt):
         meta = self._resolve(node.database, node.table)
