@@ -868,6 +868,10 @@ def _reduce_flat(base_name: str, flat: Column, sfx: str) -> Column:
     if base_name.endswith("OrDefault") and len(base_name) > 9:
         inner = _reduce_flat(base_name[:-9], flat, sfx)
         return F.coalesce(inner, F.lit(0))
+    if base_name.endswith("Array") and len(base_name) > 5:
+        # stacked -ArrayArray (sumArrayArray over Array(Array(T))):
+        # flatten one level and reduce with the inner base
+        return _reduce_flat(base_name[:-5], F.flatten(flat), sfx)
     raise ValueError(f"-{sfx} combinator unsupported for {base_name}")
 
 

@@ -4408,5 +4408,7 @@ def _not_impl(name: str):
 # fitter and encrypt/decrypt an AES provider neither Spark-builtin nor
 # the stdlib carries)
 for _nm in ("seriesDecomposeSTL", "encrypt", "decrypt",
-            "aes_encrypt_mysql", "aes_decrypt_mysql", "tryDecrypt"):
+            "aes_encrypt_mysql", "aes_decrypt_mysql", "tryDecrypt",
+            "arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked",
+            "estimateCompressionRatio"):
     _alias(_nm, _not_impl(_nm))

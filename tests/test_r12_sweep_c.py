@@ -262,3 +262,15 @@ def test_parse_datetime_day_of_year(spark):
         == (datetime.datetime(2024, 2, 29),)
     assert one(spark, "SELECT parseDateTime('2024 060', '%Y %j') AS t") \
         == (datetime.datetime(2024, 2, 29),)
+
+
+def test_array_array_combinator_stacking(spark):
+    assert one(spark, "SELECT sumArrayArray(a) AS s FROM "
+               "(SELECT [[1,2],[3]] AS a UNION ALL SELECT [[4]])") \
+        == (10.0,)
+
+
+def test_ranked_enumerate_named_not_implemented(spark):
+    import pytest
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        one(spark, "SELECT arrayEnumerateUniqRanked([[1]])")
