@@ -3512,7 +3512,6 @@ _alias("changeDay", lambda d, dd: F.make_date(
 _alias("timezone", lambda: F.lit("UTC"))
 _alias("serverTimeZone", lambda: F.lit("UTC"))
 _alias("serverTimezone", lambda: F.lit("UTC"))
-_alias("serverTimezone", lambda: F.lit("UTC"))
 _alias("timezoneOf", lambda c: F.lit("UTC"))
 _alias("indexHint", lambda *a: F.lit(True))   # CH: always 1, arg unused
 _alias("JSONArrayLength", lambda j: F.json_array_length(_c(j)))
