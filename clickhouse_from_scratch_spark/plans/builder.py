@@ -1288,6 +1288,80 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
             os.unlink(fh.name)
     if name in _PIPELINE_TFS:
         return _pipeline_table_function(name, node, ctx)
+    if name == "null":
+        # null('a UInt8'): accepts inserts, always reads empty — the
+        # Null-engine table function
+        from ..functions.typemap import ch_type_to_spark
+        from ..sources.generate import _split_cols
+        if not node.args or not isinstance(node.args[0], Literal):
+            raise BuildError("null() requires a structure string")
+        cols = _split_cols(node.args[0].value)
+        return ctx.spark.createDataFrame(
+            [], ", ".join(f"`{n}` {ch_type_to_spark(t)}"
+                          for n, t in cols))
+    if name in ("remote", "remoteSecure", "cluster",
+                "clusterAllReplicas"):
+        # single-process analogue (SURVEY §2.13 scope: Spark itself is
+        # the distribution layer): the address/cluster argument is
+        # accepted and ignored; the named table resolves locally.
+        # remote('host', db, table) / remote('host', db.table)
+        # [, user, password]
+        parts = []
+        for a in node.args[1:]:
+            if isinstance(a, Identifier):
+                parts.extend(a.parts)
+            elif isinstance(a, Literal) and isinstance(a.value, str) \
+                    and not parts:
+                parts.extend(str(a.value).split("."))
+            else:
+                break                     # user/password tail
+        if not parts:
+            raise BuildError(f"{name}() requires a table argument")
+        key = ".".join(parts[:2])
+        if key == "system.one":
+            return ctx.spark.createDataFrame([(0,)], "dummy smallint")
+        for cand in (key, parts[-1]):
+            if cand in ctx.tables:
+                return ctx.tables[cand]
+        raise BuildError(f"{name}(): unknown table {key}")
+    if name in ("s3", "hdfs"):
+        # map onto Spark's own readers — on a configured cluster
+        # spark.read speaks s3a:// and hdfs:// natively; credentials
+        # come from the Spark/Hadoop conf, so the CH-style key
+        # arguments and NOSIGN are accepted and ignored
+        import re as _re
+
+        from ..functions.typemap import ch_type_to_spark
+        from ..sources import FORMATS as _FMTS
+        from ..sources import read_format
+        from ..sources.generate import _split_cols
+        if not node.args or not isinstance(node.args[0], Literal):
+            raise BuildError(f"{name}() requires a URL string")
+        url = str(node.args[0].value)
+        # virtual-hosted S3 HTTPS URL → s3a://bucket/key
+        m = _re.match(
+            r"^https?://([^./]+)\.s3[.-][^/]*amazonaws\.com/(.*)$", url)
+        if m:
+            url = f"s3a://{m.group(1)}/{m.group(2)}"
+        fmt, structure = None, None
+        for a in node.args[1:]:
+            if isinstance(a, Literal) and isinstance(a.value, str):
+                if a.value in _FMTS and fmt is None:
+                    fmt = a.value
+                elif " " in a.value and structure is None:
+                    structure = a.value
+        if fmt is None:
+            ext = url.rsplit(".", 1)[-1].lower()
+            fmt = {"parquet": "Parquet", "orc": "ORC", "avro": "Avro",
+                   "csv": "CSV", "tsv": "TSV",
+                   "json": "JSONEachRow",
+                   "jsonl": "JSONEachRow"}.get(ext, "Parquet")
+        schema = None
+        if structure is not None:
+            schema = ", ".join(
+                f"`{n}` {ch_type_to_spark(t)}"
+                for n, t in _split_cols(structure))
+        return read_format(ctx.spark, fmt, url, schema=schema)
     raise BuildError(f"unsupported table function: {node.name}")
 
 

@@ -274,3 +274,38 @@ def test_ranked_enumerate_named_not_implemented(spark):
     import pytest
     with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
         one(spark, "SELECT arrayEnumerateUniqRanked([[1]])")
+
+
+# --- remote-source table functions -------------------------------------------
+
+def test_null_table_function_empty_with_schema(spark):
+    rows = __import__("clickhouse_from_scratch_spark.plans",
+                      fromlist=["execute_sql"]).execute_sql(
+        spark, "SELECT * FROM null('a UInt8, s String')", {})
+    assert rows.collect() == [] and rows.columns == ["a", "s"]
+
+
+def test_remote_cluster_resolve_locally(spark, tmp_path):
+    from clickhouse_from_scratch_spark.ddl import ChSession
+    s = ChSession(spark, warehouse=str(tmp_path / "wh"))
+    s.execute("CREATE TABLE rt (a UInt32) ENGINE = Memory")
+    s.execute("INSERT INTO rt VALUES (7)")
+    assert s.execute("SELECT a FROM remote('h:9000', default, rt)") \
+        .collect()[0][0] == 7
+    assert s.execute("SELECT a FROM cluster('c', default.rt)") \
+        .collect()[0][0] == 7
+    assert s.execute("SELECT * FROM remote('h', system.one)") \
+        .collect()[0][0] == 0
+    import pytest
+    with pytest.raises(Exception, match="unknown table"):
+        s.execute("SELECT * FROM remote('h', nodb.notab)")
+
+
+def test_s3_table_function_local_file(spark, tmp_path):
+    p = str(tmp_path / "x.parquet")
+    spark.range(3).toDF("n").write.parquet(p)
+    rows = __import__("clickhouse_from_scratch_spark.plans",
+                      fromlist=["execute_sql"]).execute_sql(
+        spark, f"SELECT count() AS c FROM s3('file://{p}', 'Parquet')",
+        {})
+    assert rows.collect()[0][0] == 3
