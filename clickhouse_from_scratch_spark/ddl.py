@@ -1186,6 +1186,8 @@ class ChSession:
     # --- INSERT / OPTIMIZE ------------------------------------------------
 
     def _insert(self, node: InsertStmt):
+        if getattr(node, "function", None) is not None:
+            return self._insert_into_function(node)
         meta = self._resolve(node.database, node.table)
         if getattr(node, "settings", None):
             # INSERT ... SETTINGS k=v: validated like SET, scoped to
@@ -1551,9 +1553,36 @@ class ChSession:
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.dictionaries)] or [],
                 "name string")
+        if node.what == "FUNCTIONS":
+            from .functions import REGISTRY
+            from .functions.aggregates import AGGREGATES
+            rows = ([(n, 0) for n in REGISTRY]
+                    + [(n, 1) for n in AGGREGATES])
+            if node.like:
+                pat = re.compile(
+                    "^" + re.escape(node.like).replace("%", ".*")
+                    .replace("_", ".") + "$", re.IGNORECASE)
+                rows = [r for r in rows if pat.match(r[0])]
+            return self.spark.createDataFrame(
+                sorted(rows) or [], "name string, is_aggregate int")
+        if node.what == "ENGINES":
+            return self.spark.createDataFrame(
+                [(e,) for e in sorted(
+                    ("MergeTree", "ReplacingMergeTree",
+                     "SummingMergeTree", "AggregatingMergeTree",
+                     "CollapsingMergeTree",
+                     "VersionedCollapsingMergeTree", "Memory", "Null",
+                     "Log", "TinyLog", "View", "MaterializedView",
+                     "Dictionary", "Merge", "File"))], "name string")
+        if node.what == "GRANTS":
+            # single-user engine: the default user holds everything
+            return self.spark.createDataFrame(
+                [("GRANT ALL ON *.* TO default WITH GRANT OPTION",)],
+                "grants string")
         if node.what in ("SETTINGS", "CHANGED_SETTINGS"):
             rows = [(k, str(v), int(k in self.settings)) for k, v in
-                    sorted({**_SETTING_DEFAULTS, **self.settings}.items())]
+                    sorted({**_reference_defaults(), **_SETTING_DEFAULTS,
+                            **self.settings}.items())]
             if node.what == "CHANGED_SETTINGS":
                 rows = [r for r in rows if r[2]]
             if node.like:
@@ -1664,7 +1693,11 @@ class ChSession:
             "codec_expression string, ttl_expression string")
 
     def _exists(self, node: ExistsStmt):
-        ok = node.table in self._db(node.database)
+        if node.table == "":
+            # EXISTS DATABASE form (database carried in the db slot)
+            ok = node.database in self.databases
+        else:
+            ok = node.table in self._db(node.database)
         return self.spark.createDataFrame([(int(ok),)], "result int")
 
     def _use(self, node: UseStmt):
@@ -1942,6 +1975,45 @@ class ChSession:
                  TEXT_RENDERERS[node.format](df).split("\n")],
                 "output string")
         return df
+
+    def _insert_into_function(self, node: InsertStmt):
+        """INSERT INTO FUNCTION sink: null(...) discards after
+        evaluating the source; file('path'[, 'Format']) writes through
+        the format registry. Other sinks raise a named error."""
+        from .plans.ast_nodes import Literal as _Lit
+        tf = node.function
+        if node.select is not None:
+            src = build(self.spark, node.select, self._tables(),
+                        self._engines(), settings=self.settings,
+                        udfs=self.udfs)
+        else:
+            rows = []
+            from .plans.builder import Context as _BCtx
+            from .plans.builder import _eval as _beval
+            one = self.spark.range(1)
+            for r in node.values or []:
+                rows.append(tuple(
+                    item.value if isinstance(item, _Lit)
+                    else one.select(_beval(item, _BCtx(self.spark, {}),
+                                           one)).collect()[0][0]
+                    for item in r))
+            cols = node.columns or [f"c{i + 1}"
+                                    for i in range(len(rows[0]))]
+            src = self.spark.createDataFrame(rows, cols)
+        fname = tf.name.lower()
+        if fname == "null":
+            src.count()                      # evaluate, discard
+            return self._ok()
+        if fname == "file":
+            from .sources import write_format
+            path = str(tf.args[0].value)
+            fmt = (str(tf.args[1].value) if len(tf.args) > 1
+                   else "Parquet")
+            write_format(src, fmt, path)
+            return self._ok()
+        raise ValueError(
+            f"INSERT INTO FUNCTION {tf.name} is not implemented "
+            f"(NOT_IMPLEMENTED)")
 
     def _settings_format_text(self, df, fmt: str) -> str:
         """Render the settings-driven text formats (CustomSeparated /

@@ -218,6 +218,7 @@ class InsertStmt(Node):
     format: str | None = None                   # FORMAT name
     format_data: str | None = None              # inline rows after FORMAT
     settings: dict = field(default_factory=dict)  # INSERT ... SETTINGS
+    function: Node | None = None                # INSERT INTO FUNCTION f(...)
 
 
 @dataclass
@@ -1196,6 +1197,35 @@ class StatementParser(Parser):
     def _insert(self):
         self.advance()
         self.expect_kw("INTO")
+        if self.accept_kw("FUNCTION"):
+            # INSERT INTO FUNCTION null(...)/file(...): the sink is a
+            # table function, not a catalog table (parsed without the
+            # FROM-clause alias eater — VALUES/SELECT follows)
+            from .ast_nodes import TableFunction as _TF
+            fn_name = self.advance().text
+            self.expect_op("(")
+            fn_args = [] if self.tok.is_op(")") else self._expr_list()
+            self.expect_op(")")
+            tf = _TF(fn_name, fn_args, None)
+            cols = None
+            if self.tok.is_op("(") \
+                    and not self.peek().is_kw("SELECT", "WITH"):
+                self.advance()
+                cols = [self.advance().text]
+                while self.accept_op(","):
+                    cols.append(self.advance().text)
+                self.expect_op(")")
+            if self.accept_kw("VALUES"):
+                rows = []
+                while self.accept_op("("):
+                    rows.append(self._expr_list())
+                    self.expect_op(")")
+                    if not self.accept_op(","):
+                        break
+                return InsertStmt(None, "", cols, values=rows,
+                                  function=tf)
+            return InsertStmt(None, "", cols, select=self._union(),
+                              function=tf)
         self.accept_kw("TABLE")
         db, name = self._qualified_name()
         cols = None
@@ -1279,6 +1309,15 @@ class StatementParser(Parser):
             if self.accept_kw("LIKE") or self.accept_kw("ILIKE"):
                 st.like = self.advance().text
             return st
+        if self.accept_kw("FUNCTIONS"):
+            st = ShowStmt("FUNCTIONS")
+            if self.accept_kw("LIKE") or self.accept_kw("ILIKE"):
+                st.like = self.advance().text
+            return st
+        if self.accept_kw("ENGINES"):
+            return ShowStmt("ENGINES")
+        if self.accept_kw("GRANTS"):
+            return ShowStmt("GRANTS")
         if self.accept_kw("CREATE"):
             if self.accept_kw("DICTIONARY"):
                 db, name = self._qualified_name()
@@ -1310,12 +1349,26 @@ class StatementParser(Parser):
             q = self._union()
             self.expect_op(")")
             return DescribeStmt(None, "", query=q)
+        if self.tok.kind == T.IDENT and self.peek().is_op("("):
+            # DESCRIBE numbers(5) / file(...) — table-function schema,
+            # via the result-of-query path
+            from .ast_nodes import SelectQuery as _Sel
+            from .ast_nodes import Star as _Star
+            tf = self._table_factor()
+            q = _Sel()
+            q.select = [_Star()]
+            q.from_ = tf
+            return DescribeStmt(None, "", query=q)
         db, name = self._qualified_name()
         return DescribeStmt(db, name)
 
     def _exists(self):
         self.advance()
-        self.accept_kw("TABLE")
+        if self.accept_kw("DATABASE"):
+            # EXISTS DATABASE db → result 0/1 (marker table "")
+            return ExistsStmt(self.advance().text, "")
+        self.accept_kw("TABLE") or self.accept_kw("DICTIONARY") \
+            or self.accept_kw("VIEW")
         db, name = self._qualified_name()
         return ExistsStmt(db, name)
 

@@ -396,3 +396,39 @@ def test_inline_tsv_backslash_escapes(sess):
 
 def test_kill_mutation_parses(sess):
     sess.execute("KILL MUTATION WHERE mutation_id = 'x'")
+
+
+# --- SHOW tails, EXISTS DATABASE, DESCRIBE tf, INSERT INTO FUNCTION --------
+
+def test_show_settings_like_includes_namespace(sess):
+    rows = sess.execute("SHOW SETTINGS LIKE 'max_threads'").collect()
+    assert [r.name for r in rows] == ["max_threads"]
+
+
+def test_show_functions_engines_grants(sess):
+    fns = sess.execute("SHOW FUNCTIONS LIKE 'toStartOfDa%'").collect()
+    assert [r.name for r in fns] == ["toStartOfDay"]
+    engines = {r.name for r in sess.execute("SHOW ENGINES").collect()}
+    assert {"MergeTree", "Memory", "Null"} <= engines
+    assert "GRANT ALL" in sess.execute("SHOW GRANTS").collect()[0][0]
+
+
+def test_exists_database(sess):
+    assert sess.execute("EXISTS DATABASE default").collect()[0][0] == 1
+    assert sess.execute("EXISTS DATABASE nope_db").collect()[0][0] == 0
+
+
+def test_describe_table_function(sess):
+    rows = sess.execute("DESCRIBE TABLE numbers(5)").collect()
+    assert rows[0][0] == "number"
+
+
+def test_insert_into_function(sess, tmp_path):
+    sess.execute("INSERT INTO FUNCTION null('x UInt8') VALUES (1)")
+    p = str(tmp_path / "out.parquet")
+    sess.execute(f"INSERT INTO FUNCTION file('{p}', 'Parquet') "
+                 "SELECT number AS n FROM numbers(3)")
+    assert sess.execute(f"SELECT count() FROM file('{p}', 'Parquet')") \
+        .collect()[0][0] == 3
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        sess.execute("INSERT INTO FUNCTION s3('x') VALUES (1)")
