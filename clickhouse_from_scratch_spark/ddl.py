@@ -1673,7 +1673,10 @@ class ChSession:
             df = build(self.spark, node.query, self._tables(),
                        self._engines(), settings=self.settings,
                        udfs=self.udfs)
-            rows = [(f.name, _spark_type_to_ch(f.dataType.simpleString()),
+            u64 = getattr(df, "_ch_uint64_cols", frozenset())
+            rows = [(f.name,
+                     "UInt64" if f.name in u64
+                     else _spark_type_to_ch(f.dataType.simpleString()),
                      "", "", "", "", "") for f in df.schema.fields]
             return self.spark.createDataFrame(
                 rows, "name string, type string, default_type string, "

@@ -740,7 +740,11 @@ def _uint64_cols(select_items, df: DataFrame,
     for item, f in zip(select_items, fields):
         if not isinstance(f.dataType, LongType):
             continue
-        cht = _infer_ch_type(item, ctx, df)
+        if isinstance(item, Star):
+            # * projection: the declared dialect type carries through
+            cht = ctx.ch_types.get(f.name)
+        else:
+            cht = _infer_ch_type(item, ctx, df)
         if cht == "UInt64":
             out.add(f.name)
     return frozenset(out)
