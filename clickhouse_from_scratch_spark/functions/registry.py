@@ -4411,3 +4411,130 @@ for _nm in ("seriesDecomposeSTL", "encrypt", "decrypt",
             "arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked",
             "estimateCompressionRatio"):
     _alias(_nm, _not_impl(_nm))
+
+
+# --- JSON tail (r12): raw key/value pairs, RFC-7386 merge, path walk --
+
+
+def _json_kv_raw(c, *path) -> Column:
+    """JSONExtractKeysAndValuesRaw: (key, raw-JSON-text) pairs of the
+    object — string values keep their quotes, composites their exact
+    compact form. Arrow scalar UDF (raw-per-dynamic-key is not
+    expressible with Spark's literal-path JSON readers)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _kv(vs):
+        import json
+        out = []
+        for s_ in vs:
+            if s_ is None:
+                out.append(None)
+                continue
+            try:
+                obj = json.loads(s_)
+            except Exception:
+                out.append([])
+                continue
+            if not isinstance(obj, dict):
+                out.append([])
+                continue
+            out.append([(k, json.dumps(v, ensure_ascii=False,
+                                       separators=(",", ":")))
+                        for k, v in obj.items()])
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(
+        _kv, "array<struct<key:string,value:string>>",
+        PandasUDFType.SCALAR)(_c(c).cast("string"))
+
+
+def _json_merge_patch(*docs) -> Column:
+    """jsonMergePatch (RFC 7386): right-to-left object merge, null
+    removes a key. Arrow scalar UDF."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _merge(*cols):
+        import json
+
+        def patch(target, p):
+            if not isinstance(p, dict):
+                return p
+            if not isinstance(target, dict):
+                target = {}
+            for k, v in p.items():
+                if v is None:
+                    target.pop(k, None)
+                else:
+                    target[k] = patch(target.get(k), v)
+            return target
+
+        out = []
+        for vals in zip(*cols):
+            acc = {}
+            try:
+                for v in vals:
+                    acc = patch(acc, json.loads(v))
+                out.append(json.dumps(acc, ensure_ascii=False,
+                                      separators=(",", ":")))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_merge, "string", PandasUDFType.SCALAR)(
+        *[_c(d).cast("string") for d in docs])
+
+
+def _json_all_paths(c) -> Column:
+    """JSONAllPaths: every leaf path in the document (dotted keys,
+    array hops collapse onto the element paths like the reference)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    def _paths(vs):
+        import json
+
+        def walk(node, prefix, acc):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, f"{prefix}.{k}" if prefix else k, acc)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v, prefix, acc)
+            else:
+                if prefix:
+                    acc.append(prefix)
+
+        out = []
+        for s_ in vs:
+            if s_ is None:
+                out.append(None)
+                continue
+            try:
+                acc: list = []
+                walk(json.loads(s_), "", acc)
+                seen, uniq = set(), []
+                for p in acc:
+                    if p not in seen:
+                        seen.add(p)
+                        uniq.append(p)
+                out.append(uniq)
+            except Exception:
+                out.append([])
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_paths, "array<string>", PandasUDFType.SCALAR)(
+        _c(c).cast("string"))
+
+
+_alias("JSONExtractKeysAndValuesRaw", _json_kv_raw)
+_alias("jsonMergePatch", _json_merge_patch)
+_alias("JSONMergePatch", _json_merge_patch)
+_alias("JSONAllPaths", _json_all_paths)
+
+# H3/S2 geo indexing needs the real cell-indexing libraries — named
+# NOT_IMPLEMENTED like the other environment-bound tails
+for _nm in ("geoToH3", "h3ToGeo", "h3kRing", "h3GetResolution",
+            "geoToS2", "s2ToGeo"):
+    _alias(_nm, _not_impl(_nm))

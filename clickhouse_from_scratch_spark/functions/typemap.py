@@ -82,6 +82,10 @@ def ch_type_to_spark(ch: str) -> str:
     m = re.match(r"(?i)^enum(8|16)?\(", t)
     if m:
         return "string"
+    if t.lower() in ("json", "object('json')"):
+        # the JSON column type stores the document text (the JSON
+        # introspection functions operate on it directly)
+        return "string"
     # AggregateFunction(fn, T): real sketch state columns for the uniq
     # family — HLL states are opaque binary (Spark DataSketches), exact
     # states are the distinct-value array. Other aggregate states have no

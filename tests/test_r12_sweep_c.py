@@ -309,3 +309,28 @@ def test_s3_table_function_local_file(spark, tmp_path):
         spark, f"SELECT count() AS c FROM s3('file://{p}', 'Parquet')",
         {})
     assert rows.collect()[0][0] == 3
+
+
+# --- JSON tail ----------------------------------------------------------------
+
+def test_json_extract_keys_and_values_raw(spark):
+    assert one(spark, "SELECT JSONExtractKeysAndValuesRaw("
+               "'{\"a\":[1,2],\"b\":\"x\"}') AS kv") == (
+        [("a", "[1,2]"), ("b", '"x"')],)
+
+
+def test_json_merge_patch_rfc7386(spark):
+    assert one(spark, "SELECT jsonMergePatch('{\"a\":1,\"c\":3}', "
+               "'{\"b\":2,\"c\":null}') AS m") == ('{"a":1,"b":2}',)
+
+
+def test_json_all_paths_and_json_type_cast(spark):
+    assert one(spark, "SELECT JSONAllPaths("
+               "'{\"a\":{\"b\":1},\"c\":[{\"d\":2}]}'::JSON) AS p") \
+        == (["a.b", "c.d"],)
+
+
+def test_h3_named_not_implemented(spark):
+    import pytest
+    with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
+        one(spark, "SELECT geoToH3(1.0, 2.0, 3)")
