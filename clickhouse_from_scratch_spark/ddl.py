@@ -167,6 +167,25 @@ _SETTING_DEFAULTS: dict[str, object] = {
 }
 
 
+def _ast_has_params(node, _depth: int = 0) -> bool:
+    """True when the AST contains a {name:Type} query parameter
+    (ParserSelectQuery query-parameter surface) — marks a view as
+    parameterized."""
+    from .plans.ast_nodes import QueryParameter
+    if _depth > 64 or node is None:
+        return False
+    if isinstance(node, QueryParameter):
+        return True
+    if isinstance(node, (list, tuple)):
+        return any(_ast_has_params(i, _depth + 1) for i in node)
+    if isinstance(node, dict):
+        return any(_ast_has_params(v, _depth + 1) for v in node.values())
+    if hasattr(node, "__dataclass_fields__"):
+        return any(_ast_has_params(getattr(node, f), _depth + 1)
+                   for f in node.__dataclass_fields__)
+    return False
+
+
 def _format_names() -> set[str]:
     """All FORMAT names with a live reader/writer or text renderer
     (system.formats contract: one row per registered format)."""
@@ -232,7 +251,8 @@ class ChSession:
                              self._engines(),
                              params=params, settings=self.settings,
                              udfs=self.udfs,
-                             dictionaries=self.dictionaries)
+                             dictionaries=self.dictionaries,
+                             views=self._param_views())
             return self._dispatch_node(node)
         except Exception:
             status = "ExceptionWhileProcessing"
@@ -326,12 +346,30 @@ class ChSession:
         out = {}
         # db-qualified keys for EVERY database so FROM otherdb.t resolves
         # to the right table even when the current db has a same-named one
+        # (parameterized views can only build at call time — they resolve
+        # through the view-AST path, not here)
         for db in self.databases:
             for name, meta in self._db(db).items():
+                if meta.is_view and _ast_has_params(meta.view_query):
+                    continue
                 out[f"{db}.{name}"] = self._read(meta)
         for name, meta in self._db().items():
+            if meta.is_view and _ast_has_params(meta.view_query):
+                continue
             out[name] = self._read(meta)
         out.update(self._system_tables())
+        return out
+
+    def _param_views(self) -> dict[str, object]:
+        """name → view AST for PARAMETERIZED views (query parameters in
+        the body) — the builder binds them at `v(p = x)` call sites."""
+        out = {}
+        for db in self.databases:
+            for name, meta in self._db(db).items():
+                if meta.is_view and _ast_has_params(meta.view_query):
+                    out[f"{db}.{name}"] = meta.view_query
+                    if db == self.current_db:
+                        out[name] = meta.view_query
         return out
 
     def _system_tables(self) -> dict[str, DataFrame]:
@@ -1319,7 +1357,7 @@ class ChSession:
         else:
             source = build(self.spark, node.select, self._tables(),
                            self._engines(), settings=self.settings,
-                           udfs=self.udfs)
+                           udfs=self.udfs, views=self._param_views())
             source = source.toDF(*cols)
         # missing columns get their declared DEFAULT / MATERIALIZED /
         # ALIAS expression (evaluated over the supplied columns;
@@ -1672,7 +1710,7 @@ class ChSession:
             # them
             df = build(self.spark, node.query, self._tables(),
                        self._engines(), settings=self.settings,
-                       udfs=self.udfs)
+                       udfs=self.udfs, views=self._param_views())
             u64 = getattr(df, "_ch_uint64_cols", frozenset())
             rows = [(f.name,
                      "UInt64" if f.name in u64
@@ -1816,7 +1854,7 @@ class ChSession:
             text = format_sql(node.query, one_line=False)
         else:
             df = build(self.spark, node.query, self._tables(),
-                       self._engines())
+                       self._engines(), views=self._param_views())
             mode = {"PLAN": "extended",
                     "PIPELINE": "formatted"}[node.kind]
             try:
@@ -1892,7 +1930,8 @@ class ChSession:
         if isinstance(inner, (SelectQuery, UnionQuery)):
             df = build(self.spark, inner, self._tables(), self._engines(),
                        settings=self.settings, udfs=self.udfs,
-                       dictionaries=self.dictionaries)
+                       dictionaries=self.dictionaries,
+                       views=self._param_views())
         else:
             df = self._dispatch_node(inner)
             if df is None or not hasattr(df, "columns"):

@@ -139,6 +139,9 @@ class Context:
     ch_types: dict[str, str] = field(default_factory=dict)
     # SQL lambda UDFs: name → Lambda AST (CREATE FUNCTION)
     udfs: dict[str, object] = field(default_factory=dict)
+    # parameterized views: name → view AST, bound at v(p = x) call
+    # sites (CH parameterized-view surface)
+    view_asts: dict[str, object] = field(default_factory=dict)
     # table aliases whose Spark qualification was FLATTENED by a
     # non-native join lowering (ASOF union+window): `t1.qty` written
     # against them resolves to the bare output column instead
@@ -170,6 +173,7 @@ class Context:
                        engines=self.engines, params=self.params,
                        settings=self.settings, udfs=self.udfs,
                        dictionaries=self.dictionaries,
+                       view_asts=self.view_asts,
                        read_meter=self.read_meter)
 
 
@@ -225,10 +229,12 @@ def build(spark: SparkSession, q: SelectQuery | UnionQuery,
           params: dict[str, object] | None = None,
           settings: dict[str, object] | None = None,
           udfs: dict[str, object] | None = None,
-          dictionaries: dict[str, object] | None = None) -> DataFrame:
+          dictionaries: dict[str, object] | None = None,
+          views: dict[str, object] | None = None) -> DataFrame:
     ctx = Context(spark, dict(tables), engines=engines or {},
                   params=params or {}, settings=settings or {},
-                  udfs=udfs or {}, dictionaries=dictionaries or {})
+                  udfs=udfs or {}, dictionaries=dictionaries or {},
+                  view_asts=views or {})
     out = _build_query(q, ctx)
     # max_result_rows (Settings.h:299) applies to the final result only;
     # a trailing SETTINGS suffix parses onto the (last) SELECT, so merge
@@ -1366,6 +1372,25 @@ def _table_function(node: TableFunction, ctx: Context) -> DataFrame:
                 f"`{n}` {ch_type_to_spark(t)}"
                 for n, t in _split_cols(structure))
         return read_format(ctx.spark, fmt, url, schema=schema)
+    if node.name in ctx.view_asts:
+        # parameterized view call: v(p = 3, q = 'x') binds the view's
+        # {name:Type} query parameters and builds its stored AST
+        binds = dict(ctx.params)
+        for a in node.args:
+            if isinstance(a, FuncCall) and a.name == "equals" \
+                    and len(a.args) == 2 \
+                    and isinstance(a.args[0], Identifier) \
+                    and isinstance(a.args[1], Literal):
+                binds[a.args[0].name] = a.args[1].value
+            else:
+                raise BuildError(
+                    f"{node.name}(): parameterized-view arguments must "
+                    f"be name = literal pairs")
+        sub = Context(ctx.spark, ctx.tables, engines=ctx.engines,
+                      params=binds, settings=ctx.settings,
+                      udfs=ctx.udfs, dictionaries=ctx.dictionaries,
+                      view_asts=ctx.view_asts)
+        return _build_query(ctx.view_asts[node.name], sub)
     raise BuildError(f"unsupported table function: {node.name}")
 
 

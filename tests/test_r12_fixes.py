@@ -432,3 +432,35 @@ def test_insert_into_function(sess, tmp_path):
         .collect()[0][0] == 3
     with pytest.raises(Exception, match="NOT_IMPLEMENTED"):
         sess.execute("INSERT INTO FUNCTION s3('x') VALUES (1)")
+
+
+# --- parameterized views ------------------------------------------------------
+
+def test_parameterized_view(sess):
+    sess.execute("CREATE VIEW pview AS SELECT number FROM numbers(10) "
+                 "WHERE number = {p:UInt8}")
+    assert sess.execute("SELECT * FROM pview(p = 3)").collect() \
+        == [(3,)] or [tuple(r) for r in sess.execute(
+            "SELECT * FROM pview(p = 3)").collect()] == [(3,)]
+    rows = [tuple(r) for r in sess.execute(
+        "SELECT * FROM pview(p = 7)").collect()]
+    assert rows == [(7,)]
+    with pytest.raises(Exception, match="name = literal"):
+        sess.execute("SELECT * FROM pview(3)")
+    sess.execute("DROP VIEW pview")
+
+
+def test_parameterized_view_two_params_and_subquery(sess):
+    sess.execute("CREATE VIEW pv2 AS SELECT number FROM "
+                 "numbers({n:UInt8}) WHERE number >= {lo:UInt8}")
+    rows = [tuple(r) for r in sess.execute(
+        "SELECT * FROM pv2(n = 5, lo = 3) ORDER BY number").collect()]
+    assert rows == [(3,), (4,)]
+    assert sess.execute("SELECT max(number) AS m FROM "
+                        "(SELECT * FROM pv2(n = 6, lo = 0))") \
+        .collect()[0][0] == 5
+    # a normal view alongside still materializes eagerly
+    sess.execute("CREATE VIEW nv2 AS SELECT 1 AS x")
+    assert sess.execute("SELECT * FROM nv2").collect()[0][0] == 1
+    sess.execute("DROP VIEW pv2")
+    sess.execute("DROP VIEW nv2")
