@@ -1684,6 +1684,12 @@ class ChSession:
                 out += f" CODEC({meta.codecs[n]})"
             return out
 
+        if meta.is_view and meta.view_query is not None:
+            # views print CREATE VIEW ... AS <query> (the reference's
+            # SHOW CREATE renders the stored SELECT back as SQL)
+            from .plans.format_sql import format_sql
+            return (f"CREATE VIEW {meta.database}.{meta.name} AS "
+                    + format_sql(meta.view_query, one_line=True))
         cols = ", ".join(col_decl(n, t) for n, t in meta.columns)
         parts = [f"CREATE TABLE {meta.database}.{meta.name} ({cols}) "
                  f"ENGINE = {meta.engine}"]

@@ -464,3 +464,10 @@ def test_parameterized_view_two_params_and_subquery(sess):
     assert sess.execute("SELECT * FROM nv2").collect()[0][0] == 1
     sess.execute("DROP VIEW pv2")
     sess.execute("DROP VIEW nv2")
+
+
+def test_show_create_view_prints_query(sess):
+    sess.execute("CREATE VIEW scv AS SELECT 1 AS x")
+    out = sess.execute("SHOW CREATE TABLE scv").collect()[0][0]
+    assert out == "CREATE VIEW default.scv AS SELECT 1 AS x"
+    sess.execute("DROP VIEW scv")
