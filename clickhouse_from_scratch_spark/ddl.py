@@ -42,6 +42,8 @@ from .plans.statements import (
 from .plans.ast_nodes import SelectQuery, UnionQuery
 from .plans.statements import CreateFunction
 
+_MISSING = object()    # sentinel: setting absent before per-query overlay
+
 _MERGE_TREE_FAMILY = {
     "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
     "AggregatingMergeTree", "CollapsingMergeTree",
@@ -1173,6 +1175,17 @@ class ChSession:
         elif meta.partition_by:
             pv = F.col(meta.partition_by)
         else:
+            # unpartitioned table: all parts live under partition id
+            # 'all' (MergeTreePartition of an empty key) — CH accepts
+            # PARTITION tuple() / PARTITION ID 'all' there and scopes
+            # to the whole table
+            from .plans.ast_nodes import FuncCall, Literal, TupleLiteral
+            p = partition
+            if ((isinstance(p, TupleLiteral) and not p.items)
+                    or (isinstance(p, FuncCall) and p.name == "tuple"
+                        and not p.args)
+                    or (isinstance(p, Literal) and p.value == "all")):
+                return F.lit(True)
             raise ValueError(
                 f"table {meta.name} is not partitioned — IN PARTITION "
                 f"requires a PARTITION BY key")
@@ -1932,6 +1945,24 @@ class ChSession:
         also SHOW/DESCRIBE/EXISTS/EXPLAIN (ParserQueryWithOutput.cpp:
         56-75) — so non-query statements dispatch first and their result
         frame feeds the same renderer."""
+        if getattr(node, "settings", None):
+            # SETTINGS after FORMAT: overlay for the render (format_*
+            # knobs drive CustomSeparated/Template), restore after —
+            # per-query settings don't leak into the session
+            saved = {k: self.settings.get(k, _MISSING)
+                     for k in node.settings}
+            self.settings.update(node.settings)
+            try:
+                return self._output_inner(node)
+            finally:
+                for k, v in saved.items():
+                    if v is _MISSING:
+                        self.settings.pop(k, None)
+                    else:
+                        self.settings[k] = v
+        return self._output_inner(node)
+
+    def _output_inner(self, node: OutputClause):
         inner = node.query
         if isinstance(inner, (SelectQuery, UnionQuery)):
             df = build(self.spark, inner, self._tables(), self._engines(),
@@ -2045,9 +2076,16 @@ class ChSession:
                     else one.select(_beval(item, _BCtx(self.spark, {}),
                                            one)).collect()[0][0]
                     for item in r))
-            cols = node.columns or [f"c{i + 1}"
-                                    for i in range(len(rows[0]))]
-            src = self.spark.createDataFrame(rows, cols)
+            if not rows:
+                # empty VALUES list: nothing to insert — the null()
+                # sink discards anyway, file() writes an empty frame
+                cols = node.columns or ["c1"]
+                src = self.spark.createDataFrame(
+                    [], ", ".join(f"`{c}` string" for c in cols))
+            else:
+                cols = node.columns or [f"c{i + 1}"
+                                        for i in range(len(rows[0]))]
+                src = self.spark.createDataFrame(rows, cols)
         fname = tf.name.lower()
         if fname == "null":
             src.count()                      # evaluate, discard
@@ -2098,13 +2136,8 @@ class ChSession:
             row_after=_s("format_custom_row_after_delimiter", "\n"),
             row_between=_s("format_custom_row_between_delimiter", ""),
             result_before=_s("format_custom_result_before_delimiter", ""),
-            result_after=_s("format_custom_result_after_delimiter", ""))
-        if fmt.endswith("WithNames"):
-            fd = _s("format_custom_field_delimiter", "\t")
-            text = (_s("format_custom_row_before_delimiter", "")
-                    + fd.join(df.columns)
-                    + _s("format_custom_row_after_delimiter", "\n")
-                    + text)
+            result_after=_s("format_custom_result_after_delimiter", ""),
+            with_names=fmt.endswith("WithNames"))
         return text
 
     def _check(self, node: CheckStmt):
@@ -2160,7 +2193,8 @@ class ChSession:
                     self._read(meta).write.mode("overwrite").parquet(
                         os.path.join(node.path, name))
                 return self._ok()
-            db = node.database
+            # RESTORE DATABASE d [AS|INTO d2]: land under the new name
+            db = node.new_database or node.database
             if not os.path.isdir(node.path):
                 # CH error 598 on a missing backup name
                 raise ValueError(
@@ -2176,8 +2210,12 @@ class ChSession:
             meta = self._resolve(node.database, node.table)
             self._read(meta).write.mode("overwrite").parquet(node.path)
             return self._ok()
-        self._restore_table(node.database or self.current_db,
-                            node.table, node.path)
+        # RESTORE TABLE t [AS|INTO t2]: per-element rename — restore the
+        # snapshot under the new name (ParserBackupQuery.cpp:107-119;
+        # ASTBackupQuery element new_database/new_table)
+        self._restore_table(node.new_database or node.database
+                            or self.current_db,
+                            node.new_table or node.table, node.path)
         return self._ok()
 
     def _restore_table(self, db: str, table: str, path: str) -> None:

@@ -64,6 +64,45 @@ def _quantile_exact_exclusive(x, q) -> Column:
             .otherwise(v_lo + (h - lo.cast("double")) * (v_hi - v_lo))
 
 
+def _sum_kahan(x) -> Column:
+    """Decimal-exact sum with a double fallback for values the
+    DECIMAL(38,18) accumulator cannot hold (|x| ≥ 1e18, inf, NaN —
+    Spark orders NaN above every double, so the ≥ test catches it
+    too). One pass, two partial aggregates, both map-side combinable."""
+    xd = x.cast("double")
+    in_range = F.abs(xd) < F.lit(1e18)
+    any_bad = F.max(F.when(xd.isNotNull() & ~in_range, 1).otherwise(0))
+    dec = F.sum(F.when(in_range, xd).cast("decimal(38,18)")) \
+           .cast("double")
+    return F.when(any_bad == 1, F.sum(xd)).otherwise(dec)
+
+
+def _histogram_triples(bins, x) -> Column:
+    """histogram(N)(x) → adaptive bins as (lower, upper, height)
+    Float64 3-tuples — the public CH contract
+    (AggregateFunctionHistogram returns Array(Tuple(Float64, Float64,
+    Float64))). Spark's histogram_numeric yields (center, count) pairs;
+    bin edges are derived as midpoints of adjacent centers, with the
+    outermost edges pinned to the edge centers. Exact edge values are
+    not oracle-able (CH's come from a streaming merge), but arity,
+    types, bin count and sum(height) == count match the contract."""
+    h = F.array_sort(F.histogram_numeric(_c(x), F.lit(int(bins))))
+    n = F.size(h)
+    return F.transform(
+        h,
+        lambda e, i: F.struct(
+            F.when(i == 0, e["x"].cast("double"))
+             .otherwise((e["x"].cast("double")
+                         + F.get(h, i - 1)["x"].cast("double")) / 2.0)
+             .alias("lower"),
+            F.when(i == n - 1, e["x"].cast("double"))
+             .otherwise((e["x"].cast("double")
+                         + F.get(h, i + 1)["x"].cast("double")) / 2.0)
+             .alias("upper"),
+            e["y"].cast("double").alias("height"),
+        ))
+
+
 def _delta_sum(x) -> Column:
     lst = F.collect_list(x.cast("double"))
     m = F.greatest(F.size(lst) - 1, F.lit(0))
@@ -154,7 +193,7 @@ AGGREGATES: dict[str, Callable[..., Column]] = {
     # k MOST FREQUENT values (not first-k-sorted): weight-1 reuse of the
     # topKWeighted fold; ties break by value for determinism
     "topK": lambda k, x: _top_k_weighted(k, x, F.lit(1.0)),
-    "histogram": lambda bins, x: F.histogram_numeric(_c(x), F.lit(bins)),
+    "histogram": lambda bins, x: _histogram_triples(bins, x),
     "boundingRatio": lambda x, y: (F.max(_c(y)) - F.min(_c(y))) / (F.max(_c(x)) - F.min(_c(x))),
     # sum of POSITIVE deltas between consecutive values in collection
     # order (CH processes in data order; deterministic only under an
@@ -1521,10 +1560,13 @@ AGGREGATES.update({
     # Kahan-compensated sum (AggregateFunctionSumKahan): sum through
     # DECIMAL(38,18) — exact to 18 fractional digits, which dominates
     # Kahan's error bound for the doc contract (sumKahan(0.1)×10 = 1,
-    # where plain double sum gives 0.9999…). Pure JVM, map-side
-    # partial aggregation intact — scales like sum()
-    "sumKahan": lambda x: F.sum(
-        _c(x).cast("decimal(38,18)")).cast("double"),
+    # where plain double sum gives 0.9999…). Values outside the decimal
+    # range (|x| ≥ 1e18, ±inf, NaN) would overflow the cast (ANSI
+    # error, or silent NULL-drop with ANSI off), so the group falls
+    # back to a plain double sum — which is what the reference computes
+    # there anyway (compensation is moot once doubles that large mix).
+    # Pure JVM, map-side partial aggregation intact — scales like sum()
+    "sumKahan": lambda x: _sum_kahan(_c(x)),
     # type-Nothing aggregate (always NULL)
     "nothing": lambda *a: F.first(F.lit(None)),
     # exactly-one-distinct-value ⇒ that value, else NULL — the aggregate

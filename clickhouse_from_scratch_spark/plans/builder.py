@@ -4560,6 +4560,13 @@ def _call_fn(node: FuncCall, cols: list, ctx: Context,
                 and len(arg.name) > len("toInterval")):
             # Spark renders 'interval day to second'; CH names the unit
             return F.lit(f"Interval{arg.name[len('toInterval'):]}")
+        if isinstance(arg, Cast):
+            # types with no distinct Spark representation keep their
+            # DECLARED name (CAST('{}', 'JSON') is a JSON column even
+            # though it is carried as a string here)
+            t = arg.type_name.strip()
+            if t.upper() == "JSON" or t.lower().startswith("object("):
+                return F.lit("JSON")
         t = _literal_render_type(arg) \
             or _infer_ch_type(node.args[0], ctx, df)
         if t is None:

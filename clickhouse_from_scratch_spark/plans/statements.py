@@ -107,6 +107,7 @@ class OutputClause(Node):
     outfile: str | None = None
     compression: str | None = None
     format: str | None = None
+    settings: dict = field(default_factory=dict)   # SETTINGS after FORMAT
 
 
 @dataclass
@@ -240,6 +241,8 @@ class BackupStmt(Node):
     table: str           # "" for whole-database form
     path: str
     target: str = "TABLE"     # TABLE | DATABASE (ASTBackupQuery.h)
+    new_database: str | None = None   # [AS|INTO new] element rename
+    new_table: str | None = None      # (ParserBackupQuery.cpp:107-119)
 
 
 @dataclass
@@ -354,11 +357,19 @@ def parse_statement(sql: str) -> Node:
     m = _INSERT_FMT_RE.match(sql)
     if m and m.group(2).upper() != "VALUES":
         head, data = m.group(1), sql[m.end():]
-        p = StatementParser(head)
-        node = p.parse_statement()
-        if getattr(node, "format_data", None) in (None, ""):
-            node.format_data = data
-        return node
+        # The regex can match a FORMAT-like token inside a comment
+        # (INSERT INTO t /* FORMAT CSV */ VALUES (1)) — only take the
+        # split path when the head parses cleanly; otherwise fall back
+        # to the full parser, which handles comments correctly.
+        from .lexer import LexError
+        try:
+            node = StatementParser(head).parse_statement()
+        except (ParseError, LexError):
+            node = None
+        if node is not None:
+            if getattr(node, "format_data", None) in (None, ""):
+                node.format_data = data
+            return node
     return StatementParser(sql).parse_statement()
 
 
@@ -373,12 +384,31 @@ class StatementParser(Parser):
                 compression = self.advance().text
         if self.accept_kw("FORMAT"):
             fmt = self.advance().text
+        # SETTINGS may follow FORMAT — the reference's output-clause
+        # order is [INTO OUTFILE] [FORMAT f] [SETTINGS k=v,…] and the
+        # pairs are pushed down into the SELECT
+        # (ParserQueryWithOutput.cpp:103-130,
+        # QueryWithOutputSettingsPushDownVisitor)
+        out_settings: dict = {}
+        if (outfile or fmt) and self.accept_kw("SETTINGS"):
+            while True:
+                name = self.advance().text
+                self.expect_op("=")
+                out_settings[name] = self._literal_value()
+                if not self.accept_op(","):
+                    break
+            tgt = node
+            while isinstance(tgt, UnionQuery):
+                tgt = tgt.selects[-1]
+            if isinstance(tgt, SelectQuery):
+                tgt.settings.update(out_settings)
         self.accept_op(";")
         if self.tok.kind != T.EOF:
             raise ParseError(f"trailing input at {self.tok.pos}: "
                              f"{self.tok.text!r}")
         if outfile or fmt:
-            return OutputClause(node, outfile, compression, fmt)
+            return OutputClause(node, outfile, compression, fmt,
+                                out_settings)
         return node
 
     def _dispatch(self) -> Node:
@@ -456,12 +486,19 @@ class StatementParser(Parser):
             return self._external_ddl()
         if t.is_kw("BACKUP", "RESTORE"):
             kind = self.advance().text.upper()
+            new_db = new_name = None
             if self.accept_kw("DATABASE"):
                 target, db, name = "DATABASE", self.advance().text, ""
+                # per-element rename (ParserBackupQuery.cpp:107-119):
+                # BACKUP accepts AS; RESTORE accepts AS|INTO
+                if self.accept_kw("AS") or self.accept_kw("INTO"):
+                    new_db = self.advance().text
             else:
                 self.expect_kw("TABLE")
                 target = "TABLE"
                 db, name = self._qualified_name()
+                if self.accept_kw("AS") or self.accept_kw("INTO"):
+                    new_db, new_name = self._qualified_name()
             if not (self.accept_kw("TO") or self.accept_kw("FROM")):
                 raise ParseError(f"{kind} requires TO/FROM at {self.tok.pos}")
             path = self._backup_name(kind)
@@ -479,7 +516,8 @@ class StatementParser(Parser):
                     raise ParseError(
                         f"{kind} SETTINGS {sname} is not implemented "
                         f"(NOT_IMPLEMENTED)")
-            return BackupStmt(kind, db, name, path, target=target)
+            return BackupStmt(kind, db, name, path, target=target,
+                              new_database=new_db, new_table=new_name)
         if t.is_kw("DELETE"):
             # lightweight DELETE (public grammar since 22.8):
             # DELETE FROM [db.]t [IN PARTITION p] WHERE expr — same

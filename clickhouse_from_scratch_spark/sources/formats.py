@@ -1313,10 +1313,15 @@ def to_custom_separated(df: DataFrame, n: int = 10000,
                         row_before: str = "", row_after: str = "\n",
                         row_between: str = "",
                         result_before: str = "",
-                        result_after: str = "") -> str:
+                        result_after: str = "",
+                        with_names: bool = False) -> str:
     """``CustomSeparated``: the format_custom_* settings drive the
     delimiters; each cell escapes per format_custom_escaping_rule
-    (Escaped = TSV, Quoted = CH literal, CSV, JSON, Raw/None)."""
+    (Escaped = TSV, Quoted = CH literal, CSV, JSON, Raw/None).
+    ``with_names`` renders the CustomSeparatedWithNames header as the
+    FIRST ROW — after result_before_delimiter and joined to the data
+    rows by row_between_delimiter, matching the reference's row
+    ordering (the header is just row 0 of the result set)."""
     import json
     simples = [f.dataType.simpleString() for f in df.schema.fields]
     u8 = _u8_cols(df)
@@ -1347,6 +1352,12 @@ def to_custom_separated(df: DataFrame, n: int = 10000,
                                    in enumerate(zip(row, simples)))
                 + row_after
                 for row in _collect_rows(df, n)]
+    if with_names:
+        hdr = (row_before
+               + field_delim.join(cell(c, "string", i)
+                                  for i, c in enumerate(names))
+               + row_after)
+        rows_txt.insert(0, hdr)
     return result_before + row_between.join(rows_txt) + result_after
 
 

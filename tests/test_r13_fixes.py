@@ -1,0 +1,306 @@
+"""Round-13 fixes.
+
+Verdict items: SETTINGS parsed AFTER FORMAT with pushdown
+(ParserQueryWithOutput.cpp:103-130), histogram(N)(x) emitting the
+public (lower, upper, height) Float64 triple contract, and
+BACKUP/RESTORE per-element ``AS``/``INTO`` rename
+(ParserBackupQuery.cpp:107-119).
+
+Advice items: sumKahan double fallback outside the DECIMAL(38,18)
+range, INSERT pre-lex FORMAT split falling back when the head doesn't
+parse (comments), CustomSeparatedWithNames header placed after
+result_before and joined by row_between, %j padded on format and
+lenient on parse, QUALIFY over non-selected source columns, empty
+VALUES in INSERT INTO FUNCTION.
+
+Nits: toTypeName(::JSON) = 'JSON', DROP PARTITION tuple() on an
+unpartitioned table scoping to everything (partition id ``all``)."""
+
+import math
+
+import pytest
+
+from clickhouse_from_scratch_spark.ddl import ChSession
+from clickhouse_from_scratch_spark.plans.engine import execute_sql
+from clickhouse_from_scratch_spark.plans.statements import parse_statement
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    return ChSession(spark, warehouse=str(tmp_path / "wh"))
+
+
+# --- SETTINGS after FORMAT --------------------------------------------------
+
+def test_settings_after_format_parses(sess):
+    rows = sess.execute("SELECT 1 FORMAT CSV SETTINGS max_threads=1") \
+               .collect()
+    assert [r.output for r in rows] == ["1"]
+
+
+def test_settings_after_format_pushdown(sess):
+    # settings land in the SELECT like QueryWithOutputSettingsPushDown
+    rows = sess.execute(
+        "SELECT number FROM numbers(5) FORMAT CSV SETTINGS limit=2") \
+        .collect()
+    assert [r.output for r in rows] == ["0", "1"]
+
+
+def test_settings_after_format_custom_separated(sess):
+    sess.execute("CREATE TABLE sfc (a UInt32, b String) ENGINE = Memory")
+    sess.execute("INSERT INTO sfc VALUES (1,'x'),(2,'y')")
+    rows = sess.execute(
+        "SELECT * FROM sfc ORDER BY a FORMAT CustomSeparated "
+        "SETTINGS format_custom_field_delimiter='|'").collect()
+    assert [r.output for r in rows] == ["1|x", "2|y"]
+    # per-query settings don't leak into the session
+    assert "format_custom_field_delimiter" not in sess.settings
+
+
+def test_settings_before_format_still_works(sess):
+    rows = sess.execute(
+        "SELECT 1 AS x SETTINGS max_threads=1 FORMAT JSONEachRow") \
+        .collect()
+    assert [r.output for r in rows] == ['{"x":1}']
+
+
+def test_settings_after_format_ast(sess):
+    node = parse_statement("SELECT 1 FORMAT CSV SETTINGS max_threads=1")
+    assert node.format == "CSV"
+    assert node.settings == {"max_threads": 1}
+    assert node.query.settings == {"max_threads": 1}
+
+
+# --- histogram triple contract ----------------------------------------------
+
+def test_histogram_triples(spark):
+    rows = execute_sql(
+        spark, "SELECT histogram(3)(number) AS h FROM numbers(20)",
+        {}).collect()
+    h = rows[0].h
+    assert len(h) == 3
+    for lo, up, height in h:
+        assert isinstance(lo, float)
+        assert isinstance(up, float)
+        assert isinstance(height, float)
+        assert lo <= up
+    # bins tile left-to-right: each upper is the next bin's lower
+    for i in range(len(h) - 1):
+        assert h[i][1] == pytest.approx(h[i + 1][0])
+    assert sum(t[2] for t in h) == pytest.approx(20.0)
+
+
+def test_histogram_schema_is_float64_triple(spark):
+    df = execute_sql(
+        spark, "SELECT histogram(5)(number) AS h FROM numbers(100)", {})
+    assert df.schema["h"].dataType.simpleString() == \
+        "array<struct<lower:double,upper:double,height:double>>"
+
+
+# --- BACKUP/RESTORE element rename ------------------------------------------
+
+def test_restore_table_as_new_name(sess, tmp_path):
+    sess.execute("CREATE TABLE bt0 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO bt0 VALUES (7),(8)")
+    sess.execute(f"BACKUP TABLE bt0 TO '{tmp_path}/bk1'")
+    sess.execute(f"RESTORE TABLE bt0 AS bt0r FROM '{tmp_path}/bk1'")
+    assert sorted(r.a for r in
+                  sess.execute("SELECT a FROM bt0r").collect()) == [7, 8]
+    sess.execute(f"RESTORE TABLE bt0 INTO bt0i FROM '{tmp_path}/bk1'")
+    assert sorted(r.a for r in
+                  sess.execute("SELECT a FROM bt0i").collect()) == [7, 8]
+
+
+def test_backup_table_as_parses(sess, tmp_path):
+    sess.execute("CREATE TABLE bt1 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO bt1 VALUES (1)")
+    sess.execute(f"BACKUP TABLE bt1 AS bt1x TO '{tmp_path}/bk2'")
+
+
+def test_restore_database_as_new_name(sess, tmp_path):
+    sess.execute("CREATE DATABASE dbo")
+    sess.execute(
+        "CREATE TABLE dbo.t (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO dbo.t VALUES (3)")
+    sess.execute(f"BACKUP DATABASE dbo TO '{tmp_path}/bk3'")
+    sess.execute(f"RESTORE DATABASE dbo AS dbn FROM '{tmp_path}/bk3'")
+    assert [r.a for r in
+            sess.execute("SELECT a FROM dbn.t").collect()] == [3]
+
+
+# --- sumKahan decimal-range guard -------------------------------------------
+
+def test_sum_kahan_exact_small(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT sumKahan(x) AS s FROM (SELECT 0.1 AS x FROM numbers(10))",
+        {}).collect()
+    assert rows[0].s == 1.0
+
+
+def test_sum_kahan_large_values_fall_back_to_double(spark):
+    # |x| >= 1e18 overflows DECIMAL(38,18); the group sums as double
+    rows = execute_sql(
+        spark,
+        "SELECT sumKahan(x) AS s "
+        "FROM (SELECT toFloat64(1e20) AS x FROM numbers(3))",
+        {}).collect()
+    assert rows[0].s == pytest.approx(3e20)
+
+
+def test_sum_kahan_nan_propagates(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT sumKahan(x) AS s "
+        "FROM (SELECT number/0.0 AS x FROM numbers(1))", {}).collect()
+    assert math.isnan(rows[0].s)
+
+
+def test_sum_kahan_all_null_is_null(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT sumKahan(x) AS s "
+        "FROM (SELECT toFloat64OrNull('a') AS x FROM numbers(2))",
+        {}).collect()
+    assert rows[0].s is None
+
+
+def test_sum_kahan_mixed_large_and_small(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT sumKahan(x) AS s FROM "
+        "(SELECT if(number = 0, 1e20, 1.0) AS x FROM numbers(3))",
+        {}).collect()
+    assert rows[0].s == pytest.approx(1e20 + 2.0)
+
+
+# --- INSERT pre-lex split vs comments ---------------------------------------
+
+def test_insert_with_format_in_block_comment(sess):
+    sess.execute("CREATE TABLE ic1 (a UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO ic1 /* FORMAT CSV */ VALUES (1)")
+    assert [r.a for r in
+            sess.execute("SELECT a FROM ic1").collect()] == [1]
+
+
+def test_insert_with_format_in_line_comment(sess):
+    sess.execute("CREATE TABLE ic2 (a UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO ic2 -- FORMAT CSV\n VALUES (2)")
+    assert [r.a for r in
+            sess.execute("SELECT a FROM ic2").collect()] == [2]
+
+
+def test_insert_format_raw_data_still_splits(sess):
+    sess.execute("CREATE TABLE ic3 (a UInt32, b String) ENGINE = Memory")
+    sess.execute("INSERT INTO ic3 FORMAT CSV\n1,x\n2,y")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT * FROM ic3").collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+# --- CustomSeparatedWithNames header placement ------------------------------
+
+def test_custom_separated_with_names_header_after_result_before(sess):
+    sess.execute("CREATE TABLE cs1 (a UInt32, b String) ENGINE = Memory")
+    sess.execute("INSERT INTO cs1 VALUES (1,'x'),(2,'y')")
+    for k, v in [("format_custom_result_before_delimiter", "<R>"),
+                 ("format_custom_result_after_delimiter", "</R>"),
+                 ("format_custom_row_between_delimiter", ","),
+                 ("format_custom_row_before_delimiter", "["),
+                 ("format_custom_row_after_delimiter", "]"),
+                 ("format_custom_field_delimiter", ";")]:
+        sess.execute(f"SET {k} = '{v}'")
+    rows = sess.execute(
+        "SELECT * FROM cs1 ORDER BY a FORMAT CustomSeparatedWithNames") \
+        .collect()
+    text = "\n".join(r.output for r in rows)
+    # result_before FIRST, then the header as row 0 joined by
+    # row_between — not header-then-result_before
+    assert text == "<R>[a;b],[1;x],[2;y]</R>"
+
+
+# --- %j both directions ------------------------------------------------------
+
+def test_format_date_time_j_is_padded(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT formatDateTime(toDate('2020-01-05'), '%j') AS j",
+        {}).collect()
+    assert rows[0].j == "005"
+
+
+def test_parse_date_time_j_lenient(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT parseDateTime('2020 365', '%Y %j') AS a, "
+        "parseDateTime('2020 005', '%Y %j') AS b", {}).collect()
+    assert rows[0].a.month == 12 and rows[0].a.day == 30   # leap year
+    assert rows[0].b.month == 1 and rows[0].b.day == 5
+
+
+# --- QUALIFY over non-selected source columns --------------------------------
+
+def test_qualify_non_selected_column(sess):
+    sess.execute(
+        "CREATE TABLE qv (user_id UInt32, ts UInt32) "
+        "ENGINE = MergeTree ORDER BY ts")
+    sess.execute("INSERT INTO qv VALUES (1,10),(1,5),(2,7)")
+    rows = sess.execute(
+        "SELECT user_id FROM qv "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts) = 1"
+    ).collect()
+    assert sorted(r.user_id for r in rows) == [1, 2]
+
+
+def test_qualify_non_selected_column_subquery(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT user_id FROM (SELECT number AS user_id, number*2 AS ts "
+        "FROM numbers(5)) QUALIFY row_number() OVER (ORDER BY ts) = 1",
+        {}).collect()
+    assert [r.user_id for r in rows] == [0]
+
+
+# --- empty VALUES into table function ---------------------------------------
+
+def test_insert_into_function_empty_values(sess):
+    sess.execute("INSERT INTO FUNCTION null('x UInt8') VALUES")
+
+
+# --- toTypeName of a JSON cast ----------------------------------------------
+
+def test_totypename_json_cast(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT toTypeName(CAST('{}', 'JSON')) AS t, "
+        "toTypeName('{}'::JSON) AS t2", {}).collect()
+    assert rows[0].t == "JSON"
+    assert rows[0].t2 == "JSON"
+
+
+# --- DROP PARTITION tuple() on an unpartitioned table ------------------------
+
+def test_drop_partition_tuple_unpartitioned(sess):
+    sess.execute(
+        "CREATE TABLE up1 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO up1 VALUES (1),(2)")
+    sess.execute("ALTER TABLE up1 DROP PARTITION tuple()")
+    assert sess.execute("SELECT count() AS c FROM up1").collect()[0].c == 0
+
+
+def test_drop_partition_id_all_unpartitioned(sess):
+    sess.execute(
+        "CREATE TABLE up2 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO up2 VALUES (1)")
+    sess.execute("ALTER TABLE up2 DROP PARTITION 'all'")
+    assert sess.execute("SELECT count() AS c FROM up2").collect()[0].c == 0
+
+
+def test_drop_partition_value_on_partitioned_still_scoped(sess):
+    sess.execute(
+        "CREATE TABLE up3 (a UInt32, p UInt32) ENGINE = MergeTree "
+        "PARTITION BY p ORDER BY a")
+    sess.execute("INSERT INTO up3 VALUES (1,1),(2,2)")
+    sess.execute("ALTER TABLE up3 DROP PARTITION 1")
+    assert [r.a for r in
+            sess.execute("SELECT a FROM up3").collect()] == [2]
