@@ -432,7 +432,8 @@ class ChSession:
                 [(n,) for n in sorted(
                     ("numbers", "numbers_mt", "view", "one", "zeros",
                      "zeros_mt", "file", "url", "values", "format",
-                     "generateRandom", "merge", "input", "null"))],
+                     "generateRandom", "merge", "input", "null",
+                     "dsirSelect", "packSequences", "domainMix"))],
                 "name string"),
             "system.aggregate_function_combinators":
                 self.spark.createDataFrame(

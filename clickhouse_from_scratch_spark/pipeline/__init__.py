@@ -30,6 +30,9 @@ from .dedup import passage_dedup, unit_dedup
 from .recipe import prepare_training_data
 from .split import split_column, stratified_split, take_split
 from .decontaminate import contamination, contamination_md5, decontaminate
+from .dsir import dsir_score, dsir_select
+from .mix import domain_mix, keep_column
+from .pack import pack_sequences, pack_stats
 from .text import (
     doc_fingerprint,
     dup_unit_char_fraction,
@@ -53,4 +56,6 @@ __all__ = [
     "doc_fingerprint", "language_id", "quality_score", "token_count",
     "pii_scrub", "pii_count", "dup_unit_fraction",
     "dup_unit_char_fraction", "top_ngram_char_fraction",
+    "dsir_score", "dsir_select", "domain_mix", "keep_column",
+    "pack_sequences", "pack_stats",
 ]

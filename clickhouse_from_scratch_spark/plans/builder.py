@@ -1400,7 +1400,8 @@ _PIPELINE_TFS = {"dedupexact", "dedupminhash", "dedupsimhash",
                  "ngramjaccard", "anncosinetopk", "dedupembeddingcosine",
                  "dedupembeddinglsh", "passagededup", "piiscrub",
                  "trainingrecipe", "stratifiedsplit", "decontaminate",
-                 "contamination"}
+                 "contamination", "dsirselect", "packsequences",
+                 "domainmix"}
 
 
 def _pipeline_table_function(name: str, node: TableFunction,
@@ -1461,11 +1462,31 @@ def _pipeline_table_function(name: str, node: TableFunction,
     if name == "contamination":
         return P.contamination(tbl(0), tbl(1), n=int(lit(2, 3)),
                                min_matches=int(lit(3, 1)))
+    # dsirSelect(raw, target, k [, mode]) — hashed n-gram importance
+    # selection against a target corpus (pipeline/dsir.py)
+    if name == "dsirselect":
+        return P.dsir_select(tbl(0), tbl(1), k=int(lit(2, 100)),
+                             mode=str(lit(3, "log")))
+    # packSequences(docs [, budget [, n_shards]]) — GPT-style packing
+    if name == "packsequences":
+        return P.pack_sequences(tbl(0), budget=int(lit(1, 2048)),
+                                n_shards=int(lit(2, 8)))
     # trainingRecipe(docs [, min_quality [, near_dup]])
     if name == "trainingrecipe":
         return P.prepare_training_data(
             tbl(0), min_quality=float(lit(1, 0.5)),
             near_dup=str(lit(2, "exact")))
+    # domainMix is keyword-heavy; the TF form takes rates as a JSON-ish
+    # 'name:rate,name:rate' string literal
+    if name == "domainmix":
+        spec = str(lit(1, ""))
+        rates = {}
+        for part in spec.split(","):
+            if ":" in part:
+                k, v = part.split(":", 1)
+                rates[k.strip()] = float(v)
+        return P.domain_mix(tbl(0), rates,
+                            default_rate=float(lit(2, 1.0)))
     # dedupEmbeddingCosine(corpus [, threshold]) — exact all-pairs
     if name == "dedupembeddingcosine":
         return P.cosine_near_dup_pairs(tbl(0), threshold=float(lit(1, 0.9)))
@@ -1966,7 +1987,7 @@ def _decorrelate(df: DataFrame, sub_ast, ctx: Context,
     if not corr:
         return None                      # uncorrelated: existing paths
     for c in uncorr:
-        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df)))
+        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df), c, ctx))
     if in_key is not None:
         item = sub_ast.select[0]
         if isinstance(item, Alias):
@@ -2321,7 +2342,7 @@ def _split_equi_correlation(sub_ast, ctx: Context, df: DataFrame):
     if not pairs:
         return None                      # uncorrelated: existing paths
     for c in uncorr:
-        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df)))
+        inner_df = inner_df.filter(_as_filter(inner_df, _eval(c, ctx, inner_df), c, ctx))
     return inner_df, pairs
 
 
@@ -2402,12 +2423,25 @@ def _scalar_corr_join(df: DataFrame, sub_ast, ctx: Context,
     return df, val
 
 
-def _as_filter(df: DataFrame, c: Column) -> Column:
+def _as_filter(df: DataFrame, c: Column, node=None,
+               ctx: "Context | None" = None) -> Column:
     """CH truthy semantics in filter position (WHERE/PREWHERE/HAVING):
     any non-zero numeric is true (``WHERE x % 2``, ``WHERE 0``) — the
     reference's filter columns are UInt8, not Bool. NULL filters drop the
-    row, same as false. Schema-only probe, no job."""
+    row, same as false. When the predicate AST is supplied, the result
+    kind resolves statically (comparisons/logic → Boolean, inferable
+    numeric → != 0) with no JVM analysis; otherwise a schema-only probe
+    (no job)."""
     from pyspark.sql.types import BooleanType, NumericType, NullType
+    if node is not None:
+        if _is_boolish(node, df):
+            return c
+        if isinstance(node, Literal) and isinstance(node.value,
+                                                    (int, float)) \
+                and not isinstance(node.value, bool):
+            return c != 0
+        if ctx is not None and _infer_ch_type(node, ctx, df) is not None:
+            return c != 0
     dt = df.select(c).schema[0].dataType
     if isinstance(dt, NumericType):
         return c != 0
@@ -2432,7 +2466,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
             conjuncts.append(n)
 
     flat(pred)
-    plain: list[Column] = []
+    plain: list[tuple] = []       # (ast node | None, Column)
     in_drops: list[str] = []
     for c in conjuncts:
         neg_exists = False
@@ -2491,7 +2525,7 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 df = dec
                 continue
             n = _build_query(c.args[0].query, ctx).limit(1).count()
-            plain.append(F.lit(n == 0 if neg_exists else n > 0))
+            plain.append((None, F.lit(n == 0 if neg_exists else n > 0)))
         else:
             if neg_exists:              # restore the NOT wrapper
                 c = FuncCall("not", [c])
@@ -2500,9 +2534,9 @@ def _apply_where(df: DataFrame, pred, ctx: Context) -> DataFrame:
                 # marker- and groupBy-join lowering keeps it distributed
                 # instead of collecting to the driver
                 df, c = _lower_in_subqueries(df, c, ctx, in_drops)
-            plain.append(_eval(c, ctx, df))
-    for p in plain:
-        df = df.filter(_as_filter(df, p))
+            plain.append((c, _eval(c, ctx, df)))
+    for nd, p in plain:
+        df = df.filter(_as_filter(df, p, nd, ctx))
     if in_drops:
         df = df.drop(*in_drops)
     return df
@@ -2735,11 +2769,11 @@ def _apply_aggregate(df: DataFrame, q: SelectQuery,
             hdrops: list[str] = []
             out, hv = _lower_in_subqueries(out, _slotify(hv, ctx), ctx,
                                            hdrops)
-            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx)))
+            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx), hv, ctx))
             if hdrops:
                 out = out.drop(*hdrops)
         else:
-            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx)))
+            out = out.filter(_as_filter(out, _eval_post(hv, out, ctx), hv, ctx))
         if tot is not None:
             # totals_mode (Settings.h:109-110): before_having keeps the
             # all-rows totals; the after_having_* family (CH default
@@ -5453,10 +5487,50 @@ def _probe_dtype(arg, col, ctx: Context, df: DataFrame | None):
         return None
     if df is None:
         return None
+    # static fast paths — each df.select(col).schema probe re-analyzes
+    # the whole plan (~10-20ms); resolve trivially-typed expressions
+    # from the frame's CACHED schema / the literal value instead
+    if isinstance(arg, Alias):
+        arg = arg.expr
+    if isinstance(arg, Identifier) and len(arg.parts) == 1 \
+            and arg.name not in ctx.aliases:
+        nm = arg.name
+        if df.columns.count(nm) == 1:
+            try:
+                return df.schema[nm].dataType
+            except Exception:
+                pass
+    if isinstance(arg, Literal):
+        from pyspark.sql import types as _T
+        v = arg.value
+        if isinstance(v, bool):
+            return _T.BooleanType()
+        if isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                return _T.IntegerType()
+            if -(1 << 63) <= v < (1 << 64):
+                return _T.LongType()     # UInt64 carries as Long (§1.2)
+            return _T.DecimalType(38, 0)
+        if isinstance(v, float):
+            return _T.DoubleType()
+        if isinstance(v, str):
+            return _T.StringType()
+    key = (id(df), _ast_key(arg))
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     try:
-        return df.select(col).schema[0].dataType
+        dt = df.select(col).schema[0].dataType
     except Exception:
-        return None
+        dt = None
+    if len(_PROBE_CACHE) > 4096:
+        _PROBE_CACHE.clear()
+    # the value keeps df alive, so its id cannot be reused while cached
+    _PROBE_CACHE[key] = (df, dt)
+    return dt
+
+
+_PROBE_CACHE: dict = {}
 
 
 _COND_HOFS = {"arrayFilter", "arrayExists", "arrayAll", "arrayCount",

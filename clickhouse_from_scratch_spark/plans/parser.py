@@ -620,9 +620,14 @@ class Parser:
 
     def _comparison(self):
         left = self._concat()
-        # IS [NOT] NULL
+        # IS [NOT] NULL / IS [NOT] DISTINCT FROM (null-safe compare)
         if self.accept_kw("IS"):
             neg = self.accept_kw("NOT")
+            if self.accept_kw("DISTINCT"):
+                self.expect_kw("FROM")
+                right = self._concat()
+                nsafe = FuncCall("isNotDistinctFrom", [left, right])
+                return nsafe if neg else FuncCall("not", [nsafe])
             self.expect_kw("NULL")
             return FuncCall("isNotNull" if neg else "isNull", [left])
         # [NOT] BETWEEN a AND b → >= AND <= (ExpressionListParsers:402)
@@ -906,6 +911,25 @@ class Parser:
             return FuncCall("exists", [Subquery(sub)])
         if upper == "INTERVAL":
             self.advance()
+            if self.tok.kind == T.STRING:
+                # INTERVAL '1 day' / compound INTERVAL '1 day 2 hours'
+                # — the unit(s) live inside the string literal
+                txt = self.tok.text.strip()
+                parts = txt.split()
+                if (len(parts) >= 2 and len(parts) % 2 == 0
+                        and all(p.lstrip("+-").isdigit()
+                                for p in parts[0::2])):
+                    units = [p.upper().rstrip("S") if
+                             p.upper().rstrip("S") in _INTERVAL_UNITS
+                             else p.upper() for p in parts[1::2]]
+                    if all(u in _INTERVAL_UNITS for u in units):
+                        self.advance()
+                        ivs = [IntervalExpr(Literal(int(n)), u)
+                               for n, u in zip(parts[0::2], units)]
+                        out = ivs[0]
+                        for iv in ivs[1:]:
+                            out = FuncCall("plus", [out, iv])
+                        return out
             v = self._additive()
             unit = self.advance().text.upper()
             if unit not in _INTERVAL_UNITS and unit.rstrip("S") in _INTERVAL_UNITS:
@@ -1105,6 +1129,11 @@ class Parser:
             mode = "trimLeft"
         elif self.accept_kw("TRAILING"):
             mode = "trimRight"
+        if self.accept_kw("FROM"):
+            # TRIM(BOTH FROM s): no trim character — whitespace default
+            target = self._expr()
+            self.expect_op(")")
+            return FuncCall(mode, [target])
         e = self._expr()
         if self.accept_kw("FROM"):
             target = self._expr()

@@ -125,7 +125,10 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3(spark, sf_dir):
-    """Join + agg + top-k; the dims side broadcasts (customer filter)."""
+    """Join + agg + top-k. Customer is left UNHINTED: it grows with SF
+    (a forced broadcast could exceed executor memory at 100×), and AQE
+    picks broadcast-hash at runtime whenever the filtered side fits —
+    the better-of-both at any scale."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
@@ -133,7 +136,7 @@ def q3(spark, sf_dir):
         F.col("l_shipdate").cast("date") > F.lit("1997-01-01").cast("date"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("l_orderkey", "o_orderdate")
               .agg(dsum(disc, 6).alias("revenue"))
               .select("l_orderkey", "revenue",
@@ -156,7 +159,10 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """)
 def q5(spark, sf_dir):
-    """Six-way join; all dimension sides broadcast, one fact shuffle."""
+    """Six-way join, one fact shuffle. nation/region broadcast by hint
+    (fixed-size: 25/5 rows at ANY scale factor); customer/supplier grow
+    with SF, so they stay unhinted and AQE chooses broadcast vs shuffle
+    from their runtime size."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
@@ -167,8 +173,8 @@ def q5(spark, sf_dir):
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-              .join(F.broadcast(supp),
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(supp,
                     (F.col("l_suppkey") == F.col("s_suppkey"))
                     & (F.col("c_nationkey") == F.col("s_nationkey")))
               .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -3466,3 +3472,57 @@ def decontaminate_ngram_q(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 97 == 0)
     return (contamination_md5(docs, bench, n=3, min_matches=2)
             .orderBy("doc_id"))
+
+
+@query("dsir_select_linear", oracle="""
+WITH raw_feats AS (
+  SELECT doc_id, substr(md5(f), 1, 3) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS f
+        FROM documents)
+  GROUP BY doc_id, bucket
+), tgt AS (
+  SELECT substr(md5(f), 1, 3) AS bucket, CAST(COUNT(*) AS BIGINT) AS t_n
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS f
+        FROM documents WHERE source = 'src0')
+  GROUP BY bucket
+), rawb AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS r_n FROM raw_feats GROUP BY bucket
+), buckets AS (
+  SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+         COALESCE(r_n, 0) AS r_n, COALESCE(t_n, 0) AS t_n
+  FROM rawb r FULL OUTER JOIN tgt t ON r.bucket = t.bucket
+), tot AS (
+  SELECT CAST(SUM(r_n) + 4096 AS BIGINT) AS R,
+         CAST(SUM(t_n) + 4096 AS BIGINT) AS T
+  FROM buckets
+), w AS (
+  SELECT bucket, CAST((t_n + 1) * R - (r_n + 1) * T AS BIGINT) AS w
+  FROM buckets, tot
+)
+SELECT f.doc_id,
+       CAST(CAST(SUM(f.cnt * w.w) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(f.cnt) AS DOUBLE) AS score
+FROM raw_feats f JOIN w ON f.bucket = w.bucket
+GROUP BY f.doc_id
+ORDER BY score DESC, f.doc_id
+LIMIT 20
+""")
+def dsir_select_linear_q(spark, sf_dir):
+    """DSIR-style data selection (pipeline/dsir.py): top-20 raw docs
+    whose hashed-unigram distribution best matches the target corpus
+    (source='src0'), scored with the integer-exact linear variant so
+    DuckDB recomputes every score bit-for-bit. Plan shape: one explode
+    + (doc,bucket) groupBy, 4096-row bucket-weight broadcast join, one
+    doc groupBy, TakeOrdered top-k — no all-pairs, no driver state.
+    Scores are length-normalized (integer sum / token count — IEEE
+    division, still bit-exact across engines). The production path is
+    mode='log' (published DSIR weights), same plan with float
+    weights."""
+    from .pipeline.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_select(docs, target, k=20, mode="linear")

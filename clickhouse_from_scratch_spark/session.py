@@ -44,6 +44,11 @@ def get_spark(app_name: str = "clickhouse_from_scratch_spark",
         # native ns type — read as long, catalog converts to µs timestamp
         # (matches DuckDB's ns→µs truncation, SURVEY §1.2 DateTime64(9))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the per-call Python call-site capture (error attribution) adds
+        # ~2ms and 3 JVM round-trips to EVERY pyspark.sql.functions call
+        # — a plan built from thousands of F.* calls pays seconds for
+        # it; the engine surfaces its own errors, so turn it off
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -304,3 +304,39 @@ def test_drop_partition_value_on_partitioned_still_scoped(sess):
     sess.execute("ALTER TABLE up3 DROP PARTITION 1")
     assert [r.a for r in
             sess.execute("SELECT a FROM up3").collect()] == [2]
+
+
+# --- grammar sweep: TRIM(BOTH FROM), IS DISTINCT FROM, INTERVAL string ------
+
+def test_trim_mode_from_no_char(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT TRIM(BOTH FROM ' q ') AS b, TRIM(LEADING FROM ' q ') AS l, "
+        "TRIM(TRAILING FROM ' q ') AS t", {}).collect()
+    assert (rows[0].b, rows[0].l, rows[0].t) == ("q", "q ", " q")
+
+
+def test_is_distinct_from(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT 1 IS DISTINCT FROM NULL AS a, 1 IS DISTINCT FROM 1 AS b, "
+        "NULL IS NOT DISTINCT FROM NULL AS c, "
+        "1 IS NOT DISTINCT FROM 2 AS d", {}).collect()
+    assert tuple(rows[0]) == (True, False, True, False)
+
+
+def test_interval_string_form(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT toDate('2024-01-01') + INTERVAL '1 day' AS d1, "
+        "toDateTime('2024-01-01 00:00:00') + INTERVAL '1 day 2 hours' AS d2",
+        {}).collect()
+    assert str(rows[0].d1).startswith("2024-01-02")
+    assert str(rows[0].d2) == "2024-01-02 02:00:00"
+
+
+def test_interval_plain_form_still_works(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT toDate('2024-01-01') + INTERVAL 2 DAY AS d", {}).collect()
+    assert str(rows[0].d) == "2024-01-03"
