@@ -231,6 +231,11 @@ class ChSession:
         # (no data is deleted; bare ATTACH restores)
         self.detached_dbs: dict[str, dict[str, TableMeta]] = {}
         self.detached_dicts: dict[str, object] = {}
+        # DROP TABLE trash window (CH Atomic keeps dropped data for
+        # database_atomic_delay_before_drop_table_sec; UNDROP restores
+        # within it). Bounded: the oldest entry's data is purged when
+        # the window exceeds 8 tables.
+        self.dropped: dict[tuple[str, str], tuple[TableMeta, str | None]] = {}
         # system.query_log rows: (query, type, elapsed_ms, event_time)
         self.query_log: list[tuple] = []
 
@@ -765,6 +770,8 @@ class ChSession:
         return self._ok()
 
     def _drop(self, node: DropStmt):
+        if node.kind == "UNDROP":
+            return self._undrop(node)
         detach = getattr(node, "detach", False)
         if node.kind == "DICTIONARY":
             if node.name not in self.dictionaries and not node.if_exists:
@@ -837,11 +844,49 @@ class ChSession:
         if meta.bucket_spec() is not None and meta.path:
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self._catalog_name(meta)}")
+        # trash window instead of immediate delete: move the data dir
+        # aside so UNDROP TABLE can restore it (a re-CREATE of the same
+        # name gets a clean path). Memory tables stash their frame via
+        # the meta itself.
+        trash = None
         if meta.path and os.path.exists(meta.path):
-            shutil.rmtree(meta.path)
+            trash = os.path.join(self.warehouse, ".trash",
+                                 f"{db}.{node.name}")
+            os.makedirs(os.path.dirname(trash), exist_ok=True)
+            if os.path.exists(trash):
+                shutil.rmtree(trash)
+            shutil.move(meta.path, trash)
+        old = self.dropped.pop((db, node.name), None)
+        if old is not None and old[1] and os.path.exists(old[1]) \
+                and old[1] != trash:
+            shutil.rmtree(old[1])
+        self.dropped[(db, node.name)] = (meta, trash)
+        while len(self.dropped) > 8:        # oldest-first purge
+            k = next(iter(self.dropped))
+            _, opath = self.dropped.pop(k)
+            if opath and os.path.exists(opath):
+                shutil.rmtree(opath)
         del self._db(db)[node.name]
         self.mat_views = [mv for mv in self.mat_views
                           if mv["name"] != node.name]
+        return self._ok()
+
+    def _undrop(self, node: DropStmt):
+        """UNDROP TABLE: restore a table from the drop-trash window
+        (public contract of Atomic's delayed drop)."""
+        db = node.database or self.current_db
+        entry = self.dropped.pop((db, node.name), None)
+        if entry is None:
+            raise ValueError(
+                f"UNKNOWN_TABLE: cannot UNDROP {db}.{node.name}: not in "
+                f"the drop window")
+        if node.name in self._db(db):
+            raise ValueError(f"table {db}.{node.name} already exists")
+        meta, trash = entry
+        if trash and os.path.exists(trash):
+            os.makedirs(os.path.dirname(meta.path), exist_ok=True)
+            shutil.move(trash, meta.path)
+        self._db(db)[node.name] = meta
         return self._ok()
 
     def _attach(self, node):
@@ -892,6 +937,23 @@ class ChSession:
         return self._ok()
 
     def _rename(self, node: RenameTable):
+        if node.database:
+            # RENAME DATABASE a TO b: move the catalog entry; table
+            # data directories keep their absolute paths (metas carry
+            # them), exactly like CH's Atomic engine symlink rename
+            for a, b in node.renames:
+                if a == "default":
+                    raise ValueError("cannot rename the default database")
+                if a not in self.databases:
+                    raise ValueError(f"unknown database: {a}")
+                if b in self.databases:
+                    raise ValueError(f"database {b} already exists")
+                self.databases[b] = self.databases.pop(a)
+                for meta in self.databases[b].values():
+                    meta.database = b
+                if self.current_db == a:
+                    self.current_db = b
+            return self._ok()
         if node.exchange:
             # EXCHANGE TABLES a AND b: atomic pairwise swap of the
             # catalog entries (data/paths travel with their metas)
@@ -1077,6 +1139,57 @@ class ChSession:
                     if not i.split()[:1] == [act.name]]
             elif act.kind == "MODIFY_TTL":
                 meta.ttl = act.text
+            elif act.kind == "MATERIALIZE_COLUMN":
+                # MATERIALIZE COLUMN c [IN PARTITION p]: recompute the
+                # column with its CURRENT default/MATERIALIZED
+                # expression over existing rows (public ALTER contract
+                # — rewrites old parts with the new expression)
+                if act.name not in names:
+                    raise ValueError(
+                        f"MATERIALIZE COLUMN: no column {act.name} "
+                        f"in {meta.name}")
+                kind_ast = meta.defaults.get(act.name)
+                ctype = dict(meta.columns)[act.name]
+                spark_t = ch_type_to_spark(ctype)
+                if kind_ast is not None and kind_ast[1] is not None:
+                    val = _beval(kind_ast[1], ctx, df).cast(spark_t)
+                else:
+                    val = F.lit(_type_default_py(ctype)).cast(spark_t)
+                in_part = self._partition_match(meta, act.partition,
+                                                ctx, df, _beval)
+                if in_part is not None and act.name in df.columns:
+                    val = F.when(F.coalesce(in_part, F.lit(False)),
+                                 val).otherwise(F.col(act.name))
+                if act.name in df.columns:
+                    df = df.withColumn(act.name, val)
+                    changed = True
+                # ALIAS/MATERIALIZED columns are computed at read and
+                # not stored — nothing to rewrite for them
+            elif act.kind == "MATERIALIZE_TTL":
+                # re-apply the table TTL to existing rows now (the
+                # OPTIMIZE-time purge, forced)
+                if meta.ttl:
+                    from .plans.parser import Parser as _P
+                    ttl_ast = _P(meta.ttl)._expr()
+                    ttl_col = _beval(ttl_ast, ctx, df)
+                    pred = ttl_col.cast("timestamp") \
+                        > F.current_timestamp()
+                    in_part = self._partition_match(
+                        meta, act.partition, ctx, df, _beval)
+                    if in_part is not None:
+                        pred = pred | ~F.coalesce(in_part, F.lit(False))
+                    df = df.filter(pred)
+                    changed = True
+            elif act.kind == "MATERIALIZE_INDEX":
+                # parquet min/max stats ARE the skip-index analogue and
+                # are always fresh — nothing to rebuild; validate the
+                # name like CH does
+                known = [i.split()[0] for i in
+                         meta.settings.get("indexes", [])]
+                if act.name not in known:
+                    raise ValueError(
+                        f"MATERIALIZE INDEX: no index {act.name} on "
+                        f"{meta.name}")
             elif act.kind == "DROP_PARTITION":
                 in_part = self._partition_match(meta, act.partition,
                                                 ctx, df, _beval)

@@ -192,6 +192,7 @@ class AlterStmt(Node):
 class RenameTable(Node):
     renames: list[tuple[str, str]]
     exchange: bool = False     # EXCHANGE TABLES a AND b — atomic swap
+    database: bool = False     # RENAME DATABASE a TO b
 
 
 @dataclass
@@ -518,6 +519,13 @@ class StatementParser(Parser):
                         f"(NOT_IMPLEMENTED)")
             return BackupStmt(kind, db, name, path, target=target,
                               new_database=new_db, new_table=new_name)
+        if t.is_kw("UNDROP"):
+            # UNDROP TABLE [db.]t (public grammar since 23.3): restore
+            # a dropped table from the drop-trash window
+            self.advance()
+            self.expect_kw("TABLE")
+            db, name = self._qualified_name()
+            return DropStmt("UNDROP", db, name, False)
         if t.is_kw("DELETE"):
             # lightweight DELETE (public grammar since 22.8):
             # DELETE FROM [db.]t [IN PARTITION p] WHERE expr — same
@@ -1052,6 +1060,17 @@ class StatementParser(Parser):
 
     def _rename(self):
         self.advance()
+        if self.accept_kw("DATABASE"):
+            # RENAME DATABASE a TO b [, c TO d] (public grammar)
+            renames = []
+            while True:
+                a = self.advance().text
+                self.expect_kw("TO")
+                b = self.advance().text
+                renames.append((a, b))
+                if not self.accept_op(","):
+                    break
+            return RenameTable(renames, database=True)
         self.expect_kw("TABLE")
         renames = []
         while True:
@@ -1128,6 +1147,28 @@ class StatementParser(Parser):
             ie = bool(self.accept_kws("IF", "EXISTS"))
             return AlterAction("DROP_COLUMN", name=self.advance().text,
                                if_exists=ie)
+        if self.accept_kw("MATERIALIZE"):
+            # MATERIALIZE COLUMN/TTL/INDEX/PROJECTION (public ALTER
+            # grammar): recompute from the current default expression /
+            # re-apply TTL to existing parts
+            if self.accept_kw("COLUMN"):
+                name = self.advance().text
+                part = (self._expr()
+                        if self.accept_kws("IN", "PARTITION") else None)
+                return AlterAction("MATERIALIZE_COLUMN", name=name,
+                                   partition=part)
+            if self.accept_kw("TTL"):
+                part = (self._expr()
+                        if self.accept_kws("IN", "PARTITION") else None)
+                return AlterAction("MATERIALIZE_TTL", partition=part)
+            if self.accept_kw("INDEX") or self.accept_kw("PROJECTION"):
+                name = self.advance().text
+                part = (self._expr()
+                        if self.accept_kws("IN", "PARTITION") else None)
+                return AlterAction("MATERIALIZE_INDEX", name=name,
+                                   partition=part)
+            raise ParseError(f"MATERIALIZE expects COLUMN/TTL/INDEX/"
+                             f"PROJECTION at {self.tok.pos}")
         if self.accept_kws("DETACH", "PARTITION"):
             return AlterAction("DETACH_PARTITION", partition=self._expr())
         if self.accept_kws("ATTACH", "PARTITION"):

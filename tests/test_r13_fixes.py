@@ -340,3 +340,92 @@ def test_interval_plain_form_still_works(spark):
         spark,
         "SELECT toDate('2024-01-01') + INTERVAL 2 DAY AS d", {}).collect()
     assert str(rows[0].d) == "2024-01-03"
+
+
+# --- UNDROP TABLE (drop-trash window) ---------------------------------------
+
+def test_undrop_table_roundtrip(sess):
+    sess.execute("CREATE TABLE ud1 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO ud1 VALUES (5),(6)")
+    sess.execute("DROP TABLE ud1")
+    with pytest.raises(Exception):
+        sess.execute("SELECT * FROM ud1")
+    sess.execute("UNDROP TABLE ud1")
+    assert sorted(r.a for r in
+                  sess.execute("SELECT a FROM ud1").collect()) == [5, 6]
+
+
+def test_undrop_refused_when_name_reused(sess):
+    sess.execute("CREATE TABLE ud2 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO ud2 VALUES (1)")
+    sess.execute("DROP TABLE ud2")
+    sess.execute("CREATE TABLE ud2 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO ud2 VALUES (9)")
+    with pytest.raises(ValueError):
+        sess.execute("UNDROP TABLE ud2")
+    assert [r.a for r in sess.execute("SELECT a FROM ud2").collect()] == [9]
+
+
+def test_undrop_unknown_raises(sess):
+    with pytest.raises(ValueError):
+        sess.execute("UNDROP TABLE never_existed")
+
+
+def test_undrop_memory_table(sess):
+    sess.execute("CREATE TABLE ud3 (a UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO ud3 VALUES (2)")
+    sess.execute("DROP TABLE ud3")
+    sess.execute("UNDROP TABLE ud3")
+    assert [r.a for r in sess.execute("SELECT a FROM ud3").collect()] == [2]
+
+
+# --- RENAME DATABASE --------------------------------------------------------
+
+def test_rename_database(sess):
+    sess.execute("CREATE DATABASE rdb1")
+    sess.execute(
+        "CREATE TABLE rdb1.t (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO rdb1.t VALUES (3)")
+    sess.execute("RENAME DATABASE rdb1 TO rdb1x")
+    assert [r.a for r in
+            sess.execute("SELECT a FROM rdb1x.t").collect()] == [3]
+    with pytest.raises(Exception):
+        sess.execute("SELECT * FROM rdb1.t")
+
+
+def test_rename_database_guards(sess):
+    with pytest.raises(ValueError):
+        sess.execute("RENAME DATABASE default TO other")
+    with pytest.raises(ValueError):
+        sess.execute("RENAME DATABASE no_such_db TO x")
+
+
+# --- ALTER ... MATERIALIZE --------------------------------------------------
+
+def test_materialize_column_recomputes_current_default(sess):
+    sess.execute("CREATE TABLE mz1 (a UInt32, b UInt32 DEFAULT a * 2) "
+                 "ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO mz1 (a) VALUES (1),(2)")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT a, b FROM mz1").collect()) == \
+        [(1, 2), (2, 4)]
+    sess.execute("ALTER TABLE mz1 MODIFY COLUMN b UInt32 DEFAULT a * 10")
+    sess.execute("ALTER TABLE mz1 MATERIALIZE COLUMN b")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT a, b FROM mz1").collect()) == \
+        [(1, 10), (2, 20)]
+
+
+def test_materialize_column_unknown_raises(sess):
+    sess.execute("CREATE TABLE mz2 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE mz2 MATERIALIZE COLUMN nope")
+
+
+def test_materialize_ttl_and_index(sess):
+    sess.execute("CREATE TABLE mz3 (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO mz3 VALUES (1)")
+    sess.execute("ALTER TABLE mz3 MATERIALIZE TTL")   # no TTL: no-op
+    assert sess.execute("SELECT count() AS c FROM mz3").collect()[0].c == 1
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE mz3 MATERIALIZE INDEX nope")
