@@ -1251,6 +1251,53 @@ def _mean_z_test(pv0, pv1, conf, v, idx) -> Column:
         ((m0 - m1) + zq * se).alias("confidence_interval_high"))
 
 
+def _anova(v, idx) -> Column:
+    """analysisOfVariance / anova(data, group_index) → (f_statistic,
+    p_value), one-way ANOVA over an arbitrary number of groups (public
+    CH signature). Group count is data-dependent, so the state is the
+    collected (group, value) list finalized with HOF folds — bounded by
+    the GROUP BY group like groupArray states (CH keeps per-group
+    moments; documented deviation). The p-value maps F through the
+    Paulson normal approximation and the erf-based normal CDF (same
+    approximation class as the t-test family here)."""
+    import math
+
+    from .registry import _erf
+    pairs = F.collect_list(F.struct(_c(idx).cast("int").alias("g"),
+                                    _c(v).cast("double").alias("v")))
+    groups = F.array_distinct(F.transform(pairs, lambda s: s["g"]))
+    k = F.size(groups).cast("double")
+    n_tot = F.size(pairs).cast("double")
+    grand_mean = F.aggregate(pairs, F.lit(0.0),
+                             lambda a, s: a + s["v"]) / n_tot
+
+    def gstats(gid):
+        vals = F.filter(pairs, lambda s: s["g"] == gid)
+        n = F.size(vals).cast("double")
+        m = F.aggregate(vals, F.lit(0.0), lambda a, s: a + s["v"]) / n
+        ssw = F.aggregate(vals, F.lit(0.0),
+                          lambda a, s: a + (s["v"] - m) * (s["v"] - m))
+        return F.struct(n.alias("n"), m.alias("m"), ssw.alias("ssw"))
+
+    st = F.transform(groups, gstats)
+    ssb = F.aggregate(
+        st, F.lit(0.0),
+        lambda a, s: a + s["n"] * (s["m"] - grand_mean)
+        * (s["m"] - grand_mean))
+    ssw = F.aggregate(st, F.lit(0.0), lambda a, s: a + s["ssw"])
+    df1, df2 = k - 1.0, n_tot - k
+    fstat = (ssb / df1) / (ssw / df2)
+    # Paulson (1942) normal approximation of the F upper tail
+    a1, a2 = 2.0 / (9.0 * df1), 2.0 / (9.0 * df2)
+    fcbrt = F.pow(fstat, 1.0 / 3.0)
+    z = ((1.0 - a2) * fcbrt - (1.0 - a1)) \
+        / F.sqrt(fcbrt * fcbrt * a2 + a1)
+    p = 0.5 * (1.0 - _erf(z / F.lit(math.sqrt(2.0))))
+    # the approximation loses the F→0 edge; the exact tail there is 1
+    p = F.when(fstat <= 0.0, F.lit(1.0)).otherwise(p)
+    return F.struct(fstat.alias("f_statistic"), p.alias("p_value"))
+
+
 def _group_array_insert_at(*a) -> Column:
     """groupArrayInsertAt([default[, size]])(x, pos): place x at its
     0-based pos; gaps take the explicit default (params lead, CH
@@ -1290,6 +1337,8 @@ AGGREGATES.update({
     "studentTTest": _student_t_test,
     "welchTTest": _welch_t_test,
     "meanZTest": _mean_z_test,
+    "analysisOfVariance": _anova,
+    "anova": _anova,
     "groupArrayInsertAt": _group_array_insert_at,
 })
 

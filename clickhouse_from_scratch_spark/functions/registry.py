@@ -3462,6 +3462,36 @@ _alias("bitHammingDistance", lambda a, b: F.bit_count(
     _c(a).cast("long").bitwiseXOR(_c(b).cast("long"))))
 
 
+def _array_levenshtein(a, b):
+    """arrayLevenshteinDistance(a, b): classic DP run as a nested
+    aggregate — the outer fold walks b carrying the previous DP row,
+    the inner fold builds the next row (running-min dependency). Pure
+    JVM, no UDF; Float64 per the public contract (the weighted
+    variants share the shape)."""
+    a, b = _c(a), _c(b)
+    n = F.size(a)
+    init = F.sequence(F.lit(0), n)
+
+    def step(acc, x):
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.element_at(acc, 1) + 1),
+            lambda st, j: F.concat(st, F.array(
+                F.least(
+                    F.element_at(st, -1) + 1,
+                    F.element_at(acc, j + 1) + 1,
+                    F.element_at(acc, j)
+                    + F.when(F.element_at(a, j).eqNullSafe(x), 0)
+                       .otherwise(1)))))
+    core = F.element_at(F.aggregate(b, init, step), -1)
+    return (F.when(F.size(a) == 0, F.size(b))
+             .when(F.size(b) == 0, F.size(a))
+             .otherwise(core).cast("double"))
+
+
+_alias("arrayLevenshteinDistance", _array_levenshtein)
+
+
 def _bit_test_fold(all_of: bool):
     def f(a, *bits) -> Column:
         x = _c(a).cast("long")

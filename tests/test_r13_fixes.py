@@ -429,3 +429,40 @@ def test_materialize_ttl_and_index(sess):
     assert sess.execute("SELECT count() AS c FROM mz3").collect()[0].c == 1
     with pytest.raises(ValueError):
         sess.execute("ALTER TABLE mz3 MATERIALIZE INDEX nope")
+
+
+# --- arrayLevenshteinDistance (pure-JVM nested-aggregate DP) ----------------
+
+def test_array_levenshtein_distance(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT arrayLevenshteinDistance([1,2,4],[1,2,3]) AS a, "
+        "arrayLevenshteinDistance([1,2,3],[1,3]) AS b, "
+        "arrayLevenshteinDistance([],[1,2]) AS c, "
+        "arrayLevenshteinDistance([1,2,3],[1,2,3]) AS d, "
+        "arrayLevenshteinDistance(['a','b'],['b','a']) AS e", {}).collect()
+    assert tuple(rows[0]) == (1.0, 1.0, 2.0, 0.0, 2.0)
+
+
+# --- analysisOfVariance (one-way ANOVA) -------------------------------------
+
+def test_anova_f_statistic_exact(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT analysisOfVariance(v, g) AS a FROM ("
+        "SELECT number % 3 AS g, number % 3 * 100 + number AS v "
+        "FROM numbers(30))", {}).collect()
+    f, p = rows[0].a
+    assert f == pytest.approx(1236.4848484848485)
+    assert p < 1e-6
+
+
+def test_anova_no_effect(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT anova(v, g) AS a FROM ("
+        "SELECT toUInt8(number % 2) AS g, number % 5 AS v "
+        "FROM numbers(20))", {}).collect()
+    f, p = rows[0].a
+    assert f == pytest.approx(0.0)
+    assert p == pytest.approx(1.0)
