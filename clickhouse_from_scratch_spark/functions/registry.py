@@ -648,6 +648,31 @@ def _calc_week(d, mode: int = 0, with_year: bool = False):
     so the three flags fold at build time; only data-dependent branches
     stay as when()s."""
     mode = int(mode) if not isinstance(mode, Column) else 0
+    if mode in (8, 9):
+        # CH extension beyond the MySQL table: week 1 is the week that
+        # CONTAINS January 1 (8 = Sunday-first, 9 = Monday-first),
+        # range 1-53; late-December days whose week holds next year's
+        # Jan 1 are week 1 of the next year (docs:
+        # toWeek('2016-12-27', 9) = 1, toYearWeek = 201701)
+        monday_first = (mode == 9)
+        dd = _c(d).cast("date")
+
+        def wstart(col):
+            wd = (F.weekday(col) if monday_first
+                  else F.pmod(F.weekday(col) + 1, F.lit(7)))
+            return F.date_sub(col, wd)
+
+        ws = wstart(dd)
+        yy = F.year(dd)
+        ws1 = wstart(F.make_date(yy, F.lit(1), F.lit(1)))
+        jan1_next = F.make_date(yy + 1, F.lit(1), F.lit(1))
+        rolls = F.datediff(jan1_next, ws).between(0, 6)
+        week = F.when(rolls, F.lit(1)).otherwise(
+            (F.floor(F.datediff(ws, ws1) / 7) + 1).cast("int"))
+        yr_out = F.when(rolls, yy + 1).otherwise(yy)
+        if with_year:
+            return (yr_out * 100 + week).cast("long")
+        return week.cast("int")
     # MySQL week_mode(): without Monday-first the FIRST_WEEKDAY bit is
     # FLIPPED (mode 0 behaves as flag set 4)
     mode = mode & 7
@@ -2687,7 +2712,8 @@ _alias("toISOYear", lambda c: F.year(
 # YEARWEEK forces the year-adjustment bit (MySQL week_mode(mode | 2))
 _alias("toYearWeek",
        lambda c, mode=0, tz=None: _calc_week(
-           c, (int(mode) if not isinstance(mode, Column) else 0) | 2,
+           c, (lambda m: m if m in (8, 9) else m | 2)(
+               int(mode) if not isinstance(mode, Column) else 0),
            with_year=True))
 _alias("nowInBlock", lambda: F.now() if hasattr(F, "now")
        else F.current_timestamp())

@@ -466,3 +466,18 @@ def test_anova_no_effect(spark):
     f, p = rows[0].a
     assert f == pytest.approx(0.0)
     assert p == pytest.approx(1.0)
+
+
+# --- toWeek/toYearWeek modes 8/9 (week contains January 1) ------------------
+
+def test_toweek_mode_9(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT toWeek(toDate('2016-12-27'), 9) AS w9, "
+        "toYearWeek(toDate('2016-12-27'), 9) AS yw9, "
+        "toWeek(toDate('2016-01-01'), 9) AS jan, "
+        "toWeek(toDate('2016-12-25'), 9) AS mid, "
+        "toWeek(toDate('2016-12-27'), 0) AS w0", {}).collect()
+    r = rows[0]
+    # the week of Mon 2016-12-26 contains 2017-01-01 -> week 1 of 2017
+    assert (r.w9, r.yw9, r.jan, r.mid, r.w0) == (1, 201701, 1, 52, 52)
