@@ -3488,6 +3488,74 @@ _alias("bitHammingDistance", lambda a, b: F.bit_count(
     _c(a).cast("long").bitwiseXOR(_c(b).cast("long"))))
 
 
+def _simhash64(hashes) -> Column:
+    """64-bit SimHash over an array of int64 hashes: per-bit majority
+    vote folded into the signature (same construction as
+    pipeline/dedup.simhash_signatures). Hash domain is xxhash64, not
+    the reference's CityHash — signatures are deterministic here but
+    not byte-equal to CH (documented hash-domain deviation, same class
+    as sample_hash)."""
+    def bit_vote(b: int) -> Column:
+        vote = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b)
+                                  .bitwiseAND(F.lit(1)) * 2 - 1))
+        return F.when(vote > 0, F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(F.shiftleft(bit_vote(b), b))
+    return sig
+
+
+def _word_shingles(s, k: int = 3, ci: bool = False) -> Column:
+    txt = F.lower(_c(s)) if ci else _c(s)
+    w = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    return F.when(F.size(w) < k, F.array(F.array_join(w, " "))) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.array_join(F.slice(w, i, k), " ")))
+
+
+def _char_ngrams_arr(s, k: int = 3, ci: bool = False) -> Column:
+    txt = F.lower(_c(s)) if ci else _c(s)
+    n = F.greatest(F.length(txt) - (k - 1), F.lit(0))
+    return F.when(F.length(txt) < k, F.array(txt)) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.substring(txt, i, F.lit(k))))
+
+
+def _shingle_hashes(arr) -> Column:
+    return F.transform(arr, lambda g: F.xxhash64(g))
+
+
+def _minmax_hash_tuple(arr) -> Column:
+    h = _shingle_hashes(arr)
+    return F.struct(F.array_min(h).alias("_1"),
+                    F.array_max(h).alias("_2"))
+
+
+for _ci in (False, True):
+    _suffix = "CaseInsensitive" if _ci else ""
+    for _u8 in ("", "UTF8"):
+        _alias(f"wordShingleSimHash{_suffix}{_u8}",
+               (lambda ci: lambda s, k=3:
+                _simhash64(_shingle_hashes(_word_shingles(s, int(k),
+                                                          ci))))(_ci))
+        _alias(f"ngramSimHash{_suffix}{_u8}",
+               (lambda ci: lambda s, k=3:
+                _simhash64(_shingle_hashes(_char_ngrams_arr(s, int(k),
+                                                            ci))))(_ci))
+        _alias(f"wordShingleMinHash{_suffix}{_u8}",
+               (lambda ci: lambda s, k=3, h=6:
+                _minmax_hash_tuple(_word_shingles(s, int(k), ci)))(_ci))
+        _alias(f"ngramMinHash{_suffix}{_u8}",
+               (lambda ci: lambda s, k=3, h=6:
+                _minmax_hash_tuple(_char_ngrams_arr(s, int(k), ci)))(_ci))
+
+
 def _array_levenshtein(a, b):
     """arrayLevenshteinDistance(a, b): classic DP run as a nested
     aggregate — the outer fold walks b carrying the previous DP row,

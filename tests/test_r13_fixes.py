@@ -481,3 +481,33 @@ def test_toweek_mode_9(spark):
     r = rows[0]
     # the week of Mon 2016-12-26 contains 2017-01-01 -> week 1 of 2017
     assert (r.w9, r.yw9, r.jan, r.mid, r.w0) == (1, 201701, 1, 52, 52)
+
+
+# --- wordShingle/ngram SimHash/MinHash scalar family ------------------------
+
+def test_word_shingle_simhash_family(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT wordShingleSimHash('a b c d e f') = "
+        "wordShingleSimHash('a b c d e f') AS det, "
+        "wordShingleSimHashCaseInsensitive('A B c d e f') = "
+        "wordShingleSimHash('a b c d e f') AS ci, "
+        "bitCount(bitXor(wordShingleSimHash("
+        "'the quick brown fox jumps over dog'), "
+        "wordShingleSimHash('the quick brown fox jumped over dog'))) "
+        "AS near, "
+        "bitCount(bitXor(wordShingleSimHash('the quick brown fox'), "
+        "wordShingleSimHash('entirely different text here now'))) AS far",
+        {}).collect()
+    r = rows[0]
+    assert r.det and r.ci
+    # similar texts land closer in hamming space than unrelated ones
+    assert r.near < r.far
+
+
+def test_ngram_minhash_tuple_shape(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT ngramMinHash('abcdef') AS t, "
+        "wordShingleMinHash('a b c d e f') AS w", {}).collect()
+    assert len(rows[0].t) == 2 and len(rows[0].w) == 2
