@@ -3548,9 +3548,11 @@ for _ci in (False, True):
                (lambda ci: lambda s, k=3:
                 _simhash64(_shingle_hashes(_char_ngrams_arr(s, int(k),
                                                             ci))))(_ci))
-        _alias(f"wordShingleMinHash{_suffix}{_u8}",
-               (lambda ci: lambda s, k=3, h=6:
-                _minmax_hash_tuple(_word_shingles(s, int(k), ci)))(_ci))
+        if _u8:     # the non-UTF8 pair predates this family (below)
+            _alias(f"wordShingleMinHash{_suffix}{_u8}",
+                   (lambda ci: lambda s, k=3, h=6:
+                    _minmax_hash_tuple(_word_shingles(s, int(k),
+                                                      ci)))(_ci))
         _alias(f"ngramMinHash{_suffix}{_u8}",
                (lambda ci: lambda s, k=3, h=6:
                 _minmax_hash_tuple(_char_ngrams_arr(s, int(k), ci)))(_ci))
