@@ -44,6 +44,22 @@ from .plans.statements import CreateFunction
 
 _MISSING = object()    # sentinel: setting absent before per-query overlay
 
+
+def _disk_free(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize
+    except OSError:
+        return 0
+
+
+def _disk_total(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_blocks * st.f_frsize
+    except OSError:
+        return 0
+
 _MERGE_TREE_FAMILY = {
     "MergeTree", "ReplacingMergeTree", "SummingMergeTree",
     "AggregatingMergeTree", "CollapsingMergeTree",
@@ -238,6 +254,8 @@ class ChSession:
         self.dropped: dict[tuple[str, str], tuple[TableMeta, str | None]] = {}
         # system.query_log rows: (query, type, elapsed_ms, event_time)
         self.query_log: list[tuple] = []
+        # system.mutations rows (synchronous: always done on return)
+        self.mutations: list[tuple] = []
 
     # --- public API -------------------------------------------------------
 
@@ -398,7 +416,9 @@ class ChSession:
         prows = self._parts_rows()
         fp = (tuple(trows), tuple(crows), tuple(drows), tuple(sorted(
             (k, str(v)) for k, v in self.settings.items())),
-            len(self.query_log), tuple(prows))
+            len(self.query_log), tuple(prows), len(self.mutations),
+            tuple(sorted((k, tuple(sorted(v)))
+                         for k, v in self.detached_parts.items())))
         if getattr(self, "_sys_fp", None) == fp:
             return self._sys_cache
         self._sys_fp, self._sys_cache = fp, {
@@ -448,6 +468,66 @@ class ChSession:
                          "Distinct", "OrDefault", "OrNull", "Resample",
                          "ArgMin", "ArgMax"))],
                     "name string"),
+            # mutations apply synchronously here (each ALTER rewrite
+            # completes before execute() returns), so every row is done
+            "system.mutations": self.spark.createDataFrame(
+                list(getattr(self, "mutations", [])) or [],
+                "database string, table string, mutation_id string,"
+                " command string, is_done int"),
+            # no background merge pool — Spark rewrites are the merges
+            "system.merges": self.spark.createDataFrame(
+                [], "database string, table string, elapsed double,"
+                " progress double"),
+            "system.clusters": self.spark.createDataFrame(
+                [("default", 1, 1, 1, "localhost", "127.0.0.1", 9000, 1)],
+                "cluster string, shard_num int, shard_weight int,"
+                " replica_num int, host_name string, host_address string,"
+                " port int, is_local int"),
+            "system.disks": self.spark.createDataFrame(
+                [("default", self.warehouse,
+                  _disk_free(self.warehouse), _disk_total(self.warehouse),
+                  "Local")],
+                "name string, path string, free_space bigint,"
+                " total_space bigint, type string"),
+            "system.storage_policies": self.spark.createDataFrame(
+                [("default", "default", 0, ["default"])],
+                "policy_name string, volume_name string,"
+                " volume_priority int, disks array<string>"),
+            "system.macros": self.spark.createDataFrame(
+                [], "macro string, substitution string"),
+            "system.users": self.spark.createDataFrame(
+                [("default", "local_directory", "no_password")],
+                "name string, storage string, auth_type string"),
+            "system.roles": self.spark.createDataFrame(
+                [], "name string, id string, storage string"),
+            "system.grants": self.spark.createDataFrame(
+                [("default", None, "ALL", None, None, 0, 1)],
+                "user_name string, role_name string, access_type string,"
+                " database string, table string,"
+                " is_partial_revoke int, grant_option int"),
+            "system.events": self.spark.createDataFrame(
+                [("Query", len(self.query_log),
+                  "Number of queries started"),
+                 ("FailedQuery",
+                  sum(1 for q in self.query_log
+                      if q[1] == "ExceptionWhileProcessing"),
+                  "Number of failed queries")],
+                "event string, value bigint, description string"),
+            "system.metrics": self.spark.createDataFrame(
+                [("Query", 0, "Queries executing right now"),
+                 ("TCPConnection", 0, "TCP connections")],
+                "metric string, value bigint, description string"),
+            "system.asynchronous_metrics": self.spark.createDataFrame(
+                [("Uptime", 0.0), ("MemoryResident", 0.0)],
+                "metric string, value double"),
+            "system.replicas": self.spark.createDataFrame(
+                [], "database string, table string, is_leader int,"
+                " is_readonly int, absolute_delay bigint"),
+            "system.detached_parts": self.spark.createDataFrame(
+                [(db, tbl, part)
+                 for (db, tbl), parts in self.detached_parts.items()
+                 for part in parts] or [],
+                "database string, table string, partition_id string"),
         }
         return self._sys_cache
 
@@ -1272,6 +1352,17 @@ class ChSession:
                 meta.settings["table_settings"] = act.text
         if changed:
             self._rewrite(meta, df)
+            # record the completed mutation(s) for system.mutations —
+            # rewrites are synchronous, so is_done=1 immediately
+            _MUTATION_KINDS = {"UPDATE", "DELETE", "MATERIALIZE_COLUMN",
+                               "MATERIALIZE_TTL", "DROP_PARTITION",
+                               "CLEAR_COLUMN"}
+            for act in node.actions:
+                if act.kind in _MUTATION_KINDS:
+                    self.mutations.append(
+                        (meta.database, meta.name,
+                         f"mutation_{len(self.mutations) + 1}.txt",
+                         act.kind, 1))
         return self._ok()
 
     def _partition_match(self, meta: TableMeta, partition, ctx, df,

@@ -511,3 +511,39 @@ def test_ngram_minhash_tuple_shape(spark):
         "SELECT ngramMinHash('abcdef') AS t, "
         "wordShingleMinHash('a b c d e f') AS w", {}).collect()
     assert len(rows[0].t) == 2 and len(rows[0].w) == 2
+
+
+# --- system tables tail ------------------------------------------------------
+
+def test_system_mutations_records_rewrites(sess):
+    sess.execute("CREATE TABLE smt (a UInt32) ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO smt VALUES (1),(2),(3)")
+    sess.execute("ALTER TABLE smt DELETE WHERE a = 2")
+    rows = sess.execute(
+        "SELECT table, command, is_done FROM system.mutations").collect()
+    assert ("smt", "DELETE", 1) in {tuple(r) for r in rows}
+
+
+def test_system_infra_tables_exist(sess):
+    # clusters/disks/users/grants have one sensible local row; the
+    # infra-only ones (merges/replicas/roles/macros) are present empty
+    assert sess.execute(
+        "SELECT cluster FROM system.clusters").collect()[0].cluster == \
+        "default"
+    d = sess.execute(
+        "SELECT name, total_space FROM system.disks").collect()[0]
+    assert d.name == "default" and d.total_space > 0
+    assert sess.execute("SELECT name FROM system.users") \
+        .collect()[0].name == "default"
+    assert sess.execute(
+        "SELECT access_type FROM system.grants").collect()[0] \
+        .access_type == "ALL"
+    for t in ("merges", "replicas", "roles", "macros", "detached_parts"):
+        sess.execute(f"SELECT * FROM system.{t}").collect()
+
+
+def test_system_events_counts_queries(sess):
+    sess.execute("SELECT 1").collect()
+    v = sess.execute("SELECT value FROM system.events "
+                     "WHERE event = 'Query'").collect()[0].value
+    assert v >= 1
