@@ -1149,3 +1149,55 @@ def test_differential_limitby_setops(spark, sf_dir, duck, name, ch_sql,
     theirs = duck.sql(dd_sql).df()
     problems = _tolerant_compare(ours, theirs)
     assert not problems, problems
+
+
+def _r13_grammar_cases(n: int) -> list[tuple[str, str, str]]:
+    """Round-13 grammar surface differentials: QUALIFY over ranking
+    windows (DuckDB shares the clause verbatim), IS [NOT] DISTINCT
+    FROM null-safe comparison, and string-form INTERVAL arithmetic."""
+    rnd = random.Random(1313)
+    out = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            key = rnd.choice(["l_returnflag", "l_linestatus"])
+            k = rnd.randint(1, 3)
+            sql = (f"SELECT l_orderkey, l_linenumber FROM lineitem "
+                   f"WHERE {_pred(rnd)} "
+                   f"QUALIFY row_number() OVER (PARTITION BY {key} "
+                   f"ORDER BY l_orderkey, l_linenumber, l_suppkey) "
+                   f"<= {k}")
+            out.append((f"r13fuzz{i:02d}", sql, sql))
+        elif kind == 1:
+            a = rnd.randint(1, 4)
+            b = rnd.randint(1, 7)
+            sql = (f"SELECT l_returnflag AS k, count(*) AS c "
+                   f"FROM lineitem WHERE NULLIF(l_linenumber, {a}) "
+                   f"IS DISTINCT FROM NULLIF(l_suppkey % 7, {b}) "
+                   f"GROUP BY k")
+            out.append((f"r13fuzz{i:02d}", sql, sql))
+        else:
+            d = rnd.randint(1, 30)
+            p = _pred(rnd)
+            ch = (f"SELECT l_orderkey, l_linenumber, "
+                  f"CAST(l_shipdate AS DATE) + INTERVAL '{d} day' AS v "
+                  f"FROM lineitem WHERE {p}")
+            dd = (f"SELECT l_orderkey, l_linenumber, "
+                  f"CAST(CAST(l_shipdate AS DATE) + INTERVAL '{d}' DAY "
+                  f"AS DATE) AS v FROM lineitem WHERE {p}")
+            out.append((f"r13fuzz{i:02d}", ch, dd))
+    return out
+
+
+R13_CASES = _r13_grammar_cases(12)
+
+
+@pytest.mark.parametrize("name,ch_sql,dd_sql", R13_CASES,
+                         ids=[c[0] for c in R13_CASES])
+def test_differential_r13_grammar(spark, sf_dir, duck, name, ch_sql,
+                                  dd_sql):
+    tables = load_all(spark, sf_dir)
+    ours = execute_sql(spark, ch_sql, tables).toPandas()
+    theirs = duck.sql(dd_sql).df()
+    problems = _tolerant_compare(ours, theirs)
+    assert not problems, problems
