@@ -1209,6 +1209,22 @@ class ChSession:
                     pred = pred & in_part
                 df = df.filter(~pred)
                 changed = True
+            elif act.kind == "ADD_PROJECTION":
+                prj = meta.settings.setdefault("projections", [])
+                if act.name in prj:
+                    if not act.if_not_exists:
+                        raise ValueError(
+                            f"projection {act.name} already exists on "
+                            f"{meta.name}")
+                else:
+                    prj.append(act.name)
+            elif act.kind == "DROP_PROJECTION":
+                prj = meta.settings.get("projections", [])
+                if act.name not in prj and not act.if_exists:
+                    raise ValueError(
+                        f"no projection {act.name} on {meta.name}")
+                meta.settings["projections"] = [
+                    n for n in prj if n != act.name]
             elif act.kind == "ADD_INDEX":
                 # parquet min/max stats play the secondary-index role;
                 # record for SHOW CREATE fidelity
@@ -1263,13 +1279,15 @@ class ChSession:
             elif act.kind == "MATERIALIZE_INDEX":
                 # parquet min/max stats ARE the skip-index analogue and
                 # are always fresh — nothing to rebuild; validate the
-                # name like CH does
+                # name like CH does (the parser routes PROJECTION here
+                # too, so projection names resolve as well)
                 known = [i.split()[0] for i in
                          meta.settings.get("indexes", [])]
+                known += meta.settings.get("projections", [])
                 if act.name not in known:
                     raise ValueError(
-                        f"MATERIALIZE INDEX: no index {act.name} on "
-                        f"{meta.name}")
+                        f"MATERIALIZE INDEX: no index or projection "
+                        f"{act.name} on {meta.name}")
             elif act.kind == "DROP_PARTITION":
                 in_part = self._partition_match(meta, act.partition,
                                                 ctx, df, _beval)

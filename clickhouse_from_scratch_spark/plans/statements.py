@@ -824,8 +824,11 @@ class StatementParser(Parser):
         ct = CreateTable(db, name, [], if_not_exists=ine,
                          or_replace=or_replace, temporary=temporary)
         if self.accept_op("("):
+            self._projection_names = []
             ct.columns = self._column_defs()
             self.expect_op(")")
+            if self._projection_names:
+                ct.settings["projections"] = list(self._projection_names)
         self._storage_clause(ct)
         if self.accept_kw("AS"):
             if self.tok.is_kw("SELECT", "WITH") or self.tok.is_op("("):
@@ -891,7 +894,13 @@ class StatementParser(Parser):
             if self.tok.is_kw("INDEX", "CONSTRAINT", "PROJECTION"):
                 # secondary indexes/constraints/projections: parse & skip
                 # (reference grammar ParserCreateQuery.h:103-212; engine
-                # relies on parquet stats instead)
+                # relies on parquet stats instead) — projection NAMES
+                # are kept so ALTER ... MATERIALIZE PROJECTION resolves
+                if self.tok.is_kw("PROJECTION"):
+                    self.advance()
+                    self._projection_names = getattr(
+                        self, "_projection_names", [])
+                    self._projection_names.append(self.tok.text)
                 self._skip_to_comma_or_close()
             else:
                 name = self.advance().text
@@ -1113,6 +1122,17 @@ class StatementParser(Parser):
 
     def _alter_action(self) -> AlterAction:
         if self.accept_kw("ADD"):
+            if self.accept_kw("PROJECTION"):
+                # ADD PROJECTION [IF NOT EXISTS] name (SELECT ...)
+                ine = bool(self.accept_kws("IF", "NOT", "EXISTS"))
+                name = self.advance().text
+                parts = []
+                while (self.tok.kind != T.EOF and not self.tok.is_op(",")
+                       and not self.tok.is_op(";")):
+                    parts.append(self.advance().text)
+                return AlterAction("ADD_PROJECTION", name=name,
+                                   text=" ".join(parts),
+                                   if_not_exists=ine)
             if self.accept_kw("INDEX"):
                 parts = []
                 while (self.tok.kind != T.EOF and not self.tok.is_op(",")
@@ -1135,6 +1155,10 @@ class StatementParser(Parser):
             return AlterAction("ADD_COLUMN", column=cd, after=after,
                                first=first, if_not_exists=ine)
         if self.accept_kw("DROP"):
+            if self.accept_kw("PROJECTION"):
+                ie = bool(self.accept_kws("IF", "EXISTS"))
+                return AlterAction("DROP_PROJECTION",
+                                   name=self.advance().text, if_exists=ie)
             if self.accept_kw("INDEX"):
                 return AlterAction("DROP_INDEX", name=self.advance().text)
             if self.accept_kw("PARTITION"):

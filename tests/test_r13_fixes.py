@@ -547,3 +547,24 @@ def test_system_events_counts_queries(sess):
     v = sess.execute("SELECT value FROM system.events "
                      "WHERE event = 'Query'").collect()[0].value
     assert v >= 1
+
+
+# --- PROJECTION DDL ---------------------------------------------------------
+
+def test_projection_lifecycle(sess):
+    sess.execute(
+        "CREATE TABLE pj (a UInt32, b String, "
+        "PROJECTION p1 (SELECT b, sum(a) GROUP BY b)) "
+        "ENGINE = MergeTree ORDER BY a")
+    sess.execute("INSERT INTO pj VALUES (1,'x'),(2,'x'),(3,'y')")
+    sess.execute("ALTER TABLE pj ADD PROJECTION p2 (SELECT a ORDER BY a)")
+    sess.execute("ALTER TABLE pj MATERIALIZE PROJECTION p1")
+    sess.execute("ALTER TABLE pj MATERIALIZE PROJECTION p2")
+    sess.execute("ALTER TABLE pj DROP PROJECTION p2")
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE pj MATERIALIZE PROJECTION p2")
+    with pytest.raises(ValueError):
+        sess.execute("ALTER TABLE pj ADD PROJECTION p1 (SELECT a)")
+    sess.execute("ALTER TABLE pj ADD PROJECTION IF NOT EXISTS p1 (SELECT a)")
+    # data unaffected throughout
+    assert sess.execute("SELECT count() AS c FROM pj").collect()[0].c == 3
