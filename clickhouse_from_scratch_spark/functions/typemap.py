@@ -98,11 +98,38 @@ def ch_type_to_spark(ch: str) -> str:
             return "binary"
         if fn == "uniqexact":
             return f"array<{ch_type_to_spark(m.group(2))}>"
-        raise ValueError(f"unmapped ClickHouse type: {ch}")
+        if fn == "count":
+            return "bigint"
+        if fn in ("grouparray", "groupuniqarray"):
+            inner = _split_args(m.group(2))[0]
+            return f"array<{ch_type_to_spark(inner)}>"
+        # everything else follows the engine's -State policy: value-
+        # carrier states ARE the (partially aggregated) value, so the
+        # column stores the first argument type (sum/min/max/any/avg/
+        # argMin/quantile… finalize to it)
+        inner = _split_args(m.group(2))[0]
+        return ch_type_to_spark(inner)
     # SimpleAggregateFunction(fn, T) stores the plain value of T
     m = re.match(r"(?i)^simpleaggregatefunction\(\w+\s*,\s*(.*)\)$", t)
     if m:
         return ch_type_to_spark(m.group(1))
+    # Variant(T1, …) / Dynamic: no Spark union type — the column is a
+    # text carrier like JSON (values keep their literal rendering;
+    # introspection functions parse on demand)
+    if re.match(r"(?i)^variant\(", t) or low == "dynamic":
+        return "string"
+    # geo types are the documented tuple/array compositions
+    # (Point = Tuple(Float64, Float64), Ring/LineString = Array(Point),
+    # Polygon/MultiLineString = Array(Ring), MultiPolygon =
+    # Array(Polygon))
+    if low == "point":
+        return "struct<_1:double,_2:double>"
+    if low in ("ring", "linestring"):
+        return "array<struct<_1:double,_2:double>>"
+    if low in ("polygon", "multilinestring"):
+        return "array<array<struct<_1:double,_2:double>>>"
+    if low == "multipolygon":
+        return "array<array<array<struct<_1:double,_2:double>>>>"
     raise ValueError(f"unmapped ClickHouse type: {ch}")
 
 

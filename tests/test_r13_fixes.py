@@ -568,3 +568,22 @@ def test_projection_lifecycle(sess):
     sess.execute("ALTER TABLE pj ADD PROJECTION IF NOT EXISTS p1 (SELECT a)")
     # data unaffected throughout
     assert sess.execute("SELECT count() AS c FROM pj").collect()[0].c == 3
+
+
+# --- type-map tail: AggregateFunction carriers, Variant/Dynamic, geo --------
+
+def test_type_map_tail(sess):
+    for i, t in enumerate([
+            "AggregateFunction(sum, UInt64)",
+            "AggregateFunction(quantile(0.5), Float64)",
+            "AggregateFunction(groupArray, String)",
+            "Variant(UInt64, String)", "Dynamic",
+            "Point", "Ring", "Polygon", "MultiPolygon"]):
+        sess.execute(f"CREATE TABLE tmt{i} (c {t}) ENGINE = Memory")
+
+
+def test_point_tuple_roundtrip(sess):
+    sess.execute("CREATE TABLE geo1 (p Point) ENGINE = Memory")
+    sess.execute("INSERT INTO geo1 VALUES ((10.5, 20.5))")
+    r = sess.execute("SELECT p.1 AS x, p.2 AS y FROM geo1").collect()[0]
+    assert (r.x, r.y) == (10.5, 20.5)
