@@ -3526,3 +3526,55 @@ def dsir_select_linear_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("source") == "src0")
     return dsir_select(docs, target, k=20, mode="linear")
+
+
+@query("sql_histogram_invariants", oracle="""
+SELECT 5 AS nbins, CAST(COUNT(*) AS DOUBLE) AS total_height
+FROM documents
+""")
+def sql_histogram_invariants(spark, sf_dir):
+    """histogram(5)(n_chars) structural invariants: the adaptive-bin
+    merge yields exactly N bins (corpus cardinality >> N) and bin
+    heights sum to the row count — the oracle-able half of the
+    (lower, upper, height) triple contract (exact bin edges come from
+    a streaming merge and are engine-specific)."""
+    from .plans.engine import execute_sql
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return execute_sql(
+        spark,
+        "SELECT length(h) AS nbins, "
+        "round(arraySum(x -> x.3, h), 3) AS total_height FROM "
+        "(SELECT histogram(5)(n_chars) AS h FROM documents)",
+        tables)
+
+
+@query("sql_anova_f", oracle="""
+WITH g AS (
+  SELECT source, COUNT(*) AS n, AVG(CAST(n_chars AS DOUBLE)) AS m,
+         SUM((CAST(n_chars AS DOUBLE) - (SELECT AVG(CAST(n_chars AS DOUBLE))
+              FROM documents d2 WHERE d2.source = d1.source)) ^ 2) AS ssw_g
+  FROM documents d1 GROUP BY source
+), tot AS (
+  SELECT COUNT(*) AS n_tot, AVG(CAST(n_chars AS DOUBLE)) AS gm,
+         COUNT(DISTINCT source) AS k
+  FROM documents
+)
+SELECT ROUND(
+  (SELECT SUM(n * (m - gm) * (m - gm)) FROM g, tot) / ((SELECT k FROM tot) - 1)
+  / ((SELECT SUM(ssw_g) FROM g) / ((SELECT n_tot FROM tot) - (SELECT k FROM tot))),
+  6) AS f_stat
+""")
+def sql_anova_f(spark, sf_dir):
+    """analysisOfVariance over n_chars grouped by source: the F
+    statistic is exact closed-form arithmetic over group moments, so
+    DuckDB recomputes it to 6 decimals (the p-value is the documented
+    Paulson approximation and stays out of the oracle)."""
+    from .plans.engine import execute_sql
+    tables = {"documents": _t(spark, sf_dir, "documents")}
+    return execute_sql(
+        spark,
+        "SELECT round(analysisOfVariance(toFloat64(n_chars), "
+        "src_idx).1, 6) AS f_stat FROM "
+        "(SELECT n_chars, dense_rank() OVER (ORDER BY source) - 1 "
+        "AS src_idx FROM documents)",
+        tables)
