@@ -942,8 +942,11 @@ def _foreach_combinator(base_name: str, arr) -> Column:
         return F.zip_with(_foreach_combinator("sum", arr),
                           _foreach_combinator("count", arr),
                           lambda s, n: s / n)
-    ops = {"sum": lambda a, b: F.coalesce(a, F.lit(0)) +
-           F.coalesce(b, F.lit(0)),
+    # NULL-skipping sum without a typed zero literal: coalesce(x, 0)
+    # trips DATA_DIFF_TYPES when the element type is narrower than int
+    # (e.g. a UInt8 array literal), so branch on nullness instead
+    ops = {"sum": lambda a, b: F.when(a.isNull(), b)
+           .when(b.isNull(), a).otherwise(a + b),
            "min": lambda a, b: F.least(a, b),
            "max": lambda a, b: F.greatest(a, b)}
     if base_name not in ops:

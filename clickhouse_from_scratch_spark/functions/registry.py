@@ -2692,6 +2692,13 @@ _alias("YYYYMMDDhhmmssToDateTime", lambda c, *a: F.to_timestamp(
 
 # --- date/time tail -------------------------------------------------------
 _alias("toStartOfSecond", lambda c: F.date_trunc("second", _c(c)))
+# sub-second truncation: Spark timestamps carry microseconds, so
+# Microsecond/Nanosecond are identity at this precision and
+# Millisecond floors the micros to the millisecond
+_alias("toStartOfMillisecond", lambda c: F.timestamp_micros(
+    (F.unix_micros(_c(c).cast("timestamp")) / 1000).cast("long") * 1000))
+_alias("toStartOfMicrosecond", lambda c: _c(c).cast("timestamp"))
+_alias("toStartOfNanosecond", lambda c: _c(c).cast("timestamp"))
 # (addWeeks/addQuarters/subtract* are registered with the uniform
 # timestamp_add family in the date-arithmetic section above)
 _alias("toDaysSinceYearZero", lambda c: (F.datediff(

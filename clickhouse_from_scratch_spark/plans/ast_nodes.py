@@ -125,6 +125,7 @@ class OrderItem(Node):
     fill_from: Node | None = None
     fill_to: Node | None = None
     fill_step: Node | None = None
+    fill_staleness: Node | None = None
 
 
 @dataclass

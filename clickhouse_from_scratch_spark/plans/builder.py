@@ -597,12 +597,48 @@ def _build_select(q: SelectQuery, ctx: Context) -> DataFrame:
                 step = (F.expr("interval 1 day")
                         if dtype in ("date", "timestamp", "timestamp_ntz")
                         else F.lit(1))
+            if it.fill_staleness is not None and it.fill_to is None:
+                # STALENESS extends the fill past the LAST original row
+                # by up to staleness (doc example: 1,5,10 STALENESS 3 →
+                # …10,11,12); the staleness filter then trims per-row
+                stal_b = _post_expr(it.fill_staleness, df, ctx)
+                stop = (stop - stal_b if _is_negative_step(it.fill_step)
+                        else stop + stal_b)
+                specs.append((name, start, stop, step, True))
+                continue
             # explicit TO is exclusive (public CH WITH FILL contract);
             # a data-inferred max is a real row and stays included
             specs.append((name, start, stop, step,
                           it.fill_to is not None))
         if specs:
             df = with_fill_multi(df, specs, mark_generated="__wf_orig")
+            # STALENESS c: a generated row survives only while within c
+            # of the last ORIGINAL row below it (above it for a
+            # descending fill); rows before the first original drop —
+            # the public doc example (keys 1,5,10 STALENESS 3 →
+            # 1,2,3, 5,6,7, 10,11,12)
+            spec_names = {s[0] for s in specs}
+            for it, name in zip(fill_items, names):
+                if it.fill_staleness is None or name not in spec_names:
+                    continue
+                stal = _post_expr(it.fill_staleness, df, ctx)
+                others = [n for n in spec_names if n != name]
+                desc_fill = _is_negative_step(it.fill_step)
+                oc = (F.col(name).desc() if desc_fill
+                      else F.col(name).asc())
+                w = (Window.partitionBy(*[F.col(o) for o in others])
+                     .orderBy(oc)
+                     .rowsBetween(Window.unboundedPreceding, -1))
+                prev = F.last(F.when(F.col("__wf_orig") == 1,
+                                     F.col(name)), ignorenulls=True)                     .over(w)
+                within = (F.col(name) > prev - stal) if desc_fill                     else (F.col(name) < prev + stal)
+                # Spark rejects window functions in filter() —
+                # materialize the keep-decision as a column first
+                keep = (F.col("__wf_orig").isNotNull()
+                        | (prev.isNotNull() & within))
+                df = (df.withColumn("__wf_keep", keep)
+                        .filter(F.col("__wf_keep"))
+                        .drop("__wf_keep"))
             interp_cols: set[str] = set()
             if q.interpolate:
                 # CH rejects interpolating a fill column itself
@@ -5684,6 +5720,7 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
             raise BuildError(f"unknown named window: {spec}")
         spec = ctx.windows[spec]
     w = Window.partitionBy(*[_eval(p, ctx, df) for p in spec.partition_by])
+    range_rebase_kind = None        # temporal RANGE rebase unit
     if spec.order_by:
         order_cols = [_order_col(df, it, ctx) for it in spec.order_by]
         if (spec.frame and spec.frame[0] == "RANGE"
@@ -5705,8 +5742,10 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
             rebased = None
             if s.startswith("timestamp"):
                 rebased = F.unix_timestamp(raw)
+                range_rebase_kind = "sec"
             elif s == "date":
                 rebased = F.datediff(raw, F.lit("1970-01-01"))
+                range_rebase_kind = "day"
             if rebased is not None:
                 it = spec.order_by[0]
                 if it.desc:
@@ -5796,8 +5835,8 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
             # should have been rewritten by _lower_groups_frames
             raise BuildError("GROUPS frame is only supported in the "
                              "SELECT list of a non-aggregating query")
-        lo = _bound(start)
-        hi = _bound(end)
+        lo = _bound(start, range_rebase_kind)
+        hi = _bound(end, range_rebase_kind)
         w = w.rowsBetween(lo, hi) if mode == "ROWS" else w.rangeBetween(lo, hi)
     if name in _WINDOW_FNS:
         args = [a.value for a in node.args if isinstance(a, Literal)]
@@ -5827,13 +5866,39 @@ def _window_call(node: FuncCall, cols: list, ctx: Context,
     raise BuildError(f"unknown window function: {name}")
 
 
-def _bound(text: str) -> int:
+def _bound(text: str, rebase_kind: str | None = None) -> int:
     if text == "UNBOUNDED PRECEDING":
         return Window.unboundedPreceding
     if text == "UNBOUNDED FOLLOWING":
         return Window.unboundedFollowing
     if text == "CURRENT ROW":
         return Window.currentRow
+    if text.startswith("INTERVAL "):
+        # INTERVAL n unit PRECEDING|FOLLOWING over a temporal ORDER BY:
+        # the order column was rebased to epoch seconds (timestamp) or
+        # days (date), so the offset converts to that unit. Variable-
+        # width units (MONTH/QUARTER/YEAR) have no fixed span — named
+        # error, same as CH's NOT_IMPLEMENTED for them
+        _, n, unit, kind = text.split()
+        secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                "DAY": 86400, "WEEK": 604800}.get(unit)
+        if secs is None:
+            raise BuildError(
+                f"RANGE INTERVAL {unit} frame offsets are not "
+                f"supported (variable-width unit)")
+        if rebase_kind == "day":
+            if secs % 86400:
+                raise BuildError(
+                    "sub-day INTERVAL frame offset over a Date "
+                    "ORDER BY column")
+            v = int(n) * (secs // 86400)
+        elif rebase_kind == "sec":
+            v = int(n) * secs
+        else:
+            raise BuildError(
+                "INTERVAL frame offsets require a Date/DateTime "
+                "ORDER BY column")
+        return -v if kind == "PRECEDING" else v
     n, kind = text.split()
     return -int(n) if kind == "PRECEDING" else int(n)
 

@@ -363,6 +363,10 @@ class Parser:
                 item.fill_to = self._expr()
             if self.accept_kw("STEP"):
                 item.fill_step = self._expr()
+            if self.accept_kw("STALENESS"):
+                # WITH FILL ... STALENESS c: generated rows continue
+                # only while within c of the previous ORIGINAL row
+                item.fill_staleness = self._expr()
         return item
 
     # --- FROM / JOIN ------------------------------------------------------
@@ -1038,6 +1042,16 @@ class Parser:
             return "UNBOUNDED FOLLOWING"
         if self.accept_kws("CURRENT", "ROW"):
             return "CURRENT ROW"
+        if self.accept_kw("INTERVAL"):
+            # RANGE BETWEEN INTERVAL n unit PRECEDING — temporal frame
+            # offset (converted against the ORDER BY column's epoch
+            # rebase at build time)
+            n = self.advance().text
+            unit = self.advance().text.upper().rstrip("S")
+            if self.accept_kw("PRECEDING"):
+                return f"INTERVAL {n} {unit} PRECEDING"
+            self.expect_kw("FOLLOWING")
+            return f"INTERVAL {n} {unit} FOLLOWING"
         n = self.advance().text
         if self.accept_kw("PRECEDING"):
             return f"{n} PRECEDING"

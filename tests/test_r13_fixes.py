@@ -587,3 +587,82 @@ def test_point_tuple_roundtrip(sess):
     sess.execute("INSERT INTO geo1 VALUES ((10.5, 20.5))")
     r = sess.execute("SELECT p.1 AS x, p.2 AS y FROM geo1").collect()[0]
     assert (r.x, r.y) == (10.5, 20.5)
+
+
+# --- WITH FILL STALENESS -----------------------------------------------------
+
+def test_with_fill_staleness_doc_example(sess):
+    sess.execute("CREATE TABLE wfs (k UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO wfs VALUES (1),(5),(10)")
+    rows = sess.execute(
+        "SELECT k FROM wfs ORDER BY k WITH FILL STALENESS 3").collect()
+    assert [r.k for r in rows] == [1, 2, 3, 5, 6, 7, 10, 11, 12]
+
+
+def test_with_fill_staleness_interval(sess):
+    sess.execute("CREATE TABLE wfd (d Date) ENGINE = Memory")
+    sess.execute("INSERT INTO wfd VALUES ('2024-01-01'),('2024-01-10')")
+    rows = sess.execute(
+        "SELECT d FROM wfd ORDER BY d WITH FILL "
+        "STALENESS INTERVAL 3 DAY").collect()
+    assert [str(r.d) for r in rows] == [
+        "2024-01-01", "2024-01-02", "2024-01-03",
+        "2024-01-10", "2024-01-11", "2024-01-12"]
+
+
+def test_with_fill_staleness_respects_to(sess):
+    sess.execute("CREATE TABLE wft (k UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO wft VALUES (1),(5),(10)")
+    rows = sess.execute(
+        "SELECT k FROM wft ORDER BY k WITH FILL FROM 1 TO 8 "
+        "STALENESS 3").collect()
+    assert [r.k for r in rows] == [1, 2, 3, 5, 6, 7, 10]
+
+
+# --- RANGE BETWEEN INTERVAL frames ------------------------------------------
+
+def test_range_interval_frame_timestamp(sess):
+    sess.execute(
+        "CREATE TABLE rif (t DateTime, v UInt32, g String) ENGINE = Memory")
+    sess.execute(
+        "INSERT INTO rif VALUES ('2024-01-01 00:00:00', 1, 'a'),"
+        "('2024-01-01 00:05:00', 2, 'a'),('2024-01-01 01:00:00', 3, 'a')")
+    rows = sess.execute(
+        "SELECT v, sum(v) OVER (PARTITION BY g ORDER BY t "
+        "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) "
+        "AS s FROM rif ORDER BY t").collect()
+    assert [(r.v, r.s) for r in rows] == [(1, 1), (2, 3), (3, 3)]
+
+
+def test_range_interval_frame_date(sess):
+    sess.execute("CREATE TABLE rid (d Date, v UInt32) ENGINE = Memory")
+    sess.execute("INSERT INTO rid VALUES ('2024-01-01', 1),"
+                 "('2024-01-02', 2),('2024-01-09', 3)")
+    rows = sess.execute(
+        "SELECT v, sum(v) OVER (ORDER BY d RANGE BETWEEN "
+        "INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS s "
+        "FROM rid ORDER BY d").collect()
+    assert [(r.v, r.s) for r in rows] == [(1, 1), (2, 3), (3, 3)]
+
+
+# --- sumForEach narrow element types + toStartOf sub-second -----------------
+
+def test_sum_foreach_narrow_literal(spark):
+    # -ForEach aggregates ACROSS ROWS position-wise; narrow (UInt8)
+    # array literals must not trip the sum fold's zero literal
+    rows = execute_sql(
+        spark,
+        "SELECT sumForEach(x) AS s FROM "
+        "(SELECT arrayJoin([[1,2],[3,4]]) AS x)", {}).collect()
+    assert list(rows[0].s) == [4, 6]
+
+
+def test_to_start_of_subsecond(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT toStartOfMillisecond(toDateTime64("
+        "'2024-01-01 12:00:00.123456', 6)) AS ms, "
+        "toStartOfMicrosecond(toDateTime64("
+        "'2024-01-01 12:00:00.123456', 6)) AS us", {}).collect()
+    assert str(rows[0].ms) == "2024-01-01 12:00:00.123000"
+    assert str(rows[0].us) == "2024-01-01 12:00:00.123456"
