@@ -2048,7 +2048,7 @@ _alias("CRC32", lambda c: F.crc32(_c(c).cast("string").cast("binary")))
 # non-goal per the hash policy above)
 _alias("CRC32IEEE", lambda c: F.crc32(
     _c(c).cast("string").cast("binary")).bitwiseXOR(F.lit(0xFFFFFFFF)))
-_alias("CRC64", lambda c: F.xxhash64(_c(c)))
+# CRC64: real CRC-64/XZ implementation below (_crc64)
 
 
 def _java_hash(c) -> Column:
@@ -2692,11 +2692,9 @@ _alias("YYYYMMDDhhmmssToDateTime", lambda c, *a: F.to_timestamp(
 
 # --- date/time tail -------------------------------------------------------
 _alias("toStartOfSecond", lambda c: F.date_trunc("second", _c(c)))
-# sub-second truncation: Spark timestamps carry microseconds, so
-# Microsecond/Nanosecond are identity at this precision and
-# Millisecond floors the micros to the millisecond
-_alias("toStartOfMillisecond", lambda c: F.timestamp_micros(
-    (F.unix_micros(_c(c).cast("timestamp")) / 1000).cast("long") * 1000))
+# sub-second truncation: Spark timestamps carry microseconds —
+# Microsecond/Nanosecond are identity at this precision
+# (toStartOfMillisecond already exists in the date-tail block)
 _alias("toStartOfMicrosecond", lambda c: _c(c).cast("timestamp"))
 _alias("toStartOfNanosecond", lambda c: _c(c).cast("timestamp"))
 # (addWeeks/addQuarters/subtract* are registered with the uniform
@@ -4139,6 +4137,145 @@ def _morton_decode(n, code) -> Column:
 
 _alias("mortonEncode", _morton_encode)
 _alias("mortonDecode", _morton_decode)
+
+
+def _hilbert_encode(x, y) -> Column:
+    """hilbertEncode(x, y): 2D Hilbert curve index (the classic xy2d
+    rotation walk over 32-bit coordinates; CH supports exactly 2 args
+    for the Hilbert family). Arrow-batched, cold path."""
+    import pandas as pd
+
+    def f(sx, sy):
+        def enc(x, y):
+            if x is None or y is None:
+                return None
+            x, y = int(x), int(y)
+            # minimal bounding curve: the doc values fix the order
+            # (hilbertEncode(3, 4) = 31 ⇒ an 8×8 curve, not 2^32)
+            n = 1
+            while n <= max(x, y):
+                n <<= 1
+            rx = ry = 0
+            d = 0
+            s = n >> 1
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                # rotate quadrant
+                if ry == 0:
+                    if rx == 1:
+                        x = s - 1 - x
+                        y = s - 1 - y
+                    x, y = y, x
+                s >>= 1
+            return d - (1 << 64) if d >= (1 << 63) else d
+        return pd.Series([enc(a, b) for a, b in zip(sx, sy)])
+
+    f.__annotations__ = {"sx": pd.Series, "sy": pd.Series,
+                         "return": pd.Series}
+    return F.pandas_udf(f, "long")(_c(x).cast("long"), _c(y).cast("long"))
+
+
+def _hilbert_decode(n, code) -> Column:
+    """hilbertDecode(2, code): inverse d2xy walk → (x, y) tuple."""
+    import pandas as pd
+    if isinstance(n, Column):
+        raise TypeError("hilbertDecode tuple size must be a literal")
+    if int(n) != 2:
+        raise ValueError("hilbertDecode supports exactly 2 dimensions")
+
+    def f(s):
+        def dec(d):
+            if d is None:
+                return (None, None)
+            d = int(d) & ((1 << 64) - 1)
+            # infer the minimal curve the encoder used: smallest power
+            # of two n with d < n*n
+            n = 1
+            while n * n <= d:
+                n <<= 1
+            x = y = 0
+            s_ = 1
+            while s_ < max(n, 2):
+                rx = 1 & (d // 2)
+                ry = 1 & (d ^ rx)
+                if ry == 0:
+                    if rx == 1:
+                        x = s_ - 1 - x
+                        y = s_ - 1 - y
+                    x, y = y, x
+                x += s_ * rx
+                y += s_ * ry
+                d //= 4
+                s_ *= 2
+            return (x, y)
+        decoded = s.map(dec)
+        return pd.DataFrame({"_1": decoded.map(lambda t: t[0]),
+                             "_2": decoded.map(lambda t: t[1])})
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(f, "_1 long, _2 long")(_c(code).cast("long"))
+
+
+_alias("hilbertEncode", _hilbert_encode)
+_alias("hilbertDecode", _hilbert_decode)
+
+
+def _crc64(c) -> Column:
+    """CRC-64/XZ (reflected ECMA-182 polynomial, init/xorout all-ones)
+    — the variant the reference's CRC.h instantiates; check value for
+    '123456789' is 0x995DC9BBDF1939FA. Table-driven per byte,
+    Arrow-batched."""
+    import pandas as pd
+    poly = 0xC96C5795D7870F42     # reflected 0x42F0E1EBA9EA3693
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        table.append(crc)
+
+    def f(s):
+        def crc64(v):
+            if v is None:
+                return None
+            data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            crc = 0xFFFFFFFFFFFFFFFF
+            for b in data:
+                crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+            crc ^= 0xFFFFFFFFFFFFFFFF
+            return crc - (1 << 64) if crc >= (1 << 63) else crc
+        return pd.Series([crc64(v) for v in s])
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, "long")(_c(c))
+
+
+_alias("CRC64", _crc64)
+_alias("crc64", _crc64)
+
+# single-user access-control introspection (system.users has exactly
+# the default user; profiles/roles mirror SHOW GRANTS' answer)
+_alias("currentProfiles", lambda: F.array(F.lit("default")))
+_alias("defaultProfiles", lambda: F.array(F.lit("default")))
+_alias("enabledProfiles", lambda: F.array(F.lit("default")))
+_alias("currentRoles", lambda: F.array().cast("array<string>"))
+_alias("defaultRoles", lambda: F.array().cast("array<string>"))
+_alias("enabledRoles", lambda: F.array().cast("array<string>"))
+
+
+def _os_kernel_version() -> Column:
+    import platform
+    return F.lit(f"{platform.system()} {platform.release()}")
+
+
+_alias("getOSKernelVersion", _os_kernel_version)
+# server build revision (CH prints its protocol revision; a fixed
+# plausible value — the engine has no native wire protocol)
+_alias("revision", lambda: F.lit(54460).cast("int"))
+_alias("zookeeperSessionUptime",
+       lambda: REGISTRY["uptime"]())
 
 
 # --- round-6 surface tail 3: date/string/array/window breadth -------------

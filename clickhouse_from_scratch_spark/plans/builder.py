@@ -5102,7 +5102,8 @@ _LITERAL_ARG_FNS = {
     "formatDateTimeInJodaSyntax", "fromUnixTimestampInJodaSyntax",
     "fromUnixTimestamp",
     "accurateCastOrDefault", "neighbor", "proportionsZTest",
-    "divideDecimal", "geohashEncode", "mortonDecode", "jumpConsistentHash",
+    "divideDecimal", "geohashEncode", "mortonDecode", "hilbertDecode",
+    "jumpConsistentHash",
     "toWeek", "toYearWeek", "toDayOfWeek", "formatReadableTimeDelta",
     "arrayShingles", "leftUTF8", "rightUTF8", "wordShingleMinHash",
     "wordShingleMinHashCaseInsensitive", "minSampleSizeConversion",

@@ -666,3 +666,35 @@ def test_to_start_of_subsecond(spark):
         "'2024-01-01 12:00:00.123456', 6)) AS us", {}).collect()
     assert str(rows[0].ms) == "2024-01-01 12:00:00.123000"
     assert str(rows[0].us) == "2024-01-01 12:00:00.123456"
+
+
+# --- CRC64, Hilbert curve, access introspection ------------------------------
+
+def test_crc64_check_value(spark):
+    # CRC-64/XZ check vector: crc64('123456789') = 0x995DC9BBDF1939FA
+    rows = execute_sql(
+        spark, "SELECT hex(crc64('123456789')) AS c", {}).collect()
+    assert rows[0].c == "995DC9BBDF1939FA"
+
+
+def test_hilbert_encode_decode(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT hilbertEncode(3, 4) AS h, "
+        "hilbertDecode(2, 31) AS d, "
+        "hilbertDecode(2, hilbertEncode(123456, 789012)) AS rt",
+        {}).collect()
+    assert rows[0].h == 31                      # doc example value
+    assert tuple(rows[0].d) == (3, 4)
+    assert tuple(rows[0].rt) == (123456, 789012)
+
+
+def test_access_introspection_functions(spark):
+    rows = execute_sql(
+        spark,
+        "SELECT currentProfiles() AS cp, currentRoles() AS cr, "
+        "getOSKernelVersion() AS os, revision() AS rev, "
+        "zookeeperSessionUptime() >= 0 AS zk", {}).collect()
+    r = rows[0]
+    assert list(r.cp) == ["default"] and list(r.cr) == []
+    assert r.os.startswith("Linux") and r.rev > 0 and r.zk
