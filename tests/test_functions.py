@@ -115,5 +115,9 @@ def test_type_mapping(ch_type, spark_type):
 
 
 def test_type_mapping_unmapped():
+    # AggregateFunction value carriers map since r13; a genuinely
+    # unknown type name still raises
     with pytest.raises(ValueError):
-        ch_type_to_spark("AggregateFunction(sum, UInt64)")
+        ch_type_to_spark("NoSuchType")
+    assert ch_type_to_spark(
+        "AggregateFunction(sum, UInt64)") == "bigint"
