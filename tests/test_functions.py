@@ -120,4 +120,4 @@ def test_type_mapping_unmapped():
     with pytest.raises(ValueError):
         ch_type_to_spark("NoSuchType")
     assert ch_type_to_spark(
-        "AggregateFunction(sum, UInt64)") == "bigint"
+        "AggregateFunction(sum, UInt64)") == "long"
