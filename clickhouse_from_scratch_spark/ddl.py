@@ -1479,6 +1479,15 @@ class ChSession:
     def _insert_inner(self, node: InsertStmt, meta: "TableMeta"):
         if meta.engine == "Null":
             return self._ok()          # accepted, discarded
+        if node.format == "Values" and node.format_data is not None:
+            # FORMAT Values raw data IS the VALUES grammar — reparse
+            # through the statement parser and take the native path
+            from .plans.statements import parse_statement as _ps
+            synth = _ps("INSERT INTO __values_carrier VALUES "
+                        + node.format_data)
+            node.values = synth.values
+            node.format = None
+            node.format_data = None
         if node.watch_view is not None:
             # INSERT INTO t WATCH lv (ParserInsertQuery.cpp:165-172):
             # pipe the live view's current state into the table
@@ -1542,8 +1551,21 @@ class ChSession:
 
             types = dict(meta.columns)
             fmt = node.format or "Parquet"
-            text_schema = ", ".join(
-                f"`{c}` {ch_type_to_spark(types[c])}" for c in cols)
+            # Spark's csv reader rejects composite (array/map/struct)
+            # column types — carry them as strings and cast from the CH
+            # literal text after the scan (single→double quote swap
+            # makes numeric/plain-string array literals JSON-parseable)
+            composite_cols: dict[str, str] = {}
+            def _sp(c):
+                t = ch_type_to_spark(types[c])
+                if fmt.startswith(("CSV", "TabSeparated", "TSV")) \
+                        and (t.startswith("array<")
+                             or t.startswith("map<")
+                             or t.startswith("struct<")):
+                    composite_cols[c] = t
+                    return "string"
+                return t
+            text_schema = ", ".join(f"`{c}` {_sp(c)}" for c in cols)
             needs_schema = fmt not in ("Parquet", "ORC", "Avro", "Arrow",
                                        "ArrowStream")
             path = node.infile
@@ -1590,6 +1612,10 @@ class ChSession:
             source = (source.select(*cols)
                       if set(cols) <= set(source.columns)
                       else source.toDF(*cols))
+            for cname, target_t in composite_cols.items():
+                lit = F.regexp_replace(F.col(f"`{cname}`"), "'", '"')
+                source = source.withColumn(
+                    cname, F.from_json(lit, target_t))
         else:
             source = build(self.spark, node.select, self._tables(),
                            self._engines(), settings=self.settings,

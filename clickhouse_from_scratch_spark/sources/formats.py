@@ -77,6 +77,17 @@ FORMATS: dict[str, tuple[str, dict[str, Any], dict[str, Any]]] = {
     "Regexp": ("regexp-rows", {}, {}),
     "LineAsString": ("text", {}, {}),
     "JSONAsString": ("json-as-string", {}, {}),
+    # names row + TYPES row (row 2 is the CH type list, stripped by the
+    # reader lowering)
+    "TabSeparatedWithNamesAndTypes": ("tsv-names-types",
+                                      {"sep": "\t"}, {}),
+    "TSVWithNamesAndTypes": ("tsv-names-types", {"sep": "\t"}, {}),
+    "CSVWithNamesAndTypes": ("tsv-names-types", {"sep": ","}, {}),
+    # every value carried as a JSON string, cast to the declared type
+    "JSONStringsEachRow": ("json-strings-rows", {}, {}),
+    "JSONCompactStringsEachRow": ("json-compact-rows", {}, {}),
+    # key=value pairs separated by tabs
+    "TSKV": ("tskv-rows", {}, {}),
     "RawBLOB": ("binaryFile", {}, {}),
     "Null": ("noop", {}, {}),
 }
@@ -119,6 +130,59 @@ def read_format(spark: SparkSession, fmt: str, path: str,
             F.regexp_extract("value", regex, i + 1).cast(f.dataType)
              .alias(f.name)
             for i, f in enumerate(st.fields)])
+    if name == "tsv-names-types":
+        # WithNamesAndTypes: line 1 = names, line 2 = CH types. The
+        # names row maps csv columns; the types row is identified by
+        # its literal content (read driver-side from the file head —
+        # both header lines are by definition at the top) and filtered
+        # out. A data row equal to the type row in EVERY column cannot
+        # be distinguished — documented edge, absurd in practice.
+        sep = ropts.get("sep", "\t")
+        with open(path, "r", encoding="utf-8") as fh:
+            names_line = fh.readline().rstrip("\n").rstrip("\r")
+            types_line = fh.readline().rstrip("\n").rstrip("\r")
+        names = names_line.split(sep)
+        types_vals = types_line.split(sep)
+        df = (spark.read.format("csv")
+              .options(sep=sep, header="true", nullValue="\\N",
+                       inferSchema="false")
+              .load(path))
+        cond = None
+        for n, tv in zip(names, types_vals):
+            c = (F.col(f"`{n}`") == tv)
+            cond = c if cond is None else (cond & c)
+        if cond is not None:
+            df = df.where(~F.coalesce(cond, F.lit(False)))
+        if schema:
+            st = _parse_ddl_schema(spark, schema)
+            by_name = {f.name: f.dataType for f in st.fields}
+            df = df.select(*[
+                F.col(f"`{n}`").cast(by_name[n]).alias(n)
+                if n in by_name else F.col(f"`{n}`") for n in names])
+        return df
+    if name == "json-strings-rows":
+        # JSONStringsEachRow: {"a": "1"} — values arrive as strings;
+        # parse each line as map<string,string> and cast to declared
+        if not schema:
+            raise ValueError("JSONStringsEachRow requires a schema")
+        st = _parse_ddl_schema(spark, schema)
+        txt = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+        m = F.from_json(F.col("value"), "map<string,string>")
+        return txt.select(*[
+            F.element_at(m, f.name).cast(f.dataType).alias(f.name)
+            for f in st.fields])
+    if name == "tskv-rows":
+        # TSKV input: tab-separated key=value pairs per line
+        if not schema:
+            raise ValueError("TSKV requires a schema")
+        st = _parse_ddl_schema(spark, schema)
+        txt = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+        m = F.str_to_map(F.col("value"), F.lit("\t"), F.lit("="))
+        return txt.select(*[
+            F.when(F.element_at(m, f.name) == "\\N", None)
+             .otherwise(F.element_at(m, f.name))
+             .cast(f.dataType).alias(f.name)
+            for f in st.fields])
     if name == "json-compact-rows":
         # JSONCompactEachRow: one top-level JSON array per line. Parse
         # as array<string> (scalars and nested composites coerce to

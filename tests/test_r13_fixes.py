@@ -698,3 +698,71 @@ def test_access_introspection_functions(spark):
     r = rows[0]
     assert list(r.cp) == ["default"] and list(r.cr) == []
     assert r.os.startswith("Linux") and r.rev > 0 and r.zk
+
+
+# --- input format tail: NamesAndTypes, Values, TSKV, JSONStrings, arrays ----
+
+def test_insert_tsv_with_names_and_types(sess):
+    sess.execute("CREATE TABLE fnt (a UInt32, b String) ENGINE = Memory")
+    sess.execute(
+        "INSERT INTO fnt FORMAT TSVWithNamesAndTypes\n"
+        "a\tb\nUInt32\tString\n1\tx\n2\ty")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT * FROM fnt").collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_insert_csv_with_names_and_types(sess):
+    sess.execute("CREATE TABLE fct (a UInt32, b String) ENGINE = Memory")
+    sess.execute(
+        "INSERT INTO fct FORMAT CSVWithNamesAndTypes\n"
+        "a,b\nUInt32,String\n2,y")
+    assert [(r.a, r.b) for r in
+            sess.execute("SELECT * FROM fct").collect()] == [(2, "y")]
+
+
+def test_insert_format_values(sess):
+    sess.execute("CREATE TABLE fv (a UInt32, b String) ENGINE = Memory")
+    sess.execute("INSERT INTO fv FORMAT Values\n(1, 'x'), (2, 'y')")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT * FROM fv").collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_insert_format_tskv(sess):
+    sess.execute("CREATE TABLE ftk (a UInt32, b String) ENGINE = Memory")
+    sess.execute("INSERT INTO ftk FORMAT TSKV\na=1\tb=x\na=2\tb=y")
+    assert sorted((r.a, r.b) for r in
+                  sess.execute("SELECT * FROM ftk").collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_insert_json_strings_each_row(sess):
+    sess.execute("CREATE TABLE fjs (a UInt32) ENGINE = Memory")
+    sess.execute(
+        'INSERT INTO fjs FORMAT JSONStringsEachRow\n'
+        '{"a": "1"}\n{"a": "2"}')
+    assert sorted(r.a for r in
+                  sess.execute("SELECT a FROM fjs").collect()) == [1, 2]
+
+
+def test_insert_json_compact_strings(sess):
+    sess.execute("CREATE TABLE fjc (a UInt32, b String) ENGINE = Memory")
+    sess.execute(
+        'INSERT INTO fjc FORMAT JSONCompactStringsEachRow\n["1", "x"]')
+    assert [(r.a, r.b) for r in
+            sess.execute("SELECT * FROM fjc").collect()] == [(1, "x")]
+
+
+def test_insert_csv_array_column(sess):
+    sess.execute("CREATE TABLE fca (a Array(UInt32)) ENGINE = Memory")
+    sess.execute('INSERT INTO fca FORMAT CSV\n"[1,2,3]"')
+    assert list(sess.execute(
+        "SELECT a FROM fca").collect()[0].a) == [1, 2, 3]
+
+
+def test_insert_csv_string_array_column(sess):
+    sess.execute("CREATE TABLE fcs (s Array(String)) ENGINE = Memory")
+    sess.execute("INSERT INTO fcs FORMAT CSV\n\"['a','b']\"")
+    assert list(sess.execute(
+        "SELECT s FROM fcs").collect()[0].s) == ["a", "b"]
