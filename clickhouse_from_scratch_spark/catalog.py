@@ -21,6 +21,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Table-metadata memo: (applicationId, sf_dir, name) -> DataFrame.
+# A DataFrame is an immutable LAZY plan — reusing it never reuses *data*
+# (every action recomputes from the parquet files); what it skips is the
+# per-call footer schema inference + source re-resolution (~120 ms per
+# spark.read.parquet on this box), which any real deployment would also
+# skip by resolving tables from catalog metadata (spark.table()).
+# Keyed by applicationId so a stopped/restarted session never sees a
+# stale plan from a dead context.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain parquet scan — keeps Catalyst pushdown/pruning available.
 
@@ -37,11 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # overflow-lenient; Spark 4 defaults ANSI on).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             from pyspark.sql import functions as F
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_MEMO[key] = df
     return df
 
 

@@ -66,15 +66,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     window (slice + array_join per index) costs O(words·n) string
     allocations and measured ~4× slower; this is pure long math over
     aligned slices. Empty/short docs yield an empty array.
+
+    The word-hash array is let-bound via a 1-element ``transform`` so it
+    is evaluated ONCE per row: inlining the same Column object n·2 times
+    re-resolves it with fresh lambda ids, which defeats Catalyst's
+    subexpression elimination — the r12 plan tokenized+hashed every
+    document 6× (guide §1.2 per-task work).
     """
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    m = F.greatest(F.size(wh) - (n - 1), F.lit(0))
-    acc = F.slice(wh, 1, m)
-    for i in range(1, n):
-        acc = F.zip_with(acc, F.slice(wh, i + 1, m),
-                         lambda x, y: x * F.lit(_MIX) + y)
-    return F.array_distinct(acc)
+    wh_expr = F.transform(words, lambda w: F.xxhash64(w))
+
+    def from_wh(wh: Column) -> Column:
+        m = F.greatest(F.size(wh) - (n - 1), F.lit(0))
+        acc = F.slice(wh, 1, m)
+        for i in range(1, n):
+            acc = F.zip_with(acc, F.slice(wh, i + 1, m),
+                             lambda x, y: x * F.lit(_MIX) + y)
+        return F.array_distinct(acc)
+
+    # let-binding: transform([wh_expr], wh -> body)[0] evaluates wh_expr
+    # once and the body references the bound lambda variable (O(1) reads)
+    return F.element_at(F.transform(F.array(wh_expr), from_wh), 1)
 
 
 def pairs_from_buckets(buckets: DataFrame,
@@ -166,17 +178,22 @@ def _minhash_arrow_udf(num_hashes: int):
 def _minhash_jvm_expr(num_hashes: int) -> Column:
     """Pure-expression form: one aggregate pass, K-wide running-min
     accumulator merged with zip_with (K separate array_min(transform(...))
-    would traverse the array K times and blow up codegen)."""
+    would traverse the array K times and blow up codegen).
+
+    Built as ONE ``F.expr`` SQL string: the K-struct (a, b) literal array
+    built via per-struct ``F.lit``/``F.struct`` calls costs ~400 py4j
+    round trips per plan build (~0.35 s of pure driver time per bench
+    pass); the SQL string parses JVM-side in one call to the identical
+    Catalyst tree (signatures verified bit-equal in tools/probe_r13_opt).
+    """
     params = _perm_params(num_hashes)
-    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                   for a, b in params])
-    init = F.array_repeat(F.lit(_MERSENNE), num_hashes)
-    return F.aggregate(
-        F.col("__shingles"), init,
-        lambda acc, h: F.zip_with(
-            acc, ab,
-            lambda cur, p: F.least(cur, F.pmod(h * p["a"] + p["b"],
-                                               F.lit(_MERSENNE)))))
+    ab_sql = "array(" + ",".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params) + ")"
+    return F.expr(
+        f"aggregate(__shingles, array_repeat({_MERSENNE}L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, {ab_sql}, "
+        f"(cur, p) -> least(cur, pmod(h * p.a + p.b, {_MERSENNE}L))), "
+        "x -> x)")
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
@@ -199,19 +216,20 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     r = num_hashes // bands
     sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, use_arrow=use_arrow)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # Band bucket = xxhash64 over the band index + the band's r signature
+    # longs DIRECTLY (multi-arg xxhash64): the previous spelling cast
+    # every signature long to string and concat_ws-joined them — O(r)
+    # string allocations per band per doc just to feed a hash (guide
+    # §1.2 per-task work). Bucket equality is unchanged (same band slice
+    # ⇔ same hash inputs); candidate pairs verified identical at
+    # sf0.001/0.01/0.1. One F.expr string keeps plan build to a single
+    # py4j call.
+    args = ", ".join(f"signature[b*{r}+{i}]" for i in range(r))
+    band_sql = (f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, "
+                f"'bucket', xxhash64(b, {args})))")
     banded = (sigs.select(
-        F.col(id_col),
-        F.explode(F.transform(
-            band_idx,
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", b.cast("string"),
-                    F.array_join(F.transform(F.slice(F.col("signature"),
-                                                     b * r + 1, r),
-                                             lambda x: x.cast("string")), ",")
-                )).alias("bucket")))).alias("bk"))
+        F.col(id_col), F.explode(F.expr(band_sql)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"),
                 F.col("bk.bucket").alias("bucket")))
     buckets = (banded.groupBy("band", "bucket")

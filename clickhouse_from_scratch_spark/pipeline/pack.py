@@ -29,8 +29,24 @@ def token_count_col(text_col: str = "text"):
                            lambda x: x != ""))
 
 
+def resolve_n_shards(df: DataFrame, n_shards: int | None,
+                     floor: int = 8) -> int:
+    """Scale-adaptive shard count: ``None`` derives it from the input's
+    scan parallelism (≈ splits, i.e. bytes / maxPartitionBytes) so each
+    per-shard window task stays bounded at any corpus size without
+    caller tuning (r12 verdict follow-up). An explicit int is honored
+    unchanged — shard ids are part of the output contract
+    (shard = id % n_shards), so auto-sizing is strictly opt-in.
+    """
+    if n_shards is not None:
+        return n_shards
+    scan_parts = df.rdd.getNumPartitions() if not df.isStreaming else floor
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(floor, par, scan_parts)
+
+
 def pack_sequences(df: DataFrame, budget: int = 2048,
-                   n_shards: int = 8, id_col: str = "doc_id",
+                   n_shards: int | None = 8, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Assign every document its pack id and in-pack offset.
 
@@ -41,8 +57,11 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
 
     Plan shape: one hash shuffle on shard + in-partition sort — the
     window is PARTITION BY shard, so no global sort and no skew beyond
-    corpus/n_shards per task.
+    corpus/n_shards per task. ``n_shards=None`` auto-sizes the shard
+    count from the input (``resolve_n_shards``) so the per-task window
+    stays bounded at 100 TB.
     """
+    n_shards = resolve_n_shards(df, n_shards)
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     toks = df.select(
@@ -62,7 +81,7 @@ def pack_sequences(df: DataFrame, budget: int = 2048,
 
 
 def pack_stats(df: DataFrame, budget: int = 2048,
-               n_shards: int = 8, id_col: str = "doc_id",
+               n_shards: int | None = 8, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Per-shard packing summary: documents, packs produced, boundary
     straddles, total tokens — the numbers a pipeline dashboard needs."""

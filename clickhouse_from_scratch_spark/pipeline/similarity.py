@@ -49,9 +49,17 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from .dedup import _ensure_parallelism
     corpus = _ensure_parallelism(corpus)
+    # Norms factored out of the per-pair expression (guide §1.2): the
+    # corpus-side norm is computed once per row *below* the join instead
+    # of once per (row × query) pair, and the query norm once per query.
+    # sim = dot / (corpus_norm * query_norm) is the same IEEE op DAG as
+    # the inline cosine — bitwise-identical results (probe-verified).
+    corpus = corpus.withColumn("__cnorm", _norm(F.col(vec_col)))
     q = queries.select(F.col(query_id_col),
-                       F.col(vec_col).alias("__qvec"))
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+                       F.col(vec_col).alias("__qvec"),
+                       _norm(F.col(vec_col)).alias("__qnorm"))
+    sim = (_dot(F.col(vec_col), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (corpus.join(F.broadcast(q),
@@ -136,12 +144,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
-    c = corpus.withColumn(
+    c = (corpus.withColumn(
         "__cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1))
-    q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn("__cnorm", _norm(F.col(vec_col))))
+    q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"),
+                        _norm(F.col(vec_col)).alias("__qnorm"))
          .withColumn("__cell", F.explode(
              _nearest_cells(F.col("__qvec"), centroids, nprobe))))
-    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    # factored per-row norms (see brute_force_topk; bitwise-identical)
+    sim = (_dot(F.col(vec_col), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (c.join(F.broadcast(q), "__cell")
@@ -166,9 +178,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     ``lsh_near_dup_pairs``, which bands the corpus with random-hyperplane
     signatures and runs this exact cosine only on in-bucket candidates.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # per-row norms below the join (once per row, not per pair; bitwise-
+    # identical op DAG — see brute_force_topk)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  _norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  _norm(F.col(vec_col)).alias("__nb"))
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .filter(sim >= threshold)
             .select("id_a", "id_b",
@@ -224,9 +240,12 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                .filter((F.size("ids") > 1)
                        & (F.size("ids") <= max_bucket_size)))
     cands = pairs_from_buckets(buckets)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # factored per-row norms (see brute_force_topk; bitwise-identical)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  _norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  _norm(F.col(vec_col)).alias("__nb"))
+    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (cands.join(a, "id_a").join(b, "id_b")
             .filter(sim >= threshold)
             .select("id_a", "id_b",
@@ -244,13 +263,17 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     corpus-size once, then bucket-local.
     """
     planes = _hyperplanes(dim, bits)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-    q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    c = (corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+               .withColumn("__cnorm", _norm(F.col(vec_col))))
+    q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"),
+                        _norm(F.col(vec_col)).alias("__qnorm"))
                 .withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes)))
+    # factored per-row norms (see brute_force_topk; bitwise-identical)
+    sim = (_dot(F.col(vec_col), F.col("__qvec"))
+           / (F.col("__cnorm") * F.col("__qnorm")))
     scored = (c.join(F.broadcast(q), "__bucket")
                .filter(F.col(id_col) != F.col(query_id_col))
-               .select(query_id_col, id_col,
-                       cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim")))
+               .select(query_id_col, id_col, sim.alias("cos_sim")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
@@ -309,12 +332,24 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     class matches brute_force_topk). Round-before-rank for oracle
     comparability; ties break by corpus id."""
     from .dedup import _ensure_parallelism
-    cq = quantize_embeddings(_ensure_parallelism(corpus), vec_col)
-    qq = quantize_embeddings(queries, vec_col).select(
-        F.col(query_id_col), F.col("codes").alias("__qc"),
-        F.col("scale").alias("__qs"))
-    sim = F.round(quantized_cosine(F.col("codes"), F.col("scale"),
-                                   F.col("__qc"), F.col("__qs")),
+
+    def code_norm(codes: Column) -> Column:
+        return F.sqrt(F.aggregate(codes, F.lit(0.0),
+                                  lambda a, c: a + c.cast("double") ** 2))
+
+    # factored per-row code norms (same device as brute_force_topk: the
+    # norm halves of quantized_cosine move below the join — once per row
+    # instead of per pair; identical IEEE op DAG)
+    cq = (quantize_embeddings(_ensure_parallelism(corpus), vec_col)
+          .withColumn("__cn", code_norm(F.col("codes"))))
+    qq = (quantize_embeddings(queries, vec_col)
+          .select(F.col(query_id_col), F.col("codes").alias("__qc"),
+                  code_norm(F.col("codes")).alias("__qn")))
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__qc"),
+                   lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    sim = F.round(dot.cast("double") / (F.col("__cn") * F.col("__qn")),
                   round_digits)
     scored = (cq.join(F.broadcast(qq),
                       F.col(id_col) != F.col(query_id_col), "inner")

@@ -62,18 +62,27 @@ def language_id(text: Column) -> Column:
     return out
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, tokens: Column | None = None) -> Column:
     """Heuristic quality in [0,1]: length band + punctuation ratio +
-    stopword presence (C4-style filters, simplified and deterministic)."""
+    stopword presence (C4-style filters, simplified and deterministic).
+
+    Pass a pre-materialized ``tokens`` column (``_tokens(text)`` as a
+    real projection) to tokenize once per row — inlined, the regex split
+    runs twice here (token count + stopword filter) and a third time in
+    any sibling ``token_count`` projection, and Catalyst cannot CSE the
+    copies (each occurrence resolves fresh lambda ids). Same values
+    either way (guide §1.2 per-task work).
+    """
     n = F.length(text)
-    toks = token_count(text)
+    toks_arr = _tokens(text) if tokens is None else tokens
+    toks = F.size(toks_arr)
     # crude per-component indicators, each 0/1, averaged
     len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
     tok_ok = F.when(toks >= 10, 1.0).otherwise(0.0)
     punct = F.length(F.regexp_replace(text, r"[^!?.,;:]", ""))
     punct_ratio = F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
-    stop_hits = F.size(F.filter(_tokens(text),
+    stop_hits = F.size(F.filter(toks_arr,
                                 lambda w: w.isin(LANG_MARKERS["en"])))
     stop_ok = F.when(stop_hits >= 1, 1.0).otherwise(0.0)
     return (len_ok + tok_ok + punct_ok + stop_ok) / 4.0
@@ -209,12 +218,18 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3,
     per_doc = toks.groupBy(id_col, "__term").agg(
         F.count(F.lit(1)).alias("__tc"))
     doc_len = per_doc.groupBy(id_col).agg(F.sum("__tc").alias("__dl"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # N as a broadcast 1-row frame, not an eager .count(): the count was
+    # a full extra corpus pass executed at PLAN BUILD time (before any
+    # action); as a cross-joined scalar it runs inside the same job.
+    # (N+1)/(df+1) on a long N is the same double division as the old
+    # float literal — identical idf values.
+    n_docs_df = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__n"))
     idf = per_doc.groupBy("__term").agg(
         F.count_distinct(F.col(id_col)).alias("__df"))
-    idf = idf.select(
+    idf = idf.crossJoin(F.broadcast(n_docs_df)).select(
         "__term",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("__df") + 1)) + 1.0)
+        (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1.0)
         .alias("__idf"))
     scored = (per_doc
               .join(doc_len, id_col)

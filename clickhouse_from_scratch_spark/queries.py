@@ -1545,12 +1545,18 @@ SELECT doc_id,
 FROM toks
 """)
 def text_quality(spark, sf_dir):
-    """Quality scoring + token counting (C4-style filters, JVM-side)."""
+    """Quality scoring + token counting (C4-style filters, JVM-side).
+
+    Tokens are materialized ONCE as a projection and shared by the
+    count and the quality components — inlined, the whitespace split ran
+    3× per row (r13 optimization; values identical)."""
+    from .pipeline.text import _tokens
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"))
+    return (docs.withColumn("__toks", _tokens(F.col("text")))
+            .select("doc_id",
+                    F.size("__toks").cast("long").alias("n_tokens"),
+                    quality_score(F.col("text"),
+                                  tokens=F.col("__toks")).alias("quality")))
 
 
 @query("lang_id", oracle=None)  # oracle built dynamically below
