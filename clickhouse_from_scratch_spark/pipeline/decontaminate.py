@@ -26,13 +26,22 @@ from .dedup import shingles
 
 def _gram_strings(text: Column, n: int) -> Column:
     """Distinct word n-gram STRINGS (oracle-matchable form; the hash
-    path in ``shingles`` is the fast production form)."""
-    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
-    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    idx = F.when(m >= 1, F.sequence(F.lit(1), m)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i, n), " ")))
+    path in ``shingles`` is the fast production form).
+
+    Words are let-bound (1-element ``transform``) so the tokenizer runs
+    ONCE per row — referenced inside the per-gram slice lambda it would
+    re-run per n-gram (lambda copies defeat Catalyst CSE; guide §1.2)."""
+    words_expr = F.filter(F.split(F.lower(text), r"\s+"),
+                          lambda w: w != "")
+
+    def from_words(words: Column) -> Column:
+        m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i, n), " ")))
+
+    return F.element_at(F.transform(F.array(words_expr), from_words), 1)
 
 
 def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,

@@ -301,15 +301,21 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     docs = docs.withColumn("__h", hashes)
 
-    def bit_vote(b: int) -> Column:
-        vote = F.aggregate(
-            F.col("__h"), F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1))
-        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig.bitwiseOR(F.shiftleft(bit_vote(b), b))
+    # ONE aggregate pass building a 64-wide vote vector, then one fold
+    # packing sign bits — the previous per-bit spelling ran 64 separate
+    # aggregates (64 traversals of the token-hash array per row and a
+    # 64x bigger codegen tree). Exactly the same votes/bits (integer
+    # ops only); r13 optimization, guide §1.2 per-task work.
+    sig = F.expr(
+        "aggregate("
+        "  zip_with("
+        "    aggregate(__h, array_repeat(0L, 64),"
+        "      (acc, h) -> zip_with(acc, sequence(0, 63),"
+        "        (a, b) -> a + ((h >> b) & 1L) * 2L - 1L),"
+        "      x -> x),"
+        "    sequence(0, 63),"
+        "    (v, b) -> IF(v > 0L, shiftleft(1L, b), 0L)),"
+        "  0L, (acc, x) -> acc | x, x -> x)")
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -397,20 +403,23 @@ def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",
     hashes = F.transform(words, lambda w: F.md5(w))
     docs = docs.withColumn("__h", hashes)
 
-    def bit_vote(b: int) -> Column:
-        pos, shift = b // 4 + 1, b % 4
-        vote = F.aggregate(
-            F.col("__h"), F.lit(0).cast("long"),
-            lambda acc, h: acc + (
-                F.shiftright(F.conv(F.substring(h, pos, 1), 16, 10)
-                             .cast("int"), shift)
-                .bitwiseAND(F.lit(1)).cast("long") * 2 - 1))
-        return F.when(vote > 0, F.lit(1).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-
-    sig = F.lit(0).cast("long")
-    for b in range(nbits):
-        sig = sig.bitwiseOR(F.shiftleft(bit_vote(b), b))
+    # ONE aggregate pass over the token hashes building the nbits-wide
+    # vote vector (was nbits separate aggregates — nbits traversals per
+    # row); bit b of a token = bit b%4 of hex digit b//4, exactly as
+    # before, so signatures (and the DuckDB oracle match) are unchanged.
+    sig = F.expr(
+        "aggregate("
+        "  zip_with("
+        f"    aggregate(__h, array_repeat(0L, {nbits}),"
+        f"      (acc, h) -> zip_with(acc, sequence(0, {nbits - 1}),"
+        "        (a, b) -> a + ("
+        "          (shiftright(cast(conv(substring("
+        "             h, cast(b div 4 as int) + 1, 1), 16, 10) as int),"
+        "            cast(b % 4 as int)) & 1) * 2L - 1L)),"
+        "      x -> x),"
+        f"    sequence(0, {nbits - 1}),"
+        "    (v, b) -> IF(v > 0L, shiftleft(1L, b), 0L)),"
+        "  0L, (acc, x) -> acc | x, x -> x)")
     return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -595,13 +604,21 @@ def unit_dedup(docs: DataFrame, units: Column, id_col: str = "doc_id",
 
 def word_chunks(text: Column, k: int = 8) -> Column:
     """Split text into consecutive k-word passages (last one partial) —
-    the dedup unit for corpora without line structure."""
-    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    return F.when(n_chunks > 0, F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    the dedup unit for corpora without line structure.
+
+    Tokens are let-bound (1-element ``transform``) so the split runs
+    ONCE per row — referenced inside the per-chunk slice lambda it
+    would re-tokenize per chunk (lambda copies defeat Catalyst CSE)."""
+    toks_expr = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+    def from_toks(toks: Column) -> Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+        return F.when(n_chunks > 0, F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks_expr), from_toks), 1)
 
 
 def passage_dedup(docs: DataFrame, text_col: str = "text",

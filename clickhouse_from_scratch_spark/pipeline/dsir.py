@@ -72,14 +72,20 @@ def featurize(df: DataFrame, id_col: str = "doc_id",
     stream (hashed into the same bucket space, as in the paper).
     One explode + one groupBy — a single shuffle keyed (doc, bucket).
     """
-    toks = tokens_col(text_col)
-    feats = toks
+    feats = tokens_col(text_col)
     if bigrams:
-        pairs = F.zip_with(
-            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit(" "), b))
-        feats = F.concat(toks, pairs)
+        # let-bind the token array (1-element transform) so the regex
+        # split runs once per row — inlined it would run 5x (two slices,
+        # two sizes, the concat; lambda copies defeat Catalyst CSE)
+        def with_pairs(toks):
+            m = F.greatest(F.size(toks) - 1, F.lit(0))
+            pairs = F.zip_with(
+                F.slice(toks, 1, m), F.slice(toks, 2, m),
+                lambda a, b: F.concat(a, F.lit(" "), b))
+            return F.concat(toks, pairs)
+
+        feats = F.element_at(
+            F.transform(F.array(tokens_col(text_col)), with_pairs), 1)
     return (df.select(F.col(id_col),
                       F.explode(feats).alias("__feat"))
               .select(id_col,

@@ -51,10 +51,21 @@ def prepare_training_data(docs: DataFrame, text_col: str = "text",
     verified by n-gram Jaccard (sketch path); None skips the step.
     """
     df = docs
-    if min_quality is not None:
-        df = df.filter(quality_score(F.col(text_col)) >= min_quality)
-    if langs:
-        df = df.filter(language_id(F.col(text_col)).isin(list(langs)))
+    if min_quality is not None or langs:
+        # one tokenize pass shared by the quality and language filters
+        # (inlined, quality re-split twice and language once per marker
+        # language — guide §1.2 per-task work; values identical)
+        from .text import _tokens
+        df = df.withColumn("__toks", _tokens(F.col(text_col)))
+        if min_quality is not None:
+            df = df.filter(quality_score(F.col(text_col),
+                                         tokens=F.col("__toks"))
+                           >= min_quality)
+        if langs:
+            df = df.filter(language_id(F.col(text_col),
+                                       tokens=F.col("__toks"))
+                           .isin(list(langs)))
+        df = df.drop("__toks")
     if scrub:
         df = df.withColumn(text_col, pii_scrub(F.col(text_col)))
     if passage_words:

@@ -293,12 +293,18 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         code_col: str = "codes",
                         scale_col: str = "scale") -> DataFrame:
-    """Append int8 codes + per-vector scale for ``vec_col``."""
+    """Append int8 codes + per-vector scale for ``vec_col``.
+
+    The scale is projected FIRST and the code lambda reads the bound
+    column: inlining the scale expression (which contains the array_max
+    pass) inside the per-element lambda re-evaluated it for every
+    element — O(dim²) per row (guide §1.2). Same values."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(1.0))
     codes = F.transform(
-        v, lambda x: F.round(x.cast("double") / scale, 0).cast("tinyint"))
+        v, lambda x: F.round(x.cast("double") / F.col(scale_col), 0)
+        .cast("tinyint"))
     return df.withColumn(scale_col, scale).withColumn(code_col, codes)
 
 

@@ -41,22 +41,32 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(pieces)
 
 
-def lang_score(text: Column, lang: str) -> Column:
-    """Marker-word hit count for one language (rate per token)."""
-    toks = _tokens(text)
+def lang_score(text: Column, lang: str,
+               tokens: Column | None = None) -> Column:
+    """Marker-word hit count for one language (rate per token).
+
+    Pass a pre-materialized ``tokens`` projection to skip re-tokenizing
+    (see ``quality_score``); values are identical either way."""
+    toks = _tokens(text) if tokens is None else tokens
     markers = LANG_MARKERS[lang]
     hits = F.size(F.filter(toks, lambda w: w.isin(markers)))
     return hits
 
 
-def language_id(text: Column) -> Column:
-    """Argmax language over marker-word hit counts; 'und' if all zero."""
+def language_id(text: Column, tokens: Column | None = None) -> Column:
+    """Argmax language over marker-word hit counts; 'und' if all zero.
+
+    Inlined, every language's score re-tokenizes the document (5 regex
+    splits per row — Catalyst cannot CSE lambda-bearing copies); pass a
+    pre-materialized ``tokens`` projection to tokenize once per row
+    (guide §1.2 per-task work). Same values either way.
+    """
     out = F.lit("und")
     best = F.lit(0)
     # fold left→right: later languages win ties only if strictly better,
     # so iteration order (dict order, fixed) makes this deterministic
     for lang in LANG_MARKERS:
-        s = lang_score(text, lang)
+        s = lang_score(text, lang, tokens=tokens)
         out = F.when(s > best, F.lit(lang)).otherwise(out)
         best = F.greatest(best, s)
     return out
@@ -130,13 +140,21 @@ def dup_unit_char_fraction(units: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams of the whitespace tokens."""
-    toks = _tokens(text)
-    k = F.size(toks) - (n - 1)
-    return F.when(k > 0, F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    """Space-joined word n-grams of the whitespace tokens.
+
+    The token array is let-bound via a 1-element ``transform`` so the
+    regex split runs ONCE per row: referencing the tokens expression in
+    ``size`` AND inside the per-index lambda would re-evaluate it per
+    n-gram (lambda-bearing copies defeat Catalyst CSE; guide §1.2).
+    """
+    def from_toks(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k > 0, F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(_tokens(text)), from_toks), 1)
 
 
 def top_ngram_char_fraction(df, id_col: str, text_col: str,
@@ -264,7 +282,11 @@ def chunk_documents(df, id_col: str, text_col: str,
     from .dedup import _ensure_parallelism
     df = _ensure_parallelism(df)
     stride = chunk_tokens - overlap
-    toks = _tokens(F.col(text_col))
+    # tokens as a REAL projection: referencing the tokenizer expression
+    # inside the per-chunk slice lambda would re-run the regex split for
+    # EVERY chunk of every row (lambda copies defeat Catalyst CSE);
+    # projected once, the lambda reads a bound column (guide §1.2)
+    toks = F.col("__toks")
     n = F.size(toks)
     # number of chunks: ceil(max(n - overlap, 1) / stride), at least 1
     n_chunks = F.greatest(
@@ -274,6 +296,7 @@ def chunk_documents(df, id_col: str, text_col: str,
     chunks = F.transform(
         starts,
         lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
-    return (df.select(F.col(id_col), F.posexplode(chunks)
-                      .alias("chunk_idx", "chunk_text"))
+    return (df.withColumn("__toks", _tokens(F.col(text_col)))
+            .select(F.col(id_col), F.posexplode(chunks)
+                    .alias("chunk_idx", "chunk_text"))
             .filter(F.col("chunk_text") != ""))

@@ -1561,10 +1561,17 @@ def text_quality(spark, sf_dir):
 
 @query("lang_id", oracle=None)  # oracle built dynamically below
 def lang_id(spark, sf_dir):
-    """Language-ID heuristic: argmax of marker-word hits per language."""
+    """Language-ID heuristic: argmax of marker-word hits per language.
+
+    Tokens materialized once per row and shared by all 5 language
+    scores (inlined, each score re-ran the regex split — r13
+    optimization; values identical)."""
+    from .pipeline.text import _tokens
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang",
-                       language_id(F.col("text")).alias("pred_lang"))
+    return (docs.withColumn("__toks", _tokens(F.col("text")))
+            .select("doc_id", "lang",
+                    language_id(F.col("text"), tokens=F.col("__toks"))
+                    .alias("pred_lang")))
 
 
 def _lang_id_oracle() -> str:
@@ -2358,11 +2365,15 @@ def gopher_repetition_q(spark, sf_dir):
                                 dup_unit_char_fraction,
                                 top_ngram_char_fraction)
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    base = docs.select(
+    # tokens materialized once per row; the two dup-fraction signals
+    # reference the projected column (inlined, the regex split ran 4x
+    # per row — r13 optimization; values identical)
+    toks = F.col("__toks")
+    base = (docs.withColumn("__toks", _tokens(F.col("text")))
+            .select(
         "doc_id", "text",
         F.round(dup_unit_fraction(toks), 6).alias("dup_word_frac"),
-        F.round(dup_unit_char_fraction(toks), 6).alias("dup_word_char_frac"))
+        F.round(dup_unit_char_fraction(toks), 6).alias("dup_word_char_frac")))
     top = top_ngram_char_fraction(docs, "doc_id", "text", 2)
     return (base.join(top, "doc_id", "left")
             .select("doc_id", "dup_word_frac", "dup_word_char_frac",
