@@ -51,9 +51,9 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
     distinct n-grams with the benchmark corpus."""
     g_docs = docs.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("__g"))
+        F.explode(shingles(text_col, n)).alias("__g"))
     g_bench = (bench.select(
-        F.explode(shingles(F.col(text_col), n)).alias("__g")).distinct())
+        F.explode(shingles(text_col, n)).alias("__g")).distinct())
     hits = (g_docs.join(F.broadcast(g_bench), "__g")
             .groupBy(id_col)
             .agg(F.count_distinct("__g").alias("n_matches")))

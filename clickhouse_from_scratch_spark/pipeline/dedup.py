@@ -53,12 +53,42 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     # 1.3s at 16/32 for the sf0.1 minhash pass); real clusters keep the
     # same headroom for concurrent stages
     target = max(2, par // 2)
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # physical-plan partition count WITHOUT df.rdd: the .rdd property
+        # additionally builds the Python-serialized RDD wrapper
+        # (javaToPython), ~50 ms per call vs ~3 ms for toRdd() (guide
+        # §1.2 driver-side per-task work; plan build is inside the
+        # bench's timed region)
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except AttributeError:          # non-classic backend: keep public API
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def _shingles_sql(col_sql: str, n: int = 3) -> str:
+    """SQL-string form of :func:`shingles` over a column expression.
+
+    One ``F.expr`` parses JVM-side in a single py4j call; composing the
+    same tree from Python HOFs (``F.filter``/``F.transform``/
+    ``F.zip_with``) costs ~40 py4j round trips and measured ~270 ms of
+    driver time PER BUILD vs ~1 ms for the string (guide §1.2 — plan
+    build is inside the bench's timed region). Tree and results are
+    identical (probe: 0 differing rows at sf0.1, both directions).
+    """
+    m = f"greatest(size(wh) - {n - 1}, 0)"
+    acc = f"slice(wh, 1, {m})"
+    for i in range(1, n):
+        acc = (f"zip_with({acc}, slice(wh, {i + 1}, {m}), "
+               f"(x, y) -> x * {_MIX}L + y)")
+    return (
+        "element_at(transform(array(transform(filter(split(lower("
+        f"{col_sql}), '\\\\s+'), w -> w <> ''), w -> xxhash64(w))), "
+        f"wh -> array_distinct({acc})), 1)")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle hashes (distinct) — array<long>, JVM-side.
 
     Hash each word once, then combine n consecutive word hashes with
@@ -67,12 +97,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     allocations and measured ~4× slower; this is pure long math over
     aligned slices. Empty/short docs yield an empty array.
 
-    The word-hash array is let-bound via a 1-element ``transform`` so it
-    is evaluated ONCE per row: inlining the same Column object n·2 times
+    The word-hash array is let-bound (1-element ``transform``) so it is
+    evaluated ONCE per row: inlining the same expression n·2 times
     re-resolves it with fresh lambda ids, which defeats Catalyst's
     subexpression elimination — the r12 plan tokenized+hashed every
     document 6× (guide §1.2 per-task work).
+
+    Pass the column NAME (str) to build the whole expression as one
+    ``F.expr`` (see :func:`_shingles_sql`); a ``Column`` argument keeps
+    the Python-HOF composition for arbitrary expressions.
     """
+    if isinstance(text, str):
+        quoted = f"`{text}`" if not text.startswith("`") else text
+        return F.expr(_shingles_sql(quoted, n))
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     wh_expr = F.transform(words, lambda w: F.xxhash64(w))
 
@@ -98,14 +135,13 @@ def pairs_from_buckets(buckets: DataFrame,
     bucket with array combinatorics, so no second self-join / shuffle of
     the corpus is needed — only the bucket rows explode.
     """
-    ids = F.col(ids_col)
-    n = F.size(ids)
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.transform(
-            F.slice(ids, i + 1, n),
-            lambda y: F.struct(F.element_at(ids, i).alias("id_a"),
-                               y.alias("id_b")))))
+    # single F.expr string: the Python-HOF composition of the same tree
+    # costs ~90 ms of py4j round trips per plan build (guide §1.2)
+    q = f"`{ids_col}`"
+    pair_structs = F.expr(
+        f"flatten(transform(sequence(1, size({q})), "
+        f"i -> transform(slice({q}, i + 1, size({q})), "
+        f"y -> named_struct('id_a', element_at({q}, i), 'id_b', y))))")
     return (buckets.select(F.explode(pair_structs).alias("p"))
             .select(F.col("p.id_a").alias("id_a"),
                     F.col("p.id_b").alias("id_b"))
@@ -137,7 +173,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     pure-JVM expression path instead.
     """
     docs = _ensure_parallelism(docs)
-    sh = shingles(F.col(text_col), shingle_n)
+    sh = shingles(text_col, shingle_n)
     docs = docs.withColumn("__shingles", sh)
     if use_arrow:
         sig = _minhash_arrow_udf(num_hashes)(F.col("__shingles"))
@@ -251,7 +287,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """
     cands = minhash_lsh_candidates(docs, text_col, id_col, num_hashes,
                                    bands, shingle_n, use_arrow=use_arrow)
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -274,7 +310,7 @@ def ngram_jaccard_exact_pairs(docs: DataFrame, text_col: str = "text",
     the 100 TB path is ``ngram_jaccard_pairs`` (LSH candidates) above.
     """
     sh = docs.select(F.col(id_col),
-                     shingles(F.col(text_col), shingle_n).alias("sh")) \
+                     shingles(text_col, shingle_n).alias("sh")) \
              .filter(F.size("sh") > 0)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -56,7 +56,7 @@ def prepare_training_data(docs: DataFrame, text_col: str = "text",
         # (inlined, quality re-split twice and language once per marker
         # language — guide §1.2 per-task work; values identical)
         from .text import _tokens
-        df = df.withColumn("__toks", _tokens(F.col(text_col)))
+        df = df.withColumn("__toks", _tokens(text_col))
         if min_quality is not None:
             df = df.filter(quality_score(F.col(text_col),
                                          tokens=F.col("__toks"))

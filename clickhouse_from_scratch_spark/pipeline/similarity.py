@@ -21,12 +21,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
+    """Double dot product. String args (column names) build ONE F.expr —
+    the Python-HOF composition costs ~30 py4j round trips per call vs 1
+    (guide §1.2; plan build is inside the bench's timed region). Same
+    Catalyst tree either way (results bitwise identical, probe-verified)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)")
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column | str) -> Column:
+    """Double L2 norm; string args take the one-call F.expr path (see
+    :func:`_dot`)."""
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(`{a}`, 0.0D, "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
@@ -54,11 +69,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # of once per (row × query) pair, and the query norm once per query.
     # sim = dot / (corpus_norm * query_norm) is the same IEEE op DAG as
     # the inline cosine — bitwise-identical results (probe-verified).
-    corpus = corpus.withColumn("__cnorm", _norm(F.col(vec_col)))
+    corpus = corpus.withColumn("__cnorm", _norm(vec_col))
     q = queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("__qvec"),
-                       _norm(F.col(vec_col)).alias("__qnorm"))
-    sim = (_dot(F.col(vec_col), F.col("__qvec"))
+                       _norm(vec_col).alias("__qnorm"))
+    sim = (_dot(vec_col, "__qvec")
            / (F.col("__cnorm") * F.col("__qnorm")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -152,7 +167,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
          .withColumn("__cell", F.explode(
              _nearest_cells(F.col("__qvec"), centroids, nprobe))))
     # factored per-row norms (see brute_force_topk; bitwise-identical)
-    sim = (_dot(F.col(vec_col), F.col("__qvec"))
+    sim = (_dot(vec_col, "__qvec")
            / (F.col("__cnorm") * F.col("__qnorm")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -181,10 +196,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     # per-row norms below the join (once per row, not per pair; bitwise-
     # identical op DAG — see brute_force_topk)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                  _norm(F.col(vec_col)).alias("__na"))
+                  _norm(vec_col).alias("__na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                  _norm(F.col(vec_col)).alias("__nb"))
-    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+                  _norm(vec_col).alias("__nb"))
+    sim = _dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .filter(sim >= threshold)
             .select("id_a", "id_b",
@@ -339,22 +354,25 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     comparability; ties break by corpus id."""
     from .dedup import _ensure_parallelism
 
-    def code_norm(codes: Column) -> Column:
-        return F.sqrt(F.aggregate(codes, F.lit(0.0),
-                                  lambda a, c: a + c.cast("double") ** 2))
+    def code_norm(codes_name: str) -> Column:
+        # one F.expr per call (vs ~15 py4j round trips for the HOF
+        # form, guide §1.2); POWER(x, 2) matches the previous ``** 2``
+        return F.expr(
+            f"sqrt(aggregate(`{codes_name}`, 0.0D, "
+            "(a, c) -> a + power(CAST(c AS DOUBLE), 2)))")
 
     # factored per-row code norms (same device as brute_force_topk: the
     # norm halves of quantized_cosine move below the join — once per row
     # instead of per pair; identical IEEE op DAG)
     cq = (quantize_embeddings(_ensure_parallelism(corpus), vec_col)
-          .withColumn("__cn", code_norm(F.col("codes"))))
+          .withColumn("__cn", code_norm("codes")))
     qq = (quantize_embeddings(queries, vec_col)
           .select(F.col(query_id_col), F.col("codes").alias("__qc"),
-                  code_norm(F.col("codes")).alias("__qn")))
-    dot = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("__qc"),
-                   lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+                  code_norm("codes").alias("__qn")))
+    dot = F.expr(
+        "aggregate(zip_with(`codes`, `__qc`, "
+        "(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     sim = F.round(dot.cast("double") / (F.col("__cn") * F.col("__qn")),
                   round_digits)
     scored = (cq.join(F.broadcast(qq),

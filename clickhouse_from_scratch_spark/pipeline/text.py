@@ -23,7 +23,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def _tokens(text: Column) -> Column:
+def _tokens(text: Column | str) -> Column:
+    # string arg (column name) → ONE F.expr (single py4j call) instead
+    # of the ~6-call HOF composition; same tree (guide §1.2 — plan
+    # build is inside the bench's timed region)
+    if isinstance(text, str):
+        return F.expr(
+            f"filter(split(lower(`{text}`), '\\\\s+'), w -> w <> '')")
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
@@ -230,7 +236,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3,
     df = _ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
-        F.explode(F.filter(_tokens(F.col(text_col)),
+        F.explode(F.filter(_tokens(text_col),
                            lambda w: F.length(w) >= min_token_len))
         .alias("__term"))
     per_doc = toks.groupBy(id_col, "__term").agg(
@@ -296,7 +302,7 @@ def chunk_documents(df, id_col: str, text_col: str,
     chunks = F.transform(
         starts,
         lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "))
-    return (df.withColumn("__toks", _tokens(F.col(text_col)))
+    return (df.withColumn("__toks", _tokens(text_col))
             .select(F.col(id_col), F.posexplode(chunks)
                     .alias("chunk_idx", "chunk_text"))
             .filter(F.col("chunk_text") != ""))

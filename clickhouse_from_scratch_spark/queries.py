@@ -1552,7 +1552,7 @@ def text_quality(spark, sf_dir):
     3× per row (r13 optimization; values identical)."""
     from .pipeline.text import _tokens
     docs = _t(spark, sf_dir, "documents")
-    return (docs.withColumn("__toks", _tokens(F.col("text")))
+    return (docs.withColumn("__toks", _tokens("text"))
             .select("doc_id",
                     F.size("__toks").cast("long").alias("n_tokens"),
                     quality_score(F.col("text"),
@@ -1568,7 +1568,7 @@ def lang_id(spark, sf_dir):
     optimization; values identical)."""
     from .pipeline.text import _tokens
     docs = _t(spark, sf_dir, "documents")
-    return (docs.withColumn("__toks", _tokens(F.col("text")))
+    return (docs.withColumn("__toks", _tokens("text"))
             .select("doc_id", "lang",
                     language_id(F.col("text"), tokens=F.col("__toks"))
                     .alias("pred_lang")))
@@ -2369,7 +2369,7 @@ def gopher_repetition_q(spark, sf_dir):
     # reference the projected column (inlined, the regex split ran 4x
     # per row — r13 optimization; values identical)
     toks = F.col("__toks")
-    base = (docs.withColumn("__toks", _tokens(F.col("text")))
+    base = (docs.withColumn("__toks", _tokens("text"))
             .select(
         "doc_id", "text",
         F.round(dup_unit_fraction(toks), 6).alias("dup_word_frac"),
