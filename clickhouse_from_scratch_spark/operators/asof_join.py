@@ -50,21 +50,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # Tagged union: left rows carry NULL payload, right rows carry NULL
     # left-columns. __side orders right rows before left rows at equal
     # timestamps so a right row at exactly left_time matches (<= semantics).
+    # Built via selectExpr STRINGS: the per-column F.col/F.lit/.cast
+    # composition costs ~60 py4j round trips (~0.1 s of driver time per
+    # plan build — inside the bench's timed region); the string lists
+    # parse JVM-side in one call each to the identical projections
+    # (guide §1.2).
     lcols = [c for c in left.columns if c not in keys and c != left_time]
-    l_tagged = left.select(
-        *[F.col(k) for k in keys],
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
-        *[F.col(c).alias(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_name(c))
-          for c in payload],
+    l_tagged = left.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{left_time}` AS __t",
+        "1 AS __side",
+        *[f"`{c}`" for c in lcols],
+        *[f"CAST(NULL AS {right.schema[c].dataType.simpleString()}) "
+          f"AS `{out_name(c)}`" for c in payload],
     )
-    r_tagged = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(out_name(c)) for c in payload],
+    r_tagged = right.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{right_time}` AS __t",
+        "0 AS __side",
+        *[f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS `{c}`"
+          for c in lcols],
+        *[f"`{c}` AS `{out_name(c)}`" for c in payload],
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -72,14 +78,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # __side tie-break at equal timestamps: inclusive (<=/>=) sees right
     # rows (side 0) before left rows → a right row at exactly left_time
     # matches; strict (</>) orders left rows first so it doesn't.
-    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
-    w = (Window.partitionBy(*[F.col(k) for k in keys])
-               .orderBy(F.col("__t").asc() if asc else F.col("__t").desc(),
-                        side_order)
-               .rowsBetween(Window.unboundedPreceding, 0))
-    filled = unioned.select(
+    # SQL window syntax = the same WindowExpression as the Window-spec
+    # API (ASC defaults NULLS FIRST / DESC NULLS LAST in both).
+    over = (
+        "OVER (PARTITION BY "
+        + ", ".join(f"`{k}`" for k in keys)
+        + f" ORDER BY `__t` {'ASC' if asc else 'DESC'}, "
+        + f"`__side` {'DESC' if strict else 'ASC'}"
+        + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    filled = unioned.selectExpr(
         "*",
-        *[F.last(out_name(c), ignorenulls=True).over(w).alias(f"__f_{c}")
+        *[f"last(`{out_name(c)}`, true) {over} AS `__f_{c}`"
           for c in payload],
     )
     matched = filled.filter(F.col("__side") == 1)
@@ -87,10 +96,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         # a real match always fills the right_time payload (non-null by
         # construction); unmatched left rows keep it NULL
         matched = matched.filter(F.col(f"__f_{right_time}").isNotNull())
-    result = (matched
-                    .select(*[F.col(k) for k in keys],
-                            F.col("__t").alias(left_time),
-                            *[F.col(c) for c in lcols],
-                            *[F.col(f"__f_{c}").alias(out_name(c))
-                              for c in payload]))
+    result = matched.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`__t` AS `{left_time}`",
+        *[f"`{c}`" for c in lcols],
+        *[f"`__f_{c}` AS `{out_name(c)}`" for c in payload])
     return result
