@@ -31,6 +31,32 @@ def table_path(sf_dir: str, name: str) -> str:
 # stale plan from a dead context.
 _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
+# applicationIds whose session confs are already pinned. Each conf.set /
+# applicationId read is a py4j round trip; a 6-table query paid 18+ of
+# them per plan build (inside the bench's timed region, guide §1.2).
+# Keyed by the SparkContext object itself (the held reference keeps the
+# id stable) — a restarted session is a NEW SparkContext, so it re-pins.
+_PINNED_APPS: dict[int, tuple[object, str]] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    """applicationId with per-context conf pinning on first sight."""
+    sc = spark.sparkContext
+    entry = _PINNED_APPS.get(id(sc))
+    if entry is not None and entry[0] is sc:
+        return entry[1]
+    app_id = sc.applicationId
+    # Pin the semantics the engine is defined under even on a session
+    # we didn't build (e.g. the driver harness's own SparkSession):
+    # nanosAsLong (testdata events.ts is TIMESTAMP(NANOS)), UTC
+    # (oracle comparability), ANSI off (ClickHouse is
+    # overflow-lenient; Spark 4 defaults ANSI on).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    _PINNED_APPS[id(sc)] = (sc, app_id)
+    return app_id
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Plain parquet scan — keeps Catalyst pushdown/pruning available.
@@ -38,17 +64,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in the parquet files; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long
     nanoseconds and is converted here to a µs timestamp (integer div —
-    double math would lose precision above 2^53 ns). The conf is set
-    here (runtime-settable) so it also holds on sessions we didn't
-    build — e.g. the driver harness's own SparkSession.
+    double math would lose precision above 2^53 ns).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin the semantics the engine is defined under even on a session we
-    # didn't build: UTC (oracle comparability), ANSI off (ClickHouse is
-    # overflow-lenient; Spark 4 defaults ANSI on).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    key = (_app_id(spark), os.path.abspath(sf_dir), name)
     cached = _TABLE_MEMO.get(key)
     if cached is not None:
         return cached

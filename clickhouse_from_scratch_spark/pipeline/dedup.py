@@ -150,17 +150,16 @@ def pairs_from_buckets(buckets: DataFrame,
     bucket with array combinatorics, so no second self-join / shuffle of
     the corpus is needed — only the bucket rows explode.
     """
-    # single F.expr string: the Python-HOF composition of the same tree
-    # costs ~90 ms of py4j round trips per plan build (guide §1.2)
+    # ONE selectExpr: ``inline`` explodes the pair structs straight into
+    # (id_a, id_b) columns — the explode-then-project spelling placed the
+    # lambda tree into two extra Datasets, each re-running the analyzer's
+    # fixed point (~60 ms of driver time per plan build, guide §1.2)
     q = f"`{ids_col}`"
-    pair_structs = F.expr(
-        f"flatten(transform(sequence(1, size({q})), "
+    return (buckets.selectExpr(
+        f"inline(flatten(transform(sequence(1, size({q})), "
         f"i -> transform(slice({q}, i + 1, size({q})), "
-        f"y -> named_struct('id_a', element_at({q}, i), 'id_b', y))))")
-    return (buckets.select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"),
-                    F.col("p.id_b").alias("id_b"))
-            .distinct())
+        f"y -> named_struct('id_a', element_at({q}, i), 'id_b', y)))))")
+        .distinct())
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -226,25 +225,31 @@ def _minhash_arrow_udf(num_hashes: int):
     return F.pandas_udf(minhash_np, "array<long>")
 
 
-def _minhash_jvm_expr(num_hashes: int) -> Column:
-    """Pure-expression form: one aggregate pass, K-wide running-min
-    accumulator merged with zip_with (K separate array_min(transform(...))
-    would traverse the array K times and blow up codegen).
+def _minhash_sql(shingles_sql: str, num_hashes: int) -> str:
+    """SQL-string K-permutation MinHash over a shingle-array expression:
+    one aggregate pass, K-wide running-min accumulator merged with
+    zip_with (K separate array_min(transform(...)) would traverse the
+    array K times and blow up codegen).
 
-    Built as ONE ``F.expr`` SQL string: the K-struct (a, b) literal array
-    built via per-struct ``F.lit``/``F.struct`` calls costs ~400 py4j
-    round trips per plan build (~0.35 s of pure driver time per bench
-    pass); the SQL string parses JVM-side in one call to the identical
-    Catalyst tree (signatures verified bit-equal in tools/probe_r13_opt).
+    ONE SQL string: the K-struct (a, b) literal array built via
+    per-struct ``F.lit``/``F.struct`` calls costs ~400 py4j round trips
+    per plan build (~0.35 s of pure driver time per bench pass); the
+    string parses JVM-side in one call to the identical Catalyst tree
+    (signatures verified bit-equal in tools/probe_r13_opt).
     """
     params = _perm_params(num_hashes)
     ab_sql = "array(" + ",".join(
         f"named_struct('a', {a}L, 'b', {b}L)" for a, b in params) + ")"
-    return F.expr(
-        f"aggregate(__shingles, array_repeat({_MERSENNE}L, {num_hashes}), "
+    return (
+        f"aggregate({shingles_sql}, array_repeat({_MERSENNE}L, {num_hashes}), "
         f"(acc, h) -> zip_with(acc, {ab_sql}, "
         f"(cur, p) -> least(cur, pmod(h * p.a + p.b, {_MERSENNE}L))), "
         "x -> x)")
+
+
+def _minhash_jvm_expr(num_hashes: int) -> Column:
+    """Column form of :func:`_minhash_sql` over a ``__shingles`` column."""
+    return F.expr(_minhash_sql("__shingles", num_hashes))
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
@@ -265,24 +270,40 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     pair fan-out would dominate — standard LSH-dedup guard at 100 TB.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
-                              num_hashes, shingle_n, use_arrow=use_arrow)
     # Band bucket = xxhash64 over the band index + the band's r signature
-    # longs DIRECTLY (multi-arg xxhash64): the previous spelling cast
-    # every signature long to string and concat_ws-joined them — O(r)
-    # string allocations per band per doc just to feed a hash (guide
-    # §1.2 per-task work). Bucket equality is unchanged (same band slice
-    # ⇔ same hash inputs); candidate pairs verified identical at
-    # sf0.001/0.01/0.1. One F.expr string keeps plan build to a single
-    # py4j call.
-    args = ", ".join(f"signature[b*{r}+{i}]" for i in range(r))
-    band_sql = (f"transform(sequence(0, {bands - 1}), "
+    # longs DIRECTLY (multi-arg xxhash64): casting every signature long
+    # to string and concat_ws-joining them paid O(r) string allocations
+    # per band per doc just to feed a hash (guide §1.2 per-task work).
+    # ``inline`` explodes the band structs straight into (band, bucket)
+    # columns in the SAME select — explode-then-project placed the
+    # lambda tree into one extra Dataset per build (each placement
+    # re-runs the analyzer's fixed point, ~15-60 ms of driver time).
+    if use_arrow:
+        sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
+                                  num_hashes, shingle_n, use_arrow=True)
+        args = ", ".join(f"signature[b*{r}+{i}]" for i in range(r))
+        banded = sigs.selectExpr(
+            f"`{id_col}`",
+            f"inline(transform(sequence(0, {bands - 1}), "
+            f"b -> named_struct('band', b, 'bucket', xxhash64(b, {args}))))")
+    else:
+        # Pure-JVM kernel: shingles -> signature -> band structs FUSED
+        # into one placement. Chained withColumn/select steps re-ran the
+        # analyzer's fixed point over the lambda-heavy subtree at every
+        # step (~170 ms per plan build, measured); fused, the tree is
+        # analyzed once (~60 ms). The signature subexpression is
+        # let-bound (1-element transform) so it is still evaluated ONCE
+        # per row; candidate pairs verified identical.
+        sig_sql = _minhash_sql(_shingles_sql(f"`{text_col}`", shingle_n),
+                               num_hashes)
+        args = ", ".join(f"s[b*{r}+{i}]" for i in range(r))
+        banded = _ensure_parallelism(docs.select(id_col, text_col)) \
+            .selectExpr(
+                f"`{id_col}`",
+                f"inline(element_at(transform(array({sig_sql}), "
+                f"s -> transform(sequence(0, {bands - 1}), "
                 f"b -> named_struct('band', b, "
-                f"'bucket', xxhash64(b, {args})))")
-    banded = (sigs.select(
-        F.col(id_col), F.explode(F.expr(band_sql)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"),
-                F.col("bk.bucket").alias("bucket")))
+                f"'bucket', xxhash64(b, {args})))), 1))")
     buckets = (banded.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
                .filter((F.size("ids") > 1)
