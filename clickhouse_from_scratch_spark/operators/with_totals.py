@@ -40,15 +40,12 @@ def with_totals(df: DataFrame, keys: Sequence[str],
     e.g. ``["sum(l_quantity) AS sum_qty", "count(*) AS cnt"]``.
     """
     from .joins import _type_default
-    view = "__wt_src"
-    df.createOrReplaceTempView(view)
-    spark = df.sparkSession
-    key_list = ", ".join(keys)
-    agg_list = ", ".join(agg_exprs)
-    grouped = spark.sql(f"SELECT {key_list}, {agg_list} FROM {view} "
-                        f"GROUP BY {key_list}")
-    totals = spark.sql(f"SELECT {agg_list} FROM {view}")
-    totals = totals.select(
+    # DataFrame-native build (no temp-view registration — a catalog
+    # write + two full SQL parses per plan build, r13 optimization;
+    # same GROUP BY / keyless-aggregate plans, results identical)
+    aggs = [F.expr(e) for e in agg_exprs]
+    grouped = df.groupBy(*keys).agg(*aggs)
+    totals = df.agg(*aggs).select(
         *[_type_default(grouped.schema[k].dataType).alias(k)
           for k in keys], "*")
     return grouped.unionByName(totals)

@@ -442,17 +442,13 @@ def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
     # docs with <3 words have no shingles (array_min → NULL): exclude,
     # matching the oracle where they produce no signature row at all
     sigs = sigs.filter(F.element_at(F.col("sig_md5"), 1).isNotNull())
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = (sigs.select(
-        F.col(id_col),
-        F.explode(F.transform(
-            band_idx,
-            lambda b: F.struct(
-                b.alias("band"),
-                F.array_join(F.slice(F.col("sig_md5"), b * r + 1, r),
-                             "").alias("bucket")))).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"),
-                F.col("bk.bucket").alias("bucket")))
+    # one inline() placement (same device as minhash_lsh_candidates):
+    # band key = concatenated band rows, exactly as before
+    banded = sigs.selectExpr(
+        f"`{id_col}`",
+        f"inline(transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, "
+        f"'bucket', array_join(slice(sig_md5, b*{r}+1, {r}), ''))))")
     buckets = (banded.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))

@@ -91,8 +91,43 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(bits, dim).astype(float).tolist()
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+def _flit(v: float) -> str:
+    """Exact double literal: repr round-trips the IEEE value and the D
+    suffix makes the SQL parser read it as DOUBLE (not DECIMAL)."""
+    return repr(float(v)) + "D"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_flit(v) for v in vals) + ")"
+
+
+def _plane_dot_sql(vec_name: str, plane: list[float]) -> str:
+    """SQL-string dot of a vector column against a literal plane — the
+    F.lit-per-element spelling paid dim+1 py4j round trips PER PLANE
+    (an LSH build with 64 planes × dim 64 measured 2.7 s of pure driver
+    time); one string parses JVM-side in a single call. Same IEEE op
+    DAG as :func:`_dot` (fold left, cast-then-multiply)."""
+    return (f"aggregate(zip_with(`{vec_name}`, {_arr_sql(plane)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)")
+
+
+def _sign_bits_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """Packed sign-bit signature over ``planes`` as one SQL string
+    (bit i = 1 iff dot(vec, planes[i]) > 0, exactly as before)."""
+    bits = [f"shiftleft(IF({_plane_dot_sql(vec_name, p)} > 0.0D, 1L, 0L), "
+            f"{i})" for i, p in enumerate(planes)]
+    return "(" + " | ".join(bits) + ")" if bits else "0L"
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot).
+
+    Pass the column NAME (str) for the one-call SQL-string build; a
+    ``Column`` argument keeps the composition for arbitrary expressions.
+    """
+    if isinstance(vec, str):
+        return F.expr(_sign_bits_sql(vec, planes))
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
@@ -134,9 +169,23 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16,
     return C.tolist()
 
 
-def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+def _nearest_cells(vec: Column | str, centroids: list[list[float]],
+                   n: int) -> Column:
     """Array of the ``n`` nearest centroid indices (JVM-side: one struct
-    per centroid, array_sort by distance, slice)."""
+    per centroid, array_sort by distance, slice).
+
+    String (column-name) argument builds ONE SQL string — the
+    F.lit-per-element centroid arrays paid ~1.7 s of py4j round trips
+    per IVF plan build at 16 centroids × dim 64; same values."""
+    if isinstance(vec, str):
+        entries = ", ".join(
+            f"named_struct('d', aggregate(zip_with(`{vec}`, {_arr_sql(c)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"0.0D, (acc, v) -> acc + v), 'i', {i})"
+            for i, c in enumerate(centroids))
+        return F.expr(f"transform(slice(array_sort(array({entries})), "
+                      f"1, {n}), s -> s.i)")
     entries = [F.struct(_l2sq(vec, F.array(*[F.lit(v) for v in c])).alias("d"),
                         F.lit(i).alias("i"))
                for i, c in enumerate(centroids)]
@@ -160,12 +209,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
     c = (corpus.withColumn(
-        "__cell", F.element_at(_nearest_cells(F.col(vec_col), centroids, 1), 1))
-        .withColumn("__cnorm", _norm(F.col(vec_col))))
+        "__cell", F.element_at(_nearest_cells(vec_col, centroids, 1), 1))
+        .withColumn("__cnorm", _norm(vec_col)))
     q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"),
-                        _norm(F.col(vec_col)).alias("__qnorm"))
+                        _norm(vec_col).alias("__qnorm"))
          .withColumn("__cell", F.explode(
-             _nearest_cells(F.col("__qvec"), centroids, nprobe))))
+             _nearest_cells("__qvec", centroids, nprobe))))
     # factored per-row norms (see brute_force_topk; bitwise-identical)
     sim = (_dot(vec_col, "__qvec")
            / (F.col("__cnorm") * F.col("__qnorm")))
@@ -206,10 +255,20 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                     F.round(sim, round_digits).alias("cos_sim")))
 
 
-def _band_values(vec: Column, planes: list[list[float]],
+def _band_values(vec: Column | str, planes: list[list[float]],
                  bands: int, bits_per_band: int) -> Column:
     """Array of ``bands`` band keys; band j = the sign bits of the
-    projections onto planes[j*bpb:(j+1)*bpb], packed into a long."""
+    projections onto planes[j*bpb:(j+1)*bpb], packed into a long.
+
+    String (column-name) argument builds ONE SQL string (see
+    :func:`_plane_dot_sql` — the literal-composed form paid ~2.7 s of
+    py4j round trips per plan build at 16×4 bands × dim 64)."""
+    if isinstance(vec, str):
+        band_exprs = [
+            _sign_bits_sql(vec,
+                           planes[j * bits_per_band:(j + 1) * bits_per_band])
+            for j in range(bands)]
+        return F.expr("array(" + ", ".join(band_exprs) + ")")
     vals = []
     for j in range(bands):
         sig = F.lit(0).cast("long")
@@ -247,7 +306,7 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     planes = _hyperplanes(dim, bands * bits_per_band)
     banded = (df.select(
         F.col(id_col),
-        F.posexplode(_band_values(F.col(vec_col), planes,
+        F.posexplode(_band_values(vec_col, planes,
                                   bands, bits_per_band))
          .alias("band", "val")))
     buckets = (banded.groupBy("band", "val")
@@ -278,11 +337,11 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     corpus-size once, then bucket-local.
     """
     planes = _hyperplanes(dim, bits)
-    c = (corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
-               .withColumn("__cnorm", _norm(F.col(vec_col))))
+    c = (corpus.withColumn("__bucket", lsh_bucket(vec_col, planes))
+               .withColumn("__cnorm", _norm(vec_col)))
     q = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"),
-                        _norm(F.col(vec_col)).alias("__qnorm"))
-                .withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes)))
+                        _norm(vec_col).alias("__qnorm"))
+                .withColumn("__bucket", lsh_bucket("__qvec", planes)))
     # factored per-row norms (see brute_force_topk; bitwise-identical)
     sim = (_dot(F.col(vec_col), F.col("__qvec"))
            / (F.col("__cnorm") * F.col("__qnorm")))

@@ -59,6 +59,29 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_fused_build_matches_arrow_kernel(spark):
+    # r13 optimization: the JVM path fuses shingles -> signature -> band
+    # structs into ONE inline() selectExpr. The candidate pairs must be
+    # identical to the (unfused) Arrow kernel path, and the fused plan
+    # must stay pure-JVM with no extra shuffles.
+    docs = _docs(spark)
+    jvm = sorted((r.id_a, r.id_b) for r in
+                 minhash_lsh_candidates(docs, use_arrow=False).collect())
+    arw = sorted((r.id_a, r.id_b) for r in
+                 minhash_lsh_candidates(docs, use_arrow=True).collect())
+    assert jvm == arw and jvm
+
+    df = minhash_lsh_candidates(docs, use_arrow=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # shuffles: parallelism repartition (absent when the scan already
+    # has enough splits) + band-bucket groupBy + pair distinct — never
+    # more (each Exchange prints twice in formatted mode: tree + detail)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
+
+
 def test_ngram_jaccard_scores(spark):
     out = {(r.id_a, r.id_b): r.jaccard
            for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
