@@ -90,3 +90,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# Memo of (applicationId, view_name) pairs already registered via
+# table_view(). View names encode the data directory, so two sf_dirs
+# never collide and a registered view never needs refreshing (the name
+# is a pure function of (dir, table); the underlying DataFrame is the
+# same lazy plan load_table returns — every action still recomputes
+# from the parquet files).
+_VIEW_MEMO: set[tuple[str, str]] = set()
+
+
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register ``name`` as a dir-scoped temp view and return the view
+    name, memoized per (applicationId, view).
+
+    Lets query builders run ONE ``spark.sql`` over named tables — a
+    single parse + one analyzer fixed-point for the whole tree —
+    instead of a chain of eagerly-analyzed DataFrame transformations
+    (each ``.join``/``.agg``/`.select`` re-analyzes the growing plan;
+    a 6-table join chain paid ~60-90 ms of driver time per build,
+    guide §1.2; the one-shot SQL build is ~20 ms). The `__cat_` prefix
+    + path hash keeps the namespace disjoint from user/frontend views.
+    """
+    import hashlib
+
+    path = os.path.abspath(sf_dir)
+    digest = hashlib.md5(path.encode()).hexdigest()[:8]
+    view = f"__cat_{digest}_{name}"
+    key = (_app_id(spark), view)
+    if key not in _VIEW_MEMO:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        _VIEW_MEMO.add(key)
+    return view

@@ -67,6 +67,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _v(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Dir-scoped temp-view name for one-shot spark.sql builds
+    (catalog.table_view; registration memoized per session+dir)."""
+    from .catalog import table_view
+    return table_view(spark, sf_dir, name)
+
+
 def dsum(col: Column, scale: int = 4) -> Column:
     """Order-independent exact sum → double (see module docstring)."""
     return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
@@ -95,20 +102,26 @@ WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1(spark, sf_dir):
-    """TPC-H Q1 shape — the reference's M1 slice (SURVEY.md §7)."""
-    li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
-    return (li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
-              .groupBy("l_returnflag", "l_linestatus")
-              .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
-                   dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-                   dsum(disc, 6).alias("sum_disc_price"),
-                   dsum(charge, 6).alias("sum_charge"),
-                   davg(F.col("l_quantity")).alias("avg_qty"),
-                   davg(F.col("l_extendedprice")).alias("avg_price"),
-                   davg(F.col("l_discount")).alias("avg_disc"),
-                   F.count(F.lit(1)).alias("count_order")))
+    """TPC-H Q1 shape — the reference's M1 slice (SURVEY.md §7).
+
+    Built as ONE spark.sql over the dir-scoped table view: a single
+    parse + analyzer fixed-point instead of eager re-analysis per
+    DataFrame step (r13 guide §1.2; plan and results identical —
+    plans/r13/q1_pricing_summary_after.txt)."""
+    li = _v(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(1) AS count_order
+        FROM {li}
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""")
 
 
 @query("q3_shipping_priority", oracle="""
@@ -128,21 +141,24 @@ def q3(spark, sf_dir):
     """Join + agg + top-k. Customer is left UNHINTED: it grows with SF
     (a forced broadcast could exceed executor memory at 100×), and AQE
     picks broadcast-hash at runtime whenever the filtered side fits —
-    the better-of-both at any scale."""
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").cast("date") > F.lit("1997-01-01").cast("date"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-              .groupBy("l_orderkey", "o_orderdate")
-              .agg(dsum(disc, 6).alias("revenue"))
-              .select("l_orderkey", "revenue",
-                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-              .limit(10))
+    the better-of-both at any scale. One-shot spark.sql build (r13
+    guide §1.2; plan and results identical)."""
+    li = _v(spark, sf_dir, "lineitem")
+    orders = _v(spark, sf_dir, "orders")
+    cust = _v(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM {li}
+        JOIN {orders} ON l_orderkey = o_orderkey
+        JOIN {cust} ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
 
 
 @query("q5_local_supplier", oracle="""
@@ -162,25 +178,27 @@ def q5(spark, sf_dir):
     """Six-way join, one fact shuffle. nation/region broadcast by hint
     (fixed-size: 25/5 rows at ANY scale factor); customer/supplier grow
     with SF, so they stay unhinted and AQE chooses broadcast vs shuffle
-    from their runtime size."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
-        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")))
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-              .join(supp,
-                    (F.col("l_suppkey") == F.col("s_suppkey"))
-                    & (F.col("c_nationkey") == F.col("s_nationkey")))
-              .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-              .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
-              .groupBy("n_name")
-              .agg(dsum(disc, 6).alias("revenue")))
+    from their runtime size. One-shot spark.sql build (r13 guide §1.2;
+    plan and results identical)."""
+    li = _v(spark, sf_dir, "lineitem")
+    orders = _v(spark, sf_dir, "orders")
+    cust = _v(spark, sf_dir, "customer")
+    supp = _v(spark, sf_dir, "supplier")
+    nat = _v(spark, sf_dir, "nation")
+    reg = _v(spark, sf_dir, "region")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n, r) */ n_name,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM {li}
+        JOIN {orders} ON l_orderkey = o_orderkey
+        JOIN {cust} ON o_custkey = c_custkey
+        JOIN {supp} ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN {nat} n ON s_nationkey = n_nationkey
+        JOIN {reg} r ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY n_name""")
 
 
 # ---------------------------------------------------------------------------
@@ -1112,13 +1130,15 @@ FROM events GROUP BY 1, 2
 """)
 def time_bucket_hourly(spark, sf_dir):
     """tumble(ts, 1h) batch analogue — same groupBy(window) the WINDOW
-    VIEW runs under Structured Streaming (streaming/window_view.py)."""
-    ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 dsum(F.col("value")).alias("sum_value"))
-            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-                    "event_type", "cnt", "sum_value"))
+    VIEW runs under Structured Streaming (streaming/window_view.py).
+    One-shot spark.sql build (r13 guide §1.2; plan/results identical)."""
+    ev = _v(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS hour,
+               event_type, COUNT(1) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+        FROM (SELECT window(ts, '1 hour') AS w, event_type, value FROM {ev})
+        GROUP BY w, event_type""")
 
 
 @query("sessionization", oracle="""
@@ -1134,17 +1154,21 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM flagged GROUP BY user_id
 """)
 def sessionization(spark, sf_dir):
-    """Sessionization: 30-min-gap session counts via lag + cumsum."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_session = F.when(prev.isNull(), 1).when(
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        - F.unix_micros(prev.cast("timestamp")) > 1_800_000_000, 1
-    ).otherwise(0)
-    return (ev.select("user_id", new_session.alias("new_session"))
-            .groupBy("user_id")
-            .agg(F.sum("new_session").cast("long").alias("n_sessions")))
+    """Sessionization: 30-min-gap session counts via lag + cumsum.
+    One-shot spark.sql build (r13 guide §1.2; plan/results identical)."""
+    ev = _v(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL THEN 1
+                          WHEN unix_micros(CAST(ts AS TIMESTAMP))
+                               - unix_micros(CAST(lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)
+                                 AS TIMESTAMP)) > 1800000000 THEN 1
+                          ELSE 0 END AS new_session
+              FROM {ev})
+        GROUP BY user_id""")
 
 
 @query("session_window_agg", oracle="""
