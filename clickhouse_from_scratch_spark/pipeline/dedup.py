@@ -591,21 +591,26 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                .groupBy("dst").agg(F.min("comp").alias("nbr_comp"))
                .withColumnRenamed("dst", "id"))
+        # the pre-round label rides along as __old so convergence can be
+        # read off the checkpointed frame with one local scan — the
+        # previous labels-join-new_labels changed check re-shuffled both
+        # sides every round (r13; label sequence identical)
         hop = (labels.join(nbr, "id", "left")
-               .select("id", F.least("comp", "nbr_comp").alias("comp")))
+               .select("id", F.col("comp").alias("__old"),
+                       F.least("comp", "nbr_comp").alias("comp")))
         # (2) pointer jumping: comp <- label(comp), halving path lengths
         parents = hop.select(F.col("id").alias("__pid"),
                              F.col("comp").alias("__pcomp"))
         new_labels = (hop.join(parents, hop["comp"] == parents["__pid"],
                                "left")
-                      .select("id", F.least(F.col("comp"),
-                                            F.coalesce("__pcomp", "comp"))
+                      .select("id", "__old",
+                              F.least(F.col("comp"),
+                                      F.coalesce("__pcomp", "comp"))
                               .alias("comp"))
                       .localCheckpoint(eager=True))
-        changed = (labels.withColumnRenamed("comp", "old")
-                   .join(new_labels, "id")
-                   .filter(F.col("old") != F.col("comp")).limit(1).count())
-        labels = new_labels
+        changed = (new_labels.filter(F.col("__old") != F.col("comp"))
+                   .limit(1).count())
+        labels = new_labels.drop("__old")
         if changed == 0:
             return labels
     raise RuntimeError(
