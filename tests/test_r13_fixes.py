@@ -766,3 +766,31 @@ def test_insert_csv_string_array_column(sess):
     sess.execute("INSERT INTO fcs FORMAT CSV\n\"['a','b']\"")
     assert list(sess.execute(
         "SELECT s FROM fcs").collect()[0].s) == ["a", "b"]
+
+
+# --- r13 optimization: per-session catalog memos ---------------------------
+# table_view/load_table/_app_id memoize per SESSION object, not per
+# applicationId: temp views and SQLConf are session-scoped, so a second
+# SparkSession over the same SparkContext (spark.newSession(), a pattern a
+# driver harness may use) must get its own view registration and conf
+# pinning. Keyed by appId this raised TABLE_OR_VIEW_NOT_FOUND on the
+# second session.
+def test_table_view_and_pinning_per_session(spark):
+    import os
+
+    from clickhouse_from_scratch_spark.catalog import load_table, table_view
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(sf_dir):
+        import pytest
+        pytest.skip("no sf0.001 testdata")
+    s2 = spark.newSession()
+    try:
+        for s in (spark, s2):
+            v = table_view(s, sf_dir, "nation")
+            assert s.sql(f"SELECT count(*) AS n FROM {v}").collect()[0].n > 0
+            assert s.conf.get("spark.sql.ansi.enabled") == "false"
+            # the memoized DataFrame must belong to the session that asked
+            assert load_table(s, sf_dir, "nation").sparkSession is s
+    finally:
+        pass  # s2 shares spark's context; stopping it would kill spark
