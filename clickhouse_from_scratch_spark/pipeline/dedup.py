@@ -401,32 +401,39 @@ def minhash_signatures_md5(docs: DataFrame, text_col: str = "text",
     MIN — both engines share the md5 domain byte-for-byte, so a DuckDB
     oracle recomputes the exact signatures (the production path is
     ``minhash_signatures``' K-permutation kernel; this twin pins the
-    band/bucket machinery end-to-end). K separate array traversals are
-    acceptable at twin scale; fully JVM-side."""
+    band/bucket machinery end-to-end). Fully JVM-side.
+
+    The word and shingle arrays are LET-BOUND (1-element ``transform``)
+    inside one expression: spelled as chained ``withColumn`` aliases,
+    CollapseProject inlined the tokenizer into every one of the K
+    ``array_min`` branches — the optimized plan held 81 copies of
+    ``split()`` and the 500-doc twin ran 17-24 s (r13; values
+    byte-identical, now ~1 s)."""
     docs = _ensure_parallelism(docs)
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda w: w != "")
-    docs = docs.withColumn("__w", words)
-    m = F.size(F.col("__w")) - 2
-    # 3-word STRING shingles (the hashed-shingle production path is
-    # minhash_signatures; strings here so DuckDB rebuilds them exactly).
+    return docs.selectExpr(
+        f"`{id_col}`",
+        f"{_md5_sig_sql(text_col, num_hashes)} AS sig_md5")
+
+
+def _md5_sig_sql(text_col: str, num_hashes: int) -> str:
+    """One let-bound SQL expression for the md5 MinHash signature:
+    words -> distinct 3-word string shingles -> K array_min lanes, each
+    subexpression evaluated once per row."""
+    words = (f"filter(split(lower(`{text_col}`), '\\\\s+'), "
+             "w -> w != '')")
     # sequence(1, m) is DESCENDING for m < 1, so short docs need the
-    # explicit empty-array branch.
-    sh = F.when(m < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("__w"), i),
-                                  F.element_at(F.col("__w"), i + 1),
-                                  F.element_at(F.col("__w"), i + 2)))))
-    docs = docs.withColumn("__sh", sh)
-
-    def h_i(i: int) -> Column:
-        suffix = f":{i}"
-        return F.array_min(F.transform(
-            F.col("__sh"), lambda s: F.md5(F.concat(s, F.lit(suffix)))))
-
-    sig = F.array(*[h_i(i) for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sig.alias("sig_md5"))
+    # explicit empty-array branch (3-word STRING shingles so DuckDB
+    # rebuilds them exactly; hashed shingles are the production path)
+    sh = ("CASE WHEN size(w) - 2 < 1 THEN CAST(array() AS ARRAY<STRING>) "
+          "ELSE array_distinct(transform(sequence(1, size(w) - 2), "
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+          "element_at(w, i + 2)))) END")
+    lanes = ", ".join(
+        f"array_min(transform(sh, s -> md5(concat(s, ':{i}'))))"
+        for i in range(num_hashes))
+    return (f"element_at(transform(array("
+            f"element_at(transform(array({words}), w -> {sh}), 1)), "
+            f"sh -> array({lanes})), 1)")
 
 
 def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
@@ -437,18 +444,24 @@ def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
     key = concatenated band rows; ``pairs_from_buckets`` tail), pinned
     against a DuckDB recomputation in the catalog."""
     r = num_hashes // bands
-    sigs = minhash_signatures_md5(docs.select(id_col, text_col),
-                                  text_col, id_col, num_hashes)
-    # docs with <3 words have no shingles (array_min → NULL): exclude,
-    # matching the oracle where they produce no signature row at all
-    sigs = sigs.filter(F.element_at(F.col("sig_md5"), 1).isNotNull())
-    # one inline() placement (same device as minhash_lsh_candidates):
-    # band key = concatenated band rows, exactly as before
-    banded = sigs.selectExpr(
-        f"`{id_col}`",
-        f"inline(transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, "
-        f"'bucket', array_join(slice(sig_md5, b*{r}+1, {r}), ''))))")
+    # ONE fused placement with the signature LET-BOUND (same device as
+    # minhash_lsh_candidates): banding as a separate select let
+    # CollapseProject inline the whole signature expression into the
+    # band lambda (4× per row) and the not-null filter (1× more).
+    # Docs with <3 words have no shingles (array_min → NULL): they emit
+    # an empty band array, so inline() drops them — exactly the old
+    # isNotNull filter, where the oracle produces no signature row.
+    banded = _ensure_parallelism(docs.select(id_col, text_col)) \
+        .selectExpr(
+            f"`{id_col}`",
+            f"inline(element_at(transform("
+            f"array({_md5_sig_sql(text_col, num_hashes)}), "
+            f"sig -> CASE WHEN element_at(sig, 1) IS NULL "
+            f"THEN CAST(array() AS ARRAY<STRUCT<band: INT, bucket: STRING>>) "
+            f"ELSE transform(sequence(0, {bands - 1}), "
+            f"b -> named_struct('band', b, "
+            f"'bucket', array_join(slice(sig, b*{r}+1, {r}), ''))) "
+            f"END), 1))")
     buckets = (banded.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))

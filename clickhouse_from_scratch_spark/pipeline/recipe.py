@@ -52,20 +52,31 @@ def prepare_training_data(docs: DataFrame, text_col: str = "text",
     """
     df = docs
     if min_quality is not None or langs:
-        # one tokenize pass shared by the quality and language filters
-        # (inlined, quality re-split twice and language once per marker
-        # language — guide §1.2 per-task work; values identical)
+        # ONE filter over a LET-BOUND token array (1-element transform):
+        # a `withColumn("__toks")` + filter spelling does NOT tokenize
+        # once — filter pushdown substitutes deterministic aliases into
+        # the predicate unconditionally, so the regex split was inlined
+        # per reference (quality 2× + one per marker language; the
+        # recipe's optimized plan held 107 split() copies, r13). The
+        # bound lambda variable is evaluated once per row; surviving
+        # rows are identical (same conjunction of the same predicates).
         from .text import _tokens
-        df = df.withColumn("__toks", _tokens(text_col))
-        if min_quality is not None:
-            df = df.filter(quality_score(F.col(text_col),
-                                         tokens=F.col("__toks"))
-                           >= min_quality)
-        if langs:
-            df = df.filter(language_id(F.col(text_col),
-                                       tokens=F.col("__toks"))
-                           .isin(list(langs)))
-        df = df.drop("__toks")
+
+        def _keep(toks):
+            conds = []
+            if min_quality is not None:
+                conds.append(quality_score(F.col(text_col), tokens=toks)
+                             >= min_quality)
+            if langs:
+                conds.append(language_id(F.col(text_col), tokens=toks)
+                             .isin(list(langs)))
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+
+        df = df.filter(F.element_at(
+            F.transform(F.array(_tokens(text_col)), _keep), 1))
     if scrub:
         df = df.withColumn(text_col, pii_scrub(F.col(text_col)))
     if passage_words:

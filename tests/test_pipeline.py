@@ -566,3 +566,30 @@ def test_domain_mix_rates_and_determinism(spark, sf_dir):
                        default_rate=0.5)
     ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_md5_minhash_plan_tokenizes_once(spark):
+    # r13: spelled as withColumn aliases, CollapseProject/filter-pushdown
+    # inlined the tokenizer into every md5 lane (81 split() copies; the
+    # 500-doc twin ran 17-24s). The let-bound build must keep ONE split
+    # and one md5 per lane.
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        minhash_md5_candidates)
+    docs = _docs(spark)
+    plan = (minhash_md5_candidates(docs)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    assert plan.count("split(") <= 2
+    assert plan.count("md5(") <= 16
+
+
+def test_recipe_filter_plan_tokenizes_once(spark):
+    # r13: filter pushdown substitutes deterministic aliases into the
+    # predicate, so the quality+language filters re-tokenized per
+    # reference (107 split() copies in the recipe plan). The fused
+    # let-bound filter must keep the count to one per operator stage.
+    from clickhouse_from_scratch_spark.pipeline.recipe import (
+        prepare_training_data)
+    docs = _docs(spark)
+    plan = (prepare_training_data(docs)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    assert plan.count("split(") <= 16
