@@ -46,11 +46,41 @@ _TABLE_MEMO: dict[tuple[int, str, str],
 _PINNED_APPS: dict[int, tuple[SparkSession, str]] = {}
 
 
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return s.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _prune_dead_sessions() -> None:
+    """Drop memo entries whose session's SparkContext is stopped.
+
+    The memos hold strong session references (to keep ``id()`` stable),
+    so a long-lived driver that repeatedly builds sessions would
+    otherwise grow them without bound and pin dead JVM handles (r13
+    ADVICE). Called only when a brand-new session is first pinned —
+    O(#sessions) py4j probes, never on the per-query path."""
+    dead = {sid for sid, (s, _) in list(_PINNED_APPS.items())
+            if _session_stopped(s)}
+    if not dead:
+        return
+    for sid in dead:
+        _PINNED_APPS.pop(sid, None)
+    for key in [k for k, (s, _) in list(_TABLE_MEMO.items())
+                if id(s) in dead or _session_stopped(s)]:
+        _TABLE_MEMO.pop(key, None)
+    for key in [k for k, s in list(_VIEW_MEMO.items())
+                if id(s) in dead or _session_stopped(s)]:
+        _VIEW_MEMO.pop(key, None)
+
+
 def _app_id(spark: SparkSession) -> str:
     """applicationId with per-session conf pinning on first sight."""
     entry = _PINNED_APPS.get(id(spark))
     if entry is not None and entry[0] is spark:
         return entry[1]
+    _prune_dead_sessions()
     app_id = spark.sparkContext.applicationId
     # Pin the semantics the engine is defined under even on a session
     # we didn't build (e.g. the driver harness's own SparkSession):
@@ -60,6 +90,11 @@ def _app_id(spark: SparkSession) -> str:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # dedup bucket caps rely on InferWindowGroupLimit to bound hot-
+    # bucket shuffle map-side; the default threshold (1000) is below
+    # the 10000 cap (see session.py — semantics-preserving rule)
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold",
+                   str(1 << 20))
     _PINNED_APPS[id(spark)] = (spark, app_id)
     return app_id
 
@@ -112,7 +147,7 @@ _VIEW_MEMO: dict[tuple[int, str], SparkSession] = {}
 
 def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Register ``name`` as a dir-scoped temp view and return the view
-    name, memoized per (applicationId, view).
+    name, memoized per (session, view).
 
     Lets query builders run ONE ``spark.sql`` over named tables — a
     single parse + one analyzer fixed-point for the whole tree —

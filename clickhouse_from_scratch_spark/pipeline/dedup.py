@@ -16,7 +16,9 @@ Scale notes (the whole point of these designs):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed odd multipliers/addends (splitmix64-style constants) make the K
@@ -34,6 +36,13 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
 
 # odd 64-bit mix constant for rolling shingle-hash combination
 _MIX = -7046029254386353131
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into the SQL-string
+    plan builders, escaping embedded backticks (r13 ADVICE: a column
+    name containing ` must not break the expression)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 # (applicationId, analyzed-plan semanticHash) -> scan partition count.
@@ -123,7 +132,7 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     the Python-HOF composition for arbitrary expressions.
     """
     if isinstance(text, str):
-        quoted = f"`{text}`" if not text.startswith("`") else text
+        quoted = _q(text) if not text.startswith("`") else text
         return F.expr(_shingles_sql(quoted, n))
     words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     wh_expr = F.transform(words, lambda w: F.xxhash64(w))
@@ -141,6 +150,40 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(wh_expr), from_wh), 1)
 
 
+def _bounded_buckets(banded: DataFrame, keys: Sequence[str], id_col: str,
+                     max_bucket_size: int) -> DataFrame:
+    """(keys..., ids) bucket rows with 2 <= size(ids) <= max_bucket_size,
+    built with BOUNDED per-task memory.
+
+    collect_set-then-filter materializes the FULL id array of every
+    bucket before the size filter can drop it: a hot bucket (millions of
+    boilerplate-identical documents share every band hash in real LLM
+    corpora) accumulates an arbitrarily large array in one aggregation
+    buffer — executor OOM at 100 TB (guide §2.5/§5). Instead, rank ids
+    inside each bucket with a streaming ``row_number`` window (running
+    frame: O(1) state; the backing sort spills to disk) and drop rows
+    past ``max_bucket_size + 1`` BEFORE any array is built. Catalyst
+    turns the rank filter into a WindowGroupLimit with a PARTIAL pass
+    before the exchange, so a hot bucket also never ships more than
+    cap+1 rows per map task — the shuffle is bounded too.
+
+    Output is exactly the old collect_set-then-filter result: under-cap
+    buckets keep every id; over-cap buckets keep cap+1 ids — enough for
+    the ``size <= cap`` filter to drop them, as before. The final
+    groupBy reuses the window's (keys) partitioning: still ONE exchange
+    (guide §2.4). Precondition (holds for every banding caller): banded
+    has at most one row per (keys, id) and ``id_col`` is non-null.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(id_col)
+    capped = (banded
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket_size + 1))
+    return (capped.groupBy(*keys)
+            .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+            .filter((F.size("ids") > 1)
+                    & (F.size("ids") <= max_bucket_size)))
+
+
 def pairs_from_buckets(buckets: DataFrame,
                        ids_col: str = "ids") -> DataFrame:
     """Distinct (id_a < id_b) pairs from bucketed id-arrays.
@@ -149,17 +192,27 @@ def pairs_from_buckets(buckets: DataFrame,
     pigeonhole, hyperplane-LSH): pair generation happens *inside* each
     bucket with array combinatorics, so no second self-join / shuffle of
     the corpus is needed — only the bucket rows explode.
+
+    TWO chained generators, not one: ``inline(flatten(transform(...)))``
+    evaluated the whole b²-struct pair array per bucket row before the
+    explode could stream it — ~50M structs (GBs) in one allocation for a
+    bucket at the 10k cap (guide §5). Exploding the anchor index first
+    keeps every evaluated array O(bucket): each generated row carries
+    one slice; the pair stream feeds the distinct's spillable hash
+    aggregate row by row. Same pair set (i = size(ids) contributed an
+    empty slice before; i stops at size-1 now).
     """
-    # ONE selectExpr: ``inline`` explodes the pair structs straight into
-    # (id_a, id_b) columns — the explode-then-project spelling placed the
-    # lambda tree into two extra Datasets, each re-running the analyzer's
-    # fixed point (~60 ms of driver time per plan build, guide §1.2)
-    q = f"`{ids_col}`"
-    return (buckets.selectExpr(
-        f"inline(flatten(transform(sequence(1, size({q})), "
-        f"i -> transform(slice({q}, i + 1, size({q})), "
-        f"y -> named_struct('id_a', element_at({q}, i), 'id_b', y)))))")
-        .distinct())
+    q = _q(ids_col)
+    return (buckets
+            # singleton/empty buckets yield no pairs; without the guard
+            # sequence(1, size-1) would DESCEND through 0 for them
+            .where(f"size({q}) >= 2")
+            .selectExpr(q, f"explode(sequence(1, size({q}) - 1)) AS __i")
+            .selectExpr(
+                f"inline(transform(slice({q}, __i + 1, size({q})), "
+                f"y -> named_struct('id_a', element_at({q}, __i), "
+                f"'id_b', y)))")
+            .distinct())
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -283,7 +336,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                                   num_hashes, shingle_n, use_arrow=True)
         args = ", ".join(f"signature[b*{r}+{i}]" for i in range(r))
         banded = sigs.selectExpr(
-            f"`{id_col}`",
+            _q(id_col),
             f"inline(transform(sequence(0, {bands - 1}), "
             f"b -> named_struct('band', b, 'bucket', xxhash64(b, {args}))))")
     else:
@@ -294,20 +347,18 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         # analyzed once (~60 ms). The signature subexpression is
         # let-bound (1-element transform) so it is still evaluated ONCE
         # per row; candidate pairs verified identical.
-        sig_sql = _minhash_sql(_shingles_sql(f"`{text_col}`", shingle_n),
+        sig_sql = _minhash_sql(_shingles_sql(_q(text_col), shingle_n),
                                num_hashes)
         args = ", ".join(f"s[b*{r}+{i}]" for i in range(r))
         banded = _ensure_parallelism(docs.select(id_col, text_col)) \
             .selectExpr(
-                f"`{id_col}`",
+                _q(id_col),
                 f"inline(element_at(transform(array({sig_sql}), "
                 f"s -> transform(sequence(0, {bands - 1}), "
                 f"b -> named_struct('band', b, "
                 f"'bucket', xxhash64(b, {args})))), 1))")
-    buckets = (banded.groupBy("band", "bucket")
-               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter((F.size("ids") > 1)
-                       & (F.size("ids") <= max_bucket_size)))
+    buckets = _bounded_buckets(banded, ("band", "bucket"), id_col,
+                               max_bucket_size)
     return pairs_from_buckets(buckets)
 
 
@@ -411,7 +462,7 @@ def minhash_signatures_md5(docs: DataFrame, text_col: str = "text",
     byte-identical, now ~1 s)."""
     docs = _ensure_parallelism(docs)
     return docs.selectExpr(
-        f"`{id_col}`",
+        _q(id_col),
         f"{_md5_sig_sql(text_col, num_hashes)} AS sig_md5")
 
 
@@ -419,7 +470,7 @@ def _md5_sig_sql(text_col: str, num_hashes: int) -> str:
     """One let-bound SQL expression for the md5 MinHash signature:
     words -> distinct 3-word string shingles -> K array_min lanes, each
     subexpression evaluated once per row."""
-    words = (f"filter(split(lower(`{text_col}`), '\\\\s+'), "
+    words = (f"filter(split(lower({_q(text_col)}), '\\\\s+'), "
              "w -> w != '')")
     # sequence(1, m) is DESCENDING for m < 1, so short docs need the
     # explicit empty-array branch (3-word STRING shingles so DuckDB
@@ -438,11 +489,17 @@ def _md5_sig_sql(text_col: str, num_hashes: int) -> str:
 
 def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           max_bucket_size: int = 10000) -> DataFrame:
     """LSH banding over the md5 MinHash twin: the SAME one-shuffle
     (band, bucket) → pairs shape as ``minhash_lsh_candidates`` (band
     key = concatenated band rows; ``pairs_from_buckets`` tail), pinned
-    against a DuckDB recomputation in the catalog."""
+    against a DuckDB recomputation in the catalog.
+
+    ``max_bucket_size`` (r14) bounds the per-bucket id collection like
+    the production kernel — degenerate buckets are dropped instead of
+    OOMing one task; no testdata bucket comes near the cap, so the
+    oracle-pinned output is unchanged."""
     r = num_hashes // bands
     # ONE fused placement with the signature LET-BOUND (same device as
     # minhash_lsh_candidates): banding as a separate select let
@@ -453,7 +510,7 @@ def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
     # isNotNull filter, where the oracle produces no signature row.
     banded = _ensure_parallelism(docs.select(id_col, text_col)) \
         .selectExpr(
-            f"`{id_col}`",
+            _q(id_col),
             f"inline(element_at(transform("
             f"array({_md5_sig_sql(text_col, num_hashes)}), "
             f"sig -> CASE WHEN element_at(sig, 1) IS NULL "
@@ -462,9 +519,8 @@ def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
             f"b -> named_struct('band', b, "
             f"'bucket', array_join(slice(sig, b*{r}+1, {r}), ''))) "
             f"END), 1))")
-    buckets = (banded.groupBy("band", "bucket")
-               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter(F.size("ids") > 1))
+    buckets = _bounded_buckets(banded, ("band", "bucket"), id_col,
+                               max_bucket_size)
     return pairs_from_buckets(buckets)
 
 
@@ -532,10 +588,8 @@ def simhash_hamming_pairs(sigs: DataFrame, k: int = 3,
     banded = (sigs.select(id_col, F.explode(chunks).alias("bk"))
               .select(id_col, F.col("bk.band").alias("band"),
                       F.col("bk.val").alias("val")))
-    buckets = (banded.groupBy("band", "val")
-               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter((F.size("ids") > 1)
-                       & (F.size("ids") <= max_bucket_size)))
+    buckets = _bounded_buckets(banded, ("band", "val"), id_col,
+                               max_bucket_size)
     cands = pairs_from_buckets(buckets)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sb"))

@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _q
+
 
 def _dot(a: Column | str, b: Column | str) -> Column:
     """Double dot product. String args (column names) build ONE F.expr —
@@ -28,7 +30,7 @@ def _dot(a: Column | str, b: Column | str) -> Column:
     Catalyst tree either way (results bitwise identical, probe-verified)."""
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(
-            f"aggregate(zip_with(`{a}`, `{b}`, "
+            f"aggregate(zip_with({_q(a)}, {_q(b)}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, v) -> acc + v)")
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -40,7 +42,7 @@ def _norm(a: Column | str) -> Column:
     :func:`_dot`)."""
     if isinstance(a, str):
         return F.expr(
-            f"sqrt(aggregate(`{a}`, 0.0D, "
+            f"sqrt(aggregate({_q(a)}, 0.0D, "
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     return F.sqrt(F.aggregate(a, F.lit(0.0),
                               lambda acc, v: acc + v.cast("double") * v.cast("double")))
@@ -107,7 +109,7 @@ def _plane_dot_sql(vec_name: str, plane: list[float]) -> str:
     (an LSH build with 64 planes × dim 64 measured 2.7 s of pure driver
     time); one string parses JVM-side in a single call. Same IEEE op
     DAG as :func:`_dot` (fold left, cast-then-multiply)."""
-    return (f"aggregate(zip_with(`{vec_name}`, {_arr_sql(plane)}, "
+    return (f"aggregate(zip_with({_q(vec_name)}, {_arr_sql(plane)}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, v) -> acc + v)")
 
@@ -179,7 +181,7 @@ def _nearest_cells(vec: Column | str, centroids: list[list[float]],
     per IVF plan build at 16 centroids × dim 64; same values."""
     if isinstance(vec, str):
         entries = ", ".join(
-            f"named_struct('d', aggregate(zip_with(`{vec}`, {_arr_sql(c)}, "
+            f"named_struct('d', aggregate(zip_with({_q(vec)}, {_arr_sql(c)}, "
             "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
             "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
             f"0.0D, (acc, v) -> acc + v), 'i', {i})"
@@ -301,7 +303,7 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     same all-pairs-avoiding banding as MinHash-LSH; survives 100 TB where
     ``cosine_near_dup_pairs`` cannot.
     """
-    from .dedup import pairs_from_buckets
+    from .dedup import _bounded_buckets, pairs_from_buckets
 
     planes = _hyperplanes(dim, bands * bits_per_band)
     banded = (df.select(
@@ -309,10 +311,8 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
         F.posexplode(_band_values(vec_col, planes,
                                   bands, bits_per_band))
          .alias("band", "val")))
-    buckets = (banded.groupBy("band", "val")
-               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter((F.size("ids") > 1)
-                       & (F.size("ids") <= max_bucket_size)))
+    buckets = _bounded_buckets(banded, ("band", "val"), id_col,
+                               max_bucket_size)
     cands = pairs_from_buckets(buckets)
     # factored per-row norms (see brute_force_topk; bitwise-identical)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -417,7 +417,7 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # one F.expr per call (vs ~15 py4j round trips for the HOF
         # form, guide §1.2); POWER(x, 2) matches the previous ``** 2``
         return F.expr(
-            f"sqrt(aggregate(`{codes_name}`, 0.0D, "
+            f"sqrt(aggregate({_q(codes_name)}, 0.0D, "
             "(a, c) -> a + power(CAST(c AS DOUBLE), 2)))")
 
     # factored per-row code norms (same device as brute_force_topk: the

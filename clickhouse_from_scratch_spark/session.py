@@ -44,6 +44,13 @@ def get_spark(app_name: str = "clickhouse_from_scratch_spark",
         # native ns type — read as long, catalog converts to µs timestamp
         # (matches DuckDB's ns→µs truncation, SURVEY §1.2 DateTime64(9))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let InferWindowGroupLimit fire for the dedup bucket caps
+        # (rank-filter limit 10001 > the 1000 default): the partial
+        # WindowGroupLimit before the exchange stops a hot LSH bucket
+        # from shipping more than cap+1 rows per map task (guide §2.5;
+        # scale-neutral — a semantics-preserving optimizer rule)
+        .config("spark.sql.optimizer.windowGroupLimitThreshold",
+                str(1 << 20))
         # the per-call Python call-site capture (error attribution) adds
         # ~2ms and 3 JVM round-trips to EVERY pyspark.sql.functions call
         # — a plan built from thousands of F.* calls pays seconds for

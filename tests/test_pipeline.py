@@ -82,6 +82,53 @@ def test_minhash_fused_build_matches_arrow_kernel(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
 
 
+def test_bounded_buckets_caps_hot_buckets(spark):
+    # r14: the bucket builder must (a) return exactly the ids of every
+    # under-cap bucket and (b) drop over-cap buckets — without ever
+    # collecting an over-cap bucket's full id array (pinned by the plan
+    # test below). Synthetic banded frame: one hot bucket, one pair.
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        _bounded_buckets, pairs_from_buckets)
+    rows = ([(0, 0, i) for i in range(150)]
+            + [(0, 1, 1000), (0, 1, 1001)])
+    banded = spark.createDataFrame(
+        rows, "band int, bucket long, doc_id long")
+
+    capped = pairs_from_buckets(
+        _bounded_buckets(banded, ("band", "bucket"), "doc_id", 100))
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) == \
+        [(1000, 1001)]                      # hot bucket (150 > 100) dropped
+
+    full = pairs_from_buckets(
+        _bounded_buckets(banded, ("band", "bucket"), "doc_id", 10000))
+    got = sorted((r.id_a, r.id_b) for r in full.collect())
+    want = sorted([(a, b) for a in range(150) for b in range(a + 1, 150)]
+                  + [(1000, 1001)])
+    assert got == want                      # under-cap buckets untouched
+
+
+def test_bounded_buckets_plan_has_no_unbounded_collect(spark):
+    # r14 plan pin: a hot LSH bucket must never be materialized as one
+    # aggregation array before the size filter. The rank cap must sit
+    # below the collect (row_number window), and InferWindowGroupLimit
+    # must fire with a PARTIAL group limit before the exchange so a hot
+    # bucket also never ships more than cap+1 rows per map task. The
+    # pair explode must stream (two generators), not evaluate the b²
+    # flatten() array per bucket row.
+    df = minhash_lsh_candidates(_docs(spark), use_arrow=False)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "row_number" in plan
+    assert plan.count("WindowGroupLimit") >= 2     # partial + final
+    # partial limit precedes the bucket exchange in the printed tree
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "flatten(" not in plan
+    # collect_set still exists but only above the rank filter
+    assert "collect_set" in plan
+
+
 def test_ngram_jaccard_scores(spark):
     out = {(r.id_a, r.id_b): r.jaccard
            for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}

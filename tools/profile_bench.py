@@ -1,13 +1,11 @@
 #!/usr/bin/env python
-"""Optimization-round measurement harness (guide §1).
+"""Per-headline-query profile: plan BUILD time (driver-side Python +
+analysis — inside the bench's timed region), the bench action count(),
+and the noop sink (guide §1.4 — computes every column, which count()
+does not). Min-of-N each, jobs labeled (guide §1.5).
 
-For each headline query: time plan BUILD (driver-side Python+analysis),
-the bench action (count), and the noop sink (full-column compute, §1.4),
-each min-of-N on a warmed session; dump .explain('formatted') to
-plans/<tag>/<name>_<suffix>.txt.
-
-Usage: python tools/profile_bench.py [--tag r13] [--suffix before]
-                                     [--passes 3] [name ...]
+Usage: python tools/profile_bench.py [--passes 3] [--queries a,b,...]
+Env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (same contract as bench.py)
 """
 
 from __future__ import annotations
@@ -32,50 +30,43 @@ HEADLINE = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tag", default="r13")
-    ap.add_argument("--suffix", default="before")
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--no-noop", action="store_true")
-    ap.add_argument("names", nargs="*")
+    ap.add_argument("--queries", default=None)
     args = ap.parse_args()
-    names = args.names or HEADLINE
+    names = args.queries.split(",") if args.queries else HEADLINE
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", args.tag)
-    os.makedirs(plans_dir, exist_ok=True)
-
     spark = get_spark("profile_bench")
-    for name in names:          # warm: codegen + python workers + footers
+
+    for name in names:                      # warm (JIT, footers, workers)
         QUERIES[name](spark, sf_dir).count()
 
-    print(f"{'query':28s} {'build':>7s} {'count':>7s} {'noop':>7s}")
-    totals = [0.0, 0.0, 0.0]
+    tot = {"build": 0.0, "count": 0.0, "noop": 0.0}
+    print(f"{'query':<24} {'build':>8} {'count':>8} {'noop':>8}")
     for name in names:
-        spark.sparkContext.setJobDescription(f"profile:{name}")
-        b = c = nn = float("inf")
+        best = {"build": float("inf"), "count": float("inf"),
+                "noop": float("inf")}
         for _ in range(args.passes):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
-            t1 = time.perf_counter()
+            best["build"] = min(best["build"], time.perf_counter() - t0)
+
+            spark.sparkContext.setJobDescription(f"profile:{name}:count")
+            t0 = time.perf_counter()
             df.count()
-            t2 = time.perf_counter()
-            b, c = min(b, t1 - t0), min(c, t2 - t1)
-            if not args.no_noop:
-                df2 = QUERIES[name](spark, sf_dir)
-                t3 = time.perf_counter()
-                df2.write.format("noop").mode("overwrite").save()
-                nn = min(nn, time.perf_counter() - t3)
-        with open(os.path.join(plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
-            f.write(QUERIES[name](spark, sf_dir)._sc._jvm.PythonSQLUtils
-                    .explainString(QUERIES[name](spark, sf_dir)
-                                   ._jdf.queryExecution(), "formatted"))
-        nn_s = "-" if args.no_noop else f"{nn:7.3f}"
-        print(f"{name:28s} {b:7.3f} {c:7.3f} {nn_s}")
-        totals[0] += b
-        totals[1] += c
-        totals[2] += 0 if args.no_noop else nn
-    print(f"{'TOTAL':28s} {totals[0]:7.3f} {totals[1]:7.3f} {totals[2]:7.3f}")
+            best["count"] = min(best["count"], time.perf_counter() - t0)
+
+            spark.sparkContext.setJobDescription(f"profile:{name}:noop")
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best["noop"] = min(best["noop"], time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
+        for k in tot:
+            tot[k] += best[k]
+        print(f"{name:<24} {best['build']:>8.3f} {best['count']:>8.3f} "
+              f"{best['noop']:>8.3f}")
+    print(f"{'TOTAL':<24} {tot['build']:>8.3f} {tot['count']:>8.3f} "
+          f"{tot['noop']:>8.3f}")
     spark.stop()
 
 
