@@ -228,17 +228,51 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+# Input-size threshold for the automatic MinHash kernel choice
+# (use_arrow=None). Measured r14 crossover on the declared kernel:
+#   sf0.1 (0.6 MB docs): JVM 0.28 s vs Arrow 0.31 s signature pass —
+#     a wash, and the JVM kernel is steadier under co-tenant load;
+#   sf1 (5.7 MB docs):   JVM 1.60 s vs Arrow 0.69 s (2.3×), full LSH
+#     candidates 2.27 → 1.58 s — the per-worker numpy import and Arrow
+#     batch setup amortize, and the K×N multiply-mod-min is exactly the
+#     shape numpy wins at.
+# Between those points the curves cross near a few MB; 4 MiB keeps every
+# bench/gate SF on the steady JVM path and every at-scale corpus on the
+# vectorized one. Results are bit-equal either way (pinned in
+# tests/test_pipeline.py::test_minhash_fused_build_matches_arrow_kernel).
+_ARROW_INPUT_THRESHOLD = 4 * 1024 * 1024
+
+
+def _auto_arrow(docs: DataFrame) -> bool:
+    """use_arrow=None resolver: Arrow for inputs past the measured
+    crossover, JVM below it (or when the size is unknowable)."""
+    try:
+        size = int(docs._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return False
+    if size >= (1 << 60):
+        # stats-less relations (parallelized test data, RDD-backed
+        # plans) report spark.sql.defaultSizeInBytes = Long.MaxValue —
+        # that is "unknown", not "huge": keep the steady JVM kernel
+        return False
+    return size >= _ARROW_INPUT_THRESHOLD
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, shingle_n: int = 3,
-                       use_arrow: bool = True) -> DataFrame:
+                       use_arrow: bool | None = True) -> DataFrame:
     """Append ``signature: array<long>`` — K-permutation MinHash.
 
     Shingle hashing stays JVM-side; the K-permutation min is a vectorized
-    Arrow-batched numpy kernel (measured 2.6× faster than the equivalent
-    zip_with/aggregate expression at sf0.1 — the K×N multiply-mod-min is
+    Arrow-batched numpy kernel (measured 2.3× faster than the equivalent
+    zip_with/aggregate expression at sf1 — the K×N multiply-mod-min is
     exactly the shape numpy wins at). ``use_arrow=False`` selects the
-    pure-JVM expression path instead.
+    pure-JVM expression path; ``None`` picks by input size (see
+    ``_ARROW_INPUT_THRESHOLD``). Signatures are bit-equal either way.
     """
+    if use_arrow is None:
+        use_arrow = _auto_arrow(docs)
     docs = _ensure_parallelism(docs)
     sh = shingles(text_col, shingle_n)
     docs = docs.withColumn("__shingles", sh)
@@ -309,7 +343,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
                            bands: int = 16, shingle_n: int = 3,
                            max_bucket_size: int = 10000,
-                           use_arrow: bool = True) -> DataFrame:
+                           use_arrow: bool | None = True) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
     Signature split into ``bands`` bands of r = K/bands rows; docs sharing
@@ -322,6 +356,8 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     degenerate buckets (boilerplate-identical shards) whose quadratic
     pair fan-out would dominate — standard LSH-dedup guard at 100 TB.
     """
+    if use_arrow is None:
+        use_arrow = _auto_arrow(docs)
     r = num_hashes // bands
     # Band bucket = xxhash64 over the band index + the band's r signature
     # longs DIRECTLY (multi-arg xxhash64): casting every signature long
@@ -366,7 +402,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         num_hashes: int = 64, bands: int = 16,
                         shingle_n: int = 3,
-                        use_arrow: bool = True) -> DataFrame:
+                        use_arrow: bool | None = True) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (verify step).
 
     LSH prunes to near-linear candidates, then the exact Jaccard is

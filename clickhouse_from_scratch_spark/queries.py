@@ -1226,16 +1226,17 @@ def dedup_exact_q(spark, sf_dir):
 def dedup_minhash_q(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→join).
 
-    Uses the pure-JVM expression kernel (use_arrow=False): steady
-    3.2-3.5s at sf0.1 vs the Arrow numpy kernel's 1.8-9s spread (worker
-    cold-start + Arrow batch variance), same 262 pairs. The Arrow path
-    remains available via minhash_lsh_candidates(use_arrow=True) and
-    wins at real scale where the per-worker import cost amortizes over
-    far more batches; at bench scale it is noise that masks true
-    regressions.
+    Kernel choice is automatic by input size (use_arrow=None, r14):
+    below the measured ~4 MiB crossover the steady pure-JVM expression
+    kernel runs (all bench/gate SFs land here — sf0.1 signature pass
+    JVM 0.28 s vs Arrow 0.31 s, and the JVM path has no worker-import
+    jitter); above it the vectorized Arrow/numpy kernel wins (sf1:
+    0.69 s vs 1.60 s signature, 1.58 s vs 2.27 s end-to-end). The two
+    kernels are bit-equal (pinned in tests), so the declared output
+    never depends on the choice.
     """
     docs = _t(spark, sf_dir, "documents")
-    return (minhash_lsh_candidates(docs, use_arrow=False)
+    return (minhash_lsh_candidates(docs, use_arrow=None)
             .orderBy("id_a", "id_b"))
 
 

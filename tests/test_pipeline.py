@@ -82,6 +82,22 @@ def test_minhash_fused_build_matches_arrow_kernel(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 6
 
 
+def test_minhash_auto_kernel_switch(spark):
+    # r14: use_arrow=None picks the kernel by input size — JVM below
+    # the measured crossover (steady, no worker-import jitter: every
+    # bench/gate SF), Arrow above it (vectorized numpy wins at sf1+).
+    # Kernels are bit-equal (pinned above), so outputs never depend on
+    # the choice.
+    from clickhouse_from_scratch_spark.pipeline.dedup import (
+        _ARROW_INPUT_THRESHOLD, _auto_arrow)
+    assert not _auto_arrow(spark.range(10))
+    assert _auto_arrow(spark.range(_ARROW_INPUT_THRESHOLD // 4))
+    # the tiny-fixture plan stays pure JVM under auto
+    df = minhash_lsh_candidates(_docs(spark), use_arrow=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_bounded_buckets_caps_hot_buckets(spark):
     # r14: the bucket builder must (a) return exactly the ids of every
     # under-cap bucket and (b) drop over-cap buckets — without ever
