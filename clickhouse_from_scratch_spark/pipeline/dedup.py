@@ -658,7 +658,8 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, max_iter: int = 20,
                          a_col: str = "id_a",
-                         b_col: str = "id_b") -> DataFrame:
+                         b_col: str = "id_b",
+                         _stats: dict | None = None) -> DataFrame:
     """Group candidate pairs into duplicate clusters: (id, component).
 
     The step after LSH/SimHash banding in a real dedup pipeline —
@@ -676,10 +677,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     cheap changed-row check; at the bound we raise rather than return
     wrong groups.
     """
+    # repartition("src") BEFORE the checkpoint: localCheckpoint keeps
+    # the physical hashpartitioning, so the per-round hop join never
+    # re-shuffles the (constant, largest) edge table again — only the
+    # labels side moves each round (guide §2.4). The distinct keys on
+    # (src, dst), which does NOT satisfy the join's src distribution,
+    # so without this every round re-shuffled all 2|E| edge rows.
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
              .distinct()
+             .repartition("src")
              .localCheckpoint(eager=True))
     # localCheckpoint after every round: iterative self-joins otherwise
     # stack each round's plan inside the next (analysis blows up
@@ -689,7 +697,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # (1) one-hop: for each dst, min label among its neighbors
         nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                .groupBy("dst").agg(F.min("comp").alias("nbr_comp"))
@@ -715,6 +723,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                    .limit(1).count())
         labels = new_labels.drop("__old")
         if changed == 0:
+            if _stats is not None:
+                _stats["rounds"] = _round + 1
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

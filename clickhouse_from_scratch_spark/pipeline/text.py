@@ -28,8 +28,9 @@ def _tokens(text: Column | str) -> Column:
     # of the ~6-call HOF composition; same tree (guide §1.2 — plan
     # build is inside the bench's timed region)
     if isinstance(text, str):
+        from .dedup import _q
         return F.expr(
-            f"filter(split(lower(`{text}`), '\\\\s+'), w -> w <> '')")
+            f"filter(split(lower({_q(text)}), '\\\\s+'), w -> w <> '')")
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
