@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Fixed odd multipliers/addends (splitmix64-style constants) make the K
@@ -174,14 +174,61 @@ def _bounded_buckets(banded: DataFrame, keys: Sequence[str], id_col: str,
     (guide §2.4). Precondition (holds for every banding caller): banded
     has at most one row per (keys, id) and ``id_col`` is non-null.
     """
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(id_col)
+    # ONE selectExpr + where: the Window-spec/withColumn composition
+    # costs ~6 extra py4j round trips and an extra analyzer pass per
+    # plan build (guide §1.2); the SQL window is the same expression
+    key_sql = ", ".join(_q(k) for k in keys)
     capped = (banded
-              .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= max_bucket_size + 1))
+              .selectExpr("*",
+                          f"row_number() OVER (PARTITION BY {key_sql} "
+                          f"ORDER BY {_q(id_col)}) AS __rn")
+              .where(f"__rn <= {max_bucket_size + 1}"))
     return (capped.groupBy(*keys)
             .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
             .filter((F.size("ids") > 1)
                     & (F.size("ids") <= max_bucket_size)))
+
+
+def _banded_pairs_one_sql(docs: DataFrame, banded_select: list[str],
+                          id_col: str, keys: Sequence[str],
+                          max_bucket_size: int) -> DataFrame:
+    """The full banding → bounded-buckets → pair-explode kernel as ONE
+    ``spark.sql`` over the prepared input frame.
+
+    The DataFrame spelling paid ~10 eagerly-analyzed placements, each
+    re-running the analyzer's fixed point over the growing tree — and
+    the banding expression is a multi-KB lambda forest, so every later
+    placement re-traversed it (~130 ms of driver time per build for the
+    minhash kernel, 90% of it py4j waits on JVM analysis; guide §1.2).
+    One SQL = one parse + one analyzer pass (~40 ms). The logical plan
+    is the same: rank-capped window (InferWindowGroupLimit still fires —
+    pinned), one bucket exchange, streaming two-generator pair explode,
+    distinct. Results byte-identical (probe + oracle)."""
+    key_sql = ", ".join(_q(k) for k in keys)
+    qid = _q(id_col)
+    sql = f"""
+    WITH __banded AS (SELECT {", ".join(banded_select)} FROM {{__docs}}),
+    __capped AS (
+      SELECT *, row_number() OVER (PARTITION BY {key_sql}
+                                   ORDER BY {qid}) AS __rn
+      FROM __banded),
+    __buckets AS (
+      SELECT ids FROM (
+        SELECT array_sort(collect_set({qid})) AS ids
+        FROM __capped WHERE __rn <= {max_bucket_size + 1}
+        GROUP BY {key_sql})
+      WHERE size(ids) > 1 AND size(ids) <= {max_bucket_size}),
+    __pairs AS (
+      SELECT inline(transform(slice(ids, __i + 1, size(ids)),
+                    y -> named_struct('id_a', element_at(ids, __i),
+                                      'id_b', y)))
+      FROM (SELECT ids, explode(if(size(ids) >= 2,
+                                   sequence(1, size(ids) - 1),
+                                   array())) AS __i
+            FROM __buckets))
+    SELECT DISTINCT id_a, id_b FROM __pairs
+    """
+    return docs.sparkSession.sql(sql, __docs=docs)
 
 
 def pairs_from_buckets(buckets: DataFrame,
@@ -203,11 +250,14 @@ def pairs_from_buckets(buckets: DataFrame,
     empty slice before; i stops at size-1 now).
     """
     q = _q(ids_col)
+    # the if() guards singleton/empty buckets (sequence(1, size-1)
+    # would DESCEND through 0 for them) without a separate filter
+    # placement (guide §1.2)
     return (buckets
-            # singleton/empty buckets yield no pairs; without the guard
-            # sequence(1, size-1) would DESCEND through 0 for them
-            .where(f"size({q}) >= 2")
-            .selectExpr(q, f"explode(sequence(1, size({q}) - 1)) AS __i")
+            .selectExpr(q,
+                        f"explode(if(size({q}) >= 2, "
+                        f"sequence(1, size({q}) - 1), "
+                        f"array())) AS __i")
             .selectExpr(
                 f"inline(transform(slice({q}, __i + 1, size({q})), "
                 f"y -> named_struct('id_a', element_at({q}, __i), "
@@ -386,13 +436,17 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         sig_sql = _minhash_sql(_shingles_sql(_q(text_col), shingle_n),
                                num_hashes)
         args = ", ".join(f"s[b*{r}+{i}]" for i in range(r))
-        banded = _ensure_parallelism(docs.select(id_col, text_col)) \
-            .selectExpr(
-                _q(id_col),
-                f"inline(element_at(transform(array({sig_sql}), "
-                f"s -> transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, "
-                f"'bucket', xxhash64(b, {args})))), 1))")
+        banded_select = [
+            _q(id_col),
+            f"inline(element_at(transform(array({sig_sql}), "
+            f"s -> transform(sequence(0, {bands - 1}), "
+            f"b -> named_struct('band', b, "
+            f"'bucket', xxhash64(b, {args})))), 1))"]
+        # whole kernel as ONE spark.sql (single analyzer pass over the
+        # lambda forest instead of ~10 re-analyses; same plan, r14)
+        return _banded_pairs_one_sql(
+            _ensure_parallelism(docs.select(id_col, text_col)),
+            banded_select, id_col, ("band", "bucket"), max_bucket_size)
     buckets = _bounded_buckets(banded, ("band", "bucket"), id_col,
                                max_bucket_size)
     return pairs_from_buckets(buckets)
@@ -544,20 +598,19 @@ def minhash_md5_candidates(docs: DataFrame, text_col: str = "text",
     # Docs with <3 words have no shingles (array_min → NULL): they emit
     # an empty band array, so inline() drops them — exactly the old
     # isNotNull filter, where the oracle produces no signature row.
-    banded = _ensure_parallelism(docs.select(id_col, text_col)) \
-        .selectExpr(
-            _q(id_col),
-            f"inline(element_at(transform("
-            f"array({_md5_sig_sql(text_col, num_hashes)}), "
-            f"sig -> CASE WHEN element_at(sig, 1) IS NULL "
-            f"THEN CAST(array() AS ARRAY<STRUCT<band: INT, bucket: STRING>>) "
-            f"ELSE transform(sequence(0, {bands - 1}), "
-            f"b -> named_struct('band', b, "
-            f"'bucket', array_join(slice(sig, b*{r}+1, {r}), ''))) "
-            f"END), 1))")
-    buckets = _bounded_buckets(banded, ("band", "bucket"), id_col,
-                               max_bucket_size)
-    return pairs_from_buckets(buckets)
+    banded_select = [
+        _q(id_col),
+        f"inline(element_at(transform("
+        f"array({_md5_sig_sql(text_col, num_hashes)}), "
+        f"sig -> CASE WHEN element_at(sig, 1) IS NULL "
+        f"THEN CAST(array() AS ARRAY<STRUCT<band: INT, bucket: STRING>>) "
+        f"ELSE transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, "
+        f"'bucket', array_join(slice(sig, b*{r}+1, {r}), ''))) "
+        f"END), 1))"]
+    return _banded_pairs_one_sql(
+        _ensure_parallelism(docs.select(id_col, text_col)),
+        banded_select, id_col, ("band", "bucket"), max_bucket_size)
 
 
 def simhash_signatures_md5(docs: DataFrame, text_col: str = "text",

@@ -303,27 +303,62 @@ def lsh_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     same all-pairs-avoiding banding as MinHash-LSH; survives 100 TB where
     ``cosine_near_dup_pairs`` cannot.
     """
-    from .dedup import _bounded_buckets, pairs_from_buckets
-
     planes = _hyperplanes(dim, bands * bits_per_band)
-    banded = (df.select(
-        F.col(id_col),
-        F.posexplode(_band_values(vec_col, planes,
-                                  bands, bits_per_band))
-         .alias("band", "val")))
-    buckets = _bounded_buckets(banded, ("band", "val"), id_col,
-                               max_bucket_size)
-    cands = pairs_from_buckets(buckets)
-    # factored per-row norms (see brute_force_topk; bitwise-identical)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-                  _norm(F.col(vec_col)).alias("__na"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-                  _norm(F.col(vec_col)).alias("__nb"))
-    sim = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    return (cands.join(a, "id_a").join(b, "id_b")
-            .filter(sim >= threshold)
-            .select("id_a", "id_b",
-                    F.round(sim, round_digits).alias("cos_sim")))
+    # ONE spark.sql for banding -> rank-capped buckets -> in-bucket pair
+    # explode -> exact-cosine verify join (r14, guide §1.2): the chained
+    # DataFrame spelling re-ran the analyzer over the multi-KB
+    # hyperplane-literal banding tree at every placement (~10 of them,
+    # 443 ms of driver time per build — the correctness gate pays this
+    # on every dedup_embedding_lsh* run). Same logical plan: the
+    # rank-capped window (InferWindowGroupLimit fires), one bucket
+    # exchange, streaming two-generator explode, distinct, and the same
+    # IEEE sim DAG (unrounded in the WHERE, rounded in the projection).
+    band_exprs = ", ".join(
+        _sign_bits_sql(vec_col,
+                       planes[j * bits_per_band:(j + 1) * bits_per_band])
+        for j in range(bands))
+    qid, qv = _q(id_col), _q(vec_col)
+    norm = ("sqrt(aggregate({v}, 0.0D, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    sim = ("aggregate(zip_with(a.__v, b.__v, "
+           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "0.0D, (acc, v) -> acc + v) / (a.__n * b.__n)")
+    cap = max_bucket_size
+    sql = f"""
+    WITH __banded AS (
+      SELECT {qid}, t.band, t.val
+      FROM {{__df}}
+      LATERAL VIEW posexplode(array({band_exprs})) t AS band, val),
+    __capped AS (
+      SELECT *, row_number() OVER (PARTITION BY band, val
+                                   ORDER BY {qid}) AS __rn
+      FROM __banded),
+    __buckets AS (
+      SELECT ids FROM (
+        SELECT array_sort(collect_set({qid})) AS ids
+        FROM __capped WHERE __rn <= {cap + 1}
+        GROUP BY band, val)
+      WHERE size(ids) > 1 AND size(ids) <= {cap}),
+    __cands AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT inline(transform(slice(ids, __i + 1, size(ids)),
+                      y -> named_struct('id_a', element_at(ids, __i),
+                                        'id_b', y)))
+        FROM (SELECT ids, explode(if(size(ids) >= 2,
+                                     sequence(1, size(ids) - 1),
+                                     array())) AS __i
+              FROM __buckets))),
+    __sides AS (
+      SELECT {qid} AS __sid, {qv} AS __v,
+             {norm.format(v=qv)} AS __n
+      FROM {{__df}})
+    SELECT c.id_a, c.id_b, round({sim}, {round_digits}) AS cos_sim
+    FROM __cands c
+    JOIN __sides a ON c.id_a = a.__sid
+    JOIN __sides b ON c.id_b = b.__sid
+    WHERE {sim} >= {_flit(threshold)}
+    """
+    return df.sparkSession.sql(sql, __df=df)
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -71,7 +71,10 @@ def main() -> None:
         split = int(args.split_mb * 1024 * 1024)
         if args.no_split or src_bytes * args.copies < 2 * split:
             return "(FORMAT PARQUET)"
-        return f"(FORMAT PARQUET, FILE_SIZE_BYTES {split})"
+        # small row groups too: DuckDB only rotates output files at row
+        # group boundaries, and 50k wide rows fit one default group
+        return (f"(FORMAT PARQUET, FILE_SIZE_BYTES {split}, "
+                f"ROW_GROUP_SIZE 8192)")
 
     def count_rows(path: str) -> int:
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path

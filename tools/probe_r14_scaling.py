@@ -11,7 +11,8 @@ DEMONSTRATION — the shipped session/bench config stays scale-neutral —
 so the same physical plans run with 25-35 scan tasks, the way they
 would at real scale where files are many x 128 MB.
 
-Usage: python tools/probe_r14_scaling.py <cpus> [sf_dir] [max_partition_bytes]
+Usage: python tools/probe_r14_scaling.py <cpus> [sf_dir]
+           [max_partition_bytes] [query,query,...]
 Prints one JSON line like bench.py (not a bench artifact).
 """
 
@@ -57,6 +58,8 @@ def main() -> None:
 
     from clickhouse_from_scratch_spark.queries import QUERIES
     from bench import HEADLINE
+    if len(sys.argv) > 4:
+        HEADLINE = sys.argv[4].split(",")
 
     # the noop sink computes EVERY column (guide §1.4) — count() prunes
     # aggregate values, leaving sub-100ms stage floors that no core
